@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship candidate-expansion pipeline at
+sf0.001; ``queries()`` exposes every implemented operator from
+SURVEY.md §2 (+ [EXT]); ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for each SQL-expressible query. Oracles are composed from CTE fragments
+colocated with the Spark builders (same module, kept in sync).
 """
 
 from __future__ import annotations
@@ -12,27 +12,231 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    candidates as _cand,
+)
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    features as _feat,
+)
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    relational as _rel,
+)
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    submission as _sub,
+)
+from big_data_instacart_market_basket_analysis_spark.plans.instacart import (
+    ORACLE_BASE_CTES,
+    instacart_tables,
+)
+
+# ---------------------------------------------------------------------------
+# oracle composition: each fragment is "name AS (...)"; a query's oracle is
+# WITH <base>, <fragments...> SELECT ... FROM <final>.
+# ---------------------------------------------------------------------------
+
+_FRAGMENTS: dict[str, str] = {
+    "product_features": _feat.ORACLE_PRODUCT_FEATURES,
+    "prior_enriched": _feat.ORACLE_PRIOR_ENRICHED,
+    "user_order_features": _feat.ORACLE_USER_ORDER_FEATURES,
+    "user_prior_features": _feat.ORACLE_USER_PRIOR_FEATURES,
+    "users_final": _feat.ORACLE_USERS_FINAL,
+    "user_product_features": _feat.ORACLE_USER_PRODUCT_FEATURES,
+    "candidates": _cand.ORACLE_CANDIDATES,
+    "proxy_submission": _sub.ORACLE_PROXY_SUBMISSION,
+    "orders_limited": _rel.ORACLE_ORDERS_LIMITED,
+    "eval_split_counts": _rel.ORACLE_EVAL_SPLIT_COUNTS,
+    "threshold_binarize": _rel.ORACLE_THRESHOLD_BINARIZE,
+    "top_products_per_user": _rel.ORACLE_TOP_PRODUCTS_PER_USER,
+}
+
+# fragment dependency edges (fragment -> prerequisite fragments, in order)
+_DEPS: dict[str, list[str]] = {
+    "product_features": [],
+    "prior_enriched": [],
+    "user_order_features": [],
+    "user_prior_features": ["prior_enriched"],
+    "users_final": ["prior_enriched", "user_prior_features", "user_order_features"],
+    "user_product_features": ["prior_enriched"],
+    "candidates": [
+        "prior_enriched",
+        "user_prior_features",
+        "user_order_features",
+        "users_final",
+        "product_features",
+        "user_product_features",
+    ],
+    "proxy_submission": [
+        "prior_enriched",
+        "user_prior_features",
+        "user_order_features",
+        "users_final",
+        "product_features",
+        "user_product_features",
+        "candidates",
+    ],
+    "orders_limited": [],
+    "eval_split_counts": [],
+    "threshold_binarize": ["product_features"],
+    "top_products_per_user": ["prior_enriched", "user_product_features"],
+}
+
+
+def _oracle(final: str, select: str | None = None) -> str:
+    """Compose WITH base-CTEs + fragments for ``final`` + terminal SELECT."""
+    seen: list[str] = []
+
+    def add(name: str) -> None:
+        for dep in _DEPS[name]:
+            add(dep)
+        if name not in seen:
+            seen.append(name)
+
+    add(final)
+    ctes = ",\n".join(_FRAGMENTS[n].strip() for n in seen)
+    body = select or f"SELECT * FROM {final}"
+    return f"WITH {ORACLE_BASE_CTES.strip()},\n{ctes}\n{body}"
+
+
+# ---------------------------------------------------------------------------
+# declared queries
+# ---------------------------------------------------------------------------
+
+
+def _stringify_items(df: DataFrame) -> DataFrame:
+    """Render the set-valued all_items column hash-stably (sorted,
+    space-joined string) for oracle comparison."""
+    cols = [
+        F.array_join(F.col(c).cast("array<string>"), " ").alias(c)
+        if c == "all_items"
+        else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*cols)
+
+
+def q_ingest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S6: the Instacart-shaped orders view (enum encode, order_number
+    window, dow/hod extraction, days_since lag+default)."""
+    return instacart_tables(spark, sf_dir).orders
+
+
+def q_order_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S3: the order_products view (typed projection + derived flag)."""
+    return instacart_tables(spark, sf_dir).order_products
+
+
+def q_prior_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/P4: semi-join restriction to prior orders."""
+    return instacart_tables(spark, sf_dir).prior_products
+
+
+def q_product_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _feat.product_features(instacart_tables(spark, sf_dir))
+
+
+def q_prior_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = instacart_tables(spark, sf_dir)
+    return _feat.prior_enriched(t).select(
+        "orderID", "productID", "cart_order", "reordered", "userID",
+        "eval_set", "order_number", "order_dow", "order_hod", "days_since",
+    )
+
+
+def q_user_order_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _feat.user_order_features(instacart_tables(spark, sf_dir))
+
+
+def q_user_prior_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stringify_items(
+        _feat.user_prior_features(instacart_tables(spark, sf_dir))
+    )
+
+
+def q_users_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stringify_items(_feat.users_final(instacart_tables(spark, sf_dir)))
+
+
+def q_user_product_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _feat.user_product_features(instacart_tables(spark, sf_dir))
+
+
+def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cand.candidates(instacart_tables(spark, sf_dir))
+
+
+def q_proxy_submission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sub.proxy_submission(instacart_tables(spark, sf_dir))
+
+
+def q_orders_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rel.orders_limited(instacart_tables(spark, sf_dir))
+
+
+def q_eval_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rel.eval_split_counts(instacart_tables(spark, sf_dir))
+
+
+def q_threshold_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rel.threshold_binarize(instacart_tables(spark, sf_dir))
+
+
+def q_top_products_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rel.top_products_per_user(instacart_tables(spark, sf_dir))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full candidate-expansion feature pipeline at sf0.001."""
+    return q_candidates(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ingest_orders": q_ingest_orders,
+        "order_products": q_order_products,
+        "prior_products": q_prior_products,
+        "product_features": q_product_features,
+        "prior_enriched": q_prior_enriched,
+        "user_order_features": q_user_order_features,
+        "user_prior_features": q_user_prior_features,
+        "users_final": q_users_final,
+        "user_product_features": q_user_product_features,
+        "candidates": q_candidates,
+        "proxy_submission": q_proxy_submission,
+        "orders_limited": q_orders_limited,
+        "eval_split_counts": q_eval_split_counts,
+        "threshold_binarize": q_threshold_binarize,
+        "top_products_per_user": q_top_products_per_user,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    base_only = f"WITH {ORACLE_BASE_CTES.strip()}\n"
+    return {
+        "ingest_orders": base_only + "SELECT * FROM iorders",
+        "order_products": base_only + "SELECT * FROM iorder_products",
+        "prior_products": base_only + "SELECT * FROM iprior_products",
+        "product_features": _oracle("product_features"),
+        "prior_enriched": _oracle("prior_enriched"),
+        "user_order_features": _oracle("user_order_features"),
+        "user_prior_features": _oracle(
+            "user_prior_features",
+            "SELECT userID, items_purchased_total, "
+            "array_to_string(all_items, ' ') AS all_items, distinct_items "
+            "FROM user_prior_features",
+        ),
+        "users_final": _oracle(
+            "users_final",
+            "SELECT userID, items_purchased_total, "
+            "array_to_string(all_items, ' ') AS all_items, distinct_items, "
+            "avg_orderingGap, total_orders, average_items FROM users_final",
+        ),
+        "user_product_features": _oracle("user_product_features"),
+        "candidates": _oracle("candidates"),
+        "proxy_submission": _oracle("proxy_submission"),
+        "orders_limited": _oracle("orders_limited"),
+        "eval_split_counts": _oracle("eval_split_counts"),
+        "threshold_binarize": _oracle("threshold_binarize"),
+        "top_products_per_user": _oracle("top_products_per_user"),
+    }

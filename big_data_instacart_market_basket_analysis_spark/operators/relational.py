@@ -1,0 +1,104 @@
+"""Standalone relational operator queries (SURVEY.md §2b, §2f, O1, P2/P6,
+A13, plus a top-k window demo).
+
+Small single-purpose queries that pin down operator semantics the bigger
+pipelines rely on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..plans.instacart import InstacartTables
+from .features import product_features, user_product_features
+
+
+def orders_limited(t: InstacartTables, n: int = 10_000) -> DataFrame:
+    """O1 (F.py:34): the working-set cap, made deterministic.
+
+    The reference's ``take(10000)`` is partition-order dependent; the
+    engine form is ``ORDER BY orderID LIMIT n`` (orderID is unique, so
+    the row set is stable on any cluster layout). TopK via
+    TakeOrderedAndProject — no global sort materialization.
+    """
+    return t.orders.orderBy("orderID").limit(n)
+
+
+ORACLE_ORDERS_LIMITED = """
+orders_limited AS (
+  SELECT * FROM iorders ORDER BY orderID LIMIT 10000
+)
+"""
+
+
+def eval_split_counts(t: InstacartTables) -> DataFrame:
+    """P2 + A13 (F.py:35-43): the prior/train/test split cardinalities."""
+    return t.orders.groupBy("eval_set").agg(F.count("*").alias("n_orders"))
+
+
+ORACLE_EVAL_SPLIT_COUNTS = """
+eval_split_counts AS (
+  SELECT eval_set, count(*) AS n_orders FROM iorders GROUP BY eval_set
+)
+"""
+
+
+def threshold_binarize(t: InstacartTables) -> DataFrame:
+    """P6 (F.py:242-244): score -> {0,1} at the 0.19 threshold.
+
+    Applied to the deterministic per-product reorder_ratio so the oracle
+    can check it (the reference applies it to model scores; the ML layer
+    reuses this exact expression).
+    """
+    return product_features(t).select(
+        "productID",
+        F.when(F.col("reorder_ratio") < 0.19, F.lit(0.0))
+        .otherwise(F.lit(1.0))
+        .alias("picked"),
+    )
+
+
+ORACLE_THRESHOLD_BINARIZE = """
+threshold_binarize AS (
+  SELECT productID,
+         CAST(CASE WHEN reorder_ratio < 0.19 THEN 0.0 ELSE 1.0 END AS DOUBLE)
+           AS picked
+  FROM product_features
+)
+"""
+
+
+def top_products_per_user(t: InstacartTables, k: int = 3) -> DataFrame:
+    """Top-k per group via ranking window (engine extension; SURVEY §2e
+    notes the reference has no window functions — this pins the pattern
+    the engine uses wherever per-group ranking is needed).
+
+    Deterministic tie-break on productID.
+    """
+    w = Window.partitionBy("userID").orderBy(
+        F.col("numorders").desc(), F.col("productID")
+    )
+    return (
+        user_product_features(t)
+        .select(
+            "userID",
+            "productID",
+            "numorders",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+ORACLE_TOP_PRODUCTS_PER_USER = """
+top_products_per_user AS (
+  SELECT userID, productID, numorders, rank FROM (
+    SELECT userID, productID, numorders,
+           CAST(row_number() OVER (
+             PARTITION BY userID
+             ORDER BY numorders DESC, productID) AS INT) AS rank
+    FROM user_product_features
+  ) WHERE rank <= 3
+)
+"""
