@@ -26,6 +26,19 @@ from big_data_instacart_market_basket_analysis_spark.operators import (
 from big_data_instacart_market_basket_analysis_spark.operators import (
     submission as _sub,
 )
+from big_data_instacart_market_basket_analysis_spark.ml import models as _ml
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    dedup as _dedup,
+)
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    multimodal as _mm,
+)
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    similarity as _sim,
+)
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    textstats as _text,
+)
 from big_data_instacart_market_basket_analysis_spark.plans.instacart import (
     ORACLE_BASE_CTES,
     instacart_tables,
@@ -97,6 +110,13 @@ def _oracle(final: str, select: str | None = None) -> str:
     ctes = ",\n".join(_FRAGMENTS[n].strip() for n in seen)
     body = select or f"SELECT * FROM {final}"
     return f"WITH {ORACLE_BASE_CTES.strip()},\n{ctes}\n{body}"
+
+
+def _ext_oracle(fragments: list[str], final: str) -> str:
+    """Compose an [EXT] oracle from standalone CTE fragments (these read
+    documents/embeddings directly — no Instacart base CTEs needed)."""
+    ctes = ",\n".join(f.strip() for f in fragments)
+    return f"WITH {ctes}\nSELECT * FROM {final}"
 
 
 # ---------------------------------------------------------------------------
@@ -186,6 +206,96 @@ def q_top_products_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rel.top_products_per_user(instacart_tables(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# [EXT] LLM-data-pipeline operators (documents / embeddings fixtures)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (xxhash64-based — rows-only check)."""
+    return _dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.brute_force_topk(_emb(spark, sf_dir)).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_ann_brute_force_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with raw cosine scores (rows-only: float-op order across
+    engines is not guaranteed for the score column itself)."""
+    return _sim.brute_force_topk(_emb(spark, sf_dir))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.lsh_ann_topk(_emb(spark, sf_dir))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.embedding_near_dup_pairs(_emb(spark, sf_dir))
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.token_counts(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.quality_scores(_docs(spark, sf_dir))
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.lang_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.fingerprints(_docs(spark, sf_dir))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing via mapInPandas (stub codec —
+    rows-only check)."""
+    return _mm.media_features_query(_docs(spark, sf_dir))
+
+
+def q_ml_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2+M7: per-model weighted precision/recall/F1 on the seeded 30%
+    holdout (rows-only check — tree models are not SQL-expressible)."""
+    return _ml.train_metrics(instacart_tables(spark, sf_dir))
+
+
+def q_ml_submission_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ml.model_submission(instacart_tables(spark, sf_dir), "rf")
+
+
+def q_ml_submission_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ml.model_submission(instacart_tables(spark, sf_dir), "gbt")
+
+
+def q_ml_submission_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ml.model_submission(instacart_tables(spark, sf_dir), "dt")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full candidate-expansion feature pipeline at sf0.001."""
     return q_candidates(spark, "/root/testdata/sf0.001")
@@ -208,6 +318,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_split_counts": q_eval_split_counts,
         "threshold_binarize": q_threshold_binarize,
         "top_products_per_user": q_top_products_per_user,
+        "ml_train_metrics": q_ml_train_metrics,
+        "ml_submission_rf": q_ml_submission_rf,
+        "ml_submission_gbt": q_ml_submission_gbt,
+        "ml_submission_dt": q_ml_submission_dt,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_brute_force_scored": q_ann_brute_force_scored,
+        "ann_lsh": q_ann_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprints": q_text_fingerprints,
+        "media_features": q_media_features,
     }
 
 
@@ -239,4 +366,36 @@ def oracle_sql() -> dict[str, str]:
         "eval_split_counts": _oracle("eval_split_counts"),
         "threshold_binarize": _oracle("threshold_binarize"),
         "top_products_per_user": _oracle("top_products_per_user"),
+        "dedup_exact": _ext_oracle(
+            [_dedup.ORACLE_EXACT_DEDUP], "exact_dedup"
+        ),
+        "dedup_ngram_jaccard": _ext_oracle(
+            [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD],
+            "ngram_jaccard",
+        ),
+        "dedup_minhash_lsh": _ext_oracle(
+            [_dedup.ORACLE_SHINGLES,
+             "dsizes AS (SELECT doc_id, count(*) AS n FROM dshingles GROUP BY doc_id)",
+             _dedup.ORACLE_MINHASH_LSH],
+            "minhash_lsh",
+        ),
+        "ann_brute_force": _ext_oracle(
+            [_sim.ORACLE_BRUTE_FORCE_TOPK], "brute_force_topk"
+        ),
+        "ann_lsh": _ext_oracle([_sim.oracle_lsh_ann_topk()], "lsh_ann_topk"),
+        "embedding_near_dup": _ext_oracle(
+            [_sim.oracle_embedding_near_dup()], "embedding_near_dup"
+        ),
+        "text_token_counts": _ext_oracle(
+            [_text.ORACLE_TOKEN_COUNTS], "token_counts"
+        ),
+        "text_quality": _ext_oracle(
+            [_text.oracle_quality_scores()], "quality_scores"
+        ),
+        "text_lang_id": _ext_oracle(
+            [_text.oracle_lang_id()], "lang_scored"
+        ),
+        "text_fingerprints": _ext_oracle(
+            [_text.ORACLE_FINGERPRINTS], "fingerprints"
+        ),
     }

@@ -1,0 +1,142 @@
+"""ML operator surface (SURVEY.md §2k, M1-M8).
+
+The reference trains three ``pyspark.mllib`` tree regressors over
+LabeledPoint RDDs (F.py:199-200, 219-225) and glues predictions back
+through pandas (F.py:293). Here the whole path is DataFrame-native
+``pyspark.ml``:
+
+- M1 VectorAssembler replaces the LabeledPoint map (F.py:199-200)
+- M2 seeded ``randomSplit([0.7, 0.3])`` (F.py:214; seeded per SURVEY §5)
+- M3-M5 regressors with the reference's exact hyperparameters
+- M6 ``model.transform`` keeps label+features+prediction in one row,
+  eliminating the RDD ``zip`` re-join (J8, F.py:242-244)
+- M7 MulticlassClassificationEvaluator on the 0.19-thresholded
+  predictions (F.py:247-276)
+- M8 obsolete (no pandas re-attach needed)
+
+Distributed-scale notes: tree training in ``pyspark.ml`` aggregates
+split statistics per partition (no driver-side data pull); scoring is a
+broadcast of the model into executor-side codegen'd transforms. The only
+driver materialization anywhere is the final metrics row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.regression import (
+    DecisionTreeRegressor,
+    GBTRegressor,
+    RandomForestRegressor,
+)
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.candidates import FEATURE_COLS, candidates
+from ..operators.submission import THRESHOLD, submission
+from ..plans.instacart import EVAL_TEST, EVAL_TRAIN, InstacartTables
+
+SEED = 42
+
+#: M3-M5 with the reference's hyperparameters (F.py:219-225).
+MODEL_BUILDERS: dict[str, Callable[[], object]] = {
+    "rf": lambda: RandomForestRegressor(
+        numTrees=3,
+        maxDepth=4,
+        maxBins=32,
+        featureSubsetStrategy="auto",
+        seed=SEED,
+        labelCol="label",
+        featuresCol="features",
+    ),
+    "gbt": lambda: GBTRegressor(
+        maxIter=3, seed=SEED, labelCol="label", featuresCol="features"
+    ),
+    "dt": lambda: DecisionTreeRegressor(
+        maxDepth=5, maxBins=32, seed=SEED, labelCol="label",
+        featuresCol="features",
+    ),
+}
+
+
+def assemble(cand: DataFrame) -> DataFrame:
+    """M1: candidate rows -> (keys, label double, features vector).
+
+    Ratio features are null when a denominator was 0 (engine division
+    semantics, SURVEY §2h F3); trees need finite inputs, so nulls become
+    0.0 — the reference's pandas rows would carry inf/NaN into MLlib
+    here, which is replicating a crash, not a semantic (SURVEY §2 bug
+    list rationale).
+    """
+    filled = cand.na.fill(0.0, subset=FEATURE_COLS).withColumn(
+        "label", F.col("label").cast("double")
+    )
+    va = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features")
+    return va.transform(filled).select(
+        "orderID", "productID", "eval_set", "label", "features"
+    )
+
+
+def binarize(scored: DataFrame, score_col: str = "prediction") -> DataFrame:
+    """P6 (F.py:242-244): threshold the regression score at 0.19."""
+    return scored.withColumn(
+        "picked",
+        F.when(F.col(score_col) < THRESHOLD, F.lit(0.0)).otherwise(
+            F.lit(1.0)
+        ),
+    )
+
+
+def train_metrics(t: InstacartTables) -> DataFrame:
+    """M2+M7 (F.py:214-276): per-model precision/recall/F1 on the 30%
+    holdout of the train candidates, scores thresholded at 0.19.
+
+    Returns one row per model — the distributed replacement for the
+    reference's printed "RF/GBT/DT summary on Train".
+    """
+    data = assemble(candidates(t)).filter(F.col("eval_set") == EVAL_TRAIN)
+    train70, hold30 = data.randomSplit([0.7, 0.3], seed=SEED)
+    train70 = train70.cache()
+
+    rows = []
+    for name, build in MODEL_BUILDERS.items():
+        model = build().fit(train70)
+        scored = binarize(model.transform(hold30))
+        metrics = {}
+        for metric in ("weightedPrecision", "weightedRecall", "f1"):
+            ev = MulticlassClassificationEvaluator(
+                labelCol="label", predictionCol="picked", metricName=metric
+            )
+            metrics[metric] = ev.evaluate(scored)
+        rows.append(
+            (
+                name,
+                metrics["weightedPrecision"],
+                metrics["weightedRecall"],
+                metrics["f1"],
+            )
+        )
+
+    spark = t.orders.sparkSession
+    return spark.createDataFrame(
+        rows, "model string, precision double, recall double, f1 double"
+    )
+
+
+def model_submission(t: InstacartTables, model_name: str) -> DataFrame:
+    """M3-M6 + A12/J9 (F.py:280-318 et al.): train on all train
+    candidates, score test candidates, emit the submission table.
+
+    The reference's DT submission actually prints GBT output (bug at
+    F.py:390, ``dat2`` vs ``dat3``); this implements the intended
+    per-model semantics.
+    """
+    cand = candidates(t)
+    data = assemble(cand).cache()
+    model = MODEL_BUILDERS[model_name]().fit(
+        data.filter(F.col("eval_set") == EVAL_TRAIN)
+    )
+    test_scored = model.transform(data.filter(F.col("eval_set") == EVAL_TEST))
+    return submission(t, test_scored, score_col="prediction")

@@ -1,0 +1,335 @@
+"""[EXT] Deduplication operators over the ``documents`` table
+(SURVEY.md §7 phase 6; project north-star LLM-data-pipeline ops).
+
+Five dedup families, batch-first, each designed so the shuffle keys and
+row amplification stay bounded at 100 TB:
+
+- exact: hash-groupBy on a content digest — one shuffle on the digest.
+- n-gram Jaccard: shingle inverted-index self-join — the classic
+  candidate-generation pattern; shuffle keyed on shingle, candidate
+  pairs re-shuffle on (d1, d2). Rare hot shingles are the skew risk —
+  AQE skew-join splits them (and a frequency cap could drop
+  stop-shingles; not needed at fixture scale).
+- MinHash + LSH banding: per-doc signatures (no explode — higher-order
+  array functions), band keys, bucket self-join, exact-Jaccard verify of
+  candidates only. md5-based hashes so DuckDB can replay the identical
+  algorithm (an xxhash64 variant would be ~4x faster but engine-specific;
+  correctness first, the hash fn is pluggable).
+- SimHash: 64-bit signature via xxhash64 token hashes (Spark-native —
+  no cross-engine hash exists, so its query is rows-only checked),
+  near-dup = Hamming distance <= 3 over 16-bit band buckets.
+- embedding cosine near-dup: see similarity.py (shares the pair join).
+
+All shingling/normalization is pure Catalyst expressions (split /
+transform / aggregate) — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_WIDTH = 3
+JACCARD_THRESHOLD = 0.3
+N_MINHASHES = 8
+N_BANDS = 4  # band size 2
+SIMHASH_HAMMING_MAX = 3
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("w")
+    )
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, 3-word shingle) pairs — pure expressions."""
+    expr = (
+        f"transform(sequence(0, size(w) - {SHINGLE_WIDTH}),"
+        f" i -> concat_ws(' ', slice(w, i + 1, {SHINGLE_WIDTH})))"
+    )
+    return (
+        _tokens(docs)
+        .filter(F.size("w") >= SHINGLE_WIDTH)
+        .select("doc_id", F.explode(F.expr(expr)).alias("sh"))
+        .distinct()
+    )
+
+
+# shared DuckDB fragments -----------------------------------------------------
+ORACLE_SHINGLES = f"""
+dtoks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+  FROM documents
+),
+dshingles AS (
+  SELECT DISTINCT doc_id, sh
+  FROM dtoks, LATERAL (
+    SELECT unnest(list_transform(range(0, len(w) - {SHINGLE_WIDTH - 1}),
+                  i -> array_to_string(w[i + 1 : i + {SHINGLE_WIDTH}], ' ')))
+      AS sh) t
+  WHERE len(w) >= {SHINGLE_WIDTH}
+)
+"""
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup: md5 digest of normalized text -> survivor + copies.
+
+    One hash-agg; at scale the digest is the shuffle key (uniform by
+    construction, no skew). Survivor = min doc_id, the deterministic
+    keep-first rule.
+    """
+    return (
+        docs.select(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
+            "doc_id",
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+ORACLE_EXACT_DEDUP = """
+exact_dedup AS (
+  SELECT md5(lower(trim(text))) AS content_hash,
+         min(doc_id) AS keeper_doc_id,
+         count(*) AS n_copies
+  FROM documents
+  GROUP BY 1
+)
+"""
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over 3-word shingle sets.
+
+    Inverted-index self-join: |pairs| is bounded by co-occurring
+    shingles, not |docs|^2. Output (d1 < d2, jaccard).
+    """
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("doc_id").alias("d1"),
+                                 F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"),
+                           F.col("n").alias("n2")), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("shared")
+            / (F.col("n1") + F.col("n2") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+ORACLE_NGRAM_JACCARD = f"""
+dsizes AS (SELECT doc_id, count(*) AS n FROM dshingles GROUP BY doc_id),
+dshared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+  FROM dshingles a
+  JOIN dshingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ngram_jaccard AS (
+  SELECT d1, d2,
+         CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) AS jaccard
+  FROM dshared s
+  JOIN dsizes s1 ON s1.doc_id = s.d1
+  JOIN dsizes s2 ON s2.doc_id = s.d2
+  WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared)
+        >= {JACCARD_THRESHOLD}
+)
+"""
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature: h_j = min over shingles of
+    md5(j || ':' || shingle) — one hash-agg, no per-hash explode."""
+    sh = _shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"h{j}")
+        for j in range(N_MINHASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """MinHash+LSH banded dedup: signature -> band keys -> bucket
+    self-join -> exact-Jaccard verification of candidates only.
+
+    The expensive exact-Jaccard join runs on LSH candidates, not all
+    pairs — this is the 100 TB-scale path (signatures are ~constant
+    bytes/doc; band buckets are the only shuffle wider than a doc).
+    """
+    sigs = minhash_signatures(docs)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))).alias(
+                "key"
+            ),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    # exact-Jaccard verify restricted to candidates: attach d1's shingles,
+    # then probe d2's shingle set — never materializes non-candidate pairs.
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shared = (
+        cand.join(sh.select(F.col("doc_id").alias("d1"), "sh"), "d1")
+        .join(sh.select(F.col("doc_id").alias("d2"), "sh"), ["d2", "sh"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("doc_id").alias("d1"),
+                                 F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"),
+                           F.col("n").alias("n2")), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("shared")
+            / (F.col("n1") + F.col("n2") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+ORACLE_MINHASH_LSH = f"""
+dsigs AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{j}:' || sh)) AS h{j}" for j in range(N_MINHASHES))}
+  FROM dshingles
+  GROUP BY doc_id
+),
+dbands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, md5(h{2 * b} || h{2 * b + 1}) AS key FROM dsigs" for b in range(N_BANDS))}
+),
+dcand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM dbands a
+  JOIN dbands b ON a.band = b.band AND a.key = b.key
+                AND a.doc_id < b.doc_id
+),
+minhash_lsh AS (
+  SELECT c.d1, c.d2,
+         CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) AS jaccard
+  FROM dcand c
+  JOIN (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+    FROM dshingles a
+    JOIN dshingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) s ON s.d1 = c.d1 AND s.d2 = c.d2
+  JOIN dsizes s1 ON s1.doc_id = c.d1
+  JOIN dsizes s2 ON s2.doc_id = c.d2
+  WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared)
+        >= {JACCARD_THRESHOLD}
+)
+"""
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc from xxhash64 token hashes.
+
+    Pure higher-order expressions: hash each token once, fold the +/-1
+    bit votes across tokens, re-assemble the sign bits. Spark-specific
+    hash -> rows-only correctness check (no cross-engine oracle exists
+    for xxhash64).
+    """
+    toks = _tokens(docs).filter(F.size("w") > 0)
+    hashed = toks.withColumn("hs", F.expr("transform(w, t -> xxhash64(t))"))
+    votes = hashed.withColumn(
+        "votes",
+        F.expr(
+            "aggregate(hs, array_repeat(0L, 64),"
+            " (acc, h) -> zip_with(acc,"
+            "   transform(sequence(0, 63),"
+            "     i -> CASE WHEN shiftright(h, i) & 1 = 1 THEN 1L ELSE -1L END),"
+            "   (a, b) -> a + b))"
+        ),
+    )
+    return votes.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(sequence(0, 63),"
+            " i -> CASE WHEN votes[i] > 0 THEN shiftleft(1L, i)"
+            " ELSE 0L END), 0L, (a, b) -> a | b)"
+        ).alias("simhash"),
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX
+) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit band buckets (a pair within
+    Hamming<=3 of 64 bits must agree on at least one of 4 bands), then
+    exact Hamming verify via bit_count(xor)."""
+    sigs = simhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " b -> struct(b AS band,"
+                "   shiftright(simhash, b * 16) & 65535 AS key))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,116 @@
+"""[EXT] Multimodal column plumbing (opaque binary media + typed
+metadata), per the project blueprint.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct;
+decode / feature-extract run as Arrow-batched ``mapInPandas`` stages —
+the real Spark-side shape (schema, batch iteration, partition
+parallelism) with the codec itself STUBBED: this container ships no
+image/audio libraries, so ``decode_media`` raises NotImplementedError
+unless ``fake=True``, which substitutes a deterministic fake decoder
+(byte-derived) used by tests and the declared query.
+
+At scale: binary payloads dominate partition bytes — size
+``spark.sql.files.maxPartitionBytes`` for media, keep metadata in
+separate columns so pruning-only queries never touch the blobs, and let
+``mapInPandas`` stream batches (never collect a partition of blobs into
+one pandas frame).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("kind", T.StringType()),
+                    T.StructField("declared_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: treat each document's UTF-8 bytes as an opaque
+    media payload (the fixtures ship no real binary table)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+        F.struct(
+            F.lit("image/fake").alias("kind"),
+            F.col("n_chars").alias("declared_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[str, int, int]:
+    """Deterministic stand-in for a real codec: digest + fake dims
+    derived from content bytes."""
+    import hashlib
+
+    digest = hashlib.md5(payload).hexdigest()
+    width = 64 + (payload[0] if payload else 0) % 64
+    height = 64 + (payload[-1] if payload else 0) % 64
+    return digest, width, height
+
+
+def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode/feature-extract stage: Arrow-batched ``mapInPandas``.
+
+    With a real codec library installed, replace ``_fake_decode`` with
+    e.g. PIL decode + resize; the Spark-side contract (schema in/out,
+    batch iteration) is already the production shape.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "no media codec libraries in this environment; "
+            "pass fake=True for the deterministic stub decoder"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [_fake_decode(bytes(b)) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": [m["kind"] for m in pdf["meta"]],
+                    "n_bytes": [len(bytes(b)) for b in pdf["media"]],
+                    "digest": [d[0] for d in decoded],
+                    "width": [d[1] for d in decoded],
+                    "height": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def media_features_query(docs: DataFrame) -> DataFrame:
+    """Declared query: documents -> fake media -> decoded feature table.
+
+    Rows-only check (mapInPandas is not SQL-expressible), but fully
+    deterministic: digest/width/height are pure functions of the bytes.
+    """
+    return decode_media(media_from_documents(docs), fake=True)

@@ -1,0 +1,267 @@
+"""[EXT] Similarity search over the ``embeddings`` table
+(array<float> 64-dim vectors; SURVEY.md §7 phase 6).
+
+Two paths:
+
+- brute-force cosine top-k: the exactness baseline. Query vectors are a
+  small set broadcast against the corpus; cosine is computed in double
+  precision with sequential fold (zip_with + aggregate) so the DuckDB
+  oracle can reproduce the float ops. Per-query top-k via ranking
+  window. Scale: corpus-side scan is embarrassingly parallel; the only
+  shuffle is the final per-query top-k (k rows per partition per query
+  survive the partial TakeOrdered).
+- LSH-bucketed ANN: deterministic random-projection hyperplanes built
+  from integer arithmetic (exactly representable in doubles, so Spark
+  and DuckDB agree bit-for-bit on signs). Vectors sharing a bucket are
+  the candidate set; exact cosine re-ranks within the bucket. At 100 TB
+  the bucket id becomes the shuffle/partition key and each query probes
+  one bucket instead of the corpus.
+
+Oracle-checked outputs expose (query, neighbor, rank) — ranks are
+stable across engines because the ordering key (cosine, id tiebreak) is
+computed with identical double-precision op order; raw scores are
+exposed by the rows-only variants.
+
+No Python UDFs: higher-order array expressions only. (A Pandas-UDF
+matmul path would batch 10k vectors per Arrow chunk and beat this on a
+dense-BLAS box, but keeps data out of codegen; measured at fixture
+scale the expression path wins on startup cost. Revisit if dims >> 64.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_QUERIES = 5
+TOP_K = 10
+N_PLANES = 8
+NEAR_DUP_COSINE = 0.45
+
+
+def _as_double(col: str) -> F.Column:
+    return F.col(col).cast("array<double>")
+
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _cosine(a: str, b: str) -> F.Column:
+    """Sequential-fold cosine in double precision (oracle-replayable)."""
+    dot = F.expr(_DOT.format(a=a, b=b))
+    na = F.sqrt(F.expr(_DOT.format(a=a, b=a)))
+    nb = F.sqrt(F.expr(_DOT.format(a=b, b=b)))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Exact cosine top-k: first ``n_queries`` vec_ids vs the corpus.
+
+    Output: query_id, neighbor_id, rank, cosine. Self-matches excluded;
+    ties broken by neighbor_id.
+    """
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double("embedding").alias("cv"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+ORACLE_BRUTE_FORCE_TOPK = f"""
+equeries AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+ecorpus AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+),
+escored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM equeries, ecorpus
+  WHERE query_id <> neighbor_id
+),
+brute_force_topk AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM escored
+  ) WHERE rank <= {TOP_K}
+)
+"""
+
+
+def _plane_weight(p: int, i: int) -> int:
+    """Deterministic pseudo-random integer weight in [-1024, 1023].
+
+    LCG on the flat index — pure integer arithmetic, bit-identical in
+    any engine, no RNG state to ship.
+    """
+    return ((1103515245 * (p * 64 + i) + 12345) % 2048) - 1024
+
+
+def _planes(n_planes: int = N_PLANES, dims: int = 64) -> list[list[int]]:
+    return [
+        [_plane_weight(p, i) for i in range(dims)] for p in range(n_planes)
+    ]
+
+
+def lsh_bucket_col(vec_col: str, n_planes: int = N_PLANES) -> F.Column:
+    """Random-projection bucket id: sign bits of <v, plane_p> packed
+    into an int. Integer plane weights -> exact double sums -> signs
+    agree across engines."""
+    planes = _planes(n_planes)
+    bucket = F.lit(0)
+    for p, w in enumerate(planes):
+        arr = f"array({', '.join(f'CAST({x} AS DOUBLE)' for x in w)})"
+        dot = F.expr(_DOT.format(a=vec_col, b=arr))
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(emb: DataFrame, n_queries: int = N_QUERIES,
+                 k: int = TOP_K) -> DataFrame:
+    """ANN top-k: exact cosine re-rank restricted to the query's LSH
+    bucket. Output: query_id, neighbor_id, rank (approximate recall vs
+    brute force; same-bucket candidates only)."""
+    with_bucket = emb.select(
+        "vec_id",
+        _as_double("embedding").alias("v"),
+    ).withColumn("bucket", lsh_bucket_col("v"))
+    queries = with_bucket.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "bucket",
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(
+            with_bucket.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("cv"),
+                "bucket",
+            ),
+            "bucket",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _oracle_bucket_sql(vec: str) -> str:
+    terms = []
+    for p, w in enumerate(_planes()):
+        arr = f"[{', '.join(f'CAST({x} AS DOUBLE)' for x in w)}]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vec}, {arr}) >= 0"
+            f" THEN {1 << p} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def oracle_lsh_ann_topk() -> str:
+    return f"""
+ebuck AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_oracle_bucket_sql("embedding::DOUBLE[]")} AS bucket
+  FROM embeddings
+),
+escored2 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM ebuck q JOIN ebuck c
+    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+lsh_ann_topk AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM escored2
+  ) WHERE rank <= {TOP_K}
+)
+"""
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = NEAR_DUP_COSINE
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking: pairs in
+    the same bucket with cosine >= threshold. Output (d1 < d2, rank-free).
+
+    At corpus scale the bucket join replaces the O(n^2) cross join; the
+    oracle replays the identical blocking, so both engines see the same
+    (deterministic) candidate set.
+    """
+    with_bucket = emb.select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).withColumn("bucket", lsh_bucket_col("v"))
+    a = with_bucket.alias("a")
+    b = with_bucket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", _cosine("a.v", "b.v"))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("d1"),
+            F.col("b.vec_id").alias("d2"),
+        )
+    )
+
+
+def oracle_embedding_near_dup() -> str:
+    return f"""
+ebuck AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_oracle_bucket_sql("embedding::DOUBLE[]")} AS bucket
+  FROM embeddings
+),
+embedding_near_dup AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM ebuck a JOIN ebuck b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= {NEAR_DUP_COSINE}
+)
+"""

@@ -1,0 +1,203 @@
+"""[EXT] Text-analysis operators over ``documents`` (SURVEY.md §7
+phase 6: language-ID, quality scoring, token counting, fingerprinting).
+
+All pure Catalyst string/array expressions — the hot path stays inside
+whole-stage codegen with zero Python. Each operator is a map-only plan
+(no shuffle at all): at 100 TB these run at scan speed and the only
+cost is the parquet read of the ``text`` column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Marker (stopword) lists per language — n-gram-free heuristic language
+# ID by marker-token hit counts. Public common-word lists, truncated.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "que"],
+    "es": ["el", "la", "de", "y", "los", "las", "un", "una", "es", "que"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "nicht", "mit",
+           "von"],
+    "zh": ["de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["on", "with", "as", "at", "by", "an"]
+
+
+def _tokens_col() -> F.Column:
+    return F.split(F.lower(F.col("text")), r"\s+")
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate.
+
+    ``n_subwords`` approximates a BPE token count from public rule of
+    thumb (≈ chars/4 rounded up per word, lower-bounded by 1) — cheap,
+    deterministic, and good enough for budget accounting.
+    """
+    return docs.select(
+        "doc_id",
+        F.size(_tokens_col()).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.expr(
+            "CAST(aggregate(split(lower(text), '\\\\s+'), 0L,"
+            " (acc, t) -> acc + greatest(1L,"
+            "   CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT)"
+        ).alias("n_subwords"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = """
+token_counts AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS INT)
+           AS n_tokens,
+         CAST(length(text) AS INT) AS n_chars_measured,
+         CAST(list_sum(list_transform(
+             regexp_split_to_array(lower(text), '\\s+'),
+             t -> greatest(1, CAST(ceil(length(t) / 4.0) AS BIGINT))))
+           AS BIGINT) AS n_subwords
+  FROM documents
+)
+"""
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Quality scoring: length/stopword/alpha ratios + mean word length.
+
+    The score is the standard cheap-filter combo (longer docs with
+    natural stopword density and alphabetic content rank higher);
+    deterministic double arithmetic, identical in the oracle.
+    """
+    toks = _tokens_col()
+    stop_arr = "array({})".format(
+        ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.length("text") / F.size(toks)).alias("avg_token_len"),
+        F.expr(
+            f"size(filter(split(lower(text), '\\\\s+'),"
+            f" t -> array_contains({stop_arr}, t)))"
+            " / CAST(size(split(lower(text), '\\\\s+')) AS DOUBLE)"
+        ).alias("stopword_ratio"),
+        (
+            (F.length(F.regexp_replace(F.lower(F.col("text")),
+                                       r"[^a-z]", "")))
+            / F.length("text")
+        ).alias("alpha_ratio"),
+    ).withColumn(
+        "quality_score",
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.3
+        + F.col("alpha_ratio") * 0.3,
+    )
+
+
+def oracle_quality_scores() -> str:
+    stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+quality_scores AS (
+  SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, alpha_ratio,
+         least(n_tokens / 100.0, 1.0) * 0.4
+           + least(stopword_ratio * 5.0, 1.0) * 0.3
+           + alpha_ratio * 0.3 AS quality_score
+  FROM (
+    SELECT doc_id,
+           CAST(len(w) AS INT) AS n_tokens,
+           CAST(length(text) AS DOUBLE) / len(w) AS avg_token_len,
+           CAST(len(list_filter(w, t -> list_contains([{stops}], t)))
+                AS DOUBLE) / len(w) AS stopword_ratio,
+           CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                AS DOUBLE) / length(text) AS alpha_ratio
+    FROM (SELECT doc_id, text,
+                 regexp_split_to_array(lower(text), '\\s+') AS w
+          FROM documents)
+  )
+)
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: marker-token hit counts per language,
+    argmax with alphabetical tiebreak. Emits per-lang scores so the
+    decision is auditable."""
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = "array({})".format(", ".join(f"'{w}'" for w in markers))
+        score_cols.append(
+            F.expr(
+                f"size(filter(split(lower(text), '\\\\s+'),"
+                f" t -> array_contains({arr}, t)))"
+            ).alias(f"score_{lang}")
+        )
+    scored = docs.select("doc_id", F.col("lang").alias("labeled_lang"),
+                         *score_cols)
+    langs = sorted(LANG_MARKERS)
+    # argmax by (score desc, lang asc): fold over a sorted struct array.
+    pairs = ", ".join(
+        f"struct(score_{lg} AS s, '{lg}' AS lg)" for lg in langs
+    )
+    best = (
+        f"aggregate(array({pairs}), struct(-1 AS s, '' AS lg),"
+        " (acc, x) -> CASE WHEN x.s > acc.s THEN x ELSE acc END).lg"
+    )
+    return scored.withColumn("predicted_lang", F.expr(best))
+
+
+def oracle_lang_id() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_exprs = []
+    for lg in langs:
+        arr = "[{}]".format(", ".join(f"'{w}'" for w in LANG_MARKERS[lg]))
+        score_exprs.append(
+            f"CAST(len(list_filter(w, t -> list_contains({arr}, t)))"
+            f" AS INT) AS score_{lg}"
+        )
+    pairs = ", ".join(
+        f"{{'s': score_{lg}, 'lg': '{lg}'}}" for lg in langs
+    )
+    return f"""
+lang_scored AS (
+  SELECT doc_id, labeled_lang, {", ".join(f"score_{lg}" for lg in langs)},
+         list_reduce(list_prepend({{'s': -1, 'lg': ''}}, [{pairs}]),
+           (acc, x) -> CASE WHEN x.s > acc.s THEN x ELSE acc END).lg
+           AS predicted_lang
+  FROM (
+    SELECT doc_id, lang AS labeled_lang,
+           {", ".join(score_exprs)}
+    FROM (SELECT doc_id, lang,
+                 regexp_split_to_array(lower(text), '\\s+') AS w
+          FROM documents)
+  )
+)
+"""
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprinting: md5 over the sorted distinct token set
+    (order-normalized content signature — catches shuffled copies that
+    exact hashing misses)."""
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(_tokens_col())), " "
+            )
+        ).alias("fingerprint"),
+    )
+
+
+ORACLE_FINGERPRINTS = """
+fingerprints AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             list_sort(list_distinct(
+               regexp_split_to_array(lower(text), '\\s+'))), ' '))
+           AS fingerprint
+  FROM documents
+)
+"""

@@ -1,0 +1,49 @@
+"""ML sanity tests (SURVEY.md §5 item 3 — rows-only checks).
+
+Models aren't SQL-expressible; assert pipeline shape, metric ranges,
+and submission-table invariants instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_instacart_market_basket_analysis_spark.ml import models as ml
+from big_data_instacart_market_basket_analysis_spark.plans.instacart import (
+    instacart_tables,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_train_metrics(spark):
+    df = ml.train_metrics(instacart_tables(spark, SF_SMOKE))
+    rows = {r["model"]: r for r in df.collect()}
+    assert set(rows) == {"rf", "gbt", "dt"}
+    for r in rows.values():
+        for m in ("precision", "recall", "f1"):
+            assert 0.0 <= r[m] <= 1.0, (r["model"], m, r[m])
+
+
+def test_rf_submission_covers_all_test_orders(spark):
+    t = instacart_tables(spark, SF_SMOKE)
+    sub = ml.model_submission(t, "rf")
+    n_test = t.test_orders.count()
+    assert sub.count() == n_test
+    assert sub.filter(F.col("products").isNull()).count() == 0
+    # products is either 'None' or a space-joined list of integer ids
+    bad = sub.filter(
+        (F.col("products") != "None")
+        & ~F.col("products").rlike(r"^\d+( \d+)*$")
+    ).count()
+    assert bad == 0
+
+
+def test_assemble_vector_width(spark):
+    t = instacart_tables(spark, SF_SMOKE)
+    from big_data_instacart_market_basket_analysis_spark.operators.candidates import (
+        FEATURE_COLS,
+        candidates,
+    )
+
+    row = ml.assemble(candidates(t)).select("features").first()
+    assert row["features"].size == len(FEATURE_COLS)
