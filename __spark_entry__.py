@@ -43,6 +43,15 @@ from big_data_instacart_market_basket_analysis_spark.plans.instacart import (
     ORACLE_BASE_CTES,
     instacart_tables,
 )
+from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+    load_table,
+)
+from big_data_instacart_market_basket_analysis_spark.streaming import (
+    events as _ev,
+)
+from big_data_instacart_market_basket_analysis_spark.streaming import (
+    stateful as _st,
+)
 
 # ---------------------------------------------------------------------------
 # oracle composition: each fragment is "name AS (...)"; a query's oracle is
@@ -278,6 +287,35 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.media_features_query(_docs(spark, sf_dir))
 
 
+def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ev.tumbling_hourly(load_table(spark, sf_dir, "events"))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ev.sessionize(load_table(spark, sf_dir, "events"))
+
+
+def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ev.json_props_stats(load_table(spark, sf_dir, "events"))
+
+
+def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling agg executed as a real Structured Streaming query
+    (complete mode, memory sink) — result equals the batch form, so the
+    same oracle applies."""
+    return _ev.run_stream_tumbling(spark, sf_dir)
+
+
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window streaming aggregation (rows-only: append
+    mode withholds watermark-open sessions by design)."""
+    return _ev.run_stream_session_window(spark, sf_dir)
+
+
+def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _st.run_stream_stateful_counts(spark, sf_dir)
+
+
 def q_ml_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2+M7: per-model weighted precision/recall/F1 on the seeded 30%
     holdout (rows-only check — tree models are not SQL-expressible)."""
@@ -335,6 +373,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprints": q_text_fingerprints,
         "media_features": q_media_features,
+        "events_tumbling_hourly": q_events_tumbling_hourly,
+        "events_sessionize": q_events_sessionize,
+        "events_json_stats": q_events_json_stats,
+        "stream_tumbling_hourly": q_stream_tumbling_hourly,
+        "stream_session_window": q_stream_session_window,
+        "stream_stateful_counts": q_stream_stateful_counts,
     }
 
 
@@ -397,5 +441,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_fingerprints": _ext_oracle(
             [_text.ORACLE_FINGERPRINTS], "fingerprints"
+        ),
+        "events_tumbling_hourly": _ext_oracle(
+            [_ev.ORACLE_TUMBLING_HOURLY], "tumbling_hourly"
+        ),
+        "events_sessionize": _ext_oracle(
+            [_ev.ORACLE_SESSIONIZE], "sessionize"
+        ),
+        "events_json_stats": _ext_oracle(
+            [_ev.ORACLE_JSON_PROPS_STATS], "json_props_stats"
+        ),
+        "stream_tumbling_hourly": _ext_oracle(
+            [_ev.ORACLE_TUMBLING_HOURLY], "tumbling_hourly"
+        ),
+        "stream_stateful_counts": _ext_oracle(
+            [_st.ORACLE_STATEFUL_COUNTS], "stateful_counts"
         ),
     }

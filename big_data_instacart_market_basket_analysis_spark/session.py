@@ -56,6 +56,9 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # events fixture carries TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read as epoch-nanos long, converted in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     for k, v in (extra_conf or {}).items():

@@ -29,7 +29,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the fixture; Spark reads it as
+        # epoch-nanos long (legacy.parquet.nanosAsLong) — truncate to
+        # the engine's microsecond timestamps.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

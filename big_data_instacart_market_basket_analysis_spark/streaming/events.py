@@ -1,0 +1,258 @@
+"""[EXT] Streaming shapes over the ``events`` fixture (SURVEY.md §2i
+notes the reference has none; §7 phase 6 adds them as engine surface).
+
+Batch/stream duality: every aggregation here is declared once and runs
+both ways — as a batch DataFrame (DuckDB-oracle-checked) and as a
+Structured Streaming query over the same parquet (memory sink,
+``processAllAvailable`` drives it to completion in tests). At
+production scale the readStream source becomes Kafka/files-on-arrival
+with the same downstream plan; state stores shard by the grouping key.
+
+Timestamps: the fixture's TIMESTAMP(NANOS) arrives as epoch-nanos long
+(see loaders.py); outputs expose epoch millis (bigint) so engine/oracle
+compare integers, never timezone-bearing objects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.loaders import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch form).
+
+    ``sum(value)`` is rounded to 4 decimals: double summation order is
+    engine-dependent, and the contract is value-equality at hash time.
+    """
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("win.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_TUMBLING_HOURLY = """
+tumbling_hourly AS (
+  SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
+         event_type,
+         count(*) AS n_events,
+         round(sum(value), 4) AS sum_value
+  FROM events
+  GROUP BY 1, 2
+)
+"""
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Sessionization: per-user sessions split on >30 min inactivity.
+
+    lag + running-sum-of-boundaries — the standard batch pattern
+    (pyspark guide "Common OLAP patterns"); the streaming equivalent is
+    ``session_window`` below. One shuffle on user_id; both windows share
+    the partitioning.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = SESSION_GAP_MIN * 60 * 1000
+    prev = F.unix_millis(F.lag("ts").over(w))
+    flagged = events.withColumn(
+        "is_new",
+        F.when(prev.isNull(), F.lit(1))
+        .when(F.unix_millis("ts") - prev > gap_ms, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    with_id = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_id.groupBy("user_id", "session_seq").agg(
+        F.min(F.unix_millis("ts")).alias("session_start_ms"),
+        F.count("*").alias("n_events"),
+        (F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts"))).alias(
+            "duration_ms"
+        ),
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+esess AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+                   > {SESSION_GAP_MIN * 60 * 1000} THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+esess2 AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM esess
+),
+sessionize AS (
+  SELECT user_id, session_seq,
+         min(epoch_ms(ts)) AS session_start_ms,
+         count(*) AS n_events,
+         max(epoch_ms(ts)) - min(epoch_ms(ts)) AS duration_ms
+  FROM esess2
+  GROUP BY 1, 2
+)
+"""
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """JSON extraction (scalar-function surface): props is a JSON
+    string; pull ``$.k`` and aggregate per event_type."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("k").alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_JSON_PROPS_STATS = """
+json_props_stats AS (
+  SELECT event_type,
+         count(*) AS n,
+         avg(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k,
+         min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+         max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+  FROM events
+  GROUP BY 1
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming forms
+# ---------------------------------------------------------------------------
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned; the
+    nanos column arrives as long exactly like the batch reader)."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file source wants a directory; glob-filter the one table out
+    # of the shared fixture dir.
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return stream.withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+    )
+
+
+def run_stream_tumbling(
+    spark: SparkSession, sf_dir: str, name: str = "stream_tumbling"
+) -> DataFrame:
+    """Run the tumbling agg as a real Structured Streaming query
+    (complete mode, memory sink), drive it to completion, return the
+    materialized result — equal to the batch form, hence oracle-able."""
+    agg = tumbling_hourly(_event_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def run_stream_windowed_watermark(
+    spark: SparkSession, sf_dir: str, name: str = "stream_watermark"
+) -> DataFrame:
+    """Append-mode sliding window with a 10-minute watermark — the
+    late-data-handling shape. Append emits only windows the watermark
+    has closed; with a bounded fixture every window except the final
+    open ones is emitted."""
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_millis(F.col("win.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def run_stream_session_window(
+    spark: SparkSession, sf_dir: str, name: str = "stream_sessions"
+) -> DataFrame:
+    """Native streaming sessionization: ``session_window`` with the
+    same 30-min gap as the batch ``sessionize`` operator."""
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias(
+                "win"
+            ),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("win.start")).alias("session_start_ms"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

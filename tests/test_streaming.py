@@ -1,0 +1,74 @@
+"""Streaming shape tests: batch/stream duality, watermarked append,
+session windows, custom stateful operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+    load_table,
+)
+from big_data_instacart_market_basket_analysis_spark.streaming import (
+    events as ev,
+)
+from big_data_instacart_market_basket_analysis_spark.streaming import (
+    stateful as st,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_tumbling_equals_batch(spark):
+    batch = ev.tumbling_hourly(load_table(spark, SF_SMOKE, "events"))
+    stream = ev.run_stream_tumbling(spark, SF_SMOKE, name="t_tumb_eq")
+    cols = ["window_start_ms", "event_type", "n_events", "sum_value"]
+    assert _rows(batch, *cols) == _rows(stream, *cols)
+
+
+def test_watermark_append_emits_closed_windows(spark):
+    out = ev.run_stream_windowed_watermark(spark, SF_SMOKE, name="t_wm")
+    batch_windows = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .count()
+        .count()
+    )
+    emitted = out.select("window_start_ms").distinct().count()
+    # append emits only watermark-closed windows: all but the trailing
+    # open ones, and nothing more.
+    assert 0 < emitted <= batch_windows
+    assert emitted >= batch_windows - 2
+
+
+def test_session_window_total_events_preserved(spark):
+    out = ev.run_stream_session_window(spark, SF_SMOKE, name="t_sess")
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    emitted = out.agg(F.sum("n_events")).first()[0] or 0
+    # closed sessions partition their events; only watermark-open tail
+    # sessions may be withheld.
+    assert emitted <= n_events
+    assert emitted > 0
+
+
+def test_stateful_counts_match_groupby(spark):
+    out = st.run_stream_stateful_counts(spark, SF_SMOKE, name="t_state")
+    expected = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert _rows(out, "user_id", "n_events") == _rows(
+        expected, "user_id", "n_events"
+    )
+
+
+def test_sessionize_batch_invariants(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    sess = ev.sessionize(events)
+    # sessions partition all events exactly
+    assert sess.agg(F.sum("n_events")).first()[0] == events.count()
+    # no negative durations
+    assert sess.filter(F.col("duration_ms") < 0).count() == 0
