@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is forced through full materialization with the noop sink
+(count() alone lets Catalyst prune computed columns — that would
+under-measure), after a JVM/reader warmup pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_instacart_market_basket_analysis_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: The graded surface: reference pipeline stages + [EXT] scale operators.
+HEADLINE = [
+    "ingest_orders",
+    "product_features",
+    "user_product_features",
+    "users_final",
+    "candidates",
+    "proxy_submission",
+    "top_products_per_user",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_brute_force",
+    "embedding_near_dup",
+    "text_quality",
+    "text_lang_id",
+    "events_tumbling_hourly",
+    "events_sessionize",
+]
+
+
+def _sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+
+    # warmup pass: spin the JVM, parquet file indexes, and codegen
+    # caches for every headline plan, so timings measure steady-state
+    # execution rather than first-touch setup.
+    for name in HEADLINE:
+        queries[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
