@@ -28,6 +28,9 @@ from big_data_instacart_market_basket_analysis_spark.operators import (
 )
 from big_data_instacart_market_basket_analysis_spark.ml import models as _ml
 from big_data_instacart_market_basket_analysis_spark.operators import (
+    basket as _bask,
+)
+from big_data_instacart_market_basket_analysis_spark.operators import (
     dedup as _dedup,
 )
 from big_data_instacart_market_basket_analysis_spark.operators import (
@@ -71,6 +74,10 @@ _FRAGMENTS: dict[str, str] = {
     "eval_split_counts": _rel.ORACLE_EVAL_SPLIT_COUNTS,
     "threshold_binarize": _rel.ORACLE_THRESHOLD_BINARIZE,
     "top_products_per_user": _rel.ORACLE_TOP_PRODUCTS_PER_USER,
+    "baskets_base": _bask.ORACLE_BASKETS,
+    "frequent_pairs": _bask.ORACLE_FREQUENT_PAIRS,
+    "pair_rules": _bask.ORACLE_PAIR_RULES,
+    "basket_sizes": _bask.ORACLE_BASKET_SIZES,
 }
 
 # fragment dependency edges (fragment -> prerequisite fragments, in order)
@@ -102,6 +109,10 @@ _DEPS: dict[str, list[str]] = {
     "eval_split_counts": [],
     "threshold_binarize": ["product_features"],
     "top_products_per_user": ["prior_enriched", "user_product_features"],
+    "baskets_base": [],
+    "frequent_pairs": ["baskets_base"],
+    "pair_rules": ["baskets_base"],
+    "basket_sizes": ["baskets_base"],
 }
 
 
@@ -213,6 +224,32 @@ def q_threshold_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top_products_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rel.top_products_per_user(instacart_tables(spark, sf_dir))
+
+
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent pairs (support-counted co-occurrence)."""
+    return _bask.frequent_pairs(instacart_tables(spark, sf_dir))
+
+
+def q_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arity-2 association rules (confidence + lift)."""
+    return _bask.pair_rules(instacart_tables(spark, sf_dir))
+
+
+def q_basket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bask.basket_sizes(instacart_tables(spark, sf_dir))
+
+
+def q_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FP-Growth frequent itemsets, any arity (rows-only — not
+    SQL-expressible for unbounded arity; the arity-2 slice is
+    hash-checked via frequent_pairs)."""
+    return _bask.fpgrowth_itemsets(instacart_tables(spark, sf_dir))
+
+
+def q_fpgrowth_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FP-Growth association rules (rows-only check)."""
+    return _bask.fpgrowth_rules(instacart_tables(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -356,6 +393,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_split_counts": q_eval_split_counts,
         "threshold_binarize": q_threshold_binarize,
         "top_products_per_user": q_top_products_per_user,
+        "frequent_pairs": q_frequent_pairs,
+        "pair_rules": q_pair_rules,
+        "basket_sizes": q_basket_sizes,
+        "fpgrowth_itemsets": q_fpgrowth_itemsets,
+        "fpgrowth_rules": q_fpgrowth_rules,
         "ml_train_metrics": q_ml_train_metrics,
         "ml_submission_rf": q_ml_submission_rf,
         "ml_submission_gbt": q_ml_submission_gbt,
@@ -410,6 +452,9 @@ def oracle_sql() -> dict[str, str]:
         "eval_split_counts": _oracle("eval_split_counts"),
         "threshold_binarize": _oracle("threshold_binarize"),
         "top_products_per_user": _oracle("top_products_per_user"),
+        "frequent_pairs": _oracle("frequent_pairs"),
+        "pair_rules": _oracle("pair_rules"),
+        "basket_sizes": _oracle("basket_sizes"),
         "dedup_exact": _ext_oracle(
             [_dedup.ORACLE_EXACT_DEDUP], "exact_dedup"
         ),

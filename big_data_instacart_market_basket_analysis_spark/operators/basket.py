@@ -1,0 +1,273 @@
+"""Market-basket association-rule mining over the prior order baskets.
+
+The reference repo's domain (README.md:1 "Market Basket Analysis") is
+basket analysis, and the project north star names association rule
+mining explicitly; the reference itself stops at per-(user,product)
+reorder features (F.py:111-118), so this module supplies the canonical
+basket operators a user of an Instacart-analysis engine expects:
+
+- ``frequent_pairs``: support-counted co-occurring product pairs — the
+  inverted-index self-join on orderID. Amplification per basket is
+  C(k,2) for basket size k; Instacart baskets are small (k ~ 10), so
+  the join stays bounded. At 100 TB the orderID join key is uniform
+  (one basket per order) — no skew; AQE handles stragglers. A giant
+  pathological basket would be capped with ``slice`` before the join.
+- ``pair_rules``: A->B / B->A association rules with support,
+  confidence, lift — pure post-aggregation arithmetic on the pair and
+  item counts; the three inputs are one shuffle each and the item-count
+  side is broadcast (distinct products << facts).
+- ``fpgrowth_itemsets`` / ``fpgrowth_rules``: the general-arity path
+  via ``pyspark.ml.fpm.FPGrowth`` (distributed FP-Growth, PFP: Li et
+  al. 2008). Spark-only (no SQL-expressible oracle for arbitrary-arity
+  itemsets) -> rows-only driver check; the pairwise operators above are
+  the hash-checked anchor for the same statistics at arity 2.
+
+All thresholds are counts (not fractions) so results are identical at
+any scale factor slice; fraction-based minSupport for FPGrowth is
+derived from the basket count at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.instacart import InstacartTables
+
+#: minimum co-occurrence count for a pair to be "frequent" (fixture
+#: baskets are sparse: max pair count at sf0.01/sf0.1 is 2).
+MIN_PAIR_COUNT = 2
+#: FPGrowth association-rule confidence floor.
+MIN_CONFIDENCE = 0.05
+
+
+def baskets(t: InstacartTables) -> DataFrame:
+    """Distinct (orderID, productID) pairs of the prior split — the
+    basket relation every operator below consumes."""
+    return t.prior_products.select("orderID", "productID").distinct()
+
+
+def _n_baskets(bk: DataFrame) -> DataFrame:
+    """Single-row basket count, cross-joined (broadcast) where a global
+    denominator is needed — never collected to the driver."""
+    return bk.agg(F.countDistinct("orderID").alias("n_baskets"))
+
+
+def frequent_pairs(
+    t: InstacartTables, min_count: int = MIN_PAIR_COUNT
+) -> DataFrame:
+    """Co-occurring product pairs with raw count + support fraction.
+
+    Self-join keyed on orderID (co-partitioned — one shuffle each side,
+    then the pair groupBy). ``p1 < p2`` halves the output and makes the
+    pair key canonical.
+    """
+    bk = baskets(t)
+    a, b = bk.alias("a"), bk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.orderID") == F.col("b.orderID"))
+            & (F.col("a.productID") < F.col("b.productID")),
+        )
+        .groupBy(
+            F.col("a.productID").alias("p1"),
+            F.col("b.productID").alias("p2"),
+        )
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    return pairs.crossJoin(F.broadcast(_n_baskets(bk))).select(
+        "p1",
+        "p2",
+        "pair_count",
+        (F.col("pair_count") / F.col("n_baskets")).alias("support"),
+    )
+
+
+ORACLE_BASKETS = """
+ibaskets AS (
+  SELECT DISTINCT orderID, productID FROM iprior_products
+),
+inb AS (SELECT count(DISTINCT orderID) AS n_baskets FROM ibaskets)
+"""
+
+ORACLE_FREQUENT_PAIRS = f"""
+frequent_pairs AS (
+  SELECT a.productID AS p1, b.productID AS p2,
+         count(*) AS pair_count,
+         CAST(count(*) AS DOUBLE) / (SELECT n_baskets FROM inb) AS support
+  FROM ibaskets a
+  JOIN ibaskets b ON a.orderID = b.orderID AND a.productID < b.productID
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_PAIR_COUNT}
+)
+"""
+
+
+def pair_rules(
+    t: InstacartTables, min_count: int = MIN_PAIR_COUNT
+) -> DataFrame:
+    """Arity-2 association rules: for each frequent pair, both
+    directed rules with confidence = supp(A,B)/supp(A) and
+    lift = confidence / (count(B)/n_baskets).
+
+    Item counts are a tiny dimension (|products| rows) -> broadcast
+    joins; the double-precision op order (count ratio, then ratio of
+    ratios) is replicated verbatim in the oracle SQL.
+    """
+    bk = baskets(t)
+    item_counts = bk.groupBy("productID").agg(
+        F.count("*").alias("item_count")
+    )
+    pairs = frequent_pairs(t, min_count).select("p1", "p2", "pair_count")
+
+    def _directed(ante: str, cons: str) -> DataFrame:
+        return (
+            pairs.select(
+                F.col(ante).alias("antecedent"),
+                F.col(cons).alias("consequent"),
+                "pair_count",
+            )
+            .join(
+                F.broadcast(
+                    item_counts.select(
+                        F.col("productID").alias("antecedent"),
+                        F.col("item_count").alias("ante_count"),
+                    )
+                ),
+                "antecedent",
+            )
+            .join(
+                F.broadcast(
+                    item_counts.select(
+                        F.col("productID").alias("consequent"),
+                        F.col("item_count").alias("cons_count"),
+                    )
+                ),
+                "consequent",
+            )
+        )
+
+    rules = _directed("p1", "p2").unionByName(_directed("p2", "p1"))
+    return rules.crossJoin(F.broadcast(_n_baskets(bk))).select(
+        "antecedent",
+        "consequent",
+        "pair_count",
+        "ante_count",
+        "cons_count",
+        (F.col("pair_count") / F.col("ante_count")).alias("confidence"),
+        (
+            (F.col("pair_count") / F.col("ante_count"))
+            / (F.col("cons_count") / F.col("n_baskets"))
+        ).alias("lift"),
+    )
+
+
+ORACLE_PAIR_RULES = f"""
+iitem_counts AS (
+  SELECT productID, count(*) AS item_count FROM ibaskets GROUP BY 1
+),
+ipairs AS (
+  SELECT a.productID AS p1, b.productID AS p2, count(*) AS pair_count
+  FROM ibaskets a
+  JOIN ibaskets b ON a.orderID = b.orderID AND a.productID < b.productID
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_PAIR_COUNT}
+),
+idirected AS (
+  SELECT p1 AS antecedent, p2 AS consequent, pair_count FROM ipairs
+  UNION ALL
+  SELECT p2 AS antecedent, p1 AS consequent, pair_count FROM ipairs
+),
+pair_rules AS (
+  SELECT d.antecedent, d.consequent, d.pair_count,
+         ia.item_count AS ante_count,
+         ic.item_count AS cons_count,
+         CAST(d.pair_count AS DOUBLE) / ia.item_count AS confidence,
+         (CAST(d.pair_count AS DOUBLE) / ia.item_count)
+           / (CAST(ic.item_count AS DOUBLE)
+              / (SELECT n_baskets FROM inb)) AS lift
+  FROM idirected d
+  JOIN iitem_counts ia ON ia.productID = d.antecedent
+  JOIN iitem_counts ic ON ic.productID = d.consequent
+)
+"""
+
+
+def basket_sizes(t: InstacartTables) -> DataFrame:
+    """Basket-size histogram: how many prior orders contain k distinct
+    products. One hash-agg pass, then a tiny re-agg on k."""
+    return (
+        baskets(t)
+        .groupBy("orderID")
+        .agg(F.count("*").alias("basket_size"))
+        .groupBy("basket_size")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+ORACLE_BASKET_SIZES = """
+basket_sizes AS (
+  SELECT basket_size, count(*) AS n_orders FROM (
+    SELECT orderID, count(*) AS basket_size FROM ibaskets GROUP BY 1
+  ) GROUP BY 1
+)
+"""
+
+
+def _fit_fpgrowth(t: InstacartTables, min_count: int):
+    """Fit distributed FP-Growth over prior baskets with a count-based
+    support floor (converted to the fraction FPGrowth expects)."""
+    from pyspark.ml.fpm import FPGrowth
+
+    bk = baskets(t)
+    items = bk.groupBy("orderID").agg(
+        F.array_sort(F.collect_set("productID")).alias("items")
+    )
+    n = items.count()
+    fp = FPGrowth(
+        itemsCol="items",
+        minSupport=max(min_count - 0.5, 0.5) / max(n, 1),
+        minConfidence=MIN_CONFIDENCE,
+    )
+    return fp.fit(items), n
+
+
+def fpgrowth_itemsets(
+    t: InstacartTables, min_count: int = MIN_PAIR_COUNT
+) -> DataFrame:
+    """Frequent itemsets of every arity via pyspark.ml FP-Growth.
+
+    Items rendered as a sorted space-joined string for hash-stable
+    output (rows-only driver check; arity-2 slice is cross-checked
+    against ``frequent_pairs`` in tests).
+    """
+    model, _ = _fit_fpgrowth(t, min_count)
+    return model.freqItemsets.select(
+        F.array_join(
+            F.array_sort(F.col("items")).cast("array<string>"), " "
+        ).alias("itemset"),
+        F.size("items").alias("arity"),
+        F.col("freq").alias("freq"),
+    )
+
+
+def fpgrowth_rules(
+    t: InstacartTables, min_count: int = MIN_PAIR_COUNT
+) -> DataFrame:
+    """Association rules from the FP-Growth model (any-arity
+    antecedents), with confidence/lift/support as computed by
+    pyspark.ml (rows-only check)."""
+    model, _ = _fit_fpgrowth(t, min_count)
+    return model.associationRules.select(
+        F.array_join(
+            F.array_sort(F.col("antecedent")).cast("array<string>"), " "
+        ).alias("antecedent"),
+        F.array_join(
+            F.array_sort(F.col("consequent")).cast("array<string>"), " "
+        ).alias("consequent"),
+        "confidence",
+        "lift",
+        "support",
+    )
