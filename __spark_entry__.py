@@ -42,6 +42,9 @@ from big_data_instacart_market_basket_analysis_spark.operators import (
 from big_data_instacart_market_basket_analysis_spark.operators import (
     textstats as _text,
 )
+from big_data_instacart_market_basket_analysis_spark.plans import (
+    sqlapi as _sqlapi,
+)
 from big_data_instacart_market_basket_analysis_spark.plans.instacart import (
     ORACLE_BASE_CTES,
     instacart_tables,
@@ -78,6 +81,8 @@ _FRAGMENTS: dict[str, str] = {
     "frequent_pairs": _bask.ORACLE_FREQUENT_PAIRS,
     "pair_rules": _bask.ORACLE_PAIR_RULES,
     "basket_sizes": _bask.ORACLE_BASKET_SIZES,
+    "sql_dept_stats": _sqlapi.ORACLE_SQL_DEPT_STATS,
+    "sql_dept_top_reordered": _sqlapi.ORACLE_SQL_DEPT_TOP_REORDERED,
 }
 
 # fragment dependency edges (fragment -> prerequisite fragments, in order)
@@ -113,6 +118,8 @@ _DEPS: dict[str, list[str]] = {
     "frequent_pairs": ["baskets_base"],
     "pair_rules": ["baskets_base"],
     "basket_sizes": ["baskets_base"],
+    "sql_dept_stats": ["product_features"],
+    "sql_dept_top_reordered": ["product_features"],
 }
 
 
@@ -226,6 +233,17 @@ def q_top_products_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rel.top_products_per_user(instacart_tables(spark, sf_dir))
 
 
+def q_sql_dept_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end: per-department rollup via spark.sql over the
+    registered engine views."""
+    return _sqlapi.sql_dept_stats(spark, sf_dir)
+
+
+def q_sql_dept_top_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end: windowed top-3 per department via spark.sql."""
+    return _sqlapi.sql_dept_top_reordered(spark, sf_dir)
+
+
 def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket frequent pairs (support-counted co-occurrence)."""
     return _bask.frequent_pairs(instacart_tables(spark, sf_dir))
@@ -296,6 +314,12 @@ def q_ann_brute_force_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.lsh_ann_topk(_emb(spark, sf_dir))
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: probe nprobe nearest cells of a deterministic
+    coarse quantizer, exact re-rank within."""
+    return _sim.ivf_ann_topk(_emb(spark, sf_dir))
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,6 +417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_split_counts": q_eval_split_counts,
         "threshold_binarize": q_threshold_binarize,
         "top_products_per_user": q_top_products_per_user,
+        "sql_dept_stats": q_sql_dept_stats,
+        "sql_dept_top_reordered": q_sql_dept_top_reordered,
         "frequent_pairs": q_frequent_pairs,
         "pair_rules": q_pair_rules,
         "basket_sizes": q_basket_sizes,
@@ -409,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": q_ann_brute_force,
         "ann_brute_force_scored": q_ann_brute_force_scored,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
@@ -455,6 +482,8 @@ def oracle_sql() -> dict[str, str]:
         "frequent_pairs": _oracle("frequent_pairs"),
         "pair_rules": _oracle("pair_rules"),
         "basket_sizes": _oracle("basket_sizes"),
+        "sql_dept_stats": _oracle("sql_dept_stats"),
+        "sql_dept_top_reordered": _oracle("sql_dept_top_reordered"),
         "dedup_exact": _ext_oracle(
             [_dedup.ORACLE_EXACT_DEDUP], "exact_dedup"
         ),
@@ -472,6 +501,7 @@ def oracle_sql() -> dict[str, str]:
             [_sim.ORACLE_BRUTE_FORCE_TOPK], "brute_force_topk"
         ),
         "ann_lsh": _ext_oracle([_sim.oracle_lsh_ann_topk()], "lsh_ann_topk"),
+        "ann_ivf": _ext_oracle([_sim.oracle_ivf_ann_topk()], "ivf_ann_topk"),
         "embedding_near_dup": _ext_oracle(
             [_sim.oracle_embedding_near_dup()], "embedding_near_dup"
         ),

@@ -34,10 +34,14 @@ HEADLINE = [
     "candidates",
     "proxy_submission",
     "top_products_per_user",
+    "frequent_pairs",
+    "pair_rules",
+    "sql_dept_top_reordered",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_brute_force",
+    "ann_ivf",
     "embedding_near_dup",
     "text_quality",
     "text_lang_id",

@@ -219,6 +219,122 @@ lsh_ann_topk AS (
 """
 
 
+IVF_STRIDE = 31
+IVF_NPROBE = 2
+
+
+def _ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic coarse quantizer: every ``IVF_STRIDE``-th vector is
+    a centroid (~sqrt(N) cells at fixture scale). A trained KMeans
+    codebook drops in here unchanged — sampling keeps the quantizer
+    oracle-replayable, which seeded KMeans is not across engines."""
+    return emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        _as_double("embedding").alias("centv"),
+    )
+
+
+def _nearest_centroids(vecs: DataFrame, cents: DataFrame,
+                       n: int) -> DataFrame:
+    """Rank centroids per vector by cosine (centroid_id tiebreak) and
+    keep the top ``n``. Centroids are tiny -> broadcast; the only
+    shuffle is the per-vector rank."""
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id")
+    )
+    return (
+        vecs.join(F.broadcast(cents))
+        .withColumn("ccos", _cosine("v", "centv"))
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n)
+        .select("vec_id", "v", "centroid_id")
+    )
+
+
+def ivf_ann_topk(emb: DataFrame, n_queries: int = N_QUERIES,
+                 k: int = TOP_K, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF-Flat ANN: corpus vectors live in their nearest centroid's
+    inverted list; a query probes its ``nprobe`` nearest cells and
+    exact-cosine re-ranks only those lists.
+
+    At 100 TB the inverted lists are the physical partitioning
+    (repartition by centroid_id, one write); queries touch nprobe
+    partitions instead of the corpus — the classic IVF trade of recall
+    for a 1/cells scan fraction. Output: query_id, neighbor_id, rank.
+    """
+    vecs = emb.select("vec_id", _as_double("embedding").alias("v"))
+    cents = _ivf_centroids(emb)
+    lists = _nearest_centroids(vecs, cents, 1)  # cell assignment
+    probes = _nearest_centroids(
+        vecs.filter(F.col("vec_id") < n_queries), cents, nprobe
+    ).select(F.col("vec_id").alias("query_id"),
+             F.col("v").alias("qv"), "centroid_id")
+    scored = (
+        F.broadcast(probes)
+        .join(
+            lists.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("v").alias("cv"), "centroid_id"),
+            "centroid_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+_ORACLE_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def oracle_ivf_ann_topk() -> str:
+    cos_vc = _ORACLE_COS.format(a="x.v", b="c.centv")
+    cos_qn = _ORACLE_COS.format(a="p.qv", b="l.cv")
+    return f"""
+ivecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+icents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv
+  FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+),
+iranked AS (
+  SELECT x.vec_id, x.v, c.centroid_id,
+         CAST(row_number() OVER (
+           PARTITION BY x.vec_id
+           ORDER BY {cos_vc} DESC, c.centroid_id) AS INT) AS crank
+  FROM ivecs x, icents c
+),
+ilists AS (
+  SELECT vec_id AS neighbor_id, v AS cv, centroid_id
+  FROM iranked WHERE crank = 1
+),
+iprobes AS (
+  SELECT vec_id AS query_id, v AS qv, centroid_id
+  FROM iranked WHERE crank <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
+),
+ivf_ann_topk AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT p.query_id, l.neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY {cos_qn} DESC, l.neighbor_id) AS INT) AS rank
+    FROM iprobes p JOIN ilists l ON p.centroid_id = l.centroid_id
+    WHERE p.query_id <> l.neighbor_id
+  ) WHERE rank <= {TOP_K}
+)
+"""
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = NEAR_DUP_COSINE
 ) -> DataFrame:

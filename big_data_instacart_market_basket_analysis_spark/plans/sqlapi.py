@@ -1,0 +1,106 @@
+"""SQL front-end: the whole engine surface as temp views + spark.sql.
+
+The reference has no query language (SURVEY.md §3); the engine gets one
+for free from Catalyst. ``register_all`` publishes the fixture tables,
+the Instacart-shaped logical views, and every derived feature table as
+temp views, so a user can drive the full surface with ANSI SQL:
+
+    register_all(spark, sf_dir)
+    spark.sql("SELECT * FROM user_product_features WHERE numorders > 2")
+
+Views are lazy logical plans — registering them costs nothing; each
+spark.sql query is planned end-to-end through the same Catalyst
+pipeline as the DataFrame builders (one optimizer, two dialects), so
+filter pushdown through a view chain works exactly as it does on the
+programmatic path.
+
+The two ``sql_*`` queries below run through the SQL *parser* (not the
+DataFrame DSL) and are oracle-checked — pinning that the declared view
+semantics and the SQL text agree with DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import basket as _bask
+from ..operators import candidates as _cand
+from ..operators import features as _feat
+from ..sources.loaders import register_views
+from .instacart import instacart_tables
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    """Register fixture tables, Instacart views, and derived features."""
+    register_views(spark, sf_dir)  # raw fixtures
+    t = instacart_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("ic_orders")
+    t.order_products.createOrReplaceTempView("ic_order_products")
+    t.products.createOrReplaceTempView("ic_products")
+    t.prior_products.createOrReplaceTempView("ic_prior_products")
+    t.train_products.createOrReplaceTempView("ic_train_products")
+    _feat.product_features(t).createOrReplaceTempView("product_features_v")
+    _feat.users_final(t).createOrReplaceTempView("users_final_v")
+    _feat.user_product_features(t).createOrReplaceTempView(
+        "user_product_features_v"
+    )
+    _cand.candidates(t).createOrReplaceTempView("candidates_v")
+    _bask.frequent_pairs(t).createOrReplaceTempView("frequent_pairs_v")
+    _bask.pair_rules(t).createOrReplaceTempView("pair_rules_v")
+
+
+def sql_dept_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-department rollup over product features, written in SQL."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT dep_id,
+               count(*)                           AS n_products,
+               CAST(sum(numorders) AS BIGINT)     AS total_orders,
+               avg(reorder_ratio)                 AS avg_reorder_ratio
+        FROM product_features_v
+        GROUP BY dep_id
+        """
+    )
+
+
+ORACLE_SQL_DEPT_STATS = """
+sql_dept_stats AS (
+  SELECT dep_id,
+         count(*) AS n_products,
+         CAST(sum(numorders) AS BIGINT) AS total_orders,
+         avg(reorder_ratio) AS avg_reorder_ratio
+  FROM product_features
+  GROUP BY dep_id
+)
+"""
+
+
+def sql_dept_top_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-reordered products per department — SQL window rank
+    over the feature view (deterministic tiebreak on productID)."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT dep_id, productID, reorder_ratio, rnk FROM (
+          SELECT dep_id, productID, reorder_ratio,
+                 row_number() OVER (
+                   PARTITION BY dep_id
+                   ORDER BY reorder_ratio DESC, productID) AS rnk
+          FROM product_features_v
+        ) WHERE rnk <= 3
+        """
+    )
+
+
+ORACLE_SQL_DEPT_TOP_REORDERED = """
+sql_dept_top_reordered AS (
+  SELECT dep_id, productID, reorder_ratio, rnk FROM (
+    SELECT dep_id, productID, reorder_ratio,
+           CAST(row_number() OVER (
+             PARTITION BY dep_id
+             ORDER BY reorder_ratio DESC, productID) AS INT) AS rnk
+    FROM product_features
+  ) WHERE rnk <= 3
+)
+"""

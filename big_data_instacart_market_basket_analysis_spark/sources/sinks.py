@@ -1,0 +1,72 @@
+"""Sinks (SURVEY.md §2a S9/S10).
+
+The reference's only sinks are driver-side ``print`` of a pandas table
+(F.py:318, 357, 396) and printed metrics (F.py:252-276). The engine
+replaces them with distributed writers; the console path stays as
+``df.show()`` for parity.
+
+Scale rules baked in:
+
+- parquet is the default interchange format (columnar, statistics,
+  predicate-pushdown-able on re-read);
+- ``partition_by`` maps to hive-style directory partitioning — the
+  free partition pruning on every downstream read;
+- an explicit ``target_file_rows`` repartition avoids both the
+  tiny-files problem (1000 executors x 32 tasks each writing 2 KB) and
+  single-file chokepoints — at 100 TB the file count is the knob that
+  decides metadata pressure on the catalog/namenode;
+- writers never collect: the driver sees only the commit.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+
+
+def _sized(df: DataFrame, target_file_rows: int | None) -> DataFrame:
+    if not target_file_rows:
+        return df
+    # one count to size the output; cheap relative to the write itself
+    n = df.count()
+    parts = max(1, math.ceil(n / target_file_rows))
+    return df.repartition(parts)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_file_rows: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    w = _sized(df, target_file_rows).write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    mode: str = "overwrite",
+    target_file_rows: int | None = None,
+) -> None:
+    """Kaggle-submission-shaped CSV sink (the reference's output table,
+    F.py:312-315, is orderID,products)."""
+    _sized(df, target_file_rows).write.mode(mode).option(
+        "header", str(header).lower()
+    ).csv(path)
+
+
+def write_json(
+    df: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    df.write.mode(mode).json(path)
+
+
+def show_console(df: DataFrame, n: int = 20) -> None:
+    """S9 parity sink (F.py:318): driver console, bounded rows."""
+    df.show(n, truncate=False)

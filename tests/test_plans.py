@@ -1,0 +1,90 @@
+"""Physical-plan regression tests.
+
+Correctness tests prove the small-SF answer; these pin the *plan*
+properties that decide whether the same query survives a 100 TB run:
+dimension joins must broadcast, source filters must reach the parquet
+scan, the reference surface must stay inside JVM codegen (zero Python
+UDFs), and AQE must be active to re-plan shuffles at runtime.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_ORACLE
+
+_QUERIES = entrymod.queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = _QUERIES[name](spark, SF_ORACLE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_candidates_broadcasts_feature_dims(spark):
+    """The candidate-expansion pipeline grafts per-user / per-product /
+    per-(user,product) feature tables onto the exploded candidates —
+    all must be broadcast-hash joins, never sort-merge on the fact."""
+    plan = _plan(spark, "candidates")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_reference_surface_has_no_python_udfs(spark):
+    """SURVEY.md §2j design rule: zero Python UDFs on the reference
+    surface — everything stays in codegen'd Catalyst expressions."""
+    for name in (
+        "candidates",
+        "proxy_submission",
+        "users_final",
+        "product_features",
+        "frequent_pairs",
+        "pair_rules",
+        "top_products_per_user",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_scan_filter_pushdown(spark):
+    """ann_brute_force filters vec_id < N at the source — the predicate
+    must reach the parquet scan (row-group pruning at scale)."""
+    plan = _plan(spark, "ann_brute_force")
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id" in plan, plan
+
+
+def test_column_pruning_products(spark):
+    """The products view projects 3 of part's 9 columns — ReadSchema
+    must show only the mapped columns (column pruning reached the scan)."""
+    plan = _plan(spark, "product_features")
+    for scan_schema in [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]:
+        assert "p_name" not in scan_schema
+        assert "p_retailprice" not in scan_schema
+
+
+def test_aqe_and_partial_aggregation(spark):
+    """AQE active; multi-agg computes map-side partials (one shuffle for
+    count + max_by + sum, SURVEY A10/A11)."""
+    plan = _plan(spark, "user_product_features")
+    assert "AdaptiveSparkPlan" in plan
+    assert "partial_max_by" in plan
+    assert "partial_count" in plan
+    # exactly one shuffle lands on the (userID, productID) agg key
+    assert plan.count("Arguments: hashpartitioning(userID") == 1, plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    """Exact dedup is one hash-agg pass: exactly one hash-partition
+    exchange, with partial aggregation (map-side combine) before it."""
+    plan = _plan(spark, "dedup_exact")
+    n_exchange = plan.count("Arguments: hashpartitioning")
+    assert n_exchange == 1, plan
+    assert "partial_min" in plan and "partial_count" in plan

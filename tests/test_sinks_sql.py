@@ -1,0 +1,62 @@
+"""Sink round-trips and SQL front-end checks (oracle parity for the
+sql_* queries is in test_oracle_queries)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_instacart_market_basket_analysis_spark.operators.features import (
+    product_features,
+)
+from big_data_instacart_market_basket_analysis_spark.plans.instacart import (
+    instacart_tables,
+)
+from big_data_instacart_market_basket_analysis_spark.plans.sqlapi import (
+    register_all,
+)
+from big_data_instacart_market_basket_analysis_spark.sources import sinks
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def feats(spark):
+    return product_features(instacart_tables(spark, SF_ORACLE))
+
+
+def test_parquet_roundtrip_partitioned(spark, feats, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sink") / "pf")
+    sinks.write_parquet(feats, path, partition_by=["dep_id"])
+    back = spark.read.parquet(path)
+    assert back.count() == feats.count()
+    # partition pruning: a dep_id filter must prune directories, so the
+    # scan's partition filter is present in the plan
+    one = back.select("dep_id").limit(1).collect()[0][0]
+    plan = back.filter(F.col("dep_id") == one)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+def test_parquet_roundtrip_sized(spark, feats, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sink") / "sized")
+    n = feats.count()
+    sinks.write_parquet(feats, path, target_file_rows=max(1, n // 4))
+    assert spark.read.parquet(path).count() == n
+
+
+def test_csv_roundtrip(spark, feats, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sink") / "csv")
+    sinks.write_csv(feats.select("productID", "numorders"), path)
+    back = spark.read.csv(path, header=True, inferSchema=True)
+    assert back.count() == feats.count()
+    assert set(back.columns) == {"productID", "numorders"}
+
+
+def test_sql_views_queryable(spark):
+    register_all(spark, SF_ORACLE)
+    n = spark.sql(
+        "SELECT count(*) AS n FROM user_product_features_v WHERE numorders >= 1"
+    ).collect()[0]["n"]
+    assert n > 0
+    # view chain pushes filters: candidates_v filtered by eval_set
+    assert (
+        spark.sql("SELECT * FROM frequent_pairs_v WHERE p1 < p2").count() > 0
+    )
