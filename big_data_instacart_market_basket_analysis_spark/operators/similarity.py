@@ -143,18 +143,26 @@ def lsh_bucket_col(vec_col: str, n_planes: int = N_PLANES) -> F.Column:
     return bucket
 
 
+def _with_bucket_and_norm(emb: DataFrame) -> DataFrame:
+    """vec_id, v (double), vnorm (precomputed — one fold per vector
+    instead of two per candidate pair), LSH bucket."""
+    return (
+        emb.select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("vnorm", F.sqrt(F.expr(_DOT.format(a="v", b="v"))))
+        .withColumn("bucket", lsh_bucket_col("v"))
+    )
+
+
 def lsh_ann_topk(emb: DataFrame, n_queries: int = N_QUERIES,
                  k: int = TOP_K) -> DataFrame:
     """ANN top-k: exact cosine re-rank restricted to the query's LSH
     bucket. Output: query_id, neighbor_id, rank (approximate recall vs
     brute force; same-bucket candidates only)."""
-    with_bucket = emb.select(
-        "vec_id",
-        _as_double("embedding").alias("v"),
-    ).withColumn("bucket", lsh_bucket_col("v"))
+    with_bucket = _with_bucket_and_norm(emb)
     queries = with_bucket.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
         "bucket",
     )
     scored = (
@@ -163,12 +171,17 @@ def lsh_ann_topk(emb: DataFrame, n_queries: int = N_QUERIES,
             with_bucket.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("v").alias("cv"),
+                F.col("vnorm").alias("cnorm"),
                 "bucket",
             ),
             "bucket",
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _cosine("qv", "cv"))
+        .withColumn(
+            "cosine",
+            F.expr(_DOT.format(a="qv", b="cv"))
+            / (F.col("qnorm") * F.col("cnorm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -195,14 +208,14 @@ def oracle_lsh_ann_topk() -> str:
     return f"""
 ebuck AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS vnorm,
          {_oracle_bucket_sql("embedding::DOUBLE[]")} AS bucket
   FROM embeddings
 ),
 escored2 AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         list_dot_product(q.v, c.v)
-           / (sqrt(list_dot_product(q.v, q.v))
-              * sqrt(list_dot_product(c.v, c.v))) AS cosine
+         list_dot_product(q.v, c.v) / (q.vnorm * c.vnorm) AS cosine
   FROM ebuck q JOIN ebuck c
     ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
   WHERE q.vec_id < {N_QUERIES}
@@ -227,25 +240,54 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
     """Deterministic coarse quantizer: every ``IVF_STRIDE``-th vector is
     a centroid (~sqrt(N) cells at fixture scale). A trained KMeans
     codebook drops in here unchanged — sampling keeps the quantizer
-    oracle-replayable, which seeded KMeans is not across engines."""
-    return emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
-        F.col("vec_id").alias("centroid_id"),
-        _as_double("embedding").alias("centv"),
+    oracle-replayable, which seeded KMeans is not across engines.
+
+    ``centnorm`` is precomputed once so cell ranking needs one fold per
+    (vector, centroid) pair instead of three."""
+    return (
+        emb.filter(F.col("vec_id") % IVF_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            _as_double("embedding").alias("centv"),
+        )
+        .withColumn(
+            "centnorm", F.sqrt(F.expr(_DOT.format(a="centv", b="centv")))
+        )
     )
 
 
 def _nearest_centroids(vecs: DataFrame, cents: DataFrame,
                        n: int) -> DataFrame:
-    """Rank centroids per vector by cosine (centroid_id tiebreak) and
-    keep the top ``n``. Centroids are tiny -> broadcast; the only
-    shuffle is the per-vector rank."""
+    """Rank centroids per vector by ``dot(v, c) / |c|`` — argmax-
+    equivalent to cosine because |v| is constant within a vector's
+    ranking (the oracle replays the identical formula, so float
+    rounding agrees). Centroids are tiny -> broadcast. The rank-1 case
+    (cell assignment, the corpus-sized side) is a ``max_by`` hash-agg —
+    no window sort; the nprobe>1 case (queries only) uses the window."""
+    scored = vecs.join(F.broadcast(cents)).withColumn(
+        "cscore",
+        F.expr(_DOT.format(a="v", b="centv")) / F.col("centnorm"),
+    )
+    if n == 1:
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                F.expr(
+                    "max_by(struct(centroid_id, v),"
+                    " struct(cscore, -centroid_id))"
+                ).alias("m")
+            )
+            .select(
+                "vec_id",
+                F.col("m.v").alias("v"),
+                F.col("m.centroid_id").alias("centroid_id"),
+            )
+        )
     w = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("centroid_id")
+        F.col("cscore").desc(), F.col("centroid_id")
     )
     return (
-        vecs.join(F.broadcast(cents))
-        .withColumn("ccos", _cosine("v", "centv"))
-        .withColumn("crank", F.row_number().over(w))
+        scored.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= n)
         .select("vec_id", "v", "centroid_id")
     )
@@ -297,21 +339,23 @@ _ORACLE_COS = (
 
 
 def oracle_ivf_ann_topk() -> str:
-    cos_vc = _ORACLE_COS.format(a="x.v", b="c.centv")
     cos_qn = _ORACLE_COS.format(a="p.qv", b="l.cv")
     return f"""
 ivecs AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
 icents AS (
-  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS centnorm
   FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
 ),
 iranked AS (
   SELECT x.vec_id, x.v, c.centroid_id,
          CAST(row_number() OVER (
            PARTITION BY x.vec_id
-           ORDER BY {cos_vc} DESC, c.centroid_id) AS INT) AS crank
+           ORDER BY list_dot_product(x.v, c.centv) / c.centnorm DESC,
+                    c.centroid_id) AS INT) AS crank
   FROM ivecs x, icents c
 ),
 ilists AS (
@@ -345,9 +389,7 @@ def embedding_near_dup_pairs(
     oracle replays the identical blocking, so both engines see the same
     (deterministic) candidate set.
     """
-    with_bucket = emb.select(
-        "vec_id", _as_double("embedding").alias("v")
-    ).withColumn("bucket", lsh_bucket_col("v"))
+    with_bucket = _with_bucket_and_norm(emb)
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")
     return (
@@ -356,7 +398,11 @@ def embedding_near_dup_pairs(
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .withColumn("cosine", _cosine("a.v", "b.v"))
+        .withColumn(
+            "cosine",
+            F.expr(_DOT.format(a="a.v", b="b.v"))
+            / (F.col("a.vnorm") * F.col("b.vnorm")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col("a.vec_id").alias("d1"),
@@ -369,6 +415,8 @@ def oracle_embedding_near_dup() -> str:
     return f"""
 ebuck AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS vnorm,
          {_oracle_bucket_sql("embedding::DOUBLE[]")} AS bucket
   FROM embeddings
 ),
@@ -376,8 +424,7 @@ embedding_near_dup AS (
   SELECT a.vec_id AS d1, b.vec_id AS d2
   FROM ebuck a JOIN ebuck b
     ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-  WHERE list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v))
-             * sqrt(list_dot_product(b.v, b.v))) >= {NEAR_DUP_COSINE}
+  WHERE list_dot_product(a.v, b.v) / (a.vnorm * b.vnorm)
+        >= {NEAR_DUP_COSINE}
 )
 """
