@@ -342,6 +342,11 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.fingerprints(_docs(spark, sf_dir))
 
 
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k terms per language (explode + agg + per-lang rank)."""
+    return _text.top_terms_per_lang(_docs(spark, sf_dir))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing via mapInPandas (stub codec —
     rows-only check)."""
@@ -350,6 +355,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.tumbling_hourly(load_table(spark, sf_dir, "events"))
+
+
+def q_events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h window, 30min hop (batch form of the streaming agg)."""
+    return _ev.sliding_hourly(load_table(spark, sf_dir, "events"))
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,6 +375,12 @@ def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (complete mode, memory sink) — result equals the batch form, so the
     same oracle applies."""
     return _ev.run_stream_tumbling(spark, sf_dir)
+
+
+def q_stream_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window + 10-min watermark in append mode (rows-only:
+    append withholds watermark-open windows by design)."""
+    return _ev.run_stream_windowed_watermark(spark, sf_dir)
 
 
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,11 +457,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprints": q_text_fingerprints,
+        "text_top_terms": q_text_top_terms,
         "media_features": q_media_features,
         "events_tumbling_hourly": q_events_tumbling_hourly,
+        "events_sliding_hourly": q_events_sliding_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json_stats": q_events_json_stats,
         "stream_tumbling_hourly": q_stream_tumbling_hourly,
+        "stream_sliding_watermark": q_stream_sliding_watermark,
         "stream_session_window": q_stream_session_window,
         "stream_stateful_counts": q_stream_stateful_counts,
     }
@@ -517,8 +536,14 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": _ext_oracle(
             [_text.ORACLE_FINGERPRINTS], "fingerprints"
         ),
+        "text_top_terms": _ext_oracle(
+            [_text.ORACLE_TOP_TERMS_PER_LANG], "top_terms_per_lang"
+        ),
         "events_tumbling_hourly": _ext_oracle(
             [_ev.ORACLE_TUMBLING_HOURLY], "tumbling_hourly"
+        ),
+        "events_sliding_hourly": _ext_oracle(
+            [_ev.ORACLE_SLIDING_HOURLY], "sliding_hourly"
         ),
         "events_sessionize": _ext_oracle(
             [_ev.ORACLE_SESSIONIZE], "sessionize"

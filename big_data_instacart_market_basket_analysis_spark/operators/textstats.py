@@ -9,7 +9,7 @@ cost is the parquet read of the ``text`` column.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker (stopword) lists per language — n-gram-free heuristic language
@@ -173,6 +173,52 @@ lang_scored AS (
                  regexp_split_to_array(lower(text), '\\s+') AS w
           FROM documents)
   )
+)
+"""
+
+
+TOP_TERMS_K = 10
+MIN_TERM_LEN = 3
+
+
+def top_terms_per_lang(docs: DataFrame, k: int = TOP_TERMS_K) -> DataFrame:
+    """Corpus vocabulary analysis: top-k most frequent terms per
+    language (terms >= 3 chars; count desc, term asc tiebreak).
+
+    explode -> hash-agg on (lang, term) -> per-lang rank. At scale the
+    (lang, term) agg does map-side combine so the explode amplification
+    never crosses the wire raw; the final per-lang top-k moves only
+    k rows per lang per partition.
+    """
+    toks = (
+        docs.select(
+            "lang", F.explode(_tokens_col()).alias("term")
+        )
+        .filter(F.length("term") >= MIN_TERM_LEN)
+    )
+    counts = toks.groupBy("lang", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "term")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+ORACLE_TOP_TERMS_PER_LANG = f"""
+tterms AS (
+  SELECT lang, t AS term
+  FROM (SELECT lang, unnest(regexp_split_to_array(lower(text), '\\s+'))
+          AS t
+        FROM documents)
+  WHERE length(t) >= {MIN_TERM_LEN}
+),
+top_terms_per_lang AS (
+  SELECT lang, term, n, rnk FROM (
+    SELECT lang, term, n,
+           CAST(row_number() OVER (
+             PARTITION BY lang ORDER BY n DESC, term) AS INT) AS rnk
+    FROM (SELECT lang, term, count(*) AS n FROM tterms GROUP BY 1, 2)
+  ) WHERE rnk <= {TOP_TERMS_K}
 )
 """
 

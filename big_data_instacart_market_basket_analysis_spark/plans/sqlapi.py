@@ -57,19 +57,23 @@ def sql_dept_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT dep_id,
                count(*)                           AS n_products,
                CAST(sum(numorders) AS BIGINT)     AS total_orders,
-               avg(reorder_ratio)                 AS avg_reorder_ratio
+               sum(numreorders) / sum(numorders)  AS overall_reorder_ratio
         FROM product_features_v
         GROUP BY dep_id
         """
     )
 
 
+# overall_reorder_ratio is a ratio of integral sums (exact in doubles at
+# any aggregation order) — never an avg over arbitrary doubles, whose
+# summation order differs between engines/partitionings.
 ORACLE_SQL_DEPT_STATS = """
 sql_dept_stats AS (
   SELECT dep_id,
          count(*) AS n_products,
          CAST(sum(numorders) AS BIGINT) AS total_orders,
-         avg(reorder_ratio) AS avg_reorder_ratio
+         sum(numreorders) / CAST(sum(numorders) AS DOUBLE)
+           AS overall_reorder_ratio
   FROM product_features
   GROUP BY dep_id
 )

@@ -58,6 +58,44 @@ tumbling_hourly AS (
 """
 
 
+def sliding_hourly(events: DataFrame) -> DataFrame:
+    """Sliding 1-hour window, 30-minute hop (batch form). Every event
+    lands in exactly width/hop = 2 windows; the oracle replays the
+    expansion with an explicit 2-element unnest. Epoch-aligned starts
+    match Spark's window() alignment."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("win.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_SLIDING_HOURLY = """
+sliding_hourly AS (
+  SELECT epoch_ms(ws) AS window_start_ms,
+         event_type,
+         count(*) AS n_events,
+         round(sum(value), 4) AS sum_value
+  FROM events, LATERAL unnest([
+         time_bucket(INTERVAL '30 minutes', ts),
+         time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+       ]) AS t(ws)
+  GROUP BY 1, 2
+)
+"""
+
+
 def sessionize(events: DataFrame) -> DataFrame:
     """Sessionization: per-user sessions split on >30 min inactivity.
 
