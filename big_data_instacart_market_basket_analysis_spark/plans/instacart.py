@@ -130,14 +130,46 @@ def _products_view(part: DataFrame) -> DataFrame:
     )
 
 
-def instacart_tables(spark: SparkSession, sf_dir: str) -> InstacartTables:
-    return InstacartTables(
-        orders=_orders_view(load_table(spark, sf_dir, "orders")),
+#: memoized per (session, sf_dir) so every query in a session shares ONE
+#: persisted orders view instead of stacking duplicate cache entries.
+_TABLE_CACHE: dict[tuple[int, str], InstacartTables] = {}
+
+
+def instacart_tables(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> InstacartTables:
+    """Build (or reuse) the Instacart-shaped views.
+
+    The orders view carries two window functions (order_number,
+    days_since lag); composed pipelines reference it up to 9 times and
+    Catalyst does not dedupe common subplans — unstaged, the candidate
+    pipeline recomputes the per-user window shuffle 4x. Persisting the
+    view (MEMORY_AND_DISK — spills, never OOMs) makes every reference an
+    in-memory scan of one computation. orders is the dimension-sized
+    table (~1/4 of lineitem rows, 7 narrow columns), so this is the
+    standard "stage the enriched dim" call a 100 TB deployment would
+    make (or materialize to parquet in an ETL step — same idea, this is
+    the in-session form). The fact table (order_products) is never
+    cached.
+    """
+    key = (id(spark), sf_dir)
+    if persist and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
+    orders = _orders_view(load_table(spark, sf_dir, "orders"))
+    if persist:
+        from pyspark import StorageLevel
+
+        orders = orders.persist(StorageLevel.MEMORY_AND_DISK)
+    tables = InstacartTables(
+        orders=orders,
         order_products=_order_products_view(
             load_table(spark, sf_dir, "lineitem")
         ),
         products=_products_view(load_table(spark, sf_dir, "part")),
     )
+    if persist:
+        _TABLE_CACHE[key] = tables
+    return tables
 
 
 # ---------------------------------------------------------------------------
