@@ -49,6 +49,9 @@ from big_data_instacart_market_basket_analysis_spark.plans.instacart import (
     ORACLE_BASE_CTES,
     instacart_tables,
 )
+from big_data_instacart_market_basket_analysis_spark.functions.skew import (
+    salted_sum_count,
+)
 from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
     load_table,
 )
@@ -353,6 +356,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.media_features_query(_docs(spark, sf_dir))
 
 
+def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling via mapInPandas (stub codec —
+    rows-only check; 1 row -> N_FRAMES rows)."""
+    return _mm.media_frame_samples_query(_docs(spark, sf_dir))
+
+
 def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.tumbling_hourly(load_table(spark, sf_dir, "events"))
 
@@ -368,6 +377,19 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.json_props_stats(load_table(spark, sf_dir, "events"))
+
+
+def q_events_user_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern: per-user count+sum via salted two-stage
+    aggregation — result provably equals the direct groupBy (the oracle
+    runs the direct form)."""
+    out = salted_sum_count(
+        load_table(spark, sf_dir, "events"),
+        key="user_id", row_id="event_id", value="value",
+    )
+    return out.select(
+        "user_id", "n_events", F.round("sum_value", 4).alias("sum_value")
+    )
 
 
 def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,10 +481,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "text_top_terms": q_text_top_terms,
         "media_features": q_media_features,
+        "media_frame_samples": q_media_frame_samples,
         "events_tumbling_hourly": q_events_tumbling_hourly,
         "events_sliding_hourly": q_events_sliding_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json_stats": q_events_json_stats,
+        "events_user_stats_salted": q_events_user_stats_salted,
         "stream_tumbling_hourly": q_stream_tumbling_hourly,
         "stream_sliding_watermark": q_stream_sliding_watermark,
         "stream_session_window": q_stream_session_window,
@@ -550,6 +574,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_json_stats": _ext_oracle(
             [_ev.ORACLE_JSON_PROPS_STATS], "json_props_stats"
+        ),
+        "events_user_stats_salted": _ext_oracle(
+            [
+                "user_stats_salted AS (\n"
+                "  SELECT user_id, count(*) AS n_events,\n"
+                "         round(sum(value), 4) AS sum_value\n"
+                "  FROM events GROUP BY 1\n"
+                ")"
+            ],
+            "user_stats_salted",
         ),
         "stream_tumbling_hourly": _ext_oracle(
             [_ev.ORACLE_TUMBLING_HOURLY], "tumbling_hourly"

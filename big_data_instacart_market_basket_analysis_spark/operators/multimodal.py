@@ -107,6 +107,61 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+N_FRAMES = 4
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = N_FRAMES, fake: bool = False
+) -> DataFrame:
+    """Frame-sampling stage (video shape): one input row expands to
+    ``n_frames`` output rows — the row-amplifying mapInPandas pattern
+    (a real decoder would seek to evenly-spaced timestamps; the stub
+    slices the payload into n byte-ranges and digests each).
+
+    At scale the output is repartitioned by the downstream key after
+    sampling, never before (amplify late); blobs stay in the input
+    partition and only the small frame features cross the shuffle.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "no media codec libraries in this environment; "
+            "pass fake=True for the deterministic stub sampler"
+        )
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, digests = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                b = bytes(blob)
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    digests.append(
+                        hashlib.md5(b[i * step : (i + 1) * step]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_digest": digests}
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def media_frame_samples_query(docs: DataFrame) -> DataFrame:
+    """Declared query: frame-sampling over the fake media table
+    (rows-only; deterministic byte-slice digests)."""
+    return sample_frames(media_from_documents(docs), fake=True)
+
+
 def media_features_query(docs: DataFrame) -> DataFrame:
     """Declared query: documents -> fake media -> decoded feature table.
 

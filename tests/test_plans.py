@@ -81,6 +81,14 @@ def test_aqe_and_partial_aggregation(spark):
     assert plan.count("Arguments: hashpartitioning(userID") == 1, plan
 
 
+def test_salted_agg_two_stage(spark):
+    """The salted aggregation must shuffle on (key, salt) first, then
+    key alone — the hot key fans out over N reducers in stage 1."""
+    plan = _plan(spark, "events_user_stats_salted")
+    assert plan.count("Arguments: hashpartitioning(user_id") == 2, plan
+    assert "_salt" in plan
+
+
 def test_exact_dedup_single_shuffle(spark):
     """Exact dedup is one hash-agg pass: exactly one hash-partition
     exchange, with partial aggregation (map-side combine) before it."""
