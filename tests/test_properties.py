@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) — invariants that must hold on
+arbitrary data, not just the fixtures.
+
+Each example builds a tiny local DataFrame; examples are capped so the
+suite stays fast (Spark job per example).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_instacart_market_basket_analysis_spark.functions.skew import (
+    salted_sum_count,
+)
+from big_data_instacart_market_basket_analysis_spark.operators import dedup
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# small word pool -> high collision/overlap probability
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+_texts = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=3, max_size=8).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(texts=_texts)
+def test_minhash_candidates_subset_of_exact_jaccard(spark, texts):
+    """MinHash+LSH output verifies exact Jaccard on candidates, so its
+    pair set must be a subset of the exhaustive exact-Jaccard pairs at
+    the same threshold (LSH can miss candidates, never add false
+    positives past verification)."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    exact = {
+        (r["d1"], r["d2"])
+        for r in dedup.ngram_jaccard_pairs(docs).collect()
+    }
+    lsh = {
+        (r["d1"], r["d2"])
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    assert lsh <= exact
+
+
+@settings(**_SETTINGS)
+@given(texts=_texts)
+def test_exact_dedup_partitions_the_corpus(spark, texts):
+    """Groups partition the corpus: copies sum to n_docs, keepers are
+    distinct group minima."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = dedup.exact_dedup(docs).collect()
+    assert sum(r["n_copies"] for r in rows) == len(texts)
+    keepers = [r["keeper_doc_id"] for r in rows]
+    assert len(keepers) == len(set(keepers))
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # skewed key space
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_salted_agg_equals_direct_groupby(spark, rows):
+    """The salted two-stage aggregation is exactly the direct groupBy
+    for associative aggregates, for any data and any skew."""
+    df = spark.createDataFrame(
+        [(k, i, float(v)) for i, (k, v) in enumerate(rows)],
+        ["k", "row_id", "value"],
+    )
+    salted = {
+        (r["k"], r["n_events"], r["sum_value"])
+        for r in salted_sum_count(
+            df, key="k", row_id="row_id", value="value"
+        ).collect()
+    }
+    direct = {
+        (r["k"], r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert salted == direct
