@@ -142,11 +142,15 @@ def _oracle(final: str, select: str | None = None) -> str:
     return f"WITH {ORACLE_BASE_CTES.strip()},\n{ctes}\n{body}"
 
 
-def _ext_oracle(fragments: list[str], final: str) -> str:
+def _ext_oracle(
+    fragments: list[str], final: str, recursive: bool = False
+) -> str:
     """Compose an [EXT] oracle from standalone CTE fragments (these read
-    documents/embeddings directly — no Instacart base CTEs needed)."""
+    documents/embeddings directly — no Instacart base CTEs needed).
+    ``recursive`` prefixes WITH RECURSIVE (connected-components)."""
     ctes = ",\n".join(f.strip() for f in fragments)
-    return f"WITH {ctes}\nSELECT * FROM {final}"
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return f"{kw} {ctes}\nSELECT * FROM {final}"
 
 
 # ---------------------------------------------------------------------------
@@ -301,6 +305,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (xxhash64-based — rows-only check)."""
     return _dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clustering over near-dup pairs (iterative
+    min-label propagation; oracle = DuckDB recursive CTE)."""
+    return _dedup.connected_clusters(_docs(spark, sf_dir))
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pass: quality filter + near-dup cluster
+    representatives + token budget."""
+    return _text.corpus_prep(_docs(spark, sf_dir))
 
 
 def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,6 +486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_prep": q_corpus_prep,
         "ann_brute_force": q_ann_brute_force,
         "ann_brute_force_scored": q_ann_brute_force_scored,
         "ann_lsh": q_ann_lsh,
@@ -539,6 +557,20 @@ def oracle_sql() -> dict[str, str]:
              "dsizes AS (SELECT doc_id, count(*) AS n FROM dshingles GROUP BY doc_id)",
              _dedup.ORACLE_MINHASH_LSH],
             "minhash_lsh",
+        ),
+        "dedup_clusters": _ext_oracle(
+            [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD,
+             _dedup.ORACLE_CONNECTED_CLUSTERS],
+            "connected_clusters",
+            recursive=True,
+        ),
+        "corpus_prep": _ext_oracle(
+            [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD,
+             _dedup.ORACLE_CONNECTED_CLUSTERS,
+             _text.oracle_quality_scores(), _text.ORACLE_TOKEN_COUNTS,
+             _text.ORACLE_CORPUS_PREP],
+            "corpus_prep",
+            recursive=True,
         ),
         "ann_brute_force": _ext_oracle(
             [_sim.ORACLE_BRUTE_FORCE_TOPK], "brute_force_topk"

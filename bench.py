@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "corpus_prep",
     "ann_brute_force",
     "ann_ivf",
     "embedding_near_dup",

@@ -268,6 +268,88 @@ minhash_lsh AS (
 """
 
 
+MAX_CC_ITERATIONS = 20
+
+
+def connected_clusters(
+    docs: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Near-dup *clustering*: connected components over the pair graph,
+    labeling every doc with min(doc_id) of its component — the step
+    that turns pairwise near-dup hits into "keep one per group".
+
+    Iterative min-label propagation (Pregel-style, driver-coordinated
+    loop, converges in graph-diameter supersteps — near-dup components
+    are shallow in practice). Each superstep is one join + one
+    hash-agg, both keyed on the node id so the partitioning is reused;
+    ``localCheckpoint`` truncates the growing lineage. The oracle
+    replays the same fixpoint as a DuckDB recursive CTE (min reachable
+    id == component min).
+
+    Output: (doc_id, cluster_id) for every doc; singletons label
+    themselves. Survivors = rows where doc_id == cluster_id.
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs).select("d1", "d2")
+    edges = pairs.select("d1", "d2").union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(MAX_CC_ITERATIONS):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("d1"),
+                    F.col("cluster_id").alias("nbr_label"),
+                ),
+                "d1",
+            )
+            .groupBy(F.col("d2").alias("doc_id"))
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.join(
+                labels.withColumnRenamed("cluster_id", "old"), "doc_id"
+            )
+            .filter(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+#: Recursive min-reachable-id closure; grouped min == component label.
+ORACLE_CONNECTED_CLUSTERS = """
+dedges AS (
+  SELECT d1, d2 FROM ngram_jaccard
+  UNION ALL
+  SELECT d2 AS d1, d1 AS d2 FROM ngram_jaccard
+),
+dreach AS (
+  SELECT doc_id AS node, doc_id AS root FROM documents
+  UNION
+  SELECT e.d2 AS node, r.root
+  FROM dreach r JOIN dedges e ON e.d1 = r.node
+),
+connected_clusters AS (
+  SELECT node AS doc_id, min(root) AS cluster_id
+  FROM dreach GROUP BY node
+)
+"""
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per doc from xxhash64 token hashes.
 

@@ -177,6 +177,48 @@ lang_scored AS (
 """
 
 
+MIN_QUALITY = 0.5
+
+
+def corpus_prep(docs: DataFrame, min_quality: float = MIN_QUALITY) -> DataFrame:
+    """Composed training-data pipeline: quality-filter the corpus, drop
+    near-duplicates (keep each cluster's representative), and emit the
+    surviving docs with their token budget.
+
+    The shape a 100 TB pre-training corpus pass takes: map-only scoring
+    fused into the scan, the near-dup pair join as the only wide stage,
+    cluster representatives via self-label equality (no second shuffle
+    — cluster_id is already on the row).
+    """
+    from . import dedup
+
+    q = quality_scores(docs).select("doc_id", "quality_score")
+    clusters = dedup.connected_clusters(docs)
+    keepers = clusters.filter(
+        F.col("doc_id") == F.col("cluster_id")
+    ).select("doc_id")
+    return (
+        docs.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .filter(F.col("quality_score") >= min_quality)
+        .join(keepers, "doc_id", "leftsemi")
+        .join(token_counts(docs).select("doc_id", "n_tokens"), "doc_id")
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+    )
+
+
+ORACLE_CORPUS_PREP = f"""
+corpus_prep AS (
+  SELECT d.doc_id, d.lang, t.n_tokens, q.quality_score
+  FROM documents d
+  JOIN quality_scores q USING (doc_id)
+  JOIN token_counts t USING (doc_id)
+  JOIN connected_clusters c USING (doc_id)
+  WHERE q.quality_score >= {MIN_QUALITY} AND c.cluster_id = d.doc_id
+)
+"""
+
+
 TOP_TERMS_K = 10
 MIN_TERM_LEN = 3
 
