@@ -77,6 +77,8 @@ _FRAGMENTS: dict[str, str] = {
     "candidates": _cand.ORACLE_CANDIDATES,
     "proxy_submission": _sub.ORACLE_PROXY_SUBMISSION,
     "orders_limited": _rel.ORACLE_ORDERS_LIMITED,
+    "dept_aisle_rollup": _rel.ORACLE_DEPT_AISLE_ROLLUP,
+    "products_only_prior": _rel.ORACLE_PRODUCTS_ONLY_PRIOR,
     "eval_split_counts": _rel.ORACLE_EVAL_SPLIT_COUNTS,
     "threshold_binarize": _rel.ORACLE_THRESHOLD_BINARIZE,
     "top_products_per_user": _rel.ORACLE_TOP_PRODUCTS_PER_USER,
@@ -114,6 +116,8 @@ _DEPS: dict[str, list[str]] = {
         "candidates",
     ],
     "orders_limited": [],
+    "dept_aisle_rollup": ["product_features"],
+    "products_only_prior": [],
     "eval_split_counts": [],
     "threshold_binarize": ["product_features"],
     "top_products_per_user": ["prior_enriched", "user_product_features"],
@@ -230,6 +234,16 @@ def q_orders_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_eval_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rel.eval_split_counts(instacart_tables(spark, sf_dir))
+
+
+def q_dept_aisle_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP multi-level aggregation over the product dimension."""
+    return _rel.dept_aisle_rollup(instacart_tables(spark, sf_dir))
+
+
+def q_products_only_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: prior-only products (EXCEPT)."""
+    return _rel.products_only_prior(instacart_tables(spark, sf_dir))
 
 
 def q_threshold_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proxy_submission": q_proxy_submission,
         "orders_limited": q_orders_limited,
         "eval_split_counts": q_eval_split_counts,
+        "dept_aisle_rollup": q_dept_aisle_rollup,
+        "products_only_prior": q_products_only_prior,
         "threshold_binarize": q_threshold_binarize,
         "top_products_per_user": q_top_products_per_user,
         "sql_dept_stats": q_sql_dept_stats,
@@ -538,6 +554,8 @@ def oracle_sql() -> dict[str, str]:
         "proxy_submission": _oracle("proxy_submission"),
         "orders_limited": _oracle("orders_limited"),
         "eval_split_counts": _oracle("eval_split_counts"),
+        "dept_aisle_rollup": _oracle("dept_aisle_rollup"),
+        "products_only_prior": _oracle("products_only_prior"),
         "threshold_binarize": _oracle("threshold_binarize"),
         "top_products_per_user": _oracle("top_products_per_user"),
         "frequent_pairs": _oracle("frequent_pairs"),

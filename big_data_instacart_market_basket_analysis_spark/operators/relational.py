@@ -32,6 +32,50 @@ orders_limited AS (
 """
 
 
+def dept_aisle_rollup(t: InstacartTables) -> DataFrame:
+    """ROLLUP aggregation over the product dim: (dep, aisle) -> dep ->
+    grand total in one pass — the multi-level-report shape. Spark and
+    DuckDB both emit NULL for rolled-up levels; one partial-agg shuffle
+    covers all levels."""
+    return (
+        product_features(t)
+        .rollup("dep_id", "aisle_id")
+        .agg(
+            F.count("*").alias("n_products"),
+            F.sum("numorders").alias("total_orders"),
+        )
+    )
+
+
+ORACLE_DEPT_AISLE_ROLLUP = """
+dept_aisle_rollup AS (
+  SELECT dep_id, aisle_id,
+         count(*) AS n_products,
+         CAST(sum(numorders) AS BIGINT) AS total_orders
+  FROM product_features
+  GROUP BY ROLLUP (dep_id, aisle_id)
+)
+"""
+
+
+def products_only_prior(t: InstacartTables) -> DataFrame:
+    """Set operation (EXCEPT): products bought in prior orders but never
+    in train orders. exceptAll-free distinct form -> one hash-distinct
+    per side + a left-anti shuffle, all on the productID key."""
+    prior = t.prior_products.select("productID").distinct()
+    train = t.train_products.select("productID").distinct()
+    return prior.exceptAll(train)
+
+
+ORACLE_PRODUCTS_ONLY_PRIOR = """
+products_only_prior AS (
+  SELECT DISTINCT productID FROM iprior_products
+  EXCEPT
+  SELECT DISTINCT productID FROM itrain_products
+)
+"""
+
+
 def eval_split_counts(t: InstacartTables) -> DataFrame:
     """P2 + A13 (F.py:35-43): the prior/train/test split cardinalities."""
     return t.orders.groupBy("eval_set").agg(F.count("*").alias("n_orders"))
