@@ -78,6 +78,7 @@ _FRAGMENTS: dict[str, str] = {
     "proxy_submission": _sub.ORACLE_PROXY_SUBMISSION,
     "orders_limited": _rel.ORACLE_ORDERS_LIMITED,
     "dept_aisle_rollup": _rel.ORACLE_DEPT_AISLE_ROLLUP,
+    "user_segment_stats": _rel.ORACLE_USER_SEGMENT_STATS,
     "products_only_prior": _rel.ORACLE_PRODUCTS_ONLY_PRIOR,
     "eval_split_counts": _rel.ORACLE_EVAL_SPLIT_COUNTS,
     "threshold_binarize": _rel.ORACLE_THRESHOLD_BINARIZE,
@@ -117,6 +118,7 @@ _DEPS: dict[str, list[str]] = {
     ],
     "orders_limited": [],
     "dept_aisle_rollup": ["product_features"],
+    "user_segment_stats": [],
     "products_only_prior": [],
     "eval_split_counts": [],
     "threshold_binarize": ["product_features"],
@@ -244,6 +246,15 @@ def q_dept_aisle_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_products_only_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operation: prior-only products (EXCEPT)."""
     return _rel.products_only_prior(instacart_tables(spark, sf_dir))
+
+
+def q_user_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-dimension enrichment: per-segment order stats via a
+    broadcast dim lookup over the customer fixture."""
+    return _rel.user_segment_stats(
+        instacart_tables(spark, sf_dir),
+        load_table(spark, sf_dir, "customer"),
+    )
 
 
 def q_threshold_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_split_counts": q_eval_split_counts,
         "dept_aisle_rollup": q_dept_aisle_rollup,
         "products_only_prior": q_products_only_prior,
+        "user_segment_stats": q_user_segment_stats,
         "threshold_binarize": q_threshold_binarize,
         "top_products_per_user": q_top_products_per_user,
         "sql_dept_stats": q_sql_dept_stats,
@@ -556,6 +568,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_split_counts": _oracle("eval_split_counts"),
         "dept_aisle_rollup": _oracle("dept_aisle_rollup"),
         "products_only_prior": _oracle("products_only_prior"),
+        "user_segment_stats": _oracle("user_segment_stats"),
         "threshold_binarize": _oracle("threshold_binarize"),
         "top_products_per_user": _oracle("top_products_per_user"),
         "frequent_pairs": _oracle("frequent_pairs"),

@@ -76,6 +76,51 @@ products_only_prior AS (
 """
 
 
+def user_segment_stats(t: InstacartTables, customer: DataFrame) -> DataFrame:
+    """Dimension-enrichment rollup: user order stats by market segment
+    (the customer fixture is the users dimension, FIXTURES.md §B).
+
+    Per-user aggregates shuffle once on userID; the segment dim lookup
+    broadcasts; the final segment agg moves |segments| rows. All output
+    doubles are ratios of integral sums (hash-stable across engines).
+    """
+    per_user = t.orders.groupBy("userID").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("days_since").alias("sum_gap"),
+    )
+    seg = customer.select(
+        F.col("c_custkey").alias("userID"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        per_user.join(F.broadcast(seg), "userID", "inner")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_orders").alias("total_orders"),
+            (F.sum("sum_gap") / F.sum("n_orders")).alias("avg_gap_days"),
+        )
+    )
+
+
+ORACLE_USER_SEGMENT_STATS = """
+user_segment_stats AS (
+  SELECT c.c_mktsegment AS segment,
+         count(*) AS n_users,
+         CAST(sum(u.n_orders) AS BIGINT) AS total_orders,
+         CAST(sum(u.sum_gap) AS DOUBLE) / sum(u.n_orders) AS avg_gap_days
+  FROM (
+    SELECT userID,
+           count(*) AS n_orders,
+           CAST(sum(days_since) AS BIGINT) AS sum_gap
+    FROM iorders GROUP BY userID
+  ) u
+  JOIN customer c ON c.c_custkey = u.userID
+  GROUP BY 1
+)
+"""
+
+
 def eval_split_counts(t: InstacartTables) -> DataFrame:
     """P2 + A13 (F.py:35-43): the prior/train/test split cardinalities."""
     return t.orders.groupBy("eval_set").agg(F.count("*").alias("n_orders"))
