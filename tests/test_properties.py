@@ -67,6 +67,24 @@ def test_exact_dedup_partitions_the_corpus(spark, texts):
 
 
 @settings(**_SETTINGS)
+@given(texts=_texts)
+def test_connected_clusters_respect_pairs(spark, texts):
+    """Every near-dup pair's endpoints share a cluster label; every doc
+    is labeled exactly once; labels are component minima (<= doc_id)."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    label = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_clusters(docs).collect()
+    }
+    assert sorted(label) == list(range(len(texts)))
+    assert all(c <= d for d, c in label.items())
+    for r in dedup.ngram_jaccard_pairs(docs).collect():
+        assert label[r["d1"]] == label[r["d2"]]
+
+
+@settings(**_SETTINGS)
 @given(
     rows=st.lists(
         st.tuples(
