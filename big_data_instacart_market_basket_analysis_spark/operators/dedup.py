@@ -7,9 +7,14 @@ row amplification stay bounded at 100 TB:
 - exact: hash-groupBy on a content digest — one shuffle on the digest.
 - n-gram Jaccard: shingle inverted-index self-join — the classic
   candidate-generation pattern; shuffle keyed on shingle, candidate
-  pairs re-shuffle on (d1, d2). Rare hot shingles are the skew risk —
-  AQE skew-join splits them (and a frequency cap could drop
-  stop-shingles; not needed at fixture scale).
+  pairs re-shuffle on (d1, d2). Hot "stop-shingles" are the scale
+  hazard: a shingle in k docs emits k^2/2 candidate pairs, which AQE
+  can split across tasks but cannot shrink. The inverted index is
+  therefore document-frequency-capped (``MAX_SHINGLE_DF``): shingles
+  above the cap generate no candidates, and the exact-Jaccard verify
+  still runs on the FULL shingle sets, so every emitted pair's value
+  is identical to the uncapped computation — only pairs whose entire
+  overlap is stop-shingles (no discriminative signal) are pruned.
 - MinHash + LSH banding: per-doc signatures (no explode — higher-order
   array functions), band keys, bucket self-join, exact-Jaccard verify of
   candidates only. md5-based hashes so DuckDB can replay the identical
@@ -31,6 +36,12 @@ from pyspark.sql import functions as F
 
 SHINGLE_WIDTH = 3
 JACCARD_THRESHOLD = 0.3
+#: inverted-index document-frequency cap: shingles appearing in more
+#: documents than this are stop-shingles — dropped from candidate
+#: generation (never from the Jaccard verify). Sized well above any
+#: discriminative shingle's df; a corpus-specific deploy tunes it to
+#: roughly 1e-5 of |docs|.
+MAX_SHINGLE_DF = 1000
 N_MINHASHES = 8
 N_BANDS = 4  # band size 2
 SIMHASH_HAMMING_MAX = 3
@@ -105,23 +116,46 @@ exact_dedup AS (
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over 3-word shingle sets.
 
-    Inverted-index self-join: |pairs| is bounded by co-occurring
-    shingles, not |docs|^2. Output (d1 < d2, jaccard).
+    Inverted-index self-join with a document-frequency cap: shingles in
+    more than ``max_shingle_df`` docs are excluded from candidate
+    generation (a hot shingle in k docs would emit k^2/2 pairs — the
+    one quadratic blow-up in this family). The exact-Jaccard verify
+    then runs over the FULL shingle sets of candidate pairs only, so
+    every emitted (d1, d2, jaccard) equals the uncapped value. Output
+    (d1 < d2, jaccard).
     """
     sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
+    # capped inverted index: one extra hash-agg on the shingle key —
+    # the same shuffle partitioning the candidate join uses next.
+    rare = sh.join(
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("sh"),
+        "sh",
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
         )
+        .distinct()
+    )
+    # exact verify on full shingle sets, candidates only.
+    shared = (
+        cand.join(sh.select(F.col("doc_id").alias("d1"), "sh"), "d1")
+        .join(sh.select(F.col("doc_id").alias("d2"), "sh"), ["d2", "sh"])
+        .groupBy("d1", "d2")
         .agg(F.count("*").alias("shared"))
     )
     return (
@@ -141,10 +175,21 @@ def ngram_jaccard_pairs(
 
 ORACLE_NGRAM_JACCARD = f"""
 dsizes AS (SELECT doc_id, count(*) AS n FROM dshingles GROUP BY doc_id),
-dshared AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+drare AS (
+  SELECT sh FROM dshingles GROUP BY sh
+  HAVING count(*) <= {MAX_SHINGLE_DF}
+),
+dcand_ng AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM dshingles a
   JOIN dshingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  WHERE a.sh IN (SELECT sh FROM drare)
+),
+dshared AS (
+  SELECT c.d1, c.d2, count(*) AS shared
+  FROM dcand_ng c
+  JOIN dshingles a ON a.doc_id = c.d1
+  JOIN dshingles b ON b.doc_id = c.d2 AND b.sh = a.sh
   GROUP BY 1, 2
 ),
 ngram_jaccard AS (

@@ -30,8 +30,17 @@ from ..sources.loaders import register_views
 from .instacart import instacart_tables
 
 
+#: registration is idempotent but not free (re-plans ~16 views and
+#: re-enters instacart_tables per call) — memoize per (session, sf_dir)
+#: the same way instacart_tables uses _TABLE_CACHE.
+_REGISTERED: set[tuple[int, str]] = set()
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register fixture tables, Instacart views, and derived features."""
+    key = (id(spark), sf_dir)
+    if key in _REGISTERED:
+        return
     register_views(spark, sf_dir)  # raw fixtures
     t = instacart_tables(spark, sf_dir)
     t.orders.createOrReplaceTempView("ic_orders")
@@ -47,6 +56,7 @@ def register_all(spark: SparkSession, sf_dir: str) -> None:
     _cand.candidates(t).createOrReplaceTempView("candidates_v")
     _bask.frequent_pairs(t).createOrReplaceTempView("frequent_pairs_v")
     _bask.pair_rules(t).createOrReplaceTempView("pair_rules_v")
+    _REGISTERED.add(key)
 
 
 def sql_dept_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loaders import load_table
+from ..sources.loaders import ensure_nanos_conf, load_table
 
 SESSION_GAP_MIN = 30
 
@@ -191,9 +191,36 @@ json_props_stats AS (
 # ---------------------------------------------------------------------------
 
 
+#: state-store shard count for the streaming queries. Unlike batch
+#: shuffles, stateful-streaming partitions are fixed at query start
+#: (spark.sql.shuffle.partitions) and AQE never coalesces them — on an
+#: untuned session the default 200 shards of near-empty state dominate
+#: runtime at fixture scale. A cluster run sizes this to key cardinality
+#: via the env var.
+import os as _os
+
+STREAM_STATE_PARTITIONS = int(
+    _os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "32")
+)
+
+
+def _tune_stream_session(spark: SparkSession) -> None:
+    try:
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if cur > STREAM_STATE_PARTITIONS:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(STREAM_STATE_PARTITIONS),
+            )
+    except Exception:
+        pass
+
+
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned; the
     nanos column arrives as long exactly like the batch reader)."""
+    ensure_nanos_conf(spark)
+    _tune_stream_session(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     # the file source wants a directory; glob-filter the one table out
     # of the shared fixture dir.
@@ -203,9 +230,11 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return stream.withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    return stream
 
 
 def run_stream_tumbling(

@@ -84,6 +84,43 @@ def test_connected_clusters_respect_pairs(spark, texts):
         assert label[r["d1"]] == label[r["d2"]]
 
 
+def test_hot_shingle_dropped_from_candidate_generation(spark):
+    """The document-frequency cap prunes pairs whose entire overlap is
+    stop-shingles, and leaves every surviving pair's jaccard identical
+    to the uncapped computation (cap applies to candidate generation
+    only, never to the verify)."""
+    hot = "the quick fox"  # appears in every doc -> df = 6
+    rows = [
+        # 0/1: true near-dups (share rare shingles beyond the hot one)
+        (0, hot + " jumps over lazy dogs daily"),
+        (1, hot + " jumps over lazy dogs nightly"),
+        # 2/3: overlap ONLY via the hot shingle
+        (2, hot + " aaa bbb ccc"),
+        (3, hot + " ddd eee fff"),
+        (4, hot + " ggg hhh iii"),
+        (5, hot + " jjj kkk lll"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.01, max_shingle_df=10**9
+        ).collect()
+    }
+    capped = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.01, max_shingle_df=3
+        ).collect()
+    }
+    # hot-shingle-only pairs exist uncapped, vanish capped
+    assert (2, 3) in uncapped and (2, 3) not in capped
+    # the true near-dup pair survives with the identical jaccard value
+    assert (0, 1) in capped
+    assert capped[(0, 1)] == uncapped[(0, 1)]
+    assert set(capped) <= set(uncapped)
+
+
 @settings(**_SETTINGS)
 @given(
     rows=st.lists(
