@@ -182,6 +182,18 @@ def q_ingest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return instacart_tables(spark, sf_dir).orders
 
 
+def q_csv_ingest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S6 on the reference's real input format (F.py:16-30): orders
+    round-tripped through Instacart-style CSV and re-ingested with the
+    header/typed-read/enum/""->0 parse rules; must equal the
+    parquet-derived view, so the same iorders oracle applies."""
+    from big_data_instacart_market_basket_analysis_spark.sources import (
+        csv_ingest as _csv,
+    )
+
+    return _csv.orders_csv_roundtrip(spark, sf_dir)
+
+
 def q_order_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S3: the order_products view (typed projection + derived flag)."""
     return instacart_tables(spark, sf_dir).order_products
@@ -482,6 +494,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ingest_orders": q_ingest_orders,
+        "csv_ingest_orders": q_csv_ingest_orders,
         "order_products": q_order_products,
         "prior_products": q_prior_products,
         "product_features": q_product_features,
@@ -551,6 +564,7 @@ def oracle_sql() -> dict[str, str]:
     base_only = f"WITH {ORACLE_BASE_CTES.strip()}\n"
     return {
         "ingest_orders": base_only + "SELECT * FROM iorders",
+        "csv_ingest_orders": base_only + "SELECT * FROM iorders",
         "order_products": base_only + "SELECT * FROM iorder_products",
         "prior_products": base_only + "SELECT * FROM iprior_products",
         "product_features": _oracle("product_features"),

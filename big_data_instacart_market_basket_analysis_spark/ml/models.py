@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.ml.evaluation import MulticlassClassificationEvaluator
 from pyspark.ml.feature import VectorAssembler
 from pyspark.ml.regression import (
     DecisionTreeRegressor,
@@ -89,35 +88,78 @@ def binarize(scored: DataFrame, score_col: str = "prediction") -> DataFrame:
     )
 
 
+#: assembled candidate features, persisted once per InstacartTables
+#: instance (instacart_tables memoizes t per session, so the three
+#: per-model submission queries and train_metrics all share ONE cache
+#: entry instead of leaking one per call).
+_ASSEMBLED_CACHE: dict[int, DataFrame] = {}
+
+
+def _assembled(t: InstacartTables) -> DataFrame:
+    key = id(t.orders)
+    if key not in _ASSEMBLED_CACHE:
+        from pyspark import StorageLevel
+
+        _ASSEMBLED_CACHE[key] = assemble(candidates(t)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    return _ASSEMBLED_CACHE[key]
+
+
+def _weighted_prf(tp: int, fp: int, tn: int, fn: int) -> tuple[float, float, float]:
+    """M7: label-frequency-weighted precision/recall/F1 from the four
+    confusion-matrix counts — the same definitions
+    MulticlassClassificationEvaluator computes, but derived from one
+    integral aggregation instead of three full evaluator passes.
+    """
+
+    def _div(a: float, b: float) -> float:
+        return a / b if b else 0.0
+
+    n = tp + fp + tn + fn
+    actual1, actual0 = tp + fn, tn + fp
+    p1, p0 = _div(tp, tp + fp), _div(tn, tn + fn)
+    r1, r0 = _div(tp, actual1), _div(tn, actual0)
+    f1_1 = _div(2 * p1 * r1, p1 + r1)
+    f1_0 = _div(2 * p0 * r0, p0 + r0)
+    return (
+        _div(actual1 * p1 + actual0 * p0, n),
+        _div(actual1 * r1 + actual0 * r0, n),
+        _div(actual1 * f1_1 + actual0 * f1_0, n),
+    )
+
+
 def train_metrics(t: InstacartTables) -> DataFrame:
     """M2+M7 (F.py:214-276): per-model precision/recall/F1 on the 30%
     holdout of the train candidates, scores thresholded at 0.19.
 
-    Returns one row per model — the distributed replacement for the
-    reference's printed "RF/GBT/DT summary on Train".
+    One scoring pass + one 4-count confusion-matrix aggregation per
+    model (round-1 version ran three evaluator jobs per model over an
+    uncached transform — 9 full passes). Returns one row per model —
+    the distributed replacement for the reference's printed
+    "RF/GBT/DT summary on Train".
     """
-    data = assemble(candidates(t)).filter(F.col("eval_set") == EVAL_TRAIN)
+    data = _assembled(t).filter(F.col("eval_set") == EVAL_TRAIN)
     train70, hold30 = data.randomSplit([0.7, 0.3], seed=SEED)
     train70 = train70.cache()
 
+    is1 = F.col("label") == 1.0
+    picked1 = F.col("picked") == 1.0
     rows = []
     for name, build in MODEL_BUILDERS.items():
         model = build().fit(train70)
         scored = binarize(model.transform(hold30))
-        metrics = {}
-        for metric in ("weightedPrecision", "weightedRecall", "f1"):
-            ev = MulticlassClassificationEvaluator(
-                labelCol="label", predictionCol="picked", metricName=metric
-            )
-            metrics[metric] = ev.evaluate(scored)
-        rows.append(
-            (
-                name,
-                metrics["weightedPrecision"],
-                metrics["weightedRecall"],
-                metrics["f1"],
-            )
+        cm = scored.agg(
+            F.count(F.when(is1 & picked1, 1)).alias("tp"),
+            F.count(F.when(~is1 & picked1, 1)).alias("fp"),
+            F.count(F.when(~is1 & ~picked1, 1)).alias("tn"),
+            F.count(F.when(is1 & ~picked1, 1)).alias("fn"),
+        ).first()
+        precision, recall, f1 = _weighted_prf(
+            cm["tp"], cm["fp"], cm["tn"], cm["fn"]
         )
+        rows.append((name, precision, recall, f1))
+    train70.unpersist()
 
     spark = t.orders.sparkSession
     return spark.createDataFrame(
@@ -133,8 +175,7 @@ def model_submission(t: InstacartTables, model_name: str) -> DataFrame:
     F.py:390, ``dat2`` vs ``dat3``); this implements the intended
     per-model semantics.
     """
-    cand = candidates(t)
-    data = assemble(cand).cache()
+    data = _assembled(t)
     model = MODEL_BUILDERS[model_name]().fit(
         data.filter(F.col("eval_set") == EVAL_TRAIN)
     )

@@ -46,11 +46,67 @@ def read_orders(spark: SparkSession, path: str) -> DataFrame:
         "order_number",
         "order_dow",
         "order_hod",
-        # F.py:26: "" -> 0; cast("int") yields null for "" (ANSI off).
-        F.coalesce(F.col("days_since").cast("int"), F.lit(0)).alias(
-            "days_since"
-        ),
+        # F.py:26: "" -> 0; try_cast is null for "" on ANSI and
+        # non-ANSI sessions alike (the driver's session is stock).
+        F.coalesce(
+            F.expr("try_cast(days_since AS INT)"), F.lit(0)
+        ).alias("days_since"),
     )
+
+
+#: one CSV round-trip per (session, sf_dir): the write is distributed
+#: and idempotent, but re-writing under a returned lazy reader would be
+#: a read/overwrite hazard.
+_ROUNDTRIP_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+EVAL_NAMES = {EVAL_PRIOR: "prior", EVAL_TRAIN: "train", EVAL_TEST: "test"}
+
+
+def orders_csv_roundtrip(
+    spark: SparkSession,
+    sf_dir: str,
+    tmp_base: str = "/tmp/spark_graft_csv",
+) -> DataFrame:
+    """S1-S6 on the reference's REAL input format: render the orders
+    view as an Instacart-style orders.csv (eval_set as the prior/train/
+    test strings, first-order days_since as an empty field), then
+    re-ingest it through ``read_orders``. Lossless by construction, so
+    the result must hash-equal the parquet-derived orders view — which
+    makes the CSV parse rules (header strip, typed read, enum encode,
+    ""->0 default) oracle-checkable against the same ``iorders`` CTE.
+
+    The write is a distributed ``df.write.csv`` (each partition writes
+    its own part file — the same code shape a cluster export uses).
+    """
+    key = (id(spark), sf_dir)
+    if key in _ROUNDTRIP_CACHE:
+        return _ROUNDTRIP_CACHE[key]
+    from ..plans.instacart import instacart_tables
+
+    orders = instacart_tables(spark, sf_dir).orders
+    eval_name = (
+        F.when(F.col("eval_set") == EVAL_PRIOR, F.lit(EVAL_NAMES[EVAL_PRIOR]))
+        .when(F.col("eval_set") == EVAL_TRAIN, F.lit(EVAL_NAMES[EVAL_TRAIN]))
+        .otherwise(F.lit(EVAL_NAMES[EVAL_TEST]))
+    )
+    out = orders.select(
+        "orderID",
+        "userID",
+        eval_name.alias("eval_set"),
+        "order_number",
+        "order_dow",
+        "order_hod",
+        # exercise the ""->0 rule: zero gaps (first orders) become empty
+        # CSV fields, which the reader must default back to 0.
+        F.when(F.col("days_since") == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("days_since").cast("string"))
+        .alias("days_since"),
+    )
+    path = f"{tmp_base}/{sf_dir.strip('/').replace('/', '_')}/orders"
+    out.write.mode("overwrite").option("header", True).csv(path)
+    df = read_orders(spark, path)
+    _ROUNDTRIP_CACHE[key] = df
+    return df
 
 
 def read_products(spark: SparkSession, path: str) -> DataFrame:

@@ -84,6 +84,25 @@ def test_connected_clusters_respect_pairs(spark, texts):
         assert label[r["d1"]] == label[r["d2"]]
 
 
+def test_connected_clusters_converge_on_long_chain(spark):
+    """A length-200 path graph has diameter 199 — plain min-label
+    propagation needs 199 supersteps, far past any sane cap. The
+    alternating large-star/small-star rounds must converge within the
+    O(log^2 n) round cap and label the whole chain with its minimum."""
+    n = 200
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["d1", "d2"]
+    )
+    label = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_clusters(docs, pairs=pairs).collect()
+    }
+    assert label == {i: 0 for i in range(n)}
+
+
 def test_hot_shingle_dropped_from_candidate_generation(spark):
     """The document-frequency cap prunes pairs whose entire overlap is
     stop-shingles, and leaves every surviving pair's jaccard identical
