@@ -40,6 +40,9 @@ from big_data_instacart_market_basket_analysis_spark.operators import (
     similarity as _sim,
 )
 from big_data_instacart_market_basket_analysis_spark.operators import (
+    temporal as _tmp,
+)
+from big_data_instacart_market_basket_analysis_spark.operators import (
     textstats as _text,
 )
 from big_data_instacart_market_basket_analysis_spark.plans import (
@@ -403,6 +406,43 @@ def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.top_terms_per_lang(_docs(spark, sf_dir))
 
 
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc TF-IDF top-3 terms (tf/df hash-aggs + per-doc rank)."""
+    return _text.tfidf_top_terms(_docs(spark, sf_dir))
+
+
+def q_docs_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget training-batch packing per (lang, shard) — window
+    cumsum, embarrassingly parallel across shards."""
+    return _text.pack_batches(_docs(spark, sf_dir))
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase annotated with the same user's latest
+    click at-or-before it (union-tag-window — ONE shuffle, no
+    inequality join)."""
+    return _tmp.asof_last_click(load_table(spark, sf_dir, "events"))
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: clicks within +/-30min of each error,
+    counted via a (user, time-bucket) equi-join."""
+    return _tmp.range_join_nearby_clicks(load_table(spark, sf_dir, "events"))
+
+
+def q_events_type_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of value per event_type + exact distinct
+    users."""
+    return _tmp.type_value_quantiles(load_table(spark, sf_dir, "events"))
+
+
+def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct users per type next to the exact count
+    (rows-only: sketch estimates are engine-specific; the property test
+    bounds the error)."""
+    return _tmp.approx_distinct_users(load_table(spark, sf_dir, "events"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing via mapInPandas (stub codec —
     rows-only check)."""
@@ -468,6 +508,13 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _st.run_stream_stateful_counts(spark, sf_dir)
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases x last-30min clicks),
+    watermark-bounded state; inner join over bounded input == the batch
+    inequality join, so it is oracle-checked."""
+    return _ev.run_stream_interval_join(spark, sf_dir)
+
+
 def q_ml_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2+M7: per-model weighted precision/recall/F1 on the seeded 30%
     holdout (rows-only check — tree models are not SQL-expressible)."""
@@ -526,10 +573,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_json_stats": q_events_json_stats,
         "events_user_stats_salted": q_events_user_stats_salted,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
+        "events_type_quantiles": q_events_type_quantiles,
+        "events_approx_distinct": q_events_approx_distinct,
         "stream_tumbling_hourly": q_stream_tumbling_hourly,
         "stream_sliding_watermark": q_stream_sliding_watermark,
         "stream_session_window": q_stream_session_window,
         "stream_stateful_counts": q_stream_stateful_counts,
+        "stream_interval_join": q_stream_interval_join,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -546,6 +598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprints": q_text_fingerprints,
         "text_top_terms": q_text_top_terms,
+        "text_tfidf_top_terms": q_text_tfidf_top_terms,
+        "docs_pack_batches": q_docs_pack_batches,
         # slow rows-only queries last (ML trains models; media runs the
         # stub codec): if a driver budget truncates the run, hash-checked
         # rows are already on the board.
@@ -647,6 +701,23 @@ def oracle_sql() -> dict[str, str]:
         "text_top_terms": _ext_oracle(
             [_text.ORACLE_TOP_TERMS_PER_LANG], "top_terms_per_lang"
         ),
+        "text_tfidf_top_terms": _ext_oracle(
+            [_text.ORACLE_TFIDF_TOP_TERMS], "tfidf_top_terms"
+        ),
+        "docs_pack_batches": _ext_oracle(
+            [_text.ORACLE_TOKEN_COUNTS, _text.ORACLE_PACK_BATCHES],
+            "pack_batches",
+        ),
+        "events_asof_join": _ext_oracle(
+            [_tmp.ORACLE_ASOF_LAST_CLICK], "asof_last_click"
+        ),
+        "events_range_join": _ext_oracle(
+            [_tmp.ORACLE_RANGE_JOIN_NEARBY_CLICKS],
+            "range_join_nearby_clicks",
+        ),
+        "events_type_quantiles": _ext_oracle(
+            [_tmp.ORACLE_TYPE_VALUE_QUANTILES], "type_value_quantiles"
+        ),
         "events_tumbling_hourly": _ext_oracle(
             [_ev.ORACLE_TUMBLING_HOURLY], "tumbling_hourly"
         ),
@@ -674,5 +745,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_stateful_counts": _ext_oracle(
             [_st.ORACLE_STATEFUL_COUNTS], "stateful_counts"
+        ),
+        "stream_interval_join": _ext_oracle(
+            [_ev.ORACLE_STREAM_INTERVAL_JOIN], "stream_interval_join"
         ),
     }

@@ -125,44 +125,60 @@ def ngram_jaccard_pairs(
     Inverted-index self-join with a document-frequency cap: shingles in
     more than ``max_shingle_df`` docs are excluded from candidate
     generation (a hot shingle in k docs would emit k^2/2 pairs — the
-    one quadratic blow-up in this family). The exact-Jaccard verify
-    then runs over the FULL shingle sets of candidate pairs only, so
-    every emitted (d1, d2, jaccard) equals the uncapped value. Output
+    one quadratic blow-up in this family). Pair shared-counts come from
+    ONE self-join + hash-agg over the capped index; the hot overlap the
+    cap pruned is then re-added exactly via small per-doc hot-shingle
+    arrays (#hot shingles <= shingle_rows / cap globally, and a doc's
+    own hot set is bounded by its length). Surviving pairs therefore
+    report the exact uncapped jaccard; only pairs whose ENTIRE overlap
+    is hot shingles (no discriminative signal) are absent. Output
     (d1 < d2, jaccard).
+
+    A previous shape ran a separate candidate pass + full-shingle-set
+    re-verify — that re-exploded every candidate pair by its ~50
+    shingles (measured 5x slower at sf0.1). The shingle set still feeds
+    five scans (sizes, df, join sides, hot sets) — materialize it ONCE;
+    at cluster scale this becomes a reliable checkpoint / staged table.
     """
-    sh = _shingles(docs)
+    sh = _shingles(docs).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # capped inverted index: one extra hash-agg on the shingle key —
-    # the same shuffle partitioning the candidate join uses next.
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     rare = sh.join(
-        sh.groupBy("sh")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_shingle_df)
-        .select("sh"),
-        "sh",
+        dfreq.filter(F.col("df") <= max_shingle_df).select("sh"), "sh"
     )
     a = rare.alias("a")
     b = rare.alias("b")
-    cand = (
+    shared = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
         )
-        .distinct()
+        .agg(F.count("*").alias("shared_rare"))
     )
-    # exact verify on full shingle sets, candidates only.
-    shared = (
-        cand.join(sh.select(F.col("doc_id").alias("d1"), "sh"), "d1")
-        .join(sh.select(F.col("doc_id").alias("d2"), "sh"), ["d2", "sh"])
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("shared"))
+    hot_sets = (
+        sh.join(dfreq.filter(F.col("df") > max_shingle_df)
+                .select("sh"), "sh")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("sh")).alias("hot"))
     )
+    empty = F.array().cast("array<string>")
     return (
         shared.join(sizes.select(F.col("doc_id").alias("d1"),
                                  F.col("n").alias("n1")), "d1")
         .join(sizes.select(F.col("doc_id").alias("d2"),
                            F.col("n").alias("n2")), "d2")
+        .join(hot_sets.select(F.col("doc_id").alias("d1"),
+                              F.col("hot").alias("h1")), "d1", "left")
+        .join(hot_sets.select(F.col("doc_id").alias("d2"),
+                              F.col("hot").alias("h2")), "d2", "left")
+        .withColumn(
+            "shared",
+            F.col("shared_rare")
+            + F.size(F.array_intersect(
+                F.coalesce("h1", empty), F.coalesce("h2", empty)
+            )),
+        )
         .withColumn(
             "jaccard",
             F.col("shared")
@@ -175,27 +191,34 @@ def ngram_jaccard_pairs(
 
 ORACLE_NGRAM_JACCARD = f"""
 dsizes AS (SELECT doc_id, count(*) AS n FROM dshingles GROUP BY doc_id),
+ddf AS (SELECT sh, count(*) AS df FROM dshingles GROUP BY sh),
 drare AS (
-  SELECT sh FROM dshingles GROUP BY sh
-  HAVING count(*) <= {MAX_SHINGLE_DF}
+  SELECT s.doc_id, s.sh FROM dshingles s
+  JOIN ddf USING (sh) WHERE ddf.df <= {MAX_SHINGLE_DF}
 ),
-dcand_ng AS (
-  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM dshingles a
-  JOIN dshingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  WHERE a.sh IN (SELECT sh FROM drare)
+dhot AS (
+  SELECT s.doc_id, list_sort(list(s.sh)) AS hot FROM dshingles s
+  JOIN ddf USING (sh) WHERE ddf.df > {MAX_SHINGLE_DF}
+  GROUP BY 1
 ),
 dshared AS (
-  SELECT c.d1, c.d2, count(*) AS shared
-  FROM dcand_ng c
-  JOIN dshingles a ON a.doc_id = c.d1
-  JOIN dshingles b ON b.doc_id = c.d2 AND b.sh = a.sh
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared_rare
+  FROM drare a
+  JOIN drare b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+dcorrected AS (
+  SELECT s.d1, s.d2,
+         s.shared_rare + len(list_intersect(
+           coalesce(h1.hot, []), coalesce(h2.hot, []))) AS shared
+  FROM dshared s
+  LEFT JOIN dhot h1 ON h1.doc_id = s.d1
+  LEFT JOIN dhot h2 ON h2.doc_id = s.d2
 ),
 ngram_jaccard AS (
   SELECT d1, d2,
          CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) AS jaccard
-  FROM dshared s
+  FROM dcorrected s
   JOIN dsizes s1 ON s1.doc_id = s.d1
   JOIN dsizes s2 ON s2.doc_id = s.d2
   WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared)

@@ -1,0 +1,289 @@
+"""[EXT] Temporal join operators over ``events`` — as-of join, bucketed
+range join, and distribution stats (exact quantiles, approx distinct).
+
+The reference has no time-series surface at all (its events are
+implicit in order_number ordering, SURVEY.md §2 O2/A11); these are the
+operators a large-scale event pipeline needs and Spark lacks as
+built-ins. Both joins are expressed as compositions of existing
+DataFrame ops (the (a) strategy from the build rules) — no UDFs, no
+mapPartitions:
+
+- **As-of join**: union-tag-window. Tag both streams, sort each user's
+  timeline once, carry the reference stream's latest values forward
+  with ``last(..., ignorenulls=True)``. ONE shuffle on user_id total —
+  vs the naive inequality join which is O(n^2) per user and unrunnable
+  at scale. This is the standard scalable as-of pattern (same shape
+  kdb/Flink temporal joins lower to).
+- **Range join**: time-bucketed equi-join. Replicate the probe side
+  into the 3 adjacent buckets of width == the range, equi-join on
+  (user_id, bucket), then filter the exact predicate. Candidate pairs
+  are bounded per bucket instead of per user — the plan survives a
+  hot user with a long history, and AQE can split any residual hot
+  bucket. The oracle replays the semantics as a plain inequality join
+  (fine at fixture scale, which is the point of the differential).
+
+Determinism rules: every output timestamp is epoch millis (bigint);
+tie-breaks are total (ts, tag, event_id); double aggregates follow the
+repo float rule (round(4) both sides, or raw pass-through of stored
+values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: as-of reference stream and probe stream (event_type values).
+ASOF_REF_TYPE = "click"
+ASOF_PROBE_TYPE = "purchase"
+
+#: range-join window: probe events count reference events within +/-.
+RANGE_REF_TYPE = "click"
+RANGE_PROBE_TYPE = "error"
+RANGE_MS = 30 * 60 * 1000
+
+
+def asof_last_click(events: DataFrame) -> DataFrame:
+    """For every purchase, attach the latest click of the same user at
+    or before the purchase (ties on ts broken by event_id — a total
+    order, so the result is unique and oracle-checkable).
+
+    Plan: tag clicks 0 / purchases 1, one window per user ordered by
+    (ts, tag, event_id), ``last(click_col, ignorenulls=True)`` over the
+    unbounded-preceding frame, keep purchase rows. The three carried
+    columns come from the same click row by construction (they are null
+    on exactly the same input rows), so three scalar ``last`` calls are
+    equivalent to carrying a struct but stay codegen-friendly.
+
+    Scale: one shuffle (user_id), sort within partition; a user's
+    timeline must be colocated — inherent to as-of semantics. Skewed
+    users are bounded by their own history length, never by the join
+    product.
+    """
+    ev = events.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    tagged = (
+        ev.filter(F.col("event_type") == ASOF_REF_TYPE)
+        .select("event_id", "ts_ms", "user_id", "value", F.lit(0).alias("tag"))
+        .unionByName(
+            ev.filter(F.col("event_type") == ASOF_PROBE_TYPE).select(
+                "event_id", "ts_ms", "user_id", "value",
+                F.lit(1).alias("tag"),
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_ref = F.col("tag") == 0
+    carried = tagged.select(
+        "event_id",
+        "ts_ms",
+        "user_id",
+        "value",
+        "tag",
+        F.last(F.when(is_ref, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_id"),
+        F.last(F.when(is_ref, F.col("ts_ms")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_ts_ms"),
+        F.last(F.when(is_ref, F.col("value")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_value"),
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        "value",
+        "last_click_id",
+        "last_click_ts_ms",
+        (F.col("ts_ms") - F.col("last_click_ts_ms")).alias("ms_since_click"),
+        "last_click_value",
+    )
+
+
+ORACLE_ASOF_LAST_CLICK = f"""
+asof_tagged AS (
+  SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, value,
+         CASE WHEN event_type = '{ASOF_REF_TYPE}' THEN 0 ELSE 1 END AS tag
+  FROM events
+  WHERE event_type IN ('{ASOF_REF_TYPE}', '{ASOF_PROBE_TYPE}')
+),
+asof_carried AS (
+  SELECT event_id, ts_ms, user_id, value, tag,
+         last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+           OVER w AS last_click_id,
+         last_value(CASE WHEN tag = 0 THEN ts_ms END IGNORE NULLS)
+           OVER w AS last_click_ts_ms,
+         last_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS)
+           OVER w AS last_click_value
+  FROM asof_tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+asof_last_click AS (
+  SELECT event_id, user_id, ts_ms, value, last_click_id,
+         last_click_ts_ms, ts_ms - last_click_ts_ms AS ms_since_click,
+         last_click_value
+  FROM asof_carried WHERE tag = 1
+)
+"""
+
+
+def range_join_nearby_clicks(events: DataFrame) -> DataFrame:
+    """For every error event, count and sum the clicks of the same user
+    within +/- RANGE_MS.
+
+    Plan: bucket width == range, clicks replicated into buckets
+    {{b-1, b, b+1}} (3x the SMALL filtered side, not the corpus),
+    equi-join on (user_id, bucket), exact |dt| <= range filter, then a
+    hash-agg per error and a left join back so zero-match errors emit
+    (0, 0.0). Every candidate pair shares a bucket, so the worst case
+    is events-per-bucket^2, not events-per-user^2.
+    """
+    ev = events.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    probes = ev.filter(F.col("event_type") == RANGE_PROBE_TYPE).select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.floor(F.col("ts_ms") / RANGE_MS).alias("bucket"),
+    )
+    refs = (
+        ev.filter(F.col("event_type") == RANGE_REF_TYPE)
+        .select(
+            "user_id",
+            F.col("ts_ms").alias("click_ts_ms"),
+            F.col("value").alias("click_value"),
+            F.explode(
+                F.array(
+                    F.floor(F.col("ts_ms") / RANGE_MS) - 1,
+                    F.floor(F.col("ts_ms") / RANGE_MS),
+                    F.floor(F.col("ts_ms") / RANGE_MS) + 1,
+                )
+            ).alias("bucket"),
+        )
+    )
+    hits = (
+        probes.join(refs, ["user_id", "bucket"])
+        .filter(
+            F.abs(F.col("click_ts_ms") - F.col("ts_ms")) <= RANGE_MS
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count("*").alias("n_clicks_nearby"),
+            F.round(F.sum("click_value"), 4).alias("sum_click_value"),
+        )
+    )
+    return (
+        probes.select("event_id", "user_id", "ts_ms")
+        .join(hits, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_ms",
+            F.coalesce("n_clicks_nearby", F.lit(0)).alias(
+                "n_clicks_nearby"
+            ),
+            F.coalesce(
+                "sum_click_value", F.lit(0.0).cast("double")
+            ).alias("sum_click_value"),
+        )
+    )
+
+
+ORACLE_RANGE_JOIN_NEARBY_CLICKS = f"""
+range_probes AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_type = '{RANGE_PROBE_TYPE}'
+),
+range_refs AS (
+  SELECT user_id, epoch_ms(ts) AS click_ts_ms, value AS click_value
+  FROM events WHERE event_type = '{RANGE_REF_TYPE}'
+),
+range_join_nearby_clicks AS (
+  SELECT p.event_id, p.user_id, p.ts_ms,
+         CAST(count(r.click_ts_ms) AS BIGINT) AS n_clicks_nearby,
+         coalesce(round(sum(r.click_value), 4), 0.0) AS sum_click_value
+  FROM range_probes p
+  LEFT JOIN range_refs r
+    ON p.user_id = r.user_id
+   AND abs(r.click_ts_ms - p.ts_ms) <= {RANGE_MS}
+  GROUP BY 1, 2, 3
+)
+"""
+
+
+#: quantile probes for the per-type value distribution.
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def type_value_quantiles(events: DataFrame) -> DataFrame:
+    """Per-event-type distribution stats: exact p50/p90/p99 of value
+    (linear interpolation — matches quantile_cont), count, exact
+    distinct users. Exact percentiles need the group's values sorted —
+    one shuffle on event_type; low-cardinality group keys are fine
+    because values within a group spread across partitions first
+    (partial aggregation) before the final per-key merge.
+    """
+    qcols = [
+        F.round(F.percentile("value", F.lit(q)), 4).alias(
+            f"p{int(q * 100)}"
+        )
+        for q in QUANTILES
+    ]
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            *qcols,
+        )
+    )
+
+
+_QSEL = ", ".join(
+    f"round(quantile_cont(value, {q}), 4) AS p{int(q * 100)}"
+    for q in QUANTILES
+)
+
+ORACLE_TYPE_VALUE_QUANTILES = f"""
+type_value_quantiles AS (
+  SELECT event_type,
+         count(*) AS n,
+         count(DISTINCT user_id) AS n_users,
+         {_QSEL}
+  FROM events
+  GROUP BY 1
+)
+"""
+
+
+def approx_distinct_users(events: DataFrame) -> DataFrame:
+    """Per-type approximate distinct users (HyperLogLog++) next to the
+    exact count. At 100 TB the approx column is the one you can afford
+    — HLL sketches merge map-side in constant memory, where exact
+    distinct shuffles every (type, user) pair. rows-only check (sketch
+    estimates are Spark-specific); the property test bounds the
+    relative error against the exact column.
+    """
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias(
+            "n_users_approx"
+        ),
+        F.countDistinct("user_id").alias("n_users_exact"),
+    )

@@ -265,6 +265,150 @@ top_terms_per_lang AS (
 """
 
 
+#: batch packing: token budget per training batch, and the shard width
+#: (in doc_id space) that bounds each packing window's size.
+PACK_BUDGET_TOKENS = 1000
+PACK_SHARD_DOCS = 256
+
+
+def pack_batches(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET_TOKENS,
+    shard_docs: int = PACK_SHARD_DOCS,
+) -> DataFrame:
+    """Training-batch packing: assign docs (in doc_id order, within
+    language) to fixed-token-budget batches; emit per-batch totals.
+
+    A batch boundary falls wherever the running token count crosses a
+    multiple of ``budget`` — the streaming-pack rule (each batch lands
+    within one doc of the budget; no bin-search, one pass). Packing
+    runs per (lang, shard) where shard = doc_id div ``shard_docs``:
+    the cumulative-sum window sorts only ``shard_docs`` rows, so the
+    plan is embarrassingly parallel at 100 TB — a single global
+    sequence would serialize the corpus through one partition, and
+    training batches don't need global order, just determinism (which
+    doc_id-ordered shards give).
+    """
+    toks = token_counts(docs).select("doc_id", "n_tokens")
+    sharded = (
+        docs.select("doc_id", "lang")
+        .join(toks, "doc_id")
+        .withColumn("shard", F.floor(F.col("doc_id") / shard_docs))
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sharded.withColumn(
+        "batch_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget
+        ),
+    )
+    return packed.groupBy("lang", "shard", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("batch_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+ORACLE_PACK_BATCHES = f"""
+pb_cum AS (
+  SELECT d.doc_id, d.lang, t.n_tokens,
+         CAST(floor(d.doc_id / {PACK_SHARD_DOCS}) AS BIGINT) AS shard,
+         coalesce(CAST(sum(t.n_tokens) OVER (
+           PARTITION BY d.lang, floor(d.doc_id / {PACK_SHARD_DOCS})
+           ORDER BY d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT), 0) AS cum_before
+  FROM documents d JOIN token_counts t USING (doc_id)
+),
+pack_batches AS (
+  SELECT lang, shard,
+         CAST(floor(cum_before / {PACK_BUDGET_TOKENS}) AS BIGINT)
+           AS batch_id,
+         count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS batch_tokens,
+         min(doc_id) AS first_doc,
+         max(doc_id) AS last_doc
+  FROM pb_cum
+  GROUP BY 1, 2, 3
+)
+"""
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Per-document TF-IDF: top-k discriminative terms per doc
+    (tf * ln(N/df), ranked on the ROUNDED score so the ordering is
+    engine-stable; ties broken by term).
+
+    Three stages, all key-partitioned: (doc, term) tf hash-agg, term df
+    hash-agg (term side is vocabulary-sized — broadcast-eligible, AQE
+    decides), per-doc top-k window. The corpus size N is a broadcast
+    scalar, not a driver constant baked at plan time.
+    """
+    tok = (
+        docs.select("doc_id", F.explode(_tokens_col()).alias("term"))
+        .filter(F.length("term") >= MIN_TERM_LEN)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_corpus"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_corpus") / F.col("df")),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), "term"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+ttok AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+'))
+          AS t
+        FROM documents)
+  WHERE length(t) >= {MIN_TERM_LEN}
+),
+ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttok GROUP BY 1, 2),
+tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY 1),
+tcorpus AS (SELECT count(DISTINCT doc_id) AS n_corpus FROM documents),
+tscored AS (
+  SELECT f.doc_id, f.term, f.tf, tdf.df,
+         round(f.tf * ln(CAST(c.n_corpus AS DOUBLE) / tdf.df), 4) AS tfidf
+  FROM ttf f JOIN tdf USING (term), tcorpus c
+),
+tfidf_top_terms AS (
+  SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+    SELECT doc_id, term, tf, df, tfidf,
+           CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT)
+             AS rnk
+    FROM tscored
+  ) WHERE rnk <= {TFIDF_TOP_K}
+)
+"""
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprinting: md5 over the sorted distinct token set
     (order-normalized content signature — catches shuffled copies that

@@ -291,6 +291,98 @@ def run_stream_windowed_watermark(
     return spark.table(name)
 
 
+#: stream-stream join window: purchases match clicks at most this far
+#: back (same bound the watermark uses to expire click state).
+JOIN_LOOKBACK_MIN = 30
+
+
+def run_stream_interval_join(
+    spark: SparkSession, sf_dir: str, name: str = "stream_ssjoin"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase inner-joins the same
+    user's clicks from the previous 30 minutes.
+
+    The canonical two-stream stateful shape: both sides carry a
+    watermark and the join condition bounds event time, so each side's
+    state store holds only the lookback window — without the time
+    bound, stream-stream join state grows forever. Inner joins emit
+    every match exactly once as it forms, so over a bounded input the
+    result set equals the batch inequality join — which is the oracle.
+    State shards by user_id (the equi-key); scale-out is the same
+    story as the other stateful queries.
+    """
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "user_id",
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("p_user_id"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts")
+            - F.expr(f"INTERVAL {JOIN_LOOKBACK_MIN} MINUTES")
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user_id").alias("user_id"),
+        (
+            F.unix_millis("purchase_ts") - F.unix_millis("click_ts")
+        ).alias("ms_before_purchase"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_STREAM_INTERVAL_JOIN = f"""
+ssj_clicks AS (
+  SELECT event_id AS click_id, ts AS click_ts, user_id
+  FROM events WHERE event_type = 'click'
+),
+ssj_purchases AS (
+  SELECT event_id AS purchase_id, ts AS purchase_ts, user_id
+  FROM events WHERE event_type = 'purchase'
+),
+stream_interval_join AS (
+  SELECT p.purchase_id, c.click_id, p.user_id,
+         epoch_ms(p.purchase_ts) - epoch_ms(c.click_ts)
+           AS ms_before_purchase
+  FROM ssj_purchases p
+  JOIN ssj_clicks c
+    ON c.user_id = p.user_id
+   AND c.click_ts <= p.purchase_ts
+   AND c.click_ts >= p.purchase_ts - INTERVAL {JOIN_LOOKBACK_MIN} MINUTES
+)
+"""
+
+
 def run_stream_session_window(
     spark: SparkSession, sf_dir: str, name: str = "stream_sessions"
 ) -> DataFrame:

@@ -96,3 +96,20 @@ def test_exact_dedup_single_shuffle(spark):
     n_exchange = plan.count("Arguments: hashpartitioning")
     assert n_exchange == 1, plan
     assert "partial_min" in plan and "partial_count" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join is union-tag-window: exactly ONE exchange on
+    user_id (the naive inequality-join plan would be a nested loop)."""
+    plan = _plan(spark, "events_asof_join")
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_stays_equi(spark):
+    """The bucketed range join must lower to hash equi-joins on
+    (user_id, bucket) — never a nested-loop over the inequality."""
+    plan = _plan(spark, "events_range_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -171,3 +171,149 @@ def test_salted_agg_equals_direct_groupby(spark, rows):
         .collect()
     }
     assert salted == direct
+
+
+# ---------------------------------------------------------------------------
+# temporal operators (as-of / range join) vs brute-force reference
+# ---------------------------------------------------------------------------
+
+_event_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),          # user_id
+        st.integers(min_value=0, max_value=10_000),     # ts seconds
+        st.sampled_from(["click", "purchase", "error"]),
+        st.integers(min_value=0, max_value=100),        # value*1 int
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _events_df(spark, rows):
+    from pyspark.sql import types as T
+
+    data = [
+        (i, user, sec * 1000, typ, float(val))
+        for i, (user, sec, typ, val) in enumerate(rows)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(data, schema)
+    return df.withColumn(
+        "ts", F.expr("timestamp_millis(ts_ms)")
+    ).drop("ts_ms")
+
+
+@settings(**_SETTINGS)
+@given(rows=_event_rows)
+def test_asof_join_matches_bruteforce(spark, rows):
+    """For every purchase, the carried click is exactly the max
+    (ts, event_id) click of the same user at-or-before the purchase."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    df = _events_df(spark, rows)
+    got = {
+        r["event_id"]: r["last_click_id"]
+        for r in temporal.asof_last_click(df).collect()
+    }
+    events = [
+        (i, user, sec * 1000, typ)
+        for i, (user, sec, typ, _val) in enumerate(rows)
+    ]
+    purchases = [e for e in events if e[3] == "purchase"]
+    clicks = [e for e in events if e[3] == "click"]
+    assert set(got) == {p[0] for p in purchases}
+    for pid, puser, pts, _ in purchases:
+        eligible = [
+            (ts, cid) for cid, cuser, ts, _ in clicks
+            if cuser == puser and ts <= pts
+        ]
+        want = max(eligible)[1] if eligible else None
+        assert got[pid] == want, (pid, got[pid], want)
+
+
+@settings(**_SETTINGS)
+@given(rows=_event_rows)
+def test_range_join_matches_bruteforce(spark, rows):
+    """Bucketed range join == brute-force count of same-user clicks
+    within the window, including zero-match probes."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    df = _events_df(spark, rows)
+    got = {
+        r["event_id"]: r["n_clicks_nearby"]
+        for r in temporal.range_join_nearby_clicks(df).collect()
+    }
+    events = [
+        (i, user, sec * 1000, typ)
+        for i, (user, sec, typ, _val) in enumerate(rows)
+    ]
+    errors = [e for e in events if e[3] == "error"]
+    clicks = [e for e in events if e[3] == "click"]
+    assert set(got) == {e[0] for e in errors}
+    for eid, euser, ets, _ in errors:
+        want = sum(
+            1 for _cid, cuser, cts, _ in clicks
+            if cuser == euser and abs(cts - ets) <= temporal.RANGE_MS
+        )
+        assert got[eid] == want, (eid, got[eid], want)
+
+
+def test_approx_distinct_within_rsd(spark):
+    """HLL estimate stays within 5x the configured 2% rsd of the exact
+    count on the fixture (generous bound: rsd is a standard deviation,
+    not a hard limit)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    df = temporal.approx_distinct_users(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    )
+    for r in df.collect():
+        exact, approx = r["n_users_exact"], r["n_users_approx"]
+        assert abs(approx - exact) <= max(2, 0.10 * exact), r
+
+
+def test_pack_batches_invariants(spark):
+    """Every batch lands within one doc of the token budget, batches
+    partition the corpus exactly, and doc ranges never overlap within
+    a (lang, shard)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n_docs = docs.count()
+    batches = textstats.pack_batches(docs).collect()
+    assert sum(r["n_docs"] for r in batches) == n_docs
+    budget = textstats.PACK_BUDGET_TOKENS
+    by_group: dict[tuple, list] = {}
+    for r in batches:
+        by_group.setdefault((r["lang"], r["shard"]), []).append(r)
+    for rows in by_group.values():
+        rows.sort(key=lambda r: r["batch_id"])
+        # non-final batches must have crossed the budget boundary;
+        # ranges must be disjoint and ordered.
+        for prev, cur in zip(rows, rows[1:]):
+            assert prev["last_doc"] < cur["first_doc"]
+        total = sum(r["batch_tokens"] for r in rows)
+        n_batches = rows[-1]["batch_id"] + 1
+        assert len(rows) <= n_batches or total >= budget * (len(rows) - 1)

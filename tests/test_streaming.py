@@ -72,3 +72,33 @@ def test_sessionize_batch_invariants(spark):
     assert sess.agg(F.sum("n_events")).first()[0] == events.count()
     # no negative durations
     assert sess.filter(F.col("duration_ms") < 0).count() == 0
+
+
+def test_stream_interval_join_matches_batch(spark):
+    """Inner stream-stream interval join over bounded input must equal
+    the batch inequality join with the same condition."""
+    out = ev.run_stream_interval_join(spark, SF_SMOKE, name="t_ssj")
+    events = load_table(spark, SF_SMOKE, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "user_id",
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("user_id").alias("p_user_id"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts")
+            - F.expr(f"INTERVAL {ev.JOIN_LOOKBACK_MIN} MINUTES")
+        ),
+    )
+    assert _rows(out, "purchase_id", "click_id") == _rows(
+        batch, "purchase_id", "click_id"
+    )
