@@ -55,6 +55,9 @@ from big_data_instacart_market_basket_analysis_spark.plans.instacart import (
 from big_data_instacart_market_basket_analysis_spark.functions.skew import (
     salted_sum_count,
 )
+from big_data_instacart_market_basket_analysis_spark.sources.json_ingest import (
+    ORACLE_EVENTS_JSON_ROUNDTRIP,
+)
 from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
     load_table,
 )
@@ -417,6 +420,17 @@ def q_docs_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.pack_batches(_docs(spark, sf_dir))
 
 
+def q_json_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-family on JSON lines: events round-tripped through a
+    distributed JSON write + pinned-schema read must equal the parquet
+    table."""
+    from big_data_instacart_market_basket_analysis_spark.sources import (
+        json_ingest as _json,
+    )
+
+    return _json.events_json_roundtrip(spark, sf_dir)
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every purchase annotated with the same user's latest
     click at-or-before it (union-tag-window — ONE shuffle, no
@@ -434,6 +448,12 @@ def q_events_type_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 of value per event_type + exact distinct
     users."""
     return _tmp.type_value_quantiles(load_table(spark, sf_dir, "events"))
+
+
+def q_events_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (event_type x day-of-week): all grouping sets in one
+    shuffle, grouping flags distinguish subtotals from real NULLs."""
+    return _tmp.cube_type_dow(load_table(spark, sf_dir, "events"))
 
 
 def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,9 +593,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_json_stats": q_events_json_stats,
         "events_user_stats_salted": q_events_user_stats_salted,
+        "json_ingest_events": q_json_ingest_events,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "events_type_quantiles": q_events_type_quantiles,
+        "events_cube_stats": q_events_cube_stats,
         "events_approx_distinct": q_events_approx_distinct,
         "stream_tumbling_hourly": q_stream_tumbling_hourly,
         "stream_sliding_watermark": q_stream_sliding_watermark,
@@ -708,6 +730,9 @@ def oracle_sql() -> dict[str, str]:
             [_text.ORACLE_TOKEN_COUNTS, _text.ORACLE_PACK_BATCHES],
             "pack_batches",
         ),
+        "json_ingest_events": _ext_oracle(
+            [ORACLE_EVENTS_JSON_ROUNDTRIP], "events_json_roundtrip"
+        ),
         "events_asof_join": _ext_oracle(
             [_tmp.ORACLE_ASOF_LAST_CLICK], "asof_last_click"
         ),
@@ -717,6 +742,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_type_quantiles": _ext_oracle(
             [_tmp.ORACLE_TYPE_VALUE_QUANTILES], "type_value_quantiles"
+        ),
+        "events_cube_stats": _ext_oracle(
+            [_tmp.ORACLE_CUBE_TYPE_DOW], "cube_type_dow"
         ),
         "events_tumbling_hourly": _ext_oracle(
             [_ev.ORACLE_TUMBLING_HOURLY], "tumbling_hourly"

@@ -427,10 +427,13 @@ def connected_clusters(
         new_edges = _small_star(_large_star(edges)).localCheckpoint(
             eager=True
         )
+        # both sides are distinct sets, so set equality reduces to
+        # |new| == |old| AND new \ old == {} — one anti-join, not two
+        # exceptAll passes (counts on checkpointed data are near-free).
         changed = (
-            new_edges.exceptAll(edges)
-            .union(edges.exceptAll(new_edges))
-            .count()
+            1
+            if new_edges.count() != edges.count()
+            else new_edges.join(edges, ["src", "dst"], "leftanti").count()
         )
         # drop the superseded generation's reference -> context cleaner
         # frees its checkpoint blocks.

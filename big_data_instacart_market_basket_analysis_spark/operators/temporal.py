@@ -273,6 +273,41 @@ type_value_quantiles AS (
 """
 
 
+def cube_type_dow(events: DataFrame) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all four grouping sets in
+    one pass — per-cell, per-type, per-dow, and grand total, tagged
+    with grouping flags so consumers can tell a real NULL from a
+    subtotal row. The multi-dim aggregation shape a metrics rollup
+    uses; Spark expands the cube map-side, so it is still a single
+    shuffle.
+    """
+    dow = F.dayofweek("ts").alias("dow")
+    return (
+        events.select("event_type", dow, "value")
+        .cube("event_type", "dow")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("dow").cast("int").alias("g_dow"),
+        )
+    )
+
+
+ORACLE_CUBE_TYPE_DOW = """
+cube_type_dow AS (
+  SELECT event_type,
+         CAST(dayofweek(ts) + 1 AS INT) AS dow,
+         count(*) AS n_events,
+         round(sum(value), 4) AS sum_value,
+         CAST(GROUPING(event_type) AS INT) AS g_type,
+         CAST(GROUPING(CAST(dayofweek(ts) + 1 AS INT)) AS INT) AS g_dow
+  FROM events
+  GROUP BY CUBE (event_type, CAST(dayofweek(ts) + 1 AS INT))
+)
+"""
+
+
 def approx_distinct_users(events: DataFrame) -> DataFrame:
     """Per-type approximate distinct users (HyperLogLog++) next to the
     exact count. At 100 TB the approx column is the one you can afford

@@ -67,6 +67,30 @@ def write_json(
     df.write.mode(mode).json(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows are hash-partitioned into
+    ``n_buckets`` files per partition BY THE WRITE, and every
+    subsequent join/agg on ``bucket_cols`` between tables with the same
+    bucketing reads co-located — no exchange at query time. The 100 TB
+    pattern for fact-to-fact joins that repeat across a pipeline: pay
+    the shuffle once at ingest, never again (demonstrated shuffle-free
+    in ``tests/test_bucketing.py``). Bucket count is the parallelism
+    floor for downstream scans — size it to the cluster, not the data.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table)
+    )
+
+
 def show_console(df: DataFrame, n: int = 20) -> None:
     """S9 parity sink (F.py:318): driver console, bounded rows."""
     df.show(n, truncate=False)
