@@ -325,12 +325,26 @@ def q_fpgrowth_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: one DataFrame IDENTITY per (session, sf_dir): the dedup operators
+#: memoize staged shingles / cluster labels by input-object identity,
+#: so handing every query the same object lets e.g. corpus_prep reuse
+#: the fixpoint dedup_clusters already computed in this session.
+_READ_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _read_once(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    key = (id(spark), sf_dir, table)
+    if key not in _READ_CACHE:
+        _READ_CACHE[key] = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return _READ_CACHE[key]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read_once(spark, sf_dir, "documents")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _read_once(spark, sf_dir, "embeddings")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
