@@ -464,6 +464,18 @@ def q_events_type_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.type_value_quantiles(load_table(spark, sf_dir, "events"))
 
 
+def q_events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of purchase value (regr_slope/intercept/corr
+    in one hash-agg)."""
+    return _tmp.user_value_trend(load_table(spark, sf_dir, "events"))
+
+
+def q_events_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window family over per-user spend: ntile / percent_rank
+    / cume_dist with a deterministic tiebreak."""
+    return _tmp.user_spend_deciles(load_table(spark, sf_dir, "events"))
+
+
 def q_events_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE (event_type x day-of-week): all grouping sets in one
     shuffle, grouping flags distinguish subtotals from real NULLs."""
@@ -611,6 +623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "events_type_quantiles": q_events_type_quantiles,
+        "events_user_trend": q_events_user_trend,
+        "events_spend_deciles": q_events_spend_deciles,
         "events_cube_stats": q_events_cube_stats,
         "events_approx_distinct": q_events_approx_distinct,
         "stream_tumbling_hourly": q_stream_tumbling_hourly,
@@ -759,6 +773,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_cube_stats": _ext_oracle(
             [_tmp.ORACLE_CUBE_TYPE_DOW], "cube_type_dow"
+        ),
+        "events_user_trend": _ext_oracle(
+            [_tmp.ORACLE_USER_VALUE_TREND], "user_value_trend"
+        ),
+        "events_spend_deciles": _ext_oracle(
+            [_tmp.ORACLE_USER_SPEND_DECILES], "user_spend_deciles"
         ),
         "events_tumbling_hourly": _ext_oracle(
             [_ev.ORACLE_TUMBLING_HOURLY], "tumbling_hourly"

@@ -308,6 +308,140 @@ cube_type_dow AS (
 """
 
 
+#: regression time origin — x is seconds since the dataset epoch, not
+#: raw epoch seconds: regr_slope's moment sums square x, and 1e9-scale
+#: epochs push the partial sums to where partition order perturbs the
+#: last retained digits. Centered x keeps the sums ~1e12, so the
+#: round(4) contract holds on any partitioning.
+TREND_EPOCH = "2024-01-01"
+
+
+def user_value_trend(events: DataFrame) -> DataFrame:
+    """Per-user linear trend of purchase value over time: OLS slope /
+    intercept / correlation — one hash-agg, no Python, no window.
+
+    Derived from explicit moment sums (n, Σx, Σy, Σxy, Σx², Σy²) with
+    the identical expression replayed in the oracle, NOT the engines'
+    ``regr_*`` built-ins: their incremental-moment algorithms disagree
+    at ~1e-10 in slope, and the intercept amplifies that by x̄ (~1e6 s)
+    past the round(4) contract. The x values are integral seconds, so
+    Σx/Σx² are exact at any aggregation order, and the one division
+    chain is shared — hash-stable by the repo float rule. Users with a
+    single purchase get NULL slope/corr (zero x-variance), kept.
+    """
+    # x = WHOLE seconds since the dataset epoch (floor of millis):
+    # integral doubles sum exactly in any order. unix_seconds here,
+    # floor(epoch_ms/1000) in the oracle — DuckDB's epoch() keeps the
+    # fractional part, which would diverge the moment sums.
+    x = (
+        F.unix_seconds("ts")
+        - F.unix_seconds(F.lit(TREND_EPOCH).cast("timestamp"))
+    ).cast("double")
+    purchases = events.filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", F.col("value").alias("y"), x.alias("x"))
+    sums = purchases.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / F.nullif(den_x, F.lit(0.0))
+    # + 0.0 normalizes IEEE -0.0 (a tiny negative rounds to -0.0 in
+    # DuckDB, +0.0 here — same value, different hash text).
+    return sums.select(
+        "user_id",
+        F.col("n").alias("n_purchases"),
+        (F.round(slope, 4) + 0.0).alias("slope"),
+        (
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4)
+            + 0.0
+        ).alias("intercept"),
+        (
+            F.round(num / F.nullif(F.sqrt(den_x * den_y), F.lit(0.0)), 4)
+            + 0.0
+        ).alias("corr_value_time"),
+    )
+
+
+ORACLE_USER_VALUE_TREND = f"""
+uvt_sums AS (
+  SELECT user_id,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM (
+    SELECT user_id, value AS y,
+           CAST(floor(epoch_ms(ts) / 1000)
+                - floor(epoch_ms(TIMESTAMP '{TREND_EPOCH}') / 1000)
+                AS DOUBLE) AS x
+    FROM events WHERE event_type = 'purchase'
+  )
+  GROUP BY 1
+),
+user_value_trend AS (
+  SELECT user_id,
+         CAST(n AS BIGINT) AS n_purchases,
+         round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0), 4)
+           + 0.0 AS slope,
+         round((sy - ((n * sxy - sx * sy)
+                      / nullif(n * sxx - sx * sx, 0.0)) * sx) / n, 4)
+           + 0.0 AS intercept,
+         round((n * sxy - sx * sy)
+               / nullif(sqrt((n * sxx - sx * sx)
+                             * (n * syy - sy * sy)), 0.0), 4)
+           + 0.0 AS corr_value_time
+  FROM uvt_sums
+)
+"""
+
+
+def user_spend_deciles(events: DataFrame) -> DataFrame:
+    """Rank users by total purchase spend: ntile decile, percent_rank,
+    cume_dist — the ranking-window function family in one query. The
+    ORDER BY includes user_id so ties rank deterministically on every
+    engine and partitioning. One shuffle for the per-user sum; the
+    global window is a single ordered pass over one row per user
+    (ranking a pre-aggregated table, not the fact stream — the only
+    shape a global window is acceptable in at 100 TB).
+    """
+    spend = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("total_spend"))
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), "user_id")
+    return spend.select(
+        "user_id",
+        "total_spend",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+ORACLE_USER_SPEND_DECILES = """
+usd_spend AS (
+  SELECT user_id, round(sum(value), 4) AS total_spend
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+user_spend_deciles AS (
+  SELECT user_id, total_spend,
+         CAST(ntile(10) OVER w AS INT) AS decile,
+         round(percent_rank() OVER w, 4) AS pct_rank,
+         round(cume_dist() OVER w, 4) AS cume
+  FROM usd_spend
+  WINDOW w AS (ORDER BY total_spend DESC, user_id)
+)
+"""
+
+
 def approx_distinct_users(events: DataFrame) -> DataFrame:
     """Per-type approximate distinct users (HyperLogLog++) next to the
     exact count. At 100 TB the approx column is the one you can afford
