@@ -294,6 +294,12 @@ def q_sql_dept_top_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sqlapi.sql_dept_top_reordered(spark, sf_dir)
 
 
+def q_sql_corpus_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end over the [EXT] views: per-language corpus-prep
+    yield via spark.sql on corpus_prep_v."""
+    return _sqlapi.sql_corpus_lang_stats(spark, sf_dir)
+
+
 def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket frequent pairs (support-counted co-occurrence)."""
     return _bask.frequent_pairs(instacart_tables(spark, sf_dir))
@@ -400,6 +406,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.embedding_near_dup_pairs(_emb(spark, sf_dir))
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded k-means codebook over embeddings (rows-only: trained
+    codebooks are not cross-engine replayable)."""
+    return _sim.kmeans_clusters(_emb(spark, sf_dir))
+
+
+def q_embedding_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-stratified diversity sample over the deterministic IVF
+    cells (per-cell top-N most-central vectors)."""
+    return _sim.ivf_diverse_sample(_emb(spark, sf_dir))
 
 
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_products_per_user": q_top_products_per_user,
         "sql_dept_stats": q_sql_dept_stats,
         "sql_dept_top_reordered": q_sql_dept_top_reordered,
+        "sql_corpus_lang_stats": q_sql_corpus_lang_stats,
         "frequent_pairs": q_frequent_pairs,
         "pair_rules": q_pair_rules,
         "basket_sizes": q_basket_sizes,
@@ -643,6 +662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_kmeans": q_embedding_kmeans,
+        "embedding_diverse_sample": q_embedding_diverse_sample,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -728,6 +749,15 @@ def oracle_sql() -> dict[str, str]:
             "corpus_prep",
             recursive=True,
         ),
+        "sql_corpus_lang_stats": _ext_oracle(
+            [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD,
+             _dedup.ORACLE_CONNECTED_CLUSTERS,
+             _text.oracle_quality_scores(), _text.ORACLE_TOKEN_COUNTS,
+             _text.ORACLE_CORPUS_PREP,
+             _sqlapi.ORACLE_SQL_CORPUS_LANG_STATS],
+            "sql_corpus_lang_stats",
+            recursive=True,
+        ),
         "ann_brute_force": _ext_oracle(
             [_sim.ORACLE_BRUTE_FORCE_TOPK], "brute_force_topk"
         ),
@@ -735,6 +765,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ext_oracle([_sim.oracle_ivf_ann_topk()], "ivf_ann_topk"),
         "embedding_near_dup": _ext_oracle(
             [_sim.oracle_embedding_near_dup()], "embedding_near_dup"
+        ),
+        "embedding_diverse_sample": _ext_oracle(
+            [_sim.oracle_ivf_diverse_sample()], "ivf_diverse_sample"
         ),
         "text_token_counts": _ext_oracle(
             [_text.ORACLE_TOKEN_COUNTS], "token_counts"

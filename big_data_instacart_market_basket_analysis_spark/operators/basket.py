@@ -122,34 +122,47 @@ def pair_rules(
     )
     pairs = frequent_pairs(t, min_count).select("p1", "p2", "pair_count")
 
-    def _directed(ante: str, cons: str) -> DataFrame:
-        return (
-            pairs.select(
-                F.col(ante).alias("antecedent"),
-                F.col(cons).alias("consequent"),
-                "pair_count",
-            )
-            .join(
-                F.broadcast(
-                    item_counts.select(
-                        F.col("productID").alias("antecedent"),
-                        F.col("item_count").alias("ante_count"),
-                    )
-                ),
-                "antecedent",
-            )
-            .join(
-                F.broadcast(
-                    item_counts.select(
-                        F.col("productID").alias("consequent"),
-                        F.col("item_count").alias("cons_count"),
-                    )
-                ),
-                "consequent",
-            )
+    # both rule directions from ONE scan of the pair table: a union of
+    # two selects would embed the basket self-join + aggregation twice
+    # in the plan and execute it twice (measured ~2x the frequent_pairs
+    # time); the explode doubles rows map-side instead.
+    rules = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("p1").alias("antecedent"),
+                        F.col("p2").alias("consequent"),
+                        F.col("pair_count").alias("pair_count"),
+                    ),
+                    F.struct(
+                        F.col("p2").alias("antecedent"),
+                        F.col("p1").alias("consequent"),
+                        F.col("pair_count").alias("pair_count"),
+                    ),
+                )
+            ).alias("r")
         )
-
-    rules = _directed("p1", "p2").unionByName(_directed("p2", "p1"))
+        .select("r.*")
+        .join(
+            F.broadcast(
+                item_counts.select(
+                    F.col("productID").alias("antecedent"),
+                    F.col("item_count").alias("ante_count"),
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                item_counts.select(
+                    F.col("productID").alias("consequent"),
+                    F.col("item_count").alias("cons_count"),
+                )
+            ),
+            "consequent",
+        )
+    )
     return rules.crossJoin(F.broadcast(_n_baskets(bk))).select(
         "antecedent",
         "consequent",

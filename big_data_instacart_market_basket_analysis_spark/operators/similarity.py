@@ -428,3 +428,110 @@ embedding_near_dup AS (
         >= {NEAR_DUP_COSINE}
 )
 """
+
+
+KMEANS_K = 8
+KMEANS_SEED = 42
+SAMPLE_PER_CELL = 5
+
+
+def kmeans_clusters(
+    emb: DataFrame, k: int = KMEANS_K, seed: int = KMEANS_SEED
+) -> DataFrame:
+    """Embedding k-means (pyspark.ml KMeans, k-means|| init, seeded):
+    the trained-codebook path for semantic clustering / IVF training.
+    Iterative Lloyd steps are Spark jobs over cached features — the
+    distributed path a 100 TB codebook training takes (sampled down in
+    practice). Cross-engine replay of the trained codebook is not
+    possible (init + float reduction order are engine-specific), so the
+    declared query is rows-only; the invariant test pins cluster count
+    and assignment totality. Output: (vec_id, cluster_id).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        "vec_id", array_to_vector(_as_double("embedding")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=5).fit(feats)
+    return model.transform(feats).select(
+        "vec_id", F.col("prediction").cast("int").alias("cluster_id")
+    )
+
+
+def ivf_diverse_sample(
+    emb: DataFrame, per_cell: int = SAMPLE_PER_CELL
+) -> DataFrame:
+    """Cluster-stratified diversity sampling: keep the ``per_cell``
+    most-central vectors of every IVF cell — the curation primitive
+    that caps any one semantic region's share of a training set.
+
+    Reuses the deterministic IVF quantizer (so the full pipeline is
+    oracle-replayable, unlike a KMeans codebook): assignment is the
+    same max_by hash-agg as the IVF index build (no corpus-wide window
+    sort), and the per-cell top-N window ranks only within cells.
+    Output: (centroid_id, vec_id, rnk).
+    """
+    vecs = emb.select("vec_id", _as_double("embedding").alias("v"))
+    cents = _ivf_centroids(emb)
+    assigned = (
+        vecs.join(F.broadcast(cents))
+        .withColumn(
+            "cscore",
+            F.expr(_DOT.format(a="v", b="centv")) / F.col("centnorm"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(struct(centroid_id, cscore),"
+                " struct(cscore, -centroid_id))"
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.centroid_id").alias("centroid_id"),
+            F.col("m.cscore").alias("cscore"),
+        )
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("cscore").desc(), "vec_id"
+    )
+    return (
+        assigned.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= per_cell)
+        .select("centroid_id", "vec_id", "rnk")
+    )
+
+
+def oracle_ivf_diverse_sample() -> str:
+    return f"""
+dsvecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+dscents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS centnorm
+  FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+),
+dsassign AS (
+  SELECT vec_id, centroid_id, cscore FROM (
+    SELECT x.vec_id, c.centroid_id,
+           list_dot_product(x.v, c.centv) / c.centnorm AS cscore,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY list_dot_product(x.v, c.centv) / c.centnorm DESC,
+                      c.centroid_id) AS crank
+    FROM dsvecs x, dscents c
+  ) WHERE crank = 1
+),
+ivf_diverse_sample AS (
+  SELECT centroid_id, vec_id, rnk FROM (
+    SELECT centroid_id, vec_id,
+           CAST(row_number() OVER (
+             PARTITION BY centroid_id
+             ORDER BY cscore DESC, vec_id) AS INT) AS rnk
+    FROM dsassign
+  ) WHERE rnk <= {SAMPLE_PER_CELL}
+)
+"""

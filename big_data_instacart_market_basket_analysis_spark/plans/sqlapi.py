@@ -56,6 +56,20 @@ def register_all(spark: SparkSession, sf_dir: str) -> None:
     _cand.candidates(t).createOrReplaceTempView("candidates_v")
     _bask.frequent_pairs(t).createOrReplaceTempView("frequent_pairs_v")
     _bask.pair_rules(t).createOrReplaceTempView("pair_rules_v")
+    # [EXT] derived views (documents/events) — registered with the same
+    # per-table failure tolerance as the raw fixtures: a missing
+    # documents table must not take down Instacart SQL.
+    try:
+        from ..operators import textstats as _text
+
+        docs = spark.table("documents")
+        _text.token_counts(docs).createOrReplaceTempView("token_counts_v")
+        _text.quality_scores(docs).createOrReplaceTempView(
+            "quality_scores_v"
+        )
+        _text.corpus_prep(docs).createOrReplaceTempView("corpus_prep_v")
+    except Exception:
+        pass
     _REGISTERED.add(key)
 
 
@@ -105,6 +119,35 @@ def sql_dept_top_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rnk <= 3
         """
     )
+
+
+def sql_corpus_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus-prep yield, written in SQL over the [EXT]
+    views — survivors, kept tokens, and mean quality (ratio of sums,
+    rounded) after the full quality + dedup pass."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT lang,
+               count(*)                      AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(sum(quality_score) / count(*), 4) AS avg_quality
+        FROM corpus_prep_v
+        GROUP BY lang
+        """
+    )
+
+
+ORACLE_SQL_CORPUS_LANG_STATS = """
+sql_corpus_lang_stats AS (
+  SELECT lang,
+         count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         round(sum(quality_score) / count(*), 4) AS avg_quality
+  FROM corpus_prep
+  GROUP BY lang
+)
+"""
 
 
 ORACLE_SQL_DEPT_TOP_REORDERED = """

@@ -317,3 +317,32 @@ def test_pack_batches_invariants(spark):
         total = sum(r["batch_tokens"] for r in rows)
         n_batches = rows[-1]["batch_id"] + 1
         assert len(rows) <= n_batches or total >= budget * (len(rows) - 1)
+
+
+def test_kmeans_and_diverse_sample_invariants(spark):
+    """KMeans assigns every vector to one of k clusters (deterministic
+    under the fixed seed); the IVF diversity sample keeps at most
+    per_cell vectors per cell and every sampled vector exists."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    km1 = similarity.kmeans_clusters(emb).collect()
+    assert len(km1) == n
+    assert {r["cluster_id"] for r in km1} <= set(range(similarity.KMEANS_K))
+    km2 = {
+        r["vec_id"]: r["cluster_id"]
+        for r in similarity.kmeans_clusters(emb).collect()
+    }
+    assert {r["vec_id"]: r["cluster_id"] for r in km1} == km2
+
+    sample = similarity.ivf_diverse_sample(emb).collect()
+    per_cell: dict[int, int] = {}
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    for r in sample:
+        per_cell[r["centroid_id"]] = per_cell.get(r["centroid_id"], 0) + 1
+        assert r["vec_id"] in ids
+    assert per_cell
+    assert max(per_cell.values()) <= similarity.SAMPLE_PER_CELL
