@@ -300,6 +300,16 @@ def q_sql_corpus_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sqlapi.sql_corpus_lang_stats(spark, sf_dir)
 
 
+def q_geo_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake dim chain (customer -> nation -> region), broadcast
+    joins, ROLLUP with grouping flags."""
+    return _rel.geo_customer_rollup(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
 def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket frequent pairs (support-counted co-occurrence)."""
     return _bask.frequent_pairs(instacart_tables(spark, sf_dir))
@@ -626,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_dept_stats": q_sql_dept_stats,
         "sql_dept_top_reordered": q_sql_dept_top_reordered,
         "sql_corpus_lang_stats": q_sql_corpus_lang_stats,
+        "geo_customer_rollup": q_geo_customer_rollup,
         "frequent_pairs": q_frequent_pairs,
         "pair_rules": q_pair_rules,
         "basket_sizes": q_basket_sizes,
@@ -790,6 +801,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_batches": _ext_oracle(
             [_text.ORACLE_TOKEN_COUNTS, _text.ORACLE_PACK_BATCHES],
             "pack_batches",
+        ),
+        "geo_customer_rollup": _ext_oracle(
+            [_rel.ORACLE_GEO_CUSTOMER_ROLLUP], "geo_customer_rollup"
         ),
         "json_ingest_events": _ext_oracle(
             [ORACLE_EVENTS_JSON_ROUNDTRIP], "events_json_roundtrip"

@@ -145,8 +145,9 @@ def train_metrics(t: InstacartTables) -> DataFrame:
 
     is1 = F.col("label") == 1.0
     picked1 = F.col("picked") == 1.0
-    rows = []
-    for name, build in MODEL_BUILDERS.items():
+
+    def _one(name_build: tuple) -> tuple:
+        name, build = name_build
         model = build().fit(train70)
         scored = binarize(model.transform(hold30))
         cm = scored.agg(
@@ -155,10 +156,18 @@ def train_metrics(t: InstacartTables) -> DataFrame:
             F.count(F.when(~is1 & ~picked1, 1)).alias("tn"),
             F.count(F.when(is1 & ~picked1, 1)).alias("fn"),
         ).first()
-        precision, recall, f1 = _weighted_prf(
-            cm["tp"], cm["fp"], cm["tn"], cm["fn"]
-        )
-        rows.append((name, precision, recall, f1))
+        return (name, *_weighted_prf(cm["tp"], cm["fp"], cm["tn"],
+                                     cm["fn"]))
+
+    # the three fits are independent job chains — submit them from
+    # threads so the scheduler interleaves their stages across the
+    # executor pool instead of leaving it idle between iterations (the
+    # driver loop is not the bottleneck; the per-iteration stage tail
+    # is). Results keep MODEL_BUILDERS order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(MODEL_BUILDERS)) as pool:
+        rows = list(pool.map(_one, MODEL_BUILDERS.items()))
     train70.unpersist()
 
     spark = t.orders.sparkSession

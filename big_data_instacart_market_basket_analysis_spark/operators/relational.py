@@ -191,3 +191,47 @@ top_products_per_user AS (
   ) WHERE rank <= 3
 )
 """
+
+
+def geo_customer_rollup(
+    customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Snowflake-dimension chain: customer -> nation -> region, rolled
+    up region -> nation -> grand total with grouping flags.
+
+    The classic star/snowflake join shape: both dim hops are explicit
+    broadcasts (25 and 5 rows — at any scale the geography dims stay
+    broadcast-size), so the fact table never shuffles for the join; the
+    ROLLUP is the only exchange.
+    """
+    joined = customer.join(
+        F.broadcast(nation),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).join(
+        F.broadcast(region),
+        nation["n_regionkey"] == region["r_regionkey"],
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+        )
+    )
+
+
+ORACLE_GEO_CUSTOMER_ROLLUP = """
+geo_customer_rollup AS (
+  SELECT r_name, n_name,
+         count(*) AS n_customers,
+         round(sum(c_acctbal), 4) AS total_acctbal,
+         CAST(GROUPING(r_name) AS INT) AS g_region,
+         CAST(GROUPING(n_name) AS INT) AS g_nation
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY ROLLUP (r_name, n_name)
+)
+"""
