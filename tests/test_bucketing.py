@@ -80,3 +80,28 @@ def test_bucketed_join_has_no_exchange(spark, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders_by_user")
         spark.sql("DROP TABLE IF EXISTS b_prior_by_user")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned parquet + a filter on the partition column must
+    prune at planning time: the scan's PartitionFilters carries the
+    predicate, and only the matching directory is read."""
+    import io
+    from contextlib import redirect_stdout
+
+    from big_data_instacart_market_basket_analysis_spark.sources.sinks import (
+        write_parquet,
+    )
+
+    t = instacart_tables(spark, SF_SMOKE)
+    path = str(tmp_path / "products_by_dep")
+    write_parquet(t.products, path, partition_by=["dep_id"])
+    back = spark.read.parquet(path).filter(F.col("dep_id") == 3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "dep_id" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    expected = t.products.filter(F.col("dep_id") == 3).count()
+    assert back.count() == expected
