@@ -451,6 +451,18 @@ def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.top_terms_per_lang(_docs(spark, sf_dir))
 
 
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only PII / entity scrub: redaction count + md5 of scrubbed
+    text (RE2-compatible alternation so both engines match)."""
+    return _text.redact_pii(_docs(spark, sf_dir))
+
+
+def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing shingles with
+    the benchmark set (first doc_ids), via broadcast shingle join."""
+    return _dedup.decontaminate(_docs(spark, sf_dir))
+
+
 def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc TF-IDF top-3 terms (tf/df hash-aggs + per-doc rank)."""
     return _text.tfidf_top_terms(_docs(spark, sf_dir))
@@ -680,6 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprints": q_text_fingerprints,
         "text_top_terms": q_text_top_terms,
+        "text_redact_pii": q_text_redact_pii,
+        "dedup_decontaminate": q_dedup_decontaminate,
         "text_tfidf_top_terms": q_text_tfidf_top_terms,
         "docs_pack_batches": q_docs_pack_batches,
         # slow rows-only queries last (ML trains models; media runs the
@@ -797,6 +811,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_tfidf_top_terms": _ext_oracle(
             [_text.ORACLE_TFIDF_TOP_TERMS], "tfidf_top_terms"
+        ),
+        "text_redact_pii": _ext_oracle(
+            [_text.ORACLE_REDACT_PII], "redact_pii"
+        ),
+        "dedup_decontaminate": _ext_oracle(
+            [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_DECONTAMINATE],
+            "decontaminate",
         ),
         "docs_pack_batches": _ext_oracle(
             [_text.ORACLE_TOKEN_COUNTS, _text.ORACLE_PACK_BATCHES],

@@ -592,3 +592,51 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+#: decontamination: training docs sharing any 3-gram shingle with the
+#: benchmark set (here: the first N_BENCHMARK_DOCS doc_ids, standing in
+#: for a held-out eval suite) are flagged.
+N_BENCHMARK_DOCS = 10
+
+
+def decontaminate(
+    docs: DataFrame, n_benchmark: int = N_BENCHMARK_DOCS
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose shingle sets
+    overlap the benchmark docs' — the standard guard against eval-set
+    leakage into a training corpus.
+
+    The benchmark shingle set is tiny (its docs are a fixed, small
+    suite) -> broadcast to the training-side shingle scan; the flagged
+    counts come from one hash-agg. At 100 TB the corpus-side cost is
+    the shingle scan it already pays for dedup (shared via the staged
+    checkpoint). Output: flagged (doc_id, n_benchmark_shingles) —
+    training docs only, overlap >= 1.
+    """
+    sh = _shingles_staged(docs)
+    bench_sh = (
+        sh.filter(F.col("doc_id") < n_benchmark)
+        .select("sh")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") >= n_benchmark)
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_benchmark_shingles"))
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+dbench_sh AS (
+  SELECT DISTINCT sh FROM dshingles WHERE doc_id < {N_BENCHMARK_DOCS}
+),
+decontaminate AS (
+  SELECT s.doc_id, count(*) AS n_benchmark_shingles
+  FROM dshingles s
+  JOIN dbench_sh b USING (sh)
+  WHERE s.doc_id >= {N_BENCHMARK_DOCS}
+  GROUP BY 1
+)
+"""

@@ -433,3 +433,48 @@ fingerprints AS (
   FROM documents
 )
 """
+
+
+#: redaction patterns: email, long digit runs, and a named-entity
+#: stop-list — the standard pre-training scrub pass. Alternation kept
+#: RE2-compatible (no backrefs/lookahead) so Spark (Java regex) and
+#: DuckDB (RE2) agree on every match.
+PII_PATTERN = (
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    r"|[0-9]{6,}"
+    r"|\b(?:customer|supplier)\b"
+)
+REDACTION_TOKEN = "[REDACTED]"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """PII / entity scrub: replace every pattern hit with a redaction
+    token; emit the hit count and an md5 of the scrubbed text (compact,
+    hash-comparable). Map-only — fused into the scan like the other
+    text passes; at 100 TB this is the same single pass the quality
+    filter rides.
+    """
+    # column-native regexp calls: the pattern goes to Java regex
+    # verbatim (an F.expr SQL string literal would re-interpret the
+    # backslashes and quietly turn \b into a backspace character).
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_PATTERN)).alias(
+            "n_redactions"
+        ),
+        F.md5(
+            F.regexp_replace("text", PII_PATTERN, REDACTION_TOKEN)
+        ).alias("clean_md5"),
+    )
+
+
+ORACLE_REDACT_PII = f"""
+redact_pii AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{PII_PATTERN}')) AS INT)
+           AS n_redactions,
+         md5(regexp_replace(text, '{PII_PATTERN}', '{REDACTION_TOKEN}',
+                            'g')) AS clean_md5
+  FROM documents
+)
+"""

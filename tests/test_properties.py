@@ -346,3 +346,62 @@ def test_kmeans_and_diverse_sample_invariants(spark):
         assert r["vec_id"] in ids
     assert per_cell
     assert max(per_cell.values()) <= similarity.SAMPLE_PER_CELL
+
+
+def test_redact_pii_patterns(spark):
+    """Emails, long digit runs, and stop-listed entities are all
+    redacted; clean text keeps everything else."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "contact alice@example.com or call 5551234567 now"),
+            (1, "the customer met the supplier yesterday"),
+            (2, "no sensitive content here"),
+            (3, "customers are unredacted (substring, not word)"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n_redactions"]
+        for r in textstats.redact_pii(docs).collect()
+    }
+    assert out == {0: 2, 1: 2, 2: 0, 3: 0}
+    cleaned = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            "text", textstats.PII_PATTERN, textstats.REDACTION_TOKEN
+        ).alias("clean"),
+    ).collect()
+    by_id = {r["doc_id"]: r["clean"] for r in cleaned}
+    assert by_id[0] == (
+        "contact [REDACTED] or call [REDACTED] now"
+    )
+    assert by_id[1] == "the [REDACTED] met the [REDACTED] yesterday"
+    assert by_id[3].startswith("customers are unredacted")
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    """Docs sharing a 3-gram with the benchmark set are flagged; docs
+    with no overlap are not; benchmark docs themselves never appear."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "secret eval question about spark joins"),
+            (10, "an answer citing the secret eval question verbatim"),
+            (11, "completely unrelated text with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    flagged = {
+        r["doc_id"]: r["n_benchmark_shingles"]
+        for r in dedup.decontaminate(docs, n_benchmark=10).collect()
+    }
+    # the one shared 3-gram is "secret eval question"
+    assert flagged.get(10) == 1
+    assert 11 not in flagged and 0 not in flagged
