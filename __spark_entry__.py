@@ -37,6 +37,12 @@ from big_data_instacart_market_basket_analysis_spark.operators import (
     multimodal as _mm,
 )
 from big_data_instacart_market_basket_analysis_spark.operators import (
+    profiling as _prof,
+)
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    sampling as _samp,
+)
+from big_data_instacart_market_basket_analysis_spark.operators import (
     similarity as _sim,
 )
 from big_data_instacart_market_basket_analysis_spark.operators import (
@@ -529,6 +535,30 @@ def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.approx_distinct_users(load_table(spark, sf_dir, "events"))
 
 
+def q_docs_split_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (map-only; dup
+    texts co-locate in one split — the leakage guard)."""
+    return _samp.split_by_hash(_docs(spark, sf_dir))
+
+
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-language uniform sample (hash-order rank
+    with a two-phase prefilter so the per-key sort stays bounded)."""
+    return _samp.stratified_sample(_docs(spark, sf_dir))
+
+
+def q_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of documents: one aggregation pass emitting
+    per-column nulls / distincts / min / max."""
+    return _prof.profile_documents(_docs(spark, sf_dir))
+
+
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap stats (lag window + agg sharing one
+    user_id shuffle)."""
+    return _tmp.user_interarrival_stats(load_table(spark, sf_dir, "events"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing via mapInPandas (stub codec —
     rows-only check)."""
@@ -696,6 +726,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": q_dedup_decontaminate,
         "text_tfidf_top_terms": q_text_tfidf_top_terms,
         "docs_pack_batches": q_docs_pack_batches,
+        "docs_split_by_hash": q_docs_split_by_hash,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_profile": q_docs_profile,
+        "events_interarrival": q_events_interarrival,
         # slow rows-only queries last (ML trains models; media runs the
         # stub codec): if a driver budget truncates the run, hash-checked
         # rows are already on the board.
@@ -822,6 +856,18 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_batches": _ext_oracle(
             [_text.ORACLE_TOKEN_COUNTS, _text.ORACLE_PACK_BATCHES],
             "pack_batches",
+        ),
+        "docs_split_by_hash": _ext_oracle(
+            [_samp.ORACLE_SPLIT_BY_HASH], "split_by_hash"
+        ),
+        "docs_stratified_sample": _ext_oracle(
+            [_samp.oracle_stratified_sample()], "stratified_sample"
+        ),
+        "docs_profile": _ext_oracle(
+            [_prof.oracle_profile_documents()], "profile_documents"
+        ),
+        "events_interarrival": _ext_oracle(
+            [_tmp.ORACLE_USER_INTERARRIVAL], "user_interarrival_stats"
         ),
         "geo_customer_rollup": _ext_oracle(
             [_rel.ORACLE_GEO_CUSTOMER_ROLLUP], "geo_customer_rollup"

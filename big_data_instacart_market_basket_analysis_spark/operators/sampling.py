@@ -1,0 +1,155 @@
+"""[EXT] Deterministic corpus splitting / sampling over ``documents``.
+
+A training-data pipeline needs reproducible, cluster-order-independent
+ways to carve a corpus: a content-hash train/val/test split (the
+standard leakage guard — byte-identical documents always land in the
+same split, whatever file or executor they arrive from) and a per-key
+uniform sample (k docs per language, stable under reruns).
+
+Both are expressed purely over ``md5(text)``: the hash is uniform over
+the 32-hex-char space, so comparing it against a precomputed hex
+threshold IS a Bernoulli draw with a deterministic seed — no RNG, no
+``rand()`` (whose per-partition seeding makes results depend on the
+physical plan). The DuckDB oracle replays the identical comparison,
+byte for byte (both engines emit lowercase hex and compare strings by
+codepoint).
+
+Scale: ``split_by_hash`` is map-only — it fuses into any scan at 100 TB
+with zero shuffle. ``stratified_sample`` does one shuffle on the
+stratum key; the rank-window input is first cut down by a generous
+hash prefilter (keep ~OVERSHOOT*k per stratum by threshold, exact
+row_number only on survivors) so the per-key sort never sees the full
+corpus — the two-phase trick that makes deterministic reservoir
+sampling viable when one language holds 10^9 documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: split fractions: 90% train, 5% val, 5% test.
+SPLIT_TRAIN_FRAC = 0.90
+SPLIT_VAL_FRAC = 0.05
+
+
+def hex_threshold(frac: float) -> str:
+    """32-hex-char threshold t such that P[md5(text) < t] == frac for a
+    uniform hash. Precomputed in Python so both engines compare against
+    the identical literal."""
+    return format(int(frac * 16**32), "032x")
+
+
+TRAIN_THRESHOLD = hex_threshold(SPLIT_TRAIN_FRAC)
+VAL_THRESHOLD = hex_threshold(SPLIT_TRAIN_FRAC + SPLIT_VAL_FRAC)
+
+
+def split_by_hash(docs: DataFrame) -> DataFrame:
+    """Content-hash train/val/test assignment, one row per document.
+
+    Map-only (no shuffle): the split column derives from the row alone,
+    so at 100 TB this rides whatever scan already touches ``text``.
+    Duplicate texts hash identically and therefore co-locate in one
+    split — the property that prevents eval-set leakage through dups.
+    """
+    h = F.md5("text")
+    return docs.select(
+        "doc_id",
+        F.when(h < TRAIN_THRESHOLD, "train")
+        .when(h < VAL_THRESHOLD, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+ORACLE_SPLIT_BY_HASH = f"""
+split_by_hash AS (
+  SELECT doc_id,
+         CASE WHEN md5(text) < '{TRAIN_THRESHOLD}' THEN 'train'
+              WHEN md5(text) < '{VAL_THRESHOLD}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+"""
+
+
+#: per-language sample size and the prefilter overshoot multiple.
+SAMPLE_K_PER_LANG = 20
+PREFILTER_OVERSHOOT = 8
+
+
+def stratified_sample(
+    docs: DataFrame, k: int = SAMPLE_K_PER_LANG
+) -> DataFrame:
+    """Deterministic uniform sample of ``k`` docs per language.
+
+    Rank docs within each language by (md5(text), doc_id) — a uniform,
+    reproducible order — and keep ranks 1..k. The exact-rank window
+    only runs on rows surviving a hash-threshold prefilter sized to
+    keep ~``PREFILTER_OVERSHOOT * k`` docs per stratum in expectation,
+    so the per-key sort is over a bounded candidate set, not the whole
+    corpus. If a small stratum is cut below k by the prefilter, fall
+    back to ranking it in full (detected per-stratum, exactly — not
+    heuristically — so results never depend on data volume).
+    """
+    n_per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_lang")
+    )
+    # per-stratum threshold: frac = min(1, OVERSHOOT*k / n)
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(float(PREFILTER_OVERSHOOT * k)) / F.col("n_lang"),
+    )
+    ranked = (
+        docs.select("doc_id", "lang", F.md5("text").alias("h"))
+        .join(F.broadcast(n_per_lang), "lang")
+        # prefilter: survives iff h < per-stratum hex threshold. The
+        # threshold is frac scaled into hex space; comparing against
+        # the first 8 hex chars (32 bits) is exact enough because the
+        # fallback below re-ranks any stratum the cut starved.
+        .withColumn(
+            "keep_pre",
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint")
+            < (frac * F.lit(float(16**8))).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    pre = (
+        ranked.filter(F.col("keep_pre"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    # strata where the prefilter kept < min(k, n_lang) rows must be
+    # re-ranked in full (rare: OVERSHOOT*k draws undershooting k).
+    short = (
+        pre.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+        .join(n_per_lang, "lang")
+        .filter(F.col("n_kept") < F.least(F.lit(k), F.col("n_lang")))
+        .select("lang")
+    )
+    redo = (
+        ranked.join(F.broadcast(short), "lang", "leftsemi")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    ok = pre.join(F.broadcast(short), "lang", "leftanti")
+    return ok.unionByName(redo).select("doc_id", "lang", "rn")
+
+
+def oracle_stratified_sample(k: int = SAMPLE_K_PER_LANG) -> str:
+    """The oracle ranks every stratum in full — semantically identical
+    to the two-phase plan (prefilter keeps a prefix of the same order,
+    and starved strata are re-ranked in full)."""
+    return f"""
+strat_ranked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+             PARTITION BY lang ORDER BY md5(text), doc_id
+         ) AS INT) AS rn
+  FROM documents
+),
+stratified_sample AS (
+  SELECT doc_id, lang, rn FROM strat_ranked WHERE rn <= {k}
+)
+"""

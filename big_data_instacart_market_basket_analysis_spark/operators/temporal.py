@@ -456,3 +456,53 @@ def approx_distinct_users(events: DataFrame) -> DataFrame:
         ),
         F.countDistinct("user_id").alias("n_users_exact"),
     )
+
+
+def user_interarrival_stats(events: DataFrame) -> DataFrame:
+    """Per-user inter-arrival gap stats: event count, gap count, and
+    the sum / max / mean of consecutive-event gaps in millis.
+
+    One shuffle total: the lag window partitions by user_id, and the
+    following groupBy reuses that partitioning (Catalyst sees the
+    child's hash-partitioning satisfies the agg's distribution — no
+    second exchange). Tie-break (ts_ms, event_id) is total, so lag is
+    deterministic. avg_gap_ms is one division of two integrals —
+    hash-stable under the repo float rule.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gaps = events.select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+    ).withColumn(
+        "gap_ms", F.col("ts_ms") - F.lag("ts_ms").over(w)
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count("gap_ms").alias("n_gaps"),
+        F.sum("gap_ms").alias("sum_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+        (F.sum("gap_ms") / F.count("gap_ms")).alias("avg_gap_ms"),
+    )
+
+
+ORACLE_USER_INTERARRIVAL = """
+ia_gaps AS (
+  SELECT user_id,
+         ts_ms - lag(ts_ms) OVER (
+             PARTITION BY user_id ORDER BY ts_ms, event_id
+         ) AS gap_ms
+  FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events)
+),
+user_interarrival_stats AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(gap_ms) AS BIGINT) AS n_gaps,
+         CAST(sum(gap_ms) AS BIGINT) AS sum_gap_ms,
+         CAST(max(gap_ms) AS BIGINT) AS max_gap_ms,
+         CAST(sum(gap_ms) AS BIGINT) / CAST(count(gap_ms) AS BIGINT)
+           AS avg_gap_ms
+  FROM ia_gaps
+  GROUP BY 1
+)
+"""

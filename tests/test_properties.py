@@ -405,3 +405,76 @@ def test_decontaminate_flags_overlap_only(spark):
     # the one shared 3-gram is "secret eval question"
     assert flagged.get(10) == 1
     assert 11 not in flagged and 0 not in flagged
+
+
+def test_stratified_sample_equals_full_rank(spark):
+    """The two-phase (prefilter + fallback) plan returns exactly the
+    same rows as a brute-force full ranking — including for a stratum
+    smaller than k, which must be re-ranked in full."""
+    from pyspark.sql import Window
+
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        sampling,
+    )
+
+    rows = [(i, f"doc number {i} with filler {i * 7 % 13}", "en")
+            for i in range(200)]
+    rows += [(1000 + i, f"tiny stratum doc {i}", "xx") for i in range(3)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    k = 5
+    got = {
+        (r["doc_id"], r["lang"], r["rn"])
+        for r in sampling.stratified_sample(docs, k=k).collect()
+    }
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    want = {
+        (r["doc_id"], r["lang"], r["rn"])
+        for r in docs.select(
+            "doc_id", "lang", F.row_number().over(w).alias("rn")
+        ).filter(F.col("rn") <= k).collect()
+    }
+    assert got == want
+    assert len([t for t in got if t[1] == "xx"]) == 3  # whole tiny stratum
+
+
+def test_split_by_hash_is_content_deterministic(spark):
+    """Byte-identical texts land in the same split regardless of
+    doc_id, and every doc gets exactly one split label."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        sampling,
+    )
+
+    rows = [(i, f"unique text {i}") for i in range(50)]
+    rows += [(100, "duplicated body"), (101, "duplicated body")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["split"]
+           for r in sampling.split_by_hash(docs).collect()}
+    assert len(out) == 52
+    assert out[100] == out[101]
+    assert set(out.values()) <= {"train", "val", "test"}
+
+
+def test_interarrival_single_event_user_nulls(spark):
+    """A one-event user has zero gaps: null sum/max/avg, n_events=1."""
+    import datetime
+
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 7, "click", 1.0, "{}"),
+        (2, base + datetime.timedelta(seconds=10), 7, "click", 1.0, "{}"),
+        (3, base, 8, "click", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r["user_id"]: r.asDict()
+           for r in temporal.user_interarrival_stats(ev).collect()}
+    assert out[7]["n_events"] == 2 and out[7]["sum_gap_ms"] == 10000
+    assert out[7]["avg_gap_ms"] == 10000.0
+    assert out[8]["n_events"] == 1 and out[8]["n_gaps"] == 0
+    assert out[8]["sum_gap_ms"] is None and out[8]["avg_gap_ms"] is None
