@@ -59,6 +59,7 @@ from big_data_instacart_market_basket_analysis_spark.plans.instacart import (
     instacart_tables,
 )
 from big_data_instacart_market_basket_analysis_spark.functions.skew import (
+    salted_skew_join,
     salted_sum_count,
 )
 from big_data_instacart_market_basket_analysis_spark.sources.json_ingest import (
@@ -559,6 +560,62 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.user_interarrival_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped full-scan pricing summary (decimal-exact money
+    sums, pushed-down shipdate filter, one hash-agg)."""
+    return _rel.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped top-k revenue orders (filtered fact-fact join +
+    hash-agg + TakeOrdered)."""
+    return _rel.shipping_priority(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+#: the salted join is row-identical to the plain join, so the oracle
+#: runs the unsalted form.
+ORACLE_EVENTS_SALTED_JOIN = """
+events_salted_join AS (
+  SELECT c.c_mktsegment, e.event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(e.value), 4) AS sum_value
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY 1, 2
+)
+"""
+
+
+def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-dim join: events salted on a per-row key, the
+    customer dim replicated per salt — row-identical to the plain join
+    (which is what the oracle runs), with the hot-key task bounded at
+    1/n_salts. Output compacted to per-(segment, type) stats."""
+    joined = salted_skew_join(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+        big_key="user_id",
+        dim_key="c_custkey",
+        row_id="event_id",
+    )
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_ref_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's FK edges:
+    per-relation row/null/orphan counts via distinct-key anti-joins."""
+    tables = {
+        n: load_table(spark, sf_dir, n)
+        for n in ("lineitem", "orders", "customer", "nation", "events")
+    }
+    return _prof.ref_integrity_audit(tables)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing via mapInPandas (stub codec —
     rows-only check)."""
@@ -622,6 +679,13 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _st.run_stream_stateful_counts(spark, sf_dir)
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once dedup of an at-least-once stream (the event stream
+    unioned with a redelivered copy), via watermark-bounded
+    dropDuplicates — output equals the batch events table."""
+    return _ev.run_stream_dedup(spark, sf_dir)
 
 
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_window": q_stream_session_window,
         "stream_stateful_counts": q_stream_stateful_counts,
         "stream_interval_join": q_stream_interval_join,
+        "stream_dedup": q_stream_dedup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -730,6 +795,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_profile": q_docs_profile,
         "events_interarrival": q_events_interarrival,
+        "events_salted_join": q_events_salted_join,
+        "ref_integrity_audit": q_ref_integrity_audit,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
         # slow rows-only queries last (ML trains models; media runs the
         # stub codec): if a driver budget truncates the run, hash-checked
         # rows are already on the board.
@@ -868,6 +937,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_interarrival": _ext_oracle(
             [_tmp.ORACLE_USER_INTERARRIVAL], "user_interarrival_stats"
+        ),
+        "events_salted_join": _ext_oracle(
+            [ORACLE_EVENTS_SALTED_JOIN], "events_salted_join"
+        ),
+        "ref_integrity_audit": _ext_oracle(
+            [_prof.ORACLE_REF_INTEGRITY], "ref_integrity_audit"
+        ),
+        "pricing_summary": _ext_oracle(
+            [_rel.ORACLE_PRICING_SUMMARY], "pricing_summary"
+        ),
+        "shipping_priority": _ext_oracle(
+            [_rel.oracle_shipping_priority()], "shipping_priority"
+        ),
+        "stream_dedup": _ext_oracle(
+            [_ev.ORACLE_STREAM_DEDUP], "stream_dedup"
         ),
         "geo_customer_rollup": _ext_oracle(
             [_rel.ORACLE_GEO_CUSTOMER_ROLLUP], "geo_customer_rollup"

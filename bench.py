@@ -37,6 +37,9 @@ HEADLINE = [
     "frequent_pairs",
     "pair_rules",
     "sql_dept_top_reordered",
+    "pricing_summary",
+    "shipping_priority",
+    "events_salted_join",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

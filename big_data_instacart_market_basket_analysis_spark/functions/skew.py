@@ -57,3 +57,41 @@ def salted_sum_count(
         F.sum("_n").alias("n_events"),
         F.sum("_s").alias("sum_value"),
     )
+
+
+def salted_skew_join(
+    big: DataFrame,
+    dim: DataFrame,
+    big_key: str,
+    dim_key: str,
+    row_id: str,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the fact side, replicate the dim side.
+
+    When the dim side is too large to broadcast and the fact side's
+    join key skews (one hot user in a 100 TB event table), sort-merge
+    partitions by key alone and the hot key's rows pile into one task.
+    Salting bounds that task at 1/n_salts of the hot key: the fact row
+    gets a deterministic salt from its unique row id, the dim side is
+    replicated once per salt value (explode of a literal range — dim
+    grows n_salts-fold, which is the price and why n_salts stays
+    small), and the join keys on (key, salt). Row-for-row identical to
+    the plain join; AQE's skew splitting composes with it for any
+    residual imbalance.
+    """
+    salted_big = big.withColumn(
+        "_salt", salt_col(F.col(row_id), n_salts)
+    )
+    salted_dim = dim.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    joined = salted_big.join(
+        salted_dim,
+        (salted_big[big_key] == salted_dim[dim_key])
+        & (salted_big["_salt"] == salted_dim["_salt"]),
+    )
+    return joined.drop(salted_dim["_salt"]).drop(
+        salted_big["_salt"]
+    )

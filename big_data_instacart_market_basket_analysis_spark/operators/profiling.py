@@ -61,3 +61,105 @@ def oracle_profile_documents() -> str:
         for c in DOC_PROFILE_COLUMNS
     )
     return f"profile_documents AS (\n{branches}\n)"
+
+
+def fk_orphan_stats(
+    fact: DataFrame, fk: str, pk_side: DataFrame, pk: str, relation: str
+) -> DataFrame:
+    """Orphan stats for one FK relation: total rows, null FKs, and
+    rows whose non-null FK has no match on the PK side.
+
+    Shuffle-cheap shape: aggregate the fact to per-FK-value counts
+    FIRST (the distinct key set is orders of magnitude smaller than
+    the fact at 100 TB), anti-join the small per-key table against the
+    PK side, and sum the counts back. The fact table itself is touched
+    by exactly one hash-agg; the anti-join moves only distinct keys.
+    """
+    per_key = fact.groupBy(F.col(fk).alias("_fk")).agg(
+        F.count("*").alias("_n")
+    )
+    totals = per_key.agg(
+        F.sum("_n").alias("n_rows"),
+        F.sum(F.when(F.col("_fk").isNull(), F.col("_n")).otherwise(0))
+        .alias("n_null_fk"),
+    )
+    orphans = (
+        per_key.filter(F.col("_fk").isNotNull())
+        .join(
+            pk_side.select(F.col(pk).alias("_fk")).distinct(),
+            "_fk",
+            "leftanti",
+        )
+        .agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("n_orphans"))
+    )
+    return totals.crossJoin(orphans).select(
+        F.lit(relation).alias("relation"),
+        "n_rows",
+        "n_null_fk",
+        "n_orphans",
+    )
+
+
+def ref_integrity_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Referential-integrity audit across the star schema's FK edges:
+    one row per relation with row/null/orphan counts. The per-relation
+    pieces are independent single-agg plans unioned at the end."""
+    specs = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("events.user_id->customer", "events", "user_id",
+         "customer", "c_custkey"),
+    ]
+    parts = [
+        fk_orphan_stats(tables[ft], fk, tables[pt], pk, rel)
+        for rel, ft, fk, pt, pk in specs
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLE_REF_INTEGRITY = """
+ref_integrity_audit AS (
+  SELECT 'lineitem.l_orderkey->orders' AS relation,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_null_fk,
+         CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+  FROM lineitem l
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(sum(CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS (
+              SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+              THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders o
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(sum(CASE WHEN c_nationkey IS NOT NULL AND NOT EXISTS (
+              SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+              THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer c
+  UNION ALL
+  SELECT 'events.user_id->customer',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(sum(CASE WHEN user_id IS NOT NULL AND NOT EXISTS (
+              SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+              THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events e
+)
+"""

@@ -235,3 +235,118 @@ geo_customer_rollup AS (
   GROUP BY ROLLUP (r_name, n_name)
 )
 """
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary over lineitem — the classic
+    full-scan single-hash-agg OLAP benchmark shape. The scan reads only
+    the 7 referenced columns (column pruning) and the shipdate filter
+    pushes to parquet; the agg is one shuffle over a handful of group
+    keys.
+
+    Money math runs in DECIMAL: double summation is re-association-
+    sensitive (partition order changes the low bits; at 1e8 magnitudes
+    the wobble survives round(4)), while decimal sums are exact in both
+    engines. Results cast back to double AFTER the exact sum, so the
+    hash is bit-stable and the output schema stays plain.
+    """
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    tax = F.col("l_tax").cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc))
+            .cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax))
+            .cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+pricing_summary AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4))
+                     - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4))
+                     - CAST(l_discount AS DECIMAL(18,4)))
+                  * (CAST(1 AS DECIMAL(18,4))
+                     + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE)
+           AS sum_charge,
+         CAST(count(*) AS BIGINT) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= '1998-09-02'
+  GROUP BY 1, 2
+)
+"""
+
+
+def shipping_priority(
+    orders: DataFrame, lineitem: DataFrame, k: int = 10
+) -> DataFrame:
+    """TPC-H-Q3-shaped top-k revenue orders: filtered fact-fact join +
+    hash-agg + deterministic TopK (TakeOrdered — no global sort
+    materialization). Both filters push to their scans; the join
+    shuffles only surviving rows; revenue in exact DECIMAL, cast to
+    double after aggregation.
+    """
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)")
+           - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(
+            lineitem.filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            # NTZ-safe, tz-independent rendering (unix_millis would
+            # reinterpret the naive value in the session tz).
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                "o_orderdate_str"
+            ),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(k)
+    )
+
+
+def oracle_shipping_priority(k: int = 10) -> str:
+    return f"""
+shipping_priority AS (
+  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
+         o_orderpriority,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4))
+                     - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS revenue
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderstatus <> 'F' AND l_shipdate > '1995-03-15'
+  GROUP BY 1, 2, 3
+  ORDER BY revenue DESC, o_orderkey
+  LIMIT {k}
+)
+"""

@@ -415,3 +415,48 @@ def run_stream_session_window(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_stream_dedup(
+    spark: SparkSession, sf_dir: str, name: str = "stream_dedup"
+) -> DataFrame:
+    """Exactly-once dedup of at-least-once delivery: the event stream
+    unioned with a duplicate copy of itself (simulating redelivery),
+    then ``dropDuplicates`` on the event key under a watermark so the
+    dedup state is bounded — old keys expire instead of accumulating
+    forever, which is what makes this runnable on an unbounded
+    stream. Output must equal the batch events table exactly (every
+    event once, no redelivered copy) — hence oracle-checked.
+    """
+    stream = _event_stream(spark, sf_dir)
+    redelivered = stream.unionByName(stream)
+    deduped = (
+        redelivered.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_STREAM_DEDUP = """
+stream_dedup AS (
+  SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+  FROM events
+)
+"""

@@ -478,3 +478,55 @@ def test_interarrival_single_event_user_nulls(spark):
     assert out[7]["avg_gap_ms"] == 10000.0
     assert out[8]["n_events"] == 1 and out[8]["n_gaps"] == 0
     assert out[8]["sum_gap_ms"] is None and out[8]["avg_gap_ms"] is None
+
+
+def test_salted_join_equals_plain_join(spark):
+    """The salted fact-dim join returns row-for-row the plain join —
+    including under forced sort-merge (no broadcast), where the salt
+    actually lands in the shuffle keys."""
+    from big_data_instacart_market_basket_analysis_spark.functions import (
+        skew,
+    )
+
+    fact = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(100)],
+        ["row_id", "k", "v"],
+    )
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (9, "never-matched")],
+        ["dk", "attr"],
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        salted = skew.salted_skew_join(
+            fact, dim, big_key="k", dim_key="dk", row_id="row_id"
+        )
+        got = {(r["row_id"], r["attr"]) for r in salted.collect()}
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    want = {
+        (r["row_id"], r["attr"])
+        for r in fact.join(dim, fact["k"] == dim["dk"]).collect()
+    }
+    assert got == want and len(got) == 100
+
+
+def test_fk_orphan_stats_counts_orphans_and_nulls(spark):
+    """Synthetic orphans and null FKs are counted exactly."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        profiling,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None), (5, 11)],
+        "row_id int, fk int",
+    )
+    pk = spark.createDataFrame([(10,), (11,)], "pk int")
+    row = profiling.fk_orphan_stats(fact, "fk", pk, "pk", "t.fk->pk") \
+        .collect()[0]
+    assert row["n_rows"] == 5
+    assert row["n_null_fk"] == 1
+    assert row["n_orphans"] == 1  # fk=99 only; null is not an orphan
