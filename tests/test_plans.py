@@ -113,3 +113,25 @@ def test_range_join_stays_equi(spark):
     plan = _plan(spark, "events_range_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    """TPC-H-Q1 shape: shipdate filter reaches the parquet scan and
+    only the 7 referenced columns are read."""
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_extendedprice" in read
+
+
+def test_split_by_hash_is_map_only(spark):
+    """The content-hash split must fuse into the scan: zero exchanges."""
+    plan = _plan(spark, "docs_split_by_hash")
+    assert "Exchange" not in plan
+
+
+def test_interarrival_single_shuffle(spark):
+    """Lag window and per-user agg share one user_id exchange."""
+    plan = _plan(spark, "events_interarrival")
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1, plan
