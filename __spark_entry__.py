@@ -641,6 +641,25 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.sessionize(load_table(spark, sf_dir, "events"))
 
 
+def q_events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session funnel: per (user, session) click/purchase counts and an
+    ordered click->purchase conversion flag — sessionization's single
+    shuffle plus conditional aggregates."""
+    return _ev.session_funnel(load_table(spark, sf_dir, "events"))
+
+
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long->wide: per-user counts, one column per (pinned)
+    event type — single hash-agg, schema fixed at plan time."""
+    return _tmp.user_type_pivot(load_table(spark, sf_dir, "events"))
+
+
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram per event type (floor-division bins,
+    one map-combinable hash-agg)."""
+    return _tmp.value_histogram(load_table(spark, sf_dir, "events"))
+
+
 def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.json_props_stats(load_table(spark, sf_dir, "events"))
 
@@ -799,6 +818,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_integrity_audit": q_ref_integrity_audit,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
+        "events_session_funnel": q_events_session_funnel,
+        "events_type_pivot": q_events_type_pivot,
+        "events_value_histogram": q_events_value_histogram,
         # slow rows-only queries last (ML trains models; media runs the
         # stub codec): if a driver budget truncates the run, hash-checked
         # rows are already on the board.
@@ -952,6 +974,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_dedup": _ext_oracle(
             [_ev.ORACLE_STREAM_DEDUP], "stream_dedup"
+        ),
+        "events_session_funnel": _ext_oracle(
+            [_ev.ORACLE_SESSION_FUNNEL], "session_funnel"
+        ),
+        "events_type_pivot": _ext_oracle(
+            [_tmp.ORACLE_USER_TYPE_PIVOT], "user_type_pivot"
+        ),
+        "events_value_histogram": _ext_oracle(
+            [_tmp.ORACLE_VALUE_HISTOGRAM], "value_histogram"
         ),
         "geo_customer_rollup": _ext_oracle(
             [_rel.ORACLE_GEO_CUSTOMER_ROLLUP], "geo_customer_rollup"

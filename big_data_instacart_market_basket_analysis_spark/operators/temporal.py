@@ -506,3 +506,72 @@ user_interarrival_stats AS (
   GROUP BY 1
 )
 """
+
+
+#: pinned pivot domain — a pivot's output schema must never depend on
+#: the data (an unpinned pivot triggers a collect-distinct job AND
+#: makes the schema nondeterministic at 100 TB).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_type_pivot(events: DataFrame) -> DataFrame:
+    """Pivot (long->wide): per-user event counts, one column per event
+    type. With the pinned value list this is a single hash-agg of
+    conditional counts — same cost as the long groupBy, no
+    distinct-scan, schema known at plan time.
+    """
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+_PIVOT_COLS = ",\n         ".join(
+    f"CAST(coalesce(sum(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
+    f" AS BIGINT) AS {t}"
+    for t in EVENT_TYPES
+)
+
+ORACLE_USER_TYPE_PIVOT = f"""
+user_type_pivot AS (
+  SELECT user_id,
+         {_PIVOT_COLS}
+  FROM events
+  GROUP BY 1
+)
+"""
+
+
+#: histogram bin width for the value column.
+HIST_BIN_WIDTH = 25.0
+
+
+def value_histogram(events: DataFrame) -> DataFrame:
+    """Fixed-bin histogram of value per event_type: floor-division
+    binning keeps everything in one hash-agg (map-side combinable);
+    bin edges are data-independent so the plan is a single shuffle of
+    (type, bin) partials at any scale.
+    """
+    bin_col = F.floor(F.col("value") / F.lit(HIST_BIN_WIDTH)).cast(
+        "bigint"
+    )
+    return (
+        events.groupBy("event_type", bin_col.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("bin_lo", F.col("bin") * F.lit(HIST_BIN_WIDTH))
+    )
+
+
+ORACLE_VALUE_HISTOGRAM = f"""
+value_histogram AS (
+  SELECT event_type,
+         CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT)
+           * CAST({HIST_BIN_WIDTH} AS DOUBLE) AS bin_lo
+  FROM events
+  GROUP BY 1, 2
+)
+"""

@@ -96,14 +96,11 @@ sliding_hourly AS (
 """
 
 
-def sessionize(events: DataFrame) -> DataFrame:
-    """Sessionization: per-user sessions split on >30 min inactivity.
-
-    lag + running-sum-of-boundaries — the standard batch pattern
-    (pyspark guide "Common OLAP patterns"); the streaming equivalent is
-    ``session_window`` below. One shuffle on user_id; both windows share
-    the partitioning.
-    """
+def with_session_ids(events: DataFrame) -> DataFrame:
+    """Tag each event with its (user_id, session_seq): lag flags a
+    >gap boundary, a running sum of boundary flags numbers sessions.
+    One shuffle on user_id; both windows and any following
+    (user_id, ...) groupBy share the partitioning."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_ms = SESSION_GAP_MIN * 60 * 1000
     prev = F.unix_millis(F.lag("ts").over(w))
@@ -113,13 +110,22 @@ def sessionize(events: DataFrame) -> DataFrame:
         .when(F.unix_millis("ts") - prev > gap_ms, F.lit(1))
         .otherwise(F.lit(0)),
     )
-    with_id = flagged.withColumn(
+    return flagged.withColumn(
         "session_seq",
         F.sum("is_new").over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    return with_id.groupBy("user_id", "session_seq").agg(
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Sessionization: per-user sessions split on >30 min inactivity.
+
+    lag + running-sum-of-boundaries — the standard batch pattern
+    (pyspark guide "Common OLAP patterns"); the streaming equivalent is
+    ``session_window`` below.
+    """
+    return with_session_ids(events).groupBy("user_id", "session_seq").agg(
         F.min(F.unix_millis("ts")).alias("session_start_ms"),
         F.count("*").alias("n_events"),
         (F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts"))).alias(
@@ -458,5 +464,81 @@ ORACLE_STREAM_DEDUP = """
 stream_dedup AS (
   SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
   FROM events
+)
+"""
+
+
+def session_funnel(events: DataFrame) -> DataFrame:
+    """Session funnel: per session, click/purchase counts and whether
+    the session CONVERTED — a purchase at-or-after its first click
+    (ordered pattern, not mere co-occurrence).
+
+    Same single user_id shuffle as sessionize (the session-id windows
+    and the per-session agg all cluster on user_id); the funnel flags
+    are conditional aggregates in the same hash-agg pass. At 100 TB
+    this is sessionization's cost plus nothing.
+    """
+    tagged = with_session_ids(events)
+    is_click = (F.col("event_type") == "click").cast("bigint")
+    is_buy = (F.col("event_type") == "purchase").cast("bigint")
+    click_ms = F.when(
+        F.col("event_type") == "click", F.unix_millis("ts")
+    )
+    buy_ms = F.when(
+        F.col("event_type") == "purchase", F.unix_millis("ts")
+    )
+    per_sess = tagged.groupBy("user_id", "session_seq").agg(
+        F.sum(is_click).alias("n_clicks"),
+        F.sum(is_buy).alias("n_purchases"),
+        F.min(click_ms).alias("first_click_ms"),
+        F.max(buy_ms).alias("last_purchase_ms"),
+    )
+    converted = (
+        F.col("first_click_ms").isNotNull()
+        & F.col("last_purchase_ms").isNotNull()
+        & (F.col("last_purchase_ms") >= F.col("first_click_ms"))
+    )
+    return per_sess.withColumn("converted", converted.cast("int"))
+
+
+ORACLE_SESSION_FUNNEL = f"""
+fsess AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+                   > {SESSION_GAP_MIN * 60 * 1000} THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+fsess2 AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM fsess
+),
+fsess3 AS (
+  SELECT user_id, session_seq,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_clicks,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases,
+         min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END)
+           AS first_click_ms,
+         max(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+           AS last_purchase_ms
+  FROM fsess2
+  GROUP BY 1, 2
+),
+session_funnel AS (
+  SELECT user_id, session_seq, n_clicks, n_purchases,
+         first_click_ms, last_purchase_ms,
+         CAST(CASE WHEN first_click_ms IS NOT NULL
+                    AND last_purchase_ms IS NOT NULL
+                    AND last_purchase_ms >= first_click_ms
+              THEN 1 ELSE 0 END AS INT) AS converted
+  FROM fsess3
 )
 """

@@ -530,3 +530,36 @@ def test_fk_orphan_stats_counts_orphans_and_nulls(spark):
     assert row["n_rows"] == 5
     assert row["n_null_fk"] == 1
     assert row["n_orphans"] == 1  # fk=99 only; null is not an orphan
+
+
+def test_session_funnel_requires_order(spark):
+    """Conversion demands a purchase at-or-after the session's first
+    click — a purchase-then-click session does NOT convert."""
+    import datetime
+
+    from big_data_instacart_market_basket_analysis_spark.streaming import (
+        events as ev,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        # user 1: click then purchase -> converted
+        (1, at(0), 1, "click", 1.0, "{}"),
+        (2, at(60), 1, "purchase", 9.0, "{}"),
+        # user 2: purchase then click (same session) -> NOT converted
+        (3, at(0), 2, "purchase", 9.0, "{}"),
+        (4, at(60), 2, "click", 1.0, "{}"),
+        # user 3: clicks only -> not converted
+        (5, at(0), 3, "click", 1.0, "{}"),
+    ]
+    evdf = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r["user_id"]: r for r in ev.session_funnel(evdf).collect()}
+    assert out[1]["converted"] == 1
+    assert out[2]["converted"] == 0
+    assert out[3]["converted"] == 0 and out[3]["n_purchases"] == 0
