@@ -700,6 +700,13 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _st.run_stream_stateful_counts(spark, sf_dir)
 
 
+def q_stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch -> dynamic-partition-overwrite parquet: continuous
+    ingestion into a day-partitioned table; read-back equals the batch
+    events table."""
+    return _ev.run_stream_partitioned_sink(spark, sf_dir)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once dedup of an at-least-once stream (the event stream
     unioned with a redelivered copy), via watermark-bounded
@@ -788,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful_counts": q_stream_stateful_counts,
         "stream_interval_join": q_stream_interval_join,
         "stream_dedup": q_stream_dedup,
+        "stream_partitioned_sink": q_stream_partitioned_sink,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -977,6 +985,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_session_funnel": _ext_oracle(
             [_ev.ORACLE_SESSION_FUNNEL], "session_funnel"
+        ),
+        "stream_partitioned_sink": _ext_oracle(
+            [_ev.ORACLE_STREAM_PARTITIONED_SINK], "stream_partitioned_sink"
         ),
         "events_type_pivot": _ext_oracle(
             [_tmp.ORACLE_USER_TYPE_PIVOT], "user_type_pivot"

@@ -67,6 +67,21 @@ def write_json(
     df.write.mode(mode).json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (columnar alternative to parquet; same partitioning and
+    predicate-pushdown behavior from Spark's native vectorized ORC
+    reader/writer)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -94,3 +109,29 @@ def write_bucketed(
 def show_console(df: DataFrame, n: int = 20) -> None:
     """S9 parity sink (F.py:318): driver console, bounded rows."""
     df.show(n, truncate=False)
+
+
+def upsert_partitions(
+    spark,
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Incremental load via dynamic partition overwrite — the standard
+    Spark-native upsert at scale: only the partitions present in ``df``
+    are replaced; all other partitions are untouched (no full-table
+    rewrite, no merge engine needed). The granularity is the partition
+    key (typically a date), which is exactly how a 100 TB event table
+    takes daily restatements.
+    """
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

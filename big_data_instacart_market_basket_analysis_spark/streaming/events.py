@@ -542,3 +542,57 @@ session_funnel AS (
   FROM fsess3
 )
 """
+
+
+def run_stream_partitioned_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming -> lakehouse: each micro-batch lands via foreachBatch
+    into a day-partitioned parquet table through the dynamic
+    partition-overwrite upsert — the canonical continuous-ingestion
+    shape (restating a day replaces exactly that day's partition).
+    Returns the read-back table, which must equal the batch events
+    table — oracle-checked.
+    """
+    import tempfile
+
+    from ..sources.sinks import upsert_partitions
+
+    stream = _event_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_psink_")
+    target = f"{root}/events"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_partitions(
+            spark,
+            batch_df.withColumn(
+                "day", F.date_format("ts", "yyyy-MM-dd")
+            ),
+            target,
+            ["day"],
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target).select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+ORACLE_STREAM_PARTITIONED_SINK = """
+stream_partitioned_sink AS (
+  SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+  FROM events
+)
+"""

@@ -60,3 +60,40 @@ def test_sql_views_queryable(spark):
     assert (
         spark.sql("SELECT * FROM frequent_pairs_v WHERE p1 < p2").count() > 0
     )
+
+
+def test_orc_roundtrip_with_pushdown(spark, feats, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sink") / "orc")
+    sinks.write_orc(feats, path)
+    back = spark.read.orc(path)
+    assert back.count() == feats.count()
+    # nullability flags may flip on round-trip; names/types must hold
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in feats.schema
+    ]
+    plan = (
+        back.filter(F.col("numorders") > 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(numorders), GreaterThan(numorders" in plan
+
+
+def test_upsert_partitions_replaces_only_touched(spark, tmp_path_factory):
+    """Dynamic partition overwrite: restating one day replaces that
+    day's partition and leaves every other partition untouched."""
+    path = str(tmp_path_factory.mktemp("sink") / "upsert")
+    base = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d2", 20.0), (3, "d3", 30.0)],
+        ["id", "day", "v"],
+    )
+    sinks.write_parquet(base, path, partition_by=["day"])
+    restated = spark.createDataFrame(
+        [(2, "d2", 99.0), (4, "d2", 42.0)], ["id", "day", "v"]
+    )
+    sinks.upsert_partitions(spark, restated, path, ["day"])
+    back = {(r["id"], r["day"], r["v"])
+            for r in spark.read.parquet(path).collect()}
+    assert back == {
+        (1, "d1", 10.0), (3, "d3", 30.0),   # untouched partitions
+        (2, "d2", 99.0), (4, "d2", 42.0),   # d2 fully replaced
+    }
