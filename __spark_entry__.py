@@ -560,6 +560,12 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.user_interarrival_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: FULL OUTER join of two deterministic
+    orders snapshots, keys classified added/removed/changed/unchanged."""
+    return _rel.orders_snapshot_diff(load_table(spark, sf_dir, "orders"))
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped full-scan pricing summary (decimal-exact money
     sums, pushed-down shipdate filter, one hash-agg)."""
@@ -662,6 +668,12 @@ def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.json_props_stats(load_table(spark, sf_dir, "events"))
+
+
+def q_events_variant_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured via VariantType: parse props once into a
+    variant, extract typed fields, GROUP BY a derived field."""
+    return _ev.variant_props_rollup(load_table(spark, sf_dir, "events"))
 
 
 def q_events_user_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -826,9 +838,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_integrity_audit": q_ref_integrity_audit,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
+        "orders_snapshot_diff": q_orders_snapshot_diff,
         "events_session_funnel": q_events_session_funnel,
         "events_type_pivot": q_events_type_pivot,
         "events_value_histogram": q_events_value_histogram,
+        "events_variant_rollup": q_events_variant_rollup,
         # slow rows-only queries last (ML trains models; media runs the
         # stub codec): if a driver budget truncates the run, hash-checked
         # rows are already on the board.
@@ -980,6 +994,9 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": _ext_oracle(
             [_rel.oracle_shipping_priority()], "shipping_priority"
         ),
+        "orders_snapshot_diff": _ext_oracle(
+            [_rel.ORACLE_ORDERS_SNAPSHOT_DIFF], "orders_snapshot_diff"
+        ),
         "stream_dedup": _ext_oracle(
             [_ev.ORACLE_STREAM_DEDUP], "stream_dedup"
         ),
@@ -994,6 +1011,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_value_histogram": _ext_oracle(
             [_tmp.ORACLE_VALUE_HISTOGRAM], "value_histogram"
+        ),
+        "events_variant_rollup": _ext_oracle(
+            [_ev.ORACLE_VARIANT_PROPS_ROLLUP], "variant_props_rollup"
         ),
         "geo_customer_rollup": _ext_oracle(
             [_rel.ORACLE_GEO_CUSTOMER_ROLLUP], "geo_customer_rollup"

@@ -350,3 +350,73 @@ shipping_priority AS (
   LIMIT {k}
 )
 """
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, value: str
+) -> DataFrame:
+    """Snapshot reconciliation: FULL OUTER join two versions of a table
+    on its key and classify every key as added / removed / changed /
+    unchanged — the data-engineering staple for validating an
+    incremental load against the previous snapshot. One shuffle per
+    side on the key; the classification is a pure projection.
+    """
+    o = old.select(F.col(key).alias("k"), F.col(value).alias("old_v"))
+    n = new.select(F.col(key).alias("k"), F.col(value).alias("new_v"))
+    joined = o.join(n, "k", "full_outer")
+    status = (
+        F.when(F.col("old_v").isNull(), "added")
+        .when(F.col("new_v").isNull(), "removed")
+        .when(F.col("old_v") != F.col("new_v"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(
+        F.col("k").alias(key), "old_v", "new_v", status.alias("status")
+    )
+
+
+#: the declared query diffs two deterministic halves of orders (keys
+#: < 2/3 of max vs >= 1/3 of max, overlapping in the middle third, with
+#: the "new" side's totalprice restated on even keys).
+def orders_snapshot_diff(orders: DataFrame) -> DataFrame:
+    # global max as a broadcast 1-row join, NOT an empty-partition
+    # window (which would gather every row into a single partition).
+    mx = orders.agg(F.max("o_orderkey").alias("mx"))
+    base = orders.select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("price")
+    ).crossJoin(F.broadcast(mx))
+    old = base.filter(F.col("o_orderkey") * 3 < F.col("mx") * 2)
+    new = base.filter(F.col("o_orderkey") * 3 >= F.col("mx")).withColumn(
+        "price",
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.round(F.col("price") * 2, 4)
+        ).otherwise(F.col("price")),
+    )
+    return snapshot_diff(old, new, "o_orderkey", "price")
+
+
+ORACLE_ORDERS_SNAPSHOT_DIFF = """
+sd_base AS (
+  SELECT o_orderkey, round(o_totalprice, 4) AS price,
+         max(o_orderkey) OVER () AS mx
+  FROM orders
+),
+sd_old AS (
+  SELECT o_orderkey, price FROM sd_base WHERE o_orderkey * 3 < mx * 2
+),
+sd_new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN round(price * 2, 4)
+              ELSE price END AS price
+  FROM sd_base WHERE o_orderkey * 3 >= mx
+),
+orders_snapshot_diff AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.price AS old_v, n.price AS new_v,
+         CASE WHEN o.price IS NULL THEN 'added'
+              WHEN n.price IS NULL THEN 'removed'
+              WHEN o.price <> n.price THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM sd_old o FULL OUTER JOIN sd_new n USING (o_orderkey)
+)
+"""

@@ -535,3 +535,33 @@ ivf_diverse_sample AS (
   ) WHERE rnk <= {SAMPLE_PER_CELL}
 )
 """
+
+
+def cosine_pandas_udf():
+    """Arrow-batched cosine scorer — the Pandas-UDF escape hatch for
+    when a scoring function outgrows Catalyst expressions (learned
+    metrics, quantized dots). Returned as a factory so importing this
+    module never pays the pandas/numpy import. The native `_cosine`
+    expression is preferred in the declared queries (JVM codegen, no
+    Python); the property test pins both paths to identical results,
+    which is exactly the guarantee you need before swapping a custom
+    scorer into the ANN operators.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(qv, cv):
+        q = np.stack(qv.values)
+        c = np.stack(cv.values)
+        num = (q * c).sum(axis=1)
+        den = np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1)
+        return pd.Series(num / den)
+
+    # set hints as live objects: the module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # signature inference cannot resolve.
+    _cos.__annotations__ = {
+        "qv": pd.Series, "cv": pd.Series, "return": pd.Series
+    }
+    return pandas_udf("double")(_cos)

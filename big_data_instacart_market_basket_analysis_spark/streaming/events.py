@@ -596,3 +596,35 @@ stream_partitioned_sink AS (
   FROM events
 )
 """
+
+
+def variant_props_rollup(events: DataFrame) -> DataFrame:
+    """Semi-structured via VariantType (the Spark 4 path for JSON-heavy
+    columns): ``parse_json`` once into a variant, extract typed fields
+    with ``try_variant_get``, and GROUP BY a derived field. Variant
+    keeps the parsed form in a compact binary encoding — at 100 TB the
+    parse happens once per row in the scan stage instead of once per
+    ``get_json_object`` call, and the extraction is columnar.
+    """
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+ORACLE_VARIANT_PROPS_ROLLUP = """
+variant_props_rollup AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+              AS BIGINT) AS sum_k
+  FROM events
+  GROUP BY 1, 2
+)
+"""
