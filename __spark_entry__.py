@@ -670,6 +670,12 @@ def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.json_props_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling window: per event, same-user event count in
+    the trailing hour — sliding frame, no self-join."""
+    return _tmp.rolling_hour_stats(load_table(spark, sf_dir, "events"))
+
+
 def q_events_variant_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured via VariantType: parse props once into a
     variant, extract typed fields, GROUP BY a derived field."""
@@ -843,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_pivot": q_events_type_pivot,
         "events_value_histogram": q_events_value_histogram,
         "events_variant_rollup": q_events_variant_rollup,
+        "events_rolling_hour": q_events_rolling_hour,
         # slow rows-only queries last (ML trains models; media runs the
         # stub codec): if a driver budget truncates the run, hash-checked
         # rows are already on the board.
@@ -1014,6 +1021,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_variant_rollup": _ext_oracle(
             [_ev.ORACLE_VARIANT_PROPS_ROLLUP], "variant_props_rollup"
+        ),
+        "events_rolling_hour": _ext_oracle(
+            [_tmp.ORACLE_ROLLING_HOUR], "rolling_hour_stats"
         ),
         "geo_customer_rollup": _ext_oracle(
             [_rel.ORACLE_GEO_CUSTOMER_ROLLUP], "geo_customer_rollup"

@@ -565,3 +565,35 @@ def cosine_pandas_udf():
         "qv": pd.Series, "cv": pd.Series, "return": pd.Series
     }
     return pandas_udf("double")(_cos)
+
+
+def grouped_centroids(
+    assigned: DataFrame, key_col: str = "cell",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group centroid via ``applyInPandas`` (grouped-map): each
+    group's vectors arrive as ONE Arrow batch and numpy reduces them —
+    the escape hatch for per-group numerics that outgrow expressions
+    (covariances, per-cell PCA, quantized codebooks). For the plain
+    mean the native equivalent is posexplode + avg per position; the
+    property test pins both paths together, which is the safety rail
+    for swapping richer per-group math in later.
+
+    Scale: one shuffle on the group key; each task holds one group's
+    vectors ([group size x dim] floats) — sized for IVF cells, not for
+    unbounded groups.
+    """
+    import pandas as pd  # noqa: F401 — Arrow path
+
+    def _mean(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = np.stack(pdf[vec_col].values).astype("float64").mean(axis=0)
+        return pd.DataFrame(
+            {key_col: [pdf[key_col].iloc[0]], "centroid": [m.tolist()]}
+        )
+
+    return assigned.groupBy(key_col).applyInPandas(
+        _mean, f"{key_col} bigint, centroid array<double>"
+    )

@@ -575,3 +575,47 @@ value_histogram AS (
   GROUP BY 1, 2
 )
 """
+
+
+#: rolling-window width for the RANGE-frame query (trailing hour).
+ROLLING_MS = 60 * 60 * 1000
+
+
+def rolling_hour_stats(events: DataFrame) -> DataFrame:
+    """Trailing-hour rolling stats per event via a RANGE window frame:
+    for every event, the count and value-sum of the same user's events
+    in the preceding hour (inclusive). RANGE frames bound by the
+    ordering value — Spark keeps a sliding frame per partition, so this
+    is the same single user_id shuffle as any per-user window; no
+    self-join, no bucketing.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-ROLLING_MS, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.count("*").over(w).alias("n_trailing_hour"),
+    )
+
+
+ORACLE_ROLLING_HOUR = f"""
+rh_base AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+),
+rolling_hour_stats AS (
+  SELECT event_id, user_id, ts_ms,
+         CAST(count(*) OVER (
+           PARTITION BY user_id ORDER BY ts_ms
+           RANGE BETWEEN {ROLLING_MS} PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n_trailing_hour
+  FROM rh_base
+)
+"""

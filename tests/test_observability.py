@@ -70,3 +70,72 @@ def test_pandas_udf_cosine_matches_native(spark):
     assert both
     for r in both:
         assert abs(r["native"] - r["arrow"]) < 1e-9, (r["qid"], r["nid"])
+
+
+def test_apply_in_pandas_centroids_match_native(spark):
+    """Grouped-map applyInPandas centroid == native posexplode+avg
+    composition, element-wise within 1e-9."""
+    import math
+
+    rows = [
+        (i, i % 3, [float(i), float(i * 2 % 7), float(i * 3 % 5)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, cell long, embedding array<double>")
+
+    got = {
+        r["cell"]: r["centroid"]
+        for r in similarity.grouped_centroids(df).collect()
+    }
+    native = (
+        df.select("cell", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
+        .select("cell", F.expr("transform(s, e -> e.m)").alias("centroid"))
+    )
+    want = {r["cell"]: r["centroid"] for r in native.collect()}
+    assert set(got) == set(want) == {0, 1, 2}
+    for cell in got:
+        assert all(
+            math.isclose(a, b, abs_tol=1e-9)
+            for a, b in zip(got[cell], want[cell])
+        )
+
+
+def test_python_udtf_sentences_match_native_split(spark):
+    """Python UDTF (1 row -> N rows, the modern form of the reference's
+    datasetFeatures UDTF, SURVEY §2j U2) == native posexplode(split)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id: bigint, sent_idx: int, sentence: string")
+    class SplitSentences:
+        def eval(self, doc_id, text):
+            import re
+
+            parts = [p for p in re.split(r"[.!?]\s+", text) if p]
+            for i, s in enumerate(parts):
+                yield doc_id, i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    spark.createDataFrame(
+        [(0, "One sentence. Two now! And three? yes"),
+         (1, "single"),],
+        ["doc_id", "text"],
+    ).createOrReplaceTempView("udtf_docs")
+    got = {
+        (r["doc_id"], r["sent_idx"], r["sentence"])
+        for r in spark.sql(
+            "SELECT s.* FROM udtf_docs, "
+            "LATERAL split_sentences(doc_id, text) s"
+        ).collect()
+    }
+    native = {
+        (r["doc_id"], r["sent_idx"], r["sentence"])
+        for r in spark.sql(
+            "SELECT doc_id, posexplode(filter(split(text, '[.!?]\\\\s+'),"
+            " x -> x != '')) AS (sent_idx, sentence) FROM udtf_docs"
+        ).collect()
+    }
+    assert got == native and len(got) == 5
