@@ -647,6 +647,12 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.sessionize(load_table(spark, sf_dir, "events"))
 
 
+def q_sql_segment_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end, cross-domain: funnel conversion rate per customer
+    market segment (events sessionized -> funnel view -> dim join)."""
+    return _sqlapi.sql_segment_conversion(spark, sf_dir)
+
+
 def q_events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session funnel: per (user, session) click/purchase counts and an
     ordered click->purchase conversion flag — sessionization's single
@@ -846,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "events_session_funnel": q_events_session_funnel,
+        "sql_segment_conversion": q_sql_segment_conversion,
         "events_type_pivot": q_events_type_pivot,
         "events_value_histogram": q_events_value_histogram,
         "events_variant_rollup": q_events_variant_rollup,
@@ -1009,6 +1016,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_session_funnel": _ext_oracle(
             [_ev.ORACLE_SESSION_FUNNEL], "session_funnel"
+        ),
+        "sql_segment_conversion": _ext_oracle(
+            [_ev.ORACLE_SESSION_FUNNEL,
+             _sqlapi.ORACLE_SQL_SEGMENT_CONVERSION],
+            "sql_segment_conversion",
         ),
         "stream_partitioned_sink": _ext_oracle(
             [_ev.ORACLE_STREAM_PARTITIONED_SINK], "stream_partitioned_sink"

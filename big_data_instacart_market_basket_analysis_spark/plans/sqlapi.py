@@ -161,3 +161,43 @@ sql_dept_top_reordered AS (
   ) WHERE rnk <= 3
 )
 """
+
+
+def sql_segment_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain SQL: session-funnel conversion rate by customer
+    market segment — events sessionized through the funnel view, joined
+    to the customer dim, aggregated per segment, all via spark.sql.
+    Rate = ratio of integral counts (hash-stable)."""
+    register_all(spark, sf_dir)
+    from ..sources.loaders import load_table
+    from ..streaming import events as _ev
+
+    _ev.session_funnel(
+        load_table(spark, sf_dir, "events")
+    ).createOrReplaceTempView("session_funnel_v")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS segment,
+               count(*)                                    AS n_sessions,
+               CAST(sum(f.converted) AS BIGINT)            AS n_converted,
+               CAST(sum(f.converted) AS BIGINT) / CAST(count(*) AS DOUBLE)
+                                                           AS conversion_rate
+        FROM session_funnel_v f
+        JOIN customer c ON c.c_custkey = f.user_id
+        GROUP BY 1
+        """
+    )
+
+
+ORACLE_SQL_SEGMENT_CONVERSION = """
+sql_segment_conversion AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(f.converted) AS BIGINT) AS n_converted,
+         CAST(sum(f.converted) AS BIGINT) / CAST(count(*) AS DOUBLE)
+           AS conversion_rate
+  FROM session_funnel f
+  JOIN customer c ON c.c_custkey = f.user_id
+  GROUP BY 1
+)
+"""
