@@ -560,6 +560,19 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.user_interarrival_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped deep join: revenue per nation for one region —
+    dim chain broadcast (region filter prunes before the facts join),
+    fact-fact shuffle only on o_orderkey."""
+    return _rel.regional_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
 def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation: FULL OUTER join of two deterministic
     orders snapshots, keys classified added/removed/changed/unchanged."""
@@ -851,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "orders_snapshot_diff": q_orders_snapshot_diff,
+        "regional_revenue": q_regional_revenue,
         "events_session_funnel": q_events_session_funnel,
         "sql_segment_conversion": q_sql_segment_conversion,
         "events_type_pivot": q_events_type_pivot,
@@ -1010,6 +1024,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orders_snapshot_diff": _ext_oracle(
             [_rel.ORACLE_ORDERS_SNAPSHOT_DIFF], "orders_snapshot_diff"
+        ),
+        "regional_revenue": _ext_oracle(
+            [_rel.oracle_regional_revenue()], "regional_revenue"
         ),
         "stream_dedup": _ext_oracle(
             [_ev.ORACLE_STREAM_DEDUP], "stream_dedup"

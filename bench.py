@@ -39,6 +39,7 @@ HEADLINE = [
     "sql_dept_top_reordered",
     "pricing_summary",
     "shipping_priority",
+    "regional_revenue",
     "events_salted_join",
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -420,3 +420,74 @@ orders_snapshot_diff AS (
   FROM sd_old o FULL OUTER JOIN sd_new n USING (o_orderkey)
 )
 """
+
+
+def regional_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H-Q5-shaped deep join: revenue per nation for one region —
+    lineitem |x| orders |x| customer |x| nation |x| region (the
+    local-supplier leg of real Q5 is omitted; the plan shape is the
+    point). The region filter prunes through the broadcast dim chain
+    BEFORE the fact tables join: region -> nation -> customer all
+    broadcast, so the only shuffles are the two fact tables meeting on
+    o_orderkey. Revenue in exact DECIMAL, cast to double post-agg.
+    """
+    dims = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        region.filter(F.col("r_name") == region_name)
+                    ),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                )
+            ),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select("c_custkey", "n_name")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)")
+           - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        lineitem.select("l_orderkey", rev.alias("rev"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+def oracle_regional_revenue(region_name: str = "ASIA") -> str:
+    return f"""
+regional_revenue AS (
+  SELECT n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4))
+                     - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS revenue,
+         CAST(count(*) AS BIGINT) AS n_lineitems
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = '{region_name}'
+  GROUP BY 1
+)
+"""
