@@ -383,7 +383,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (xxhash64-based — rows-only check)."""
+    """SimHash near-dup pairs (md5-derived 60-bit hash — the whole
+    vote/band/Hamming pipeline replays in DuckDB, so this is
+    oracle-checked, not rows-only)."""
     return _dedup.simhash_pairs(_docs(spark, sf_dir))
 
 
@@ -546,6 +548,15 @@ def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-per-language uniform sample (hash-order rank
     with a two-phase prefilter so the per-key sort stays bounded)."""
     return _samp.stratified_sample(_docs(spark, sf_dir))
+
+
+def q_docs_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted Bernoulli sample: keep-probability
+    proportional to quality_score, drawn from an md5 hex compare (no
+    rand()); map-only over the scoring projection."""
+    return _samp.quality_weighted_sample(
+        _text.quality_scores(_docs(spark, sf_dir))
+    )
 
 
 def q_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -857,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_batches": q_docs_pack_batches,
         "docs_split_by_hash": q_docs_split_by_hash,
         "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_quality_sample": q_docs_quality_sample,
         "docs_profile": q_docs_profile,
         "events_interarrival": q_events_interarrival,
         "events_salted_join": q_events_salted_join,
@@ -990,6 +1002,9 @@ def oracle_sql() -> dict[str, str]:
         "text_redact_pii": _ext_oracle(
             [_text.ORACLE_REDACT_PII], "redact_pii"
         ),
+        "dedup_simhash": _ext_oracle(
+            [_dedup._oracle_simhash()], "simhash_pairs"
+        ),
         "dedup_decontaminate": _ext_oracle(
             [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_DECONTAMINATE],
             "decontaminate",
@@ -1003,6 +1018,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_stratified_sample": _ext_oracle(
             [_samp.oracle_stratified_sample()], "stratified_sample"
+        ),
+        "docs_quality_sample": _ext_oracle(
+            [_text.oracle_quality_scores(),
+             _samp.oracle_quality_weighted_sample()],
+            "quality_weighted_sample",
         ),
         "docs_profile": _ext_oracle(
             [_prof.oracle_profile_documents()], "profile_documents"

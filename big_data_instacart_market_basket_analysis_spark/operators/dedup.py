@@ -20,9 +20,10 @@ row amplification stay bounded at 100 TB:
   candidates only. md5-based hashes so DuckDB can replay the identical
   algorithm (an xxhash64 variant would be ~4x faster but engine-specific;
   correctness first, the hash fn is pluggable).
-- SimHash: 64-bit signature via xxhash64 token hashes (Spark-native —
-  no cross-engine hash exists, so its query is rows-only checked),
-  near-dup = Hamming distance <= 3 over 16-bit band buckets.
+- SimHash: 60-bit signature via md5-derived token hashes (both engines
+  parse the same 15 md5 hex chars to the same positive BIGINT, so the
+  vote/band/Hamming pipeline is fully oracle-checked), near-dup =
+  Hamming distance <= 3 over 15-bit band buckets.
 - embedding cosine near-dup: see similarity.py (shares the pair join).
 
 All shingling/normalization is pure Catalyst expressions (split /
@@ -523,22 +524,35 @@ connected_clusters AS (
 """
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc from xxhash64 token hashes.
+#: SimHash geometry: 60 signature bits (15 md5 hex chars — fits a
+#: signed BIGINT positively in BOTH engines, so shifts/xor/bit_count
+#: agree with no sign-extension edge), 4 bands of 15 bits.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS
+_BAND_MASK = (1 << _BAND_WIDTH) - 1
 
-    Explode tokens, then ONE hash-aggregation with 64 +/-1 vote sums
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash per doc from md5-derived token hashes.
+
+    Explode tokens, then ONE hash-aggregation with 60 +/-1 vote sums
     (bit i of the token hash votes +1/-1; sign of the sum is bit i of
     the signature). The flat sum-columns stay inside whole-stage
     codegen with map-side partial aggregation — measured ~40x faster
     than the equivalent per-token array fold (nested higher-order
-    expressions evaluate interpreted, per token, per bit). Signature
-    re-assembly is a 64-term OR, overflow-free on ANSI sessions.
-    Spark-specific hash -> rows-only correctness check (no cross-engine
-    oracle exists for xxhash64).
+    expressions evaluate interpreted, per token, per bit). The token
+    hash is the first 15 hex chars of md5 parsed as an integer —
+    deliberately NOT xxhash64: md5 exists in both engines, which makes
+    the whole operator DuckDB-oracle-checkable (xxhash64 had no
+    cross-engine replay and left this rows-only).
     """
     toks = _tokens(docs).filter(F.size("w") > 0)
     tok = toks.select("doc_id", F.explode("w").alias("t")).select(
-        "doc_id", F.xxhash64("t").alias("h")
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
     )
     votes = tok.groupBy("doc_id").agg(
         *[
@@ -547,12 +561,12 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
                     F.expr(f"shiftright(h, {i}) & 1 = 1"), F.lit(1)
                 ).otherwise(F.lit(-1))
             ).alias(f"v{i}")
-            for i in range(64)
+            for i in range(SIMHASH_BITS)
         ]
     )
     sig = " | ".join(
         f"(CASE WHEN v{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END)"
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     )
     return votes.select("doc_id", F.expr(sig).alias("simhash"))
 
@@ -560,8 +574,8 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX
 ) -> DataFrame:
-    """SimHash near-dup pairs: 16-bit band buckets (a pair within
-    Hamming<=3 of 64 bits must agree on at least one of 4 bands), then
+    """SimHash near-dup pairs: 15-bit band buckets (a pair within
+    Hamming<=3 of 60 bits must agree on at least one of 4 bands), then
     exact Hamming verify via bit_count(xor)."""
     sigs = simhash_signatures(docs)
     bands = sigs.select(
@@ -569,9 +583,10 @@ def simhash_pairs(
         "simhash",
         F.explode(
             F.expr(
-                "transform(sequence(0, 3),"
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}),"
                 " b -> struct(b AS band,"
-                "   shiftright(simhash, b * 16) & 65535 AS key))"
+                f"   shiftright(simhash, b * {_BAND_WIDTH})"
+                f" & {_BAND_MASK} AS key))"
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
@@ -638,5 +653,55 @@ decontaminate AS (
   JOIN dbench_sh b USING (sh)
   WHERE s.doc_id >= {N_BENCHMARK_DOCS}
   GROUP BY 1
+)
+"""
+
+
+def _oracle_simhash() -> str:
+    """DuckDB replay of the 60-bit SimHash: identical md5-prefix hash
+    ('0x'||hex cast — bit-equal to Spark's conv), identical vote /
+    sign / band arithmetic on positive BIGINTs."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sig = "\n           + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT)"
+        " ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+sh_tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+  FROM documents
+),
+sh_h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+  FROM sh_tok
+),
+sh_votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM sh_h GROUP BY 1
+),
+sh_sigs AS (
+  SELECT doc_id,
+         {sig} AS simhash
+  FROM sh_votes
+),
+sh_bands AS (
+  SELECT doc_id, simhash, u.b AS band,
+         (simhash >> (u.b * {_BAND_WIDTH})) & {_BAND_MASK} AS key
+  FROM sh_sigs CROSS JOIN unnest([0, 1, 2, 3]) AS u(b)
+),
+simhash_pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM sh_bands a
+  JOIN sh_bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
 )
 """

@@ -153,3 +153,52 @@ stratified_sample AS (
   SELECT doc_id, lang, rn FROM strat_ranked WHERE rn <= {k}
 )
 """
+
+
+#: quality-weighted sampling: target fraction at quality 1.0; a doc's
+#: keep-probability is base_rate * clamp(quality, 0, 1).
+QW_BASE_RATE = 0.8
+
+
+def quality_weighted_sample(
+    scored_docs: DataFrame, base_rate: float = QW_BASE_RATE
+) -> DataFrame:
+    """Per-row Bernoulli keep with probability proportional to the
+    document's quality score — the curriculum/mixture knob of a
+    training-data pipeline, made deterministic: the draw is the 32-bit
+    md5 prefix compared against a per-row threshold rendered as 8 hex
+    chars (format_string('%08x') in Spark == printf('%08x') in DuckDB,
+    so both engines compare identical strings). No rand(): re-runs,
+    retries, and repartitions all keep exactly the same rows.
+
+    The draw hashes doc_id (not text), so the op needs only
+    (doc_id, quality_score) and stays a pure map over the scoring
+    projection — no join back to the text column.
+    """
+    p = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), F.col("quality_score"))
+    ) * F.lit(base_rate)
+    threshold = F.format_string(
+        "%08x", (p * F.lit(float(1 << 32))).cast("bigint")
+    )
+    draw = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return (
+        scored_docs.filter(draw < threshold)
+        .select("doc_id", F.round("quality_score", 4).alias("quality_score"))
+    )
+
+
+def oracle_quality_weighted_sample(base_rate: float = QW_BASE_RATE) -> str:
+    """Composes after the quality_scores CTE (textstats oracle)."""
+    return f"""
+quality_weighted_sample AS (
+  SELECT doc_id, round(quality_score, 4) AS quality_score
+  FROM quality_scores
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        < printf('%08x',
+            CAST(least(CAST(1.0 AS DOUBLE),
+                       greatest(CAST(0.0 AS DOUBLE), quality_score))
+                 * CAST({base_rate} AS DOUBLE)
+                 * CAST(4294967296 AS DOUBLE) AS BIGINT))
+)
+"""
