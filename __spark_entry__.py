@@ -466,6 +466,30 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.redact_pii(_docs(spark, sf_dir))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition scoring (dup word/trigram ratios) — the
+    Gopher-style quality rule; map-only higher-order array exprs."""
+    return _text.repetition_scores(_docs(spark, sf_dir))
+
+
+def q_docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width word-window chunking (1 -> N rows for
+    context-window training data); chunk_id derived, not positional."""
+    return _text.chunk_documents(_docs(spark, sf_dir))
+
+
+def q_docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture report per (source, lang): docs, tokens, corpus
+    token share, exact integral quality sum."""
+    return _text.source_mix(_docs(spark, sf_dir))
+
+
+def q_docs_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-percentile filter: keep each language's
+    top fraction by quality score (deterministic tiebreak)."""
+    return _text.quality_top_fraction(_docs(spark, sf_dir))
+
+
 def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing shingles with
     the benchmark set (first doc_ids), via broadcast shingle join."""
@@ -863,6 +887,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "text_top_terms": q_text_top_terms,
         "text_redact_pii": q_text_redact_pii,
+        "text_repetition": q_text_repetition,
+        "docs_chunks": q_docs_chunks,
+        "docs_source_mix": q_docs_source_mix,
+        "docs_quality_topfrac": q_docs_quality_topfrac,
         "dedup_decontaminate": q_dedup_decontaminate,
         "text_tfidf_top_terms": q_text_tfidf_top_terms,
         "docs_pack_batches": q_docs_pack_batches,
@@ -1001,6 +1029,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_redact_pii": _ext_oracle(
             [_text.ORACLE_REDACT_PII], "redact_pii"
+        ),
+        "text_repetition": _ext_oracle(
+            [_text.ORACLE_REPETITION], "repetition_scores"
+        ),
+        "docs_chunks": _ext_oracle(
+            [_text.ORACLE_CHUNKS], "chunk_documents"
+        ),
+        "docs_source_mix": _ext_oracle(
+            [
+                _text.ORACLE_TOKEN_COUNTS,
+                _text.oracle_quality_scores(),
+                _text.ORACLE_SOURCE_MIX,
+            ],
+            "source_mix",
+        ),
+        "docs_quality_topfrac": _ext_oracle(
+            [
+                _text.oracle_quality_scores(),
+                _text.oracle_quality_top_fraction(),
+            ],
+            "quality_top_fraction",
         ),
         "dedup_simhash": _ext_oracle(
             [_dedup._oracle_simhash()], "simhash_pairs"

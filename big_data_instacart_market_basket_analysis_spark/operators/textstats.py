@@ -435,6 +435,274 @@ fingerprints AS (
 """
 
 
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Within-document repetition scoring (the Gopher-style quality
+    rule): fraction of duplicated word trigrams and duplicated words.
+
+    Heavily-repeated boilerplate (nav bars, SEO spam, generation loops)
+    shows up as a high dup-trigram ratio long before any cross-doc
+    dedup pass sees it. Pure higher-order array expressions — map-only,
+    zero shuffle, runs at scan speed at 100 TB.
+    """
+    tg = (
+        "transform(sequence(0, size(w) - 3),"
+        " i -> concat_ws(' ', element_at(w, i + 1),"
+        " element_at(w, i + 2), element_at(w, i + 3)))"
+    )
+    return (
+        docs.select(
+            "doc_id", _tokens_col().alias("w")
+        )
+        .select(
+            "doc_id",
+            F.expr("size(w)").alias("n_words"),
+            F.expr("size(array_distinct(w))").alias("n_distinct_words"),
+            F.expr(
+                f"CASE WHEN size(w) >= 3 THEN size(w) - 2 ELSE 0 END"
+            ).alias("n_trigrams"),
+            F.expr(
+                f"CASE WHEN size(w) >= 3 THEN size(array_distinct({tg}))"
+                " ELSE 0 END"
+            ).alias("n_distinct_trigrams"),
+        )
+        .withColumn(
+            "dup_word_ratio",
+            F.when(
+                F.col("n_words") > 0,
+                1.0 - F.col("n_distinct_words")
+                / F.col("n_words").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "dup_trigram_ratio",
+            F.when(
+                F.col("n_trigrams") > 0,
+                1.0 - F.col("n_distinct_trigrams")
+                / F.col("n_trigrams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+ORACLE_REPETITION = """
+rep_base AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+  FROM documents
+),
+rep_counts AS (
+  SELECT doc_id,
+         CAST(len(w) AS INT) AS n_words,
+         CAST(len(list_distinct(w)) AS INT) AS n_distinct_words,
+         CAST(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS INT)
+           AS n_trigrams,
+         CAST(CASE WHEN len(w) >= 3 THEN len(list_distinct(
+             list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])))
+           ELSE 0 END AS INT) AS n_distinct_trigrams
+  FROM rep_base
+),
+repetition_scores AS (
+  SELECT doc_id, n_words, n_distinct_words, n_trigrams,
+         n_distinct_trigrams,
+         CASE WHEN n_words > 0
+              THEN 1.0 - n_distinct_words / CAST(n_words AS DOUBLE)
+              ELSE 0.0 END AS dup_word_ratio,
+         CASE WHEN n_trigrams > 0
+              THEN 1.0 - n_distinct_trigrams / CAST(n_trigrams AS DOUBLE)
+              ELSE 0.0 END AS dup_trigram_ratio
+  FROM rep_counts
+)
+"""
+
+
+#: chunking: context-window size and stride (words). Stride < size
+#: gives overlapping chunks, the usual pre-training packing input.
+CHUNK_SIZE_WORDS = 64
+CHUNK_STRIDE_WORDS = 48
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = CHUNK_SIZE_WORDS,
+    stride: int = CHUNK_STRIDE_WORDS,
+) -> DataFrame:
+    """Split each document into overlapping fixed-width word windows
+    (1 -> N row expansion for context-window training data).
+
+    chunk_id = start//stride is derived, not positional, so the output
+    is deterministic under any partitioning. The explode happens after
+    projecting only (doc_id, w) — amplified rows never carry the full
+    text column, which is what keeps the shuffle-free map stage cheap
+    at 100 TB.
+    """
+    return (
+        docs.select("doc_id", _tokens_col().alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.expr(f"sequence(0, size(w) - 1, {stride})")
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / stride).cast("bigint").alias("chunk_id"),
+            F.expr(f"size(slice(w, start + 1, {size}))").alias("n_words"),
+            F.md5(
+                F.expr(f"array_join(slice(w, start + 1, {size}), ' ')")
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+ORACLE_CHUNKS = f"""
+chunk_base AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+  FROM documents
+),
+chunk_starts AS (
+  SELECT doc_id, w,
+         unnest(range(0, len(w), {CHUNK_STRIDE_WORDS})) AS start
+  FROM chunk_base
+),
+chunk_documents AS (
+  SELECT doc_id,
+         CAST(start // {CHUNK_STRIDE_WORDS} AS BIGINT) AS chunk_id,
+         CAST(len(list_slice(w, start + 1,
+                             start + {CHUNK_SIZE_WORDS})) AS INT)
+           AS n_words,
+         md5(array_to_string(
+             list_slice(w, start + 1, start + {CHUNK_SIZE_WORDS}), ' '))
+           AS chunk_md5
+  FROM chunk_starts
+)
+"""
+
+
+def source_mix(docs: DataFrame) -> DataFrame:
+    """Data-mixture report: per (source, lang) doc/token totals, token
+    share of the whole corpus, and an exact quality sum.
+
+    The quality sum is integral millionths (per-row round then cast)
+    so the aggregate is exact integer math — float summation order
+    differs between engines and would break hash comparison. The
+    corpus-total join is a broadcast of a 1-row aggregate.
+    """
+    per_doc = (
+        docs.select("doc_id", "source", "lang")
+        .join(token_counts(docs).select("doc_id", "n_tokens"), "doc_id")
+        .join(
+            quality_scores(docs).select(
+                "doc_id",
+                F.round(F.col("quality_score") * 1_000_000)
+                .cast("bigint")
+                .alias("q_millionths"),
+            ),
+            "doc_id",
+        )
+    )
+    grouped = per_doc.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("q_millionths").alias("quality_sum_millionths"),
+    )
+    corpus = grouped.agg(
+        F.sum("total_tokens").alias("corpus_tokens")
+    )
+    return grouped.crossJoin(F.broadcast(corpus)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "quality_sum_millionths",
+        F.round(
+            F.col("total_tokens") / F.col("corpus_tokens").cast("double"),
+            6,
+        ).alias("token_share"),
+    )
+
+
+ORACLE_SOURCE_MIX = """
+mix_per_doc AS (
+  SELECT d.doc_id, d.source, d.lang, t.n_tokens,
+         CAST(round(q.quality_score * 1000000) AS BIGINT) AS q_millionths
+  FROM documents d
+  JOIN token_counts t USING (doc_id)
+  JOIN quality_scores q USING (doc_id)
+),
+mix_grouped AS (
+  SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(q_millionths) AS BIGINT) AS quality_sum_millionths
+  FROM mix_per_doc GROUP BY 1, 2
+),
+source_mix AS (
+  SELECT source, lang, n_docs, total_tokens, quality_sum_millionths,
+         round(total_tokens / CAST(
+           (SELECT sum(total_tokens) FROM mix_grouped) AS DOUBLE), 6)
+           AS token_share
+  FROM mix_grouped
+)
+"""
+
+
+#: quality-percentile filter: keep the top fraction per language.
+QUALITY_TOP_FRACTION = 0.5
+
+
+def quality_top_fraction(
+    docs: DataFrame, frac: float = QUALITY_TOP_FRACTION
+) -> DataFrame:
+    """Per-language quality-percentile cutoff: keep each language's top
+    ``frac`` of documents by quality score (ties broken by doc_id, so
+    the boundary is deterministic).
+
+    One shuffle on lang for the rank window; the per-lang count rides
+    the same window, no second pass. Language cardinality is tiny, so
+    at 100 TB the skew risk is the lang key itself — the same
+    two-stage salting in ``functions/skew.py`` applies if one language
+    dominates; at this fixture's five languages AQE handles it.
+    """
+    q = quality_scores(docs).select("doc_id", "quality_score")
+    ranked = (
+        docs.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.col("quality_score").desc(), "doc_id"
+                )
+            ),
+        )
+        .withColumn(
+            "lang_docs",
+            F.count("*").over(Window.partitionBy("lang")),
+        )
+    )
+    return ranked.filter(
+        F.col("rnk") <= F.ceil(F.col("lang_docs") * frac)
+    ).select("doc_id", "lang", "quality_score", "rnk")
+
+
+def oracle_quality_top_fraction(frac: float = QUALITY_TOP_FRACTION) -> str:
+    return f"""
+qtf_ranked AS (
+  SELECT d.doc_id, d.lang, q.quality_score,
+         CAST(row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY q.quality_score DESC, d.doc_id) AS INT) AS rnk,
+         count(*) OVER (PARTITION BY d.lang) AS lang_docs
+  FROM documents d JOIN quality_scores q USING (doc_id)
+),
+quality_top_fraction AS (
+  SELECT doc_id, lang, quality_score, rnk
+  FROM qtf_ranked
+  WHERE rnk <= ceil(lang_docs * {frac})
+)
+"""
+
+
 #: redaction patterns: email, long digit runs, and a named-entity
 #: stop-list — the standard pre-training scrub pass. Alternation kept
 #: RE2-compatible (no backrefs/lookahead) so Spark (Java regex) and
