@@ -490,6 +490,18 @@ def q_docs_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.quality_top_fraction(_docs(spark, sf_dir))
 
 
+def q_text_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence pairs with PMI (word2vec training-pair
+    extraction); map-local pair generation, broadcast unigram joins."""
+    return _text.skipgram_pmi(_docs(spark, sf_dir))
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention grid: first-seen-day cohorts x day offset with
+    distinct active users and day-0-normalized retention rate."""
+    return _tmp.retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
 def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing shingles with
     the benchmark set (first doc_ids), via broadcast shingle join."""
@@ -891,6 +903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunks": q_docs_chunks,
         "docs_source_mix": q_docs_source_mix,
         "docs_quality_topfrac": q_docs_quality_topfrac,
+        "text_skipgram_pmi": q_text_skipgram_pmi,
+        "events_retention": q_events_retention,
         "dedup_decontaminate": q_dedup_decontaminate,
         "text_tfidf_top_terms": q_text_tfidf_top_terms,
         "docs_pack_batches": q_docs_pack_batches,
@@ -1050,6 +1064,12 @@ def oracle_sql() -> dict[str, str]:
                 _text.oracle_quality_top_fraction(),
             ],
             "quality_top_fraction",
+        ),
+        "text_skipgram_pmi": _ext_oracle(
+            [_text.ORACLE_SKIPGRAM_PMI], "skipgram_pmi"
+        ),
+        "events_retention": _ext_oracle(
+            [_tmp.ORACLE_RETENTION_COHORTS], "retention_cohorts"
         ),
         "dedup_simhash": _ext_oracle(
             [_dedup._oracle_simhash()], "simhash_pairs"

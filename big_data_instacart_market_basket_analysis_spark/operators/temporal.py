@@ -619,3 +619,68 @@ rolling_hour_stats AS (
   FROM rh_base
 )
 """
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct
+    active users per (cohort_day, day_offset), and the retention rate
+    against the cohort's day-0 size.
+
+    Two hash-aggs on user_id (both partial-aggregated map-side) and a
+    tiny (cohort_day, offset) grid at the end — the per-user distinct
+    day projection is the only row-heavy stage, and it shrinks the
+    fact table to at most users x active-days before any join. The
+    day-0 size rides a window over the final grid (cohort cardinality
+    == #days, trivially small at any scale).
+    """
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    grid = (
+        days.join(cohorts, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    w = Window.partitionBy("cohort_day")
+    return grid.withColumn(
+        "cohort_size",
+        F.max(
+            F.when(F.col("day_offset") == 0, F.col("active_users"))
+        ).over(w),
+    ).select(
+        "cohort_day",
+        "day_offset",
+        "active_users",
+        "cohort_size",
+        F.round(
+            F.col("active_users") / F.col("cohort_size").cast("double"), 6
+        ).alias("retention_rate"),
+    )
+
+
+ORACLE_RETENTION_COHORTS = """
+ret_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+ret_cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM ret_days GROUP BY 1
+),
+ret_grid AS (
+  SELECT c.cohort_day,
+         CAST(date_diff('day', c.cohort_day, d.day) AS INT) AS day_offset,
+         CAST(count(DISTINCT d.user_id) AS BIGINT) AS active_users
+  FROM ret_days d JOIN ret_cohort c USING (user_id)
+  GROUP BY 1, 2
+),
+retention_cohorts AS (
+  SELECT cohort_day, day_offset, active_users,
+         CAST(max(CASE WHEN day_offset = 0 THEN active_users END)
+           OVER (PARTITION BY cohort_day) AS BIGINT) AS cohort_size,
+         round(active_users / CAST(max(CASE WHEN day_offset = 0
+             THEN active_users END)
+           OVER (PARTITION BY cohort_day) AS DOUBLE), 6) AS retention_rate
+  FROM ret_grid
+)
+"""

@@ -646,6 +646,118 @@ source_mix AS (
 """
 
 
+#: skip-gram extraction: context window (following words) and the
+#: minimum pair count that survives into the PMI table.
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_MIN_COUNT = 5
+
+
+def skipgram_pmi(
+    docs: DataFrame,
+    k: int = SKIPGRAM_WINDOW,
+    min_count: int = SKIPGRAM_MIN_COUNT,
+) -> DataFrame:
+    """Skip-gram co-occurrence pairs with PMI — the word2vec-style
+    training-pair extraction over a corpus.
+
+    Pair generation is a pure higher-order array expression (each word
+    paired with its next ``k`` words), so the explode amplification is
+    map-local and the (a, b) hash-agg does map-side combine before the
+    only shuffle. Unigram counts are vocabulary-sized — broadcast onto
+    the pair table; corpus totals are broadcast 1-row aggregates.
+    Tokens are assumed '|'-free (the tokenizer splits on whitespace;
+    the separator only exists inside the transient pair key).
+    """
+    pair_expr = (
+        f"flatten(transform(sequence(1, size(w) - 1),"
+        f" i -> transform(sequence(i + 1, least(i + {k}, size(w))),"
+        " j -> concat(element_at(w, i), '|', element_at(w, j)))))"
+    )
+    pairs = (
+        docs.select(_tokens_col().alias("w"))
+        .filter(F.expr("size(w) >= 2"))
+        .select(F.explode(F.expr(pair_expr)).alias("pair"))
+    )
+    pc = (
+        pairs.select(
+            F.substring_index("pair", "|", 1).alias("a"),
+            F.substring_index("pair", "|", -1).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    uni = (
+        docs.select(F.explode(_tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_word"))
+    )
+    totals = pc.agg(F.sum("n_pair").alias("t_pairs")).crossJoin(
+        uni.agg(F.sum("n_word").alias("n_words"))
+    )
+    ua = uni.select(F.col("word").alias("a"), F.col("n_word").alias("na"))
+    ub = uni.select(F.col("word").alias("b"), F.col("n_word").alias("nb"))
+    return (
+        pc.filter(F.col("n_pair") >= min_count)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("t_pairs").cast("double"))
+                    / (
+                        (F.col("na") / F.col("n_words").cast("double"))
+                        * (F.col("nb") / F.col("n_words").cast("double"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
+ORACLE_SKIPGRAM_PMI = f"""
+sg_base AS (
+  SELECT regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+),
+sg_pairs AS (
+  SELECT unnest(flatten(list_transform(range(1, len(w)),
+           i -> list_transform(
+             range(i + 1, least(i + {SKIPGRAM_WINDOW}, len(w)) + 1),
+             j -> w[i] || '|' || w[j])))) AS pair
+  FROM sg_base WHERE len(w) >= 2
+),
+sg_pc AS (
+  SELECT split_part(pair, '|', 1) AS a, split_part(pair, '|', 2) AS b,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM sg_pairs GROUP BY 1, 2
+),
+sg_uni AS (
+  SELECT t AS word, CAST(count(*) AS BIGINT) AS n_word
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+        FROM documents)
+  GROUP BY 1
+),
+sg_tot AS (
+  SELECT (SELECT CAST(sum(n_pair) AS BIGINT) FROM sg_pc) AS t_pairs,
+         (SELECT CAST(sum(n_word) AS BIGINT) FROM sg_uni) AS n_words
+),
+skipgram_pmi AS (
+  SELECT p.a, p.b, p.n_pair,
+         round(ln((p.n_pair / CAST(t.t_pairs AS DOUBLE))
+           / ((ua.n_word / CAST(t.n_words AS DOUBLE))
+              * (ub.n_word / CAST(t.n_words AS DOUBLE)))), 4) AS pmi
+  FROM sg_pc p
+  JOIN sg_uni ua ON p.a = ua.word
+  JOIN sg_uni ub ON p.b = ub.word, sg_tot t
+  WHERE p.n_pair >= {SKIPGRAM_MIN_COUNT}
+)
+"""
+
+
 #: quality-percentile filter: keep the top fraction per language.
 QUALITY_TOP_FRACTION = 0.5
 
