@@ -68,6 +68,9 @@ from big_data_instacart_market_basket_analysis_spark.sources.json_ingest import 
 from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
     load_table,
 )
+from big_data_instacart_market_basket_analysis_spark.sources import (
+    pydatasource as _pds,
+)
 from big_data_instacart_market_basket_analysis_spark.streaming import (
     events as _ev,
 )
@@ -490,6 +493,14 @@ def q_docs_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.quality_top_fraction(_docs(spark, sf_dir))
 
 
+def q_pysource_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 DataSource API): synthetic
+    deterministic documents, partition-planned generation; sf_dir
+    unused (the source is its own data). Oracle regenerates the same
+    rows from range()+md5 in DuckDB."""
+    return _pds.synthetic_docs(spark)
+
+
 def q_text_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram co-occurrence pairs with PMI (word2vec training-pair
     extraction); map-local pair generation, broadcast unigram joins."""
@@ -905,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_topfrac": q_docs_quality_topfrac,
         "text_skipgram_pmi": q_text_skipgram_pmi,
         "events_retention": q_events_retention,
+        "pysource_docs": q_pysource_docs,
         "dedup_decontaminate": q_dedup_decontaminate,
         "text_tfidf_top_terms": q_text_tfidf_top_terms,
         "docs_pack_batches": q_docs_pack_batches,
@@ -1070,6 +1082,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_retention": _ext_oracle(
             [_tmp.ORACLE_RETENTION_COHORTS], "retention_cohorts"
+        ),
+        "pysource_docs": _ext_oracle(
+            [_pds.ORACLE_SYNTHETIC_DOCS], "synthetic_docs"
         ),
         "dedup_simhash": _ext_oracle(
             [_dedup._oracle_simhash()], "simhash_pairs"

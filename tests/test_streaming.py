@@ -3,6 +3,8 @@ session windows, custom stateful operator."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
@@ -102,3 +104,67 @@ def test_stream_interval_join_matches_batch(spark):
     assert _rows(out, "purchase_id", "click_id") == _rows(
         batch, "purchase_id", "click_id"
     )
+
+
+@pytest.mark.skipif(
+    not st.tws_available(),
+    reason="transformWithState v2 needs protobuf (absent in this env); "
+    "plumbing is complete and the v1 stateful path is oracle-checked",
+)
+def test_tws_spend_matches_groupby(spark):
+    out = st.run_stream_tws_spend(spark, SF_SMOKE, name="t_tws")
+    events = load_table(spark, SF_SMOKE, "events")
+    batch = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias(
+            "sum_value_millis"
+        ),
+        F.max(F.floor(F.col("value") * 1000).cast("bigint")).alias(
+            "max_value_millis"
+        ),
+    )
+    assert _rows(out, "user_id", "n_events", "sum_value_millis") == _rows(
+        batch, "user_id", "n_events", "sum_value_millis"
+    )
+
+
+def test_tws_processor_logic_local():
+    """The v2 processor's state math, exercised without Spark: feed
+    pandas batches through handleInputRows with a fake ValueState and
+    check the running aggregate (keeps the blocked operator's logic
+    covered in this environment)."""
+    import pandas as pd
+
+    proc = st._make_spend_processor()
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return FakeState()
+
+    proc.init(FakeHandle())
+    out1 = list(
+        proc.handleInputRows(
+            (7,), iter([pd.DataFrame({"value": [1.25, 2.5]})])
+        )
+    )[0]
+    assert out1.loc[0, "n_events"] == 2
+    assert out1.loc[0, "sum_value_millis"] == 1250 + 2500
+    out2 = list(
+        proc.handleInputRows((7,), iter([pd.DataFrame({"value": [0.5]})]))
+    )[0]
+    assert out2.loc[0, "n_events"] == 3
+    assert out2.loc[0, "sum_value_millis"] == 4250
+    assert out2.loc[0, "max_value_millis"] == 2500
