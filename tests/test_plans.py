@@ -135,3 +135,70 @@ def test_interarrival_single_shuffle(spark):
     """Lag window and per-user agg share one user_id exchange."""
     plan = _plan(spark, "events_interarrival")
     assert plan.count("Arguments: hashpartitioning(user_id") == 1, plan
+
+
+def test_text_map_only_ops_have_no_exchange(spark):
+    """repetition scoring and chunking are map-only passes — any
+    Exchange in the plan means an accidental shuffle that would
+    dominate at 100 TB scan scale."""
+    for name in ("text_repetition", "docs_chunks"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_skipgram_broadcasts_unigram_tables(spark):
+    """Unigram counts are vocabulary-sized — they must broadcast onto
+    the pair table, never sort-merge the exploded pair stream."""
+    plan = _plan(spark, "text_skipgram_pmi")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_source_mix_partial_aggregation(spark):
+    """The (source, lang) rollup must partial-aggregate map-side
+    before its shuffle (HashAggregate appears above and below the
+    exchange)."""
+    plan = _plan(spark, "docs_source_mix")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_retention_single_wide_stage_per_agg(spark):
+    """Retention grid: user-keyed aggs shuffle on user_id once each;
+    the final (cohort_day, offset) grid is tiny. No cartesian, no
+    sort-merge against the fact."""
+    plan = _plan(spark, "events_retention")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Catalyst injects a runtime bloom filter on the fact side of a
+    selective fact-fact join (orders filtered -> lineitem probe). The
+    default thresholds (10 GB application-side scan) activate this at
+    cluster scale without code changes; here we lower them to prove
+    the plan shape at fixture scale."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sf = SF_ORACLE
+        orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
