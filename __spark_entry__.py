@@ -71,6 +71,9 @@ from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
 from big_data_instacart_market_basket_analysis_spark.sources import (
     pydatasource as _pds,
 )
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    layout as _layout,
+)
 from big_data_instacart_market_basket_analysis_spark.streaming import (
     events as _ev,
 )
@@ -424,6 +427,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN: probe nprobe nearest cells of a deterministic
     coarse quantizer, exact re-rank within."""
     return _sim.ivf_ann_topk(_emb(spark, sf_dir))
+
+
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized cosine top-k (4x memory compression, exact
+    integer dot products -> engine-stable ranking)."""
+    return _sim.quantized_topk(_emb(spark, sf_dir))
+
+
+def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over (user_id, hour) for
+    multi-dimensional file skipping; map-only integer bit interleave."""
+    return _layout.zorder_keys(load_table(spark, sf_dir, "events"))
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -901,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force_scored": q_ann_brute_force_scored,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_quantized": q_ann_quantized,
+        "events_zorder": q_events_zorder,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_diverse_sample": q_embedding_diverse_sample,
@@ -1029,6 +1046,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh": _ext_oracle([_sim.oracle_lsh_ann_topk()], "lsh_ann_topk"),
         "ann_ivf": _ext_oracle([_sim.oracle_ivf_ann_topk()], "ivf_ann_topk"),
+        "ann_quantized": _ext_oracle(
+            [_sim.ORACLE_QUANTIZED_TOPK], "quantized_topk"
+        ),
+        "events_zorder": _ext_oracle(
+            [_layout.ORACLE_ZORDER_KEYS], "zorder_keys"
+        ),
         "embedding_near_dup": _ext_oracle(
             [_sim.oracle_embedding_near_dup()], "embedding_near_dup"
         ),

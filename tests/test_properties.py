@@ -11,6 +11,8 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_ORACLE
+
 from big_data_instacart_market_basket_analysis_spark.functions.skew import (
     salted_sum_count,
 )
@@ -563,3 +565,47 @@ def test_session_funnel_requires_order(spark):
     assert out[1]["converted"] == 1
     assert out[2]["converted"] == 0
     assert out[3]["converted"] == 0 and out[3]["n_purchases"] == 0
+
+
+def test_quantized_ann_recall_vs_exact(spark):
+    """int8 quantization must preserve most of the exact top-k: recall@10
+    >= 0.8 on the fixture corpus (64-dim, ~1% typical loss)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        similarity as sim,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.quantized_topk(emb).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_zorder_key_is_bijective_and_local(spark, tmp_path):
+    """Morton keys: one zkey per (zx, zy) pair (invertible interleave),
+    and the z-ordered write round-trips all rows."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        layout,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    events = load_table(spark, SF_ORACLE, "events")
+    keys = layout.zorder_keys(events)
+    n_pairs = keys.select("zx", "zy").distinct().count()
+    n_zkeys = keys.select("zkey").distinct().count()
+    assert n_pairs == n_zkeys
+
+    out = str(tmp_path / "zordered")
+    layout.write_zordered(events, out)
+    assert spark.read.parquet(out).count() == events.count()
