@@ -522,6 +522,20 @@ def q_text_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.skipgram_pmi(_docs(spark, sf_dir))
 
 
+def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: most common per-session event-type
+    sequences (ordered, truncated, '>'-joined) with session/user
+    counts."""
+    return _ev.session_paths(load_table(spark, sf_dir, "events"))
+
+
+def q_docs_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((source), (lang)) in one Expand+agg pass with
+    grouping_id disambiguation — the non-hierarchical union that
+    ROLLUP/CUBE can't express."""
+    return _prof.docs_grouping_sets(_docs(spark, sf_dir))
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention grid: first-seen-day cohorts x day offset with
     distinct active users and day-0-normalized retention rate."""
@@ -933,6 +947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_topfrac": q_docs_quality_topfrac,
         "text_skipgram_pmi": q_text_skipgram_pmi,
         "events_retention": q_events_retention,
+        "events_session_paths": q_events_session_paths,
+        "docs_grouping_sets": q_docs_grouping_sets,
         "pysource_docs": q_pysource_docs,
         "dedup_decontaminate": q_dedup_decontaminate,
         "text_tfidf_top_terms": q_text_tfidf_top_terms,
@@ -1108,6 +1124,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pysource_docs": _ext_oracle(
             [_pds.ORACLE_SYNTHETIC_DOCS], "synthetic_docs"
+        ),
+        "events_session_paths": _ext_oracle(
+            [_ev.ORACLE_SESSION_PATHS], "session_paths"
+        ),
+        "docs_grouping_sets": _ext_oracle(
+            [_prof.ORACLE_GROUPING_SETS], "docs_grouping_sets"
         ),
         "dedup_simhash": _ext_oracle(
             [_dedup._oracle_simhash()], "simhash_pairs"

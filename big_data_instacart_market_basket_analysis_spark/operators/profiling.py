@@ -163,3 +163,37 @@ ref_integrity_audit AS (
   FROM events e
 )
 """
+
+
+def docs_grouping_sets(docs: DataFrame) -> DataFrame:
+    """GROUPING SETS aggregation: per-source and per-lang doc/char
+    totals in ONE pass — the non-hierarchical union ROLLUP/CUBE can't
+    express (it is neither a prefix chain nor a power set).
+
+    Spark expands the sets inside a single Expand + hash-agg (one scan,
+    one shuffle); ``grouping_id`` disambiguates which set each output
+    row belongs to, exactly as in the SQL standard and DuckDB.
+    """
+    return (
+        docs.groupingSets(
+            [["source"], ["lang"]], F.col("source"), F.col("lang")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("source", "lang", "n_docs", "total_chars", "gid")
+    )
+
+
+ORACLE_GROUPING_SETS = """
+docs_grouping_sets AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(grouping(source, lang) AS INT) AS gid
+  FROM documents
+  GROUP BY GROUPING SETS ((source), (lang))
+)
+"""

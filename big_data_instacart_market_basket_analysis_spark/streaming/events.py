@@ -628,3 +628,69 @@ variant_props_rollup AS (
   GROUP BY 1, 2
 )
 """
+
+
+#: path analysis: truncate each session's event-type sequence here.
+PATH_MAX_EVENTS = 5
+
+
+def session_paths(events: DataFrame) -> DataFrame:
+    """Clickstream path analysis: the most common event-type sequences
+    per session (first PATH_MAX_EVENTS types, '>'-joined), with session
+    and distinct-user counts.
+
+    Rides the same single user_id shuffle as sessionize (the window and
+    the (user_id, session_seq) groupBy share partitioning); the ordered
+    sequence comes from array_sort over (ts_ms, event_id, type) structs
+    — a deterministic total order, no second sort pass. The final path
+    agg is on a low-cardinality key (paths are short strings), with
+    map-side combine.
+    """
+    sess = with_session_ids(events)
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.expr(
+            "array_join(slice(transform(array_sort(collect_list("
+            " struct(unix_millis(ts) AS ts_ms, event_id, event_type))),"
+            f" s -> s.event_type), 1, {PATH_MAX_EVENTS}), '>')"
+        ).alias("path")
+    )
+    return per_session.groupBy("path").agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_SESSION_PATHS = f"""
+sp_tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+                   > {SESSION_GAP_MIN * 60 * 1000} THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sp_sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM sp_tagged
+),
+sp_paths AS (
+  SELECT user_id, session_seq,
+         array_to_string(list_slice(
+           array_agg(event_type ORDER BY ts, event_id),
+           1, {PATH_MAX_EVENTS}), '>') AS path
+  FROM sp_sess
+  GROUP BY 1, 2
+),
+session_paths AS (
+  SELECT path,
+         CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM sp_paths
+  GROUP BY 1
+)
+"""
