@@ -74,6 +74,9 @@ from big_data_instacart_market_basket_analysis_spark.sources import (
 from big_data_instacart_market_basket_analysis_spark.operators import (
     layout as _layout,
 )
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    graph as _graph,
+)
 from big_data_instacart_market_basket_analysis_spark.streaming import (
     events as _ev,
 )
@@ -529,6 +532,13 @@ def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.session_paths(load_table(spark, sf_dir, "events"))
 
 
+def q_pagerank_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-arithmetic PageRank over the product co-purchase graph
+    (3 unrolled supersteps, plan-only composition, exact hash parity
+    with DuckDB's unrolled CTE chain)."""
+    return _graph.pagerank_products(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_docs_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS ((source), (lang)) in one Expand+agg pass with
     grouping_id disambiguation — the non-hierarchical union that
@@ -949,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "events_session_paths": q_events_session_paths,
         "docs_grouping_sets": q_docs_grouping_sets,
+        "pagerank_products": q_pagerank_products,
         "pysource_docs": q_pysource_docs,
         "dedup_decontaminate": q_dedup_decontaminate,
         "text_tfidf_top_terms": q_text_tfidf_top_terms,
@@ -1130,6 +1141,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_grouping_sets": _ext_oracle(
             [_prof.ORACLE_GROUPING_SETS], "docs_grouping_sets"
+        ),
+        "pagerank_products": _ext_oracle(
+            [_graph.oracle_pagerank()], "pagerank_products"
         ),
         "dedup_simhash": _ext_oracle(
             [_dedup._oracle_simhash()], "simhash_pairs"

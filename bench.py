@@ -52,6 +52,12 @@ HEADLINE = [
     "text_lang_id",
     "events_tumbling_hourly",
     "events_sessionize",
+    # round-2 additions: heaviest of the new [EXT] surface
+    "text_skipgram_pmi",
+    "docs_chunks",
+    "ann_quantized",
+    "events_retention",
+    "events_session_paths",
 ]
 
 

@@ -1,0 +1,125 @@
+"""[EXT] Iterative graph analytics: PageRank over the product
+co-purchase graph.
+
+Ranks products by co-occurrence centrality (which products anchor
+baskets — the graph view of the reference's frequent-pair mining,
+F.py:296-396 territory). Two design rules make it engine-portable and
+scale-shaped:
+
+- **Integer arithmetic.** Ranks are scaled millionths with floor
+  division everywhere (``r' = 150000 + (85 * incoming) DIV 100``).
+  Float PageRank sums differ by accumulation order across engines and
+  partitions; integral ranks hash-match exactly.
+- **Fixed unrolled iterations, plan-only composition.** Each superstep
+  is one join + one hash-agg appended to the logical plan — no
+  driver-side collect, no lineage-breaking actions at fixture scale.
+  The DuckDB oracle unrolls the same three steps as chained CTEs
+  (recursive CTEs disallow aggregation in the recursive term). At
+  100 TB you'd localCheckpoint between supersteps to cut lineage depth
+  and let AQE re-plan each round — same per-round plan, same results.
+
+The co-purchase edge list shuffles once on orderkey (self-join), then
+every superstep shuffles on the node key; out-degrees are computed once
+and rejoined (vocabulary-sized relative to edges, broadcast-eligible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: rank scale (millionths), damping as integer percent, supersteps.
+PR_SCALE = 1_000_000
+PR_DAMP_PCT = 85
+PR_ITERATIONS = 3
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct directed co-purchase edges: (a, b) iff parts a and b
+    appear in the same order, a != b (both directions present)."""
+    left = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a")
+    )
+    right = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b")
+    )
+    return (
+        left.join(right, "ok")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def pagerank_products(
+    lineitem: DataFrame, iterations: int = PR_ITERATIONS
+) -> DataFrame:
+    """Integer PageRank over the co-purchase graph; returns
+    (node, rank_millionths) after ``iterations`` supersteps."""
+    edges = copurchase_edges(lineitem)
+    out_deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+    ranks = out_deg.select(
+        F.col("a").alias("node"), F.lit(PR_SCALE).alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(
+                ranks.join(out_deg, ranks.node == out_deg.a).select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("deg"))
+                    .cast("bigint")
+                    .alias("give"),
+                ),
+                edges.a == F.col("src"),
+            )
+            .groupBy("b")
+            .agg(F.sum("give").alias("incoming"))
+        )
+        ranks = contrib.select(
+            F.col("b").alias("node"),
+            (
+                F.lit((100 - PR_DAMP_PCT) * PR_SCALE // 100)
+                + (F.col("incoming") * PR_DAMP_PCT / 100).cast("bigint")
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.col("rank").alias("rank_millionths"))
+
+
+def oracle_pagerank(iterations: int = PR_ITERATIONS) -> str:
+    base = (100 - PR_DAMP_PCT) * PR_SCALE // 100
+    ctes = [
+        """
+pr_edges AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey <> l2.l_partkey
+),
+pr_deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM pr_edges GROUP BY 1
+),
+pr_r0 AS (
+  SELECT a AS node, CAST({scale} AS BIGINT) AS rank FROM pr_deg
+)""".format(scale=PR_SCALE)
+    ]
+    prev = "pr_r0"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            """
+pr_r{i} AS (
+  SELECT e.b AS node,
+         CAST({base} + (sum(CAST(r.rank // d.deg AS BIGINT))
+           * {damp}) // 100 AS BIGINT) AS rank
+  FROM pr_edges e
+  JOIN {prev} r ON e.a = r.node
+  JOIN pr_deg d ON e.a = d.a
+  GROUP BY 1
+)""".format(i=i, base=base, damp=PR_DAMP_PCT, prev=prev)
+        )
+        prev = f"pr_r{i}"
+    ctes.append(
+        f"""
+pagerank_products AS (
+  SELECT node, rank AS rank_millionths FROM {prev}
+)"""
+    )
+    return ",".join(ctes)
