@@ -532,6 +532,12 @@ def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.session_paths(load_table(spark, sf_dir, "events"))
 
 
+def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value stats: clamp into [p05, p95] then
+    aggregate (outlier-robust metric cleaning before training)."""
+    return _tmp.winsorized_stats(load_table(spark, sf_dir, "events"))
+
+
 def q_pagerank_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-arithmetic PageRank over the product co-purchase graph
     (3 unrolled supersteps, plan-only composition, exact hash parity
@@ -959,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "events_session_paths": q_events_session_paths,
         "docs_grouping_sets": q_docs_grouping_sets,
+        "events_winsorized": q_events_winsorized,
         "pagerank_products": q_pagerank_products,
         "pysource_docs": q_pysource_docs,
         "dedup_decontaminate": q_dedup_decontaminate,
@@ -1144,6 +1151,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_products": _ext_oracle(
             [_graph.oracle_pagerank()], "pagerank_products"
+        ),
+        "events_winsorized": _ext_oracle(
+            [_tmp.ORACLE_WINSORIZED_STATS], "winsorized_stats"
         ),
         "dedup_simhash": _ext_oracle(
             [_dedup._oracle_simhash()], "simhash_pairs"

@@ -684,3 +684,61 @@ retention_cohorts AS (
   FROM ret_grid
 )
 """
+
+
+#: winsorization bounds (clamp below p05, above p95).
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def winsorized_stats(events: DataFrame) -> DataFrame:
+    """Outlier-robust per-type value stats: clamp each value into its
+    type's [p05, p95] (winsorization — the standard trim for heavy-
+    tailed metric columns before training), then aggregate.
+
+    Two stages sharing the event_type key: an exact-percentile agg
+    (tiny: one row per type, broadcast back onto the fact), then the
+    clamped re-aggregation. Percentiles and the final sum are rounded
+    to 4 decimals — the repo float rule for cross-engine hash parity.
+    """
+    bounds = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(WINSOR_LO)), 4).alias("lo"),
+        F.round(F.percentile("value", F.lit(WINSOR_HI)), 4).alias("hi"),
+    )
+    clamped = events.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+        .alias("wv"),
+        (F.col("value") < F.col("lo")).cast("int").alias("clo"),
+        (F.col("value") > F.col("hi")).cast("int").alias("chi"),
+    )
+    return clamped.groupBy("event_type", "lo", "hi").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("wv"), 4).alias("winsorized_sum"),
+        F.sum("clo").alias("n_clamped_low"),
+        F.sum("chi").alias("n_clamped_high"),
+    )
+
+
+ORACLE_WINSORIZED_STATS = f"""
+wz_bounds AS (
+  SELECT event_type,
+         round(quantile_cont(value, {WINSOR_LO}), 4) AS lo,
+         round(quantile_cont(value, {WINSOR_HI}), 4) AS hi
+  FROM events GROUP BY 1
+),
+winsorized_stats AS (
+  SELECT e.event_type, b.lo, b.hi,
+         count(*) AS n,
+         round(sum(least(greatest(e.value, b.lo), b.hi)), 4)
+           AS winsorized_sum,
+         CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clamped_low,
+         CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clamped_high
+  FROM events e JOIN wz_bounds b USING (event_type)
+  GROUP BY 1, 2, 3
+)
+"""
