@@ -532,6 +532,18 @@ def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.session_paths(load_table(spark, sf_dir, "events"))
 
 
+def q_events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long): melt the per-user type pivot back to long
+    rows, zeros included (Expand node, no extra shuffle)."""
+    return _tmp.user_type_unpivot(load_table(spark, sf_dir, "events"))
+
+
+def q_dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein near-match pairs ((lang, first-word) blocks
+    bound the quadratic step; integer edit distance, exact parity)."""
+    return _dedup.fuzzy_prefix_pairs(_docs(spark, sf_dir))
+
+
 def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized per-type value stats: clamp into [p05, p95] then
     aggregate (outlier-robust metric cleaning before training)."""
@@ -966,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_paths": q_events_session_paths,
         "docs_grouping_sets": q_docs_grouping_sets,
         "events_winsorized": q_events_winsorized,
+        "events_type_unpivot": q_events_type_unpivot,
+        "dedup_fuzzy_prefix": q_dedup_fuzzy_prefix,
         "pagerank_products": q_pagerank_products,
         "pysource_docs": q_pysource_docs,
         "dedup_decontaminate": q_dedup_decontaminate,
@@ -1154,6 +1168,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_winsorized": _ext_oracle(
             [_tmp.ORACLE_WINSORIZED_STATS], "winsorized_stats"
+        ),
+        "events_type_unpivot": _ext_oracle(
+            [_tmp.ORACLE_USER_TYPE_UNPIVOT], "user_type_unpivot"
+        ),
+        "dedup_fuzzy_prefix": _ext_oracle(
+            [_dedup.ORACLE_FUZZY_PREFIX_PAIRS], "fuzzy_prefix_pairs"
         ),
         "dedup_simhash": _ext_oracle(
             [_dedup._oracle_simhash()], "simhash_pairs"

@@ -705,3 +705,64 @@ simhash_pairs AS (
   WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
 )
 """
+
+
+#: blocked fuzzy matching: prefix length compared, max edit distance.
+FUZZY_PREFIX_CHARS = 40
+FUZZY_MAX_DIST = 10
+
+
+def fuzzy_prefix_pairs(docs: DataFrame) -> DataFrame:
+    """Blocked Levenshtein near-match: candidate pairs share a
+    (lang, first-word) block, then exact edit distance over the first
+    ``FUZZY_PREFIX_CHARS`` chars keeps pairs within ``FUZZY_MAX_DIST``.
+
+    The block key bounds the quadratic step the same way LSH bands do
+    for MinHash — the self-join is an equi-join on the block, never
+    all-pairs, and edit distance (O(len^2) per pair) only runs inside
+    blocks. Levenshtein is an integer metric with one standard
+    definition, so the oracle matches exactly with no float rule.
+    """
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.substring_index(F.col("text"), " ", 1).alias("blk"),
+        F.substring("text", 1, FUZZY_PREFIX_CHARS).alias("prefix"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"),
+        "lang",
+        "blk",
+        F.col("prefix").alias("pa"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"),
+        "lang",
+        "blk",
+        F.col("prefix").alias("pb"),
+    )
+    return (
+        a.join(b, ["lang", "blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("pa", "pb"))
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
+ORACLE_FUZZY_PREFIX_PAIRS = f"""
+fz_keyed AS (
+  SELECT doc_id, lang,
+         split_part(text, ' ', 1) AS blk,
+         substr(text, 1, {FUZZY_PREFIX_CHARS}) AS prefix
+  FROM documents
+),
+fuzzy_prefix_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
+  FROM fz_keyed a
+  JOIN fz_keyed b ON a.lang = b.lang AND a.blk = b.blk
+                  AND a.doc_id < b.doc_id
+  WHERE levenshtein(a.prefix, b.prefix) <= {FUZZY_MAX_DIST}
+)
+"""

@@ -742,3 +742,32 @@ winsorized_stats AS (
   GROUP BY 1, 2, 3
 )
 """
+
+
+def user_type_unpivot(events: DataFrame) -> DataFrame:
+    """Unpivot (wide->long): melt the per-user pivot back to
+    (user_id, event_type, n_events) rows, zeros included — the inverse
+    reshape, via the native ``unpivot`` operator (an Expand node: no
+    join, no shuffle beyond the pivot's own agg)."""
+    wide = user_type_pivot(events)
+    return wide.unpivot(
+        ["user_id"], list(EVENT_TYPES), "event_type", "n_events"
+    )
+
+
+_UNPIVOT_TYPES = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+
+ORACLE_USER_TYPE_UNPIVOT = f"""
+utu_users AS (SELECT DISTINCT user_id FROM events),
+utu_types AS (SELECT unnest([{_UNPIVOT_TYPES}]) AS event_type),
+utu_counts AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+),
+user_type_unpivot AS (
+  SELECT u.user_id, t.event_type,
+         CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+  FROM utu_users u
+  CROSS JOIN utu_types t
+  LEFT JOIN utu_counts c USING (user_id, event_type)
+)
+"""
