@@ -550,6 +550,13 @@ def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.winsorized_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches: daily per-type user sketches unioned and
+    estimated (re-aggregatable distinct counts; rows-only — estimates
+    are engine-specific, error-bounded in tests)."""
+    return _tmp.daily_sketch_rollup(load_table(spark, sf_dir, "events"))
+
+
 def q_pagerank_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-arithmetic PageRank over the product co-purchase graph
     (3 unrolled supersteps, plan-only composition, exact hash parity
@@ -980,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_winsorized": q_events_winsorized,
         "events_type_unpivot": q_events_type_unpivot,
         "dedup_fuzzy_prefix": q_dedup_fuzzy_prefix,
+        "events_sketch_rollup": q_events_sketch_rollup,
         "pagerank_products": q_pagerank_products,
         "pysource_docs": q_pysource_docs,
         "dedup_decontaminate": q_dedup_decontaminate,

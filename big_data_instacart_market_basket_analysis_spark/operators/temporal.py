@@ -771,3 +771,24 @@ user_type_unpivot AS (
   LEFT JOIN utu_counts c USING (user_id, event_type)
 )
 """
+
+
+def daily_sketch_rollup(events: DataFrame) -> DataFrame:
+    """Mergeable distinct-count sketches: per-(day, type) HLL sketches
+    of user_id, unioned per type and estimated — the re-aggregatable
+    pattern that makes 100 TB distinct counts incremental (store tiny
+    daily sketches, merge any date range later without rescanning raw
+    events; exact distinct can never merge).
+
+    Rows-only check: sketch estimates are engine-specific; the
+    error-bound test pins the estimate within HLL tolerance of exact.
+    """
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    return daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("bigint")
+        .alias("approx_users"),
+    )

@@ -56,6 +56,13 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # scan-split sizing: the lever that keeps per-task input within
+        # executor memory at any SF (at 100 TB, smaller splits -> more,
+        # cheaper tasks; AQE coalesces the resulting shuffles).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
         # events fixture carries TIMESTAMP(NANOS) which Spark's reader
         # rejects; read as epoch-nanos long, converted in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -609,3 +609,28 @@ def test_zorder_key_is_bijective_and_local(spark, tmp_path):
     out = str(tmp_path / "zordered")
     layout.write_zordered(events, out)
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_sketch_rollup_within_hll_error(spark):
+    """Merged daily HLL sketches must estimate within ~5% of the exact
+    per-type distinct user count (lossless mergeability is the point)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    events = load_table(spark, SF_ORACLE, "events")
+    approx = {
+        r.event_type: r.approx_users
+        for r in temporal.daily_sketch_rollup(events).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(3, 0.05 * n), (t, approx[t], n)
