@@ -550,6 +550,13 @@ def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.winsorized_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: anti-join the incoming batch's
+    fingerprints against the standing corpus (hash table only, corpus
+    text never rescanned), then first-wins within the batch."""
+    return _dedup.incremental_dedup(_docs(spark, sf_dir))
+
+
 def q_events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches: daily per-type user sketches unioned and
     estimated (re-aggregatable distinct counts; rows-only — estimates
@@ -988,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_unpivot": q_events_type_unpivot,
         "dedup_fuzzy_prefix": q_dedup_fuzzy_prefix,
         "events_sketch_rollup": q_events_sketch_rollup,
+        "dedup_incremental": q_dedup_incremental,
         "pagerank_products": q_pagerank_products,
         "pysource_docs": q_pysource_docs,
         "dedup_decontaminate": q_dedup_decontaminate,
@@ -1182,6 +1190,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_fuzzy_prefix": _ext_oracle(
             [_dedup.ORACLE_FUZZY_PREFIX_PAIRS], "fuzzy_prefix_pairs"
+        ),
+        "dedup_incremental": _ext_oracle(
+            [_dedup.ORACLE_INCREMENTAL_DEDUP], "incremental_dedup"
         ),
         "dedup_simhash": _ext_oracle(
             [_dedup._oracle_simhash()], "simhash_pairs"

@@ -766,3 +766,55 @@ fuzzy_prefix_pairs AS (
   WHERE levenshtein(a.prefix, b.prefix) <= {FUZZY_MAX_DIST}
 )
 """
+
+
+#: incremental ingestion: doc_ids below the split are the standing
+#: corpus; at/above are the incoming batch.
+INCR_SPLIT_ID = 400
+
+
+def incremental_dedup(
+    docs: DataFrame, split_id: int = INCR_SPLIT_ID
+) -> DataFrame:
+    """Incremental-ingestion dedup: keep only incoming docs whose
+    order-normalized fingerprint is unseen in the standing corpus
+    (left anti join on the fingerprint), plus batch-internal dedup
+    (first doc_id per fingerprint wins).
+
+    The production shape: the corpus side is a *fingerprint table*
+    (16-byte hash per doc), not the corpus itself — at 100 TB the
+    anti-join touches hashes only, the batch side is day-sized, and
+    the standing text is never rescanned. Both sides hash-partition on
+    the fingerprint; a day-batch fingerprint set usually broadcasts.
+    """
+    from .textstats import fingerprints as doc_fingerprints
+
+    fp = doc_fingerprints(docs)
+    corpus = fp.filter(F.col("doc_id") < split_id).select("fingerprint")
+    batch = fp.filter(F.col("doc_id") >= split_id)
+    novel = batch.join(corpus, "fingerprint", "left_anti")
+    first = novel.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return first.select("doc_id", "fingerprint")
+
+
+ORACLE_INCREMENTAL_DEDUP = f"""
+incr_fp AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             list_sort(list_distinct(
+               regexp_split_to_array(lower(text), '\\s+'))), ' '))
+           AS fingerprint
+  FROM documents
+),
+incremental_dedup AS (
+  SELECT min(doc_id) AS doc_id, fingerprint
+  FROM incr_fp b
+  WHERE b.doc_id >= {INCR_SPLIT_ID}
+    AND NOT EXISTS (SELECT 1 FROM incr_fp c
+                    WHERE c.doc_id < {INCR_SPLIT_ID}
+                      AND c.fingerprint = b.fingerprint)
+  GROUP BY fingerprint
+)
+"""
