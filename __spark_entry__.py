@@ -550,6 +550,12 @@ def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.winsorized_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid near-dup merge: lexical (MinHash+LSH) and semantic
+    (embedding-cosine) pair sources unioned and labeled by detector."""
+    return _dedup.hybrid_near_dup(_docs(spark, sf_dir), _emb(spark, sf_dir))
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingestion dedup: anti-join the incoming batch's
     fingerprints against the standing corpus (hash table only, corpus
@@ -996,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy_prefix": q_dedup_fuzzy_prefix,
         "events_sketch_rollup": q_events_sketch_rollup,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_hybrid": q_dedup_hybrid,
         "pagerank_products": q_pagerank_products,
         "pysource_docs": q_pysource_docs,
         "dedup_decontaminate": q_dedup_decontaminate,
@@ -1193,6 +1200,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_incremental": _ext_oracle(
             [_dedup.ORACLE_INCREMENTAL_DEDUP], "incremental_dedup"
+        ),
+        "dedup_hybrid": _ext_oracle(
+            [
+                _dedup.ORACLE_SHINGLES,
+                "dsizes AS (SELECT doc_id, count(*) AS n FROM dshingles"
+                " GROUP BY doc_id)",
+                _dedup.ORACLE_MINHASH_LSH,
+                _sim.oracle_embedding_near_dup(),
+                _dedup.ORACLE_HYBRID_NEAR_DUP,
+            ],
+            "hybrid_near_dup",
         ),
         "dedup_simhash": _ext_oracle(
             [_dedup._oracle_simhash()], "simhash_pairs"

@@ -818,3 +818,51 @@ incremental_dedup AS (
   GROUP BY fingerprint
 )
 """
+
+
+def hybrid_near_dup(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Hybrid near-dup detection: union of text-level (MinHash+LSH
+    exact-Jaccard-verified) and semantic (embedding-cosine LSH) pair
+    sources, labeled by which detector(s) fired.
+
+    The production corpus pass runs both — lexical dedup misses
+    paraphrases, embedding dedup misses verbatim chunks inside longer
+    docs — and this is the merge step: a unionByName of two bounded
+    pair streams plus one (d1, d2) hash-agg, nothing quadratic added
+    on top of the detectors' own blocking.
+    """
+    mh = minhash_lsh_pairs(docs).select(
+        "d1", "d2", F.lit("minhash").alias("method")
+    )
+    from .similarity import embedding_near_dup_pairs
+
+    em = embedding_near_dup_pairs(emb).select(
+        "d1", "d2", F.lit("embedding").alias("method")
+    )
+    return (
+        mh.unionByName(em)
+        .groupBy("d1", "d2")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("method")), ","
+            ).alias("methods"),
+            F.countDistinct("method").alias("n_methods"),
+        )
+    )
+
+
+ORACLE_HYBRID_NEAR_DUP = """
+hybrid_union AS (
+  SELECT d1, d2, 'minhash' AS method FROM minhash_lsh
+  UNION ALL
+  SELECT d1, d2, 'embedding' AS method FROM embedding_near_dup
+),
+hybrid_near_dup AS (
+  SELECT d1, d2,
+         array_to_string(list_sort(list_distinct(
+           array_agg(method))), ',') AS methods,
+         CAST(count(DISTINCT method) AS BIGINT) AS n_methods
+  FROM hybrid_union
+  GROUP BY 1, 2
+)
+"""
