@@ -550,6 +550,13 @@ def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.winsorized_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_docs_pack_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence payload assembly: same batching as
+    docs_pack_batches but emitting each batch's EOS-joined payload
+    (md5 + length) in deterministic doc_id order."""
+    return _text.pack_payloads(_docs(spark, sf_dir))
+
+
 def q_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid near-dup merge: lexical (MinHash+LSH) and semantic
     (embedding-cosine) pair sources unioned and labeled by detector."""
@@ -1003,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sketch_rollup": q_events_sketch_rollup,
         "dedup_incremental": q_dedup_incremental,
         "dedup_hybrid": q_dedup_hybrid,
+        "docs_pack_payloads": q_docs_pack_payloads,
         "pagerank_products": q_pagerank_products,
         "pysource_docs": q_pysource_docs,
         "dedup_decontaminate": q_dedup_decontaminate,
@@ -1222,6 +1230,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_batches": _ext_oracle(
             [_text.ORACLE_TOKEN_COUNTS, _text.ORACLE_PACK_BATCHES],
             "pack_batches",
+        ),
+        "docs_pack_payloads": _ext_oracle(
+            [_text.ORACLE_TOKEN_COUNTS, _text.ORACLE_PACK_PAYLOADS],
+            "pack_payloads",
         ),
         "docs_split_by_hash": _ext_oracle(
             [_samp.ORACLE_SPLIT_BY_HASH], "split_by_hash"

@@ -858,3 +858,79 @@ redact_pii AS (
   FROM documents
 )
 """
+
+
+def pack_payloads(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET_TOKENS,
+    shard_docs: int = PACK_SHARD_DOCS,
+) -> DataFrame:
+    """Training-sequence payload construction: the same batch
+    assignment as ``pack_batches``, but emitting each batch's actual
+    concatenated text (doc_id order, EOS-separated) as an md5 plus its
+    length — the step that turns packing *stats* into packing *output*.
+
+    The concat rides the same (lang, shard) window shuffle as the
+    batch assignment; ordered assembly uses array_sort over
+    (doc_id, text) structs, so output is deterministic under any
+    partitioning. Hashing the payload keeps the declared result narrow
+    — the real pipeline writes the payload column itself.
+    """
+    toks = token_counts(docs).select("doc_id", "n_tokens")
+    sharded = (
+        docs.select("doc_id", "lang", "text")
+        .join(toks, "doc_id")
+        .withColumn("shard", F.floor(F.col("doc_id") / shard_docs))
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sharded.withColumn(
+        "batch_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget
+        ),
+    )
+    return packed.groupBy("lang", "shard", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.md5(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(doc_id, text))), s -> s.text), ' <eos> ')"
+            )
+        ).alias("payload_md5"),
+        F.length(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(doc_id, text))), s -> s.text), ' <eos> ')"
+            )
+        ).alias("payload_chars"),
+    )
+
+
+ORACLE_PACK_PAYLOADS = f"""
+pp_cum AS (
+  SELECT d.doc_id, d.lang, d.text, t.n_tokens,
+         CAST(floor(d.doc_id / {PACK_SHARD_DOCS}) AS BIGINT) AS shard,
+         coalesce(CAST(sum(t.n_tokens) OVER (
+           PARTITION BY d.lang, floor(d.doc_id / {PACK_SHARD_DOCS})
+           ORDER BY d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT), 0) AS cum_before
+  FROM documents d JOIN token_counts t USING (doc_id)
+),
+pack_payloads AS (
+  SELECT lang, shard,
+         CAST(floor(cum_before / {PACK_BUDGET_TOKENS}) AS BIGINT)
+           AS batch_id,
+         count(*) AS n_docs,
+         md5(string_agg(text, ' <eos> ' ORDER BY doc_id))
+           AS payload_md5,
+         CAST(length(string_agg(text, ' <eos> ' ORDER BY doc_id))
+           AS INT) AS payload_chars
+  FROM pp_cum
+  GROUP BY 1, 2, 3
+)
+"""

@@ -97,3 +97,21 @@ def test_upsert_partitions_replaces_only_touched(spark, tmp_path_factory):
         (1, "d1", 10.0), (3, "d3", 30.0),   # untouched partitions
         (2, "d2", 99.0), (4, "d2", 42.0),   # d2 fully replaced
     }
+
+
+def test_merge_schema_evolution_read(spark, tmp_path):
+    """Schema evolution across parquet batches: a later batch adds a
+    column; mergeSchema reads both as one table with nulls filling the
+    missing columns — the append-only lakehouse evolution story."""
+    p = str(tmp_path / "evolving")
+    spark.range(3).selectExpr("id", "id * 2 AS a").write.parquet(
+        p + "/batch=1"
+    )
+    spark.range(3, 6).selectExpr("id", "id * 2 AS a", "id * 3 AS b").write.parquet(
+        p + "/batch=2"
+    )
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert {"id", "a", "b"}.issubset(set(df.columns))
+    assert df.count() == 6
+    assert df.filter("b IS NULL").count() == 3
+    assert df.filter("b IS NOT NULL").count() == 3
