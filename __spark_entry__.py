@@ -550,6 +550,12 @@ def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.winsorized_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivors: per near-dup cluster keep the
+    highest-quality member (max_by hash-agg, deterministic ties)."""
+    return _dedup.cluster_representatives(_docs(spark, sf_dir))
+
+
 def q_docs_pack_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence payload assembly: same batching as
     docs_pack_batches but emitting each batch's EOS-joined payload
@@ -1011,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_hybrid": q_dedup_hybrid,
         "docs_pack_payloads": q_docs_pack_payloads,
+        "dedup_cluster_reps": q_dedup_cluster_reps,
         "pagerank_products": q_pagerank_products,
         "pysource_docs": q_pysource_docs,
         "dedup_decontaminate": q_dedup_decontaminate,
@@ -1208,6 +1215,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_incremental": _ext_oracle(
             [_dedup.ORACLE_INCREMENTAL_DEDUP], "incremental_dedup"
+        ),
+        "dedup_cluster_reps": _ext_oracle(
+            [
+                _dedup.ORACLE_SHINGLES,
+                _dedup.ORACLE_NGRAM_JACCARD,
+                _dedup.ORACLE_CONNECTED_CLUSTERS,
+                _text.oracle_quality_scores(),
+                _dedup.ORACLE_CLUSTER_REPRESENTATIVES,
+            ],
+            "cluster_representatives",
+            recursive=True,
         ),
         "dedup_hybrid": _ext_oracle(
             [

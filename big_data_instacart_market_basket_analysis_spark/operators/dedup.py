@@ -866,3 +866,50 @@ hybrid_near_dup AS (
   GROUP BY 1, 2
 )
 """
+
+
+def cluster_representatives(docs: DataFrame) -> DataFrame:
+    """Quality-aware dedup survivor selection: per near-dup cluster,
+    keep the highest-quality member (ties broken by doc_id) instead of
+    the arbitrary min-id — what a production corpus pass actually
+    ships.
+
+    One max_by hash-agg over cluster_id on top of the existing
+    connected-components labels and the map-only quality scores — no
+    rank window, so the only cost added to the CC pipeline is a
+    partial-aggregated shuffle on cluster_id.
+    """
+    from .textstats import quality_scores
+
+    labeled = connected_clusters(docs).join(
+        quality_scores(docs).select("doc_id", "quality_score"), "doc_id"
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.max_by("doc_id", F.struct(F.col("quality_score"),
+                                        -F.col("doc_id"))).alias(
+                "keeper_doc_id"
+            ),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+
+ORACLE_CLUSTER_REPRESENTATIVES = """
+cr_labeled AS (
+  SELECT c.doc_id, c.cluster_id, q.quality_score
+  FROM connected_clusters c JOIN quality_scores q USING (doc_id)
+),
+cluster_representatives AS (
+  SELECT cluster_id, doc_id AS keeper_doc_id, n_members FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (
+             PARTITION BY cluster_id
+             ORDER BY quality_score DESC, doc_id) AS rn,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS n_members
+    FROM cr_labeled
+  ) WHERE rn = 1
+)
+"""

@@ -202,3 +202,12 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pagerank_no_cartesian_and_bounded_shuffles(spark):
+    """Each PageRank superstep is one join + one agg: the plan must
+    stay equi-join (no cartesian) and the superstep count is fixed at
+    plan time (unrolled, no driver loop actions)."""
+    plan = _plan(spark, "pagerank_products")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

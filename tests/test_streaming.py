@@ -168,3 +168,27 @@ def test_tws_processor_logic_local():
     assert out2.loc[0, "n_events"] == 3
     assert out2.loc[0, "sum_value_millis"] == 4250
     assert out2.loc[0, "max_value_millis"] == 2500
+
+
+def test_available_now_trigger_terminates(spark):
+    """Trigger.AvailableNow: process everything currently available in
+    bounded micro-batches, then stop on its own — the batch-backfill
+    trigger for streaming pipelines (no processAllAvailable babysitting)."""
+    stream = ev._event_stream(spark, SF_SMOKE)
+    q = (
+        stream.groupBy("event_type")
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_avnow")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {r.event_type: r["count"] for r in spark.table("t_avnow").collect()}
+    events = load_table(spark, SF_SMOKE, "events")
+    want = {
+        r.event_type: r["count"]
+        for r in events.groupBy("event_type").count().collect()
+    }
+    assert got == want
