@@ -544,6 +544,26 @@ def q_dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.fuzzy_prefix_pairs(_docs(spark, sf_dir))
 
 
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of value via an explicit sequential fold
+    (defined evaluation order -> bit-identical cross-engine)."""
+    return _tmp.user_value_ewma(load_table(spark, sf_dir, "events"))
+
+
+def q_events_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency quartile binning per event_type (ntile over a
+    total order) with per-bin occupancy and value range."""
+    return _tmp.value_quartile_bins(load_table(spark, sf_dir, "events"))
+
+
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection against each user's 72-hour
+    baseline (integer-exact moments over a RANGE frame)."""
+    return _tmp.rolling_zscore_anomalies(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized per-type value stats: clamp into [p05, p95] then
     aggregate (outlier-robust metric cleaning before training)."""
@@ -1011,6 +1031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_paths": q_events_session_paths,
         "docs_grouping_sets": q_docs_grouping_sets,
         "events_winsorized": q_events_winsorized,
+        "events_ewma": q_events_ewma,
+        "events_value_bins": q_events_value_bins,
+        "events_anomalies": q_events_anomalies,
         "events_type_unpivot": q_events_type_unpivot,
         "dedup_fuzzy_prefix": q_dedup_fuzzy_prefix,
         "events_sketch_rollup": q_events_sketch_rollup,
@@ -1209,6 +1232,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_type_unpivot": _ext_oracle(
             [_tmp.ORACLE_USER_TYPE_UNPIVOT], "user_type_unpivot"
+        ),
+        "events_ewma": _ext_oracle(
+            [_tmp.ORACLE_USER_VALUE_EWMA], "user_value_ewma"
+        ),
+        "events_value_bins": _ext_oracle(
+            [_tmp.ORACLE_VALUE_QUARTILE_BINS], "value_quartile_bins"
+        ),
+        "events_anomalies": _ext_oracle(
+            [_tmp.ORACLE_ROLLING_ZSCORE], "rolling_zscore_anomalies"
         ),
         "dedup_fuzzy_prefix": _ext_oracle(
             [_dedup.ORACLE_FUZZY_PREFIX_PAIRS], "fuzzy_prefix_pairs"

@@ -792,3 +792,187 @@ def daily_sketch_rollup(events: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("approx_users"),
     )
+
+
+#: EWMA smoothing factor (as an exact double: 0.25 = 2^-2).
+EWMA_ALPHA = 0.25
+
+
+def user_value_ewma(events: DataFrame) -> DataFrame:
+    """Per-user exponentially weighted moving average of value — the
+    classic streaming smoother, computed batch-side as an explicit
+    sequential fold: collect the user's (ts, event_id, value) series
+    sorted, fold EWMA_t = a*x_t + (1-a)*EWMA_{t-1}.
+
+    A fold has a DEFINED evaluation order, so the double arithmetic is
+    bit-identical in any engine (unlike sum(), whose accumulation
+    order is partition-dependent) — no rounding rule needed. One
+    shuffle on user_id; per-user state is the history array, bounded
+    by user activity (the same bound a stateful-streaming EWMA
+    carries).
+    """
+    series = events.groupBy("user_id").agg(
+        F.expr(
+            "aggregate("
+            " transform(array_sort(collect_list("
+            "   struct(unix_millis(ts) AS ts_ms, event_id, value))),"
+            "   s -> s.value),"
+            " CAST(NULL AS DOUBLE),"
+            f" (acc, x) -> CASE WHEN acc IS NULL THEN x"
+            f"  ELSE {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc END)"
+        ).alias("ewma_value"),
+        F.count("*").alias("n_events"),
+    )
+    return series
+
+
+ORACLE_USER_VALUE_EWMA = f"""
+ewma_series AS (
+  SELECT user_id,
+         array_agg(value ORDER BY ts, event_id) AS xs,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+user_value_ewma AS (
+  SELECT user_id,
+         list_reduce(xs,
+           (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc)
+           AS ewma_value,
+         n_events
+  FROM ewma_series
+)
+"""
+
+
+#: equal-frequency binning: quartiles per event_type.
+N_VALUE_BINS = 4
+
+
+def value_quartile_bins(events: DataFrame) -> DataFrame:
+    """Equal-frequency discretization: assign each event its per-type
+    value quartile via ntile over a total order (value, event_id), then
+    report per-bin occupancy and value range — the quantile-discretizer
+    feature transform, shuffle = one window on event_type.
+    """
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    binned = events.select(
+        "event_type", "value", "event_id"
+    ).withColumn("bin", F.ntile(N_VALUE_BINS).over(w))
+    return binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
+
+
+ORACLE_VALUE_QUARTILE_BINS = f"""
+vqb AS (
+  SELECT event_type, value,
+         ntile({N_VALUE_BINS}) OVER (
+           PARTITION BY event_type ORDER BY value, event_id) AS bin
+  FROM events
+),
+value_quartile_bins AS (
+  SELECT event_type, CAST(bin AS INT) AS bin, count(*) AS n,
+         round(min(value), 4) AS lo, round(max(value), 4) AS hi
+  FROM vqb GROUP BY 1, 2
+)
+"""
+
+
+#: anomaly rule: |z| against the trailing-hour window, min samples.
+ANOMALY_Z_THRESH = 1.5
+ANOMALY_MIN_N = 5
+#: anomaly baseline window: 72 h (hourly windows are too sparse for a
+#: stable baseline at this fixture's ~2 events/user/day).
+ANOMALY_WINDOW_MS = 72 * 3600 * 1000
+
+
+def rolling_zscore_anomalies(events: DataFrame) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against
+    its user 72-hour baseline via integer-exact moments (value-millis
+    sum and sum-of-squares over a RANGE frame are BIGINTs — no float
+    accumulation-order dependence), then flagged on |z| > threshold.
+
+    The z computation — mean/variance from integral sums, one sqrt,
+    one division — is a fixed op sequence on exact inputs, so both
+    engines agree without rounding. Same single user_id shuffle as any
+    per-user window; emits only the anomalous rows.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-ANOMALY_WINDOW_MS, -1)
+    )
+    base = events.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v_mil"),
+    )
+    stats = base.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        "v_mil",
+        F.count("*").over(w).alias("n_prev"),
+        F.sum("v_mil").over(w).alias("s1"),
+        F.sum(F.col("v_mil") * F.col("v_mil")).over(w).alias("s2"),
+    ).filter(F.col("n_prev") >= ANOMALY_MIN_N)
+    mean = F.col("s1") / F.col("n_prev").cast("double")
+    var = (
+        F.col("s2") / F.col("n_prev").cast("double") - mean * mean
+    )
+    z = (F.col("v_mil") - mean) / F.sqrt(var)
+    # var > 0 guard: a zero-variance window would make z NaN/inf, and
+    # NaN ordering semantics differ across engines (DuckDB ranks NaN
+    # above all values; Spark comparisons return false).
+    return (
+        stats.withColumn("var", var)
+        .filter(F.col("var") > 0)
+        .withColumn("z", z)
+        .filter(F.col("z") * F.col("z") > ANOMALY_Z_THRESH**2)
+        .select(
+            "event_id", "user_id", "n_prev",
+            F.round("z", 4).alias("zscore"),
+        )
+    )
+
+
+ORACLE_ROLLING_ZSCORE = f"""
+az_base AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         CAST(floor(value * 1000) AS BIGINT) AS v_mil
+  FROM events
+),
+az_stats AS (
+  SELECT event_id, user_id, v_mil,
+         CAST(count(*) OVER w AS BIGINT) AS n_prev,
+         CAST(sum(v_mil) OVER w AS BIGINT) AS s1,
+         CAST(sum(v_mil * v_mil) OVER w AS BIGINT) AS s2
+  FROM az_base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+               RANGE BETWEEN {ANOMALY_WINDOW_MS} PRECEDING AND 1 PRECEDING)
+),
+rolling_zscore_anomalies AS (
+  SELECT event_id, user_id, n_prev,
+         round((v_mil - s1 / CAST(n_prev AS DOUBLE))
+           / sqrt(s2 / CAST(n_prev AS DOUBLE)
+                  - (s1 / CAST(n_prev AS DOUBLE))
+                    * (s1 / CAST(n_prev AS DOUBLE))), 4) AS zscore
+  FROM az_stats
+  WHERE n_prev >= {ANOMALY_MIN_N}
+    AND (s2 / CAST(n_prev AS DOUBLE)
+         - (s1 / CAST(n_prev AS DOUBLE))
+           * (s1 / CAST(n_prev AS DOUBLE))) > 0
+    AND ((v_mil - s1 / CAST(n_prev AS DOUBLE))
+           / sqrt(s2 / CAST(n_prev AS DOUBLE)
+                  - (s1 / CAST(n_prev AS DOUBLE))
+                    * (s1 / CAST(n_prev AS DOUBLE))))
+        * ((v_mil - s1 / CAST(n_prev AS DOUBLE))
+           / sqrt(s2 / CAST(n_prev AS DOUBLE)
+                  - (s1 / CAST(n_prev AS DOUBLE))
+                    * (s1 / CAST(n_prev AS DOUBLE))))
+        > {ANOMALY_Z_THRESH**2}
+)
+"""
