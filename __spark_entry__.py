@@ -544,6 +544,12 @@ def q_dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.fuzzy_prefix_pairs(_docs(spark, sf_dir))
 
 
+def q_orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a DataFrame composition: keep / update /
+    insert rows tagged, equi-joins only, source broadcastable."""
+    return _rel.merge_upsert_orders(load_table(spark, sf_dir, "orders"))
+
+
 def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of value via an explicit sequential fold
     (defined evaluation order -> bit-identical cross-engine)."""
@@ -1031,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_paths": q_events_session_paths,
         "docs_grouping_sets": q_docs_grouping_sets,
         "events_winsorized": q_events_winsorized,
+        "orders_merge_upsert": q_orders_merge_upsert,
         "events_ewma": q_events_ewma,
         "events_value_bins": q_events_value_bins,
         "events_anomalies": q_events_anomalies,
@@ -1235,6 +1242,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_ewma": _ext_oracle(
             [_tmp.ORACLE_USER_VALUE_EWMA], "user_value_ewma"
+        ),
+        "orders_merge_upsert": _ext_oracle(
+            [_rel.ORACLE_MERGE_UPSERT], "merge_upsert_orders"
         ),
         "events_value_bins": _ext_oracle(
             [_tmp.ORACLE_VALUE_QUARTILE_BINS], "value_quartile_bins"

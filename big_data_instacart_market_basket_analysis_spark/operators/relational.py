@@ -491,3 +491,93 @@ regional_revenue AS (
   GROUP BY 1
 )
 """
+
+
+#: merge demo: source = every 7th order restated, plus synthesized new
+#: keys offset far above the existing key range.
+MERGE_MOD = 7
+MERGE_NEW_KEY_OFFSET = 10_000_000
+
+
+def merge_upsert_orders(orders: DataFrame) -> DataFrame:
+    """MERGE INTO semantics as a pure DataFrame composition (no table
+    format required): WHEN MATCHED -> update, WHEN NOT MATCHED ->
+    insert, untouched target rows pass through.
+
+    The source is derived deterministically from the target (every 7th
+    order restated with doubled price + demoted priority, and the same
+    rows re-keyed above the key range as inserts) so the whole merge is
+    oracle-replayable. Plan shape is the real one: target LEFT ANTI
+    source (pass-through) + source-applied rows, one union, all joins
+    equi on the merge key — the same dance Delta/Iceberg run inside
+    their MERGE, minus the transaction log. At scale the source side is
+    day-sized and broadcastable; the anti join prunes with the same
+    runtime filters as any equi join.
+    """
+    src_base = orders.filter(
+        F.col("o_orderkey") % MERGE_MOD == F.lit(0)
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).alias("s_totalprice"),
+        F.lit("5-LOW").alias("s_orderpriority"),
+    )
+    inserts = src_base.select(
+        (F.col("o_orderkey") + MERGE_NEW_KEY_OFFSET).alias("o_orderkey"),
+        F.col("s_totalprice"),
+        F.col("s_orderpriority"),
+    )
+    source = src_base.unionByName(inserts)
+
+    target = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    untouched = target.join(source, "o_orderkey", "left_anti").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.lit("keep").alias("merge_op"),
+    )
+    updated = target.join(source, "o_orderkey").select(
+        "o_orderkey",
+        F.col("s_totalprice").alias("o_totalprice"),
+        F.col("s_orderpriority").alias("o_orderpriority"),
+        F.lit("update").alias("merge_op"),
+    )
+    inserted = source.join(target, "o_orderkey", "left_anti").select(
+        "o_orderkey",
+        F.col("s_totalprice").alias("o_totalprice"),
+        F.col("s_orderpriority").alias("o_orderpriority"),
+        F.lit("insert").alias("merge_op"),
+    )
+    return untouched.unionByName(updated).unionByName(inserted)
+
+
+ORACLE_MERGE_UPSERT = f"""
+mg_src_base AS (
+  SELECT o_orderkey, o_totalprice * 2 AS s_totalprice,
+         '5-LOW' AS s_orderpriority
+  FROM orders WHERE o_orderkey % {MERGE_MOD} = 0
+),
+mg_source AS (
+  SELECT * FROM mg_src_base
+  UNION ALL
+  SELECT o_orderkey + {MERGE_NEW_KEY_OFFSET}, s_totalprice,
+         s_orderpriority
+  FROM mg_src_base
+),
+merge_upsert_orders AS (
+  SELECT t.o_orderkey, t.o_totalprice, t.o_orderpriority,
+         'keep' AS merge_op
+  FROM orders t
+  WHERE NOT EXISTS (SELECT 1 FROM mg_source s
+                    WHERE s.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT t.o_orderkey, s.s_totalprice, s.s_orderpriority, 'update'
+  FROM orders t JOIN mg_source s USING (o_orderkey)
+  UNION ALL
+  SELECT s.o_orderkey, s.s_totalprice, s.s_orderpriority, 'insert'
+  FROM mg_source s
+  WHERE NOT EXISTS (SELECT 1 FROM orders t
+                    WHERE t.o_orderkey = s.o_orderkey)
+)
+"""
