@@ -544,6 +544,12 @@ def q_dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.fuzzy_prefix_pairs(_docs(spark, sf_dir))
 
 
+def q_sql_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE date spine with zero-filled daily counts (Spark 4
+    WITH RECURSIVE through the SQL front-end)."""
+    return _sqlapi.sql_daily_gapfill(spark, sf_dir)
+
+
 def q_orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics as a DataFrame composition: keep / update /
     insert rows tagged, equi-joins only, source broadcastable."""
@@ -1038,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_grouping_sets": q_docs_grouping_sets,
         "events_winsorized": q_events_winsorized,
         "orders_merge_upsert": q_orders_merge_upsert,
+        "sql_daily_gapfill": q_sql_daily_gapfill,
         "events_ewma": q_events_ewma,
         "events_value_bins": q_events_value_bins,
         "events_anomalies": q_events_anomalies,
@@ -1245,6 +1252,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orders_merge_upsert": _ext_oracle(
             [_rel.ORACLE_MERGE_UPSERT], "merge_upsert_orders"
+        ),
+        "sql_daily_gapfill": _ext_oracle(
+            [_sqlapi.ORACLE_DAILY_GAPFILL],
+            "sql_daily_gapfill",
+            recursive=True,
         ),
         "events_value_bins": _ext_oracle(
             [_tmp.ORACLE_VALUE_QUARTILE_BINS], "value_quartile_bins"

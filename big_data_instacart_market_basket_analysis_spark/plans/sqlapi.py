@@ -201,3 +201,49 @@ sql_segment_conversion AS (
   GROUP BY 1
 )
 """
+
+
+def sql_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily event counts via a RECURSIVE CTE date spine
+    (Spark 4 recursive WITH): generate every calendar day between the
+    corpus min and max, left-join real daily counts, zero-fill.
+
+    The spine is driver-free pure SQL — the recursion depth equals the
+    date range in days (bounded by spark.sql.cteRecursionLevelLimit);
+    at warehouse scale the spine is tiny and broadcast, so gap-filling
+    costs one hash-agg over events plus a broadcast join.
+    """
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE spine AS (
+          SELECT CAST(min(ts) AS DATE) AS day FROM events
+          UNION ALL
+          SELECT day + INTERVAL '1' DAY FROM spine
+          WHERE day < (SELECT CAST(max(ts) AS DATE) FROM events)
+        ),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS n
+          FROM events GROUP BY 1
+        )
+        SELECT s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
+        """
+    )
+
+
+ORACLE_DAILY_GAPFILL = """
+spine AS (
+  SELECT CAST(min(ts) AS DATE) AS day FROM events
+  UNION ALL
+  SELECT day + INTERVAL 1 DAY FROM spine
+  WHERE day < (SELECT CAST(max(ts) AS DATE) FROM events)
+),
+gdaily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1
+),
+sql_daily_gapfill AS (
+  SELECT s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+  FROM spine s LEFT JOIN gdaily d ON s.day = d.day
+)
+"""
