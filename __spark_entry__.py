@@ -499,6 +499,13 @@ def q_docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.chunk_documents(_docs(spark, sf_dir))
 
 
+def q_docs_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunker as a Python UDTF (1 row -> N rows): same rule and
+    same oracle as docs_chunks, so native expressions, the Python
+    UDTF path, and DuckDB must all hash-agree."""
+    return _text.chunk_documents_udtf(spark, _docs(spark, sf_dir))
+
+
 def q_docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture report per (source, lang): docs, tokens, corpus
     token share, exact integral quality sum."""
@@ -1036,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": q_text_redact_pii,
         "text_repetition": q_text_repetition,
         "docs_chunks": q_docs_chunks,
+        "docs_chunks_udtf": q_docs_chunks_udtf,
         "docs_source_mix": q_docs_source_mix,
         "docs_quality_topfrac": q_docs_quality_topfrac,
         "text_skipgram_pmi": q_text_skipgram_pmi,
@@ -1206,6 +1214,9 @@ def oracle_sql() -> dict[str, str]:
             [_text.ORACLE_REPETITION], "repetition_scores"
         ),
         "docs_chunks": _ext_oracle(
+            [_text.ORACLE_CHUNKS], "chunk_documents"
+        ),
+        "docs_chunks_udtf": _ext_oracle(
             [_text.ORACLE_CHUNKS], "chunk_documents"
         ),
         "docs_source_mix": _ext_oracle(

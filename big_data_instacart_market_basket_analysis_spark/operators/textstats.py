@@ -934,3 +934,49 @@ pack_payloads AS (
   GROUP BY 1, 2, 3
 )
 """
+
+
+def chunk_documents_udtf(spark, docs: DataFrame) -> DataFrame:
+    """The overlapping chunker as a Python UDTF (Spark 4 user-defined
+    table function, 1 row -> N rows) — the [EXT] slow-path escape hatch
+    demonstrated on a declared query.
+
+    Same chunk rule as ``chunk_documents`` and the same DuckDB oracle,
+    which makes this a three-way check: native Catalyst expressions,
+    Python UDTF, and DuckDB must all hash-agree. Use the native form in
+    production (codegen, no Python); the UDTF form is the template for
+    logic that genuinely can't be expressed in expressions.
+    """
+    from pyspark.sql.functions import udtf
+
+    size, stride = CHUNK_SIZE_WORDS, CHUNK_STRIDE_WORDS
+
+    @udtf(
+        returnType=(
+            "doc_id bigint, chunk_id bigint, n_words int,"
+            " chunk_md5 string"
+        )
+    )
+    class ChunkDocs:
+        def eval(self, doc_id, text):
+            import hashlib
+            import re
+
+            w = re.split(r"\s+", text.lower())
+            for start in range(0, len(w), stride):
+                cw = w[start : start + size]
+                yield (
+                    doc_id,
+                    start // stride,
+                    len(cw),
+                    hashlib.md5(" ".join(cw).encode()).hexdigest(),
+                )
+
+    spark.udtf.register("chunk_docs_udtf", ChunkDocs)
+    docs.select("doc_id", "text").createOrReplaceTempView(
+        "udtf_chunk_input"
+    )
+    return spark.sql(
+        "SELECT c.* FROM udtf_chunk_input,"
+        " LATERAL chunk_docs_udtf(doc_id, text) c"
+    )
