@@ -65,6 +65,10 @@ from big_data_instacart_market_basket_analysis_spark.functions.skew import (
 from big_data_instacart_market_basket_analysis_spark.sources.json_ingest import (
     ORACLE_EVENTS_JSON_ROUNDTRIP,
 )
+from big_data_instacart_market_basket_analysis_spark.sources.xml_ingest import (
+    ORACLE_EVENTS_XML_ROUNDTRIP,
+    events_xml_roundtrip,
+)
 from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
     load_table,
 )
@@ -549,6 +553,13 @@ def q_dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked Levenshtein near-match pairs ((lang, first-word) blocks
     bound the quadratic step; integer edit distance, exact parity)."""
     return _dedup.fuzzy_prefix_pairs(_docs(spark, sf_dir))
+
+
+def q_xml_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest round-trip (Spark 4 native XML, pinned schema):
+    distributed write + schema-driven re-read must equal the parquet
+    table."""
+    return events_xml_roundtrip(spark, sf_dir)
 
 
 def q_sql_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1053,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_winsorized": q_events_winsorized,
         "orders_merge_upsert": q_orders_merge_upsert,
         "sql_daily_gapfill": q_sql_daily_gapfill,
+        "xml_ingest_events": q_xml_ingest_events,
         "events_ewma": q_events_ewma,
         "events_value_bins": q_events_value_bins,
         "events_anomalies": q_events_anomalies,
@@ -1268,6 +1280,9 @@ def oracle_sql() -> dict[str, str]:
             [_sqlapi.ORACLE_DAILY_GAPFILL],
             "sql_daily_gapfill",
             recursive=True,
+        ),
+        "xml_ingest_events": _ext_oracle(
+            [ORACLE_EVENTS_XML_ROUNDTRIP], "events_xml_roundtrip"
         ),
         "events_value_bins": _ext_oracle(
             [_tmp.ORACLE_VALUE_QUARTILE_BINS], "value_quartile_bins"
