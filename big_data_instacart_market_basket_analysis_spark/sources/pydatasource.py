@@ -25,6 +25,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 #: defaults: corpus size and input-partition count.
@@ -66,6 +67,38 @@ class SyntheticDocsReader(DataSourceReader):
             yield (doc_id, " ".join(synth_words(doc_id)))
 
 
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form (SimpleDataSourceStreamReader): each micro-batch
+    emits the next ``batch_size`` doc_ids. Offsets are plain dicts
+    checkpointed by the engine — restart-safe, exactly-once delivery
+    into the sink, same deterministic rows as the batch reader."""
+
+    def __init__(self, options: dict) -> None:
+        self.batch_size = int(options.get("batch_size", 64))
+        self.n = int(options.get("n", SYNTH_DOCS_N))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.batch_size, self.n)
+        rows = [
+            (doc_id, " ".join(synth_words(doc_id)))
+            for doc_id in range(lo, hi)
+        ]
+        return iter(rows), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            (doc_id, " ".join(synth_words(doc_id)))
+            for doc_id in range(start["next"], end["next"])
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SyntheticDocsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -76,6 +109,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -30,3 +30,33 @@ def test_reader_slices_cover_range_exactly():
     for s in slices:
         seen.extend(range(s.start, s.end))
     assert seen == list(range(10))
+
+
+def test_streaming_reader_matches_batch(spark):
+    """The custom source's streaming form: micro-batches of doc_ids
+    driven to completion must equal the batch read exactly."""
+    pds.register(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("n", "96")
+        .option("batch_size", "40")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_pds_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.doc_id, r.text) for r in spark.table("t_pds_stream").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.text)
+        for r in pds.synthetic_docs(spark, n=96).collect()
+    )
+    assert got == want and len(got) == 96
