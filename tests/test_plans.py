@@ -211,3 +211,26 @@ def test_pagerank_no_cartesian_and_bounded_shuffles(spark):
     plan = _plan(spark, "pagerank_products")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Join-strategy hints: the planner must honor explicit
+    shuffle_hash and merge hints (the per-query override lever when
+    AQE's default pick is wrong for a known workload)."""
+    from pyspark.sql import functions as F
+
+    sf = SF_ORACLE
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+
+    shj = li.join(orders.hint("shuffle_hash"),
+                  li.l_orderkey == orders.o_orderkey)
+    assert "ShuffledHashJoin" in (
+        shj._jdf.queryExecution().executedPlan().toString()
+    )
+
+    smj = li.join(orders.hint("merge"),
+                  li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in (
+        smj._jdf.queryExecution().executedPlan().toString()
+    )

@@ -115,3 +115,24 @@ def test_merge_schema_evolution_read(spark, tmp_path):
     assert df.count() == 6
     assert df.filter("b IS NULL").count() == 3
     assert df.filter("b IS NOT NULL").count() == 3
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """Compaction: 64 tiny files rewritten into byte-sized targets;
+    row set unchanged, file count collapses."""
+    import glob
+
+    from big_data_instacart_market_basket_analysis_spark.sources import (
+        sinks,
+    )
+
+    p = str(tmp_path / "frag")
+    spark.range(10_000).repartition(64).write.parquet(p)
+    before = len(glob.glob(p + "/*.parquet"))
+    assert before >= 32
+    n = sinks.compact_parquet(spark, p, target_bytes=1 << 20)
+    after = len(glob.glob(p + "/*.parquet"))
+    df = spark.read.parquet(p)
+    assert after <= max(n, 4) < before
+    assert df.count() == 10_000
+    assert df.agg({"id": "sum"}).collect()[0][0] == 10_000 * 9_999 // 2
