@@ -1444,6 +1444,13 @@ def oracle_sql() -> dict[str, str]:
         "stream_tumbling_hourly": _ext_oracle(
             [_ev.ORACLE_TUMBLING_HOURLY], "tumbling_hourly"
         ),
+        "stream_sliding_watermark": _ext_oracle(
+            [_ev.ORACLE_STREAM_SLIDING_WATERMARK],
+            "stream_sliding_watermark",
+        ),
+        "stream_session_window": _ext_oracle(
+            [_ev.ORACLE_STREAM_SESSION_WINDOW], "stream_session_window"
+        ),
         "stream_stateful_counts": _ext_oracle(
             [_st.ORACLE_STATEFUL_COUNTS], "stateful_counts"
         ),

@@ -272,7 +272,7 @@ def run_stream_windowed_watermark(
     open ones is emitted."""
     stream = _event_stream(spark, sf_dir)
     agg = (
-        stream.withWatermark("ts", "10 minutes")
+        stream.withWatermark("ts", f"{WATERMARK_MIN} minutes")
         .groupBy(
             F.window("ts", "1 hour", "30 minutes").alias("win"),
             "event_type",
@@ -396,7 +396,7 @@ def run_stream_session_window(
     same 30-min gap as the batch ``sessionize`` operator."""
     stream = _event_stream(spark, sf_dir)
     agg = (
-        stream.withWatermark("ts", "10 minutes")
+        stream.withWatermark("ts", f"{WATERMARK_MIN} minutes")
         .groupBy(
             F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias(
                 "win"
@@ -421,6 +421,73 @@ def run_stream_session_window(
     finally:
         q.stop()
     return spark.table(name)
+
+
+#: watermark delay shared by the append-mode streaming queries.
+WATERMARK_MIN = 10
+
+# Append mode over a bounded input is deterministic: the file source
+# drains in one batch, the watermark then advances to max(ts) - delay,
+# and a final empty batch emits exactly the windows the watermark
+# closed (Spark's eviction predicate is strict: window.end < watermark).
+# That makes both append-mode queries oracle-checkable — the oracle
+# replays the window expansion and applies the same cutoff.
+ORACLE_STREAM_SLIDING_WATERMARK = f"""
+ssw_wm AS (
+  SELECT epoch_ms(max(ts)) - {WATERMARK_MIN * 60 * 1000} AS wm_ms
+  FROM events
+),
+stream_sliding_watermark AS (
+  SELECT epoch_ms(ws) AS window_start_ms,
+         event_type,
+         count(*) AS n_events
+  FROM events, LATERAL unnest([
+         time_bucket(INTERVAL '30 minutes', ts),
+         time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+       ]) AS t(ws)
+  GROUP BY 1, 2
+  HAVING epoch_ms(ws) + 3600000 < (SELECT wm_ms FROM ssw_wm)
+)
+"""
+
+# Session merge rule differs from the batch `sessionize` oracle at the
+# exact-gap boundary: Spark's session_window spans [ts, ts+gap) per
+# event and merges overlapping spans, so an event arriving exactly
+# gap ms after its predecessor starts a NEW session (>= below), whereas
+# the lag-based batch operator keeps it (strict >). Session end =
+# last event ts + gap; emitted iff end < final watermark.
+ORACLE_STREAM_SESSION_WINDOW = f"""
+ssn_wm AS (
+  SELECT epoch_ms(max(ts)) - {WATERMARK_MIN * 60 * 1000} AS wm_ms
+  FROM events
+),
+ssn_flag AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+                   >= {SESSION_GAP_MIN * 60 * 1000} THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ssn_sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM ssn_flag
+),
+stream_session_window AS (
+  SELECT user_id,
+         min(epoch_ms(ts)) AS session_start_ms,
+         count(*) AS n_events
+  FROM ssn_sess
+  GROUP BY user_id, session_seq
+  HAVING max(epoch_ms(ts)) + {SESSION_GAP_MIN * 60 * 1000}
+         < (SELECT wm_ms FROM ssn_wm)
+)
+"""
 
 
 def run_stream_dedup(
