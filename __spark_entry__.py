@@ -626,6 +626,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.incremental_dedup(_docs(spark, sf_dir))
 
 
+def q_docs_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-segment removal (CCNet/RefinedWeb line dedup re-
+    expressed for whitespace corpora): hash-agg finds segments shared
+    by >1 doc, a broadcast anti-mark strips them, docs reassemble in
+    original order — the corpus itself never reshuffles."""
+    return _dedup.segment_dedup(_docs(spark, sf_dir))
+
+
 def q_events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches: daily per-type user sketches unioned and
     estimated (re-aggregatable distinct counts; rows-only — estimates
@@ -1073,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sketch_rollup": q_events_sketch_rollup,
         "dedup_incremental": q_dedup_incremental,
         "dedup_hybrid": q_dedup_hybrid,
+        "docs_segment_dedup": q_docs_segment_dedup,
         "docs_pack_payloads": q_docs_pack_payloads,
         "dedup_cluster_reps": q_dedup_cluster_reps,
         "pagerank_products": q_pagerank_products,
@@ -1295,6 +1304,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_incremental": _ext_oracle(
             [_dedup.ORACLE_INCREMENTAL_DEDUP], "incremental_dedup"
+        ),
+        "docs_segment_dedup": _ext_oracle(
+            [_dedup.ORACLE_SEGMENT_DEDUP], "segment_dedup"
         ),
         "dedup_cluster_reps": _ext_oracle(
             [

@@ -913,3 +913,100 @@ cluster_representatives AS (
   ) WHERE rn = 1
 )
 """
+
+
+SEGMENT_WORDS = 10
+#: segments present in more than this many distinct documents are
+#: boilerplate — removed from every document that carries them.
+SEGMENT_MAX_DF = 1
+
+
+def segment_dedup(
+    docs: DataFrame,
+    width: int = SEGMENT_WORDS,
+    max_df: int = SEGMENT_MAX_DF,
+) -> DataFrame:
+    """Duplicated-segment removal (CCNet / RefinedWeb-style line
+    dedup, re-expressed over whitespace corpora): split each document
+    into fixed ``width``-word segments, drop every segment whose exact
+    text occurs in more than ``max_df`` distinct documents, and
+    reassemble the survivors in original order. Documents whose every
+    segment is boilerplate are dropped outright.
+
+    The reference has no corpus operators at all (SURVEY.md §2 —
+    whole surface is F.py:16-396 relational/ML); this is [EXT]
+    north-star surface. Two-pass shape, both passes bounded at
+    100 TB: pass 1 is a hash-agg on the segment text (near-unique
+    key, uniform shuffle); the resulting "hot segment" set is tiny by
+    construction (df-capped world: boilerplate is rare relative to
+    corpus bytes), so pass 2 marks segments via a BROADCAST join —
+    the full corpus never reshuffles. Reassembly is a per-doc
+    hash-agg with ``array_sort`` on (seg_idx, seg) structs; no window
+    sort over the corpus.
+    """
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    seg_expr = (
+        f"transform(sequence(0, cast(ceil(size(w) / {width}.0d) as int) - 1),"
+        f" i -> struct(i as seg_idx,"
+        f" concat_ws(' ', slice(w, i * {width} + 1, {width})) as seg))"
+    )
+    segs = toks.select(
+        "doc_id", F.explode(F.expr(seg_expr)).alias("s")
+    ).select("doc_id", "s.seg_idx", "s.seg")
+    hot = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("seg", F.lit(1).alias("hot"))
+    )
+    marked = segs.join(F.broadcast(hot), "seg", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "  CASE WHEN hot IS NULL"
+                    "       THEN struct(seg_idx, seg) END)),"
+                    " x -> x.seg)"
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_segments"),
+            F.coalesce(F.sum("hot"), F.lit(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .filter(F.col("n_dropped") < F.col("n_segments"))
+    )
+
+
+ORACLE_SEGMENT_DEDUP = f"""
+segd_seg AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(
+           w[i * {SEGMENT_WORDS} + 1:(i + 1) * {SEGMENT_WORDS}], ' ')
+           AS seg
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       LATERAL unnest(generate_series(
+         0, CAST(ceil(len(w) / {SEGMENT_WORDS}.0) AS BIGINT) - 1))
+         AS u(i)
+),
+segd_hot AS (
+  SELECT seg FROM segd_seg
+  GROUP BY seg HAVING count(DISTINCT doc_id) > {SEGMENT_MAX_DF}
+),
+segment_dedup AS (
+  SELECT doc_id,
+         coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+           FILTER (WHERE seg NOT IN (SELECT seg FROM segd_hot)), '')
+           AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(count(*) FILTER (
+           WHERE seg IN (SELECT seg FROM segd_hot)) AS BIGINT)
+           AS n_dropped
+  FROM segd_seg
+  GROUP BY doc_id
+  HAVING n_dropped < n_segments
+)
+"""
