@@ -739,6 +739,14 @@ def q_docs_split_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _samp.split_by_hash(_docs(spark, sf_dir))
 
 
+def q_docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: dense 1..N
+    positions in md5(seed:doc_id) order, assigned distributively via
+    256 range buckets + prefix-sum offsets (no single-partition
+    window)."""
+    return _samp.global_shuffle(_docs(spark, sf_dir))
+
+
 def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-per-language uniform sample (hash-order rank
     with a two-phase prefilter so the per-key sort stays bounded)."""
@@ -1090,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": q_text_tfidf_top_terms,
         "docs_pack_batches": q_docs_pack_batches,
         "docs_split_by_hash": q_docs_split_by_hash,
+        "docs_global_shuffle": q_docs_global_shuffle,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_quality_sample": q_docs_quality_sample,
         "docs_profile": q_docs_profile,
@@ -1347,6 +1356,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_split_by_hash": _ext_oracle(
             [_samp.ORACLE_SPLIT_BY_HASH], "split_by_hash"
+        ),
+        "docs_global_shuffle": _ext_oracle(
+            [_samp.ORACLE_GLOBAL_SHUFFLE], "global_shuffle"
         ),
         "docs_stratified_sample": _ext_oracle(
             [_samp.oracle_stratified_sample()], "stratified_sample"

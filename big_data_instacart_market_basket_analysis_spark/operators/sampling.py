@@ -202,3 +202,66 @@ quality_weighted_sample AS (
                  * CAST(4294967296 AS DOUBLE) AS BIGINT))
 )
 """
+
+
+#: seed folded into the shuffle key — change it to re-shuffle.
+SHUFFLE_SEED = "42"
+
+
+def global_shuffle(docs: DataFrame) -> DataFrame:
+    """Deterministic global training-order shuffle: every document
+    gets a dense position 1..N in ``md5(seed:doc_id)`` order.
+
+    A single ``row_number() OVER (ORDER BY key)`` collapses to one
+    partition, so the total order is assigned the way zipWithIndex
+    does it, entirely with DataFrame ops: (1) bucket each row by the
+    key's first hex byte (256 range buckets — the hash is uniform, so
+    buckets are balanced at any scale); (2) hash-agg the per-bucket
+    counts (256 rows) and turn them into exclusive prefix offsets
+    with a window over that TINY table; (3) broadcast the offsets
+    back and add a per-bucket ``row_number``. The corpus shuffles
+    once, on the bucket key; the global sort never materializes on
+    one node. Output order is encoded in ``global_pos``, so the
+    driver's order-insensitive hash still pins the exact permutation.
+    """
+    key = F.md5(
+        F.concat_ws(
+            ":", F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string")
+        )
+    )
+    keyed = docs.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+    ).withColumn("bucket", F.substring("shuffle_key", 1, 2))
+    counts = keyed.groupBy("bucket").agg(F.count("*").alias("n"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("offset"),
+    )
+    wb = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.col("offset") + F.row_number().over(wb))
+            .cast("long")
+            .alias("global_pos"),
+        )
+    )
+
+
+ORACLE_GLOBAL_SHUFFLE = f"""
+global_shuffle AS (
+  SELECT doc_id, shuffle_key,
+         CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+              AS BIGINT) AS global_pos
+  FROM (SELECT doc_id,
+               md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR))
+                 AS shuffle_key
+        FROM documents)
+)
+"""
