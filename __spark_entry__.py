@@ -965,6 +965,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_dedup(spark, sf_dir)
 
 
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: each micro-batch of events
+    broadcast-joins the static customer dim (stateless — no watermark,
+    no state store); bounded-input output equals the batch join."""
+    return _ev.run_stream_static_enrich(spark, sf_dir)
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (purchases x last-30min clicks),
     watermark-bounded state; inner join over bounded input == the batch
@@ -1046,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful_counts": q_stream_stateful_counts,
         "stream_interval_join": q_stream_interval_join,
         "stream_dedup": q_stream_dedup,
+        "stream_static_enrich": q_stream_static_enrich,
         "stream_partitioned_sink": q_stream_partitioned_sink,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1391,6 +1399,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "regional_revenue": _ext_oracle(
             [_rel.oracle_regional_revenue()], "regional_revenue"
+        ),
+        "stream_static_enrich": _ext_oracle(
+            [_ev.ORACLE_STREAM_STATIC_ENRICH], "stream_static_enrich"
         ),
         "stream_dedup": _ext_oracle(
             [_ev.ORACLE_STREAM_DEDUP], "stream_dedup"

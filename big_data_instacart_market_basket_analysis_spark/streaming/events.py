@@ -761,3 +761,50 @@ session_paths AS (
   GROUP BY 1
 )
 """
+
+
+def run_stream_static_enrich(
+    spark: SparkSession, sf_dir: str, name: str = "stream_enrich"
+) -> DataFrame:
+    """Stream-static broadcast enrichment — the canonical dimension
+    join in a streaming pipeline: each micro-batch of events inner-
+    joins the static customer dim on the user key.
+
+    Stateless (no watermark, no state store): the static side is
+    planned as a broadcast-hash join *inside every micro-batch*, so
+    nothing accumulates and the output over a bounded input equals
+    the batch join — which is the oracle. At production scale the
+    static side is a slowly-changing dim refreshed by replanning
+    (each micro-batch re-resolves the static DataFrame); state
+    sharding is moot because the operator keeps none.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = (
+        _event_stream(spark, sf_dir)
+        .join(F.broadcast(cust), "user_id")
+        .select("event_id", "user_id", "segment", "event_type")
+    )
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_STREAM_STATIC_ENRICH = """
+stream_static_enrich AS (
+  SELECT e.event_id, e.user_id,
+         c.c_mktsegment AS segment, e.event_type
+  FROM events e
+  JOIN customer c ON c.c_custkey = e.user_id
+)
+"""
