@@ -261,7 +261,7 @@ def q_user_product_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _cand.candidates(instacart_tables(spark, sf_dir))
+    return _cand.candidates_staged(instacart_tables(spark, sf_dir))
 
 
 def q_proxy_submission(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,7 +33,7 @@ from pyspark.ml.regression import (
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.candidates import FEATURE_COLS, candidates
+from ..operators.candidates import FEATURE_COLS, candidates_staged
 from ..operators.submission import THRESHOLD, submission
 from ..plans.instacart import EVAL_TEST, EVAL_TRAIN, InstacartTables
 
@@ -100,7 +100,7 @@ def _assembled(t: InstacartTables) -> DataFrame:
     if key not in _ASSEMBLED_CACHE:
         from pyspark import StorageLevel
 
-        _ASSEMBLED_CACHE[key] = assemble(candidates(t)).persist(
+        _ASSEMBLED_CACHE[key] = assemble(candidates_staged(t)).persist(
             StorageLevel.MEMORY_AND_DISK
         )
     return _ASSEMBLED_CACHE[key]

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.columns import space_joined_products
 from ..plans.instacart import EVAL_TEST, InstacartTables
-from .candidates import candidates
+from .candidates import candidates_staged
 
 #: F.py:241,297,336,375 — the reference's hard-coded decision threshold.
 THRESHOLD = 0.19
@@ -52,7 +52,9 @@ def submission(
 
 def proxy_submission(t: InstacartTables) -> DataFrame:
     """Oracle-checkable submission using reorder_ratio as the score."""
-    return submission(t, candidates(t), score_col="prod_reorderProportion")
+    return submission(
+        t, candidates_staged(t), score_col="prod_reorderProportion"
+    )
 
 
 ORACLE_PROXY_SUBMISSION = """

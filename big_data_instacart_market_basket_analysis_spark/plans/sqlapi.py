@@ -53,7 +53,7 @@ def register_all(spark: SparkSession, sf_dir: str) -> None:
     _feat.user_product_features(t).createOrReplaceTempView(
         "user_product_features_v"
     )
-    _cand.candidates(t).createOrReplaceTempView("candidates_v")
+    _cand.candidates_staged(t).createOrReplaceTempView("candidates_v")
     _bask.frequent_pairs(t).createOrReplaceTempView("frequent_pairs_v")
     _bask.pair_rules(t).createOrReplaceTempView("pair_rules_v")
     # [EXT] derived views (documents/events) — registered with the same
