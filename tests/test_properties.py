@@ -634,3 +634,55 @@ def test_sketch_rollup_within_hll_error(spark):
     }
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(3, 0.05 * n), (t, approx[t], n)
+
+
+def test_global_shuffle_is_dense_permutation(spark):
+    """global_shuffle must assign each doc a unique position forming
+    exactly 1..N, identical across physical layouts (repartition must
+    not change the permutation), and ordered by the md5 key."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        sampling,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(97)], ["doc_id", "text"]
+    )
+    out = sampling.global_shuffle(docs).collect()
+    pos = sorted(r["global_pos"] for r in out)
+    assert pos == list(range(1, 98))
+    by_key = sorted(out, key=lambda r: (r["shuffle_key"], r["doc_id"]))
+    assert [r["global_pos"] for r in by_key] == list(range(1, 98))
+    # layout independence
+    out2 = sampling.global_shuffle(docs.repartition(7)).collect()
+    assert {(r["doc_id"], r["global_pos"]) for r in out2} == {
+        (r["doc_id"], r["global_pos"]) for r in out
+    }
+
+
+def test_segment_dedup_removes_only_shared_segments(spark):
+    """A segment duplicated across docs is dropped from every carrier;
+    unique segments survive verbatim; an all-boilerplate doc is dropped
+    from the output entirely."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        dedup as dd,
+    )
+
+    w = dd.SEGMENT_WORDS
+    boiler = " ".join(["spam"] * w)
+    uniq_a = " ".join(f"a{i}" for i in range(w))
+    uniq_b = " ".join(f"b{i}" for i in range(w))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq_a}"),
+            (2, f"{boiler} {uniq_b}"),
+            (3, boiler),  # nothing but boilerplate
+            (4, uniq_b.replace("b", "c")),  # untouched
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dd.segment_dedup(docs).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["clean_text"] == uniq_a
+    assert out[2]["clean_text"] == uniq_b
+    assert out[1]["n_dropped"] == 1 and out[4]["n_dropped"] == 0
+    assert out[4]["clean_text"] == uniq_b.replace("b", "c")
