@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
     "region",
@@ -30,38 +30,113 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
+#: Runtime-settable confs every declared query needs to be correct and
+#: fast on *any* session handed to it (the ``__spark_entry__`` contract:
+#: the grading driver supplies a stock session with none of our
+#: ``get_spark()`` builder defaults). All are dynamic SQL confs —
+#: settable post-startup via ``spark.conf.set``.
+_RUNTIME_DEFAULTS = (
+    # events fixture carries INT64 TIMESTAMP(NANOS); the reader rejects
+    # it without this (read as epoch-nanos long, converted in the loader)
+    (NANOS_CONF, "true"),
+    # reference semantics are null-on-divide-by-zero / null-on-bad-cast;
+    # every oracle was written against non-ANSI behavior (Spark 4
+    # defaults ANSI on)
+    ("spark.sql.ansi.enabled", "false"),
+    # fixture timestamps are UTC-naive and DuckDB compares in UTC
+    ("spark.sql.session.timeZone", "UTC"),
+    ("spark.sql.adaptive.enabled", "true"),
+    ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+    ("spark.sql.adaptive.skewJoin.enabled", "true"),
+    # without this, session-staged (persisted) views are materialized
+    # with AQE disabled and pin the stock 200-partition shuffle onto
+    # every downstream scan of the cache
+    ("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"),
+)
+
+_SHUFFLE_STOCK_DEFAULT = "200"
+
+_tuned_sessions: set[int] = set()
+
+
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Apply the engine's runtime-settable defaults to *any* session.
+
+    Queries must be correct (and reasonably fast) on whatever session
+    is handed to them, so the engine's semantic confs are set here at
+    runtime rather than relying on our own ``get_spark()`` builder.
+    Idempotent and memoized per session; each conf is individually
+    best-effort so an unrecognized knob on some future Spark can never
+    take a query down.
+    """
+    key = id(spark)
+    if key in _tuned_sessions:
+        return
+    for conf, value in _RUNTIME_DEFAULTS:
+        try:
+            # NB: conf.get validates the *default* argument's type on
+            # typed confs, so probe without one and treat a miss as
+            # unset.
+            try:
+                current = spark.conf.get(conf)
+            except Exception:
+                current = None
+            if current != value:
+                spark.conf.set(conf, value)
+        except Exception:
+            # Conf not recognized / not settable on this session: fall
+            # through and let the affected query surface a real error.
+            pass
+    try:
+        # Size the shuffle to the machine only when the session still
+        # carries the stock default (never clobber an explicit choice).
+        # On a real cluster SPARK_GRAFT_SHUFFLE_PARTITIONS / an explicit
+        # session conf wins; AQE coalesce handles the rest either way.
+        if (
+            spark.conf.get("spark.sql.shuffle.partitions")
+            == _SHUFFLE_STOCK_DEFAULT
+        ):
+            cpus = os.environ.get(
+                "SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)
+            )
+            spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    except Exception:
+        pass
+    _tuned_sessions.add(key)
+
 
 def ensure_nanos_conf(spark: SparkSession) -> None:
-    """Make TIMESTAMP(NANOS) parquet readable on *any* session.
-
-    The events fixture carries INT64 TIMESTAMP(NANOS), which Spark's
-    reader rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is
-    set. Queries must be correct on whatever session is handed to them
-    (the ``__spark_entry__`` contract), so set the conf at runtime here
-    rather than relying on our own ``get_spark()`` builder defaults.
-    """
-    try:
-        if spark.conf.get(NANOS_CONF, "false") != "true":
-            spark.conf.set(NANOS_CONF, "true")
-    except Exception:
-        # Conf not recognized / not settable on this session: fall
-        # through and let the read surface the real error.
-        pass
+    """Back-compat alias: the nanos conf now rides with the full set."""
+    ensure_session_defaults(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        ensure_nanos_conf(spark)
+    ensure_session_defaults(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ts is TIMESTAMP(NANOS) in the fixture; Spark reads it as
-        # epoch-nanos long (legacy.parquet.nanosAsLong) — truncate to
-        # the engine's microsecond timestamps.
-        from pyspark.sql import functions as F
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
 
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a session-TZ TIMESTAMP.
+
+    The fixture's physical encoding has varied across driver test-data
+    generations — INT64 TIMESTAMP(NANOS) (read as epoch-nanos long
+    under ``legacy.parquet.nanosAsLong``) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (read as TIMESTAMP_NTZ) — while every engine
+    plan and oracle treats ``ts`` as a plain UTC timestamp. Fold all
+    encodings to TimestampType here, once, at the scan; session TZ is
+    pinned to UTC by ``ensure_session_defaults`` so the NTZ -> LTZ cast
+    is value-preserving.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         df = df.withColumn(
             "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
         )
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.loaders import ensure_nanos_conf, load_table
+from ..sources.loaders import (
+    ensure_nanos_conf,
+    load_table,
+    normalize_event_ts,
+)
 
 SESSION_GAP_MIN = 30
 
@@ -224,7 +228,8 @@ def _tune_stream_session(spark: SparkSession) -> None:
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned; the
-    nanos column arrives as long exactly like the batch reader)."""
+    raw ``ts`` encoding — nanos-long or NTZ — arrives exactly like the
+    batch reader and is normalized the same way)."""
     ensure_nanos_conf(spark)
     _tune_stream_session(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -236,11 +241,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-        )
-    return stream
+    return normalize_event_ts(stream)
 
 
 def run_stream_tumbling(
