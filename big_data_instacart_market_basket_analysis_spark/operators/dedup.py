@@ -710,9 +710,17 @@ simhash_pairs AS (
 #: blocked fuzzy matching: prefix length compared, max edit distance.
 FUZZY_PREFIX_CHARS = 40
 FUZZY_MAX_DIST = 10
+#: block document-frequency cap: a (lang, first-word) block larger than
+#: this is a stop-word block ("the", "a", ...) whose self-join is
+#: quadratic in block size at corpus scale — drop it entirely, exactly
+#: like ``MAX_SHINGLE_DF`` does for hot shingles. Pairs inside a hot
+#: block share only a stop word, i.e. carry no match signal anyway.
+FUZZY_MAX_BLOCK = 200
 
 
-def fuzzy_prefix_pairs(docs: DataFrame) -> DataFrame:
+def fuzzy_prefix_pairs(
+    docs: DataFrame, max_block: int = FUZZY_MAX_BLOCK
+) -> DataFrame:
     """Blocked Levenshtein near-match: candidate pairs share a
     (lang, first-word) block, then exact edit distance over the first
     ``FUZZY_PREFIX_CHARS`` chars keeps pairs within ``FUZZY_MAX_DIST``.
@@ -720,8 +728,12 @@ def fuzzy_prefix_pairs(docs: DataFrame) -> DataFrame:
     The block key bounds the quadratic step the same way LSH bands do
     for MinHash — the self-join is an equi-join on the block, never
     all-pairs, and edit distance (O(len^2) per pair) only runs inside
-    blocks. Levenshtein is an integer metric with one standard
-    definition, so the oracle matches exactly with no float rule.
+    blocks. Blocks larger than ``FUZZY_MAX_BLOCK`` docs are stop-word
+    blocks and are dropped before the join (hot-key cap — without it
+    one "The ..." block is quadratic at corpus scale; AQE can split the
+    skewed partition but cannot shrink the pair count). Levenshtein is
+    an integer metric with one standard definition, so the oracle
+    matches exactly with no float rule.
     """
     keyed = docs.select(
         "doc_id",
@@ -729,6 +741,13 @@ def fuzzy_prefix_pairs(docs: DataFrame) -> DataFrame:
         F.substring_index(F.col("text"), " ", 1).alias("blk"),
         F.substring("text", 1, FUZZY_PREFIX_CHARS).alias("prefix"),
     )
+    block_df = (
+        keyed.groupBy("lang", "blk")
+        .agg(F.count("*").alias("blk_n"))
+        .filter(F.col("blk_n") <= max_block)
+        .select("lang", "blk")
+    )
+    keyed = keyed.join(block_df, ["lang", "blk"])
     a = keyed.select(
         F.col("doc_id").alias("id_a"),
         "lang",
@@ -751,11 +770,18 @@ def fuzzy_prefix_pairs(docs: DataFrame) -> DataFrame:
 
 
 ORACLE_FUZZY_PREFIX_PAIRS = f"""
-fz_keyed AS (
+fz_keyed_all AS (
   SELECT doc_id, lang,
          split_part(text, ' ', 1) AS blk,
          substr(text, 1, {FUZZY_PREFIX_CHARS}) AS prefix
   FROM documents
+),
+fz_blocks AS (
+  SELECT lang, blk FROM fz_keyed_all
+  GROUP BY lang, blk HAVING count(*) <= {FUZZY_MAX_BLOCK}
+),
+fz_keyed AS (
+  SELECT k.* FROM fz_keyed_all k JOIN fz_blocks USING (lang, blk)
 ),
 fuzzy_prefix_pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -142,6 +142,36 @@ def test_hot_shingle_dropped_from_candidate_generation(spark):
     assert set(capped) <= set(uncapped)
 
 
+def test_hot_block_dropped_from_fuzzy_matching(spark):
+    """The (lang, first-word) block cap drops stop-word blocks (the
+    quadratic hot key at corpus scale) while small blocks' pairs are
+    bit-identical to the uncapped computation."""
+    rows = [
+        # a hot "the" block: 4 docs, pairwise-near under the prefix
+        # metric but sharing only the stop word
+        (0, "en", "the aaaa 0"),
+        (1, "en", "the bbbb 1"),
+        (2, "en", "the cccc 2"),
+        (3, "en", "the dddd 3"),
+        # a small block with one true near-match
+        (4, "en", "zebra stripe pattern alpha"),
+        (5, "en", "zebra stripe pattern omega"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in dedup.fuzzy_prefix_pairs(docs, max_block=10**9).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in dedup.fuzzy_prefix_pairs(docs, max_block=3).collect()
+    }
+    assert (0, 1) in uncapped and (0, 1) not in capped
+    assert (4, 5) in capped
+    assert capped[(4, 5)] == uncapped[(4, 5)]
+    assert set(capped) <= set(uncapped)
+
+
 @settings(**_SETTINGS)
 @given(
     rows=st.lists(
