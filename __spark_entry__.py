@@ -395,6 +395,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_minhash_exact_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-collapse -> MinHash near-dup over representatives: the
+    corpus-scale ordering (copy multiplicity never reaches the LSH
+    band buckets); pairs carry each side's collapsed copy count."""
+    return _dedup.minhash_exact_first(_docs(spark, sf_dir))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (md5-derived 60-bit hash — the whole
     vote/band/Hamming pipeline replays in DuckDB, so this is
@@ -1058,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_exact_first": q_dedup_minhash_exact_first,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "corpus_prep": q_corpus_prep,
@@ -1186,6 +1194,10 @@ def oracle_sql() -> dict[str, str]:
              "dsizes AS (SELECT doc_id, count(*) AS n FROM dshingles GROUP BY doc_id)",
              _dedup.ORACLE_MINHASH_LSH],
             "minhash_lsh",
+        ),
+        "dedup_minhash_exact_first": _ext_oracle(
+            [_dedup.ORACLE_MINHASH_EXACT_FIRST],
+            "minhash_exact_first",
         ),
         "dedup_clusters": _ext_oracle(
             [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD,

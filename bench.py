@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_exact_first",
     "corpus_prep",
     "ann_brute_force",
     "ann_ivf",

@@ -323,6 +323,100 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_exact_first(docs: DataFrame) -> DataFrame:
+    """Exact-collapse -> MinHash+LSH over representatives only.
+
+    The production ordering for corpus-scale near-dup. Identical texts
+    are the dominant duplicate mode at 100 TB (boilerplate replicated
+    millions of times), and every copy of a text lands in the SAME key
+    for every band — a text duplicated k times makes each of its band
+    buckets hold k rows, i.e. k^2/2 candidate pairs per band, a
+    quadratic hot key that no cap may drop (unlike stop-shingles,
+    those pairs are true duplicates). Collapsing exact copies first is
+    one uniform-digest hash-agg, after which each LSH bucket is bounded
+    by the number of *distinct* near-dup texts, never by copy
+    multiplicity. Emits near-dup pairs between representatives with
+    each side's collapsed copy count, so downstream corpus accounting
+    keeps the true duplicate mass.
+    """
+    reps = exact_dedup(docs).select(
+        F.col("keeper_doc_id").alias("doc_id"), "n_copies"
+    )
+    rep_docs = docs.join(reps, "doc_id")
+    pairs = minhash_lsh_pairs(rep_docs)
+    return (
+        pairs.join(
+            reps.select(
+                F.col("doc_id").alias("d1"), F.col("n_copies").alias("copies_1")
+            ),
+            "d1",
+        )
+        .join(
+            reps.select(
+                F.col("doc_id").alias("d2"), F.col("n_copies").alias("copies_2")
+            ),
+            "d2",
+        )
+        .select("d1", "d2", "jaccard", "copies_1", "copies_2")
+    )
+
+
+ORACLE_MINHASH_EXACT_FIRST = f"""
+rdocs AS (
+  SELECT d.doc_id, d.text, r.n_copies
+  FROM documents d
+  JOIN (SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(lower(trim(text)))) r USING (doc_id)
+),
+rtoks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+  FROM rdocs
+),
+rshingles AS (
+  SELECT DISTINCT doc_id, sh
+  FROM rtoks, LATERAL (
+    SELECT unnest(list_transform(range(0, len(w) - {SHINGLE_WIDTH - 1}),
+                  i -> array_to_string(w[i + 1 : i + {SHINGLE_WIDTH}], ' ')))
+      AS sh) t
+  WHERE len(w) >= {SHINGLE_WIDTH}
+),
+rsizes AS (SELECT doc_id, count(*) AS n FROM rshingles GROUP BY doc_id),
+rsigs AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{j}:' || sh)) AS h{j}" for j in range(N_MINHASHES))}
+  FROM rshingles
+  GROUP BY doc_id
+),
+rbands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, md5(h{2 * b} || h{2 * b + 1}) AS key FROM rsigs" for b in range(N_BANDS))}
+),
+rcand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM rbands a
+  JOIN rbands b ON a.band = b.band AND a.key = b.key
+                AND a.doc_id < b.doc_id
+),
+minhash_exact_first AS (
+  SELECT c.d1, c.d2,
+         CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) AS jaccard,
+         r1.n_copies AS copies_1, r2.n_copies AS copies_2
+  FROM rcand c
+  JOIN (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+    FROM rshingles a
+    JOIN rshingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) s ON s.d1 = c.d1 AND s.d2 = c.d2
+  JOIN rsizes s1 ON s1.doc_id = c.d1
+  JOIN rsizes s2 ON s2.doc_id = c.d2
+  JOIN rdocs r1 ON r1.doc_id = c.d1
+  JOIN rdocs r2 ON r2.doc_id = c.d2
+  WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared)
+        >= {JACCARD_THRESHOLD}
+)
+"""
+
+
 ORACLE_MINHASH_LSH = f"""
 dsigs AS (
   SELECT doc_id,

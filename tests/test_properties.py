@@ -142,6 +142,26 @@ def test_hot_shingle_dropped_from_candidate_generation(spark):
     assert set(capped) <= set(uncapped)
 
 
+def test_minhash_exact_first_collapses_copy_multiplicity(spark):
+    """Exact copies never reach the LSH band buckets: a text duplicated
+    k times contributes ONE representative (no pairs among copies), and
+    surviving near-dup pairs carry the collapsed copy counts."""
+    boiler = "the same boilerplate page text repeated verbatim everywhere"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [(i, boiler) for i in range(5)]  # 5 exact copies -> keeper 0
+    rows += [(10, near_a), (11, near_b)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["d1"], r["d2"]): (r["copies_1"], r["copies_2"])
+        for r in dedup.minhash_exact_first(docs).collect()
+    }
+    # no pair between copies of the boilerplate (they collapsed)
+    assert not any(d1 < 5 and d2 < 5 for d1, d2 in out)
+    # the true near-dup pair survives with copy counts attached
+    assert out.get((10, 11)) == (1, 1)
+
+
 def test_hot_block_dropped_from_fuzzy_matching(spark):
     """The (lang, first-word) block cap drops stop-word blocks (the
     quadratic hot key at corpus scale) while small blocks' pairs are
