@@ -815,6 +815,27 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item report (filtered fact-fact join,
+    broadcast nation dim, decimal-exact money, TopK)."""
+    return _rel.customer_returns(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume orders (HAVING-filtered agg runs
+    first and broadcast-drives the joins)."""
+    return _rel.large_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 #: the salted join is row-identical to the plain join, so the oracle
 #: runs the unsalted form.
 ORACLE_EVENTS_SALTED_JOIN = """
@@ -1123,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_integrity_audit": q_ref_integrity_audit,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
+        "customer_returns": q_customer_returns,
+        "large_orders": q_large_orders,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "regional_revenue": q_regional_revenue,
         "events_session_funnel": q_events_session_funnel,
@@ -1405,6 +1428,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "shipping_priority": _ext_oracle(
             [_rel.oracle_shipping_priority()], "shipping_priority"
+        ),
+        "customer_returns": _ext_oracle(
+            [_rel.oracle_customer_returns()], "customer_returns"
+        ),
+        "large_orders": _ext_oracle(
+            [_rel.oracle_large_orders()], "large_orders"
         ),
         "orders_snapshot_diff": _ext_oracle(
             [_rel.ORACLE_ORDERS_SNAPSHOT_DIFF], "orders_snapshot_diff"

@@ -43,6 +43,8 @@ HEADLINE = [
     "events_salted_join",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "customer_returns",
+    "large_orders",
     "dedup_minhash_lsh",
     "dedup_minhash_exact_first",
     "corpus_prep",

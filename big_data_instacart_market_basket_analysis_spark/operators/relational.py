@@ -352,6 +352,142 @@ shipping_priority AS (
 """
 
 
+def customer_returns(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item report: top-k customers by
+    revenue lost to returned lineitems, annotated with the nation dim.
+
+    Plan shape at scale: the ``l_returnflag = 'R'`` filter reaches the
+    lineitem scan (row-group pruning on the flag column), the fact-fact
+    join shuffles only returned rows, customer joins on the already
+    aggregated per-customer revenue is wrong — aggregate AFTER the
+    customer join would shuffle the wide row; instead revenue is
+    grouped on the join keys and the 25-row nation dim broadcasts.
+    Money in exact DECIMAL until after the final agg (hash-stable).
+    """
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)")
+           - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select(
+                "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue_lost"))
+        .orderBy(F.col("revenue_lost").desc(), "c_custkey")
+        .limit(k)
+    )
+
+
+def oracle_customer_returns(k: int = 20) -> str:
+    return f"""
+customer_returns AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4))
+                     - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS revenue_lost
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2, 3, 4
+  ORDER BY revenue_lost DESC, c_custkey
+  LIMIT {k}
+)
+"""
+
+
+LARGE_ORDER_MIN_QTY = 250
+
+
+def large_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: int = LARGE_ORDER_MIN_QTY,
+) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume orders: orders whose summed
+    lineitem quantity clears ``min_qty``, with customer attribution.
+
+    The classic Q18 plan point, kept deliberately: the HAVING-filtered
+    quantity aggregation runs FIRST, over just (l_orderkey,
+    l_quantity), and its tiny survivor set then drives the joins to
+    orders and customer — at 100 TB the agg output is a few thousand
+    rows, so the wide tables are never shuffled on an unfiltered key.
+    The survivor set's size is data-dependent, so no broadcast hint is
+    forced — AQE observes the post-HAVING size at runtime and converts
+    the join to broadcast exactly when it fits. Quantities sum in exact
+    DECIMAL (hash-stable, no float accumulation order dependence).
+    """
+    qty = (
+        lineitem.select(
+            "l_orderkey", F.col("l_quantity").cast("decimal(18,4)").alias("q")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("q").alias("total_qty"))
+        .filter(F.col("total_qty") > F.lit(min_qty))
+    )
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+        )
+        .join(qty, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            customer.select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                "o_orderdate_str"
+            ),
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+def oracle_large_orders(min_qty: int = LARGE_ORDER_MIN_QTY) -> str:
+    return f"""
+large_orders AS (
+  SELECT c_custkey, c_name, o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
+         o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
+  FROM (
+    SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > {min_qty}
+  ) q
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON o_custkey = c_custkey
+)
+"""
+
+
 def snapshot_diff(
     old: DataFrame, new: DataFrame, key: str, value: str
 ) -> DataFrame:
