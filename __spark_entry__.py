@@ -1007,6 +1007,13 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_interval_join(spark, sf_dir)
 
 
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: null-extended rows emit
+    only on watermark-driven state eviction; the oracle replays the
+    final-watermark cutoff on the unmatched side."""
+    return _ev.run_stream_interval_join_outer(spark, sf_dir)
+
+
 def q_ml_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2+M7: per-model weighted precision/recall/F1 on the seeded 30%
     holdout (rows-only check — tree models are not SQL-expressible)."""
@@ -1080,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_window": q_stream_session_window,
         "stream_stateful_counts": q_stream_stateful_counts,
         "stream_interval_join": q_stream_interval_join,
+        "stream_interval_join_outer": q_stream_interval_join_outer,
         "stream_dedup": q_stream_dedup,
         "stream_static_enrich": q_stream_static_enrich,
         "stream_partitioned_sink": q_stream_partitioned_sink,
@@ -1529,6 +1537,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_stateful_counts": _ext_oracle(
             [_st.ORACLE_STATEFUL_COUNTS], "stateful_counts"
+        ),
+        "stream_interval_join_outer": _ext_oracle(
+            [_ev.ORACLE_STREAM_INTERVAL_JOIN_OUTER],
+            "stream_interval_join_outer",
         ),
         "stream_interval_join": _ext_oracle(
             [_ev.ORACLE_STREAM_INTERVAL_JOIN], "stream_interval_join"

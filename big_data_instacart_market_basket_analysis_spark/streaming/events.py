@@ -298,6 +298,9 @@ def run_stream_windowed_watermark(
     return spark.table(name)
 
 
+#: watermark delay shared by the append-mode streaming queries.
+WATERMARK_MIN = 10
+
 #: stream-stream join window: purchases match clicks at most this far
 #: back (same bound the watermark uses to expire click state).
 JOIN_LOOKBACK_MIN = 30
@@ -390,6 +393,108 @@ stream_interval_join AS (
 """
 
 
+def run_stream_interval_join_outer(
+    spark: SparkSession, sf_dir: str, name: str = "stream_ssjoin_outer"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: purchases with their
+    same-user clicks from the lookback window, or a null-extended row
+    once the watermark proves no click can ever match.
+
+    The outer variant is the genuinely stateful-semantics case: matched
+    pairs emit as they form (inner behavior), but an UNMATCHED purchase
+    can only emit after the join watermark passes its event time —
+    before that, a matching click could still arrive. Spark holds the
+    row in the state store and emits the null-extended result on
+    eviction; purchases newer than ``max(ts) - delay`` therefore never
+    close over a bounded input, and the oracle applies exactly that
+    cutoff (same watermark-cutoff replay rule as the append-mode
+    window queries above). State is sharded by user_id and bounded by
+    the lookback window on both sides.
+    """
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "user_id",
+        )
+        .withWatermark("click_ts", f"{WATERMARK_MIN} minutes")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("p_user_id"),
+        )
+        .withWatermark("purchase_ts", f"{WATERMARK_MIN} minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts")
+            - F.expr(f"INTERVAL {JOIN_LOOKBACK_MIN} MINUTES")
+        ),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user_id").alias("user_id"),
+        (
+            F.unix_millis("purchase_ts") - F.unix_millis("click_ts")
+        ).alias("ms_before_purchase"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_STREAM_INTERVAL_JOIN_OUTER = f"""
+ssjo_wm AS (
+  SELECT max(ts) - INTERVAL {WATERMARK_MIN} MINUTES AS wm FROM events
+),
+ssjo_clicks AS (
+  SELECT event_id AS click_id, ts AS click_ts, user_id
+  FROM events WHERE event_type = 'click'
+),
+ssjo_purchases AS (
+  SELECT event_id AS purchase_id, ts AS purchase_ts, user_id
+  FROM events WHERE event_type = 'purchase'
+),
+stream_interval_join_outer AS (
+  SELECT p.purchase_id, c.click_id, p.user_id,
+         epoch_ms(p.purchase_ts) - epoch_ms(c.click_ts)
+           AS ms_before_purchase
+  FROM ssjo_purchases p
+  LEFT JOIN ssjo_clicks c
+    ON c.user_id = p.user_id
+   AND c.click_ts <= p.purchase_ts
+   AND c.click_ts >= p.purchase_ts - INTERVAL {JOIN_LOOKBACK_MIN} MINUTES
+  WHERE c.click_id IS NOT NULL
+     -- Spark's left-state eviction is conservative by the interval
+     -- bound: a purchase row is only closed (and its null row emitted)
+     -- once the watermark passes purchase_ts + lookback, i.e. cutoff =
+     -- final_wm - lookback, not final_wm (verified empirically on the
+     -- fixture: the boundary row sits between the two cutoffs).
+     OR p.purchase_ts < (SELECT wm FROM ssjo_wm)
+                        - INTERVAL {JOIN_LOOKBACK_MIN} MINUTES
+)
+"""
+
+
 def run_stream_session_window(
     spark: SparkSession, sf_dir: str, name: str = "stream_sessions"
 ) -> DataFrame:
@@ -423,9 +528,6 @@ def run_stream_session_window(
         q.stop()
     return spark.table(name)
 
-
-#: watermark delay shared by the append-mode streaming queries.
-WATERMARK_MIN = 10
 
 # Append mode over a bounded input is deterministic: the file source
 # drains in one batch, the watermark then advances to max(ts) - delay,

@@ -106,6 +106,39 @@ def test_stream_interval_join_matches_batch(spark):
     )
 
 
+def test_stream_interval_join_outer_contains_inner(spark):
+    """The left-outer stream-stream join must emit exactly the inner
+    matches plus null-extended rows, and every null row's purchase must
+    be older than the final watermark minus the lookback (Spark's
+    conservative left-state eviction bound)."""
+    inner = ev.run_stream_interval_join(spark, SF_SMOKE, name="t_ssj_i")
+    outer = ev.run_stream_interval_join_outer(
+        spark, SF_SMOKE, name="t_ssj_o"
+    )
+    inner_pairs = _rows(inner, "purchase_id", "click_id")
+    matched = {
+        (r["purchase_id"], r["click_id"])
+        for r in outer.filter(F.col("click_id").isNotNull()).collect()
+    }
+    assert matched == set(inner_pairs)
+    events = load_table(spark, SF_SMOKE, "events")
+    cutoff_ms = (
+        events.select(F.max(F.unix_millis("ts")).alias("m")).first()["m"]
+        - (ev.WATERMARK_MIN + ev.JOIN_LOOKBACK_MIN) * 60 * 1000
+    )
+    null_purchases = {
+        r["purchase_id"]
+        for r in outer.filter(F.col("click_id").isNull()).collect()
+    }
+    if null_purchases:
+        late = (
+            events.filter(F.col("event_id").isin(list(null_purchases)))
+            .filter(F.unix_millis("ts") >= cutoff_ms)
+            .count()
+        )
+        assert late == 0
+
+
 @pytest.mark.skipif(
     not st.tws_available(),
     reason="transformWithState v2 needs protobuf (absent in this env); "
