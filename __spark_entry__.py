@@ -668,6 +668,13 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.retention_cohorts(load_table(spark, sf_dir, "events"))
 
 
+def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic rollup maintenance: standing aggregate + delta batch
+    merged without rescanning base rows; the oracle's one-pass
+    recompute proves the partial aggregates merge losslessly."""
+    return _tmp.incremental_rollup(load_table(spark, sf_dir, "events"))
+
+
 def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing shingles with
     the benchmark set (first doc_ids), via broadcast shingle join."""
@@ -1120,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_topfrac": q_docs_quality_topfrac,
         "text_skipgram_pmi": q_text_skipgram_pmi,
         "events_retention": q_events_retention,
+        "events_incremental_rollup": q_events_incremental_rollup,
         "events_session_paths": q_events_session_paths,
         "docs_grouping_sets": q_docs_grouping_sets,
         "events_winsorized": q_events_winsorized,
@@ -1320,6 +1328,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_retention": _ext_oracle(
             [_tmp.ORACLE_RETENTION_COHORTS], "retention_cohorts"
+        ),
+        "events_incremental_rollup": _ext_oracle(
+            [_tmp.ORACLE_INCREMENTAL_ROLLUP], "incremental_rollup"
         ),
         "pysource_docs": _ext_oracle(
             [_pds.ORACLE_SYNTHETIC_DOCS], "synthetic_docs"

@@ -976,3 +976,83 @@ rolling_zscore_anomalies AS (
         > {ANOMALY_Z_THRESH**2}
 )
 """
+
+
+#: incremental-rollup split point: days before this are the "standing"
+#: aggregate, days at/after are the delta batch.
+ROLLUP_CUTOFF_DAY = "2024-01-24"
+
+
+def incremental_rollup(
+    events: DataFrame, cutoff_day: str = ROLLUP_CUTOFF_DAY
+) -> DataFrame:
+    """Algebraic rollup maintenance: merge a standing per-(day, type)
+    aggregate with a new delta batch WITHOUT rescanning the base rows.
+
+    The 100 TB dashboard-maintenance pattern: keep partial aggregates
+    (count, integer-millis sum, min, max — all commutative monoids) per
+    partition key; when a new day of data lands, aggregate just the
+    delta and fold it in (counts add, sums add, min/max re-min/max).
+    The base table is never re-read — here both halves derive from the
+    fixture only so the oracle can prove losslessness: recomputing the
+    rollup from ALL raw rows hash-equals the merged form. Value sums
+    use integer millis (the repo's exact-moments rule) so merge order
+    cannot perturb a float accumulation.
+    """
+    cutoff = F.lit(cutoff_day).cast("date")
+    v_mil = F.floor(F.col("value") * 1000).cast("bigint")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.to_date("ts").alias("day"),
+                "event_type",
+                v_mil.alias("v_mil"),
+            )
+            .groupBy("day", "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("v_mil").alias("v_mil_sum"),
+                F.min("v_mil").alias("v_mil_min"),
+                F.max("v_mil").alias("v_mil_max"),
+            )
+        )
+
+    base = partial(events.filter(F.to_date("ts") < cutoff))
+    delta = partial(events.filter(F.to_date("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("v_mil_sum").alias("v_mil_sum"),
+            F.min("v_mil_min").alias("v_mil_min"),
+            F.max("v_mil_max").alias("v_mil_max"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+            "event_type",
+            "n",
+            "v_mil_sum",
+            "v_mil_min",
+            "v_mil_max",
+        )
+    )
+
+
+#: the oracle recomputes the rollup from the raw rows in one pass —
+#: hash-equality with the merged two-phase form proves the partial
+#: aggregates are lossless under merge.
+ORACLE_INCREMENTAL_ROLLUP = """
+incremental_rollup AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_str,
+         event_type,
+         count(*) AS n,
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+           AS v_mil_sum,
+         min(CAST(floor(value * 1000) AS BIGINT)) AS v_mil_min,
+         max(CAST(floor(value * 1000) AS BIGINT)) AS v_mil_max
+  FROM events
+  GROUP BY 1, 2
+)
+"""
