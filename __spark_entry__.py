@@ -776,6 +776,14 @@ def q_docs_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement:
+    exactly k docs per language with odds proportional to quality
+    (exponential-race keys, deterministic md5 uniforms)."""
+    d = _docs(spark, sf_dir)
+    return _samp.weighted_sample_aes(d, _text.quality_scores(d))
+
+
 def q_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of documents: one aggregation pass emitting
     per-column nulls / distincts / min / max."""
@@ -1154,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_global_shuffle": q_docs_global_shuffle,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_quality_sample": q_docs_quality_sample,
+        "docs_weighted_sample_aes": q_docs_weighted_sample_aes,
         "docs_profile": q_docs_profile,
         "events_interarrival": q_events_interarrival,
         "events_salted_join": q_events_salted_join,
@@ -1429,6 +1438,11 @@ def oracle_sql() -> dict[str, str]:
             [_text.oracle_quality_scores(),
              _samp.oracle_quality_weighted_sample()],
             "quality_weighted_sample",
+        ),
+        "docs_weighted_sample_aes": _ext_oracle(
+            [_text.oracle_quality_scores(),
+             _samp.oracle_weighted_sample_aes()],
+            "weighted_sample_aes",
         ),
         "docs_profile": _ext_oracle(
             [_prof.oracle_profile_documents()], "profile_documents"

@@ -61,6 +61,7 @@ HEADLINE = [
     "ann_quantized",
     "events_retention",
     "events_session_paths",
+    "events_incremental_rollup",
 ]
 
 

@@ -248,10 +248,12 @@ ngram_jaccard AS (
 """
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, shingles: DataFrame | None = None
+) -> DataFrame:
     """Per-doc MinHash signature: h_j = min over shingles of
     md5(j || ':' || shingle) — one hash-agg, no per-hash explode."""
-    sh = _shingles_staged(docs)
+    sh = shingles if shingles is not None else _shingles_staged(docs)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"h{j}")
         for j in range(N_MINHASHES)
@@ -260,7 +262,9 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH banded dedup: signature -> band keys -> bucket
     self-join -> exact-Jaccard verification of candidates only.
@@ -268,8 +272,14 @@ def minhash_lsh_pairs(
     The expensive exact-Jaccard join runs on LSH candidates, not all
     pairs — this is the 100 TB-scale path (signatures are ~constant
     bytes/doc; band buckets are the only shuffle wider than a doc).
+    ``shingles`` lets a caller substitute an already-staged (possibly
+    filtered) shingle table so composed pipelines never re-tokenize
+    the corpus.
     """
-    sigs = minhash_signatures(docs)
+    sh_staged = (
+        shingles if shingles is not None else _shingles_staged(docs)
+    )
+    sigs = minhash_signatures(docs, shingles=sh_staged)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -300,7 +310,7 @@ def minhash_lsh_pairs(
     )
     # exact-Jaccard verify restricted to candidates: attach d1's shingles,
     # then probe d2's shingle set — never materializes non-candidate pairs.
-    sh = _shingles_staged(docs)
+    sh = sh_staged
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     shared = (
         cand.join(sh.select(F.col("doc_id").alias("d1"), "sh"), "d1")
@@ -342,8 +352,13 @@ def minhash_exact_first(docs: DataFrame) -> DataFrame:
     reps = exact_dedup(docs).select(
         F.col("keeper_doc_id").alias("doc_id"), "n_copies"
     )
-    rep_docs = docs.join(reps, "doc_id")
-    pairs = minhash_lsh_pairs(rep_docs)
+    # representatives' shingles = the already-staged corpus shingles
+    # semi-joined to the keeper set — the corpus is never re-tokenized
+    # and the base staging is shared with every other dedup consumer.
+    rep_shingles = _shingles_staged(docs).join(
+        reps.select("doc_id"), "doc_id", "leftsemi"
+    )
+    pairs = minhash_lsh_pairs(docs, shingles=rep_shingles)
     return (
         pairs.join(
             reps.select(

@@ -265,3 +265,92 @@ global_shuffle AS (
         FROM documents)
 )
 """
+
+
+#: A-ES sample size per language stratum.
+AES_K = 15
+#: weight clamp: a zero/negative quality must not divide the key.
+AES_MIN_W = 0.05
+
+
+def weighted_sample_aes(
+    docs: DataFrame, scores: DataFrame, k: int = AES_K
+) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling WITHOUT replacement:
+    exactly min(k, n) docs per language, inclusion odds proportional
+    to quality weight — deterministic, no ``rand()``.
+
+    The exponential-race formulation: each row draws
+    ``key = -ln(u) / w`` (an Exp(w) variate) from a 52-bit md5-derived
+    uniform, and the k SMALLEST keys per stratum win — heavier rows
+    draw stochastically smaller keys. Unlike the Bernoulli sampler
+    (independent keeps, random output size), this is the exact-k
+    mixture knob. One window per stratum, no shuffle beyond the lang
+    partition; at 100 TB the window is replaced by the same two-phase
+    threshold prefilter ``stratified_sample`` uses.
+
+    Cross-engine note: ln differs by <=1 ulp between libms, so the key
+    is rounded to 9 decimals (a flip needs the true value within
+    ~1e-16 of a grid boundary) with doc_id as the total-order
+    tie-break; u is an exact dyadic rational (52-bit hex parse) in
+    both engines.
+    """
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("aes:"), F.col("doc_id").cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + F.lit(1)
+        ).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    w_col = F.greatest(
+        F.lit(AES_MIN_W), F.least(F.lit(1.0), F.col("quality_score"))
+    )
+    keyed = (
+        docs.select("doc_id", "lang")
+        .join(scores.select("doc_id", "quality_score"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("quality_score"), 4).alias("quality_score"),
+            F.round(-F.log(u) / w_col, 9).alias("aes_key"),
+        )
+    )
+    wnd = Window.partitionBy("lang").orderBy("aes_key", "doc_id")
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(wnd))
+        .filter(F.col("sample_rank") <= k)
+        .select("doc_id", "lang", "quality_score", "aes_key", "sample_rank")
+    )
+
+
+def oracle_weighted_sample_aes(k: int = AES_K) -> str:
+    """Composes after the quality_scores CTE (textstats oracle)."""
+    return f"""
+aes_keys AS (
+  SELECT d.doc_id, d.lang,
+         round(q.quality_score, 4) AS quality_score,
+         round(
+           -ln((CAST(('0x' || substr(
+                  md5('aes:' || CAST(d.doc_id AS VARCHAR)), 1, 13))
+                AS BIGINT) + 1) / {float(1 << 52)!r})
+           / greatest({AES_MIN_W},
+                      least(CAST(1.0 AS DOUBLE), q.quality_score)), 9)
+           AS aes_key
+  FROM documents d JOIN quality_scores q USING (doc_id)
+),
+weighted_sample_aes AS (
+  SELECT doc_id, lang, quality_score, aes_key, sample_rank
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY lang ORDER BY aes_key, doc_id) AS sample_rank
+        FROM aes_keys)
+  WHERE sample_rank <= {k}
+)
+"""
