@@ -428,9 +428,13 @@ def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_brute_force_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k with raw cosine scores (rows-only: float-op order across
-    engines is not guaranteed for the score column itself)."""
-    return _sim.brute_force_topk(_emb(spark, sf_dir))
+    """Top-k WITH the cosine score column, rounded to 6 decimals so the
+    float agrees across engines (both fold the dot product
+    left-to-right; rounding absorbs the <=1-ulp libm drift) — upgraded
+    from rows-only to a full oracle row."""
+    return _sim.brute_force_topk(_emb(spark, sf_dir)).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1272,6 +1276,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_brute_force": _ext_oracle(
             [_sim.ORACLE_BRUTE_FORCE_TOPK], "brute_force_topk"
+        ),
+        "ann_brute_force_scored": _ext_oracle(
+            [_sim.ORACLE_BRUTE_FORCE_SCORED], "brute_force_scored"
         ),
         "ann_lsh": _ext_oracle([_sim.oracle_lsh_ann_topk()], "lsh_ann_topk"),
         "ann_ivf": _ext_oracle([_sim.oracle_ivf_ann_topk()], "ivf_ann_topk"),

@@ -115,6 +115,38 @@ brute_force_topk AS (
 """
 
 
+#: scored variant: the cosine itself is emitted, rounded to 6 decimals
+#: — both engines fold the dot product left-to-right over the array, so
+#: the raw doubles agree to ~1 ulp and the rounding absorbs it (same
+#: rule as the repo's round(sum, 4) aggregates).
+ORACLE_BRUTE_FORCE_SCORED = f"""
+equeries AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+ecorpus AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+),
+escored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM equeries, ecorpus
+  WHERE query_id <> neighbor_id
+),
+brute_force_scored AS (
+  SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM escored
+  ) WHERE rank <= {TOP_K}
+)
+"""
+
+
 def _plane_weight(p: int, i: int) -> int:
     """Deterministic pseudo-random integer weight in [-1024, 1023].
 
