@@ -395,6 +395,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_docs_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data export in one composed plan: corpus
+    prep survivors -> deterministic shuffle order -> token-budget batch
+    packing; emits per (shard, batch) manifests."""
+    return _text.training_export(_docs(spark, sf_dir))
+
+
 def q_dedup_minhash_exact_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-collapse -> MinHash near-dup over representatives: the
     corpus-scale ordering (copy multiplicity never reaches the LSH
@@ -1117,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "corpus_prep": q_corpus_prep,
+        "docs_training_export": q_docs_training_export,
         "ann_brute_force": q_ann_brute_force,
         "ann_brute_force_scored": q_ann_brute_force_scored,
         "ann_lsh": q_ann_lsh,
@@ -1263,6 +1271,14 @@ def oracle_sql() -> dict[str, str]:
              _text.oracle_quality_scores(), _text.ORACLE_TOKEN_COUNTS,
              _text.ORACLE_CORPUS_PREP],
             "corpus_prep",
+            recursive=True,
+        ),
+        "docs_training_export": _ext_oracle(
+            [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD,
+             _dedup.ORACLE_CONNECTED_CLUSTERS,
+             _text.oracle_quality_scores(), _text.ORACLE_TOKEN_COUNTS,
+             _text.ORACLE_CORPUS_PREP, _text.oracle_training_export()],
+            "training_export",
             recursive=True,
         ),
         "sql_corpus_lang_stats": _ext_oracle(

@@ -980,3 +980,80 @@ def chunk_documents_udtf(spark, docs: DataFrame) -> DataFrame:
         "SELECT c.* FROM udtf_chunk_input,"
         " LATERAL chunk_docs_udtf(doc_id, text) c"
     )
+
+
+def training_export(
+    docs: DataFrame, budget: int = PACK_BUDGET_TOKENS
+) -> DataFrame:
+    """End-to-end training-data export: the full pipeline in ONE plan.
+
+    Composes the already-verified stages — quality filter + near-dup
+    survivor selection (``corpus_prep``) -> deterministic shuffle
+    order (md5 keys, the ``global_shuffle`` seed) -> token-budget
+    batch packing in shuffle order, sharded by the key's first hex
+    byte so the cumulative-sum window never sorts more than ~1/256 of
+    the survivors. This is the product a pre-training pipeline ships:
+    per (shard, batch) manifests with doc and token totals plus the
+    language mix. Every stage is Catalyst-planned; the only wide
+    stages are corpus_prep's near-dup join and the per-shard window.
+    """
+    from .sampling import SHUFFLE_SEED
+
+    survivors = corpus_prep(docs)
+    keyed = survivors.withColumn(
+        "shuffle_key",
+        F.md5(
+            F.concat(
+                F.lit(f"{SHUFFLE_SEED}:"), F.col("doc_id").cast("string")
+            )
+        ),
+    ).withColumn("shard", F.substring("shuffle_key", 1, 2))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = keyed.withColumn(
+        "batch_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget
+        ).cast("long"),
+    )
+    return packed.groupBy("shard", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("batch_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+def oracle_training_export(budget: int = PACK_BUDGET_TOKENS) -> str:
+    """Composes after the corpus_prep CTE chain; the shuffle seed must
+    match ``sampling.SHUFFLE_SEED``."""
+    from .sampling import SHUFFLE_SEED
+
+    return f"""
+tx_keyed AS (
+  SELECT c.doc_id, c.lang, c.n_tokens,
+         md5('{SHUFFLE_SEED}:' || CAST(c.doc_id AS VARCHAR))
+           AS shuffle_key,
+         substr(md5('{SHUFFLE_SEED}:' || CAST(c.doc_id AS VARCHAR)), 1, 2)
+           AS shard
+  FROM corpus_prep c
+),
+tx_cum AS (
+  SELECT shard, lang, n_tokens,
+         coalesce(CAST(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY shuffle_key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS cum
+  FROM tx_keyed
+),
+training_export AS (
+  SELECT shard, CAST(floor(cum / {budget}) AS BIGINT) AS batch_id,
+         count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS batch_tokens,
+         count(DISTINCT lang) AS n_langs
+  FROM tx_cum
+  GROUP BY 1, 2
+)
+"""
