@@ -666,6 +666,13 @@ def q_pagerank_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph.pagerank_products(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the co-purchase graph: low-to-high
+    edge orientation enumerates each triangle once via two equi-joins
+    (the MapReduce triangle-join; no theta join)."""
+    return _graph.triangle_counts(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_docs_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS ((source), (lang)) in one Expand+agg pass with
     grouping_id disambiguation — the non-hierarchical union that
@@ -1166,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_payloads": q_docs_pack_payloads,
         "dedup_cluster_reps": q_dedup_cluster_reps,
         "pagerank_products": q_pagerank_products,
+        "graph_triangles": q_graph_triangles,
         "pysource_docs": q_pysource_docs,
         "dedup_decontaminate": q_dedup_decontaminate,
         "text_tfidf_top_terms": q_text_tfidf_top_terms,
@@ -1375,6 +1383,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_products": _ext_oracle(
             [_graph.oracle_pagerank()], "pagerank_products"
+        ),
+        "graph_triangles": _ext_oracle(
+            [_graph.ORACLE_TRIANGLE_COUNTS], "triangle_counts"
         ),
         "events_winsorized": _ext_oracle(
             [_tmp.ORACLE_WINSORIZED_STATS], "winsorized_stats"

@@ -123,3 +123,75 @@ pagerank_products AS (
 )"""
     )
     return ",".join(ctes)
+
+
+def triangle_counts(lineitem: DataFrame) -> DataFrame:
+    """Triangle counting on the co-purchase graph: per-node triangle
+    participation plus clustering-relevant degree.
+
+    Edges are oriented low-id -> high-id so every triangle {a < b < c}
+    is enumerated exactly once as (a,b) x (b,c) semi-checked against
+    (a,c) — the standard MapReduce triangle-join; work is bounded by
+    sum over edges of min-degree, and all three steps are equi-joins
+    Catalyst plans as hash joins (no theta join, no explosion). At
+    100 TB the refinement is degree-based orientation (orient toward
+    the higher-degree endpoint) which provably minimizes the wedge
+    count; id-orientation keeps the oracle trivial and the plan shape
+    identical.
+    """
+    und = copurchase_edges(lineitem).filter(F.col("a") < F.col("b"))
+    ab = und.select(F.col("a"), F.col("b"))
+    bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = ab.join(bc, "b")
+    tri = wedges.join(
+        und.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return per_node.join(deg, "node").select(
+        "node", "n_triangles", "degree"
+    )
+
+
+ORACLE_TRIANGLE_COUNTS = """
+tc_edges AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey <> l2.l_partkey
+),
+tc_und AS (
+  SELECT a, b FROM tc_edges WHERE a < b
+),
+tc_tri AS (
+  SELECT ab.a, ab.b, bc.b AS c
+  FROM tc_und ab
+  JOIN tc_und bc ON ab.b = bc.a
+  JOIN tc_und ac ON ac.a = ab.a AND ac.b = bc.b
+),
+tc_nodes AS (
+  SELECT node, count(*) AS n_triangles
+  FROM (SELECT a AS node FROM tc_tri
+        UNION ALL SELECT b FROM tc_tri
+        UNION ALL SELECT c FROM tc_tri)
+  GROUP BY 1
+),
+tc_deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT a AS node FROM tc_und
+        UNION ALL SELECT b FROM tc_und)
+  GROUP BY 1
+),
+triangle_counts AS (
+  SELECT n.node, n.n_triangles, d.degree
+  FROM tc_nodes n JOIN tc_deg d USING (node)
+)
+"""
