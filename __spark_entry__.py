@@ -1040,6 +1040,13 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_interval_join(spark, sf_dir)
 
 
+def q_stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across restart: windowed agg on half the input,
+    stop, new files land, a NEW query resumes from the checkpoint —
+    duplicates in the shared file sink would fail the oracle hash."""
+    return _ev.run_stream_checkpoint_restart(spark, sf_dir)
+
+
 def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join: null-extended rows emit
     only on watermark-driven state eviction; the oracle replays the
@@ -1121,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful_counts": q_stream_stateful_counts,
         "stream_interval_join": q_stream_interval_join,
         "stream_interval_join_outer": q_stream_interval_join_outer,
+        "stream_checkpoint_restart": q_stream_checkpoint_restart,
         "stream_dedup": q_stream_dedup,
         "stream_static_enrich": q_stream_static_enrich,
         "stream_partitioned_sink": q_stream_partitioned_sink,
@@ -1600,6 +1608,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_interval_join_outer": _ext_oracle(
             [_ev.ORACLE_STREAM_INTERVAL_JOIN_OUTER],
             "stream_interval_join_outer",
+        ),
+        "stream_checkpoint_restart": _ext_oracle(
+            [_ev.ORACLE_STREAM_CKPT_RESTART], "stream_ckpt_restart"
         ),
         "stream_interval_join": _ext_oracle(
             [_ev.ORACLE_STREAM_INTERVAL_JOIN], "stream_interval_join"

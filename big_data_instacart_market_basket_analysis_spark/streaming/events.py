@@ -768,6 +768,104 @@ stream_partitioned_sink AS (
 """
 
 
+#: ts split for the two-phase checkpoint/restart run: phase 1 ingests
+#: days before this, phase 2 the rest (no late data across the split,
+#: so the final result equals a single run's).
+CKPT_SPLIT_DAY = "2024-01-16"
+
+
+def run_stream_checkpoint_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once across a restart: a windowed append-mode agg runs
+    on half the input, STOPS, new files land, and a NEW query resumes
+    from the same checkpoint — emitting only the windows the first run
+    had not yet closed.
+
+    This is the property that matters operationally at 100 TB: the
+    checkpoint (offset log + state store) makes a crash/redeploy
+    resume instead of recompute. If state recovery were broken, the
+    restarted query would re-aggregate from zero and re-emit run-1's
+    windows into the same file sink — the oracle (one-pass batch over
+    ALL events with the standard final-watermark cutoff) would then
+    see duplicate rows and fail the hash. Both runs share the file
+    sink directory and checkpoint; only files added after run 1 are
+    read by run 2 (offset log), and run-1 state (open windows at the
+    split boundary) is restored from the state store.
+    """
+    import tempfile
+
+    ensure_nanos_conf(spark)
+    _tune_stream_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="stream_ckpt_")
+    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    split = F.lit(CKPT_SPLIT_DAY).cast("date")
+    events.filter(F.to_date("ts") < split).write.parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    def _run_phase() -> None:
+        agg = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(in_dir)
+            .withWatermark("ts", f"{WATERMARK_MIN} minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select(
+                F.unix_millis(F.col("win.start")).alias("window_start_ms"),
+                F.unix_millis(F.col("win.end")).alias("window_end_ms"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _run_phase()
+    # phase 2: the rest of the days land as new files; the restarted
+    # query resumes from the checkpoint (offset log skips phase-1
+    # files, state store restores the still-open windows).
+    events.filter(F.to_date("ts") >= split).write.mode("append").parquet(
+        in_dir
+    )
+    _run_phase()
+    return spark.read.parquet(out_dir)
+
+
+ORACLE_STREAM_CKPT_RESTART = f"""
+sck_wm AS (
+  SELECT epoch_ms(max(ts)) - {WATERMARK_MIN * 60 * 1000} AS wm_ms
+  FROM events
+),
+stream_ckpt_restart AS (
+  SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
+         epoch_ms(time_bucket(INTERVAL '1 hour', ts)) + 3600000
+           AS window_end_ms,
+         event_type,
+         count(*) AS n_events,
+         round(sum(value), 4) AS sum_value
+  FROM events
+  GROUP BY 1, 2, 3
+  HAVING epoch_ms(time_bucket(INTERVAL '1 hour', ts)) + 3600000
+         < (SELECT wm_ms FROM sck_wm)
+)
+"""
+
+
 def variant_props_rollup(events: DataFrame) -> DataFrame:
     """Semi-structured via VariantType (the Spark 4 path for JSON-heavy
     columns): ``parse_json`` once into a variant, extract typed fields
