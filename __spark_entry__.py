@@ -586,6 +586,18 @@ def q_sql_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sqlapi.sql_daily_gapfill(spark, sf_dir)
 
 
+def q_sql_urgent_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL parser; Catalyst
+    decorrelates into left-semi + left-anti hash joins."""
+    return _sqlapi.sql_urgent_only_customers(spark, sf_dir)
+
+
+def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: top-k heaviest user_ids with exact
+    integer per-mille share of all rows."""
+    return _prof.key_skew_report(load_table(spark, sf_dir, "events"))
+
+
 def q_orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics as a DataFrame composition: keep / update /
     insert rows tagged, equi-joins only, source broadcastable."""
@@ -1168,6 +1180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_winsorized": q_events_winsorized,
         "orders_merge_upsert": q_orders_merge_upsert,
         "sql_daily_gapfill": q_sql_daily_gapfill,
+        "sql_urgent_only": q_sql_urgent_only,
+        "events_skew_report": q_events_skew_report,
         "xml_ingest_events": q_xml_ingest_events,
         "events_ewma": q_events_ewma,
         "events_value_bins": q_events_value_bins,
@@ -1406,6 +1420,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orders_merge_upsert": _ext_oracle(
             [_rel.ORACLE_MERGE_UPSERT], "merge_upsert_orders"
+        ),
+        "sql_urgent_only": _ext_oracle(
+            [_sqlapi.ORACLE_SQL_URGENT_ONLY], "sql_urgent_only"
+        ),
+        "events_skew_report": _ext_oracle(
+            [_prof.oracle_key_skew_report()], "key_skew_report"
         ),
         "sql_daily_gapfill": _ext_oracle(
             [_sqlapi.ORACLE_DAILY_GAPFILL],

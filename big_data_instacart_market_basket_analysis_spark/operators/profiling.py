@@ -197,3 +197,50 @@ docs_grouping_sets AS (
   GROUP BY GROUPING SETS ((source), (lang))
 )
 """
+
+
+SKEW_TOP_K = 10
+
+
+def key_skew_report(events: DataFrame, k: int = SKEW_TOP_K) -> DataFrame:
+    """Join-key skew diagnostic: the k heaviest ``user_id`` keys with
+    their share of all rows — the pre-flight check that decides whether
+    a fact-fact join needs salting / AQE skew handling before it runs.
+
+    One hash-agg on the key; the grand total is a window over the
+    (already key-cardinality-sized) aggregate, so nothing wide touches
+    the raw rows twice. Share is per mille as an integer (rows * 1000
+    DIV total) — exact integer division, no float accumulation, and the
+    top-k is a deterministic TakeOrdered.
+    """
+    per_key = events.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    from pyspark.sql import Window
+
+    total = F.sum("n_rows").over(Window.partitionBy())
+    return (
+        per_key.withColumn(
+            "share_per_mille",
+            # floor explicitly: Spark's double->bigint cast truncates
+            # while DuckDB's rounds — floor() agrees everywhere.
+            F.floor(F.col("n_rows") * F.lit(1000) / total).cast("bigint"),
+        )
+        .orderBy(F.col("n_rows").desc(), "user_id")
+        .limit(k)
+    )
+
+
+def oracle_key_skew_report(k: int = SKEW_TOP_K) -> str:
+    return f"""
+skr AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+),
+key_skew_report AS (
+  SELECT user_id, n_rows,
+         CAST(floor(n_rows * 1000 / (SELECT sum(n_rows) FROM skr))
+              AS BIGINT) AS share_per_mille
+  FROM skr
+  ORDER BY n_rows DESC, user_id
+  LIMIT {k}
+)
+"""

@@ -247,3 +247,44 @@ sql_daily_gapfill AS (
   FROM spine s LEFT JOIN gdaily d ON s.day = d.day
 )
 """
+
+
+def sql_urgent_only_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL parser: customers
+    who placed at least one 1-URGENT order and never a 5-LOW one.
+
+    Catalyst rewrites both correlated subqueries into joins (EXISTS ->
+    left-semi, NOT EXISTS -> left-anti) — the plan shape a hand-written
+    DataFrame version would use, proving the SQL dialect surface
+    (subquery decorrelation) matches the programmatic path at scale:
+    two hash joins on o_custkey, no per-row subquery execution.
+    """
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '5-LOW')
+        """
+    )
+
+
+ORACLE_SQL_URGENT_ONLY = """
+sql_urgent_only AS (
+  SELECT c_custkey, c_name, c_mktsegment
+  FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '5-LOW')
+)
+"""

@@ -234,3 +234,15 @@ def test_join_strategy_hints_are_honored(spark):
     assert "SortMergeJoin" in (
         smj._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_sql_exists_decorrelates_to_semi_anti_joins(spark):
+    """Correlated EXISTS / NOT EXISTS must be rewritten by Catalyst
+    into left-semi + left-anti hash joins — no per-row subquery
+    execution survives into the physical plan."""
+    plan = _plan(spark, "sql_urgent_only")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "Subquery" not in plan.split("== Physical Plan ==")[-1][:2000], (
+        "correlated subquery not decorrelated"
+    )
