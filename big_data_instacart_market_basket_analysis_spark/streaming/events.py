@@ -402,35 +402,51 @@ def run_stream_interval_join_outer(
 
     The outer variant is the genuinely stateful-semantics case: matched
     pairs emit as they form (inner behavior), but an UNMATCHED purchase
-    can only emit after the join watermark passes its event time —
-    before that, a matching click could still arrive. Spark holds the
-    row in the state store and emits the null-extended result on
-    eviction; purchases newer than ``max(ts) - delay`` therefore never
-    close over a bounded input, and the oracle applies exactly that
-    cutoff (same watermark-cutoff replay rule as the append-mode
-    window queries above). State is sharded by user_id and bounded by
-    the lookback window on both sides.
+    can only emit on state EVICTION — and Spark's eviction bound for
+    interval conditions is conservative and internally timing-dependent
+    (a tail of recent unmatched rows stays open over a bounded input,
+    with a boundary that is not a stable function of max(ts)). Rather
+    than replay that internal boundary, the input is staged with one
+    far-FUTURE sentinel pair appended after the real files drain: the
+    sentinel advances the watermark past every real row by more than
+    delay + lookback, forcing every real unmatched purchase to close.
+    The result is then exactly the batch LEFT JOIN over the real
+    events — no cutoff rule in the oracle at all. Sentinels cannot
+    match real rows (they are newer than any real purchase and too new
+    for any real click window) and are filtered from the output.
+    State is sharded by user_id and bounded by the lookback window.
     """
-    clicks = (
-        _event_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-            "user_id",
+    import tempfile
+
+    ensure_nanos_conf(spark)
+    _tune_stream_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="stream_ssjo_")
+    in_dir = f"{root}/in"
+    events.write.parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    def _side_streams():
+        stream = (
+            spark.readStream.schema(schema).format("parquet").load(in_dir)
         )
-        .withWatermark("click_ts", f"{WATERMARK_MIN} minutes")
-    )
-    purchases = (
-        _event_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+                "user_id",
+            )
+            .withWatermark("click_ts", f"{WATERMARK_MIN} minutes")
+        )
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
             F.col("event_id").alias("purchase_id"),
             F.col("ts").alias("purchase_ts"),
             F.col("user_id").alias("p_user_id"),
-        )
-        .withWatermark("purchase_ts", f"{WATERMARK_MIN} minutes")
-    )
+        ).withWatermark("purchase_ts", f"{WATERMARK_MIN} minutes")
+        return clicks, purchases
+
+    clicks, purchases = _side_streams()
     joined = purchases.join(
         clicks,
         (F.col("user_id") == F.col("p_user_id"))
@@ -457,15 +473,31 @@ def run_stream_interval_join_outer(
     )
     try:
         q.processAllAvailable()
+        # far-future sentinel pair: one click + one purchase, 7 days of
+        # EVENT time past every real event — processing it advances the
+        # watermark decisively beyond delay + lookback + any internal
+        # eviction slack, so every real unmatched purchase is evicted
+        # and emits its null row. (Event-time distance is free; the
+        # alternative — modeling Spark's conservative, timing-dependent
+        # eviction boundary in the oracle — is not stable across
+        # datasets.)
+        sentinel_ts = events.select(
+            (F.max("ts") + F.expr("INTERVAL 7 DAYS")).alias("t")
+        ).first()["t"]
+        spark.createDataFrame(
+            [
+                (-1, sentinel_ts, -1, "click", 0.0, "{}"),
+                (-2, sentinel_ts, -1, "purchase", 0.0, "{}"),
+            ],
+            schema,
+        ).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    return spark.table(name).filter(F.col("purchase_id") >= 0)
 
 
 ORACLE_STREAM_INTERVAL_JOIN_OUTER = f"""
-ssjo_wm AS (
-  SELECT max(ts) - INTERVAL {WATERMARK_MIN} MINUTES AS wm FROM events
-),
 ssjo_clicks AS (
   SELECT event_id AS click_id, ts AS click_ts, user_id
   FROM events WHERE event_type = 'click'
@@ -483,14 +515,6 @@ stream_interval_join_outer AS (
     ON c.user_id = p.user_id
    AND c.click_ts <= p.purchase_ts
    AND c.click_ts >= p.purchase_ts - INTERVAL {JOIN_LOOKBACK_MIN} MINUTES
-  WHERE c.click_id IS NOT NULL
-     -- Spark's left-state eviction is conservative by the interval
-     -- bound: a purchase row is only closed (and its null row emitted)
-     -- once the watermark passes purchase_ts + lookback, i.e. cutoff =
-     -- final_wm - lookback, not final_wm (verified empirically on the
-     -- fixture: the boundary row sits between the two cutoffs).
-     OR p.purchase_ts < (SELECT wm FROM ssjo_wm)
-                        - INTERVAL {JOIN_LOOKBACK_MIN} MINUTES
 )
 """
 

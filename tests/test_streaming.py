@@ -106,37 +106,35 @@ def test_stream_interval_join_matches_batch(spark):
     )
 
 
-def test_stream_interval_join_outer_contains_inner(spark):
-    """The left-outer stream-stream join must emit exactly the inner
-    matches plus null-extended rows, and every null row's purchase must
-    be older than the final watermark minus the lookback (Spark's
-    conservative left-state eviction bound)."""
+def test_stream_interval_join_outer_equals_batch_left_join(spark):
+    """With the far-future sentinel forcing full state eviction, the
+    left-outer stream-stream join over bounded input must equal the
+    batch LEFT join exactly: inner matches identical, and EVERY
+    unmatched purchase emits exactly one null-extended row."""
     inner = ev.run_stream_interval_join(spark, SF_SMOKE, name="t_ssj_i")
     outer = ev.run_stream_interval_join_outer(
         spark, SF_SMOKE, name="t_ssj_o"
     )
-    inner_pairs = _rows(inner, "purchase_id", "click_id")
+    inner_pairs = set(_rows(inner, "purchase_id", "click_id"))
     matched = {
         (r["purchase_id"], r["click_id"])
         for r in outer.filter(F.col("click_id").isNotNull()).collect()
     }
-    assert matched == set(inner_pairs)
+    assert matched == inner_pairs
     events = load_table(spark, SF_SMOKE, "events")
-    cutoff_ms = (
-        events.select(F.max(F.unix_millis("ts")).alias("m")).first()["m"]
-        - (ev.WATERMARK_MIN + ev.JOIN_LOOKBACK_MIN) * 60 * 1000
-    )
-    null_purchases = {
+    all_purchases = {
+        r["event_id"]
+        for r in events.filter(
+            F.col("event_type") == "purchase"
+        ).collect()
+    }
+    null_purchases = sorted(
         r["purchase_id"]
         for r in outer.filter(F.col("click_id").isNull()).collect()
-    }
-    if null_purchases:
-        late = (
-            events.filter(F.col("event_id").isin(list(null_purchases)))
-            .filter(F.unix_millis("ts") >= cutoff_ms)
-            .count()
-        )
-        assert late == 0
+    )
+    # nulls = exactly the purchases with no inner match, each once
+    expected_nulls = all_purchases - {p for p, _ in inner_pairs}
+    assert null_purchases == sorted(expected_nulls)
 
 
 @pytest.mark.skipif(
