@@ -871,6 +871,12 @@ def q_customer_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parts_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset) between returned and kept lineitem
+    part-key multisets — duplicate counts are part of the contract."""
+    return _rel.parts_intersect_all(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q18-shaped large-volume orders (HAVING-filtered agg runs
     first and broadcast-drives the joins)."""
@@ -1213,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "customer_returns": q_customer_returns,
         "large_orders": q_large_orders,
+        "parts_intersect_all": q_parts_intersect_all,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "regional_revenue": q_regional_revenue,
         "events_session_funnel": q_events_session_funnel,
@@ -1529,6 +1536,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "large_orders": _ext_oracle(
             [_rel.oracle_large_orders()], "large_orders"
+        ),
+        "parts_intersect_all": _ext_oracle(
+            [_rel.ORACLE_PARTS_INTERSECT_ALL], "parts_intersect_all"
         ),
         "orders_snapshot_diff": _ext_oracle(
             [_rel.ORACLE_ORDERS_SNAPSHOT_DIFF], "orders_snapshot_diff"

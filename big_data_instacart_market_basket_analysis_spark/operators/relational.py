@@ -76,6 +76,33 @@ products_only_prior AS (
 """
 
 
+def parts_intersect_all(lineitem: DataFrame) -> DataFrame:
+    """Set operation (INTERSECT ALL — multiset semantics): part keys
+    common to the 'R'-returned and 'N'-kept lineitem multisets, each
+    key surviving min(count_R, count_N) times. Completes the set-op
+    family next to EXCEPT: INTERSECT ALL is its own physical operator
+    (a count-min merge, not a join), and multiplicity is part of the
+    contract — the oracle's INTERSECT ALL must agree on duplicate
+    counts, not just membership. One shuffle per side on the key.
+    """
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("part_key")
+    )
+    kept = lineitem.filter(F.col("l_returnflag") == "N").select(
+        F.col("l_partkey").alias("part_key")
+    )
+    return returned.intersectAll(kept)
+
+
+ORACLE_PARTS_INTERSECT_ALL = """
+parts_intersect_all AS (
+  SELECT l_partkey AS part_key FROM lineitem WHERE l_returnflag = 'R'
+  INTERSECT ALL
+  SELECT l_partkey AS part_key FROM lineitem WHERE l_returnflag = 'N'
+)
+"""
+
+
 def user_segment_stats(t: InstacartTables, customer: DataFrame) -> DataFrame:
     """Dimension-enrichment rollup: user order stats by market segment
     (the customer fixture is the users dimension, FIXTURES.md §B).
