@@ -444,6 +444,13 @@ def q_ann_brute_force_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query, the most-similar
+    corpus vector with a different label (label-mismatch filter below
+    the top-1 window)."""
+    return _sim.hard_negatives(_emb(spark, sf_dir))
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.lsh_ann_topk(_emb(spark, sf_dir))
 
@@ -1166,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "docs_training_export": q_docs_training_export,
         "ann_brute_force": q_ann_brute_force,
+        "embedding_hard_negatives": q_embedding_hard_negatives,
         "ann_brute_force_scored": q_ann_brute_force_scored,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1340,6 +1348,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_brute_force_scored": _ext_oracle(
             [_sim.ORACLE_BRUTE_FORCE_SCORED], "brute_force_scored"
+        ),
+        "embedding_hard_negatives": _ext_oracle(
+            [_sim.ORACLE_HARD_NEGATIVES], "hard_negatives"
         ),
         "ann_lsh": _ext_oracle([_sim.oracle_lsh_ann_topk()], "lsh_ann_topk"),
         "ann_ivf": _ext_oracle([_sim.oracle_ivf_ann_topk()], "ivf_ann_topk"),

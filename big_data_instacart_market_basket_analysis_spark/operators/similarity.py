@@ -718,3 +718,79 @@ quantized_topk AS (
   ) WHERE rank <= {TOP_K}
 )
 """
+
+
+def hard_negatives(
+    emb: DataFrame, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the
+    single most-similar corpus vector with a DIFFERENT label — the
+    pair-construction step of contrastive embedding training (the
+    negatives that are hard are the ones that teach).
+
+    Same broadcast-queries x corpus scored join as the brute-force
+    baseline, with the label-mismatch filter pushed BELOW the top-1
+    window so the rank is computed only over valid negatives. At scale
+    the corpus side swaps to the IVF/LSH bucketed path unchanged —
+    the filter and window compose identically. Cosine rounded to 6
+    (the repo's cross-engine float rule).
+    """
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        _as_double("embedding").alias("qv"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("n_label"),
+        _as_double("embedding").alias("cv"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neg_id"))
+        .filter(F.col("q_label") != F.col("n_label"))
+        .withColumn("cosine", _cosine("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "q_label",
+            "neg_id",
+            "n_label",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+ORACLE_HARD_NEGATIVES = f"""
+hnq AS (
+  SELECT vec_id AS query_id, label AS q_label,
+         embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+hnc AS (
+  SELECT vec_id AS neg_id, label AS n_label,
+         embedding::DOUBLE[] AS cv
+  FROM embeddings
+),
+hns AS (
+  SELECT query_id, q_label, neg_id, n_label,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM hnq, hnc
+  WHERE query_id <> neg_id AND q_label <> n_label
+),
+hard_negatives AS (
+  SELECT query_id, q_label, neg_id, n_label, round(cosine, 6) AS cosine
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neg_id) AS rn
+        FROM hns)
+  WHERE rn = 1
+)
+"""
