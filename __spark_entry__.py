@@ -395,6 +395,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram LM scoring: per-doc mean token log-probability
+    under the corpus's own unigram distribution (KenLM-style quality
+    proxy; vocabulary-sized broadcast table)."""
+    return _text.unigram_logprob_scores(_docs(spark, sf_dir))
+
+
 def q_docs_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data export in one composed plan: corpus
     prep survivors -> deterministic shuffle order -> token-budget batch
@@ -1172,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "corpus_prep": q_corpus_prep,
         "docs_training_export": q_docs_training_export,
+        "text_unigram_logprob": q_text_unigram_logprob,
         "ann_brute_force": q_ann_brute_force,
         "embedding_hard_negatives": q_embedding_hard_negatives,
         "ann_brute_force_scored": q_ann_brute_force_scored,
@@ -1325,6 +1333,9 @@ def oracle_sql() -> dict[str, str]:
              _text.ORACLE_CORPUS_PREP],
             "corpus_prep",
             recursive=True,
+        ),
+        "text_unigram_logprob": _ext_oracle(
+            [_text.ORACLE_UNIGRAM_LOGPROB], "unigram_logprob"
         ),
         "docs_training_export": _ext_oracle(
             [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD,

@@ -1057,3 +1057,55 @@ training_export AS (
   GROUP BY 1, 2
 )
 """
+
+
+def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
+    """Corpus unigram LM scoring: each doc's mean token log-probability
+    under the corpus's own unigram distribution — the cheap statistical
+    cousin of a KenLM perplexity filter (low scores flag gibberish and
+    boilerplate-with-rare-junk; high scores flag repetitive common-word
+    text). Two passes over tokens: one hash-agg builds the unigram
+    table (vocabulary-sized — broadcastable at any corpus scale), one
+    explode+join+agg scores the docs. Scores rounded to 6 decimals
+    (cross-engine float rule; the per-doc sum of ~1e2 logs agrees to
+    far below the grid).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(_tokens_col()).alias("t")
+    ).filter(F.col("t") != "")
+    unigrams = toks.groupBy("t").agg(F.count("*").alias("n_t"))
+    total = unigrams.agg(F.sum("n_t").alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(unigrams), "t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(F.col("n_t") / F.col("n_total")).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = """
+ult AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+ulu AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM ult GROUP BY 1
+),
+ultot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_total FROM ulu),
+unigram_logprob AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(ln(CAST(n_t AS DOUBLE) / n_total)), 6) AS avg_logprob
+  FROM ult JOIN ulu USING (t), ultot
+  GROUP BY doc_id
+)
+"""
