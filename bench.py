@@ -62,6 +62,10 @@ HEADLINE = [
     "events_retention",
     "events_session_paths",
     "events_incremental_rollup",
+    "events_ohlc",
+    "text_unigram_logprob",
+    "graph_triangles",
+    "docs_training_export",
 ]
 
 

@@ -139,7 +139,14 @@ def triangle_counts(lineitem: DataFrame) -> DataFrame:
     count; id-orientation keeps the oracle trivial and the plan shape
     identical.
     """
-    und = copurchase_edges(lineitem).filter(F.col("a") < F.col("b"))
+    # the oriented edge list feeds FOUR consumers (both wedge sides,
+    # the closing join, and the degree union) — materialize it once or
+    # the co-purchase self-join recomputes per consumer.
+    und = (
+        copurchase_edges(lineitem)
+        .filter(F.col("a") < F.col("b"))
+        .localCheckpoint(eager=True)
+    )
     ab = und.select(F.col("a"), F.col("b"))
     bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges = ab.join(bc, "b")
