@@ -736,3 +736,73 @@ def test_segment_dedup_removes_only_shared_segments(spark):
     assert out[2]["clean_text"] == uniq_b
     assert out[1]["n_dropped"] == 1 and out[4]["n_dropped"] == 0
     assert out[4]["clean_text"] == uniq_b.replace("b", "c")
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Per-node triangle counts from the oriented two-join plan must
+    equal the O(n^3) brute-force enumeration, for any small graph."""
+    from itertools import combinations
+
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        graph as G,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    # feed the operator through its lineitem-shaped input: one fake
+    # order per edge containing both endpoints as parts.
+    rows = []
+    for i, (a, b) in enumerate(sorted(und)):
+        rows.append((i, a))
+        rows.append((i, b))
+    if not rows:
+        rows = [(0, 0)]  # degenerate single-part order: no edges
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in G.triangle_counts(li).collect()
+    }
+    nodes = {n for e in und for n in e}
+    expect: dict[int, int] = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if {(a, b), (b, c), (a, c)} <= und:
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(cut_day=st.integers(min_value=1, max_value=30))
+def test_incremental_rollup_lossless_for_any_cutoff(spark, cut_day):
+    """The base+delta merge must equal the one-pass rollup regardless
+    of where the ingestion boundary falls."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal as T,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    events = load_table(spark, SF_ORACLE, "events")
+    cutoff = f"2024-01-{cut_day:02d}"
+    merged = {
+        tuple(r)
+        for r in T.incremental_rollup(events, cutoff_day=cutoff).collect()
+    }
+    onepass = {
+        tuple(r)
+        for r in T.incremental_rollup(
+            events, cutoff_day="1900-01-01"  # everything lands in delta
+        ).collect()
+    }
+    assert merged == onepass
