@@ -1065,10 +1065,13 @@ def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
     cousin of a KenLM perplexity filter (low scores flag gibberish and
     boilerplate-with-rare-junk; high scores flag repetitive common-word
     text). Two passes over tokens: one hash-agg builds the unigram
-    table (vocabulary-sized — broadcastable at any corpus scale), one
-    explode+join+agg scores the docs. Scores rounded to 6 decimals
-    (cross-engine float rule; the per-doc sum of ~1e2 logs agrees to
-    far below the grid).
+    table, one explode+join+agg scores the docs. The unigram join is
+    left unhinted: a curated corpus's vocabulary broadcasts (AQE sees
+    the post-agg size at runtime), while raw web text's unbounded
+    junk-token vocabulary falls back to a hash join on the token key —
+    forcing broadcast here would be the 100 TB mistake. Scores rounded
+    to 6 decimals (cross-engine float rule; the per-doc sum of ~1e2
+    logs agrees to far below the grid).
     """
     toks = docs.select(
         "doc_id", F.explode(_tokens_col()).alias("t")
@@ -1076,7 +1079,7 @@ def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
     unigrams = toks.groupBy("t").agg(F.count("*").alias("n_t"))
     total = unigrams.agg(F.sum("n_t").alias("n_total"))
     scored = (
-        toks.join(F.broadcast(unigrams), "t")
+        toks.join(unigrams, "t")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
