@@ -496,6 +496,12 @@ def q_embedding_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ivf_diverse_sample(_emb(spark, sf_dir))
 
 
+def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: IVF-cell clustering + within-cell
+    cosine prune keeping the lowest-id representative."""
+    return _sim.semdedup_survivors(_emb(spark, sf_dir))
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.token_counts(_docs(spark, sf_dir))
 
@@ -1190,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_diverse_sample": q_embedding_diverse_sample,
+        "embedding_semdedup": q_embedding_semdedup,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -1376,6 +1383,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_diverse_sample": _ext_oracle(
             [_sim.oracle_ivf_diverse_sample()], "ivf_diverse_sample"
+        ),
+        "embedding_semdedup": _ext_oracle(
+            [_sim.oracle_semdedup()], "semantic_dedup"
         ),
         "text_token_counts": _ext_oracle(
             [_text.ORACLE_TOKEN_COUNTS], "token_counts"

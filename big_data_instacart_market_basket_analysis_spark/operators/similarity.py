@@ -794,3 +794,87 @@ hard_negatives AS (
   WHERE rn = 1
 )
 """
+
+
+SEMDEDUP_COSINE = 0.40
+
+
+def semdedup_survivors(
+    emb: DataFrame, threshold: float = SEMDEDUP_COSINE
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus with
+    the deterministic IVF quantizer, then within each cell drop every
+    vector that is cosine-similar (>= ``threshold``) to a lower-id
+    vector — the "keep the first representative" rule of the SemDeDup
+    paper (Abbas et al., 2023), which removes semantically redundant
+    training examples that no lexical dedup (exact / MinHash / SimHash
+    over text) can see.
+
+    Scale shape: pair generation is confined to cells, so the cost is
+    sum(|cell|^2) instead of |corpus|^2 — the codebook granularity is
+    the knob that bounds it (at 100 TB: a finer trained codebook, cells
+    as the shuffle/partition key, per-cell pairwise local to each
+    partition). The prune set (distinct higher-ids of similar pairs) is
+    a fraction of the corpus and anti-joins back against the assignment
+    — both sides shuffle on vec_id once. Reuses the oracle-replayable
+    quantizer (deterministic stride centroids + max_by assignment)
+    rather than the KMeans codebook so the full pipeline hash-matches
+    DuckDB; swapping in the trained codebook changes no operator shape.
+
+    Output: (vec_id, centroid_id) of surviving vectors.
+    """
+    vecs = emb.select("vec_id", _as_double("embedding").alias("v"))
+    cents = _ivf_centroids(emb)
+    assigned = _nearest_centroids(vecs, cents, 1)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pruned = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", _cosine("a.v", "b.v"))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(pruned, "vec_id", "left_anti").select(
+        "vec_id", "centroid_id"
+    )
+
+
+def oracle_semdedup() -> str:
+    cos = _ORACLE_COS.format(a="x.v", b="y.v")
+    return f"""
+sdvecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+sdcents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS centnorm
+  FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+),
+sdassign AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT x.vec_id, x.v, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY list_dot_product(x.v, c.centv) / c.centnorm DESC,
+                      c.centroid_id) AS crank
+    FROM sdvecs x, sdcents c
+  ) WHERE crank = 1
+),
+sdpruned AS (
+  SELECT DISTINCT y.vec_id
+  FROM sdassign x JOIN sdassign y
+    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+  WHERE {cos} >= {SEMDEDUP_COSINE}
+),
+semantic_dedup AS (
+  SELECT a.vec_id, a.centroid_id
+  FROM sdassign a LEFT JOIN sdpruned p ON a.vec_id = p.vec_id
+  WHERE p.vec_id IS NULL
+)
+"""

@@ -806,3 +806,47 @@ def test_incremental_rollup_lossless_for_any_cutoff(spark, cut_day):
         ).collect()
     }
     assert merged == onepass
+
+
+def test_semdedup_invariants(spark):
+    """SemDeDup survivors: subset of the corpus, plus the defining
+    invariant — no surviving pair within a cell is >= the threshold
+    with BOTH ids kept unless the lower id is the survivor (i.e. every
+    pruned id has a lower-id similar neighbor in its cell); and the
+    prune rule is deterministic (two runs agree)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        similarity,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    surv = similarity.semdedup_survivors(emb)
+    rows = surv.collect()
+    ids = {r["vec_id"] for r in rows}
+    assert 0 < len(rows) <= n
+    assert len(ids) == len(rows)  # no duplicate survivors
+
+    # determinism
+    again = {r["vec_id"] for r in similarity.semdedup_survivors(emb).collect()}
+    assert ids == again
+
+    # every pruned id has a lower-id >=threshold neighbor in its cell
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = similarity._ivf_centroids(emb)
+    assigned = similarity._nearest_centroids(vecs, cents, 1)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim_pairs = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", similarity._cosine("a.v", "b.v"))
+        .filter(F.col("cosine") >= similarity.SEMDEDUP_COSINE)
+        .select(F.col("a.vec_id").alias("lo"), F.col("b.vec_id").alias("hi"))
+        .collect()
+    )
+    pruned = {r["vec_id"] for r in emb.select("vec_id").collect()} - ids
+    lower_similar = {r["hi"] for r in sim_pairs}
+    assert pruned == lower_similar
