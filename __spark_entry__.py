@@ -402,6 +402,13 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.unigram_logprob_scores(_docs(spark, sf_dir))
 
 
+def q_text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: per-doc mean log-likelihood ratio
+    between the target-language unigram LM and the full-corpus LM;
+    keeps docs more target-like than the corpus mixture."""
+    return _text.dsir_importance(_docs(spark, sf_dir))
+
+
 def q_docs_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data export in one composed plan: corpus
     prep survivors -> deterministic shuffle order -> token-budget batch
@@ -1186,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "docs_training_export": q_docs_training_export,
         "text_unigram_logprob": q_text_unigram_logprob,
+        "text_dsir_importance": q_text_dsir_importance,
         "ann_brute_force": q_ann_brute_force,
         "embedding_hard_negatives": q_embedding_hard_negatives,
         "ann_brute_force_scored": q_ann_brute_force_scored,
@@ -1343,6 +1351,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_unigram_logprob": _ext_oracle(
             [_text.ORACLE_UNIGRAM_LOGPROB], "unigram_logprob"
+        ),
+        "text_dsir_importance": _ext_oracle(
+            [_text.ORACLE_DSIR_IMPORTANCE], "dsir_importance"
         ),
         "docs_training_export": _ext_oracle(
             [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD,

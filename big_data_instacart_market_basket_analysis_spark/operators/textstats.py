@@ -1112,3 +1112,104 @@ unigram_logprob AS (
   GROUP BY doc_id
 )
 """
+
+
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance(
+    docs: DataFrame, target_lang: str = DSIR_TARGET_LANG
+) -> DataFrame:
+    """DSIR-style importance weighting for pretraining data selection
+    (Xie et al., 2023): score every document by the mean per-token
+    log-likelihood ratio between a *target* unigram LM (here: the
+    corpus's ``target_lang`` slice) and the full-corpus unigram LM,
+    and keep documents that look more target-like than the corpus
+    mixture (weight > 0). The importance weight is exactly the
+    hashed-n-gram DSIR estimator with n=1 and whitespace features.
+
+    Both LMs come from ONE hash-agg pass over the exploded tokens
+    (conditional count for the target side), Laplace-smoothed over the
+    shared vocabulary so target-unseen tokens get finite mass. Scoring
+    is one join on the token key + one per-doc hash-agg — the same
+    proven two-shuffle shape as ``unigram_logprob_scores``; at 100 TB
+    the target slice is typically a small curated corpus, so its LM
+    broadcasts and only the corpus-side explode shuffles.
+
+    Output: (doc_id, lang, n_tokens, weight) for weight > 0, weight
+    rounded to 6 decimals (cross-engine float rule: per-token log
+    ratios fold through avg identically in both engines).
+    """
+    toks = docs.select(
+        "doc_id", "lang", F.explode(_tokens_col()).alias("t")
+    ).filter(F.col("t") != "")
+    lms = toks.groupBy("t").agg(
+        F.count("*").alias("n_c"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, 1).otherwise(0)
+        ).alias("n_t"),
+    )
+    totals = lms.agg(
+        F.sum("n_c").alias("tot_c"),
+        F.sum("n_t").alias("tot_t"),
+        F.count("*").alias("vocab"),
+    )
+    scored = (
+        toks.join(lms, "t")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.log((F.col("n_t") + 1) / (F.col("tot_t") + F.col("vocab")))
+                - F.log((F.col("n_c") + 1) / (F.col("tot_c") + F.col("vocab")))
+            ).alias("lr"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg("lr").alias("w_raw"),
+        )
+        .filter(F.col("w_raw") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round("w_raw", 6).alias("weight"),
+        )
+    )
+
+
+ORACLE_DSIR_IMPORTANCE = f"""
+dsir_toks AS (
+  SELECT doc_id, lang, t
+  FROM (SELECT doc_id, lang,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+dsir_lms AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_t
+  FROM dsir_toks GROUP BY 1
+),
+dsir_tot AS (
+  SELECT CAST(sum(n_c) AS BIGINT) AS tot_c,
+         CAST(sum(n_t) AS BIGINT) AS tot_t,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM dsir_lms
+),
+dsir_importance AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(ln(CAST(n_t + 1 AS DOUBLE) / (tot_t + vocab))
+                   - ln(CAST(n_c + 1 AS DOUBLE) / (tot_c + vocab))), 6)
+           AS weight
+  FROM dsir_toks JOIN dsir_lms USING (t), dsir_tot
+  GROUP BY doc_id, lang
+  HAVING avg(ln(CAST(n_t + 1 AS DOUBLE) / (tot_t + vocab))
+             - ln(CAST(n_c + 1 AS DOUBLE) / (tot_c + vocab))) > 0
+)
+"""

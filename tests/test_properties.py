@@ -850,3 +850,25 @@ def test_semdedup_invariants(spark):
     pruned = {r["vec_id"] for r in emb.select("vec_id").collect()} - ids
     lower_similar = {r["hi"] for r in sim_pairs}
     assert pruned == lower_similar
+
+
+def test_dsir_importance_target_bias(spark):
+    """DSIR selection is target-biased: the target language is
+    overrepresented among selected docs vs the corpus; and a corpus
+    where every doc is target-language selects nothing (the LM ratio
+    degenerates to exactly zero everywhere)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sel = textstats.dsir_importance(docs).collect()
+    assert sel
+    n_docs = docs.count()
+    n_tgt = docs.filter("lang = 'en'").count()
+    sel_tgt = sum(1 for r in sel if r["lang"] == "en")
+    assert sel_tgt / len(sel) > n_tgt / n_docs
+    assert all(r["weight"] > 0 for r in sel)
+
+    only_en = docs.filter("lang = 'en'")
+    assert textstats.dsir_importance(only_en).count() == 0
