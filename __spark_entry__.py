@@ -619,6 +619,12 @@ def q_sql_urgent_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sqlapi.sql_urgent_only_customers(spark, sf_dir)
 
 
+def q_sql_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped NOT IN subquery through the SQL parser;
+    Catalyst plans a null-aware broadcast anti-join."""
+    return _sqlapi.sql_part_supplier_stats(spark, sf_dir)
+
+
 def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic: top-k heaviest user_ids with exact
     integer per-mille share of all rows."""
@@ -1226,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_upsert": q_orders_merge_upsert,
         "sql_daily_gapfill": q_sql_daily_gapfill,
         "sql_urgent_only": q_sql_urgent_only,
+        "sql_part_supplier_stats": q_sql_part_supplier_stats,
         "events_skew_report": q_events_skew_report,
         "xml_ingest_events": q_xml_ingest_events,
         "events_ewma": q_events_ewma,
@@ -1484,6 +1491,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sql_urgent_only": _ext_oracle(
             [_sqlapi.ORACLE_SQL_URGENT_ONLY], "sql_urgent_only"
+        ),
+        "sql_part_supplier_stats": _ext_oracle(
+            [_sqlapi.ORACLE_SQL_PART_SUPPLIER_STATS],
+            "sql_part_supplier_stats",
         ),
         "events_skew_report": _ext_oracle(
             [_prof.oracle_key_skew_report()], "key_skew_report"

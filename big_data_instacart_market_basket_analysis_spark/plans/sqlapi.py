@@ -288,3 +288,45 @@ sql_urgent_only AS (
                       AND o.o_orderpriority = '5-LOW')
 )
 """
+
+
+def sql_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped supplier-relationship count with a NOT IN
+    subquery — the one plan that exercises Catalyst's null-aware
+    anti-join (the broadcast build carries isNullAware=true): suppliers
+    with negative account balance are excluded the way Q16 excludes
+    complaint suppliers.
+
+    Plan shape at scale (verified via explain): the acctbal filter is
+    pushed into the supplier scan and the tiny exclusion set
+    broadcasts; (partkey, suppkey) DISTINCT runs BEFORE the part join
+    so the join input is the pair set, not raw lineitems; part
+    broadcasts as a dim. The count(DISTINCT) expands to the standard
+    two-phase expand/agg. No row ordering — the driver hash is
+    order-insensitive.
+    """
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_brand, p_size,
+               count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON p_partkey = ps.l_partkey
+        WHERE ps.l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+        """
+    )
+
+
+ORACLE_SQL_PART_SUPPLIER_STATS = """
+sql_part_supplier_stats AS (
+  SELECT p_brand, p_size,
+         CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+  JOIN part ON p_partkey = ps.l_partkey
+  WHERE ps.l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  GROUP BY p_brand, p_size
+)
+"""
