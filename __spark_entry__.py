@@ -402,6 +402,14 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.unigram_logprob_scores(_docs(spark, sf_dir))
 
 
+def q_corpus_prep_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical (quality + n-gram near-dup) AND semantic (SemDeDup)
+    curation in one composed plan over doc_id <-> vec_id."""
+    return _text.corpus_prep_semantic(
+        _docs(spark, sf_dir), _emb(spark, sf_dir)
+    )
+
+
 def q_text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection: per-doc mean log-likelihood ratio
     between the target-language unigram LM and the full-corpus LM;
@@ -1200,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_training_export": q_docs_training_export,
         "text_unigram_logprob": q_text_unigram_logprob,
         "text_dsir_importance": q_text_dsir_importance,
+        "corpus_prep_semantic": q_corpus_prep_semantic,
         "ann_brute_force": q_ann_brute_force,
         "embedding_hard_negatives": q_embedding_hard_negatives,
         "ann_brute_force_scored": q_ann_brute_force_scored,
@@ -1361,6 +1370,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_dsir_importance": _ext_oracle(
             [_text.ORACLE_DSIR_IMPORTANCE], "dsir_importance"
+        ),
+        "corpus_prep_semantic": _ext_oracle(
+            [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD,
+             _dedup.ORACLE_CONNECTED_CLUSTERS,
+             _text.oracle_quality_scores(), _text.ORACLE_TOKEN_COUNTS,
+             _text.ORACLE_CORPUS_PREP, _sim.oracle_semdedup(),
+             _text.ORACLE_CORPUS_PREP_SEMANTIC],
+            "corpus_prep_semantic",
+            recursive=True,
         ),
         "docs_training_export": _ext_oracle(
             [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD,

@@ -1213,3 +1213,36 @@ dsir_importance AS (
              - ln(CAST(n_c + 1 AS DOUBLE) / (tot_c + vocab))) > 0
 )
 """
+
+
+def corpus_prep_semantic(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Full curation pipeline in one composed plan: lexical pass
+    (quality filter + n-gram near-dup clustering, ``corpus_prep``)
+    intersected with the semantic pass (IVF-cell SemDeDup survivors)
+    via the doc_id <-> vec_id identity — the production ordering where
+    cheap lexical dedup shrinks the corpus before embedding-based
+    pruning, and only docs surviving BOTH passes enter training.
+
+    Scale: the two passes share no shuffle key until the final
+    doc_id-keyed semi-join, which co-partitions two already-reduced
+    survivor sets; at 100 TB the embedding side would read only the
+    lexical survivors' vectors (predicate pushdown through the join).
+    Output: (doc_id, lang, n_tokens, quality_score, centroid_id).
+    """
+    from . import similarity
+
+    lexical = corpus_prep(docs)
+    semantic = similarity.semdedup_survivors(emb).select(
+        F.col("vec_id").alias("doc_id"), "centroid_id"
+    )
+    return lexical.join(semantic, "doc_id").select(
+        "doc_id", "lang", "n_tokens", "quality_score", "centroid_id"
+    )
+
+
+ORACLE_CORPUS_PREP_SEMANTIC = """
+corpus_prep_semantic AS (
+  SELECT c.doc_id, c.lang, c.n_tokens, c.quality_score, s.centroid_id
+  FROM corpus_prep c JOIN semantic_dedup s ON s.vec_id = c.doc_id
+)
+"""
