@@ -66,6 +66,11 @@ HEADLINE = [
     "text_unigram_logprob",
     "graph_triangles",
     "docs_training_export",
+    # round-2 late additions
+    "embedding_semdedup",
+    "text_dsir_importance",
+    "corpus_prep_semantic",
+    "sql_part_supplier_stats",
 ]
 
 

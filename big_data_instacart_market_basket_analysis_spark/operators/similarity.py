@@ -305,7 +305,7 @@ def _nearest_centroids(vecs: DataFrame, cents: DataFrame,
             scored.groupBy("vec_id")
             .agg(
                 F.expr(
-                    "max_by(struct(centroid_id, v),"
+                    "max_by(struct(centroid_id, v, cscore),"
                     " struct(cscore, -centroid_id))"
                 ).alias("m")
             )
@@ -313,6 +313,7 @@ def _nearest_centroids(vecs: DataFrame, cents: DataFrame,
                 "vec_id",
                 F.col("m.v").alias("v"),
                 F.col("m.centroid_id").alias("centroid_id"),
+                F.col("m.cscore").alias("cscore"),
             )
         )
     w = Window.partitionBy("vec_id").orderBy(
@@ -323,6 +324,27 @@ def _nearest_centroids(vecs: DataFrame, cents: DataFrame,
         .filter(F.col("crank") <= n)
         .select("vec_id", "v", "centroid_id")
     )
+
+
+#: rank-1 cell assignment per corpus DataFrame, session-staged — shared
+#: by IVF search, the diversity sampler, and SemDeDup (the same staging
+#: convention as dedup._shingles_staged; at cluster scale this becomes
+#: a staged table / reliable checkpoint instead of localCheckpoint).
+_ASSIGN_CACHE: dict[int, tuple] = {}
+
+
+def _assignment_staged(emb: DataFrame) -> DataFrame:
+    key = id(emb)
+    hit = _ASSIGN_CACHE.get(key)
+    if hit is None:
+        vecs = emb.select("vec_id", _as_double("embedding").alias("v"))
+        cents = _ivf_centroids(emb)
+        hit = (
+            emb,
+            _nearest_centroids(vecs, cents, 1).localCheckpoint(eager=True),
+        )
+        _ASSIGN_CACHE[key] = hit
+    return hit[1]
 
 
 def ivf_ann_topk(emb: DataFrame, n_queries: int = N_QUERIES,
@@ -338,7 +360,7 @@ def ivf_ann_topk(emb: DataFrame, n_queries: int = N_QUERIES,
     """
     vecs = emb.select("vec_id", _as_double("embedding").alias("v"))
     cents = _ivf_centroids(emb)
-    lists = _nearest_centroids(vecs, cents, 1)  # cell assignment
+    lists = _assignment_staged(emb)  # cell assignment, session-staged
     probes = _nearest_centroids(
         vecs.filter(F.col("vec_id") < n_queries), cents, nprobe
     ).select(F.col("vec_id").alias("query_id"),
@@ -504,27 +526,7 @@ def ivf_diverse_sample(
     sort), and the per-cell top-N window ranks only within cells.
     Output: (centroid_id, vec_id, rnk).
     """
-    vecs = emb.select("vec_id", _as_double("embedding").alias("v"))
-    cents = _ivf_centroids(emb)
-    assigned = (
-        vecs.join(F.broadcast(cents))
-        .withColumn(
-            "cscore",
-            F.expr(_DOT.format(a="v", b="centv")) / F.col("centnorm"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.expr(
-                "max_by(struct(centroid_id, cscore),"
-                " struct(cscore, -centroid_id))"
-            ).alias("m")
-        )
-        .select(
-            "vec_id",
-            F.col("m.centroid_id").alias("centroid_id"),
-            F.col("m.cscore").alias("cscore"),
-        )
-    )
+    assigned = _assignment_staged(emb)
     w = Window.partitionBy("centroid_id").orderBy(
         F.col("cscore").desc(), "vec_id"
     )
@@ -823,9 +825,7 @@ def semdedup_survivors(
 
     Output: (vec_id, centroid_id) of surviving vectors.
     """
-    vecs = emb.select("vec_id", _as_double("embedding").alias("v"))
-    cents = _ivf_centroids(emb)
-    assigned = _nearest_centroids(vecs, cents, 1)
+    assigned = _assignment_staged(emb)
     a = assigned.alias("a")
     b = assigned.alias("b")
     pruned = (

@@ -246,3 +246,14 @@ def test_sql_exists_decorrelates_to_semi_anti_joins(spark):
     assert "Subquery" not in plan.split("== Physical Plan ==")[-1][:2000], (
         "correlated subquery not decorrelated"
     )
+
+
+def test_sql_not_in_plans_null_aware_anti_join(spark):
+    """The Q16-shaped NOT IN subquery must compile to an anti join
+    with the exclusion set broadcast (null-aware build), the DISTINCT
+    pair reduction below the part join, and the acctbal predicate
+    pushed into the supplier scan."""
+    plan = _plan(spark, "sql_part_supplier_stats")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "LessThan(s_acctbal,0.0)" in plan.replace(" ", ""), plan
