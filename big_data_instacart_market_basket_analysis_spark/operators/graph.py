@@ -133,11 +133,19 @@ def triangle_counts(lineitem: DataFrame) -> DataFrame:
     is enumerated exactly once as (a,b) x (b,c) semi-checked against
     (a,c) — the standard MapReduce triangle-join; work is bounded by
     sum over edges of min-degree, and all three steps are equi-joins
-    Catalyst plans as hash joins (no theta join, no explosion). At
-    100 TB the refinement is degree-based orientation (orient toward
-    the higher-degree endpoint) which provably minimizes the wedge
-    count; id-orientation keeps the oracle trivial and the plan shape
-    identical.
+    Catalyst plans as hash joins (no theta join, no explosion).
+
+    Orientation choice, measured: the compact-forward variant (orient
+    by degree rank, wedges at the lowest-rank corner) was implemented
+    and benchmarked at sf0.1 — 14.3 s vs ~10 s for id-orientation on
+    the same run. The co-purchase graph of this workload is
+    degree-uniform (TPC-H partkeys are drawn uniformly; no hubs), so
+    degree orientation cannot shrink the wedge set but still pays two
+    rank-attach joins and a second materialization. Id-orientation is
+    the right call HERE; on a skewed graph (social, web) the
+    degree-oriented variant wins asymptotically — the triangle set is
+    orientation-invariant, so swapping the orientation rule changes
+    neither the oracle nor any downstream consumer.
     """
     # the oriented edge list feeds FOUR consumers (both wedge sides,
     # the closing join, and the degree union) — materialize it once or
