@@ -1113,6 +1113,13 @@ def q_stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_checkpoint_restart(spark, sf_dir)
 
 
+def q_stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 State Data Source reader: dump a stopped streaming
+    query's state store; surviving rows = the open (unevicted)
+    windows, the exact complement of the append-mode output."""
+    return _ev.run_stream_state_inspect(spark, sf_dir)
+
+
 def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join: null-extended rows emit
     only on watermark-driven state eviction; the oracle replays the
@@ -1195,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": q_stream_interval_join,
         "stream_interval_join_outer": q_stream_interval_join_outer,
         "stream_checkpoint_restart": q_stream_checkpoint_restart,
+        "stream_state_inspect": q_stream_state_inspect,
         "stream_dedup": q_stream_dedup,
         "stream_static_enrich": q_stream_static_enrich,
         "stream_partitioned_sink": q_stream_partitioned_sink,
@@ -1724,6 +1732,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_checkpoint_restart": _ext_oracle(
             [_ev.ORACLE_STREAM_CKPT_RESTART], "stream_ckpt_restart"
+        ),
+        "stream_state_inspect": _ext_oracle(
+            [_ev.ORACLE_STREAM_STATE_INSPECT], "stream_state_inspect"
         ),
         "stream_interval_join": _ext_oracle(
             [_ev.ORACLE_STREAM_INTERVAL_JOIN], "stream_interval_join"

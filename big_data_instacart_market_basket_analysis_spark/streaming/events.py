@@ -1033,3 +1033,83 @@ stream_static_enrich AS (
   JOIN customer c ON c.c_custkey = e.user_id
 )
 """
+
+
+def run_stream_state_inspect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming-state observability via the Spark 4 State Data Source:
+    run a watermarked windowed aggregation to completion, stop it, and
+    read the checkpoint's state store back as a DataFrame
+    (``spark.read.format("statestore")``) — the operational tool for
+    inspecting what a live 100 TB pipeline is holding in RocksDB
+    (leaked keys, skewed partitions, watermark stalls) without
+    touching the running query.
+
+    The returned rows are the OPEN windows: append mode emits (and
+    evicts) every window whose end fell behind the final watermark, so
+    the surviving state is exactly the complement — windows with
+    ``end >= max(ts) - watermark``. That makes the state dump fully
+    oracle-checkable, and doubles as a correctness proof of eviction:
+    a leaked (unevicted) window would surface as an extra row and fail
+    the hash. State float sums are rounded per the cross-engine rule.
+    """
+    import tempfile
+
+    ensure_nanos_conf(spark)
+    _tune_stream_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="stream_state_")
+    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    events.write.parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+    agg = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(in_dir)
+        .withWatermark("ts", f"{WATERMARK_MIN} minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.unix_millis(F.col("key.window.start")).alias("window_start_ms"),
+        F.unix_millis(F.col("key.window.end")).alias("window_end_ms"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+        F.round(F.col("value.sum"), 4).alias("sum_value"),
+    )
+
+
+ORACLE_STREAM_STATE_INSPECT = f"""
+ssi_wm AS (
+  SELECT epoch_ms(max(ts)) - {WATERMARK_MIN * 60 * 1000} AS wm_ms
+  FROM events
+),
+stream_state_inspect AS (
+  SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
+         epoch_ms(time_bucket(INTERVAL '1 hour', ts)) + 3600000
+           AS window_end_ms,
+         event_type,
+         count(*) AS n_events,
+         round(sum(value), 4) AS sum_value
+  FROM events
+  GROUP BY 1, 2, 3
+  HAVING epoch_ms(time_bucket(INTERVAL '1 hour', ts)) + 3600000
+         >= (SELECT wm_ms FROM ssi_wm)
+)
+"""
