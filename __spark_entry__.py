@@ -402,6 +402,18 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.unigram_logprob_scores(_docs(spark, sf_dir))
 
 
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality filter: six per-rule boolean
+    columns + conjunctive keep verdict, one map-only pass."""
+    return _text.gopher_rules(_docs(spark, sf_dir))
+
+
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail terciles per language by unigram
+    LM score."""
+    return _text.ccnet_buckets(_docs(spark, sf_dir))
+
+
 def q_corpus_prep_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical (quality + n-gram near-dup) AND semantic (SemDeDup)
     curation in one composed plan over doc_id <-> vec_id."""
@@ -1217,6 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "text_dsir_importance": q_text_dsir_importance,
         "corpus_prep_semantic": q_corpus_prep_semantic,
+        "text_gopher_rules": q_text_gopher_rules,
+        "text_ccnet_buckets": q_text_ccnet_buckets,
         "ann_brute_force": q_ann_brute_force,
         "embedding_hard_negatives": q_embedding_hard_negatives,
         "ann_brute_force_scored": q_ann_brute_force_scored,
@@ -1378,6 +1392,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_dsir_importance": _ext_oracle(
             [_text.ORACLE_DSIR_IMPORTANCE], "dsir_importance"
+        ),
+        "text_gopher_rules": _ext_oracle(
+            [_text.oracle_gopher_rules()], "gopher_rules"
+        ),
+        "text_ccnet_buckets": _ext_oracle(
+            [_text.ORACLE_UNIGRAM_LOGPROB, _text.ORACLE_CCNET_BUCKETS],
+            "ccnet_buckets",
         ),
         "corpus_prep_semantic": _ext_oracle(
             [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD,

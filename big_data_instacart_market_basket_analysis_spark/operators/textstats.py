@@ -1246,3 +1246,197 @@ corpus_prep_semantic AS (
   FROM corpus_prep c JOIN semantic_dedup s ON s.vec_id = c.doc_id
 )
 """
+
+
+#: Gopher-rule thresholds (Rae et al., 2021, Table A1 — adapted to the
+#: fixture corpus's 10-99-token docs: word-count floor lowered from 50,
+#: everything else the published shape).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_AVG_LEN = 3.0
+GOPHER_MAX_AVG_LEN = 12.0
+GOPHER_MIN_STOPWORD = 0.04
+GOPHER_MIN_ALPHA = 0.6
+GOPHER_MAX_DUP_TRIGRAM = 0.20
+GOPHER_MAX_DUP_WORD = 0.50
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style composite quality filter: the six published rule
+    families (length bounds, mean-word-length bounds, stopword floor,
+    alphabetic floor, duplicate-word and duplicate-trigram ceilings)
+    each emitted as an explicit boolean column plus the conjunctive
+    ``keep`` verdict — the audit-friendly form (per-rule rejection
+    rates fall out of one agg over this table).
+
+    One map-only select over the scan: every rule is a higher-order
+    array / string expression on the row, zero shuffle — at 100 TB
+    this runs at scan speed and is the cheap first pass that shrinks
+    the corpus before any join-shaped dedup stage.
+    """
+    stop_arr = "array({})".format(
+        ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    )
+    tg = (
+        "transform(sequence(0, size(w) - 3),"
+        " i -> concat_ws(' ', element_at(w, i + 1),"
+        " element_at(w, i + 2), element_at(w, i + 3)))"
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        _tokens_col().alias("w"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr("size(w)").alias("n_words"),
+        (F.length("text") / F.expr("size(w)")).alias("avg_word_len"),
+        F.expr(
+            f"size(filter(w, t -> array_contains({stop_arr}, t)))"
+            " / CAST(size(w) AS DOUBLE)"
+        ).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace(F.lower(F.col("text")), r"[^a-z]", ""))
+            / F.length("text")
+        ).alias("alpha_ratio"),
+        F.expr(
+            "CASE WHEN size(w) > 0 THEN"
+            " 1.0 - size(array_distinct(w)) / CAST(size(w) AS DOUBLE)"
+            " ELSE 0.0 END"
+        ).alias("dup_word_ratio"),
+        F.expr(
+            f"CASE WHEN size(w) >= 3 THEN"
+            f" 1.0 - size(array_distinct({tg}))"
+            f" / CAST(size(w) - 2 AS DOUBLE)"
+            " ELSE 0.0 END"
+        ).alias("dup_trigram_ratio"),
+    )
+    rules = base.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        (
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        ).alias("ok_word_count"),
+        (
+            (F.col("avg_word_len") >= GOPHER_MIN_AVG_LEN)
+            & (F.col("avg_word_len") <= GOPHER_MAX_AVG_LEN)
+        ).alias("ok_word_len"),
+        (F.col("stopword_ratio") >= GOPHER_MIN_STOPWORD).alias(
+            "ok_stopwords"
+        ),
+        (F.col("alpha_ratio") >= GOPHER_MIN_ALPHA).alias("ok_alpha"),
+        (F.col("dup_word_ratio") <= GOPHER_MAX_DUP_WORD).alias(
+            "ok_dup_words"
+        ),
+        (F.col("dup_trigram_ratio") <= GOPHER_MAX_DUP_TRIGRAM).alias(
+            "ok_dup_trigrams"
+        ),
+    )
+    return rules.withColumn(
+        "keep",
+        F.col("ok_word_count")
+        & F.col("ok_word_len")
+        & F.col("ok_stopwords")
+        & F.col("ok_alpha")
+        & F.col("ok_dup_words")
+        & F.col("ok_dup_trigrams"),
+    )
+
+
+def oracle_gopher_rules() -> str:
+    stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+gr_base AS (
+  SELECT doc_id, lang, text,
+         regexp_split_to_array(lower(text), '\\s+') AS w
+  FROM documents
+),
+gr_feats AS (
+  SELECT doc_id, lang,
+         CAST(len(w) AS INT) AS n_words,
+         CAST(length(text) AS DOUBLE) / len(w) AS avg_word_len,
+         CAST(len(list_filter(w, t -> list_contains([{stops}], t)))
+              AS DOUBLE) / len(w) AS stopword_ratio,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+              AS DOUBLE) / length(text) AS alpha_ratio,
+         CASE WHEN len(w) > 0 THEN
+           1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+         ELSE 0.0 END AS dup_word_ratio,
+         CASE WHEN len(w) >= 3 THEN
+           1.0 - CAST(len(list_distinct(list_transform(
+               range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])))
+             AS DOUBLE) / (len(w) - 2)
+         ELSE 0.0 END AS dup_trigram_ratio
+  FROM gr_base
+),
+gopher_rules AS (
+  SELECT doc_id, lang, n_words,
+         n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+           AS ok_word_count,
+         avg_word_len >= {GOPHER_MIN_AVG_LEN}
+           AND avg_word_len <= {GOPHER_MAX_AVG_LEN} AS ok_word_len,
+         stopword_ratio >= {GOPHER_MIN_STOPWORD} AS ok_stopwords,
+         alpha_ratio >= {GOPHER_MIN_ALPHA} AS ok_alpha,
+         dup_word_ratio <= {GOPHER_MAX_DUP_WORD} AS ok_dup_words,
+         dup_trigram_ratio <= {GOPHER_MAX_DUP_TRIGRAM} AS ok_dup_trigrams,
+         (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+           AND (avg_word_len >= {GOPHER_MIN_AVG_LEN}
+                AND avg_word_len <= {GOPHER_MAX_AVG_LEN})
+           AND stopword_ratio >= {GOPHER_MIN_STOPWORD}
+           AND alpha_ratio >= {GOPHER_MIN_ALPHA}
+           AND dup_word_ratio <= {GOPHER_MAX_DUP_WORD}
+           AND dup_trigram_ratio <= {GOPHER_MAX_DUP_TRIGRAM} AS keep
+  FROM gr_feats
+)
+"""
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style corpus partitioning (Wenzek et al., 2020): rank each
+    document by LM score within its language and split into
+    head / middle / tail terciles — the standard recipe for grading
+    web text by fluency before choosing how much of each grade enters
+    training. The LM is the corpus's own unigram model
+    (``unigram_logprob_scores``); head = least-perplex tercile.
+
+    The ntile window sorts only within a language partition — at
+    100 TB per-lang partitions are the natural parallel unit (the
+    biggest lang still fits a sort-spill pipeline; CCNet itself shards
+    per language). Ranking runs on the ROUNDED score so the tercile
+    boundaries are cross-engine identical; ties broken by doc_id.
+    """
+    scores = unigram_logprob_scores(docs)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), "doc_id"
+    )
+    tile = F.ntile(3).over(w)
+    return (
+        docs.select("doc_id", "lang")
+        .join(scores, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "avg_logprob",
+            F.when(tile == 1, "head")
+            .when(tile == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+
+
+ORACLE_CCNET_BUCKETS = """
+ccnet_buckets AS (
+  SELECT u.doc_id, d.lang, u.n_tokens, u.avg_logprob,
+         CASE ntile(3) OVER (PARTITION BY d.lang
+                             ORDER BY u.avg_logprob DESC, u.doc_id)
+           WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+         END AS bucket
+  FROM unigram_logprob u JOIN documents d USING (doc_id)
+)
+"""

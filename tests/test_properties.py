@@ -872,3 +872,41 @@ def test_dsir_importance_target_bias(spark):
 
     only_en = docs.filter("lang = 'en'")
     assert textstats.dsir_importance(only_en).count() == 0
+
+
+def test_gopher_rules_conjunction_and_audit(spark):
+    """keep == AND of the six rule flags, and both verdicts occur on
+    the fixture corpus (the filter is neither all-pass nor all-drop)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = textstats.gopher_rules(docs).collect()
+    flags = [
+        "ok_word_count", "ok_word_len", "ok_stopwords",
+        "ok_alpha", "ok_dup_words", "ok_dup_trigrams",
+    ]
+    for r in rows:
+        assert r["keep"] == all(r[f] for f in flags)
+    verdicts = {r["keep"] for r in rows}
+    assert verdicts == {True, False}
+
+
+def test_ccnet_buckets_are_balanced_terciles(spark):
+    """Within every language the head/middle/tail buckets differ in
+    size by at most one (ntile property), and every doc is bucketed."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = textstats.ccnet_buckets(docs).collect()
+    assert len(rows) == docs.count()
+    per: dict[tuple, int] = {}
+    for r in rows:
+        per[(r["lang"], r["bucket"])] = per.get((r["lang"], r["bucket"]), 0) + 1
+    langs = {k[0] for k in per}
+    for lang in langs:
+        sizes = [per.get((lang, b), 0) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
