@@ -874,6 +874,12 @@ def q_docs_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _samp.weighted_sample_aes(d, _text.quality_scores(d))
 
 
+def q_docs_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (p^alpha resampling,
+    deterministic Bernoulli, no-oversampling cap)."""
+    return _samp.lang_temperature_sample(_docs(spark, sf_dir))
+
+
 def q_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of documents: one aggregation pass emitting
     per-column nulls / distincts / min / max."""
@@ -1288,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_quality_sample": q_docs_quality_sample,
         "docs_weighted_sample_aes": q_docs_weighted_sample_aes,
+        "docs_lang_temperature": q_docs_lang_temperature,
         "docs_profile": q_docs_profile,
         "events_interarrival": q_events_interarrival,
         "events_salted_join": q_events_salted_join,
@@ -1624,6 +1631,10 @@ def oracle_sql() -> dict[str, str]:
             [_text.oracle_quality_scores(),
              _samp.oracle_weighted_sample_aes()],
             "weighted_sample_aes",
+        ),
+        "docs_lang_temperature": _ext_oracle(
+            [_samp.oracle_lang_temperature_sample()],
+            "lang_temperature_sample",
         ),
         "docs_profile": _ext_oracle(
             [_prof.oracle_profile_documents()], "profile_documents"

@@ -354,3 +354,97 @@ weighted_sample_aes AS (
   WHERE sample_rank <= {k}
 )
 """
+
+
+TEMP_ALPHA = 0.5
+
+
+def lang_temperature_sample(
+    docs: DataFrame, alpha: float = TEMP_ALPHA
+) -> DataFrame:
+    """Temperature-based language rebalancing (the XLM-R / UniMax
+    multilingual recipe): resample the corpus so language l's share
+    moves from p_l to p_l^alpha / Z — flattening the language
+    distribution while keeping total size ~constant. The per-doc keep
+    rate is min(1, p_l^(alpha-1) / Z): head languages are thinned,
+    tail languages ride through whole (UniMax's no-oversampling cap —
+    without-replacement semantics, no duplicated examples).
+
+    The keep decision is a deterministic Bernoulli: u from a 52-bit
+    md5-derived dyadic rational (exact in doubles, oracle-replayable —
+    the A-ES idiom) compared against the rate rounded to 9 decimals
+    (absorbs pow/ln libm drift; a flip needs the true rate within
+    ~1e-16 of u's grid). Rates come from one tiny per-lang agg that
+    broadcasts — the corpus pays a map-only filter; zero wide stages
+    at 100 TB.
+
+    Output: surviving (doc_id, lang, keep_rate).
+    """
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    tot = counts.agg(F.sum("n_lang").alias("n_total"))
+    probs = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("p", F.col("n_lang") / F.col("n_total"))
+        .withColumn("pa", F.pow("p", F.lit(alpha)))
+    )
+    z = probs.agg(F.sum("pa").alias("z"))
+    rates = (
+        probs.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.pow("p", F.lit(alpha - 1.0)) / F.col("z"),
+                ),
+                9,
+            ).alias("keep_rate"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 52))
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .filter(u < F.col("keep_rate"))
+        .select("doc_id", "lang", "keep_rate")
+    )
+
+
+def oracle_lang_temperature_sample(alpha: float = TEMP_ALPHA) -> str:
+    return f"""
+lt_counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY 1
+),
+lt_tot AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_total FROM lt_counts),
+lt_probs AS (
+  SELECT lang, n_lang,
+         CAST(n_lang AS DOUBLE) / n_total AS p,
+         pow(CAST(n_lang AS DOUBLE) / n_total, {alpha!r}) AS pa
+  FROM lt_counts, lt_tot
+),
+lt_z AS (SELECT sum(pa) AS z FROM lt_probs),
+lt_rates AS (
+  SELECT lang,
+         round(least(CAST(1.0 AS DOUBLE), pow(p, {alpha - 1.0!r}) / z), 9)
+           AS keep_rate
+  FROM lt_probs, lt_z
+),
+lang_temperature_sample AS (
+  SELECT d.doc_id, d.lang, r.keep_rate
+  FROM documents d JOIN lt_rates r USING (lang)
+  WHERE (CAST(('0x' || substr(
+           md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 13))
+         AS BIGINT) + 1) / {float(1 << 52)!r} < r.keep_rate
+)
+"""
