@@ -395,6 +395,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup QA: MinHash-LSH banding recall vs the exact n-gram
+    Jaccard ground truth, with the jaccard range per status."""
+    return _dedup.minhash_recall_eval(_docs(spark, sf_dir))
+
+
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus unigram LM scoring: per-doc mean token log-probability
     under the corpus's own unigram distribution (KenLM-style quality
@@ -1233,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "docs_training_export": q_docs_training_export,
         "text_unigram_logprob": q_text_unigram_logprob,
+        "dedup_minhash_eval": q_dedup_minhash_eval,
         "text_dsir_importance": q_text_dsir_importance,
         "corpus_prep_semantic": q_corpus_prep_semantic,
         "text_gopher_rules": q_text_gopher_rules,
@@ -1369,6 +1376,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _ext_oracle(
             [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD],
             "ngram_jaccard",
+        ),
+        "dedup_minhash_eval": _ext_oracle(
+            [_dedup.ORACLE_SHINGLES,
+             _dedup.ORACLE_NGRAM_JACCARD,
+             _dedup.ORACLE_MINHASH_LSH,
+             _dedup.ORACLE_MINHASH_RECALL_EVAL],
+            "minhash_recall_eval",
         ),
         "dedup_minhash_lsh": _ext_oracle(
             [_dedup.ORACLE_SHINGLES,

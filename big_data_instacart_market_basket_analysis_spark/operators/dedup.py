@@ -1145,3 +1145,58 @@ segment_dedup AS (
   HAVING n_dropped < n_segments
 )
 """
+
+
+def minhash_recall_eval(docs: DataFrame) -> DataFrame:
+    """Dedup QA harness: measure MinHash+LSH banding recall against the
+    exact n-gram Jaccard ground truth on the same corpus — the
+    self-evaluation every probabilistic dedup deployment needs before
+    its parameters (bands x rows) are trusted at 100 TB, where the
+    exact pass is unaffordable and recall must be extrapolated from a
+    sample exactly like this.
+
+    Output: one row per status ('recalled' = truth pair surfaced by
+    LSH, 'missed' = truth pair whose docs never shared a band bucket)
+    with the pair count and the jaccard range of that status — missed
+    pairs concentrated just above the threshold is the healthy
+    pattern (banding's S-curve); missed HIGH-jaccard pairs would mean
+    too few bands. Both sides reuse the session-staged shingles, so
+    the eval costs the band join + one broadcast-sized hash join over
+    pair keys.
+    """
+    truth = ngram_jaccard_pairs(docs)
+    found = minhash_lsh_pairs(docs).select(
+        "d1", "d2", F.lit(1).alias("hit")
+    )
+    return (
+        truth.join(found, ["d1", "d2"], "left")
+        .select(
+            F.when(F.col("hit").isNotNull(), "recalled")
+            .otherwise("missed")
+            .alias("status"),
+            "jaccard",
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )
+
+
+ORACLE_MINHASH_RECALL_EVAL = """
+minhash_recall_eval AS (
+  SELECT status, CAST(count(*) AS BIGINT) AS n_pairs,
+         round(min(jaccard), 6) AS min_jaccard,
+         round(max(jaccard), 6) AS max_jaccard
+  FROM (
+    SELECT CASE WHEN f.d1 IS NOT NULL THEN 'recalled' ELSE 'missed' END
+             AS status,
+           t.jaccard
+    FROM ngram_jaccard t
+    LEFT JOIN minhash_lsh f ON f.d1 = t.d1 AND f.d2 = t.d2
+  )
+  GROUP BY 1
+)
+"""
