@@ -651,6 +651,12 @@ def q_sql_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sqlapi.sql_part_supplier_stats(spark, sf_dir)
 
 
+def q_sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated scalar-aggregate subquery; Catalyst
+    decorrelates it into a per-key pre-aggregation join."""
+    return _sqlapi.sql_small_qty_revenue(spark, sf_dir)
+
+
 def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic: top-k heaviest user_ids with exact
     integer per-mille share of all rows."""
@@ -1277,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_daily_gapfill": q_sql_daily_gapfill,
         "sql_urgent_only": q_sql_urgent_only,
         "sql_part_supplier_stats": q_sql_part_supplier_stats,
+        "sql_small_qty_revenue": q_sql_small_qty_revenue,
         "events_skew_report": q_events_skew_report,
         "xml_ingest_events": q_xml_ingest_events,
         "events_ewma": q_events_ewma,
@@ -1563,6 +1570,10 @@ def oracle_sql() -> dict[str, str]:
         "sql_part_supplier_stats": _ext_oracle(
             [_sqlapi.ORACLE_SQL_PART_SUPPLIER_STATS],
             "sql_part_supplier_stats",
+        ),
+        "sql_small_qty_revenue": _ext_oracle(
+            [_sqlapi.ORACLE_SQL_SMALL_QTY_REVENUE],
+            "sql_small_qty_revenue",
         ),
         "events_skew_report": _ext_oracle(
             [_prof.oracle_key_skew_report()], "key_skew_report"

@@ -330,3 +330,44 @@ sql_part_supplier_stats AS (
   GROUP BY p_brand, p_size
 )
 """
+
+
+def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated SCALAR subquery: per-brand revenue
+    from lineitems whose quantity is below half that part's average
+    quantity. Catalyst decorrelates the scalar aggregate subquery into
+    a per-partkey pre-aggregation joined back to the probe — no
+    per-row subquery execution — which is the third decorrelation
+    family on the board (EXISTS -> semi, NOT IN -> null-aware anti,
+    scalar-agg -> aggregate join). Revenue sums in exact DECIMAL
+    (hash-stable), emitted as double.
+    """
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_brand,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DOUBLE)             AS small_qty_revenue,
+               count(*)                    AS n_lineitems
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity <
+              (SELECT 0.5 * avg(l2.l_quantity)
+               FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        GROUP BY p_brand
+        """
+    )
+
+
+ORACLE_SQL_SMALL_QTY_REVENUE = """
+sql_small_qty_revenue AS (
+  SELECT p_brand,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS small_qty_revenue,
+         CAST(count(*) AS BIGINT) AS n_lineitems
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_quantity <
+        (SELECT 0.5 * avg(l2.l_quantity)
+         FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+  GROUP BY p_brand
+)
+"""

@@ -257,3 +257,15 @@ def test_sql_not_in_plans_null_aware_anti_join(spark):
     assert "LeftAnti" in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "LessThan(s_acctbal,0.0)" in plan.replace(" ", ""), plan
+
+
+def test_sql_scalar_subquery_decorrelates_to_agg_join(spark):
+    """The Q17-shaped correlated scalar-aggregate subquery must be
+    rewritten into a per-partkey pre-aggregation joined to the probe
+    side — no per-row subquery execution in the physical plan."""
+    plan = _plan(spark, "sql_small_qty_revenue")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "HashAggregate" in phys, plan
+    assert "Subquery" not in phys[:3000], (
+        "correlated scalar subquery not decorrelated"
+    )
