@@ -898,6 +898,12 @@ def q_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prof.profile_documents(_docs(spark, sf_dir))
 
 
+def q_fast_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-stats MIN/MAX/COUNT profile via DataSource-V2 parquet
+    aggregate pushdown — metadata-only IO."""
+    return _prof.fast_stats_profile(spark, sf_dir)
+
+
 def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-arrival gap stats (lag window + agg sharing one
     user_id shuffle)."""
@@ -1309,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_sample": q_docs_quality_sample,
         "docs_weighted_sample_aes": q_docs_weighted_sample_aes,
         "docs_lang_temperature": q_docs_lang_temperature,
+        "fast_stats_profile": q_fast_stats_profile,
         "docs_profile": q_docs_profile,
         "events_interarrival": q_events_interarrival,
         "events_salted_join": q_events_salted_join,
@@ -1660,6 +1667,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_temperature": _ext_oracle(
             [_samp.oracle_lang_temperature_sample()],
             "lang_temperature_sample",
+        ),
+        "fast_stats_profile": _ext_oracle(
+            [_prof.ORACLE_FAST_STATS_PROFILE], "fast_stats_profile"
         ),
         "docs_profile": _ext_oracle(
             [_prof.oracle_profile_documents()], "profile_documents"

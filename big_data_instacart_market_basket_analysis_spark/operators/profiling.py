@@ -244,3 +244,82 @@ key_skew_report AS (
   LIMIT {k}
 )
 """
+
+
+def fast_stats_profile(spark, sf_dir: str) -> DataFrame:
+    """Footer-stats table profile: MIN / MAX / COUNT answered from
+    parquet row-group metadata via DataSource-V2 aggregate pushdown —
+    profiling a 100 TB table costs IO proportional to the file count,
+    not the byte size.
+
+    Two confs cooperate, with different lifetimes (measured, Spark
+    4.1): ``useV1SourceList=""`` is read at RELATION RESOLUTION time,
+    so it is set only around the two ``spark.read`` calls below and
+    restored — no other scan in the session is affected;
+    ``parquet.aggregatePushdown`` is read by the V2 pushdown RULE at
+    optimization time (a set/restore window around construction does
+    not survive until planning), so it rides in
+    ``ensure_session_defaults`` where it is inert for V1 scans.
+    Pushdown limits: numeric COUNT/MIN/MAX push; timestamp_ntz
+    aggregates do not (scan falls back to data pages) — the profile
+    sticks to numeric columns and the plan test pins a non-empty
+    ``PushedAggregation`` on every scan. Bare aggregates only: any
+    filter or GROUP BY un-pushes the aggregate.
+    """
+    from ..sources.loaders import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    v1_key = "spark.sql.sources.useV1SourceList"
+    try:
+        saved_v1: str | None = spark.conf.get(v1_key)
+    except Exception:
+        saved_v1 = None
+    try:
+        spark.conf.set(v1_key, "")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        pt = spark.read.parquet(f"{sf_dir}/part.parquet").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("p_retailprice").alias("mn"),
+            F.max("p_retailprice").alias("mx"),
+        )
+    finally:
+        if saved_v1 is None:
+            spark.conf.unset(v1_key)
+        else:
+            spark.conf.set(v1_key, saved_v1)
+    li_row = li.select(
+        F.lit("lineitem").alias("table_name"),
+        F.lit("l_extendedprice").alias("col"),
+        "n_rows",
+        F.col("mn").cast("double").alias("min_val"),
+        F.col("mx").cast("double").alias("max_val"),
+    )
+    pt_row = pt.select(
+        F.lit("part").alias("table_name"),
+        F.lit("p_retailprice").alias("col"),
+        "n_rows",
+        F.col("mn").cast("double").alias("min_val"),
+        F.col("mx").cast("double").alias("max_val"),
+    )
+    return li_row.unionByName(pt_row)
+
+
+ORACLE_FAST_STATS_PROFILE = """
+fast_stats_profile AS (
+  SELECT 'lineitem' AS table_name, 'l_extendedprice' AS col,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(l_extendedprice) AS DOUBLE) AS min_val,
+         CAST(max(l_extendedprice) AS DOUBLE) AS max_val
+  FROM lineitem
+  UNION ALL
+  SELECT 'part', 'p_retailprice',
+         CAST(count(*) AS BIGINT),
+         CAST(min(p_retailprice) AS DOUBLE),
+         CAST(max(p_retailprice) AS DOUBLE)
+  FROM part
+)
+"""

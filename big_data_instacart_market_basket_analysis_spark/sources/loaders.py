@@ -45,6 +45,12 @@ _RUNTIME_DEFAULTS = (
     ("spark.sql.ansi.enabled", "false"),
     # fixture timestamps are UTC-naive and DuckDB compares in UTC
     ("spark.sql.session.timeZone", "UTC"),
+    # inert on the engine's default V1 scans; enables footer-stats
+    # MIN/MAX/COUNT on the V2 scans fast_stats_profile builds (the
+    # pushdown RULE reads this at optimization time, so it must be a
+    # session default — a set/restore window around plan construction
+    # provably does not survive until planning)
+    ("spark.sql.parquet.aggregatePushdown", "true"),
     ("spark.sql.adaptive.enabled", "true"),
     ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
     ("spark.sql.adaptive.skewJoin.enabled", "true"),

@@ -269,3 +269,17 @@ def test_sql_scalar_subquery_decorrelates_to_agg_join(spark):
     assert "Subquery" not in phys[:3000], (
         "correlated scalar subquery not decorrelated"
     )
+
+
+def test_fast_stats_profile_pushes_aggregates_to_scan(spark):
+    """Every scan in the footer-stats profiler must carry a non-empty
+    PushedAggregation — min/max/count answered from row-group
+    metadata (numeric columns only; timestamp_ntz aggregates do not
+    push and are deliberately absent)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        profiling,
+    )
+
+    df = profiling.fast_stats_profile(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PushedAggregation: [COUNT") == 2, plan
