@@ -657,6 +657,17 @@ def q_sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sqlapi.sql_small_qty_revenue(spark, sf_dir)
 
 
+def q_sql_pipe_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (FROM |> WHERE |> AGGREGATE) through
+    the parser, oracle-pinned to classic SQL semantics."""
+    return _sqlapi.sql_pipe_priority_stats(spark, sf_dir)
+
+
+def q_sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (per-customer top-2 orders)."""
+    return _sqlapi.sql_lateral_top_orders(spark, sf_dir)
+
+
 def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic: top-k heaviest user_ids with exact
     integer per-mille share of all rows."""
@@ -1290,6 +1301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_urgent_only": q_sql_urgent_only,
         "sql_part_supplier_stats": q_sql_part_supplier_stats,
         "sql_small_qty_revenue": q_sql_small_qty_revenue,
+        "sql_pipe_priority_stats": q_sql_pipe_priority_stats,
+        "sql_lateral_top_orders": q_sql_lateral_top_orders,
         "events_skew_report": q_events_skew_report,
         "xml_ingest_events": q_xml_ingest_events,
         "events_ewma": q_events_ewma,
@@ -1581,6 +1594,14 @@ def oracle_sql() -> dict[str, str]:
         "sql_small_qty_revenue": _ext_oracle(
             [_sqlapi.ORACLE_SQL_SMALL_QTY_REVENUE],
             "sql_small_qty_revenue",
+        ),
+        "sql_pipe_priority_stats": _ext_oracle(
+            [_sqlapi.ORACLE_SQL_PIPE_PRIORITY_STATS],
+            "sql_pipe_priority_stats",
+        ),
+        "sql_lateral_top_orders": _ext_oracle(
+            [_sqlapi.ORACLE_SQL_LATERAL_TOP_ORDERS],
+            "sql_lateral_top_orders",
         ),
         "events_skew_report": _ext_oracle(
             [_prof.oracle_key_skew_report()], "key_skew_report"

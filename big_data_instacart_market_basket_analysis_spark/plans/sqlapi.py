@@ -371,3 +371,63 @@ sql_small_qty_revenue AS (
   GROUP BY p_brand
 )
 """
+
+
+def sql_pipe_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>`` operators): linear FROM ->
+    WHERE -> AGGREGATE flow through the parser — same Catalyst plan as
+    the nested-SELECT form, pinned by the oracle running classic SQL
+    on DuckDB. Money sums in exact DECIMAL (hash-stable)."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderpriority = '1-URGENT'
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DOUBLE) AS total_price
+           GROUP BY o_orderstatus
+        """
+    )
+
+
+ORACLE_SQL_PIPE_PRIORITY_STATS = """
+sql_pipe_priority_stats AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_price
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+  GROUP BY o_orderstatus
+)
+"""
+
+
+def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join: each customer's top-2 orders
+    by price. Catalyst plans the correlated limit as a
+    LateralJoin-rewritten window/top-k — per-row subquery semantics
+    without per-row execution; DuckDB replays the identical LATERAL.
+    Deterministic tiebreak (price DESC, orderkey)."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )
+
+
+ORACLE_SQL_LATERAL_TOP_ORDERS = """
+sql_lateral_top_orders AS (
+  SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+  FROM customer c JOIN LATERAL (
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
+)
+"""
