@@ -101,6 +101,7 @@ _FRAGMENTS: dict[str, str] = {
     "users_final": _feat.ORACLE_USERS_FINAL,
     "user_product_features": _feat.ORACLE_USER_PRODUCT_FEATURES,
     "candidates": _cand.ORACLE_CANDIDATES,
+    "feature_lift": _cand.ORACLE_FEATURE_LIFT,
     "proxy_submission": _sub.ORACLE_PROXY_SUBMISSION,
     "orders_limited": _rel.ORACLE_ORDERS_LIMITED,
     "dept_aisle_rollup": _rel.ORACLE_DEPT_AISLE_ROLLUP,
@@ -134,6 +135,15 @@ _DEPS: dict[str, list[str]] = {
         "user_product_features",
     ],
     "proxy_submission": [
+        "prior_enriched",
+        "user_prior_features",
+        "user_order_features",
+        "users_final",
+        "product_features",
+        "user_product_features",
+        "candidates",
+    ],
+    "feature_lift": [
         "prior_enriched",
         "user_prior_features",
         "user_order_features",
@@ -262,6 +272,12 @@ def q_user_product_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cand.candidates_staged(instacart_tables(spark, sf_dir))
+
+
+def q_feature_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/lift table of the product reorder-ratio feature vs
+    the train label (fixed-width bins; map-only + one hash-agg)."""
+    return _cand.feature_lift(instacart_tables(spark, sf_dir))
 
 
 def q_proxy_submission(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1210,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "users_final": q_users_final,
         "user_product_features": q_user_product_features,
         "candidates": q_candidates,
+        "feature_lift": q_feature_lift,
         "proxy_submission": q_proxy_submission,
         "orders_limited": q_orders_limited,
         "eval_split_counts": q_eval_split_counts,
@@ -1384,6 +1401,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "user_product_features": _oracle("user_product_features"),
         "candidates": _oracle("candidates"),
+        "feature_lift": _oracle("feature_lift"),
         "proxy_submission": _oracle("proxy_submission"),
         "orders_limited": _oracle("orders_limited"),
         "eval_split_counts": _oracle("eval_split_counts"),

@@ -232,3 +232,81 @@ def candidates_staged(t: InstacartTables) -> DataFrame:
     df = candidates(t).persist(StorageLevel.MEMORY_AND_DISK)
     _CAND_CACHE[id(t)] = (t, df)
     return df
+
+
+LIFT_BINS = 10
+
+
+def feature_lift(t) -> DataFrame:
+    """Feature calibration / lift table over the TRAIN candidates: bin
+    the product reorder-ratio feature into fixed-width decile bins and
+    report each bin's candidate count, positive count, positive rate,
+    and lift over the base rate — the standard pre-training sanity
+    check that a ranking feature is monotone in the label before any
+    model consumes it (a flat table here means the feature is noise).
+
+    Fixed-width bins (floor(score*10), capped at 9) instead of ntile:
+    a quantile binning would global-sort the candidate table (the
+    widest table in the pipeline) through one window — the 100 TB
+    mistake; fixed bins are a map-only projection + one hash-agg.
+    Rates and lift are ratios of exact integer counts (hash-stable;
+    base-rate division folds identically in both engines).
+    """
+    from .candidates import candidates_staged
+
+    cand = candidates_staged(t).filter(F.col("eval_set") == 1)
+    binned = cand.select(
+        F.least(
+            F.floor(F.col("prod_reorderProportion") * LIFT_BINS), F.lit(9)
+        )
+        .cast("int")
+        .alias("bin"),
+        "label",
+    )
+    totals = binned.agg(
+        F.count("*").alias("n_all"), F.sum("label").alias("pos_all")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum("label").cast("bigint").alias("n_positive"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_candidates",
+            "n_positive",
+            (F.col("n_positive") / F.col("n_candidates")).alias("pos_rate"),
+            (
+                (F.col("n_positive") / F.col("n_candidates"))
+                / (F.col("pos_all") / F.col("n_all"))
+            ).alias("lift"),
+        )
+    )
+
+
+ORACLE_FEATURE_LIFT = """
+fl_binned AS (
+  SELECT CAST(least(floor(prod_reorderProportion * 10), 9) AS INT)
+           AS bin,
+         label
+  FROM candidates WHERE eval_set = 1
+),
+fl_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(label) AS BIGINT) AS pos_all
+  FROM fl_binned
+),
+feature_lift AS (
+  SELECT bin,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(label) AS BIGINT) AS n_positive,
+         CAST(sum(label) AS BIGINT) / CAST(count(*) AS DOUBLE)
+           AS pos_rate,
+         (CAST(sum(label) AS BIGINT) / CAST(count(*) AS DOUBLE))
+           / (pos_all / CAST(n_all AS DOUBLE)) AS lift
+  FROM fl_binned, fl_tot
+  GROUP BY bin, pos_all, n_all
+)
+"""
