@@ -424,6 +424,12 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.unigram_logprob_scores(_docs(spark, sf_dir))
 
 
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon character entropy (bits/char) — map-only
+    boilerplate/junk detector."""
+    return _text.char_entropy_scores(_docs(spark, sf_dir))
+
+
 def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style composite quality filter: six per-rule boolean
     columns + conjunctive keep verdict, one map-only pass."""
@@ -1283,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dsir_importance": q_text_dsir_importance,
         "corpus_prep_semantic": q_corpus_prep_semantic,
         "text_gopher_rules": q_text_gopher_rules,
+        "text_char_entropy": q_text_char_entropy,
         "text_ccnet_buckets": q_text_ccnet_buckets,
         "ann_brute_force": q_ann_brute_force,
         "embedding_hard_negatives": q_embedding_hard_negatives,
@@ -1461,6 +1468,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_gopher_rules": _ext_oracle(
             [_text.oracle_gopher_rules()], "gopher_rules"
+        ),
+        "text_char_entropy": _ext_oracle(
+            [_text.ORACLE_CHAR_ENTROPY], "char_entropy_scores"
         ),
         "text_ccnet_buckets": _ext_oracle(
             [_text.ORACLE_UNIGRAM_LOGPROB, _text.ORACLE_CCNET_BUCKETS],

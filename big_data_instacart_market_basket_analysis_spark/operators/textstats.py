@@ -1440,3 +1440,51 @@ ccnet_buckets AS (
   FROM unigram_logprob u JOIN documents d USING (doc_id)
 )
 """
+
+
+def char_entropy_scores(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon character entropy (bits/char): the cheap
+    boilerplate detector — machine-generated or repetitive text sits
+    well below natural language's ~4 bits/char, random junk above it.
+    Used alongside the Gopher rules as a map-only quality signal.
+
+    Entirely row-local higher-order expressions (no explode): the
+    distinct-char set is sorted so the entropy fold runs in identical
+    order in both engines, and per-char counts are exact integers over
+    an exact length denominator; rounding to 6 absorbs log2's <=1-ulp
+    libm drift. O(distinct_chars x doc_len) per row, zero shuffle —
+    scan-speed at 100 TB like the other text scorers.
+    """
+    chars = "filter(split(lower(text), ''), x -> x <> '')"
+    p = f"(CAST(size(filter({chars}, x -> x = ch)) AS DOUBLE)" \
+        " / length(text))"
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.expr(
+                f"aggregate(array_sort(array_distinct({chars})),"
+                f" CAST(0 AS DOUBLE),"
+                f" (acc, ch) -> acc - {p} * log2({p}))"
+            ),
+            6,
+        ).alias("char_entropy"),
+    )
+
+
+ORACLE_CHAR_ENTROPY = """
+char_entropy_scores AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars,
+         round(list_sum(list_transform(
+           list_sort(list_distinct(
+             list_filter(string_split(lower(text), ''), x -> x <> ''))),
+           ch -> - (CAST(len(list_filter(string_split(lower(text), ''),
+                                         x -> x = ch)) AS DOUBLE)
+                    / length(text))
+                 * log2(CAST(len(list_filter(string_split(lower(text), ''),
+                                             x -> x = ch)) AS DOUBLE)
+                        / length(text)))), 6) AS char_entropy
+  FROM documents
+)
+"""
