@@ -283,3 +283,59 @@ def test_fast_stats_profile_pushes_aggregates_to_scan(spark):
     df = profiling.fast_stats_profile(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("PushedAggregation: [COUNT") == 2, plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's skew-join handling must actually engage at runtime on a
+    deliberately skewed join key: the final adaptive plan carries
+    SortMergeJoin(skew=true) and more reduce tasks than the static
+    partition count. Two operational subtleties this test encodes:
+    (1) skew splits are made of per-MAPPER output chunks, so a
+    single-mapper upstream (one small input split) can never be split
+    — the input is repartitioned to 16 mappers first (at cluster
+    scale mappers are plentiful and this is a non-issue); (2) the
+    thresholds are lowered to fixture scale, and confs are set AFTER
+    the first load_table call because ensure_session_defaults pins
+    the engine's AQE defaults on first touch of a session."""
+    from pyspark.sql import functions as F
+
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    events = load_table(spark, SF_ORACLE, "events")
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        skewed = events.repartition(16).withColumn(
+            "user_id",
+            F.when(F.col("value") < 30, F.lit(7)).otherwise(
+                F.col("user_id")
+            ),
+        )
+        left = skewed.filter(F.col("event_type") != "purchase").select(
+            "user_id", "value"
+        )
+        right = skewed.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id"), F.col("value").alias("pv")
+        )
+        j = left.join(right, "user_id")
+        assert j.count() > 0
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
