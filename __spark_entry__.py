@@ -1214,6 +1214,38 @@ def q_ml_submission_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ml.model_submission(instacart_tables(spark, sf_dir), "dt")
 
 
+def q_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped doubly-correlated EXISTS/NOT EXISTS, decorrelated
+    into one per-order profile agg + semi join (oracle keeps the
+    correlated form — the hash-match proves equivalence)."""
+    return _rel.suppliers_waiting(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped max-over-view: revenue agg computed once, 1-row
+    global max broadcast back (no scalar-subquery double evaluation)."""
+    return _rel.top_supplier_revenue(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_events_user_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (gaps-and-islands): per-user
+    event_type runs to versioned validity intervals, one shuffle."""
+    return _tmp.user_state_scd2(load_table(spark, sf_dir, "events"))
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over documents for a fixed query-term set
+    (inline tf — no token explode; corpus stats broadcast back)."""
+    return _text.bm25_search(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full candidate-expansion feature pipeline at sf0.001."""
     return q_candidates(spark, "/root/testdata/sf0.001")
@@ -1370,6 +1402,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_histogram": q_events_value_histogram,
         "events_variant_rollup": q_events_variant_rollup,
         "events_rolling_hour": q_events_rolling_hour,
+        "events_user_scd2": q_events_user_scd2,
+        "suppliers_waiting": q_suppliers_waiting,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "text_bm25": q_text_bm25,
         # slow rows-only queries last (ML trains models; media runs the
         # stub codec): if a driver budget truncates the run, hash-checked
         # rows are already on the board.
@@ -1746,6 +1782,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "parts_intersect_all": _ext_oracle(
             [_rel.ORACLE_PARTS_INTERSECT_ALL], "parts_intersect_all"
+        ),
+        "suppliers_waiting": _ext_oracle(
+            [_rel.ORACLE_SUPPLIERS_WAITING], "suppliers_waiting"
+        ),
+        "top_supplier_revenue": _ext_oracle(
+            [_rel.ORACLE_TOP_SUPPLIER_REVENUE], "top_supplier_revenue"
+        ),
+        "events_user_scd2": _ext_oracle(
+            [_tmp.ORACLE_USER_STATE_SCD2], "user_state_scd2"
+        ),
+        "text_bm25": _ext_oracle(
+            [_text.oracle_bm25_search()], "bm25_search"
         ),
         "orders_snapshot_diff": _ext_oracle(
             [_rel.ORACLE_ORDERS_SNAPSHOT_DIFF], "orders_snapshot_diff"

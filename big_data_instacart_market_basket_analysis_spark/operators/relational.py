@@ -744,3 +744,160 @@ merge_upsert_orders AS (
                     WHERE t.o_orderkey = s.o_orderkey)
 )
 """
+
+
+def suppliers_waiting(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    k: int = 25,
+) -> DataFrame:
+    """TPC-H-Q21-shaped "suppliers who kept orders waiting": for each
+    supplier, count finalized multi-supplier orders where THEIR line
+    was the only returned one (``l_returnflag = 'R'`` stands in for
+    Q21's receipt-after-commit predicate — the fixture has no
+    commit/receipt dates).
+
+    The textbook form is a doubly-correlated EXISTS + NOT EXISTS over
+    the same fact table. Correlated per-row probes don't distribute, so
+    the plan decorrelates into ONE per-order profile aggregation:
+
+      n_supp   = countDistinct(supplier)          -> EXISTS(other supp)
+      n_r_supp = countDistinct(supplier | flag R) -> NOT EXISTS(other R)
+
+    An order qualifies iff ``n_supp > 1 AND n_r_supp = 1``, and the
+    single R-supplier of a qualifying order is — by construction — the
+    waiting supplier. One hash-agg + one semi-shaped join replaces two
+    correlated subqueries; the DuckDB oracle keeps the correlated form,
+    so the hash-match proves the decorrelation equivalent. At 100 TB
+    both sides shuffle once on l_orderkey and AQE handles order-size
+    skew; the supplier dim is broadcast.
+    """
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    eligible = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_r_supp") == 1)
+    ).select("l_orderkey")
+    final_orders = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    waiting = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(eligible, "l_orderkey")
+        .join(final_orders, "l_orderkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return (
+        waiting.join(
+            F.broadcast(supplier),
+            waiting["l_suppkey"] == supplier["s_suppkey"],
+        )
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name", "s_suppkey")
+        .limit(k)
+    )
+
+
+ORACLE_SUPPLIERS_WAITING = """
+sw_hits AS (
+  SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+  FROM lineitem l1
+  JOIN orders o ON o.o_orderkey = l1.l_orderkey
+  WHERE l1.l_returnflag = 'R' AND o.o_orderstatus = 'F'
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_returnflag = 'R')
+),
+suppliers_waiting AS (
+  SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+  FROM sw_hits w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+  GROUP BY s.s_suppkey, s.s_name
+  ORDER BY numwait DESC, s_name, s_suppkey
+  LIMIT 25
+)
+"""
+
+
+#: Q15-shaped revenue window (3 months inside the fixture's shipdate
+#: span 1995-01..2001-11).
+TOP_SUPPLIER_DATE_LO = "1996-01-01"
+TOP_SUPPLIER_DATE_HI = "1996-04-01"
+
+
+def top_supplier_revenue(
+    supplier: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier: revenue per supplier over a
+    3-month shipdate window, returning the supplier(s) whose revenue
+    equals the global maximum.
+
+    The classic form is a view + ``WHERE total_revenue = (SELECT
+    max(...) FROM view)``. Distributed plan: compute the revenue agg
+    ONCE, derive the 1-row global max from it, and broadcast that row
+    back against the agg — the view is never evaluated twice and
+    nothing funnels through a single partition (an empty-frame window
+    ``max() OVER ()`` would). Money in DECIMAL for bit-stable sums;
+    cast to double only at the end.
+    """
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(18,4)")
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(TOP_SUPPLIER_DATE_LO))
+            & (F.col("l_shipdate") < F.lit(TOP_SUPPLIER_DATE_HI))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(price * (one - disc)).alias("total_revenue_dec"))
+    )
+    mx = revenue.agg(
+        F.max("total_revenue_dec").alias("max_revenue_dec")
+    )
+    return (
+        revenue.join(
+            F.broadcast(mx),
+            revenue["total_revenue_dec"] == mx["max_revenue_dec"],
+        )
+        .join(
+            F.broadcast(supplier),
+            revenue["l_suppkey"] == supplier["s_suppkey"],
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_TOP_SUPPLIER_REVENUE = f"""
+tsr_revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (CAST(1 AS DECIMAL(18,4))
+                - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue_dec
+  FROM lineitem
+  WHERE l_shipdate >= '{TOP_SUPPLIER_DATE_LO}'
+    AND l_shipdate < '{TOP_SUPPLIER_DATE_HI}'
+  GROUP BY l_suppkey
+),
+top_supplier_revenue AS (
+  SELECT s.s_suppkey, s.s_name,
+         CAST(r.total_revenue_dec AS DOUBLE) AS total_revenue
+  FROM tsr_revenue r
+  JOIN supplier s ON s.s_suppkey = r.l_suppkey
+  WHERE r.total_revenue_dec = (SELECT max(total_revenue_dec)
+                               FROM tsr_revenue)
+)
+"""

@@ -1102,3 +1102,91 @@ hourly_ohlc AS (
   GROUP BY 1, 2
 )
 """
+
+
+def user_state_scd2(events: DataFrame) -> DataFrame:
+    """SCD Type-2 dimension build from an event log: collapse each
+    user's consecutive runs of the same ``event_type`` into versioned
+    validity intervals (``valid_from``/``valid_to``/``is_current``) —
+    the change-data-capture staple for maintaining a history dimension
+    from a stream of observations.
+
+    Gaps-and-islands, pure window algebra (zero UDFs):
+
+      1. ``lag(event_type)`` over (user_id | ts, event_id) marks run
+         starts;
+      2. a running sum of the start flags numbers each run (the SCD
+         version);
+      3. one hash-agg per (user_id, version) takes the run's bounds;
+      4. ``lead(valid_from)`` closes each interval at the next run's
+         start; the open interval is ``is_current``.
+
+    Both windows and the agg share the single user_id shuffle — the
+    whole plan is ONE exchange, so at 100 TB it runs at shuffle speed
+    partitioned by user. Timestamps surface as epoch millis (the repo's
+    cross-engine determinism rule); ties break on event_id (unique).
+    """
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.lag("event_type").over(order_w).isNull()
+        | (F.lag("event_type").over(order_w) != F.col("event_type"))
+    ).cast("int")
+    runs = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(changed)
+        .over(order_w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("version"),
+    )
+    intervals = runs.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),  # run-constant by construction
+        (F.unix_millis(F.min("ts"))).alias("valid_from_ms"),
+        F.count("*").alias("n_events"),
+    )
+    version_w = Window.partitionBy("user_id").orderBy("version")
+    return intervals.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from_ms",
+        F.lead("valid_from_ms").over(version_w).alias("valid_to_ms"),
+        F.lead("valid_from_ms").over(version_w).isNull().alias(
+            "is_current"
+        ),
+        "n_events",
+    )
+
+
+ORACLE_USER_STATE_SCD2 = """
+scd_runs AS (
+  SELECT user_id, event_type, ts, event_id,
+         sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS version
+  FROM (SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events)
+),
+scd_intervals AS (
+  SELECT user_id, version,
+         min(event_type) AS state,
+         epoch_ms(min(ts)) AS valid_from_ms,
+         count(*) AS n_events
+  FROM scd_runs
+  GROUP BY user_id, version
+),
+user_state_scd2 AS (
+  SELECT user_id, version, state, valid_from_ms,
+         lead(valid_from_ms) OVER (PARTITION BY user_id
+                                   ORDER BY version) AS valid_to_ms,
+         lead(valid_from_ms) OVER (PARTITION BY user_id
+                                   ORDER BY version) IS NULL
+           AS is_current,
+         n_events
+  FROM scd_intervals
+)
+"""

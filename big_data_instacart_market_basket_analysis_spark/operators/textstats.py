@@ -1488,3 +1488,118 @@ char_entropy_scores AS (
   FROM documents
 )
 """
+
+
+#: BM25 free parameters (the standard Robertson/Sparck-Jones values)
+#: and a fixed query-term set drawn from the corpus vocabulary.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("hash", "join", "vector")
+BM25_TOP_K = 50
+
+
+def bm25_search(docs: DataFrame, k: int = BM25_TOP_K) -> DataFrame:
+    """BM25 ranked retrieval: score every document against a fixed
+    query-term set and return the top-k — the lexical-retrieval half of
+    a RAG / training-data selection pipeline (Robertson's Okapi BM25,
+    the public standard).
+
+    Plan shape (three tiny aggregates + one map-side score):
+
+      1. per-doc term frequencies for ONLY the query terms, computed
+         inline with ``filter(tokens, t -> t = term)`` — no
+         explode-of-all-tokens, so the corpus never shuffles on token;
+      2. corpus stats (N, avgdl) in one 1-row agg, document frequencies
+         per query term in one |Q|-row agg — both broadcast back;
+      3. the BM25 sum is a pure projection; top-k via TakeOrdered.
+
+    At 100 TB the only data-sized cost is the scan: everything joined
+    is O(|Q|) rows. IDF uses the +1 form (ln((N - df + .5)/(df + .5)
+    + 1)) so scores stay positive; ties break on doc_id. Scores round
+    to 4 decimals (repo float rule).
+    """
+    toks = _tokens_col()
+
+    def _eq(term: str):
+        # NB: unary lambda only — F.filter treats a 2-arg callable as
+        # (element, index), so a `term=term` default would capture the
+        # positional-index column instead of the query term.
+        return lambda t: t == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(toks, _eq(term))).alias(f"tf_{i}")
+        for i, term in enumerate(BM25_QUERY_TERMS)
+    ]
+    per_doc = docs.select(
+        "doc_id", F.size(toks).alias("dl"), *tf_cols
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    n, k1, b = F.col("n_docs"), F.lit(BM25_K1), F.lit(BM25_B)
+    score = None
+    for i in range(len(BM25_QUERY_TERMS)):
+        tf, df = F.col(f"tf_{i}").cast("double"), F.col(f"df_{i}")
+        idf = F.log(
+            (n - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0)
+        )
+        part = idf * (
+            tf
+            * (k1 + 1)
+            / (tf + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl")))
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select(
+            "doc_id", "dl", F.round(score, 4).alias("bm25")
+        )
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(k)
+    )
+
+
+def oracle_bm25_search(k: int = BM25_TOP_K) -> str:
+    split = "regexp_split_to_array(lower(text), '\\s+')"
+    tf_sql = ", ".join(
+        f"len(list_filter({split}, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    df_sql = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    score_sql = " + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (CAST(tf_{i} AS DOUBLE) * ({BM25_K1} + 1)"
+        f" / (CAST(tf_{i} AS DOUBLE) + {BM25_K1}"
+        f"    * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl)))"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    return f"""
+bm_per_doc AS (
+  SELECT doc_id, len({split}) AS dl, {tf_sql}
+  FROM documents
+),
+bm_stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_sql}
+  FROM bm_per_doc
+),
+bm_scored AS (
+  SELECT doc_id, dl, round({score_sql}, 4) AS bm25
+  FROM bm_per_doc CROSS JOIN bm_stats
+),
+bm25_search AS (
+  SELECT doc_id, dl, bm25
+  FROM bm_scored
+  WHERE bm25 > 0
+  ORDER BY bm25 DESC, doc_id
+  LIMIT {k}
+)
+"""

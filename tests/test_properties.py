@@ -910,3 +910,72 @@ def test_ccnet_buckets_are_balanced_terciles(spark):
     for lang in langs:
         sizes = [per.get((lang, b), 0) for b in ("head", "middle", "tail")]
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+
+
+def test_scd2_intervals_tile_each_user_timeline(spark):
+    """SCD2 invariants: per user, versions are 1..n contiguous, exactly
+    one open (current) interval, each closed interval ends where the
+    next begins, and adjacent intervals never share a state (runs are
+    maximal)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    events = load_table(spark, SF_ORACLE, "events")
+    rows = temporal.user_state_scd2(events).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(r["is_current"] for r in ivs) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to_ms"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to_ms"] == b["valid_from_ms"], user
+            assert a["state"] != b["state"], user
+
+
+def test_suppliers_waiting_matches_bruteforce_correlated(spark):
+    """Decorrelated Q21 plan == brute-force correlated evaluation."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        relational,
+    )
+
+    sf = SF_ORACLE
+    supplier = spark.read.parquet(f"{sf}/supplier.parquet")
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    got = {
+        (r["s_suppkey"], r["numwait"])
+        for r in relational.suppliers_waiting(
+            supplier, lineitem, orders, k=10_000
+        ).collect()
+    }
+
+    lines = [
+        (r["l_orderkey"], r["l_suppkey"], r["l_returnflag"])
+        for r in lineitem.collect()
+    ]
+    final = {
+        r["o_orderkey"]
+        for r in orders.collect()
+        if r["o_orderstatus"] == "F"
+    }
+    by_order: dict[int, list] = {}
+    for ok, sk, fl in lines:
+        by_order.setdefault(ok, []).append((sk, fl))
+    waits: dict[int, set] = {}
+    for ok, ls in by_order.items():
+        if ok not in final:
+            continue
+        supps = {sk for sk, _ in ls}
+        r_supps = {sk for sk, fl in ls if fl == "R"}
+        if len(supps) > 1 and len(r_supps) == 1:
+            waits.setdefault(next(iter(r_supps)), set()).add(ok)
+    want = {(sk, len(oks)) for sk, oks in waits.items()}
+    assert got == want
