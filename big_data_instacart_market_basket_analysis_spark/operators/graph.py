@@ -51,12 +51,35 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
+#: distinct directed co-purchase edge list per lineitem DataFrame,
+#: session-staged by input identity — shared by PageRank (both edge
+#: directions) and triangle counting (the a<b orientation is a cheap
+#: filter of the stage). Same convention as similarity._ASSIGN_CACHE /
+#: dedup._shingles_staged; at cluster scale this becomes a staged table
+#: or reliable checkpoint instead of localCheckpoint. Without it every
+#: consumer re-runs the orderkey self-join + distinct — by far the
+#: heaviest stage of either graph query.
+_EDGES_CACHE: dict[int, tuple] = {}
+
+
+def _edges_staged(lineitem: DataFrame) -> DataFrame:
+    key = id(lineitem)
+    hit = _EDGES_CACHE.get(key)
+    if hit is None:
+        hit = (
+            lineitem,
+            copurchase_edges(lineitem).localCheckpoint(eager=True),
+        )
+        _EDGES_CACHE[key] = hit
+    return hit[1]
+
+
 def pagerank_products(
     lineitem: DataFrame, iterations: int = PR_ITERATIONS
 ) -> DataFrame:
     """Integer PageRank over the co-purchase graph; returns
     (node, rank_millionths) after ``iterations`` supersteps."""
-    edges = copurchase_edges(lineitem)
+    edges = _edges_staged(lineitem)
     out_deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
     ranks = out_deg.select(
         F.col("a").alias("node"), F.lit(PR_SCALE).alias("rank")
@@ -148,13 +171,11 @@ def triangle_counts(lineitem: DataFrame) -> DataFrame:
     neither the oracle nor any downstream consumer.
     """
     # the oriented edge list feeds FOUR consumers (both wedge sides,
-    # the closing join, and the degree union) — materialize it once or
-    # the co-purchase self-join recomputes per consumer.
-    und = (
-        copurchase_edges(lineitem)
-        .filter(F.col("a") < F.col("b"))
-        .localCheckpoint(eager=True)
-    )
+    # the closing join, and the degree union); it derives from the
+    # session-staged directed edge list by a cheap a<b filter, so the
+    # co-purchase self-join never recomputes — per consumer or per
+    # repeated invocation (PageRank shares the same stage).
+    und = _edges_staged(lineitem).filter(F.col("a") < F.col("b"))
     ab = und.select(F.col("a"), F.col("b"))
     bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges = ab.join(bc, "b")
