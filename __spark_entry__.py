@@ -1255,6 +1255,14 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bm25_search(_docs(spark, sf_dir))
 
 
+def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval in one plan: chunk -> deterministic
+    embed -> broadcast top-k cosine -> greedy word-budget pack."""
+    return _sim.rag_context_pack(
+        _docs(spark, sf_dir), _emb(spark, sf_dir)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full candidate-expansion feature pipeline at sf0.001."""
     return q_candidates(spark, "/root/testdata/sf0.001")
@@ -1415,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppliers_waiting": q_suppliers_waiting,
         "top_supplier_revenue": q_top_supplier_revenue,
         "text_bm25": q_text_bm25,
+        "rag_context_pack": q_rag_context_pack,
         # slow rows-only queries last (ML trains models; media runs the
         # stub codec): if a driver budget truncates the run, hash-checked
         # rows are already on the board.
@@ -1803,6 +1812,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_bm25": _ext_oracle(
             [_text.oracle_bm25_search()], "bm25_search"
+        ),
+        "rag_context_pack": _ext_oracle(
+            [_text.ORACLE_CHUNKS, _sim.oracle_rag_context_pack()],
+            "rag_context_pack",
         ),
         "orders_snapshot_diff": _ext_oracle(
             [_rel.ORACLE_ORDERS_SNAPSHOT_DIFF], "orders_snapshot_diff"

@@ -71,6 +71,11 @@ HEADLINE = [
     "text_dsir_importance",
     "corpus_prep_semantic",
     "sql_part_supplier_stats",
+    # round-2 continuation additions
+    "suppliers_waiting",
+    "events_user_scd2",
+    "text_bm25",
+    "rag_context_pack",
 ]
 
 

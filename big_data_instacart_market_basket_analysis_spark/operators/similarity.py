@@ -878,3 +878,170 @@ semantic_dedup AS (
   WHERE p.vec_id IS NULL
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# RAG retrieval composition: chunk -> embed -> top-k -> context pack
+# ---------------------------------------------------------------------------
+
+#: context-pack knobs: embedding dim of the shared query/chunk space,
+#: chunks retrieved per query, and the word budget of the final pack.
+RAG_DIM = 8
+RAG_TOP_K = 6
+RAG_WORD_BUDGET = 150
+
+
+def _rag_chunk_component(j: int) -> F.Column:
+    """Deterministic pseudo-embedding component j in [-1, 1), derived
+    from the chunk content hash — the same 52-bit md5->dyadic-rational
+    trick the samplers use (exact in doubles, oracle-replayable; a real
+    pipeline swaps this single projection for a model encoder UDF)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("chunk_md5"), F.lit(f":{j}"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 52))
+    return u * 2.0 - 1.0
+
+
+def rag_context_pack(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = RAG_TOP_K,
+    budget: int = RAG_WORD_BUDGET,
+) -> DataFrame:
+    """End-to-end RAG retrieval as ONE logical plan: chunk the corpus,
+    embed chunks (deterministic hash projection standing in for the
+    encoder), retrieve top-k chunks per query embedding by exact
+    cosine, and greedily pack each query's context under a word
+    budget.
+
+    Scale shape: the chunk explode is map-only and never carries full
+    text; the |Q| query vectors broadcast against the chunk table (the
+    only data-sized relation — no shuffle of the corpus at all until
+    the per-query top-k, which TakeOrdered-s inside a window over
+    |Q| * k rows); the greedy budget pack is a running sum over each
+    query's k retrieved rows. Swap the brute-force scoring stage for
+    the IVF/LSH bucket join when |Q| grows — the pack stage is
+    unchanged.
+
+    Output per query: chunks kept, words used, and the ordered
+    ``doc:chunk`` id list of the packed context.
+    """
+    from .textstats import chunk_documents
+
+    chunks = chunk_documents(docs)
+    cvec = F.array(*[_rag_chunk_component(j) for j in range(RAG_DIM)])
+    corpus = chunks.select(
+        "doc_id", "chunk_id", "n_words", cvec.alias("cv")
+    ).withColumn("cnorm", F.sqrt(F.expr(_DOT.format(a="cv", b="cv"))))
+
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(
+            f"transform(slice(embedding, 1, {RAG_DIM}),"
+            " x -> CAST(x AS DOUBLE))"
+        ).alias("qv"),
+    ).withColumn("qnorm", F.sqrt(F.expr(_DOT.format(a="qv", b="qv"))))
+
+    scored = (
+        F.broadcast(queries)
+        .join(corpus)
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_DOT.format(a="qv", b="cv"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                4,
+            ),
+        )
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "doc_id", "chunk_id"
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "chunk_id", "n_words", "rank")
+    )
+    pack_w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = topk.withColumn(
+        "cum_words", F.sum("n_words").over(pack_w)
+    ).filter(F.col("cum_words") <= budget)
+    key = F.concat_ws(":", "doc_id", "chunk_id")
+    return packed.groupBy("query_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.max("cum_words").alias("words_used"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", key.alias("k")))),
+                lambda s: s["k"],
+            ),
+            " ",
+        ).alias("context_ids"),
+    )
+
+
+def oracle_rag_context_pack(
+    n_queries: int = N_QUERIES,
+    k: int = RAG_TOP_K,
+    budget: int = RAG_WORD_BUDGET,
+) -> str:
+    comp = ", ".join(
+        f"((CAST(('0x' || substr(md5(chunk_md5 || ':{j}'), 1, 13))"
+        f" AS BIGINT) + 1) / {float(1 << 52)!r}) * 2.0 - 1.0"
+        for j in range(RAG_DIM)
+    )
+    return f"""
+rag_corpus AS (
+  SELECT doc_id, chunk_id, n_words, [{comp}] AS cv
+  FROM chunk_documents
+),
+rag_queries AS (
+  SELECT vec_id AS query_id,
+         list_transform(list_slice(embedding::DOUBLE[], 1, {RAG_DIM}),
+                        x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+rag_scored AS (
+  SELECT q.query_id, c.doc_id, c.chunk_id, c.n_words,
+         round(list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 4) AS cosine
+  FROM rag_queries q CROSS JOIN rag_corpus c
+),
+rag_topk AS (
+  SELECT query_id, doc_id, chunk_id, n_words, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY cosine DESC, doc_id, chunk_id) AS rank
+    FROM rag_scored)
+  WHERE rank <= {k}
+),
+rag_packed AS (
+  SELECT *, sum(n_words) OVER (
+      PARTITION BY query_id ORDER BY rank
+      ROWS UNBOUNDED PRECEDING) AS cum_words
+  FROM rag_topk
+),
+rag_context_pack AS (
+  SELECT query_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(max(cum_words) AS BIGINT) AS words_used,
+         string_agg(doc_id || ':' || chunk_id, ' ' ORDER BY rank)
+           AS context_ids
+  FROM rag_packed
+  WHERE cum_words <= {budget}
+  GROUP BY query_id
+)
+"""
