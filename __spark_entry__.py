@@ -1255,6 +1255,24 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bm25_search(_docs(spark, sf_dir))
 
 
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: broadcast scalar-avg subquery + anti join
+    against distinct buyer keys, per-segment rollup."""
+    return _rel.idle_rich_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped conditional-sum ratio over one fact-dim
+    broadcast join (decimal-exact money)."""
+    return _rel.promo_revenue_share(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end RAG retrieval in one plan: chunk -> deterministic
     embed -> broadcast top-k cosine -> greedy word-budget pack."""
@@ -1424,6 +1442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier_revenue": q_top_supplier_revenue,
         "text_bm25": q_text_bm25,
         "rag_context_pack": q_rag_context_pack,
+        "idle_rich_customers": q_idle_rich_customers,
+        "promo_revenue_share": q_promo_revenue_share,
         # slow rows-only queries last (ML trains models; media runs the
         # stub codec): if a driver budget truncates the run, hash-checked
         # rows are already on the board.
@@ -1816,6 +1836,12 @@ def oracle_sql() -> dict[str, str]:
         "rag_context_pack": _ext_oracle(
             [_text.ORACLE_CHUNKS, _sim.oracle_rag_context_pack()],
             "rag_context_pack",
+        ),
+        "idle_rich_customers": _ext_oracle(
+            [_rel.oracle_idle_rich_customers()], "idle_rich_customers"
+        ),
+        "promo_revenue_share": _ext_oracle(
+            [_rel.ORACLE_PROMO_REVENUE_SHARE], "promo_revenue_share"
         ),
         "orders_snapshot_diff": _ext_oracle(
             [_rel.ORACLE_ORDERS_SNAPSHOT_DIFF], "orders_snapshot_diff"

@@ -901,3 +901,140 @@ top_supplier_revenue AS (
                                FROM tsr_revenue)
 )
 """
+
+
+#: Q22-shaped: market segments standing in for Q22's phone prefixes.
+GLOBAL_BAL_SEGMENTS = ("AUTOMOBILE", "BUILDING", "MACHINERY")
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H-Q22-shaped "global sales opportunity": customers in a
+    segment allowlist with above-average account balance who have
+    never placed an order, rolled up per segment.
+
+    Two classic constructs in one plan, both distributed right:
+
+      - the scalar AVG subquery (positive balances in the allowlist)
+        is a 1-row agg broadcast into the filter — evaluated once,
+        never a per-row probe;
+      - NOT EXISTS(orders) is a left ANTI join on o_custkey — the
+        orders side is aggregated to distinct custkeys first, so the
+        anti probe is against the small distinct set, not the fact
+        table.
+
+    Money stays DECIMAL until the final cast (bit-stable sums).
+    """
+    seg = F.col("c_mktsegment").isin(*GLOBAL_BAL_SEGMENTS)
+    bal = F.col("c_acctbal").cast("decimal(18,4)")
+    pool = customer.filter(seg).select(
+        "c_custkey", "c_mktsegment", bal.alias("bal")
+    )
+    avg_bal = pool.filter(F.col("bal") > 0).agg(
+        F.avg("bal").alias("avg_bal")
+    )
+    buyers = orders.select("o_custkey").distinct()
+    return (
+        pool.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("bal") > F.col("avg_bal"))
+        .join(
+            buyers,
+            pool["c_custkey"] == buyers["o_custkey"],
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum("bal").cast("double").alias("total_bal"),
+        )
+    )
+
+
+def oracle_idle_rich_customers() -> str:
+    segs = ", ".join(f"'{s}'" for s in GLOBAL_BAL_SEGMENTS)
+    return f"""
+irc_pool AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+  FROM customer
+  WHERE c_mktsegment IN ({segs})
+),
+idle_rich_customers AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_custs,
+         CAST(sum(bal) AS DOUBLE) AS total_bal
+  FROM irc_pool p
+  WHERE bal > (SELECT avg(bal) FROM irc_pool WHERE bal > 0)
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = p.c_custkey)
+  GROUP BY c_mktsegment
+)
+"""
+
+
+#: Q14-shaped: brand prefix standing in for Q14's PROMO type prefix.
+PROMO_BRAND_PREFIX = "Brand#1"
+PROMO_DATE_LO = "1997-01-01"
+PROMO_DATE_HI = "1997-02-01"
+
+
+def promo_revenue_share(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q14-shaped promo share: the percentage of one month's
+    revenue coming from promo-branded parts — a ratio of two
+    conditional DECIMAL sums over a single fact-dim join (one scan,
+    one broadcast join, one 1-row agg; the CASE folds both sums into
+    the same aggregation pass). The ratio divides in DECIMAL and casts
+    to double rounded to 4 at the very end."""
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(18,4)")
+    rev = price * (one - disc)
+    promo = F.col("p_brand").startswith(PROMO_BRAND_PREFIX)
+    joined = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(PROMO_DATE_LO))
+            & (F.col("l_shipdate") < F.lit(PROMO_DATE_HI))
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    agg = joined.agg(
+        F.sum(F.when(promo, rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+        .alias("promo_rev"),
+        F.sum(rev).alias("total_rev"),
+    )
+    return agg.select(
+        F.round(
+            (F.lit(100).cast("decimal(18,4)") * F.col("promo_rev")
+             / F.col("total_rev")).cast("double"),
+            4,
+        ).alias("promo_pct"),
+        F.col("promo_rev").cast("double").alias("promo_rev"),
+        F.col("total_rev").cast("double").alias("total_rev"),
+    )
+
+
+ORACLE_PROMO_REVENUE_SHARE = f"""
+prs_joined AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,4))
+         * (CAST(1 AS DECIMAL(18,4))
+            - CAST(l_discount AS DECIMAL(18,4))) AS rev,
+         p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= '{PROMO_DATE_LO}' AND l_shipdate < '{PROMO_DATE_HI}'
+),
+promo_revenue_share AS (
+  SELECT round(CAST(CAST(100 AS DECIMAL(18,4))
+               * sum(CASE WHEN p_brand LIKE '{PROMO_BRAND_PREFIX}%'
+                          THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END)
+               / sum(rev) AS DOUBLE), 4) AS promo_pct,
+         CAST(sum(CASE WHEN p_brand LIKE '{PROMO_BRAND_PREFIX}%'
+                       THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END)
+              AS DOUBLE) AS promo_rev,
+         CAST(sum(rev) AS DOUBLE) AS total_rev
+  FROM prs_joined
+)
+"""
