@@ -1163,6 +1163,13 @@ def q_stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_partitioned_sink(spark, sf_dir)
 
 
+def q_stream_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE into hash-bucketed keyed state (counts add,
+    latest-wins struct max); only touched buckets rewrite per batch;
+    final state equals the batch per-user aggregate."""
+    return _ev.run_stream_merge_state(spark, sf_dir)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once dedup of an at-least-once stream (the event stream
     unioned with a redelivered copy), via watermark-bounded
@@ -1343,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_static_enrich": q_stream_static_enrich,
         "stream_partitioned_sink": q_stream_partitioned_sink,
+        "stream_merge_state": q_stream_merge_state,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1865,6 +1873,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_partitioned_sink": _ext_oracle(
             [_ev.ORACLE_STREAM_PARTITIONED_SINK], "stream_partitioned_sink"
+        ),
+        "stream_merge_state": _ext_oracle(
+            [_ev.ORACLE_STREAM_MERGE_STATE], "stream_merge_state"
         ),
         "events_type_pivot": _ext_oracle(
             [_tmp.ORACLE_USER_TYPE_PIVOT], "user_type_pivot"

@@ -1113,3 +1113,124 @@ stream_state_inspect AS (
          >= (SELECT wm_ms FROM ssi_wm)
 )
 """
+
+
+#: keyed-state MERGE sink: hash-bucket partition count of the state
+#: table (the merge granularity — only buckets touched by a batch are
+#: rewritten).
+MERGE_STATE_BUCKETS = 8
+
+
+def run_stream_merge_state(
+    spark: SparkSession, sf_dir: str, n_buckets: int = MERGE_STATE_BUCKETS
+) -> DataFrame:
+    """Streaming foreachBatch MERGE into a keyed aggregate state table
+    — the upsert/CDC companion to ``run_stream_partitioned_sink``'s
+    append shape. Each micro-batch folds into per-user running state
+    (event count + latest value), persisted as a hash-bucketed parquet
+    table where ONLY the buckets a batch touches are rewritten
+    (dynamic partition overwrite = partition-level MERGE; a table
+    format with file-level MERGE shrinks the rewrite unit further, but
+    the plan shape is identical).
+
+    Mechanics per batch:
+
+      1. partial state = one hash-agg over the batch (count + a single
+         ``max(struct(ts_ms, event_id, value))`` — the struct max IS
+         the deterministic "latest wins" rule, total-ordered by the
+         unique event_id);
+      2. prior state for the affected buckets only is unioned in and
+         re-aggregated (associative monoid: counts add, latest maxes);
+      3. the merged buckets localCheckpoint (the read and the
+         overwrite target are the same path — materializing first is
+         this file-format's snapshot isolation), then land via dynamic
+         partition overwrite.
+
+    The affected-bucket list is a driver collect of <= n_buckets ints
+    — bounded by the bucket count, never by data. The source is staged
+    as multiple files consumed one per trigger, so the merge genuinely
+    runs across many micro-batches; the final table must equal the
+    batch-mode per-user aggregate — oracle-checked.
+    """
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="stream_merge_")
+    src, target = f"{root}/src", f"{root}/state"
+
+    batch_events = load_table(spark, sf_dir, "events")
+    batch_events.repartitionByRange(6, "ts").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    bucket = F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("bucket")
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.max(
+                F.struct(
+                    F.unix_millis("ts").alias("ts_ms"),
+                    F.col("event_id").alias("eid"),
+                    F.col("value").alias("v"),
+                )
+            ).alias("last"),
+        )
+        if os.path.isdir(target):
+            touched = [
+                r["bucket"]
+                for r in partial.select(
+                    F.pmod("user_id", F.lit(n_buckets)).alias("bucket")
+                )
+                .distinct()
+                .collect()
+            ]
+            old = spark.read.parquet(target).filter(
+                F.col("bucket").isin(touched)
+            ).select("user_id", "n_events", "last")
+            partial = (
+                old.unionByName(partial)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.max("last").alias("last"),
+                )
+            )
+        merged = partial.select(
+            "user_id", "n_events", "last", bucket
+        ).localCheckpoint(eager=True)
+        from ..sources.sinks import upsert_partitions
+
+        upsert_partitions(spark, merged, target, ["bucket"])
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target).select(
+        "user_id",
+        "n_events",
+        F.col("last.ts_ms").alias("last_ts_ms"),
+        F.col("last.v").alias("last_value"),
+    )
+
+
+ORACLE_STREAM_MERGE_STATE = """
+stream_merge_state AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         epoch_ms(max(ts)) AS last_ts_ms,
+         arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS last_value
+  FROM events
+  GROUP BY user_id
+)
+"""
