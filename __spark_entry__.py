@@ -699,6 +699,19 @@ def q_sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sqlapi.sql_lateral_top_orders(spark, sf_dir)
 
 
+def q_sql_customer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE) ancestor-chain walk over a
+    synthetic 7-ary customer hierarchy; declarative transitive
+    closure, fixpoint-equal in both engines."""
+    return _sqlapi.sql_customer_chain(spark, sf_dir)
+
+
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training step one: adjacent char-pair counts over
+    the frequency-weighted vocabulary (never raw text)."""
+    return _text.bpe_first_merges(_docs(spark, sf_dir))
+
+
 def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic: top-k heaviest user_ids with exact
     integer per-mille share of all rows."""
@@ -1402,6 +1415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_small_qty_revenue": q_sql_small_qty_revenue,
         "sql_pipe_priority_stats": q_sql_pipe_priority_stats,
         "sql_lateral_top_orders": q_sql_lateral_top_orders,
+        "sql_customer_chain": q_sql_customer_chain,
+        "text_bpe_pairs": q_text_bpe_pairs,
         "events_skew_report": q_events_skew_report,
         "xml_ingest_events": q_xml_ingest_events,
         "events_ewma": q_events_ewma,
@@ -1708,6 +1723,14 @@ def oracle_sql() -> dict[str, str]:
         "sql_pipe_priority_stats": _ext_oracle(
             [_sqlapi.ORACLE_SQL_PIPE_PRIORITY_STATS],
             "sql_pipe_priority_stats",
+        ),
+        "sql_customer_chain": _ext_oracle(
+            [_sqlapi.ORACLE_SQL_CUSTOMER_CHAIN],
+            "sql_customer_chain",
+            recursive=True,
+        ),
+        "text_bpe_pairs": _ext_oracle(
+            [_text.oracle_bpe_first_merges()], "bpe_first_merges"
         ),
         "sql_lateral_top_orders": _ext_oracle(
             [_sqlapi.ORACLE_SQL_LATERAL_TOP_ORDERS],

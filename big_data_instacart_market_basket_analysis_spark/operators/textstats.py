@@ -1603,3 +1603,63 @@ bm25_search AS (
   LIMIT {k}
 )
 """
+
+
+#: BPE pair-count surface: top-k adjacent character pairs.
+BPE_TOP_PAIRS = 20
+
+
+def bpe_first_merges(docs: DataFrame, k: int = BPE_TOP_PAIRS) -> DataFrame:
+    """Tokenizer training, step one: corpus-wide adjacent character
+    pair counts — the statistic the first BPE merge maximizes
+    (Sennrich's public byte-pair-encoding recipe).
+
+    The scale trick: pair counting runs over the DISTINCT-WORD
+    VOCABULARY weighted by word frequency, never over raw text. The
+    corpus-sized stage is one word-count hash-agg (map-side partial,
+    Zipf-bounded output); the character-bigram explode touches only
+    vocabulary rows (orders of magnitude smaller, and bounded by
+    vocabulary size regardless of corpus scale). Each BPE iteration
+    repeats this same plan on the re-segmented vocabulary.
+    """
+    vocab = (
+        docs.select(F.explode(_tokens_col()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    # length-1 words carry no pairs; the filter also keeps Spark's
+    # sequence() off the start>stop case (which counts DOWN, not empty)
+    pairs = vocab.filter(F.length("w") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n_pair"))
+        .orderBy(F.desc("n_pair"), "pair")
+        .limit(k)
+    )
+
+
+def oracle_bpe_first_merges(k: int = BPE_TOP_PAIRS) -> str:
+    return f"""
+bpe_vocab AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents)
+  GROUP BY w
+),
+bpe_exploded AS (
+  SELECT freq, substr(w, CAST(i AS INT), 2) AS pair
+  FROM (SELECT w, freq, unnest(range(1, length(w))) AS i FROM bpe_vocab)
+),
+bpe_first_merges AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS n_pair
+  FROM bpe_exploded
+  GROUP BY pair
+  ORDER BY n_pair DESC, pair
+  LIMIT {k}
+)
+"""

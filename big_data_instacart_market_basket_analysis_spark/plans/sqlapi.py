@@ -431,3 +431,57 @@ sql_lateral_top_orders AS (
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
 )
 """
+
+
+#: synthetic 7-ary hierarchy over customers: parent(c) = (c-1) DIV 7,
+#: rooted at customer 0 — gives the recursive CTE a real multi-level
+#: tree without needing a parent column in the fixture.
+CHAIN_FANOUT = 7
+
+
+def sql_customer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``) walking each
+    customer's ancestor chain to the root of a synthetic 7-ary
+    hierarchy; returns per-customer depth and chain length.
+
+    Iterative transitive closure expressed declaratively — the SQL
+    twin of the DataFrame-side label-propagation loops (PageRank,
+    connected components). Spark executes the recursion as iterated
+    union steps; rows stop recursing once they hit the root, so each
+    step shrinks. DuckDB replays the identical recursion — fixpoint
+    equality is exactly what the hash checks.
+    """
+    register_all(spark, sf_dir)
+    q = f"""
+        WITH RECURSIVE up AS (
+          SELECT c_custkey, c_custkey AS anc, 0 AS depth FROM customer
+          UNION ALL
+          SELECT c_custkey,
+                 CAST(floor((anc - 1) / {CHAIN_FANOUT}) AS BIGINT) AS anc,
+                 depth + 1 AS depth
+          FROM up WHERE anc > 0
+        )
+        SELECT c_custkey,
+               CAST(max(depth) AS BIGINT) AS depth,
+               CAST(count(*) AS BIGINT) AS chain_len
+        FROM up GROUP BY c_custkey
+    """
+    return spark.sql(q)
+
+
+ORACLE_SQL_CUSTOMER_CHAIN = f"""
+up AS (
+  SELECT c_custkey, c_custkey AS anc, 0 AS depth FROM customer
+  UNION ALL
+  SELECT c_custkey,
+         CAST(floor((anc - 1) / {CHAIN_FANOUT}) AS BIGINT) AS anc,
+         depth + 1 AS depth
+  FROM up WHERE anc > 0
+),
+sql_customer_chain AS (
+  SELECT c_custkey,
+         CAST(max(depth) AS BIGINT) AS depth,
+         CAST(count(*) AS BIGINT) AS chain_len
+  FROM up GROUP BY c_custkey
+)
+"""
