@@ -1293,6 +1293,15 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-join view maintenance: standing agg + three delta-bounded
+    joins, partial-agged before the merge; equals full recompute."""
+    return _rel.incremental_join_view(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end RAG retrieval in one plan: chunk -> deterministic
     embed -> broadcast top-k cosine -> greedy word-budget pack."""
@@ -1466,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "rag_context_pack": q_rag_context_pack,
         "idle_rich_customers": q_idle_rich_customers,
+        "incremental_join_view": q_incremental_join_view,
         "promo_revenue_share": q_promo_revenue_share,
         # slow rows-only queries last (ML trains models; media runs the
         # stub codec): if a driver budget truncates the run, hash-checked
@@ -1870,6 +1880,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "idle_rich_customers": _ext_oracle(
             [_rel.oracle_idle_rich_customers()], "idle_rich_customers"
+        ),
+        "incremental_join_view": _ext_oracle(
+            [_rel.ORACLE_INCREMENTAL_JOIN_VIEW], "incremental_join_view"
         ),
         "promo_revenue_share": _ext_oracle(
             [_rel.ORACLE_PROMO_REVENUE_SHARE], "promo_revenue_share"

@@ -1038,3 +1038,89 @@ promo_revenue_share AS (
   FROM prs_joined
 )
 """
+
+
+def _delta_split(df: DataFrame, key: str, mod: int) -> tuple:
+    """Deterministic base/delta split: delta = rows whose key is
+    divisible by ``mod`` (stand-in for 'the new batch')."""
+    is_delta = F.col(key) % mod == 0
+    return df.filter(~is_delta), df.filter(is_delta)
+
+
+#: delta-split moduli for the two fact sides.
+IVM_ORDERS_MOD = 10
+IVM_LINEITEM_MOD = 7
+
+
+def incremental_join_view(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Incremental maintenance of a JOIN view: the revenue-per-priority
+    aggregate over orders JOIN lineitem, updated with delta batches on
+    BOTH sides using the textbook delta-join algebra
+
+        V(A + dA, B + dB) = agg( A><B  +  dA><B  +  A><dB  +  dA><dB )
+
+    The standing term A><B is aggregated ONCE (in production it is the
+    stored view); at update time only the three delta joins run — each
+    bounded by a delta's size, never a full fact-fact rejoin. All four
+    terms partial-aggregate to the tiny group domain BEFORE the merge,
+    so the final re-aggregation is over 4x|groups| rows. The oracle
+    recomputes the view from scratch — the hash-match proves the
+    algebra lossless. Money in DECIMAL (exact merge; float partials
+    would drift by accumulation order).
+    """
+    a, da = _delta_split(orders, "o_orderkey", IVM_ORDERS_MOD)
+    b, db = _delta_split(lineitem, "l_orderkey", IVM_LINEITEM_MOD)
+
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)")
+           - F.col("l_discount").cast("decimal(18,4)"))
+    )
+
+    def term(o_side: DataFrame, l_side: DataFrame) -> DataFrame:
+        return (
+            o_side.select("o_orderkey", "o_orderpriority")
+            .join(
+                l_side.select(
+                    F.col("l_orderkey").alias("o_orderkey"),
+                    rev.alias("rev"),
+                ),
+                "o_orderkey",
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum("rev").alias("revenue_dec"),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    merged = (
+        term(a, b)          # standing view (stored, not recomputed, in prod)
+        .unionByName(term(da, b))
+        .unionByName(term(a, db))
+        .unionByName(term(da, db))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("revenue_dec").alias("revenue_dec"),
+            F.sum("n_items").alias("n_items"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        "n_items",
+    )
+
+
+ORACLE_INCREMENTAL_JOIN_VIEW = """
+incremental_join_view AS (
+  SELECT o_orderpriority,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4))
+                     - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS revenue,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderpriority
+)
+"""

@@ -82,3 +82,43 @@ def test_ensure_session_defaults_applies_semantic_confs(spark):
             str(spark.sparkContext.defaultParallelism),
         )
         L._tuned_sessions.discard(id(spark))
+
+
+def test_merge_schema_reads_evolving_batches(spark, tmp_path):
+    """Schema evolution: a later batch adds a column; reading with
+    mergeSchema unifies the schema and nulls the missing values —
+    the ingestion contract for a long-lived 100 TB table whose
+    producers add fields over time."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id BIGINT, name STRING"
+    ).write.parquet(f"{p}/batch=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id BIGINT, name STRING, score DOUBLE"
+    ).write.parquet(f"{p}/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert {"id", "name", "score", "batch"} == set(df.columns)
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_ignore_corrupt_files_skips_bad_parquet(spark, tmp_path):
+    """Corrupt-file tolerance: with ignoreCorruptFiles a truncated
+    parquet part is skipped instead of failing the whole scan (at
+    fleet scale some file WILL be bad; one bad part must not kill a
+    100 TB read). Default behavior (fail loud) is also asserted."""
+    import pytest as _pt
+
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id BIGINT, v STRING"
+    ).coalesce(1).write.parquet(p)
+    (tmp_path / "tbl" / "part-corrupt.parquet").write_bytes(
+        b"PAR1 this is not a real parquet footer"
+    )
+    with _pt.raises(Exception):
+        spark.read.parquet(p).count()
+    n = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(p).count()
+    )
+    assert n == 10
