@@ -947,6 +947,12 @@ def q_docs_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _samp.lang_temperature_sample(_docs(spark, sf_dir))
 
 
+def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (non-null/range/accepted/
+    unique) in two passes total; long-format CI report."""
+    return _prof.orders_expectations(load_table(spark, sf_dir, "orders"))
+
+
 def q_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of documents: one aggregation pass emitting
     per-column nulls / distincts / min / max."""
@@ -1456,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interarrival": q_events_interarrival,
         "events_salted_join": q_events_salted_join,
         "ref_integrity_audit": q_ref_integrity_audit,
+        "orders_expectations": q_orders_expectations,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "customer_returns": q_customer_returns,
@@ -1846,6 +1853,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ref_integrity_audit": _ext_oracle(
             [_prof.ORACLE_REF_INTEGRITY], "ref_integrity_audit"
+        ),
+        "orders_expectations": _ext_oracle(
+            [_prof.oracle_orders_expectations()], "orders_expectations"
         ),
         "pricing_summary": _ext_oracle(
             [_rel.ORACLE_PRICING_SUMMARY], "pricing_summary"

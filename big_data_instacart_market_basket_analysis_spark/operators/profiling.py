@@ -323,3 +323,103 @@ fast_stats_profile AS (
   FROM part
 )
 """
+
+
+#: accepted-values domain for the priority expectation.
+EXPECTED_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+
+
+def orders_expectations(orders: DataFrame) -> DataFrame:
+    """Declarative data-quality expectations over ``orders`` (the
+    dbt-test / Great-Expectations staple), evaluated in TWO passes
+    total regardless of how many expectations are declared:
+
+      - all row-local checks (non-null, range, accepted values) fold
+        into ONE conditional-sum aggregation — a map-side pass that
+        fuses into any scan at 100 TB;
+      - the one non-local check (key uniqueness) is ONE hash-agg on
+        the key (count>1 groups), the minimum any engine must pay.
+
+    Output is the long-format report (expectation, n_violations,
+    passed) a CI gate consumes. Composes with ``ref_integrity_audit``
+    for cross-table FK expectations.
+    """
+    viol = orders.agg(
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias(
+            "key_not_null"
+        ),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias(
+            "totalprice_positive"
+        ),
+        F.sum(
+            (~F.col("o_orderpriority").isin(*EXPECTED_PRIORITIES)).cast(
+                "long"
+            )
+        ).alias("priority_accepted"),
+        F.sum(
+            (
+                (F.col("o_orderdate") < F.lit("1990-01-01"))
+                | (F.col("o_orderdate") >= F.lit("2030-01-01"))
+            ).cast("long")
+        ).alias("orderdate_in_range"),
+    )
+    dup_keys = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count("*").cast("long").alias("key_unique"))
+    )
+    long = viol.crossJoin(dup_keys).unpivot(
+        [], 
+        [
+            "key_not_null",
+            "totalprice_positive",
+            "priority_accepted",
+            "orderdate_in_range",
+            "key_unique",
+        ],
+        "expectation",
+        "n_violations",
+    )
+    return long.select(
+        "expectation",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def oracle_orders_expectations() -> str:
+    accepted = ", ".join(f"'{p}'" for p in EXPECTED_PRIORITIES)
+    return f"""
+exp_viol AS (
+  SELECT
+    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS key_not_null,
+    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS totalprice_positive,
+    CAST(sum(CASE WHEN o_orderpriority NOT IN ({accepted})
+             THEN 1 ELSE 0 END) AS BIGINT) AS priority_accepted,
+    CAST(sum(CASE WHEN o_orderdate < '1990-01-01'
+                    OR o_orderdate >= '2030-01-01'
+             THEN 1 ELSE 0 END) AS BIGINT) AS orderdate_in_range
+  FROM orders
+),
+exp_dups AS (
+  SELECT CAST(count(*) AS BIGINT) AS key_unique
+  FROM (SELECT o_orderkey FROM orders
+        GROUP BY o_orderkey HAVING count(*) > 1)
+),
+orders_expectations AS (
+  SELECT expectation, n_violations, n_violations = 0 AS passed
+  FROM (
+    SELECT unnest(['key_not_null', 'totalprice_positive',
+                   'priority_accepted', 'orderdate_in_range',
+                   'key_unique']) AS expectation,
+           unnest([v.key_not_null, v.totalprice_positive,
+                   v.priority_accepted, v.orderdate_in_range,
+                   d.key_unique]) AS n_violations
+    FROM exp_viol v CROSS JOIN exp_dups d)
+)
+"""

@@ -339,3 +339,44 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rag_pack_broadcasts_queries_no_corpus_preshuffle(spark):
+    """RAG retrieval: the |Q| query vectors must broadcast onto the
+    chunk table; the corpus-sized relation shuffles only at the
+    per-query top-k window (one Exchange on query_id), never before
+    scoring."""
+    plan = _plan(spark, "rag_context_pack")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_suppliers_waiting_single_fact_agg_no_correlation(spark):
+    """The decorrelated Q21 plan must contain no per-row subquery
+    artifacts: exactly hash-joins/aggs over lineitem, with the
+    supplier dim broadcast."""
+    plan = _plan(spark, "suppliers_waiting")
+    assert "BroadcastHashJoin" in plan, plan
+    # no nested-loop execution of the EXISTS pair
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_join_view_partial_aggregates(spark):
+    """Each delta term must partial-aggregate to the group domain
+    before the final merge: HashAggregate count strictly exceeds the
+    4 final-merge aggs, and the merge input is a union of agg outputs
+    (no re-join of merged partials)."""
+    plan = _plan(spark, "incremental_join_view")
+    assert plan.count("HashAggregate") >= 8, plan
+    assert "Union" in plan, plan
+
+
+def test_scd2_single_user_exchange(spark):
+    """SCD2 build: both windows and the interval agg share ONE
+    user_id exchange (plus AQE artifacts at most) — a second data
+    exchange would re-shuffle the event log."""
+    import re
+
+    plan = _plan(spark, "events_user_scd2")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, (n_exchange, plan)
