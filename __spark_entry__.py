@@ -1269,6 +1269,12 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD-based outlier stats per event type (exact medians;
+    sketch-swappable at scale)."""
+    return _tmp.mad_outlier_stats(load_table(spark, sf_dir, "events"))
+
+
 def q_events_user_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build (gaps-and-islands): per-user
     event_type runs to versioned validity intervals, one shuffle."""
@@ -1477,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_variant_rollup": q_events_variant_rollup,
         "events_rolling_hour": q_events_rolling_hour,
         "events_user_scd2": q_events_user_scd2,
+        "events_mad_outliers": q_events_mad_outliers,
         "suppliers_waiting": q_suppliers_waiting,
         "top_supplier_revenue": q_top_supplier_revenue,
         "text_bm25": q_text_bm25,
@@ -1880,6 +1887,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_user_scd2": _ext_oracle(
             [_tmp.ORACLE_USER_STATE_SCD2], "user_state_scd2"
+        ),
+        "events_mad_outliers": _ext_oracle(
+            [_tmp.ORACLE_MAD_OUTLIERS], "mad_outlier_stats"
         ),
         "text_bm25": _ext_oracle(
             [_text.oracle_bm25_search()], "bm25_search"

@@ -1190,3 +1190,75 @@ user_state_scd2 AS (
   FROM scd_intervals
 )
 """
+
+
+#: MAD outlier rule: |x - median| > K * MAD (the robust-statistics
+#: convention; 3 approximates "3 sigma" for normal data x 1.4826).
+MAD_K = 3.0
+
+
+def mad_outlier_stats(events: DataFrame) -> DataFrame:
+    """Robust per-type outlier detection via Median Absolute Deviation
+    — the heavy-tail-safe alternative to z-scores (mean/stddev are
+    themselves dragged by the outliers they're meant to find).
+
+    Two grouped exact-percentile aggregations (median of value, then
+    median of |value - median|), then one conditional count against
+    the broadcast per-type thresholds. Three passes over the events
+    scan, each a hash-agg on event_type (a handful of groups — the
+    shuffles move only group-sized state). Exact medians at 100 TB
+    would switch to ``approx_percentile`` sketches; the plan shape is
+    unchanged, which is why the exact form is the right oracle here.
+    Medians round(4) per the repo float rule.
+    """
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = (
+        events.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", F.abs(F.col("value") - F.col("med")).alias("d")
+        )
+        .groupBy("event_type")
+        .agg(F.expr("percentile(d, 0.5)").alias("mad"))
+    )
+    stats = med.join(dev, "event_type")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 4).alias("median"),
+            F.round(F.min("mad"), 4).alias("mad"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(MAD_K) * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+ORACLE_MAD_OUTLIERS = f"""
+mad_med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+),
+mad_dev AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN mad_med m USING (event_type)
+  GROUP BY 1
+),
+mad_outlier_stats AS (
+  SELECT e.event_type,
+         round(min(m.med), 4) AS median,
+         round(min(d.mad), 4) AS mad,
+         CAST(sum(CASE WHEN abs(e.value - m.med) > {MAD_K} * d.mad
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events e
+  JOIN mad_med m USING (event_type)
+  JOIN mad_dev d USING (event_type)
+  GROUP BY 1
+)
+"""
