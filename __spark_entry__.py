@@ -1085,6 +1085,18 @@ def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.media_frame_samples_query(_docs(spark, sf_dir))
 
 
+def q_media_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize, binary->binary mapInPandas (digest
+    surfaced; rows-only)."""
+    return _mm.media_resized_query(_docs(spark, sf_dir))
+
+
+def q_media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit-PCM windowed RMS/peak features (integer-exact, real
+    computation, rows-only)."""
+    return _mm.media_audio_windows_query(_docs(spark, sf_dir))
+
+
 def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.tumbling_hourly(load_table(spark, sf_dir, "events"))
 
@@ -1502,6 +1514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_submission_dt": q_ml_submission_dt,
         "media_features": q_media_features,
         "media_frame_samples": q_media_frame_samples,
+        "media_resized": q_media_resized,
+        "media_audio_windows": q_media_audio_windows,
     }
 
 

@@ -169,3 +169,137 @@ def media_features_query(docs: DataFrame) -> DataFrame:
     deterministic: digest/width/height are pure functions of the bytes.
     """
     return decode_media(media_from_documents(docs), fake=True)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+#: resize bounding box (longest side fits; aspect ratio preserved).
+RESIZE_BOX = 32
+
+
+def resize_media(
+    media: DataFrame, box: int = RESIZE_BOX, fake: bool = False
+) -> DataFrame:
+    """Resize stage: binary in -> binary out through Arrow-batched
+    ``mapInPandas`` — the full blob-transform contract (a real codec
+    decodes, resamples to fit ``box``, re-encodes; the stub derives
+    source dims from content bytes, computes the aspect-preserving
+    target dims exactly as the real op would, and emits a
+    deterministic ``out_width*out_height``-byte payload).
+
+    The binary OUTPUT column is the point: downstream stages (feature
+    extraction, packing into training shards) consume resized blobs,
+    so the plumbing must round-trip binary through Arrow in both
+    directions — that is what the unit test pins.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "no media codec libraries in this environment; "
+            "pass fake=True for the deterministic stub resizer"
+        )
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in RESIZE_SCHEMA.fieldNames()}
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                b = bytes(blob)
+                _, w, h = _fake_decode(b)
+                scale = box / max(w, h)
+                ow = max(1, round(w * scale))
+                oh = max(1, round(h * scale))
+                seed = hashlib.md5(b + f":{ow}x{oh}".encode()).digest()
+                out = (seed * (ow * oh // len(seed) + 1))[: ow * oh]
+                rows["media_id"].append(mid)
+                rows["src_width"].append(w)
+                rows["src_height"].append(h)
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["resized"].append(out)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms_milli", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+#: audio windowing: samples per analysis window.
+AUDIO_WINDOW = 256
+
+
+def audio_windows(
+    media: DataFrame, window: int = AUDIO_WINDOW
+) -> DataFrame:
+    """Audio feature extraction: treat the payload as 8-bit PCM and
+    emit per-window RMS energy and peak — REAL computation (bytes ARE
+    the samples; no codec library involved), vectorized with numpy
+    inside Arrow batches. One row amplifies to ceil(n_bytes/window)
+    rows of small features; blobs never cross the shuffle.
+
+    RMS surfaces as integral milli-units (floor), keeping the output
+    integer-exact — the same determinism rule the z-score/stateful
+    operators follow.
+    """
+    import math
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in AUDIO_SCHEMA.fieldNames()}
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                samples = np.frombuffer(bytes(blob), dtype=np.uint8)
+                n_win = math.ceil(len(samples) / window) if len(samples) else 0
+                for i in range(n_win):
+                    chunk = samples[i * window : (i + 1) * window]
+                    sq = chunk.astype(np.float64) ** 2
+                    rms = math.sqrt(float(sq.mean()))
+                    rows["media_id"].append(mid)
+                    rows["window_idx"].append(i)
+                    rows["n_samples"].append(len(chunk))
+                    rows["rms_milli"].append(int(rms * 1000))
+                    rows["peak"].append(int(chunk.max()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+def media_resized_query(docs: DataFrame) -> DataFrame:
+    """Declared query: aspect-preserving resize with binary output
+    (rows-only; deterministic stub codec)."""
+    r = resize_media(media_from_documents(docs), fake=True)
+    # surface a digest instead of raw bytes so the driver's value
+    # model (no binary comparison) stays simple; the binary column
+    # itself is pinned by the unit test.
+    return r.select(
+        "media_id",
+        "src_width",
+        "src_height",
+        "out_width",
+        "out_height",
+        F.md5("resized").alias("resized_md5"),
+        F.length("resized").alias("n_out_bytes"),
+    )
+
+
+def media_audio_windows_query(docs: DataFrame) -> DataFrame:
+    """Declared query: 8-bit-PCM windowed RMS/peak features
+    (rows-only; integer-exact, no codec dependency)."""
+    return audio_windows(media_from_documents(docs))

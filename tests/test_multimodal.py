@@ -43,3 +43,59 @@ def test_frame_sampling_expansion(media):
     assert frames.count() == n_media * mm.N_FRAMES
     one = frames.filter(frames.media_id == 0).collect()
     assert sorted(r["frame_idx"] for r in one) == list(range(mm.N_FRAMES))
+
+
+def test_resize_round_trips_binary_and_preserves_aspect(spark):
+    """Binary->binary Arrow round-trip: output payload is exactly
+    out_width*out_height bytes, deterministic, and the target dims
+    fit the box preserving aspect ratio."""
+    import hashlib
+
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        multimodal as mm,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = mm.media_from_documents(docs.limit(20))
+    rows = mm.resize_media(media, fake=True).collect()
+    src = {r["media_id"]: bytes(r["media"]) for r in media.collect()}
+    assert rows
+    for r in rows:
+        assert max(r["out_width"], r["out_height"]) <= mm.RESIZE_BOX
+        assert len(bytes(r["resized"])) == r["out_width"] * r["out_height"]
+        seed = hashlib.md5(
+            src[r["media_id"]]
+            + f":{r['out_width']}x{r['out_height']}".encode()
+        ).digest()
+        want = (seed * (r["out_width"] * r["out_height"] // len(seed) + 1))[
+            : r["out_width"] * r["out_height"]
+        ]
+        assert bytes(r["resized"]) == want
+
+
+def test_audio_windows_match_python_reference(spark):
+    """Windowed RMS/peak equal a pure-Python reference over the same
+    bytes (integer-exact contract)."""
+    import math
+
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        multimodal as mm,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = mm.media_from_documents(docs.limit(10))
+    got = {
+        (r["media_id"], r["window_idx"]): r
+        for r in mm.audio_windows(media).collect()
+    }
+    assert got
+    for r in media.collect():
+        b = bytes(r["media"])
+        w = mm.AUDIO_WINDOW
+        for i in range(math.ceil(len(b) / w)):
+            chunk = b[i * w : (i + 1) * w]
+            rms = math.sqrt(sum(x * x for x in chunk) / len(chunk))
+            row = got[(r["media_id"], i)]
+            assert row["n_samples"] == len(chunk)
+            assert row["rms_milli"] == int(rms * 1000)
+            assert row["peak"] == max(chunk)
