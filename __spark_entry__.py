@@ -28,6 +28,9 @@ from big_data_instacart_market_basket_analysis_spark.operators import (
 )
 from big_data_instacart_market_basket_analysis_spark.ml import models as _ml
 from big_data_instacart_market_basket_analysis_spark.operators import (
+    analytics as _ana,
+)
+from big_data_instacart_market_basket_analysis_spark.operators import (
     basket as _bask,
 )
 from big_data_instacart_market_basket_analysis_spark.operators import (
@@ -1326,6 +1329,78 @@ def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped: EXISTS with a cross-table date predicate,
+    planned as a left-semi hash join; window pushed to the orders scan."""
+    return _ana.late_order_priorities(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_bloc_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped: dual-aliased nation dim joins, bloc filters
+    pruning supplier/customer before fact contact."""
+    return _ana.bloc_trade_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_nation_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped: 5-way join, decimal-exact profit per
+    (supplier nation, order year)."""
+    return _ana.nation_part_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped: grouped value vs broadcast scalar total with
+    a scale-free cross-multiplied threshold (no division, no float)."""
+    return _ana.important_parts(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def q_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H-Q13-shaped: LEFT join with compound condition + double
+    aggregation; zero-order customers preserved."""
+    return _ana.customer_order_distribution(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped: OR-of-ANDs predicate with the part-side
+    disjunction explicitly pre-applied to the broadcast build side."""
+    return _ana.disjunctive_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_excess_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped: nested IN decomposed to HAVING agg ->
+    distinct keys -> left-semi join."""
+    return _ana.excess_part_suppliers(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end RAG retrieval in one plan: chunk -> deterministic
     embed -> broadcast top-k cosine -> greedy word-budget pack."""
@@ -1502,6 +1577,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_context_pack": q_rag_context_pack,
         "idle_rich_customers": q_idle_rich_customers,
         "incremental_join_view": q_incremental_join_view,
+        "late_order_priorities": q_late_order_priorities,
+        "bloc_trade_volume": q_bloc_trade_volume,
+        "nation_part_profit": q_nation_part_profit,
+        "important_parts": q_important_parts,
+        "customer_order_distribution": q_customer_order_distribution,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "excess_part_suppliers": q_excess_part_suppliers,
         "promo_revenue_share": q_promo_revenue_share,
         # slow rows-only queries last (ML trains models; media runs the
         # stub codec): if a driver budget truncates the run, hash-checked
@@ -1914,6 +1996,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "idle_rich_customers": _ext_oracle(
             [_rel.oracle_idle_rich_customers()], "idle_rich_customers"
+        ),
+        "late_order_priorities": _ext_oracle(
+            [_ana.ORACLE_LATE_ORDER_PRIORITIES], "late_order_priorities"
+        ),
+        "bloc_trade_volume": _ext_oracle(
+            [_ana.ORACLE_BLOC_TRADE_VOLUME], "bloc_trade_volume"
+        ),
+        "nation_part_profit": _ext_oracle(
+            [_ana.ORACLE_NATION_PART_PROFIT], "nation_part_profit"
+        ),
+        "important_parts": _ext_oracle(
+            [_ana.ORACLE_IMPORTANT_PARTS], "important_parts"
+        ),
+        "customer_order_distribution": _ext_oracle(
+            [_ana.ORACLE_CUSTOMER_ORDER_DISTRIBUTION],
+            "customer_order_distribution",
+        ),
+        "disjunctive_revenue": _ext_oracle(
+            [_ana.ORACLE_DISJUNCTIVE_REVENUE], "disjunctive_revenue"
+        ),
+        "excess_part_suppliers": _ext_oracle(
+            [_ana.ORACLE_EXCESS_PART_SUPPLIERS], "excess_part_suppliers"
         ),
         "incremental_join_view": _ext_oracle(
             [_rel.ORACLE_INCREMENTAL_JOIN_VIEW], "incremental_join_view"

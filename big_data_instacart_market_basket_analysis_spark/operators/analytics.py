@@ -1,0 +1,492 @@
+"""TPC-H-shaped analytics queries completing the classic plan-shape family.
+
+Round-2 continuation: the seven remaining canonical shapes not yet
+covered by ``operators/relational.py`` (which has Q1/Q3/Q5/Q10/Q14/Q15/
+Q16/Q17/Q18/Q21/Q22 shapes). Each query is a Catalyst-native DataFrame
+plan with a colocated DuckDB oracle CTE; money math is DECIMAL-exact
+end-to-end and cast to double only at the output edge (the repo's float
+rule), so the order-insensitive value hash is stable across engines.
+
+Shapes and their scale story:
+
+- Q4  (``late_order_priorities``): EXISTS with a cross-table predicate
+  -> left-semi hash join on the order key; the 3-month order window is
+  pushed to the orders scan, so the semi-join probe side is tiny.
+- Q7  (``bloc_trade_volume``): dual-aliased dim join (nation twice)
+  feeding a multi-fact join; nation is broadcast on both arms, the
+  bloc filter prunes supplier/customer BEFORE the fact join.
+- Q9  (``nation_part_profit``): 5-way join with a substring part
+  filter; part/supplier/nation broadcast, single hash-agg on
+  (nation, year).
+- Q11 (``important_parts``): grouped value + scalar-total comparison.
+  The threshold is scale-free (value > 2x the mean part value) and the
+  comparison is integer-decimal cross-multiplied (val*n > 2*total) so
+  no division or float enters the predicate.
+- Q13 (``customer_order_distribution``): LEFT join with a compound
+  join condition, then a double aggregation (per-customer count ->
+  count histogram). Customers with zero orders survive via the outer
+  join — the classic distribution-including-zeros trap.
+- Q19 (``disjunctive_revenue``): OR-of-ANDs multi-column predicate.
+  The part-side disjuncts are explicitly pre-applied to the part scan
+  (each disjunct constrains the part columns, so the OR of part-only
+  conjuncts is implied) — constraint propagation Catalyst does not
+  derive on its own; the full predicate still applies post-join.
+- Q20 (``excess_part_suppliers``): nested IN decomposed into
+  HAVING-agg -> distinct keys -> left-semi join; the aggregate runs
+  on the (suppkey, partkey) grain BEFORE any supplier-side work, so
+  state is bounded by the filtered part-lines only.
+
+All seven would survive a 100x scale-up: every dim side is broadcast
+or semi-filtered before fact contact, every aggregate is a single
+hash-agg on bounded key domains, and no predicate needs a sort or a
+window over the full fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_DEC = "decimal(18,4)"
+
+
+def _rev() -> F.Column:
+    """Exact line revenue: extendedprice * (1 - discount) in DECIMAL."""
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    one = F.lit(1).cast(_DEC)
+    return price * (one - disc)
+
+
+# --------------------------------------------------------------------------
+# Q4 shape: EXISTS -> left-semi join with cross-table predicate
+# --------------------------------------------------------------------------
+
+LATE_WINDOW_LO = "1996-07-01"
+LATE_WINDOW_HI = "1996-10-01"
+LATE_GRACE_DAYS = 30
+
+
+def late_order_priorities(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q4-shaped: orders in a 3-month window having at least one
+    line shipped more than 30 days after the order date, counted per
+    priority. The EXISTS becomes a LEFT SEMI hash join whose condition
+    references both sides (l_shipdate > o_orderdate + 30d) — Spark
+    keeps the equi-part (orderkey) as the join key and evaluates the
+    date predicate as a join filter, so no fan-out ever materializes."""
+    windowed = orders.filter(
+        (F.col("o_orderdate") >= F.lit(LATE_WINDOW_LO))
+        & (F.col("o_orderdate") < F.lit(LATE_WINDOW_HI))
+    )
+    late = (
+        F.col("l_orderkey") == F.col("o_orderkey")
+    ) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_GRACE_DAYS} DAYS")
+    )
+    return (
+        windowed.join(lineitem.select("l_orderkey", "l_shipdate"), late, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+ORACLE_LATE_ORDER_PRIORITIES = f"""
+late_order_priorities AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders o
+  WHERE o_orderdate >= '{LATE_WINDOW_LO}' AND o_orderdate < '{LATE_WINDOW_HI}'
+    AND EXISTS (SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate
+                                     + INTERVAL {LATE_GRACE_DAYS} DAY)
+  GROUP BY o_orderpriority
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q7 shape: dual-aliased nation dim, cross-bloc trade volume per year
+# --------------------------------------------------------------------------
+
+BLOC_MOD = 5
+BLOC_A = 1
+BLOC_B = 2
+TRADE_LO = "1996-01-01"
+TRADE_HI = "1998-01-01"
+
+
+def bloc_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H-Q7-shaped: shipping volume between two trade blocs
+    (nation groups ``n_nationkey % 5``) per ship year, both directions.
+    The nation dim is joined TWICE under different aliases (supplier
+    side and customer side) — the dual-alias dim pattern. Bloc
+    membership filters supplier and customer down before either
+    touches a fact table, so the two fact joins only carry rows that
+    can still qualify; nation is broadcast on both arms."""
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        (F.col("n_nationkey") % BLOC_MOD).alias("supp_bloc"),
+    ).filter(F.col("supp_bloc").isin(BLOC_A, BLOC_B))
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        (F.col("n_nationkey") % BLOC_MOD).alias("cust_bloc"),
+    ).filter(F.col("cust_bloc").isin(BLOC_A, BLOC_B))
+
+    supp = supplier.join(
+        F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key")
+    ).select("s_suppkey", "supp_bloc")
+    cust = customer.join(
+        F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey", "cust_bloc")
+
+    lines = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(TRADE_LO))
+        & (F.col("l_shipdate") < F.lit(TRADE_HI))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+
+    cross = (
+        lines.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_bloc") == BLOC_A) & (F.col("cust_bloc") == BLOC_B))
+            | ((F.col("supp_bloc") == BLOC_B) & (F.col("cust_bloc") == BLOC_A))
+        )
+    )
+    return (
+        cross.groupBy(
+            F.col("supp_bloc").cast("int").alias("supp_bloc"),
+            F.col("cust_bloc").cast("int").alias("cust_bloc"),
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.round(F.sum(_rev()).cast("double"), 2).alias("volume"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_BLOC_TRADE_VOLUME = f"""
+btv AS (
+  SELECT CAST(ns.n_nationkey % {BLOC_MOD} AS INTEGER) AS supp_bloc,
+         CAST(nc.n_nationkey % {BLOC_MOD} AS INTEGER) AS cust_bloc,
+         CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4))
+              - CAST(l_discount AS DECIMAL(18,4))) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE l_shipdate >= '{TRADE_LO}' AND l_shipdate < '{TRADE_HI}'
+    AND ((ns.n_nationkey % {BLOC_MOD} = {BLOC_A}
+          AND nc.n_nationkey % {BLOC_MOD} = {BLOC_B})
+      OR (ns.n_nationkey % {BLOC_MOD} = {BLOC_B}
+          AND nc.n_nationkey % {BLOC_MOD} = {BLOC_A}))
+),
+bloc_trade_volume AS (
+  SELECT supp_bloc, cust_bloc, ship_year,
+         round(CAST(sum(rev) AS DOUBLE), 2) AS volume,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM btv GROUP BY supp_bloc, cust_bloc, ship_year
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q9 shape: substring part filter, 5-way join, (nation, year) profit
+# --------------------------------------------------------------------------
+
+PROFIT_PART_TOKEN = "red"
+
+
+def nation_part_profit(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+) -> DataFrame:
+    """TPC-H-Q9-shaped: profit on 'red'-named parts per supplier
+    nation per order year. Profit = revenue - retail cost of the
+    shipped quantity, entirely in DECIMAL (the subtraction of two
+    scale-8 decimals is exact; float partials would drift with
+    aggregation order). part/supplier/nation broadcast; orders joins
+    on the order key only to supply the year."""
+    cost = F.col("p_retailprice").cast(_DEC) * F.col("l_quantity").cast(_DEC)
+    red_parts = part.filter(
+        F.col("p_name").contains(PROFIT_PART_TOKEN)
+    ).select("p_partkey", "p_retailprice")
+    joined = (
+        lineitem.join(F.broadcast(red_parts),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(_rev() - cost).cast("double"), 2).alias("profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_NATION_PART_PROFIT = f"""
+npp AS (
+  SELECT n_name,
+         CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4))
+              - CAST(l_discount AS DECIMAL(18,4)))
+           - CAST(p_retailprice AS DECIMAL(18,4))
+             * CAST(l_quantity AS DECIMAL(18,4)) AS amount
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%{PROFIT_PART_TOKEN}%'
+),
+nation_part_profit AS (
+  SELECT n_name, o_year,
+         round(CAST(sum(amount) AS DOUBLE), 2) AS profit,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM npp GROUP BY n_name, o_year
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11 shape: grouped value vs scalar total, scale-free threshold
+# --------------------------------------------------------------------------
+
+IMPORTANT_BLOC = 2
+IMPORTANT_MEAN_MULT = 2
+
+
+def important_parts(
+    lineitem: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H-Q11-shaped: parts whose traded value (via bloc-2
+    suppliers) exceeds ``IMPORTANT_MEAN_MULT``x the mean part value.
+    The threshold is scale-free (TPC-H's own fixed fraction must be
+    rescaled per SF; a mean multiple need not be) and the comparison
+    is cross-multiplied in exact types — ``val * n_parts > 2 *
+    total`` — so no division and no float enters the predicate. The
+    1-row (total, n_parts) aggregate is broadcast onto the grouped
+    values; the fact table is scanned once."""
+    bloc_supp = supplier.filter(
+        F.col("s_nationkey") % BLOC_MOD == IMPORTANT_BLOC
+    ).select("s_suppkey")
+    per_part = (
+        lineitem.join(F.broadcast(bloc_supp),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev()).alias("val"))
+    )
+    totals = per_part.agg(
+        F.sum("val").alias("total"), F.count("*").alias("n_parts")
+    )
+    return (
+        per_part.join(F.broadcast(totals))
+        .filter(
+            F.col("val") * F.col("n_parts")
+            > F.lit(IMPORTANT_MEAN_MULT) * F.col("total")
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("val").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+ORACLE_IMPORTANT_PARTS = f"""
+ip_val AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (CAST(1 AS DECIMAL(18,4))
+                - CAST(l_discount AS DECIMAL(18,4)))) AS val
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey % {BLOC_MOD} = {IMPORTANT_BLOC}
+  GROUP BY l_partkey
+),
+important_parts AS (
+  SELECT l_partkey, round(CAST(val AS DOUBLE), 2) AS part_value
+  FROM ip_val
+  WHERE val * (SELECT count(*) FROM ip_val)
+        > {IMPORTANT_MEAN_MULT} * (SELECT sum(val) FROM ip_val)
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q13 shape: outer join with compound condition, count histogram
+# --------------------------------------------------------------------------
+
+DIST_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H-Q13-shaped: distribution of non-urgent order counts per
+    customer, INCLUDING zero-order customers. The priority exclusion
+    must live in the JOIN CONDITION, not a WHERE clause — a post-join
+    filter would silently drop the zero-order customers the LEFT join
+    exists to preserve. Double aggregation: per-customer count (key =
+    c_custkey, perfectly uniform), then the count histogram (tiny key
+    domain), both single hash-aggs."""
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_orderpriority") != DIST_EXCLUDED_PRIORITY
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(orders.select("o_custkey", "o_orderkey", "o_orderpriority"),
+              cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("n_custs"))
+
+
+ORACLE_CUSTOMER_ORDER_DISTRIBUTION = f"""
+cod_per_cust AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey
+   AND o_orderpriority <> '{DIST_EXCLUDED_PRIORITY}'
+  GROUP BY c_custkey
+),
+customer_order_distribution AS (
+  SELECT c_count, CAST(count(*) AS BIGINT) AS n_custs
+  FROM cod_per_cust GROUP BY c_count
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19 shape: OR-of-ANDs disjunctive predicate with derived pushdown
+# --------------------------------------------------------------------------
+
+#: (brand, size_lo, size_hi, qty_lo, qty_hi) disjuncts.
+DISJUNCTS = (
+    ("Brand#1", 1, 10, 1, 20),
+    ("Brand#13", 5, 25, 10, 35),
+    ("Brand#25", 20, 50, 25, 50),
+)
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H-Q19-shaped: revenue from lines matching any of three
+    (brand, size range, quantity range) disjuncts. Every disjunct
+    constrains part columns, so the OR of the part-only conjuncts is
+    a valid derived filter on the part scan — applied explicitly
+    (Catalyst does not infer disjunctive per-side implications), which
+    shrinks the broadcast build side before the join; the full
+    cross-table OR still applies after."""
+    part_side = None
+    full = None
+    for brand, slo, shi, qlo, qhi in DISJUNCTS:
+        p = (F.col("p_brand") == brand) & F.col("p_size").between(slo, shi)
+        f = p & F.col("l_quantity").between(qlo, qhi)
+        part_side = p if part_side is None else (part_side | p)
+        full = f if full is None else (full | f)
+    pruned = part.select("p_partkey", "p_brand", "p_size").filter(part_side)
+    matched = (
+        lineitem.join(F.broadcast(pruned),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .filter(full)
+    )
+    return matched.agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum(_rev()).cast("double"), 2).alias("disc_revenue"),
+    )
+
+
+def _disjunct_sql() -> str:
+    parts = [
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+        f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in DISJUNCTS
+    ]
+    return "\n     OR ".join(parts)
+
+
+ORACLE_DISJUNCTIVE_REVENUE = f"""
+disjunctive_revenue AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_lines,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l_discount AS DECIMAL(18,4))))
+                    AS DOUBLE), 2) AS disc_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE {_disjunct_sql()}
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20 shape: nested IN -> HAVING agg -> distinct keys -> left-semi join
+# --------------------------------------------------------------------------
+
+EXCESS_PART_TOKEN = "red"
+EXCESS_QTY_THRESHOLD = 50
+
+
+def excess_part_suppliers(
+    supplier: DataFrame, lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """TPC-H-Q20-shaped: suppliers who shipped more than 50 units of
+    any single 'red'-named part. The nested IN decomposes into: part
+    filter (broadcast) -> (suppkey, partkey) hash-agg with HAVING ->
+    distinct supplier keys -> LEFT SEMI join against the supplier dim.
+    The aggregate's key grain bounds state by the filtered lines; the
+    supplier table is only touched by the final semi-join probe."""
+    red_parts = part.filter(
+        F.col("p_name").contains(EXCESS_PART_TOKEN)
+    ).select("p_partkey")
+    heavy_suppliers = (
+        lineitem.join(F.broadcast(red_parts),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > EXCESS_QTY_THRESHOLD)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(heavy_suppliers,
+                      F.col("s_suppkey") == F.col("l_suppkey"), "leftsemi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+ORACLE_EXCESS_PART_SUPPLIERS = f"""
+excess_part_suppliers AS (
+  SELECT s_suppkey, s_name
+  FROM supplier
+  WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%{EXCESS_PART_TOKEN}%'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > {EXCESS_QTY_THRESHOLD})
+)
+"""

@@ -380,3 +380,49 @@ def test_scd2_single_user_exchange(spark):
     plan = _plan(spark, "events_user_scd2")
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchange == 1, (n_exchange, plan)
+
+
+def test_late_orders_exists_is_semi_join(spark):
+    """The Q4-shaped EXISTS must plan as a LEFT SEMI hash join (no
+    fan-out, no nested loop), with the 3-month window pushed to the
+    orders parquet scan."""
+    plan = _plan(spark, "late_order_priorities")
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan, plan
+
+
+def test_bloc_trade_prunes_dims_before_facts(spark):
+    """The Q7-shaped plan must broadcast the nation dim on both arms
+    and carry the bloc filters onto the supplier/customer scans
+    (pre-fact pruning), never a cartesian of the two nation aliases."""
+    plan = _plan(spark, "bloc_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_important_parts_no_division_no_sort(spark):
+    """The Q11-shaped threshold is a cross-multiplied decimal compare:
+    the plan must contain no sort (pure hash-agg + broadcast of the
+    1-row totals) — a sort would mean a window sneaked in."""
+    plan = _plan(spark, "important_parts")
+    assert "Sort" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_disjunctive_revenue_prunes_part_scan(spark):
+    """The Q19-shaped derived part-side disjunction must reach the
+    part scan as a data filter (brand/size appear in the Filter above
+    the scan), shrinking the broadcast build side pre-join."""
+    plan = _plan(spark, "disjunctive_revenue")
+    assert "p_brand" in plan and "p_size" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_excess_suppliers_aggregates_before_semi_join(spark):
+    """The Q20-shaped nested IN must run the (suppkey, partkey) agg
+    with HAVING before the supplier semi-join — plan order: agg
+    appears below the LeftSemi join, and the join is hash-based."""
+    plan = _plan(spark, "excess_part_suppliers")
+    assert "LeftSemi" in plan, plan
+    assert "HashAggregate" in plan, plan
