@@ -115,6 +115,8 @@ _FRAGMENTS: dict[str, str] = {
     "threshold_binarize": _rel.ORACLE_THRESHOLD_BINARIZE,
     "top_products_per_user": _rel.ORACLE_TOP_PRODUCTS_PER_USER,
     "baskets_base": _bask.ORACLE_BASKETS,
+    "seq_spans": _bask.ORACLE_SEQ_SPANS,
+    "sequential_pairs": _bask.ORACLE_SEQUENTIAL_PAIRS,
     "frequent_pairs": _bask.ORACLE_FREQUENT_PAIRS,
     "pair_rules": _bask.ORACLE_PAIR_RULES,
     "basket_sizes": _bask.ORACLE_BASKET_SIZES,
@@ -164,6 +166,8 @@ _DEPS: dict[str, list[str]] = {
     "threshold_binarize": ["product_features"],
     "top_products_per_user": ["prior_enriched", "user_product_features"],
     "baskets_base": [],
+    "seq_spans": [],
+    "sequential_pairs": ["seq_spans"],
     "frequent_pairs": ["baskets_base"],
     "pair_rules": ["baskets_base"],
     "basket_sizes": ["baskets_base"],
@@ -374,6 +378,19 @@ def q_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fpgrowth_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FP-Growth association rules (rows-only check)."""
     return _bask.fpgrowth_rules(instacart_tables(spark, sf_dir))
+
+
+def q_sequential_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arity-2 sequential patterns (p strictly before q across a
+    user's order history) — the SQL-expressible PrefixSpan anchor."""
+    return _bask.sequential_pairs(instacart_tables(spark, sf_dir))
+
+
+def q_prefixspan_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixSpan sequential patterns (rows-only — arbitrary patterns
+    are not SQL-expressible; the [[p],[q]] slice is hash-checked via
+    sequential_pairs)."""
+    return _bask.prefixspan_patterns(instacart_tables(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -1443,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_pairs": q_frequent_pairs,
         "pair_rules": q_pair_rules,
         "basket_sizes": q_basket_sizes,
+        "sequential_pairs": q_sequential_pairs,
         # events + streaming early: these were the never-driver-checked
         # block in round 1 (the driver stopped recording after the three
         # consecutive events read errors); keep them well clear of any
@@ -1589,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stub codec): if a driver budget truncates the run, hash-checked
         # rows are already on the board.
         "fpgrowth_itemsets": q_fpgrowth_itemsets,
+        "prefixspan_patterns": q_prefixspan_patterns,
         "fpgrowth_rules": q_fpgrowth_rules,
         "ml_train_metrics": q_ml_train_metrics,
         "ml_submission_rf": q_ml_submission_rf,
@@ -1637,6 +1656,7 @@ def oracle_sql() -> dict[str, str]:
         "frequent_pairs": _oracle("frequent_pairs"),
         "pair_rules": _oracle("pair_rules"),
         "basket_sizes": _oracle("basket_sizes"),
+        "sequential_pairs": _oracle("sequential_pairs"),
         "sql_dept_stats": _oracle("sql_dept_stats"),
         "sql_dept_top_reordered": _oracle("sql_dept_top_reordered"),
         "dedup_exact": _ext_oracle(

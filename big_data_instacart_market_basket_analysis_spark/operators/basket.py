@@ -284,3 +284,151 @@ def fpgrowth_rules(
         "lift",
         "support",
     )
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern mining ("p then q" across a user's order history)
+# ---------------------------------------------------------------------------
+
+#: minimum user count for a sequential pair to be reported.
+MIN_SEQ_COUNT = 2
+#: PrefixSpan pattern-length cap (2 = the oracle-anchored slice).
+MAX_PATTERN_LEN = 2
+
+
+def product_order_spans(t: InstacartTables) -> DataFrame:
+    """Per (user, product): the first and last prior order_number in
+    which the product appears — one hash-agg after the fact-to-orders
+    join. ``p strictly before q`` for a user reduces to
+    ``first_on(p) < last_on(q)`` (order numbers are distinct per
+    user), so downstream sequence tests never rescan the order log."""
+    return (
+        t.prior_products.select("orderID", "productID")
+        .join(
+            t.prior_orders.select("orderID", "userID", "order_number"),
+            "orderID",
+        )
+        .groupBy("userID", "productID")
+        .agg(
+            F.min("order_number").alias("first_on"),
+            F.max("order_number").alias("last_on"),
+        )
+    )
+
+
+def sequential_pairs(
+    t: InstacartTables, min_count: int = MIN_SEQ_COUNT
+) -> DataFrame:
+    """Arity-2 sequential patterns: product pairs (p, q) where at
+    least ``min_count`` users bought p in an order strictly BEFORE an
+    order containing q — including p == q, the repurchase pattern
+    (first_on < last_on on one product means two distinct orders).
+    The exact, SQL-expressible anchor for ``prefixspan_patterns``
+    (same statistic at pattern length 2, verified in tests) — the
+    same role ``frequent_pairs`` plays for FP-Growth.
+
+    Plan: the span table (one row per user-product) self-joins on
+    userID — per-user work is quadratic in the user's distinct
+    products (Instacart-scale: tens), never in orders or corpus size;
+    the userID key is uniform so the shuffle has no skew."""
+    spans = product_order_spans(t)
+    a, b = spans.alias("a"), spans.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.userID") == F.col("b.userID"))
+            & (F.col("a.first_on") < F.col("b.last_on")),
+        )
+        .groupBy(
+            F.col("a.productID").alias("antecedent"),
+            F.col("b.productID").alias("consequent"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .filter(F.col("n_users") >= min_count)
+    )
+
+
+ORACLE_SEQ_SPANS = """
+iseq_spans AS (
+  SELECT o.userID, op.productID,
+         min(o.order_number) AS first_on,
+         max(o.order_number) AS last_on
+  FROM iprior_products op
+  JOIN iprior_orders o ON op.orderID = o.orderID
+  GROUP BY 1, 2
+)
+"""
+
+ORACLE_SEQUENTIAL_PAIRS = f"""
+sequential_pairs AS (
+  SELECT a.productID AS antecedent, b.productID AS consequent,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM iseq_spans a
+  JOIN iseq_spans b
+    ON a.userID = b.userID
+   AND a.first_on < b.last_on
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_SEQ_COUNT}
+)
+"""
+
+
+def user_sequences(t: InstacartTables) -> DataFrame:
+    """Per-user ordered basket sequences for PrefixSpan: one itemset
+    per prior order (sorted product set), itemsets ordered by
+    order_number. The ordering is imposed by sorting an array of
+    (order_number, items) structs — no window, one shuffle on userID."""
+    per_order = (
+        t.prior_products.select("orderID", "productID")
+        .join(
+            t.prior_orders.select("orderID", "userID", "order_number"),
+            "orderID",
+        )
+        .groupBy("userID", "order_number")
+        .agg(F.array_sort(F.collect_set("productID")).alias("items"))
+    )
+    return per_order.groupBy("userID").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("order_number", "items"))
+            ),
+            lambda s: s["items"],
+        ).alias("sequence")
+    )
+
+
+def prefixspan_patterns(
+    t: InstacartTables,
+    min_count: int = MIN_SEQ_COUNT,
+    max_len: int = MAX_PATTERN_LEN,
+) -> DataFrame:
+    """General sequential patterns via ``pyspark.ml.fpm.PrefixSpan``
+    (distributed PrefixSpan: Pei et al. 2001). Any pattern length up
+    to ``max_len``, itemsets of any arity. Spark-only (no
+    SQL-expressible oracle for arbitrary patterns) -> rows-only driver
+    check; ``sequential_pairs`` is the hash-checked anchor for the
+    [[p],[q]] slice. The count-based support floor converts to the
+    fraction PrefixSpan expects, as in ``_fit_fpgrowth``."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    seqs = user_sequences(t)
+    n = seqs.count()
+    ps = PrefixSpan(
+        minSupport=max(min_count - 0.5, 0.5) / max(n, 1),
+        maxPatternLength=max_len,
+        sequenceCol="sequence",
+    )
+    pats = ps.findFrequentSequentialPatterns(seqs)
+    return pats.select(
+        F.array_join(
+            F.transform(
+                F.col("sequence"),
+                lambda s: F.array_join(
+                    F.array_sort(s).cast("array<string>"), " "
+                ),
+            ),
+            " | ",
+        ).alias("pattern"),
+        F.size("sequence").alias("n_itemsets"),
+        F.col("freq").alias("freq"),
+    )

@@ -52,3 +52,47 @@ def test_fpgrowth_rules_nonempty(tables):
     assert rows
     for r in rows:
         assert 0.0 < r["confidence"] <= 1.0
+
+
+def test_prefixspan_pairs_match_sequential_pairs(tables):
+    """PrefixSpan's two-singleton-itemset patterns must equal the
+    span-self-join sequential pair counts — two algorithms (distributed
+    PrefixSpan vs first/last-occurrence algebra), one statistic."""
+    ps = {
+        (r["pattern"], r["freq"])
+        for r in basket.prefixspan_patterns(tables)
+        .filter(
+            (F.col("n_itemsets") == 2)
+            # two singleton itemsets: "p | q" renders with no spaces
+            # inside either itemset
+            & (~F.col("pattern").rlike(r"\d \d"))
+        )
+        .collect()
+    }
+    sj = {
+        (f"{r['antecedent']} | {r['consequent']}", r["n_users"])
+        for r in basket.sequential_pairs(tables).collect()
+    }
+    assert ps == sj
+    assert len(sj) > 0
+
+
+def test_prefixspan_singletons_match_user_counts(tables):
+    """Length-1 patterns count users whose history contains the
+    product — must equal a direct distinct-user aggregation."""
+    ps = {
+        (r["pattern"], r["freq"])
+        for r in basket.prefixspan_patterns(tables)
+        .filter(F.col("n_itemsets") == 1)
+        .filter(~F.col("pattern").contains(" "))
+        .collect()
+    }
+    direct = {
+        (str(r["productID"]), r["n_users"])
+        for r in basket.product_order_spans(tables)
+        .groupBy("productID")
+        .agg(F.count("*").alias("n_users"))
+        .filter(F.col("n_users") >= basket.MIN_SEQ_COUNT)
+        .collect()
+    }
+    assert ps == direct
