@@ -114,6 +114,7 @@ _FRAGMENTS: dict[str, str] = {
     "eval_split_counts": _rel.ORACLE_EVAL_SPLIT_COUNTS,
     "threshold_binarize": _rel.ORACLE_THRESHOLD_BINARIZE,
     "top_products_per_user": _rel.ORACLE_TOP_PRODUCTS_PER_USER,
+    "loo_target_encoding": _feat.ORACLE_LOO_TARGET_ENCODING,
     "baskets_base": _bask.ORACLE_BASKETS,
     "seq_spans": _bask.ORACLE_SEQ_SPANS,
     "sequential_pairs": _bask.ORACLE_SEQUENTIAL_PAIRS,
@@ -165,6 +166,7 @@ _DEPS: dict[str, list[str]] = {
     "eval_split_counts": [],
     "threshold_binarize": ["product_features"],
     "top_products_per_user": ["prior_enriched", "user_product_features"],
+    "loo_target_encoding": [],
     "baskets_base": [],
     "seq_spans": [],
     "sequential_pairs": ["seq_spans"],
@@ -1042,6 +1044,24 @@ def q_parts_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rel.parts_intersect_all(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_parts_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference) between the same multisets —
+    surviving multiplicity is count_R - count_N."""
+    return _rel.parts_except_all(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear interpolation of missing time-series values
+    (IGNORE NULLS window scans, one Exchange)."""
+    return _tmp.interpolate_missing_values(load_table(spark, sf_dir, "events"))
+
+
+def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe leave-one-out target encoding of productID
+    against the reordered target (hash-agg + broadcast, no window)."""
+    return _feat.loo_target_encoding(instacart_tables(spark, sf_dir))
+
+
 def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q18-shaped large-volume orders (HAVING-filtered agg runs
     first and broadcast-drives the joins)."""
@@ -1579,6 +1599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_returns": q_customer_returns,
         "large_orders": q_large_orders,
         "parts_intersect_all": q_parts_intersect_all,
+        "parts_except_all": q_parts_except_all,
+        "events_interpolate": q_events_interpolate,
+        "loo_target_encoding": q_loo_target_encoding,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "regional_revenue": q_regional_revenue,
         "events_session_funnel": q_events_session_funnel,
@@ -1992,6 +2015,13 @@ def oracle_sql() -> dict[str, str]:
         "large_orders": _ext_oracle(
             [_rel.oracle_large_orders()], "large_orders"
         ),
+        "parts_except_all": _ext_oracle(
+            [_rel.ORACLE_PARTS_EXCEPT_ALL], "parts_except_all"
+        ),
+        "events_interpolate": _ext_oracle(
+            [_tmp.ORACLE_INTERPOLATE_MISSING], "interpolate_missing"
+        ),
+        "loo_target_encoding": _oracle("loo_target_encoding"),
         "parts_intersect_all": _ext_oracle(
             [_rel.ORACLE_PARTS_INTERSECT_ALL], "parts_intersect_all"
         ),

@@ -188,3 +188,61 @@ user_product_features AS (
   GROUP BY userID, productID
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# leave-one-out target encoding (ML feature engineering, leakage-safe)
+# ---------------------------------------------------------------------------
+
+
+def loo_target_encoding(t) -> DataFrame:
+    """Leave-one-out target encoding of productID against the
+    ``reordered`` target over the prior split: each row's encoding is
+    the mean target of all OTHER rows of the same product —
+    ``(sum(product) - own) / (n(product) - 1)`` — null for singleton
+    products. The standard leakage-safe categorical encoder for
+    gradient-boosted models.
+
+    Plan: one hash-agg to the product grain (dim-sized), broadcast
+    back onto the fact rows, then row-local arithmetic — no per-row
+    window, no second fact shuffle. At 100 TB the sums table stays
+    |products|-sized regardless of fact growth.
+    """
+    sums = t.prior_products.groupBy("productID").agg(
+        F.sum("reordered").alias("t_sum"),
+        F.count("*").alias("t_cnt"),
+    )
+    return (
+        t.prior_products.select("orderID", "productID", "reordered")
+        .join(F.broadcast(sums), "productID")
+        .select(
+            "orderID",
+            "productID",
+            "reordered",
+            F.round(
+                F.when(
+                    F.col("t_cnt") > 1,
+                    (F.col("t_sum") - F.col("reordered"))
+                    / (F.col("t_cnt") - F.lit(1)).cast("double"),
+                ),
+                6,
+            ).alias("loo_enc"),
+        )
+    )
+
+
+ORACLE_LOO_TARGET_ENCODING = """
+loo_sums AS (
+  SELECT productID,
+         CAST(sum(reordered) AS BIGINT) AS t_sum,
+         CAST(count(*) AS BIGINT) AS t_cnt
+  FROM iprior_products GROUP BY productID
+),
+loo_target_encoding AS (
+  SELECT op.orderID, op.productID, op.reordered,
+         round(CASE WHEN s.t_cnt > 1
+               THEN (s.t_sum - op.reordered)
+                    / CAST(s.t_cnt - 1 AS DOUBLE) END, 6) AS loo_enc
+  FROM iprior_products op JOIN loo_sums s ON op.productID = s.productID
+)
+"""

@@ -1124,3 +1124,29 @@ incremental_join_view AS (
   GROUP BY o_orderpriority
 )
 """
+
+
+def parts_except_all(lineitem: DataFrame) -> DataFrame:
+    """Set operation (EXCEPT ALL — multiset difference): part keys of
+    the 'R'-returned multiset minus the 'N'-kept multiset, each key
+    surviving count_R - count_N times (when positive). Completes the
+    set-op family next to EXCEPT DISTINCT (``products_only_prior``)
+    and INTERSECT ALL: multiplicity is part of the contract, and the
+    physical operator is a count-subtract merge, not a join. One
+    shuffle per side on the key."""
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("part_key")
+    )
+    kept = lineitem.filter(F.col("l_returnflag") == "N").select(
+        F.col("l_partkey").alias("part_key")
+    )
+    return returned.exceptAll(kept)
+
+
+ORACLE_PARTS_EXCEPT_ALL = """
+parts_except_all AS (
+  SELECT l_partkey AS part_key FROM lineitem WHERE l_returnflag = 'R'
+  EXCEPT ALL
+  SELECT l_partkey AS part_key FROM lineitem WHERE l_returnflag = 'N'
+)
+"""

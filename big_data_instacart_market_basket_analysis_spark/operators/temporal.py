@@ -1262,3 +1262,108 @@ mad_outlier_stats AS (
   GROUP BY 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# time-series imputation: per-user linear interpolation of missing values
+# ---------------------------------------------------------------------------
+
+#: deterministic missingness stand-in: every 7th event_id is treated as
+#: a dropped reading (the fixture has no real nulls; production would
+#: filter on ``value IS NULL`` instead — the plan is identical).
+INTERP_MISSING_MOD = 7
+
+
+def interpolate_missing_values(events: DataFrame) -> DataFrame:
+    """Per-user LINEAR interpolation of missing sensor values — the
+    standard time-series imputation pass before model training. A
+    value is missing when ``event_id % 7 == 0``; it is filled by
+    interpolating between the nearest present values before and after
+    (weighted by timestamp distance), falling back to
+    forward-/backward-fill at the series edges.
+
+    Plan: both direction scans are IGNORE NULLS window functions
+    (``last``/``first`` with unbounded frames) over ONE user_id
+    partitioning ordered by (ts, event_id) — a single Exchange; the
+    interpolation itself is pure row-local arithmetic in codegen.
+    State per user is O(1) per direction (the last seen value), which
+    is exactly how a streaming forward-fill would carry it at 100 TB.
+    """
+    missing = F.col("event_id") % INTERP_MISSING_MOD == 0
+    present_val = F.when(~missing, F.col("value"))
+    present_ts = F.when(~missing, F.unix_millis("ts"))
+
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_val = F.last(present_val, ignorenulls=True).over(w_back)
+    prev_ts = F.last(present_ts, ignorenulls=True).over(w_back)
+    next_val = F.first(present_val, ignorenulls=True).over(w_fwd)
+    next_ts = F.first(present_ts, ignorenulls=True).over(w_fwd)
+
+    ts_ms = F.unix_millis("ts")
+    interp = (
+        F.when(~missing, F.col("value"))
+        .when(prev_val.isNull(), next_val)
+        .when(next_val.isNull(), prev_val)
+        .when(next_ts == prev_ts, prev_val)
+        .otherwise(
+            prev_val
+            + (next_val - prev_val)
+            * (ts_ms - prev_ts)
+            / (next_ts - prev_ts)
+        )
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        missing.cast("int").alias("was_missing"),
+        F.round(interp, 6).alias("value_filled"),
+    )
+
+
+ORACLE_INTERPOLATE_MISSING = f"""
+imp_marked AS (
+  SELECT event_id, user_id, ts, value,
+         (event_id % {INTERP_MISSING_MOD} = 0) AS missing,
+         epoch_ms(ts) AS ts_ms
+  FROM events
+),
+imp_scanned AS (
+  SELECT event_id, user_id, missing, value, ts_ms,
+         last_value(CASE WHEN NOT missing THEN value END IGNORE NULLS)
+           OVER w_back AS prev_val,
+         last_value(CASE WHEN NOT missing THEN ts_ms END IGNORE NULLS)
+           OVER w_back AS prev_ts,
+         first_value(CASE WHEN NOT missing THEN value END IGNORE NULLS)
+           OVER w_fwd AS next_val,
+         first_value(CASE WHEN NOT missing THEN ts_ms END IGNORE NULLS)
+           OVER w_fwd AS next_ts
+  FROM imp_marked
+  WINDOW
+    w_back AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+interpolate_missing AS (
+  SELECT event_id, user_id,
+         CAST(missing AS INTEGER) AS was_missing,
+         round(CASE
+           WHEN NOT missing THEN value
+           WHEN prev_val IS NULL THEN next_val
+           WHEN next_val IS NULL THEN prev_val
+           WHEN next_ts = prev_ts THEN prev_val
+           ELSE prev_val + (next_val - prev_val)
+                * (ts_ms - prev_ts) / (next_ts - prev_ts)
+         END, 6) AS value_filled
+  FROM imp_scanned
+)
+"""

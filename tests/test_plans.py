@@ -426,3 +426,31 @@ def test_excess_suppliers_aggregates_before_semi_join(spark):
     plan = _plan(spark, "excess_part_suppliers")
     assert "LeftSemi" in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_interpolate_single_user_exchange(spark):
+    """Both IGNORE-NULLS direction scans must share ONE user_id
+    exchange — a second data exchange would re-shuffle the event log
+    per direction."""
+    import re
+
+    plan = _plan(spark, "events_interpolate")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, (n_exchange, plan)
+
+
+def test_loo_encoding_broadcasts_sums_no_fact_shuffle(spark):
+    """LOO target encoding must be hash-agg + broadcast join + row
+    arithmetic: the only productID exchange is the dim-sized sums
+    aggregate (the fact rows are never re-shuffled for the encoding),
+    and the sums side joins back as a broadcast. (A Window over the
+    staged orders view is fine — it belongs to order_number, not to
+    the encoding.)"""
+    import re
+
+    plan = _plan(spark, "loo_target_encoding")
+    n_product_exchanges = len(
+        re.findall(r"hashpartitioning\(productID", plan)
+    )
+    assert n_product_exchanges == 1, (n_product_exchanges, plan)
+    assert "BroadcastHashJoin Inner" in plan, plan
