@@ -901,6 +901,12 @@ def q_events_type_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.type_value_quantiles(load_table(spark, sf_dir, "events"))
 
 
+def q_events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-type quantiles via mergeable approx_percentile
+    sketches (rows-only; error-bound-tested vs the exact anchor)."""
+    return _tmp.approx_type_quantiles(load_table(spark, sf_dir, "events"))
+
+
 def q_events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user OLS trend of purchase value (regr_slope/intercept/corr
     in one hash-agg)."""
@@ -1498,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_spend_deciles": q_events_spend_deciles,
         "events_cube_stats": q_events_cube_stats,
         "events_approx_distinct": q_events_approx_distinct,
+        "events_approx_quantiles": q_events_approx_quantiles,
         "stream_tumbling_hourly": q_stream_tumbling_hourly,
         "stream_sliding_watermark": q_stream_sliding_watermark,
         "stream_session_window": q_stream_session_window,

@@ -76,6 +76,15 @@ HEADLINE = [
     "events_user_scd2",
     "text_bm25",
     "rag_context_pack",
+    # round-3 additions: remaining TPC-H shapes + sequence mining +
+    # imputation/encoding feature ops
+    "late_order_priorities",
+    "bloc_trade_volume",
+    "nation_part_profit",
+    "customer_order_distribution",
+    "sequential_pairs",
+    "events_interpolate",
+    "loo_target_encoding",
 ]
 
 

@@ -53,6 +53,41 @@ def _n_baskets(bk: DataFrame) -> DataFrame:
     return bk.agg(F.countDistinct("orderID").alias("n_baskets"))
 
 
+#: filtered (p1, p2, pair_count) per (tables identity, min_count),
+#: session-staged — the basket self-join is the heaviest stage of the
+#: mining family and feeds frequent_pairs, pair_rules, and the SQL
+#: views; without the stage each consumer re-runs it. Same convention
+#: as graph._EDGES_CACHE; at cluster scale this becomes a staged table
+#: or reliable checkpoint instead of localCheckpoint. The FILTERED
+#: counts are staged (support floor applied first) so the stage stays
+#: frequent-pair-sized, not all-pairs-sized.
+_PAIRS_CACHE: dict[tuple[int, int], tuple] = {}
+
+
+def _pair_counts_staged(t: InstacartTables, min_count: int) -> DataFrame:
+    key = (id(t), min_count)
+    hit = _PAIRS_CACHE.get(key)
+    if hit is None:
+        bk = baskets(t)
+        a, b = bk.alias("a"), bk.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.orderID") == F.col("b.orderID"))
+                & (F.col("a.productID") < F.col("b.productID")),
+            )
+            .groupBy(
+                F.col("a.productID").alias("p1"),
+                F.col("b.productID").alias("p2"),
+            )
+            .agg(F.count("*").alias("pair_count"))
+            .filter(F.col("pair_count") >= min_count)
+        )
+        hit = (t, pairs.localCheckpoint(eager=True))
+        _PAIRS_CACHE[key] = hit
+    return hit[1]
+
+
 def frequent_pairs(
     t: InstacartTables, min_count: int = MIN_PAIR_COUNT
 ) -> DataFrame:
@@ -60,23 +95,12 @@ def frequent_pairs(
 
     Self-join keyed on orderID (co-partitioned — one shuffle each side,
     then the pair groupBy). ``p1 < p2`` halves the output and makes the
-    pair key canonical.
+    pair key canonical. The filtered counts are session-staged
+    (``_pair_counts_staged``) so pair_rules and the SQL views reuse
+    them instead of re-running the self-join.
     """
     bk = baskets(t)
-    a, b = bk.alias("a"), bk.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.orderID") == F.col("b.orderID"))
-            & (F.col("a.productID") < F.col("b.productID")),
-        )
-        .groupBy(
-            F.col("a.productID").alias("p1"),
-            F.col("b.productID").alias("p2"),
-        )
-        .agg(F.count("*").alias("pair_count"))
-        .filter(F.col("pair_count") >= min_count)
-    )
+    pairs = _pair_counts_staged(t, min_count)
     return pairs.crossJoin(F.broadcast(_n_baskets(bk))).select(
         "p1",
         "p2",
@@ -120,7 +144,7 @@ def pair_rules(
     item_counts = bk.groupBy("productID").agg(
         F.count("*").alias("item_count")
     )
-    pairs = frequent_pairs(t, min_count).select("p1", "p2", "pair_count")
+    pairs = _pair_counts_staged(t, min_count)
 
     # both rule directions from ONE scan of the pair table: a union of
     # two selects would embed the basket self-join + aggregation twice

@@ -1367,3 +1367,44 @@ interpolate_missing AS (
   FROM imp_scanned
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# sketch-based quantiles: the 100 TB path next to the exact anchor
+# ---------------------------------------------------------------------------
+
+#: approx_percentile accuracy knob: error <= 1/accuracy of rank.
+APPROX_Q_ACCURACY = 10_000
+
+
+def approx_type_quantiles(events: DataFrame) -> DataFrame:
+    """Per-event-type APPROXIMATE p50/p90/p99 via Spark's
+    ``approx_percentile`` (Greenwald-Khanna style mergeable quantile
+    sketch). This is the 100 TB form of ``type_value_quantiles``:
+    exact percentiles materialize each group's sorted values at the
+    final aggregation, while the sketch keeps O(accuracy) state per
+    group and merges associatively map-side — the shuffle carries
+    sketches, not data. Rank error is bounded by n / accuracy.
+
+    No cross-engine oracle (sketch internals are engine-specific) ->
+    rows-only driver check; the error-bound test vs the exact anchor
+    (``tests/test_properties.py``) is the correctness rail.
+    """
+    q_array = "array(" + ", ".join(str(q) for q in QUANTILES) + ")"
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                f"approx_percentile(value, {q_array}, {APPROX_Q_ACCURACY})"
+            ).alias("qs"),
+        )
+        .select(
+            "event_type",
+            "n",
+            *[
+                F.round(F.col("qs")[i], 4).alias(f"ap{int(q * 100)}")
+                for i, q in enumerate(QUANTILES)
+            ],
+        )
+    )

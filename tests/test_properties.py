@@ -979,3 +979,42 @@ def test_suppliers_waiting_matches_bruteforce_correlated(spark):
             waits.setdefault(next(iter(r_supps)), set()).add(ok)
     want = {(sk, len(oks)) for sk, oks in waits.items()}
     assert got == want
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    """The approx_percentile sketch must land within the guaranteed
+    rank error (n / accuracy) of the exact percentile — checked by
+    rank distance, not value distance, since value error is unbounded
+    for spread-out data."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    approx = {
+        r["event_type"]: r
+        for r in temporal.approx_type_quantiles(events).collect()
+    }
+    values = {}
+    for r in events.select("event_type", "value").collect():
+        values.setdefault(r["event_type"], []).append(r["value"])
+    for etype, vals in values.items():
+        vals.sort()
+        n = len(vals)
+        row = approx[etype]
+        assert row["n"] == n
+        for q, col in ((0.5, "ap50"), (0.9, "ap90"), (0.99, "ap99")):
+            got = row[col]
+            # rank of the returned value in the exact sorted list
+            import bisect
+
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = q * (n - 1)
+            tol = max(1.0, n / temporal.APPROX_Q_ACCURACY)
+            assert lo - tol <= target <= hi + tol, (
+                etype, col, got, lo, hi, target, n,
+            )
