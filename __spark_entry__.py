@@ -981,6 +981,12 @@ def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prof.orders_expectations(load_table(spark, sf_dir, "orders"))
 
 
+def q_lineitem_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter row split: rows violating any quarantine rule,
+    tagged with all violated-rule reasons (map-only, pushdown)."""
+    return _prof.lineitem_quarantine(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of documents: one aggregation pass emitting
     per-column nulls / distincts / min / max."""
@@ -1295,6 +1301,12 @@ def q_ml_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ml.train_metrics(instacart_tables(spark, sf_dir))
 
 
+def q_ml_cv_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validated hyperparameter search: one row per grid combo
+    with cross-fold mean RMSE and the selected best (rows-only)."""
+    return _ml.cv_model_selection(instacart_tables(spark, sf_dir))
+
+
 def q_ml_submission_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ml.model_submission(instacart_tables(spark, sf_dir), "rf")
 
@@ -1601,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_salted_join": q_events_salted_join,
         "ref_integrity_audit": q_ref_integrity_audit,
         "orders_expectations": q_orders_expectations,
+        "lineitem_quarantine": q_lineitem_quarantine,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "customer_returns": q_customer_returns,
@@ -1640,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefixspan_patterns": q_prefixspan_patterns,
         "fpgrowth_rules": q_fpgrowth_rules,
         "ml_train_metrics": q_ml_train_metrics,
+        "ml_cv_selection": q_ml_cv_selection,
         "ml_submission_rf": q_ml_submission_rf,
         "ml_submission_gbt": q_ml_submission_gbt,
         "ml_submission_dt": q_ml_submission_dt,
@@ -2006,6 +2020,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ref_integrity_audit": _ext_oracle(
             [_prof.ORACLE_REF_INTEGRITY], "ref_integrity_audit"
+        ),
+        "lineitem_quarantine": _ext_oracle(
+            [_prof.oracle_lineitem_quarantine()], "lineitem_quarantine"
         ),
         "orders_expectations": _ext_oracle(
             [_prof.oracle_orders_expectations()], "orders_expectations"

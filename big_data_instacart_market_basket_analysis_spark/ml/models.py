@@ -190,3 +190,67 @@ def model_submission(t: InstacartTables, model_name: str) -> DataFrame:
     )
     test_scored = model.transform(data.filter(F.col("eval_set") == EVAL_TEST))
     return submission(t, test_scored, score_col="prediction")
+
+
+#: hyperparameter grid for cross-validated model selection: small on
+#: purpose (2x2) — the point is the distributed search machinery, and
+#: fit count is folds x combos (12 here).
+CV_FOLDS = 3
+CV_MAX_DEPTHS = (3, 5)
+CV_MAX_BINS = (16, 32)
+
+
+def cv_model_selection(t: InstacartTables) -> DataFrame:
+    """Cross-validated hyperparameter search (the model-selection
+    stage the reference hardcodes away at F.py:219-225): k-fold
+    CrossValidator over a DecisionTreeRegressor grid, scored by RMSE
+    on the regression output (thresholding happens downstream).
+
+    Distributed shape: every (fold, combo) fit is an independent
+    distributed tree build; ``parallelism`` submits them concurrently
+    so the executor pool stays busy across fits (same rationale as the
+    threaded train_metrics). avgMetrics aligns 1:1 with the param
+    grid — the result is one row per combo with its cross-fold mean
+    RMSE and the selected-best flag. Seeded fold assignment makes the
+    whole table deterministic (rows-only driver check + invariants in
+    ``tests/test_ml.py``).
+    """
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    data = _assembled(t).filter(F.col("eval_set") == EVAL_TRAIN)
+    dt = DecisionTreeRegressor(
+        seed=SEED, labelCol="label", featuresCol="features"
+    )
+    grid = (
+        ParamGridBuilder()
+        .addGrid(dt.maxDepth, list(CV_MAX_DEPTHS))
+        .addGrid(dt.maxBins, list(CV_MAX_BINS))
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=dt,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(
+            labelCol="label", predictionCol="prediction", metricName="rmse"
+        ),
+        numFolds=CV_FOLDS,
+        parallelism=4,
+        seed=SEED,
+    )
+    fitted = cv.fit(data)
+    best = min(range(len(grid)), key=lambda i: fitted.avgMetrics[i])
+    rows = [
+        (
+            pm[dt.maxDepth],
+            pm[dt.maxBins],
+            float(fitted.avgMetrics[i]),
+            i == best,
+        )
+        for i, pm in enumerate(grid)
+    ]
+    spark = t.orders.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "max_depth int, max_bins int, avg_rmse double, is_best boolean",
+    )

@@ -423,3 +423,62 @@ orders_expectations AS (
     FROM exp_viol v CROSS JOIN exp_dups d)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# row-level quarantine (dead-letter split)
+# ---------------------------------------------------------------------------
+
+#: (reason tag, SQL predicate) quarantine rules over lineitem — the
+#: row-level complement to the aggregate ``orders_expectations``
+#: report: expectations gate the batch, quarantine routes the
+#: offending ROWS to a dead-letter table with machine-readable
+#: reasons while the clean rows flow on.
+QUARANTINE_RULES = (
+    ("qty_gt_45", "l_quantity > 45"),
+    ("disc_gt_8pct", "l_discount > 0.08"),
+    ("tax_gt_7pct", "l_tax > 0.07"),
+)
+
+
+def lineitem_quarantine(lineitem: DataFrame) -> DataFrame:
+    """Dead-letter rows of ``lineitem``: every row violating at least
+    one quarantine rule, tagged with the comma-joined list of ALL
+    rules it violates (rule order fixed, so the tag string is
+    deterministic). Pure map-only plan — the predicates and the
+    reason assembly are row-local codegen, no shuffle, and the
+    disjunction pushes to the parquet scan; at 100 TB this fuses into
+    whatever scan feeds the clean-path pipeline (write the complement
+    with the same predicates negated)."""
+    reason_cols = [
+        F.when(F.expr(pred), F.lit(tag)) for tag, pred in QUARANTINE_RULES
+    ]
+    any_violation = None
+    for _, pred in QUARANTINE_RULES:
+        c = F.expr(pred)
+        any_violation = c if any_violation is None else (any_violation | c)
+    return (
+        lineitem.filter(any_violation)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.concat_ws(",", *reason_cols).alias("reasons"),
+        )
+    )
+
+
+def oracle_lineitem_quarantine() -> str:
+    cases = ",\n           ".join(
+        f"CASE WHEN {pred} THEN '{tag}' END"
+        for tag, pred in QUARANTINE_RULES
+    )
+    disjunction = " OR ".join(pred for _, pred in QUARANTINE_RULES)
+    return f"""
+lineitem_quarantine AS (
+  SELECT l_orderkey, l_linenumber,
+         concat_ws(',',
+           {cases}) AS reasons
+  FROM lineitem
+  WHERE {disjunction}
+)
+"""

@@ -47,3 +47,20 @@ def test_assemble_vector_width(spark):
 
     row = ml.assemble(candidates(t)).select("features").first()
     assert row["features"].size == len(FEATURE_COLS)
+
+
+def test_cv_model_selection_invariants(spark):
+    from big_data_instacart_market_basket_analysis_spark.ml import models
+    from big_data_instacart_market_basket_analysis_spark.plans.instacart import (
+        instacart_tables,
+    )
+    from tests.conftest import SF_ORACLE
+
+    t = instacart_tables(spark, SF_ORACLE)
+    rows = models.cv_model_selection(t).collect()
+    assert len(rows) == len(models.CV_MAX_DEPTHS) * len(models.CV_MAX_BINS)
+    assert sum(r["is_best"] for r in rows) == 1
+    best = min(rows, key=lambda r: r["avg_rmse"])
+    assert best["is_best"]
+    for r in rows:
+        assert r["avg_rmse"] > 0.0

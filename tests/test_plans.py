@@ -454,3 +454,14 @@ def test_loo_encoding_broadcasts_sums_no_fact_shuffle(spark):
     )
     assert n_product_exchanges == 1, (n_product_exchanges, plan)
     assert "BroadcastHashJoin Inner" in plan, plan
+
+
+def test_quarantine_is_map_only_with_pushdown(spark):
+    """The dead-letter split must be a pure map-only plan: no
+    Exchange at all, and the rule disjunction pushed to the parquet
+    scan."""
+    import re
+
+    plan = _plan(spark, "lineitem_quarantine")
+    assert not re.search(r"\(\d+\) Exchange", plan), plan
+    assert "PushedFilters" in plan or "Filter" in plan, plan
