@@ -901,6 +901,18 @@ def q_events_type_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.type_value_quantiles(load_table(spark, sf_dir, "events"))
 
 
+def q_events_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 dimension join: purchases enriched with the
+    user state valid at the purchase timestamp (no future leakage)."""
+    return _tmp.pit_enrich_purchases(load_table(spark, sf_dir, "events"))
+
+
+def q_events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth per event type (grid-sized lag
+    window after one fact hash-agg)."""
+    return _tmp.weekly_growth(load_table(spark, sf_dir, "events"))
+
+
 def q_events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-type quantiles via mergeable approx_percentile
     sketches (rows-only; error-bound-tested vs the exact anchor)."""
@@ -1517,6 +1529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube_stats": q_events_cube_stats,
         "events_approx_distinct": q_events_approx_distinct,
         "events_approx_quantiles": q_events_approx_quantiles,
+        "events_pit_enrich": q_events_pit_enrich,
+        "events_wow_growth": q_events_wow_growth,
         "stream_tumbling_hourly": q_stream_tumbling_hourly,
         "stream_sliding_watermark": q_stream_sliding_watermark,
         "stream_session_window": q_stream_session_window,
@@ -2020,6 +2034,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ref_integrity_audit": _ext_oracle(
             [_prof.ORACLE_REF_INTEGRITY], "ref_integrity_audit"
+        ),
+        "events_pit_enrich": _ext_oracle(
+            [_tmp.ORACLE_PIT_ENRICH], "pit_enrich"
+        ),
+        "events_wow_growth": _ext_oracle(
+            [_tmp.ORACLE_WEEKLY_GROWTH], "weekly_growth"
         ),
         "lineitem_quarantine": _ext_oracle(
             [_prof.oracle_lineitem_quarantine()], "lineitem_quarantine"

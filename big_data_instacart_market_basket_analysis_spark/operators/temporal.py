@@ -1408,3 +1408,157 @@ def approx_type_quantiles(events: DataFrame) -> DataFrame:
             ],
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# point-in-time (PIT) dimension join against the SCD2 history
+# ---------------------------------------------------------------------------
+
+#: fact slice enriched by the PIT lookup; the dim is built from the
+#: complementary observation stream, so the lookup is a genuine
+#: cross-interval probe, not each event finding its own run.
+PIT_FACT_TYPE = "purchase"
+
+
+def pit_enrich_purchases(events: DataFrame) -> DataFrame:
+    """Point-in-time-correct dimension join: each purchase event is
+    enriched with the user state (SCD2 interval from the NON-purchase
+    observation stream) valid AT the purchase timestamp — the
+    lakehouse staple for joining facts to a history dimension without
+    leaking future attribute values.
+
+    Because SCD2 intervals tile each user's timeline without overlap,
+    the interval predicate matches at most one dim row per fact — the
+    LEFT join preserves fact cardinality exactly (purchases before
+    any observed state keep a null state). Plan: equi-join on user_id
+    with the interval filter as a join residual; per-user dim rows are
+    bounded by the user's state-change count, so the probe is
+    hash-join-shaped, never a time-sorted merge. (For an unbounded dim
+    the as-of union-tag-window form in ``asof_last_click`` is the
+    fallback — same semantics at the interval starts.)
+    """
+    dim = user_state_scd2(
+        events.filter(F.col("event_type") != PIT_FACT_TYPE)
+    ).select("user_id", "version", "state", "valid_from_ms", "valid_to_ms")
+    fact = events.filter(F.col("event_type") == PIT_FACT_TYPE).select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round("value", 4).alias("value"),
+    )
+    cond = (
+        (fact.user_id == dim.user_id)
+        & (dim.valid_from_ms <= fact.ts_ms)
+        & (dim.valid_to_ms.isNull() | (fact.ts_ms < dim.valid_to_ms))
+    )
+    return fact.join(dim, cond, "left").select(
+        fact.event_id,
+        fact.user_id,
+        fact.ts_ms,
+        fact.value,
+        dim.state.alias("state_at_purchase"),
+        dim.version.alias("state_version"),
+    )
+
+
+def _oracle_scd2_over(source_cte: str, prefix: str) -> str:
+    """The SCD2 CTE chain parameterized over its input relation —
+    kept textually in sync with ORACLE_USER_STATE_SCD2 (which is this
+    template applied to the full events table)."""
+    return f"""
+{prefix}_runs AS (
+  SELECT user_id, event_type, ts, event_id,
+         sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS version
+  FROM (SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM {source_cte})
+),
+{prefix}_intervals AS (
+  SELECT user_id, version,
+         min(event_type) AS state,
+         epoch_ms(min(ts)) AS valid_from_ms,
+         count(*) AS n_events
+  FROM {prefix}_runs
+  GROUP BY user_id, version
+),
+{prefix}_scd2 AS (
+  SELECT user_id, version, state, valid_from_ms,
+         lead(valid_from_ms) OVER (PARTITION BY user_id
+                                   ORDER BY version) AS valid_to_ms
+  FROM {prefix}_intervals
+)"""
+
+
+ORACLE_PIT_ENRICH = (
+    f"""
+pit_obs AS (
+  SELECT * FROM events WHERE event_type <> '{PIT_FACT_TYPE}'
+),"""
+    + _oracle_scd2_over("pit_obs", "pit")
+    + f""",
+pit_enrich AS (
+  SELECT f.event_id, f.user_id,
+         epoch_ms(f.ts) AS ts_ms,
+         round(f.value, 4) AS value,
+         d.state AS state_at_purchase,
+         CAST(d.version AS BIGINT) AS state_version
+  FROM events f
+  LEFT JOIN pit_scd2 d
+    ON f.user_id = d.user_id
+   AND d.valid_from_ms <= epoch_ms(f.ts)
+   AND (d.valid_to_ms IS NULL OR epoch_ms(f.ts) < d.valid_to_ms)
+  WHERE f.event_type = '{PIT_FACT_TYPE}'
+)"""
+)
+
+
+def weekly_growth(events: DataFrame) -> DataFrame:
+    """Period-over-period reporting: weekly revenue per event type
+    with week-over-week absolute and percent change — the standard
+    BI growth query. One hash-agg to the tiny (type, week) grid, then
+    a lag window over the grid (grid-sized, not fact-sized — the
+    window shuffle moves a few dozen rows no matter how large the
+    fact is). Percent change divides the ROUNDED revenues so both
+    engines divide identical inputs; first week per type is null.
+    """
+    weekly = events.groupBy(
+        "event_type",
+        F.unix_millis(F.date_trunc("week", F.col("ts"))).alias("week_ms"),
+    ).agg(
+        F.round(F.sum("value"), 4).alias("revenue"),
+        F.count("*").alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week_ms")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "event_type",
+        "week_ms",
+        "revenue",
+        "n_events",
+        F.round(F.col("revenue") - prev, 4).alias("wow_change"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("wow_pct"),
+    )
+
+
+ORACLE_WEEKLY_GROWTH = """
+wg_weekly AS (
+  SELECT event_type,
+         epoch_ms(date_trunc('week', ts)) AS week_ms,
+         round(sum(value), 4) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY 1, 2
+),
+weekly_growth AS (
+  SELECT event_type, week_ms, revenue, n_events,
+         round(revenue - lag(revenue) OVER w, 4) AS wow_change,
+         round((revenue - lag(revenue) OVER w)
+               / lag(revenue) OVER w, 6) AS wow_pct
+  FROM wg_weekly
+  WINDOW w AS (PARTITION BY event_type ORDER BY week_ms)
+)
+"""
