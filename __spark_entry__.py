@@ -1319,6 +1319,26 @@ def q_ml_cv_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ml.cv_model_selection(instacart_tables(spark, sf_dir))
 
 
+def q_docs_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LDA topic model over the documents corpus: top
+    terms per topic (rows-only — iterative variational Bayes)."""
+    from big_data_instacart_market_basket_analysis_spark.ml import (
+        unsupervised as _unsup,
+    )
+
+    return _unsup.lda_topics(_docs(spark, sf_dir))
+
+
+def q_docs_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Word2Vec over the corpus: top synonyms of the most
+    frequent terms (rows-only — SGD embedding training)."""
+    from big_data_instacart_market_basket_analysis_spark.ml import (
+        unsupervised as _unsup,
+    )
+
+    return _unsup.word2vec_synonyms(_docs(spark, sf_dir))
+
+
 def q_ml_submission_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ml.model_submission(instacart_tables(spark, sf_dir), "rf")
 
@@ -1668,6 +1688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fpgrowth_rules": q_fpgrowth_rules,
         "ml_train_metrics": q_ml_train_metrics,
         "ml_cv_selection": q_ml_cv_selection,
+        "docs_lda_topics": q_docs_lda_topics,
+        "docs_word2vec": q_docs_word2vec,
         "ml_submission_rf": q_ml_submission_rf,
         "ml_submission_gbt": q_ml_submission_gbt,
         "ml_submission_dt": q_ml_submission_dt,

@@ -64,3 +64,34 @@ def test_cv_model_selection_invariants(spark):
     assert best["is_best"]
     for r in rows:
         assert r["avg_rmse"] > 0.0
+
+
+def test_lda_topics_structure(spark):
+    from big_data_instacart_market_basket_analysis_spark.ml import unsupervised
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    rows = unsupervised.lda_topics(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    ).collect()
+    assert len(rows) == unsupervised.LDA_K * unsupervised.LDA_TOP_TERMS
+    for r in rows:
+        assert 0 <= r["topic"] < unsupervised.LDA_K
+        assert r["weight"] > 0.0
+        assert r["term"]
+
+
+def test_word2vec_synonyms_structure(spark):
+    from big_data_instacart_market_basket_analysis_spark.ml import unsupervised
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    rows = unsupervised.word2vec_synonyms(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    ).collect()
+    assert rows, "frequent terms should clear minCount"
+    for r in rows:
+        assert -1.0 <= r["similarity"] <= 1.0
+        assert r["synonym"] != r["term"]
