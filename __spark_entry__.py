@@ -679,6 +679,12 @@ def q_dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.fuzzy_prefix_pairs(_docs(spark, sf_dir))
 
 
+def q_docs_er_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: blocked candidate pairs scored by token
+    Jaccard + prefix edit similarity, integer-exact 0.6 threshold."""
+    return _dedup.er_matches(_docs(spark, sf_dir))
+
+
 def q_xml_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML ingest round-trip (Spark 4 native XML, pinned schema):
     distributed write + schema-driven re-read must equal the parquet
@@ -1623,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomalies": q_events_anomalies,
         "events_type_unpivot": q_events_type_unpivot,
         "dedup_fuzzy_prefix": q_dedup_fuzzy_prefix,
+        "docs_er_matches": q_docs_er_matches,
         "events_sketch_rollup": q_events_sketch_rollup,
         "dedup_incremental": q_dedup_incremental,
         "dedup_hybrid": q_dedup_hybrid,
@@ -1975,6 +1982,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_fuzzy_prefix": _ext_oracle(
             [_dedup.ORACLE_FUZZY_PREFIX_PAIRS], "fuzzy_prefix_pairs"
+        ),
+        "docs_er_matches": _ext_oracle(
+            [_dedup.ORACLE_ER_MATCHES], "er_matches"
         ),
         "dedup_incremental": _ext_oracle(
             [_dedup.ORACLE_INCREMENTAL_DEDUP], "incremental_dedup"

@@ -1200,3 +1200,136 @@ minhash_recall_eval AS (
   GROUP BY 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# entity resolution: blocked multi-signal match scoring
+# ---------------------------------------------------------------------------
+
+#: ER weights (jaccard, edit) and match threshold — the predicate is
+#: evaluated in cross-multiplied INTEGER form (see er_matches), these
+#: constants only document the intended 0.5/0.5 @ 0.6 semantics.
+ER_THRESH_NUM = 6  # score >= 0.6  <=>  5*(i*m + (m-d)*u) >= 6*u*m
+ER_PREFIX_CHARS = 40
+
+
+def er_matches(docs: DataFrame) -> DataFrame:
+    """Entity resolution over the corpus: candidate pairs from the
+    same (lang, first-word) block scored by TWO independent signals —
+    distinct-token Jaccard and prefix edit similarity — combined
+    50/50 and thresholded at 0.6.
+
+    The match predicate runs entirely in integers: with i = |tokens_a
+    ∩ tokens_b|, u = |union|, d = levenshtein(prefixes), m =
+    max(prefix lengths),
+
+        0.5*(i/u) + 0.5*(1 - d/m) >= 0.6
+        <=>  5*(i*m + (m - d)*u) >= 6*u*m
+
+    so no float division ever reaches a comparison (the repo's
+    knife-edge rule); the double scores in the output are display-only
+    and rounded. Blocking bounds the quadratic step exactly as in
+    ``fuzzy_prefix_pairs`` (hot blocks dropped pre-join); signals are
+    row-local codegen inside the blocked join. At 100 TB the block
+    histogram is the knob: tighter blocks trade recall for bounded
+    work, and the downstream clustering (``connected_clusters``)
+    consumes these pairs unchanged.
+    """
+    keyed = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.substring_index(F.col("text"), " ", 1).alias("blk"),
+            F.substring("text", 1, ER_PREFIX_CHARS).alias("prefix"),
+            F.array_distinct(
+                F.filter(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.length(t) > 0,
+                )
+            ).alias("toks"),
+        )
+    )
+    block_df = (
+        keyed.groupBy("lang", "blk")
+        .agg(F.count("*").alias("blk_n"))
+        .filter(F.col("blk_n") <= FUZZY_MAX_BLOCK)
+        .select("lang", "blk")
+    )
+    keyed = keyed.join(block_df, ["lang", "blk"])
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"), "lang", "blk",
+        F.col("prefix").alias("pa"), F.col("toks").alias("ta"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"), "lang", "blk",
+        F.col("prefix").alias("pb"), F.col("toks").alias("tb"),
+    )
+    i = F.size(F.array_intersect("ta", "tb"))
+    u = F.size("ta") + F.size("tb") - i
+    d = F.levenshtein("pa", "pb")
+    m = F.greatest(F.length("pa"), F.length("pb"))
+    scored = (
+        a.join(b, ["lang", "blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("i", i)
+        .withColumn("u", u)
+        .withColumn("d", d)
+        .withColumn("m", m)
+        .filter(
+            F.lit(5) * (F.col("i") * F.col("m")
+                        + (F.col("m") - F.col("d")) * F.col("u"))
+            >= F.lit(ER_THRESH_NUM) * F.col("u") * F.col("m")
+        )
+    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("i") / F.col("u"), 6).alias("jaccard"),
+        F.round(
+            F.lit(1.0) - F.col("d") / F.col("m"), 6
+        ).alias("edit_sim"),
+        F.round(
+            F.lit(0.5) * (F.col("i") / F.col("u"))
+            + F.lit(0.5) * (F.lit(1.0) - F.col("d") / F.col("m")),
+            6,
+        ).alias("score"),
+    )
+
+
+ORACLE_ER_MATCHES = f"""
+er_keyed_all AS (
+  SELECT doc_id, lang,
+         split_part(text, ' ', 1) AS blk,
+         substr(text, 1, {ER_PREFIX_CHARS}) AS prefix,
+         list_distinct(list_filter(string_split(text, ' '),
+                                   t -> length(t) > 0)) AS toks
+  FROM documents
+),
+er_blocks AS (
+  SELECT lang, blk FROM er_keyed_all
+  GROUP BY lang, blk HAVING count(*) <= {FUZZY_MAX_BLOCK}
+),
+er_keyed AS (
+  SELECT k.* FROM er_keyed_all k JOIN er_blocks USING (lang, blk)
+),
+er_scored AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS i,
+         CAST(len(a.toks) + len(b.toks)
+              - len(list_intersect(a.toks, b.toks)) AS INT) AS u,
+         CAST(levenshtein(a.prefix, b.prefix) AS INT) AS d,
+         CAST(greatest(length(a.prefix), length(b.prefix)) AS INT) AS m
+  FROM er_keyed a
+  JOIN er_keyed b ON a.lang = b.lang AND a.blk = b.blk
+                  AND a.doc_id < b.doc_id
+),
+er_matches AS (
+  SELECT id_a, id_b,
+         round(CAST(i AS DOUBLE) / u, 6) AS jaccard,
+         round(1.0 - CAST(d AS DOUBLE) / m, 6) AS edit_sim,
+         round(0.5 * (CAST(i AS DOUBLE) / u)
+               + 0.5 * (1.0 - CAST(d AS DOUBLE) / m), 6) AS score
+  FROM er_scored
+  WHERE 5 * (i * m + (m - d) * u) >= {ER_THRESH_NUM} * u * m
+)
+"""
