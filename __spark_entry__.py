@@ -679,6 +679,18 @@ def q_dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.fuzzy_prefix_pairs(_docs(spark, sf_dir))
 
 
+def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via positional inverted index (posexplode
+    posting lists, adjacency equi-join)."""
+    return _text.phrase_search(_docs(spark, sf_dir))
+
+
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: per-variant user metrics + Welch z on
+    pre-rounded moments (two hash-aggs total)."""
+    return _tmp.ab_test_report(load_table(spark, sf_dir, "events"))
+
+
 def q_docs_er_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: blocked candidate pairs scored by token
     Jaccard + prefix edit similarity, integer-exact 0.6 threshold."""
@@ -1630,6 +1642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_unpivot": q_events_type_unpivot,
         "dedup_fuzzy_prefix": q_dedup_fuzzy_prefix,
         "docs_er_matches": q_docs_er_matches,
+        "text_phrase_search": q_text_phrase_search,
+        "events_ab_test": q_events_ab_test,
         "events_sketch_rollup": q_events_sketch_rollup,
         "dedup_incremental": q_dedup_incremental,
         "dedup_hybrid": q_dedup_hybrid,
@@ -1985,6 +1999,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_er_matches": _ext_oracle(
             [_dedup.ORACLE_ER_MATCHES], "er_matches"
+        ),
+        "text_phrase_search": _ext_oracle(
+            [_text.ORACLE_PHRASE_SEARCH], "phrase_search"
+        ),
+        "events_ab_test": _ext_oracle(
+            [_tmp.ORACLE_AB_TEST], "ab_test"
         ),
         "dedup_incremental": _ext_oracle(
             [_dedup.ORACLE_INCREMENTAL_DEDUP], "incremental_dedup"

@@ -85,6 +85,12 @@ HEADLINE = [
     "sequential_pairs",
     "events_interpolate",
     "loo_target_encoding",
+    "events_pit_enrich",
+    "events_wow_growth",
+    "docs_er_matches",
+    "lineitem_quarantine",
+    "text_phrase_search",
+    "events_ab_test",
 ]
 
 

@@ -1562,3 +1562,100 @@ weekly_growth AS (
   WINDOW w AS (PARTITION BY event_type ORDER BY week_ms)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis
+# ---------------------------------------------------------------------------
+
+#: deterministic variant assignment: user_id parity (production would
+#: hash a salt+user key; the analysis plan is identical).
+AB_METRIC_TYPE = "purchase"
+
+
+def ab_test_report(events: DataFrame) -> DataFrame:
+    """A/B experiment readout: users split into two variants by key
+    parity, per-user purchase totals as the metric, and the two-sample
+    Welch z statistic on the variant means — the standard experiment
+    dashboard row.
+
+    Two hash-aggs: user grain (uniform key), then variant grain (2
+    groups, conditional aggregation folds both variants into one
+    pass). The z-score arithmetic runs on the ALREADY-ROUNDED moments
+    so both engines divide identical inputs. At 100 TB nothing
+    changes: per-user state is one partial sum, the variant rollup is
+    2 rows.
+    """
+    per_user = (
+        events.filter(F.col("event_type") == AB_METRIC_TYPE)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("user_total"))
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    )
+    g = per_user.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+        F.round(
+            F.avg(F.when(F.col("variant") == 0, F.col("user_total"))), 6
+        ).alias("mean0"),
+        F.round(
+            F.avg(F.when(F.col("variant") == 1, F.col("user_total"))), 6
+        ).alias("mean1"),
+        F.round(
+            F.var_samp(
+                F.when(F.col("variant") == 0, F.col("user_total"))
+            ),
+            6,
+        ).alias("var0"),
+        F.round(
+            F.var_samp(
+                F.when(F.col("variant") == 1, F.col("user_total"))
+            ),
+            6,
+        ).alias("var1"),
+    )
+    return g.select(
+        "n0",
+        "n1",
+        "mean0",
+        "mean1",
+        F.round(F.col("mean1") - F.col("mean0"), 6).alias("lift"),
+        F.round(
+            (F.col("mean1") - F.col("mean0"))
+            / F.sqrt(F.col("var0") / F.col("n0") + F.col("var1") / F.col("n1")),
+            6,
+        ).alias("welch_z"),
+    )
+
+
+ORACLE_AB_TEST = f"""
+ab_user AS (
+  SELECT user_id,
+         round(sum(value), 4) AS user_total,
+         CAST(user_id % 2 AS INTEGER) AS variant
+  FROM events WHERE event_type = '{AB_METRIC_TYPE}'
+  GROUP BY user_id
+),
+ab_g AS (
+  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n0,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1,
+         round(avg(CASE WHEN variant = 0 THEN user_total END), 6)
+           AS mean0,
+         round(avg(CASE WHEN variant = 1 THEN user_total END), 6)
+           AS mean1,
+         round(var_samp(CASE WHEN variant = 0 THEN user_total END), 6)
+           AS var0,
+         round(var_samp(CASE WHEN variant = 1 THEN user_total END), 6)
+           AS var1
+  FROM ab_user
+),
+ab_test AS (
+  SELECT n0, n1, mean0, mean1,
+         round(mean1 - mean0, 6) AS lift,
+         round((mean1 - mean0)
+               / sqrt(var0 / n0 + var1 / n1), 6) AS welch_z
+  FROM ab_g
+)
+"""

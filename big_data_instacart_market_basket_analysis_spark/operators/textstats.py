@@ -1663,3 +1663,71 @@ bpe_first_merges AS (
   LIMIT {k}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# positional inverted index: exact phrase search
+# ---------------------------------------------------------------------------
+
+#: searched bigram phrase (fixture-common; parameterize in production).
+PHRASE_W1 = "order"
+PHRASE_W2 = "fast"
+
+
+def phrase_search(docs: DataFrame) -> DataFrame:
+    """Exact phrase search via a positional inverted index — the
+    distributed form of a search engine's phrase query: posexplode
+    assigns token positions, the two posting lists (one per phrase
+    word) join on (doc_id, adjacent positions). Per-doc output is
+    occurrence count + first position.
+
+    Scale shape: posting lists are filtered BEFORE the join (only the
+    phrase words' postings move), the join key (doc_id) is uniform,
+    and position adjacency is an equi-condition (pos_b = pos_a + 1) —
+    a hash join, never a positional sort-merge. At 100 TB the posting
+    lists would be a materialized inverted-index table bucketed by
+    term; this plan is the query-side probe of exactly that layout.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "pos", "word"
+        ),
+    )
+    w1 = toks.filter(F.col("word") == PHRASE_W1).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    w2 = toks.filter(F.col("word") == PHRASE_W2).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    return (
+        w1.join(
+            w2,
+            ["doc_id"],
+        )
+        .filter(F.col("pos_b") == F.col("pos_a") + 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min("pos_a").alias("first_pos"),
+        )
+    )
+
+
+ORACLE_PHRASE_SEARCH = f"""
+ps_toks AS (
+  SELECT doc_id, unnest(toks) AS word,
+         CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents)
+),
+phrase_search AS (
+  SELECT a.doc_id,
+         CAST(count(*) AS BIGINT) AS n_hits,
+         CAST(min(a.pos) AS INT) AS first_pos
+  FROM ps_toks a
+  JOIN ps_toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.word = '{PHRASE_W1}' AND b.word = '{PHRASE_W2}'
+  GROUP BY a.doc_id
+)
+"""
