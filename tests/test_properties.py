@@ -1018,3 +1018,63 @@ def test_approx_quantiles_within_rank_error(spark):
             assert lo - tol <= target <= hi + tol, (
                 etype, col, got, lo, hi, target, n,
             )
+
+
+def test_pit_enrich_preserves_purchases_and_matches_bruteforce(spark):
+    """Every purchase appears exactly once in the PIT output (interval
+    tiling -> at most one dim match; LEFT join -> at least one row),
+    and the joined state equals a per-user brute-force replay of the
+    observation stream."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = temporal.pit_enrich_purchases(events).collect()
+    purchases = events.filter("event_type = 'purchase'").count()
+    assert len(out) == purchases
+    assert len({r["event_id"] for r in out}) == purchases
+
+    obs = sorted(
+        events.filter("event_type <> 'purchase'")
+        .selectExpr("user_id", "unix_millis(ts) AS ts_ms", "event_type",
+                    "event_id")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts_ms"], r["event_id"]),
+    )
+    by_user: dict = {}
+    for r in obs:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts_ms"], r["event_type"])
+        )
+    for r in out:
+        history = by_user.get(r["user_id"], [])
+        state = None
+        for ts_ms, etype in history:
+            if ts_ms <= r["ts_ms"]:
+                state = etype
+            else:
+                break
+        assert r["state_at_purchase"] == state, r
+
+
+def test_er_matches_scores_bounded_and_thresholded(spark):
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        dedup,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    rows = dedup.er_matches(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert 0.0 <= r["edit_sim"] <= 1.0
+        assert r["score"] >= 0.6 - 1e-9, r
+        assert r["id_a"] < r["id_b"]
