@@ -1086,6 +1086,12 @@ def q_parts_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rel.parts_intersect_all(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY CHANGES: latest change per key wins, DELETE status
+    removes the key (one key-window pass + row-local filter)."""
+    return _rel.cdc_apply_orders(load_table(spark, sf_dir, "orders"))
+
+
 def q_parts_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL (multiset difference) between the same multisets —
     surviving multiplicity is count_R - count_N."""
@@ -1675,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "parts_intersect_all": q_parts_intersect_all,
         "parts_except_all": q_parts_except_all,
+        "orders_cdc_apply": q_orders_cdc_apply,
         "events_interpolate": q_events_interpolate,
         "loo_target_encoding": q_loo_target_encoding,
         "orders_snapshot_diff": q_orders_snapshot_diff,
@@ -2113,6 +2120,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "parts_except_all": _ext_oracle(
             [_rel.ORACLE_PARTS_EXCEPT_ALL], "parts_except_all"
+        ),
+        "orders_cdc_apply": _ext_oracle(
+            [_rel.ORACLE_CDC_APPLY], "cdc_apply"
         ),
         "events_interpolate": _ext_oracle(
             [_tmp.ORACLE_INTERPOLATE_MISSING], "interpolate_missing"

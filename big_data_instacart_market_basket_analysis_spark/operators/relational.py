@@ -1150,3 +1150,72 @@ parts_except_all AS (
   SELECT l_partkey AS part_key FROM lineitem WHERE l_returnflag = 'N'
 )
 """
+
+
+#: CDC op derivation from the fixture: each orders row is a change
+#: event for its customer, ordered by (o_orderdate, o_orderkey);
+#: status 'F' plays the DELETE op.
+CDC_DELETE_STATUS = "F"
+
+
+def cdc_apply_orders(orders: DataFrame) -> DataFrame:
+    """CDC APPLY CHANGES: fold a change log into final table state —
+    the lakehouse staple (Delta APPLY CHANGES INTO / Iceberg upsert).
+    Each orders row is a keyed change event for its customer; the
+    LATEST event per key wins (ordered by event time, key as
+    tiebreak), and a latest event with the DELETE status removes the
+    key from the final state entirely (not just a tombstone row).
+
+    One window pass per key (row_number desc, single shuffle on the
+    key) then a row-local filter — the same plan at any scale; at
+    100 TB the change log is typically bucketed by key, making the
+    window shuffle-free. Distinct from merge_upsert_orders (two-table
+    MERGE) and user_state_scd2 (full history): this is log-to-LATEST
+    with deletes.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return latest.filter(
+        F.col("o_orderstatus") != CDC_DELETE_STATUS
+    ).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("last_orderkey"),
+        # o_orderdate is TIMESTAMP_NTZ in the fixture; session TZ is
+        # pinned UTC so the cast is value-preserving
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+            "last_change_ms"
+        ),
+        F.round("o_totalprice", 2).alias("last_totalprice"),
+    )
+
+
+ORACLE_CDC_APPLY = f"""
+cdc_ranked AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+         o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC,
+                                     o_orderkey DESC) AS rn
+  FROM orders
+),
+cdc_apply AS (
+  SELECT o_custkey,
+         o_orderkey AS last_orderkey,
+         epoch_ms(o_orderdate) AS last_change_ms,
+         round(o_totalprice, 2) AS last_totalprice
+  FROM cdc_ranked
+  WHERE rn = 1 AND o_orderstatus <> '{CDC_DELETE_STATUS}'
+)
+"""
