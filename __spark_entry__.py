@@ -68,6 +68,9 @@ from big_data_instacart_market_basket_analysis_spark.functions.skew import (
 from big_data_instacart_market_basket_analysis_spark.sources.json_ingest import (
     ORACLE_EVENTS_JSON_ROUNDTRIP,
 )
+from big_data_instacart_market_basket_analysis_spark.sources.text_ingest import (
+    ORACLE_DOCS_TEXT_ROUNDTRIP,
+)
 from big_data_instacart_market_basket_analysis_spark.sources.xml_ingest import (
     ORACLE_EVENTS_XML_ROUNDTRIP,
     events_xml_roundtrip,
@@ -900,6 +903,17 @@ def q_json_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _json.events_json_roundtrip(spark, sf_dir)
 
 
+def q_text_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-family on raw text lines: documents round-tripped through a
+    distributed text write + limit-split parse must equal the parquet
+    table."""
+    from big_data_instacart_market_basket_analysis_spark.sources import (
+        text_ingest as _ti,
+    )
+
+    return _ti.docs_text_roundtrip(spark, sf_dir)
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every purchase annotated with the same user's latest
     click at-or-before it (union-tag-window — ONE shuffle, no
@@ -1565,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": q_events_json_stats,
         "events_user_stats_salted": q_events_user_stats_salted,
         "json_ingest_events": q_json_ingest_events,
+        "text_ingest_docs": q_text_ingest_docs,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "events_type_quantiles": q_events_type_quantiles,
@@ -2224,6 +2239,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "json_ingest_events": _ext_oracle(
             [ORACLE_EVENTS_JSON_ROUNDTRIP], "events_json_roundtrip"
+        ),
+        "text_ingest_docs": _ext_oracle(
+            [ORACLE_DOCS_TEXT_ROUNDTRIP], "docs_text_roundtrip"
         ),
         "events_asof_join": _ext_oracle(
             [_tmp.ORACLE_ASOF_LAST_CLICK], "asof_last_click"

@@ -1,0 +1,65 @@
+"""Raw text-lines ingest path (S1-family, completing the format set).
+
+``spark.read.text`` is the lowest-level source — one string column,
+one row per line — and the front door for corpus files that arrive as
+plain text (one document per line). This module proves the engine can
+round-trip the documents table through a distributed text write and
+parse it back losslessly: each line is ``doc_id<TAB>lang<TAB>source<TAB>
+text`` and the re-read splits on the first three tabs only (document
+text may contain any character except newline/tab in the fixture; a
+production feed would escape or length-prefix).
+
+Scale shape identical to the JSON path: the write is one file per
+partition, the read is a single pass, and the parse is row-local
+codegen (split with a limit) — no inference scan, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .loaders import load_table
+
+#: one text round-trip per (session, sf_dir) — same write/re-read
+#: hazard rationale as csv_ingest/json_ingest caches.
+_ROUNDTRIP_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def docs_text_roundtrip(
+    spark: SparkSession,
+    sf_dir: str,
+    tmp_base: str = "/tmp/spark_graft_text",
+) -> DataFrame:
+    """Write documents as tab-delimited text lines, re-read with
+    ``spark.read.text``, and parse the four fields back with a
+    limit-3 split (text keeps its inner spaces). Output hash-equals a
+    projection of the parquet table."""
+    key = (id(spark), sf_dir)
+    if key in _ROUNDTRIP_CACHE:
+        return _ROUNDTRIP_CACHE[key]
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws(
+            "\t", F.col("doc_id"), F.col("lang"), F.col("source"),
+            F.col("text"),
+        ).alias("value")
+    )
+    path = f"{tmp_base}/{sf_dir.strip('/').replace('/', '_')}/documents"
+    docs.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t", 4)
+    df = raw.select(
+        parts.getItem(0).cast("bigint").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).alias("source"),
+        parts.getItem(3).alias("text"),
+    )
+    _ROUNDTRIP_CACHE[key] = df
+    return df
+
+
+ORACLE_DOCS_TEXT_ROUNDTRIP = """
+docs_text_roundtrip AS (
+  SELECT doc_id, lang, source, text FROM documents
+)
+"""
