@@ -1100,6 +1100,22 @@ def q_parts_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rel.parts_intersect_all(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: user-grain agg + three shared-sort quintile
+    windows + composed segment code."""
+    return _tmp.rfm_segments(load_table(spark, sf_dir, "events"))
+
+
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total reporting: nation revenue, per-mille share of
+    its region, rank in region (windows over the nation grain)."""
+    return _rel.nation_revenue_share(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC APPLY CHANGES: latest change per key wins, DELETE status
     removes the key (one key-window pass + row-local filter)."""
@@ -1697,6 +1713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_intersect_all": q_parts_intersect_all,
         "parts_except_all": q_parts_except_all,
         "orders_cdc_apply": q_orders_cdc_apply,
+        "events_rfm_segments": q_events_rfm_segments,
+        "nation_revenue_share": q_nation_revenue_share,
         "events_interpolate": q_events_interpolate,
         "loo_target_encoding": q_loo_target_encoding,
         "orders_snapshot_diff": q_orders_snapshot_diff,
@@ -2138,6 +2156,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orders_cdc_apply": _ext_oracle(
             [_rel.ORACLE_CDC_APPLY], "cdc_apply"
+        ),
+        "events_rfm_segments": _ext_oracle(
+            [_tmp.ORACLE_RFM_SEGMENTS], "rfm_segments"
+        ),
+        "nation_revenue_share": _ext_oracle(
+            [_rel.ORACLE_NATION_REVENUE_SHARE], "nation_revenue_share"
         ),
         "events_interpolate": _ext_oracle(
             [_tmp.ORACLE_INTERPOLATE_MISSING], "interpolate_missing"

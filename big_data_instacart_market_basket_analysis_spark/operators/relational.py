@@ -1219,3 +1219,73 @@ cdc_apply AS (
   WHERE rn = 1 AND o_orderstatus <> '{CDC_DELETE_STATUS}'
 )
 """
+
+
+def nation_revenue_share(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Percent-of-total window reporting (RATIO_TO_REPORT shape):
+    revenue per customer nation, each nation's share of its REGION
+    group's total, and its rank within the region — the canonical BI
+    drill-down row. One fact hash-agg to the nation grain
+    (broadcast-joined dims), then share + rank windows over the
+    nation-grain table partitioned by region — the windows move a
+    25-row table, never the fact. Share divides DECIMAL totals and
+    rounds at the edge; per-mille integer share avoids any float in
+    the rank ordering."""
+    # integer cents end-to-end: the per-mille share is pure integer
+    # arithmetic ((cents * 1000) DIV region_cents) — decimal/float
+    # division rounds differently across engines at the last digit
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    per_nation = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_nationkey", "n_name", "n_regionkey")
+        .agg(F.sum(cents).alias("cents"), F.count("*").alias("n_orders"))
+    )
+    w_reg = Window.partitionBy("n_regionkey")
+    w_rank = Window.partitionBy("n_regionkey").orderBy(
+        F.desc("cents"), "n_nationkey"
+    )
+    return per_nation.select(
+        "n_name",
+        F.col("n_regionkey").alias("region_key"),
+        F.round(F.col("cents") / 100, 2).alias("revenue"),
+        "n_orders",
+        F.expr("(cents * 1000) DIV sum(cents) OVER "
+               "(PARTITION BY n_regionkey)").alias("share_per_mille"),
+        F.rank().over(w_rank).alias("region_rank"),
+    )
+
+
+ORACLE_NATION_REVENUE_SHARE = """
+nrs_nation AS (
+  SELECT n_nationkey, n_name, n_regionkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2, 3
+),
+nation_revenue_share AS (
+  SELECT n_name,
+         n_regionkey AS region_key,
+         round(CAST(cents AS DOUBLE) / 100, 2) AS revenue,
+         n_orders,
+         CAST((cents * 1000) // sum(cents)
+              OVER (PARTITION BY n_regionkey) AS BIGINT)
+           AS share_per_mille,
+         CAST(rank() OVER (PARTITION BY n_regionkey
+                           ORDER BY cents DESC, n_nationkey) AS INT)
+           AS region_rank
+  FROM nrs_nation
+)
+"""

@@ -1659,3 +1659,85 @@ ab_test AS (
   FROM ab_g
 )
 """
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM customer segmentation — the classic marketing rollup:
+    per-user Recency (ms since last purchase, against the corpus max
+    ts), Frequency (purchase count), Monetary (purchase total), each
+    discretized into quintiles, plus the composed 3-digit segment
+    code. One fact hash-agg to the user grain; the corpus max is a
+    broadcast 1-row agg; the three ntile windows share ONE
+    unpartitioned sort over the user-grain table (user-grain, not
+    fact-grain — the sorted set is |users| rows).
+
+    At 100 TB the unpartitioned ntile over users is the watch-item:
+    |users| is dim-sized (millions, not billions) so a single-reducer
+    sort of the user table is acceptable; past that, swap ntile for
+    approx-percentile cutoffs broadcast back — same output contract.
+    """
+    purchases = events.filter(F.col("event_type") == AB_METRIC_TYPE)
+    per_user = purchases.groupBy("user_id").agg(
+        F.unix_millis(F.max("ts")).alias("last_ms"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("value"), 4).alias("monetary"),
+    )
+    corpus_max = purchases.agg(
+        F.unix_millis(F.max("ts")).alias("corpus_max_ms")
+    )
+    enriched = per_user.join(F.broadcast(corpus_max)).withColumn(
+        "recency_ms", F.col("corpus_max_ms") - F.col("last_ms")
+    )
+    # quintile ranks: recency ASC (small gap = best), freq/monetary
+    # DESC (ties broken by user_id for determinism)
+    w_r = Window.orderBy("recency_ms", "user_id")
+    w_f = Window.orderBy(F.desc("frequency"), "user_id")
+    w_m = Window.orderBy(F.desc("monetary"), "user_id")
+    return enriched.select(
+        "user_id",
+        "recency_ms",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
+    )
+
+
+ORACLE_RFM_SEGMENTS = f"""
+rfm_user AS (
+  SELECT user_id,
+         epoch_ms(max(ts)) AS last_ms,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(value), 4) AS monetary
+  FROM events WHERE event_type = '{AB_METRIC_TYPE}'
+  GROUP BY user_id
+),
+rfm_scored AS (
+  SELECT user_id,
+         (SELECT epoch_ms(max(ts)) FROM events
+          WHERE event_type = '{AB_METRIC_TYPE}') - last_ms AS recency_ms,
+         frequency, monetary
+  FROM rfm_user
+),
+rfm_segments AS (
+  SELECT user_id, recency_ms, frequency, monetary,
+         CAST(ntile(5) OVER (ORDER BY recency_ms, user_id) AS INT)
+           AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INT)
+           AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS INT)
+           AS m_score,
+         CAST(ntile(5) OVER (ORDER BY recency_ms, user_id) AS VARCHAR)
+           || CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
+                   AS VARCHAR)
+           || CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id)
+                   AS VARCHAR) AS segment
+  FROM rfm_scored
+)
+"""
