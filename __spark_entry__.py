@@ -1326,6 +1326,14 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_dedup(spark, sf_dir)
 
 
+def q_stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once dedup when redeliveries carry DIFFERENT event
+    times, via dropDuplicatesWithinWatermark (bounded state)."""
+    return _ev.run_stream_dedup_within_watermark(spark, sf_dir)
+
+
 def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment: each micro-batch of events
     broadcast-joins the static customer dim (stateless — no watermark,
@@ -1615,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_checkpoint_restart": q_stream_checkpoint_restart,
         "stream_state_inspect": q_stream_state_inspect,
         "stream_dedup": q_stream_dedup,
+        "stream_dedup_wwm": q_stream_dedup_within_watermark,
         "stream_static_enrich": q_stream_static_enrich,
         "stream_partitioned_sink": q_stream_partitioned_sink,
         "stream_merge_state": q_stream_merge_state,
@@ -2228,6 +2237,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_static_enrich": _ext_oracle(
             [_ev.ORACLE_STREAM_STATIC_ENRICH], "stream_static_enrich"
+        ),
+        "stream_dedup_wwm": _ext_oracle(
+            [_ev.ORACLE_STREAM_DEDUP_WWM], "stream_dedup_wwm"
         ),
         "stream_dedup": _ext_oracle(
             [_ev.ORACLE_STREAM_DEDUP], "stream_dedup"

@@ -1234,3 +1234,52 @@ stream_merge_state AS (
   GROUP BY user_id
 )
 """
+
+
+def run_stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str, name: str = "stream_dedup_wwm"
+) -> DataFrame:
+    """Exactly-once dedup via ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+) — the variant for producers whose redeliveries carry
+    DIFFERENT event times for the same key. Plain ``dropDuplicates``
+    keys state on the exact (key, ts) first seen and can emit a
+    redelivery whose ts differs; WithinWatermark guarantees a key is
+    emitted once as long as its redeliveries arrive within the
+    watermark delay of each other, and expires state afterward —
+    strictly better bounded-state semantics for at-least-once
+    sources.
+
+    Simulated redelivery shifts the duplicate copy's ts by 1 second
+    (inside the 1 hour delay). Projecting the ts AWAY (it is
+    nondeterministic — either copy's may win) keeps the output
+    oracle-checkable: every event key exactly once with its stable
+    columns.
+    """
+    stream = _event_stream(spark, sf_dir)
+    shifted = stream.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")
+    )
+    redelivered = stream.unionByName(shifted)
+    deduped = (
+        redelivered.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_STREAM_DEDUP_WWM = """
+stream_dedup_wwm AS (
+  SELECT event_id, user_id, event_type, value FROM events
+)
+"""
