@@ -91,6 +91,10 @@ HEADLINE = [
     "lineitem_quarantine",
     "text_phrase_search",
     "events_ab_test",
+    "orders_cdc_apply",
+    "events_rfm_segments",
+    "nation_revenue_share",
+    "text_ingest_docs",
 ]
 
 

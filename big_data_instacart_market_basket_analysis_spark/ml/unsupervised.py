@@ -107,12 +107,16 @@ def word2vec_synonyms(documents: DataFrame) -> DataFrame:
         outputCol="vec",
     )
     model = w2v.fit(toks)
+    # only terms at/above the trained minCount are in the model's
+    # vocabulary — filtering here (instead of a try/except around
+    # findSynonyms) keeps real pipeline failures loud
     top_terms = [
         r["word"]
         for r in (
             toks.select(F.explode("tokens").alias("word"))
             .groupBy("word")
             .count()
+            .filter(F.col("count") >= W2V_MIN_COUNT)
             .orderBy(F.desc("count"), "word")
             .limit(5)
             .collect()
@@ -121,10 +125,7 @@ def word2vec_synonyms(documents: DataFrame) -> DataFrame:
     spark = documents.sparkSession
     rows = []
     for term in top_terms:
-        try:
-            syns = model.findSynonyms(term, W2V_TOP_SYNONYMS).collect()
-        except Exception:  # term below minCount
-            continue
+        syns = model.findSynonyms(term, W2V_TOP_SYNONYMS).collect()
         for rank, s in enumerate(syns):
             rows.append(
                 (term, rank, s["word"], round(float(s["similarity"]), 6))

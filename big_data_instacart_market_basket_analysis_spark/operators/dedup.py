@@ -827,6 +827,21 @@ FUZZY_MAX_DIST = 10
 FUZZY_MAX_BLOCK = 200
 
 
+def _block_capped(keyed: DataFrame, max_block: int) -> DataFrame:
+    """Shared (lang, blk) blocking cap: drop stop-word blocks larger
+    than ``max_block`` BEFORE any self-join. One definition for every
+    blocked pairwise operator (fuzzy_prefix_pairs, er_matches) so the
+    candidate-generation rule can never silently diverge between
+    them; each operator's oracle CTE mirrors this textually."""
+    block_df = (
+        keyed.groupBy("lang", "blk")
+        .agg(F.count("*").alias("blk_n"))
+        .filter(F.col("blk_n") <= max_block)
+        .select("lang", "blk")
+    )
+    return keyed.join(block_df, ["lang", "blk"])
+
+
 def fuzzy_prefix_pairs(
     docs: DataFrame, max_block: int = FUZZY_MAX_BLOCK
 ) -> DataFrame:
@@ -844,19 +859,15 @@ def fuzzy_prefix_pairs(
     an integer metric with one standard definition, so the oracle
     matches exactly with no float rule.
     """
-    keyed = docs.select(
-        "doc_id",
-        "lang",
-        F.substring_index(F.col("text"), " ", 1).alias("blk"),
-        F.substring("text", 1, FUZZY_PREFIX_CHARS).alias("prefix"),
+    keyed = _block_capped(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.substring_index(F.col("text"), " ", 1).alias("blk"),
+            F.substring("text", 1, FUZZY_PREFIX_CHARS).alias("prefix"),
+        ),
+        max_block,
     )
-    block_df = (
-        keyed.groupBy("lang", "blk")
-        .agg(F.count("*").alias("blk_n"))
-        .filter(F.col("blk_n") <= max_block)
-        .select("lang", "blk")
-    )
-    keyed = keyed.join(block_df, ["lang", "blk"])
     a = keyed.select(
         F.col("doc_id").alias("id_a"),
         "lang",
@@ -1235,7 +1246,7 @@ def er_matches(docs: DataFrame) -> DataFrame:
     work, and the downstream clustering (``connected_clusters``)
     consumes these pairs unchanged.
     """
-    keyed = (
+    keyed = _block_capped(
         docs.select(
             "doc_id",
             "lang",
@@ -1247,15 +1258,9 @@ def er_matches(docs: DataFrame) -> DataFrame:
                     lambda t: F.length(t) > 0,
                 )
             ).alias("toks"),
-        )
+        ),
+        FUZZY_MAX_BLOCK,
     )
-    block_df = (
-        keyed.groupBy("lang", "blk")
-        .agg(F.count("*").alias("blk_n"))
-        .filter(F.col("blk_n") <= FUZZY_MAX_BLOCK)
-        .select("lang", "blk")
-    )
-    keyed = keyed.join(block_df, ["lang", "blk"])
     a = keyed.select(
         F.col("doc_id").alias("id_a"), "lang", "blk",
         F.col("prefix").alias("pa"), F.col("toks").alias("ta"),
@@ -1325,10 +1330,11 @@ er_scored AS (
 ),
 er_matches AS (
   SELECT id_a, id_b,
-         round(CAST(i AS DOUBLE) / u, 6) AS jaccard,
-         round(1.0 - CAST(d AS DOUBLE) / m, 6) AS edit_sim,
-         round(0.5 * (CAST(i AS DOUBLE) / u)
-               + 0.5 * (1.0 - CAST(d AS DOUBLE) / m), 6) AS score
+         round(CAST(i AS DOUBLE) / NULLIF(u, 0), 6) AS jaccard,
+         round(1.0 - CAST(d AS DOUBLE) / NULLIF(m, 0), 6) AS edit_sim,
+         round(0.5 * (CAST(i AS DOUBLE) / NULLIF(u, 0))
+               + 0.5 * (1.0 - CAST(d AS DOUBLE) / NULLIF(m, 0)), 6)
+           AS score
   FROM er_scored
   WHERE 5 * (i * m + (m - d) * u) >= {ER_THRESH_NUM} * u * m
 )

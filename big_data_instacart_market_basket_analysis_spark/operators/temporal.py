@@ -1348,9 +1348,11 @@ imp_scanned AS (
            OVER w_fwd AS next_ts
   FROM imp_marked
   WINDOW
-    w_back AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+    -- order by the RAW ts (microsecond precision), not the truncated
+    -- ts_ms, to match the Spark window's ordering exactly
+    w_back AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-    w_fwd AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+    w_fwd AS (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 ),
 interpolate_missing AS (
@@ -1557,7 +1559,7 @@ weekly_growth AS (
   SELECT event_type, week_ms, revenue, n_events,
          round(revenue - lag(revenue) OVER w, 4) AS wow_change,
          round((revenue - lag(revenue) OVER w)
-               / lag(revenue) OVER w, 6) AS wow_pct
+               / NULLIF(lag(revenue) OVER w, 0), 6) AS wow_pct
   FROM wg_weekly
   WINDOW w AS (PARTITION BY event_type ORDER BY week_ms)
 )
@@ -1655,7 +1657,8 @@ ab_test AS (
   SELECT n0, n1, mean0, mean1,
          round(mean1 - mean0, 6) AS lift,
          round((mean1 - mean0)
-               / sqrt(var0 / n0 + var1 / n1), 6) AS welch_z
+               / NULLIF(sqrt(var0 / NULLIF(n0, 0)
+                             + var1 / NULLIF(n1, 0)), 0), 6) AS welch_z
   FROM ab_g
 )
 """

@@ -38,10 +38,19 @@ def docs_text_roundtrip(
     key = (id(spark), sf_dir)
     if key in _ROUNDTRIP_CACHE:
         return _ROUNDTRIP_CACHE[key]
+    # explicit NULL sentinel per field (classic TSV \N convention):
+    # concat_ws silently DROPS null fields, which would shift every
+    # later field on re-parse — encode nulls so the line always has
+    # exactly three tabs, and decode the sentinel back on read.
+    def enc(c: str) -> F.Column:
+        return F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
+
+    def dec(c: F.Column) -> F.Column:
+        return F.when(c == "\\N", F.lit(None)).otherwise(c)
+
     docs = load_table(spark, sf_dir, "documents").select(
         F.concat_ws(
-            "\t", F.col("doc_id"), F.col("lang"), F.col("source"),
-            F.col("text"),
+            "\t", enc("doc_id"), enc("lang"), enc("source"), enc("text")
         ).alias("value")
     )
     path = f"{tmp_base}/{sf_dir.strip('/').replace('/', '_')}/documents"
@@ -49,10 +58,10 @@ def docs_text_roundtrip(
     raw = spark.read.text(path)
     parts = F.split(F.col("value"), "\t", 4)
     df = raw.select(
-        parts.getItem(0).cast("bigint").alias("doc_id"),
-        parts.getItem(1).alias("lang"),
-        parts.getItem(2).alias("source"),
-        parts.getItem(3).alias("text"),
+        dec(parts.getItem(0)).cast("bigint").alias("doc_id"),
+        dec(parts.getItem(1)).alias("lang"),
+        dec(parts.getItem(2)).alias("source"),
+        dec(parts.getItem(3)).alias("text"),
     )
     _ROUNDTRIP_CACHE[key] = df
     return df
