@@ -118,6 +118,7 @@ _FRAGMENTS: dict[str, str] = {
     "threshold_binarize": _rel.ORACLE_THRESHOLD_BINARIZE,
     "top_products_per_user": _rel.ORACLE_TOP_PRODUCTS_PER_USER,
     "loo_target_encoding": _feat.ORACLE_LOO_TARGET_ENCODING,
+    "feature_correlations": _prof.oracle_feature_correlations(),
     "baskets_base": _bask.ORACLE_BASKETS,
     "seq_spans": _bask.ORACLE_SEQ_SPANS,
     "sequential_pairs": _bask.ORACLE_SEQUENTIAL_PAIRS,
@@ -170,6 +171,15 @@ _DEPS: dict[str, list[str]] = {
     "threshold_binarize": ["product_features"],
     "top_products_per_user": ["prior_enriched", "user_product_features"],
     "loo_target_encoding": [],
+    "feature_correlations": [
+        "prior_enriched",
+        "user_prior_features",
+        "user_order_features",
+        "users_final",
+        "product_features",
+        "user_product_features",
+        "candidates",
+    ],
     "baskets_base": [],
     "seq_spans": [],
     "sequential_pairs": ["seq_spans"],
@@ -1140,6 +1150,14 @@ def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _feat.loo_target_encoding(instacart_tables(spark, sf_dir))
 
 
+def q_feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise feature correlation audit: C(k,2) Pearson corrs in ONE
+    aggregation pass over the candidate table, unpivoted to long."""
+    return _prof.feature_correlations(
+        _cand.candidates_staged(instacart_tables(spark, sf_dir))
+    )
+
+
 def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q18-shaped large-volume orders (HAVING-filtered agg runs
     first and broadcast-drives the joins)."""
@@ -1726,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue_share": q_nation_revenue_share,
         "events_interpolate": q_events_interpolate,
         "loo_target_encoding": q_loo_target_encoding,
+        "feature_correlations": q_feature_correlations,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "regional_revenue": q_regional_revenue,
         "events_session_funnel": q_events_session_funnel,
@@ -2176,6 +2195,7 @@ def oracle_sql() -> dict[str, str]:
             [_tmp.ORACLE_INTERPOLATE_MISSING], "interpolate_missing"
         ),
         "loo_target_encoding": _oracle("loo_target_encoding"),
+        "feature_correlations": _oracle("feature_correlations"),
         "parts_intersect_all": _ext_oracle(
             [_rel.ORACLE_PARTS_INTERSECT_ALL], "parts_intersect_all"
         ),

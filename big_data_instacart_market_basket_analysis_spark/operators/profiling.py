@@ -482,3 +482,76 @@ lineitem_quarantine AS (
   WHERE {disjunction}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# feature correlation matrix (ML pre-training audit)
+# ---------------------------------------------------------------------------
+
+#: pinned feature subset for the correlation audit (8 of the 17
+#: candidate features -> 28 pairs in ONE aggregation pass; widen the
+#: list and the plan shape is unchanged).
+CORR_FEATURES = (
+    "user_SumOrders",
+    "user_items_purchased_total",
+    "user_average_items",
+    "days_since",
+    "numorders",
+    "prod_reorderProportion",
+    "userProduct_orders",
+    "userProduct_average_cartOrder",
+)
+
+
+def feature_correlations(cand) -> "DataFrame":
+    """Pairwise Pearson correlations between candidate features — the
+    standard pre-training audit for redundant/leaky features. ALL
+    C(k,2) correlations compute in ONE aggregation pass (each corr is
+    an algebraic aggregate: one scan, partial-merge-able moments), so
+    the fact table is read once no matter how many pairs; the wide
+    1-row result unpivots to long (pair, corr) rows driver-free.
+    Null pairs are skipped by corr in both engines (the safe_div
+    features carry nulls); rounded to 4 — cross-engine moment
+    accumulation agrees well past that for unit-scale data.
+    """
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CORR_FEATURES)
+        for b in CORR_FEATURES[i + 1:]
+    ]
+    wide = cand.agg(
+        *[
+            F.round(F.corr(a, b), 4).alias(f"{a}|{b}")
+            for a, b in pairs
+        ]
+    )
+    long = wide.unpivot([], [f"{a}|{b}" for a, b in pairs], "pair", "corr")
+    return long.select(
+        F.split(F.col("pair"), r"\|").getItem(0).alias("f1"),
+        F.split(F.col("pair"), r"\|").getItem(1).alias("f2"),
+        "corr",
+    )
+
+
+def oracle_feature_correlations() -> str:
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CORR_FEATURES)
+        for b in CORR_FEATURES[i + 1:]
+    ]
+    wide_cols = ",\n         ".join(
+        f'round(corr({a}, {b}), 4) AS "{a}|{b}"' for a, b in pairs
+    )
+    unpivot_cols = ", ".join(f'"{a}|{b}"' for a, b in pairs)
+    return f"""
+fcorr_wide AS (
+  SELECT {wide_cols}
+  FROM candidates
+),
+feature_correlations AS (
+  SELECT split_part(pair, '|', 1) AS f1,
+         split_part(pair, '|', 2) AS f2,
+         corr
+  FROM (UNPIVOT fcorr_wide ON {unpivot_cols}
+        INTO NAME pair VALUE corr)
+)"""
