@@ -1110,6 +1110,12 @@ def q_parts_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rel.parts_intersect_all(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (explode-amplified
+    sliding distinct; amplification = window/slide ratio, constant)."""
+    return _tmp.rolling_active_users(load_table(spark, sf_dir, "events"))
+
+
 def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: user-grain agg + three shared-sort quintile
     windows + composed segment code."""
@@ -1740,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_intersect_all": q_parts_intersect_all,
         "parts_except_all": q_parts_except_all,
         "orders_cdc_apply": q_orders_cdc_apply,
+        "events_rolling_dau": q_events_rolling_dau,
         "events_rfm_segments": q_events_rfm_segments,
         "nation_revenue_share": q_nation_revenue_share,
         "events_interpolate": q_events_interpolate,
@@ -2187,6 +2194,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_rfm_segments": _ext_oracle(
             [_tmp.ORACLE_RFM_SEGMENTS], "rfm_segments"
+        ),
+        "events_rolling_dau": _ext_oracle(
+            [_tmp.ORACLE_ROLLING_DAU], "rolling_dau"
         ),
         "nation_revenue_share": _ext_oracle(
             [_rel.ORACLE_NATION_REVENUE_SHARE], "nation_revenue_share"

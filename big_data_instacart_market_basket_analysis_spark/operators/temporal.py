@@ -1744,3 +1744,56 @@ rfm_segments AS (
   FROM rfm_scored
 )
 """
+
+
+#: rolling-DAU window length (days): each event contributes to the
+#: windows ENDING on its day .. day+6 — amplification factor equals
+#: the window/slide ratio (7), a constant, not a data-dependent blowup.
+ROLLING_DAU_DAYS = 7
+
+
+def rolling_active_users(events: DataFrame) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the DAU/WAU
+    staple. COUNT(DISTINCT) cannot run inside a sliding window frame,
+    so the scale-correct form is explode-amplification: each event
+    emits one row per window-END day it falls into (exactly 7, the
+    window/slide ratio), then one distinct-agg per day. The shuffle
+    carries (day, user) pairs — 7x the event count pre-combine,
+    deduplicated map-side by the partial distinct. Edge windows
+    (fewer than 7 days of data) are reported as-is; the oracle
+    mirrors them.
+    """
+    day = F.date_trunc("day", F.col("ts").cast("timestamp"))
+    amplified = events.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                day,
+                day + F.expr(f"INTERVAL {ROLLING_DAU_DAYS - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("win_end"),
+    )
+    return (
+        amplified.groupBy(F.unix_millis("win_end").alias("win_end_ms"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+ORACLE_ROLLING_DAU = f"""
+rdau_amplified AS (
+  SELECT user_id,
+         unnest(generate_series(
+           date_trunc('day', ts),
+           date_trunc('day', ts)
+             + INTERVAL {ROLLING_DAU_DAYS - 1} DAY,
+           INTERVAL 1 DAY)) AS win_end
+  FROM events
+),
+rolling_dau AS (
+  SELECT epoch_ms(win_end) AS win_end_ms,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+  FROM rdau_amplified
+  GROUP BY 1
+)
+"""
