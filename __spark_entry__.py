@@ -1110,6 +1110,18 @@ def q_parts_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rel.parts_intersect_all(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level ordered funnel (signup -> click -> purchase by
+    first-touch order) in one conditional min-agg pass."""
+    return _tmp.user_funnel(load_table(spark, sf_dir, "events"))
+
+
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift report between the stream's two halves (one
+    conditional bin x side hash-agg; ln on pre-rounded shares)."""
+    return _tmp.psi_drift_report(load_table(spark, sf_dir, "events"))
+
+
 def q_events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct active users per day (explode-amplified
     sliding distinct; amplification = window/slide ratio, constant)."""
@@ -1747,6 +1759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_except_all": q_parts_except_all,
         "orders_cdc_apply": q_orders_cdc_apply,
         "events_rolling_dau": q_events_rolling_dau,
+        "events_user_funnel": q_events_user_funnel,
+        "events_psi_drift": q_events_psi_drift,
         "events_rfm_segments": q_events_rfm_segments,
         "nation_revenue_share": q_nation_revenue_share,
         "events_interpolate": q_events_interpolate,
@@ -2197,6 +2211,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_rolling_dau": _ext_oracle(
             [_tmp.ORACLE_ROLLING_DAU], "rolling_dau"
+        ),
+        "events_user_funnel": _ext_oracle(
+            [_tmp.ORACLE_USER_FUNNEL], "user_funnel"
+        ),
+        "events_psi_drift": _ext_oracle(
+            [_tmp.ORACLE_PSI_DRIFT], "psi_drift"
         ),
         "nation_revenue_share": _ext_oracle(
             [_rel.ORACLE_NATION_REVENUE_SHARE], "nation_revenue_share"

@@ -1797,3 +1797,138 @@ rolling_dau AS (
   GROUP BY 1
 )
 """
+
+
+#: ordered funnel steps (first-touch timestamps must be increasing).
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def user_funnel(events: DataFrame) -> DataFrame:
+    """User-level ordered funnel across event types: how many users
+    reached signup -> click -> purchase IN ORDER (first-touch
+    timestamps strictly increasing step to step). One conditional
+    min-agg per user (every step's first-touch in a single hash-agg
+    pass), then a 1-row conditional rollup — no joins, no windows;
+    the classic product-analytics funnel at fact-scan cost.
+    """
+    firsts = events.groupBy("user_id").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("event_type") == s, F.unix_millis("ts")
+                )
+            ).alias(f"t_{s}")
+            for s in FUNNEL_STEPS
+        ]
+    )
+    s0, s1, s2 = [f"t_{s}" for s in FUNNEL_STEPS]
+    reached1 = F.col(s0).isNotNull()
+    reached2 = reached1 & F.col(s1).isNotNull() & (F.col(s0) < F.col(s1))
+    reached3 = reached2 & F.col(s2).isNotNull() & (F.col(s1) < F.col(s2))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(reached1.cast("bigint")).alias("step1_signup"),
+        F.sum(reached2.cast("bigint")).alias("step2_click"),
+        F.sum(reached3.cast("bigint")).alias("step3_purchase"),
+    )
+
+
+ORACLE_USER_FUNNEL = """
+uf_firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup'
+                  THEN epoch_ms(ts) END) AS t_signup,
+         min(CASE WHEN event_type = 'click'
+                  THEN epoch_ms(ts) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_ms(ts) END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+user_funnel AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CASE WHEN t_signup IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS step1_signup,
+         CAST(sum(CASE WHEN t_signup IS NOT NULL
+                        AND t_click IS NOT NULL
+                        AND t_signup < t_click
+                       THEN 1 ELSE 0 END) AS BIGINT) AS step2_click,
+         CAST(sum(CASE WHEN t_signup IS NOT NULL
+                        AND t_click IS NOT NULL
+                        AND t_signup < t_click
+                        AND t_purchase IS NOT NULL
+                        AND t_click < t_purchase
+                       THEN 1 ELSE 0 END) AS BIGINT) AS step3_purchase
+  FROM uf_firsts
+)
+"""
+
+
+#: PSI drift bins over value (fixture values are unit-scale).
+PSI_BIN_WIDTH = 20.0
+PSI_SPLIT_TS = "2024-01-16"
+
+
+def psi_drift_report(events: DataFrame) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream — the ML-ops drift monitor for a scoring
+    feature. Per fixed-width value bin: reference share (before the
+    split date), current share (after), and the bin's PSI term
+    ``(p_cur - p_ref) * ln(p_cur / p_ref)``; the report's total is
+    the sum. Counts aggregate in ONE conditional pass (bin x side in
+    the same hash-agg); shares divide integer counts, and ln runs on
+    the ratio of ALREADY-ROUNDED shares so both engines see identical
+    inputs. Bins present on only one side are reported with a null
+    term (the production alert case) instead of an infinite one.
+    """
+    side_cur = (F.col("ts") >= F.lit(PSI_SPLIT_TS)).cast("bigint")
+    binned = events.groupBy(
+        F.floor(F.col("value") / PSI_BIN_WIDTH).cast("bigint").alias("bin")
+    ).agg(
+        F.sum(1 - side_cur).alias("n_ref"),
+        F.sum(side_cur).alias("n_cur"),
+    )
+    totals = binned.agg(
+        F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
+    )
+    shared = binned.join(F.broadcast(totals))
+    p_ref = F.round(F.col("n_ref") / F.col("tot_ref"), 6)
+    p_cur = F.round(F.col("n_cur") / F.col("tot_cur"), 6)
+    term = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6),
+    )
+    return shared.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+        term.alias("psi_term"),
+    )
+
+
+ORACLE_PSI_DRIFT = f"""
+psi_binned AS (
+  SELECT CAST(floor(value / {PSI_BIN_WIDTH}) AS BIGINT) AS bin,
+         CAST(sum(CASE WHEN ts >= '{PSI_SPLIT_TS}'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN ts >= '{PSI_SPLIT_TS}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM events GROUP BY 1
+),
+psi_tot AS (
+  SELECT sum(n_ref) AS tot_ref, sum(n_cur) AS tot_cur FROM psi_binned
+),
+psi_drift AS (
+  SELECT bin, n_ref, n_cur,
+         round(CAST(n_ref AS DOUBLE) / tot_ref, 6) AS p_ref,
+         round(CAST(n_cur AS DOUBLE) / tot_cur, 6) AS p_cur,
+         CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+           round((round(CAST(n_cur AS DOUBLE) / tot_cur, 6)
+                  - round(CAST(n_ref AS DOUBLE) / tot_ref, 6))
+                 * ln(round(CAST(n_cur AS DOUBLE) / tot_cur, 6)
+                      / round(CAST(n_ref AS DOUBLE) / tot_ref, 6)), 6)
+         END AS psi_term
+  FROM psi_binned, psi_tot
+)
+"""
