@@ -1110,6 +1110,13 @@ def q_parts_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rel.parts_intersect_all(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: purchases split value equally
+    across same-user clicks in the preceding hour (bucketed range
+    join + per-purchase assist window + per-click rollup)."""
+    return _tmp.linear_attribution(load_table(spark, sf_dir, "events"))
+
+
 def q_events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-level ordered funnel (signup -> click -> purchase by
     first-touch order) in one conditional min-agg pass."""
@@ -1760,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cdc_apply": q_orders_cdc_apply,
         "events_rolling_dau": q_events_rolling_dau,
         "events_user_funnel": q_events_user_funnel,
+        "events_attribution": q_events_attribution,
         "events_psi_drift": q_events_psi_drift,
         "events_rfm_segments": q_events_rfm_segments,
         "nation_revenue_share": q_nation_revenue_share,
@@ -2214,6 +2222,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_user_funnel": _ext_oracle(
             [_tmp.ORACLE_USER_FUNNEL], "user_funnel"
+        ),
+        "events_attribution": _ext_oracle(
+            [_tmp.ORACLE_LINEAR_ATTRIBUTION], "linear_attribution"
         ),
         "events_psi_drift": _ext_oracle(
             [_tmp.ORACLE_PSI_DRIFT], "psi_drift"

@@ -1932,3 +1932,91 @@ psi_drift AS (
   FROM psi_binned, psi_tot
 )
 """
+
+
+#: attribution lookback (ms): clicks within this window before a
+#: purchase share its value equally.
+ATTR_WINDOW_MS = 3_600_000
+
+
+def linear_attribution(events: DataFrame) -> DataFrame:
+    """Linear multi-touch attribution: every purchase distributes its
+    value EQUALLY across the same user's clicks in the preceding hour;
+    a click's attributed revenue is the sum of its shares across all
+    purchases it assisted. The canonical marketing-attribution rollup.
+
+    Plan: the purchase-click pairing is the bounded range join —
+    per-user equi-join on (user_id, hour bucket in {h-1, h}) then the
+    exact window filter, so candidates are bounded per bucket, never
+    per user history. The per-purchase assist count is one hash-agg on
+    the purchase key (same shuffle family), credit is row-local
+    integer-count division of the pre-rounded value, and the final
+    per-click rollup sums credits. Click keys with zero assists simply
+    don't appear (production would left-join the click dim back).
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_millis("ts").alias("p_ms"),
+        F.round("value", 4).alias("p_value"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_millis("ts").alias("c_ms"),
+    )
+    p_b = purchases.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                (F.col("p_ms") / ATTR_WINDOW_MS).cast("bigint") - 1,
+                (F.col("p_ms") / ATTR_WINDOW_MS).cast("bigint"),
+            )
+        ),
+    )
+    c_b = clicks.withColumn(
+        "bucket", (F.col("c_ms") / ATTR_WINDOW_MS).cast("bigint")
+    )
+    # the explode gives two bucket rows per purchase; equi-join on the
+    # bucket, exact window as the join residual
+    pairs = p_b.join(c_b, ["bucket"]).filter(
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ms") <= F.col("p_ms"))
+        & (F.col("p_ms") - F.col("c_ms") < ATTR_WINDOW_MS)
+    )
+    w = Window.partitionBy("p_id")
+    credited = pairs.withColumn("n_assists", F.count("*").over(w)).select(
+        "c_id",
+        (F.col("p_value") / F.col("n_assists")).alias("credit"),
+    )
+    return credited.groupBy(F.col("c_id").alias("click_id")).agg(
+        F.round(F.sum("credit"), 4).alias("attributed_value"),
+        F.count("*").alias("n_purchases_assisted"),
+    )
+
+
+ORACLE_LINEAR_ATTRIBUTION = f"""
+la_pairs AS (
+  SELECT c.event_id AS c_id, p.event_id AS p_id,
+         round(p.value, 4) AS p_value
+  FROM events p
+  JOIN events c
+    ON p.user_id = c.user_id
+   AND c.event_type = 'click'
+   AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+   AND epoch_ms(p.ts) - epoch_ms(c.ts) < {ATTR_WINDOW_MS}
+  WHERE p.event_type = 'purchase'
+),
+la_credit AS (
+  SELECT c_id,
+         p_value / count(*) OVER (PARTITION BY p_id) AS credit
+  FROM la_pairs
+),
+linear_attribution AS (
+  SELECT c_id AS click_id,
+         round(sum(credit), 4) AS attributed_value,
+         CAST(count(*) AS BIGINT) AS n_purchases_assisted
+  FROM la_credit
+  GROUP BY c_id
+)
+"""
