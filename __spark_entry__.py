@@ -567,6 +567,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ivf_ann_topk(_emb(spark, sf_dir))
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: per-query recall@k of the IVF index vs
+    the brute-force ground truth (leftsemi intersection count)."""
+    return _sim.ann_recall_eval(_emb(spark, sf_dir))
+
+
 def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar-quantized cosine top-k (4x memory compression, exact
     integer dot products -> engine-stable ranking)."""
@@ -1690,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force_scored": q_ann_brute_force_scored,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "ann_quantized": q_ann_quantized,
         "events_zorder": q_events_zorder,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1948,6 +1955,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh": _ext_oracle([_sim.oracle_lsh_ann_topk()], "lsh_ann_topk"),
         "ann_ivf": _ext_oracle([_sim.oracle_ivf_ann_topk()], "ivf_ann_topk"),
+        "ann_ivf_recall": _ext_oracle(
+            [
+                _sim.ORACLE_BRUTE_FORCE_TOPK,
+                _sim.oracle_ivf_ann_topk(),
+                _sim.ORACLE_ANN_RECALL,
+            ],
+            "ann_recall",
+        ),
         "ann_quantized": _ext_oracle(
             [_sim.ORACLE_QUANTIZED_TOPK], "quantized_topk"
         ),

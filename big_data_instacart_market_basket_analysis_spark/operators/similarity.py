@@ -1045,3 +1045,53 @@ rag_context_pack AS (
   GROUP BY query_id
 )
 """
+
+
+def ann_recall_eval(emb: DataFrame) -> DataFrame:
+    """ANN quality harness: recall@k of the IVF index against the
+    exact brute-force top-k ground truth, per query — the evaluation
+    every approximate index ships with (the ANN-benchmarks
+    methodology; same role minhash_recall_eval plays for lexical
+    dedup). A left-semi intersection on (query_id, neighbor_id)
+    counts hits; recall divides by the integer k. Both sides are
+    independently oracle-checked queries, so this composition is
+    fully replayable in SQL.
+    """
+    truth = brute_force_topk(emb).select("query_id", "neighbor_id")
+    approx = ivf_ann_topk(emb).select("query_id", "neighbor_id")
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "leftsemi")
+    per_query = hits.groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    # queries with zero hits keep a row (left join vs the query set)
+    all_queries = truth.select("query_id").distinct()
+    return (
+        all_queries.join(per_query, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(TOP_K), 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+ORACLE_ANN_RECALL = f"""
+arq AS (SELECT DISTINCT query_id FROM brute_force_topk),
+arh AS (
+  SELECT i.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ivf_ann_topk i
+  WHERE EXISTS (SELECT 1 FROM brute_force_topk b
+                WHERE b.query_id = i.query_id
+                  AND b.neighbor_id = i.neighbor_id)
+  GROUP BY i.query_id
+),
+ann_recall AS (
+  SELECT q.query_id,
+         COALESCE(h.n_hits, 0) AS n_hits,
+         round(COALESCE(h.n_hits, 0) / CAST({TOP_K} AS DOUBLE), 4)
+           AS recall_at_k
+  FROM arq q LEFT JOIN arh h ON q.query_id = h.query_id
+)
+"""
