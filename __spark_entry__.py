@@ -455,6 +455,29 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: Broder containment |A∩B|/min(|A|,|B|) over
+    the shared df-capped shingle kernel — catches a short doc quoted
+    inside a long one (the test-set-contamination shape Jaccard
+    misses)."""
+    return _dedup.containment_pairs(_docs(spark, sf_dir))
+
+
+def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate n-gram span detection (bounded-window substring
+    dedup): per-doc maximal duplicated islands + exact copied-token
+    coverage. Linear — span-hash agg + doc window, no self-join."""
+    return _text.duplicate_spans(_docs(spark, sf_dir))
+
+
+def q_embedding_random_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection 64 -> 16 dims
+    (deterministic md5 sign matrix, map-only)."""
+    return _sim.random_projection(_emb(spark, sf_dir))
+
+
 def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup QA: MinHash-LSH banding recall vs the exact n-gram
     Jaccard ground truth, with the jaccard range per status."""
@@ -1678,6 +1701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_merge_state": q_stream_merge_state,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
+        "text_dup_spans": q_text_dup_spans,
+        "embedding_random_projection": q_embedding_random_projection,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_exact_first": q_dedup_minhash_exact_first,
         "dedup_simhash": q_dedup_simhash,
@@ -1870,6 +1896,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _ext_oracle(
             [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD],
             "ngram_jaccard",
+        ),
+        "dedup_containment": _ext_oracle(
+            [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD,
+             _dedup.ORACLE_CONTAINMENT],
+            "containment_pairs",
+        ),
+        "text_dup_spans": _ext_oracle(
+            [_text.ORACLE_DUP_SPANS], "duplicate_spans"
+        ),
+        "embedding_random_projection": _ext_oracle(
+            [_sim.oracle_random_projection()], "random_projection"
         ),
         "dedup_minhash_eval": _ext_oracle(
             [_dedup.ORACLE_SHINGLES,

@@ -95,6 +95,9 @@ HEADLINE = [
     "events_rfm_segments",
     "nation_revenue_share",
     "text_ingest_docs",
+    # round-3 continuation: substring-span dedup + containment kernel
+    "text_dup_spans",
+    "dedup_containment",
 ]
 
 

@@ -135,12 +135,11 @@ exact_dedup AS (
 """
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    threshold: float = JACCARD_THRESHOLD,
-    max_shingle_df: int = MAX_SHINGLE_DF,
+def _pair_shared_counts(
+    docs: DataFrame, max_shingle_df: int = MAX_SHINGLE_DF
 ) -> DataFrame:
-    """Near-dup pairs by exact Jaccard over 3-word shingle sets.
+    """Exact shared-shingle counts per candidate pair: (d1 < d2,
+    shared, n1, n2) — the common kernel under Jaccard and containment.
 
     Inverted-index self-join with a document-frequency cap: shingles in
     more than ``max_shingle_df`` docs are excluded from candidate
@@ -150,9 +149,8 @@ def ngram_jaccard_pairs(
     cap pruned is then re-added exactly via small per-doc hot-shingle
     arrays (#hot shingles <= shingle_rows / cap globally, and a doc's
     own hot set is bounded by its length). Surviving pairs therefore
-    report the exact uncapped jaccard; only pairs whose ENTIRE overlap
-    is hot shingles (no discriminative signal) are absent. Output
-    (d1 < d2, jaccard).
+    carry the exact uncapped intersection size; only pairs whose ENTIRE
+    overlap is hot shingles (no discriminative signal) are absent.
 
     A previous shape ran a separate candidate pass + full-shingle-set
     re-verify — that re-exploded every candidate pair by its ~50
@@ -200,7 +198,25 @@ def ngram_jaccard_pairs(
                 F.coalesce("h1", empty), F.coalesce("h2", empty)
             )),
         )
-        .withColumn(
+        .select("d1", "d2", "shared", "n1", "n2")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over 3-word shingle sets.
+
+    ``_pair_shared_counts`` does the heavy lifting (df-capped inverted
+    index, exact hot-overlap correction — see its docstring); this is
+    the |A∩B| / |A∪B| ratio + threshold on top. Output (d1 < d2,
+    jaccard).
+    """
+    p = _pair_shared_counts(docs, max_shingle_df)
+    return (
+        p.withColumn(
             "jaccard",
             F.col("shared")
             / (F.col("n1") + F.col("n2") - F.col("shared")),
@@ -208,6 +224,58 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
+
+
+#: Broder containment threshold: fraction of the SMALLER document's
+#: shingles that must appear in the larger one.
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Asymmetric near-dup by Broder containment: |A∩B| / min(|A|,|B|).
+
+    Catches the pair Jaccard structurally misses — a short document
+    wholly quoted inside a much longer one (union is dominated by the
+    long doc, so Jaccard stays low no matter how complete the overlap).
+    This is the test-set-contamination shape: a benchmark prompt pasted
+    into a web page has containment ~1.0 and Jaccard ~|A|/|B|.
+
+    Same kernel as Jaccard (``_pair_shared_counts``: df-capped inverted
+    index, one self-join, exact hot-overlap re-add), so the quadratic
+    guardrails are shared; only the denominator differs. Output
+    (d1 < d2, containment, n_small) — n_small disambiguates which side
+    is the contained one by size.
+    """
+    p = _pair_shared_counts(docs, max_shingle_df)
+    return (
+        p.withColumn(
+            "containment", F.col("shared") / F.least("n1", "n2")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "d1",
+            "d2",
+            "containment",
+            F.least("n1", "n2").alias("n_small"),
+        )
+    )
+
+
+ORACLE_CONTAINMENT = f"""
+containment_pairs AS (
+  SELECT d1, d2,
+         CAST(shared AS DOUBLE) / least(s1.n, s2.n) AS containment,
+         least(s1.n, s2.n) AS n_small
+  FROM dcorrected s
+  JOIN dsizes s1 ON s1.doc_id = s.d1
+  JOIN dsizes s2 ON s2.doc_id = s.d2
+  WHERE CAST(shared AS DOUBLE) / least(s1.n, s2.n) >= {CONTAINMENT_THRESHOLD}
+)
+"""
 
 
 ORACLE_NGRAM_JACCARD = f"""

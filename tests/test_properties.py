@@ -1078,3 +1078,78 @@ def test_er_matches_scores_bounded_and_thresholded(spark):
         assert 0.0 <= r["edit_sim"] <= 1.0
         assert r["score"] >= 0.6 - 1e-9, r
         assert r["id_a"] < r["id_b"]
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully quoted inside a much longer one: containment
+    ~1.0 (caught) while Jaccard stays below its threshold (missed) —
+    the asymmetric case the containment operator exists for."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        dedup as dd,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} next{i} more{i}" for i in range(40))
+    rows = [(1, short), (2, short + " " + filler)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    cont = dd.containment_pairs(docs, threshold=0.9).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r.d1, r.d2) == (1, 2)
+    assert r.containment == 1.0  # every shingle of doc 1 is in doc 2
+    # n_small = the contained (smaller) side's shingle count
+    assert r.n_small == 4  # 6 tokens -> 4 three-word shingles
+
+    jac = dd.ngram_jaccard_pairs(docs).collect()
+    assert jac == []  # union dominated by the long doc
+
+
+def test_duplicate_spans_island_merge_exact(spark):
+    """Two docs share one contiguous 10-token run: each gets a single
+    island whose covered-token count is exactly the run length."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats as ts,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(10))
+    rows = [
+        (1, "unique1a unique1b " + run + " tail1x tail1y"),
+        (2, "other2a " + run + " other2b other2c other2d"),
+        (3, "nothing here matches anything else at all today ok"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in ts.duplicate_spans(docs, w=8).collect()}
+
+    assert set(out) == {1, 2}  # doc 3 has no duplicated span
+    for d in (1, 2):
+        r = out[d]
+        # 10-token run, w=8 -> 3 start positions, one merged island
+        assert r.n_dup_positions == 3
+        assert r.n_islands == 1
+        assert r.dup_tokens == 10  # exact union, not 3*8
+
+
+def test_random_projection_preserves_norms(spark):
+    """JL invariant: for a ±1 sign matrix, E[||Pv||^2] = out_dim *
+    ||v||^2. The fixture's pairwise distances concentrate (CV ~12%, no
+    label structure), so distance correlation is vacuous there — the
+    norm ratio is the invariant that actually discriminates a broken
+    matrix (the structured-LCG version measured mean ~8 with 10x the
+    spread; md5 signs give mean 15.96 on this fixture)."""
+    from tests.conftest import SF_ORACLE
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(40)
+    proj = {r.vec_id: r.proj for r in sim.random_projection(emb).collect()}
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+
+    ratios = []
+    for vid, v in orig.items():
+        p = proj[vid]
+        ratios.append(sum(x * x for x in p) / sum(x * x for x in v))
+    mean = sum(ratios) / len(ratios)
+    assert 13.0 < mean < 19.0, mean  # expectation is out_dim = 16
+    assert all(3.0 < r < 40.0 for r in ratios), (min(ratios), max(ratios))
