@@ -478,6 +478,14 @@ def q_embedding_random_projection(
     return _sim.random_projection(_emb(spark, sf_dir))
 
 
+def q_ann_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of 16-dim projected-space top-k vs the exact 64-dim
+    truth — gates whether JL compression is a usable candidate
+    generator for this corpus (on the isotropic fixture it is not,
+    ~0.1, and the harness is what proves that)."""
+    return _sim.rp_ann_recall(_emb(spark, sf_dir))
+
+
 def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup QA: MinHash-LSH banding recall vs the exact n-gram
     Jaccard ground truth, with the jaccard range per status."""
@@ -694,6 +702,15 @@ def q_pysource_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unused (the source is its own data). Oracle regenerates the same
     rows from range()+md5 in DuckDB."""
     return _pds.synthetic_docs(spark)
+
+
+def q_pysink_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER (Spark 4 write path): documents
+    round-tripped through the jsonl_sink two-phase task-commit writer
+    and re-read with a pinned schema — hash-equals the parquet table,
+    proving the pluggable write path is lossless and only committed
+    files publish."""
+    return _pds.docs_pysink_roundtrip(spark, sf_dir)
 
 
 def q_text_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1704,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "text_dup_spans": q_text_dup_spans,
         "embedding_random_projection": q_embedding_random_projection,
+        "ann_rp_recall": q_ann_rp_recall,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_exact_first": q_dedup_minhash_exact_first,
         "dedup_simhash": q_dedup_simhash,
@@ -1775,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_products": q_pagerank_products,
         "graph_triangles": q_graph_triangles,
         "pysource_docs": q_pysource_docs,
+        "pysink_docs": q_pysink_docs,
         "dedup_decontaminate": q_dedup_decontaminate,
         "text_tfidf_top_terms": q_text_tfidf_top_terms,
         "docs_pack_batches": q_docs_pack_batches,
@@ -1907,6 +1926,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_random_projection": _ext_oracle(
             [_sim.oracle_random_projection()], "random_projection"
+        ),
+        "ann_rp_recall": _ext_oracle(
+            [_sim.oracle_random_projection(),
+             _sim.ORACLE_BRUTE_FORCE_TOPK,
+             _sim.ORACLE_RP_RECALL],
+            "rp_ann_recall",
         ),
         "dedup_minhash_eval": _ext_oracle(
             [_dedup.ORACLE_SHINGLES,
@@ -2074,6 +2099,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pysource_docs": _ext_oracle(
             [_pds.ORACLE_SYNTHETIC_DOCS], "synthetic_docs"
+        ),
+        "pysink_docs": _ext_oracle(
+            [_pds.ORACLE_DOCS_PYSINK_ROUNDTRIP], "docs_pysink_roundtrip"
         ),
         "events_session_paths": _ext_oracle(
             [_ev.ORACLE_SESSION_PATHS], "session_paths"

@@ -202,6 +202,31 @@ def _pair_shared_counts(
     )
 
 
+#: staged shared-count table per input DataFrame — the shingle
+#: self-join is the heaviest stage of the pair family; Jaccard and
+#: containment both derive from one materialization (same
+#: held-key-object rationale as _SHINGLE_CACHE).
+_SHARED_COUNTS_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+
+
+def _shared_counts_staged(
+    docs: DataFrame, max_shingle_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    if max_shingle_df != MAX_SHINGLE_DF:
+        return _pair_shared_counts(docs, max_shingle_df)
+    key = id(docs)
+    hit = _SHARED_COUNTS_CACHE.get(key)
+    if hit is None:
+        hit = (
+            docs,
+            _pair_shared_counts(docs, max_shingle_df).localCheckpoint(
+                eager=True
+            ),
+        )
+        _SHARED_COUNTS_CACHE[key] = hit
+    return hit[1]
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -214,7 +239,7 @@ def ngram_jaccard_pairs(
     the |A∩B| / |A∪B| ratio + threshold on top. Output (d1 < d2,
     jaccard).
     """
-    p = _pair_shared_counts(docs, max_shingle_df)
+    p = _shared_counts_staged(docs, max_shingle_df)
     return (
         p.withColumn(
             "jaccard",
@@ -250,7 +275,7 @@ def containment_pairs(
     (d1 < d2, containment, n_small) — n_small disambiguates which side
     is the contained one by size.
     """
-    p = _pair_shared_counts(docs, max_shingle_df)
+    p = _shared_counts_staged(docs, max_shingle_df)
     return (
         p.withColumn(
             "containment", F.col("shared") / F.least("n1", "n2")

@@ -1164,3 +1164,108 @@ random_projection AS (
   FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 )
 """
+
+
+def rp_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Cosine top-k computed in the 16-dim PROJECTED space — the cheap
+    candidate pass a JL-compressed index answers. Same plan shape as
+    ``brute_force_topk`` (broadcast queries, per-query rank window),
+    but every dot product folds 16 elements instead of 64."""
+    proj = random_projection(emb)
+    queries = proj.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("proj").alias("qv")
+    )
+    corpus = proj.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("proj").alias("cv")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def rp_ann_recall(emb: DataFrame) -> DataFrame:
+    """Recall@k of projected-space top-k vs the exact 64-dim truth —
+    the measurement that decides whether JL compression is usable as a
+    candidate generator for a given corpus. On THIS fixture (isotropic
+    synthetic vectors, pairwise cosines concentrated near 0) 4x
+    compression destroys ranking — measured recall ~0.1 — which is the
+    honest negative result: JL preserves distances to (1±eps) with
+    eps ~ sqrt(8 ln n / 16) ≈ 1, far larger than the fixture's true
+    top-k margins. Real clustered embeddings have margins >> eps and
+    score far higher; shipping the eval INSIDE the engine is what lets
+    a pipeline gate the optimization on its own data instead of
+    assuming. Composition is the same replayable left-semi hit count
+    as ``ann_recall_eval``."""
+    truth = brute_force_topk(emb).select("query_id", "neighbor_id")
+    approx = rp_topk(emb).select("query_id", "neighbor_id")
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "leftsemi")
+    per_query = hits.groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    all_queries = truth.select("query_id").distinct()
+    return (
+        all_queries.join(per_query, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(TOP_K), 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+ORACLE_RP_RECALL = f"""
+rpq AS (
+  SELECT vec_id AS query_id, proj AS qv FROM random_projection
+  WHERE vec_id < {N_QUERIES}
+),
+rpc AS (
+  SELECT vec_id AS neighbor_id, proj AS cv FROM random_projection
+),
+rpscored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM rpq, rpc
+  WHERE query_id <> neighbor_id
+),
+rp_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM rpscored
+  ) WHERE rank <= {TOP_K}
+),
+rrh AS (
+  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM rp_topk a
+  WHERE EXISTS (SELECT 1 FROM brute_force_topk b
+                WHERE b.query_id = a.query_id
+                  AND b.neighbor_id = a.neighbor_id)
+  GROUP BY a.query_id
+),
+rp_ann_recall AS (
+  SELECT q.query_id,
+         COALESCE(h.n_hits, 0) AS n_hits,
+         round(COALESCE(h.n_hits, 0) / CAST({TOP_K} AS DOUBLE), 4)
+           AS recall_at_k
+  FROM (SELECT DISTINCT query_id FROM brute_force_topk) q
+  LEFT JOIN rrh h ON q.query_id = h.query_id
+)
+"""

@@ -24,8 +24,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: defaults: corpus size and input-partition count.
@@ -137,5 +139,144 @@ synthetic_docs AS (
            i -> substr(md5(CAST(doc_id AS VARCHAR) || '-'
                            || CAST(i AS VARCHAR)), 1, 6)), ' ') AS text
   FROM range({SYNTH_DOCS_N}) t(doc_id)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITE path (Spark 4): JSON-lines sink with a
+# two-phase task-commit protocol — the writer-side half of the
+# pluggable-source story (the reader above is the read half).
+# ---------------------------------------------------------------------------
+
+
+class _FileCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file this task produced."""
+
+    def __init__(self, staged: str, n_rows: int) -> None:
+        self.staged = staged
+        self.n_rows = n_rows
+
+
+class JsonLinesWriter(DataSourceWriter):
+    """Executor-side writer: each partition streams its rows to a
+    STAGED file (``_staging/part-<uuid>.jsonl``); the driver's
+    ``commit`` renames every staged file into the target directory and
+    drops a ``_SUCCESS`` marker, ``abort`` deletes the staging area.
+    Two-phase commit is what makes a task retry safe: a re-executed
+    partition stages a second file but only the files named in commit
+    messages are published, so duplicates from speculative/retried
+    tasks never become visible.
+
+    Scale: tasks write independently (no driver funnel, no shuffle);
+    the commit is O(#partitions) renames. Local mode shares one
+    filesystem; on a cluster the path must be shared storage — the
+    same contract every file-based committer has.
+    """
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires a 'path' option")
+        self.overwrite = overwrite
+
+    def write(self, rows) -> _FileCommit:
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in rows:
+                fh.write(json.dumps(row.asDict(), ensure_ascii=False))
+                fh.write("\n")
+                n += 1
+        return _FileCommit(staged, n)
+
+    def commit(self, messages) -> None:
+        import os
+        import shutil
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name != "_staging":
+                    os.remove(os.path.join(self.path, name))
+        for i, msg in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(msg.staged, final)
+        shutil.rmtree(
+            os.path.join(self.path, "_staging"), ignore_errors=True
+        )
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.path, "_staging"), ignore_errors=True
+        )
+
+
+class JsonLinesSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonLinesWriter:
+        return JsonLinesWriter(self.options, overwrite)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonLinesSinkDataSource)
+
+
+#: one sink round-trip per (session, sf_dir) — same staging rationale
+#: as the csv/json/text ingest caches.
+_SINK_ROUNDTRIP_CACHE: dict[tuple[int, str], object] = {}
+
+
+def docs_pysink_roundtrip(
+    spark,
+    sf_dir: str,
+    tmp_base: str = "/tmp/spark_graft_pysink",
+):
+    """Write the documents table through the Python jsonl_sink writer
+    (two-phase task commit), then re-read the published files with a
+    pinned schema — output hash-equals the parquet table, proving the
+    write path is lossless and the commit protocol publishes exactly
+    the committed files."""
+    from .loaders import load_table
+
+    key = (id(spark), sf_dir)
+    if key in _SINK_ROUNDTRIP_CACHE:
+        return _SINK_ROUNDTRIP_CACHE[key]
+    register_sink(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    path = f"{tmp_base}/{sf_dir.strip('/').replace('/', '_')}/documents"
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    (
+        docs.write.format("jsonl_sink")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    df = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).json(f"{path}/part-*.jsonl")
+    _SINK_ROUNDTRIP_CACHE[key] = df
+    return df
+
+
+ORACLE_DOCS_PYSINK_ROUNDTRIP = """
+docs_pysink_roundtrip AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
 )
 """

@@ -60,3 +60,65 @@ def test_streaming_reader_matches_batch(spark):
         for r in pds.synthetic_docs(spark, n=96).collect()
     )
     assert got == want and len(got) == 96
+
+
+def test_jsonl_sink_roundtrip_and_overwrite(spark, tmp_path):
+    """Write -> published part files + _SUCCESS; overwrite replaces
+    prior content instead of accumulating; staging dir is gone."""
+    import os
+
+    pds.register_sink(spark)
+    path = str(tmp_path / "sink")
+    os.makedirs(path, exist_ok=True)
+    df1 = spark.range(10).selectExpr(
+        "id AS doc_id", "concat('a', id) AS text"
+    )
+    df1.write.format("jsonl_sink").mode("overwrite").option(
+        "path", path
+    ).save()
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(path, "_staging"))
+
+    back = spark.read.schema("doc_id bigint, text string").json(
+        f"{path}/part-*.jsonl"
+    )
+    assert back.count() == 10
+
+    # overwrite: smaller second write must fully replace the first
+    df2 = spark.range(3).selectExpr(
+        "id AS doc_id", "concat('b', id) AS text"
+    )
+    df2.write.format("jsonl_sink").mode("overwrite").option(
+        "path", path
+    ).save()
+    back2 = spark.read.schema("doc_id bigint, text string").json(
+        f"{path}/part-*.jsonl"
+    )
+    rows = sorted((r.doc_id, r.text) for r in back2.collect())
+    assert rows == [(0, "b0"), (1, "b1"), (2, "b2")]
+
+
+def test_jsonl_sink_stragglers_never_publish(spark, tmp_path):
+    """Two-phase commit contract: a staged file not named in a commit
+    message (a crashed/speculative task's leftover) is invisible to
+    readers — only committed part-*.jsonl files publish."""
+    import os
+
+    pds.register_sink(spark)
+    path = str(tmp_path / "sink2")
+    os.makedirs(path, exist_ok=True)
+    spark.range(5).selectExpr("id AS doc_id", "'x' AS text").write.format(
+        "jsonl_sink"
+    ).mode("overwrite").option("path", path).save()
+
+    # simulate a straggler: a staged file that was never committed
+    staging = os.path.join(path, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "part-deadbeef.jsonl"), "w") as fh:
+        fh.write('{"doc_id": 999, "text": "ghost"}\n')
+
+    back = spark.read.schema("doc_id bigint, text string").json(
+        f"{path}/part-*.jsonl"
+    )
+    assert back.filter("doc_id = 999").count() == 0
+    assert back.count() == 5
