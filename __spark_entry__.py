@@ -805,6 +805,19 @@ def q_sql_customer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sqlapi.sql_customer_chain(spark, sf_dir)
 
 
+def q_sql_var_param_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables (DECLARE/SET VAR) + named query
+    parameters, both resolved to constants at plan time — pushdown
+    identical to hand-inlined literals."""
+    return _sqlapi.sql_var_param_revenue(spark, sf_dir)
+
+
+def q_sql_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-syntax PIVOT -> UNPIVOT round-trip (parser surface distinct
+    from DataFrame groupBy().pivot())."""
+    return _sqlapi.sql_pivot_returnflag(spark, sf_dir)
+
+
 def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training step one: adjacent char-pair counts over
     the frequency-weighted vocabulary (never raw text)."""
@@ -1773,6 +1786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_pipe_priority_stats": q_sql_pipe_priority_stats,
         "sql_lateral_top_orders": q_sql_lateral_top_orders,
         "sql_customer_chain": q_sql_customer_chain,
+        "sql_var_param_revenue": q_sql_var_param_revenue,
+        "sql_pivot_returnflag": q_sql_pivot_returnflag,
         "text_bpe_pairs": q_text_bpe_pairs,
         "events_skew_report": q_events_skew_report,
         "xml_ingest_events": q_xml_ingest_events,
@@ -2149,6 +2164,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_bpe_pairs": _ext_oracle(
             [_text.oracle_bpe_first_merges()], "bpe_first_merges"
+        ),
+        "sql_var_param_revenue": _ext_oracle(
+            [_sqlapi.ORACLE_SQL_VAR_PARAM], "sql_var_param_revenue"
+        ),
+        "sql_pivot_returnflag": _ext_oracle(
+            [_sqlapi.ORACLE_SQL_PIVOT], "sql_pivot_returnflag"
         ),
         "sql_lateral_top_orders": _ext_oracle(
             [_sqlapi.ORACLE_SQL_LATERAL_TOP_ORDERS],

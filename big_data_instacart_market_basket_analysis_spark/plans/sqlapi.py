@@ -485,3 +485,80 @@ sql_customer_chain AS (
   FROM up GROUP BY c_custkey
 )
 """
+
+
+#: session-variable / named-parameter constants (mirrored into the
+#: oracle as inlined literals).
+QTY_FLOOR = 48
+MAX_DISCOUNT = 0.05
+
+
+def sql_var_param_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables + parameterized queries, together:
+    the quantity floor arrives via DECLARE VARIABLE / SET VAR (session
+    state the SQL text references by name) and the discount cap via a
+    named parameter (``spark.sql(..., args=...)`` — injection-safe
+    binding, no string interpolation). Both are resolved at plan time
+    to constants, so predicate pushdown to the scan is identical to a
+    hand-inlined literal — session state costs nothing at execution.
+    """
+    register_all(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE qty_floor INT DEFAULT 0")
+    spark.sql(f"SET VAR qty_floor = {QTY_FLOOR}")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        FROM lineitem
+        WHERE l_quantity >= qty_floor AND l_discount <= :max_disc
+        GROUP BY l_returnflag
+        """,
+        args={"max_disc": MAX_DISCOUNT},
+    )
+
+
+ORACLE_SQL_VAR_PARAM = f"""
+sql_var_param_revenue AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem
+  WHERE l_quantity >= {QTY_FLOOR} AND l_discount <= {MAX_DISCOUNT}
+  GROUP BY l_returnflag
+)
+"""
+
+
+def sql_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-syntax PIVOT then UNPIVOT round-trip (parser surface the
+    DataFrame ``groupBy().pivot()`` path does not touch): quantity
+    totals widen by return flag, then melt back to long — proving the
+    two relational reshapes are lossless inverses. Both are one Expand
+    + hash-agg under Catalyst; output grids are tiny at any scale."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT * FROM (
+            SELECT l_linestatus, l_returnflag, l_quantity FROM lineitem
+          )
+          PIVOT (CAST(sum(l_quantity) AS BIGINT)
+                 FOR l_returnflag IN ('N' AS qty_n, 'R' AS qty_r,
+                                      'A' AS qty_a))
+        )
+        UNPIVOT (qty FOR flag IN (qty_n, qty_r, qty_a))
+        """
+    )
+
+
+ORACLE_SQL_PIVOT = """
+sql_pivot_returnflag AS (
+  SELECT l_linestatus,
+         'qty_' || lower(l_returnflag) AS flag,
+         CAST(sum(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_returnflag IN ('N', 'R', 'A')
+  GROUP BY 1, 2
+)
+"""
