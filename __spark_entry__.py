@@ -805,6 +805,32 @@ def q_sql_customer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sqlapi.sql_customer_chain(spark, sf_dir)
 
 
+def q_plan_lint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight physical-plan lint over a representative set of the
+    engine's own plans: flags cartesian/nested-loop joins, Python
+    row-UDFs, and single-partition exchanges, plus a shuffle count per
+    plan — the QA gate a pipeline runs before submitting a DAG to a
+    1000-executor cluster. Plan metadata, not data: rows-only by
+    nature (no SQL oracle exists for an execution plan).
+
+    The report deliberately includes a true positive: brute-force ANN
+    IS a broadcast nested-loop (5 query vectors against the corpus —
+    the exactness baseline, acceptable because the build side is
+    tiny), and the linter surfaces it instead of special-casing it —
+    a reviewer decides, the tool reports."""
+    t = instacart_tables(spark, sf_dir)
+    plans = {
+        "product_features": _feat.product_features(t),
+        "users_final": _feat.users_final(t),
+        "events_sessionize": _ev.sessionize(
+            load_table(spark, sf_dir, "events")
+        ),
+        "ann_brute_force": _sim.brute_force_topk(_emb(spark, sf_dir)),
+        "text_quality": _text.quality_scores(_docs(spark, sf_dir)),
+    }
+    return _prof.lint_report(spark, plans)
+
+
 def q_sql_var_param_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 SQL session variables (DECLARE/SET VAR) + named query
     parameters, both resolved to constants at plan time — pushdown
@@ -1788,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_customer_chain": q_sql_customer_chain,
         "sql_var_param_revenue": q_sql_var_param_revenue,
         "sql_pivot_returnflag": q_sql_pivot_returnflag,
+        "plan_lint_report": q_plan_lint_report,
         "text_bpe_pairs": q_text_bpe_pairs,
         "events_skew_report": q_events_skew_report,
         "xml_ingest_events": q_xml_ingest_events,

@@ -555,3 +555,99 @@ feature_correlations AS (
   FROM (UNPIVOT fcorr_wide ON {unpivot_cols}
         INTO NAME pair VALUE corr)
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Physical-plan lint: pre-flight QA for a plan that is about to run
+# against 100 TB — catch the scale-killers BEFORE the cluster does.
+# ---------------------------------------------------------------------------
+
+#: (rule, severity, plan-text marker, advice). Markers are stable
+#: physical-operator names in Spark's executedPlan rendering.
+PLAN_LINT_RULES: tuple[tuple[str, str, str, str], ...] = (
+    (
+        "cartesian-join",
+        "error",
+        "CartesianProduct",
+        "O(n*m) pair blow-up; add an equi-join key or broadcast+filter",
+    ),
+    (
+        "nested-loop-join",
+        "warn",
+        "BroadcastNestedLoopJoin",
+        "per-row probe of the broadcast side; check for a missing "
+        "join condition or an inequality-only predicate",
+    ),
+    (
+        "python-row-udf",
+        "warn",
+        "BatchEvalPython",
+        "row-at-a-time Python; rewrite as built-in expressions or an "
+        "Arrow-batched pandas UDF",
+    ),
+    (
+        "single-partition-exchange",
+        "warn",
+        "Exchange SinglePartition",
+        "global sort/window/limit funnels all data through one task; "
+        "shard the window key or use TakeOrdered-style top-k",
+    ),
+)
+
+
+def plan_lint(df: DataFrame, plan_name: str = "plan") -> list[dict]:
+    """Lint one DataFrame's PHYSICAL plan for scale anti-patterns.
+
+    Returns plain dicts (rule, severity, detail) — driver-side
+    metadata, deliberately not a DataFrame: the input is a plan, not
+    data, and linting must never launch a job. The inspected string is
+    the executed plan (post-AQE-prepare, the operators that will
+    actually run), so optimizer rescues (e.g. a filter that turns a
+    cross join back into an equi-join) are correctly NOT flagged.
+    """
+    text = df._jdf.queryExecution().executedPlan().toString()
+    findings = []
+    for rule, severity, marker, advice in PLAN_LINT_RULES:
+        n = text.count(marker)
+        if n:
+            findings.append(
+                {
+                    "plan": plan_name,
+                    "rule": rule,
+                    "severity": severity,
+                    "n_hits": n,
+                    "advice": advice,
+                }
+            )
+    # informational: shuffle count (not a defect, but the number a
+    # reviewer asks first; ReusedExchange is free and excluded)
+    n_shuffles = text.count("Exchange hashpartitioning") + text.count(
+        "Exchange rangepartitioning"
+    )
+    findings.append(
+        {
+            "plan": plan_name,
+            "rule": "shuffle-count",
+            "severity": "info",
+            "n_hits": n_shuffles,
+            "advice": "exchanges in the executed plan (reuse excluded)",
+        }
+    )
+    return findings
+
+
+def lint_report(spark, plans: dict[str, DataFrame]) -> DataFrame:
+    """Lint a batch of named plans into one findings DataFrame —
+    the pre-flight gate a pipeline runs over its whole DAG before
+    submitting to the cluster."""
+    rows = []
+    for name, df in plans.items():
+        rows.extend(plan_lint(df, name))
+    return spark.createDataFrame(
+        [
+            (r["plan"], r["rule"], r["severity"], r["n_hits"], r["advice"])
+            for r in rows
+        ],
+        "plan string, rule string, severity string, n_hits int,"
+        " advice string",
+    )

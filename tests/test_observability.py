@@ -139,3 +139,61 @@ def test_python_udtf_sentences_match_native_split(spark):
         ).collect()
     }
     assert got == native and len(got) == 5
+
+
+def test_plan_lint_flags_antipatterns(spark):
+    """Each lint rule fires on a plan constructed to contain it."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        profiling as prof,
+    )
+    from pyspark.sql import functions as F, types as T
+
+    a = spark.range(10).withColumnRenamed("id", "x")
+    b = spark.range(10).withColumnRenamed("id", "y")
+
+    rules = lambda fs: {f["rule"] for f in fs}  # noqa: E731
+
+    # a cross join with a broadcast-able side plans as
+    # BroadcastNestedLoopJoin; CartesianProduct appears only when
+    # neither side can broadcast — force that to exercise the rule
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cross = a.crossJoin(b)
+        assert "cartesian-join" in rules(prof.plan_lint(cross, "cross"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    nlj = a.join(b, a.x < b.y)  # inequality-only condition
+    assert "nested-loop-join" in rules(prof.plan_lint(nlj, "nlj"))
+
+    slow = F.udf(lambda v: v + 1, T.LongType())
+    udfplan = a.select(slow("x").alias("x2"))
+    assert "python-row-udf" in rules(prof.plan_lint(udfplan, "udf"))
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy("x")  # global window, no partition key
+    funnel = a.withColumn("rn", F.row_number().over(w))
+    assert "single-partition-exchange" in rules(
+        prof.plan_lint(funnel, "funnel")
+    )
+
+
+def test_plan_lint_clean_plan_and_shuffle_count(spark):
+    """A well-shaped plan yields only the info shuffle-count row, and
+    the count matches the single hash exchange of a groupBy."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        profiling as prof,
+    )
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(100)
+        .withColumn("k", F.col("id") % 5)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+    findings = prof.plan_lint(df, "agg")
+    assert [f["rule"] for f in findings] == ["shuffle-count"]
+    assert findings[0]["n_hits"] == 1
