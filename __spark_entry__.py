@@ -499,6 +499,13 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.unigram_logprob_scores(_docs(spark, sf_dir))
 
 
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM scoring (add-k smoothed ln P(w2|w1)) — the
+    order-sensitive quality filter above the unigram LM; scrambled
+    common-word junk scores low here but not there."""
+    return _text.bigram_logprob_scores(_docs(spark, sf_dir))
+
+
 def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Shannon character entropy (bits/char) — map-only
     boilerplate/junk detector."""
@@ -1768,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "docs_training_export": q_docs_training_export,
         "text_unigram_logprob": q_text_unigram_logprob,
+        "text_bigram_logprob": q_text_bigram_logprob,
         "dedup_minhash_eval": q_dedup_minhash_eval,
         "text_dsir_importance": q_text_dsir_importance,
         "corpus_prep_semantic": q_corpus_prep_semantic,
@@ -2008,6 +2016,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_unigram_logprob": _ext_oracle(
             [_text.ORACLE_UNIGRAM_LOGPROB], "unigram_logprob"
+        ),
+        "text_bigram_logprob": _ext_oracle(
+            [_text.ORACLE_BIGRAM_LOGPROB], "bigram_logprob"
         ),
         "text_dsir_importance": _ext_oracle(
             [_text.ORACLE_DSIR_IMPORTANCE], "dsir_importance"

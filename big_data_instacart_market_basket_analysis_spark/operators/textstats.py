@@ -1854,3 +1854,104 @@ duplicate_spans AS (
   GROUP BY doc_id
 )
 """
+
+
+#: add-k smoothing constant for the bigram LM.
+BIGRAM_ADD_K = 0.5
+
+
+def bigram_logprob_scores(docs: DataFrame) -> DataFrame:
+    """Corpus bigram LM scoring with add-k smoothing — the next rung
+    above ``unigram_logprob_scores`` on the KenLM ladder: per-doc mean
+    ln P(w2|w1) where P = (C(w1,w2)+k) / (C(w1·)+k·V). Bigrams see
+    word ORDER, so scrambled-but-common-word junk that fools the
+    unigram filter scores low here; smoothing keeps unseen pairs
+    finite (essential when scoring held-out text under a corpus LM).
+
+    Plans: one explode feeds both LM tables (bigram counts; context
+    counts derived from them by a second tiny agg — never a rescan);
+    scoring is one pair-key join + one per-doc agg. The LM join is
+    left unhinted for the same reason as the unigram op: a curated
+    vocabulary's bigram table broadcasts at runtime via AQE, raw web
+    text's does not and hash-joins on the uniform pair key. Scores
+    rounded to 6 decimals (cross-engine float rule).
+    """
+    k = BIGRAM_ADD_K
+    toksarr = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+        ).alias("t"),
+    )
+    bi = (
+        toksarr.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("n_bi"))
+    ctx = bc.groupBy("w1").agg(F.sum("n_bi").alias("n_ctx"))
+    vocab = toksarr.select(F.explode("t").alias("x")).agg(
+        F.countDistinct("x").alias("v")
+    )
+    return (
+        bi.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("n_bi") + F.lit(k))
+                / (F.col("n_ctx") + F.lit(k) * F.col("v"))
+            ).alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+ORACLE_BIGRAM_LOGPROB = f"""
+bl_toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+bl_bi AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM bl_toks, LATERAL unnest(range(1, len(t))) AS g(i)
+  WHERE len(t) >= 2
+),
+bl_bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bi
+  FROM bl_bi GROUP BY 1, 2
+),
+bl_ctx AS (
+  SELECT w1, CAST(sum(n_bi) AS BIGINT) AS n_ctx FROM bl_bc GROUP BY 1
+),
+bl_v AS (
+  SELECT CAST(count(DISTINCT x) AS BIGINT) AS v
+  FROM (SELECT unnest(t) AS x FROM bl_toks)
+),
+bigram_logprob AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(ln((n_bi + {BIGRAM_ADD_K})
+                      / (n_ctx + {BIGRAM_ADD_K} * v))), 6)
+           AS avg_logprob
+  FROM bl_bi
+  JOIN bl_bc USING (w1, w2)
+  JOIN bl_ctx USING (w1), bl_v
+  GROUP BY doc_id
+)
+"""
