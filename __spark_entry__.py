@@ -499,6 +499,15 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.unigram_logprob_scores(_docs(spark, sf_dir))
 
 
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) image near-dup pairs: Arrow-batched
+    hash over the stubbed decoder, then banded Hamming join — the
+    multimodal member of the dedup family. Rows-only (the hash rides
+    the documented fake codec; the banding is real and unit-pinned to
+    a Python reference)."""
+    return _mm.media_phash_dedup_query(_docs(spark, sf_dir))
+
+
 def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram LM scoring (add-k smoothed ln P(w2|w1)) — the
     order-sensitive quality filter above the unigram LM; scrambled
@@ -1776,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_training_export": q_docs_training_export,
         "text_unigram_logprob": q_text_unigram_logprob,
         "text_bigram_logprob": q_text_bigram_logprob,
+        "media_phash_dedup": q_media_phash_dedup,
         "dedup_minhash_eval": q_dedup_minhash_eval,
         "text_dsir_importance": q_text_dsir_importance,
         "corpus_prep_semantic": q_corpus_prep_semantic,

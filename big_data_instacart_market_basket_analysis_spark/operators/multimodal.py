@@ -303,3 +303,120 @@ def media_audio_windows_query(docs: DataFrame) -> DataFrame:
     """Declared query: 8-bit-PCM windowed RMS/peak features
     (rows-only; integer-exact, no codec dependency)."""
     return audio_windows(media_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (aHash) image near-dup: the multimodal member of the
+# dedup family. The decode is the documented stub (fake=True treats
+# payload bytes as pixels); the hash + banded Hamming join are REAL —
+# swapping in a true image decoder changes only the pixel source.
+# ---------------------------------------------------------------------------
+
+PHASH_BANDS = 4
+PHASH_BAND_WIDTH = 16
+PHASH_BAND_MASK = (1 << PHASH_BAND_WIDTH) - 1
+PHASH_HAMMING_MAX = 4
+
+
+def ahash_bytes(payload: bytes) -> int:
+    """Reference aHash: cycle-resize the byte stream to a 64x64 grid,
+    8x8 block-mean, threshold at the global mean, pack 64 bits into a
+    signed int64 (row-major, bit 63 = first block). Pure numpy — the
+    same code runs per Arrow batch below."""
+    import numpy as np
+
+    px = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    grid = (
+        np.resize(px.astype(np.float64), 4096)
+        .reshape(8, 8, 8, 8)
+        .mean(axis=(1, 3))
+    )
+    bits = (grid > grid.mean()).flatten()
+    out = 0
+    for bit in bits:
+        out = (out << 1) | int(bit)
+    # wrap to signed 64-bit (Spark LongType)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def perceptual_hashes(media: DataFrame, fake: bool = False) -> DataFrame:
+    """(media_id, phash): Arrow-batched aHash over decoded pixels.
+
+    ``fake=True`` uses the byte-stream stand-in decoder (this container
+    ships no image codecs — same gate as ``decode_media``); a real
+    deployment decodes to luma pixels in the same batch loop. Map-only:
+    blobs never leave their scan partition; only the 8-byte hash rows
+    ever shuffle."""
+    if not fake:
+        raise NotImplementedError(
+            "real image decode requires an image codec; "
+            "pass fake=True for the deterministic byte-stream decoder"
+        )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [
+                        ahash_bytes(bytes(p)) for p in pdf["media"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "media").mapInPandas(batches, schema)
+
+
+def phash_near_dup(
+    media: DataFrame,
+    fake: bool = False,
+    max_hamming: int = PHASH_HAMMING_MAX,
+) -> DataFrame:
+    """Perceptual near-dup pairs: 16-bit band buckets over the 64-bit
+    aHash (a pair within Hamming<=4 must agree on >=1 of 4 bands by
+    pigeonhole... with <=4 flipped bits across 4 bands, at least one
+    band is clean), exact Hamming verify via bit_count(xor) — the
+    image twin of ``dedup.simhash_pairs``, JVM-side after the hash
+    stage. Bucket keys partition the candidate join; no all-pairs."""
+    sigs = perceptual_hashes(media, fake=fake)
+    bands = sigs.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PHASH_BANDS - 1}),"
+                " b -> struct(b AS band,"
+                f"   shiftright(phash, b * {PHASH_BAND_WIDTH})"
+                f" & {PHASH_BAND_MASK} AS key))"
+            )
+        ).alias("bk"),
+    ).select("media_id", "phash", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("m1"),
+            F.col("b.media_id").alias("m2"),
+            F.expr("bit_count(a.phash ^ b.phash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def media_phash_dedup_query(docs: DataFrame) -> DataFrame:
+    """Declared query: perceptual near-dup pairs over the documents-as
+    -media fixture (exact text copies collapse to Hamming 0)."""
+    return phash_near_dup(media_from_documents(docs), fake=True)

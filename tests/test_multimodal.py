@@ -99,3 +99,45 @@ def test_audio_windows_match_python_reference(spark):
             assert row["n_samples"] == len(chunk)
             assert row["rms_milli"] == int(rms * 1000)
             assert row["peak"] == max(chunk)
+
+
+def test_ahash_reference_and_phash_dedup(spark):
+    """aHash parity: the Spark stage reproduces the Python reference
+    per payload; exact-copy payloads pair at Hamming 0 and unrelated
+    payloads do not pair within the threshold."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        multimodal as mm,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 8),
+        (2, "the quick brown fox jumps over the lazy dog " * 8),
+        (3, "zzz completely different content qqq 12345 " * 9),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in rows], ["doc_id", "text", "n_chars"]
+    )
+    media = mm.media_from_documents(docs)
+
+    got = {
+        r.media_id: r.phash
+        for r in mm.perceptual_hashes(media, fake=True).collect()
+    }
+    for mid, text in rows:
+        assert got[mid] == mm.ahash_bytes(text.encode("utf-8")), mid
+
+    pairs = mm.phash_near_dup(media, fake=True).collect()
+    assert [(p.m1, p.m2, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_phash_real_decode_is_gated(spark):
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        multimodal as mm,
+    )
+    import pytest as _pt
+
+    docs = spark.createDataFrame(
+        [(1, "x", 1)], ["doc_id", "text", "n_chars"]
+    )
+    with _pt.raises(NotImplementedError):
+        mm.perceptual_hashes(mm.media_from_documents(docs))

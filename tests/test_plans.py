@@ -465,3 +465,20 @@ def test_quarantine_is_map_only_with_pushdown(spark):
     plan = _plan(spark, "lineitem_quarantine")
     assert not re.search(r"\(\d+\) Exchange", plan), plan
     assert "PushedFilters" in plan or "Filter" in plan, plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The engine's join-strategy escape hatches: each hint must
+    materialize as its physical operator (the knob a 100 TB tuning
+    session reaches for when AQE's default choice is wrong)."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(1000).withColumn("k", F.col("id") % 100)
+    b = spark.range(1000).withColumn("k", F.col("id") % 100)
+
+    def phys(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in phys(a.join(b.hint("broadcast"), "k"))
+    assert "SortMergeJoin" in phys(a.join(b.hint("merge"), "k"))
+    assert "ShuffledHashJoin" in phys(a.join(b.hint("shuffle_hash"), "k"))
