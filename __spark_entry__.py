@@ -499,6 +499,14 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.unigram_logprob_scores(_docs(spark, sf_dir))
 
 
+def q_text_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier, hash-verifiable: multinomial Naive
+    Bayes fit on Gopher-rule weak labels (counts + add-1 smoothing =
+    pure aggregation, so train AND score replay exactly in SQL);
+    per-doc keep-vs-reject log-odds and prediction."""
+    return _text.nb_quality_scores(_docs(spark, sf_dir))
+
+
 def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash (aHash) image near-dup pairs: Arrow-batched
     hash over the stubbed decoder, then banded Hamming join — the
@@ -1786,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "text_bigram_logprob": q_text_bigram_logprob,
         "media_phash_dedup": q_media_phash_dedup,
+        "text_nb_quality": q_text_nb_quality,
         "dedup_minhash_eval": q_dedup_minhash_eval,
         "text_dsir_importance": q_text_dsir_importance,
         "corpus_prep_semantic": q_corpus_prep_semantic,
@@ -2035,6 +2044,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_gopher_rules": _ext_oracle(
             [_text.oracle_gopher_rules()], "gopher_rules"
+        ),
+        "text_nb_quality": _ext_oracle(
+            [_text.oracle_gopher_rules(), _text.ORACLE_NB_QUALITY],
+            "nb_quality",
         ),
         "text_char_entropy": _ext_oracle(
             [_text.ORACLE_CHAR_ENTROPY], "char_entropy_scores"

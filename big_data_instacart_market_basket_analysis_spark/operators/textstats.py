@@ -1955,3 +1955,146 @@ bigram_logprob AS (
   GROUP BY doc_id
 )
 """
+
+
+def nb_quality_scores(docs: DataFrame) -> DataFrame:
+    """Model-based quality filter, trained DISTRIBUTED and exactly
+    verifiable: a multinomial Naive Bayes classifier fit on the Gopher
+    rule verdict as weak labels (the CCNet / GPT-3-era recipe — train
+    a cheap classifier on rule-derived labels, then score with the
+    model, which generalizes past the rules' hard edges), scoring each
+    doc with its keep-vs-reject log-odds.
+
+    Because NB training is nothing but integer count aggregation
+    (class-conditional token counts + priors, add-1 smoothing), the
+    ENTIRE train-plus-score computation is replayable in SQL — this is
+    the one trained text classifier in the engine whose coefficients
+    and scores hash-match a DuckDB oracle, unlike the LBFGS-fitted
+    models (rows-only by necessity).
+
+    Plans: one token explode feeds training counts (one shuffle on the
+    token key) and scoring (join on the same key — co-partitioned);
+    totals and priors are tiny broadcast aggregates. Here the model
+    scores its own training corpus (self-distillation of the rules);
+    production scores a held-out corpus with the same tables.
+
+    Output: doc_id, n_tokens, log_odds (rounded 6), pred_keep
+    (sign of the rounded odds), keep (the weak label, for confusion
+    readouts downstream).
+    """
+    labels = gopher_rules(docs).select("doc_id", "keep")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens_col()).alias("t")
+    ).filter(F.col("t") != "")
+    tok_counts = (
+        toks.join(labels, "doc_id")
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("c_keep"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("c_rej"),
+        )
+    )
+    tot = tok_counts.agg(
+        F.sum("c_keep").alias("n_keep"),
+        F.sum("c_rej").alias("n_rej"),
+        F.count("*").alias("v"),
+    )
+    prior = labels.agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("d_keep"),
+        F.count("*").alias("d_all"),
+    )
+    contrib = (
+        toks.join(tok_counts, "t")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("c_keep") + F.lit(1.0))
+                    / (F.col("n_keep") + F.col("v"))
+                )
+                - F.log(
+                    (F.col("c_rej") + F.lit(1.0))
+                    / (F.col("n_rej") + F.col("v"))
+                )
+            ).alias("lo"),
+        )
+    )
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.sum("lo").alias("s")
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(prior))
+        .join(labels, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("s")
+                + F.log(
+                    F.col("d_keep").cast("double")
+                    / (F.col("d_all") - F.col("d_keep"))
+                ),
+                6,
+            ).alias("log_odds"),
+            (
+                F.round(
+                    F.col("s")
+                    + F.log(
+                        F.col("d_keep").cast("double")
+                        / (F.col("d_all") - F.col("d_keep"))
+                    ),
+                    6,
+                )
+                > 0
+            ).alias("pred_keep"),
+            "keep",
+        )
+    )
+
+
+ORACLE_NB_QUALITY = """
+nbq_toks AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+nbq_counts AS (
+  SELECT t,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS c_keep,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS c_rej
+  FROM nbq_toks JOIN gopher_rules USING (doc_id)
+  GROUP BY 1
+),
+nbq_tot AS (
+  SELECT CAST(sum(c_keep) AS BIGINT) AS n_keep,
+         CAST(sum(c_rej) AS BIGINT) AS n_rej,
+         CAST(count(*) AS BIGINT) AS v
+  FROM nbq_counts
+),
+nbq_prior AS (
+  SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS d_keep,
+         CAST(count(*) AS BIGINT) AS d_all
+  FROM gopher_rules
+),
+nbq_per_doc AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(ln((c.c_keep + 1.0) / (t.n_keep + t.v))
+             - ln((c.c_rej + 1.0) / (t.n_rej + t.v))) AS s
+  FROM nbq_toks s JOIN nbq_counts c USING (t), nbq_tot t
+  GROUP BY s.doc_id
+),
+nb_quality AS (
+  SELECT d.doc_id, d.n_tokens,
+         round(d.s + ln(CAST(p.d_keep AS DOUBLE)
+                        / (p.d_all - p.d_keep)), 6) AS log_odds,
+         round(d.s + ln(CAST(p.d_keep AS DOUBLE)
+                        / (p.d_all - p.d_keep)), 6) > 0 AS pred_keep,
+         g.keep
+  FROM nbq_per_doc d, nbq_prior p
+  JOIN gopher_rules g ON g.doc_id = d.doc_id
+)
+"""

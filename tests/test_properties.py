@@ -1153,3 +1153,22 @@ def test_random_projection_preserves_norms(spark):
     mean = sum(ratios) / len(ratios)
     assert 13.0 < mean < 19.0, mean  # expectation is out_dim = 16
     assert all(3.0 < r < 40.0 for r in ratios), (min(ratios), max(ratios))
+
+
+def test_nb_quality_recovers_weak_labels(spark):
+    """The NB classifier must be non-degenerate on the fixture: both
+    classes predicted, and agreement with its own weak labels well
+    above the majority-class rate would be too strict (the rules use
+    non-lexical signals NB cannot see) — pin a floor instead."""
+    from tests.conftest import SF_ORACLE
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats as ts,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    out = ts.nb_quality_scores(docs)
+    n = out.count()
+    preds = {r.pred_keep for r in out.select("pred_keep").distinct().collect()}
+    assert preds == {True, False}
+    agree = out.filter("pred_keep = keep").count()
+    assert agree / n > 0.6, (agree, n)
