@@ -40,6 +40,9 @@ from big_data_instacart_market_basket_analysis_spark.operators import (
     multimodal as _mm,
 )
 from big_data_instacart_market_basket_analysis_spark.operators import (
+    privacy as _privacy,
+)
+from big_data_instacart_market_basket_analysis_spark.operators import (
     profiling as _prof,
 )
 from big_data_instacart_market_basket_analysis_spark.operators import (
@@ -497,6 +500,28 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the corpus's own unigram distribution (KenLM-style quality
     proxy; vocabulary-sized broadcast table)."""
     return _text.unigram_logprob_scores(_docs(spark, sf_dir))
+
+
+def q_events_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization: user_id -> salted md5 token (equality
+    preserved, so user-keyed operators run unchanged); the free-text
+    props channel is dropped. Map-only, zero shuffle."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        privacy as _priv,
+    )
+
+    return _priv.pseudonymize_events(load_table(spark, sf_dir, "events"))
+
+
+def q_events_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over generalized quasi-identifiers
+    (event_type, hour band, value band): group sizes, distinct users,
+    at-risk flag for groups below k."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        privacy as _priv,
+    )
+
+    return _priv.k_anonymity_audit(load_table(spark, sf_dir, "events"))
 
 
 def q_text_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1795,6 +1820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": q_text_bigram_logprob,
         "media_phash_dedup": q_media_phash_dedup,
         "text_nb_quality": q_text_nb_quality,
+        "events_pseudonymized": q_events_pseudonymized,
+        "events_kanonymity": q_events_kanonymity,
         "dedup_minhash_eval": q_dedup_minhash_eval,
         "text_dsir_importance": q_text_dsir_importance,
         "corpus_prep_semantic": q_corpus_prep_semantic,
@@ -2048,6 +2075,12 @@ def oracle_sql() -> dict[str, str]:
         "text_nb_quality": _ext_oracle(
             [_text.oracle_gopher_rules(), _text.ORACLE_NB_QUALITY],
             "nb_quality",
+        ),
+        "events_pseudonymized": _ext_oracle(
+            [_privacy.ORACLE_PSEUDONYMIZE], "pseudonymize_events"
+        ),
+        "events_kanonymity": _ext_oracle(
+            [_privacy.ORACLE_K_ANONYMITY], "k_anonymity_audit"
         ),
         "text_char_entropy": _ext_oracle(
             [_text.ORACLE_CHAR_ENTROPY], "char_entropy_scores"

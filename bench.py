@@ -98,6 +98,10 @@ HEADLINE = [
     # round-3 continuation: substring-span dedup + containment kernel
     "text_dup_spans",
     "dedup_containment",
+    # round-3 late additions: LM ladder + trained filter + image dedup
+    "text_bigram_logprob",
+    "text_nb_quality",
+    "media_phash_dedup",
 ]
 
 
