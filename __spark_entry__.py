@@ -1503,6 +1503,14 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_dedup(spark, sf_dir)
 
 
+def q_stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest embedding dedup: each micro-batch screened
+    against a standing vector index by LSH bucket join + exact cosine
+    (stream-static, broadcast per batch; the index table IS the
+    state). Hash-equal to the batch computation."""
+    return _ev.run_stream_embedding_dedup(spark, sf_dir)
+
+
 def q_stream_dedup_within_watermark(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1804,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_enrich": q_stream_static_enrich,
         "stream_partitioned_sink": q_stream_partitioned_sink,
         "stream_merge_state": q_stream_merge_state,
+        "stream_embedding_dedup": q_stream_embedding_dedup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
@@ -2513,6 +2522,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_merge_state": _ext_oracle(
             [_ev.ORACLE_STREAM_MERGE_STATE], "stream_merge_state"
+        ),
+        "stream_embedding_dedup": _ext_oracle(
+            [_ev.oracle_stream_embedding_dedup()],
+            "stream_embedding_dedup",
         ),
         "events_type_pivot": _ext_oracle(
             [_tmp.ORACLE_USER_TYPE_PIVOT], "user_type_pivot"

@@ -1283,3 +1283,129 @@ stream_dedup_wwm AS (
   SELECT event_id, user_id, event_type, value FROM events
 )
 """
+
+
+#: streaming embedding dedup: vectors below this id form the standing
+#: index; the stream is screened against it.
+EMB_INDEX_SPLIT = 250
+
+
+def run_stream_embedding_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "stream_embedding_dedup",
+) -> DataFrame:
+    """Continuous-ingest embedding dedup: each micro-batch of incoming
+    vectors is screened against a STANDING index by LSH bucket join +
+    exact cosine verify — the streaming twin of ``dedup_incremental``
+    for the vector modality, and the shape an embedding-ingest service
+    runs forever: index lookup per batch, no state operator needed
+    (the index is the state, and it lives in a table, not the stream).
+
+    The stream-static join re-resolves the index inside every
+    micro-batch (same mechanism as ``run_stream_static_enrich``);
+    bucketing means each arriving vector compares against its bucket's
+    index vectors only, never the whole index. Output: arriving
+    vectors (vec_id >= split) labeled is_dup by nearest-index cosine —
+    hash-equal to the batch computation, which is the oracle.
+    """
+    from ..operators.similarity import (
+        NEAR_DUP_COSINE,
+        _with_bucket_and_norm,
+    )
+    from ..sources.loaders import load_table
+
+    _tune_stream_session(spark)
+    batch = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+    )
+    index = (
+        _with_bucket_and_norm(
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") < EMB_INDEX_SPLIT
+            )
+        )
+        .select(
+            F.col("vec_id").alias("idx_id"),
+            F.col("v").alias("iv"),
+            F.col("vnorm").alias("inorm"),
+            "bucket",
+        )
+    )
+    arriving = _with_bucket_and_norm(
+        stream.filter(F.col("vec_id") >= EMB_INDEX_SPLIT)
+    )
+    dot = (
+        "aggregate(zip_with(v, iv, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (acc, p) -> acc + p)"
+    )
+    scored = (
+        arriving.join(F.broadcast(index), "bucket", "left")
+        .withColumn(
+            "cosine",
+            F.when(
+                F.col("idx_id").isNotNull(),
+                F.expr(dot) / (F.col("vnorm") * F.col("inorm")),
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cosine").alias("max_cosine"))
+        .select(
+            "vec_id",
+            F.round(F.coalesce("max_cosine", F.lit(-1.0)), 6).alias(
+                "max_cosine"
+            ),
+            (
+                F.coalesce("max_cosine", F.lit(-1.0)) >= NEAR_DUP_COSINE
+            ).alias("is_dup"),
+        )
+    )
+    q = (
+        scored.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def oracle_stream_embedding_dedup() -> str:
+    from ..operators.similarity import NEAR_DUP_COSINE, _oracle_bucket_sql
+
+    b = _oracle_bucket_sql("embedding::DOUBLE[]")
+    return f"""
+sed_idx AS (
+  SELECT vec_id AS idx_id, embedding::DOUBLE[] AS iv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS inorm,
+         {b} AS bucket
+  FROM embeddings WHERE vec_id < {EMB_INDEX_SPLIT}
+),
+sed_arr AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS vnorm,
+         {b} AS bucket
+  FROM embeddings WHERE vec_id >= {EMB_INDEX_SPLIT}
+),
+sed_scored AS (
+  SELECT a.vec_id,
+         max(list_dot_product(a.v, i.iv) / (a.vnorm * i.inorm)) AS mc
+  FROM sed_arr a LEFT JOIN sed_idx i USING (bucket)
+  GROUP BY 1
+),
+stream_embedding_dedup AS (
+  SELECT vec_id,
+         round(coalesce(mc, -1.0), 6) AS max_cosine,
+         coalesce(mc, -1.0) >= {NEAR_DUP_COSINE} AS is_dup
+  FROM sed_scored
+)
+"""
