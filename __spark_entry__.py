@@ -489,6 +489,17 @@ def q_ann_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.rp_ann_recall(_emb(spark, sf_dir))
 
 
+def q_dedup_sorted_neighborhood(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo): window pairs in
+    normalized-prefix sort order, ranked without a global sort
+    (bucketed prefix-sum), scored by exact Jaccard from the shared
+    kernel — the third candidate-generation mechanism beside the
+    inverted index and LSH."""
+    return _dedup.sorted_neighborhood_pairs(_docs(spark, sf_dir))
+
+
 def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup QA: MinHash-LSH banding recall vs the exact n-gram
     Jaccard ground truth, with the jaccard range per status."""
@@ -1816,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
+        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "text_dup_spans": q_text_dup_spans,
         "embedding_random_projection": q_embedding_random_projection,
         "ann_rp_recall": q_ann_rp_recall,
@@ -2025,6 +2037,11 @@ def oracle_sql() -> dict[str, str]:
             [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD,
              _dedup.ORACLE_CONTAINMENT],
             "containment_pairs",
+        ),
+        "dedup_sorted_neighborhood": _ext_oracle(
+            [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD,
+             _dedup.ORACLE_SORTED_NEIGHBORHOOD],
+            "sorted_neighborhood",
         ),
         "text_dup_spans": _ext_oracle(
             [_text.ORACLE_DUP_SPANS], "duplicate_spans"

@@ -32,7 +32,7 @@ transform / aggregate) — no Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SHINGLE_WIDTH = 3
@@ -1430,5 +1430,123 @@ er_matches AS (
            AS score
   FROM er_scored
   WHERE 5 * (i * m + (m - d) * u) >= {ER_THRESH_NUM} * u * m
+)
+"""
+
+
+#: sorted-neighborhood method: sort-key prefix length and window size.
+SNM_KEY_CHARS = 30
+SNM_WINDOW = 4
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = SNM_WINDOW,
+) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernandez-Stolfo): sort the
+    corpus by a normalized key (first SNM_KEY_CHARS of the lowercased
+    text) and emit every pair within a sliding window of ``window``
+    positions — the third candidate-generation mechanism in the family
+    (inverted index, LSH buckets, and now sorted neighborhoods), best
+    when near-dups share PREFIXES rather than arbitrary shingles.
+
+    The global rank is assigned without a global sort (the
+    ``global_shuffle`` trick): prefix buckets keep key order, per-
+    bucket counts prefix-sum into offsets over a tiny table, and a
+    per-bucket row_number adds the offset — the corpus shuffles once
+    on the bucket key. Window pairs come from a (W-1)-way position
+    explode + ONE equi-join on partner position (never a range join);
+    exact Jaccard attaches from the shared staged pair-count kernel,
+    pairs outside it scoring 0. Skewed key prefixes (every doc
+    starting "the ") fatten one bucket — the prefix length is the
+    balance knob, and the window bound caps pair count at W·N
+    regardless.
+
+    Output: (d1 < d2, pos_gap, jaccard) — all window candidates with
+    their scores; consumers threshold.
+    """
+    keyed = docs.select(
+        "doc_id",
+        F.substring(F.lower(F.col("text")), 1, SNM_KEY_CHARS).alias(
+            "skey"
+        ),
+    ).withColumn("bucket", F.substring("skey", 1, 2))
+    counts = keyed.groupBy("bucket").agg(F.count("*").alias("n"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("offset"),
+    )
+    wb = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    ranked = (
+        keyed.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.row_number().over(wb))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("da"),
+        "pos",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(1, window)])
+        ).alias("pos_gap"),
+    ).withColumn("ppos", F.col("pos") + F.col("pos_gap"))
+    pairs = a.join(
+        ranked.select(
+            F.col("doc_id").alias("db"), F.col("pos").alias("ppos")
+        ),
+        "ppos",
+    )
+    norm = pairs.select(
+        F.least("da", "db").alias("d1"),
+        F.greatest("da", "db").alias("d2"),
+        "pos_gap",
+    )
+    sc = _shared_counts_staged(docs)
+    return norm.join(sc, ["d1", "d2"], "left").select(
+        "d1",
+        "d2",
+        "pos_gap",
+        F.round(
+            F.coalesce(
+                F.col("shared")
+                / (F.col("n1") + F.col("n2") - F.col("shared")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+ORACLE_SORTED_NEIGHBORHOOD = f"""
+snm_ranked AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY substr(lower(text), 1, {SNM_KEY_CHARS}), doc_id
+         ) AS pos
+  FROM documents
+),
+snm_pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         CAST(b.pos - a.pos AS INT) AS pos_gap
+  FROM snm_ranked a
+  JOIN snm_ranked b
+    ON b.pos > a.pos AND b.pos <= a.pos + {SNM_WINDOW - 1}
+),
+sorted_neighborhood AS (
+  SELECT least(da, db) AS d1, greatest(da, db) AS d2, pos_gap,
+         round(coalesce(
+           CAST(c.shared AS DOUBLE) / (s1.n + s2.n - c.shared),
+           0.0), 6) AS jaccard
+  FROM snm_pairs p
+  LEFT JOIN dcorrected c
+    ON c.d1 = least(p.da, p.db) AND c.d2 = greatest(p.da, p.db)
+  LEFT JOIN dsizes s1 ON s1.doc_id = least(p.da, p.db)
+  LEFT JOIN dsizes s2 ON s2.doc_id = greatest(p.da, p.db)
 )
 """
