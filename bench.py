@@ -102,6 +102,7 @@ HEADLINE = [
     "text_bigram_logprob",
     "text_nb_quality",
     "media_phash_dedup",
+    "dedup_sorted_neighborhood",
 ]
 
 
