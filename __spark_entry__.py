@@ -543,6 +543,14 @@ def q_text_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.nb_quality_scores(_docs(spark, sf_dir))
 
 
+def q_text_nb_quality_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe k-fold CV of the NB classifier with all folds
+    trained in ONE pass (count subtraction: fold f's model = global
+    counts minus fold f's counts, including its training-vocab size);
+    per-fold accuracy, fully SQL-verifiable."""
+    return _text.nb_quality_cv(_docs(spark, sf_dir))
+
+
 def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash (aHash) image near-dup pairs: Arrow-batched
     hash over the stubbed decoder, then banded Hamming join — the
@@ -1841,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": q_text_bigram_logprob,
         "media_phash_dedup": q_media_phash_dedup,
         "text_nb_quality": q_text_nb_quality,
+        "text_nb_quality_cv": q_text_nb_quality_cv,
         "events_pseudonymized": q_events_pseudonymized,
         "events_kanonymity": q_events_kanonymity,
         "dedup_minhash_eval": q_dedup_minhash_eval,
@@ -2101,6 +2110,10 @@ def oracle_sql() -> dict[str, str]:
         "text_nb_quality": _ext_oracle(
             [_text.oracle_gopher_rules(), _text.ORACLE_NB_QUALITY],
             "nb_quality",
+        ),
+        "text_nb_quality_cv": _ext_oracle(
+            [_text.oracle_gopher_rules(), _text.ORACLE_NB_CV],
+            "nb_quality_cv",
         ),
         "events_pseudonymized": _ext_oracle(
             [_privacy.ORACLE_PSEUDONYMIZE], "pseudonymize_events"

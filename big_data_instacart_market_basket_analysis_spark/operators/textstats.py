@@ -2098,3 +2098,240 @@ nb_quality AS (
   JOIN gopher_rules g ON g.doc_id = d.doc_id
 )
 """
+
+
+#: fold count for the NB cross-validation.
+NB_CV_FOLDS = 3
+
+
+def nb_quality_cv(docs: DataFrame, n_folds: int = NB_CV_FOLDS) -> DataFrame:
+    """Leakage-safe k-fold cross-validation of the NB quality
+    classifier — with ALL k models trained in ONE corpus pass.
+
+    The trick is count subtraction: token counts aggregate once per
+    (token, fold, class); fold f's TRAINING model is the global totals
+    minus fold f's own counts (priors, class totals, and the training
+    vocabulary size derive the same way — a token whose occurrences
+    all sit in fold f leaves that fold's training vocab). No per-fold
+    rescan, no per-fold shuffle: k-fold CV costs one extra tiny agg
+    over the vocabulary table. Every quantity is integral until the
+    final log, so the full train-and-evaluate loop hash-matches SQL —
+    the eval methodology itself is verifiable, not just the model.
+
+    Folds split on doc_id mod k here (oracle-replayable); production
+    splits on a content hash (``docs_split_by_hash``) so copies land
+    in one fold and cannot leak across the train/test boundary.
+
+    Output: one row per fold — n_docs, n_correct, accuracy(4dp).
+    """
+    k = n_folds
+    labels = (
+        gopher_rules(docs)
+        .select("doc_id", "keep")
+        .withColumn("fold", F.pmod("doc_id", F.lit(k)))
+    )
+    toks = (
+        docs.select("doc_id", F.explode(_tokens_col()).alias("t"))
+        .filter(F.col("t") != "")
+        .join(labels, "doc_id")
+    )
+    tok_fold = toks.groupBy("t", "fold").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("ckf"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("crf"),
+    )
+    tok_tot = tok_fold.groupBy("t").agg(
+        F.sum("ckf").alias("ck"), F.sum("crf").alias("cr")
+    )
+    # per-fold training scalars, all derived by subtraction:
+    folds = tok_fold.groupBy("fold").agg(
+        F.sum("ckf").alias("nkf"), F.sum("crf").alias("nrf")
+    )
+    tot = tok_tot.agg(
+        F.sum("ck").alias("nk"),
+        F.sum("cr").alias("nr"),
+        F.count("*").alias("v_all"),
+    )
+    exclusive = (
+        tok_fold.join(tok_tot, "t")
+        .filter(
+            (F.col("ckf") + F.col("crf")) == (F.col("ck") + F.col("cr"))
+        )
+        .groupBy("fold")
+        .agg(F.count("*").alias("n_exclusive"))
+    )
+    dpriors = labels.groupBy("fold").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("dkf"),
+        F.count("*").alias("df"),
+    )
+    dtot = labels.agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("dk"),
+        F.count("*").alias("d"),
+    )
+    fold_stats = (
+        folds.join(exclusive, "fold", "left")
+        .join(dpriors, "fold")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            "fold",
+            (F.col("nk") - F.col("nkf")).alias("nk_train"),
+            (F.col("nr") - F.col("nrf")).alias("nr_train"),
+            (
+                F.col("v_all") - F.coalesce("n_exclusive", F.lit(0))
+            ).alias("v_train"),
+            (F.col("dk") - F.col("dkf")).alias("dk_train"),
+            (
+                (F.col("d") - F.col("df"))
+                - (F.col("dk") - F.col("dkf"))
+            ).alias("dr_train"),
+        )
+    )
+    contrib = (
+        toks.join(tok_tot, "t")
+        .join(tok_fold, ["t", "fold"], "left")
+        .join(F.broadcast(fold_stats), "fold")
+        .select(
+            "doc_id",
+            "fold",
+            "keep",
+            (
+                F.log(
+                    (
+                        F.col("ck")
+                        - F.coalesce("ckf", F.lit(0))
+                        + F.lit(1.0)
+                    )
+                    / (F.col("nk_train") + F.col("v_train"))
+                )
+                - F.log(
+                    (
+                        F.col("cr")
+                        - F.coalesce("crf", F.lit(0))
+                        + F.lit(1.0)
+                    )
+                    / (F.col("nr_train") + F.col("v_train"))
+                )
+            ).alias("lo"),
+        )
+    )
+    per_doc = contrib.groupBy("doc_id", "fold", "keep").agg(
+        F.sum("lo").alias("s")
+    )
+    scored = per_doc.join(F.broadcast(fold_stats), "fold").select(
+        "fold",
+        "keep",
+        (
+            F.round(
+                F.col("s")
+                + F.log(
+                    F.col("dk_train").cast("double") / F.col("dr_train")
+                ),
+                6,
+            )
+            > 0
+        ).alias("pred"),
+    )
+    return (
+        scored.groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("pred") == F.col("keep"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy",
+            F.round(F.col("n_correct") / F.col("n_docs"), 4),
+        )
+    )
+
+
+ORACLE_NB_CV = f"""
+cv_lab AS (
+  SELECT doc_id, keep, doc_id % {NB_CV_FOLDS} AS fold FROM gopher_rules
+),
+cv_toks AS (
+  SELECT s.doc_id, s.t, l.keep, l.fold
+  FROM (SELECT doc_id, t
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+              FROM documents)
+        WHERE t <> '') s
+  JOIN cv_lab l USING (doc_id)
+),
+cv_tok_fold AS (
+  SELECT t, fold,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS ckf,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS crf
+  FROM cv_toks GROUP BY 1, 2
+),
+cv_tok_tot AS (
+  SELECT t, CAST(sum(ckf) AS BIGINT) AS ck,
+         CAST(sum(crf) AS BIGINT) AS cr
+  FROM cv_tok_fold GROUP BY 1
+),
+cv_folds AS (
+  SELECT fold, CAST(sum(ckf) AS BIGINT) AS nkf,
+         CAST(sum(crf) AS BIGINT) AS nrf
+  FROM cv_tok_fold GROUP BY 1
+),
+cv_tot AS (
+  SELECT CAST(sum(ck) AS BIGINT) AS nk, CAST(sum(cr) AS BIGINT) AS nr,
+         CAST(count(*) AS BIGINT) AS v_all
+  FROM cv_tok_tot
+),
+cv_excl AS (
+  SELECT fold, CAST(count(*) AS BIGINT) AS n_exclusive
+  FROM cv_tok_fold f JOIN cv_tok_tot t USING (t)
+  WHERE f.ckf + f.crf = t.ck + t.cr
+  GROUP BY 1
+),
+cv_dpriors AS (
+  SELECT fold,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS dkf,
+         CAST(count(*) AS BIGINT) AS df
+  FROM cv_lab GROUP BY 1
+),
+cv_dtot AS (
+  SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS dk,
+         CAST(count(*) AS BIGINT) AS d
+  FROM cv_lab
+),
+cv_fold_stats AS (
+  SELECT f.fold,
+         t.nk - f.nkf AS nk_train,
+         t.nr - f.nrf AS nr_train,
+         t.v_all - coalesce(e.n_exclusive, 0) AS v_train,
+         dt.dk - p.dkf AS dk_train,
+         (dt.d - p.df) - (dt.dk - p.dkf) AS dr_train
+  FROM cv_folds f
+  LEFT JOIN cv_excl e USING (fold)
+  JOIN cv_dpriors p USING (fold), cv_tot t, cv_dtot dt
+),
+cv_per_doc AS (
+  SELECT x.doc_id, x.fold, x.keep,
+         sum(ln((tt.ck - coalesce(tf.ckf, 0) + 1.0)
+                / (fs.nk_train + fs.v_train))
+             - ln((tt.cr - coalesce(tf.crf, 0) + 1.0)
+                  / (fs.nr_train + fs.v_train))) AS s
+  FROM cv_toks x
+  JOIN cv_tok_tot tt USING (t)
+  LEFT JOIN cv_tok_fold tf ON tf.t = x.t AND tf.fold = x.fold
+  JOIN cv_fold_stats fs ON fs.fold = x.fold
+  GROUP BY 1, 2, 3
+),
+nb_quality_cv AS (
+  SELECT d.fold,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN
+             (round(d.s + ln(CAST(fs.dk_train AS DOUBLE) / fs.dr_train),
+                    6) > 0) = d.keep
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         round(CAST(sum(CASE WHEN
+             (round(d.s + ln(CAST(fs.dk_train AS DOUBLE) / fs.dr_train),
+                    6) > 0) = d.keep
+           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS accuracy
+  FROM cv_per_doc d JOIN cv_fold_stats fs ON fs.fold = d.fold
+  GROUP BY 1
+)
+"""
