@@ -513,6 +513,13 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.unigram_logprob_scores(_docs(spark, sf_dir))
 
 
+def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per user (level + trend +
+    one-step forecast) — a recursive time-series model executed as an
+    identical left fold in both engines, hence exactly verified."""
+    return _tmp.user_holt_forecast(load_table(spark, sf_dir, "events"))
+
+
 def q_events_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed pseudonymization: user_id -> salted md5 token (equality
     preserved, so user-keyed operators run unchanged); the free-text
@@ -1852,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nb_quality_cv": q_text_nb_quality_cv,
         "events_pseudonymized": q_events_pseudonymized,
         "events_kanonymity": q_events_kanonymity,
+        "events_holt_forecast": q_events_holt_forecast,
         "dedup_minhash_eval": q_dedup_minhash_eval,
         "text_dsir_importance": q_text_dsir_importance,
         "corpus_prep_semantic": q_corpus_prep_semantic,
@@ -2117,6 +2125,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_pseudonymized": _ext_oracle(
             [_privacy.ORACLE_PSEUDONYMIZE], "pseudonymize_events"
+        ),
+        "events_holt_forecast": _ext_oracle(
+            [_tmp.ORACLE_USER_HOLT], "user_holt_forecast",
+            recursive=True,
         ),
         "events_kanonymity": _ext_oracle(
             [_privacy.ORACLE_K_ANONYMITY], "k_anonymity_audit"

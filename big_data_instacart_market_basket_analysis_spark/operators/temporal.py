@@ -2020,3 +2020,112 @@ linear_attribution AS (
   GROUP BY c_id
 )
 """
+
+
+#: Holt double-exponential smoothing constants.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
+def user_holt_forecast(events: DataFrame) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) per user over
+    the time-ordered value series, with a one-step-ahead forecast —
+    the trend-aware upgrade of the EWMA operator (an EWMA lags a
+    trending series forever; Holt's trend term closes the gap).
+
+    The recursion is a LEFT FOLD over the user's ordered values:
+    level' = a·v + (1-a)·(level + trend); trend' = b·(level'-level) +
+    (1-b)·trend, seeded level=v0, trend=0. Both engines execute the
+    identical fold (Spark ``aggregate``, DuckDB ``list_reduce``) over
+    the identically-ordered array, so the doubles agree bit-for-bit
+    and the rounded outputs hash-match — a recursive time-series
+    model, exactly verified.
+
+    Scale shape: one user_id shuffle (the collect_list agg); the fold
+    is per-row compute over each user's own array. Per-user series
+    length is the memory bound — for unbounded histories the same
+    recurrence runs incrementally as the stateful-streaming form
+    (``run_stream_stateful_spend``'s shape) with (level, trend) as
+    the keyed state.
+    """
+    a, b = HOLT_ALPHA, HOLT_BETA
+    series = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                # full microsecond precision in the sort key — millis
+                # truncation would order same-millisecond events
+                # differently than the oracle's ORDER BY ts
+                "transform(array_sort(collect_list(struct("
+                "unix_micros(ts) AS ts_us, event_id, value))),"
+                " s -> CAST(s.value AS DOUBLE))"
+            ).alias("vs")
+        )
+    )
+    lvl = f"({a}D * x.v + {1 - a}D * (acc.l + acc.t))"
+    step = (
+        f"(acc, x) -> struct({lvl} AS l,"
+        f" {b}D * ({lvl} - acc.l) + {1 - b}D * acc.t AS t,"
+        " x.v AS v)"
+    )
+    fold = (
+        "aggregate(slice(sv, 2, size(sv) - 1),"
+        " struct(sv[0].l AS l, sv[0].t AS t, sv[0].v AS v),"
+        f" {step})"
+    )
+    return (
+        series.withColumn(
+            "sv",
+            F.expr(
+                "transform(vs, v -> struct(v AS l, CAST(0 AS DOUBLE)"
+                " AS t, v AS v))"
+            ),
+        )
+        .select(
+            "user_id",
+            F.size("vs").alias("n_events"),
+            F.expr(f"round({fold}.l, 6)").alias("level"),
+            F.expr(f"round({fold}.t, 6)").alias("trend"),
+            F.expr(f"round({fold}.l + {fold}.t, 6)").alias(
+                "forecast_next"
+            ),
+        )
+    )
+
+
+#: NB: this oracle is a RECURSIVE CTE (compose with recursive=True).
+#: A ``list_reduce`` formulation would be the natural mirror of the
+#: Spark fold, but DuckDB 1.0's list_reduce mutates struct accumulator
+#: fields SEQUENTIALLY inside the lambda (the 't' expression observes
+#: the already-updated 'l') — silently wrong for any cross-dependent
+#: state. The row-per-step recursion below uses plain scalar
+#: arithmetic in exactly the Spark fold's op order.
+ORACLE_USER_HOLT = f"""
+hseq AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pos
+  FROM events WHERE value IS NOT NULL
+),
+hn AS (SELECT user_id, max(pos) AS n FROM hseq GROUP BY 1),
+hrec AS (
+  SELECT user_id, pos, v AS l, CAST(0 AS DOUBLE) AS t
+  FROM hseq WHERE pos = 1
+  UNION ALL
+  SELECT r.user_id, s.pos,
+         {HOLT_ALPHA} * s.v + {1 - HOLT_ALPHA} * (r.l + r.t),
+         {HOLT_BETA} * (({HOLT_ALPHA} * s.v
+             + {1 - HOLT_ALPHA} * (r.l + r.t)) - r.l)
+           + {1 - HOLT_BETA} * r.t
+  FROM hrec r
+  JOIN hseq s ON s.user_id = r.user_id AND s.pos = r.pos + 1
+),
+user_holt_forecast AS (
+  SELECT r.user_id, CAST(hn.n AS INT) AS n_events,
+         round(r.l, 6) AS level,
+         round(r.t, 6) AS trend,
+         round(r.l + r.t, 6) AS forecast_next
+  FROM hrec r JOIN hn ON hn.user_id = r.user_id AND r.pos = hn.n
+)
+"""
