@@ -1689,6 +1689,48 @@ def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped: bare scan + three pushed predicates + one sum
+    (the pushdown showcase; plan-pinned PushedFilters)."""
+    return _ana.forecast_revenue_change(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped: correlated scalar-MIN over a region-filtered
+    join chain, decorrelated to a per-part pre-agg joined back."""
+    return _ana.min_cost_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped: one nation's revenue share of a region's
+    market per year; numerator and denominator from ONE hash-agg."""
+    return _ana.nation_market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_priority_shipping_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H-Q12-shaped: IN-list + date window on the fact scan, one
+    join for the priority, two-branch CASE counts in one hash-agg."""
+    return _ana.priority_shipping_buckets(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def q_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q4-shaped: EXISTS with a cross-table date predicate,
     planned as a left-semi hash join; window pushed to the orders scan."""
@@ -1977,6 +2019,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_rich_customers": q_idle_rich_customers,
         "incremental_join_view": q_incremental_join_view,
         "late_order_priorities": q_late_order_priorities,
+        "forecast_revenue_change": q_forecast_revenue_change,
+        "min_cost_supplier": q_min_cost_supplier,
+        "nation_market_share": q_nation_market_share,
+        "priority_shipping_buckets": q_priority_shipping_buckets,
         "bloc_trade_volume": q_bloc_trade_volume,
         "nation_part_profit": q_nation_part_profit,
         "important_parts": q_important_parts,
@@ -2510,6 +2556,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "late_order_priorities": _ext_oracle(
             [_ana.ORACLE_LATE_ORDER_PRIORITIES], "late_order_priorities"
+        ),
+        "forecast_revenue_change": _ext_oracle(
+            [_ana.ORACLE_FORECAST_REVENUE], "forecast_revenue_change"
+        ),
+        "min_cost_supplier": _ext_oracle(
+            [_ana.ORACLE_MIN_COST_SUPPLIER], "min_cost_supplier"
+        ),
+        "nation_market_share": _ext_oracle(
+            [_ana.ORACLE_NATION_MARKET_SHARE], "nation_market_share"
+        ),
+        "priority_shipping_buckets": _ext_oracle(
+            [_ana.ORACLE_PRIORITY_SHIPPING], "priority_shipping_buckets"
         ),
         "bloc_trade_volume": _ext_oracle(
             [_ana.ORACLE_BLOC_TRADE_VOLUME], "bloc_trade_volume"

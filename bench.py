@@ -103,6 +103,11 @@ HEADLINE = [
     "text_nb_quality",
     "media_phash_dedup",
     "dedup_sorted_neighborhood",
+    # round-3: the four shapes completing all 22 TPC-H plan shapes
+    "forecast_revenue_change",
+    "min_cost_supplier",
+    "nation_market_share",
+    "priority_shipping_buckets",
 ]
 
 

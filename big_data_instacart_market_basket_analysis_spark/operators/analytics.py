@@ -1,7 +1,8 @@
 """TPC-H-shaped analytics queries completing the classic plan-shape family.
 
-Round-2 continuation: the seven remaining canonical shapes not yet
-covered by ``operators/relational.py`` (which has Q1/Q3/Q5/Q10/Q14/Q15/
+With the round-3 additions at the bottom (Q2/Q6/Q8/Q12 shapes), all 22
+classic plan shapes are covered between this module and
+``operators/relational.py`` (which has Q1/Q3/Q5/Q10/Q14/Q15/
 Q16/Q17/Q18/Q21/Q22 shapes). Each query is a Catalyst-native DataFrame
 plan with a colocated DuckDB oracle CTE; money math is DECIMAL-exact
 end-to-end and cast to double only at the output edge (the repo's float
@@ -488,5 +489,333 @@ excess_part_suppliers AS (
     WHERE p_name LIKE '%{EXCESS_PART_TOKEN}%'
     GROUP BY l_suppkey, l_partkey
     HAVING sum(l_quantity) > {EXCESS_QTY_THRESHOLD})
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q6 shape: pure scan + predicate + single agg — the pushdown showcase
+# --------------------------------------------------------------------------
+
+FORECAST_LO = "1996-01-01"
+FORECAST_HI = "1997-01-01"
+FORECAST_DISC_LO = 0.05
+FORECAST_DISC_HI = 0.07
+FORECAST_QTY_MAX = 24
+
+
+def forecast_revenue_change(lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q6-shaped: revenue that would be recovered by eliminating
+    small discounts on low-quantity lines in one year — a bare scan
+    with three conjunctive predicates and one sum. This is the
+    pushdown showcase: every predicate reaches the parquet scan
+    (PushedFilters carries the date, discount, and quantity bounds —
+    plan-pinned), so at 100 TB row groups outside the year never
+    leave disk. Money math in DECIMAL; one global agg, no shuffle
+    beyond the final 1-row combine."""
+    f = (
+        (F.col("l_shipdate") >= F.lit(FORECAST_LO))
+        & (F.col("l_shipdate") < F.lit(FORECAST_HI))
+        & (F.col("l_discount") >= FORECAST_DISC_LO)
+        & (F.col("l_discount") <= FORECAST_DISC_HI)
+        & (F.col("l_quantity") < FORECAST_QTY_MAX)
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * F.col(
+        "l_discount"
+    ).cast(_DEC)
+    return lineitem.filter(f).agg(
+        F.sum(rev).cast("double").alias("revenue_delta"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_FORECAST_REVENUE = f"""
+forecast_revenue_change AS (
+  SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue_delta,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem
+  WHERE l_shipdate >= '{FORECAST_LO}' AND l_shipdate < '{FORECAST_HI}'
+    AND l_discount >= {FORECAST_DISC_LO}
+    AND l_discount <= {FORECAST_DISC_HI}
+    AND l_quantity < {FORECAST_QTY_MAX}
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q2 shape: correlated scalar-MIN subquery over a region-filtered chain
+# --------------------------------------------------------------------------
+
+MINCOST_REGION = "EUROPE"
+MINCOST_SIZE_LO = 40
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H-Q2-shaped (adapted: the fixture has no partsupp, so the
+    part-supplier cost table derives from lineitem): for each large
+    part, the supplier(s) in one region offering the MINIMUM cost —
+    the correlated scalar-MIN subquery. Decorrelated the way Catalyst
+    plans Q2: the per-part minimum is a pre-aggregation over the
+    region-filtered cost table joined back on (partkey, cost) —
+    never a per-row subquery probe. Cost = min(l_extendedprice), a
+    pure MIN (no division — decimal-exact tie semantics; ties emit
+    both suppliers, matching the reference query's behavior).
+
+    Scale: region/nation broadcast onto supplier, the filtered
+    supplier dim broadcasts onto the fact, the (part, supp) agg and
+    the per-part min reuse one partitioning, and the large-part
+    filter prunes before any join."""
+    regional_supp = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        region.filter(F.col("r_name") == MINCOST_REGION)
+                    ),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey", "n_name")
+            ),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    big_parts = part.filter(F.col("p_size") >= MINCOST_SIZE_LO).select(
+        "p_partkey"
+    )
+    costs = (
+        lineitem.join(
+            F.broadcast(big_parts),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(regional_supp),
+            lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("p_partkey", "s_suppkey", "s_name", "n_name")
+        .agg(
+            F.min(F.col("l_extendedprice").cast(_DEC)).alias("cost")
+        )
+    )
+    part_min = costs.groupBy("p_partkey").agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        costs.join(part_min, "p_partkey")
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            F.col("cost").cast("double").alias("min_cost"),
+        )
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = f"""
+mcs_supp AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{MINCOST_REGION}'
+),
+mcs_costs AS (
+  SELECT l_partkey AS p_partkey, s_suppkey, s_name, n_name,
+         min(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost
+  FROM lineitem
+  JOIN (SELECT p_partkey FROM part
+        WHERE p_size >= {MINCOST_SIZE_LO}) bp
+    ON l_partkey = bp.p_partkey
+  JOIN mcs_supp ON l_suppkey = s_suppkey
+  GROUP BY 1, 2, 3, 4
+),
+min_cost_supplier AS (
+  SELECT c.p_partkey, c.s_name, c.n_name,
+         CAST(c.cost AS DOUBLE) AS min_cost
+  FROM mcs_costs c
+  WHERE c.cost = (SELECT min(cost) FROM mcs_costs m
+                  WHERE m.p_partkey = c.p_partkey)
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q8 shape: national market share within a region, per year
+# --------------------------------------------------------------------------
+
+SHARE_REGION = "ASIA"
+SHARE_NATION_KEY = 3
+
+
+def nation_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H-Q8-shaped: one supplier-nation's share of all revenue
+    sold into a region's market, per order year — the conditional-
+    numerator / total-denominator ratio over a deep join chain
+    (lineitem -> orders -> customer -> nation -> region on the market
+    side; lineitem -> supplier -> nation on the share side). Both
+    sums come out of ONE hash-agg (the numerator is a CASE inside the
+    same pass); dims broadcast, the region filter prunes customers
+    before fact contact, and the year comes from the order date, so
+    the fact table shuffles once on nothing but the final tiny
+    (year) grain."""
+    market_cust = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        region.filter(F.col("r_name") == SHARE_REGION)
+                    ),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select(F.col("n_nationkey").alias("cn_key"))
+            ),
+            customer.c_nationkey == F.col("cn_key"),
+        )
+        .select("c_custkey")
+    )
+    rev = _rev().alias("rev")
+    is_target = (F.col("s_nationkey") == SHARE_NATION_KEY).cast("int")
+    joined = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(market_cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev,
+            is_target.alias("is_target"),
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("is_target") == 1, F.col("rev")).otherwise(
+                    F.lit(0).cast(_DEC)
+                )
+            ).alias("nation_rev"),
+            F.sum("rev").alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            F.col("nation_rev").cast("double").alias("nation_rev"),
+            F.col("total_rev").cast("double").alias("total_rev"),
+            F.round(
+                F.col("nation_rev").cast("double")
+                / F.col("total_rev").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+    )
+
+
+ORACLE_NATION_MARKET_SHARE = f"""
+nms AS (
+  SELECT year(o_orderdate) AS o_year,
+         sum(CASE WHEN s_nationkey = {SHARE_NATION_KEY}
+             THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4))
+                     - CAST(l_discount AS DECIMAL(18,4)))
+             ELSE CAST(0 AS DECIMAL(18,4)) END) AS nation_rev,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (CAST(1 AS DECIMAL(18,4))
+                - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE r_name = '{SHARE_REGION}'
+  GROUP BY 1
+),
+nation_market_share AS (
+  SELECT o_year,
+         CAST(nation_rev AS DOUBLE) AS nation_rev,
+         CAST(total_rev AS DOUBLE) AS total_rev,
+         round(CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE),
+               6) AS mkt_share
+  FROM nms
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q12 shape: two-bucket conditional counts per category with IN-list
+# --------------------------------------------------------------------------
+
+SHIPBUCKET_LO = "1996-01-01"
+SHIPBUCKET_HI = "1997-01-01"
+SHIPBUCKET_FLAGS = ("R", "A")
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def priority_shipping_buckets(
+    lineitem: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H-Q12-shaped (adapted: the fixture has no shipmode, so the
+    return flag plays the category role): per category in an IN-list,
+    counts of lines from high- vs low-priority orders within a ship
+    year — the two-branch conditional aggregation. The IN-list and
+    date window are scan predicates on the fact side; the only join
+    carries (orderkey -> priority) and both CASE sums share one
+    hash-agg on the tiny category grain."""
+    f = (
+        F.col("l_returnflag").isin(*SHIPBUCKET_FLAGS)
+        & (F.col("l_shipdate") >= F.lit(SHIPBUCKET_LO))
+        & (F.col("l_shipdate") < F.lit(SHIPBUCKET_HI))
+    )
+    high = F.col("o_orderpriority").isin(*HIGH_PRIORITIES)
+    return (
+        lineitem.filter(f)
+        .select("l_orderkey", "l_returnflag")
+        .join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_PRIORITY_SHIPPING = f"""
+priority_shipping_buckets AS (
+  SELECT l_returnflag,
+         CAST(sum(CASE WHEN o_orderpriority IN
+               ('{HIGH_PRIORITIES[0]}', '{HIGH_PRIORITIES[1]}')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(sum(CASE WHEN o_orderpriority IN
+               ('{HIGH_PRIORITIES[0]}', '{HIGH_PRIORITIES[1]}')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag IN ('{SHIPBUCKET_FLAGS[0]}', '{SHIPBUCKET_FLAGS[1]}')
+    AND l_shipdate >= '{SHIPBUCKET_LO}' AND l_shipdate < '{SHIPBUCKET_HI}'
+  GROUP BY 1
 )
 """

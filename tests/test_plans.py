@@ -482,3 +482,18 @@ def test_join_strategy_hints_are_honored(spark):
     assert "BroadcastHashJoin" in phys(a.join(b.hint("broadcast"), "k"))
     assert "SortMergeJoin" in phys(a.join(b.hint("merge"), "k"))
     assert "ShuffledHashJoin" in phys(a.join(b.hint("shuffle_hash"), "k"))
+
+
+def test_q6_predicates_all_reach_the_scan(spark):
+    """The Q6-shaped forecast query is the pushdown showcase: the date
+    window, discount band, and quantity bound must ALL appear in the
+    parquet scan's PushedFilters (a post-scan filter would read every
+    row group at 100 TB)."""
+    plan = _plan(spark, "forecast_revenue_change")
+    import re
+
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    for frag in ("l_shipdate", "l_discount,0.05", "l_quantity,24"):
+        assert frag in pushed, (frag, pushed)
