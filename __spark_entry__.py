@@ -520,6 +520,14 @@ def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.user_holt_forecast(load_table(spark, sf_dir, "events"))
 
 
+def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters triple exponential smoothing per user (level,
+    trend, additive m=7 seasonality, one-step forecast) — the top of
+    the forecasting ladder, bit-exactly verified against a recursive
+    -CTE oracle."""
+    return _tmp.user_holt_winters(load_table(spark, sf_dir, "events"))
+
+
 def q_events_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed pseudonymization: user_id -> salted md5 token (equality
     preserved, so user-keyed operators run unchanged); the free-text
@@ -1902,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pseudonymized": q_events_pseudonymized,
         "events_kanonymity": q_events_kanonymity,
         "events_holt_forecast": q_events_holt_forecast,
+        "events_holt_winters": q_events_holt_winters,
         "dedup_minhash_eval": q_dedup_minhash_eval,
         "text_dsir_importance": q_text_dsir_importance,
         "corpus_prep_semantic": q_corpus_prep_semantic,
@@ -2174,6 +2183,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_holt_forecast": _ext_oracle(
             [_tmp.ORACLE_USER_HOLT], "user_holt_forecast",
+            recursive=True,
+        ),
+        "events_holt_winters": _ext_oracle(
+            [_tmp.ORACLE_USER_HOLT_WINTERS], "user_holt_winters",
             recursive=True,
         ),
         "events_kanonymity": _ext_oracle(

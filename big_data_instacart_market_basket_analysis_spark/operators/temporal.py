@@ -2129,3 +2129,120 @@ user_holt_forecast AS (
   FROM hrec r JOIN hn ON hn.user_id = r.user_id AND r.pos = hn.n
 )
 """
+
+
+#: Holt-Winters additive-seasonality constants (season length = 7,
+#: the weekly cycle at the event stream's daily cadence).
+HW_ALPHA = 0.5
+HW_BETA = 0.3
+HW_GAMMA = 0.2
+HW_SEASON = 7
+
+
+def user_holt_winters(events: DataFrame) -> DataFrame:
+    """Holt-Winters triple exponential smoothing (level + trend +
+    additive m=7 seasonality) per user — the top rung of the
+    forecasting ladder (EWMA -> Holt -> Holt-Winters). Seasonal slots
+    are indexed by series position mod m and start at zero, so the
+    cycle is learned from the data; the recurrence is the standard
+    additive form:
+
+        nl = a*(v - s[i]) + (1-a)*(l + t)
+        nt = b*(nl - l) + (1-b)*t
+        s'[i] = g*(v - nl) + (1-g)*s[i]
+
+    Executed as a left fold whose state is (l, t, season array, pos);
+    the DuckDB oracle replays it as a row-per-step recursive CTE (the
+    same scalar op order — see the Holt operator's note on why
+    list_reduce cannot carry cross-dependent struct state), so the
+    rounded outputs hash-match bit-for-bit.
+
+    Scale shape identical to Holt: one user_id shuffle, per-row fold;
+    the m-length seasonal state adds O(m) per step, constant memory.
+    """
+    a, b, g, m = HW_ALPHA, HW_BETA, HW_GAMMA, HW_SEASON
+    series = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct("
+                "unix_micros(ts) AS ts_us, event_id, value))),"
+                " s -> CAST(s.value AS DOUBLE))"
+            ).alias("vs")
+        )
+    )
+    nl = (
+        f"({a}D * (v - element_at(acc.sn, pmod(acc.p, {m}) + 1))"
+        f" + {1 - a}D * (acc.l + acc.t))"
+    )
+    step = (
+        f"(acc, v) -> struct({nl} AS l,"
+        f" {b}D * ({nl} - acc.l) + {1 - b}D * acc.t AS t,"
+        f" transform(acc.sn, (e, i) -> IF(i = pmod(acc.p, {m}),"
+        f"   {g}D * (v - {nl}) + {1 - g}D * e, e)) AS sn,"
+        " acc.p + 1 AS p)"
+    )
+    fold = (
+        "aggregate(slice(vs, 2, size(vs) - 1),"
+        " struct(CAST(vs[0] AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS t,"
+        f" array_repeat(CAST(0 AS DOUBLE), {m}) AS sn, 1 AS p),"
+        f" {step})"
+    )
+    return series.select(
+        "user_id",
+        F.size("vs").alias("n_events"),
+        F.expr(f"round({fold}.l, 6)").alias("level"),
+        F.expr(f"round({fold}.t, 6)").alias("trend"),
+        F.expr(
+            f"transform({fold}.sn, e -> round(e, 6))"
+        ).alias("season"),
+        F.expr(
+            f"round({fold}.l + {fold}.t"
+            f" + element_at({fold}.sn, pmod(size(vs), {m}) + 1), 6)"
+        ).alias("forecast_next"),
+    )
+
+
+#: recursive-CTE oracle (compose with recursive=True); same rationale
+#: as ORACLE_USER_HOLT.
+ORACLE_USER_HOLT_WINTERS = f"""
+hwseq AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pos
+  FROM events WHERE value IS NOT NULL
+),
+hwn AS (SELECT user_id, max(pos) AS n FROM hwseq GROUP BY 1),
+hwrec AS (
+  SELECT user_id, pos, v AS l, CAST(0 AS DOUBLE) AS t,
+         [CAST(0 AS DOUBLE), 0, 0, 0, 0, 0, 0] AS sn
+  FROM hwseq WHERE pos = 1
+  UNION ALL
+  SELECT r.user_id, e.pos,
+         {HW_ALPHA} * (e.v - r.sn[((e.pos - 1) % {HW_SEASON}) + 1])
+           + {1 - HW_ALPHA} * (r.l + r.t),
+         {HW_BETA} * (({HW_ALPHA}
+             * (e.v - r.sn[((e.pos - 1) % {HW_SEASON}) + 1])
+             + {1 - HW_ALPHA} * (r.l + r.t)) - r.l)
+           + {1 - HW_BETA} * r.t,
+         list_transform(r.sn, (x, i) ->
+           CASE WHEN i = ((e.pos - 1) % {HW_SEASON}) + 1
+             THEN {HW_GAMMA} * (e.v - ({HW_ALPHA}
+                    * (e.v - r.sn[((e.pos - 1) % {HW_SEASON}) + 1])
+                    + {1 - HW_ALPHA} * (r.l + r.t)))
+                  + {1 - HW_GAMMA} * x
+             ELSE x END)
+  FROM hwrec r
+  JOIN hwseq e ON e.user_id = r.user_id AND e.pos = r.pos + 1
+),
+user_holt_winters AS (
+  SELECT r.user_id, CAST(hwn.n AS INT) AS n_events,
+         round(r.l, 6) AS level,
+         round(r.t, 6) AS trend,
+         list_transform(r.sn, x -> round(x, 6)) AS season,
+         round(r.l + r.t + r.sn[(hwn.n % {HW_SEASON}) + 1], 6)
+           AS forecast_next
+  FROM hwrec r JOIN hwn ON hwn.user_id = r.user_id AND r.pos = hwn.n
+)
+"""
