@@ -528,6 +528,13 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.user_holt_winters(load_table(spark, sf_dir, "events"))
 
 
+def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS test (first vs second half of the stream):
+    supremum computed on integers at every distinct value, cumulative
+    counts via the bucketed prefix-sum (no global sort)."""
+    return _tmp.ks_drift_test(load_table(spark, sf_dir, "events"))
+
+
 def q_events_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed pseudonymization: user_id -> salted md5 token (equality
     preserved, so user-keyed operators run unchanged); the free-text
@@ -1911,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kanonymity": q_events_kanonymity,
         "events_holt_forecast": q_events_holt_forecast,
         "events_holt_winters": q_events_holt_winters,
+        "events_ks_drift": q_events_ks_drift,
         "dedup_minhash_eval": q_dedup_minhash_eval,
         "text_dsir_importance": q_text_dsir_importance,
         "corpus_prep_semantic": q_corpus_prep_semantic,
@@ -2188,6 +2196,9 @@ def oracle_sql() -> dict[str, str]:
         "events_holt_winters": _ext_oracle(
             [_tmp.ORACLE_USER_HOLT_WINTERS], "user_holt_winters",
             recursive=True,
+        ),
+        "events_ks_drift": _ext_oracle(
+            [_tmp.ORACLE_KS_DRIFT], "ks_drift_test"
         ),
         "events_kanonymity": _ext_oracle(
             [_privacy.ORACLE_K_ANONYMITY], "k_anonymity_audit"

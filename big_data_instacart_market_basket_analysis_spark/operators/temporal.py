@@ -2246,3 +2246,151 @@ user_holt_winters AS (
   FROM hwrec r JOIN hwn ON hwn.user_id = r.user_id AND r.pos = hwn.n
 )
 """
+
+
+#: KS test: alpha = 0.05 critical coefficient.
+KS_CRIT_COEF = 1.358
+
+
+def ks_drift_test(events: DataFrame) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test between the first and
+    second half of the event stream's value distribution — the
+    nonparametric companion to the binned PSI report (PSI needs bin
+    choices; KS is distribution-free and exact).
+
+    D = sup |F1 - F2| is evaluated at every distinct value via
+    cumulative counts. The cumulative sum is distributed with the
+    bucketed-prefix-sum trick (per-bucket totals -> tiny offset
+    table -> within-bucket window), so no global sort and no
+    corpus-wide single-partition window exists; the supremum itself
+    is computed on INTEGERS (|c1*n2 - c2*n1|, max'd exactly) and
+    divides by n1*n2 only at the output edge.
+
+    Output (1 row): n1, n2, ks_stat, ks_crit (alpha=0.05), drifted.
+    """
+    ev = events.filter(F.col("value").isNotNull()).select(
+        F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    bounds = ev.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    )
+    sided = ev.crossJoin(F.broadcast(bounds)).select(
+        "value",
+        (
+            F.col("ts_us") * 2 <= (F.col("lo") + F.col("hi"))
+        ).alias("first_half"),
+    )
+    per_value = sided.groupBy("value").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("first_half"), 0).otherwise(1)).alias("c2"),
+    ).withColumn("bucket", F.floor("value"))
+    btot = per_value.groupBy("bucket").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("b1").over(woff), F.lit(0)).alias("off1"),
+        F.coalesce(F.sum("b2").over(woff), F.lit(0)).alias("off2"),
+    )
+    win = Window.partitionBy("bucket").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    totals = per_value.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    cum = (
+        per_value.join(F.broadcast(offsets), "bucket")
+        .select(
+            "value",
+            (F.col("off1") + F.sum("c1").over(win)).alias("cum1"),
+            (F.col("off2") + F.sum("c2").over(win)).alias("cum2"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.abs(
+                F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+            ).alias("num"),
+            "n1",
+            "n2",
+        )
+    )
+    return (
+        cum.groupBy("n1", "n2")
+        .agg(F.max("num").alias("d_num"))
+        .select(
+            "n1",
+            "n2",
+            F.round(
+                F.col("d_num") / (F.col("n1") * F.col("n2")).cast("double"),
+                6,
+            ).alias("ks_stat"),
+            F.round(
+                F.lit(KS_CRIT_COEF)
+                * F.sqrt(
+                    (F.col("n1") + F.col("n2")).cast("double")
+                    / (F.col("n1") * F.col("n2")).cast("double")
+                ),
+                6,
+            ).alias("ks_crit"),
+            (
+                F.round(
+                    F.col("d_num")
+                    / (F.col("n1") * F.col("n2")).cast("double"),
+                    6,
+                )
+                > F.round(
+                    F.lit(KS_CRIT_COEF)
+                    * F.sqrt(
+                        (F.col("n1") + F.col("n2")).cast("double")
+                        / (F.col("n1") * F.col("n2")).cast("double")
+                    ),
+                    6,
+                )
+            ).alias("drifted"),
+        )
+    )
+
+
+ORACLE_KS_DRIFT = f"""
+ksb AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+  FROM events WHERE value IS NOT NULL
+),
+kss AS (
+  SELECT value, epoch_us(ts) * 2 <= (lo + hi) AS first_half
+  FROM events, ksb WHERE value IS NOT NULL
+),
+ksv AS (
+  SELECT value,
+         CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT)
+           AS c1,
+         CAST(sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS BIGINT)
+           AS c2
+  FROM kss GROUP BY 1
+),
+kst AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM ksv
+),
+ksc AS (
+  SELECT sum(c1) OVER (ORDER BY value) AS cum1,
+         sum(c2) OVER (ORDER BY value) AS cum2
+  FROM ksv
+),
+ks_drift_test AS (
+  SELECT t.n1, t.n2,
+         round(CAST(max(abs(cum1 * t.n2 - cum2 * t.n1)) AS DOUBLE)
+               / (t.n1 * t.n2), 6) AS ks_stat,
+         round({KS_CRIT_COEF} * sqrt(CAST(t.n1 + t.n2 AS DOUBLE)
+               / (t.n1 * t.n2)), 6) AS ks_crit,
+         round(CAST(max(abs(cum1 * t.n2 - cum2 * t.n1)) AS DOUBLE)
+               / (t.n1 * t.n2), 6)
+           > round({KS_CRIT_COEF} * sqrt(CAST(t.n1 + t.n2 AS DOUBLE)
+               / (t.n1 * t.n2)), 6) AS drifted
+  FROM ksc, kst t
+  GROUP BY t.n1, t.n2
+)
+"""
