@@ -528,6 +528,13 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.user_holt_winters(load_table(spark, sf_dir, "events"))
 
 
+def q_events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the A/B variants' per-user purchase
+    totals — rank-based (whale-robust) significance; doubled-rank
+    integer arithmetic until the final z division."""
+    return _tmp.mannwhitney_test(load_table(spark, sf_dir, "events"))
+
+
 def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS test (first vs second half of the stream):
     supremum computed on integers at every distinct value, cumulative
@@ -1919,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt_forecast": q_events_holt_forecast,
         "events_holt_winters": q_events_holt_winters,
         "events_ks_drift": q_events_ks_drift,
+        "events_mannwhitney": q_events_mannwhitney,
         "dedup_minhash_eval": q_dedup_minhash_eval,
         "text_dsir_importance": q_text_dsir_importance,
         "corpus_prep_semantic": q_corpus_prep_semantic,
@@ -2199,6 +2207,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_ks_drift": _ext_oracle(
             [_tmp.ORACLE_KS_DRIFT], "ks_drift_test"
+        ),
+        "events_mannwhitney": _ext_oracle(
+            [_tmp.ORACLE_MANNWHITNEY], "mannwhitney_test"
         ),
         "events_kanonymity": _ext_oracle(
             [_privacy.ORACLE_K_ANONYMITY], "k_anonymity_audit"

@@ -2394,3 +2394,137 @@ ks_drift_test AS (
   GROUP BY t.n1, t.n2
 )
 """
+
+
+def mannwhitney_test(events: DataFrame) -> DataFrame:
+    """Mann-Whitney U between the two A/B variants' per-user purchase
+    totals — the nonparametric companion to ``ab_test_report``'s Welch
+    z (rank-based, so a few whale users cannot fake a lift).
+
+    Rank arithmetic is exact: with ties handled by midranks, the
+    DOUBLED rank of a distinct value at cumulative position p with
+    tie-count c is the integer 2p + c + 1, so the doubled rank sum
+    2R1 = sum(c1 * (2p + c + 1)) and 2U1 = 2R1 - n1(n1+1) stay
+    integral until the z-score's final division (tie-corrected
+    variance). Cumulative positions come from the same bucketed
+    prefix-sum as the KS test — no global sort.
+
+    Output (1 row): n1, n2, u1, z (rounded 6), significant (|z| >
+    1.96).
+    """
+    per_user = (
+        events.filter(F.col("event_type") == AB_METRIC_TYPE)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+        .select(
+            "v", (F.col("user_id") % 2 == 0).alias("is_a")
+        )
+    )
+    per_value = per_user.groupBy("v").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("c2"),
+    ).withColumn("c", F.col("c1") + F.col("c2")).withColumn(
+        "bucket", F.floor("v")
+    )
+    btot = per_value.groupBy("bucket").agg(F.sum("c").alias("bc"))
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("bc").over(woff), F.lit(0)).alias("off"),
+    )
+    win = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = (
+        per_value.join(F.broadcast(offsets), "bucket")
+        .select(
+            "c1",
+            "c2",
+            "c",
+            (
+                F.col("off") + F.coalesce(F.sum("c").over(win), F.lit(0))
+            ).alias("p"),
+        )
+    )
+    agg = ranked.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("c1") * (F.lit(2) * F.col("p") + F.col("c") + 1)
+        ).alias("r1_x2"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_sum"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    u1 = (F.col("r1_x2") - n1 * (n1 + 1)) / F.lit(2.0)
+    var = (
+        (n1 * n2).cast("double")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_sum").cast("double")
+            / (n * (n - 1)).cast("double")
+        )
+    )
+    z = (u1 - (n1 * n2).cast("double") / 2.0) / F.sqrt(var)
+    return agg.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > 1.96).alias("significant"),
+    )
+
+
+ORACLE_MANNWHITNEY = f"""
+mwu AS (
+  SELECT user_id, round(sum(value), 4) AS v,
+         user_id % 2 = 0 AS is_a
+  FROM events WHERE event_type = '{AB_METRIC_TYPE}'
+  GROUP BY user_id
+),
+mwv AS (
+  SELECT v,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS c2,
+         CAST(count(*) AS BIGINT) AS c
+  FROM mwu GROUP BY 1
+),
+mwr AS (
+  SELECT c1, c2, c,
+         CAST(coalesce(sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS p
+  FROM mwv
+),
+mwa AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(c1 * (2 * p + c + 1)) AS BIGINT) AS r1_x2,
+         CAST(sum(c * c * c - c) AS BIGINT) AS tie_sum
+  FROM mwr
+),
+mannwhitney_test AS (
+  SELECT n1, n2,
+         (r1_x2 - n1 * (n1 + 1)) / 2.0 AS u1,
+         round(((r1_x2 - n1 * (n1 + 1)) / 2.0
+                 - CAST(n1 * n2 AS DOUBLE) / 2.0)
+               / sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+                      * (CAST(n1 + n2 + 1 AS DOUBLE)
+                         - CAST(tie_sum AS DOUBLE)
+                           / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))),
+               6) AS z,
+         abs(round(((r1_x2 - n1 * (n1 + 1)) / 2.0
+                 - CAST(n1 * n2 AS DOUBLE) / 2.0)
+               / sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+                      * (CAST(n1 + n2 + 1 AS DOUBLE)
+                         - CAST(tie_sum AS DOUBLE)
+                           / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))),
+               6)) > 1.96 AS significant
+  FROM mwa
+)
+"""
