@@ -528,6 +528,14 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.user_holt_winters(load_table(spark, sf_dir, "events"))
 
 
+def q_events_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence (event_type x variant): integral cell
+    terms (O*N - R*C)^2 / (N*R*C); bounded contingency grain."""
+    return _tmp.chi2_independence_test(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 def q_events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U between the A/B variants' per-user purchase
     totals — rank-based (whale-robust) significance; doubled-rank
@@ -1927,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt_winters": q_events_holt_winters,
         "events_ks_drift": q_events_ks_drift,
         "events_mannwhitney": q_events_mannwhitney,
+        "events_chi2": q_events_chi2,
         "dedup_minhash_eval": q_dedup_minhash_eval,
         "text_dsir_importance": q_text_dsir_importance,
         "corpus_prep_semantic": q_corpus_prep_semantic,
@@ -2210,6 +2219,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_mannwhitney": _ext_oracle(
             [_tmp.ORACLE_MANNWHITNEY], "mannwhitney_test"
+        ),
+        "events_chi2": _ext_oracle(
+            [_tmp.oracle_chi2_independence()], "chi2_independence"
         ),
         "events_kanonymity": _ext_oracle(
             [_privacy.ORACLE_K_ANONYMITY], "k_anonymity_audit"

@@ -2528,3 +2528,106 @@ mannwhitney_test AS (
   FROM mwa
 )
 """
+
+
+#: chi-squared critical values at alpha=0.05 by degrees of freedom.
+CHI2_CRIT_05 = {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
+                6: 12.592, 7: 14.067, 8: 15.507}
+
+
+def chi2_independence_test(events: DataFrame) -> DataFrame:
+    """Chi-squared test of independence between event type and A/B
+    variant — "does the treatment change WHAT users do", the
+    categorical sibling of the Welch/Mann-Whitney value tests.
+
+    Exactness: with observed cell count O, row total R, column total
+    C, grand total N, each cell's term is (O·N − R·C)² / (N·R·C) —
+    numerator fully integral (computed in BIGINT), one double
+    division per cell, the across-cells sum rounded to 6 (the
+    fold-order rule). Expected counts never materialize as floats.
+
+    Plans: one hash-agg to the (type, variant) contingency grain
+    (bounded: |types| × 2 cells), margins derived from the cell table
+    with two tiny aggs, everything after is constant-size. Output
+    (1 row): n, dof, chi2, chi2_crit, dependent.
+    """
+    cells = (
+        events.select(
+            "event_type",
+            (F.col("user_id") % 2 == 0).alias("is_a"),
+        )
+        .groupBy("event_type", "is_a")
+        .agg(F.count("*").alias("o"))
+    )
+    rows_m = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("is_a").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    terms = (
+        cells.join(rows_m, "event_type")
+        .join(F.broadcast(cols_m), "is_a")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "n_types",
+            (
+                (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+                * (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+            ).cast("double").alias("num"),
+            (F.col("n") * F.col("r") * F.col("c"))
+            .cast("double")
+            .alias("den"),
+        )
+    )
+    agg = terms.groupBy("n", "n_types").agg(
+        F.round(F.sum(F.col("num") / F.col("den")), 6).alias("chi2")
+    )
+    crit = F.create_map(
+        *[F.lit(x) for kv in CHI2_CRIT_05.items() for x in kv]
+    )
+    dof = (F.col("n_types") - 1).cast("int")
+    return agg.select(
+        "n",
+        dof.alias("dof"),
+        "chi2",
+        crit[dof].alias("chi2_crit"),
+        (F.col("chi2") > crit[dof]).alias("dependent"),
+    )
+
+
+def oracle_chi2_independence() -> str:
+    crit_cases = " ".join(
+        f"WHEN {k} THEN {v}" for k, v in CHI2_CRIT_05.items()
+    )
+    return f"""
+x2c AS (
+  SELECT event_type, user_id % 2 = 0 AS is_a,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+x2r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+        FROM x2c GROUP BY 1),
+x2k AS (SELECT is_a, CAST(sum(o) AS BIGINT) AS c FROM x2c GROUP BY 1),
+x2t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM x2c),
+x2a AS (
+  SELECT t.n, t.n_types,
+         round(sum(CAST((x.o * t.n - r.r * k.c)
+                        * (x.o * t.n - r.r * k.c) AS DOUBLE)
+                   / CAST(t.n * r.r * k.c AS DOUBLE)), 6) AS chi2
+  FROM x2c x
+  JOIN x2r r USING (event_type)
+  JOIN x2k k USING (is_a), x2t t
+  GROUP BY 1, 2
+),
+chi2_independence AS (
+  SELECT n, CAST(n_types - 1 AS INT) AS dof, chi2,
+         CASE CAST(n_types - 1 AS INT) {crit_cases} END AS chi2_crit,
+         chi2 > (CASE CAST(n_types - 1 AS INT) {crit_cases} END)
+           AS dependent
+  FROM x2a
+)
+"""
