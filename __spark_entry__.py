@@ -588,6 +588,13 @@ def q_text_nb_quality_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.nb_quality_cv(_docs(spark, sf_dir))
 
 
+def q_text_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the NB classifier (AUC = Mann-Whitney
+    statistic via doubled midranks — integral until one division);
+    the train -> score -> rank -> AUC loop verified end-to-end."""
+    return _text.nb_quality_auc(_docs(spark, sf_dir))
+
+
 def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash (aHash) image near-dup pairs: Arrow-batched
     hash over the stubbed decoder, then banded Hamming join — the
@@ -1929,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_dedup": q_media_phash_dedup,
         "text_nb_quality": q_text_nb_quality,
         "text_nb_quality_cv": q_text_nb_quality_cv,
+        "text_nb_auc": q_text_nb_auc,
         "events_pseudonymized": q_events_pseudonymized,
         "events_kanonymity": q_events_kanonymity,
         "events_holt_forecast": q_events_holt_forecast,
@@ -2202,6 +2210,11 @@ def oracle_sql() -> dict[str, str]:
         "text_nb_quality_cv": _ext_oracle(
             [_text.oracle_gopher_rules(), _text.ORACLE_NB_CV],
             "nb_quality_cv",
+        ),
+        "text_nb_auc": _ext_oracle(
+            [_text.oracle_gopher_rules(), _text.ORACLE_NB_QUALITY,
+             _text.ORACLE_NB_AUC],
+            "nb_quality_auc",
         ),
         "events_pseudonymized": _ext_oracle(
             [_privacy.ORACLE_PSEUDONYMIZE], "pseudonymize_events"

@@ -2335,3 +2335,91 @@ nb_quality_cv AS (
   GROUP BY 1
 )
 """
+
+
+def nb_quality_auc(docs: DataFrame) -> DataFrame:
+    """Exact ROC-AUC of the NB quality classifier against its weak
+    labels — AUC computed as the Mann-Whitney statistic (AUC = P(score
+    of a random positive > random negative), ties at half), using the
+    doubled-midrank identity so every intermediate is an integer:
+    with a tie group of c scores at cumulative position p, its
+    doubled rank is 2p + c + 1, the positives' doubled rank sum is
+    integral, and AUC = (2R+ − n+(n+1)) / (2·n+·n−) divides once at
+    the output edge.
+
+    The model evaluation loop (train -> score -> rank -> AUC) is
+    thereby verifiable end-to-end by the SQL oracle — no sampling, no
+    trapezoid approximation. One extra agg over the scores table; the
+    score grain is bounded by distinct log-odds values.
+
+    Output (1 row): n_pos, n_neg, auc (rounded 6).
+    """
+    scored = nb_quality_scores(docs).select("log_odds", "keep")
+    per_value = scored.groupBy("log_odds").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("cn"),
+    ).withColumn("c", F.col("cp") + F.col("cn")).withColumn(
+        "bucket", F.floor("log_odds")
+    )
+    # bucketed prefix-sum (the KS/Mann-Whitney rank machinery) — a
+    # bare ORDER BY window here would be a data-sized single-partition
+    # exchange, the exact anti-pattern plan_lint flags
+    btot = per_value.groupBy("bucket").agg(F.sum("c").alias("bc"))
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("bc").over(woff), F.lit(0)).alias("off"),
+    )
+    win = Window.partitionBy("bucket").orderBy("log_odds").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per_value.join(F.broadcast(offsets), "bucket").withColumn(
+        "p",
+        F.col("off") + F.coalesce(F.sum("c").over(win), F.lit(0)),
+    )
+    agg = ranked.agg(
+        F.sum("cp").alias("n_pos"),
+        F.sum("cn").alias("n_neg"),
+        F.sum(
+            F.col("cp") * (F.lit(2) * F.col("p") + F.col("c") + 1)
+        ).alias("rp_x2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (
+                F.col("rp_x2") - F.col("n_pos") * (F.col("n_pos") + 1)
+            ).cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+ORACLE_NB_AUC = """
+auc_v AS (
+  SELECT log_odds,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS cn,
+         CAST(count(*) AS BIGINT) AS c
+  FROM nb_quality GROUP BY 1
+),
+auc_r AS (
+  SELECT cp, cn, c,
+         CAST(coalesce(sum(c) OVER (ORDER BY log_odds
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS p
+  FROM auc_v
+),
+nb_quality_auc AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+         CAST(sum(cn) AS BIGINT) AS n_neg,
+         round(CAST(sum(cp * (2 * p + c + 1))
+                    - sum(cp) * (sum(cp) + 1) AS DOUBLE)
+               / (2.0 * sum(cp) * sum(cn)), 6) AS auc
+  FROM auc_r
+)
+"""
