@@ -528,6 +528,24 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.user_holt_winters(load_table(spark, sf_dir, "events"))
 
 
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types (per-user
+    consecutive pairs; |types|^2 output grain)."""
+    return _tmp.markov_transitions(load_table(spark, sf_dir, "events"))
+
+
+def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user spend — exact rank formulation
+    with integral tie-group rank sums (bucketed prefix-sum ranks)."""
+    return _tmp.spend_gini(load_table(spark, sf_dir, "events"))
+
+
+def q_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of the value column (map-only digit
+    extraction, 9-row grain, closed-form expected shares)."""
+    return _tmp.benford_audit(load_table(spark, sf_dir, "events"))
+
+
 def q_events_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-squared independence (event_type x variant): integral cell
     terms (O*N - R*C)^2 / (N*R*C); bounded contingency grain."""
@@ -1944,6 +1962,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ks_drift": q_events_ks_drift,
         "events_mannwhitney": q_events_mannwhitney,
         "events_chi2": q_events_chi2,
+        "events_markov": q_events_markov,
+        "events_gini": q_events_gini,
+        "events_benford": q_events_benford,
         "dedup_minhash_eval": q_dedup_minhash_eval,
         "text_dsir_importance": q_text_dsir_importance,
         "corpus_prep_semantic": q_corpus_prep_semantic,
@@ -2235,6 +2256,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_chi2": _ext_oracle(
             [_tmp.oracle_chi2_independence()], "chi2_independence"
+        ),
+        "events_markov": _ext_oracle(
+            [_tmp.ORACLE_MARKOV], "markov_transitions"
+        ),
+        "events_gini": _ext_oracle(
+            [_tmp.ORACLE_SPEND_GINI], "spend_gini"
+        ),
+        "events_benford": _ext_oracle(
+            [_tmp.oracle_benford_audit()], "benford_audit"
         ),
         "events_kanonymity": _ext_oracle(
             [_privacy.ORACLE_K_ANONYMITY], "k_anonymity_audit"

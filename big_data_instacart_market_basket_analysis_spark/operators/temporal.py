@@ -2631,3 +2631,231 @@ chi2_independence AS (
   FROM x2a
 )
 """
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov model of the event stream: P(next_type |
+    current_type) from consecutive-event pairs within each user's
+    timeline — the sequence model under next-action prediction and
+    funnel simulation.
+
+    One user_id window (lead over the per-user time order) produces
+    the transition pairs; counts aggregate on the tiny (from, to)
+    grain. Probabilities are ratios of integral counts, rounded at
+    the edge. At 100 TB this is sessionization's shuffle plus a
+    |types|^2-row table.
+
+    Output: from_type, to_type, n, p (rounded 6).
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    pairs = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+            F.unix_micros("ts").alias("_us"),
+            "event_id",
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("n_from"), 6).alias("p"),
+    )
+
+
+ORACLE_MARKOV = """
+mk_pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+mk_counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM mk_pairs WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+mk_tot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+  FROM mk_counts GROUP BY 1
+),
+markov_transitions AS (
+  SELECT from_type, to_type, n,
+         round(CAST(n AS DOUBLE) / n_from, 6) AS p
+  FROM mk_counts JOIN mk_tot USING (from_type)
+)
+"""
+
+
+def spend_gini(events: DataFrame) -> DataFrame:
+    """Gini coefficient of per-user spend — the concentration metric
+    behind "do whales dominate revenue" (and, pointed at token counts
+    per document, "does one source dominate the training mix").
+
+    Exact rank formulation: G = 2·Σ(r_i·x_i) / (n·Σx) − (n+1)/n with
+    ranks over ascending spend. Ties are handled at the VALUE grain —
+    for a tie group of c users with spend v at cumulative position p,
+    Σ ranks = c·p + c(c+1)/2, all integral; the value-weighted rank
+    sum multiplies v once per group. Ranks come from the bucketed
+    prefix-sum (no data-sized global window).
+
+    Output (1 row): n_users, total_spend, gini (rounded 6).
+    """
+    per_user = (
+        events.filter(F.col("event_type") == AB_METRIC_TYPE)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    per_value = per_user.groupBy("v").agg(F.count("*").alias("c"))
+    per_value = per_value.withColumn("bucket", F.floor("v"))
+    btot = per_value.groupBy("bucket").agg(F.sum("c").alias("bc"))
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("bc").over(woff), F.lit(0)).alias("off"),
+    )
+    win = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per_value.join(F.broadcast(offsets), "bucket").withColumn(
+        "p",
+        F.col("off") + F.coalesce(F.sum("c").over(win), F.lit(0)),
+    )
+    # per tie group: sum of ranks = c*p + c(c+1)/2 (ranks 1-based)
+    agg = ranked.agg(
+        F.sum("c").alias("n"),
+        F.round(F.sum(F.col("v") * F.col("c")), 4).alias("total"),
+        F.round(
+            F.sum(
+                F.col("v")
+                * (
+                    F.col("c") * F.col("p")
+                    + F.col("c") * (F.col("c") + 1) / F.lit(2.0)
+                )
+            ),
+            4,
+        ).alias("rank_weighted"),
+    )
+    n = F.col("n")
+    return agg.select(
+        n.alias("n_users"),
+        F.col("total").alias("total_spend"),
+        F.round(
+            F.lit(2.0) * F.col("rank_weighted")
+            / (n * F.col("total"))
+            - (n + 1).cast("double") / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+ORACLE_SPEND_GINI = f"""
+gn_u AS (
+  SELECT user_id, round(sum(value), 4) AS v
+  FROM events WHERE event_type = '{AB_METRIC_TYPE}'
+  GROUP BY user_id
+),
+gn_v AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM gn_u GROUP BY 1),
+gn_r AS (
+  SELECT v, c,
+         CAST(coalesce(sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS p
+  FROM gn_v
+),
+gn_a AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         round(sum(v * c), 4) AS total,
+         round(sum(v * (c * p + c * (c + 1) / 2.0)), 4)
+           AS rank_weighted
+  FROM gn_r
+),
+spend_gini AS (
+  SELECT n AS n_users, total AS total_spend,
+         round(2.0 * rank_weighted / (n * total)
+               - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+  FROM gn_a
+)
+"""
+
+
+def benford_audit(events: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit of the value column — the
+    classic fabricated-numbers / broken-ETL screen (organically grown
+    magnitudes follow log10(1 + 1/d); uniform or constant-injected
+    data does not).
+
+    One map-only digit extraction + a 9-row agg; the chi-squared
+    statistic against the Benford expectation uses exact observed
+    integers and closed-form expected proportions. Output: one row
+    per leading digit (n, observed share, benford share) — the
+    verdict agg is a consumer's one-liner.
+    """
+    digits = (
+        events.filter(F.col("value") > 0)
+        .select(
+            F.floor(
+                F.col("value")
+                / F.pow(F.lit(10.0), F.floor(F.log10("value")))
+            )
+            .cast("int")
+            .alias("d")
+        )
+        .filter(F.col("d").between(1, 9))
+    )
+    tot = digits.agg(F.count("*").alias("n_total"))
+    import math
+
+    benford = F.create_map(
+        *[
+            F.lit(x)
+            for d in range(1, 10)
+            for x in (d, round(math.log10(1 + 1 / d), 6))
+        ]
+    )
+    return (
+        digits.groupBy("d")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            F.round(F.col("n") / F.col("n_total"), 6).alias("observed"),
+            benford[F.col("d")].alias("expected"),
+        )
+    )
+
+
+def oracle_benford_audit() -> str:
+    import math
+
+    cases = " ".join(
+        f"WHEN {d} THEN {round(math.log10(1 + 1 / d), 6)}"
+        for d in range(1, 10)
+    )
+    return f"""
+bf_d AS (
+  SELECT CAST(floor(value / pow(10, floor(log10(value)))) AS INT) AS d
+  FROM events WHERE value > 0
+),
+bf_f AS (SELECT d FROM bf_d WHERE d BETWEEN 1 AND 9),
+bf_t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM bf_f),
+benford_audit AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n,
+         round(CAST(count(*) AS DOUBLE) / any_value(t.n_total), 6)
+           AS observed,
+         CAST(CASE d {cases} END AS DOUBLE) AS expected
+  FROM bf_f, bf_t t
+  GROUP BY d
+)
+"""
