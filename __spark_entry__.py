@@ -528,6 +528,13 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.user_holt_winters(load_table(spark, sf_dir, "events"))
 
 
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily event-count series
+    (Page's sequential statistic, scale-free k/h) — bit-exact fold vs
+    a recursive-CTE oracle."""
+    return _tmp.cusum_changepoints(load_table(spark, sf_dir, "events"))
+
+
 def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of event types (per-user
     consecutive pairs; |types|^2 output grain)."""
@@ -604,6 +611,12 @@ def q_text_nb_quality_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts minus fold f's counts, including its training-vocab size);
     per-fold accuracy, fully SQL-verifiable."""
     return _text.nb_quality_cv(_docs(spark, sf_dir))
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease per doc (vowel-group syllable heuristic) —
+    map-only readability signal for corpus filtering/stratification."""
+    return _text.readability_scores(_docs(spark, sf_dir))
 
 
 def q_text_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1955,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nb_quality": q_text_nb_quality,
         "text_nb_quality_cv": q_text_nb_quality_cv,
         "text_nb_auc": q_text_nb_auc,
+        "text_readability": q_text_readability,
         "events_pseudonymized": q_events_pseudonymized,
         "events_kanonymity": q_events_kanonymity,
         "events_holt_forecast": q_events_holt_forecast,
@@ -1963,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mannwhitney": q_events_mannwhitney,
         "events_chi2": q_events_chi2,
         "events_markov": q_events_markov,
+        "events_cusum": q_events_cusum,
         "events_gini": q_events_gini,
         "events_benford": q_events_benford,
         "dedup_minhash_eval": q_dedup_minhash_eval,
@@ -2237,6 +2252,9 @@ def oracle_sql() -> dict[str, str]:
              _text.ORACLE_NB_AUC],
             "nb_quality_auc",
         ),
+        "text_readability": _ext_oracle(
+            [_text.ORACLE_READABILITY], "readability"
+        ),
         "events_pseudonymized": _ext_oracle(
             [_privacy.ORACLE_PSEUDONYMIZE], "pseudonymize_events"
         ),
@@ -2259,6 +2277,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_markov": _ext_oracle(
             [_tmp.ORACLE_MARKOV], "markov_transitions"
+        ),
+        "events_cusum": _ext_oracle(
+            [_tmp.ORACLE_CUSUM], "cusum_changepoints", recursive=True
         ),
         "events_gini": _ext_oracle(
             [_tmp.ORACLE_SPEND_GINI], "spend_gini"

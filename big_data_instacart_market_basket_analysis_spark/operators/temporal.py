@@ -2859,3 +2859,126 @@ benford_audit AS (
   GROUP BY d
 )
 """
+
+
+#: CUSUM parameters: slack k and decision threshold h, in units of
+#: the series' own scale (applied to daily event-count deviations
+#: from the series mean).
+CUSUM_K_FRAC = 0.1
+CUSUM_H_FRAC = 1.0
+
+
+def cusum_changepoints(events: DataFrame) -> DataFrame:
+    """CUSUM change-point detection over the daily event-count series
+    — the sequential monitoring statistic (Page 1954) behind "did
+    volume shift, and when": S+ accumulates positive deviations from
+    the mean (minus a slack k), S- the negative ones; an alarm fires
+    when either exceeds h.
+
+    The recursion S+' = max(0, S+ + (x - mean - k)) folds left over
+    the day-ordered series (the Holt pattern: Spark ``aggregate``
+    fold, recursive-CTE oracle — same scalar op order, bit-exact).
+    Mean, k, and h derive from the series itself (fractions of the
+    mean), so the operator is scale-free. The daily series is tiny by
+    construction (one row per day), so the fold is driver-free AND
+    data-light; the only corpus-sized work is the per-day count agg.
+
+    Output: one row per day — day, n, s_pos, s_neg, alarm.
+    """
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    stats = daily.agg(
+        F.avg("n").alias("mu"),
+        F.count("*").alias("n_days"),
+    )
+    series = daily.crossJoin(F.broadcast(stats)).select(
+        "day", "n", "mu"
+    )
+    arr = (
+        series.groupBy()
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(day, n, mu)))"
+            ).alias("xs")
+        )
+    )
+    k = f"(x.mu * {CUSUM_K_FRAC}D)"
+    h = f"(acc.mu * {CUSUM_H_FRAC}D)"
+    step = (
+        "(acc, x) -> struct("
+        " greatest(CAST(0 AS DOUBLE),"
+        "   acc.sp + (CAST(x.n AS DOUBLE) - x.mu) - " + k + ") AS sp,"
+        " greatest(CAST(0 AS DOUBLE),"
+        "   acc.sn - (CAST(x.n AS DOUBLE) - x.mu) - " + k + ") AS sn,"
+        " x.mu AS mu,"
+        " concat(acc.rows, array(struct(x.day AS day, x.n AS n,"
+        "   greatest(CAST(0 AS DOUBLE),"
+        "     acc.sp + (CAST(x.n AS DOUBLE) - x.mu) - " + k + ") AS sp,"
+        "   greatest(CAST(0 AS DOUBLE),"
+        "     acc.sn - (CAST(x.n AS DOUBLE) - x.mu) - " + k + ") AS sn"
+        " ))) AS rows)"
+    )
+    fold = (
+        "aggregate(xs,"
+        " struct(CAST(0 AS DOUBLE) AS sp, CAST(0 AS DOUBLE) AS sn,"
+        " xs[0].mu AS mu,"
+        " CAST(array() AS array<struct<day: date, n: bigint,"
+        " sp: double, sn: double>>) AS rows),"
+        f" {step})"
+    )
+    return (
+        arr.select(F.explode(F.expr(f"{fold}.rows")).alias("r"),
+                   F.expr(f"{fold}.mu").alias("mu"))
+        .select(
+            F.col("r.day").alias("day"),
+            F.col("r.n").alias("n"),
+            F.round("r.sp", 6).alias("s_pos"),
+            F.round("r.sn", 6).alias("s_neg"),
+            (
+                (F.col("r.sp") > F.col("mu") * CUSUM_H_FRAC)
+                | (F.col("r.sn") > F.col("mu") * CUSUM_H_FRAC)
+            ).alias("alarm"),
+        )
+    )
+
+
+#: recursive-CTE oracle (recursive=True).
+ORACLE_CUSUM = f"""
+cs_daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+cs_stats AS (
+  SELECT avg(n) AS mu, count(*) AS n_days FROM cs_daily
+),
+cs_seq AS (
+  SELECT day, n, mu,
+         row_number() OVER (ORDER BY day) AS pos
+  FROM cs_daily, cs_stats
+),
+cs_rec AS (
+  SELECT day, n, mu, pos,
+         greatest(CAST(0 AS DOUBLE),
+           (CAST(n AS DOUBLE) - mu) - mu * {CUSUM_K_FRAC}) AS sp,
+         greatest(CAST(0 AS DOUBLE),
+           -(CAST(n AS DOUBLE) - mu) - mu * {CUSUM_K_FRAC}) AS sn
+  FROM cs_seq WHERE pos = 1
+  UNION ALL
+  SELECT s.day, s.n, s.mu, s.pos,
+         greatest(CAST(0 AS DOUBLE),
+           r.sp + (CAST(s.n AS DOUBLE) - s.mu)
+           - s.mu * {CUSUM_K_FRAC}),
+         greatest(CAST(0 AS DOUBLE),
+           r.sn - (CAST(s.n AS DOUBLE) - s.mu)
+           - s.mu * {CUSUM_K_FRAC})
+  FROM cs_rec r JOIN cs_seq s ON s.pos = r.pos + 1
+),
+cusum_changepoints AS (
+  SELECT day, n, round(sp, 6) AS s_pos, round(sn, 6) AS s_neg,
+         (sp > mu * {CUSUM_H_FRAC}) OR (sn > mu * {CUSUM_H_FRAC})
+           AS alarm
+  FROM cs_rec
+)
+"""

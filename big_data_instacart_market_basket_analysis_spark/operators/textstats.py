@@ -2423,3 +2423,59 @@ nb_quality_auc AS (
   FROM auc_r
 )
 """
+
+
+def readability_scores(docs: DataFrame) -> DataFrame:
+    """Flesch Reading Ease per document, with the standard
+    vowel-group syllable heuristic (a syllable ≈ a maximal [aeiouy]+
+    run) — the classic readability signal corpora are filtered and
+    stratified on (too-low: legalese/garble; too-high: fragment
+    lists).
+
+    Map-only: three regexp counts per row, zero shuffle — runs at
+    scan speed like the rest of the quality family. Sentences are
+    [.!?] runs floored at 1 so headline-like docs don't divide by
+    zero.
+    """
+    words = F.size(_tokens_col())
+    sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")),
+        F.lit(1),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words)
+    )
+    return docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.round(flesch, 4).alias("flesch"),
+    )
+
+
+ORACLE_READABILITY = """
+readability AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS INT)
+           AS n_words,
+         greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS INT),
+                  1) AS n_sentences,
+         greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS INT), 1) AS n_syllables,
+         round(206.835
+               - 1.015 * (CAST(len(regexp_split_to_array(lower(text),
+                   '\\s+')) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+               - 84.6 * (CAST(greatest(len(regexp_extract_all(
+                   lower(text), '[aeiouy]+')), 1) AS DOUBLE)
+                 / len(regexp_split_to_array(lower(text), '\\s+'))),
+               4) AS flesch
+  FROM documents
+)
+"""
