@@ -613,6 +613,12 @@ def q_text_nb_quality_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.nb_quality_cv(_docs(spark, sf_dir))
 
 
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: stopword-bounded phrase islands,
+    degree/freq word scores, global top-k phrases."""
+    return _text.rake_keywords(_docs(spark, sf_dir))
+
+
 def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch Reading Ease per doc (vowel-group syllable heuristic) —
     map-only readability signal for corpus filtering/stratification."""
@@ -1969,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nb_quality_cv": q_text_nb_quality_cv,
         "text_nb_auc": q_text_nb_auc,
         "text_readability": q_text_readability,
+        "text_rake_keywords": q_text_rake_keywords,
         "events_pseudonymized": q_events_pseudonymized,
         "events_kanonymity": q_events_kanonymity,
         "events_holt_forecast": q_events_holt_forecast,
@@ -2254,6 +2261,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_readability": _ext_oracle(
             [_text.ORACLE_READABILITY], "readability"
+        ),
+        "text_rake_keywords": _ext_oracle(
+            [_text.oracle_rake_keywords()], "rake_keywords"
         ),
         "events_pseudonymized": _ext_oracle(
             [_privacy.ORACLE_PSEUDONYMIZE], "pseudonymize_events"

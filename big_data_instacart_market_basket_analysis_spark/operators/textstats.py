@@ -2479,3 +2479,138 @@ readability AS (
   FROM documents
 )
 """
+
+
+#: RAKE: top-k keyword phrases globally.
+RAKE_TOP_K = 25
+RAKE_MAX_PHRASE_WORDS = 4
+
+
+def rake_keywords(docs: DataFrame, k: int = RAKE_TOP_K) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of non-stopwords; each word scores degree/freq
+    (degree = total words co-occurring in its phrases), a phrase
+    scores the sum of its words — the unsupervised keyword extractor
+    corpora are tagged with before indexing.
+
+    Phrase segmentation is gaps-and-islands: tokens get positions
+    (posexplode), stopwords close an island, phrase_id = running
+    stopword count (per-doc window — doc_id is the partition key, so
+    no global ordering exists anywhere). Word stats aggregate on the
+    word grain, phrase scores on the phrase grain, and the global
+    top-k is a TakeOrdered. Phrases capped at RAKE_MAX_PHRASE_WORDS
+    (standard RAKE practice; uncapped runs in stopword-free junk
+    would otherwise dominate degree mass).
+
+    Output: top-k (phrase, n_occurrences, score) by score desc with
+    deterministic tiebreaks.
+    """
+    stop_arr = "array({})".format(
+        ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(_tokens_col()).alias("pos", "w"),
+    ).withColumn(
+        "is_stop",
+        F.expr(f"array_contains({stop_arr}, w)") | (F.col("w") == ""),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    phrased = toks.withColumn(
+        "phrase_id",
+        F.sum(F.col("is_stop").cast("int")).over(wdoc),
+    ).filter(~F.col("is_stop"))
+    phrases = (
+        phrased.groupBy("doc_id", "phrase_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list("
+                       "struct(pos, w))), s -> s.w)"),
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+        .filter(F.col("plen") <= RAKE_MAX_PHRASE_WORDS)
+    )
+    words = phrased.join(
+        phrases.select("doc_id", "phrase_id", "plen"),
+        ["doc_id", "phrase_id"],
+    )
+    wstats = words.groupBy("w").agg(
+        F.count("*").alias("freq"),
+        F.sum("plen").alias("degree"),
+    )
+    pscore = (
+        words.join(wstats, "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.sum(
+                F.col("degree").cast("double") / F.col("freq")
+            ).alias("score")
+        )
+    )
+    return (
+        phrases.join(pscore, ["doc_id", "phrase_id"])
+        .groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.round(F.max("score"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("phrase"))
+        .limit(k)
+    )
+
+
+def oracle_rake_keywords(k: int = RAKE_TOP_K) -> str:
+    stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+rk_toks AS (
+  SELECT doc_id, CAST(generate_subscripts(t, 1) - 1 AS INT) AS pos,
+         unnest(t) AS w
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+        FROM documents)
+),
+rk_flag AS (
+  SELECT doc_id, pos, w,
+         (w IN ({stops}) OR w = '') AS is_stop
+  FROM rk_toks
+),
+rk_phrased AS (
+  SELECT doc_id, pos, w,
+         sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+  FROM rk_flag
+  QUALIFY NOT is_stop
+),
+rk_phrases AS (
+  SELECT doc_id, phrase_id,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM rk_phrased GROUP BY 1, 2
+  HAVING count(*) <= {RAKE_MAX_PHRASE_WORDS}
+),
+rk_words AS (
+  SELECT p.doc_id, p.phrase_id, f.w, p.plen
+  FROM rk_phrased f JOIN rk_phrases p USING (doc_id, phrase_id)
+),
+rk_wstats AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS degree
+  FROM rk_words GROUP BY 1
+),
+rk_pscore AS (
+  SELECT doc_id, phrase_id,
+         sum(CAST(degree AS DOUBLE) / freq) AS score
+  FROM rk_words JOIN rk_wstats USING (w)
+  GROUP BY 1, 2
+),
+rake_keywords AS (
+  SELECT phrase,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         round(max(score), 6) AS score
+  FROM rk_phrases JOIN rk_pscore USING (doc_id, phrase_id)
+  GROUP BY phrase
+  ORDER BY score DESC, phrase
+  LIMIT {k}
+)
+"""
