@@ -613,6 +613,13 @@ def q_text_nb_quality_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.nb_quality_cv(_docs(spark, sf_dir))
 
 
+def q_embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-density embedding outliers (IVF-cell-confined pairs, mean
+    top-k cosine, lowest-density report) — the corrupted-input screen
+    before training on embeddings."""
+    return _sim.knn_outlier_scores(_emb(spark, sf_dir))
+
+
 def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyword extraction: stopword-bounded phrase islands,
     degree/freq word scores, global top-k phrases."""
@@ -1976,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nb_auc": q_text_nb_auc,
         "text_readability": q_text_readability,
         "text_rake_keywords": q_text_rake_keywords,
+        "embedding_knn_outliers": q_embedding_knn_outliers,
         "events_pseudonymized": q_events_pseudonymized,
         "events_kanonymity": q_events_kanonymity,
         "events_holt_forecast": q_events_holt_forecast,
@@ -2264,6 +2272,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_rake_keywords": _ext_oracle(
             [_text.oracle_rake_keywords()], "rake_keywords"
+        ),
+        "embedding_knn_outliers": _ext_oracle(
+            [_sim.oracle_knn_outliers()], "embedding_knn_outliers"
         ),
         "events_pseudonymized": _ext_oracle(
             [_privacy.ORACLE_PSEUDONYMIZE], "pseudonymize_events"

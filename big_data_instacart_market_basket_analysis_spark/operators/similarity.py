@@ -1269,3 +1269,108 @@ rp_ann_recall AS (
   LEFT JOIN rrh h ON q.query_id = h.query_id
 )
 """
+
+
+#: kNN outlier detection: neighbors per vector and report size.
+OUTLIER_KNN = 5
+OUTLIER_TOP = 25
+
+
+def knn_outlier_scores(
+    emb: DataFrame, k: int = OUTLIER_KNN, top: int = OUTLIER_TOP
+) -> DataFrame:
+    """Embedding outlier detection by k-nearest-neighbor density: a
+    vector whose k nearest same-cell neighbors are all FAR is an
+    outlier — corrupted inputs, mis-encoded rows, and wrong-modality
+    payloads all land here, so curation pipelines screen embeddings
+    this way before training on them.
+
+    Pair generation is confined to IVF cells (the SemDeDup cost
+    shape: sum of |cell|^2, bounded by codebook granularity — never
+    |corpus|^2), reusing the session-staged cell assignment. Score =
+    mean of the top-k same-cell cosines, so sparse cells degrade
+    gracefully (fewer neighbors, still comparable). Output: the
+    ``top`` lowest-density vectors (score asc, vec_id tiebreak).
+    """
+    lists = _assignment_staged(emb)
+    a = lists.select(
+        F.col("vec_id").alias("va"),
+        F.col("v").alias("xa"),
+        "centroid_id",
+    )
+    b = lists.select(
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("xb"),
+        "centroid_id",
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("va") != F.col("vb"))
+        .withColumn("cosine", _cosine("xa", "xb"))
+    )
+    w = Window.partitionBy("va").orderBy(
+        F.col("cosine").desc(), F.col("vb")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .groupBy("va")
+        .agg(
+            F.count("*").alias("n_neighbors"),
+            F.round(F.avg("cosine"), 6).alias("knn_mean_cos"),
+        )
+        .select(
+            F.col("va").alias("vec_id"), "n_neighbors", "knn_mean_cos"
+        )
+        .orderBy(F.col("knn_mean_cos"), F.col("vec_id"))
+        .limit(top)
+    )
+
+
+def oracle_knn_outliers(
+    k: int = OUTLIER_KNN, top: int = OUTLIER_TOP
+) -> str:
+    cos = _ORACLE_COS.format(a="a.v", b="b.v")
+    return f"""
+ko_vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+ko_cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS centnorm
+  FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+),
+ko_assign AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT x.vec_id, x.v, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY list_dot_product(x.v, c.centv) / c.centnorm DESC,
+                      c.centroid_id) AS crank
+    FROM ko_vecs x, ko_cents c
+  ) WHERE crank = 1
+),
+ko_pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, {cos} AS cosine
+  FROM ko_assign a JOIN ko_assign b USING (centroid_id)
+  WHERE a.vec_id <> b.vec_id
+),
+ko_topk AS (
+  SELECT va, cosine FROM (
+    SELECT va, cosine,
+           row_number() OVER (PARTITION BY va
+                              ORDER BY cosine DESC, vb) AS rank
+    FROM ko_pairs
+  ) WHERE rank <= {k}
+),
+embedding_knn_outliers AS (
+  SELECT va AS vec_id,
+         CAST(count(*) AS BIGINT) AS n_neighbors,
+         round(avg(cosine), 6) AS knn_mean_cos
+  FROM ko_topk
+  GROUP BY va
+  ORDER BY knn_mean_cos, vec_id
+  LIMIT {top}
+)
+"""
