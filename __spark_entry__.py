@@ -528,6 +528,13 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.user_holt_winters(load_table(spark, sf_dir, "events"))
 
 
+def q_events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bot screen: inter-arrival regularity (low gap CV at
+    volume) flags automation before traffic-derived text enters a
+    corpus; one user_id shuffle."""
+    return _tmp.bot_flags(load_table(spark, sf_dir, "events"))
+
+
 def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection on the daily event-count series
     (Page's sequential statistic, scale-free k/h) — bit-exact fold vs
@@ -611,6 +618,13 @@ def q_text_nb_quality_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts minus fold f's counts, including its training-vocab size);
     per-fold accuracy, fully SQL-verifiable."""
     return _text.nb_quality_cv(_docs(spark, sf_dir))
+
+
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of embeddings (64-row
+    stats broadcast into a map-only transform) — kills the common bias
+    direction that inflates cosines."""
+    return _sim.standardize_embeddings(_emb(spark, sf_dir))
 
 
 def q_embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1984,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": q_text_readability,
         "text_rake_keywords": q_text_rake_keywords,
         "embedding_knn_outliers": q_embedding_knn_outliers,
+        "embedding_standardize": q_embedding_standardize,
         "events_pseudonymized": q_events_pseudonymized,
         "events_kanonymity": q_events_kanonymity,
         "events_holt_forecast": q_events_holt_forecast,
@@ -1993,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_chi2": q_events_chi2,
         "events_markov": q_events_markov,
         "events_cusum": q_events_cusum,
+        "events_bot_flags": q_events_bot_flags,
         "events_gini": q_events_gini,
         "events_benford": q_events_benford,
         "dedup_minhash_eval": q_dedup_minhash_eval,
@@ -2276,6 +2292,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn_outliers": _ext_oracle(
             [_sim.oracle_knn_outliers()], "embedding_knn_outliers"
         ),
+        "embedding_standardize": _ext_oracle(
+            [_sim.ORACLE_STANDARDIZE], "standardize_embeddings"
+        ),
         "events_pseudonymized": _ext_oracle(
             [_privacy.ORACLE_PSEUDONYMIZE], "pseudonymize_events"
         ),
@@ -2301,6 +2320,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_cusum": _ext_oracle(
             [_tmp.ORACLE_CUSUM], "cusum_changepoints", recursive=True
+        ),
+        "events_bot_flags": _ext_oracle(
+            [_tmp.ORACLE_BOT_FLAGS], "bot_flags"
         ),
         "events_gini": _ext_oracle(
             [_tmp.ORACLE_SPEND_GINI], "spend_gini"

@@ -1374,3 +1374,90 @@ embedding_knn_outliers AS (
   LIMIT {top}
 )
 """
+
+
+def standardize_embeddings(emb: DataFrame) -> DataFrame:
+    """Per-dimension standardization (z-score) of the embedding
+    column — the cheap half of whitening: centering kills the common
+    bias direction that inflates all cosines (the anisotropy problem
+    in learned embeddings), and unit-variance dims stop high-variance
+    coordinates from dominating dot products.
+
+    Dimension stats come from ONE explode + (dim)-grain agg — 64 rows
+    — broadcast back into a map-only transform; population variance
+    is computed from integral-order sums (sum, sum of squares) in the
+    exact formula both engines replay. Output: vec_id, z (array,
+    rounded 6).
+    """
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(_as_double("embedding")).alias("i", "x"),
+    )
+    stats = (
+        dims.groupBy("i")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("s2"),
+        )
+        .select(
+            "i",
+            # stats rounded to 9dp BEFORE use: the dim sums fold in
+            # engine-specific order (ulp differences), so z must
+            # derive from identically-rounded mu/sigma or 32k rounded
+            # outputs each carry a boundary-flip risk
+            F.round(F.col("s") / F.col("n"), 9).alias("mu"),
+            F.round(
+                F.sqrt(
+                    F.col("s2") / F.col("n")
+                    - (F.col("s") / F.col("n"))
+                    * (F.col("s") / F.col("n"))
+                ),
+                9,
+            ).alias("sigma"),
+        )
+    )
+    return (
+        dims.join(F.broadcast(stats), "i")
+        .select(
+            "vec_id",
+            "i",
+            F.round(
+                (F.col("x") - F.col("mu")) / F.col("sigma"), 6
+            ).alias("z"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, z))),"
+                " s -> s.z)"
+            ).alias("z")
+        )
+    )
+
+
+ORACLE_STANDARDIZE = """
+sz_d AS (
+  SELECT vec_id, CAST(i - 1 AS INT) AS i, v[i] AS x
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       LATERAL unnest(range(1, 65)) AS g(i)
+),
+sz_s AS (
+  SELECT i, count(*) AS n, sum(x) AS s, sum(x * x) AS s2
+  FROM sz_d GROUP BY 1
+),
+sz_m AS (
+  SELECT i, round(s / n, 9) AS mu,
+         round(sqrt(s2 / n - (s / n) * (s / n)), 9) AS sigma
+  FROM sz_s
+),
+standardize_embeddings AS (
+  SELECT vec_id,
+         list_transform(
+           list(struct_pack(i := d.i, z := round((d.x - m.mu) / m.sigma, 6))
+                ORDER BY d.i),
+           s -> s.z) AS z
+  FROM sz_d d JOIN sz_m m USING (i)
+  GROUP BY vec_id
+)
+"""

@@ -2982,3 +2982,93 @@ cusum_changepoints AS (
   FROM cs_rec
 )
 """
+
+
+#: bot heuristics: inter-arrival regularity (CV below this) at
+#: meaningful volume (events above this) flags automation.
+BOT_MIN_EVENTS = 50
+BOT_MAX_CV = 0.4
+
+
+def bot_flags(events: DataFrame) -> DataFrame:
+    """Behavioral bot screen: humans arrive bursty (inter-arrival
+    coefficient of variation ~1 for Poisson-ish behavior, higher with
+    sessions), automation arrives on a clock (CV near 0). Flag users
+    with low gap-CV at meaningful volume — the standard first-pass
+    filter before traffic-derived text enters a training corpus.
+
+    Same single user_id shuffle as the inter-arrival operator (the
+    gap window and the per-user agg share the partitioning). Variance
+    from integral-order millis sums (sum, sum of squares) with the
+    stats rounded to 6dp BEFORE the CV division — the cross-engine
+    float rule. Output: per-user n_events, mean/std gap, gap_cv,
+    is_bot.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gaps = (
+        events.select(
+            "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")
+        )
+        .withColumn("gap", F.col("ts_ms") - F.lag("ts_ms").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    agg = gaps.groupBy("user_id").agg(
+        (F.count("*") + 1).alias("n_events"),
+        F.sum("gap").alias("s"),
+        F.sum(F.col("gap") * F.col("gap")).alias("s2"),
+        F.count("*").alias("m"),
+    )
+    mean = F.round(F.col("s") / F.col("m"), 6)
+    var = F.round(
+        F.col("s2").cast("double") / F.col("m")
+        - (F.col("s").cast("double") / F.col("m"))
+        * (F.col("s").cast("double") / F.col("m")),
+        6,
+    )
+    out = agg.select(
+        "user_id",
+        "n_events",
+        mean.alias("mean_gap_ms"),
+        F.round(F.sqrt(var), 6).alias("std_gap_ms"),
+        F.round(F.round(F.sqrt(var), 6) / mean, 6).alias("gap_cv"),
+    )
+    return out.withColumn(
+        "is_bot",
+        (F.col("n_events") >= BOT_MIN_EVENTS)
+        & (F.col("gap_cv") < BOT_MAX_CV),
+    )
+
+
+ORACLE_BOT_FLAGS = f"""
+bt_g AS (
+  SELECT user_id,
+         ts_ms - lag(ts_ms) OVER (
+           PARTITION BY user_id ORDER BY ts_ms, event_id) AS gap
+  FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events)
+),
+bt_a AS (
+  SELECT user_id,
+         CAST(count(*) + 1 AS BIGINT) AS n_events,
+         CAST(sum(gap) AS BIGINT) AS s,
+         CAST(sum(gap * gap) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS m
+  FROM bt_g WHERE gap IS NOT NULL
+  GROUP BY 1
+),
+bt_s AS (
+  SELECT user_id, n_events,
+         round(CAST(s AS DOUBLE) / m, 6) AS mean_gap_ms,
+         round(sqrt(round(CAST(s2 AS DOUBLE) / m
+               - (CAST(s AS DOUBLE) / m) * (CAST(s AS DOUBLE) / m),
+               6)), 6) AS std_gap_ms
+  FROM bt_a
+),
+bot_flags AS (
+  SELECT user_id, n_events, mean_gap_ms, std_gap_ms,
+         round(std_gap_ms / mean_gap_ms, 6) AS gap_cv,
+         n_events >= {BOT_MIN_EVENTS}
+           AND round(std_gap_ms / mean_gap_ms, 6) < {BOT_MAX_CV}
+           AS is_bot
+  FROM bt_s
+)
+"""
