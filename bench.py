@@ -108,6 +108,12 @@ HEADLINE = [
     "min_cost_supplier",
     "nation_market_share",
     "priority_shipping_buckets",
+    # round-3 closing wave: stats/eval/curation additions
+    "text_rake_keywords",
+    "text_nb_quality_cv",
+    "embedding_knn_outliers",
+    "events_markov",
+    "events_holt_winters",
 ]
 
 
