@@ -500,6 +500,26 @@ def q_dedup_sorted_neighborhood(
     return _dedup.sorted_neighborhood_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup QA: SimHash recall vs the exact n-gram Jaccard truth
+    (Hamming-ball detector audited against lexical ground truth)."""
+    return _dedup.simhash_recall_eval(_docs(spark, sf_dir))
+
+
+def q_dedup_detector_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup governance: per-detector pair counts + agreement with the
+    exact-Jaccard truth in one table — the which-detectors-to-pay-for
+    decision input."""
+    return _dedup.detector_matrix(_docs(spark, sf_dir))
+
+
+def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event-type Markov chain (bits): the
+    predictability summary of user behavior; entropy collapse flags
+    bots and broken instrumentation."""
+    return _tmp.markov_entropy_rate(load_table(spark, sf_dir, "events"))
+
+
 def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup QA: MinHash-LSH banding recall vs the exact n-gram
     Jaccard ground truth, with the jaccard range per status."""
@@ -1980,6 +2000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+        "dedup_simhash_eval": q_dedup_simhash_eval,
+        "dedup_detector_matrix": q_dedup_detector_matrix,
+        "events_entropy_rate": q_events_entropy_rate,
         "text_dup_spans": q_text_dup_spans,
         "embedding_random_projection": q_embedding_random_projection,
         "ann_rp_recall": q_ann_rp_recall,
@@ -2214,6 +2237,22 @@ def oracle_sql() -> dict[str, str]:
             [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD,
              _dedup.ORACLE_SORTED_NEIGHBORHOOD],
             "sorted_neighborhood",
+        ),
+        "dedup_simhash_eval": _ext_oracle(
+            [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD,
+             _dedup._oracle_simhash(), _dedup.ORACLE_SIMHASH_RECALL],
+            "simhash_recall_eval",
+        ),
+        "dedup_detector_matrix": _ext_oracle(
+            [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD,
+             _dedup.ORACLE_CONTAINMENT, _dedup.ORACLE_MINHASH_LSH,
+             _dedup._oracle_simhash(),
+             _dedup.ORACLE_SORTED_NEIGHBORHOOD,
+             _dedup.ORACLE_DETECTOR_MATRIX],
+            "detector_matrix",
+        ),
+        "events_entropy_rate": _ext_oracle(
+            [_tmp.ORACLE_MARKOV_ENTROPY], "markov_entropy_rate"
         ),
         "text_dup_spans": _ext_oracle(
             [_text.ORACLE_DUP_SPANS], "duplicate_spans"

@@ -1550,3 +1550,117 @@ sorted_neighborhood AS (
   LEFT JOIN dsizes s2 ON s2.doc_id = greatest(p.da, p.db)
 )
 """
+
+
+def simhash_recall_eval(docs: DataFrame) -> DataFrame:
+    """Dedup QA: SimHash recall against the exact n-gram Jaccard
+    truth — the same harness ``minhash_recall_eval`` provides for
+    banding, here measuring how much of the lexical truth a
+    Hamming-ball detector surfaces (SimHash sees weighted token
+    overlap, so its misses concentrate where shingle ORDER carries
+    the similarity). Both sides reuse the staged shingle kernel and
+    the shared pair table; the eval itself is one broadcast-sized
+    pair join."""
+    truth = ngram_jaccard_pairs(docs)
+    found = simhash_pairs(docs).select(
+        "d1", "d2", F.lit(1).alias("hit")
+    )
+    return (
+        truth.join(found, ["d1", "d2"], "left")
+        .select(
+            F.when(F.col("hit").isNotNull(), "recalled")
+            .otherwise("missed")
+            .alias("status"),
+            "jaccard",
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )
+
+
+ORACLE_SIMHASH_RECALL = """
+simhash_recall_eval AS (
+  SELECT CASE WHEN s.d1 IS NOT NULL THEN 'recalled' ELSE 'missed' END
+           AS status,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         round(min(t.jaccard), 6) AS min_jaccard,
+         round(max(t.jaccard), 6) AS max_jaccard
+  FROM ngram_jaccard t
+  LEFT JOIN simhash_pairs s ON s.d1 = t.d1 AND s.d2 = t.d2
+  GROUP BY 1
+)
+"""
+
+
+def detector_matrix(docs: DataFrame) -> DataFrame:
+    """Dedup governance report: every near-dup detector's pair count
+    and its agreement with the exact-Jaccard truth, in one table —
+    the decision input for "which detectors do we pay for at 100 TB"
+    (a detector adding no pairs beyond cheaper ones is dead weight;
+    one with low truth-agreement needs its threshold audited).
+
+    Each detector's pair set is the already-verified operator output;
+    the matrix is four broadcast-sized joins over pair keys — the
+    corpus is touched exactly as many times as the detectors
+    themselves require (all staged/shared)."""
+    truth = ngram_jaccard_pairs(docs).select("d1", "d2")
+    dets = [
+        ("containment", containment_pairs(docs).select("d1", "d2")),
+        ("minhash_lsh", minhash_lsh_pairs(docs).select("d1", "d2")),
+        ("simhash", simhash_pairs(docs).select("d1", "d2")),
+        (
+            "sorted_neighborhood",
+            sorted_neighborhood_pairs(docs)
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("d1", "d2"),
+        ),
+    ]
+    parts = []
+    for name, df in dets:
+        labeled = df.withColumn("detector", F.lit(name))
+        hit = labeled.join(truth, ["d1", "d2"], "leftsemi").groupBy(
+            "detector"
+        ).agg(F.count("*").alias("n_in_truth"))
+        tot = labeled.groupBy("detector").agg(
+            F.count("*").alias("n_pairs")
+        )
+        parts.append(tot.join(hit, "detector", "left"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "detector",
+        "n_pairs",
+        F.coalesce("n_in_truth", F.lit(0)).alias("n_in_truth"),
+    )
+
+
+ORACLE_DETECTOR_MATRIX = f"""
+dm_snm AS (
+  SELECT d1, d2 FROM sorted_neighborhood
+  WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+dm_all AS (
+  SELECT 'containment' AS detector, d1, d2 FROM containment_pairs
+  UNION ALL
+  SELECT 'minhash_lsh', d1, d2 FROM minhash_lsh
+  UNION ALL
+  SELECT 'simhash', d1, d2 FROM simhash_pairs
+  UNION ALL
+  SELECT 'sorted_neighborhood', d1, d2 FROM dm_snm
+),
+detector_matrix AS (
+  SELECT detector,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN EXISTS (
+             SELECT 1 FROM ngram_jaccard t
+             WHERE t.d1 = a.d1 AND t.d2 = a.d2)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_in_truth
+  FROM dm_all a
+  GROUP BY detector
+)
+"""

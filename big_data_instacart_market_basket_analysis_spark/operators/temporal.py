@@ -3072,3 +3072,108 @@ bot_flags AS (
   FROM bt_s
 )
 """
+
+
+def markov_entropy_rate(events: DataFrame) -> DataFrame:
+    """Entropy rate of the event-type Markov chain: H = Σ π(s)·H(·|s)
+    in bits — "how predictable is the next action", the single number
+    summarizing the transition matrix (0 = deterministic flows, log2
+    |types| = uniform chaos). Burst-bot traffic and broken
+    instrumentation both show up as entropy collapse against a
+    baseline.
+
+    Derived entirely from the transition counts (one more tiny agg on
+    the |types|² table): π from row sums, conditional entropies from
+    count ratios, total rounded at the edge. Output (1 row):
+    n_transitions, entropy_bits, max_entropy_bits, predictability.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    counts = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    row_tot = counts.groupBy("from_type").agg(
+        F.sum("n").alias("n_from")
+    )
+    grand = counts.agg(
+        F.sum("n").alias("n_all"),
+        F.countDistinct("to_type").alias("n_types"),
+    )
+    terms = (
+        counts.join(F.broadcast(row_tot), "from_type")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "n_all",
+            "n_types",
+            (
+                (F.col("n").cast("double") / F.col("n_all"))
+                * -F.log2(
+                    F.col("n").cast("double") / F.col("n_from")
+                )
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("n_all", "n_types")
+        .agg(F.round(F.sum("term"), 6).alias("entropy_bits"))
+        .select(
+            F.col("n_all").alias("n_transitions"),
+            "entropy_bits",
+            F.round(F.log2(F.col("n_types").cast("double")), 6).alias(
+                "max_entropy_bits"
+            ),
+            F.round(
+                F.lit(1.0)
+                - F.col("entropy_bits")
+                / F.round(F.log2(F.col("n_types").cast("double")), 6),
+                6,
+            ).alias("predictability"),
+        )
+    )
+
+
+ORACLE_MARKOV_ENTROPY = """
+me_pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+me_counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM me_pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+me_row AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+  FROM me_counts GROUP BY 1
+),
+me_grand AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_all,
+         CAST(count(DISTINCT to_type) AS BIGINT) AS n_types
+  FROM me_counts
+),
+me_agg AS (
+  SELECT g.n_all, g.n_types,
+         round(sum((CAST(c.n AS DOUBLE) / g.n_all)
+               * -log2(CAST(c.n AS DOUBLE) / r.n_from)), 6)
+           AS entropy_bits
+  FROM me_counts c JOIN me_row r USING (from_type), me_grand g
+  GROUP BY 1, 2
+),
+markov_entropy_rate AS (
+  SELECT n_all AS n_transitions, entropy_bits,
+         round(log2(CAST(n_types AS DOUBLE)), 6) AS max_entropy_bits,
+         round(1.0 - entropy_bits
+               / round(log2(CAST(n_types AS DOUBLE)), 6), 6)
+           AS predictability
+  FROM me_agg
+)
+"""
