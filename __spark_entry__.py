@@ -816,6 +816,12 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.kmeans_clusters(_emb(spark, sf_dir))
 
 
+def q_embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer Lloyd's k-means (hash-verified; the
+    replayable sibling of the MLlib codebook in embedding_kmeans)."""
+    return _sim.kmeans_lloyd(_emb(spark, sf_dir))
+
+
 def q_embedding_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-stratified diversity sample over the deterministic IVF
     cells (per-cell top-N most-central vectors)."""
@@ -2050,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder": q_events_zorder,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_kmeans": q_embedding_kmeans,
+        "embedding_kmeans_lloyd": q_embedding_kmeans_lloyd,
         "embedding_diverse_sample": q_embedding_diverse_sample,
         "embedding_semdedup": q_embedding_semdedup,
         "text_token_counts": q_text_token_counts,
@@ -2432,6 +2439,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_near_dup": _ext_oracle(
             [_sim.oracle_embedding_near_dup()], "embedding_near_dup"
+        ),
+        "embedding_kmeans_lloyd": _ext_oracle(
+            [_sim.oracle_kmeans_lloyd()], "kmeans_lloyd", recursive=True
         ),
         "embedding_diverse_sample": _ext_oracle(
             [_sim.oracle_ivf_diverse_sample()], "ivf_diverse_sample"

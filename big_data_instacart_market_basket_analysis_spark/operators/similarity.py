@@ -1461,3 +1461,172 @@ standardize_embeddings AS (
   GROUP BY vec_id
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic Lloyd's k-means (hash-verified clustering)
+# ---------------------------------------------------------------------------
+
+KM_K = 8
+KM_ITERS = 3
+KM_SCALE = 10000
+KM_DIMS = 64
+
+#: squared L2 distance over quantized integer vectors — exact BIGINT
+#: arithmetic, no float fold-order anywhere.
+_IDIST2 = (
+    "aggregate(zip_with({q}, {c}, (x, y) -> (x - y) * (x - y)),"
+    " 0L, (acc, e) -> acc + e)"
+)
+
+
+def _km_quantized(emb: DataFrame) -> DataFrame:
+    """Vectors quantized to BIGINT (floor(x * KM_SCALE)) so every
+    distance and centroid update below is exact integer arithmetic —
+    the whole iteration is bit-identical across engines with no
+    rounding tricks (same convention as ``quantized_topk``)."""
+    return emb.select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            f" x -> CAST(floor(x * {KM_SCALE}.0D) AS BIGINT))"
+        ).alias("q"),
+    )
+
+
+def _km_assign(qv: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as a single MIN hash-agg: the
+    (dist2, cid) pair is packed into one BIGINT key (dist2*256 + cid,
+    cid < 256) so the argmin needs no window sort — map-side combine
+    does most of the work and ties break on the lower cid
+    deterministically. Centroids are k rows -> broadcast."""
+    return (
+        qv.join(F.broadcast(cents))
+        .withColumn(
+            "key",
+            F.expr(_IDIST2.format(q="q", c="c")) * 256 + F.col("cid"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("key").alias("key"), F.first("q").alias("q"))
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS
+) -> DataFrame:
+    """Deterministic Lloyd's k-means, hash-verified cross-engine (the
+    MLlib ``kmeans_clusters`` codebook is seeded but not replayable in
+    another engine; this variant is, and is the same algorithm).
+
+    Determinism contract: (1) vectors quantized to ints — distances
+    are exact BIGINT sums in any fold order; (2) init = the k vectors
+    with smallest md5(vec_id) (a deterministic pseudo-random draw both
+    engines replay); (3) centroid update = element-wise floor-mean
+    (integer sums, one exact double division, floor) — byte-identical
+    in Spark and DuckDB; (4) assignment ties break on lower cid, and a
+    cluster that captures no points drops out in both engines.
+
+    Scale: per iteration ONE broadcast join + min-agg over the corpus
+    (map-side combined, no window) and ONE (cid, dim)-grain sum-agg
+    whose post-combine shuffle is k*dims rows per partition; the k*dims
+    centroid matrix (tiny) is collected and re-broadcast each round —
+    the textbook distributed Lloyd's. Driver traffic is O(k*dims) per
+    iteration, independent of corpus size. Output: vec_id, cluster,
+    dist2 (all integers).
+    """
+    spark = emb.sparkSession
+    qv = _km_quantized(emb)
+    w = Window.orderBy("h", "vec_id")
+    cents = (
+        qv.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(k)  # distributed TakeOrdered — no full sort
+        .select(
+            (F.row_number().over(w) - F.lit(1)).cast("long").alias("cid"),
+            F.col("q").alias("c"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _km_assign(qv, cents).select(
+            "q", (F.col("key") % 256).alias("cid")
+        )
+        newc = (
+            assigned.select("cid", F.posexplode("q").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .select(
+                "cid",
+                "i",
+                F.floor(F.col("s") / F.col("n")).cast("long").alias("m"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, m))),"
+                    " s -> s.m)"
+                ).alias("c")
+            )
+        )
+        # k*dims ints to the driver, re-broadcast next round: bounds
+        # lineage depth at one job per iteration (no nested recompute)
+        cents = spark.createDataFrame(
+            [(r["cid"], r["c"]) for r in newc.collect()],
+            "cid long, c array<bigint>",
+        )
+    return _km_assign(qv, cents).select(
+        "vec_id",
+        (F.col("key") % 256).cast("int").alias("cluster"),
+        F.expr("CAST(key DIV 256 AS BIGINT)").alias("dist2"),
+    )
+
+
+def oracle_kmeans_lloyd(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    """Recursive-CTE replay of the exact integer Lloyd's iteration
+    (requires WITH RECURSIVE; list_sum yields HUGEINT — cast before %).
+    """
+    d2 = (
+        f"list_sum(list_transform(range(1, {KM_DIMS + 1}),"
+        " j -> (p.q[j] - k.c[j]) * (p.q[j] - k.c[j])))"
+    )
+    return f"""
+km_q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * {KM_SCALE}.0) AS BIGINT)) AS q
+  FROM embeddings
+),
+km_init AS (
+  SELECT CAST(row_number() OVER
+           (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+         AS BIGINT) AS cid, q AS c
+  FROM km_q
+  QUALIFY row_number() OVER
+    (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {k}
+),
+km_iter(iter, cid, c) AS (
+  SELECT 0, cid, c FROM km_init
+  UNION ALL
+  SELECT iter + 1, best_cid, list(m ORDER BY i) FROM (
+    SELECT iter, best_cid, i,
+           CAST(floor(sum(q[i]) / count(*)) AS BIGINT) AS m
+    FROM (
+      SELECT p.vec_id, p.q, k.iter,
+             CAST(min({d2} * 256 + k.cid) AS BIGINT) % 256 AS best_cid
+      FROM km_q p, km_iter k
+      WHERE k.iter < {iters}
+      GROUP BY p.vec_id, p.q, k.iter
+    ), LATERAL unnest(range(1, {KM_DIMS + 1})) AS g(i)
+    GROUP BY iter, best_cid, i
+  ) GROUP BY iter, best_cid
+),
+kmeans_lloyd AS (
+  SELECT p.vec_id,
+         CAST(CAST(min({d2} * 256 + k.cid) AS BIGINT) % 256 AS INT)
+           AS cluster,
+         CAST(CAST(min({d2} * 256 + k.cid) AS BIGINT) // 256 AS BIGINT)
+           AS dist2
+  FROM km_q p, km_iter k
+  WHERE k.iter = {iters}
+  GROUP BY p.vec_id
+)
+"""

@@ -95,3 +95,17 @@ def test_word2vec_synonyms_structure(spark):
     for r in rows:
         assert -1.0 <= r["similarity"] <= 1.0
         assert r["synonym"] != r["term"]
+
+
+def test_kmeans_lloyd_invariants(spark):
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = sim.kmeans_lloyd(emb)
+    rows = out.collect()
+    assert len(rows) == emb.count()  # every vector assigned exactly once
+    clusters = {r["cluster"] for r in rows}
+    assert clusters <= set(range(sim.KM_K))
+    assert all(r["dist2"] >= 0 for r in rows)
