@@ -816,6 +816,16 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.kmeans_clusters(_emb(spark, sf_dir))
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (trained integer codebooks + ADC)."""
+    return _sim.pq_ann_topk(_emb(spark, sf_dir))
+
+
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ index vs brute-force exact truth."""
+    return _sim.pq_ann_recall(_emb(spark, sf_dir))
+
+
 def q_embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic integer Lloyd's k-means (hash-verified; the
     replayable sibling of the MLlib codebook in embedding_kmeans)."""
@@ -2057,6 +2067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_kmeans_lloyd": q_embedding_kmeans_lloyd,
+        "ann_pq": q_ann_pq,
+        "ann_pq_recall": q_ann_pq_recall,
         "embedding_diverse_sample": q_embedding_diverse_sample,
         "embedding_semdedup": q_embedding_semdedup,
         "text_token_counts": q_text_token_counts,
@@ -2442,6 +2454,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_kmeans_lloyd": _ext_oracle(
             [_sim.oracle_kmeans_lloyd()], "kmeans_lloyd", recursive=True
+        ),
+        "ann_pq": _ext_oracle(
+            [_sim.oracle_pq_ann_topk()], "pq_ann_topk", recursive=True
+        ),
+        "ann_pq_recall": _ext_oracle(
+            [
+                _sim.ORACLE_BRUTE_FORCE_TOPK,
+                _sim.oracle_pq_ann_topk(),
+                _sim.ORACLE_PQ_RECALL,
+            ],
+            "pq_ann_recall",
+            recursive=True,
         ),
         "embedding_diverse_sample": _ext_oracle(
             [_sim.oracle_ivf_diverse_sample()], "ivf_diverse_sample"

@@ -1630,3 +1630,257 @@ kmeans_lloyd AS (
   GROUP BY p.vec_id
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# product quantization ANN (trained codebooks, hash-verified)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4          # subspaces
+PQ_SUB_DIMS = 16  # dims per subspace (PQ_M * PQ_SUB_DIMS = 64)
+PQ_K = 16         # centroids per subspace codebook
+PQ_ITERS = 2      # Lloyd's rounds per codebook
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub, sq): each vector split into ``PQ_M`` quantized
+    integer subvectors — one posexplode, no joins."""
+    qv = _km_quantized(emb)
+    subs = F.array(
+        *[
+            F.slice("q", 1 + PQ_SUB_DIMS * m, PQ_SUB_DIMS)
+            for m in range(PQ_M)
+        ]
+    )
+    return qv.select("vec_id", F.posexplode(subs).alias("sub", "sq"))
+
+
+def _pq_assign(sv: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-(vector, subspace) nearest-centroid as a MIN hash-agg over
+    the packed (dist2*256 + cid) key — same argmin trick as
+    ``_km_assign``, keyed by subspace."""
+    return (
+        sv.join(F.broadcast(cents), "sub")
+        .withColumn(
+            "key",
+            F.expr(_IDIST2.format(q="sq", c="c")) * 256 + F.col("cid"),
+        )
+        .groupBy("vec_id", "sub")
+        .agg(F.min("key").alias("key"), F.first("sq").alias("sq"))
+    )
+
+
+def _pq_codebook(emb: DataFrame) -> DataFrame:
+    """PQ_M independent integer-Lloyd's codebooks trained in ONE set of
+    jobs per iteration (subspace is just another grouping key — the
+    M trainings share every shuffle). Deterministic md5 init per
+    subspace; same exactness contract as ``kmeans_lloyd``. Driver
+    traffic per round is the M*K*sub_dims codebook (tiny)."""
+    spark = emb.sparkSession
+    sv = _pq_subvectors(emb)
+    w = Window.partitionBy("sub").orderBy("h", "vec_id")
+    cents = (
+        sv.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_K)
+        .select(
+            "sub",
+            (F.col("rn") - 1).cast("long").alias("cid"),
+            F.col("sq").alias("c"),
+        )
+    )
+    for _ in range(PQ_ITERS):
+        assigned = _pq_assign(sv, cents).select(
+            "sub", (F.col("key") % 256).alias("cid"), "sq"
+        )
+        newc = (
+            assigned.select(
+                "sub", "cid", F.posexplode("sq").alias("i", "x")
+            )
+            .groupBy("sub", "cid", "i")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .select(
+                "sub",
+                "cid",
+                "i",
+                F.floor(F.col("s") / F.col("n")).cast("long").alias("m"),
+            )
+            .groupBy("sub", "cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, m))),"
+                    " s -> s.m)"
+                ).alias("c")
+            )
+        )
+        cents = spark.createDataFrame(
+            [(r["sub"], r["cid"], r["c"]) for r in newc.collect()],
+            "sub int, cid long, c array<bigint>",
+        )
+    return cents
+
+
+def pq_ann_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., PAMI 2011) with
+    asymmetric distance computation — the memory-compression scale
+    path beyond int8: each 64-dim vector is stored as PQ_M=4 one-byte
+    codes (64x smaller than float32), and query-to-corpus distance is
+    a sum of M table lookups instead of a 64-element fold.
+
+    Codebooks are trained by the deterministic integer Lloyd's above,
+    so the whole index — training, encoding, LUT, ranking — is exact
+    BIGINT arithmetic and hash-matches the DuckDB replay.
+
+    Scale: encoding is one broadcast join + min-agg over the corpus
+    (the codes table, M small ints per vector, is what persists); a
+    query ships only its M*K-entry LUT. The scored join partitions on
+    (sub, cid) — bounded fan-out Q rows per code — and the final
+    top-k is the standard per-query rank window. At 100 TB the codes
+    table replaces the raw vectors for the candidate pass and the
+    exact re-rank touches only the survivors. Output: query_id,
+    neighbor_id, rank, adist.
+    """
+    sv = _pq_subvectors(emb)
+    cents = _pq_codebook(emb)
+    codes = _pq_assign(sv, cents).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "sub",
+        (F.col("key") % 256).alias("cid"),
+    )
+    lut = (
+        sv.filter(F.col("vec_id") < n_queries)
+        .join(F.broadcast(cents), "sub")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub",
+            "cid",
+            F.expr(_IDIST2.format(q="sq", c="c")).alias("d"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "cid"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("long").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist")
+    )
+
+
+def pq_ann_recall(emb: DataFrame) -> DataFrame:
+    """Recall@k of the PQ index vs exact brute-force truth — same
+    harness as ``ann_recall_eval`` (both sides oracle-checked)."""
+    truth = brute_force_topk(emb).select("query_id", "neighbor_id")
+    approx = pq_ann_topk(emb).select("query_id", "neighbor_id")
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "leftsemi")
+    per_query = hits.groupBy("query_id").agg(F.count("*").alias("n_hits"))
+    all_queries = truth.select("query_id").distinct()
+    return all_queries.join(per_query, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) / F.lit(TOP_K), 4
+        ).alias("recall_at_k"),
+    )
+
+
+def oracle_pq_ann_topk(
+    n_queries: int = N_QUERIES, k: int = TOP_K
+) -> str:
+    """Recursive-CTE replay of the per-subspace codebook training plus
+    the ADC scoring pipeline (requires WITH RECURSIVE)."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {PQ_SUB_DIMS + 1}),"
+        " j -> (p.sq[j] - t.c[j]) * (p.sq[j] - t.c[j])))"
+    )
+    return f"""
+pq_q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * {KM_SCALE}.0) AS BIGINT)) AS q
+  FROM embeddings
+),
+pq_sv AS (
+  SELECT vec_id, CAST(s AS INT) AS sub,
+         list_slice(q, {PQ_SUB_DIMS} * s + 1,
+                    {PQ_SUB_DIMS} * s + {PQ_SUB_DIMS}) AS sq
+  FROM pq_q, LATERAL unnest(range(0, {PQ_M})) AS g(s)
+),
+pq_iter(iter, sub, cid, c) AS (
+  SELECT 0, sub, cid, sq FROM (
+    SELECT sub,
+           CAST(row_number() OVER (PARTITION BY sub
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS BIGINT) AS cid, sq
+    FROM pq_sv
+    QUALIFY row_number() OVER (PARTITION BY sub
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {PQ_K})
+  UNION ALL
+  SELECT iter + 1, sub, best_cid, list(m ORDER BY i) FROM (
+    SELECT iter, sub, best_cid, i,
+           CAST(floor(sum(sq[i]) / count(*)) AS BIGINT) AS m
+    FROM (
+      SELECT p.vec_id, p.sub, p.sq, t.iter,
+             CAST(min({d2} * 256 + t.cid) AS BIGINT) % 256 AS best_cid
+      FROM pq_sv p JOIN pq_iter t
+        ON t.sub = p.sub AND t.iter < {PQ_ITERS}
+      GROUP BY p.vec_id, p.sub, p.sq, t.iter
+    ), LATERAL unnest(range(1, {PQ_SUB_DIMS + 1})) AS g(i)
+    GROUP BY iter, sub, best_cid, i
+  ) GROUP BY iter, sub, best_cid
+),
+pq_codes AS (
+  SELECT p.vec_id AS neighbor_id, p.sub,
+         CAST(min({d2} * 256 + t.cid) AS BIGINT) % 256 AS cid
+  FROM pq_sv p JOIN pq_iter t
+    ON t.sub = p.sub AND t.iter = {PQ_ITERS}
+  GROUP BY p.vec_id, p.sub
+),
+pq_lut AS (
+  SELECT p.vec_id AS query_id, p.sub, t.cid,
+         CAST({d2} AS BIGINT) AS d
+  FROM pq_sv p JOIN pq_iter t
+    ON t.sub = p.sub AND t.iter = {PQ_ITERS}
+  WHERE p.vec_id < {n_queries}
+),
+pq_scored AS (
+  SELECT l.query_id, c.neighbor_id, CAST(sum(l.d) AS BIGINT) AS adist
+  FROM pq_codes c JOIN pq_lut l ON l.sub = c.sub AND l.cid = c.cid
+  WHERE l.query_id <> c.neighbor_id
+  GROUP BY l.query_id, c.neighbor_id
+),
+pq_ann_topk AS (
+  SELECT query_id, neighbor_id, rank, adist FROM (
+    SELECT query_id, neighbor_id, adist,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY adist, neighbor_id) AS INT) AS rank
+    FROM pq_scored
+  ) WHERE rank <= {k}
+)
+"""
+
+
+ORACLE_PQ_RECALL = f"""
+pqr_q AS (SELECT DISTINCT query_id FROM brute_force_topk),
+pqr_h AS (
+  SELECT i.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM pq_ann_topk i
+  WHERE EXISTS (SELECT 1 FROM brute_force_topk b
+                WHERE b.query_id = i.query_id
+                  AND b.neighbor_id = i.neighbor_id)
+  GROUP BY i.query_id
+),
+pq_ann_recall AS (
+  SELECT q.query_id,
+         COALESCE(h.n_hits, 0) AS n_hits,
+         round(COALESCE(h.n_hits, 0) / CAST({TOP_K} AS DOUBLE), 4)
+           AS recall_at_k
+  FROM pqr_q q LEFT JOIN pqr_h h ON q.query_id = h.query_id
+)
+"""
