@@ -1942,6 +1942,12 @@ def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage RAG: bi-encoder candidate retrieval + cross-encoder
+    pair rerank (md5-dyadic stand-in at the model swap point)."""
+    return _sim.rag_rerank(_docs(spark, sf_dir), _emb(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full candidate-expansion feature pipeline at sf0.001."""
     return q_candidates(spark, "/root/testdata/sf0.001")
@@ -2167,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier_revenue": q_top_supplier_revenue,
         "text_bm25": q_text_bm25,
         "rag_context_pack": q_rag_context_pack,
+        "rag_rerank": q_rag_rerank,
         "idle_rich_customers": q_idle_rich_customers,
         "incremental_join_view": q_incremental_join_view,
         "late_order_priorities": q_late_order_priorities,
@@ -2773,6 +2780,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_bm25": _ext_oracle(
             [_text.oracle_bm25_search()], "bm25_search"
+        ),
+        "rag_rerank": _ext_oracle(
+            [_text.ORACLE_CHUNKS, _sim.oracle_rag_rerank()],
+            "rag_rerank",
         ),
         "rag_context_pack": _ext_oracle(
             [_text.ORACLE_CHUNKS, _sim.oracle_rag_context_pack()],

@@ -1884,3 +1884,166 @@ pq_ann_recall AS (
   FROM pqr_q q LEFT JOIN pqr_h h ON q.query_id = h.query_id
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-encoder rerank stage (two-stage RAG retrieval)
+# ---------------------------------------------------------------------------
+
+RAG_RETR_K = 12   # stage-1 (bi-encoder) candidates per query
+RAG_RERANK_K = 6  # stage-2 (cross-encoder) survivors per query
+
+
+def rag_rerank(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k1: int = RAG_RETR_K,
+    k: int = RAG_RERANK_K,
+) -> DataFrame:
+    """Two-stage retrieval: cheap bi-encoder cosine retrieves ``k1``
+    candidate chunks per query, then a cross-encoder scores each
+    (query, chunk) PAIR jointly and reranks to the final ``k`` — the
+    standard precision-recovery stage every production RAG stack runs.
+
+    The cross-encoder stand-in is a deterministic md5-dyadic score of
+    the (query_id, chunk_md5) pair — the single expression a real
+    pipeline swaps for an Arrow-batched ``predict_batch_udf`` model
+    call; everything around it (candidate confinement, pair schema,
+    rerank window) is the production plumbing and is oracle-checked.
+
+    Scale: the expensive stage runs on |Q| * k1 rows ONLY — the
+    corpus-sized relation never reaches the cross scorer. That
+    confinement (score pairs after the top-k1 window, never before)
+    is the entire point of the two-stage shape; with a real model the
+    pairs table repartitions to the GPU executor count and batches
+    through Arrow. Output: query_id, doc_id, chunk_id, retr_rank,
+    rerank, xscore.
+    """
+    from .textstats import chunk_documents
+
+    chunks = chunk_documents(docs)
+    cvec = F.array(*[_rag_chunk_component(j) for j in range(RAG_DIM)])
+    corpus = chunks.select(
+        "doc_id", "chunk_id", "chunk_md5", cvec.alias("cv")
+    ).withColumn("cnorm", F.sqrt(F.expr(_DOT.format(a="cv", b="cv"))))
+    queries = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(
+                f"transform(slice(embedding, 1, {RAG_DIM}),"
+                " x -> CAST(x AS DOUBLE))"
+            ).alias("qv"),
+        )
+        .withColumn("qnorm", F.sqrt(F.expr(_DOT.format(a="qv", b="qv"))))
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus)
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_DOT.format(a="qv", b="cv"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                4,
+            ),
+        )
+    )
+    retr_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "doc_id", "chunk_id"
+    )
+    cand = (
+        scored.withColumn("retr_rank", F.row_number().over(retr_w))
+        .filter(F.col("retr_rank") <= k1)
+    )
+    # cross-encoder swap point: joint hash of the PAIR, not a dot of
+    # two independent encodings
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("query_id").cast("string"),
+                        F.col("chunk_md5"),
+                        F.lit("xenc"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 52))
+    cand = cand.withColumn("xscore", F.round(u, 6))
+    rr_w = Window.partitionBy("query_id").orderBy(
+        F.col("xscore").desc(), "doc_id", "chunk_id"
+    )
+    return (
+        cand.withColumn("rerank", F.row_number().over(rr_w))
+        .filter(F.col("rerank") <= k)
+        .select(
+            "query_id", "doc_id", "chunk_id",
+            "retr_rank", "rerank", "xscore",
+        )
+    )
+
+
+def oracle_rag_rerank(
+    n_queries: int = N_QUERIES,
+    k1: int = RAG_RETR_K,
+    k: int = RAG_RERANK_K,
+) -> str:
+    comp = ", ".join(
+        f"((CAST(('0x' || substr(md5(chunk_md5 || ':{j}'), 1, 13))"
+        f" AS BIGINT) + 1) / {float(1 << 52)!r}) * 2.0 - 1.0"
+        for j in range(RAG_DIM)
+    )
+    return f"""
+rr_corpus AS (
+  SELECT doc_id, chunk_id, chunk_md5, [{comp}] AS cv
+  FROM chunk_documents
+),
+rr_queries AS (
+  SELECT vec_id AS query_id,
+         list_transform(list_slice(embedding::DOUBLE[], 1, {RAG_DIM}),
+                        x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+rr_scored AS (
+  SELECT q.query_id, c.doc_id, c.chunk_id, c.chunk_md5,
+         round(list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 4) AS cosine
+  FROM rr_queries q CROSS JOIN rr_corpus c
+),
+rr_cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY cosine DESC, doc_id, chunk_id) AS retr_rank
+    FROM rr_scored)
+  WHERE retr_rank <= {k1}
+),
+rr_x AS (
+  SELECT *,
+         round((CAST(('0x' || substr(md5(query_id || ':' || chunk_md5
+                || ':xenc'), 1, 13)) AS BIGINT) + 1)
+               / {float(1 << 52)!r}, 6) AS xscore
+  FROM rr_cand
+),
+rag_rerank AS (
+  SELECT query_id, doc_id, chunk_id,
+         CAST(retr_rank AS INT) AS retr_rank,
+         CAST(rerank AS INT) AS rerank, xscore
+  FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY xscore DESC, doc_id, chunk_id) AS rerank
+    FROM rr_x)
+  WHERE rerank <= {k}
+)
+"""
