@@ -1270,6 +1270,12 @@ def q_events_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.cube_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_events_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable KMV distinct sketch: per-day bottom-k
+    hash sets + merged 'ALL' row, estimates hash-verified."""
+    return _tmp.kmv_distinct_sketch(load_table(spark, sf_dir, "events"))
+
+
 def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct users per type next to the exact count
     (rows-only: sketch estimates are engine-specific; the property test
@@ -2001,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_spend_deciles": q_events_spend_deciles,
         "events_cube_stats": q_events_cube_stats,
         "events_approx_distinct": q_events_approx_distinct,
+        "events_kmv_sketch": q_events_kmv_sketch,
         "events_approx_quantiles": q_events_approx_quantiles,
         "events_pit_enrich": q_events_pit_enrich,
         "events_wow_growth": q_events_wow_growth,
@@ -2530,6 +2537,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_retention": _ext_oracle(
             [_tmp.ORACLE_RETENTION_COHORTS], "retention_cohorts"
+        ),
+        "events_kmv_sketch": _ext_oracle(
+            [_tmp.ORACLE_KMV_SKETCH], "kmv_distinct_sketch"
         ),
         "events_incremental_rollup": _ext_oracle(
             [_tmp.ORACLE_INCREMENTAL_ROLLUP], "incremental_rollup"

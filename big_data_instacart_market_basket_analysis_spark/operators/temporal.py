@@ -3177,3 +3177,130 @@ markov_entropy_rate AS (
   FROM me_agg
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — deterministic + mergeable
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_SALT = 16
+_KMV_DENOM = float(1 << 52)
+
+
+def kmv_distinct_sketch(events: DataFrame) -> DataFrame:
+    """Mergeable distinct-count sketch with a cross-engine-exact
+    estimator: per day, keep the KMV_K smallest 52-bit md5 hashes of
+    user_id (the KMV / bottom-k theta sketch); the distinct-user
+    estimate is (k-1)/u_k where u_k is the k-th smallest hash mapped
+    into (0,1]. Unlike HLL (`daily_sketch_rollup`, engine-specific
+    registers -> rows-only), every step here is deterministic integer
+    and identical double arithmetic, so the ESTIMATES hash-match the
+    DuckDB replay — an approx operator under the exact gate.
+
+    Mergeability, the property that makes sketches the 100 TB distinct
+    pattern, is exercised for real: the 'ALL' row is computed by
+    merging the per-day sketch rows (distinct-union, re-take k
+    smallest) — provably equal to sketching the raw union — so a year
+    of distinct counts comes from 365 tiny sketch sets, no rescan.
+
+    Scale: the only corpus-sized stage is the (day, hash) distinct;
+    per-day top-k runs as a salted two-level rank (KMV_SALT local
+    winners per day first), so no single task ever sorts a whole hot
+    day. Output: scope ('yyyy-MM-dd' or 'ALL'), n_kept, est_users,
+    exact_users (truth column for error inspection).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    base = (
+        events.select(
+            F.to_date("ts").cast("string").alias("scope"), h.alias("h")
+        )
+        .distinct()
+    )
+    w1 = Window.partitionBy("scope", "salt").orderBy("h")
+    w2 = Window.partitionBy("scope").orderBy("h")
+    daily = (
+        base.withColumn("salt", F.pmod(F.col("h"), F.lit(KMV_SALT)))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= KMV_K)
+        .withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= KMV_K)
+        .select("scope", "h")
+    )
+    wm = Window.partitionBy(F.lit(1)).orderBy("h")
+    merged = (
+        daily.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= KMV_K)
+        .select(F.lit("ALL").alias("scope"), "h")
+    )
+    sk = daily.unionByName(merged)
+    est = sk.groupBy("scope").agg(
+        F.count("*").alias("n_kept"),
+        F.when(
+            F.count("*") < KMV_K,
+            F.round(F.count("*").cast("double"), 4),
+        )
+        .otherwise(
+            F.round(
+                F.lit(float(KMV_K - 1))
+                / ((F.max("h") + F.lit(1)) / F.lit(_KMV_DENOM)),
+                4,
+            )
+        )
+        .alias("est_users"),
+    )
+    exact = base.groupBy("scope").agg(
+        F.count("*").alias("exact_users")
+    ).unionByName(
+        base.agg(
+            F.countDistinct("h").alias("exact_users")
+        ).select(F.lit("ALL").alias("scope"), "exact_users")
+    )
+    return est.join(exact, "scope").select(
+        "scope", "n_kept", "est_users", "exact_users"
+    )
+
+
+ORACLE_KMV_SKETCH = f"""
+kmv_base AS (
+  SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS scope,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+              AS BIGINT) AS h
+  FROM events
+),
+kmv_daily AS (
+  SELECT scope, h FROM kmv_base
+  QUALIFY row_number() OVER (PARTITION BY scope ORDER BY h) <= {KMV_K}
+),
+kmv_m0 AS (SELECT DISTINCT h FROM kmv_daily),
+kmv_merged AS (
+  SELECT 'ALL' AS scope, h FROM kmv_m0
+  QUALIFY row_number() OVER (ORDER BY h) <= {KMV_K}
+),
+kmv_sk AS (
+  SELECT * FROM kmv_daily UNION ALL SELECT * FROM kmv_merged
+),
+kmv_est AS (
+  SELECT scope, CAST(count(*) AS BIGINT) AS n_kept,
+         CASE WHEN count(*) < {KMV_K}
+              THEN round(CAST(count(*) AS DOUBLE), 4)
+              ELSE round({float(KMV_K - 1)!r}
+                         / ((max(h) + 1) / {_KMV_DENOM!r}), 4)
+         END AS est_users
+  FROM kmv_sk GROUP BY 1
+),
+kmv_exact AS (
+  SELECT scope, CAST(count(*) AS BIGINT) AS exact_users
+  FROM kmv_base GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT h) AS BIGINT) FROM kmv_base
+),
+kmv_distinct_sketch AS (
+  SELECT e.scope, e.n_kept, e.est_users, x.exact_users
+  FROM kmv_est e JOIN kmv_exact x USING (scope)
+)
+"""

@@ -1172,3 +1172,26 @@ def test_nb_quality_recovers_weak_labels(spark):
     assert preds == {True, False}
     agree = out.filter("pred_keep = keep").count()
     assert agree / n > 0.6, (agree, n)
+
+
+def test_kmv_estimate_error_bound(spark):
+    """KMV estimate within 3/sqrt(k) relative error of exact truth on
+    every saturated scope (n_kept == k); exact passthrough below k."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal as tmp,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    rows = tmp.kmv_distinct_sketch(
+        load_table(spark, SF_ORACLE, "events")
+    ).collect()
+    assert any(r["scope"] == "ALL" for r in rows)
+    tol = 3.0 / (tmp.KMV_K ** 0.5)
+    for r in rows:
+        if r["n_kept"] < tmp.KMV_K:
+            assert r["est_users"] == r["exact_users"]
+        else:
+            rel = abs(r["est_users"] - r["exact_users"]) / r["exact_users"]
+            assert rel <= tol, (r["scope"], rel)
