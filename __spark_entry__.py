@@ -1149,6 +1149,18 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph.triangle_counts(_lineitem(spark, sf_dir))
 
 
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances from the 3 lowest-id products
+    (unrolled integer supersteps, plan-only composition)."""
+    return _graph.bfs_distances(_lineitem(spark, sf_dir))
+
+
+def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (most-frequent
+    neighbor label, min-label ties) with community sizes."""
+    return _graph.lpa_communities(_lineitem(spark, sf_dir))
+
+
 def q_docs_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS ((source), (lang)) in one Expand+agg pass with
     grouping_id disambiguation — the non-hierarchical union that
@@ -2132,6 +2144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_reps": q_dedup_cluster_reps,
         "pagerank_products": q_pagerank_products,
         "graph_triangles": q_graph_triangles,
+        "graph_bfs": q_graph_bfs,
+        "graph_lpa": q_graph_lpa,
         "pysource_docs": q_pysource_docs,
         "pysink_docs": q_pysink_docs,
         "dedup_decontaminate": q_dedup_decontaminate,
@@ -2564,6 +2578,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_triangles": _ext_oracle(
             [_graph.ORACLE_TRIANGLE_COUNTS], "triangle_counts"
+        ),
+        "graph_bfs": _ext_oracle(
+            [_graph.oracle_bfs_distances()], "bfs_distances"
+        ),
+        "graph_lpa": _ext_oracle(
+            [_graph.oracle_lpa_communities()], "lpa_communities"
         ),
         "events_winsorized": _ext_oracle(
             [_tmp.ORACLE_WINSORIZED_STATS], "winsorized_stats"

@@ -25,7 +25,7 @@ and rejoined (vocabulary-sized relative to edges, broadcast-eligible).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: rank scale (millionths), damping as integer percent, supersteps.
@@ -231,3 +231,182 @@ triangle_counts AS (
   FROM tc_nodes n JOIN tc_deg d USING (node)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS hop distances
+# ---------------------------------------------------------------------------
+
+BFS_SEEDS = 3
+BFS_HOPS = 4
+
+
+def bfs_distances(
+    lineitem: DataFrame, hops: int = BFS_HOPS
+) -> DataFrame:
+    """Multi-source BFS over the co-purchase graph: hop distance from
+    the BFS_SEEDS lowest-id products to every product within ``hops``
+    supersteps (unreached nodes are absent) — the traversal primitive
+    under "within N recommendation hops" queries.
+
+    Same engine-portable recipe as PageRank: fixed unrolled
+    supersteps, integer distances, plan-only composition (no driver
+    collect; seed selection is a distributed TakeOrdered of 3 rows).
+    Each superstep is one equi-join frontier relax + one min-agg on
+    the node key — both hash-partitioned on the same key, so at scale
+    rounds reuse one partitioning. This full-relaxation form re-joins
+    the whole distance table each round (correct and simplest for
+    fixed small ``hops``); the production refinement for deep
+    traversals is delta-frontier expansion — join only rows whose
+    dist changed last round — which drops superstep cost to the
+    frontier size without changing results or the oracle.
+    """
+    edges = _edges_staged(lineitem)
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    dist = nodes.orderBy("node").limit(BFS_SEEDS).select(
+        "node", F.lit(0).alias("dist")
+    )
+    for _ in range(hops):
+        relax = (
+            edges.join(
+                dist.select(F.col("node").alias("a"), "dist"), "a"
+            )
+            .select(
+                F.col("b").alias("node"),
+                (F.col("dist") + F.lit(1)).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select("node", "dist")
+
+
+def oracle_bfs_distances(hops: int = BFS_HOPS) -> str:
+    ctes = [
+        """
+bfs_edges AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey <> l2.l_partkey
+),
+bfs_d0 AS (
+  SELECT node, 0 AS dist FROM (
+    SELECT DISTINCT a AS node FROM bfs_edges)
+  ORDER BY node LIMIT {seeds}
+)""".format(seeds=BFS_SEEDS)
+    ]
+    prev = "bfs_d0"
+    for i in range(1, hops + 1):
+        ctes.append(
+            """
+bfs_d{i} AS (
+  SELECT node, CAST(min(dist) AS INT) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.b AS node, d.dist + 1 AS dist
+    FROM bfs_edges e JOIN {prev} d ON e.a = d.node
+  ) GROUP BY 1
+)""".format(i=i, prev=prev)
+        )
+        prev = f"bfs_d{i}"
+    ctes.append(
+        f"""
+bfs_distances AS (SELECT node, dist FROM {prev})"""
+    )
+    return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# label-propagation communities
+# ---------------------------------------------------------------------------
+
+LPA_ITERATIONS = 3
+
+
+def lpa_communities(
+    lineitem: DataFrame, iterations: int = LPA_ITERATIONS
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    co-purchase graph: every node starts as its own community and
+    adopts its neighbors' most frequent label each superstep (ties ->
+    lowest label, making the update total and engine-portable).
+
+    Distinct from the dedup connected-components operator: LPA finds
+    DENSE communities (labels stop propagating across sparse cuts
+    once a dense region agrees), not mere reachability. Each
+    superstep: one equi-join (edges x labels, both keyed on the node
+    id), one (node, label) count-agg, and a per-node max window whose
+    partition size is bounded by a node's distinct neighbor labels —
+    never the corpus. Fixed supersteps, integer labels: deterministic
+    in any engine, unrolled identically in the oracle.
+    """
+    edges = _edges_staged(lineitem)
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    w = Window.partitionBy("node")
+    for _ in range(iterations):
+        cnts = (
+            edges.join(
+                labels.select(F.col("node").alias("a"), "lbl"), "a"
+            )
+            .groupBy(F.col("b").alias("node"), "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            cnts.withColumn("mc", F.max("cnt").over(w))
+            .filter(F.col("cnt") == F.col("mc"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("csize"))
+    return labels.join(sizes, "lbl").select(
+        "node", F.col("lbl").alias("community"), "csize"
+    )
+
+
+def oracle_lpa_communities(iterations: int = LPA_ITERATIONS) -> str:
+    ctes = [
+        """
+lpa_edges AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey <> l2.l_partkey
+),
+lpa_l0 AS (
+  SELECT DISTINCT a AS node, a AS lbl FROM lpa_edges
+)"""
+    ]
+    prev = "lpa_l0"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            """
+lpa_l{i} AS (
+  SELECT node, CAST(min(lbl) AS BIGINT) AS lbl FROM (
+    SELECT node, lbl, cnt, max(cnt) OVER (PARTITION BY node) AS mc
+    FROM (
+      SELECT e.b AS node, l.lbl, count(*) AS cnt
+      FROM lpa_edges e JOIN {prev} l ON e.a = l.node
+      GROUP BY 1, 2
+    )
+  ) WHERE cnt = mc GROUP BY 1
+)""".format(i=i, prev=prev)
+        )
+        prev = f"lpa_l{i}"
+    ctes.append(
+        f"""
+lpa_sizes AS (
+  SELECT lbl, CAST(count(*) AS BIGINT) AS csize
+  FROM {prev} GROUP BY 1
+),
+lpa_communities AS (
+  SELECT l.node, l.lbl AS community, s.csize
+  FROM {prev} l JOIN lpa_sizes s USING (lbl)
+)"""
+    )
+    return ",".join(ctes)
