@@ -1282,6 +1282,18 @@ def q_events_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.cube_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densify: per-(type, day) counts with explicit zeros on
+    missing days plus cumulative counts."""
+    return _tmp.gapfill_daily_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_events_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: deterministic md5-slot sketch,
+    estimates hash-verified next to exact truth."""
+    return _tmp.cms_heavy_hitters(load_table(spark, sf_dir, "events"))
+
+
 def q_events_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mergeable KMV distinct sketch: per-day bottom-k
     hash sets + merged 'ALL' row, estimates hash-verified."""
@@ -2020,6 +2032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube_stats": q_events_cube_stats,
         "events_approx_distinct": q_events_approx_distinct,
         "events_kmv_sketch": q_events_kmv_sketch,
+        "events_gapfill": q_events_gapfill,
+        "events_cms_hitters": q_events_cms_hitters,
         "events_approx_quantiles": q_events_approx_quantiles,
         "events_pit_enrich": q_events_pit_enrich,
         "events_wow_growth": q_events_wow_growth,
@@ -2554,6 +2568,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_kmv_sketch": _ext_oracle(
             [_tmp.ORACLE_KMV_SKETCH], "kmv_distinct_sketch"
+        ),
+        "events_gapfill": _ext_oracle(
+            [_tmp.ORACLE_GAPFILL], "gapfill_daily"
+        ),
+        "events_cms_hitters": _ext_oracle(
+            [_tmp.ORACLE_CMS], "cms_heavy_hitters"
         ),
         "events_incremental_rollup": _ext_oracle(
             [_tmp.ORACLE_INCREMENTAL_ROLLUP], "incremental_rollup"

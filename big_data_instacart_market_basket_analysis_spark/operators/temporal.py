@@ -3304,3 +3304,175 @@ kmv_distinct_sketch AS (
   FROM kmv_est e JOIN kmv_exact x USING (scope)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# calendar densify (gap-fill) with cumulative counts
+# ---------------------------------------------------------------------------
+
+
+def gapfill_daily_counts(events: DataFrame) -> DataFrame:
+    """Dense per-(event_type, day) counts over the full calendar span:
+    missing days appear with an explicit 0 instead of being absent —
+    the densify step every downstream time-series op (forecasting,
+    rolling windows, drift) silently requires, and the one a bare
+    groupBy can never produce. A running cumulative count rides along.
+
+    Scale: the grid is |types| x |days| — generated from a one-row
+    (min, max) agg via ``sequence`` + explode, never from the events
+    table; the events-sized work is exactly one daily count-agg. The
+    cumulative window partitions by type and is bounded by the day
+    count, not event count.
+    """
+    daily = events.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    span = events.agg(
+        F.min(F.to_date("ts")).alias("dmin"),
+        F.max(F.to_date("ts")).alias("dmax"),
+    )
+    grid = (
+        span.select(
+            F.explode(
+                F.expr("sequence(dmin, dmax, interval 1 day)")
+            ).alias("day")
+        )
+        .crossJoin(events.select("event_type").distinct())
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+        .withColumn("cum_events", F.sum("n_events").over(w))
+    )
+
+
+ORACLE_GAPFILL = """
+gf_daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+gf_span AS (
+  SELECT min(CAST(ts AS DATE)) AS dmin, max(CAST(ts AS DATE)) AS dmax
+  FROM events
+),
+gf_grid AS (
+  SELECT t.event_type, CAST(g.d AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS d
+    FROM gf_span) g
+),
+gapfill_daily AS (
+  SELECT event_type, CAST(day AS VARCHAR) AS day,
+         COALESCE(n, 0) AS n_events,
+         CAST(sum(COALESCE(n, 0)) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events
+  FROM gf_grid LEFT JOIN gf_daily USING (event_type, day)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy-hitter estimates (deterministic, hash-verified)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_TOP = 20
+
+
+def cms_heavy_hitters(events: DataFrame) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of per-user
+    event counts, with estimates for the top heavy hitters next to
+    exact truth. Like the KMV sketch, the hash functions are
+    deterministic md5 slots, so the ESTIMATES (not just the plumbing)
+    hash-match the DuckDB replay — the frequency-sketch sibling of
+    `kmv_distinct_sketch`'s distinct sketch.
+
+    The sketch is CMS_DEPTH x CMS_WIDTH counters built in one agg
+    (events explode x depth, map-side combined to depth*width cells);
+    a key's estimate is the MIN over its depth cells — an upper bound
+    on truth by construction (pinned by property test). Scale: the
+    sketch is constant-size regardless of corpus; merging day sketches
+    is cell-wise addition (mergeable like KMV); candidate estimation
+    joins |candidates| x depth rows against the tiny cell table.
+    """
+    rows = F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
+    cell = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("cms"),
+                    F.col("r").cast("string"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint") % CMS_WIDTH
+    sketch = (
+        events.select("user_id", F.explode(rows).alias("r"))
+        .withColumn("c", cell)
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = events.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.col("exact_cnt").desc(), "user_id").limit(
+        CMS_TOP
+    )
+    probes = top.select(
+        "user_id", "exact_cnt", F.explode(rows).alias("r")
+    ).withColumn("c", cell)
+    return (
+        probes.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select("user_id", "exact_cnt", "cms_est")
+    )
+
+
+ORACLE_CMS = f"""
+cms_cells AS (
+  SELECT r, CAST(('0x' || substr(md5('cms:' || r || ':' ||
+           CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+           % {CMS_WIDTH} AS c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events, LATERAL unnest(range(0, {CMS_DEPTH})) AS g(r)
+  GROUP BY 1, 2
+),
+cms_exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM events GROUP BY 1
+),
+cms_top AS (
+  SELECT user_id, exact_cnt FROM cms_exact
+  ORDER BY exact_cnt DESC, user_id LIMIT {CMS_TOP}
+),
+cms_probes AS (
+  SELECT t.user_id, t.exact_cnt, g.r,
+         CAST(('0x' || substr(md5('cms:' || g.r || ':' ||
+           CAST(t.user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+           % {CMS_WIDTH} AS c
+  FROM cms_top t, LATERAL unnest(range(0, {CMS_DEPTH})) AS g(r)
+),
+cms_heavy_hitters AS (
+  SELECT p.user_id, p.exact_cnt, CAST(min(s.cnt) AS BIGINT) AS cms_est
+  FROM cms_probes p JOIN cms_cells s ON s.r = p.r AND s.c = p.c
+  GROUP BY 1, 2
+)
+"""

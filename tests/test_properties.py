@@ -1195,3 +1195,21 @@ def test_kmv_estimate_error_bound(spark):
         else:
             rel = abs(r["est_users"] - r["exact_users"]) / r["exact_users"]
             assert rel <= tol, (r["scope"], rel)
+
+
+def test_cms_estimate_upper_bounds_truth(spark):
+    """CMS estimates can only over-count; they must be >= exact and
+    coincide when no collision occurred in the min cell."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal as tmp,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    rows = tmp.cms_heavy_hitters(
+        load_table(spark, SF_ORACLE, "events")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_est"] >= r["exact_cnt"], r
