@@ -1056,6 +1056,12 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bpe_first_merges(_docs(spark, sf_dir))
 
 
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE training loop: the first BPE_MERGES learned merge
+    rules (pair counts on the weighted vocab, merge, re-segment)."""
+    return _text.bpe_train_merges(_docs(spark, sf_dir))
+
+
 def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic: top-k heaviest user_ids with exact
     integer per-mille share of all rows."""
@@ -2140,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_pivot_returnflag": q_sql_pivot_returnflag,
         "plan_lint_report": q_plan_lint_report,
         "text_bpe_pairs": q_text_bpe_pairs,
+        "text_bpe_train": q_text_bpe_train,
         "events_skew_report": q_events_skew_report,
         "xml_ingest_events": q_xml_ingest_events,
         "events_ewma": q_events_ewma,
@@ -2636,6 +2643,9 @@ def oracle_sql() -> dict[str, str]:
             [_sqlapi.ORACLE_SQL_CUSTOMER_CHAIN],
             "sql_customer_chain",
             recursive=True,
+        ),
+        "text_bpe_train": _ext_oracle(
+            [_text.oracle_bpe_train()], "bpe_train_merges"
         ),
         "text_bpe_pairs": _ext_oracle(
             [_text.oracle_bpe_first_merges()], "bpe_first_merges"

@@ -2614,3 +2614,134 @@ rake_keywords AS (
   LIMIT {k}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# multi-round BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 6
+
+
+def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Full BPE tokenizer training loop (Sennrich et al. 2016): learn
+    the first ``n_merges`` merge rules over the corpus — each round
+    counts adjacent symbol pairs on the frequency-weighted vocabulary,
+    merges the most frequent pair (ties -> lexicographic), and
+    re-segments. This is the iterative closure of
+    ``bpe_first_merges`` (which surfaces only round one's statistics);
+    the output merge table IS the tokenizer artifact.
+
+    Engine-portable segmentation state: every symbol is wrapped in its
+    own ``|`` sentinels (``hello`` -> ``|h||e||l||l||o|``), so a merge
+    is ONE plain left-to-right string replace of ``|a||b|`` with
+    ``|ab|`` — boundaries are never shared between adjacent matches,
+    which makes Spark's and DuckDB's replace semantics (and classic
+    BPE's leftmost-non-overlapping merge order) coincide exactly.
+    Tokens are guarded to ``[a-z0-9]+`` so the sentinel never
+    collides.
+
+    Scale: identical to ``bpe_first_merges`` — all per-round work runs
+    on the DISTINCT-WORD vocabulary weighted by frequency (the corpus
+    is touched once, by the word-count agg); each round is a
+    vocabulary-sized pair explode + one hash-agg + a 1-row TakeOrdered,
+    and the chosen rule broadcasts into the next round's map-only
+    re-segmentation. Driver traffic: one (pair, count) row per round.
+    """
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(_tokens_col()).alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    state = vocab.select(
+        F.regexp_replace("w", "(.)", r"|$1|").alias("s"), "freq"
+    ).localCheckpoint(eager=True)
+    merges = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(
+            F.expr("substring(s, 2, length(s) - 2)"), r"\|\|"
+        )
+        pairs = (
+            state.select(F.col("freq"), syms.alias("syms"))
+            .filter(F.size("syms") >= 2)  # sequence(1,0) counts DOWN
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], best[0]["c"]
+        merges.append((step, a, b, a + b, c))
+        state = state.withColumn(
+            "s",
+            F.replace(
+                F.col("s"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "step int, lhs string, rhs string, merged string,"
+        " pair_count bigint",
+    )
+
+
+def oracle_bpe_train(n_merges: int = BPE_MERGES) -> str:
+    """Unrolled replay: one (pairs -> best -> re-segment) CTE triple
+    per merge round."""
+    ctes = [
+        r"""
+bt_v0 AS (
+  SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS s,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents)
+  WHERE regexp_matches(w, '^[a-z0-9]+$')
+  GROUP BY 1
+)"""
+    ]
+    prev = "bt_v0"
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            """
+bt_p{i} AS (
+  SELECT a, b, CAST(sum(freq) AS BIGINT) AS c FROM (
+    SELECT syms[i] AS a, syms[i + 1] AS b, freq FROM (
+      SELECT string_split(substr(s, 2, length(s) - 2), '||') AS syms,
+             freq
+      FROM {prev} WHERE length(s) > 3
+    ), LATERAL unnest(range(1, len(syms))) AS g(i)
+  ) GROUP BY 1, 2
+),
+bt_b{i} AS (
+  SELECT a, b, c FROM bt_p{i} ORDER BY c DESC, a, b LIMIT 1
+),
+bt_v{i} AS (
+  SELECT replace(v.s, '|' || m.a || '||' || m.b || '|',
+                 '|' || m.a || m.b || '|') AS s, v.freq
+  FROM {prev} v CROSS JOIN bt_b{i} m
+)""".format(i=i, prev=prev)
+        )
+        prev = f"bt_v{i}"
+    finals = "\n  UNION ALL\n  ".join(
+        f"SELECT {i} AS step, a AS lhs, b AS rhs, a || b AS merged,"
+        f" c AS pair_count FROM bt_b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    ctes.append(
+        f"""
+bpe_train_merges AS (
+  {finals}
+)"""
+    )
+    return ",".join(ctes)
