@@ -1288,6 +1288,12 @@ def q_events_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.cube_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_events_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principles HyperLogLog distinct-user estimates per type
+    (+ 'ALL'), registers and estimates hash-verified."""
+    return _tmp.hll_distinct(load_table(spark, sf_dir, "events"))
+
+
 def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar densify: per-(type, day) counts with explicit zeros on
     missing days plus cumulative counts."""
@@ -2039,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_distinct": q_events_approx_distinct,
         "events_kmv_sketch": q_events_kmv_sketch,
         "events_gapfill": q_events_gapfill,
+        "events_hll_sketch": q_events_hll_sketch,
         "events_cms_hitters": q_events_cms_hitters,
         "events_approx_quantiles": q_events_approx_quantiles,
         "events_pit_enrich": q_events_pit_enrich,
@@ -2578,6 +2585,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_gapfill": _ext_oracle(
             [_tmp.ORACLE_GAPFILL], "gapfill_daily"
+        ),
+        "events_hll_sketch": _ext_oracle(
+            [_tmp.ORACLE_HLL], "hll_distinct"
         ),
         "events_cms_hitters": _ext_oracle(
             [_tmp.ORACLE_CMS], "cms_heavy_hitters"

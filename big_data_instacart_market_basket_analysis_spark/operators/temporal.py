@@ -3476,3 +3476,144 @@ cms_heavy_hitters AS (
   GROUP BY 1, 2
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic HyperLogLog (register-level, hash-verified)
+# ---------------------------------------------------------------------------
+
+HLL_P = 6                  # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_HASH_BITS = 52         # md5 prefix width
+HLL_W_BITS = HLL_HASH_BITS - HLL_P
+
+
+def hll_distinct(events: DataFrame) -> DataFrame:
+    """HyperLogLog (Flajolet et al. 2007) built from first principles
+    with deterministic md5 hashing — per-event_type (plus 'ALL')
+    distinct-user estimates whose REGISTERS and estimates are
+    bit-identical cross-engine, unlike the opaque
+    ``approx_count_distinct``/``hll_sketch_agg`` sketches (rows-only).
+    Completes the verified sketch family: KMV (order statistics), CMS
+    (frequency), HLL (register max).
+
+    Exactness contract: bucket = top HLL_P hash bits; rho = leading-
+    zero rank of the remaining bits via integer ``bin()`` length (no
+    log2 floats); 2^-rho terms are dyadic rationals so the harmonic
+    sum is EXACT in double regardless of fold order; the one libm op
+    (ln, small-range linear counting) lands under round(4).
+
+    Scale: one pass, one (scope, bucket)-grain max-agg — map-side
+    combine reduces every partition to <= scopes*64 rows, the classic
+    HLL property that makes it THE streaming/distributed distinct
+    counter; registers merge by element-wise max (same agg), shown by
+    the 'ALL' scope sharing the pass. Output: scope, est_users,
+    exact_users.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    scoped = events.select(
+        F.explode(
+            F.array(F.col("event_type"), F.lit("ALL"))
+        ).alias("scope"),
+        h.alias("h"),
+    )
+    regs = (
+        scoped.select(
+            "scope",
+            F.expr(f"h DIV {1 << HLL_W_BITS}").alias("bucket"),
+            (F.col("h") % F.lit(1 << HLL_W_BITS)).alias("w"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+                F.lit(HLL_W_BITS + 1) - F.length(F.bin(F.col("w")))
+            ),
+        )
+        .groupBy("scope", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    spark = events.sparkSession
+    grid = (
+        scoped.select("scope")
+        .distinct()
+        .crossJoin(spark.range(HLL_M).select(F.col("id").alias("bucket")))
+    )
+    full = grid.join(regs, ["scope", "bucket"], "left").select(
+        "scope", F.coalesce("rho", F.lit(0)).alias("rho")
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+    stats = full.groupBy("scope").agg(
+        F.sum(F.lit(1.0) / F.expr("shiftleft(1L, rho)")).alias("z"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    raw = alpha * F.lit(float(HLL_M * HLL_M)) / F.col("z")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("zeros") > 0),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    exact = scoped.distinct().groupBy("scope").agg(
+        F.count("*").alias("exact_users")
+    )
+    return (
+        stats.select("scope", F.round(est, 4).alias("est_users"))
+        .join(exact, "scope")
+        .select("scope", "est_users", "exact_users")
+    )
+
+
+ORACLE_HLL = f"""
+hll_scoped AS (
+  SELECT s.scope,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+              AS BIGINT) AS h
+  FROM events, LATERAL (
+    SELECT unnest([event_type, 'ALL']) AS scope) s
+),
+hll_regs AS (
+  SELECT scope, CAST(h // {1 << HLL_W_BITS} AS BIGINT) AS bucket,
+         max(CASE WHEN h % {1 << HLL_W_BITS} = 0 THEN {HLL_W_BITS + 1}
+                  ELSE {HLL_W_BITS + 1}
+                       - length(bin(h % {1 << HLL_W_BITS}))
+             END) AS rho
+  FROM hll_scoped GROUP BY 1, 2
+),
+hll_grid AS (
+  SELECT scope, CAST(b AS BIGINT) AS bucket
+  FROM (SELECT DISTINCT scope FROM hll_scoped),
+       LATERAL unnest(range(0, {HLL_M})) AS g(b)
+),
+hll_full AS (
+  SELECT g.scope, COALESCE(r.rho, 0) AS rho
+  FROM hll_grid g LEFT JOIN hll_regs r USING (scope, bucket)
+),
+hll_stats AS (
+  SELECT scope,
+         sum(1.0 / (CAST(1 AS BIGINT) << rho)) AS z,
+         CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zeros
+  FROM hll_full GROUP BY 1
+),
+hll_est AS (
+  SELECT scope,
+         round(CASE WHEN (0.7213 / (1.0 + 1.079 / {float(HLL_M)!r}))
+                         * {float(HLL_M * HLL_M)!r} / z
+                         <= {2.5 * HLL_M!r}
+                    AND zeros > 0
+               THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / zeros)
+               ELSE (0.7213 / (1.0 + 1.079 / {float(HLL_M)!r}))
+                    * {float(HLL_M * HLL_M)!r} / z
+               END, 4) AS est_users
+  FROM hll_stats
+),
+hll_exact AS (
+  SELECT scope, CAST(count(*) AS BIGINT) AS exact_users
+  FROM (SELECT DISTINCT scope, h FROM hll_scoped) GROUP BY 1
+),
+hll_distinct AS (
+  SELECT e.scope, e.est_users, x.exact_users
+  FROM hll_est e JOIN hll_exact x USING (scope)
+)
+"""

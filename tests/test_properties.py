@@ -1213,3 +1213,21 @@ def test_cms_estimate_upper_bounds_truth(spark):
     assert rows
     for r in rows:
         assert r["cms_est"] >= r["exact_cnt"], r
+
+
+def test_hll_estimate_error_bound(spark):
+    """HLL with m=64 registers: relative error within ~4/sqrt(m) of
+    exact truth on every scope (generous 3x the 1.04/sqrt(m) bound)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal as tmp,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    rows = tmp.hll_distinct(load_table(spark, SF_ORACLE, "events")).collect()
+    assert any(r["scope"] == "ALL" for r in rows)
+    tol = 4.0 / (tmp.HLL_M ** 0.5)
+    for r in rows:
+        rel = abs(r["est_users"] - r["exact_users"]) / r["exact_users"]
+        assert rel <= tol, (r["scope"], rel)
