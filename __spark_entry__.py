@@ -1984,6 +1984,12 @@ def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse retrieval: greedy relevance-vs-redundancy picks,
+    unrolled rounds confined to the candidate set."""
+    return _sim.mmr_select(_emb(spark, sf_dir))
+
+
 def q_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage RAG: bi-encoder candidate retrieval + cross-encoder
     pair rerank (md5-dyadic stand-in at the model swap point)."""
@@ -2223,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "rag_context_pack": q_rag_context_pack,
         "rag_rerank": q_rag_rerank,
+        "embedding_mmr": q_embedding_mmr,
         "idle_rich_customers": q_idle_rich_customers,
         "incremental_join_view": q_incremental_join_view,
         "late_order_priorities": q_late_order_priorities,
@@ -2854,6 +2861,9 @@ def oracle_sql() -> dict[str, str]:
         "rag_rerank": _ext_oracle(
             [_text.ORACLE_CHUNKS, _sim.oracle_rag_rerank()],
             "rag_rerank",
+        ),
+        "embedding_mmr": _ext_oracle(
+            [_sim.oracle_mmr_select()], "mmr_select"
         ),
         "rag_context_pack": _ext_oracle(
             [_text.ORACLE_CHUNKS, _sim.oracle_rag_context_pack()],

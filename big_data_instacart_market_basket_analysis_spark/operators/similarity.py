@@ -2047,3 +2047,207 @@ rag_rerank AS (
   WHERE rerank <= {k}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse retrieval (greedy maximal marginal relevance)
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_CAND_K = 12
+MMR_PICKS = 5
+
+
+def mmr_select(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k1: int = MMR_CAND_K,
+    k: int = MMR_PICKS,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal marginal relevance (Carbonell & Goldstein 1998): from
+    each query's top-``k1`` relevance candidates, greedily pick ``k``
+    results maximizing ``lam*rel - (1-lam)*max_sim_to_selected`` —
+    the diversity-aware retrieval a plain top-k cannot express (it
+    returns near-duplicate neighbors; MMR forces coverage).
+
+    Greedy selection is inherently sequential, so the k rounds are
+    UNROLLED into the plan (like PageRank's supersteps): each round
+    is an anti-join (drop selected), a candidate x selected join
+    bounded by |Q|*k1*round rows, a max-agg penalty, and a 1-row-per-
+    query argmax window. The corpus appears only in the stage-1
+    candidate retrieval; every MMR round touches candidate rows only
+    — at 100 TB rounds are driver-free constant-size work, the same
+    confinement argument as ``rag_rerank``. Cosines round(4) and
+    scores round(6) before every comparison, so the greedy picks are
+    engine-exact. Output: query_id, pick, neighbor_id, score.
+    """
+    vecs = emb.select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).withColumn("norm", F.sqrt(F.expr(_DOT.format(a="v", b="v"))))
+    queries = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    corpus = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nnorm"),
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), "neighbor_id"
+    )
+    cand = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "rel",
+            F.round(
+                F.expr(_DOT.format(a="qv", b="nv"))
+                / (F.col("qnorm") * F.col("nnorm")),
+                4,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= k1)
+        .select("query_id", "neighbor_id", "rel", "nv", "nnorm")
+        # |Q|*k1 rows: stage once so the k unrolled rounds (whose
+        # lineage would otherwise nest k deep) each read memory, not
+        # the corpus
+        .localCheckpoint(eager=True)
+    )
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("pick"),
+            "neighbor_id",
+            F.round(F.lit(lam) * F.col("rel"), 6).alias("score"),
+        )
+    )
+    w_score = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "neighbor_id"
+    )
+    for r in range(2, k + 1):
+        remaining = cand.join(
+            sel.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        sel_vecs = sel.select("query_id", "neighbor_id").join(
+            cand.select(
+                "query_id",
+                "neighbor_id",
+                F.col("nv").alias("sv"),
+                F.col("nnorm").alias("snorm"),
+            ),
+            ["query_id", "neighbor_id"],
+        ).select("query_id", "sv", "snorm")
+        pen = (
+            remaining.join(sel_vecs, "query_id")
+            .withColumn(
+                "sim",
+                F.round(
+                    F.expr(_DOT.format(a="nv", b="sv"))
+                    / (F.col("nnorm") * F.col("snorm")),
+                    4,
+                ),
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.first("rel").alias("rel"), F.max("sim").alias("pen"))
+        )
+        pick = (
+            pen.withColumn(
+                "score",
+                F.round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("pen"),
+                    6,
+                ),
+            )
+            .withColumn("rn", F.row_number().over(w_score))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", F.lit(r).alias("pick"), "neighbor_id", "score"
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel
+
+
+def oracle_mmr_select(
+    n_queries: int = N_QUERIES,
+    k1: int = MMR_CAND_K,
+    k: int = MMR_PICKS,
+    lam: float = MMR_LAMBDA,
+) -> str:
+    cos = (
+        "round(list_dot_product({a}.v, {b}.v)"
+        " / ({a}.norm * {b}.norm), 4)"
+    )
+    ctes = [
+        f"""
+mmr_vecs AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+mmr_cand AS (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {cos.format(a="q", b="c")} AS rel,
+           c.v, c.norm,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {cos.format(a="q", b="c")} DESC, c.vec_id) AS rn
+    FROM mmr_vecs q JOIN mmr_vecs c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {n_queries}
+  ) WHERE rn <= {k1}
+),
+mmr_sel1 AS (
+  SELECT query_id, 1 AS pick, neighbor_id,
+         round({lam!r} * rel, 6) AS score
+  FROM mmr_cand WHERE rn = 1
+)"""
+    ]
+    prev_sel = "mmr_sel1"
+    for r in range(2, k + 1):
+        ctes.append(
+            f"""
+mmr_p{r} AS (
+  SELECT c.query_id, c.neighbor_id, c.rel,
+         max(round(list_dot_product(c.v, sc.v)
+             / (c.norm * sc.norm), 4)) AS pen
+  FROM mmr_cand c
+  JOIN {prev_sel} s ON s.query_id = c.query_id
+  JOIN mmr_cand sc ON sc.query_id = s.query_id
+                  AND sc.neighbor_id = s.neighbor_id
+  WHERE NOT EXISTS (SELECT 1 FROM {prev_sel} x
+                    WHERE x.query_id = c.query_id
+                      AND x.neighbor_id = c.neighbor_id)
+  GROUP BY 1, 2, 3
+),
+mmr_pick{r} AS (
+  SELECT query_id, {r} AS pick, neighbor_id, score FROM (
+    SELECT query_id, neighbor_id,
+           round({lam!r} * rel - {1.0 - lam!r} * pen, 6) AS score,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round({lam!r} * rel - {1.0 - lam!r} * pen, 6)
+                      DESC, neighbor_id) AS rn
+    FROM mmr_p{r}
+  ) WHERE rn = 1
+),
+mmr_sel{r} AS (
+  SELECT * FROM {prev_sel} UNION ALL SELECT * FROM mmr_pick{r}
+)"""
+        )
+        prev_sel = f"mmr_sel{r}"
+    ctes.append(
+        f"""
+mmr_select AS (
+  SELECT query_id, pick, neighbor_id, score FROM {prev_sel}
+)"""
+    )
+    return ",".join(ctes)
