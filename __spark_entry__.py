@@ -1411,6 +1411,17 @@ def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rel.orders_snapshot_diff(load_table(spark, sf_dir, "orders"))
 
 
+def q_parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D Pareto skyline over parts (min price, max size) via the
+    bucketed staircase — oracle replays NOT EXISTS dominance."""
+    return _ana.pareto_skyline(load_table(spark, sf_dir, "part"))
+
+
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit (slope/intercept/r2) over the top terms."""
+    return _text.zipf_fit(_docs(spark, sf_dir))
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped full-scan pricing summary (decimal-exact money
     sums, pushed-down shipdate filter, one hash-agg)."""
@@ -2199,6 +2210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_expectations": q_orders_expectations,
         "lineitem_quarantine": q_lineitem_quarantine,
         "pricing_summary": q_pricing_summary,
+        "parts_pareto_skyline": q_parts_pareto_skyline,
+        "text_zipf_fit": q_text_zipf_fit,
         "shipping_priority": q_shipping_priority,
         "customer_returns": q_customer_returns,
         "large_orders": q_large_orders,
@@ -2798,6 +2811,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orders_expectations": _ext_oracle(
             [_prof.oracle_orders_expectations()], "orders_expectations"
+        ),
+        "parts_pareto_skyline": _ext_oracle(
+            [_ana.ORACLE_PARETO_SKYLINE], "pareto_skyline"
+        ),
+        "text_zipf_fit": _ext_oracle(
+            [_text.oracle_zipf_fit()], "zipf_fit"
         ),
         "pricing_summary": _ext_oracle(
             [_rel.ORACLE_PRICING_SUMMARY], "pricing_summary"

@@ -45,7 +45,7 @@ window over the full fact table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _DEC = "decimal(18,4)"
 
@@ -817,5 +817,80 @@ priority_shipping_buckets AS (
   WHERE l_returnflag IN ('{SHIPBUCKET_FLAGS[0]}', '{SHIPBUCKET_FLAGS[1]}')
     AND l_shipdate >= '{SHIPBUCKET_LO}' AND l_shipdate < '{SHIPBUCKET_HI}'
   GROUP BY 1
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2D Pareto skyline (non-dominated parts)
+# ---------------------------------------------------------------------------
+
+SKY_PRICE_BUCKET = 100.0
+
+
+def pareto_skyline(part: DataFrame) -> DataFrame:
+    """Skyline / Pareto-frontier query (Borzsony et al., ICDE 2001):
+    parts not dominated on (minimize p_retailprice, maximize p_size) —
+    "no other part is at least as cheap AND at least as large, and
+    strictly better in one".
+
+    The naive form is an O(n^2) dominance self-join; this plan is the
+    2D staircase algebra instead: reduce to the per-price grain (max
+    size per price), compute "best size among strictly cheaper rows"
+    as a bucketed prefix-max (per-bucket maxes -> tiny offset table ->
+    within-bucket window over distinct prices), and keep rows at their
+    price-group max that beat the staircase. No global sort, no
+    self-join — one agg + one bucket-local window, same scale recipe
+    as `ks_drift_test`'s cumulative counts. The DuckDB oracle replays
+    the textbook NOT EXISTS dominance instead, so the differential
+    proves the staircase rewrite. (d>2 skylines need the grid-prune /
+    local-then-global pattern; 2D is the common price-quality case.)
+    """
+    pp = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("pmax")
+    ).withColumn(
+        "bucket", F.floor(F.col("p_retailprice") / SKY_PRICE_BUCKET)
+    )
+    btot = pp.groupBy("bucket").agg(F.max("pmax").alias("bmax"))
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "bucket", F.max("bmax").over(woff).alias("omax")
+    )
+    win = Window.partitionBy("bucket").orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    staircase = (
+        pp.join(F.broadcast(offsets), "bucket")
+        .withColumn("wmax", F.max("pmax").over(win))
+        .select(
+            "p_retailprice",
+            "pmax",
+            F.greatest(
+                F.coalesce("omax", F.lit(-1)),
+                F.coalesce("wmax", F.lit(-1)),
+            ).alias("m1"),
+        )
+    )
+    return (
+        part.join(F.broadcast(staircase), "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("pmax"))
+            & (F.col("p_size") > F.col("m1"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+ORACLE_PARETO_SKYLINE = """
+pareto_skyline AS (
+  SELECT p.p_partkey, p.p_retailprice, p.p_size
+  FROM part p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice <= p.p_retailprice
+      AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
 )
 """

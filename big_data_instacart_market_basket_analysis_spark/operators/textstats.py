@@ -2745,3 +2745,90 @@ bpe_train_merges AS (
 )"""
     )
     return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit over the term frequency distribution
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_N = 100
+
+
+def zipf_fit(docs: DataFrame, n: int = ZIPF_TOP_N) -> DataFrame:
+    """OLS fit of ln(freq) ~ ln(rank) over the top-``n`` terms — the
+    Zipf's-law diagnostic (natural corpora slope ~ -1; synthetic or
+    template-heavy corpora deviate, making this a cheap corpus-health
+    check next to the entropy/repetition scores).
+
+    Scale: the corpus-sized stage is the term-count agg (shared shape
+    with `bpe_first_merges`); the top-n is a distributed TakeOrdered
+    and the regression runs on n rows. Sums of ln values fold in
+    engine-specific order, so the derived statistics land under
+    round(6) (the repo float rule). Output (1 row): n_terms, slope,
+    intercept, r2.
+    """
+    tf = (
+        docs.select(F.explode(_tokens_col()).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = tf.orderBy(F.desc("freq"), "w").limit(n)
+    w_rank = Window.orderBy(F.desc("freq"), "w")
+    xy = top.withColumn("rank", F.row_number().over(w_rank)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(num / dxx, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - (num / dxx) * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+        F.round(num * num / (dxx * dyy), 6).alias("r2"),
+    )
+
+
+def oracle_zipf_fit(n: int = ZIPF_TOP_N) -> str:
+    return f"""
+zf_tf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY 1
+),
+zf_top AS (
+  SELECT w, freq FROM zf_tf ORDER BY freq DESC, w LIMIT {n}
+),
+zf_xy AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, w) AS DOUBLE))
+           AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM zf_top
+),
+zf_s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM zf_xy
+),
+zipf_fit AS (
+  SELECT n AS n_terms,
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+               / n, 6) AS intercept,
+         round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+  FROM zf_s
+)
+"""
