@@ -624,6 +624,18 @@ def q_events_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _priv.k_anonymity_audit(load_table(spark, sf_dir, "events"))
 
 
+def q_events_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism DP counts per event_type (deterministic
+    inverse-CDF noise at the secure-RNG swap point)."""
+    return _privacy.dp_noisy_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_parts_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week trending parts: salted two-level per-week top-K
+    with previous-week rank and delta."""
+    return _ana.trending_parts(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_text_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality classifier, hash-verifiable: multinomial Naive
     Bayes fit on Gopher-rule weak labels (counts + add-1 smoothing =
@@ -2108,6 +2120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_outliers": q_embedding_knn_outliers,
         "embedding_standardize": q_embedding_standardize,
         "events_pseudonymized": q_events_pseudonymized,
+        "events_dp_counts": q_events_dp_counts,
+        "parts_trending": q_parts_trending,
         "events_kanonymity": q_events_kanonymity,
         "events_holt_forecast": q_events_holt_forecast,
         "events_holt_winters": q_events_holt_winters,
@@ -2431,6 +2445,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_pseudonymized": _ext_oracle(
             [_privacy.ORACLE_PSEUDONYMIZE], "pseudonymize_events"
+        ),
+        "events_dp_counts": _ext_oracle(
+            [_privacy.oracle_dp_noisy_counts()], "dp_noisy_counts"
+        ),
+        "parts_trending": _ext_oracle(
+            [_ana.ORACLE_TRENDING], "trending_parts"
         ),
         "events_holt_forecast": _ext_oracle(
             [_tmp.ORACLE_USER_HOLT], "user_holt_forecast",

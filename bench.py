@@ -114,6 +114,19 @@ HEADLINE = [
     "embedding_knn_outliers",
     "events_markov",
     "events_holt_winters",
+    # round-2 (driver round) wave: trained indexes + verified sketches +
+    # graph traversal + tokenizer training
+    "embedding_kmeans_lloyd",
+    "ann_pq",
+    "rag_rerank",
+    "embedding_mmr",
+    "text_bpe_train",
+    "events_kmv_sketch",
+    "events_hll_sketch",
+    "events_cms_hitters",
+    "graph_bfs",
+    "graph_lpa",
+    "parts_pareto_skyline",
 ]
 
 

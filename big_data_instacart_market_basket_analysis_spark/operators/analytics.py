@@ -894,3 +894,85 @@ pareto_skyline AS (
       AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# weekly trending parts (rank movement)
+# ---------------------------------------------------------------------------
+
+TREND_TOP_K = 10
+TREND_SALT = 16
+_WEEK_MS = 7 * 86400 * 1000
+
+
+def trending_parts(lineitem: DataFrame) -> DataFrame:
+    """Week-over-week trending report: per week, the top-K parts by
+    lineitem count with their previous-week rank and rank delta
+    (NULL = new entrant) — the "movers" query every dashboard runs.
+
+    Per-week top-K uses the salted two-level rank (per-(week, salt)
+    local winners first, then K*SALT finalists per week), so no task
+    ever sorts a whole week of part counts; the week-over-week join
+    is an equi-join on (prev_week, part) between two K-row-per-week
+    tables. Weeks are epoch-ms of date_trunc('week') under the UTC
+    session, so prev = week - 604800000 exactly.
+    """
+    wk = F.unix_millis(F.date_trunc("week", F.col("l_shipdate")))
+    cnts = lineitem.groupBy(
+        wk.alias("week_ms"), F.col("l_partkey")
+    ).agg(F.count("*").alias("cnt"))
+    w1 = Window.partitionBy("week_ms", "salt").orderBy(
+        F.col("cnt").desc(), "l_partkey"
+    )
+    w2 = Window.partitionBy("week_ms").orderBy(
+        F.col("cnt").desc(), "l_partkey"
+    )
+    top = (
+        cnts.withColumn("salt", F.pmod("l_partkey", F.lit(TREND_SALT)))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= TREND_TOP_K)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TREND_TOP_K)
+        .select("week_ms", "l_partkey", "cnt", "rank")
+    )
+    prev = top.select(
+        (F.col("week_ms") + F.lit(_WEEK_MS)).alias("week_ms"),
+        "l_partkey",
+        F.col("rank").alias("prev_rank"),
+    )
+    return top.join(prev, ["week_ms", "l_partkey"], "left").select(
+        "week_ms",
+        "l_partkey",
+        "cnt",
+        "rank",
+        "prev_rank",
+        (F.col("prev_rank") - F.col("rank")).alias("rank_delta"),
+    )
+
+
+ORACLE_TRENDING = f"""
+tr_cnt AS (
+  SELECT epoch_ms(date_trunc('week', l_shipdate)) AS week_ms,
+         l_partkey, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+tr_top AS (
+  SELECT week_ms, l_partkey, cnt,
+         CAST(row_number() OVER (
+           PARTITION BY week_ms ORDER BY cnt DESC, l_partkey) AS INT)
+           AS rank
+  FROM tr_cnt
+  QUALIFY row_number() OVER (
+    PARTITION BY week_ms ORDER BY cnt DESC, l_partkey)
+    <= {TREND_TOP_K}
+),
+trending_parts AS (
+  SELECT t.week_ms, t.l_partkey, t.cnt, t.rank,
+         p.rank AS prev_rank,
+         p.rank - t.rank AS rank_delta
+  FROM tr_top t
+  LEFT JOIN tr_top p
+    ON p.week_ms = t.week_ms - {_WEEK_MS}
+   AND p.l_partkey = t.l_partkey
+)
+"""

@@ -115,3 +115,78 @@ k_anonymity_audit AS (
   GROUP BY 1, 2, 3
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# differentially-private noisy counts (deterministic inverse-CDF noise)
+# ---------------------------------------------------------------------------
+
+DP_EPSILON = 0.5
+
+
+def dp_noisy_counts(
+    events: DataFrame, eps: float = DP_EPSILON
+) -> DataFrame:
+    """Laplace-mechanism counts per event_type: count + Lap(1/eps)
+    noise, the standard (eps)-DP release for a count query with
+    sensitivity 1.
+
+    The noise draw is the inverse-CDF transform of a DETERMINISTIC
+    md5-dyadic uniform (same trick as the samplers): x = -b *
+    sign(u-1/2) * ln(1 - 2|u-1/2|). That keeps the release
+    oracle-replayable — the differential harness checks the exact
+    noisy values — while the production swap is one line (draw u from
+    a secure RNG instead of the key hash; everything else identical).
+    ``n_true`` is emitted for the harness only; a real DP release
+    drops it and this plan's privacy guarantee is the textbook one
+    only with secret randomness.
+
+    Scale: one count-agg; noise is a map expression on the
+    |event_type|-sized aggregate. Output: event_type, n_true, scale_b,
+    n_noisy.
+    """
+    b = 1.0 / eps
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 52))
+    noise = (
+        F.lit(-b)
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return (
+        events.groupBy("event_type")
+        .agg(F.count("*").alias("n_true"))
+        .select(
+            "event_type",
+            "n_true",
+            F.lit(b).alias("scale_b"),
+            F.round(F.col("n_true") + noise, 4).alias("n_noisy"),
+        )
+    )
+
+
+def oracle_dp_noisy_counts(eps: float = DP_EPSILON) -> str:
+    b = 1.0 / eps
+    return f"""
+dp_u AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true,
+         (CAST(('0x' || substr(md5('dp:' || event_type), 1, 13))
+               AS BIGINT) + 1) / {float(1 << 52)!r} AS u
+  FROM events GROUP BY 1
+),
+dp_noisy_counts AS (
+  SELECT event_type, n_true,
+         CAST({b!r} AS DOUBLE) AS scale_b,
+         round(n_true + (-{b!r}) * sign(u - 0.5)
+               * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS n_noisy
+  FROM dp_u
+)
+"""
