@@ -55,6 +55,9 @@ from big_data_instacart_market_basket_analysis_spark.operators import (
     temporal as _tmp,
 )
 from big_data_instacart_market_basket_analysis_spark.operators import (
+    trees as _trees,
+)
+from big_data_instacart_market_basket_analysis_spark.operators import (
     textstats as _text,
 )
 from big_data_instacart_market_basket_analysis_spark.plans import (
@@ -622,6 +625,16 @@ def q_events_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _priv.k_anonymity_audit(load_table(spark, sf_dir, "events"))
+
+
+def q_ml_cart_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 CART trained in-engine (histogram Gini splits from
+    integral counts, plan-only argmin) — the tree is hash-verified."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        trees as _trees,
+    )
+
+    return _trees.cart_train(load_table(spark, sf_dir, "events"))
 
 
 def q_events_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2121,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_standardize": q_embedding_standardize,
         "events_pseudonymized": q_events_pseudonymized,
         "events_dp_counts": q_events_dp_counts,
+        "ml_cart_verified": q_ml_cart_verified,
         "parts_trending": q_parts_trending,
         "events_kanonymity": q_events_kanonymity,
         "events_holt_forecast": q_events_holt_forecast,
@@ -2448,6 +2462,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_dp_counts": _ext_oracle(
             [_privacy.oracle_dp_noisy_counts()], "dp_noisy_counts"
+        ),
+        "ml_cart_verified": _ext_oracle(
+            [_trees.ORACLE_CART], "cart_train"
         ),
         "parts_trending": _ext_oracle(
             [_ana.ORACLE_TRENDING], "trending_parts"

