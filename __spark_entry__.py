@@ -1731,6 +1731,13 @@ def q_stream_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_merge_state(spark, sf_dir)
 
 
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch as streaming state: constant K-row standing table,
+    mergeable bottom-k folds per micro-batch; final estimate equals
+    the batch sketch (oracle)."""
+    return _ev.run_stream_kmv(spark, sf_dir)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once dedup of an at-least-once stream (the event stream
     unioned with a redelivered copy), via watermark-bounded
@@ -2105,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_enrich": q_stream_static_enrich,
         "stream_partitioned_sink": q_stream_partitioned_sink,
         "stream_merge_state": q_stream_merge_state,
+        "stream_kmv": q_stream_kmv,
         "stream_embedding_dedup": q_stream_embedding_dedup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2993,6 +3001,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_partitioned_sink": _ext_oracle(
             [_ev.ORACLE_STREAM_PARTITIONED_SINK], "stream_partitioned_sink"
+        ),
+        "stream_kmv": _ext_oracle(
+            [_ev.ORACLE_STREAM_KMV], "stream_kmv"
         ),
         "stream_merge_state": _ext_oracle(
             [_ev.ORACLE_STREAM_MERGE_STATE], "stream_merge_state"

@@ -1409,3 +1409,111 @@ stream_embedding_dedup AS (
   FROM sed_scored
 )
 """
+
+
+def run_stream_kmv(
+    spark: SparkSession, sf_dir: str, name: str = "stream_kmv"
+) -> DataFrame:
+    """Streaming distinct count via a KMV sketch as the state: each
+    micro-batch's user hashes fold into a STANDING bottom-k table
+    (union -> distinct -> re-take k smallest -> overwrite), exploiting
+    the sketch's mergeability — bottom-k of unioned bottom-k sets IS
+    the global bottom-k, so the final estimate equals the batch
+    `kmv_distinct_sketch` computation exactly (the oracle).
+
+    This is the unbounded-cardinality answer streaming aggregation
+    can't give: exact streaming distinct needs per-key state that
+    grows forever; the sketch state is K rows REGARDLESS of stream
+    length, trivially checkpoint-/restart-safe because each merge is
+    idempotent and associative. Per batch the standing table is K
+    rows, so the merge costs one batch-sized distinct + a K-row sort.
+    Output (1 row): n_kept, est_users.
+    """
+    import tempfile
+
+    from ..operators.temporal import KMV_K, _KMV_DENOM
+
+    _tune_stream_session(spark)
+    root = tempfile.mkdtemp(prefix="stream_kmv_")
+    src, target = f"{root}/src", f"{root}/state"
+
+    load_table(spark, sf_dir, "events").select("user_id").repartition(
+        6
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.select(h.alias("h")).distinct()
+        if _os.path.isdir(target):
+            part = spark.read.parquet(target).unionByName(part)
+        sk = (
+            part.distinct()
+            .orderBy("h")
+            .limit(KMV_K)
+            # read and overwrite share the path: materialize first
+            .localCheckpoint(eager=True)
+        )
+        sk.write.mode("overwrite").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sk = spark.read.parquet(target)
+    return sk.agg(
+        F.count("*").alias("n_kept"),
+        F.when(
+            F.count("*") < KMV_K,
+            F.round(F.count("*").cast("double"), 4),
+        )
+        .otherwise(
+            F.round(
+                F.lit(float(KMV_K - 1))
+                / ((F.max("h") + F.lit(1)) / F.lit(_KMV_DENOM)),
+                4,
+            )
+        )
+        .alias("est_users"),
+    )
+
+
+def _oracle_stream_kmv() -> str:
+    from ..operators.temporal import KMV_K, _KMV_DENOM
+
+    return f"""
+skmv_h AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+              AS BIGINT) AS h
+  FROM events
+),
+skmv_sk AS (
+  SELECT h FROM skmv_h
+  QUALIFY row_number() OVER (ORDER BY h) <= {KMV_K}
+),
+stream_kmv AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         CASE WHEN count(*) < {KMV_K}
+              THEN round(CAST(count(*) AS DOUBLE), 4)
+              ELSE round({float(KMV_K - 1)!r}
+                         / ((max(h) + 1) / {_KMV_DENOM!r}), 4)
+         END AS est_users
+  FROM skmv_sk
+)
+"""
+
+
+ORACLE_STREAM_KMV = _oracle_stream_kmv()
