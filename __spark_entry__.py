@@ -1180,6 +1180,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph.triangle_counts(_lineitem(spark, sf_dir))
 
 
+def q_graph_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative similarity (neighborhood Jaccard via
+    the wedge join, per-item top-k)."""
+    return _graph.item_similarity(_lineitem(spark, sf_dir))
+
+
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distances from the 3 lowest-id products
     (unrolled integer supersteps, plan-only composition)."""
@@ -2227,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_bfs": q_graph_bfs,
         "graph_lpa": q_graph_lpa,
+        "graph_item_similarity": q_graph_item_similarity,
         "pysource_docs": q_pysource_docs,
         "pysink_docs": q_pysink_docs,
         "dedup_decontaminate": q_dedup_decontaminate,
@@ -2686,6 +2693,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_lpa": _ext_oracle(
             [_graph.oracle_lpa_communities()], "lpa_communities"
+        ),
+        "graph_item_similarity": _ext_oracle(
+            [_graph.oracle_item_similarity()], "item_similarity"
         ),
         "events_winsorized": _ext_oracle(
             [_tmp.ORACLE_WINSORIZED_STATS], "winsorized_stats"

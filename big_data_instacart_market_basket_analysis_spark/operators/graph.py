@@ -410,3 +410,118 @@ lpa_communities AS (
 )"""
     )
     return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# item-item neighborhood similarity (collaborative filtering)
+# ---------------------------------------------------------------------------
+
+SIM_TOP_K = 5
+
+
+def item_similarity(
+    lineitem: DataFrame, k: int = SIM_TOP_K
+) -> DataFrame:
+    """Item-item collaborative similarity: Jaccard overlap of
+    co-purchase neighborhoods, top-``k`` most similar parts per part —
+    the classic "customers also bought" recommender (Linden et al.
+    2003, item-to-item CF), computed on the graph the reference's
+    frequent-pair mining induces.
+
+    |N(a) ∩ N(b)| comes from the SAME wedge join triangle counting
+    uses (edges self-joined on the shared neighbor — work bounded by
+    sum of squared degrees, hash-join only); |N(a) ∪ N(b)| is degree
+    algebra, no second pass. Jaccard rounds(6) before the per-item
+    rank window (partition bounded by an item's wedge partners).
+    Output: item, neighbor, n_common, jaccard, rank.
+    """
+    und = _edges_staged(lineitem)
+    deg = und.groupBy("a").agg(F.count("*").alias("deg"))
+    # wedges x-a-y over the shared neighbor a give PAIRS (x, y) with a
+    # common co-purchase partner; orient x < y to count each once
+    wedge = (
+        und.select(F.col("a").alias("mid"), F.col("b").alias("x"))
+        .join(
+            und.select(F.col("a").alias("mid"), F.col("b").alias("y")),
+            "mid",
+        )
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n_common"))
+    )
+    scored = (
+        wedge.join(
+            deg.select(F.col("a").alias("x"), F.col("deg").alias("dx")),
+            "x",
+        )
+        .join(
+            deg.select(F.col("a").alias("y"), F.col("deg").alias("dy")),
+            "y",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("dx") + F.col("dy") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+    both = scored.select(
+        F.col("x").alias("item"), F.col("y").alias("neighbor"),
+        "n_common", "jaccard",
+    ).unionByName(
+        scored.select(
+            F.col("y").alias("item"), F.col("x").alias("neighbor"),
+            "n_common", "jaccard",
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("jaccard").desc(), "neighbor"
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("item", "neighbor", "n_common", "jaccard", "rank")
+    )
+
+
+def oracle_item_similarity(k: int = SIM_TOP_K) -> str:
+    return f"""
+is_edges AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey <> l2.l_partkey
+),
+is_deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM is_edges GROUP BY 1
+),
+is_wedge AS (
+  SELECT e1.b AS x, e2.b AS y, CAST(count(*) AS BIGINT) AS n_common
+  FROM is_edges e1 JOIN is_edges e2 ON e1.a = e2.a
+  WHERE e1.b < e2.b
+  GROUP BY 1, 2
+),
+is_scored AS (
+  SELECT w.x, w.y, w.n_common,
+         round(w.n_common / (dx.deg + dy.deg - w.n_common), 6)
+           AS jaccard
+  FROM is_wedge w
+  JOIN is_deg dx ON dx.a = w.x
+  JOIN is_deg dy ON dy.a = w.y
+),
+is_both AS (
+  SELECT x AS item, y AS neighbor, n_common, jaccard FROM is_scored
+  UNION ALL
+  SELECT y, x, n_common, jaccard FROM is_scored
+),
+item_similarity AS (
+  SELECT item, neighbor, n_common, jaccard,
+         CAST(row_number() OVER (
+           PARTITION BY item ORDER BY jaccard DESC, neighbor) AS INT)
+           AS rank
+  FROM is_both
+  QUALIFY row_number() OVER (
+    PARTITION BY item ORDER BY jaccard DESC, neighbor) <= {k}
+)
+"""
