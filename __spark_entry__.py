@@ -1319,6 +1319,12 @@ def q_events_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.cube_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_events_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB-style parallel downsampling of the click value series
+    (largest-triangle picks against rounded bucket anchors)."""
+    return _tmp.lttb_downsample(load_table(spark, sf_dir, "events"))
+
+
 def q_events_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-principles HyperLogLog distinct-user estimates per type
     (+ 'ALL'), registers and estimates hash-verified."""
@@ -1446,6 +1452,12 @@ def q_parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2D Pareto skyline over parts (min price, max size) via the
     bucketed staircase — oracle replays NOT EXISTS dominance."""
     return _ana.pareto_skyline(load_table(spark, sf_dir, "part"))
+
+
+def q_text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (signed md5 buckets, no vocabulary
+    state) over the first docs."""
+    return _text.hashed_features(_docs(spark, sf_dir))
 
 
 def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2101,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_sketch": q_events_kmv_sketch,
         "events_gapfill": q_events_gapfill,
         "events_hll_sketch": q_events_hll_sketch,
+        "events_lttb": q_events_lttb,
         "events_cms_hitters": q_events_cms_hitters,
         "events_approx_quantiles": q_events_approx_quantiles,
         "events_pit_enrich": q_events_pit_enrich,
@@ -2255,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "parts_pareto_skyline": q_parts_pareto_skyline,
         "text_zipf_fit": q_text_zipf_fit,
+        "text_hashed_features": q_text_hashed_features,
         "shipping_priority": q_shipping_priority,
         "customer_returns": q_customer_returns,
         "large_orders": q_large_orders,
@@ -2661,6 +2675,9 @@ def oracle_sql() -> dict[str, str]:
         "events_hll_sketch": _ext_oracle(
             [_tmp.ORACLE_HLL], "hll_distinct"
         ),
+        "events_lttb": _ext_oracle(
+            [_tmp.ORACLE_LTTB], "lttb_downsample"
+        ),
         "events_cms_hitters": _ext_oracle(
             [_tmp.ORACLE_CMS], "cms_heavy_hitters"
         ),
@@ -2872,6 +2889,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_zipf_fit": _ext_oracle(
             [_text.oracle_zipf_fit()], "zipf_fit"
+        ),
+        "text_hashed_features": _ext_oracle(
+            [_text.oracle_hashed_features()], "hashed_features"
         ),
         "pricing_summary": _ext_oracle(
             [_rel.ORACLE_PRICING_SUMMARY], "pricing_summary"

@@ -3617,3 +3617,171 @@ hll_distinct AS (
   FROM hll_est e JOIN hll_exact x USING (scope)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# LTTB-style parallel downsampling (largest-triangle, bucket anchors)
+# ---------------------------------------------------------------------------
+
+LTTB_BUCKETS = 32
+LTTB_TYPE = "click"
+
+
+def lttb_downsample(events: DataFrame) -> DataFrame:
+    """Largest-Triangle downsampling (Steinarsson 2013) of the click
+    value series to LTTB_BUCKETS points — the shape-preserving
+    decimation charting stacks run before plotting millions of points.
+
+    Sequential LTTB anchors each bucket's choice on the PREVIOUS
+    SELECTED point — unparallelizable; this is the standard parallel
+    variant that anchors on the neighbor buckets' means instead: every
+    bucket's argmax-triangle-area pick depends only on static anchor
+    points, so the whole pass is one agg + one bounded window. Anchor
+    means are rounded(6) first, so both engines compute identical
+    areas from identical inputs and the argmax is engine-exact (ties
+    -> earliest ts, then event_id). First/last buckets pin the series
+    endpoints, as in the original.
+
+    Scale: bucket assignment is map-only integer math from a one-row
+    (lo, hi) span agg; anchors are B rows broadcast back; the argmax
+    window partitions by bucket. Output: bucket, ts_ms, value.
+    """
+    pts = (
+        events.filter(
+            (F.col("event_type") == LTTB_TYPE)
+            & F.col("value").isNotNull()
+        )
+        .select(
+            F.unix_micros("ts").alias("ts_us"), "value", "event_id"
+        )
+    )
+    bounds = pts.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    )
+    binned = pts.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"CAST((ts_us - lo) * {LTTB_BUCKETS} DIV (hi - lo + 1)"
+            " AS INT)"
+        ).alias("bucket"),
+        (F.col("ts_us") - F.col("lo")).alias("x"),
+        F.col("value").alias("y"),
+        "ts_us",
+        "event_id",
+    )
+    anchors = binned.groupBy("bucket").agg(
+        F.round(
+            F.sum("x").cast("double") / F.count("*"), 6
+        ).alias("ax"),
+        F.round(F.sum("y") / F.count("*"), 6).alias("ay"),
+    )
+    a_prev = anchors.select(
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("ax").alias("x1"),
+        F.col("ay").alias("y1"),
+    )
+    a_next = anchors.select(
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("ax").alias("x3"),
+        F.col("ay").alias("y3"),
+    )
+    mid = (
+        binned.join(F.broadcast(a_prev), "bucket")
+        .join(F.broadcast(a_next), "bucket")
+        .withColumn(
+            "area",
+            F.abs(
+                (F.col("x1") - F.col("x3")) * (F.col("y") - F.col("y3"))
+                - (F.col("x") - F.col("x3"))
+                * (F.col("y1") - F.col("y3"))
+            ),
+        )
+    )
+    w_area = Window.partitionBy("bucket").orderBy(
+        F.col("area").desc(), "ts_us", "event_id"
+    )
+    picks_mid = (
+        mid.withColumn("rn", F.row_number().over(w_area))
+        .filter(F.col("rn") == 1)
+        .select("bucket", "ts_us", "y")
+    )
+    w_first = Window.partitionBy("bucket").orderBy("ts_us", "event_id")
+    w_last = Window.partitionBy("bucket").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    first = (
+        binned.filter(F.col("bucket") == 0)
+        .withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select("bucket", "ts_us", "y")
+    )
+    last = (
+        binned.filter(F.col("bucket") == LTTB_BUCKETS - 1)
+        .withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("bucket", "ts_us", "y")
+    )
+    return (
+        first.unionByName(picks_mid.filter(
+            (F.col("bucket") > 0) & (F.col("bucket") < LTTB_BUCKETS - 1)
+        ))
+        .unionByName(last)
+        .select(
+            "bucket",
+            F.expr("CAST(ts_us DIV 1000 AS BIGINT)").alias("ts_ms"),
+            F.col("y").alias("value"),
+        )
+    )
+
+
+ORACLE_LTTB = f"""
+lt_pts AS (
+  SELECT epoch_us(ts) AS ts_us, value, event_id
+  FROM events
+  WHERE event_type = '{LTTB_TYPE}' AND value IS NOT NULL
+),
+lt_bounds AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM lt_pts),
+lt_binned AS (
+  SELECT CAST((ts_us - lo) * {LTTB_BUCKETS} // (hi - lo + 1) AS INT)
+           AS bucket,
+         ts_us - lo AS x, value AS y, ts_us, event_id
+  FROM lt_pts, lt_bounds
+),
+lt_anchors AS (
+  SELECT bucket,
+         round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS ax,
+         round(sum(y) / count(*), 6) AS ay
+  FROM lt_binned GROUP BY 1
+),
+lt_mid AS (
+  SELECT b.bucket, b.ts_us, b.y,
+         abs((p.ax - n.ax) * (b.y - n.ay)
+             - (b.x - n.ax) * (p.ay - n.ay)) AS area,
+         b.event_id
+  FROM lt_binned b
+  JOIN lt_anchors p ON p.bucket = b.bucket - 1
+  JOIN lt_anchors n ON n.bucket = b.bucket + 1
+),
+lt_picks AS (
+  SELECT bucket, ts_us, y FROM lt_mid
+  QUALIFY row_number() OVER (
+    PARTITION BY bucket ORDER BY area DESC, ts_us, event_id) = 1
+),
+lt_first AS (
+  SELECT bucket, ts_us, y FROM lt_binned WHERE bucket = 0
+  QUALIFY row_number() OVER (ORDER BY ts_us, event_id) = 1
+),
+lt_last AS (
+  SELECT bucket, ts_us, y FROM lt_binned
+  WHERE bucket = {LTTB_BUCKETS - 1}
+  QUALIFY row_number() OVER (ORDER BY ts_us DESC, event_id DESC) = 1
+),
+lttb_downsample AS (
+  SELECT bucket, CAST(ts_us // 1000 AS BIGINT) AS ts_ms, y AS value
+  FROM (SELECT * FROM lt_first
+        UNION ALL
+        SELECT * FROM lt_picks
+        WHERE bucket > 0 AND bucket < {LTTB_BUCKETS - 1}
+        UNION ALL
+        SELECT * FROM lt_last)
+)
+"""

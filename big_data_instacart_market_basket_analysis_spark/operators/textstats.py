@@ -2832,3 +2832,74 @@ zipf_fit AS (
   FROM zf_s
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# feature hashing (the hashing trick) vectorizer
+# ---------------------------------------------------------------------------
+
+FH_DIMS = 64
+FH_DOC_LIMIT = 40
+
+
+def hashed_features(
+    docs: DataFrame, dims: int = FH_DIMS, limit: int = FH_DOC_LIMIT
+) -> DataFrame:
+    """Feature hashing (Weinberger et al. 2009): map each token to one
+    of ``dims`` buckets with a signed md5 hash and sum — the
+    vocabulary-free vectorizer every large-scale text-ML pipeline uses
+    when a fitted vocabulary (CountVectorizer) would itself be a
+    multi-TB artifact. No vocabulary state, no fit pass, fixed output
+    width; collisions cancel in expectation thanks to the sign hash.
+
+    Map-only until one (doc, dim) hash-agg; output confined to the
+    first ``limit`` docs for the differential (the operator itself is
+    corpus-wide). Output: doc_id, dim, weight (signed BIGINT).
+    """
+    toks = docs.filter(F.col("doc_id") < limit).select(
+        "doc_id", F.explode(_tokens_col()).alias("w")
+    ).filter(F.col("w") != "")
+    dim = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fh:"), F.col("w"))), 1, 13),
+        16,
+        10,
+    ).cast("bigint") % dims
+    sign = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fs:"), F.col("w"))), 1, 13),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    return (
+        toks.select("doc_id", dim.alias("dim"), sign.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").alias("weight"))
+    )
+
+
+def oracle_hashed_features(
+    dims: int = FH_DIMS, limit: int = FH_DOC_LIMIT
+) -> str:
+    return f"""
+fh_toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+    FROM documents WHERE doc_id < {limit})
+  WHERE w <> ''
+),
+hashed_features AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('fh:' || w), 1, 13)) AS BIGINT)
+           % {dims} AS dim,
+         CAST(sum(CASE WHEN CAST(('0x' || substr(md5('fs:' || w), 1, 13))
+                            AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END) AS BIGINT) AS weight
+  FROM fh_toks
+  GROUP BY 1, 2
+)
+"""
