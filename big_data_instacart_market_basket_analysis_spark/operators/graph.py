@@ -324,6 +324,9 @@ bfs_distances AS (SELECT node, dist FROM {prev})"""
 # ---------------------------------------------------------------------------
 
 LPA_ITERATIONS = 3
+#: packed-argmax base: must exceed every node id (labels are node
+#: ids); 2^31 leaves cnt*M safely inside BIGINT for cnt < 2^32.
+LPA_M = 1 << 31
 
 
 def lpa_communities(
@@ -338,10 +341,11 @@ def lpa_communities(
     DENSE communities (labels stop propagating across sparse cuts
     once a dense region agrees), not mere reachability. Each
     superstep: one equi-join (edges x labels, both keyed on the node
-    id), one (node, label) count-agg, and a per-node max window whose
-    partition size is bounded by a node's distinct neighbor labels —
-    never the corpus. Fixed supersteps, integer labels: deterministic
-    in any engine, unrolled identically in the oracle.
+    id) and TWO hash-aggs — the (max count, min label) argmax is
+    packed into one BIGINT key (cnt * M + (M-1-lbl), M > any node
+    id), so no window sort exists anywhere; map-side combine does
+    the argmax. Fixed supersteps, integer labels: deterministic in
+    any engine, unrolled identically in the oracle.
     """
     edges = _edges_staged(lineitem)
     labels = (
@@ -349,20 +353,28 @@ def lpa_communities(
         .distinct()
         .select("node", F.col("node").alias("lbl"))
     )
-    w = Window.partitionBy("node")
     for _ in range(iterations):
-        cnts = (
+        labels = (
             edges.join(
                 labels.select(F.col("node").alias("a"), "lbl"), "a"
             )
             .groupBy(F.col("b").alias("node"), "lbl")
             .agg(F.count("*").alias("cnt"))
-        )
-        labels = (
-            cnts.withColumn("mc", F.max("cnt").over(w))
-            .filter(F.col("cnt") == F.col("mc"))
+            .select(
+                "node",
+                (
+                    F.col("cnt") * F.lit(LPA_M)
+                    + (F.lit(LPA_M - 1) - F.col("lbl"))
+                ).alias("key"),
+            )
             .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(F.max("key").alias("key"))
+            .select(
+                "node",
+                (F.lit(LPA_M - 1) - F.col("key") % F.lit(LPA_M)).alias(
+                    "lbl"
+                ),
+            )
         )
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("csize"))
     return labels.join(sizes, "lbl").select(
@@ -387,15 +399,16 @@ lpa_l0 AS (
         ctes.append(
             """
 lpa_l{i} AS (
-  SELECT node, CAST(min(lbl) AS BIGINT) AS lbl FROM (
-    SELECT node, lbl, cnt, max(cnt) OVER (PARTITION BY node) AS mc
-    FROM (
-      SELECT e.b AS node, l.lbl, count(*) AS cnt
-      FROM lpa_edges e JOIN {prev} l ON e.a = l.node
-      GROUP BY 1, 2
-    )
-  ) WHERE cnt = mc GROUP BY 1
-)""".format(i=i, prev=prev)
+  SELECT node,
+         CAST({m} - 1 - CAST(max(key) AS BIGINT) % {m} AS BIGINT)
+           AS lbl
+  FROM (
+    SELECT e.b AS node,
+           count(*) * {m} + ({m} - 1 - l.lbl) AS key
+    FROM lpa_edges e JOIN {prev} l ON e.a = l.node
+    GROUP BY e.b, l.lbl
+  ) GROUP BY 1
+)""".format(i=i, prev=prev, m=LPA_M)
         )
         prev = f"lpa_l{i}"
     ctes.append(
