@@ -1319,6 +1319,18 @@ def q_events_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.cube_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_events_markov_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-event predictor backtest: argmax-transition
+    predictions scored against actual next events."""
+    return _tmp.markov_predict_eval(load_table(spark, sf_dir, "events"))
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing 5-grams with the
+    pseudo held-out set (broadcast postings semi-join)."""
+    return _dedup.decontaminate(_docs(spark, sf_dir))
+
+
 def q_events_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB-style parallel downsampling of the click value series
     (largest-triangle picks against rounded bucket anchors)."""
@@ -2114,6 +2126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": q_events_gapfill,
         "events_hll_sketch": q_events_hll_sketch,
         "events_lttb": q_events_lttb,
+        "events_markov_predict": q_events_markov_predict,
+        "text_decontaminate": q_text_decontaminate,
         "events_cms_hitters": q_events_cms_hitters,
         "events_approx_quantiles": q_events_approx_quantiles,
         "events_pit_enrich": q_events_pit_enrich,
@@ -2677,6 +2691,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_lttb": _ext_oracle(
             [_tmp.ORACLE_LTTB], "lttb_downsample"
+        ),
+        "events_markov_predict": _ext_oracle(
+            [_tmp.ORACLE_MARKOV_PREDICT], "markov_predict"
+        ),
+        "text_decontaminate": _ext_oracle(
+            [_dedup.ORACLE_DECONTAMINATE], "decontaminate"
         ),
         "events_cms_hitters": _ext_oracle(
             [_tmp.ORACLE_CMS], "cms_heavy_hitters"

@@ -1664,3 +1664,103 @@ detector_matrix AS (
   GROUP BY detector
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a held-out set)
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 5
+DECON_BENCH_MOD = 29
+DECON_MIN_SHARED = 1
+
+
+def decontaminate(docs: DataFrame) -> DataFrame:
+    """Training-set decontamination: flag corpus documents that share
+    any ``DECON_NGRAM``-gram with the benchmark set (here the pseudo
+    held-out docs ``doc_id % DECON_BENCH_MOD == 0``) — the overlap
+    check every serious LLM data pipeline runs so eval questions do
+    not leak into training data (GPT-3 appendix C methodology).
+
+    Shape: both sides reduce to (span-hash, doc) postings; benchmark
+    postings are the small side BROADCAST into a semi-join against
+    corpus postings — the corpus shuffles zero times beyond its
+    map-side hash projection; matched spans then count per corpus doc
+    in one agg. Hashes are md5 of the joined token window (the
+    `duplicate_spans` convention). Output per flagged doc: doc_id,
+    n_shared_spans, n_bench_docs (distinct benchmark docs hit).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+            "pos", "w"
+        ),
+    )
+    grams = (
+        toks.withColumn(
+            "gram",
+            F.array_join(
+                F.collect_list("w").over(
+                    Window.partitionBy("doc_id")
+                    .orderBy("pos")
+                    .rowsBetween(0, DECON_NGRAM - 1)
+                ),
+                " ",
+            ),
+        )
+        .withColumn("n_w", F.size(F.split(F.col("gram"), " ")))
+        .filter(F.col("n_w") == DECON_NGRAM)
+        .select("doc_id", F.md5("gram").alias("h"))
+        .distinct()
+    )
+    bench = grams.filter(
+        F.col("doc_id") % DECON_BENCH_MOD == 0
+    ).select(F.col("doc_id").alias("bench_id"), "h")
+    corpus = grams.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    hits = corpus.join(F.broadcast(bench), "h")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared_spans"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .filter(F.col("n_shared_spans") >= DECON_MIN_SHARED)
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+dc_toks AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS w,
+         len(toks) AS n_toks
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM documents),
+       LATERAL unnest(range(1, len(toks) + 1)) AS g(i)
+),
+dc_grams AS (
+  SELECT DISTINCT doc_id,
+         md5(list_aggregate(list(w ORDER BY pos), 'string_agg', ' '))
+           AS h
+  FROM (SELECT a.doc_id, a.pos AS start, b.pos, b.w
+        FROM dc_toks a JOIN dc_toks b
+          ON b.doc_id = a.doc_id
+         AND b.pos BETWEEN a.pos AND a.pos + {DECON_NGRAM - 1}
+        WHERE a.pos + {DECON_NGRAM - 1} < a.n_toks)
+  GROUP BY doc_id, start
+),
+dc_bench AS (
+  SELECT doc_id AS bench_id, h FROM dc_grams
+  WHERE doc_id % {DECON_BENCH_MOD} = 0
+),
+dc_hits AS (
+  SELECT c.doc_id, c.h, b.bench_id
+  FROM dc_grams c JOIN dc_bench b USING (h)
+  WHERE c.doc_id % {DECON_BENCH_MOD} <> 0
+),
+decontaminate AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_spans,
+         CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+  FROM dc_hits GROUP BY 1
+  HAVING count(*) >= {DECON_MIN_SHARED}
+)
+"""

@@ -3785,3 +3785,91 @@ lttb_downsample AS (
         SELECT * FROM lt_last)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event prediction accuracy (model backtest)
+# ---------------------------------------------------------------------------
+
+
+def markov_predict_eval(events: DataFrame) -> DataFrame:
+    """Backtest of the first-order Markov model: predict each user's
+    next event type as the argmax transition from the global matrix
+    (ties -> alphabetical), score against what actually happened —
+    the evaluation loop that turns `markov_transitions` from a
+    descriptive table into a validated predictor.
+
+    The transition pairs come from the same one-window pass as the
+    model; the argmax per from_type is a packed max over the tiny
+    |types|^2 count table; accuracy is a ratio of integral counts.
+    Output per from_type: predicted_next, n_transitions, n_correct,
+    accuracy (round 6).
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    pairs = (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wmax = Window.partitionBy("from_type")
+    pred = (
+        pairs.withColumn("mx", F.max("n").over(wmax))
+        .filter(F.col("n") == F.col("mx"))
+        .groupBy("from_type")
+        .agg(F.min("to_type").alias("predicted_next"))
+    )
+    return (
+        pairs.join(F.broadcast(pred), "from_type")
+        .groupBy("from_type", "predicted_next")
+        .agg(
+            F.sum("n").alias("n_transitions"),
+            F.sum(
+                F.when(
+                    F.col("to_type") == F.col("predicted_next"),
+                    F.col("n"),
+                ).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            "from_type",
+            "predicted_next",
+            "n_transitions",
+            "n_correct",
+            F.round(
+                F.col("n_correct") / F.col("n_transitions"), 6
+            ).alias("accuracy"),
+        )
+    )
+
+
+ORACLE_MARKOV_PREDICT = """
+mp_pairs AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events)
+  WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+mp_pred AS (
+  SELECT from_type, min(to_type) AS predicted_next FROM (
+    SELECT *, max(n) OVER (PARTITION BY from_type) AS mx FROM mp_pairs)
+  WHERE n = mx GROUP BY 1
+),
+markov_predict AS (
+  SELECT p.from_type, d.predicted_next,
+         CAST(sum(p.n) AS BIGINT) AS n_transitions,
+         CAST(sum(CASE WHEN p.to_type = d.predicted_next THEN p.n
+                       ELSE 0 END) AS BIGINT) AS n_correct,
+         round(sum(CASE WHEN p.to_type = d.predicted_next THEN p.n
+                        ELSE 0 END) / sum(p.n), 6) AS accuracy
+  FROM mp_pairs p JOIN mp_pred d USING (from_type)
+  GROUP BY 1, 2
+)
+"""
