@@ -1319,6 +1319,18 @@ def q_events_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.cube_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_events_type_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of hourly event-type count series
+    (dense hour grid, integral sums)."""
+    return _tmp.type_correlations(load_table(spark, sf_dir, "events"))
+
+
+def q_events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day audience overlap via 63-bit bitmap sketches
+    (bit_or agg + popcount algebra)."""
+    return _tmp.bitmap_retention(load_table(spark, sf_dir, "events"))
+
+
 def q_events_markov_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov next-event predictor backtest: argmax-transition
     predictions scored against actual next events."""
@@ -2127,6 +2139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_sketch": q_events_hll_sketch,
         "events_lttb": q_events_lttb,
         "events_markov_predict": q_events_markov_predict,
+        "events_type_corr": q_events_type_corr,
+        "events_bitmap_retention": q_events_bitmap_retention,
         "text_decontaminate": q_text_decontaminate,
         "events_cms_hitters": q_events_cms_hitters,
         "events_approx_quantiles": q_events_approx_quantiles,
@@ -2694,6 +2708,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_markov_predict": _ext_oracle(
             [_tmp.ORACLE_MARKOV_PREDICT], "markov_predict"
+        ),
+        "events_type_corr": _ext_oracle(
+            [_tmp.ORACLE_TYPE_CORR], "type_correlations"
+        ),
+        "events_bitmap_retention": _ext_oracle(
+            [_tmp.ORACLE_BITMAP_RETENTION], "bitmap_retention"
         ),
         "text_decontaminate": _ext_oracle(
             [_dedup.ORACLE_DECONTAMINATE], "decontaminate"

@@ -3873,3 +3873,191 @@ markov_predict AS (
   GROUP BY 1, 2
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# event-type correlation matrix (hourly count series)
+# ---------------------------------------------------------------------------
+
+
+def type_correlations(events: DataFrame) -> DataFrame:
+    """Pearson correlation between event types' hourly count series —
+    "do errors spike with clicks?" — computed from integral sums only:
+    counts are exact, the five correlation sums (n, sx, sy, sxx, syy,
+    sxy) are BIGINT, and the final r is one identical double
+    expression per pair, rounded(6). Missing hours count as zero via
+    the dense hour grid (the `gapfill` trick), which matters: without
+    densify, correlation silently conditions on "both active".
+
+    Shape: one (hour, type) count-agg, pivot to pairs by self-join on
+    hour (|types|^2 * hours rows, tiny), one sum-agg per pair.
+    Output: type_a, type_b (a < b), n_hours, r.
+    """
+    hourly = events.groupBy(
+        F.unix_millis(F.date_trunc("hour", "ts")).alias("hour_ms"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    span = hourly.agg(
+        F.min("hour_ms").alias("lo"), F.max("hour_ms").alias("hi")
+    )
+    hours = span.select(
+        F.explode(
+            F.expr("sequence(lo, hi, 3600000)")
+        ).alias("hour_ms")
+    )
+    grid = hours.crossJoin(
+        events.select("event_type").distinct()
+    ).join(hourly, ["hour_ms", "event_type"], "left").select(
+        "hour_ms",
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+    a = grid.select(
+        "hour_ms", F.col("event_type").alias("type_a"),
+        F.col("n").alias("x"),
+    )
+    b = grid.select(
+        "hour_ms", F.col("event_type").alias("type_b"),
+        F.col("n").alias("y"),
+    )
+    pairs = a.join(b, "hour_ms").filter(F.col("type_a") < F.col("type_b"))
+    s = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n_hours") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (
+            F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")
+        ).cast("double")
+        * (
+            F.col("n_hours") * F.col("syy") - F.col("sy") * F.col("sy")
+        ).cast("double")
+    )
+    return s.select(
+        "type_a",
+        "type_b",
+        "n_hours",
+        F.round(num.cast("double") / den, 6).alias("r"),
+    )
+
+
+ORACLE_TYPE_CORR = """
+tc2_hourly AS (
+  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+tc2_span AS (SELECT min(hour_ms) AS lo, max(hour_ms) AS hi
+             FROM tc2_hourly),
+tc2_grid AS (
+  SELECT g.hour_ms, t.event_type, COALESCE(h.n, 0) AS n
+  FROM (SELECT unnest(generate_series(lo, hi, 3600000)) AS hour_ms
+        FROM tc2_span) g
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+  LEFT JOIN tc2_hourly h USING (hour_ms, event_type)
+),
+tc2_s AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(a.n) AS BIGINT) AS sx, CAST(sum(b.n) AS BIGINT) AS sy,
+         CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+         CAST(sum(b.n * b.n) AS BIGINT) AS syy,
+         CAST(sum(a.n * b.n) AS BIGINT) AS sxy
+  FROM tc2_grid a JOIN tc2_grid b USING (hour_ms)
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+type_correlations AS (
+  SELECT type_a, type_b, n_hours,
+         round(CAST(n_hours * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n_hours * sxx - sx * sx AS DOUBLE)
+                      * CAST(n_hours * syy - sy * sy AS DOUBLE)), 6)
+           AS r
+  FROM tc2_s
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# bitmap audience sketch: day-over-day retention
+# ---------------------------------------------------------------------------
+
+BM_BITS = 63
+
+
+def bitmap_retention(events: DataFrame) -> DataFrame:
+    """Audience-overlap via bitmap sketches: each day's active users
+    collapse into ONE 63-bit bitmap (bit = md5 bucket of user_id,
+    ``bit_or`` agg); day-over-day overlap is then popcount algebra on
+    two BIGINTs — the roaring-bitmap/audience-sketch pattern ad and
+    analytics stores use for instant segment intersections, at its
+    smallest useful size (production uses 2^20+ bits; the shape is
+    identical and the bit width is one constant).
+
+    Estimates are coarse (63 buckets saturate fast — the point of the
+    test is the mechanism, not precision); determinism comes from md5
+    bucketing, so overlap counts hash-verify exactly. Scale: the
+    bitmap agg is ONE map-side-combinable pass to a |days|-row table;
+    every pairwise overlap after that is constant-time integer work —
+    no re-touch of events, ever. Output per consecutive-day pair:
+    day, next_day, bits_day, bits_next, bits_both, jaccard_bits.
+    """
+    day = F.to_date("ts").cast("string").alias("day")
+    bit = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint") % BM_BITS
+    daily = (
+        events.select(day, bit.alias("bit"))
+        .select("day", F.expr("shiftleft(1L, CAST(bit AS INT))").alias("m"))
+        .groupBy("day")
+        .agg(F.expr("bit_or(m)").alias("bm"))
+    )
+    w = Window.orderBy("day")
+    pairs = daily.select(
+        "day",
+        "bm",
+        F.lead("day").over(w).alias("next_day"),
+        F.lead("bm").over(w).alias("bm_next"),
+    ).filter(F.col("next_day").isNotNull())
+    both = F.expr("bit_count(bm & bm_next)")
+    either = F.expr("bit_count(bm | bm_next)")
+    return pairs.select(
+        "day",
+        "next_day",
+        F.expr("bit_count(bm)").alias("bits_day"),
+        F.expr("bit_count(bm_next)").alias("bits_next"),
+        both.alias("bits_both"),
+        F.round(both / either, 6).alias("jaccard_bits"),
+    )
+
+
+ORACLE_BITMAP_RETENTION = f"""
+bm_daily AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                AS BIGINT) % {BM_BITS} AS INT))
+         AS BIGINT) AS bm
+  FROM events GROUP BY 1
+),
+bm_pairs AS (
+  SELECT day, bm,
+         lead(day) OVER (ORDER BY day) AS next_day,
+         lead(bm) OVER (ORDER BY day) AS bm_next
+  FROM bm_daily
+),
+bitmap_retention AS (
+  SELECT day, next_day,
+         CAST(bit_count(bm) AS INT) AS bits_day,
+         CAST(bit_count(bm_next) AS INT) AS bits_next,
+         CAST(bit_count(bm & bm_next) AS INT) AS bits_both,
+         round(CAST(bit_count(bm & bm_next) AS DOUBLE)
+               / bit_count(bm | bm_next), 6) AS jaccard_bits
+  FROM bm_pairs WHERE next_day IS NOT NULL
+)
+"""
