@@ -1478,6 +1478,12 @@ def q_parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ana.pareto_skyline(load_table(spark, sf_dir, "part"))
 
 
+def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords: integer PageRank over the word
+    co-occurrence graph, top-k."""
+    return _text.textrank_keywords(_docs(spark, sf_dir))
+
+
 def q_text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing vectorizer (signed md5 buckets, no vocabulary
     state) over the first docs."""
@@ -2297,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_pareto_skyline": q_parts_pareto_skyline,
         "text_zipf_fit": q_text_zipf_fit,
         "text_hashed_features": q_text_hashed_features,
+        "text_textrank": q_text_textrank,
         "shipping_priority": q_shipping_priority,
         "customer_returns": q_customer_returns,
         "large_orders": q_large_orders,
@@ -2932,6 +2939,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_hashed_features": _ext_oracle(
             [_text.oracle_hashed_features()], "hashed_features"
+        ),
+        "text_textrank": _ext_oracle(
+            [_text.oracle_textrank()], "textrank_keywords"
         ),
         "pricing_summary": _ext_oracle(
             [_rel.ORACLE_PRICING_SUMMARY], "pricing_summary"

@@ -2903,3 +2903,137 @@ hashed_features AS (
   GROUP BY 1, 2
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords (PageRank on the word co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+TR_ITERATIONS = 3
+TR_TOP_K = 20
+TR_SCALE = 1_000_000
+TR_DAMP_PCT = 85
+
+
+def textrank_keywords(
+    docs: DataFrame, k: int = TR_TOP_K, iterations: int = TR_ITERATIONS
+) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004): PageRank over the word
+    co-occurrence graph — the graph-centrality complement to RAKE's
+    frequency scoring (RAKE rewards words in long phrases; TextRank
+    rewards words that CONNECT many contexts).
+
+    Graph: adjacent non-stopword token pairs, undirected (both edge
+    directions). Ranking reuses the engine's integer-PageRank recipe
+    (`graph.pagerank_products`): scaled-millionth ranks with floor
+    division, fixed unrolled supersteps, no driver collect — the
+    word-string keys just replace integer node ids. Vocabulary-sized
+    state throughout; the corpus is touched once by the pair explode.
+    Output: top-k (word, rank_millionths).
+    """
+    stops = [s.lower() for s in EN_STOPWORDS]
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(_tokens_col()).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    nxt = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("w2", F.lead("w").over(nxt))
+        .filter(
+            F.col("w2").isNotNull()
+            & ~F.col("w").isin(stops)
+            & ~F.col("w2").isin(stops)
+            & (F.col("w") != F.col("w2"))
+        )
+        .select(F.col("w").alias("a"), F.col("w2").alias("b"))
+    )
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+    ranks = deg.select(
+        F.col("a").alias("node"), F.lit(TR_SCALE).alias("rank")
+    )
+    base = (100 - TR_DAMP_PCT) * TR_SCALE // 100
+    for _ in range(iterations):
+        ranks = (
+            edges.join(
+                ranks.join(deg, ranks.node == deg.a).select(
+                    F.col("node").alias("src"),
+                    F.expr("rank DIV deg").alias("give"),
+                ),
+                edges.a == F.col("src"),
+            )
+            .groupBy("b")
+            .agg(F.sum("give").alias("incoming"))
+            .select(
+                F.col("b").alias("node"),
+                (
+                    F.lit(base)
+                    + F.expr(f"incoming * {TR_DAMP_PCT} DIV 100")
+                ).alias("rank"),
+            )
+        )
+    return (
+        ranks.orderBy(F.col("rank").desc(), "node")
+        .limit(k)
+        .select(F.col("node").alias("word"),
+                F.col("rank").alias("rank_millionths"))
+    )
+
+
+def oracle_textrank(
+    k: int = TR_TOP_K, iterations: int = TR_ITERATIONS
+) -> str:
+    stops = ", ".join(f"'{w.lower()}'" for w in EN_STOPWORDS)
+    base = (100 - TR_DAMP_PCT) * TR_SCALE // 100
+    ctes = [
+        f"""
+tr_toks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS w,
+         toks[i + 1] AS w2
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM documents),
+       LATERAL unnest(range(1, len(toks))) AS g(i)
+),
+tr_edges AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT w AS a, w2 AS b FROM tr_toks
+    UNION ALL SELECT w2, w FROM tr_toks)
+  WHERE a <> '' AND b <> '' AND a <> b
+    AND a NOT IN ({stops}) AND b NOT IN ({stops})
+),
+tr_deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM tr_edges GROUP BY 1
+),
+tr_r0 AS (
+  SELECT a AS node, CAST({TR_SCALE} AS BIGINT) AS rank FROM tr_deg
+)"""
+    ]
+    prev = "tr_r0"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""
+tr_r{i} AS (
+  SELECT e.b AS node,
+         CAST({base} + (sum(CAST(r.rank // d.deg AS BIGINT))
+           * {TR_DAMP_PCT}) // 100 AS BIGINT) AS rank
+  FROM tr_edges e
+  JOIN {prev} r ON e.a = r.node
+  JOIN tr_deg d ON e.a = d.a
+  GROUP BY 1
+)"""
+        )
+        prev = f"tr_r{i}"
+    ctes.append(
+        f"""
+textrank_keywords AS (
+  SELECT node AS word, rank AS rank_millionths FROM {prev}
+  ORDER BY rank DESC, node LIMIT {k}
+)"""
+    )
+    return ",".join(ctes)
