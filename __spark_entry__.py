@@ -1478,6 +1478,12 @@ def q_parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ana.pareto_skyline(load_table(spark, sf_dir, "part"))
 
 
+def q_text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve (first-appearance bucketing,
+    no running-distinct state)."""
+    return _text.heaps_curve(_docs(spark, sf_dir))
+
+
 def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keywords: integer PageRank over the word
     co-occurrence graph, top-k."""
@@ -2304,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf_fit": q_text_zipf_fit,
         "text_hashed_features": q_text_hashed_features,
         "text_textrank": q_text_textrank,
+        "text_heaps_curve": q_text_heaps_curve,
         "shipping_priority": q_shipping_priority,
         "customer_returns": q_customer_returns,
         "large_orders": q_large_orders,
@@ -2942,6 +2949,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_textrank": _ext_oracle(
             [_text.oracle_textrank()], "textrank_keywords"
+        ),
+        "text_heaps_curve": _ext_oracle(
+            [_text.oracle_heaps()], "heaps_curve"
         ),
         "pricing_summary": _ext_oracle(
             [_rel.ORACLE_PRICING_SUMMARY], "pricing_summary"

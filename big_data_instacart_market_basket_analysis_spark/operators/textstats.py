@@ -3037,3 +3037,91 @@ textrank_keywords AS (
 )"""
     )
     return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+HEAPS_BUCKET_DOCS = 50
+
+
+def heaps_curve(
+    docs: DataFrame, bucket_docs: int = HEAPS_BUCKET_DOCS
+) -> DataFrame:
+    """Heaps'-law curve: vocabulary size vs tokens seen, sampled every
+    ``bucket_docs`` documents in doc_id order — the sub-linear vocab
+    growth check that distinguishes natural corpora from template spam
+    (whose vocab flatlines) and from random noise (whose vocab grows
+    linearly). Companion diagnostic to `zipf_fit`.
+
+    The trick that avoids any running-distinct state: a word first
+    contributes to the vocabulary at its MINIMUM doc_id — so
+    per-checkpoint vocabulary is the cumsum of a (first-bucket ->
+    new-word count) table, and tokens_seen is the cumsum of per-bucket
+    token counts. Two corpus-sized hash-aggs, then checkpoint-sized
+    windows. Output: checkpoint_docs, tokens_seen, vocab_size,
+    new_words.
+    """
+    toks = docs.select(
+        (F.col("doc_id") / bucket_docs).cast("int").alias("bucket"),
+        "doc_id",
+        F.explode(_tokens_col()).alias("w"),
+    ).filter(F.col("w") != "")
+    first = (
+        toks.groupBy("w")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("new_words"))
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count("*").alias("n_toks")
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_bucket.join(first, "bucket", "left")
+        .select(
+            "bucket",
+            "n_toks",
+            F.coalesce("new_words", F.lit(0)).alias("new_words"),
+        )
+        .select(
+            ((F.col("bucket") + 1) * bucket_docs).alias("checkpoint_docs"),
+            F.sum("n_toks").over(w).alias("tokens_seen"),
+            F.sum("new_words").over(w).alias("vocab_size"),
+            "new_words",
+        )
+    )
+
+
+def oracle_heaps(bucket_docs: int = HEAPS_BUCKET_DOCS) -> str:
+    return f"""
+hp_toks AS (
+  SELECT CAST(doc_id // {bucket_docs} AS INT) AS bucket, w
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+hp_first AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS new_words
+  FROM (SELECT w, min(bucket) AS bucket FROM hp_toks GROUP BY 1)
+  GROUP BY 1
+),
+hp_per AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_toks
+  FROM hp_toks GROUP BY 1
+),
+heaps_curve AS (
+  SELECT (bucket + 1) * {bucket_docs} AS checkpoint_docs,
+         CAST(sum(n_toks) OVER (ORDER BY bucket
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_seen,
+         CAST(sum(new_words) OVER (ORDER BY bucket
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size,
+         new_words
+  FROM (SELECT p.bucket, p.n_toks, COALESCE(f.new_words, 0) AS new_words
+        FROM hp_per p LEFT JOIN hp_first f USING (bucket))
+)
+"""
