@@ -497,3 +497,71 @@ def test_q6_predicates_all_reach_the_scan(spark):
     pushed = m.group(1)
     for frag in ("l_shipdate", "l_discount,0.05", "l_quantity,24"):
         assert frag in pushed, (frag, pushed)
+
+
+def test_pq_candidate_join_broadcasts_lut(spark):
+    """PQ ADC scoring joins the corpus codes against the per-query LUT
+    — the LUT (|Q|*M*K rows) must broadcast; the codes table must
+    never sort-merge."""
+    plan = _plan(spark, "ann_pq")
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_kmeans_lloyd_no_python_and_broadcast_centroids(spark):
+    """Deterministic Lloyd's: centroid assignment is the deliberate
+    broadcast cross against the k-row centroid table (nested-loop with
+    a tiny build side — the intended plan; a shuffle join here would
+    be the regression), all-integer expressions in codegen."""
+    plan = _plan(spark, "embedding_kmeans_lloyd")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cms_probe_joins_broadcast_sketch(spark):
+    """CMS estimation joins candidate probes against the constant-size
+    cell table — must be a broadcast join."""
+    plan = _plan(spark, "events_cms_hitters")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_broadcasts_bench_postings(spark):
+    """Decontamination must broadcast the benchmark postings so the
+    corpus side never shuffles for the overlap join."""
+    plan = _plan(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_new_wave_has_no_python_udfs(spark):
+    """The entire round-2 wave stays JVM-side (no Python eval nodes
+    anywhere in the plans)."""
+    for name in (
+        "embedding_kmeans_lloyd",
+        "ann_pq",
+        "rag_rerank",
+        "embedding_mmr",
+        "text_bpe_train",
+        "events_kmv_sketch",
+        "events_hll_sketch",
+        "events_cms_hitters",
+        "graph_bfs",
+        "graph_lpa",
+        "graph_item_similarity",
+        "parts_pareto_skyline",
+        "parts_trending",
+        "events_dp_counts",
+        "ml_cart_verified",
+        "events_lttb",
+        "text_hashed_features",
+        "events_markov_predict",
+        "text_decontaminate",
+        "events_type_corr",
+        "events_bitmap_retention",
+        "text_textrank",
+        "text_heaps_curve",
+        "text_zipf_fit",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
