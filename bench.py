@@ -127,6 +127,10 @@ HEADLINE = [
     "graph_bfs",
     "graph_lpa",
     "parts_pareto_skyline",
+    "ml_cart_verified",
+    "graph_item_similarity",
+    "text_textrank",
+    "text_decontaminate",
 ]
 
 
