@@ -1764,3 +1764,128 @@ decontaminate AS (
   HAVING count(*) >= {DECON_MIN_SHARED}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS local document fingerprinting)
+# ---------------------------------------------------------------------------
+
+WIN_K = 3     # words per gram
+WIN_W = 4     # grams per winnowing window
+WIN_DF_CAP = 30
+WIN_MIN_SHARED = 2
+
+
+def winnowing_pairs(docs: DataFrame) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
+    algorithm): per document, hash every WIN_K-gram, then keep only
+    the MINIMUM hash of each WIN_W-gram sliding window — a local
+    fingerprint sample with the guarantee MinHash cannot give: any
+    shared run of at least W+K-1 tokens is ALWAYS detected (some
+    window inside the run must agree on its minimum). Pairs sharing
+    >= WIN_MIN_SHARED fingerprints are reported.
+
+    Shape: gram hashing and window minima are per-doc (posexplode +
+    a bounded FOLLOWING-frame window); the fingerprint table is the
+    winnowed sample (~1/W of grams), the pair join is the standard
+    inverted index with the document-frequency cap guarding hot
+    fingerprints (same quadratic guardrail as `ngram_jaccard_pairs`).
+    Output: doc_a, doc_b, n_shared.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+            "pos", "w"
+        ),
+    )
+    wg = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WIN_K - 1)
+    )
+    grams = (
+        toks.withColumn(
+            "gram", F.array_join(F.collect_list("w").over(wg), " ")
+        )
+        .withColumn("ng", F.size(F.split(F.col("gram"), " ")))
+        .filter(F.col("ng") == WIN_K)
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(
+                F.substring(F.md5("gram"), 1, 13), 16, 10
+            ).cast("bigint").alias("h"),
+        )
+    )
+    ww = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WIN_W - 1)
+    )
+    stats = grams.groupBy("doc_id").agg(F.max("pos").alias("max_pos"))
+    fps = (
+        grams.withColumn("fp", F.min("h").over(ww))
+        .join(F.broadcast(stats), "doc_id")
+        .filter(F.col("pos") <= F.col("max_pos") - (WIN_W - 1))
+        .select("doc_id", F.col("fp").alias("h"))
+        .distinct()
+    )
+    hot = fps.groupBy("h").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= WIN_DF_CAP
+    )
+    kept = fps.join(hot.select("h"), "h", "leftsemi")
+    pairs = (
+        kept.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(kept.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WIN_MIN_SHARED)
+    )
+    return pairs
+
+
+ORACLE_WINNOWING = f"""
+wn_toks AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS w,
+         len(toks) AS n_toks
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM documents),
+       LATERAL unnest(range(1, len(toks) + 1)) AS g(i)
+),
+wn_grams AS (
+  SELECT doc_id, start AS pos,
+         CAST(('0x' || substr(md5(
+           list_aggregate(list(w ORDER BY pos), 'string_agg', ' ')
+         ), 1, 13)) AS BIGINT) AS h
+  FROM (SELECT a.doc_id, a.pos AS start, b.pos, b.w
+        FROM wn_toks a JOIN wn_toks b
+          ON b.doc_id = a.doc_id
+         AND b.pos BETWEEN a.pos AND a.pos + {WIN_K - 1}
+        WHERE a.pos + {WIN_K - 1} < a.n_toks)
+  GROUP BY doc_id, start
+),
+wn_fps AS (
+  SELECT DISTINCT doc_id, fp AS h FROM (
+    SELECT doc_id, pos,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {WIN_W - 1} FOLLOWING) AS fp,
+           max(pos) OVER (PARTITION BY doc_id) AS max_pos
+    FROM wn_grams)
+  WHERE pos <= max_pos - {WIN_W - 1}
+),
+wn_kept AS (
+  SELECT doc_id, h FROM wn_fps
+  WHERE h IN (SELECT h FROM wn_fps GROUP BY h
+              HAVING count(*) <= {WIN_DF_CAP})
+),
+winnowing_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM wn_kept a JOIN wn_kept b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {WIN_MIN_SHARED}
+)
+"""

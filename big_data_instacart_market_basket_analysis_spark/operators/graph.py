@@ -435,57 +435,60 @@ SIM_TOP_K = 5
 def item_similarity(
     lineitem: DataFrame, k: int = SIM_TOP_K
 ) -> DataFrame:
-    """Item-item collaborative similarity: Jaccard overlap of
-    co-purchase neighborhoods, top-``k`` most similar parts per part —
-    the classic "customers also bought" recommender (Linden et al.
-    2003, item-to-item CF), computed on the graph the reference's
-    frequent-pair mining induces.
+    """Item-item collaborative similarity (Linden et al. 2003,
+    item-to-item CF): Jaccard overlap of the ORDER SETS two parts
+    appear in, top-``k`` most similar parts per part — "customers who
+    bought a also bought b", scored on the interaction sets
+    themselves.
 
-    |N(a) ∩ N(b)| comes from the SAME wedge join triangle counting
-    uses (edges self-joined on the shared neighbor — work bounded by
-    sum of squared degrees, hash-join only); |N(a) ∪ N(b)| is degree
-    algebra, no second pass. Jaccard rounds(6) before the per-item
-    rank window (partition bounded by an item's wedge partners).
-    Output: item, neighbor, n_common, jaccard, rank.
+    Cost discipline: co-occurrence counts come from the per-order
+    self-join, so candidate-pair work is sum over orders of C(k,2) —
+    bounded by basket width, NEVER by node degree (the first cut of
+    this operator counted wedges on the derived co-purchase graph:
+    sum-of-degree-squared, 16M pairs at sf0.01, and it OOM'd a
+    1 GiB driver JVM; basket-bounded counting is ~100x smaller on
+    identical data and is how the reference's own frequent-pair
+    mining stays cheap). Per-item top-k is a window over an item's
+    co-occurrence partners only. Output: item, neighbor, n_common,
+    jaccard, rank.
     """
-    und = _edges_staged(lineitem)
-    deg = und.groupBy("a").agg(F.count("*").alias("deg"))
-    # wedges x-a-y over the shared neighbor a give PAIRS (x, y) with a
-    # common co-purchase partner; orient x < y to count each once
-    wedge = (
-        und.select(F.col("a").alias("mid"), F.col("b").alias("x"))
-        .join(
-            und.select(F.col("a").alias("mid"), F.col("b").alias("y")),
-            "mid",
+    op = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ords = op.groupBy("p").agg(F.count("*").alias("n_ord"))
+    pairs = (
+        op.join(
+            op.select(F.col("ok"), F.col("p").alias("q")), "ok"
         )
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
+        .filter(F.col("p") < F.col("q"))
+        .groupBy("p", "q")
         .agg(F.count("*").alias("n_common"))
     )
     scored = (
-        wedge.join(
-            deg.select(F.col("a").alias("x"), F.col("deg").alias("dx")),
-            "x",
+        pairs.join(
+            ords.select(F.col("p"), F.col("n_ord").alias("na")), "p"
         )
         .join(
-            deg.select(F.col("a").alias("y"), F.col("deg").alias("dy")),
-            "y",
+            ords.select(
+                F.col("p").alias("q"), F.col("n_ord").alias("nb")
+            ),
+            "q",
         )
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
-                / (F.col("dx") + F.col("dy") - F.col("n_common")),
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
                 6,
             ),
         )
     )
     both = scored.select(
-        F.col("x").alias("item"), F.col("y").alias("neighbor"),
+        F.col("p").alias("item"), F.col("q").alias("neighbor"),
         "n_common", "jaccard",
     ).unionByName(
         scored.select(
-            F.col("y").alias("item"), F.col("x").alias("neighbor"),
+            F.col("q").alias("item"), F.col("p").alias("neighbor"),
             "n_common", "jaccard",
         )
     )
@@ -501,32 +504,29 @@ def item_similarity(
 
 def oracle_item_similarity(k: int = SIM_TOP_K) -> str:
     return f"""
-is_edges AS (
-  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
-  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-  WHERE l1.l_partkey <> l2.l_partkey
+is_op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
 ),
-is_deg AS (
-  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM is_edges GROUP BY 1
+is_ord AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS n_ord FROM is_op GROUP BY 1
 ),
-is_wedge AS (
-  SELECT e1.b AS x, e2.b AS y, CAST(count(*) AS BIGINT) AS n_common
-  FROM is_edges e1 JOIN is_edges e2 ON e1.a = e2.a
-  WHERE e1.b < e2.b
+is_pairs AS (
+  SELECT a.p, b.p AS q, CAST(count(*) AS BIGINT) AS n_common
+  FROM is_op a JOIN is_op b ON a.ok = b.ok AND a.p < b.p
   GROUP BY 1, 2
 ),
 is_scored AS (
-  SELECT w.x, w.y, w.n_common,
-         round(w.n_common / (dx.deg + dy.deg - w.n_common), 6)
+  SELECT w.p, w.q, w.n_common,
+         round(w.n_common / (na.n_ord + nb.n_ord - w.n_common), 6)
            AS jaccard
-  FROM is_wedge w
-  JOIN is_deg dx ON dx.a = w.x
-  JOIN is_deg dy ON dy.a = w.y
+  FROM is_pairs w
+  JOIN is_ord na ON na.p = w.p
+  JOIN is_ord nb ON nb.p = w.q
 ),
 is_both AS (
-  SELECT x AS item, y AS neighbor, n_common, jaccard FROM is_scored
+  SELECT p AS item, q AS neighbor, n_common, jaccard FROM is_scored
   UNION ALL
-  SELECT y, x, n_common, jaccard FROM is_scored
+  SELECT q, p, n_common, jaccard FROM is_scored
 ),
 item_similarity AS (
   SELECT item, neighbor, n_common, jaccard,
