@@ -1337,6 +1337,12 @@ def q_events_markov_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.markov_predict_eval(load_table(spark, sf_dir, "events"))
 
 
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint pairs: window-min k-gram sampling
+    with the guaranteed-detection property."""
+    return _dedup.winnowing_pairs(_docs(spark, sf_dir))
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing 5-grams with the
     pseudo held-out set (broadcast postings semi-join)."""
@@ -2154,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_corr": q_events_type_corr,
         "events_bitmap_retention": q_events_bitmap_retention,
         "text_decontaminate": q_text_decontaminate,
+        "dedup_winnowing": q_dedup_winnowing,
         "events_cms_hitters": q_events_cms_hitters,
         "events_approx_quantiles": q_events_approx_quantiles,
         "events_pit_enrich": q_events_pit_enrich,
@@ -2731,6 +2738,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_decontaminate": _ext_oracle(
             [_dedup.ORACLE_DECONTAMINATE], "decontaminate"
+        ),
+        "dedup_winnowing": _ext_oracle(
+            [_dedup.ORACLE_WINNOWING], "winnowing_pairs"
         ),
         "events_cms_hitters": _ext_oracle(
             [_tmp.ORACLE_CMS], "cms_heavy_hitters"
