@@ -1346,7 +1346,7 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing 5-grams with the
     pseudo held-out set (broadcast postings semi-join)."""
-    return _dedup.decontaminate(_docs(spark, sf_dir))
+    return _dedup.decontaminate_ngram(_docs(spark, sf_dir))
 
 
 def q_events_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2737,7 +2737,7 @@ def oracle_sql() -> dict[str, str]:
             [_tmp.ORACLE_BITMAP_RETENTION], "bitmap_retention"
         ),
         "text_decontaminate": _ext_oracle(
-            [_dedup.ORACLE_DECONTAMINATE], "decontaminate"
+            [_dedup.ORACLE_DECONTAMINATE_NGRAM], "decontaminate_ngram"
         ),
         "dedup_winnowing": _ext_oracle(
             [_dedup.ORACLE_WINNOWING], "winnowing_pairs"

@@ -1675,7 +1675,7 @@ DECON_BENCH_MOD = 29
 DECON_MIN_SHARED = 1
 
 
-def decontaminate(docs: DataFrame) -> DataFrame:
+def decontaminate_ngram(docs: DataFrame) -> DataFrame:
     """Training-set decontamination: flag corpus documents that share
     any ``DECON_NGRAM``-gram with the benchmark set (here the pseudo
     held-out docs ``doc_id % DECON_BENCH_MOD == 0``) — the overlap
@@ -1728,7 +1728,7 @@ def decontaminate(docs: DataFrame) -> DataFrame:
     )
 
 
-ORACLE_DECONTAMINATE = f"""
+ORACLE_DECONTAMINATE_NGRAM = f"""
 dc_toks AS (
   SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS w,
          len(toks) AS n_toks
@@ -1757,7 +1757,7 @@ dc_hits AS (
   FROM dc_grams c JOIN dc_bench b USING (h)
   WHERE c.doc_id % {DECON_BENCH_MOD} <> 0
 ),
-decontaminate AS (
+decontaminate_ngram AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_spans,
          CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
   FROM dc_hits GROUP BY 1
