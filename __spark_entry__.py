@@ -2087,6 +2087,14 @@ def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: df-capped lexical overlap + exact cosine lists
+    merged by reciprocal-rank fusion."""
+    return _sim.hybrid_search_rrf(
+        _docs(spark, sf_dir), _emb(spark, sf_dir)
+    )
+
+
 def q_embedding_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diverse retrieval: greedy relevance-vs-redundancy picks,
     unrolled rounds confined to the candidate set."""
@@ -2349,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_context_pack": q_rag_context_pack,
         "rag_rerank": q_rag_rerank,
         "embedding_mmr": q_embedding_mmr,
+        "rag_hybrid_rrf": q_rag_hybrid_rrf,
         "idle_rich_customers": q_idle_rich_customers,
         "incremental_join_view": q_incremental_join_view,
         "late_order_priorities": q_late_order_priorities,
@@ -3028,6 +3037,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_mmr": _ext_oracle(
             [_sim.oracle_mmr_select()], "mmr_select"
+        ),
+        "rag_hybrid_rrf": _ext_oracle(
+            [_sim.ORACLE_BRUTE_FORCE_TOPK, _sim.oracle_hybrid_rrf()],
+            "hybrid_search_rrf",
         ),
         "rag_context_pack": _ext_oracle(
             [_text.ORACLE_CHUNKS, _sim.oracle_rag_context_pack()],

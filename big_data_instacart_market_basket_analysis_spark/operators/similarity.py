@@ -2251,3 +2251,153 @@ mmr_select AS (
 )"""
     )
     return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of lexical + semantic lists
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_TOP = 10
+LEX_DF_CAP = 150
+
+
+def hybrid_search_rrf(
+    docs: DataFrame, emb: DataFrame, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Hybrid search (the modern RAG retrieval default): run a LEXICAL
+    ranking (distinct shared-token overlap through a df-capped
+    inverted index) and a SEMANTIC ranking (exact cosine top-k) for
+    the same queries, then merge with reciprocal-rank fusion
+    (Cormack et al. 2009): score = sum over lists of 1/(RRF_K + rank).
+    RRF needs no score calibration between the two systems — exactly
+    why it is the production fusion — and its arithmetic here is
+    deterministic (ranks are integers; the reciprocal sums are
+    identical double expressions).
+
+    The documents and embeddings tables are 1:1 by id, so each query
+    doc contributes its text to one list and its vector to the other.
+    Scale: the lexical side is posting-list confinement (only the
+    query terms' postings move, hot terms df-capped); the semantic
+    side is the established broadcast top-k; fusion touches two
+    |Q|*k rank lists. Output: query_id, doc_id, lex_rank, sem_rank,
+    rrf (round 6), rank.
+    """
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    keep = toks.groupBy("w").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= LEX_DF_CAP
+    )
+    toks = toks.join(keep.select("w"), "w", "leftsemi")
+    qt = toks.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), "w"
+    )
+    overlap = (
+        qt.join(toks, "w")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("n_shared").desc(), "doc_id"
+    )
+    lex = (
+        overlap.withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= TOP_K)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    sem = brute_force_topk(emb).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    fused = (
+        lex.join(sem, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+    )
+    w_rrf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), "doc_id"
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_rrf))
+        .filter(F.col("rank") <= RRF_TOP)
+        .select(
+            "query_id", "doc_id", "lex_rank", "sem_rank", "rrf", "rank"
+        )
+    )
+
+
+def oracle_hybrid_rrf(n_queries: int = N_QUERIES) -> str:
+    return f"""
+hr_toks0 AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+hr_toks AS (
+  SELECT * FROM hr_toks0
+  WHERE w IN (SELECT w FROM hr_toks0 GROUP BY w
+              HAVING count(*) <= {LEX_DF_CAP})
+),
+hr_overlap AS (
+  SELECT q.doc_id AS query_id, d.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM hr_toks q JOIN hr_toks d USING (w)
+  WHERE q.doc_id < {n_queries} AND d.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+hr_lex AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY n_shared DESC, doc_id) AS INT) AS lex_rank
+  FROM hr_overlap
+  QUALIFY row_number() OVER (PARTITION BY query_id
+    ORDER BY n_shared DESC, doc_id) <= {TOP_K}
+),
+hr_sem AS (
+  SELECT query_id, neighbor_id AS doc_id, rank AS sem_rank
+  FROM brute_force_topk
+),
+hr_fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         round(COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + l.lex_rank), 0.0)
+               + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + s.sem_rank),
+                          0.0), 6)
+           AS rrf
+  FROM hr_lex l FULL OUTER JOIN hr_sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+),
+hybrid_search_rrf AS (
+  SELECT query_id, doc_id, lex_rank, sem_rank, rrf,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY rrf DESC, doc_id) AS INT) AS rank
+  FROM hr_fused
+  QUALIFY row_number() OVER (PARTITION BY query_id
+    ORDER BY rrf DESC, doc_id) <= {RRF_TOP}
+)
+"""
