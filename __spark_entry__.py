@@ -2087,6 +2087,12 @@ def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension truncation sweep: recall@k per dims vs the
+    full-dim exact truth."""
+    return _sim.matryoshka_recall(_emb(spark, sf_dir))
+
+
 def q_rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search: df-capped lexical overlap + exact cosine lists
     merged by reciprocal-rank fusion."""
@@ -2358,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_rerank": q_rag_rerank,
         "embedding_mmr": q_embedding_mmr,
         "rag_hybrid_rrf": q_rag_hybrid_rrf,
+        "ann_matryoshka_recall": q_ann_matryoshka_recall,
         "idle_rich_customers": q_idle_rich_customers,
         "incremental_join_view": q_incremental_join_view,
         "late_order_priorities": q_late_order_priorities,
@@ -3041,6 +3048,10 @@ def oracle_sql() -> dict[str, str]:
         "rag_hybrid_rrf": _ext_oracle(
             [_sim.ORACLE_BRUTE_FORCE_TOPK, _sim.oracle_hybrid_rrf()],
             "hybrid_search_rrf",
+        ),
+        "ann_matryoshka_recall": _ext_oracle(
+            [_sim.ORACLE_BRUTE_FORCE_TOPK, _sim.oracle_matryoshka()],
+            "matryoshka_recall",
         ),
         "rag_context_pack": _ext_oracle(
             [_text.ORACLE_CHUNKS, _sim.oracle_rag_context_pack()],

@@ -2401,3 +2401,119 @@ hybrid_search_rrf AS (
     ORDER BY rrf DESC, doc_id) <= {RRF_TOP}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style dimension-truncation recall sweep
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 32, 64)
+
+
+def matryoshka_recall(emb: DataFrame) -> DataFrame:
+    """Dimension-truncation sweep (the Matryoshka-representation
+    question): recall@k of PREFIX-dim cosine top-k against the full
+    64-dim exact truth, for each dims in MRL_DIMS — the measurement
+    that decides how hard an index can truncate stored vectors before
+    retrieval quality pays. Plain embeddings are not MRL-trained, so
+    low dims SHOULD score poorly here; the harness is the point (a
+    production MRL model plugs into the same sweep unchanged).
+
+    One plan: per dims, the established broadcast top-k on the sliced
+    vector; all sweeps share the corpus scan via the unioned slice
+    column. Output: dims, query_id, n_hits, recall_at_k.
+    """
+    truth = brute_force_topk(emb).select("query_id", "neighbor_id")
+    out = None
+    for d in MRL_DIMS:
+        sliced = emb.select(
+            "vec_id",
+            F.expr(
+                f"transform(slice(embedding, 1, {d}),"
+                " x -> CAST(x AS DOUBLE))"
+            ).alias("v"),
+        )
+        queries = sliced.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        corpus = sliced.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), "neighbor_id"
+        )
+        approx = (
+            F.broadcast(queries)
+            .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cosine", _cosine("qv", "cv"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        hits = approx.join(
+            truth, ["query_id", "neighbor_id"], "leftsemi"
+        ).groupBy("query_id").agg(F.count("*").alias("n_hits"))
+        rows = (
+            truth.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(d).alias("dims"),
+                "query_id",
+                F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                F.round(
+                    F.coalesce("n_hits", F.lit(0)) / F.lit(TOP_K), 4
+                ).alias("recall_at_k"),
+            )
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out
+
+
+def oracle_matryoshka() -> str:
+    parts = []
+    for d in MRL_DIMS:
+        parts.append(f"""
+mrl{d}_s AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM (SELECT vec_id,
+               list_transform(list_slice(embedding::DOUBLE[], 1, {d}),
+                              x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings) a
+  JOIN (SELECT vec_id,
+               list_transform(list_slice(embedding::DOUBLE[], 1, {d}),
+                              x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings) b
+    ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+),
+mrl{d}_t AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM mrl{d}_s) WHERE rank <= {TOP_K}
+),
+mrl{d}_h AS (
+  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM mrl{d}_t a
+  WHERE EXISTS (SELECT 1 FROM brute_force_topk b
+                WHERE b.query_id = a.query_id
+                  AND b.neighbor_id = a.neighbor_id)
+  GROUP BY 1
+)""")
+    finals = "\n  UNION ALL\n  ".join(
+        f"""SELECT {d} AS dims, q.query_id,
+         COALESCE(h.n_hits, 0) AS n_hits,
+         round(COALESCE(h.n_hits, 0) / CAST({TOP_K} AS DOUBLE), 4)
+           AS recall_at_k
+  FROM (SELECT DISTINCT query_id FROM brute_force_topk) q
+  LEFT JOIN mrl{d}_h h ON h.query_id = q.query_id"""
+        for d in MRL_DIMS
+    )
+    return ",".join(parts) + f""",
+matryoshka_recall AS (
+  {finals}
+)"""
