@@ -637,6 +637,12 @@ def q_ml_cart_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _trees.cart_train(load_table(spark, sf_dir, "events"))
 
 
+def q_ml_gbm_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified gradient boosting: depth-1 stumps on integer-scaled
+    residuals; per-round split/leaves/SSE hash-verified."""
+    return _trees.gbm_train(load_table(spark, sf_dir, "events"))
+
+
 def q_events_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laplace-mechanism DP counts per event_type (deterministic
     inverse-CDF noise at the secure-RNG swap point)."""
@@ -2223,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pseudonymized": q_events_pseudonymized,
         "events_dp_counts": q_events_dp_counts,
         "ml_cart_verified": q_ml_cart_verified,
+        "ml_gbm_verified": q_ml_gbm_verified,
         "parts_trending": q_parts_trending,
         "events_kanonymity": q_events_kanonymity,
         "events_holt_forecast": q_events_holt_forecast,
@@ -2559,6 +2566,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ml_cart_verified": _ext_oracle(
             [_trees.ORACLE_CART], "cart_train"
+        ),
+        "ml_gbm_verified": _ext_oracle(
+            [_trees.ORACLE_GBM], "gbm_train"
         ),
         "parts_trending": _ext_oracle(
             [_ana.ORACLE_TRENDING], "trending_parts"

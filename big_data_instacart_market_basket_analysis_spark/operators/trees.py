@@ -366,3 +366,268 @@ cart_train AS (
   SELECT * FROM dt_split_rows UNION ALL SELECT * FROM dt_leaves
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# verified gradient boosting (depth-1 regression stumps on residuals)
+# ---------------------------------------------------------------------------
+
+GB_ROUNDS = 3
+GB_SCALE = 1000
+
+
+def _gb_binned(events: DataFrame):
+    """(user_id, y, fid, bin) for the regression task: y = scaled
+    per-user purchase count; features/bins shared with the CART
+    builder."""
+    feats = events.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            * GB_SCALE
+        ).alias("y"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("f0"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("f1"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.expr(f"CAST(floor(value * {_VAL_SCALE}) AS BIGINT)"),
+                )
+            ),
+            F.lit(0),
+        ).alias("f2"),
+    )
+    melt = feats.select(
+        "user_id",
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("fid"), F.col(f"f{i}").alias("val")
+                    )
+                    for i in range(3)
+                ]
+            )
+        ).alias("fv"),
+    ).select("user_id", "y", "fv.fid", "fv.val")
+    ranges = melt.groupBy("fid").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    return melt.join(F.broadcast(ranges), "fid").select(
+        "user_id",
+        "y",
+        "fid",
+        F.expr(f"CAST((val - lo) * {TREE_BINS} DIV (hi - lo + 1) AS INT)")
+        .alias("bin"),
+    )
+
+
+def gbm_train(events: DataFrame, rounds: int = GB_ROUNDS) -> DataFrame:
+    """Verified gradient boosting: ``rounds`` depth-1 regression
+    stumps fit to the running residual of the scaled purchase count —
+    squared-loss boosting, where the gradient IS the residual, so
+    each round is exactly the histogram split search of `cart_train`
+    with variance-reduction scoring (maximize SL^2/nL + SR^2/nR) and
+    floor-mean leaf values. Integer-scaled residuals stay integral
+    through every update (leaf subtraction of a floor-mean), so the
+    whole ensemble — splits, leaf values, and the per-round SSE — is
+    engine-exact and hash-verified; the monotone-decreasing ``sse``
+    column is the training curve.
+
+    Floor convention: leaf means use floor(S/n) via double division
+    (NOT integer DIV — Spark's DIV truncates toward zero while
+    DuckDB's // floors, and residual sums go negative). Scale: per
+    round ONE histogram agg over the melted table plus a user-grain
+    residual update join; all split scoring is on features*bins rows
+    (the `cart_train` argument); plan-only composition with the
+    residual table localCheckpointed per round. Output per round:
+    round, fid, bin, vl, vr, sse.
+    """
+    binned = _gb_binned(events).localCheckpoint(eager=True)
+    resid = binned.select("user_id", "y").distinct().select(
+        "user_id", F.col("y").alias("r")
+    )
+    f0 = resid.agg(
+        F.expr("CAST(floor(sum(r) / count(*)) AS BIGINT)").alias("f0v")
+    )
+    resid = (
+        resid.crossJoin(F.broadcast(f0))
+        .select("user_id", (F.col("r") - F.col("f0v")).alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    wcum = (
+        Window.partitionBy("fid")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("fid")
+    out = None
+    for rnd in range(1, rounds + 1):
+        joined = binned.select("user_id", "fid", "bin").join(
+            resid, "user_id"
+        )
+        cum = (
+            joined.groupBy("fid", "bin")
+            .agg(F.count("*").alias("n"), F.sum("r").alias("s"))
+            .select(
+                "fid",
+                "bin",
+                F.sum("n").over(wcum).alias("nl"),
+                F.sum("s").over(wcum).alias("sl"),
+                F.sum("n").over(wtot).alias("nt"),
+                F.sum("s").over(wtot).alias("st"),
+            )
+        )
+        nl, sl = F.col("nl"), F.col("sl")
+        nr = F.col("nt") - nl
+        sr = F.col("st") - sl
+        best = (
+            cum.filter((nl > 0) & (nr > 0))
+            .select(
+                "fid",
+                "bin",
+                F.round(
+                    (sl * sl) / nl + (sr * sr) / nr, 6
+                ).alias("score"),
+                F.expr("CAST(floor(sl / nl) AS BIGINT)").alias("vl"),
+                F.expr(
+                    "CAST(floor((st - sl) / (nt - nl)) AS BIGINT)"
+                ).alias("vr"),
+            )
+            .orderBy(F.col("score").desc(), "fid", "bin")
+            .limit(1)
+        )
+        userbin = (
+            binned.select("user_id", "fid", "bin")
+            .join(
+                F.broadcast(
+                    best.select(
+                        F.col("fid").alias("bfid"),
+                        F.col("bin").alias("bbin"),
+                        "vl",
+                        "vr",
+                    )
+                )
+            )
+            .filter(F.col("fid") == F.col("bfid"))
+            .select(
+                "user_id",
+                F.when(F.col("bin") <= F.col("bbin"), F.col("vl"))
+                .otherwise(F.col("vr"))
+                .alias("step"),
+            )
+        )
+        resid = (
+            resid.join(userbin, "user_id")
+            .select("user_id", (F.col("r") - F.col("step")).alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        sse = resid.agg(
+            F.sum(F.col("r") * F.col("r")).alias("sse")
+        )
+        row = best.crossJoin(F.broadcast(sse)).select(
+            F.lit(rnd).alias("round"),
+            F.col("fid").cast("int"),
+            F.col("bin").cast("int"),
+            "vl",
+            "vr",
+            F.col("sse").cast("long").alias("sse"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_gb_round(prev_resid: str, rnd: int) -> str:
+    return f"""
+gb_c{rnd} AS (
+  SELECT fid, bin,
+         sum(n) OVER (PARTITION BY fid ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS nl,
+         sum(s) OVER (PARTITION BY fid ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS sl,
+         sum(n) OVER (PARTITION BY fid) AS nt,
+         sum(s) OVER (PARTITION BY fid) AS st
+  FROM (SELECT b.fid, b.bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(r.r) AS BIGINT) AS s
+        FROM gb_binned b JOIN {prev_resid} r USING (user_id)
+        GROUP BY 1, 2)
+),
+gb_b{rnd} AS (
+  SELECT fid, bin,
+         round((sl * sl) / nl + ((st - sl) * (st - sl)) / (nt - nl), 6)
+           AS score,
+         CAST(floor(sl / nl) AS BIGINT) AS vl,
+         CAST(floor((st - sl) / (nt - nl)) AS BIGINT) AS vr
+  FROM gb_c{rnd}
+  WHERE nl > 0 AND nt - nl > 0
+  ORDER BY score DESC, fid, bin LIMIT 1
+),
+gb_r{rnd} AS (
+  SELECT r.user_id,
+         CAST(r.r - CASE WHEN b.bin <= s.bin THEN s.vl ELSE s.vr END
+              AS BIGINT) AS r
+  FROM {prev_resid} r
+  JOIN gb_binned b ON b.user_id = r.user_id
+  CROSS JOIN gb_b{rnd} s
+  WHERE b.fid = s.fid
+)"""
+
+
+ORACLE_GBM = (
+    f"""
+gb_feats AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              * {GB_SCALE} AS BIGINT) AS y,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS f0,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS f1,
+         CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+              THEN CAST(floor(value * {_VAL_SCALE}) AS BIGINT) END), 0)
+              AS BIGINT) AS f2
+  FROM events GROUP BY 1
+),
+gb_melt AS (
+  SELECT user_id, y, 0 AS fid, f0 AS val FROM gb_feats
+  UNION ALL SELECT user_id, y, 1, f1 FROM gb_feats
+  UNION ALL SELECT user_id, y, 2, f2 FROM gb_feats
+),
+gb_ranges AS (
+  SELECT fid, min(val) AS lo, max(val) AS hi FROM gb_melt GROUP BY 1
+),
+gb_binned AS (
+  SELECT user_id, y, fid,
+         CAST((val - lo) * {TREE_BINS} // (hi - lo + 1) AS INT) AS bin
+  FROM gb_melt JOIN gb_ranges USING (fid)
+),
+gb_f0 AS (
+  SELECT CAST(floor(sum(y) / count(*)) AS BIGINT) AS f0v
+  FROM (SELECT DISTINCT user_id, y FROM gb_binned)
+),
+gb_r0 AS (
+  SELECT user_id, CAST(y - f0v AS BIGINT) AS r
+  FROM (SELECT DISTINCT user_id, y FROM gb_binned), gb_f0
+)"""
+    + "".join(
+        "," + _sql_gb_round(f"gb_r{i - 1}", i)
+        for i in range(1, GB_ROUNDS + 1)
+    )
+    + ",\n"
+    + "gbm_train AS (\n  "
+    + "\n  UNION ALL\n  ".join(
+        f"""SELECT {i} AS round, CAST(b.fid AS INT) AS fid,
+         CAST(b.bin AS INT) AS bin, b.vl, b.vr,
+         (SELECT CAST(sum(r * r) AS BIGINT) FROM gb_r{i}) AS sse
+  FROM gb_b{i} b"""
+        for i in range(1, GB_ROUNDS + 1)
+    )
+    + "\n)"
+)

@@ -128,3 +128,17 @@ def test_cart_tree_shape(spark):
     assert sum(l["n"] for l in leaves) <= n_users  # childless side drops
     for l in leaves:
         assert 0.0 <= l["metric"] <= 1.0
+
+
+def test_gbm_training_curve_decreases(spark):
+    """Verified boosting: SSE must decrease monotonically round over
+    round (squared-loss stumps can only reduce training error)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        trees,
+    )
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    rows = sorted(trees.gbm_train(events).collect(), key=lambda r: r["round"])
+    assert len(rows) == trees.GB_ROUNDS
+    sses = [r["sse"] for r in rows]
+    assert all(b <= a for a, b in zip(sses, sses[1:])), sses
