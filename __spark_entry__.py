@@ -837,6 +837,12 @@ def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _layout.zorder_keys(load_table(spark, sf_dir, "events"))
 
 
+def q_docs_consistent_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring routing with virtual nodes: per-shard
+    balance report (placement is engine-exact md5 arithmetic)."""
+    return _layout.consistent_shards(_docs(spark, sf_dir))
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.embedding_near_dup_pairs(_emb(spark, sf_dir))
 
@@ -2256,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": q_ann_ivf_recall,
         "ann_quantized": q_ann_quantized,
         "events_zorder": q_events_zorder,
+        "docs_consistent_shards": q_docs_consistent_shards,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_kmeans_lloyd": q_embedding_kmeans_lloyd,
@@ -2665,6 +2672,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_zorder": _ext_oracle(
             [_layout.ORACLE_ZORDER_KEYS], "zorder_keys"
+        ),
+        "docs_consistent_shards": _ext_oracle(
+            [_layout.ORACLE_CONSISTENT_SHARDS], "consistent_shards"
         ),
         "embedding_near_dup": _ext_oracle(
             [_sim.oracle_embedding_near_dup()], "embedding_near_dup"

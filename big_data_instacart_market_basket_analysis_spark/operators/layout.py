@@ -85,3 +85,116 @@ def write_zordered(events: DataFrame, path: str) -> None:
     keyed.sortWithinPartitions("zkey").write.mode("overwrite").parquet(
         path
     )
+
+
+# ---------------------------------------------------------------------------
+# consistent-hash shard routing (ring with virtual nodes)
+# ---------------------------------------------------------------------------
+
+CH_SHARDS = 8
+CH_VNODES = 16
+
+
+def consistent_shards(docs: DataFrame) -> DataFrame:
+    """Consistent-hash routing (Karger et al. 1997) of documents onto
+    CH_SHARDS shards via a ring of CH_VNODES virtual points per shard
+    — the placement scheme whose property plain ``pmod`` bucketing
+    lacks: adding/removing a shard remaps only ~1/shards of keys, not
+    all of them. The report is the per-shard balance (vnodes smooth
+    the ring; fewer vnodes -> visibly skewed shards).
+
+    Everything is md5 arithmetic, so placement is engine-exact. The
+    ring is shards*vnodes rows broadcast against the corpus hash —
+    one map-side join + a per-doc min; routing a 100 TB corpus costs
+    one scan. Output: shard, n_docs, frac.
+    """
+    spark = docs.sparkSession
+    ring = (
+        spark.range(CH_SHARDS)
+        .select(F.col("id").alias("shard"))
+        .crossJoin(
+            spark.range(CH_VNODES).select(F.col("id").alias("v"))
+        )
+        .select(
+            "shard",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit("ring"),
+                            F.col("shard").cast("string"),
+                            F.col("v").cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("bigint").alias("point"),
+        )
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    hashed = docs.select("doc_id", h.alias("h"))
+    ring_min = ring.agg(F.min("point").alias("minp"))
+    routed = (
+        hashed.crossJoin(F.broadcast(ring))
+        .groupBy("doc_id", "h")
+        .agg(
+            F.min(
+                F.when(F.col("point") >= F.col("h"), F.col("point"))
+            ).alias("p_ge")
+        )
+        .crossJoin(F.broadcast(ring_min))
+        .select(
+            "doc_id",
+            F.coalesce("p_ge", "minp").alias("point"),
+        )
+        .join(F.broadcast(ring), "point")
+    )
+    total = docs.count()
+    return (
+        routed.groupBy("shard")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "shard",
+            "n_docs",
+            F.round(F.col("n_docs") / F.lit(float(total)), 4).alias(
+                "frac"
+            ),
+        )
+    )
+
+
+ORACLE_CONSISTENT_SHARDS = f"""
+ch_ring AS (
+  SELECT s.shard, v.v,
+         CAST(('0x' || substr(md5('ring:' || s.shard || ':' || v.v),
+               1, 13)) AS BIGINT) AS point
+  FROM (SELECT unnest(range(0, {CH_SHARDS})) AS shard) s
+  CROSS JOIN (SELECT unnest(range(0, {CH_VNODES})) AS v) v
+),
+ch_docs AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+              AS BIGINT) AS h
+  FROM documents
+),
+ch_routed AS (
+  SELECT d.doc_id,
+         COALESCE(min(CASE WHEN r.point >= d.h THEN r.point END),
+                  (SELECT min(point) FROM ch_ring)) AS point
+  FROM ch_docs d CROSS JOIN ch_ring r
+  GROUP BY 1
+),
+consistent_shards AS (
+  SELECT r.shard, CAST(count(*) AS BIGINT) AS n_docs,
+         round(count(*) / CAST((SELECT count(*) FROM documents)
+               AS DOUBLE), 4) AS frac
+  FROM ch_routed t JOIN ch_ring r USING (point)
+  GROUP BY 1
+)
+"""
