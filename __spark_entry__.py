@@ -1803,6 +1803,12 @@ def q_stream_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_merge_state(spark, sf_dir)
 
 
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS as streaming state: constant depth*width cell table merged
+    by cell-wise addition per micro-batch; equals the batch sketch."""
+    return _ev.run_stream_cms(spark, sf_dir)
+
+
 def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketch as streaming state: constant K-row standing table,
     mergeable bottom-k folds per micro-batch; final estimate equals
@@ -2205,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_partitioned_sink": q_stream_partitioned_sink,
         "stream_merge_state": q_stream_merge_state,
         "stream_kmv": q_stream_kmv,
+        "stream_cms": q_stream_cms,
         "stream_embedding_dedup": q_stream_embedding_dedup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3148,6 +3155,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_kmv": _ext_oracle(
             [_ev.ORACLE_STREAM_KMV], "stream_kmv"
+        ),
+        "stream_cms": _ext_oracle(
+            [_ev.ORACLE_STREAM_CMS], "stream_cms"
         ),
         "stream_merge_state": _ext_oracle(
             [_ev.ORACLE_STREAM_MERGE_STATE], "stream_merge_state"

@@ -1517,3 +1517,107 @@ stream_kmv AS (
 
 
 ORACLE_STREAM_KMV = _oracle_stream_kmv()
+
+
+def run_stream_cms(
+    spark: SparkSession, sf_dir: str, name: str = "stream_cms"
+) -> DataFrame:
+    """Count-min sketch as streaming state — the frequency-sketch twin
+    of ``run_stream_kmv``: per micro-batch, the batch's partial
+    (row, cell) counts MERGE into a standing depth*width cell table by
+    cell-wise addition (the CMS merge monoid; KMV merges by bottom-k,
+    HLL by max — three sketches, three monoids, one streaming
+    pattern). State is CMS_DEPTH*CMS_WIDTH rows forever, regardless
+    of stream length or key cardinality.
+
+    The final cell table must equal the batch sketch exactly (the
+    oracle), because integer cell addition is associative and
+    commutative across any micro-batch partitioning. Output: r, c,
+    cnt.
+    """
+    import tempfile
+
+    from ..operators.temporal import CMS_DEPTH, CMS_WIDTH
+
+    _tune_stream_session(spark)
+    root = tempfile.mkdtemp(prefix="stream_cms_")
+    src, target = f"{root}/src", f"{root}/state"
+
+    load_table(spark, sf_dir, "events").select("user_id").repartition(
+        6
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    rows = F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
+    cell = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("cms"),
+                    F.col("r").cast("string"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint") % CMS_WIDTH
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = (
+            batch_df.select("user_id", F.explode(rows).alias("r"))
+            .withColumn("c", cell)
+            .groupBy("r", "c")
+            .agg(F.count("*").alias("cnt"))
+        )
+        if _os.path.isdir(target):
+            part = (
+                spark.read.parquet(target)
+                .unionByName(part)
+                .groupBy("r", "c")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        part.localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target).select(
+        "r", "c", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def _oracle_stream_cms() -> str:
+    from ..operators.temporal import CMS_DEPTH, CMS_WIDTH
+
+    return f"""
+scms_cells AS (
+  SELECT r, CAST(('0x' || substr(md5('cms:' || r || ':' ||
+           CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+           % {CMS_WIDTH} AS c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events, LATERAL unnest(range(0, {CMS_DEPTH})) AS g(r)
+  GROUP BY 1, 2
+),
+stream_cms AS (
+  SELECT CAST(r AS INT) AS r, c, cnt FROM scms_cells
+)
+"""
+
+
+ORACLE_STREAM_CMS = _oracle_stream_cms()
