@@ -131,6 +131,10 @@ HEADLINE = [
     "graph_item_similarity",
     "text_textrank",
     "text_decontaminate",
+    "ml_gbm_verified",
+    "rag_hybrid_rrf",
+    "ann_matryoshka_recall",
+    "dedup_winnowing",
 ]
 
 
