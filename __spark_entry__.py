@@ -1331,6 +1331,12 @@ def q_events_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.cube_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-lifetime survival curve with right-censoring
+    of still-active users."""
+    return _tmp.km_survival(load_table(spark, sf_dir, "events"))
+
+
 def q_events_type_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation matrix of hourly event-type count series
     (dense hour grid, integral sums)."""
@@ -2190,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lttb": q_events_lttb,
         "events_markov_predict": q_events_markov_predict,
         "events_type_corr": q_events_type_corr,
+        "events_km_survival": q_events_km_survival,
         "events_bitmap_retention": q_events_bitmap_retention,
         "text_decontaminate": q_text_decontaminate,
         "dedup_winnowing": q_dedup_winnowing,
@@ -2775,6 +2782,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_type_corr": _ext_oracle(
             [_tmp.ORACLE_TYPE_CORR], "type_correlations"
+        ),
+        "events_km_survival": _ext_oracle(
+            [_tmp.ORACLE_KM_SURVIVAL], "km_survival"
         ),
         "events_bitmap_retention": _ext_oracle(
             [_tmp.ORACLE_BITMAP_RETENTION], "bitmap_retention"

@@ -4061,3 +4061,114 @@ bitmap_retention AS (
   FROM bm_pairs WHERE next_day IS NOT NULL
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve (user churn)
+# ---------------------------------------------------------------------------
+
+KM_CENSOR_DAYS = 7
+
+
+def km_survival(events: DataFrame) -> DataFrame:
+    """Kaplan-Meier survival estimator over user lifetimes: duration =
+    days between a user's first and last event; users still active in
+    the final KM_CENSOR_DAYS of the observation window are CENSORED
+    (they inform the risk sets but contribute no churn event) — the
+    right-censoring handling that makes KM the survival tool naive
+    "avg lifetime" cannot be.
+
+    S(t) = prod over churn times <= t of (1 - d_i/n_i). The product is
+    a cumulative sum of ln terms over the ORDERED distinct-duration
+    table (bounded by the day span, not users), so both engines fold
+    in the identical order; output rounds(6). n_i (at risk) = total
+    minus the running count of users who exited earlier. Output per
+    churn time: t_days, n_risk, n_churned, survival.
+    """
+    spans = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    horizon = events.agg(F.max(F.to_date("ts")).alias("dmax"))
+    users = spans.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("d1", "d0").alias("t_days"),
+        (
+            F.datediff("dmax", "d1") < KM_CENSOR_DAYS
+        ).alias("censored"),
+    )
+    per_t = users.groupBy("t_days").agg(
+        F.count("*").alias("n_exit"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias(
+            "n_churned"
+        ),
+    )
+    w = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wS = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = users.count()
+    curve = (
+        per_t.withColumn(
+            "n_risk",
+            F.lit(total) - F.coalesce(F.sum("n_exit").over(w), F.lit(0)),
+        )
+        .withColumn(
+            "lnterm",
+            F.when(
+                F.col("n_churned") > 0,
+                F.log(
+                    F.lit(1.0)
+                    - F.col("n_churned") / F.col("n_risk")
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "survival", F.round(F.exp(F.sum("lnterm").over(wS)), 6)
+        )
+    )
+    return curve.filter(F.col("n_churned") > 0).select(
+        "t_days", "n_risk", "n_churned", "survival"
+    )
+
+
+ORACLE_KM_SURVIVAL = f"""
+kms_u AS (
+  SELECT date_diff('day', d0, d1) AS t_days,
+         date_diff('day', d1,
+                   (SELECT max(CAST(ts AS DATE)) FROM events))
+           < {KM_CENSOR_DAYS} AS censored
+  FROM (SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+               max(CAST(ts AS DATE)) AS d1
+        FROM events GROUP BY 1)
+),
+kms_t AS (
+  SELECT t_days, CAST(count(*) AS BIGINT) AS n_exit,
+         CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_churned
+  FROM kms_u GROUP BY 1
+),
+kms_c AS (
+  SELECT t_days, n_churned,
+         (SELECT count(*) FROM kms_u)
+           - COALESCE(sum(n_exit) OVER (ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk,
+         CASE WHEN n_churned > 0
+              THEN ln(1.0 - n_churned / ((SELECT count(*) FROM kms_u)
+                   - COALESCE(sum(n_exit) OVER (ORDER BY t_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)))
+              ELSE 0.0 END AS lnterm
+  FROM kms_t
+),
+km_survival AS (
+  SELECT t_days, CAST(n_risk AS BIGINT) AS n_risk, n_churned,
+         round(exp(sum(lnterm) OVER (ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+           AS survival
+  FROM kms_c
+  WHERE n_churned > 0
+)
+"""
