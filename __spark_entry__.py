@@ -1331,6 +1331,12 @@ def q_events_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.cube_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour (sweep line over session
+    boundaries, bucketed prefix sums — no global sort)."""
+    return _tmp.concurrency_curve(load_table(spark, sf_dir, "events"))
+
+
 def q_events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier user-lifetime survival curve with right-censoring
     of still-active users."""
@@ -2197,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_predict": q_events_markov_predict,
         "events_type_corr": q_events_type_corr,
         "events_km_survival": q_events_km_survival,
+        "events_concurrency": q_events_concurrency,
         "events_bitmap_retention": q_events_bitmap_retention,
         "text_decontaminate": q_text_decontaminate,
         "dedup_winnowing": q_dedup_winnowing,
@@ -2785,6 +2792,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_km_survival": _ext_oracle(
             [_tmp.ORACLE_KM_SURVIVAL], "km_survival"
+        ),
+        "events_concurrency": _ext_oracle(
+            [_tmp.ORACLE_CONCURRENCY], "concurrency_curve"
         ),
         "events_bitmap_retention": _ext_oracle(
             [_tmp.ORACLE_BITMAP_RETENTION], "bitmap_retention"

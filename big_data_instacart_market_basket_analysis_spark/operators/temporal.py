@@ -4172,3 +4172,127 @@ km_survival AS (
   WHERE n_churned > 0
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# concurrent-session curve (sweep line, bucketed prefix sums)
+# ---------------------------------------------------------------------------
+
+CONC_GAP_MS = 30 * 60 * 1000
+
+
+def concurrency_curve(events: DataFrame) -> DataFrame:
+    """Peak concurrent sessions per hour — the capacity-planning curve
+    ("how many users are on at once"). Sessions are the standard
+    30-min-gap splits; each becomes +1 at its start and -1 just after
+    its last event; the running sum of deltas IS the live concurrency
+    (the classic sweep line / interval stabbing reduction).
+
+    The running sum is distributed with the bucketed-prefix-sum trick
+    (`ks_drift_test` convention): per-hour delta totals -> tiny offset
+    table -> within-hour window, so no global sort exists; ordering
+    (ts, delta) processes ends before starts at the same instant, so
+    back-to-back sessions never double-count. Output: hour_ms,
+    peak_concurrency, n_boundaries.
+    """
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    sess = (
+        events.select(
+            "user_id",
+            F.unix_millis("ts").alias("ms"),
+            "event_id",
+        )
+        .withColumn("prev", F.lag("ms").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("ms") - F.col("prev") > CONC_GAP_MS),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "seq",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "seq")
+        .agg(
+            F.min("ms").alias("start_ms"),
+            (F.max("ms") + 1).alias("end_ms"),
+        )
+    )
+    deltas = sess.select(
+        F.col("start_ms").alias("ms"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(
+            F.col("end_ms").alias("ms"), F.lit(-1).alias("delta")
+        )
+    ).withColumn("hour_ms", F.col("ms") - F.col("ms") % 3600000)
+    btot = deltas.groupBy("hour_ms").agg(F.sum("delta").alias("bsum"))
+    woff = Window.orderBy("hour_ms").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "hour_ms",
+        F.coalesce(F.sum("bsum").over(woff), F.lit(0)).alias("off"),
+    )
+    wrun = (
+        Window.partitionBy("hour_ms")
+        .orderBy("ms", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = deltas.join(F.broadcast(offsets), "hour_ms").withColumn(
+        "live", F.col("off") + F.sum("delta").over(wrun)
+    )
+    return running.groupBy("hour_ms").agg(
+        F.max("live").alias("peak_concurrency"),
+        F.count("*").alias("n_boundaries"),
+    )
+
+
+ORACLE_CONCURRENCY = f"""
+cc_sess AS (
+  SELECT user_id, seq, min(ms) AS start_ms, max(ms) + 1 AS end_ms
+  FROM (
+    SELECT user_id, ms,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+             ROWS UNBOUNDED PRECEDING) AS seq
+    FROM (
+      SELECT user_id, epoch_ms(ts) AS ms, event_id,
+             CASE WHEN lag(epoch_ms(ts)) OVER
+                    (PARTITION BY user_id ORDER BY epoch_ms(ts),
+                     event_id) IS NULL
+                  OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                    (PARTITION BY user_id ORDER BY epoch_ms(ts),
+                     event_id) > {CONC_GAP_MS}
+             THEN 1 ELSE 0 END AS new_s
+      FROM events))
+  GROUP BY 1, 2
+),
+cc_d AS (
+  SELECT ms, delta, ms - ms % 3600000 AS hour_ms FROM (
+    SELECT start_ms AS ms, 1 AS delta FROM cc_sess
+    UNION ALL
+    SELECT end_ms, -1 FROM cc_sess)
+),
+cc_off AS (
+  SELECT hour_ms,
+         COALESCE(sum(bsum) OVER (ORDER BY hour_ms
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS off
+  FROM (SELECT hour_ms, sum(delta) AS bsum FROM cc_d GROUP BY 1)
+),
+concurrency_curve AS (
+  SELECT hour_ms,
+         CAST(max(live) AS BIGINT) AS peak_concurrency,
+         CAST(count(*) AS BIGINT) AS n_boundaries
+  FROM (
+    SELECT d.hour_ms,
+           o.off + sum(d.delta) OVER (PARTITION BY d.hour_ms
+             ORDER BY d.ms, d.delta ROWS UNBOUNDED PRECEDING) AS live
+    FROM cc_d d JOIN cc_off o USING (hour_ms))
+  GROUP BY 1
+)
+"""
