@@ -637,6 +637,23 @@ def q_ml_cart_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _trees.cart_train(load_table(spark, sf_dir, "events"))
 
 
+def q_ml_cart_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-gain feature importance derived from the verified CART
+    model table (explainability as a query)."""
+    return _trees.cart_feature_importance(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+def q_events_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit across the subject tables."""
+    return _privacy.erasure_audit(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 def q_ml_gbm_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified gradient boosting: depth-1 stumps on integer-scaled
     residuals; per-round split/leaves/SSE hash-verified."""
@@ -2257,6 +2274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dp_counts": q_events_dp_counts,
         "ml_cart_verified": q_ml_cart_verified,
         "ml_gbm_verified": q_ml_gbm_verified,
+        "ml_cart_importance": q_ml_cart_importance,
+        "events_erasure_audit": q_events_erasure_audit,
         "parts_trending": q_parts_trending,
         "events_kanonymity": q_events_kanonymity,
         "events_holt_forecast": q_events_holt_forecast,
@@ -2597,6 +2616,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ml_gbm_verified": _ext_oracle(
             [_trees.ORACLE_GBM], "gbm_train"
+        ),
+        "ml_cart_importance": _ext_oracle(
+            [_trees.ORACLE_CART, _trees.ORACLE_CART_IMPORTANCE],
+            "cart_feature_importance",
+        ),
+        "events_erasure_audit": _ext_oracle(
+            [_privacy.ORACLE_ERASURE_AUDIT], "erasure_audit"
         ),
         "parts_trending": _ext_oracle(
             [_ana.ORACLE_TRENDING], "trending_parts"

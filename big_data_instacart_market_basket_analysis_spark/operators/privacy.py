@@ -190,3 +190,74 @@ dp_noisy_counts AS (
   FROM dp_u
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# erasure-impact audit (right-to-be-forgotten propagation)
+# ---------------------------------------------------------------------------
+
+ERASE_MOD = 97
+ERASE_REM = 3
+
+
+def erasure_audit(
+    events: DataFrame, orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Right-to-be-forgotten impact audit: for a deletion cohort (the
+    deterministic pseudo-request set ``user_id % ERASE_MOD ==
+    ERASE_REM``), count the rows each table would lose — the scoping
+    query every GDPR/CCPA erasure pipeline runs before issuing
+    deletes, and the audit trail it keeps after. Completes the
+    privacy family: pseudonymize (minimize), k-anonymity (assess),
+    DP (release), erasure (delete).
+
+    One filtered count per table (the cohort predicate is a pure
+    pushdown filter); the per-table pieces union into the report.
+    Output: table_name, n_subjects, n_rows.
+    """
+    cohort = F.col("uid") % ERASE_MOD == ERASE_REM
+    parts = [
+        events.select(F.col("user_id").alias("uid"))
+        .filter(cohort)
+        .agg(
+            F.lit("events").alias("table_name"),
+            F.countDistinct("uid").alias("n_subjects"),
+            F.count("*").alias("n_rows"),
+        ),
+        orders.select(F.col("o_custkey").alias("uid"))
+        .filter(cohort)
+        .agg(
+            F.lit("orders").alias("table_name"),
+            F.countDistinct("uid").alias("n_subjects"),
+            F.count("*").alias("n_rows"),
+        ),
+        customer.select(F.col("c_custkey").alias("uid"))
+        .filter(cohort)
+        .agg(
+            F.lit("customer").alias("table_name"),
+            F.countDistinct("uid").alias("n_subjects"),
+            F.count("*").alias("n_rows"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLE_ERASURE_AUDIT = f"""
+erasure_audit AS (
+  SELECT 'events' AS table_name,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_subjects,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM events WHERE user_id % {ERASE_MOD} = {ERASE_REM}
+  UNION ALL
+  SELECT 'orders', CAST(count(DISTINCT o_custkey) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM orders WHERE o_custkey % {ERASE_MOD} = {ERASE_REM}
+  UNION ALL
+  SELECT 'customer', CAST(count(DISTINCT c_custkey) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM customer WHERE c_custkey % {ERASE_MOD} = {ERASE_REM}
+)
+"""

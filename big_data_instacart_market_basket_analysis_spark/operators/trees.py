@@ -631,3 +631,53 @@ gb_r0 AS (
     )
     + "\n)"
 )
+
+
+def cart_feature_importance(events: DataFrame) -> DataFrame:
+    """Split-gain feature importance for the verified CART — the
+    standard tree importance (sum over splits of impurity decrease,
+    normalized): gain(split) = parent Gini mass (n - (pos^2+neg^2)/n,
+    derivable from the split row's own n/pos) minus the stored
+    post-split weighted impurity (`metric`). Pure composition over the
+    7-row model table — explainability as a query, itself
+    hash-verified. Output: fid, total_gain, importance (round 6).
+    """
+    tree = cart_train(events)
+    splits = tree.filter(F.col("kind") == "split")
+    neg = F.col("n") - F.col("pos")
+    parent = (
+        F.col("n").cast("double")
+        - (F.col("pos") * F.col("pos") + neg * neg) / F.col("n")
+    )
+    gains = splits.select(
+        "fid", (parent - F.col("metric")).alias("gain")
+    )
+    total = gains.groupBy("fid").agg(F.sum("gain").alias("total_gain"))
+    denom = total.agg(F.sum("total_gain").alias("g"))
+    return total.crossJoin(F.broadcast(denom)).select(
+        "fid",
+        F.round("total_gain", 6).alias("total_gain"),
+        F.round(F.col("total_gain") / F.col("g"), 6).alias("importance"),
+    )
+
+
+ORACLE_CART_IMPORTANCE = """
+cfi_splits AS (
+  SELECT fid, n, pos, metric FROM cart_train WHERE kind = 'split'
+),
+cfi_gain AS (
+  SELECT fid,
+         (CAST(n AS DOUBLE)
+          - (pos * pos + (n - pos) * (n - pos)) / n) - metric AS gain
+  FROM cfi_splits
+),
+cfi_tot AS (
+  SELECT fid, sum(gain) AS total_gain FROM cfi_gain GROUP BY 1
+),
+cart_feature_importance AS (
+  SELECT fid, round(total_gain, 6) AS total_gain,
+         round(total_gain / (SELECT sum(total_gain) FROM cfi_tot), 6)
+           AS importance
+  FROM cfi_tot
+)
+"""
