@@ -1525,6 +1525,12 @@ def q_parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ana.pareto_skyline(load_table(spark, sf_dir, "part"))
 
 
+def q_text_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the verified NB classifier (per-bin
+    predicted-vs-observed rates + calibration gap)."""
+    return _text.nb_calibration(_docs(spark, sf_dir))
+
+
 def q_text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary growth curve (first-appearance bucketing,
     no running-distinct state)."""
@@ -2386,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hashed_features": q_text_hashed_features,
         "text_textrank": q_text_textrank,
         "text_heaps_curve": q_text_heaps_curve,
+        "text_nb_calibration": q_text_nb_calibration,
         "shipping_priority": q_shipping_priority,
         "customer_returns": q_customer_returns,
         "large_orders": q_large_orders,
@@ -2583,6 +2590,14 @@ def oracle_sql() -> dict[str, str]:
         "text_nb_quality": _ext_oracle(
             [_text.oracle_gopher_rules(), _text.ORACLE_NB_QUALITY],
             "nb_quality",
+        ),
+        "text_nb_calibration": _ext_oracle(
+            [
+                _text.oracle_gopher_rules(),
+                _text.ORACLE_NB_QUALITY,
+                _text.ORACLE_NB_CALIBRATION,
+            ],
+            "nb_calibration",
         ),
         "text_nb_quality_cv": _ext_oracle(
             [_text.oracle_gopher_rules(), _text.ORACLE_NB_CV],

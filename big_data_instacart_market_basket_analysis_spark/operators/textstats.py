@@ -3125,3 +3125,78 @@ heaps_curve AS (
         FROM hp_per p LEFT JOIN hp_first f USING (bucket))
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# calibration curve (reliability diagram) for the NB quality classifier
+# ---------------------------------------------------------------------------
+
+CAL_BINS = 10
+
+
+def nb_calibration(docs: DataFrame) -> DataFrame:
+    """Reliability diagram for the verified NB classifier: sigmoid the
+    log-odds into probabilities, bin into CAL_BINS fixed-width bins,
+    and compare mean predicted probability to the observed keep rate
+    per bin — the calibration check that decides whether classifier
+    scores can gate data by threshold (an accurate-but-miscalibrated
+    filter silently shifts the kept distribution). The |avg_pred -
+    obs_rate| column is the per-bin calibration error (ECE's
+    integrand).
+
+    One pass over the scored table; bins are fixed-width integers, so
+    the only float work is the sigmoid (identical expression both
+    engines) and two rounded ratios. Output: bin, n_docs, avg_pred,
+    obs_rate, abs_gap.
+    """
+    scored = nb_quality_scores(docs).select(
+        "doc_id",
+        (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("log_odds")))
+        ).alias("p"),
+        F.col("keep").cast("int").alias("y"),
+    )
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("p") * CAL_BINS).cast("int"),
+            F.lit(CAL_BINS - 1),
+        ).alias("bin"),
+        "p",
+        "y",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("p") / F.count("*"), 6).alias("avg_pred"),
+            F.round(F.sum("y") / F.count("*"), 6).alias("obs_rate"),
+        )
+        .withColumn(
+            "abs_gap",
+            F.round(F.abs(F.col("avg_pred") - F.col("obs_rate")), 6),
+        )
+    )
+
+
+ORACLE_NB_CALIBRATION = f"""
+cal_s AS (
+  SELECT doc_id,
+         CAST(1.0 AS DOUBLE) / (1.0 + exp(-log_odds)) AS p,
+         CASE WHEN keep THEN 1 ELSE 0 END AS y
+  FROM nb_quality
+),
+cal_b AS (
+  SELECT LEAST(CAST(floor(p * {CAL_BINS}) AS INT), {CAL_BINS - 1})
+           AS bin, p, y
+  FROM cal_s
+),
+nb_calibration AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         round(sum(p) / count(*), 6) AS avg_pred,
+         round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS obs_rate,
+         round(abs(round(sum(p) / count(*), 6)
+               - round(CAST(sum(y) AS DOUBLE) / count(*), 6)), 6)
+           AS abs_gap
+  FROM cal_b GROUP BY 1
+)
+"""
