@@ -637,6 +637,14 @@ def q_ml_cart_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _trees.cart_train(load_table(spark, sf_dir, "events"))
 
 
+def q_ml_gbm_perm_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation importance for the verified GBM (deterministic
+    md5 rank-rotation shuffle, exact SSE deltas)."""
+    return _trees.gbm_permutation_importance(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 def q_ml_cart_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-gain feature importance derived from the verified CART
     model table (explainability as a query)."""
@@ -2281,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_cart_verified": q_ml_cart_verified,
         "ml_gbm_verified": q_ml_gbm_verified,
         "ml_cart_importance": q_ml_cart_importance,
+        "ml_gbm_perm_importance": q_ml_gbm_perm_importance,
         "events_erasure_audit": q_events_erasure_audit,
         "parts_trending": q_parts_trending,
         "events_kanonymity": q_events_kanonymity,
@@ -2635,6 +2644,10 @@ def oracle_sql() -> dict[str, str]:
         "ml_cart_importance": _ext_oracle(
             [_trees.ORACLE_CART, _trees.ORACLE_CART_IMPORTANCE],
             "cart_feature_importance",
+        ),
+        "ml_gbm_perm_importance": _ext_oracle(
+            [_trees.ORACLE_GBM, _trees.oracle_gbm_permutation()],
+            "gbm_permutation_importance",
         ),
         "events_erasure_audit": _ext_oracle(
             [_privacy.ORACLE_ERASURE_AUDIT], "erasure_audit"

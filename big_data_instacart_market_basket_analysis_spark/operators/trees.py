@@ -681,3 +681,160 @@ cart_feature_importance AS (
   FROM cfi_tot
 )
 """
+
+
+def gbm_permutation_importance(events: DataFrame) -> DataFrame:
+    """Model-agnostic permutation importance for the verified GBM:
+    break one feature's association by permuting its column among
+    users (a deterministic md5-rank ROTATION — every user takes the
+    next-ranked user's bin, the last wraps to the first; a genuine
+    derangement both engines replay), re-apply the FIXED trained
+    stumps, and report the SSE increase — the Breiman importance
+    measure, usually estimated with RNG shuffles, here exact.
+
+    The stump table comes from `gbm_train` (3 rows); applying the
+    ensemble is one broadcast join + per-user sum, so each feature's
+    probe costs one pass over the user-grain table. The rotation uses
+    one |users| rank window at fixture scale (the scale form is the
+    prefix-bucket rank, same as sorted-neighborhood dedup). Output:
+    fid, sse_base, sse_perm, delta_sse.
+    """
+    binned = _gb_binned(events).localCheckpoint(eager=True)
+    users_y = binned.select("user_id", "y").distinct()
+    f0 = users_y.agg(
+        F.expr("CAST(floor(sum(y) / count(*)) AS BIGINT)").alias("f0v")
+    )
+    stumps = (
+        gbm_train(events)
+        .select("fid", "bin", "vl", "vr")
+        .localCheckpoint(eager=True)
+    )
+
+    def _sse(bins_df: DataFrame) -> DataFrame:
+        adj = (
+            bins_df.join(
+                F.broadcast(
+                    stumps.select(
+                        F.col("fid"),
+                        F.col("bin").alias("sbin"),
+                        "vl",
+                        "vr",
+                    )
+                ),
+                "fid",
+            )
+            .select(
+                "user_id",
+                F.when(
+                    F.col("bin") <= F.col("sbin"), F.col("vl")
+                )
+                .otherwise(F.col("vr"))
+                .alias("step"),
+            )
+            .groupBy("user_id")
+            .agg(F.sum("step").alias("adj"))
+        )
+        r = F.col("y") - F.col("f0v") - F.col("adj")
+        return (
+            users_y.join(adj, "user_id")
+            .crossJoin(F.broadcast(f0))
+            .agg(F.sum(r * r).cast("long").alias("sse"))
+        )
+
+    base = _sse(binned.select("user_id", "fid", "bin"))
+    out = None
+    w = Window.orderBy("h", "user_id")
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    for f in range(3):
+        bf = (
+            binned.filter(F.col("fid") == f)
+            .select("user_id", "bin")
+            .withColumn("h", F.md5(F.col("user_id").cast("string")))
+        )
+        perm = bf.select(
+            "user_id",
+            F.lit(f).alias("fid"),
+            F.coalesce(
+                F.lead("bin").over(w), F.first("bin").over(wfull)
+            ).alias("bin"),
+        )
+        permuted = binned.filter(F.col("fid") != f).select(
+            "user_id", "fid", "bin"
+        ).unionByName(perm)
+        row = (
+            base.select(F.col("sse").alias("sse_base"))
+            .crossJoin(_sse(permuted).select(F.col("sse").alias("sse_perm")))
+            .select(
+                F.lit(f).alias("fid"),
+                "sse_base",
+                "sse_perm",
+                (F.col("sse_perm") - F.col("sse_base")).alias(
+                    "delta_sse"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_gpi_sse(src: str, name: str) -> str:
+    return f"""
+{name}_adj AS (
+  SELECT b.user_id,
+         CAST(sum(CASE WHEN b.bin <= s.bin THEN s.vl ELSE s.vr END)
+              AS BIGINT) AS adj
+  FROM {src} b JOIN gpi_stumps s ON s.fid = b.fid
+  GROUP BY 1
+),
+{name} AS (
+  SELECT CAST(sum((y.y - f.f0v - a.adj) * (y.y - f.f0v - a.adj))
+              AS BIGINT) AS sse
+  FROM gpi_y y JOIN {name}_adj a USING (user_id), gb_f0 f
+)"""
+
+
+def oracle_gbm_permutation() -> str:
+    parts = [
+        """
+gpi_stumps AS (
+  SELECT fid, bin, vl, vr FROM gb_b1
+  UNION ALL SELECT fid, bin, vl, vr FROM gb_b2
+  UNION ALL SELECT fid, bin, vl, vr FROM gb_b3
+),
+gpi_y AS (SELECT DISTINCT user_id, y FROM gb_binned)""",
+        _sql_gpi_sse(
+            "(SELECT user_id, fid, bin FROM gb_binned)", "gpi_sse0"
+        ),
+    ]
+    for f in range(3):
+        parts.append(
+            f"""
+gpi_pf{f} AS (
+  SELECT user_id, {f} AS fid,
+         COALESCE(lead(bin) OVER w, first_value(bin) OVER wf) AS bin
+  FROM (SELECT user_id, bin FROM gb_binned WHERE fid = {f})
+  WINDOW w AS (ORDER BY md5(CAST(user_id AS VARCHAR)), user_id),
+         wf AS (ORDER BY md5(CAST(user_id AS VARCHAR)), user_id
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING)
+)"""
+            + ","
+            + _sql_gpi_sse(
+                f"(SELECT user_id, fid, bin FROM gb_binned"
+                f" WHERE fid <> {f}"
+                f" UNION ALL SELECT * FROM gpi_pf{f})",
+                f"gpi_sse{f + 1}",
+            ).lstrip(",")
+        )
+    finals = "\n  UNION ALL\n  ".join(
+        f"""SELECT {f} AS fid, b.sse AS sse_base, p.sse AS sse_perm,
+         p.sse - b.sse AS delta_sse
+  FROM gpi_sse0 b, gpi_sse{f + 1} p"""
+        for f in range(3)
+    )
+    return ",".join(parts) + f""",
+gbm_permutation_importance AS (
+  {finals}
+)"""
