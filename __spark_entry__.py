@@ -1533,6 +1533,12 @@ def q_parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ana.pareto_skyline(load_table(spark, sf_dir, "part"))
 
 
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix vs ground-truth labels (per-row
+    fractions for sampling-quota risk)."""
+    return _text.lang_confusion(_docs(spark, sf_dir))
+
+
 def q_text_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram for the verified NB classifier (per-bin
     predicted-vs-observed rates + calibration gap)."""
@@ -2402,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_textrank": q_text_textrank,
         "text_heaps_curve": q_text_heaps_curve,
         "text_nb_calibration": q_text_nb_calibration,
+        "text_lang_confusion": q_text_lang_confusion,
         "shipping_priority": q_shipping_priority,
         "customer_returns": q_customer_returns,
         "large_orders": q_large_orders,
@@ -2783,6 +2790,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_lang_id": _ext_oracle(
             [_text.oracle_lang_id()], "lang_scored"
+        ),
+        "text_lang_confusion": _ext_oracle(
+            [_text.oracle_lang_id(), _text.oracle_lang_confusion()],
+            "lang_confusion",
         ),
         "text_fingerprints": _ext_oracle(
             [_text.ORACLE_FINGERPRINTS], "fingerprints"

@@ -3200,3 +3200,50 @@ nb_calibration AS (
   FROM cal_b GROUP BY 1
 )
 """
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Confusion matrix of the heuristic language detector against the
+    corpus's ground-truth ``lang`` labels — the evaluation that
+    separates "we run lang-ID" from "we know its error structure"
+    (which wrong-language pairs leak into which buckets decides
+    whether per-language sampling quotas hold downstream).
+
+    One agg over the detector's output at the (label, prediction)
+    grain plus per-label recall — pure count arithmetic. Output:
+    labeled_lang, predicted_lang, n_docs, recall (of the diagonal
+    within the labeled row, round 6).
+    """
+    pred = lang_id(docs).select("labeled_lang", "predicted_lang")
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    row_tot = cells.groupBy("labeled_lang").agg(
+        F.sum("n_docs").alias("n_label")
+    )
+    return cells.join(F.broadcast(row_tot), "labeled_lang").select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_label"), 6).alias(
+            "row_frac"
+        ),
+    )
+
+
+def oracle_lang_confusion() -> str:
+    return """
+lc_cells AS (
+  SELECT labeled_lang, predicted_lang,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM lang_scored GROUP BY 1, 2
+),
+lc_tot AS (
+  SELECT labeled_lang, sum(n_docs) AS n_label FROM lc_cells GROUP BY 1
+),
+lang_confusion AS (
+  SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+         round(c.n_docs / t.n_label, 6) AS row_frac
+  FROM lc_cells c JOIN lc_tot t USING (labeled_lang)
+)
+"""
