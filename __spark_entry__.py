@@ -1356,6 +1356,12 @@ def q_events_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.cube_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical trend/seasonal/remainder decomposition of the dense
+    daily event series."""
+    return _tmp.stl_decompose(load_table(spark, sf_dir, "events"))
+
+
 def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per hour (sweep line over session
     boundaries, bucketed prefix sums — no global sort)."""
@@ -2241,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_corr": q_events_type_corr,
         "events_km_survival": q_events_km_survival,
         "events_concurrency": q_events_concurrency,
+        "events_stl_decompose": q_events_stl_decompose,
         "events_bitmap_retention": q_events_bitmap_retention,
         "text_decontaminate": q_text_decontaminate,
         "dedup_winnowing": q_dedup_winnowing,
@@ -2860,6 +2867,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_concurrency": _ext_oracle(
             [_tmp.ORACLE_CONCURRENCY], "concurrency_curve"
+        ),
+        "events_stl_decompose": _ext_oracle(
+            [_tmp.ORACLE_STL], "stl_decompose"
         ),
         "events_bitmap_retention": _ext_oracle(
             [_tmp.ORACLE_BITMAP_RETENTION], "bitmap_retention"

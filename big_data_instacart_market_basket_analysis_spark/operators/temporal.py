@@ -4296,3 +4296,104 @@ concurrency_curve AS (
   GROUP BY 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# STL-lite seasonal decomposition of the daily event series
+# ---------------------------------------------------------------------------
+
+
+def stl_decompose(events: DataFrame) -> DataFrame:
+    """Classical seasonal decomposition (the moving-average STL
+    predecessor) of the daily event-count series: trend = centered
+    7-day moving average on the DENSE day grid (gap days count 0 —
+    without densify the window silently spans gaps), seasonal =
+    day-of-week mean of the detrended series, remainder = the rest.
+    The decomposition under every "is Monday really our slow day"
+    question; its remainder is what the anomaly detectors should be
+    fed (they currently see raw counts, trend and all).
+
+    Counts are integers, the 7-day window sum is exact, and seasonal
+    means round(6) before subtraction — engine-exact throughout. The
+    day-grain table bounds every window. Output (full-window days
+    only): day, n_events, trend, seasonal, remainder.
+    """
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    span = events.agg(
+        F.min(F.to_date("ts")).alias("lo"),
+        F.max(F.to_date("ts")).alias("hi"),
+    )
+    grid = span.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    dense = grid.join(daily, "d", "left").select(
+        "d", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = (
+        dense.withColumn("wn", F.count("*").over(w7))
+        .withColumn(
+            "trend",
+            F.round(F.sum("n").over(w7) / F.lit(7.0), 6),
+        )
+        .filter(F.col("wn") == 7)
+        .withColumn("detr", F.col("n") - F.col("trend"))
+        .withColumn("dow", F.dayofweek("d"))
+    )
+    seas = trended.groupBy("dow").agg(
+        F.round(F.sum("detr") / F.count("*"), 6).alias("seasonal")
+    )
+    return (
+        trended.join(F.broadcast(seas), "dow")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.col("n").alias("n_events"),
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("n") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("remainder"),
+        )
+    )
+
+
+ORACLE_STL = """
+stl_daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+stl_span AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+  FROM events
+),
+stl_dense AS (
+  SELECT CAST(g.d AS DATE) AS d, COALESCE(y.n, 0) AS n
+  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+        FROM stl_span) g
+  LEFT JOIN stl_daily y ON y.d = CAST(g.d AS DATE)
+),
+stl_t AS (
+  SELECT d, n,
+         count(*) OVER w AS wn,
+         round(sum(n) OVER w / CAST(7.0 AS DOUBLE), 6) AS trend
+  FROM stl_dense
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+stl_d AS (
+  SELECT d, n, trend, n - trend AS detr,
+         dayofweek(d) AS dow
+  FROM stl_t WHERE wn = 7
+),
+stl_s AS (
+  SELECT dow, round(sum(detr) / count(*), 6) AS seasonal
+  FROM stl_d GROUP BY 1
+),
+stl_decompose AS (
+  SELECT CAST(t.d AS VARCHAR) AS day, t.n AS n_events, t.trend,
+         s.seasonal,
+         round(t.n - t.trend - s.seasonal, 6) AS remainder
+  FROM stl_d t JOIN stl_s s USING (dow)
+)
+"""
