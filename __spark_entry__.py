@@ -1539,6 +1539,11 @@ def q_parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ana.pareto_skyline(load_table(spark, sf_dir, "part"))
 
 
+def q_text_nb_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 threshold sweep for the NB classifier."""
+    return _text.nb_pr_curve(_docs(spark, sf_dir))
+
+
 def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix vs ground-truth labels (per-row
     fractions for sampling-quota risk)."""
@@ -2416,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heaps_curve": q_text_heaps_curve,
         "text_nb_calibration": q_text_nb_calibration,
         "text_lang_confusion": q_text_lang_confusion,
+        "text_nb_pr_curve": q_text_nb_pr_curve,
         "shipping_priority": q_shipping_priority,
         "customer_returns": q_customer_returns,
         "large_orders": q_large_orders,
@@ -2621,6 +2627,14 @@ def oracle_sql() -> dict[str, str]:
                 _text.ORACLE_NB_CALIBRATION,
             ],
             "nb_calibration",
+        ),
+        "text_nb_pr_curve": _ext_oracle(
+            [
+                _text.oracle_gopher_rules(),
+                _text.ORACLE_NB_QUALITY,
+                _text.ORACLE_NB_PR_CURVE,
+            ],
+            "nb_pr_curve",
         ),
         "text_nb_quality_cv": _ext_oracle(
             [_text.oracle_gopher_rules(), _text.ORACLE_NB_CV],

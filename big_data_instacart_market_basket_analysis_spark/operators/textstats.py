@@ -3247,3 +3247,79 @@ lang_confusion AS (
   FROM lc_cells c JOIN lc_tot t USING (labeled_lang)
 )
 """
+
+
+def nb_pr_curve(docs: DataFrame) -> DataFrame:
+    """Precision/recall/F1 threshold sweep for the verified NB
+    classifier: one row per distinct score threshold (classify-keep
+    iff log_odds >= t), computed from cumulative integral counts over
+    the descending distinct-score table — the operating-point menu a
+    deployment picks from (the single 0-threshold the scorer ships is
+    just one row of this).
+
+    Counts are exact; precision/recall/F1 are ratios of integral
+    cumulative sums rounded at the edge. The sweep table is bounded
+    by DISTINCT scores (not docs); the cumulative window runs over
+    that bounded table (bucketed-prefix form at corpus scale).
+    Output: threshold, n_pred_pos, tp, precision, recall, f1.
+    """
+    scored = nb_quality_scores(docs).select(
+        F.col("log_odds").alias("t"),
+        F.col("keep").cast("int").alias("y"),
+    )
+    per_t = scored.groupBy("t").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    totals = scored.agg(F.sum("y").alias("n_pos"))
+    return (
+        per_t.withColumn("n_pred_pos", F.sum("n").over(w))
+        .withColumn("tp", F.sum("pos").over(w))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("t").alias("threshold"),
+            "n_pred_pos",
+            "tp",
+            F.round(F.col("tp") / F.col("n_pred_pos"), 6).alias(
+                "precision"
+            ),
+            F.round(F.col("tp") / F.col("n_pos"), 6).alias("recall"),
+            F.round(
+                2.0
+                * F.col("tp")
+                / (F.col("n_pred_pos") + F.col("n_pos")),
+                6,
+            ).alias("f1"),
+        )
+    )
+
+
+ORACLE_NB_PR_CURVE = """
+pr_s AS (
+  SELECT log_odds AS t, CASE WHEN keep THEN 1 ELSE 0 END AS y
+  FROM nb_quality
+),
+pr_t AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM pr_s GROUP BY 1
+),
+pr_c AS (
+  SELECT t,
+         CAST(sum(n) OVER (ORDER BY t DESC
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pred_pos,
+         CAST(sum(pos) OVER (ORDER BY t DESC
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp
+  FROM pr_t
+),
+nb_pr_curve AS (
+  SELECT t AS threshold, n_pred_pos, tp,
+         round(CAST(tp AS DOUBLE) / n_pred_pos, 6) AS precision,
+         round(CAST(tp AS DOUBLE)
+               / (SELECT sum(y) FROM pr_s), 6) AS recall,
+         round(CAST(2.0 AS DOUBLE) * tp
+               / (n_pred_pos + (SELECT sum(y) FROM pr_s)), 6) AS f1
+  FROM pr_c
+)
+"""
