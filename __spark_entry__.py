@@ -71,6 +71,9 @@ from big_data_instacart_market_basket_analysis_spark.functions.skew import (
     salted_skew_join,
     salted_sum_count,
 )
+from big_data_instacart_market_basket_analysis_spark.functions import (
+    udafs as _udafs,
+)
 from big_data_instacart_market_basket_analysis_spark.sources.json_ingest import (
     ORACLE_EVENTS_JSON_ROUNDTRIP,
 )
@@ -1356,6 +1359,16 @@ def q_events_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.cube_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF hash-pinned to its native twin (Arrow
+    grouped-agg transport proven lossless)."""
+    from big_data_instacart_market_basket_analysis_spark.functions.udafs import (
+        grouped_agg_spend,
+    )
+
+    return grouped_agg_spend(load_table(spark, sf_dir, "events"))
+
+
 def q_events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical trend/seasonal/remainder decomposition of the dense
     daily event series."""
@@ -2253,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_km_survival": q_events_km_survival,
         "events_concurrency": q_events_concurrency,
         "events_stl_decompose": q_events_stl_decompose,
+        "udf_grouped_agg": q_udf_grouped_agg,
         "events_bitmap_retention": q_events_bitmap_retention,
         "text_decontaminate": q_text_decontaminate,
         "dedup_winnowing": q_dedup_winnowing,
@@ -2884,6 +2898,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_stl_decompose": _ext_oracle(
             [_tmp.ORACLE_STL], "stl_decompose"
+        ),
+        "udf_grouped_agg": _ext_oracle(
+            [_udafs.ORACLE_GROUPED_AGG], "grouped_agg_spend"
         ),
         "events_bitmap_retention": _ext_oracle(
             [_tmp.ORACLE_BITMAP_RETENTION], "bitmap_retention"
