@@ -1552,6 +1552,11 @@ def q_parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ana.pareto_skyline(load_table(spark, sf_dir, "part"))
 
 
+def q_text_nb_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row NB scorecard: Brier, ECE, average precision."""
+    return _text.nb_scorecard(_docs(spark, sf_dir))
+
+
 def q_text_nb_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall/F1 threshold sweep for the NB classifier."""
     return _text.nb_pr_curve(_docs(spark, sf_dir))
@@ -2436,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nb_calibration": q_text_nb_calibration,
         "text_lang_confusion": q_text_lang_confusion,
         "text_nb_pr_curve": q_text_nb_pr_curve,
+        "text_nb_scorecard": q_text_nb_scorecard,
         "shipping_priority": q_shipping_priority,
         "customer_returns": q_customer_returns,
         "large_orders": q_large_orders,
@@ -2649,6 +2655,16 @@ def oracle_sql() -> dict[str, str]:
                 _text.ORACLE_NB_PR_CURVE,
             ],
             "nb_pr_curve",
+        ),
+        "text_nb_scorecard": _ext_oracle(
+            [
+                _text.oracle_gopher_rules(),
+                _text.ORACLE_NB_QUALITY,
+                _text.ORACLE_NB_CALIBRATION,
+                _text.ORACLE_NB_PR_CURVE,
+                _text.ORACLE_NB_SCORECARD,
+            ],
+            "nb_scorecard",
         ),
         "text_nb_quality_cv": _ext_oracle(
             [_text.oracle_gopher_rules(), _text.ORACLE_NB_CV],

@@ -3323,3 +3323,79 @@ nb_pr_curve AS (
   FROM pr_c
 )
 """
+
+
+def nb_scorecard(docs: DataFrame) -> DataFrame:
+    """One-row classifier scorecard for the verified NB model: Brier
+    score (probability accuracy), expected calibration error (bin-
+    weighted reliability gap), and average precision (area under the
+    PR sweep) — the three numbers a model review actually reads,
+    each derived from the already-verified score/calibration/PR
+    building blocks. Output: n_docs, brier, ece, avg_precision.
+    """
+    scored = nb_quality_scores(docs).select(
+        (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("log_odds")))
+        ).alias("p"),
+        F.col("keep").cast("int").alias("y"),
+    )
+    brier = scored.agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")))
+            / F.count("*"),
+            6,
+        ).alias("brier"),
+    )
+    cal = nb_calibration(docs)
+    ece = cal.agg(
+        F.round(
+            F.sum(F.col("n_docs") * F.col("abs_gap"))
+            / F.sum("n_docs"),
+            6,
+        ).alias("ece")
+    )
+    pr = nb_pr_curve(docs)
+    w = Window.orderBy(F.col("threshold").desc())
+    ap = (
+        pr.withColumn(
+            "prev_r", F.coalesce(F.lag("recall").over(w), F.lit(0.0))
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("recall") - F.col("prev_r"))
+                    * F.col("precision")
+                ),
+                6,
+            ).alias("avg_precision")
+        )
+    )
+    return (
+        brier.crossJoin(F.broadcast(ece)).crossJoin(F.broadcast(ap))
+    )
+
+
+ORACLE_NB_SCORECARD = """
+sc_b AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         round(sum((p - y) * (p - y)) / count(*), 6) AS brier
+  FROM cal_s
+),
+sc_e AS (
+  SELECT round(sum(n_docs * abs_gap) / sum(n_docs), 6) AS ece
+  FROM nb_calibration
+),
+sc_a AS (
+  SELECT round(sum((recall - prev_r) * precision), 6)
+           AS avg_precision
+  FROM (SELECT precision, recall,
+               COALESCE(lag(recall) OVER (ORDER BY threshold DESC),
+                        CAST(0.0 AS DOUBLE)) AS prev_r
+        FROM nb_pr_curve)
+),
+nb_scorecard AS (
+  SELECT b.n_docs, b.brier, e.ece, a.avg_precision
+  FROM sc_b b, sc_e e, sc_a a
+)
+"""
