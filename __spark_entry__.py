@@ -1369,6 +1369,12 @@ def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_agg_spend(load_table(spark, sf_dir, "events"))
 
 
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per type (step-function integral)
+    next to the plain mean."""
+    return _tmp.twap_by_type(load_table(spark, sf_dir, "events"))
+
+
 def q_events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical trend/seasonal/remainder decomposition of the dense
     daily event series."""
@@ -2271,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_km_survival": q_events_km_survival,
         "events_concurrency": q_events_concurrency,
         "events_stl_decompose": q_events_stl_decompose,
+        "events_twap": q_events_twap,
         "udf_grouped_agg": q_udf_grouped_agg,
         "events_bitmap_retention": q_events_bitmap_retention,
         "text_decontaminate": q_text_decontaminate,
@@ -2917,6 +2924,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "udf_grouped_agg": _ext_oracle(
             [_udafs.ORACLE_GROUPED_AGG], "grouped_agg_spend"
+        ),
+        "events_twap": _ext_oracle(
+            [_tmp.ORACLE_TWAP], "twap_by_type"
         ),
         "events_bitmap_retention": _ext_oracle(
             [_tmp.ORACLE_BITMAP_RETENTION], "bitmap_retention"

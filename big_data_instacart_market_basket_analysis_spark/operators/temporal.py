@@ -4397,3 +4397,60 @@ stl_decompose AS (
   FROM stl_d t JOIN stl_s s USING (dow)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average value (TWAP) per event type
+# ---------------------------------------------------------------------------
+
+
+def twap_by_type(events: DataFrame) -> DataFrame:
+    """Time-weighted average value per event type (TWAP): each sample
+    is weighted by how long it was the latest observation (step-
+    function integral / total duration) — the correct summary of an
+    IRREGULARLY-sampled series, where the plain mean silently
+    over-weights bursts (both are emitted; their gap measures the
+    sampling bias).
+
+    One lead window per type builds the holding intervals; the rest
+    is two sums. At 100 TB the per-type window partitions by a
+    low-cardinality key — the production form pre-buckets by (type,
+    day) and stitches boundaries, same trick as the sweep-line ops.
+    Output: event_type, n_segments, twap, plain_mean (round 6).
+    """
+    pts = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type").orderBy("ms", "event_id")
+    seg = (
+        pts.withColumn("next_ms", F.lead("ms").over(w))
+        .filter(F.col("next_ms").isNotNull())
+        .withColumn("wgt", F.col("next_ms") - F.col("ms"))
+    )
+    return seg.groupBy("event_type").agg(
+        F.count("*").alias("n_segments"),
+        F.round(
+            F.sum(F.col("value") * F.col("wgt")) / F.sum("wgt"), 6
+        ).alias("twap"),
+        F.round(F.sum("value") / F.count("*"), 6).alias("plain_mean"),
+    )
+
+
+ORACLE_TWAP = """
+tw_seg AS (
+  SELECT event_type, value,
+         lead(epoch_ms(ts)) OVER (PARTITION BY event_type
+           ORDER BY epoch_ms(ts), event_id) - epoch_ms(ts) AS wgt
+  FROM events WHERE value IS NOT NULL
+),
+twap_by_type AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_segments,
+         round(sum(value * wgt) / sum(wgt), 6) AS twap,
+         round(sum(value) / count(*), 6) AS plain_mean
+  FROM tw_seg WHERE wgt IS NOT NULL
+  GROUP BY 1
+)
+"""
