@@ -1231,3 +1231,36 @@ def test_hll_estimate_error_bound(spark):
     for r in rows:
         rel = abs(r["est_users"] - r["exact_users"]) / r["exact_users"]
         assert rel <= tol, (r["scope"], rel)
+
+
+def test_winnowing_guaranteed_detection(spark):
+    """Winnowing's defining guarantee: two docs sharing a token run of
+    length >= W + K - 1 MUST share at least one fingerprint (some
+    window inside the run selects the same minimum)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        dedup,
+    )
+
+    shared = (
+        "quick brown foxes jump over seven lazy dogs tonight while "
+        "bright silver moons rise above quiet hills"
+    )
+    # long enough that the guarantee fires >= WIN_MIN_SHARED times
+    assert (
+        len(shared.split())
+        >= (dedup.WIN_W + dedup.WIN_K - 1) * dedup.WIN_MIN_SHARED
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma"),
+            (2, "delta " + shared + " epsilon zeta"),
+            (3, "unrelated words only here nothing matches at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.winnowing_pairs(docs).collect()
+    }
+    assert any(p == (1, 2) for p in pairs), pairs
+    assert not any(3 in p for p in pairs), pairs
