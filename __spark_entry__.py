@@ -1220,6 +1220,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph.triangle_counts(_lineitem(spark, sf_dir))
 
 
+def q_graph_item_sim_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out recommender eval: hit-rate@k of the item-item model
+    trained on 80% of orders, scored on the held-out 20%."""
+    return _graph.item_sim_holdout_eval(_lineitem(spark, sf_dir))
+
+
 def q_graph_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item collaborative similarity (neighborhood Jaccard via
     the wedge join, per-item top-k)."""
@@ -2421,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs": q_graph_bfs,
         "graph_lpa": q_graph_lpa,
         "graph_item_similarity": q_graph_item_similarity,
+        "graph_item_sim_hitrate": q_graph_item_sim_hitrate,
         "pysource_docs": q_pysource_docs,
         "pysink_docs": q_pysink_docs,
         "dedup_decontaminate": q_dedup_decontaminate,
@@ -2972,6 +2979,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_item_similarity": _ext_oracle(
             [_graph.oracle_item_similarity()], "item_similarity"
+        ),
+        "graph_item_sim_hitrate": _ext_oracle(
+            [_graph.oracle_item_sim_holdout()], "item_sim_holdout"
         ),
         "events_winsorized": _ext_oracle(
             [_tmp.ORACLE_WINSORIZED_STATS], "winsorized_stats"

@@ -538,3 +538,152 @@ item_similarity AS (
     PARTITION BY item ORDER BY jaccard DESC, neighbor) <= {k}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# held-out recommender evaluation (hit-rate@k)
+# ---------------------------------------------------------------------------
+
+SIM_EVAL_FOLDS = 5  # orders with md5(ok) % FOLDS == 0 are held out
+
+
+def item_sim_holdout_eval(
+    lineitem: DataFrame, k: int = SIM_TOP_K
+) -> DataFrame:
+    """Offline recommender evaluation done properly: the item-item
+    Jaccard model is trained on ~80% of ORDERS (md5 split — the same
+    deterministic content-hash splitting the corpus samplers use) and
+    scored on the held-out orders: for every directed co-occurrence
+    (p, q) in a held-out basket, a hit means q appears in p's
+    trained top-k — hit-rate@k, the standard recsys offline metric.
+    Without the holdout this number is circular (the model is built
+    from co-occurrence); with it, cold items correctly score as
+    misses.
+
+    Same basket-bounded pair algebra as `item_similarity`; the eval
+    join probes the K-rows-per-item model table. Output (1 row):
+    k, n_test_pairs, n_hits, hit_rate.
+    """
+    op = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("ok").cast("string")), 1, 13), 16, 10
+        ).cast("bigint")
+        % SIM_EVAL_FOLDS
+    )
+    train = op.filter(fold != 0)
+    test = op.filter(fold == 0)
+    ords = train.groupBy("p").agg(F.count("*").alias("n_ord"))
+    pairs = (
+        train.join(
+            train.select(F.col("ok"), F.col("p").alias("q")), "ok"
+        )
+        .filter(F.col("p") < F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count("*").alias("n_common"))
+    )
+    scored = (
+        pairs.join(
+            ords.select(F.col("p"), F.col("n_ord").alias("na")), "p"
+        )
+        .join(
+            ords.select(F.col("p").alias("q"), F.col("n_ord").alias("nb")),
+            "q",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+    both = scored.select(
+        F.col("p").alias("item"), F.col("q").alias("neighbor"), "jaccard"
+    ).unionByName(
+        scored.select(
+            F.col("q").alias("item"), F.col("p").alias("neighbor"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("jaccard").desc(), "neighbor"
+    )
+    topk = (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("item", "neighbor")
+    )
+    test_pairs = (
+        test.join(test.select(F.col("ok"), F.col("p").alias("q")), "ok")
+        .filter(F.col("p") != F.col("q"))
+        .select(F.col("p").alias("item"), F.col("q").alias("neighbor"))
+    )
+    n_pairs = test_pairs.count()
+    hits = test_pairs.join(topk, ["item", "neighbor"], "leftsemi")
+    return hits.agg(
+        F.lit(k).alias("k"),
+        F.lit(n_pairs).alias("n_test_pairs"),
+        F.count("*").alias("n_hits"),
+        F.round(F.count("*") / F.lit(float(n_pairs)), 6).alias(
+            "hit_rate"
+        ),
+    )
+
+
+def oracle_item_sim_holdout(k: int = SIM_TOP_K) -> str:
+    return f"""
+ev_op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+),
+ev_f AS (
+  SELECT ok, p,
+         CAST(('0x' || substr(md5(CAST(ok AS VARCHAR)), 1, 13))
+              AS BIGINT) % {SIM_EVAL_FOLDS} AS fold
+  FROM ev_op
+),
+ev_train AS (SELECT ok, p FROM ev_f WHERE fold <> 0),
+ev_test AS (SELECT ok, p FROM ev_f WHERE fold = 0),
+ev_ord AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS n_ord FROM ev_train GROUP BY 1
+),
+ev_pairs AS (
+  SELECT a.p, b.p AS q, CAST(count(*) AS BIGINT) AS n_common
+  FROM ev_train a JOIN ev_train b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY 1, 2
+),
+ev_scored AS (
+  SELECT w.p, w.q,
+         round(w.n_common / (na.n_ord + nb.n_ord - w.n_common), 6)
+           AS jaccard
+  FROM ev_pairs w
+  JOIN ev_ord na ON na.p = w.p
+  JOIN ev_ord nb ON nb.p = w.q
+),
+ev_both AS (
+  SELECT p AS item, q AS neighbor, jaccard FROM ev_scored
+  UNION ALL SELECT q, p, jaccard FROM ev_scored
+),
+ev_topk AS (
+  SELECT item, neighbor FROM ev_both
+  QUALIFY row_number() OVER (
+    PARTITION BY item ORDER BY jaccard DESC, neighbor) <= {k}
+),
+ev_tp AS (
+  SELECT a.p AS item, b.p AS neighbor
+  FROM ev_test a JOIN ev_test b ON a.ok = b.ok AND a.p <> b.p
+),
+item_sim_holdout AS (
+  SELECT {k} AS k,
+         (SELECT CAST(count(*) AS BIGINT) FROM ev_tp) AS n_test_pairs,
+         CAST(count(*) AS BIGINT) AS n_hits,
+         round(count(*) / CAST((SELECT count(*) FROM ev_tp) AS DOUBLE),
+               6) AS hit_rate
+  FROM ev_tp t
+  WHERE EXISTS (SELECT 1 FROM ev_topk s
+                WHERE s.item = t.item AND s.neighbor = t.neighbor)
+)
+"""
