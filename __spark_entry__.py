@@ -1893,6 +1893,12 @@ def q_stream_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_merge_state(spark, sf_dir)
 
 
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL registers as streaming state (max-merge); estimate equals
+    the batch sketch."""
+    return _ev.run_stream_hll(spark, sf_dir)
+
+
 def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS as streaming state: constant depth*width cell table merged
     by cell-wise addition per micro-batch; equals the batch sketch."""
@@ -2307,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_merge_state": q_stream_merge_state,
         "stream_kmv": q_stream_kmv,
         "stream_cms": q_stream_cms,
+        "stream_hll": q_stream_hll,
         "stream_embedding_dedup": q_stream_embedding_dedup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3320,6 +3327,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_cms": _ext_oracle(
             [_ev.ORACLE_STREAM_CMS], "stream_cms"
+        ),
+        "stream_hll": _ext_oracle(
+            [_ev.ORACLE_STREAM_HLL], "stream_hll"
         ),
         "stream_merge_state": _ext_oracle(
             [_ev.ORACLE_STREAM_MERGE_STATE], "stream_merge_state"

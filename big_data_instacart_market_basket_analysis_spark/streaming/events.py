@@ -1621,3 +1621,145 @@ stream_cms AS (
 
 
 ORACLE_STREAM_CMS = _oracle_stream_cms()
+
+
+def run_stream_hll(
+    spark: SparkSession, sf_dir: str, name: str = "stream_hll"
+) -> DataFrame:
+    """HLL registers as streaming state — completes the sketch-state
+    trio (KMV: bottom-k, CMS: add, HLL: MAX): each micro-batch's
+    partial registers fold into the standing 64-row register table by
+    element-wise max; the final registers and estimate equal the batch
+    `hll_distinct` 'ALL' row exactly. Output (1 row): n_registers,
+    est_users.
+    """
+    import tempfile
+
+    from ..operators.temporal import (
+        HLL_M,
+        HLL_W_BITS,
+    )
+
+    _tune_stream_session(spark)
+    root = tempfile.mkdtemp(prefix="stream_hll_")
+    src, target = f"{root}/src", f"{root}/state"
+
+    load_table(spark, sf_dir, "events").select("user_id").repartition(
+        6
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = (
+            batch_df.select(h.alias("h"))
+            .select(
+                F.expr(f"h DIV {1 << HLL_W_BITS}").alias("bucket"),
+                (F.col("h") % F.lit(1 << HLL_W_BITS)).alias("w"),
+            )
+            .withColumn(
+                "rho",
+                F.when(
+                    F.col("w") == 0, F.lit(HLL_W_BITS + 1)
+                ).otherwise(
+                    F.lit(HLL_W_BITS + 1) - F.length(F.bin(F.col("w")))
+                ),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+        if _os.path.isdir(target):
+            part = (
+                spark.read.parquet(target)
+                .unionByName(part)
+                .groupBy("bucket")
+                .agg(F.max("rho").alias("rho"))
+            )
+        part.localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    regs = spark.read.parquet(target)
+    grid = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+    full = grid.join(regs, "bucket", "left").select(
+        F.coalesce("rho", F.lit(0)).alias("rho")
+    )
+    alpha = F.lit(0.7213) / (
+        F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M))
+    )
+    stats = full.agg(
+        F.count("*").alias("n_registers"),
+        F.sum(F.lit(1.0) / F.expr("shiftleft(1L, rho)")).alias("z"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    raw = alpha * F.lit(float(HLL_M * HLL_M)) / F.col("z")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("zeros") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    return stats.select(
+        "n_registers", F.round(est, 4).alias("est_users")
+    )
+
+
+def _oracle_stream_hll() -> str:
+    from ..operators.temporal import HLL_M, HLL_W_BITS
+
+    return f"""
+shll_h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+              AS BIGINT) AS h
+  FROM events
+),
+shll_regs AS (
+  SELECT CAST(h // {1 << HLL_W_BITS} AS BIGINT) AS bucket,
+         max(CASE WHEN h % {1 << HLL_W_BITS} = 0 THEN {HLL_W_BITS + 1}
+                  ELSE {HLL_W_BITS + 1}
+                       - length(bin(h % {1 << HLL_W_BITS}))
+             END) AS rho
+  FROM shll_h GROUP BY 1
+),
+shll_full AS (
+  SELECT COALESCE(r.rho, 0) AS rho
+  FROM (SELECT unnest(range(0, {HLL_M})) AS bucket) g
+  LEFT JOIN shll_regs r ON r.bucket = g.bucket
+),
+shll_s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_registers,
+         sum(1.0 / (CAST(1 AS BIGINT) << rho)) AS z,
+         CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zeros
+  FROM shll_full
+),
+stream_hll AS (
+  SELECT n_registers,
+         round(CASE WHEN (0.7213 / (1.0 + 1.079 / {float(HLL_M)!r}))
+                         * {float(HLL_M * HLL_M)!r} / z
+                         <= {2.5 * HLL_M!r}
+                    AND zeros > 0
+               THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / zeros)
+               ELSE (0.7213 / (1.0 + 1.079 / {float(HLL_M)!r}))
+                    * {float(HLL_M * HLL_M)!r} / z
+               END, 4) AS est_users
+  FROM shll_s
+)
+"""
+
+
+ORACLE_STREAM_HLL = _oracle_stream_hll()
