@@ -132,6 +132,7 @@ _FRAGMENTS: dict[str, str] = {
     "seq_spans": _bask.ORACLE_SEQ_SPANS,
     "sequential_pairs": _bask.ORACLE_SEQUENTIAL_PAIRS,
     "frequent_pairs": _bask.ORACLE_FREQUENT_PAIRS,
+    "apriori_triples": _bask.ORACLE_APRIORI_TRIPLES,
     "pair_rules": _bask.ORACLE_PAIR_RULES,
     "basket_sizes": _bask.ORACLE_BASKET_SIZES,
     "sql_dept_stats": _sqlapi.ORACLE_SQL_DEPT_STATS,
@@ -193,6 +194,7 @@ _DEPS: dict[str, list[str]] = {
     "seq_spans": [],
     "sequential_pairs": ["seq_spans"],
     "frequent_pairs": ["baskets_base"],
+    "apriori_triples": ["baskets_base"],
     "pair_rules": ["baskets_base"],
     "basket_sizes": ["baskets_base"],
     "sql_dept_stats": ["product_features"],
@@ -390,6 +392,12 @@ def q_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_basket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bask.basket_sizes(instacart_tables(spark, sf_dir))
+
+
+def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified Apriori 3-itemsets (downward-closure pruned candidate
+    stream; oracle counts unpruned — hash match proves losslessness)."""
+    return _bask.apriori_triples(instacart_tables(spark, sf_dir))
 
 
 def q_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2259,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_corpus_lang_stats": q_sql_corpus_lang_stats,
         "geo_customer_rollup": q_geo_customer_rollup,
         "frequent_pairs": q_frequent_pairs,
+        "apriori_triples": q_apriori_triples,
         "pair_rules": q_pair_rules,
         "basket_sizes": q_basket_sizes,
         "sequential_pairs": q_sequential_pairs,
@@ -2564,6 +2573,7 @@ def oracle_sql() -> dict[str, str]:
         "threshold_binarize": _oracle("threshold_binarize"),
         "top_products_per_user": _oracle("top_products_per_user"),
         "frequent_pairs": _oracle("frequent_pairs"),
+        "apriori_triples": _oracle("apriori_triples"),
         "pair_rules": _oracle("pair_rules"),
         "basket_sizes": _oracle("basket_sizes"),
         "sequential_pairs": _oracle("sequential_pairs"),

@@ -456,3 +456,101 @@ def prefixspan_patterns(
         F.size("sequence").alias("n_itemsets"),
         F.col("freq").alias("freq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# verified Apriori: arity-3 frequent itemsets with candidate pruning
+# ---------------------------------------------------------------------------
+
+
+def apriori_triples(
+    t: InstacartTables, min_count: int = MIN_PAIR_COUNT
+) -> DataFrame:
+    """Frequent 3-itemsets via the Apriori candidate-pruning scheme —
+    the hash-verified arity-3 anchor for the rows-only FPGrowth path
+    (``fpgrowth_itemsets``), the way ``frequent_pairs`` anchors arity 2.
+
+    Classic Apriori (Agrawal & Srikant, VLDB'94) downward closure: a
+    triple can only be frequent if all three of its sub-pairs are.
+    The plan exploits that *before* support counting — the dominant
+    cost at scale is the candidate-occurrence stream, not the final
+    HAVING:
+
+    1. pair occurrences per basket, immediately semi-joined to the
+       min-count-filtered frequent-pair list (broadcast — the pair
+       list is support-floored, hence small);
+    2. extend each surviving (p1, p2) occurrence with a third basket
+       item p3 > p2 (co-partitioned orderID join — no new shuffle
+       key);
+    3. prune extensions whose (p1, p3) or (p2, p3) sub-pair is not
+       frequent (two more broadcast semi-joins) — this is the Apriori
+       step: at 100 TB it shrinks the groupBy input by orders of
+       magnitude versus counting all C(k,3) basket triples;
+    4. count support per (p1, p2, p3), keep >= min_count.
+
+    Amplification stays bounded by (frequent pairs per basket) x
+    basket width, never C(k,3) of raw width. The DuckDB oracle counts
+    all basket triples directly and applies only the final HAVING —
+    downward closure guarantees the pruned plan produces the identical
+    result, so the hash match *proves* the pruning is lossless.
+    """
+    bk = baskets(t)
+    freq = _pair_counts_staged(t, min_count).select("p1", "p2")
+    occ = (
+        bk.alias("a")
+        .join(
+            bk.alias("b"),
+            (F.col("a.orderID") == F.col("b.orderID"))
+            & (F.col("a.productID") < F.col("b.productID")),
+        )
+        .select(
+            F.col("a.orderID").alias("orderID"),
+            F.col("a.productID").alias("p1"),
+            F.col("b.productID").alias("p2"),
+        )
+        .join(F.broadcast(freq), ["p1", "p2"], "leftsemi")
+    )
+    ext = (
+        occ.join(bk.alias("c"), "orderID")
+        .filter(F.col("c.productID") > F.col("p2"))
+        .select("orderID", "p1", "p2", F.col("c.productID").alias("p3"))
+        .join(
+            F.broadcast(freq.select(F.col("p1"), F.col("p2").alias("p3"))),
+            ["p1", "p3"],
+            "leftsemi",
+        )
+        .join(
+            F.broadcast(
+                freq.select(F.col("p1").alias("p2"), F.col("p2").alias("p3"))
+            ),
+            ["p2", "p3"],
+            "leftsemi",
+        )
+    )
+    return (
+        ext.groupBy("p1", "p2", "p3")
+        .agg(F.count("*").alias("triple_count"))
+        .filter(F.col("triple_count") >= min_count)
+        .crossJoin(F.broadcast(_n_baskets(bk)))
+        .select(
+            "p1",
+            "p2",
+            "p3",
+            "triple_count",
+            (F.col("triple_count") / F.col("n_baskets")).alias("support"),
+        )
+    )
+
+
+ORACLE_APRIORI_TRIPLES = f"""
+apriori_triples AS (
+  SELECT a.productID AS p1, b.productID AS p2, c.productID AS p3,
+         count(*) AS triple_count,
+         CAST(count(*) AS DOUBLE) / (SELECT n_baskets FROM inb) AS support
+  FROM ibaskets a
+  JOIN ibaskets b ON a.orderID = b.orderID AND a.productID < b.productID
+  JOIN ibaskets c ON b.orderID = c.orderID AND b.productID < c.productID
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= {MIN_PAIR_COUNT}
+)
+"""

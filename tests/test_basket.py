@@ -96,3 +96,64 @@ def test_prefixspan_singletons_match_user_counts(tables):
         .collect()
     }
     assert ps == direct
+
+
+def test_fpgrowth_triples_match_apriori(tables):
+    """FP-Growth's arity-3 itemsets must equal the Apriori pruned
+    triple counts — two algorithms (distributed PFP vs downward-closure
+    candidate join), one statistic."""
+    fp = {
+        (r["itemset"], r["freq"])
+        for r in basket.fpgrowth_itemsets(tables)
+        .filter(F.col("arity") == 3)
+        .collect()
+    }
+    ap = {
+        (f"{r['p1']} {r['p2']} {r['p3']}", r["triple_count"])
+        for r in basket.apriori_triples(tables).collect()
+    }
+    assert fp == ap
+    assert len(ap) > 0
+
+
+def test_apriori_triples_synthetic(spark):
+    """Engineered fixture where pruning is load-bearing: (1,2,3) is the
+    only frequent triple; (4,5) is a frequent pair whose extensions all
+    fail downward closure, so no (4,5,x) triple may appear."""
+    from big_data_instacart_market_basket_analysis_spark.plans.instacart import (
+        InstacartTables,
+    )
+
+    baskets = {
+        101: [1, 2, 3, 9],
+        102: [1, 2, 3],
+        103: [1, 2, 3, 4, 5],
+        104: [4, 5, 6],
+        105: [4, 5, 7],
+        106: [6, 8],
+    }
+    orders = spark.createDataFrame(
+        [(oid, 1, 0, 1, 0, 0, 0) for oid in baskets],
+        "orderID int, userID int, eval_set int, order_number int,"
+        " order_dow int, order_hod int, days_since int",
+    )
+    op = spark.createDataFrame(
+        [
+            (oid, pid, i + 1, 0)
+            for oid, pids in baskets.items()
+            for i, pid in enumerate(pids)
+        ],
+        "orderID int, productID int, cart_order int, reordered int",
+    )
+    products = spark.createDataFrame(
+        [(p, "a", "d") for p in range(1, 10)],
+        "productID int, aisle_id string, dep_id string",
+    )
+    t = InstacartTables(orders=orders, order_products=op, products=products)
+    got = {
+        (r["p1"], r["p2"], r["p3"]): r["triple_count"]
+        for r in basket.apriori_triples(t).collect()
+    }
+    # min_count=2: only (1,2,3) survives the HAVING; the frequent pair
+    # (4,5) generates candidates but every extension fails the count.
+    assert got == {(1, 2, 3): 3}
