@@ -1690,6 +1690,15 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning: broadcast bit-set build, all-K-bits
+    probe, exact-semi-join false-positive audit in one summary row."""
+    return _rel.bloom_join_prune(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC APPLY CHANGES: latest change per key wins, DELETE status
     removes the key (one key-window pass + row-local filter)."""
@@ -2484,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_psi_drift": q_events_psi_drift,
         "events_rfm_segments": q_events_rfm_segments,
         "nation_revenue_share": q_nation_revenue_share,
+        "bloom_join_prune": q_bloom_join_prune,
         "events_interpolate": q_events_interpolate,
         "loo_target_encoding": q_loo_target_encoding,
         "feature_correlations": q_feature_correlations,
@@ -3217,6 +3227,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_psi_drift": _ext_oracle(
             [_tmp.ORACLE_PSI_DRIFT], "psi_drift"
+        ),
+        "bloom_join_prune": _ext_oracle(
+            [_rel.ORACLE_BLOOM_JOIN_PRUNE], "bloom_join_prune"
         ),
         "nation_revenue_share": _ext_oracle(
             [_rel.ORACLE_NATION_REVENUE_SHARE], "nation_revenue_share"

@@ -1289,3 +1289,159 @@ nation_revenue_share AS (
   FROM nrs_nation
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning with false-positive audit
+# ---------------------------------------------------------------------------
+
+#: Bloom bit-array width (power of two so the modulo is a mask at the
+#: engine level) and hash count. m=8192, k=3 targets ~1% fp at n~600
+#: build keys; a deploy sizes m ~ -n*ln(p)/ln(2)^2 from the build-side
+#: count.
+BLOOM_M = 8192
+BLOOM_K = 3
+
+
+def _bloom_bits(key: F.Column) -> F.Column:
+    """The K deterministic bit positions of a key: 52-bit md5 of
+    'key:i' mod M — replayable verbatim in DuckDB (same md5, same
+    substring, same modulo), so the whole filter is oracle-checkable."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(key.cast("string"), F.lit(f":{i}"))),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(BLOOM_M),
+            )
+            for i in range(BLOOM_K)
+        ]
+    )
+
+
+def bloom_join_prune(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Join pruning via a Bloom filter — the 100 TB pattern for cutting
+    a fact-table shuffle down to the rows that can possibly match a
+    selective dim-side predicate, without shipping the key list.
+
+    Build: the K bit positions of every BUILDING-segment customer key,
+    distinct -> the set-bit relation (<= m rows; at scale this is the
+    broadcast bit array — the relation form is its declarative
+    equivalent and Catalyst broadcasts it). Probe: each distinct fact
+    key passes iff all K of its positions are set (exploded positions
+    x broadcast set-bits, count == K). The fact scan is then
+    semi-joined against the surviving keys BEFORE any wide join — the
+    shuffle carries only maybe-matching rows.
+
+    The audit quantifies the trade: true matches (exact semi-join),
+    false passes, observed fp rate among true negatives, and the
+    standard (1-(1-1/m)^(kn))^k estimate — all in one summary row, so
+    the hash gate pins both the filter mechanics and the arithmetic.
+    Output: n_build_keys, n_set_bits, n_probe_keys, n_pass_keys,
+    n_true_keys, n_false_pos, fp_rate, fp_expected.
+    """
+    build = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    set_bits = (
+        build.select(F.explode(_bloom_bits(F.col("key"))).alias("bit"))
+        .distinct()
+    )
+    probe_keys = orders.select(
+        F.col("o_custkey").alias("key")
+    ).distinct()
+    pass_keys = (
+        probe_keys.select("key", F.explode(_bloom_bits(F.col("key"))).alias("bit"))
+        .join(F.broadcast(set_bits), "bit", "leftsemi")
+        .groupBy("key")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == BLOOM_K)
+        .select("key")
+    )
+    true_keys = probe_keys.join(
+        build, "key", "leftsemi"
+    )
+    counts = (
+        build.agg(F.countDistinct("key").alias("n_build_keys"))
+        .crossJoin(set_bits.agg(F.count("*").alias("n_set_bits")))
+        .crossJoin(probe_keys.agg(F.count("*").alias("n_probe_keys")))
+        .crossJoin(pass_keys.agg(F.count("*").alias("n_pass_keys")))
+        .crossJoin(true_keys.agg(F.count("*").alias("n_true_keys")))
+    )
+    one_bit = 1.0 - 1.0 / BLOOM_M
+    return counts.select(
+        "n_build_keys",
+        "n_set_bits",
+        "n_probe_keys",
+        "n_pass_keys",
+        "n_true_keys",
+        (F.col("n_pass_keys") - F.col("n_true_keys")).alias("n_false_pos"),
+        F.round(
+            (F.col("n_pass_keys") - F.col("n_true_keys"))
+            / (F.col("n_probe_keys") - F.col("n_true_keys")),
+            6,
+        ).alias("fp_rate"),
+        F.round(
+            F.pow(
+                F.lit(1.0)
+                - F.pow(
+                    F.lit(one_bit),
+                    (F.col("n_build_keys") * F.lit(BLOOM_K)).cast("double"),
+                ),
+                F.lit(float(BLOOM_K)),
+            ),
+            4,
+        ).alias("fp_expected"),
+    )
+
+
+ORACLE_BLOOM_JOIN_PRUNE = f"""
+bl_build AS (
+  SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+bl_bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':' || i), 1, 13))
+              AS BIGINT) % {BLOOM_M} AS bit
+  FROM bl_build, LATERAL unnest(range(0, {BLOOM_K})) AS t(i)
+),
+bl_probe AS (SELECT DISTINCT o_custkey AS key FROM orders),
+bl_pass AS (
+  SELECT key FROM (
+    SELECT p.key,
+           CAST(('0x' || substr(md5(CAST(p.key AS VARCHAR) || ':' || i), 1, 13))
+                AS BIGINT) % {BLOOM_M} AS bit
+    FROM bl_probe p, LATERAL unnest(range(0, {BLOOM_K})) AS t(i)
+  ) pb
+  WHERE EXISTS (SELECT 1 FROM bl_bits b WHERE b.bit = pb.bit)
+  GROUP BY key HAVING count(*) = {BLOOM_K}
+),
+bl_true AS (
+  SELECT key FROM bl_probe p
+  WHERE EXISTS (SELECT 1 FROM bl_build b WHERE b.key = p.key)
+),
+bl_counts AS (
+  SELECT (SELECT CAST(count(DISTINCT key) AS BIGINT) FROM bl_build) AS n_build_keys,
+         (SELECT CAST(count(*) AS BIGINT) FROM bl_bits) AS n_set_bits,
+         (SELECT CAST(count(*) AS BIGINT) FROM bl_probe) AS n_probe_keys,
+         (SELECT CAST(count(*) AS BIGINT) FROM bl_pass) AS n_pass_keys,
+         (SELECT CAST(count(*) AS BIGINT) FROM bl_true) AS n_true_keys
+),
+bloom_join_prune AS (
+  SELECT n_build_keys, n_set_bits, n_probe_keys, n_pass_keys, n_true_keys,
+         n_pass_keys - n_true_keys AS n_false_pos,
+         round(CAST(n_pass_keys - n_true_keys AS DOUBLE)
+               / (n_probe_keys - n_true_keys), 6) AS fp_rate,
+         round(pow(1.0 - pow(CAST({1.0 - 1.0 / BLOOM_M!r} AS DOUBLE),
+                             CAST(n_build_keys * {BLOOM_K} AS DOUBLE)),
+                   CAST({float(BLOOM_K)!r} AS DOUBLE)), 4) AS fp_expected
+  FROM bl_counts
+)
+"""

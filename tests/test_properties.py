@@ -1264,3 +1264,52 @@ def test_winnowing_guaranteed_detection(spark):
     }
     assert any(p == (1, 2) for p in pairs), pairs
     assert not any(3 in p for p in pairs), pairs
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=1, max_value=10_000),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_bloom_filter_no_false_negatives(spark, keys):
+    """Bloom guarantee: when every probe key IS a build key, all probe
+    keys must pass the filter — a false negative is impossible by
+    construction (all K bits of a build key are set)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        relational as rel,
+    )
+
+    customer = spark.createDataFrame(
+        [(k, "BUILDING") for k in keys], "c_custkey long, c_mktsegment string"
+    )
+    orders = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "o_orderkey long, o_custkey long"
+    )
+    row = rel.bloom_join_prune(customer, orders).collect()[0]
+    assert row["n_pass_keys"] == row["n_probe_keys"] == len(keys)
+    assert row["n_false_pos"] == 0
+
+
+def test_bloom_filter_fp_rate_bounded(spark):
+    """Disjoint probe keys: observed fp rate should be near the
+    analytic estimate (well under 5% at n=200, m=8192, k=3)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        relational as rel,
+    )
+
+    customer = spark.createDataFrame(
+        [(k, "BUILDING") for k in range(200)],
+        "c_custkey long, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(i, 1_000_000 + i) for i in range(2_000)],
+        "o_orderkey long, o_custkey long",
+    )
+    row = rel.bloom_join_prune(customer, orders).collect()[0]
+    assert row["n_true_keys"] == 0
+    assert row["fp_rate"] < 0.05
+    assert row["fp_expected"] < 0.05
