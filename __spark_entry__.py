@@ -1461,6 +1461,12 @@ def q_events_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.cms_heavy_hitters(load_table(spark, sf_dir, "events"))
 
 
+def q_events_kmv_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: union/intersection/Jaccard estimates
+    between purchase-day and click-day user sets, from sketches only."""
+    return _tmp.kmv_set_algebra(load_table(spark, sf_dir, "events"))
+
+
 def q_events_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mergeable KMV distinct sketch: per-day bottom-k
     hash sets + merged 'ALL' row, estimates hash-verified."""
@@ -2299,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube_stats": q_events_cube_stats,
         "events_approx_distinct": q_events_approx_distinct,
         "events_kmv_sketch": q_events_kmv_sketch,
+        "events_kmv_algebra": q_events_kmv_algebra,
         "events_gapfill": q_events_gapfill,
         "events_hll_sketch": q_events_hll_sketch,
         "events_lttb": q_events_lttb,
@@ -2928,6 +2935,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_retention": _ext_oracle(
             [_tmp.ORACLE_RETENTION_COHORTS], "retention_cohorts"
+        ),
+        "events_kmv_algebra": _ext_oracle(
+            [_tmp.ORACLE_KMV_SET_ALGEBRA], "kmv_set_algebra"
         ),
         "events_kmv_sketch": _ext_oracle(
             [_tmp.ORACLE_KMV_SKETCH], "kmv_distinct_sketch"

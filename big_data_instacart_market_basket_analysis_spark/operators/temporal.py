@@ -3306,6 +3306,187 @@ kmv_distinct_sketch AS (
 """
 
 
+def kmv_set_algebra(events: DataFrame) -> DataFrame:
+    """Theta-sketch set algebra on KMV sketches — union, intersection,
+    and Jaccard ESTIMATES between two user-day sets (purchase days vs
+    click days) computed purely from two k=64 sketches, never from the
+    raw sets. This is the sketch property that matters operationally
+    at 100 TB: per-segment sketches are tiny mergeable state, and ANY
+    pair's overlap is answerable after the fact without rescanning —
+    the audience-overlap / reach-dedup query pattern.
+
+    Mechanics (Dasgupta et al., theta sketches): each side retains its
+    k smallest 52-bit md5 hashes; theta_s = k-th min. For set ops the
+    effective threshold is theta = min(theta_A, theta_B); the
+    intersection estimate is |A_sk intersect B_sk restricted below
+    theta| / theta, the union estimate is (k-1)/theta_U of the merged
+    re-topped sketch, and Jaccard is their ratio. Every step is
+    deterministic integer + fixed-order double arithmetic, so the
+    ESTIMATES (not just the machinery) hash-match the DuckDB replay.
+
+    Scale: the only corpus-sized stage is the distinct (side, hash)
+    projection; per-side top-k uses the same salted two-level rank as
+    ``kmv_distinct_sketch`` — no global sort, no hot partition. Exact
+    counts ride along as truth columns for error inspection.
+    """
+    ent = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("@"),
+        F.to_date("ts").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(ent), 1, 13), 16, 10).cast("bigint")
+    base = (
+        events.filter(F.col("event_type").isin("purchase", "click"))
+        .select(F.col("event_type").alias("side"), h.alias("h"))
+        .distinct()
+    )
+    w1 = Window.partitionBy("side", "salt").orderBy("h")
+    w2 = Window.partitionBy("side").orderBy("h")
+    sk = (
+        base.withColumn("salt", F.pmod(F.col("h"), F.lit(KMV_SALT)))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= KMV_K)
+        .withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= KMV_K)
+        .select("side", "h")
+    )
+    thetas = sk.groupBy("side").agg(F.max("h").alias("theta_h"))
+    theta_min = thetas.agg(F.min("theta_h").alias("theta_min_h"))
+    n_inter = (
+        sk.filter(F.col("side") == "purchase")
+        .select("h")
+        .join(sk.filter(F.col("side") == "click").select("h"), "h")
+        .crossJoin(F.broadcast(theta_min))
+        .filter(F.col("h") <= F.col("theta_min_h"))
+        .agg(F.count("*").alias("n_inter_kept"))
+    )
+    wu = Window.partitionBy(F.lit(1)).orderBy("h")
+    union_sk = (
+        sk.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= KMV_K)
+        .agg(F.max("h").alias("theta_u_h"), F.count("*").alias("n_u_kept"))
+    )
+    exact = (
+        base.groupBy("h")
+        .agg(F.count("*").alias("n_sides"))
+        .agg(
+            F.count("*").alias("exact_union"),
+            F.sum((F.col("n_sides") == 2).cast("bigint")).alias("exact_inter"),
+        )
+    )
+    exact_sides = base.agg(
+        F.sum((F.col("side") == "purchase").cast("bigint")).alias(
+            "exact_purchase"
+        ),
+        F.sum((F.col("side") == "click").cast("bigint")).alias("exact_click"),
+    )
+    ta = thetas.filter(F.col("side") == "purchase").select(
+        F.col("theta_h").alias("theta_a_h")
+    )
+    tb = thetas.filter(F.col("side") == "click").select(
+        F.col("theta_h").alias("theta_b_h")
+    )
+    km1 = float(KMV_K - 1)
+    frac = lambda c: (c + F.lit(1)) / F.lit(_KMV_DENOM)  # noqa: E731
+    return (
+        n_inter.crossJoin(F.broadcast(theta_min))
+        .crossJoin(F.broadcast(union_sk))
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(exact_sides))
+        .select(
+            "n_inter_kept",
+            "n_u_kept",
+            F.round(F.lit(km1) / frac(F.col("theta_a_h")), 4).alias(
+                "est_purchase"
+            ),
+            F.round(F.lit(km1) / frac(F.col("theta_b_h")), 4).alias(
+                "est_click"
+            ),
+            F.round(
+                F.col("n_inter_kept") / frac(F.col("theta_min_h")), 4
+            ).alias("est_inter"),
+            F.round(F.lit(km1) / frac(F.col("theta_u_h")), 4).alias(
+                "est_union"
+            ),
+            F.round(
+                (F.col("n_inter_kept") / frac(F.col("theta_min_h")))
+                / (F.lit(km1) / frac(F.col("theta_u_h"))),
+                4,
+            ).alias("est_jaccard"),
+            "exact_purchase",
+            "exact_click",
+            "exact_inter",
+            "exact_union",
+        )
+    )
+
+
+_KMV_ALG_H = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '@' || "
+    "CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 13)) AS BIGINT)"
+)
+
+ORACLE_KMV_SET_ALGEBRA = f"""
+ka_base AS (
+  SELECT DISTINCT event_type AS side, {_KMV_ALG_H} AS h
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+ka_sk AS (
+  SELECT side, h FROM ka_base
+  QUALIFY row_number() OVER (PARTITION BY side ORDER BY h) <= {KMV_K}
+),
+ka_thetas AS (SELECT side, max(h) AS theta_h FROM ka_sk GROUP BY 1),
+ka_tmin AS (SELECT min(theta_h) AS theta_min_h FROM ka_thetas),
+ka_inter AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_inter_kept
+  FROM ka_sk a JOIN ka_sk b ON a.h = b.h
+  WHERE a.side = 'purchase' AND b.side = 'click'
+    AND a.h <= (SELECT theta_min_h FROM ka_tmin)
+),
+ka_union AS (
+  SELECT max(h) AS theta_u_h, CAST(count(*) AS BIGINT) AS n_u_kept FROM (
+    SELECT h FROM (SELECT DISTINCT h FROM ka_sk) dh
+    QUALIFY row_number() OVER (ORDER BY h) <= {KMV_K}
+  )
+),
+ka_exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_inter
+  FROM (SELECT h, count(*) AS n_sides FROM ka_base GROUP BY 1)
+),
+ka_exact_sides AS (
+  SELECT CAST(sum(CASE WHEN side = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_purchase,
+         CAST(sum(CASE WHEN side = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_click
+  FROM ka_base
+),
+kmv_set_algebra AS (
+  SELECT i.n_inter_kept, u.n_u_kept,
+         round({float(KMV_K - 1)!r} / ((ta.theta_h + 1) / {_KMV_DENOM!r}), 4)
+           AS est_purchase,
+         round({float(KMV_K - 1)!r} / ((tb.theta_h + 1) / {_KMV_DENOM!r}), 4)
+           AS est_click,
+         round(i.n_inter_kept / ((tm.theta_min_h + 1) / {_KMV_DENOM!r}), 4)
+           AS est_inter,
+         round({float(KMV_K - 1)!r} / ((u.theta_u_h + 1) / {_KMV_DENOM!r}), 4)
+           AS est_union,
+         round((i.n_inter_kept / ((tm.theta_min_h + 1) / {_KMV_DENOM!r}))
+               / ({float(KMV_K - 1)!r} / ((u.theta_u_h + 1) / {_KMV_DENOM!r})),
+               4) AS est_jaccard,
+         s.exact_purchase, s.exact_click, x.exact_inter, x.exact_union
+  FROM ka_inter i, ka_tmin tm, ka_union u, ka_exact x, ka_exact_sides s,
+       (SELECT theta_h FROM ka_thetas WHERE side = 'purchase') ta,
+       (SELECT theta_h FROM ka_thetas WHERE side = 'click') tb
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # calendar densify (gap-fill) with cumulative counts
 # ---------------------------------------------------------------------------
