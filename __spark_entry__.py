@@ -97,6 +97,9 @@ from big_data_instacart_market_basket_analysis_spark.operators import (
 from big_data_instacart_market_basket_analysis_spark.operators import (
     graph as _graph,
 )
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    clustering as _clu,
+)
 from big_data_instacart_market_basket_analysis_spark.streaming import (
     events as _ev,
 )
@@ -1461,6 +1464,13 @@ def q_events_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.cms_heavy_hitters(load_table(spark, sf_dir, "events"))
 
 
+def q_events_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked weighted DBSCAN over (user, dow) activity points;
+    oracle replays the textbook quadratic epsilon-join + recursive
+    closure — hash match proves grid blocking is lossless."""
+    return _clu.dbscan_clusters(load_table(spark, sf_dir, "events"))
+
+
 def q_events_kmv_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set algebra: union/intersection/Jaccard estimates
     between purchase-day and click-day user sets, from sketches only."""
@@ -2306,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_distinct": q_events_approx_distinct,
         "events_kmv_sketch": q_events_kmv_sketch,
         "events_kmv_algebra": q_events_kmv_algebra,
+        "events_dbscan": q_events_dbscan,
         "events_gapfill": q_events_gapfill,
         "events_hll_sketch": q_events_hll_sketch,
         "events_lttb": q_events_lttb,
@@ -2935,6 +2946,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_retention": _ext_oracle(
             [_tmp.ORACLE_RETENTION_COHORTS], "retention_cohorts"
+        ),
+        "events_dbscan": _ext_oracle(
+            [_clu.ORACLE_DBSCAN], "dbscan_clusters", recursive=True
         ),
         "events_kmv_algebra": _ext_oracle(
             [_tmp.ORACLE_KMV_SET_ALGEBRA], "kmv_set_algebra"

@@ -1,0 +1,274 @@
+"""[EXT] Density clustering: DBSCAN via grid blocking.
+
+The reference stops at supervised trees (F.py:219-225); a
+training-data pipeline also needs density clustering — outlier mining,
+behavioral segmentation, embedding-space structure — where k is
+unknown and noise is a first-class answer. DBSCAN (Ester et al.,
+KDD'96) is the canonical algorithm; the naive form is an all-pairs
+epsilon-join, quadratic in points. The distributed form here is the
+grid-blocked variant every at-scale implementation uses:
+
+1. quantize points to integer coordinates and COLLAPSE identical
+   coordinates into one weighted row — neighborhood counts sum
+   weights, so a million co-located points cost one row, and the
+   worst-case pair join is quadratic in *distinct* coordinates per
+   cell, never raw rows;
+2. bucket points into eps-sized grid cells; candidate neighbor pairs
+   come from a 3x3 adjacent-cell equi-join (explode of 9 cell keys on
+   one side — shuffle keyed on cell, never all-pairs);
+3. core test: weighted closed-neighborhood count >= MIN_PTS;
+4. cluster = connected components over the core-core epsilon graph,
+   via the same alternating large-star/small-star contraction as
+   near-dup clustering (O(log^2 n) rounds, diameter-independent);
+5. border points attach to their minimum-labeled core neighbor;
+   everything else is noise.
+
+Every arithmetic step is integer-exact (value quantized to cents,
+round-half-up mean via integer division), so the full labeling —
+roles, cluster ids, weights — hash-matches the DuckDB replay, whose
+oracle does the textbook quadratic epsilon-join + recursive-CTE
+closure: the hash gate proves grid blocking loses nothing.
+
+Scale: the corpus-sized stages are one hash-agg to the (user, dow)
+grain and one to distinct coordinates. The pair join is bounded by
+(distinct coords per 3x3 neighborhood)^2 — eps sizes the grid so that
+stays small; a pathological super-dense cell is already collapsed to
+weighted rows. CC runs on core points only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import MAX_CC_ROUNDS, _large_star, _small_star
+
+#: epsilon in quantized coordinate units (euclidean, squared test) and
+#: the weighted min-points core threshold (closed neighborhood).
+DBSCAN_EPS = 1
+DBSCAN_MIN_PTS = 4
+#: key encoding: x*1000+y is unique while y < 1000 (y = per-(user,dow)
+#: event count, bounded by data; asserted in the key construction).
+_KEY_MUL = 1000
+
+
+def _points(events: DataFrame) -> DataFrame:
+    """Weighted integer points: one row per distinct (x, y) with
+    multiplicity w. x = round-half-up mean event value per (user, dow)
+    in whole currency units via integer cents (engine-exact — no float
+    rounding convention in play); y = event count."""
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    per = events.groupBy("user_id", F.dayofweek("ts").alias("dow")).agg(
+        F.sum(cents).alias("s"), F.count("*").alias("n")
+    )
+    pts = per.select(
+        ((F.col("s") + 50 * F.col("n")) / (100 * F.col("n")))
+        .cast("bigint")
+        .alias("x"),
+        F.col("n").alias("y"),
+    )
+    return (
+        pts.groupBy("x", "y")
+        .agg(F.count("*").alias("w"))
+        .withColumn("key", F.col("x") * _KEY_MUL + F.col("y"))
+    )
+
+
+def _neighbor_pairs(pts: DataFrame) -> DataFrame:
+    """Candidate pairs from the 3x3 adjacent-grid-cell equi-join,
+    filtered to the exact squared-distance test. Self-pair included
+    (closed neighborhood). Output: a.* x (b.key, b.w, b.x, b.y)."""
+    eps = DBSCAN_EPS
+    a = pts.select(
+        F.col("key").alias("ka"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.col("w").alias("aw"),
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        F.array(
+                            *[
+                                F.struct(
+                                    (
+                                        F.floor(F.col("x") / eps) + dx
+                                    ).alias("cx"),
+                                    (
+                                        F.floor(F.col("y") / eps) + dy
+                                    ).alias("cy"),
+                                )
+                                for dy in (-1, 0, 1)
+                            ]
+                        )
+                        for dx in (-1, 0, 1)
+                    ]
+                )
+            )
+        ).alias("cell"),
+    )
+    b = pts.select(
+        F.col("key").alias("kb"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("w").alias("bw"),
+        F.floor(F.col("x") / eps).alias("cx"),
+        F.floor(F.col("y") / eps).alias("cy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        a.join(b, [F.col("cell.cx") == F.col("cx"), F.col("cell.cy") == F.col("cy")])
+        .filter(d2 <= F.lit(eps * eps))
+        .select("ka", "ax", "ay", "aw", "kb", "bw")
+    )
+
+
+def dbscan_clusters(events: DataFrame) -> DataFrame:
+    """Grid-blocked weighted DBSCAN over per-(user, dow) activity
+    points. Output one row per distinct point: x, y, w, role
+    ('core' | 'border' | 'noise'), cluster_id (min core key of the
+    cluster; -1 for noise)."""
+    pts = _points(events)
+    nbr = _neighbor_pairs(pts)
+    core = (
+        nbr.groupBy("ka")
+        .agg(F.sum("bw").alias("nbr_w"))
+        .filter(F.col("nbr_w") >= DBSCAN_MIN_PTS)
+        .select(F.col("ka").alias("key"))
+    )
+    core_edges = (
+        nbr.filter(F.col("ka") < F.col("kb"))
+        .join(core.select(F.col("key").alias("ka")), "ka", "leftsemi")
+        .join(core.select(F.col("key").alias("kb")), "kb", "leftsemi")
+        .select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cc_nodes = (
+        core_edges.select(F.col("src").alias("key"))
+        .union(core_edges.select(F.col("dst").alias("key")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = core_edges
+    converged = False
+    for _ in range(MAX_CC_ROUNDS):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(
+            eager=True
+        )
+        changed = (
+            1
+            if new_edges.count() != edges.count()
+            else new_edges.join(edges, ["src", "dst"], "leftanti").count()
+        )
+        edges = new_edges
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"dbscan_clusters CC did not converge in {MAX_CC_ROUNDS} rounds"
+        )
+    linked = edges.groupBy(F.col("src").alias("key")).agg(
+        F.min("dst").alias("cluster_id")
+    )
+    core_labels = (
+        core.join(cc_nodes.join(linked, "key", "left"), "key", "left")
+        .select("key", F.coalesce("cluster_id", "key").alias("cluster_id"))
+    )
+    # border: non-core points with a core neighbor -> min core label.
+    border = (
+        nbr.join(core.select(F.col("key").alias("ka")), "ka", "leftanti")
+        .join(
+            core_labels.select(
+                F.col("key").alias("kb"), F.col("cluster_id")
+            ),
+            "kb",
+        )
+        .groupBy(F.col("ka").alias("key"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    roles = (
+        pts.join(
+            core_labels.select("key", F.col("cluster_id").alias("core_cid")),
+            "key",
+            "left",
+        )
+        .join(
+            border.select("key", F.col("cluster_id").alias("border_cid")),
+            "key",
+            "left",
+        )
+        .select(
+            "x",
+            "y",
+            "w",
+            F.when(F.col("core_cid").isNotNull(), F.lit("core"))
+            .when(F.col("border_cid").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("core_cid", "border_cid", F.lit(-1)).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    return roles
+
+
+ORACLE_DBSCAN = f"""
+db_per AS (
+  SELECT user_id, dayofweek(ts) AS dow,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+db_pts AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS w,
+         x * {_KEY_MUL} + y AS key
+  FROM (SELECT (s + 50 * n) // (100 * n) AS x, n AS y FROM db_per)
+  GROUP BY 1, 2
+),
+db_nbr AS (
+  SELECT a.key AS ka, b.key AS kb, b.w AS bw
+  FROM db_pts a JOIN db_pts b
+    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= {DBSCAN_EPS * DBSCAN_EPS}
+),
+db_core AS (
+  SELECT ka AS key FROM db_nbr GROUP BY 1
+  HAVING sum(bw) >= {DBSCAN_MIN_PTS}
+),
+db_edges AS (
+  SELECT n.ka AS src, n.kb AS dst FROM db_nbr n
+  WHERE n.ka <> n.kb
+    AND EXISTS (SELECT 1 FROM db_core c WHERE c.key = n.ka)
+    AND EXISTS (SELECT 1 FROM db_core c WHERE c.key = n.kb)
+),
+db_reach AS (
+  SELECT key AS node, key AS root FROM db_core
+  UNION
+  SELECT e.dst AS node, r.root
+  FROM db_reach r JOIN db_edges e ON e.src = r.node
+),
+db_core_labels AS (
+  SELECT node AS key, min(root) AS cluster_id FROM db_reach GROUP BY 1
+),
+db_border AS (
+  SELECT n.ka AS key, min(l.cluster_id) AS cluster_id
+  FROM db_nbr n JOIN db_core_labels l ON l.key = n.kb
+  WHERE NOT EXISTS (SELECT 1 FROM db_core c WHERE c.key = n.ka)
+  GROUP BY 1
+),
+dbscan_clusters AS (
+  SELECT p.x, p.y, p.w,
+         CASE WHEN cl.key IS NOT NULL THEN 'core'
+              WHEN bl.key IS NOT NULL THEN 'border'
+              ELSE 'noise' END AS role,
+         coalesce(cl.cluster_id, bl.cluster_id, -1) AS cluster_id
+  FROM db_pts p
+  LEFT JOIN db_core_labels cl ON cl.key = p.key
+  LEFT JOIN db_border bl ON bl.key = p.key
+)
+"""
