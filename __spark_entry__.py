@@ -100,6 +100,9 @@ from big_data_instacart_market_basket_analysis_spark.operators import (
 from big_data_instacart_market_basket_analysis_spark.operators import (
     clustering as _clu,
 )
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    glm as _glm,
+)
 from big_data_instacart_market_basket_analysis_spark.streaming import (
     events as _ev,
 )
@@ -1464,6 +1467,12 @@ def q_events_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.cms_heavy_hitters(load_table(spark, sf_dir, "events"))
 
 
+def q_ml_logreg_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified logistic regression: full-batch GD, per-round weights +
+    loss curve engine-exact (unrolled-CTE oracle)."""
+    return _glm.logreg_train(load_table(spark, sf_dir, "documents"))
+
+
 def q_events_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-blocked weighted DBSCAN over (user, dow) activity points;
     oracle replays the textbook quadratic epsilon-join + recursive
@@ -2317,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_sketch": q_events_kmv_sketch,
         "events_kmv_algebra": q_events_kmv_algebra,
         "events_dbscan": q_events_dbscan,
+        "ml_logreg_verified": q_ml_logreg_verified,
         "events_gapfill": q_events_gapfill,
         "events_hll_sketch": q_events_hll_sketch,
         "events_lttb": q_events_lttb,
@@ -2946,6 +2956,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_retention": _ext_oracle(
             [_tmp.ORACLE_RETENTION_COHORTS], "retention_cohorts"
+        ),
+        "ml_logreg_verified": _ext_oracle(
+            [_glm.oracle_logreg()], "logreg_train"
         ),
         "events_dbscan": _ext_oracle(
             [_clu.ORACLE_DBSCAN], "dbscan_clusters", recursive=True

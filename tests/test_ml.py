@@ -142,3 +142,25 @@ def test_gbm_training_curve_decreases(spark):
     assert len(rows) == trees.GB_ROUNDS
     sses = [r["sse"] for r in rows]
     assert all(b <= a for a, b in zip(sses, sses[1:])), sses
+
+
+def test_logreg_training_curve(spark):
+    """Verified LR must actually learn: log-loss strictly decreases
+    from the 0.6931 cold start and final accuracy beats the base rate."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        glm,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = (
+        glm.logreg_train(load_table(spark, SF_ORACLE, "documents"))
+        .orderBy("round")
+        .collect()
+    )
+    losses = [r["log_loss"] for r in rows]
+    assert abs(losses[0] - 0.693147) < 1e-6
+    assert all(a > b for a, b in zip(losses, losses[1:]))
+    assert rows[-1]["accuracy"] > 0.9
