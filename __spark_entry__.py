@@ -905,6 +905,12 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.pq_ann_recall(_emb(spark, sf_dir))
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified PCA: dominant principal component via power iteration
+    on the exact integer scatter matrix (unrolled-CTE oracle)."""
+    return _sim.pca_power_iteration(_emb(spark, sf_dir))
+
+
 def q_embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic integer Lloyd's k-means (hash-verified; the
     replayable sibling of the MLlib codebook in embedding_kmeans)."""
@@ -2424,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_kmeans_lloyd": q_embedding_kmeans_lloyd,
+        "embedding_pca": q_embedding_pca,
         "ann_pq": q_ann_pq,
         "ann_pq_recall": q_ann_pq_recall,
         "embedding_diverse_sample": q_embedding_diverse_sample,
@@ -2880,6 +2887,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_near_dup": _ext_oracle(
             [_sim.oracle_embedding_near_dup()], "embedding_near_dup"
+        ),
+        "embedding_pca": _ext_oracle(
+            [_sim.oracle_pca_power()], "pca_power_iteration"
         ),
         "embedding_kmeans_lloyd": _ext_oracle(
             [_sim.oracle_kmeans_lloyd()], "kmeans_lloyd", recursive=True

@@ -2517,3 +2517,176 @@ mrl{d}_h AS (
 matryoshka_recall AS (
   {finals}
 )"""
+
+
+# ---------------------------------------------------------------------------
+# verified PCA: dominant principal component by power iteration
+# ---------------------------------------------------------------------------
+
+PCA_ROUNDS = 8
+_PCA_DIMS = 64
+
+
+def pca_power_iteration(
+    emb: DataFrame, rounds: int = PCA_ROUNDS
+) -> DataFrame:
+    """Verified PCA: the dominant principal component of the embedding
+    corpus by power iteration, with the whole trajectory — explained
+    -variance ratio per round, argmax loading — engine-exact under the
+    hash gate. Dimensionality reduction is how a training-data
+    pipeline audits embedding collapse (one direction swallowing the
+    variance) and picks truncation dims; MLlib's PCA is SVD-based and
+    not replayable cross-engine, so this is the verified sibling.
+
+    Exactness scheme: vectors quantize to BIGINT (``KM_SCALE``, shared
+    with k-means); the iteration matrix A = n*S - m m^T (S = raw
+    second-moment matrix, m = column sums) is EXACT integer — same
+    eigenvectors as the covariance (positive scale n^2). Float enters
+    only in the matvec; the iterate re-rounds to 12 dp after each
+    normalization, absorbing fold-order ulps (values O(0.1), noise
+    O(1e-16)). Init = uniform 1/sqrt(64) (exact double 0.125).
+
+    Scale: ONE Gram-matrix aggregation reduces the corpus to the
+    dims^2 = 4096-row A (the classic outer-product hash-agg — map-side
+    combine makes the shuffle dims^2 per partition, corpus-size
+    independent); every power round then runs on 4096 x 64 rows,
+    costing nothing at any corpus size. This is exactly how
+    distributed PCA computes the covariance at 100 TB; only the
+    eigen-solve differs (more components = deflation or block
+    iteration, same plan shape).
+
+    Output per round: round, evr (Rayleigh quotient / trace — the
+    explained-variance ratio of the current iterate), top_dim,
+    top_loading.
+    """
+    qv = _km_quantized(emb)
+    melted = qv.select(
+        "vec_id", F.posexplode("q").alias("i", "x")
+    )
+    m = melted.groupBy("i").agg(F.sum("x").alias("m"))
+    cnt = qv.agg(F.count("*").alias("n"))
+    gram = (
+        melted.alias("a")
+        .join(melted.alias("b"), "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("s"))
+    )
+    a = (
+        gram.crossJoin(F.broadcast(cnt))
+        .join(F.broadcast(m.select(F.col("i"), F.col("m").alias("mi"))), "i")
+        .join(
+            F.broadcast(
+                m.select(F.col("i").alias("j"), F.col("m").alias("mj"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("s") - F.col("mi") * F.col("mj")).alias(
+                "aij"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    trace = a.filter(F.col("i") == F.col("j")).agg(
+        F.sum("aij").alias("tr")
+    )
+    v = m.select("i", F.lit(0.125).alias("v"))
+    out = None
+    for rnd in range(1, rounds + 1):
+        av = (
+            a.join(
+                F.broadcast(v.select(F.col("i").alias("j"), "v")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("aij") * F.col("v")).alias("av"))
+        )
+        ray = (
+            av.join(v, "i")
+            .crossJoin(F.broadcast(trace))
+            .agg(
+                F.round(
+                    F.sum(F.col("av") * F.col("v")) / F.first("tr"), 6
+                ).alias("evr")
+            )
+        )
+        nrm = av.agg(F.sqrt(F.sum(F.col("av") * F.col("av"))).alias("nrm"))
+        v = (
+            av.crossJoin(F.broadcast(nrm))
+            .select("i", F.round(F.col("av") / F.col("nrm"), 12).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        top = (
+            v.orderBy(F.abs(F.col("v")).desc(), "i")
+            .limit(1)
+            .select(
+                F.col("i").alias("top_dim"),
+                F.round(F.col("v"), 6).alias("top_loading"),
+            )
+        )
+        row = ray.crossJoin(F.broadcast(top)).select(
+            F.lit(rnd).alias("round"), "evr", "top_dim", "top_loading"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def oracle_pca_power(rounds: int = PCA_ROUNDS) -> str:
+    """Unrolled power-iteration oracle. CTEs are MATERIALIZED: each
+    round references the previous iterate twice (matvec + Rayleigh),
+    so default inlining would expand the plan 2^rounds-fold — the
+    DuckDB twin of the Spark side's per-round localCheckpoint."""
+    parts = [
+        f"""
+pca_m AS MATERIALIZED (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * {KM_SCALE}.0)
+              AS BIGINT) AS x
+  FROM embeddings, LATERAL unnest(range(0, {_PCA_DIMS})) AS t(i)
+),
+pca_cnt AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM pca_m),
+pca_mm AS (SELECT i, sum(x) AS m FROM pca_m GROUP BY 1),
+pca_a AS MATERIALIZED (
+  SELECT s.i, s.j,
+         (SELECT n FROM pca_cnt) * s.s - ma.m * mb.m AS aij
+  FROM (
+    SELECT a.i, b.i AS j, sum(a.x * b.x) AS s
+    FROM pca_m a JOIN pca_m b USING (vec_id) GROUP BY 1, 2
+  ) s
+  JOIN pca_mm ma ON ma.i = s.i
+  JOIN pca_mm mb ON mb.i = s.j
+),
+pca_tr AS MATERIALIZED (SELECT sum(aij) AS tr FROM pca_a WHERE i = j),
+pca_v0 AS MATERIALIZED (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM pca_mm)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+pca_av{r} AS MATERIALIZED (
+  SELECT a.i, sum(a.aij * v.v) AS av
+  FROM pca_a a JOIN pca_v{r - 1} v ON a.j = v.i GROUP BY 1
+),
+pca_ray{r} AS (
+  SELECT round(sum(av.av * v.v) / (SELECT tr FROM pca_tr), 6) AS evr
+  FROM pca_av{r} av JOIN pca_v{r - 1} v USING (i)
+),
+pca_n{r} AS MATERIALIZED (SELECT sqrt(sum(av * av)) AS nrm FROM pca_av{r}),
+pca_v{r} AS MATERIALIZED (
+  SELECT i, round(av / (SELECT nrm FROM pca_n{r}), 12) AS v
+  FROM pca_av{r}
+),
+pca_top{r} AS (
+  SELECT i AS top_dim, round(v, 6) AS top_loading FROM pca_v{r}
+  QUALIFY row_number() OVER (ORDER BY abs(v) DESC, i) = 1
+)"""
+        )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT {r} AS round, (SELECT evr FROM pca_ray{r}) AS evr,"
+        f" top_dim, top_loading FROM pca_top{r}"
+        for r in range(1, rounds + 1)
+    )
+    return ",".join(parts) + f""",
+pca_power_iteration AS (
+  {union}
+)"""

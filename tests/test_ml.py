@@ -164,3 +164,26 @@ def test_logreg_training_curve(spark):
     assert abs(losses[0] - 0.693147) < 1e-6
     assert all(a > b for a, b in zip(losses, losses[1:]))
     assert rows[-1]["accuracy"] > 0.9
+
+
+def test_pca_power_finds_dominant_direction(spark):
+    """Anisotropic synthetic corpus: one dimension carries almost all
+    variance -> the iterate must lock onto it with near-total
+    explained-variance ratio."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        similarity as sim,
+    )
+
+    rows = []
+    for vid in range(40):
+        vec = [0.001 * ((vid * 7 + d) % 5) for d in range(64)]
+        vec[3] = 1.0 if vid % 2 == 0 else -1.0
+        rows.append((vid, vec, vid % 3))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = (
+        sim.pca_power_iteration(emb).orderBy("round").collect()
+    )
+    assert out[-1]["top_dim"] == 3
+    assert out[-1]["evr"] > 0.9
