@@ -1486,6 +1486,12 @@ def q_events_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _clu.dbscan_clusters(load_table(spark, sf_dir, "events"))
 
 
+def q_events_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified mergeable histogram quantiles (additive sketch; est +
+    exact type-7 truth per event_type)."""
+    return _tmp.histogram_quantiles(load_table(spark, sf_dir, "events"))
+
+
 def q_events_kmv_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set algebra: union/intersection/Jaccard estimates
     between purchase-day and click-day user sets, from sketches only."""
@@ -2331,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_distinct": q_events_approx_distinct,
         "events_kmv_sketch": q_events_kmv_sketch,
         "events_kmv_algebra": q_events_kmv_algebra,
+        "events_hist_quantiles": q_events_hist_quantiles,
         "events_dbscan": q_events_dbscan,
         "ml_logreg_verified": q_ml_logreg_verified,
         "events_gapfill": q_events_gapfill,
@@ -2972,6 +2979,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_dbscan": _ext_oracle(
             [_clu.ORACLE_DBSCAN], "dbscan_clusters", recursive=True
+        ),
+        "events_hist_quantiles": _ext_oracle(
+            [_tmp.ORACLE_HISTOGRAM_QUANTILES], "histogram_quantiles"
         ),
         "events_kmv_algebra": _ext_oracle(
             [_tmp.ORACLE_KMV_SET_ALGEBRA], "kmv_set_algebra"

@@ -4635,3 +4635,180 @@ twap_by_type AS (
   GROUP BY 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# verified mergeable histogram quantiles
+# ---------------------------------------------------------------------------
+
+HQ_BIN_WIDTH = 5.0
+HQ_PROBS = (0.5, 0.9, 0.99)
+
+
+def histogram_quantiles(events: DataFrame) -> DataFrame:
+    """Mergeable approximate quantiles from a fixed-width histogram —
+    the verified member of the approx-quantile family
+    (``approx_type_quantiles`` uses engine-specific percentile_approx
+    -> rows-only; this sketch is engine-exact, so the ESTIMATES sit
+    under the hash gate alongside exact-quantile truth columns).
+
+    The sketch is the additive histogram: per (event_type, bin) counts
+    with bin = floor(value / width). Additivity IS mergeability —
+    map-side partial counts merged by the shuffle are exactly the
+    per-partition-sketch merge a 100 TB deployment does across
+    executors or days; unlike percentile_approx's GK sketch, the
+    merge is lossless and order-independent, which is why the result
+    is verifiable at all. Estimate: rank r = ceil(p*n) lands in the
+    first bin with cum >= r; linear interpolation inside the bin.
+    Truth: exact type-7 quantiles via one per-type sort window.
+
+    Scale: sketch = one hash-agg bounded by types x bins rows; exact
+    truth is the only per-type sort (at 100 TB you drop the truth
+    columns — they are the audit, not the operator). Output:
+    event_type, p, est_q, exact_q, n.
+    """
+    hist = (
+        events.groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(HQ_BIN_WIDTH)).alias("bin"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "event_type", "bin", "cnt", F.sum("cnt").over(wc).alias("cum")
+    )
+    n = events.groupBy("event_type").agg(F.count("*").alias("n"))
+    qs = n.select(
+        "event_type",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in HQ_PROBS])).alias("p"),
+    ).select(
+        "event_type",
+        "n",
+        "p",
+        F.ceil(F.col("p") * F.col("n")).cast("bigint").alias("r"),
+    )
+    est = (
+        qs.join(cum, "event_type")
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("event_type", "p", "n", "r")
+        .agg(F.min("bin").alias("bin"))
+        .join(cum, ["event_type", "bin"])
+        .select(
+            "event_type",
+            "p",
+            "n",
+            F.round(
+                F.col("bin") * F.lit(HQ_BIN_WIDTH)
+                + F.lit(HQ_BIN_WIDTH)
+                * (F.col("r") - (F.col("cum") - F.col("cnt")))
+                / F.col("cnt"),
+                4,
+            ).alias("est_q"),
+        )
+    )
+    wv = Window.partitionBy("event_type").orderBy("value")
+    vals = events.select(
+        "event_type", "value", F.row_number().over(wv).alias("rn")
+    )
+    pos = qs.select(
+        "event_type",
+        "p",
+        (F.col("p") * (F.col("n") - 1) + 1).alias("pos"),
+    ).select(
+        "event_type",
+        "p",
+        F.floor("pos").cast("bigint").alias("lo"),
+        F.ceil("pos").cast("bigint").alias("hi"),
+        (F.col("pos") - F.floor("pos")).alias("frac"),
+    )
+    exact = (
+        pos.join(
+            vals.select(
+                "event_type", F.col("rn").alias("lo"), F.col("value").alias("vlo")
+            ),
+            ["event_type", "lo"],
+        )
+        .join(
+            vals.select(
+                "event_type", F.col("rn").alias("hi"), F.col("value").alias("vhi")
+            ),
+            ["event_type", "hi"],
+        )
+        .select(
+            "event_type",
+            "p",
+            F.round(
+                F.col("vlo") + F.col("frac") * (F.col("vhi") - F.col("vlo")),
+                4,
+            ).alias("exact_q"),
+        )
+    )
+    return est.join(exact, ["event_type", "p"]).select(
+        "event_type", "p", "est_q", "exact_q", "n"
+    )
+
+
+ORACLE_HISTOGRAM_QUANTILES = f"""
+hq_hist AS (
+  SELECT event_type, CAST(floor(value / {HQ_BIN_WIDTH!r}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+hq_cum AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hq_hist
+),
+hq_n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+),
+hq_qs AS (
+  SELECT event_type, n, CAST(p AS DOUBLE) AS p,
+         CAST(ceil(CAST(p AS DOUBLE) * n) AS BIGINT) AS r
+  FROM hq_n, LATERAL unnest([{", ".join(repr(p) for p in HQ_PROBS)}]) AS t(p)
+),
+hq_est AS (
+  SELECT q.event_type, q.p, q.n,
+         round(b.bin * {HQ_BIN_WIDTH!r}
+               + {HQ_BIN_WIDTH!r} * (q.r - (c2.cum - c2.cnt)) / c2.cnt,
+               4) AS est_q
+  FROM hq_qs q
+  JOIN (
+    SELECT q2.event_type, q2.p, min(c.bin) AS bin
+    FROM hq_qs q2 JOIN hq_cum c
+      ON c.event_type = q2.event_type AND c.cum >= q2.r
+    GROUP BY 1, 2
+  ) b ON b.event_type = q.event_type AND b.p = q.p
+  JOIN hq_cum c2 ON c2.event_type = q.event_type AND c2.bin = b.bin
+),
+hq_vals AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+  FROM events
+),
+hq_pos AS (
+  SELECT event_type, p,
+         CAST(floor(pos) AS BIGINT) AS lo,
+         CAST(ceil(pos) AS BIGINT) AS hi,
+         pos - floor(pos) AS frac
+  FROM (SELECT event_type, p, p * (n - 1) + 1 AS pos FROM hq_qs)
+),
+hq_exact AS (
+  SELECT p.event_type, p.p,
+         round(vl.value + p.frac * (vh.value - vl.value), 4) AS exact_q
+  FROM hq_pos p
+  JOIN hq_vals vl ON vl.event_type = p.event_type AND vl.rn = p.lo
+  JOIN hq_vals vh ON vh.event_type = p.event_type AND vh.rn = p.hi
+),
+histogram_quantiles AS (
+  SELECT e.event_type, e.p, e.est_q, x.exact_q, e.n
+  FROM hq_est e JOIN hq_exact x ON x.event_type = e.event_type AND x.p = e.p
+)
+"""
