@@ -1525,6 +1525,12 @@ def q_docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _samp.global_shuffle(_docs(spark, sf_dir))
 
 
+def q_docs_setcover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy set-cover corpus selection over the 3-shingle universe
+    (verified marginal-gain/coverage trajectory)."""
+    return _samp.setcover_selection(_docs(spark, sf_dir))
+
+
 def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-per-language uniform sample (hash-order rank
     with a two-phase prefilter so the per-key sort stays bounded)."""
@@ -2503,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_split_by_hash": q_docs_split_by_hash,
         "docs_global_shuffle": q_docs_global_shuffle,
         "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_setcover": q_docs_setcover,
         "docs_quality_sample": q_docs_quality_sample,
         "docs_weighted_sample_aes": q_docs_weighted_sample_aes,
         "docs_lang_temperature": q_docs_lang_temperature,
@@ -3192,6 +3199,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_global_shuffle": _ext_oracle(
             [_samp.ORACLE_GLOBAL_SHUFFLE], "global_shuffle"
+        ),
+        "docs_setcover": _ext_oracle(
+            [_dedup.ORACLE_SHINGLES, _samp.oracle_setcover()],
+            "setcover_selection",
         ),
         "docs_stratified_sample": _ext_oracle(
             [_samp.oracle_stratified_sample()], "stratified_sample"

@@ -448,3 +448,121 @@ lang_temperature_sample AS (
          AS BIGINT) + 1) / {float(1 << 52)!r} < r.keep_rate
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# greedy set-cover corpus selection
+# ---------------------------------------------------------------------------
+
+SETCOVER_ROUNDS = 8
+
+
+def setcover_selection(
+    docs: DataFrame, rounds: int = SETCOVER_ROUNDS
+) -> DataFrame:
+    """Coverage-maximizing subset selection: greedy set cover over the
+    3-shingle universe — pick, each round, the document adding the
+    most not-yet-covered shingles (ties -> lower doc_id). This is the
+    classic (1 - 1/e)-approximate curation loop for building eval sets
+    and seed corpora that span a corpus's phrase space instead of
+    sampling its modes; the verified trajectory (picked doc, marginal
+    gain, cumulative coverage) IS the selection artifact.
+
+    Scale: the (doc, shingle) posting table is the shared staged
+    checkpoint of the dedup family (one shuffle, all consumers). Each
+    round = one anti-join of postings against the covered-shingle set
+    + one doc-grain count-agg + a TakeOrdered(1). The covered set
+    grows by at most max-doc-shingles per round (bounded, broadcast-
+    sized for any realistic selection depth); postings are never
+    rescanned from text. Lazy greedy / stochastic-greedy variants
+    drop-in at 100 TB by subsampling candidate docs per round — the
+    plan shape is unchanged.
+
+    Output per round: round, doc_id, gain, covered, coverage_ratio.
+    """
+    from .dedup import _shingles_staged
+
+    dt = _shingles_staged(docs)
+    universe = dt.agg(F.countDistinct("sh").alias("u"))
+    covered = None  # DataFrame of covered shingles
+    out = None
+    n_cov = F.lit(0)
+    for rnd in range(1, rounds + 1):
+        cand = dt if covered is None else dt.join(
+            F.broadcast(covered), "sh", "leftanti"
+        )
+        pick = (
+            cand.groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.col("gain").desc(), "doc_id")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        new_cov = (
+            cand.join(F.broadcast(pick.select("doc_id")), "doc_id")
+            .select("sh")
+        )
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionByName(new_cov)
+        ).localCheckpoint(eager=True)
+        n = covered.agg(F.count("*").alias("covered"))
+        row = (
+            pick.crossJoin(F.broadcast(n))
+            .crossJoin(F.broadcast(universe))
+            .select(
+                F.lit(rnd).alias("round"),
+                "doc_id",
+                "gain",
+                "covered",
+                F.round(F.col("covered") / F.col("u"), 4).alias(
+                    "coverage_ratio"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def oracle_setcover(rounds: int = SETCOVER_ROUNDS) -> str:
+    """Unrolled greedy rounds; MATERIALIZED covered-set CTEs (each is
+    referenced by the next round's anti-join AND the pick — default
+    inlining would re-expand the whole prefix per round)."""
+    parts = [
+        """
+sc_u AS MATERIALIZED (SELECT count(DISTINCT sh) AS u FROM dshingles),
+sc_cov0 AS MATERIALIZED (SELECT sh FROM dshingles WHERE 1 = 0)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+sc_pick{r} AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM dshingles d
+  WHERE NOT EXISTS (SELECT 1 FROM sc_cov{r - 1} c WHERE c.sh = d.sh)
+  GROUP BY 1
+  ORDER BY gain DESC, doc_id
+  LIMIT 1
+),
+sc_cov{r} AS MATERIALIZED (
+  SELECT sh FROM sc_cov{r - 1}
+  UNION ALL
+  SELECT d.sh FROM dshingles d
+  WHERE d.doc_id = (SELECT doc_id FROM sc_pick{r})
+    AND NOT EXISTS (SELECT 1 FROM sc_cov{r - 1} c WHERE c.sh = d.sh)
+)"""
+        )
+    union = "\n  UNION ALL\n  ".join(
+        f"""SELECT {r} AS round, p.doc_id, p.gain,
+         (SELECT CAST(count(*) AS BIGINT) FROM sc_cov{r}) AS covered,
+         round((SELECT count(*) FROM sc_cov{r})
+               / CAST((SELECT u FROM sc_u) AS DOUBLE), 4)
+           AS coverage_ratio
+  FROM sc_pick{r} p"""
+        for r in range(1, rounds + 1)
+    )
+    return ",".join(parts) + f""",
+setcover_selection AS (
+  {union}
+)"""
