@@ -1525,6 +1525,17 @@ def q_docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _samp.global_shuffle(_docs(spark, sf_dir))
 
 
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency verification over candidate column pairs
+    (TANE inner loop; one distinct-grain hash-agg per candidate)."""
+    return _prof.fd_discovery(
+        {
+            t: load_table(spark, sf_dir, t)
+            for t in ("part", "customer", "orders")
+        }
+    )
+
+
 def q_docs_setcover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy set-cover corpus selection over the 3-shingle universe
     (verified marginal-gain/coverage trajectory)."""
@@ -2510,6 +2521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_global_shuffle": q_docs_global_shuffle,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_setcover": q_docs_setcover,
+        "fd_discovery": q_fd_discovery,
         "docs_quality_sample": q_docs_quality_sample,
         "docs_weighted_sample_aes": q_docs_weighted_sample_aes,
         "docs_lang_temperature": q_docs_lang_temperature,
@@ -3199,6 +3211,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_global_shuffle": _ext_oracle(
             [_samp.ORACLE_GLOBAL_SHUFFLE], "global_shuffle"
+        ),
+        "fd_discovery": _ext_oracle(
+            [_prof.oracle_fd_discovery()], "fd_discovery"
         ),
         "docs_setcover": _ext_oracle(
             [_dedup.ORACLE_SHINGLES, _samp.oracle_setcover()],

@@ -651,3 +651,83 @@ def lint_report(spark, plans: dict[str, DataFrame]) -> DataFrame:
         "plan string, rule string, severity string, n_hits int,"
         " advice string",
     )
+
+
+# ---------------------------------------------------------------------------
+# functional-dependency discovery
+# ---------------------------------------------------------------------------
+
+#: candidate FDs to test: (table, lhs column, rhs column). A real
+#: profiler enumerates the lattice (Metanome/TANE); the engine's unit
+#: of work is the per-candidate verification below, which is what the
+#: lattice search calls in its inner loop.
+FD_CANDIDATES = (
+    ("part", "p_name", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_name", "p_type"),
+    ("part", "p_type", "p_size"),
+    ("customer", "c_name", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+)
+
+
+def fd_discovery(tables: dict[str, DataFrame]) -> DataFrame:
+    """Functional-dependency verification (the TANE/Metanome inner
+    loop): for each candidate A -> B, one pass computes |distinct A|,
+    |distinct (A,B)|, the number of violating A-groups (those mapping
+    to >1 B), and the worst group's B-cardinality. A -> B holds iff
+    the pair count equals the LHS count. Schema-inference and
+    denormalization audits at 100 TB are exactly this query fanned
+    over the candidate lattice; each candidate is one hash-agg on the
+    (A, B) distinct grain — uniform keys, map-side combined, no
+    skew (the agg key includes A, so a hot A value still spreads
+    across its B values first).
+
+    Output per candidate: tbl, lhs, rhs, n_lhs, n_pairs,
+    n_violating_lhs, max_rhs_per_lhs, holds.
+    """
+    out = None
+    for tbl, lhs, rhs in FD_CANDIDATES:
+        per = (
+            tables[tbl]
+            .select(F.col(lhs).alias("a"), F.col(rhs).alias("b"))
+            .distinct()
+            .groupBy("a")
+            .agg(F.count("*").alias("nb"))
+        )
+        row = per.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.count("*").alias("n_lhs"),
+            F.sum("nb").alias("n_pairs"),
+            F.sum((F.col("nb") > 1).cast("bigint")).alias(
+                "n_violating_lhs"
+            ),
+            F.max("nb").alias("max_rhs_per_lhs"),
+            (F.count("*") == F.sum("nb")).cast("int").alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def oracle_fd_discovery() -> str:
+    selects = []
+    for tbl, lhs, rhs in FD_CANDIDATES:
+        selects.append(
+            f"""SELECT '{tbl}' AS tbl, '{lhs}' AS lhs, '{rhs}' AS rhs,
+         CAST(count(*) AS BIGINT) AS n_lhs,
+         CAST(sum(nb) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_lhs,
+         CAST(max(nb) AS BIGINT) AS max_rhs_per_lhs,
+         CAST(count(*) = sum(nb) AS INT) AS holds
+  FROM (
+    SELECT a, CAST(count(*) AS BIGINT) AS nb FROM (
+      SELECT DISTINCT {lhs} AS a, {rhs} AS b FROM {tbl}
+    ) GROUP BY 1
+  )"""
+        )
+    union = "\n  UNION ALL\n  ".join(selects)
+    return f"fd_discovery AS (\n  {union}\n)"
