@@ -1525,6 +1525,12 @@ def q_docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _samp.global_shuffle(_docs(spark, sf_dir))
 
 
+def q_sql_udf_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (CREATE FUNCTION ... RETURN) + GROUP BY ALL /
+    ORDER BY ALL — parser/catalog features, plan stays codegen'd."""
+    return _sqlapi.sql_udf_discount_tiers(spark, sf_dir)
+
+
 def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency verification over candidate column pairs
     (TANE inner loop; one distinct-grain hash-agg per candidate)."""
@@ -2522,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_setcover": q_docs_setcover,
         "fd_discovery": q_fd_discovery,
+        "sql_udf_tiers": q_sql_udf_tiers,
         "docs_quality_sample": q_docs_quality_sample,
         "docs_weighted_sample_aes": q_docs_weighted_sample_aes,
         "docs_lang_temperature": q_docs_lang_temperature,
@@ -3211,6 +3218,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_global_shuffle": _ext_oracle(
             [_samp.ORACLE_GLOBAL_SHUFFLE], "global_shuffle"
+        ),
+        "sql_udf_tiers": _ext_oracle(
+            [_sqlapi.ORACLE_SQL_UDF_TIERS], "sql_udf_discount_tiers"
         ),
         "fd_discovery": _ext_oracle(
             [_prof.oracle_fd_discovery()], "fd_discovery"

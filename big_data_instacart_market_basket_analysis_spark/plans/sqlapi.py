@@ -562,3 +562,48 @@ sql_pivot_returnflag AS (
   GROUP BY 1, 2
 )
 """
+
+
+def sql_udf_discount_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language scalar UDFs (Spark 4 ``CREATE FUNCTION ... RETURN
+    expr``): the function body is inlined into the plan at resolution
+    time — it is a parser/catalog feature, NOT a Python UDF; the
+    expression stays whole-stage-codegen'd JVM-side, which is why it
+    is safe in a 100 TB scan while a Python row-UDF is not. The oracle
+    replays the hand-inlined expression — hash equality proves the
+    inlining semantics."""
+    register_all(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION discount_tier(price DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN price >= 4000 THEN 'gold'
+                    WHEN price >= 1500 THEN 'silver'
+                    ELSE 'bronze' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT discount_tier(CAST(o_totalprice AS DOUBLE)) AS tier,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+ORACLE_SQL_UDF_TIERS = """
+sql_udf_discount_tiers AS (
+  SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) >= 4000 THEN 'gold'
+              WHEN CAST(o_totalprice AS DOUBLE) >= 1500 THEN 'silver'
+              ELSE 'bronze' END AS tier,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_price
+  FROM orders
+  GROUP BY 1
+)
+"""

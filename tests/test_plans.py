@@ -565,3 +565,13 @@ def test_new_wave_has_no_python_udfs(spark):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_sql_udf_stays_codegen(spark):
+    """SQL-language scalar UDFs must inline at resolution time: no
+    Python eval nodes, and the inlined CASE runs inside the aggregate
+    scan stage (one HashAggregate pair, no extra exchange)."""
+    plan = _plan(spark, "sql_udf_tiers")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
