@@ -1525,6 +1525,12 @@ def q_docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _samp.global_shuffle(_docs(spark, sf_dir))
 
 
+def q_rle_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLE sort-order compression advisor (distributed run counting:
+    partition-windowed changes + partition count, no global sort)."""
+    return _layout.rle_layout_report(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_sql_udf_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL scalar UDF (CREATE FUNCTION ... RETURN) + GROUP BY ALL /
     ORDER BY ALL — parser/catalog features, plan stays codegen'd."""
@@ -2529,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_setcover": q_docs_setcover,
         "fd_discovery": q_fd_discovery,
         "sql_udf_tiers": q_sql_udf_tiers,
+        "rle_layout_report": q_rle_layout,
         "docs_quality_sample": q_docs_quality_sample,
         "docs_weighted_sample_aes": q_docs_weighted_sample_aes,
         "docs_lang_temperature": q_docs_lang_temperature,
@@ -3218,6 +3225,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_global_shuffle": _ext_oracle(
             [_samp.ORACLE_GLOBAL_SHUFFLE], "global_shuffle"
+        ),
+        "rle_layout_report": _ext_oracle(
+            [_layout.oracle_rle_layout()], "rle_layout_report"
         ),
         "sql_udf_tiers": _ext_oracle(
             [_sqlapi.ORACLE_SQL_UDF_TIERS], "sql_udf_discount_tiers"

@@ -198,3 +198,113 @@ consistent_shards AS (
   GROUP BY 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# RLE sort-order compression advisor
+# ---------------------------------------------------------------------------
+
+def rle_layout_report(lineitem: DataFrame) -> DataFrame:
+    """Sort-order compression advisor: how many RLE runs each column
+    collapses to under candidate table sort orders — the number that
+    decides a 100 TB table's sort-key choice (parquet RLE and
+    dictionary-page efficiency are run-length driven; a
+    low-cardinality leading sort key turns a column into a handful of
+    runs, while insertion order leaves ~one run per value change).
+
+    Candidate orders:
+      - 'natural' : (l_orderkey, l_linenumber) — ingest order;
+      - 'status'  : (l_returnflag, l_linestatus, l_orderkey,
+        l_linenumber) — low-cardinality-first layout.
+
+    Distributed run counting never builds a global sort: each order's
+    leading column partitions the window (hash partition per key), so
+    runs = within-partition value changes + number of partitions —
+    exact for any total order whose leading key equals the partition
+    key. The candidate keys are not unique in this data, so the
+    measured column itself is appended as the final tiebreaker —
+    rows tying on the full candidate key sort with equal values
+    adjacent, making the run count well-defined (and equal to the
+    best case any stable writer could achieve for that key).
+    Output per (sort_order, column): n_runs, n_rows, avg_run_len
+    (the compression leverage).
+    """
+    from pyspark.sql import Window
+
+    total = lineitem.agg(F.count("*").alias("n_rows"))
+    cols = ["l_returnflag", "l_linestatus", "l_partkey"]
+    out = None
+    for order_name, part_col, order_cols in (
+        ("natural", "l_orderkey", ["l_linenumber"]),
+        (
+            "status",
+            "l_returnflag",
+            ["l_linestatus", "l_orderkey", "l_linenumber"],
+        ),
+    ):
+        n_parts = lineitem.agg(
+            F.countDistinct(part_col).alias("n_parts")
+        )
+        for c in cols:
+            w = Window.partitionBy(part_col).orderBy(*order_cols, c)
+            row = (
+                lineitem.select(
+                    F.col(c).alias("_v"), F.lag(c).over(w).alias("_prev")
+                )
+                .agg(
+                    F.sum(
+                        (
+                            F.col("_prev").isNotNull()
+                            & (F.col("_v") != F.col("_prev"))
+                        ).cast("bigint")
+                    ).alias("changes")
+                )
+                .crossJoin(F.broadcast(n_parts))
+                .crossJoin(F.broadcast(total))
+                .select(
+                    F.lit(order_name).alias("sort_order"),
+                    F.lit(c).alias("column"),
+                    (F.col("changes") + F.col("n_parts")).alias("n_runs"),
+                    "n_rows",
+                    F.round(
+                        F.col("n_rows")
+                        / (F.col("changes") + F.col("n_parts")),
+                        2,
+                    ).alias("avg_run_len"),
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
+
+
+def oracle_rle_layout() -> str:
+    cols = ["l_returnflag", "l_linestatus", "l_partkey"]
+    blocks = []
+    for order_name, part, order_by in (
+        ("natural", "l_orderkey", "l_linenumber"),
+        ("status", "l_returnflag", "l_linestatus, l_orderkey, l_linenumber"),
+    ):
+        for c in cols:
+            blocks.append(
+                f"""SELECT '{order_name}' AS sort_order, '{c}' AS column,
+         (SELECT CAST(sum(CASE WHEN prev IS NOT NULL AND {c} <> prev
+                               THEN 1 ELSE 0 END)
+                 + count(DISTINCT {part}) AS BIGINT)
+          FROM (SELECT {part}, {c},
+                       lag({c}) OVER (PARTITION BY {part}
+                                      ORDER BY {order_by}, {c}) AS prev
+                FROM lineitem)) AS n_runs,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+         round((SELECT count(*) FROM lineitem)
+               / CAST((SELECT sum(CASE WHEN prev IS NOT NULL AND {c} <> prev
+                                       THEN 1 ELSE 0 END)
+                       + count(DISTINCT {part})
+                       FROM (SELECT {part}, {c},
+                                    lag({c}) OVER (PARTITION BY {part}
+                                                   ORDER BY {order_by}, {c})
+                                      AS prev
+                             FROM lineitem)) AS DOUBLE), 2)
+           AS avg_run_len"""
+            )
+    union = "\n  UNION ALL\n  ".join(blocks)
+    return f"rle_layout_report AS (\n  {union}\n)"
