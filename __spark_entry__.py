@@ -1525,6 +1525,12 @@ def q_docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _samp.global_shuffle(_docs(spark, sf_dir))
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: distinct + entropy diversity of the sensitive
+    attribute inside each published QI cell."""
+    return _privacy.l_diversity_audit(load_table(spark, sf_dir, "events"))
+
+
 def q_rle_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RLE sort-order compression advisor (distributed run counting:
     partition-windowed changes + partition count, no global sort)."""
@@ -2536,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_discovery": q_fd_discovery,
         "sql_udf_tiers": q_sql_udf_tiers,
         "rle_layout_report": q_rle_layout,
+        "events_l_diversity": q_l_diversity,
         "docs_quality_sample": q_docs_quality_sample,
         "docs_weighted_sample_aes": q_docs_weighted_sample_aes,
         "docs_lang_temperature": q_docs_lang_temperature,
@@ -3225,6 +3232,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_global_shuffle": _ext_oracle(
             [_samp.ORACLE_GLOBAL_SHUFFLE], "global_shuffle"
+        ),
+        "events_l_diversity": _ext_oracle(
+            [_privacy.ORACLE_L_DIVERSITY], "l_diversity_audit"
         ),
         "rle_layout_report": _ext_oracle(
             [_layout.oracle_rle_layout()], "rle_layout_report"

@@ -261,3 +261,84 @@ erasure_audit AS (
   FROM customer WHERE c_custkey % {ERASE_MOD} = {ERASE_REM}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (sensitive-attribute diversity inside QI groups)
+# ---------------------------------------------------------------------------
+
+L_DIVERSITY = 3
+
+
+def l_diversity_audit(
+    events: DataFrame, l_min: int = L_DIVERSITY
+) -> DataFrame:
+    """l-diversity (Machanavajjhala et al. 2007) — the audit
+    k-anonymity alone cannot provide: a size-k group whose rows all
+    share one sensitive value still leaks it. Quasi-identifiers here
+    are the published (hour band, value band) grid; the sensitive
+    attribute is event_type. Per QI group: distinct l-diversity
+    (distinct sensitive values >= l) and entropy l-diversity
+    (entropy >= ln l — robust to one value dominating).
+
+    Entropy folds in one pass via H = ln(n) - (sum c*ln c)/n over the
+    per-(QI, sensitive) counts: two stacked hash-aggs, both bounded by
+    the generalization grid x sensitive domain, never the data.
+    Float enters only in ln (fold-order absorbed at round 4).
+    """
+    qi = events.select(
+        (
+            F.floor(F.hour("ts") / HOUR_BAND_WIDTH) * HOUR_BAND_WIDTH
+        ).alias("hour_band"),
+        (
+            F.floor(F.col("value") / VALUE_BAND_WIDTH) * VALUE_BAND_WIDTH
+        ).alias("value_band"),
+        F.col("event_type").alias("sensitive"),
+    )
+    per_sv = qi.groupBy("hour_band", "value_band", "sensitive").agg(
+        F.count("*").alias("c")
+    )
+    h = F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+    return (
+        per_sv.groupBy("hour_band", "value_band")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.count("*").alias("n_sensitive"),
+            F.round(h, 4).alias("entropy"),
+        )
+        .select(
+            "hour_band",
+            "value_band",
+            "n_rows",
+            "n_sensitive",
+            "entropy",
+            (F.col("n_sensitive") >= l_min).alias("distinct_l_ok"),
+            (F.col("entropy") >= F.round(F.log(F.lit(float(l_min))), 4)).alias(
+                "entropy_l_ok"
+            ),
+        )
+    )
+
+
+ORACLE_L_DIVERSITY = f"""
+ld_sv AS (
+  SELECT CAST(floor(hour(ts) / {HOUR_BAND_WIDTH})
+              * {HOUR_BAND_WIDTH} AS BIGINT) AS hour_band,
+         CAST(floor(value / {VALUE_BAND_WIDTH})
+              * {VALUE_BAND_WIDTH} AS BIGINT) AS value_band,
+         event_type AS sensitive,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+l_diversity_audit AS (
+  SELECT hour_band, value_band,
+         CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_sensitive,
+         round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy,
+         count(*) >= {L_DIVERSITY} AS distinct_l_ok,
+         round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4)
+           >= round(ln(CAST({float(L_DIVERSITY)!r} AS DOUBLE)), 4)
+           AS entropy_l_ok
+  FROM ld_sv GROUP BY 1, 2
+)
+"""
