@@ -1994,6 +1994,12 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_cms(spark, sf_dir)
 
 
+def q_stream_histq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable-histogram quantiles; final estimates equal
+    the batch sketch exactly (stream==batch oracle)."""
+    return _ev.run_stream_histq(spark, sf_dir)
+
+
 def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketch as streaming state: constant K-row standing table,
     mergeable bottom-k folds per micro-batch; final estimate equals
@@ -2406,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_partitioned_sink": q_stream_partitioned_sink,
         "stream_merge_state": q_stream_merge_state,
         "stream_kmv": q_stream_kmv,
+        "stream_hist_quantiles": q_stream_histq,
         "stream_cms": q_stream_cms,
         "stream_hll": q_stream_hll,
         "stream_embedding_dedup": q_stream_embedding_dedup,
@@ -3457,6 +3464,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_partitioned_sink": _ext_oracle(
             [_ev.ORACLE_STREAM_PARTITIONED_SINK], "stream_partitioned_sink"
+        ),
+        "stream_hist_quantiles": _ext_oracle(
+            [_ev.ORACLE_STREAM_HISTQ], "stream_hist_quantiles"
         ),
         "stream_kmv": _ext_oracle(
             [_ev.ORACLE_STREAM_KMV], "stream_kmv"

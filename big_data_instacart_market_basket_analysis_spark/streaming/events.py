@@ -1763,3 +1763,146 @@ stream_hll AS (
 
 
 ORACLE_STREAM_HLL = _oracle_stream_hll()
+
+
+def run_stream_histq(
+    spark: SparkSession, sf_dir: str, name: str = "stream_hist_quantiles"
+) -> DataFrame:
+    """Streaming quantiles via the mergeable histogram sketch as
+    state: each micro-batch's partial (event_type, bin) counts fold
+    into a standing histogram by plain addition — the sketch whose
+    merge is lossless AND order-independent, so the final interpolated
+    quantiles equal the batch ``histogram_quantiles`` estimates
+    exactly (the oracle pins stream == batch).
+
+    Contrast with percentile_approx as streaming state: GK compression
+    is merge-order dependent, so a redeployed stream could change its
+    answers; the additive histogram cannot. State size = types x bins
+    rows regardless of stream length; per batch the merge costs one
+    batch-sized hash-agg + a state-sized sum. Output per (type, p):
+    est_q + n.
+    """
+    import tempfile
+
+    from ..operators.temporal import HQ_BIN_WIDTH, HQ_PROBS
+
+    _tune_stream_session(spark)
+    root = tempfile.mkdtemp(prefix="stream_histq_")
+    src, target = f"{root}/src", f"{root}/state"
+
+    load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).repartition(6).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(HQ_BIN_WIDTH)).alias("bin"),
+        ).agg(F.count("*").alias("cnt"))
+        if _os.path.isdir(target):
+            part = spark.read.parquet(target).unionByName(part)
+        merged = (
+            part.groupBy("event_type", "bin")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    hist = spark.read.parquet(target)
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "event_type", "bin", "cnt", F.sum("cnt").over(wc).alias("cum")
+    )
+    n = hist.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    qs = n.select(
+        "event_type",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in HQ_PROBS])).alias("p"),
+    ).select(
+        "event_type",
+        "n",
+        "p",
+        F.ceil(F.col("p") * F.col("n")).cast("bigint").alias("r"),
+    )
+    return (
+        qs.join(cum, "event_type")
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("event_type", "p", "n", "r")
+        .agg(F.min("bin").alias("bin"))
+        .join(cum, ["event_type", "bin"])
+        .select(
+            "event_type",
+            "p",
+            F.round(
+                F.col("bin") * F.lit(HQ_BIN_WIDTH)
+                + F.lit(HQ_BIN_WIDTH)
+                * (F.col("r") - (F.col("cum") - F.col("cnt")))
+                / F.col("cnt"),
+                4,
+            ).alias("est_q"),
+            "n",
+        )
+    )
+
+
+def _oracle_stream_histq() -> str:
+    from ..operators.temporal import HQ_BIN_WIDTH, HQ_PROBS
+
+    return f"""
+shq_hist AS (
+  SELECT event_type, CAST(floor(value / {HQ_BIN_WIDTH!r}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+shq_cum AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM shq_hist
+),
+shq_n AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM shq_hist GROUP BY 1
+),
+shq_qs AS (
+  SELECT event_type, n, CAST(p AS DOUBLE) AS p,
+         CAST(ceil(CAST(p AS DOUBLE) * n) AS BIGINT) AS r
+  FROM shq_n, LATERAL unnest([{", ".join(repr(p) for p in HQ_PROBS)}]) AS t(p)
+),
+stream_hist_quantiles AS (
+  SELECT q.event_type, q.p,
+         round(b.bin * {HQ_BIN_WIDTH!r}
+               + {HQ_BIN_WIDTH!r} * (q.r - (c2.cum - c2.cnt)) / c2.cnt,
+               4) AS est_q,
+         q.n
+  FROM shq_qs q
+  JOIN (
+    SELECT q2.event_type, q2.p, min(c.bin) AS bin
+    FROM shq_qs q2 JOIN shq_cum c
+      ON c.event_type = q2.event_type AND c.cum >= q2.r
+    GROUP BY 1, 2
+  ) b ON b.event_type = q.event_type AND b.p = q.p
+  JOIN shq_cum c2 ON c2.event_type = q.event_type AND c2.bin = b.bin
+)
+"""
+
+
+ORACLE_STREAM_HISTQ = _oracle_stream_histq()
