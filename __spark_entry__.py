@@ -1543,6 +1543,14 @@ def q_sql_udf_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sqlapi.sql_udf_discount_tiers(spark, sf_dir)
 
 
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS inner-product join-size estimation vs exact truth."""
+    return _prof.join_cardinality_estimate(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency verification over candidate column pairs
     (TANE inner loop; one distinct-grain hash-agg per candidate)."""
@@ -2547,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_setcover": q_docs_setcover,
         "fd_discovery": q_fd_discovery,
+        "join_cardinality_estimate": q_join_cardinality,
         "sql_udf_tiers": q_sql_udf_tiers,
         "rle_layout_report": q_rle_layout,
         "events_l_diversity": q_l_diversity,
@@ -3248,6 +3257,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sql_udf_tiers": _ext_oracle(
             [_sqlapi.ORACLE_SQL_UDF_TIERS], "sql_udf_discount_tiers"
+        ),
+        "join_cardinality_estimate": _ext_oracle(
+            [_prof.oracle_join_cardinality()], "join_cardinality_estimate"
         ),
         "fd_discovery": _ext_oracle(
             [_prof.oracle_fd_discovery()], "fd_discovery"

@@ -731,3 +731,117 @@ def oracle_fd_discovery() -> str:
         )
     union = "\n  UNION ALL\n  ".join(selects)
     return f"fd_discovery AS (\n  {union}\n)"
+
+
+# ---------------------------------------------------------------------------
+# join cardinality estimation from count-min sketches
+# ---------------------------------------------------------------------------
+
+JCE_WIDTH = 256
+JCE_DEPTH = 3
+
+
+def join_cardinality_estimate(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Planner-style join-size estimation WITHOUT touching the join:
+    |A JOIN B on k| = sum_k fA(k)*fB(k), estimated as the CMS inner
+    product — per depth row d, sum_w A_d[w]*B_d[w]; the estimate is
+    min over depths (Cormode & Muthukrishnan's dot-product bound:
+    always an overestimate, tight as width grows). Each side reduces
+    to a depth x width count table in one hash-agg; the inner product
+    is a (d, w) equi-join of two tiny tables. This is the shape a
+    CBO uses to order 100 TB joins when scanning either side twice is
+    unaffordable — sketches are built during ingest and the product
+    costs nothing.
+
+    Exact truth (one real join on the fixture) and the relative error
+    ride along, so the hash gate pins estimator + audit. Output:
+    est_rows (min over depths), exact_rows, rel_error, width, depth.
+    """
+
+    def sketch(df: DataFrame, key: str) -> DataFrame:
+        out = None
+        for d in range(JCE_DEPTH):
+            h = F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col(key).cast("string"), F.lit(f"#{d}")
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(JCE_WIDTH),
+            )
+            row = df.select(
+                F.lit(d).alias("d"), h.alias("w")
+            ).groupBy("d", "w").agg(F.count("*").alias("c"))
+            out = row if out is None else out.unionByName(row)
+        return out
+
+    sa = sketch(orders, "o_orderkey")
+    sb = sketch(lineitem, "l_orderkey")
+    est = (
+        sa.join(
+            sb.select("d", "w", F.col("c").alias("c2")), ["d", "w"]
+        )
+        .groupBy("d")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("ip"))
+        .agg(F.min("ip").alias("est_rows"))
+    )
+    exact = orders.select("o_orderkey").join(
+        lineitem.select(F.col("l_orderkey").alias("o_orderkey")),
+        "o_orderkey",
+    ).agg(F.count("*").alias("exact_rows"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_rows",
+        "exact_rows",
+        F.round(
+            (F.col("est_rows") - F.col("exact_rows"))
+            / F.col("exact_rows"),
+            4,
+        ).alias("rel_error"),
+        F.lit(JCE_WIDTH).alias("width"),
+        F.lit(JCE_DEPTH).alias("depth"),
+    )
+
+
+def oracle_join_cardinality() -> str:
+    def sk(tbl: str, key: str) -> str:
+        sels = "\n    UNION ALL\n    ".join(
+            f"""SELECT {d} AS d,
+           CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || '#{d}'),
+                 1, 13)) AS BIGINT) % {JCE_WIDTH} AS w
+    FROM {tbl}"""
+            for d in range(JCE_DEPTH)
+        )
+        return f"SELECT d, w, CAST(count(*) AS BIGINT) AS c FROM (\n    {sels}\n  ) GROUP BY 1, 2"
+
+    return f"""
+jce_a AS ({sk("orders", "o_orderkey")}),
+jce_b AS ({sk("lineitem", "l_orderkey")}),
+jce_est AS (
+  SELECT CAST(min(ip) AS BIGINT) AS est_rows FROM (
+    SELECT a.d, sum(a.c * b.c) AS ip
+    FROM jce_a a JOIN jce_b b ON a.d = b.d AND a.w = b.w
+    GROUP BY 1
+  )
+),
+jce_exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_rows
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+join_cardinality_estimate AS (
+  SELECT e.est_rows, x.exact_rows,
+         round(CAST(e.est_rows - x.exact_rows AS DOUBLE) / x.exact_rows, 4)
+           AS rel_error,
+         {JCE_WIDTH} AS width, {JCE_DEPTH} AS depth
+  FROM jce_est e, jce_exact x
+)
+"""
