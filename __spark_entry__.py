@@ -1537,6 +1537,17 @@ def q_rle_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _layout.rle_layout_report(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_sql_clustered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY / SORT BY layout clauses (result-set invariant;
+    Exchange+Sort plan-tested)."""
+    return _sqlapi.sql_clustered_orders(spark, sf_dir)
+
+
+def q_sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregates in one hash-agg pass."""
+    return _sqlapi.sql_filter_clause_stats(spark, sf_dir)
+
+
 def q_sql_udf_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL scalar UDF (CREATE FUNCTION ... RETURN) + GROUP BY ALL /
     ORDER BY ALL — parser/catalog features, plan stays codegen'd."""
@@ -2557,6 +2568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_discovery": q_fd_discovery,
         "join_cardinality_estimate": q_join_cardinality,
         "sql_udf_tiers": q_sql_udf_tiers,
+        "sql_clustered_orders": q_sql_clustered_orders,
+        "sql_filter_clause_stats": q_sql_filter_clause,
         "rle_layout_report": q_rle_layout,
         "events_l_diversity": q_l_diversity,
         "docs_quality_sample": q_docs_quality_sample,
@@ -3254,6 +3267,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rle_layout_report": _ext_oracle(
             [_layout.oracle_rle_layout()], "rle_layout_report"
+        ),
+        "sql_clustered_orders": _ext_oracle(
+            [_sqlapi.ORACLE_SQL_CLUSTERED_ORDERS], "sql_clustered_orders"
+        ),
+        "sql_filter_clause_stats": _ext_oracle(
+            [_sqlapi.ORACLE_SQL_FILTER_CLAUSE], "sql_filter_clause_stats"
         ),
         "sql_udf_tiers": _ext_oracle(
             [_sqlapi.ORACLE_SQL_UDF_TIERS], "sql_udf_discount_tiers"

@@ -135,6 +135,17 @@ HEADLINE = [
     "rag_hybrid_rrf",
     "ann_matryoshka_recall",
     "dedup_winnowing",
+    # round-2 closing wave: verified Apriori/GLM/PCA + density
+    # clustering + sketch algebra + coverage selection + join pruning
+    "apriori_triples",
+    "bloom_join_prune",
+    "events_kmv_algebra",
+    "events_hist_quantiles",
+    "events_dbscan",
+    "ml_logreg_verified",
+    "embedding_pca",
+    "docs_setcover",
+    "join_cardinality_estimate",
 ]
 
 

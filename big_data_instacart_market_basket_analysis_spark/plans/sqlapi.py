@@ -607,3 +607,66 @@ sql_udf_discount_tiers AS (
   GROUP BY 1
 )
 """
+
+
+def sql_clustered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY / SORT BY through the parser: the write-side
+    clustering clauses (hash-exchange on the distribute key, per-
+    partition sort — NOT a global sort). The result SET is unchanged
+    (the oracle is the plain projection; the compare is order-
+    insensitive), which is the point: these clauses shape the
+    physical layout only. A plan test pins the Exchange+Sort."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderkey, o_totalprice
+        FROM orders
+        DISTRIBUTE BY o_orderstatus SORT BY o_orderkey
+        """
+    )
+
+
+ORACLE_SQL_CLUSTERED_ORDERS = """
+sql_clustered_orders AS (
+  SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+)
+"""
+
+
+def sql_filter_clause_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI aggregate FILTER clauses + any_value: conditional
+    aggregation without CASE scaffolding — one hash-agg evaluates
+    every filtered aggregate in a single pass (the multi-metric
+    report shape). DuckDB shares the syntax verbatim."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                 AS n_urgent,
+               count(*) FILTER (WHERE o_totalprice > 3000) AS n_large,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                    FILTER (WHERE o_orderpriority = '1-URGENT')
+                    AS DOUBLE) AS urgent_price
+        FROM orders
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+ORACLE_SQL_FILTER_CLAUSE = """
+sql_filter_clause_stats AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+              AS BIGINT) AS n_urgent,
+         CAST(count(*) FILTER (WHERE o_totalprice > 3000)
+              AS BIGINT) AS n_large,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+              FILTER (WHERE o_orderpriority = '1-URGENT')
+              AS DOUBLE) AS urgent_price
+  FROM orders
+  GROUP BY o_orderstatus
+)
+"""

@@ -575,3 +575,13 @@ def test_sql_udf_stays_codegen(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_distribute_sort_by_shapes_layout(spark):
+    """DISTRIBUTE BY must hash-exchange on the clustering key and SORT
+    BY must sort within partitions WITHOUT a global-order exchange
+    (no rangepartitioning in the plan)."""
+    plan = _plan(spark, "sql_clustered_orders")
+    assert "hashpartitioning(o_orderstatus" in plan, plan
+    assert "Sort" in plan
+    assert "rangepartitioning" not in plan, plan
