@@ -103,6 +103,9 @@ from big_data_instacart_market_basket_analysis_spark.operators import (
 from big_data_instacart_market_basket_analysis_spark.operators import (
     glm as _glm,
 )
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    factorization as _mf,
+)
 from big_data_instacart_market_basket_analysis_spark.streaming import (
     events as _ev,
 )
@@ -139,6 +142,7 @@ _FRAGMENTS: dict[str, str] = {
     "sequential_pairs": _bask.ORACLE_SEQUENTIAL_PAIRS,
     "frequent_pairs": _bask.ORACLE_FREQUENT_PAIRS,
     "apriori_triples": _bask.ORACLE_APRIORI_TRIPLES,
+    "als_rank1": _mf.oracle_als_rank1(),
     "pair_rules": _bask.ORACLE_PAIR_RULES,
     "basket_sizes": _bask.ORACLE_BASKET_SIZES,
     "sql_dept_stats": _sqlapi.ORACLE_SQL_DEPT_STATS,
@@ -201,6 +205,7 @@ _DEPS: dict[str, list[str]] = {
     "sequential_pairs": ["seq_spans"],
     "frequent_pairs": ["baskets_base"],
     "apriori_triples": ["baskets_base"],
+    "als_rank1": [],
     "pair_rules": ["baskets_base"],
     "basket_sizes": ["baskets_base"],
     "sql_dept_stats": ["product_features"],
@@ -1473,6 +1478,12 @@ def q_events_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.cms_heavy_hitters(load_table(spark, sf_dir, "events"))
 
 
+def q_ml_als_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified rank-1 ALS matrix factorization on implicit purchase
+    counts (per-round SSE + factor norms, unrolled-CTE oracle)."""
+    return _mf.als_rank1(instacart_tables(spark, sf_dir))
+
+
 def q_ml_logreg_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified logistic regression: full-batch GD, per-round weights +
     loss curve engine-exact (unrolled-CTE oracle)."""
@@ -2400,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hist_quantiles": q_events_hist_quantiles,
         "events_dbscan": q_events_dbscan,
         "ml_logreg_verified": q_ml_logreg_verified,
+        "ml_als_verified": q_ml_als_verified,
         "events_gapfill": q_events_gapfill,
         "events_hll_sketch": q_events_hll_sketch,
         "events_lttb": q_events_lttb,
@@ -2695,6 +2707,7 @@ def oracle_sql() -> dict[str, str]:
         "top_products_per_user": _oracle("top_products_per_user"),
         "frequent_pairs": _oracle("frequent_pairs"),
         "apriori_triples": _oracle("apriori_triples"),
+        "ml_als_verified": _oracle("als_rank1"),
         "pair_rules": _oracle("pair_rules"),
         "basket_sizes": _oracle("basket_sizes"),
         "sequential_pairs": _oracle("sequential_pairs"),

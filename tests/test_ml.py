@@ -187,3 +187,24 @@ def test_pca_power_finds_dominant_direction(spark):
     )
     assert out[-1]["top_dim"] == 3
     assert out[-1]["evr"] > 0.9
+
+
+def test_als_sse_monotone(spark):
+    """ALS coordinate descent must not increase the objective: the
+    per-round SSE over observed entries is monotone non-increasing."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        factorization,
+    )
+    from big_data_instacart_market_basket_analysis_spark.plans.instacart import (
+        instacart_tables,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = (
+        factorization.als_rank1(instacart_tables(spark, SF_ORACLE))
+        .orderBy("round")
+        .collect()
+    )
+    sses = [r["sse"] for r in rows]
+    assert len(sses) == factorization.ALS_ROUNDS
+    assert all(a >= b for a, b in zip(sses, sses[1:]))
