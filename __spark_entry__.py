@@ -143,6 +143,7 @@ _FRAGMENTS: dict[str, str] = {
     "frequent_pairs": _bask.ORACLE_FREQUENT_PAIRS,
     "apriori_triples": _bask.ORACLE_APRIORI_TRIPLES,
     "als_rank1": _mf.oracle_als_rank1(),
+    "negative_samples": _samp.oracle_negative_samples(),
     "pair_rules": _bask.ORACLE_PAIR_RULES,
     "basket_sizes": _bask.ORACLE_BASKET_SIZES,
     "sql_dept_stats": _sqlapi.ORACLE_SQL_DEPT_STATS,
@@ -206,6 +207,7 @@ _DEPS: dict[str, list[str]] = {
     "frequent_pairs": ["baskets_base"],
     "apriori_triples": ["baskets_base"],
     "als_rank1": [],
+    "negative_samples": [],
     "pair_rules": ["baskets_base"],
     "basket_sizes": ["baskets_base"],
     "sql_dept_stats": ["product_features"],
@@ -1478,6 +1480,12 @@ def q_events_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.cms_heavy_hitters(load_table(spark, sf_dir, "events"))
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based negative sampling for implicit-feedback
+    training (users x tries candidates, positives anti-joined)."""
+    return _samp.negative_samples(instacart_tables(spark, sf_dir))
+
+
 def q_ml_als_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified rank-1 ALS matrix factorization on implicit purchase
     counts (per-round SSE + factor norms, unrolled-CTE oracle)."""
@@ -2412,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dbscan": q_events_dbscan,
         "ml_logreg_verified": q_ml_logreg_verified,
         "ml_als_verified": q_ml_als_verified,
+        "negative_samples": q_negative_samples,
         "events_gapfill": q_events_gapfill,
         "events_hll_sketch": q_events_hll_sketch,
         "events_lttb": q_events_lttb,
@@ -2708,6 +2717,7 @@ def oracle_sql() -> dict[str, str]:
         "frequent_pairs": _oracle("frequent_pairs"),
         "apriori_triples": _oracle("apriori_triples"),
         "ml_als_verified": _oracle("als_rank1"),
+        "negative_samples": _oracle("negative_samples"),
         "pair_rules": _oracle("pair_rules"),
         "basket_sizes": _oracle("basket_sizes"),
         "sequential_pairs": _oracle("sequential_pairs"),

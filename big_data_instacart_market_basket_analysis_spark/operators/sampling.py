@@ -566,3 +566,132 @@ sc_cov{r} AS MATERIALIZED (
 setcover_selection AS (
   {union}
 )"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic negative sampling (implicit-feedback training pairs)
+# ---------------------------------------------------------------------------
+
+NEG_K = 2
+NEG_TRIES = 5
+
+
+def negative_samples(
+    t, k: int = NEG_K, tries: int = NEG_TRIES
+) -> "DataFrame":
+    """Deterministic negative sampling for implicit-feedback training:
+    per user, up to ``k`` products the user never purchased, drawn by
+    hashing (user, try) into the product-rank space and rejecting
+    collisions with the user's positives — the standard
+    uniform-negatives generator (word2vec/BPR style), made replayable:
+    no rand(), so the training sample is stable across reruns, engines, and
+    cluster layouts (a retrain produces the same pairs — diffs in
+    model quality are model diffs, not sampling noise).
+
+    Scale: candidates are exactly users x tries rows (tries is a
+    small constant) — never users x products; the product-rank dim
+    and the positives anti-join are the only joins, both on uniform
+    hash keys. Rejected tries below ``k`` survivors per user simply
+    yield fewer negatives for that user (documented standard
+    behavior; raise ``tries`` to tighten). The rank window runs on
+    the product DIMENSION (single partition over |products| rows —
+    dimension-sized by definition; at 100 TB products still fit one
+    task, and a zipWithIndex swap is mechanical if they do not).
+
+    Output: userID, productID (negative), try_idx, label=0.
+    """
+    from pyspark.sql import Window
+
+    from .factorization import _ratings
+
+    ratings = _ratings(t).localCheckpoint(eager=True)
+    wprod = Window.orderBy("productID")
+    prods = (
+        ratings.select("productID")
+        .distinct()
+        .select(
+            "productID",
+            (F.row_number().over(wprod) - 1).cast("bigint").alias("rank"),
+        )
+    )
+    n_prod = prods.agg(F.count("*").alias("n_prod"))
+    cand = (
+        ratings.select("userID")
+        .distinct()
+        .select(
+            "userID",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(tries - 1))
+            ).alias("try_idx"),
+        )
+        .crossJoin(F.broadcast(n_prod))
+        .select(
+            "userID",
+            "try_idx",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("userID").cast("string"),
+                                F.lit("#"),
+                                F.col("try_idx").cast("string"),
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.col("n_prod"),
+            ).alias("rank"),
+        )
+    )
+    wuser = Window.partitionBy("userID").orderBy("try_idx")
+    return (
+        cand.join(F.broadcast(prods), "rank")
+        .join(ratings.select("userID", "productID"), ["userID", "productID"], "leftanti")
+        .withColumn("rn", F.row_number().over(wuser))
+        .filter(F.col("rn") <= k)
+        .select(
+            "userID", "productID", "try_idx", F.lit(0).alias("label")
+        )
+    )
+
+
+def oracle_negative_samples(k: int = NEG_K, tries: int = NEG_TRIES) -> str:
+    return f"""
+ns_r AS MATERIALIZED (
+  SELECT o.userID, op.productID
+  FROM iprior_products op
+  JOIN iprior_orders o ON o.orderID = op.orderID
+  GROUP BY 1, 2
+),
+ns_prods AS MATERIALIZED (
+  SELECT productID,
+         row_number() OVER (ORDER BY productID) - 1 AS rank
+  FROM (SELECT DISTINCT productID FROM ns_r)
+),
+ns_cand AS (
+  SELECT u.userID, t.try_idx,
+         CAST(('0x' || substr(md5(CAST(u.userID AS VARCHAR) || '#'
+                || CAST(t.try_idx AS VARCHAR)), 1, 13)) AS BIGINT)
+           % (SELECT count(*) FROM ns_prods) AS rank
+  FROM (SELECT DISTINCT userID FROM ns_r) u,
+       LATERAL unnest(range(0, {tries})) AS t(try_idx)
+),
+negative_samples AS (
+  SELECT userID, productID, CAST(try_idx AS INT) AS try_idx, 0 AS label
+  FROM (
+    SELECT c.userID, p.productID, c.try_idx,
+           row_number() OVER (PARTITION BY c.userID
+                              ORDER BY c.try_idx) AS rn
+    FROM ns_cand c
+    JOIN ns_prods p ON p.rank = c.rank
+    WHERE NOT EXISTS (SELECT 1 FROM ns_r r
+                      WHERE r.userID = c.userID
+                        AND r.productID = p.productID)
+  ) WHERE rn <= {k}
+)
+"""

@@ -1313,3 +1313,22 @@ def test_bloom_filter_fp_rate_bounded(spark):
     assert row["n_true_keys"] == 0
     assert row["fp_rate"] < 0.05
     assert row["fp_expected"] < 0.05
+
+
+def test_negative_samples_never_positive(spark):
+    """No sampled negative may collide with a positive, and per-user
+    negatives are capped at NEG_K."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        factorization,
+        sampling,
+    )
+    from big_data_instacart_market_basket_analysis_spark.plans.instacart import (
+        instacart_tables,
+    )
+
+    t = instacart_tables(spark, SF_ORACLE)
+    neg = sampling.negative_samples(t)
+    pos = factorization._ratings(t).select("userID", "productID")
+    assert neg.join(pos, ["userID", "productID"], "inner").count() == 0
+    per_user = neg.groupBy("userID").count().agg(F.max("count")).collect()
+    assert per_user[0][0] <= sampling.NEG_K
