@@ -144,6 +144,7 @@ _FRAGMENTS: dict[str, str] = {
     "apriori_triples": _bask.ORACLE_APRIORI_TRIPLES,
     "als_rank1": _mf.oracle_als_rank1(),
     "negative_samples": _samp.oracle_negative_samples(),
+    "als_bpr_auc": _mf.oracle_als_bpr_auc(),
     "pair_rules": _bask.ORACLE_PAIR_RULES,
     "basket_sizes": _bask.ORACLE_BASKET_SIZES,
     "sql_dept_stats": _sqlapi.ORACLE_SQL_DEPT_STATS,
@@ -208,6 +209,7 @@ _DEPS: dict[str, list[str]] = {
     "apriori_triples": ["baskets_base"],
     "als_rank1": [],
     "negative_samples": [],
+    "als_bpr_auc": ["als_rank1", "negative_samples"],
     "pair_rules": ["baskets_base"],
     "basket_sizes": ["baskets_base"],
     "sql_dept_stats": ["product_features"],
@@ -1480,6 +1482,12 @@ def q_events_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.cms_heavy_hitters(load_table(spark, sf_dir, "events"))
 
 
+def q_ml_als_bpr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPR-AUC of the verified ALS model vs deterministic negatives —
+    the fully hash-verified train->sample->evaluate loop."""
+    return _mf.als_bpr_auc(instacart_tables(spark, sf_dir))
+
+
 def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based negative sampling for implicit-feedback
     training (users x tries candidates, positives anti-joined)."""
@@ -2421,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_logreg_verified": q_ml_logreg_verified,
         "ml_als_verified": q_ml_als_verified,
         "negative_samples": q_negative_samples,
+        "ml_als_bpr_auc": q_ml_als_bpr_auc,
         "events_gapfill": q_events_gapfill,
         "events_hll_sketch": q_events_hll_sketch,
         "events_lttb": q_events_lttb,
@@ -2718,6 +2727,7 @@ def oracle_sql() -> dict[str, str]:
         "apriori_triples": _oracle("apriori_triples"),
         "ml_als_verified": _oracle("als_rank1"),
         "negative_samples": _oracle("negative_samples"),
+        "ml_als_bpr_auc": _oracle("als_bpr_auc"),
         "pair_rules": _oracle("pair_rules"),
         "basket_sizes": _oracle("basket_sizes"),
         "sequential_pairs": _oracle("sequential_pairs"),

@@ -167,3 +167,114 @@ als_sse{r} AS (
 als_rank1 AS (
   {union}
 )"""
+
+
+def _als_factors(
+    t: InstacartTables, rounds: int = ALS_ROUNDS
+) -> tuple[DataFrame, DataFrame]:
+    """Final (user, product) factor tables of the verified ALS run —
+    same trajectory as ``als_rank1``, returned as tables instead of a
+    curve."""
+    ratings = _ratings(t).localCheckpoint(eager=True)
+    v = ratings.select("productID").distinct().select(
+        "productID", F.lit(1.0).alias("v")
+    )
+    u = None
+    for _ in range(rounds):
+        u = (
+            ratings.join(F.broadcast(v), "productID")
+            .groupBy("userID")
+            .agg(
+                F.round(
+                    F.sum(F.col("r") * F.col("v"))
+                    / F.sum(F.col("v") * F.col("v")),
+                    9,
+                ).alias("u")
+            )
+            .localCheckpoint(eager=True)
+        )
+        v = (
+            ratings.join(F.broadcast(u), "userID")
+            .groupBy("productID")
+            .agg(
+                F.round(
+                    F.sum(F.col("r") * F.col("u"))
+                    / F.sum(F.col("u") * F.col("u")),
+                    9,
+                ).alias("v")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return u, v
+
+
+def als_bpr_auc(t: InstacartTables) -> DataFrame:
+    """Closes the verified recsys loop: BPR-AUC of the trained rank-1
+    ALS model against the deterministic negative samples — the
+    fraction of (positive, sampled-negative) pairs per user the model
+    ranks correctly (ties count 1/2). Training, sampling, AND
+    evaluation are each hash-verified, so the whole
+    train -> sample -> evaluate pipeline is engine-exact: a metric
+    regression in CI is a real model change, never noise.
+
+    Pairs are bounded per user by (user positives) x NEG_K — the
+    anti-join and per-user pairing shuffle on userID, never a corpus
+    cross join. Output: auc (round 6), n_pairs, n_users.
+    """
+    from .sampling import negative_samples
+
+    u, v = _als_factors(t)
+    pos = (
+        _ratings(t)
+        .join(F.broadcast(v), "productID")
+        .select("userID", F.col("v").alias("v_pos"))
+    )
+    neg = (
+        negative_samples(t)
+        .join(F.broadcast(v), "productID")
+        .select("userID", F.col("v").alias("v_neg"))
+    )
+    pairs = (
+        pos.join(neg, "userID")
+        .join(F.broadcast(u), "userID")
+        .select(
+            "userID",
+            (F.col("u") * F.col("v_pos")).alias("s_pos"),
+            (F.col("u") * F.col("v_neg")).alias("s_neg"),
+        )
+    )
+    return pairs.agg(
+        F.round(
+            F.avg(
+                F.when(F.col("s_pos") > F.col("s_neg"), F.lit(1.0))
+                .when(F.col("s_pos") == F.col("s_neg"), F.lit(0.5))
+                .otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("auc"),
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("userID").alias("n_users"),
+    )
+
+
+def oracle_als_bpr_auc() -> str:
+    return """
+bpr_pos AS (
+  SELECT r.userID, v.v AS v_pos
+  FROM als_r r JOIN als_v3 v USING (productID)
+),
+bpr_neg AS (
+  SELECT n.userID, v.v AS v_neg
+  FROM negative_samples n JOIN als_v3 v USING (productID)
+),
+als_bpr_auc AS (
+  SELECT round(avg(CASE WHEN u.u * p.v_pos > u.u * n.v_neg THEN 1.0
+                        WHEN u.u * p.v_pos = u.u * n.v_neg THEN 0.5
+                        ELSE 0.0 END), 6) AS auc,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT p.userID) AS BIGINT) AS n_users
+  FROM bpr_pos p
+  JOIN bpr_neg n USING (userID)
+  JOIN als_u3 u ON u.userID = p.userID
+)
+"""
