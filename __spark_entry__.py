@@ -1558,6 +1558,14 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _privacy.l_diversity_audit(load_table(spark, sf_dir, "events"))
 
 
+def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning simulation: natural vs date-sorted layouts
+    against a quarter predicate (min/max stats, one agg per layout)."""
+    return _layout.zonemap_skipping_report(
+        load_table(spark, sf_dir, "lineitem")
+    )
+
+
 def q_rle_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RLE sort-order compression advisor (distributed run counting:
     partition-windowed changes + partition count, no global sort)."""
@@ -2601,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_clustered_orders": q_sql_clustered_orders,
         "sql_filter_clause_stats": q_sql_filter_clause,
         "rle_layout_report": q_rle_layout,
+        "zonemap_skipping_report": q_zonemap_skipping,
         "events_l_diversity": q_l_diversity,
         "docs_quality_sample": q_docs_quality_sample,
         "docs_weighted_sample_aes": q_docs_weighted_sample_aes,
@@ -3297,6 +3306,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_l_diversity": _ext_oracle(
             [_privacy.ORACLE_L_DIVERSITY], "l_diversity_audit"
+        ),
+        "zonemap_skipping_report": _ext_oracle(
+            [_layout.oracle_zonemap_skipping()], "zonemap_skipping_report"
         ),
         "rle_layout_report": _ext_oracle(
             [_layout.oracle_rle_layout()], "rle_layout_report"

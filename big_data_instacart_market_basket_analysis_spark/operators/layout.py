@@ -308,3 +308,106 @@ def oracle_rle_layout() -> str:
             )
     union = "\n  UNION ALL\n  ".join(blocks)
     return f"rle_layout_report AS (\n  {union}\n)"
+
+
+# ---------------------------------------------------------------------------
+# zone-map data-skipping report
+# ---------------------------------------------------------------------------
+
+ZM_ZONE_KEYS = 1000
+ZM_DATE_LO = "1996-01-01"
+ZM_DATE_HI = "1996-03-31"
+
+
+def zonemap_skipping_report(lineitem: DataFrame) -> DataFrame:
+    """Zone-map (min/max statistics) pruning simulation — the
+    data-skipping arithmetic behind parquet row-group pruning, Delta
+    file skipping, and ClickHouse marks, measured for two layouts:
+
+      - 'natural' zones: l_orderkey ranges (ingest clustering);
+      - 'date-sorted' zones: calendar months (what sorting the table
+        by l_shipdate would produce).
+
+    For the audit predicate (a shipdate quarter), a zone is skippable
+    iff its [min, max] interval misses the predicate range — computed
+    from ONE hash-agg per layout over zone grain (exactly the stats a
+    writer maintains for free). Output per layout: n_zones,
+    n_pruned_zones, rows_total, rows_skipped, skip_fraction — the
+    number that justifies paying the sort: at 100 TB 'frac 0.9' means
+    a 10x scan cut for every query shaped like the predicate.
+    """
+    lo, hi = F.lit(ZM_DATE_LO).cast("date"), F.lit(ZM_DATE_HI).cast("date")
+    d = F.to_date("l_shipdate")
+
+    def layout(name: str, zone: F.Column) -> DataFrame:
+        zones = (
+            lineitem.select(zone.alias("zone"), d.alias("d"))
+            .groupBy("zone")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("d").alias("dmin"),
+                F.max("d").alias("dmax"),
+            )
+            .select(
+                "*",
+                ((F.col("dmax") < lo) | (F.col("dmin") > hi)).alias(
+                    "pruned"
+                ),
+            )
+        )
+        return zones.agg(
+            F.lit(name).alias("layout"),
+            F.count("*").alias("n_zones"),
+            F.sum(F.col("pruned").cast("bigint")).alias("n_pruned_zones"),
+            F.sum("n_rows").alias("rows_total"),
+            F.sum(
+                F.when(F.col("pruned"), F.col("n_rows")).otherwise(0)
+            ).alias("rows_skipped"),
+            F.round(
+                F.sum(
+                    F.when(F.col("pruned"), F.col("n_rows")).otherwise(0)
+                )
+                / F.sum("n_rows"),
+                4,
+            ).alias("skip_fraction"),
+        )
+
+    nat = layout(
+        "natural",
+        (F.col("l_orderkey") / F.lit(ZM_ZONE_KEYS)).cast("bigint"),
+    )
+    srt = layout(
+        "date-sorted",
+        F.date_format(d, "yyyy-MM"),
+    )
+    return nat.unionByName(srt)
+
+
+def oracle_zonemap_skipping() -> str:
+    def blk(name: str, zone_expr: str) -> str:
+        return f"""SELECT '{name}' AS layout,
+         CAST(count(*) AS BIGINT) AS n_zones,
+         CAST(sum(CAST(pruned AS BIGINT)) AS BIGINT) AS n_pruned_zones,
+         CAST(sum(n_rows) AS BIGINT) AS rows_total,
+         CAST(sum(CASE WHEN pruned THEN n_rows ELSE 0 END) AS BIGINT)
+           AS rows_skipped,
+         round(sum(CASE WHEN pruned THEN n_rows ELSE 0 END)
+               / CAST(sum(n_rows) AS DOUBLE), 4) AS skip_fraction
+  FROM (
+    SELECT {zone_expr} AS zone,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(CAST(l_shipdate AS DATE)) AS dmin,
+           max(CAST(l_shipdate AS DATE)) AS dmax,
+           max(CAST(l_shipdate AS DATE)) < DATE '{ZM_DATE_LO}'
+             OR min(CAST(l_shipdate AS DATE)) > DATE '{ZM_DATE_HI}'
+             AS pruned
+    FROM lineitem GROUP BY 1
+  )"""
+
+    return f"""
+zonemap_skipping_report AS (
+  {blk("natural", f"l_orderkey // {ZM_ZONE_KEYS}")}
+  UNION ALL
+  {blk("date-sorted", "strftime(CAST(l_shipdate AS DATE), '%Y-%m')")}
+)
+"""
