@@ -1513,6 +1513,12 @@ def q_events_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _clu.dbscan_clusters(load_table(spark, sf_dir, "events"))
 
 
+def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified Poisson bootstrap: one-pass B-replica resampling, CI of
+    the mean from the replica-mean distribution."""
+    return _tmp.bootstrap_mean_ci(load_table(spark, sf_dir, "events"))
+
+
 def q_events_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified mergeable histogram quantiles (additive sketch; est +
     exact type-7 truth per event_type)."""
@@ -2433,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_sketch": q_events_kmv_sketch,
         "events_kmv_algebra": q_events_kmv_algebra,
         "events_hist_quantiles": q_events_hist_quantiles,
+        "events_bootstrap_ci": q_events_bootstrap_ci,
         "events_dbscan": q_events_dbscan,
         "ml_logreg_verified": q_ml_logreg_verified,
         "ml_als_verified": q_ml_als_verified,
@@ -3090,6 +3097,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_dbscan": _ext_oracle(
             [_clu.ORACLE_DBSCAN], "dbscan_clusters", recursive=True
+        ),
+        "events_bootstrap_ci": _ext_oracle(
+            [_tmp.oracle_bootstrap_ci()], "bootstrap_mean_ci"
         ),
         "events_hist_quantiles": _ext_oracle(
             [_tmp.ORACLE_HISTOGRAM_QUANTILES], "histogram_quantiles"

@@ -4812,3 +4812,162 @@ histogram_quantiles AS (
   FROM hq_est e JOIN hq_exact x ON x.event_type = e.event_type AND x.p = e.p
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# verified Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+BOOT_B = 32
+#: Poisson(1) CDF thresholds for k = 0..7 (k=8+ has p < 1.1e-5 and is
+#: clamped — bias far below the rounding edge).
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+)
+_BOOT_DENOM = float(1 << 52)
+
+
+def bootstrap_mean_ci(events: DataFrame, b: int = BOOT_B) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google 2012) — THE
+    distributed bootstrap: instead of resampling n rows with
+    replacement B times (B shuffles of the corpus), each row draws an
+    independent Poisson(1) replication count per replica, and every
+    replica mean folds in ONE pass (B counters per partition, no
+    resample materialization). The 95% CI of the mean event value is
+    the 2.5/97.5 type-7 quantile of the B replica means.
+
+    Verified: the Poisson draw is the inverse-CDF lookup on a 52-bit
+    md5 of (event_id, replica) against exact double thresholds —
+    deterministic in both engines, so the ENTIRE bootstrap
+    distribution (every replica mean) and the CI hash-match the
+    DuckDB replay. A seeded rand() bootstrap is engine-private; this
+    one is auditable.
+
+    Scale: the explode is rows x B but collapses immediately into the
+    per-replica partial aggregate (map-side combine -> shuffle is B
+    rows per partition); replica-quantile work is on B rows. Output:
+    n_rows, mean_full, n_replicas, mean_of_means, ci_lo, ci_hi.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit("~"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(_BOOT_DENOM)
+    )
+    k = F.lit(len(_POIS_CDF))
+    for i in range(len(_POIS_CDF) - 1, -1, -1):
+        k = F.when(u < F.lit(_POIS_CDF[i]), F.lit(i)).otherwise(k)
+    rep = (
+        events.select("event_id", "value")
+        .select(
+            "event_id",
+            "value",
+            F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("b"),
+        )
+        .select("b", F.col("value").alias("v"), k.alias("k"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("k") * F.col("v")) / F.sum("k")
+            ).alias("rep_mean")
+        )
+    )
+    wq = Window.partitionBy(F.lit(1)).orderBy("rep_mean")
+    ranked = rep.select(
+        "rep_mean", F.row_number().over(wq).alias("rn")
+    )
+
+    def _q(p: float, alias: str) -> DataFrame:
+        pos = p * (b - 1) + 1
+        lo, hi, frac = int(pos), min(int(pos) + 1, b), pos - int(pos)
+        vlo = ranked.filter(F.col("rn") == lo).select(
+            F.col("rep_mean").alias("vlo")
+        )
+        vhi = ranked.filter(F.col("rn") == hi).select(
+            F.col("rep_mean").alias("vhi")
+        )
+        return vlo.crossJoin(vhi).select(
+            F.round(
+                F.col("vlo") + F.lit(frac) * (F.col("vhi") - F.col("vlo")),
+                6,
+            ).alias(alias)
+        )
+
+    base = events.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.avg("value"), 6).alias("mean_full"),
+    )
+    reps = rep.agg(
+        F.count("*").alias("n_replicas"),
+        F.round(F.avg("rep_mean"), 6).alias("mean_of_means"),
+    )
+    return (
+        base.crossJoin(F.broadcast(reps))
+        .crossJoin(F.broadcast(_q(0.025, "ci_lo")))
+        .crossJoin(F.broadcast(_q(0.975, "ci_hi")))
+    )
+
+
+def oracle_bootstrap_ci(b: int = BOOT_B) -> str:
+    cdf_case = "CASE "
+    for i, c in enumerate(_POIS_CDF):
+        cdf_case += f"WHEN u < {c!r} THEN {i} "
+    cdf_case += f"ELSE {len(_POIS_CDF)} END"
+    lo_p, hi_p = 0.025 * (b - 1) + 1, 0.975 * (b - 1) + 1
+
+    def q(pos: float, alias: str) -> str:
+        lo, hi, frac = int(pos), min(int(pos) + 1, b), pos - int(pos)
+        return (
+            f"round((SELECT rep_mean FROM boot_rk WHERE rn = {lo})"
+            f" + {frac!r} * ((SELECT rep_mean FROM boot_rk WHERE rn = {hi})"
+            f" - (SELECT rep_mean FROM boot_rk WHERE rn = {lo})), 6)"
+            f" AS {alias}"
+        )
+
+    return f"""
+boot_k AS (
+  SELECT b, value AS v,
+         {cdf_case} AS k
+  FROM (
+    SELECT event_id, value, b,
+           CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '~'
+                 || CAST(b AS VARCHAR)), 1, 13)) AS BIGINT)
+             / {_BOOT_DENOM!r} AS u
+    FROM events, LATERAL unnest(range(0, {b})) AS t(b)
+  )
+),
+boot_rep AS MATERIALIZED (
+  SELECT b, sum(k * v) / sum(k) AS rep_mean FROM boot_k GROUP BY 1
+),
+boot_rk AS MATERIALIZED (
+  SELECT rep_mean, row_number() OVER (ORDER BY rep_mean) AS rn
+  FROM boot_rep
+),
+bootstrap_mean_ci AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows,
+         (SELECT round(avg(value), 6) FROM events) AS mean_full,
+         (SELECT CAST(count(*) AS BIGINT) FROM boot_rep) AS n_replicas,
+         (SELECT round(avg(rep_mean), 6) FROM boot_rep) AS mean_of_means,
+         {q(lo_p, "ci_lo")},
+         {q(hi_p, "ci_hi")}
+)
+"""
