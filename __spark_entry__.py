@@ -1822,6 +1822,18 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag (RANGE-frame
+    cumulative mass; tie-safe by the SQL standard)."""
+    return _rel.weighted_median_price(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_table_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two table versions (added/removed/changed
+    + per-column change counts in one join+agg)."""
+    return _rel.table_diff_report(load_table(spark, sf_dir, "orders"))
+
+
 def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter join pruning: broadcast bit-set build, all-K-bits
     probe, exact-semi-join false-positive audit in one summary row."""
@@ -2651,6 +2663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rfm_segments": q_events_rfm_segments,
         "nation_revenue_share": q_nation_revenue_share,
         "bloom_join_prune": q_bloom_join_prune,
+        "table_diff_report": q_table_diff_report,
+        "lineitem_weighted_median": q_weighted_median,
         "events_interpolate": q_events_interpolate,
         "loo_target_encoding": q_loo_target_encoding,
         "feature_correlations": q_feature_correlations,
@@ -3433,6 +3447,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_psi_drift": _ext_oracle(
             [_tmp.ORACLE_PSI_DRIFT], "psi_drift"
+        ),
+        "lineitem_weighted_median": _ext_oracle(
+            [_rel.ORACLE_WEIGHTED_MEDIAN], "weighted_median_price"
+        ),
+        "table_diff_report": _ext_oracle(
+            [_rel.ORACLE_TABLE_DIFF], "table_diff_report"
         ),
         "bloom_join_prune": _ext_oracle(
             [_rel.ORACLE_BLOOM_JOIN_PRUNE], "bloom_join_prune"

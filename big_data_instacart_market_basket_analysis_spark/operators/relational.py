@@ -1445,3 +1445,186 @@ bloom_join_prune AS (
   FROM bl_counts
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# table-version diff report
+# ---------------------------------------------------------------------------
+
+
+def table_diff_report(orders: DataFrame) -> DataFrame:
+    """Snapshot diff between two table versions — the data-versioning
+    audit (Delta CDF / Iceberg snapshot compare): version A = the raw
+    orders table keyed by o_custkey with the EARLIEST order as state;
+    version B = the CDC-folded LATEST state (``cdc_apply_orders``
+    semantics, including deletes). One full-outer join on the key
+    classifies every key as added / removed / unchanged / changed, and
+    per-column change counts say WHICH fields drifted — the report a
+    pipeline publishes alongside a new table version so consumers see
+    the blast radius before switching.
+
+    One join + one agg; both sides are key-grain states (the window
+    passes that build them shuffle once on the key). Column-level
+    counts are conditional sums inside the same agg — no per-column
+    scans. Output: n_a, n_b, added, removed, changed, unchanged,
+    chg_totalprice, chg_status, chg_priority.
+    """
+    wa = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    va = (
+        orders.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_totalprice").alias("a_price"),
+            F.col("o_orderstatus").alias("a_status"),
+            F.col("o_orderpriority").alias("a_priority"),
+        )
+    )
+    wb = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    vb = (
+        orders.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("o_orderstatus") != "F")  # latest-F keys "deleted"
+        .select(
+            "o_custkey",
+            F.col("o_totalprice").alias("b_price"),
+            F.col("o_orderstatus").alias("b_status"),
+            F.col("o_orderpriority").alias("b_priority"),
+        )
+    )
+    j = va.join(vb, "o_custkey", "full_outer")
+    in_a = F.col("a_status").isNotNull()
+    in_b = F.col("b_status").isNotNull()
+    both = in_a & in_b
+    changed = both & (
+        (F.col("a_price") != F.col("b_price"))
+        | (F.col("a_status") != F.col("b_status"))
+        | (F.col("a_priority") != F.col("b_priority"))
+    )
+    return j.agg(
+        F.sum(in_a.cast("bigint")).alias("n_a"),
+        F.sum(in_b.cast("bigint")).alias("n_b"),
+        F.sum((in_b & ~in_a).cast("bigint")).alias("added"),
+        F.sum((in_a & ~in_b).cast("bigint")).alias("removed"),
+        F.sum(changed.cast("bigint")).alias("changed"),
+        F.sum((both & ~changed).cast("bigint")).alias("unchanged"),
+        F.sum((both & (F.col("a_price") != F.col("b_price"))).cast("bigint")).alias(
+            "chg_totalprice"
+        ),
+        F.sum(
+            (both & (F.col("a_status") != F.col("b_status"))).cast("bigint")
+        ).alias("chg_status"),
+        F.sum(
+            (both & (F.col("a_priority") != F.col("b_priority"))).cast(
+                "bigint"
+            )
+        ).alias("chg_priority"),
+    )
+
+
+ORACLE_TABLE_DIFF = """
+td_a AS (
+  SELECT o_custkey, o_totalprice AS a_price, o_orderstatus AS a_status,
+         o_orderpriority AS a_priority
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+),
+td_b AS (
+  SELECT o_custkey, o_totalprice AS b_price, o_orderstatus AS b_status,
+         o_orderpriority AS b_priority
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1 AND o_orderstatus <> 'F'
+),
+table_diff_report AS (
+  SELECT CAST(sum(CASE WHEN a_status IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN b_status IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN b_status IS NOT NULL AND a_status IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS added,
+         CAST(sum(CASE WHEN a_status IS NOT NULL AND b_status IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+         CAST(sum(CASE WHEN a_status IS NOT NULL AND b_status IS NOT NULL
+                        AND (a_price <> b_price OR a_status <> b_status
+                             OR a_priority <> b_priority)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+         CAST(sum(CASE WHEN a_status IS NOT NULL AND b_status IS NOT NULL
+                        AND a_price = b_price AND a_status = b_status
+                        AND a_priority = b_priority
+                       THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+         CAST(sum(CASE WHEN a_status IS NOT NULL AND b_status IS NOT NULL
+                        AND a_price <> b_price THEN 1 ELSE 0 END)
+              AS BIGINT) AS chg_totalprice,
+         CAST(sum(CASE WHEN a_status IS NOT NULL AND b_status IS NOT NULL
+                        AND a_status <> b_status THEN 1 ELSE 0 END)
+              AS BIGINT) AS chg_status,
+         CAST(sum(CASE WHEN a_status IS NOT NULL AND b_status IS NOT NULL
+                        AND a_priority <> b_priority THEN 1 ELSE 0 END)
+              AS BIGINT) AS chg_priority
+  FROM td_a a FULL OUTER JOIN td_b b USING (o_custkey)
+)
+"""
+
+
+def weighted_median_price(lineitem: DataFrame) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    quantile no built-in percentile gives you (percentile_approx
+    weighs rows equally; revenue/inventory questions weigh by
+    quantity). Definition: smallest price whose running quantity mass
+    reaches half the total. The cumulative window uses the ANSI
+    default RANGE frame deliberately: equal prices share one
+    cumulative value, so the crossing price is well-defined without
+    any tiebreak column — deterministic in both engines by the SQL
+    standard, not by luck. One window + one agg, partitioned by the
+    group key (no global sort). Output: l_returnflag, w_median_price,
+    total_qty, n_rows.
+    """
+    wc = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wt = Window.partitionBy("l_returnflag")
+    cum = lineitem.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(wc).alias("cumw"),
+        F.sum("l_quantity").over(wt).alias("totw"),
+        F.count("*").over(wt).alias("n_rows"),
+    )
+    return (
+        cum.filter(F.col("cumw") >= F.col("totw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("w_median_price"),
+            F.round(F.first("totw"), 2).alias("total_qty"),
+            F.first("n_rows").alias("n_rows"),
+        )
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+wm_cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice) AS cumw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw,
+         count(*) OVER (PARTITION BY l_returnflag) AS n_rows
+  FROM lineitem
+),
+weighted_median_price AS (
+  SELECT l_returnflag,
+         min(l_extendedprice) AS w_median_price,
+         round(CAST(min(totw) AS DOUBLE), 2) AS total_qty,
+         CAST(min(n_rows) AS BIGINT) AS n_rows
+  FROM wm_cum
+  WHERE cumw >= totw / 2
+  GROUP BY 1
+)
+"""
