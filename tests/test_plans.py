@@ -585,3 +585,39 @@ def test_distribute_sort_by_shapes_layout(spark):
     assert "hashpartitioning(o_orderstatus" in plan, plan
     assert "Sort" in plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_apriori_broadcasts_pair_prune(spark):
+    """The Apriori candidate stream must prune against the frequent-
+    pair list via BROADCAST semi-joins (the list is support-floored,
+    hence small) — a sort-merge there would shuffle the occurrence
+    stream three times."""
+    plan = _plan(spark, "apriori_triples")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_bloom_probe_is_broadcast(spark):
+    """The set-bit relation (<= m rows) must broadcast to the probe
+    side; the probe may never shuffle on the bit key."""
+    plan = _plan(spark, "bloom_join_prune")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pca_gram_is_single_aggregation(spark):
+    """The Gram matrix must form via hash-aggregation (map-side
+    partials -> dims^2 shuffle), not a window or sort."""
+    plan = _plan(spark, "embedding_pca")
+    assert "HashAggregate" in plan, plan
+    assert "WindowExec" not in plan, plan
+
+
+def test_negative_samples_bounded_candidates(spark):
+    """Negative sampling must join hash candidates to the product-rank
+    dim via broadcast and anti-join positives — never a users x
+    products cross join."""
+    plan = _plan(spark, "negative_samples")
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    # the only cross join allowed is the 1-row n_prod broadcast
+    assert plan.count("Cross") <= 1, plan
