@@ -620,4 +620,4 @@ def test_negative_samples_bounded_candidates(spark):
     assert "CartesianProduct" not in plan, plan
     assert "LeftAnti" in plan, plan
     # the only cross join allowed is the 1-row n_prod broadcast
-    assert plan.count("Cross") <= 1, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
