@@ -755,6 +755,16 @@ def q_text_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.nb_quality_auc(_docs(spark, sf_dir))
 
 
+def q_media_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-boundary detection: per-clip frame aHash sequence +
+    lag-window Hamming jumps (rows-only; stub codec, real plumbing)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        multimodal as _mm,
+    )
+
+    return _mm.media_scene_changes_query(_docs(spark, sf_dir))
+
+
 def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash (aHash) image near-dup pairs: Arrow-batched
     hash over the stubbed decoder, then banded Hamming join — the
@@ -2511,6 +2521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "text_bigram_logprob": q_text_bigram_logprob,
         "media_phash_dedup": q_media_phash_dedup,
+        "media_scene_changes": q_media_scene_changes,
         "text_nb_quality": q_text_nb_quality,
         "text_nb_quality_cv": q_text_nb_quality_cv,
         "text_nb_auc": q_text_nb_auc,

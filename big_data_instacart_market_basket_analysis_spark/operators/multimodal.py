@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -420,3 +420,84 @@ def media_phash_dedup_query(docs: DataFrame) -> DataFrame:
     """Declared query: perceptual near-dup pairs over the documents-as
     -media fixture (exact text copies collapse to Hamming 0)."""
     return phash_near_dup(media_from_documents(docs), fake=True)
+
+
+# ---------------------------------------------------------------------------
+# video scene-change detection (frame-difference boundaries)
+# ---------------------------------------------------------------------------
+
+SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+SCENE_N_FRAMES = 8
+SCENE_HAMMING_MIN = 18
+
+
+def scene_changes(
+    media: DataFrame,
+    n_frames: int = SCENE_N_FRAMES,
+    fake: bool = False,
+) -> DataFrame:
+    """Shot/scene-boundary detection — the video member of the
+    multimodal family: sample ``n_frames`` per clip, perceptual-hash
+    each frame (same aHash as image dedup), and flag boundaries where
+    consecutive frames' Hamming distance jumps past the threshold.
+    The Arrow-batched frame hashing is the real production shape
+    (decode + hash stay data-local per input partition; only the
+    8-byte hashes cross any shuffle); the codec itself is the
+    environment-blocked stub, as documented for the family — frame
+    slicing is deterministic fake bytes, everything downstream of the
+    bytes is real and parity-tested against a pure-Python reference.
+
+    The boundary pass is a per-clip lag window (shuffle keyed on
+    media_id, W frames per clip — bounded). Output per interior
+    frame: media_id, frame_idx, hamming, is_boundary.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "no media codec libraries in this environment; "
+            "pass fake=True for the deterministic stub sampler"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                b = bytes(blob)
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    hashes.append(ahash_bytes(b[i * step : (i + 1) * step]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ahash": hashes}
+            )
+
+    frames = media.mapInPandas(batches, schema=SCENE_SCHEMA)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    prev = F.lag("ahash").over(w)
+    hamming = F.bit_count(F.col("ahash").bitwiseXOR(prev))
+    return (
+        frames.select(
+            "media_id",
+            "frame_idx",
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming").isNotNull())
+        .select(
+            "media_id",
+            "frame_idx",
+            "hamming",
+            (F.col("hamming") >= SCENE_HAMMING_MIN).alias("is_boundary"),
+        )
+    )
+
+
+def media_scene_changes_query(docs: DataFrame) -> DataFrame:
+    """Declared query: frame-difference scene boundaries over the
+    documents-as-media fixture."""
+    return scene_changes(media_from_documents(docs), fake=True)

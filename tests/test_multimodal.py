@@ -141,3 +141,32 @@ def test_phash_real_decode_is_gated(spark):
     )
     with _pt.raises(NotImplementedError):
         mm.perceptual_hashes(mm.media_from_documents(docs))
+
+
+def test_scene_changes_matches_python_reference(spark):
+    """Frame hashes and Hamming jumps must equal the pure-Python
+    reference on a crafted two-scene clip (first half constant bytes,
+    second half a different constant -> one big jump mid-clip)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        multimodal as mm,
+    )
+
+    blob = bytes([10] * 4096) + bytes([200] * 4096)
+    media = spark.createDataFrame(
+        [(1, blob, "video/fake")],
+        "media_id long, media binary, mime string",
+    )
+    rows = {
+        r["frame_idx"]: (r["hamming"], r["is_boundary"])
+        for r in mm.scene_changes(media, fake=True).collect()
+    }
+    # python reference
+    step = len(blob) // mm.SCENE_N_FRAMES
+    hashes = [
+        mm.ahash_bytes(blob[i * step : (i + 1) * step])
+        for i in range(mm.SCENE_N_FRAMES)
+    ]
+    for i in range(1, mm.SCENE_N_FRAMES):
+        ham = bin((hashes[i] ^ hashes[i - 1]) & ((1 << 64) - 1)).count("1")
+        assert rows[i][0] == ham, (i, rows[i], ham)
+        assert rows[i][1] == (ham >= mm.SCENE_HAMMING_MIN)
