@@ -696,8 +696,12 @@ def q_ml_gbm_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laplace-mechanism DP counts per event_type (deterministic
-    inverse-CDF noise at the secure-RNG swap point)."""
-    return _privacy.dp_noisy_counts(load_table(spark, sf_dir, "events"))
+    inverse-CDF noise at the secure-RNG swap point; the explicit
+    insecure flag marks this as the oracle-replayable demo release)."""
+    return _privacy.dp_noisy_counts(
+        load_table(spark, sf_dir, "events"),
+        insecure_deterministic_noise=True,
+    )
 
 
 def q_parts_trending(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2,9 +2,21 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "headline_total", "value": <sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+Two tiers (round-2 verdict #7): the HOT tier is a fixed ~30-query
+subset — the round-1 comparable set plus the heaviest representative of
+each operator family — whose per-query timings ride in the final JSON
+line so rounds stay comparable; the FULL tier is every headline query.
+Both run every invocation.
+
+The FINAL stdout line is a compact summary that always fits the
+driver's tail capture (round-2 verdict #1 — a 106-entry map overgrew
+it and blinded the gate):
+  {"metric": "headline_total", "value": <full-tier sec>, "unit": "sec",
+   "sf": <float>, "n_queries": <full count>, "hot_total": <sec>,
+   "queries": {<hot-tier name>: sec, ...}, "detail": "BENCH_DETAIL.json"}
+The complete per-query map (all tiers) is written to
+``BENCH_DETAIL.json`` next to this script; round snapshots are
+committed as ``BENCH_DETAIL_r{N}.json``.
 
 Each query is forced through full materialization with the noop sink
 (count() alone lets Catalyst prune computed columns — that would
@@ -149,6 +161,45 @@ HEADLINE = [
 ]
 
 
+#: HOT tier: the 21 queries benched since round 1 (cross-round
+#: comparability) + the heaviest representative per operator family.
+#: Keep ~30 entries — the final JSON line must stay under ~1.5 KB.
+HOT = [
+    "ingest_orders",
+    "product_features",
+    "user_product_features",
+    "users_final",
+    "candidates",
+    "proxy_submission",
+    "top_products_per_user",
+    "frequent_pairs",
+    "pair_rules",
+    "sql_dept_top_reordered",
+    "pricing_summary",
+    "shipping_priority",
+    "regional_revenue",
+    "events_salted_join",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "corpus_prep",
+    "ann_brute_force",
+    "ann_ivf",
+    "text_quality",
+    # heavy family representatives (graph / clustering / verified-ML /
+    # ER / trained-index / tokenizer / sequence)
+    "graph_lpa",
+    "graph_triangles",
+    "events_dbscan",
+    "ml_cart_verified",
+    "docs_er_matches",
+    "ann_pq",
+    "embedding_kmeans_lloyd",
+    "text_bpe_train",
+    "sequential_pairs",
+]
+
+
 def _sf_from_dir(path: str) -> float:
     m = re.search(r"sf([0-9.]+)", path)
     return float(m.group(1)) if m else -1.0
@@ -178,12 +229,33 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    out = {
+    detail = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "n_queries": len(timings),
+        "hot_total": round(sum(timings[n] for n in HOT), 3),
+        "hot": HOT,
+        "queries": timings,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    # FINAL line: compact — hot-tier map only, so the driver's tail
+    # capture always contains the entire parseable summary.
+    out = {
+        "metric": "headline_total",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": detail["sf"],
+        "n_queries": detail["n_queries"],
+        "hot_total": detail["hot_total"],
+        "queries": {n: timings[n] for n in HOT},
+        "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(out))
 

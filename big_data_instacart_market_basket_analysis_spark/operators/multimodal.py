@@ -315,7 +315,10 @@ def media_audio_windows_query(docs: DataFrame) -> DataFrame:
 PHASH_BANDS = 4
 PHASH_BAND_WIDTH = 16
 PHASH_BAND_MASK = (1 << PHASH_BAND_WIDTH) - 1
-PHASH_HAMMING_MAX = 4
+# 4 bands guarantee a clean band only for <=3 flipped bits (4 flips can
+# land one per band, leaving none clean) — same bound as SimHash's
+# SIMHASH_HAMMING_MAX. Raise PHASH_BANDS to 5 before raising this.
+PHASH_HAMMING_MAX = 3
 
 
 def ahash_bytes(payload: bytes) -> int:
@@ -379,12 +382,23 @@ def phash_near_dup(
     max_hamming: int = PHASH_HAMMING_MAX,
 ) -> DataFrame:
     """Perceptual near-dup pairs: 16-bit band buckets over the 64-bit
-    aHash (a pair within Hamming<=4 must agree on >=1 of 4 bands by
-    pigeonhole... with <=4 flipped bits across 4 bands, at least one
-    band is clean), exact Hamming verify via bit_count(xor) — the
-    image twin of ``dedup.simhash_pairs``, JVM-side after the hash
-    stage. Bucket keys partition the candidate join; no all-pairs."""
+    aHash (a pair within Hamming<=3 must agree on >=1 of 4 bands by
+    pigeonhole — 3 flipped bits cannot dirty all 4 bands; 4 flips CAN
+    land one per band, so the guarantee stops at 3), exact Hamming
+    verify via bit_count(xor) — the image twin of
+    ``dedup.simhash_pairs``, JVM-side after the hash stage. Bucket
+    keys partition the candidate join; no all-pairs."""
     sigs = perceptual_hashes(media, fake=fake)
+    return phash_band_pairs(sigs, max_hamming=max_hamming)
+
+
+def phash_band_pairs(
+    sigs: DataFrame, max_hamming: int = PHASH_HAMMING_MAX
+) -> DataFrame:
+    """Band-bucket candidate join + exact Hamming verify over a
+    (media_id, phash) signature table. Split out of ``phash_near_dup``
+    so the pigeonhole boundary (a pair surfaces iff some band is
+    clean) is unit-testable on crafted hashes."""
     bands = sigs.select(
         "media_id",
         "phash",

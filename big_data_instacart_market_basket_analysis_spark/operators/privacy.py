@@ -125,11 +125,21 @@ DP_EPSILON = 0.5
 
 
 def dp_noisy_counts(
-    events: DataFrame, eps: float = DP_EPSILON
+    events: DataFrame,
+    eps: float = DP_EPSILON,
+    insecure_deterministic_noise: bool = False,
 ) -> DataFrame:
     """Laplace-mechanism counts per event_type: count + Lap(1/eps)
     noise, the standard (eps)-DP release for a count query with
     sensitivity 1.
+
+    REQUIRES ``insecure_deterministic_noise=True`` (same explicit gate
+    as the multimodal ``fake=True`` codec): the noise here is derived
+    from md5 of the released group key and ``n_true`` rides along, so
+    this release carries ZERO differential privacy — it exists to make
+    the mechanism's arithmetic oracle-replayable. A production release
+    draws u from a secure RNG, drops n_true, and must not pass this
+    flag's deterministic path.
 
     The noise draw is the inverse-CDF transform of a DETERMINISTIC
     md5-dyadic uniform (same trick as the samplers): x = -b *
@@ -145,6 +155,13 @@ def dp_noisy_counts(
     |event_type|-sized aggregate. Output: event_type, n_true, scale_b,
     n_noisy.
     """
+    if not insecure_deterministic_noise:
+        raise NotImplementedError(
+            "dp_noisy_counts' md5-derived noise is NOT private; pass "
+            "insecure_deterministic_noise=True to run the "
+            "oracle-replayable demo path (production needs a secure "
+            "RNG and must drop n_true)"
+        )
     b = 1.0 / eps
     u = (
         F.conv(

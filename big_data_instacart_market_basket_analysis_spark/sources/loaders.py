@@ -62,7 +62,10 @@ _RUNTIME_DEFAULTS = (
 
 _SHUFFLE_STOCK_DEFAULT = "200"
 
-_tuned_sessions: set[int] = set()
+# id -> the session object itself. Holding the reference (not a bare
+# id) means a GC'd session's recycled id can never alias a new session
+# and silently skip tuning (same pattern as dedup._SHINGLE_CACHE).
+_tuned_sessions: dict[int, SparkSession] = {}
 
 
 def ensure_session_defaults(spark: SparkSession) -> None:
@@ -76,7 +79,7 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     take a query down.
     """
     key = id(spark)
-    if key in _tuned_sessions:
+    if _tuned_sessions.get(key) is spark:
         return
     for conf, value in _RUNTIME_DEFAULTS:
         try:
@@ -108,7 +111,7 @@ def ensure_session_defaults(spark: SparkSession) -> None:
             spark.conf.set("spark.sql.shuffle.partitions", cpus)
     except Exception:
         pass
-    _tuned_sessions.add(key)
+    _tuned_sessions[key] = spark
 
 
 def ensure_nanos_conf(spark: SparkSession) -> None:

@@ -199,13 +199,24 @@ class JsonLinesWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import os
         import shutil
+        import uuid
 
         if self.overwrite:
             for name in os.listdir(self.path):
-                if name != "_staging":
-                    os.remove(os.path.join(self.path, name))
+                # files only: a nested directory (someone else's data,
+                # or a stale _staging from an aborted run under a
+                # different name) must not crash the commit.
+                target = os.path.join(self.path, name)
+                if name != "_staging" and os.path.isfile(target):
+                    os.remove(target)
+        # Published names carry a per-commit token: a second append-mode
+        # write must never os.replace-clobber an earlier commit's
+        # part-00000... files (fixed names silently lose data).
+        commit_id = uuid.uuid4().hex[:12]
         for i, msg in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(
+                self.path, f"part-{i:05d}-{commit_id}.jsonl"
+            )
             os.replace(msg.staged, final)
         shutil.rmtree(
             os.path.join(self.path, "_staging"), ignore_errors=True

@@ -64,7 +64,7 @@ def test_ensure_session_defaults_applies_semantic_confs(spark):
 
     spark.conf.set("spark.sql.ansi.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "200")
-    L._tuned_sessions.discard(id(spark))
+    L._tuned_sessions.pop(id(spark), None)
     try:
         ensure_session_defaults(spark)
         assert spark.conf.get("spark.sql.ansi.enabled") == "false"
@@ -72,7 +72,7 @@ def test_ensure_session_defaults_applies_semantic_confs(spark):
         # value must be left alone
         assert spark.conf.get("spark.sql.shuffle.partitions") != "200"
         spark.conf.set("spark.sql.shuffle.partitions", "48")
-        L._tuned_sessions.discard(id(spark))
+        L._tuned_sessions.pop(id(spark), None)
         ensure_session_defaults(spark)
         assert spark.conf.get("spark.sql.shuffle.partitions") == "48"
     finally:
@@ -81,7 +81,28 @@ def test_ensure_session_defaults_applies_semantic_confs(spark):
             "spark.sql.shuffle.partitions",
             str(spark.sparkContext.defaultParallelism),
         )
-        L._tuned_sessions.discard(id(spark))
+        L._tuned_sessions.pop(id(spark), None)
+
+
+def test_ensure_session_defaults_survives_id_reuse(spark):
+    """A recycled id() from a GC'd session must not mask a new session:
+    the memo holds the session object itself, so a stale entry under
+    the same id is detected (identity check) and the new session is
+    re-tuned rather than silently skipped."""
+    from big_data_instacart_market_basket_analysis_spark.sources import (
+        loaders as L,
+    )
+
+    try:
+        # simulate id-reuse: some OTHER object's entry sits under this
+        # session's id (exactly what a bare set[int] could not detect)
+        L._tuned_sessions[id(spark)] = object()
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        ensure_session_defaults(spark)
+        assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+        assert L._tuned_sessions[id(spark)] is spark
+    finally:
+        L._tuned_sessions.pop(id(spark), None)
 
 
 def test_merge_schema_reads_evolving_batches(spark, tmp_path):

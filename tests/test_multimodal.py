@@ -130,6 +130,38 @@ def test_ahash_reference_and_phash_dedup(spark):
     assert [(p.m1, p.m2, p.hamming) for p in pairs] == [(1, 2, 0)]
 
 
+def test_phash_band_pigeonhole_boundary(spark):
+    """The 4-band scheme guarantees detection only up to Hamming 3:
+    3 flipped bits leave >=1 clean 16-bit band (pair surfaces), while
+    4 bits flipped one-per-band dirty every band and the pair is
+    missed — which is exactly why PHASH_HAMMING_MAX is 3."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        multimodal as mm,
+    )
+
+    base = 0x0123_4567_89AB_CDEF
+    # one flipped bit in each of bands 0,1,2 (bits 0, 16, 32)
+    ham3 = base ^ (1 | (1 << 16) | (1 << 32))
+    # one flipped bit in every band (bits 0, 16, 32, 48) — no clean band
+    ham4 = base ^ (1 | (1 << 16) | (1 << 32) | (1 << 48))
+
+    def signed64(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    sigs = spark.createDataFrame(
+        [(1, signed64(base)), (2, signed64(ham3)), (3, signed64(ham4))],
+        "media_id long, phash long",
+    )
+    got = {
+        (r.m1, r.m2): r.hamming
+        for r in mm.phash_band_pairs(sigs, max_hamming=4).collect()
+    }
+    assert got.get((1, 2)) == 3  # clean band exists -> detected
+    assert (1, 3) not in got  # all 4 bands dirty -> candidate never forms
+    # and the default threshold reflects the guarantee
+    assert mm.PHASH_HAMMING_MAX == 3
+
+
 def test_phash_real_decode_is_gated(spark):
     from big_data_instacart_market_basket_analysis_spark.operators import (
         multimodal as mm,

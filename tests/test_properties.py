@@ -781,6 +781,49 @@ def test_triangle_counts_match_bruteforce(spark, edges):
     assert got == expect
 
 
+def test_triangle_hub_graph_wedge_bucket_bounded(spark):
+    """Skew guard (round-2 verdict #3): on a synthetic hub graph the
+    hybrid orientation must (a) still count triangles exactly and
+    (b) bound every wedge bucket — the hub's out-degree under the
+    orientation — by max(skew_threshold, #hubs), NOT by the hub's
+    raw degree as pure id-orientation would (hub id 0 ⇒ out-degree =
+    degree ⇒ a degree² bucket)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        graph as G,
+    )
+
+    n_spokes, thresh = 400, 16
+    # hub node 0 (lowest id — worst case for id-orientation) connected
+    # to every spoke; spokes chained pairwise so triangles exist:
+    # (0, s, s+1) for consecutive spokes -> n_spokes-1 triangles.
+    und_pairs = [(0, s) for s in range(1, n_spokes + 1)]
+    und_pairs += [(s, s + 1) for s in range(1, n_spokes)]
+    und = spark.createDataFrame(und_pairs, ["a", "b"])
+
+    got = {
+        r["node"]: (r["n_triangles"], r["degree"])
+        for r in G.triangle_counts_from_edges(
+            und, skew_threshold=thresh
+        ).collect()
+    }
+    assert got[0] == (n_spokes - 1, n_spokes)  # hub: every triangle
+    assert got[1] == (1, 2)
+    assert got[2] == (2, 3)
+
+    # the bound itself: max out-degree of the oriented edge list
+    out = G._oriented_edges(und, skew_threshold=thresh)
+    max_bucket = (
+        out.groupBy("src")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()["m"]
+    )
+    n_hubs = 1
+    assert max_bucket <= max(thresh, n_hubs)
+    # and the hub emits no wedges at all (it sorts last)
+    assert out.filter(F.col("src") == 0).count() == 0
+
+
 @settings(**_SETTINGS)
 @given(cut_day=st.integers(min_value=1, max_value=30))
 def test_incremental_rollup_lossless_for_any_cutoff(spark, cut_day):
