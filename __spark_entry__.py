@@ -1552,10 +1552,13 @@ def q_events_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct users per type next to the exact count
-    (rows-only: sketch estimates are engine-specific; the property test
-    bounds the error)."""
-    return _tmp.approx_distinct_users(load_table(spark, sf_dir, "events"))
+    """HLL approximate distinct users per type, released as the
+    checked projection: exact count + declared 3*rsd error budget +
+    within_bound flag the oracle asserts TRUE (the raw HLL value is
+    engine-register-specific; its quality is what the flag pins)."""
+    return _tmp.approx_distinct_users_checked(
+        load_table(spark, sf_dir, "events")
+    )
 
 
 def q_docs_split_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3138,6 +3141,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_kmv_sketch": _ext_oracle(
             [_tmp.ORACLE_KMV_SKETCH], "kmv_distinct_sketch"
+        ),
+        "events_approx_distinct": _ext_oracle(
+            [_tmp.ORACLE_APPROX_DISTINCT_CHECKED],
+            "events_approx_distinct",
         ),
         "events_gapfill": _ext_oracle(
             [_tmp.ORACLE_GAPFILL], "gapfill_daily"

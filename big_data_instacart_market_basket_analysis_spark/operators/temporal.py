@@ -442,20 +442,65 @@ user_spend_deciles AS (
 """
 
 
+#: declared error budget for the approx-distinct release: HLL++ at
+#: rsd=0.02, flagged at 3*rsd (=6%) — a 3-sigma band the estimator
+#: must stay inside on every group.
+APPROX_DISTINCT_RSD = 0.02
+APPROX_DISTINCT_ERR_BOUND_PCT = 6
+
+
 def approx_distinct_users(events: DataFrame) -> DataFrame:
     """Per-type approximate distinct users (HyperLogLog++) next to the
-    exact count. At 100 TB the approx column is the one you can afford
-    — HLL sketches merge map-side in constant memory, where exact
-    distinct shuffles every (type, user) pair. rows-only check (sketch
-    estimates are Spark-specific); the property test bounds the
-    relative error against the exact column.
+    exact count, the relative error, and a ``within_bound`` flag at
+    the declared 3*rsd budget. At 100 TB the approx column is the one
+    you can afford — HLL sketches merge map-side in constant memory,
+    where exact distinct shuffles every (type, user) pair.
     """
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias(
-            "n_users_approx"
-        ),
+    out = events.groupBy("event_type").agg(
+        F.approx_count_distinct(
+            "user_id", rsd=APPROX_DISTINCT_RSD
+        ).alias("n_users_approx"),
         F.countDistinct("user_id").alias("n_users_exact"),
     )
+    rel_err = F.abs(
+        F.col("n_users_approx") - F.col("n_users_exact")
+    ) / F.col("n_users_exact")
+    return out.select(
+        "event_type",
+        "n_users_approx",
+        "n_users_exact",
+        F.round(rel_err * 100, 4).alias("rel_err_pct"),
+        F.lit(APPROX_DISTINCT_ERR_BOUND_PCT).alias("err_bound_pct"),
+        (rel_err * 100 <= APPROX_DISTINCT_ERR_BOUND_PCT).alias(
+            "within_bound"
+        ),
+    )
+
+
+def approx_distinct_users_checked(events: DataFrame) -> DataFrame:
+    """Oracle-checkable projection of ``approx_distinct_users``: the
+    exact side plus the declared error bound and the bound flag. The
+    raw HLL estimate is register-math-specific to the engine (DuckDB's
+    HLL lands on different values), so the DIFFERENTIAL contract is:
+    oracle computes the exact count and asserts ``within_bound`` TRUE
+    — any estimator drift past the 3*rsd budget hash-mismatches. The
+    estimate itself stays available via ``approx_distinct_users``; its
+    error is additionally pinned by the rsd property test."""
+    return approx_distinct_users(events).select(
+        "event_type", "n_users_exact", "err_bound_pct", "within_bound"
+    )
+
+
+ORACLE_APPROX_DISTINCT_CHECKED = f"""
+events_approx_distinct AS (
+  SELECT event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+         {APPROX_DISTINCT_ERR_BOUND_PCT} AS err_bound_pct,
+         TRUE AS within_bound
+  FROM events
+  GROUP BY 1
+)
+"""
 
 
 def user_interarrival_stats(events: DataFrame) -> DataFrame:
