@@ -2391,6 +2391,18 @@ def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.matryoshka_recall(_emb(spark, sf_dir))
 
 
+def q_ann_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN (HNSW-style): greedy centroid-layer descent + bounded
+    node-layer beam over the staged navigable graph; fixed unrolled
+    rounds, one logical plan."""
+    return _sim.graph_ann_topk(_emb(spark, sf_dir))
+
+
+def q_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the graph-ANN beam vs exact brute force."""
+    return _sim.graph_ann_recall(_emb(spark, sf_dir))
+
+
 def q_rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search: df-capped lexical overlap + exact cosine lists
     merged by reciprocal-rank fusion."""
@@ -2704,6 +2716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_mmr": q_embedding_mmr,
         "rag_hybrid_rrf": q_rag_hybrid_rrf,
         "ann_matryoshka_recall": q_ann_matryoshka_recall,
+        "ann_graph_beam": q_ann_graph_beam,
+        "ann_graph_recall": q_ann_graph_recall,
         "idle_rich_customers": q_idle_rich_customers,
         "incremental_join_view": q_incremental_join_view,
         "late_order_priorities": q_late_order_priorities,
@@ -3519,6 +3533,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_matryoshka_recall": _ext_oracle(
             [_sim.ORACLE_BRUTE_FORCE_TOPK, _sim.oracle_matryoshka()],
             "matryoshka_recall",
+        ),
+        "ann_graph_beam": _ext_oracle(
+            [_sim.oracle_graph_ann_topk()], "graph_ann_topk"
+        ),
+        "ann_graph_recall": _ext_oracle(
+            [_sim.oracle_graph_ann_recall()], "graph_ann_recall"
         ),
         "rag_context_pack": _ext_oracle(
             [_text.ORACLE_CHUNKS, _sim.oracle_rag_context_pack()],

@@ -158,6 +158,8 @@ HEADLINE = [
     "embedding_pca",
     "docs_setcover",
     "join_cardinality_estimate",
+    # round-3 (driver round) additions
+    "ann_graph_beam",
 ]
 
 

@@ -340,6 +340,26 @@ def product_order_spans(t: InstacartTables) -> DataFrame:
     )
 
 
+#: per-user product spans, session-staged by tables identity (the
+#: tables object is itself memoized per (session, sf_dir), so the key
+#: is stable); the value holds the tables ref so a recycled id can
+#: never alias. The self-join below reads spans TWICE — unstaged, the
+#: fact-join + hash-agg runs once per side (measured 1.9-3.3 s at
+#: sf0.1 under load, round-2 watch item; staged steady-state is
+#: pinned in BENCH_BASELINE.md). At cluster scale this is a staged
+#: table or reliable checkpoint, same as graph._EDGES_CACHE.
+_SPANS_CACHE: dict[int, tuple] = {}
+
+
+def _spans_staged(t: InstacartTables) -> DataFrame:
+    key = id(t)
+    hit = _SPANS_CACHE.get(key)
+    if hit is None or hit[0] is not t:
+        hit = (t, product_order_spans(t).localCheckpoint(eager=True))
+        _SPANS_CACHE[key] = hit
+    return hit[1]
+
+
 def sequential_pairs(
     t: InstacartTables, min_count: int = MIN_SEQ_COUNT
 ) -> DataFrame:
@@ -355,7 +375,7 @@ def sequential_pairs(
     userID — per-user work is quadratic in the user's distinct
     products (Instacart-scale: tens), never in orders or corpus size;
     the userID key is uniform so the shuffle has no skew."""
-    spans = product_order_spans(t)
+    spans = _spans_staged(t)
     a, b = spans.alias("a"), spans.alias("b")
     return (
         a.join(

@@ -2690,3 +2690,360 @@ pca_top{r} AS (
 pca_power_iteration AS (
   {union}
 )"""
+
+
+# ---------------------------------------------------------------------------
+# [EXT] graph-based ANN: bounded beam search over a navigable
+# two-layer neighbor graph (the HNSW idea, re-expressed as fixed
+# unrolled rounds of joins so it is distributed AND oracle-replayable)
+# ---------------------------------------------------------------------------
+
+#: navigation (centroid) layer: out-degree and beam schedule.
+GANN_NAV_DEGREE = 4
+GANN_NAV_ROUNDS = 3
+GANN_NAV_BEAM = 4
+#: base (node) layer: within-cell kNN out-degree and beam schedule.
+GANN_NODE_DEGREE = 6
+GANN_NODE_ROUNDS = 3
+GANN_BEAM = 12
+
+#: staged graph index per corpus DataFrame identity: (corpus ref,
+#: node-layer edges, centroid layer). Same convention as
+#: _ASSIGN_CACHE — the ref in the value prevents id-reuse aliasing.
+_GANN_CACHE: dict[int, tuple] = {}
+
+
+def _gann_index(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Build (edges, cents) for the two-layer navigable graph.
+
+    Node layer: each vector points at its ``GANN_NODE_DEGREE`` nearest
+    IVF-cell-mates (exact cosine INSIDE the cell only — the SemDeDup
+    bound: work is sum of cell_size^2, never corpus^2). Centroid
+    layer: each centroid points at its ``GANN_NAV_DEGREE`` nearest
+    centroids; centroids are ~sqrt(N) so the all-pairs step costs one
+    corpus-scan equivalent (at larger N, apply the same IVF trick
+    recursively — noted, not needed at fixture scale). Both layers
+    are session-staged: the beam rounds below re-read them R times.
+
+    HNSW itself is a sequential insert loop (each insert searches the
+    graph built so far) — inherently driver-coordinated, the shape
+    this engine rejects. The two-layer navigable graph + beam search
+    keeps HNSW's query-time character (greedy coarse descent, then
+    local expansion) with a fully declarative, bounded-round build.
+    """
+    key = id(emb)
+    hit = _GANN_CACHE.get(key)
+    if hit is not None and hit[0] is emb:
+        return hit[1], hit[2]
+    asn = _assignment_staged(emb)  # vec_id, v, centroid_id
+    a = asn.select(
+        "centroid_id", F.col("vec_id").alias("src"), F.col("v").alias("av")
+    )
+    b = asn.select(
+        "centroid_id", F.col("vec_id").alias("dst"), F.col("v").alias("bv")
+    )
+    cell_pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("s", _cosine("av", "bv"))
+    )
+    wn = Window.partitionBy("src").orderBy(F.col("s").desc(), F.col("dst"))
+    cell_edges = (
+        cell_pairs.withColumn("r", F.row_number().over(wn))
+        .filter(F.col("r") <= GANN_NODE_DEGREE)
+        .select("src", "dst")
+    )
+    cents = _ivf_centroids(emb)
+    ca = cents.select(
+        F.col("centroid_id").alias("src"),
+        F.col("centv").alias("av"),
+        F.col("centnorm").alias("an"),
+    )
+    cb = cents.select(
+        F.col("centroid_id").alias("dst"),
+        F.col("centv").alias("bv"),
+        F.col("centnorm").alias("bn"),
+    )
+    cg_pairs = (
+        ca.join(F.broadcast(cb), F.col("src") != F.col("dst"))
+        .withColumn(
+            "s",
+            F.expr(_DOT.format(a="av", b="bv"))
+            / (F.col("an") * F.col("bn")),
+        )
+    )
+    cg_edges = (
+        cg_pairs.withColumn("r", F.row_number().over(wn))
+        .filter(F.col("r") <= GANN_NAV_DEGREE)
+        .select("src", "dst")
+    )
+    edges = (
+        cell_edges.unionByName(cg_edges)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cents = cents.localCheckpoint(eager=True)
+    _GANN_CACHE[key] = (emb, edges, cents)
+    return edges, cents
+
+
+def graph_ann_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Graph-ANN query: greedy coarse descent on the centroid layer
+    (fixed entry = lowest centroid_id, ``GANN_NAV_ROUNDS`` rounds of
+    expand-score-prune at beam ``GANN_NAV_BEAM``), then a node-layer
+    beam (``GANN_NODE_ROUNDS`` rounds at beam ``GANN_BEAM``) seeded at
+    the surviving centroids — which are corpus nodes themselves
+    (vec_id % IVF_STRIDE == 0). Output: query_id, neighbor_id, rank,
+    cosine (rounded 6, repo float rule).
+
+    Scale: per-round work is n_queries x beam x degree rows — the
+    frontier is broadcast-sized by construction; the corpus is touched
+    only through the staged edge/vector joins (hash joins on vec_id).
+    Every round is one join + one window over a frontier partitioned
+    by query_id; rounds are fixed, so the whole search is ONE logical
+    plan — no driver loop over data-dependent state.
+    """
+    edges, cents = _gann_index(emb)
+    vecs = emb.select("vec_id", _as_double("embedding").alias("v"))
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double("embedding").alias("qv"),
+    )
+    entry = cents.agg(F.min("centroid_id").alias("cid"))
+    nav = F.broadcast(queries.select("query_id")).crossJoin(
+        F.broadcast(entry)
+    )
+    wq_c = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("cid")
+    )
+    for _ in range(GANN_NAV_ROUNDS):
+        expanded = nav.join(
+            edges, nav.cid == edges.src
+        ).select("query_id", F.col("dst").alias("cid"))
+        cand = nav.select("query_id", "cid").unionByName(expanded).distinct()
+        scored = (
+            cand.join(
+                F.broadcast(cents), cand.cid == cents.centroid_id
+            )
+            .join(F.broadcast(queries), "query_id")
+            .withColumn(
+                "s",
+                F.expr(_DOT.format(a="qv", b="centv")) / F.col("centnorm"),
+            )
+        )
+        nav = (
+            scored.withColumn("r", F.row_number().over(wq_c))
+            .filter(F.col("r") <= GANN_NAV_BEAM)
+            .select("query_id", "cid")
+        )
+    frontier = nav.select("query_id", F.col("cid").alias("node"))
+    wq_n = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("node")
+    )
+    for _ in range(GANN_NODE_ROUNDS):
+        expanded = frontier.join(
+            edges, frontier.node == edges.src
+        ).select("query_id", F.col("dst").alias("node"))
+        cand = (
+            frontier.select("query_id", "node")
+            .unionByName(expanded)
+            .distinct()
+        )
+        scored = (
+            cand.join(vecs, cand.node == vecs.vec_id)
+            .join(F.broadcast(queries), "query_id")
+            .withColumn("s", _cosine("qv", "v"))
+        )
+        frontier = (
+            scored.withColumn("r", F.row_number().over(wq_n))
+            .filter(F.col("r") <= GANN_BEAM)
+            .select("query_id", "node", "s")
+        )
+    out = frontier.filter(F.col("node") != F.col("query_id"))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("node")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("node").alias("neighbor_id"),
+            "rank",
+            F.round("s", 6).alias("cosine"),
+        )
+    )
+
+
+def graph_ann_recall(emb: DataFrame) -> DataFrame:
+    """Recall@k of the graph-ANN beam against exact brute force — the
+    same harness every other index here ships (ann_recall_eval /
+    rp_ann_recall / matryoshka): approximate indexes are graded, not
+    trusted."""
+    truth = brute_force_topk(emb).select("query_id", "neighbor_id")
+    approx = graph_ann_topk(emb).select("query_id", "neighbor_id")
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "leftsemi")
+    per_query = hits.groupBy("query_id").agg(F.count("*").alias("n_hits"))
+    all_queries = truth.select("query_id").distinct()
+    return all_queries.join(per_query, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(TOP_K), 4).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+def oracle_graph_ann_topk() -> str:
+    """Full construction + search replay: cell kNN edges, centroid
+    graph, greedy nav rounds, node beam rounds — each round CTE is
+    MATERIALIZED (referenced twice: carried into the union AND
+    expanded; default inlining would go 2^rounds)."""
+    cos_qn = _ORACLE_COS.format(a="q.qv", b="x.v")
+    parts = [
+        f"""
+gav AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+gacent AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS centnorm
+  FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+),
+gaasn AS MATERIALIZED (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT x.vec_id, x.v, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY list_dot_product(x.v, c.centv) / c.centnorm DESC,
+                      c.centroid_id) AS crank
+    FROM gav x, gacent c
+  ) WHERE crank = 1
+),
+gace AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_ORACLE_COS.format(a="a.v", b="b.v")} DESC,
+                      b.vec_id) AS r
+    FROM gaasn a JOIN gaasn b ON a.centroid_id = b.centroid_id
+    WHERE a.vec_id <> b.vec_id
+  ) WHERE r <= {GANN_NODE_DEGREE}
+),
+gacg AS (
+  SELECT src, dst FROM (
+    SELECT a.centroid_id AS src, b.centroid_id AS dst,
+           row_number() OVER (
+             PARTITION BY a.centroid_id
+             ORDER BY list_dot_product(a.centv, b.centv)
+                      / (a.centnorm * b.centnorm) DESC,
+                      b.centroid_id) AS r
+    FROM gacent a, gacent b
+    WHERE a.centroid_id <> b.centroid_id
+  ) WHERE r <= {GANN_NAV_DEGREE}
+),
+gaedges AS MATERIALIZED (
+  SELECT src, dst FROM gace UNION SELECT src, dst FROM gacg
+),
+gaq AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+ganav0 AS MATERIALIZED (
+  SELECT query_id, (SELECT min(centroid_id) FROM gacent) AS cid
+  FROM gaq
+)"""
+    ]
+    for r in range(1, GANN_NAV_ROUNDS + 1):
+        parts.append(
+            f"""
+ganav{r} AS MATERIALIZED (
+  SELECT query_id, cid FROM (
+    SELECT cand.query_id, cand.cid,
+           row_number() OVER (
+             PARTITION BY cand.query_id
+             ORDER BY list_dot_product(q.qv, c.centv) / c.centnorm DESC,
+                      cand.cid) AS r
+    FROM (
+      SELECT DISTINCT query_id, cid FROM (
+        SELECT query_id, cid FROM ganav{r - 1}
+        UNION ALL
+        SELECT n.query_id, e.dst AS cid
+        FROM ganav{r - 1} n JOIN gaedges e ON n.cid = e.src
+      )
+    ) cand
+    JOIN gacent c ON cand.cid = c.centroid_id
+    JOIN gaq q ON cand.query_id = q.query_id
+  ) WHERE r <= {GANN_NAV_BEAM}
+)"""
+        )
+    parts.append(
+        f"""
+gab0 AS MATERIALIZED (
+  SELECT query_id, cid AS node FROM ganav{GANN_NAV_ROUNDS}
+)"""
+    )
+    for r in range(1, GANN_NODE_ROUNDS + 1):
+        parts.append(
+            f"""
+gab{r} AS MATERIALIZED (
+  SELECT query_id, node, s FROM (
+    SELECT cand.query_id, cand.node, {cos_qn} AS s,
+           row_number() OVER (
+             PARTITION BY cand.query_id
+             ORDER BY {cos_qn} DESC, cand.node) AS r
+    FROM (
+      SELECT DISTINCT query_id, node FROM (
+        SELECT query_id, node FROM gab{r - 1}
+        UNION ALL
+        SELECT f.query_id, e.dst AS node
+        FROM gab{r - 1} f JOIN gaedges e ON f.node = e.src
+      )
+    ) cand
+    JOIN gav x ON cand.node = x.vec_id
+    JOIN gaq q ON cand.query_id = q.query_id
+  ) WHERE r <= {GANN_BEAM}
+)"""
+    )
+    parts.append(
+        f"""
+graph_ann_topk AS (
+  SELECT query_id, node AS neighbor_id, CAST(rank AS INT) AS rank,
+         round(s, 6) AS cosine
+  FROM (
+    SELECT query_id, node, s,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY s DESC, node) AS rank
+    FROM gab{GANN_NODE_ROUNDS}
+    WHERE node <> query_id
+  ) WHERE rank <= {TOP_K}
+)"""
+    )
+    return ",".join(parts)
+
+
+def oracle_graph_ann_recall() -> str:
+    return (
+        oracle_graph_ann_topk()
+        + ","
+        + ORACLE_BRUTE_FORCE_TOPK
+        + f""",
+garq AS (SELECT DISTINCT query_id FROM brute_force_topk),
+garh AS (
+  SELECT g.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM graph_ann_topk g
+  WHERE EXISTS (SELECT 1 FROM brute_force_topk b
+                WHERE b.query_id = g.query_id
+                  AND b.neighbor_id = g.neighbor_id)
+  GROUP BY g.query_id
+),
+graph_ann_recall AS (
+  SELECT q.query_id,
+         COALESCE(h.n_hits, 0) AS n_hits,
+         round(COALESCE(h.n_hits, 0) / CAST({TOP_K} AS DOUBLE), 4)
+           AS recall_at_k
+  FROM garq q LEFT JOIN garh h ON q.query_id = h.query_id
+)"""
+    )

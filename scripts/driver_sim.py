@@ -7,7 +7,12 @@ CORRECTNESS contract that way: every ``queries()`` entry at sf0.01,
 value-hash-compared to ``oracle_sql()`` where declared, rows-only
 otherwise.
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [out.json]
+
+Writes the full per-query board to ``out.json`` (default
+``DRIVERSIM.json`` at the repo root) — committed per round as
+``DRIVERSIM_r{N}.json`` so the 310-query green status is in-repo
+evidence, not just the driver's 50-query sample (round-2 verdict #2).
 """
 
 from __future__ import annotations
@@ -27,6 +32,7 @@ from tests.oracle_harness import compare  # noqa: E402
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "DRIVERSIM.json"
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("driver_sim")
@@ -60,12 +66,26 @@ def main() -> int:
                 "detail": traceback.format_exc(limit=3).splitlines()[-1],
             }
             status, detail = "ERROR", results[name]["detail"]
+        results[name]["sec"] = round(time.time() - t0, 1)
         print(f"{name:28s} {status:9s} {time.time()-t0:6.1f}s {detail}",
               flush=True)
 
     bad = {n: r for n, r in results.items() if r["status"] in ("MISMATCH", "ERROR")}
-    print(f"\ntotal {time.time()-t_all:.0f}s; {len(results)} queries; "
-          f"{len(bad)} bad: {sorted(bad)}")
+    board = {
+        "sf_dir": sf_dir,
+        "total_sec": round(time.time() - t_all, 1),
+        "n_queries": len(results),
+        "n_oracle": sum(
+            1 for r in results.values() if r["status"] in ("HASH-OK", "MISMATCH")
+        ),
+        "n_bad": len(bad),
+        "bad": sorted(bad),
+        "results": results,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(board, fh, indent=1, sort_keys=True)
+    print(f"\ntotal {board['total_sec']:.0f}s; {len(results)} queries; "
+          f"{len(bad)} bad: {sorted(bad)}; board -> {out_path}")
     return 1 if bad else 0
 
 

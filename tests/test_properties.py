@@ -781,6 +781,56 @@ def test_triangle_counts_match_bruteforce(spark, edges):
     assert got == expect
 
 
+def test_graph_ann_beam_on_clustered_corpus(spark):
+    """Navigable-graph ANN invariants on a corpus with real cluster
+    structure (graph ANN's home turf): 3 well-separated clusters of
+    31 vectors each, aligned with the IVF_STRIDE centroid sampling so
+    each cluster owns one centroid. The beam must (a) produce
+    contiguous ranks with distinct neighbors, (b) stay
+    cluster-faithful for in-cluster queries, and (c) reach recall
+    >= 0.5 vs exact brute force (beam 12 over 31-member cells)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        similarity as S,
+    )
+
+    def vec(cluster: int, i: int) -> list[float]:
+        # orthogonal cluster centers + tiny deterministic perturbation
+        v = [0.0] * 64
+        v[cluster] = 100.0
+        v[8 + (i * 7) % 40] += 1.0 + (i % 5) * 0.1
+        v[50 + (i * 3) % 14] += 0.5
+        return v
+
+    rows = [
+        (c * 31 + i, vec(c, c * 31 + i)) for c in range(3) for i in range(31)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = S.graph_ann_topk(emb).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb).collect()
+    }
+    assert set(by_q) == set(range(S.N_QUERIES))
+    hits = 0
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        neighbors = [r["neighbor_id"] for r in rs]
+        assert len(set(neighbors)) == len(neighbors)
+        assert q not in neighbors
+        # queries 0..4 live in cluster 0 (ids 0..30): every returned
+        # neighbor must be a cluster mate (cross-cluster cosine ~0)
+        assert all(n < 31 for n in neighbors)
+        hits += sum(1 for n in neighbors if (q, n) in truth)
+    recall = hits / (S.N_QUERIES * S.TOP_K)
+    assert recall >= 0.5, recall
+
+
 def test_triangle_hub_graph_wedge_bucket_bounded(spark):
     """Skew guard (round-2 verdict #3): on a synthetic hub graph the
     hybrid orientation must (a) still count triangles exactly and
