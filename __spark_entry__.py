@@ -1070,6 +1070,12 @@ def q_docs_er_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.er_matches(_docs(spark, sf_dir))
 
 
+def q_docs_phonetic_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic-blocked ER: simplified-Soundex first-word blocks
+    (spelling-robust), stop-block cap, Levenshtein verify."""
+    return _dedup.phonetic_er_pairs(_docs(spark, sf_dir))
+
+
 def q_xml_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML ingest round-trip (Spark 4 native XML, pinned schema):
     distributed write + schema-driven re-read must equal the parquet
@@ -2629,6 +2635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_unpivot": q_events_type_unpivot,
         "dedup_fuzzy_prefix": q_dedup_fuzzy_prefix,
         "docs_er_matches": q_docs_er_matches,
+        "docs_phonetic_er": q_docs_phonetic_er,
         "text_phrase_search": q_text_phrase_search,
         "events_ab_test": q_events_ab_test,
         "events_sketch_rollup": q_events_sketch_rollup,
@@ -3308,6 +3315,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_er_matches": _ext_oracle(
             [_dedup.ORACLE_ER_MATCHES], "er_matches"
+        ),
+        "docs_phonetic_er": _ext_oracle(
+            [_dedup.ORACLE_PHONETIC_ER], "phonetic_er_pairs"
         ),
         "text_phrase_search": _ext_oracle(
             [_text.ORACLE_PHRASE_SEARCH], "phrase_search"

@@ -1007,6 +1007,107 @@ fuzzy_prefix_pairs AS (
 """
 
 
+#: phonetic blocking: Soundex consonant classes. ``from`` lists the
+#: kept consonants first, then the dropped letters (vowels + h w y)
+#: with no targets — Postgres translate() semantics (identical in
+#: Spark and DuckDB) delete the tail extras.
+_PHON_FROM = "bfpvcgjkqsxzdtlmnraeiouhwy"
+_PHON_TO = "111122222222334556"
+PHONETIC_CODE_LEN = 4
+
+
+def _phonetic_code(word_col: F.Column) -> F.Column:
+    """Simplified Soundex: first letter + consonant-class digits of
+    the rest, zero-padded to 4. The classic adjacent-duplicate
+    collapse is deliberately omitted — RE2 (DuckDB's regex engine)
+    has no backreferences, and the collapse needs one; without it the
+    code is still a valid phonetic block key (strictly finer than
+    true Soundex, so it only ever SPLITS a true-Soundex block, never
+    pollutes one) and is bit-identical across engines."""
+    w = F.regexp_replace(F.lower(word_col), "[^a-z]", "")
+    head = F.upper(F.substring(w, 1, 1))
+    digits = F.translate(F.substring(w, 2, 64), _PHON_FROM, _PHON_TO)
+    return F.rpad(
+        F.concat(head, F.substring(digits, 1, PHONETIC_CODE_LEN - 1)),
+        PHONETIC_CODE_LEN,
+        "0",
+    )
+
+
+def phonetic_er_pairs(
+    docs: DataFrame, max_block: int = FUZZY_MAX_BLOCK
+) -> DataFrame:
+    """Phonetic-blocked entity resolution: candidates share
+    (lang, simplified-Soundex code of the first word) — robust to the
+    spelling variation that breaks ``fuzzy_prefix_pairs``' exact
+    first-word block ("Jon" vs "John" land in one J500 block) — then
+    exact Levenshtein over the prefix keeps pairs within
+    ``FUZZY_MAX_DIST``. Same ``_block_capped`` stop-block cap and the
+    same scale argument: the quadratic step never leaves a bounded
+    block, hot blocks are dropped before the self-join.
+    """
+    keyed = _block_capped(
+        docs.select(
+            "doc_id",
+            "lang",
+            _phonetic_code(
+                F.substring_index(F.col("text"), " ", 1)
+            ).alias("blk"),
+            F.substring("text", 1, FUZZY_PREFIX_CHARS).alias("prefix"),
+        ),
+        max_block,
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"), "lang", "blk",
+        F.col("prefix").alias("pa"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"), "lang", "blk",
+        F.col("prefix").alias("pb"),
+    )
+    return (
+        a.join(b, ["lang", "blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("pa", "pb"))
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .select("id_a", "id_b", F.col("blk").alias("code"), "edit_dist")
+    )
+
+
+_ORACLE_PHON_CODE = (
+    "rpad(upper(substr({w}, 1, 1)) || "
+    f"substr(translate(substr({{w}}, 2, 64), '{_PHON_FROM}',"
+    f" '{_PHON_TO}'), 1, {PHONETIC_CODE_LEN - 1}),"
+    f" {PHONETIC_CODE_LEN}, '0')"
+)
+
+ORACLE_PHONETIC_ER = f"""
+ph_keyed_all AS (
+  SELECT doc_id, lang,
+         {_ORACLE_PHON_CODE.format(
+             w="regexp_replace(lower(split_part(text, ' ', 1)),"
+               " '[^a-z]', '', 'g')")} AS blk,
+         substr(text, 1, {FUZZY_PREFIX_CHARS}) AS prefix
+  FROM documents
+),
+ph_blocks AS (
+  SELECT lang, blk FROM ph_keyed_all
+  GROUP BY lang, blk HAVING count(*) <= {FUZZY_MAX_BLOCK}
+),
+ph_keyed AS (
+  SELECT k.* FROM ph_keyed_all k JOIN ph_blocks USING (lang, blk)
+),
+phonetic_er_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.blk AS code,
+         CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
+  FROM ph_keyed a
+  JOIN ph_keyed b ON a.lang = b.lang AND a.blk = b.blk
+                  AND a.doc_id < b.doc_id
+  WHERE levenshtein(a.prefix, b.prefix) <= {FUZZY_MAX_DIST}
+)
+"""
+
+
 #: incremental ingestion: doc_ids below the split are the standing
 #: corpus; at/above are the incoming batch.
 INCR_SPLIT_ID = 400

@@ -781,6 +781,42 @@ def test_triangle_counts_match_bruteforce(spark, edges):
     assert got == expect
 
 
+def test_phonetic_blocking_joins_spelling_variants(spark):
+    """Jon/John/Jhon share the J500 phonetic block (so the pair IS a
+    candidate despite different first words — the case the exact
+    first-word block misses), while Smith lands elsewhere; the
+    Levenshtein verify still gates the final pair set."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        dedup as D,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "jon baker street", "en"),
+            (2, "john baker street", "en"),
+            (3, "jhon baker street", "en"),
+            (4, "smith baker street", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    codes = {
+        r["doc_id"]: r["blk"]
+        for r in docs.select(
+            "doc_id",
+            D._phonetic_code(
+                F.substring_index("text", " ", 1)
+            ).alias("blk"),
+        ).collect()
+    }
+    assert codes[1] == codes[2] == codes[3] == "J500"
+    assert codes[4] == "S530"
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.phonetic_er_pairs(docs).collect()
+    }
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
 def test_graph_ann_beam_on_clustered_corpus(spark):
     """Navigable-graph ANN invariants on a corpus with real cluster
     structure (graph ANN's home turf): 3 well-separated clusters of
