@@ -902,6 +902,20 @@ def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _layout.zorder_keys(load_table(spark, sf_dir, "events"))
 
 
+def q_events_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering keys over the (user, hour) grid — 16
+    unrolled quadrant-walk levels, map-only."""
+    return _layout.hilbert_keys(load_table(spark, sf_dir, "events"))
+
+
+def q_events_curve_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-vs-Morton locality report: per-curve-segment bounding
+    boxes (the min/max-stats selectivity comparison)."""
+    return _layout.curve_locality_report(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 def q_docs_consistent_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consistent-hash ring routing with virtual nodes: per-shard
     balance report (placement is engine-exact md5 arithmetic)."""
@@ -2587,6 +2601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": q_ann_ivf_recall,
         "ann_quantized": q_ann_quantized,
         "events_zorder": q_events_zorder,
+        "events_hilbert": q_events_hilbert,
+        "events_curve_locality": q_events_curve_locality,
         "docs_consistent_shards": q_docs_consistent_shards,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_kmeans": q_embedding_kmeans,
@@ -3059,6 +3075,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_zorder": _ext_oracle(
             [_layout.ORACLE_ZORDER_KEYS], "zorder_keys"
+        ),
+        "events_hilbert": _ext_oracle(
+            [_layout.oracle_hilbert_keys()], "hilbert_keys"
+        ),
+        "events_curve_locality": _ext_oracle(
+            [_layout.oracle_curve_locality()], "curve_locality_report"
         ),
         "docs_consistent_shards": _ext_oracle(
             [_layout.ORACLE_CONSISTENT_SHARDS], "consistent_shards"

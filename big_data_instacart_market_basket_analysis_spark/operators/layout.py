@@ -411,3 +411,246 @@ zonemap_skipping_report AS (
   {blk("date-sorted", "strftime(CAST(l_shipdate AS DATE), '%Y-%m')")}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering keys + curve locality comparison
+# ---------------------------------------------------------------------------
+
+H_BITS = Z_BITS
+H_SIDE = 1 << H_BITS
+#: locality report: each curve's OCCUPIED key range is sliced into
+#: this many equal segments (fixed-width zones over the 4^16 key
+#: space would collapse to one zone when the data occupies a corner
+#: of the grid — measured on the fixtures).
+CURVE_ZONES = 256
+
+
+def hilbert_d_frame(df: DataFrame, keep: list[str]) -> DataFrame:
+    """Hilbert distance of the (x, y) cell columns on the 2^H_BITS
+    grid — the canonical top-down quadrant walk (the public-domain
+    xy2d loop), unrolled into H_BITS levels of pure integer
+    arithmetic:
+
+      rx = (x DIV s) % 2          (computed as x % 2s >= s)
+      d += s^2 * ((3*rx) XOR ry)  with the XOR replaced by the
+           arithmetic identity 3*rx - (2*rx - 1)*ry (rx, ry in {0,1})
+           — no XOR/shift dialect differences between engines
+      rotate: if ry == 0 swap x/y, flipping both when rx == 1
+
+    Each level is ONE chained .select that re-aliases (x, y, d) — the
+    per-level materialization is what keeps the expression tree
+    linear in H_BITS (a single nested Column would triple per level:
+    3^16 nodes); Catalyst collapses the 16 projections into one
+    codegen stage, so the key stays map-only like the Z-order twin.
+    Input needs columns x, y; output keeps ``keep`` + hkey."""
+    out = df.withColumn("d", F.lit(0).cast("bigint"))
+    n1 = F.lit(H_SIDE - 1).cast("bigint")
+    for lvl in range(H_BITS - 1, -1, -1):
+        s = 1 << lvl
+        rx = (F.col("x") % F.lit(2 * s) >= F.lit(s)).cast("bigint")
+        ry = (F.col("y") % F.lit(2 * s) >= F.lit(s)).cast("bigint")
+        out = out.select(
+            *keep,
+            F.col("x"),
+            F.col("y"),
+            F.col("d"),
+            rx.alias("rx"),
+            ry.alias("ry"),
+        ).select(
+            *keep,
+            (
+                F.when(F.col("ry") == 1, F.col("x"))
+                .when(F.col("rx") == 1, n1 - F.col("y"))
+                .otherwise(F.col("y"))
+            ).alias("x"),
+            (
+                F.when(F.col("ry") == 1, F.col("y"))
+                .when(F.col("rx") == 1, n1 - F.col("x"))
+                .otherwise(F.col("x"))
+            ).alias("y"),
+            (
+                F.col("d")
+                + F.lit(s)
+                * F.lit(s)
+                * (
+                    F.lit(3) * F.col("rx")
+                    - (F.lit(2) * F.col("rx") - F.lit(1)) * F.col("ry")
+                )
+            ).alias("d"),
+        )
+    return out.select(*keep, F.col("d").alias("hkey"))
+
+
+def hilbert_keys(events: DataFrame) -> DataFrame:
+    """Hilbert clustering key per event over the same
+    (user_id, hour-of-epoch) grid as ``zorder_keys``. Hilbert's edge
+    over Morton: consecutive curve positions are always grid
+    neighbors (no Z-shape jumps across half the plane), so contiguous
+    key ranges have tighter bounding boxes -> better min/max skipping
+    for range predicates on either dimension. Map-only; the win comes
+    from sorting the write by hkey (same ``write_zordered`` shape).
+    """
+    prepared = events.select(
+        "event_id",
+        (F.col("user_id") % (Z_MASK + 1)).alias("x"),
+        (
+            F.floor(F.unix_millis("ts") / F.lit(3_600_000))
+            % (Z_MASK + 1)
+        ).alias("y"),
+    ).select(
+        "event_id",
+        "x",
+        "y",
+        F.col("x").alias("hx"),
+        F.col("y").alias("hy"),
+    )
+    return hilbert_d_frame(prepared, ["event_id", "hx", "hy"]).select(
+        "event_id", "hx", "hy", "hkey"
+    )
+
+
+def oracle_hilbert_keys() -> str:
+    n1 = H_SIDE - 1
+    parts = [
+        f"""
+hil_l{H_BITS} AS (
+  SELECT event_id,
+         user_id % {Z_MASK + 1} AS x,
+         CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT)
+           % {Z_MASK + 1} AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM events
+)"""
+    ]
+    for lvl in range(H_BITS - 1, -1, -1):
+        s = 1 << lvl
+        parts.append(
+            f"""
+hil_l{lvl} AS (
+  SELECT event_id,
+         CASE WHEN ry = 1 THEN x
+              WHEN rx = 1 THEN {n1} - y ELSE y END AS x,
+         CASE WHEN ry = 1 THEN y
+              WHEN rx = 1 THEN {n1} - x ELSE x END AS y,
+         d + {s}::BIGINT * {s} * (3 * rx - (2 * rx - 1) * ry) AS d
+  FROM (
+    SELECT event_id, x, y, d,
+           CASE WHEN x % {2 * s} >= {s} THEN 1 ELSE 0 END AS rx,
+           CASE WHEN y % {2 * s} >= {s} THEN 1 ELSE 0 END AS ry
+    FROM hil_l{lvl + 1}
+  )
+)"""
+        )
+    parts.append(
+        f"""
+hilbert_keys AS (
+  SELECT b.event_id,
+         b.user_id % {Z_MASK + 1} AS hx,
+         CAST(floor(epoch_ms(b.ts) / 3600000) AS BIGINT)
+           % {Z_MASK + 1} AS hy,
+         l.d AS hkey
+  FROM events b JOIN hil_l0 l USING (event_id)
+)"""
+    )
+    return ",".join(parts)
+
+
+def curve_locality_report(events: DataFrame) -> DataFrame:
+    """Space-filling-curve locality comparison — the number that
+    justifies choosing Hilbert over Z-order for a 100 TB layout:
+    slice each curve's OCCUPIED key range into ``CURVE_ZONES`` equal
+    segments (the row groups a key-sorted writer would emit) and
+    measure the per-zone bounding box of the original (x, y) points.
+    Tighter boxes == more selective min/max stats on BOTH dimensions.
+    Per curve: one 1-row min/max agg (broadcast back — the sanctioned
+    1-row crossJoin), one hash-agg on the zone key; no global sort —
+    the report costs two scans regardless of table size.
+
+    Output per curve: n_zones, n_points, avg per-zone x/y span and
+    avg box area (spans weighted uniformly per occupied zone).
+    """
+    z = zorder_keys(events).select(
+        F.lit("zorder").alias("curve"),
+        F.col("zx").alias("x"),
+        F.col("zy").alias("y"),
+        F.col("zkey").alias("key"),
+    )
+    h = hilbert_keys(events).select(
+        F.lit("hilbert").alias("curve"),
+        F.col("hx").alias("x"),
+        F.col("hy").alias("y"),
+        F.col("hkey").alias("key"),
+    )
+    both = z.unionByName(h)
+    extents = both.groupBy(F.col("curve").alias("ecurve")).agg(
+        F.min("key").alias("kmin"),
+        (F.max("key") - F.min("key") + 1).alias("krange"),
+    )
+    zones = (
+        both.join(
+            F.broadcast(extents), both.curve == extents.ecurve
+        )
+        .withColumn(
+            # integer DIV end-to-end: double division + cast differs
+            # between engines (Spark truncates, DuckDB rounds)
+            "zone",
+            F.expr(f"((key - kmin) * {CURVE_ZONES}) DIV krange"),
+        )
+        .groupBy("curve", "zone")
+        .agg(
+            F.count("*").alias("n"),
+            (F.max("x") - F.min("x") + 1).alias("xspan"),
+            (F.max("y") - F.min("y") + 1).alias("yspan"),
+        )
+    )
+    return (
+        zones.groupBy("curve")
+        .agg(
+            F.count("*").alias("n_zones"),
+            F.sum("n").alias("n_points"),
+            F.round(F.avg("xspan"), 2).alias("avg_xspan"),
+            F.round(F.avg("yspan"), 2).alias("avg_yspan"),
+            F.round(F.avg(F.col("xspan") * F.col("yspan")), 2).alias(
+                "avg_box_area"
+            ),
+        )
+    )
+
+
+def oracle_curve_locality() -> str:
+    return (
+        oracle_hilbert_keys()
+        + ","
+        + ORACLE_ZORDER_KEYS
+        + f""",
+cl_both AS (
+  SELECT 'zorder' AS curve, zx AS x, zy AS y, zkey AS key
+  FROM zorder_keys
+  UNION ALL
+  SELECT 'hilbert' AS curve, hx AS x, hy AS y, hkey AS key
+  FROM hilbert_keys
+),
+cl_ext AS (
+  SELECT curve AS ecurve, min(key) AS kmin,
+         max(key) - min(key) + 1 AS krange
+  FROM cl_both GROUP BY 1
+),
+cl_zones AS (
+  SELECT curve, ((key - kmin) * {CURVE_ZONES}) // krange AS zone,
+         count(*) AS n,
+         max(x) - min(x) + 1 AS xspan,
+         max(y) - min(y) + 1 AS yspan
+  FROM cl_both b JOIN cl_ext e ON b.curve = e.ecurve
+  GROUP BY 1, 2
+),
+curve_locality_report AS (
+  SELECT curve,
+         CAST(count(*) AS BIGINT) AS n_zones,
+         CAST(sum(n) AS BIGINT) AS n_points,
+         round(avg(xspan), 2) AS avg_xspan,
+         round(avg(yspan), 2) AS avg_yspan,
+         round(avg(xspan * yspan), 2) AS avg_box_area
+  FROM cl_zones GROUP BY 1
+)"""
+    )

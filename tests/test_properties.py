@@ -781,6 +781,50 @@ def test_triangle_counts_match_bruteforce(spark, edges):
     assert got == expect
 
 
+def test_hilbert_key_matches_reference_and_injective(spark):
+    """The unrolled Hilbert walk must equal the canonical xy2d loop
+    (pure-Python reference) on corners + LCG-scattered points, and be
+    injective (a space-filling curve is a bijection)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        layout as L,
+    )
+
+    def xy2d(n: int, x: int, y: int) -> int:
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    side = L.H_SIDE
+    pts = [(0, 0), (0, side - 1), (side - 1, 0), (side - 1, side - 1)]
+    seed = 12345
+    for _ in range(60):
+        seed = (1103515245 * seed + 12345) % (1 << 31)
+        x = seed % side
+        seed = (1103515245 * seed + 12345) % (1 << 31)
+        pts.append((x, seed % side))
+    df = spark.createDataFrame(
+        [(i, x, y, x, y) for i, (x, y) in enumerate(pts)],
+        "pid long, x long, y long, px long, py long",
+    )
+    got = {
+        (r["px"], r["py"]): r["hkey"]
+        for r in L.hilbert_d_frame(df, ["px", "py"]).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == xy2d(side, x, y), (x, y)
+    assert len(set(got.values())) == len(got)  # injective on the sample
+    assert all(0 <= d < side * side for d in got.values())
+
+
 def test_phonetic_blocking_joins_spelling_variants(spark):
     """Jon/John/Jhon share the J500 phonetic block (so the pair IS a
     candidate despite different first words — the case the exact
