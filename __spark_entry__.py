@@ -663,6 +663,16 @@ def q_ml_cart_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _trees.cart_train(load_table(spark, sf_dir, "events"))
 
 
+def q_ml_rf_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified random forest: Poisson-bootstrap stumps with feature
+    subsampling + OOB majority-vote accuracy, all integer-exact."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        trees as _trees,
+    )
+
+    return _trees.rf_train(load_table(spark, sf_dir, "events"))
+
+
 def q_ml_gbm_perm_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Permutation importance for the verified GBM (deterministic
     md5 rank-rotation shuffle, exact SSE deltas)."""
@@ -2571,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pseudonymized": q_events_pseudonymized,
         "events_dp_counts": q_events_dp_counts,
         "ml_cart_verified": q_ml_cart_verified,
+        "ml_rf_verified": q_ml_rf_verified,
         "ml_gbm_verified": q_ml_gbm_verified,
         "ml_cart_importance": q_ml_cart_importance,
         "ml_gbm_perm_importance": q_ml_gbm_perm_importance,
@@ -2965,6 +2976,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ml_cart_verified": _ext_oracle(
             [_trees.ORACLE_CART], "cart_train"
+        ),
+        "ml_rf_verified": _ext_oracle(
+            [_trees.oracle_rf_train()], "rf_train"
         ),
         "ml_gbm_verified": _ext_oracle(
             [_trees.ORACLE_GBM], "gbm_train"

@@ -160,6 +160,9 @@ HEADLINE = [
     "join_cardinality_estimate",
     # round-3 (driver round) additions
     "ann_graph_beam",
+    "ml_rf_verified",
+    "events_curve_locality",
+    "docs_phonetic_er",
 ]
 
 

@@ -77,7 +77,10 @@ def _user_features(events: DataFrame) -> DataFrame:
 def _binned(events: DataFrame) -> DataFrame:
     """(user_id, label, fid, bin): melted features mapped to equi-width
     integer bins from the global per-feature min/max."""
-    feats = _user_features(events)
+    return _binned_from_feats(_user_features(events))
+
+
+def _binned_from_feats(feats: DataFrame) -> DataFrame:
     melt = feats.select(
         "user_id",
         "label",
@@ -104,6 +107,26 @@ def _binned(events: DataFrame) -> DataFrame:
     )
 
 
+#: per-input staged (user_features, binned) pair: Catalyst does not
+#: dedupe common subplans, and the tree trainers reference these
+#: user-grain tables up to ~12 times (4 trees x hist/leaf/OOB) — one
+#: localCheckpoint each turns 12 corpus aggs into 1. Keyed by input
+#: identity with the ref held in the value (the id-reuse-safe cache
+#: convention); at cluster scale this is a staged feature table.
+_FEATS_CACHE: dict[int, tuple] = {}
+
+
+def _staged_feats_binned(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    key = id(events)
+    hit = _FEATS_CACHE.get(key)
+    if hit is None or hit[0] is not events:
+        feats = _user_features(events).localCheckpoint(eager=True)
+        binned = _binned_from_feats(feats).localCheckpoint(eager=True)
+        hit = (events, feats, binned)
+        _FEATS_CACHE[key] = hit
+    return hit[1], hit[2]
+
+
 def _best_split(subset: DataFrame) -> DataFrame:
     """1-row DataFrame (fid, bin, score): the argmin weighted-Gini
     split over the node's histogram. All candidate scoring happens on
@@ -112,6 +135,13 @@ def _best_split(subset: DataFrame) -> DataFrame:
     hist = subset.groupBy("fid", "bin").agg(
         F.count("*").alias("n"), F.sum("label").alias("pos")
     )
+    return _argmin_split_from_hist(hist)
+
+
+def _argmin_split_from_hist(hist: DataFrame) -> DataFrame:
+    """Shared argmin-Gini scoring over a (fid, bin, n, pos) histogram
+    — used by the unweighted CART splits and the random forest's
+    bootstrap-weighted stumps (same algebra, weighted counts)."""
     wcum = (
         Window.partitionBy("fid")
         .orderBy("bin")
@@ -150,7 +180,7 @@ def cart_train(events: DataFrame) -> DataFrame:
     leaf rows ('LL'..'RR': counts + positive rate round(6)). Output:
     node, kind, fid, bin, n, pos, metric.
     """
-    data = _binned(events)
+    feats, data = _staged_feats_binned(events)
     root = _best_split(data)
     side1 = (
         data.join(
@@ -193,7 +223,7 @@ def cart_train(events: DataFrame) -> DataFrame:
         )
         stats[s] = side2
     paths = stats["L"].unionByName(stats["R"])
-    labels = _user_features(events).select("user_id", "label")
+    labels = feats.select("user_id", "label")
     leaves = (
         labels.join(paths, "user_id")
         .groupBy("path")
@@ -278,7 +308,9 @@ def _sql_best_split(src: str, name: str) -> str:
 )"""
 
 
-ORACLE_CART = f"""
+#: shared feature-build + binning prefix (CART and the random forest
+#: train on the same binned table).
+_SQL_DT_BINNED = f"""
 dt_feats AS (
   SELECT user_id,
          CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
@@ -307,7 +339,9 @@ dt_binned AS (
   SELECT user_id, label, fid,
          CAST((val - lo) * {TREE_BINS} // (hi - lo + 1) AS INT) AS bin
   FROM dt_melt JOIN dt_ranges USING (fid)
-),
+)"""
+
+ORACLE_CART = f"""{_SQL_DT_BINNED},
 {_sql_best_split("dt_binned", "dt_root")},
 dt_side1 AS (
   SELECT b.user_id,
@@ -838,3 +872,312 @@ gpi_pf{f} AS (
 gbm_permutation_importance AS (
   {finals}
 )"""
+
+
+# ---------------------------------------------------------------------------
+# verified random forest (Poisson-bootstrap stumps + OOB majority vote)
+# ---------------------------------------------------------------------------
+
+RF_TREES = 4
+#: deterministic Poisson(1) bootstrap approximation: md5 bucket in
+#: [0,100) -> weight 0 (<37), 1 (<74), 2 (else) — P(0)=.37, P(1)=.37,
+#: P(2)=.26 vs Poisson(1)'s .368/.368/.264. Weights RIDE ALONG as a
+#: column (the scale-correct bootstrap: no row resampling shuffle).
+RF_W0, RF_W1 = 37, 74
+
+
+def _rf_weight(tree: int) -> F.Column:
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"rf:{tree}:"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return (
+        F.when(h < RF_W0, 0).when(h < RF_W1, 1).otherwise(2)
+    ).cast("bigint")
+
+
+def rf_train(events: DataFrame, n_trees: int = RF_TREES) -> DataFrame:
+    """Verified random forest: ``n_trees`` depth-1 stumps, each on a
+    deterministic Poisson bootstrap (md5 weights — the resampling
+    shape a 100 TB trainer actually uses: weights are a map column,
+    never a data copy) with per-tree feature subsampling (tree t
+    drops feature t mod 3), plus the forest's signature metric — OOB
+    accuracy: every user votes only on trees whose bootstrap EXCLUDED
+    them (weight 0, ~37% of users per tree), majority vote scored
+    against the label. Leaf votes and the majority test are pure
+    integer comparisons (2*pos >= n), so the whole ensemble replays
+    bit-exact in the oracle.
+
+    Output rows: per tree a split row ('t{t}', fid/bin/score + the
+    bootstrap-weighted node totals) and two leaf rows ('t{t}L/R',
+    weighted counts + positive rate); one 'oob' row (users scored,
+    correct votes, accuracy). Scale: per tree ONE weighted histogram
+    agg (features x bins rows) + leaf/vote aggs on user grain; trees
+    are independent branches of one logical plan.
+
+    Depth composes exactly like ``cart_train``'s level pattern; the
+    stump forest is the verification-friendly core (MLlib's RF with
+    reference hyperparams remains in ml/models.py, rows-only —
+    F.py:194-236 parity)."""
+    feats, data = _staged_feats_binned(events)
+    labels = feats.select("user_id", "label")
+    out = None
+    oob = None
+    for t in range(n_trees):
+        w = labels.select(
+            "user_id", "label", _rf_weight(t).alias("w")
+        )
+        boot = (
+            data.filter(F.col("fid") != t % 3)
+            .join(w.select("user_id", "w"), "user_id")
+            .filter(F.col("w") > 0)
+        )
+        hist = boot.groupBy("fid", "bin").agg(
+            F.sum("w").alias("n"),
+            F.sum(F.col("w") * F.col("label")).alias("pos"),
+        )
+        # NOT checkpointed: the 1-row split feeds 3 consumers, but
+        # with binned staged the recomputed hist agg is cheaper than
+        # an extra eager-checkpoint job per tree (measured: 4.9s vs
+        # 5.3s at sf0.1).
+        split = _argmin_split_from_hist(hist)
+        tot = w.filter(F.col("w") > 0).agg(
+            F.sum("w").alias("n"),
+            F.sum(F.col("w") * F.col("label")).alias("pos"),
+        )
+        split_row = split.crossJoin(F.broadcast(tot)).select(
+            F.lit(f"t{t}").alias("node"),
+            F.lit("split").alias("kind"),
+            F.lit(t).cast("int").alias("tree"),
+            F.col("fid").cast("int"),
+            F.col("bin").cast("int"),
+            "n",
+            "pos",
+            F.col("score").alias("metric"),
+        )
+        sides = (
+            boot.join(
+                F.broadcast(
+                    split.select(
+                        F.col("fid").alias("sfid"),
+                        F.col("bin").alias("sbin"),
+                    )
+                )
+            )
+            .filter(F.col("fid") == F.col("sfid"))
+            .select(
+                "user_id",
+                "label",
+                "w",
+                F.when(F.col("bin") <= F.col("sbin"), "L")
+                .otherwise("R")
+                .alias("side"),
+            )
+        )
+        leaves = sides.groupBy("side").agg(
+            F.sum("w").alias("n"),
+            F.sum(F.col("w") * F.col("label")).alias("pos"),
+        )
+        leaf_rows = leaves.select(
+            F.concat(F.lit(f"t{t}"), F.col("side")).alias("node"),
+            F.lit("leaf").alias("kind"),
+            F.lit(t).cast("int").alias("tree"),
+            F.lit(None).cast("int").alias("fid"),
+            F.lit(None).cast("int").alias("bin"),
+            "n",
+            "pos",
+            F.round(F.col("pos") / F.col("n"), 6).alias("metric"),
+        )
+        out_t = split_row.unionByName(leaf_rows)
+        out = out_t if out is None else out.unionByName(out_t)
+        # OOB votes: users this tree never saw (w = 0)
+        pred_t = (
+            data.join(
+                w.filter(F.col("w") == 0).select("user_id"), "user_id"
+            )
+            .join(
+                F.broadcast(
+                    split.select(
+                        F.col("fid").alias("sfid"),
+                        F.col("bin").alias("sbin"),
+                    )
+                )
+            )
+            .filter(F.col("fid") == F.col("sfid"))
+            .select(
+                "user_id",
+                F.when(F.col("bin") <= F.col("sbin"), "L")
+                .otherwise("R")
+                .alias("side"),
+            )
+            .join(
+                F.broadcast(
+                    leaves.select(
+                        "side",
+                        F.col("n").alias("ln"),
+                        F.col("pos").alias("lpos"),
+                    )
+                ),
+                "side",
+            )
+            .select(
+                "user_id",
+                (F.lit(2) * F.col("lpos") >= F.col("ln"))
+                .cast("bigint")
+                .alias("pred"),
+            )
+        )
+        oob = pred_t if oob is None else oob.unionByName(pred_t)
+    votes = oob.groupBy("user_id").agg(
+        F.sum("pred").alias("yes"), F.count("*").alias("n_votes")
+    )
+    oob_row = (
+        votes.join(labels, "user_id")
+        .select(
+            (
+                (F.lit(2) * F.col("yes") >= F.col("n_votes")).cast(
+                    "bigint"
+                )
+                == F.col("label")
+            )
+            .cast("bigint")
+            .alias("correct")
+        )
+        .agg(
+            F.lit("oob").alias("node"),
+            F.lit("oob").alias("kind"),
+            F.lit(-1).cast("int").alias("tree"),
+            F.lit(None).cast("int").alias("fid"),
+            F.lit(None).cast("int").alias("bin"),
+            F.count("*").alias("n"),
+            F.sum("correct").alias("pos"),
+            F.round(F.sum("correct") / F.count("*"), 6).alias("metric"),
+        )
+    )
+    return out.unionByName(oob_row)
+
+
+def _sql_rf_weighted_split(src: str, name: str) -> str:
+    """Weighted twin of ``_sql_best_split``: histogram counts are
+    sum(w) / sum(w*label) over ``src`` (fid, bin, label, w)."""
+    return f"""
+{name}_cum AS (
+  SELECT fid, bin,
+         sum(n) OVER (PARTITION BY fid ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS nl,
+         sum(pos) OVER (PARTITION BY fid ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS pl,
+         sum(n) OVER (PARTITION BY fid) AS nt,
+         sum(pos) OVER (PARTITION BY fid) AS pt
+  FROM (SELECT fid, bin, CAST(sum(w) AS BIGINT) AS n,
+               CAST(sum(w * label) AS BIGINT) AS pos
+        FROM {src} GROUP BY 1, 2)
+),
+{name} AS (
+  SELECT fid, bin,
+         round((nl * nl - pl * pl - (nl - pl) * (nl - pl)) / nl
+               + ((nt - nl) * (nt - nl) - (pt - pl) * (pt - pl)
+                  - ((nt - nl) - (pt - pl)) * ((nt - nl) - (pt - pl)))
+                 / (nt - nl), 9) AS score
+  FROM {name}_cum
+  WHERE nl > 0 AND nt - nl > 0
+  ORDER BY score, fid, bin LIMIT 1
+)"""
+
+
+def oracle_rf_train(n_trees: int = RF_TREES) -> str:
+    parts = [_SQL_DT_BINNED]
+    tree_rows, oob_unions = [], []
+    for t in range(n_trees):
+        parts.append(
+            f"""
+rf_w{t} AS (
+  SELECT user_id, label,
+         CASE WHEN h < {RF_W0} THEN 0
+              WHEN h < {RF_W1} THEN 1 ELSE 2 END AS w
+  FROM (SELECT user_id, label,
+               CAST(('0x' || substr(md5('rf:{t}:'
+                 || CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                 % 100 AS h
+        FROM dt_feats)
+),
+rf_b{t} AS (
+  SELECT b.user_id, b.label, b.fid, b.bin, w.w
+  FROM dt_binned b JOIN rf_w{t} w USING (user_id)
+  WHERE w.w > 0 AND b.fid <> {t % 3}
+),
+{_sql_rf_weighted_split(f"rf_b{t}", f"rf_s{t}")},
+rf_tot{t} AS (
+  SELECT CAST(sum(w) AS BIGINT) AS n,
+         CAST(sum(w * label) AS BIGINT) AS pos
+  FROM rf_w{t} WHERE w > 0
+),
+rf_leaf{t} AS (
+  SELECT CASE WHEN b.bin <= s.bin THEN 'L' ELSE 'R' END AS side,
+         CAST(sum(b.w) AS BIGINT) AS n,
+         CAST(sum(b.w * b.label) AS BIGINT) AS pos
+  FROM rf_b{t} b, rf_s{t} s
+  WHERE b.fid = s.fid
+  GROUP BY 1
+),
+rf_oobp{t} AS (
+  SELECT b.user_id,
+         CASE WHEN 2 * l.pos >= l.n THEN 1 ELSE 0 END AS pred
+  FROM dt_binned b
+  JOIN rf_w{t} w ON b.user_id = w.user_id AND w.w = 0
+  JOIN rf_s{t} s ON b.fid = s.fid
+  JOIN rf_leaf{t} l
+    ON l.side = CASE WHEN b.bin <= s.bin THEN 'L' ELSE 'R' END
+)"""
+        )
+        tree_rows.append(
+            f"""SELECT 't{t}' AS node, 'split' AS kind,
+         CAST({t} AS INT) AS tree, CAST(s.fid AS INT) AS fid,
+         CAST(s.bin AS INT) AS bin, tot.n, tot.pos, s.score AS metric
+  FROM rf_s{t} s, rf_tot{t} tot
+  UNION ALL
+  SELECT 't{t}' || side, 'leaf', {t}, CAST(NULL AS INT),
+         CAST(NULL AS INT), n, pos, round(pos / CAST(n AS DOUBLE), 6)
+  FROM rf_leaf{t}"""
+        )
+        oob_unions.append(f"SELECT user_id, pred FROM rf_oobp{t}")
+    parts.append(
+        f"""
+rf_votes AS (
+  SELECT user_id, sum(pred) AS yes, count(*) AS n_votes
+  FROM ({" UNION ALL ".join(oob_unions)})
+  GROUP BY 1
+),
+rf_oob AS (
+  SELECT 'oob' AS node, 'oob' AS kind, CAST(-1 AS INT) AS tree,
+         CAST(NULL AS INT) AS fid, CAST(NULL AS INT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN (CASE WHEN 2 * v.yes >= v.n_votes
+                             THEN 1 ELSE 0 END) = f.label
+                       THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         round(sum(CASE WHEN (CASE WHEN 2 * v.yes >= v.n_votes
+                              THEN 1 ELSE 0 END) = f.label
+                        THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) AS metric
+  FROM rf_votes v JOIN dt_feats f USING (user_id)
+),
+rf_train AS (
+  {" UNION ALL ".join(tree_rows)}
+  UNION ALL
+  SELECT * FROM rf_oob
+)"""
+    )
+    return ",".join(parts)

@@ -130,6 +130,42 @@ def test_cart_tree_shape(spark):
         assert 0.0 <= l["metric"] <= 1.0
 
 
+def test_rf_forest_shape_and_oob(spark):
+    """Verified RF: per tree the two leaves partition the bootstrap
+    (leaf n/pos sum to the split row's weighted totals); the excluded
+    feature never appears as that tree's split; OOB accuracy is a
+    valid rate over at most all users."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        trees,
+    )
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    rows = trees.rf_train(events).collect()
+    by_tree: dict[int, dict[str, list]] = {}
+    oob = None
+    for r in rows:
+        if r["kind"] == "oob":
+            oob = r
+        else:
+            by_tree.setdefault(r["tree"], {}).setdefault(
+                r["kind"], []
+            ).append(r)
+    assert set(by_tree) == set(range(trees.RF_TREES))
+    for t, kinds in by_tree.items():
+        (split,) = kinds["split"]
+        leaves = kinds["leaf"]
+        assert split["fid"] != t % 3  # subsampled feature excluded
+        assert 1 <= len(leaves) <= 2
+        assert sum(l["n"] for l in leaves) == split["n"]
+        assert sum(l["pos"] for l in leaves) == split["pos"]
+        for l in leaves:
+            assert 0.0 <= l["metric"] <= 1.0
+    n_users = events.select("user_id").distinct().count()
+    assert oob is not None and 0 < oob["n"] <= n_users
+    assert 0.0 <= oob["metric"] <= 1.0
+    assert oob["pos"] <= oob["n"]
+
+
 def test_gbm_training_curve_decreases(spark):
     """Verified boosting: SSE must decrease monotonically round over
     round (squared-loss stumps can only reduce training error)."""
