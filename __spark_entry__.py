@@ -577,6 +577,21 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.user_holt_winters(load_table(spark, sf_dir, "events"))
 
 
+def q_events_mta_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution MODEL COMPARISON (first/last/linear +
+    unattributed) over 24h pre-purchase journeys — the model-vs-model
+    readout; the session-grain linear split lives in
+    ``events_attribution``."""
+    return _tmp.attribution_report(load_table(spark, sf_dir, "events"))
+
+
+def q_events_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) Yule-Walker fit + 3-step forecast on the daily revenue
+    series — closed-form autoregression, pre-rounded autocorrelations
+    make the whole fit engine-exact."""
+    return _tmp.ar2_forecast(load_table(spark, sf_dir, "events"))
+
+
 def q_events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral bot screen: inter-arrival regularity (low gap CV at
     volume) flags automation before traffic-derived text enters a
@@ -982,6 +997,12 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.quality_scores(_docs(spark, sf_dir))
+
+
+def q_text_hashing_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision-load histogram for the hashed vectorizer (the number
+    that sizes FH_DIM)."""
+    return _text.hashing_collision_report(_docs(spark, sf_dir))
 
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1548,6 +1569,12 @@ def q_ml_logreg_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified logistic regression: full-batch GD, per-round weights +
     loss curve engine-exact (unrolled-CTE oracle)."""
     return _glm.logreg_train(load_table(spark, sf_dir, "documents"))
+
+
+def q_ml_ols_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified OLS: closed-form normal-equation solve (one moment agg
+    + Cramer 3x3), coefficients/R2 engine-exact."""
+    return _glm.ols_train(load_table(spark, sf_dir, "events"))
 
 
 def q_events_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2513,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bootstrap_ci": q_events_bootstrap_ci,
         "events_dbscan": q_events_dbscan,
         "ml_logreg_verified": q_ml_logreg_verified,
+        "ml_ols_verified": q_ml_ols_verified,
         "ml_als_verified": q_ml_als_verified,
         "negative_samples": q_negative_samples,
         "ml_als_bpr_auc": q_ml_als_bpr_auc,
@@ -2590,6 +2618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kanonymity": q_events_kanonymity,
         "events_holt_forecast": q_events_holt_forecast,
         "events_holt_winters": q_events_holt_winters,
+        "events_ar2_forecast": q_events_ar2_forecast,
+        "events_mta_models": q_events_mta_models,
         "events_ks_drift": q_events_ks_drift,
         "events_mannwhitney": q_events_mannwhitney,
         "events_chi2": q_events_chi2,
@@ -2624,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_diverse_sample": q_embedding_diverse_sample,
         "embedding_semdedup": q_embedding_semdedup,
         "text_token_counts": q_text_token_counts,
+        "text_hashing_collisions": q_text_hashing_collisions,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprints": q_text_fingerprints,
@@ -3005,6 +3036,12 @@ def oracle_sql() -> dict[str, str]:
             [_tmp.ORACLE_USER_HOLT_WINTERS], "user_holt_winters",
             recursive=True,
         ),
+        "events_ar2_forecast": _ext_oracle(
+            [_tmp.oracle_ar2_forecast()], "ar2_forecast"
+        ),
+        "events_mta_models": _ext_oracle(
+            [_tmp.ORACLE_ATTRIBUTION], "attribution_report"
+        ),
         "events_ks_drift": _ext_oracle(
             [_tmp.ORACLE_KS_DRIFT], "ks_drift_test"
         ),
@@ -3126,6 +3163,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_semdedup": _ext_oracle(
             [_sim.oracle_semdedup()], "semantic_dedup"
         ),
+        "text_hashing_collisions": _ext_oracle(
+            [_text.ORACLE_HASHING_COLLISIONS], "hashing_collision_report"
+        ),
         "text_token_counts": _ext_oracle(
             [_text.ORACLE_TOKEN_COUNTS], "token_counts"
         ),
@@ -3183,6 +3223,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ml_logreg_verified": _ext_oracle(
             [_glm.oracle_logreg()], "logreg_train"
+        ),
+        "ml_ols_verified": _ext_oracle(
+            [_glm.ORACLE_OLS], "ols_train"
         ),
         "events_dbscan": _ext_oracle(
             [_clu.ORACLE_DBSCAN], "dbscan_clusters", recursive=True

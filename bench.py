@@ -163,6 +163,9 @@ HEADLINE = [
     "ml_rf_verified",
     "events_curve_locality",
     "docs_phonetic_er",
+    "ml_ols_verified",
+    "events_ar2_forecast",
+    "events_mta_models",
 ]
 
 

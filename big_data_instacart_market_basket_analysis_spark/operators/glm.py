@@ -188,3 +188,166 @@ lr_w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
     ]
     union = "\nUNION ALL\n".join(selects)
     return ",".join(parts) + f",\nlogreg_train AS (\n{union}\n)"
+
+
+# ---------------------------------------------------------------------------
+# verified ordinary least squares (closed-form normal equations)
+# ---------------------------------------------------------------------------
+
+#: spend is scaled to integer cents-of-value so every moment is an
+#: exact BIGINT; the Cramer algebra then runs in double with one fixed
+#: operation order (IEEE ops on identical inputs are engine-exact) and
+#: coefficients are rounded at the output edge.
+OLS_Y_SCALE = 100
+
+
+def ols_train(events: DataFrame) -> DataFrame:
+    """Verified OLS: total purchase spend regressed on click/view
+    counts, solved in CLOSED FORM from the normal equations — the
+    second member of the verified-GLM family (logreg trains by GD;
+    OLS needs no iterations at all).
+
+    y = b0 + b1*clicks + b2*views per user. ONE hash-agg produces the
+    2nd-order moment row (n, Sx1, Sx2, Sx11, Sx12, Sx22, Sy, Sx1y,
+    Sx2y, Syy — all integer-exact); the 3x3 Cramer solve, R^2 and
+    residual stats are map expressions on that single row. This is
+    the textbook 100 TB shape: a full OLS fit costs exactly one scan
+    + one 10-number shuffle, regardless of row count (features^2
+    moments; the same plan at 1000 features is one wider agg).
+
+    Output (stat, value) rows: beta0/beta1/beta2 (round 6), r2
+    (round 6), n, plus sse/sst (round 4) so the R^2 is auditable.
+    """
+    feats = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x1"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("x2"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr(
+                        f"CAST(floor(value * {OLS_Y_SCALE}) AS BIGINT)"
+                    ),
+                )
+            ),
+            F.lit(0),
+        ).alias("y"),
+    )
+    m = feats.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # Cramer in double with one fixed parenthesization (mirrored
+    # textually in the oracle).
+    c = [
+        "CAST(n AS DOUBLE) AS dn",
+        "CAST(sx1 AS DOUBLE) AS a1",
+        "CAST(sx2 AS DOUBLE) AS a2",
+        "CAST(sx11 AS DOUBLE) AS a11",
+        "CAST(sx12 AS DOUBLE) AS a12",
+        "CAST(sx22 AS DOUBLE) AS a22",
+        "CAST(sy AS DOUBLE) AS b0",
+        "CAST(sx1y AS DOUBLE) AS b1",
+        "CAST(sx2y AS DOUBLE) AS b2",
+        "CAST(syy AS DOUBLE) AS yy",
+        "CAST(n AS BIGINT) AS n_keep",
+    ]
+    d = m.selectExpr(*c).selectExpr(
+        "*",
+        "dn * (a11 * a22 - a12 * a12) - a1 * (a1 * a22 - a12 * a2)"
+        " + a2 * (a1 * a12 - a11 * a2) AS det",
+        "b0 * (a11 * a22 - a12 * a12) - a1 * (b1 * a22 - a12 * b2)"
+        " + a2 * (b1 * a12 - a11 * b2) AS det0",
+        "dn * (b1 * a22 - a12 * b2) - b0 * (a1 * a22 - a12 * a2)"
+        " + a2 * (a1 * b2 - b1 * a2) AS det1",
+        "dn * (a11 * b2 - b1 * a12) - a1 * (a1 * b2 - b1 * a2)"
+        " + b0 * (a1 * a12 - a11 * a2) AS det2",
+    ).selectExpr(
+        "n_keep",
+        "det0 / det AS beta0",
+        "det1 / det AS beta1",
+        "det2 / det AS beta2",
+        "yy - (det0 / det * b0 + det1 / det * b1 + det2 / det * b2)"
+        " AS sse",
+        "yy - b0 * b0 / dn AS sst",
+    )
+    return d.selectExpr(
+        "stack(7,"
+        " 'n', CAST(n_keep AS DOUBLE),"
+        " 'beta0', round(beta0, 6),"
+        " 'beta1', round(beta1, 6),"
+        " 'beta2', round(beta2, 6),"
+        " 'r2', round(1.0 - sse / sst, 6),"
+        " 'sse', round(sse, 4),"
+        " 'sst', round(sst, 4)) AS (stat, value)"
+    )
+
+
+ORACLE_OLS = f"""
+ols_feats AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x1,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x2,
+         CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * {OLS_Y_SCALE}) AS BIGINT) END), 0)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+ols_m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS dn,
+         CAST(sum(x1) AS DOUBLE) AS a1,
+         CAST(sum(x2) AS DOUBLE) AS a2,
+         CAST(sum(x1 * x1) AS DOUBLE) AS a11,
+         CAST(sum(x1 * x2) AS DOUBLE) AS a12,
+         CAST(sum(x2 * x2) AS DOUBLE) AS a22,
+         CAST(sum(y) AS DOUBLE) AS b0,
+         CAST(sum(x1 * y) AS DOUBLE) AS b1,
+         CAST(sum(x2 * y) AS DOUBLE) AS b2,
+         CAST(sum(y * y) AS DOUBLE) AS yy,
+         CAST(count(*) AS BIGINT) AS n_keep
+  FROM ols_feats
+),
+ols_d AS (
+  SELECT *,
+         dn * (a11 * a22 - a12 * a12) - a1 * (a1 * a22 - a12 * a2)
+           + a2 * (a1 * a12 - a11 * a2) AS det,
+         b0 * (a11 * a22 - a12 * a12) - a1 * (b1 * a22 - a12 * b2)
+           + a2 * (b1 * a12 - a11 * b2) AS det0,
+         dn * (b1 * a22 - a12 * b2) - b0 * (a1 * a22 - a12 * a2)
+           + a2 * (a1 * b2 - b1 * a2) AS det1,
+         dn * (a11 * b2 - b1 * a12) - a1 * (a1 * b2 - b1 * a2)
+           + b0 * (a1 * a12 - a11 * a2) AS det2
+  FROM ols_m
+),
+ols_s AS (
+  SELECT n_keep,
+         det0 / det AS beta0, det1 / det AS beta1, det2 / det AS beta2,
+         yy - (det0 / det * b0 + det1 / det * b1 + det2 / det * b2)
+           AS sse,
+         yy - b0 * b0 / dn AS sst
+  FROM ols_d
+),
+ols_train AS (
+  SELECT 'n' AS stat, CAST(n_keep AS DOUBLE) AS value FROM ols_s
+  UNION ALL SELECT 'beta0', round(beta0, 6) FROM ols_s
+  UNION ALL SELECT 'beta1', round(beta1, 6) FROM ols_s
+  UNION ALL SELECT 'beta2', round(beta2, 6) FROM ols_s
+  UNION ALL SELECT 'r2', round(1.0 - sse / sst, 6) FROM ols_s
+  UNION ALL SELECT 'sse', round(sse, 4) FROM ols_s
+  UNION ALL SELECT 'sst', round(sst, 4) FROM ols_s
+)
+"""

@@ -5016,3 +5016,330 @@ bootstrap_mean_ci AS (
          {q(hi_p, "ci_hi")}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# AR(2) Yule-Walker fit + forecast (closed-form autoregression)
+# ---------------------------------------------------------------------------
+
+#: daily revenue is scaled to integer cents so the series values are
+#: exact; autocorrelations are ratios of double sums rounded at 9dp
+#: (fold-order noise is ~1e-13 relative — the pre-rounded-moments
+#: protocol), and phi/forecasts derive from the ROUNDED rhos only.
+AR2_VAL_SCALE = 100
+AR2_HORIZON = 3
+
+
+def ar2_forecast(events: DataFrame) -> DataFrame:
+    """AR(2) fit by Yule-Walker on the daily purchase-revenue series —
+    the autoregressive rung of the forecasting ladder (EWMA/Holt/
+    Holt-Winters smooth; AR models the serial correlation itself) and,
+    like the verified OLS, a CLOSED-FORM solve:
+
+        rho1 = c1/c0, rho2 = c2/c0      (autocorrelations)
+        phi1 = rho1*(1 - rho2) / (1 - rho1^2)
+        phi2 = (rho2 - rho1^2) / (1 - rho1^2)
+
+    then an h-step forecast by the AR recursion on the demeaned last
+    two observations. The series is DAYS-grain (bounded by calendar,
+    never by corpus size), so the one global row_number window sorts
+    at most a few thousand rows regardless of table size; everything
+    corpus-sized happens in the first hash-agg.
+
+    Output (stat, value): n_days, mean, rho1, rho2, phi1, phi2,
+    fc_1..fc_h (forecast revenue, cents).
+    """
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(f"CAST(floor(value * {AR2_VAL_SCALE}) AS BIGINT)")
+            ).alias("v")
+        )
+    )
+    w = Window.orderBy("day")
+    s = daily.select(
+        "day", "v", F.row_number().over(w).alias("idx")
+    ).select(
+        "idx",
+        F.col("v").alias("vi"),
+        F.col("v").cast("double").alias("v"),
+        F.lag("v", 1).over(Window.orderBy("idx")).cast("double").alias("v1"),
+        F.lag("v", 2).over(Window.orderBy("idx")).cast("double").alias("v2"),
+    )
+    # mean from the EXACT integer sum (a double sum's fold-order noise
+    # can reach the 6th decimal at this magnitude)
+    base = s.agg(
+        F.count("*").alias("n"), F.sum("vi").alias("sv")
+    ).select("n", (F.col("sv") / F.col("n")).alias("m"))
+    cs = (
+        s.crossJoin(F.broadcast(base))
+        .agg(
+            F.first("n").alias("n"),
+            F.first("m").alias("m"),
+            F.sum((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")))
+            .alias("c0"),
+            F.sum(
+                (F.col("v") - F.col("m")) * (F.col("v1") - F.col("m"))
+            ).alias("c1"),
+            F.sum(
+                (F.col("v") - F.col("m")) * (F.col("v2") - F.col("m"))
+            ).alias("c2"),
+            F.expr("max_by(v, idx)").alias("vlast"),
+            F.expr("max_by(v1, idx)").alias("vprev"),
+        )
+        .select(
+            "n",
+            F.round("m", 6).alias("mean"),
+            F.round(F.col("c1") / F.col("c0"), 9).alias("rho1"),
+            F.round(F.col("c2") / F.col("c0"), 9).alias("rho2"),
+            "vlast",
+            "vprev",
+        )
+        .select(
+            "*",
+            F.round(
+                F.col("rho1")
+                * (1 - F.col("rho2"))
+                / (1 - F.col("rho1") * F.col("rho1")),
+                6,
+            ).alias("phi1"),
+            F.round(
+                (F.col("rho2") - F.col("rho1") * F.col("rho1"))
+                / (1 - F.col("rho1") * F.col("rho1")),
+                6,
+            ).alias("phi2"),
+        )
+    )
+    # h-step recursion on the ROUNDED phis (deterministic end-to-end)
+    fc_exprs = []
+    x2, x1 = "(vprev - mean)", "(vlast - mean)"
+    for h in range(1, AR2_HORIZON + 1):
+        nxt = f"(phi1 * {x1} + phi2 * {x2})"
+        fc_exprs.append(f"'fc_{h}', round(mean + {nxt}, 4)")
+        x2, x1 = x1, nxt
+    return cs.selectExpr(
+        "stack("
+        + str(6 + AR2_HORIZON)
+        + ", 'n_days', CAST(n AS DOUBLE),"
+        " 'mean', mean,"
+        " 'rho1', round(rho1, 6), 'rho2', round(rho2, 6),"
+        " 'phi1', phi1, 'phi2', phi2, "
+        + ", ".join(fc_exprs)
+        + ") AS (stat, value)"
+    )
+
+
+def oracle_ar2_forecast() -> str:
+    fc_rows = []
+    x2, x1 = "(vprev - mean)", "(vlast - mean)"
+    for h in range(1, AR2_HORIZON + 1):
+        nxt = f"(phi1 * {x1} + phi2 * {x2})"
+        fc_rows.append(
+            f"UNION ALL SELECT 'fc_{h}', round(mean + {nxt}, 4) FROM ar2p"
+        )
+        x2, x1 = x1, nxt
+    return f"""
+ar2_daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * {AR2_VAL_SCALE}) AS BIGINT))
+              AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+ar2_s AS (
+  SELECT idx, v AS vi, CAST(v AS DOUBLE) AS v,
+         CAST(lag(v, 1) OVER (ORDER BY idx) AS DOUBLE) AS v1,
+         CAST(lag(v, 2) OVER (ORDER BY idx) AS DOUBLE) AS v2
+  FROM (SELECT day, v,
+               row_number() OVER (ORDER BY day) AS idx
+        FROM ar2_daily)
+),
+ar2_base AS (
+  SELECT count(*) AS n,
+         CAST(sum(vi) AS BIGINT) / CAST(count(*) AS DOUBLE) AS m
+  FROM ar2_s
+),
+ar2_c AS (
+  SELECT b.n, round(b.m, 6) AS mean,
+         round(sum((s.v - b.m) * (s.v1 - b.m))
+               / sum((s.v - b.m) * (s.v - b.m)), 9) AS rho1,
+         round(sum((s.v - b.m) * (s.v2 - b.m))
+               / sum((s.v - b.m) * (s.v - b.m)), 9) AS rho2,
+         arg_max(s.v, s.idx) AS vlast,
+         arg_max(s.v1, s.idx) AS vprev
+  FROM ar2_s s, ar2_base b
+  GROUP BY b.n, b.m
+),
+ar2p AS (
+  SELECT *,
+         round(rho1 * (1 - rho2) / (1 - rho1 * rho1), 6) AS phi1,
+         round((rho2 - rho1 * rho1) / (1 - rho1 * rho1), 6) AS phi2
+  FROM ar2_c
+),
+ar2_forecast AS (
+  SELECT 'n_days' AS stat, CAST(n AS DOUBLE) AS value FROM ar2p
+  UNION ALL SELECT 'mean', mean FROM ar2p
+  UNION ALL SELECT 'rho1', round(rho1, 6) FROM ar2p
+  UNION ALL SELECT 'rho2', round(rho2, 6) FROM ar2p
+  UNION ALL SELECT 'phi1', phi1 FROM ar2p
+  UNION ALL SELECT 'phi2', phi2 FROM ar2p
+  {" ".join(fc_rows)}
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution (first / last / linear credit)
+# ---------------------------------------------------------------------------
+
+MTA_WINDOW_MS = 24 * 3600 * 1000
+
+
+def attribution_report(events: DataFrame) -> DataFrame:
+    """Multi-touch attribution: every purchase's journey is the same
+    user's click/view touches in the 24h before it; credit is split
+    by the three standard models — first_touch (all credit to the
+    earliest touch), last_touch (latest), linear (1/k each) — plus an
+    'unattributed' row for purchases with no preceding touch.
+
+    Plan: purchases x touches is a per-user time-range join (bounded
+    by a user's touches per day, never corpus-quadratic; the user_id
+    shuffle key is uniform), then ONE window over each purchase's
+    journey ranks first/last and counts k, and one hash-agg per model
+    folds credit per channel. Millis integer arithmetic end-to-end;
+    the only float is the linear 1/k fraction, rounded at the output
+    edge (values O(1) — fold noise never reaches 4dp).
+
+    Output: model, channel, touches, credit (round 4).
+    """
+    base = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("pid"),
+        F.col("ms").alias("pms"),
+    )
+    touches = base.filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+        F.col("ms").alias("tms"),
+    )
+    journeys = purchases.join(touches, "user_id").filter(
+        (F.col("tms") < F.col("pms"))
+        & (F.col("tms") >= F.col("pms") - MTA_WINDOW_MS)
+    )
+    wp = Window.partitionBy("pid")
+    ranked = journeys.select(
+        "pid",
+        "channel",
+        F.row_number()
+        .over(wp.orderBy("tms", "tid"))
+        .alias("rn_first"),
+        F.row_number()
+        .over(wp.orderBy(F.col("tms").desc(), F.col("tid").desc()))
+        .alias("rn_last"),
+        F.count("*").over(wp).alias("k"),
+    )
+    first = (
+        ranked.filter(F.col("rn_first") == 1)
+        .groupBy("channel")
+        .agg(F.count("*").alias("touches"))
+        .select(
+            F.lit("first_touch").alias("model"),
+            "channel",
+            "touches",
+            F.col("touches").cast("double").alias("credit"),
+        )
+    )
+    last = (
+        ranked.filter(F.col("rn_last") == 1)
+        .groupBy("channel")
+        .agg(F.count("*").alias("touches"))
+        .select(
+            F.lit("last_touch").alias("model"),
+            "channel",
+            "touches",
+            F.col("touches").cast("double").alias("credit"),
+        )
+    )
+    linear = (
+        ranked.groupBy("channel")
+        .agg(
+            F.count("*").alias("touches"),
+            F.round(F.sum(F.lit(1.0) / F.col("k")), 4).alias("credit"),
+        )
+        .select(F.lit("linear").alias("model"), "channel", "touches", "credit")
+    )
+    unattributed = (
+        purchases.join(
+            journeys.select("pid").distinct(), "pid", "left_anti"
+        )
+        .agg(F.count("*").alias("touches"))
+        .select(
+            F.lit("unattributed").alias("model"),
+            F.lit("none").alias("channel"),
+            "touches",
+            F.col("touches").cast("double").alias("credit"),
+        )
+    )
+    return (
+        first.unionByName(last)
+        .unionByName(linear)
+        .unionByName(unattributed)
+    )
+
+
+ORACLE_ATTRIBUTION = f"""
+at_base AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+),
+at_p AS (
+  SELECT user_id, event_id AS pid, ms AS pms
+  FROM at_base WHERE event_type = 'purchase'
+),
+at_t AS (
+  SELECT user_id, event_id AS tid, event_type AS channel, ms AS tms
+  FROM at_base WHERE event_type IN ('click', 'view')
+),
+at_j AS (
+  SELECT p.pid, t.channel, t.tms, t.tid
+  FROM at_p p JOIN at_t t ON p.user_id = t.user_id
+  WHERE t.tms < p.pms AND t.tms >= p.pms - {MTA_WINDOW_MS}
+),
+at_r AS (
+  SELECT pid, channel,
+         row_number() OVER (PARTITION BY pid
+                            ORDER BY tms, tid) AS rn_first,
+         row_number() OVER (PARTITION BY pid
+                            ORDER BY tms DESC, tid DESC) AS rn_last,
+         count(*) OVER (PARTITION BY pid) AS k
+  FROM at_j
+),
+attribution_report AS (
+  SELECT 'first_touch' AS model, channel,
+         CAST(count(*) AS BIGINT) AS touches,
+         CAST(count(*) AS DOUBLE) AS credit
+  FROM at_r WHERE rn_first = 1 GROUP BY 2
+  UNION ALL
+  SELECT 'last_touch', channel, CAST(count(*) AS BIGINT),
+         CAST(count(*) AS DOUBLE)
+  FROM at_r WHERE rn_last = 1 GROUP BY 2
+  UNION ALL
+  SELECT 'linear', channel, CAST(count(*) AS BIGINT),
+         round(sum(CAST(1 AS DOUBLE) / k), 4)
+  FROM at_r GROUP BY 2
+  UNION ALL
+  SELECT 'unattributed', 'none', CAST(count(*) AS BIGINT),
+         CAST(count(*) AS DOUBLE)
+  FROM at_p WHERE pid NOT IN (SELECT DISTINCT pid FROM at_j)
+)
+"""

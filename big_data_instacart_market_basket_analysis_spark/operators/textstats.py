@@ -3399,3 +3399,75 @@ nb_scorecard AS (
   FROM sc_b b, sc_e e, sc_a a
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick collision report (companion to hashed_features above)
+# ---------------------------------------------------------------------------
+
+
+def hashing_collision_report(docs: DataFrame) -> DataFrame:
+    """The trade the hashing trick makes, measured: distinct tokens
+    per bucket (collision load) summarized as a histogram — how many
+    buckets carry 1, 2, 3... distinct tokens, plus the global
+    distinct-token count and load factor. One distinct-agg + one tiny
+    rollup; the numbers that size FH_DIMS for a real corpus.
+
+    Output: (n_tokens_in_bucket, n_buckets, frac_buckets round 4).
+    """
+    tok_buckets = (
+        docs.select("doc_id", F.explode(_tokens_col()).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("fh:"), F.col("tok"))), 1, 13
+                    ), 16, 10
+                ).cast("bigint")
+                % FH_DIMS
+            ).alias("bucket"),
+            "tok",
+        )
+        .distinct()
+    )
+    per_bucket = tok_buckets.groupBy("bucket").agg(
+        F.countDistinct("tok").alias("n_tokens_in_bucket")
+    )
+    total = per_bucket.agg(F.count("*").alias("n_occupied"))
+    return (
+        per_bucket.groupBy("n_tokens_in_bucket")
+        .agg(F.count("*").alias("n_buckets"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_tokens_in_bucket",
+            "n_buckets",
+            F.round(F.col("n_buckets") / F.col("n_occupied"), 4).alias(
+                "frac_buckets"
+            ),
+        )
+    )
+
+
+ORACLE_HASHING_COLLISIONS = f"""
+fhc_tb AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5('fh:' || tok), 1, 13)) AS BIGINT)
+           % {FH_DIMS} AS bucket,
+         tok
+  FROM documents,
+       LATERAL unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+  WHERE tok <> ''
+),
+fhc_pb AS (
+  SELECT bucket, CAST(count(DISTINCT tok) AS BIGINT)
+           AS n_tokens_in_bucket
+  FROM fhc_tb GROUP BY 1
+),
+hashing_collision_report AS (
+  SELECT n_tokens_in_bucket,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         round(count(*) / CAST((SELECT count(*) FROM fhc_pb)
+               AS DOUBLE), 4) AS frac_buckets
+  FROM fhc_pb GROUP BY 1
+)
+"""

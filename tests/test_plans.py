@@ -622,3 +622,81 @@ def test_negative_samples_bounded_candidates(spark):
     # the only cross join allowed is the 1-row n_prod broadcast
     # (formatted plans print each node twice: tree line + detail header)
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_entry_registries_have_no_duplicate_keys():
+    """Dict literals silently drop duplicate keys: a new query entry
+    reusing an existing name (or a second def of the same q_
+    function) makes one of the two silently unreachable and can pair
+    a query with the WRONG oracle (hit twice in round 3 — the
+    attribution and hashed-features collisions). Parse the source and
+    fail loudly on any duplicate."""
+    import ast
+    import collections
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "__spark_entry__.py",
+    )
+    tree = ast.parse(open(path).read())
+    # duplicate top-level function defs
+    fns = [
+        n.name for n in tree.body if isinstance(n, ast.FunctionDef)
+    ]
+    dup_fns = [n for n, c in collections.Counter(fns).items() if c > 1]
+    assert not dup_fns, f"duplicate function defs: {dup_fns}"
+    # duplicate keys in any dict literal inside queries()/oracle_sql()
+    for fn in tree.body:
+        if not isinstance(fn, ast.FunctionDef):
+            continue
+        if fn.name not in ("queries", "oracle_sql"):
+            continue
+        for node in ast.walk(fn):
+            if isinstance(node, ast.Dict):
+                keys = [
+                    k.value
+                    for k in node.keys
+                    if isinstance(k, ast.Constant)
+                ]
+                dups = [
+                    k
+                    for k, c in collections.Counter(keys).items()
+                    if c > 1
+                ]
+                assert not dups, f"{fn.name}: duplicate keys {dups}"
+
+
+def test_operator_modules_have_no_shadowed_top_level_names():
+    """Appending to a large module can silently redefine an earlier
+    top-level constant or function — the earlier USER of that name
+    then picks up the new value at call time (round-3 hit: a second
+    ATTR_WINDOW_MS changed linear_attribution's window from 1h to
+    24h). Fail on any duplicate top-level def/constant per module."""
+    import ast
+    import collections
+    import glob
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "big_data_instacart_market_basket_analysis_spark",
+    )
+    for path in glob.glob(f"{pkg}/**/*.py", recursive=True):
+        tree = ast.parse(open(path).read())
+        names: list[str] = []
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.ClassDef)):
+                names.append(node.name)
+            elif isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name):
+                        names.append(t.id)
+            elif isinstance(node, ast.AnnAssign) and isinstance(
+                node.target, ast.Name
+            ):
+                names.append(node.target.id)
+        dups = [
+            n for n, c in collections.Counter(names).items() if c > 1
+        ]
+        assert not dups, f"{os.path.basename(path)}: shadowed {dups}"
