@@ -577,6 +577,12 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.user_holt_winters(load_table(spark, sf_dir, "events"))
 
 
+def q_events_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve + exact Gini of per-user revenue (integer-cent
+    rank algebra; rank window at user grain)."""
+    return _tmp.revenue_concentration(load_table(spark, sf_dir, "events"))
+
+
 def q_events_mta_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch attribution MODEL COMPARISON (first/last/linear +
     unattributed) over 24h pre-purchase journeys — the model-vs-model
@@ -1577,6 +1583,13 @@ def q_ml_ols_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _glm.ols_train(load_table(spark, sf_dir, "events"))
 
 
+def q_ml_conformal_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals on the verified OLS:
+    binned calibration quantile (bounded walk), test-split coverage
+    vs the 90% target — the distribution-free guarantee, measured."""
+    return _glm.conformal_ols(load_table(spark, sf_dir, "events"))
+
+
 def q_events_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-blocked weighted DBSCAN over (user, dow) activity points;
     oracle replays the textbook quadratic epsilon-join + recursive
@@ -2448,6 +2461,13 @@ def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.matryoshka_recall(_emb(spark, sf_dir))
 
 
+def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette per IVF cell + overall — the
+    clustering-quality score (exact silhouette is all-pairs; the
+    centroid variant is the scale-correct standard)."""
+    return _sim.cell_silhouette(_emb(spark, sf_dir))
+
+
 def q_ann_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-ANN (HNSW-style): greedy centroid-layer descent + bounded
     node-layer beam over the staged navigable graph; fixed unrolled
@@ -2541,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dbscan": q_events_dbscan,
         "ml_logreg_verified": q_ml_logreg_verified,
         "ml_ols_verified": q_ml_ols_verified,
+        "ml_conformal_ols": q_ml_conformal_ols,
         "ml_als_verified": q_ml_als_verified,
         "negative_samples": q_negative_samples,
         "ml_als_bpr_auc": q_ml_als_bpr_auc,
@@ -2620,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt_winters": q_events_holt_winters,
         "events_ar2_forecast": q_events_ar2_forecast,
         "events_mta_models": q_events_mta_models,
+        "events_revenue_gini": q_events_revenue_gini,
         "events_ks_drift": q_events_ks_drift,
         "events_mannwhitney": q_events_mannwhitney,
         "events_chi2": q_events_chi2,
@@ -2783,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_matryoshka_recall": q_ann_matryoshka_recall,
         "ann_graph_beam": q_ann_graph_beam,
         "ann_graph_recall": q_ann_graph_recall,
+        "embedding_silhouette": q_embedding_silhouette,
         "idle_rich_customers": q_idle_rich_customers,
         "incremental_join_view": q_incremental_join_view,
         "late_order_priorities": q_late_order_priorities,
@@ -3042,6 +3065,9 @@ def oracle_sql() -> dict[str, str]:
         "events_mta_models": _ext_oracle(
             [_tmp.ORACLE_ATTRIBUTION], "attribution_report"
         ),
+        "events_revenue_gini": _ext_oracle(
+            [_tmp.ORACLE_REVENUE_CONCENTRATION], "revenue_concentration"
+        ),
         "events_ks_drift": _ext_oracle(
             [_tmp.ORACLE_KS_DRIFT], "ks_drift_test"
         ),
@@ -3226,6 +3252,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ml_ols_verified": _ext_oracle(
             [_glm.ORACLE_OLS], "ols_train"
+        ),
+        "ml_conformal_ols": _ext_oracle(
+            [_glm.ORACLE_CONFORMAL], "conformal_ols"
         ),
         "events_dbscan": _ext_oracle(
             [_clu.ORACLE_DBSCAN], "dbscan_clusters", recursive=True
@@ -3625,6 +3654,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_graph_beam": _ext_oracle(
             [_sim.oracle_graph_ann_topk()], "graph_ann_topk"
+        ),
+        "embedding_silhouette": _ext_oracle(
+            [_sim.ORACLE_CELL_SILHOUETTE], "cell_silhouette"
         ),
         "ann_graph_recall": _ext_oracle(
             [_sim.oracle_graph_ann_recall()], "graph_ann_recall"

@@ -34,7 +34,7 @@ tiny join each, never rescan text.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 LR_ROUNDS = 4
@@ -349,5 +349,286 @@ ols_train AS (
   UNION ALL SELECT 'r2', round(1.0 - sse / sst, 6) FROM ols_s
   UNION ALL SELECT 'sse', round(sse, 4) FROM ols_s
   UNION ALL SELECT 'sst', round(sst, 4) FROM ols_s
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# split-conformal prediction intervals on the verified OLS
+# ---------------------------------------------------------------------------
+
+#: split-conformal setup: md5(user) % 4 -> {0,1}=train, 2=calibration,
+#: 3=test; 90% target coverage. The calibration quantile is taken at
+#: DOLLAR-bucket grain (residual cents // CONF_BUCKET, capped): the
+#: cumulative walk then runs over <= CONF_MAX_BUCKETS rows no matter
+#: how many users exist — the scale-correct alternative to an exact
+#: k-th-smallest (which needs a corpus-grain global sort). Rounding
+#: UP to the bucket edge keeps the guarantee conservative
+#: (coverage >= target still holds).
+CONF_ALPHA_PCT = 10
+CONF_BUCKET = 100
+CONF_MAX_BUCKETS = 2000
+
+
+def conformal_ols(events: DataFrame) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al.) for
+    the OLS spend model: fit on the train split (closed-form Cramer,
+    same algebra as ``ols_train``), take the (1-alpha) quantile of
+    absolute calibration residuals at dollar-bucket grain, and
+    measure empirical coverage of ``prediction ± q`` on the held-out
+    test split. Conformal's distribution-free guarantee (coverage >=
+    1-alpha on exchangeable data) is exactly the kind of claim an
+    engine should VERIFY rather than assert — the test-split coverage
+    row is the check, and the conservative bucket-edge quantile keeps
+    the guarantee intact.
+
+    Scale: two hash-aggs over the corpus (train moments, calibration
+    histogram) + one test agg; the quantile walk is a window over at
+    most CONF_MAX_BUCKETS rows. Output (stat, value): n_train, n_cal,
+    n_test, q_cents, coverage, target, avg_width_cents.
+    """
+    feats = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x1"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("x2"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr(
+                        f"CAST(floor(value * {OLS_Y_SCALE}) AS BIGINT)"
+                    ),
+                )
+            ),
+            F.lit(0),
+        ).alias("y"),
+    ).select(
+        "*",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("conf:"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 4
+        ).alias("split"),
+    )
+    train = feats.filter(F.col("split") <= 1)
+    m = train.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+    ).selectExpr(
+        "CAST(n AS DOUBLE) AS dn",
+        "CAST(sx1 AS DOUBLE) AS a1",
+        "CAST(sx2 AS DOUBLE) AS a2",
+        "CAST(sx11 AS DOUBLE) AS a11",
+        "CAST(sx12 AS DOUBLE) AS a12",
+        "CAST(sx22 AS DOUBLE) AS a22",
+        "CAST(sy AS DOUBLE) AS b0",
+        "CAST(sx1y AS DOUBLE) AS b1",
+        "CAST(sx2y AS DOUBLE) AS b2",
+        "CAST(n AS BIGINT) AS n_train",
+    ).selectExpr(
+        "n_train",
+        "dn * (a11 * a22 - a12 * a12) - a1 * (a1 * a22 - a12 * a2)"
+        " + a2 * (a1 * a12 - a11 * a2) AS det",
+        "b0 * (a11 * a22 - a12 * a12) - a1 * (b1 * a22 - a12 * b2)"
+        " + a2 * (b1 * a12 - a11 * b2) AS det0",
+        "dn * (b1 * a22 - a12 * b2) - b0 * (a1 * a22 - a12 * a2)"
+        " + a2 * (a1 * b2 - b1 * a2) AS det1",
+        "dn * (a11 * b2 - b1 * a12) - a1 * (a1 * b2 - b1 * a2)"
+        " + b0 * (a1 * a12 - a11 * a2) AS det2",
+    ).selectExpr(
+        "n_train",
+        "round(det0 / det, 6) AS beta0",
+        "round(det1 / det, 6) AS beta1",
+        "round(det2 / det, 6) AS beta2",
+    )
+    scored = feats.crossJoin(F.broadcast(m)).select(
+        "split",
+        "y",
+        (
+            F.col("y").cast("double")
+            - (
+                F.col("beta0")
+                + F.col("beta1") * F.col("x1")
+                + F.col("beta2") * F.col("x2")
+            )
+        ).alias("resid"),
+        F.col("n_train"),
+    )
+    cal_hist = (
+        scored.filter(F.col("split") == 2)
+        .select(
+            F.least(
+                F.floor(F.abs(F.col("resid")) / CONF_BUCKET).cast(
+                    "bigint"
+                ),
+                F.lit(CONF_MAX_BUCKETS - 1),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy()
+    q_row = (
+        cal_hist.select(
+            "bucket",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(wtot).alias("n_cal"),
+        )
+        .filter(
+            F.col("cum") * 100 >= F.col("n_cal") * (100 - CONF_ALPHA_PCT)
+        )
+        .orderBy("bucket")
+        .limit(1)
+        .select(
+            "n_cal",
+            ((F.col("bucket") + 1) * CONF_BUCKET).alias("q_cents"),
+        )
+    )
+    test_cov = (
+        scored.filter(F.col("split") == 3)
+        .crossJoin(F.broadcast(q_row))
+        .agg(
+            F.first("n_train").alias("n_train"),
+            F.first("n_cal").alias("n_cal"),
+            F.count("*").alias("n_test"),
+            F.first("q_cents").alias("q_cents"),
+            F.round(
+                F.sum(
+                    (F.abs(F.col("resid")) <= F.col("q_cents")).cast(
+                        "bigint"
+                    )
+                )
+                / F.count("*"),
+                4,
+            ).alias("coverage"),
+        )
+    )
+    return test_cov.selectExpr(
+        "stack(7,"
+        " 'n_train', CAST(n_train AS DOUBLE),"
+        " 'n_cal', CAST(n_cal AS DOUBLE),"
+        " 'n_test', CAST(n_test AS DOUBLE),"
+        " 'q_cents', CAST(q_cents AS DOUBLE),"
+        " 'coverage', coverage,"
+        f" 'target', CAST({100 - CONF_ALPHA_PCT} AS DOUBLE) / 100,"
+        " 'avg_width_cents', CAST(2 * q_cents AS DOUBLE))"
+        " AS (stat, value)"
+    )
+
+
+ORACLE_CONFORMAL = f"""
+cf_feats AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x1,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x2,
+         CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * {OLS_Y_SCALE}) AS BIGINT) END), 0)
+              AS BIGINT) AS y,
+         CAST(('0x' || substr(md5('conf:' || CAST(user_id AS VARCHAR)),
+               1, 13)) AS BIGINT) % 4 AS split
+  FROM events GROUP BY 1
+),
+cf_m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS dn,
+         CAST(sum(x1) AS DOUBLE) AS a1,
+         CAST(sum(x2) AS DOUBLE) AS a2,
+         CAST(sum(x1 * x1) AS DOUBLE) AS a11,
+         CAST(sum(x1 * x2) AS DOUBLE) AS a12,
+         CAST(sum(x2 * x2) AS DOUBLE) AS a22,
+         CAST(sum(y) AS DOUBLE) AS b0,
+         CAST(sum(x1 * y) AS DOUBLE) AS b1,
+         CAST(sum(x2 * y) AS DOUBLE) AS b2,
+         CAST(count(*) AS BIGINT) AS n_train
+  FROM cf_feats WHERE split <= 1
+),
+cf_d AS (
+  SELECT n_train,
+         dn * (a11 * a22 - a12 * a12) - a1 * (a1 * a22 - a12 * a2)
+           + a2 * (a1 * a12 - a11 * a2) AS det,
+         b0 * (a11 * a22 - a12 * a12) - a1 * (b1 * a22 - a12 * b2)
+           + a2 * (b1 * a12 - a11 * b2) AS det0,
+         dn * (b1 * a22 - a12 * b2) - b0 * (a1 * a22 - a12 * a2)
+           + a2 * (a1 * b2 - b1 * a2) AS det1,
+         dn * (a11 * b2 - b1 * a12) - a1 * (a1 * b2 - b1 * a2)
+           + b0 * (a1 * a12 - a11 * a2) AS det2
+  FROM cf_m
+),
+cf_b AS (
+  SELECT n_train, round(det0 / det, 6) AS beta0,
+         round(det1 / det, 6) AS beta1, round(det2 / det, 6) AS beta2
+  FROM cf_d
+),
+cf_scored AS (
+  SELECT f.split, f.y, m.n_train,
+         CAST(f.y AS DOUBLE)
+           - (m.beta0 + m.beta1 * f.x1 + m.beta2 * f.x2) AS resid
+  FROM cf_feats f, cf_b m
+),
+cf_hist AS (
+  SELECT least(CAST(floor(abs(resid) / {CONF_BUCKET}) AS BIGINT),
+               {CONF_MAX_BUCKETS - 1}) AS bucket,
+         count(*) AS cnt
+  FROM cf_scored WHERE split = 2
+  GROUP BY 1
+),
+cf_q AS (
+  SELECT n_cal, (bucket + 1) * {CONF_BUCKET} AS q_cents
+  FROM (
+    SELECT bucket,
+           sum(cnt) OVER (ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cnt) OVER () AS n_cal
+    FROM cf_hist
+  )
+  WHERE cum * 100 >= n_cal * {100 - CONF_ALPHA_PCT}
+  ORDER BY bucket LIMIT 1
+),
+cf_cov AS (
+  SELECT CAST(max(s.n_train) AS BIGINT) AS n_train,
+         CAST(max(q.n_cal) AS BIGINT) AS n_cal,
+         CAST(count(*) AS BIGINT) AS n_test,
+         CAST(max(q.q_cents) AS BIGINT) AS q_cents,
+         round(sum(CASE WHEN abs(s.resid) <= q.q_cents
+                        THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 4) AS coverage
+  FROM cf_scored s, cf_q q WHERE s.split = 3
+),
+conformal_ols AS (
+  SELECT 'n_train' AS stat, CAST(n_train AS DOUBLE) AS value FROM cf_cov
+  UNION ALL SELECT 'n_cal', CAST(n_cal AS DOUBLE) FROM cf_cov
+  UNION ALL SELECT 'n_test', CAST(n_test AS DOUBLE) FROM cf_cov
+  UNION ALL SELECT 'q_cents', CAST(q_cents AS DOUBLE) FROM cf_cov
+  UNION ALL SELECT 'coverage', coverage FROM cf_cov
+  UNION ALL SELECT 'target',
+    CAST({100 - CONF_ALPHA_PCT} AS DOUBLE) / 100 FROM cf_cov
+  UNION ALL SELECT 'avg_width_cents', CAST(2 * q_cents AS DOUBLE)
+  FROM cf_cov
 )
 """

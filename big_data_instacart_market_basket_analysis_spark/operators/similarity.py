@@ -3047,3 +3047,117 @@ graph_ann_recall AS (
   FROM garq q LEFT JOIN garh h ON q.query_id = h.query_id
 )"""
     )
+
+
+# ---------------------------------------------------------------------------
+# simplified (centroid-based) silhouette for the IVF cells
+# ---------------------------------------------------------------------------
+
+
+def cell_silhouette(emb: DataFrame) -> DataFrame:
+    """Simplified silhouette (the centroid-based variant every
+    large-scale clustering eval uses — exact silhouette is all-pairs):
+    per vector a = cosine distance to its own centroid, b = distance
+    to the runner-up centroid, s = (b - a) / max(a, b); rolled up per
+    cell plus an overall row (cell = -1). The quality score that
+    decides whether an IVF/k-means partitioning is worth its salt.
+
+    Scale: score vs the broadcast centroid table (~sqrt(N) rows), one
+    rank-2 window per vector (C candidates per partition), one
+    cell-grain agg — the same N*C shape as IVF assignment itself.
+    Output: cell, n_vectors, avg_sil (round 6).
+    """
+    vecs = emb.select("vec_id", _as_double("embedding").alias("v"))
+    cents = _ivf_centroids(emb)
+    scored = (
+        vecs.join(F.broadcast(cents))
+        .withColumn(
+            "cos",
+            F.expr(_DOT.format(a="v", b="centv"))
+            / (
+                F.sqrt(F.expr(_DOT.format(a="v", b="v")))
+                * F.col("centnorm")
+            ),
+        )
+        .select("vec_id", "centroid_id", "cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id")
+    )
+    top2 = scored.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= 2
+    )
+    per_vec = top2.groupBy("vec_id").agg(
+        F.max(F.when(F.col("r") == 1, F.col("centroid_id"))).alias(
+            "cell"
+        ),
+        F.max(F.when(F.col("r") == 1, F.lit(1.0) - F.col("cos"))).alias(
+            "a"
+        ),
+        F.max(F.when(F.col("r") == 2, F.lit(1.0) - F.col("cos"))).alias(
+            "b"
+        ),
+    )
+    sil = per_vec.select(
+        "cell",
+        (
+            (F.col("b") - F.col("a"))
+            / F.greatest(F.col("a"), F.col("b"))
+        ).alias("s"),
+    )
+    per_cell = sil.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("s"), 6).alias("avg_sil"),
+    )
+    overall = sil.agg(
+        F.lit(-1).cast("bigint").alias("cell"),
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("s"), 6).alias("avg_sil"),
+    )
+    return per_cell.unionByName(overall)
+
+
+ORACLE_CELL_SILHOUETTE = f"""
+cs_v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cs_c AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS centnorm
+  FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+),
+cs_top2 AS (
+  SELECT vec_id, centroid_id, cos, r FROM (
+    SELECT x.vec_id, c.centroid_id,
+           list_dot_product(x.v, c.centv)
+             / (sqrt(list_dot_product(x.v, x.v)) * c.centnorm) AS cos,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY list_dot_product(x.v, c.centv)
+                      / (sqrt(list_dot_product(x.v, x.v)) * c.centnorm)
+                      DESC, c.centroid_id) AS r
+    FROM cs_v x, cs_c c
+  ) WHERE r <= 2
+),
+cs_pv AS (
+  SELECT vec_id,
+         max(CASE WHEN r = 1 THEN centroid_id END) AS cell,
+         max(CASE WHEN r = 1 THEN 1.0 - cos END) AS a,
+         max(CASE WHEN r = 2 THEN 1.0 - cos END) AS b
+  FROM cs_top2 GROUP BY 1
+),
+cs_s AS (
+  SELECT cell, (b - a) / greatest(a, b) AS s FROM cs_pv
+),
+cell_silhouette AS (
+  SELECT CAST(cell AS BIGINT) AS cell,
+         CAST(count(*) AS BIGINT) AS n_vectors,
+         round(avg(s), 6) AS avg_sil
+  FROM cs_s GROUP BY 1
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+         round(avg(s), 6)
+  FROM cs_s
+)
+"""

@@ -5343,3 +5343,127 @@ attribution_report AS (
   FROM at_p WHERE pid NOT IN (SELECT DISTINCT pid FROM at_j)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# revenue concentration: Lorenz curve + Gini coefficient
+# ---------------------------------------------------------------------------
+
+LORENZ_POINTS = 10
+
+
+def revenue_concentration(events: DataFrame) -> DataFrame:
+    """Lorenz curve (decile grain) + exact Gini coefficient of
+    per-user purchase revenue — the concentration readout behind
+    "top X% of users drive Y% of revenue". Spend is integer cents, so
+    ranks, cumulative sums, and the Gini rank formula
+
+        G = 2 * sum(i * g_i) / (n * sum(g)) - (n + 1) / n
+
+    are exact integer aggregates until two final divisions (round 6).
+
+    The rank window runs at USER grain — the dimension-sized table
+    (the same stance as ``user_spend_deciles``'s ntile); the
+    corpus-sized work is the one groupBy above it. Output rows:
+    'gini' + one Lorenz point per decile (cum_pop_frac,
+    cum_revenue_frac round 6).
+    """
+    spend = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(floor(value * {AR2_VAL_SCALE}) AS BIGINT)")
+            ).alias("g")
+        )
+    )
+    w = Window.orderBy("g", "user_id")
+    ranked = spend.select(
+        "g", F.row_number().over(w).alias("i")
+    )
+    gini = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("i") * F.col("g")).alias("sig"),
+    ).select(
+        F.lit("gini").alias("stat"),
+        F.lit(None).cast("int").alias("decile"),
+        F.round(
+            F.lit(2) * F.col("sig")
+            / (F.col("n") * F.col("sg").cast("double"))
+            - (F.col("n") + 1) / F.col("n").cast("double"),
+            6,
+        ).alias("value"),
+        F.lit(None).cast("double").alias("cum_revenue_frac"),
+    )
+    totals = ranked.agg(
+        F.count("*").alias("n"), F.sum("g").alias("sg")
+    )
+    lorenz = (
+        ranked.crossJoin(F.broadcast(totals))
+        .select(
+            F.expr(f"(i * {LORENZ_POINTS} + n - 1) DIV n").alias(
+                "decile"
+            ),
+            "g",
+            "sg",
+        )
+        .groupBy("decile")
+        .agg(F.sum("g").alias("dg"), F.first("sg").alias("sg"))
+        .select(
+            F.lit("lorenz").alias("stat"),
+            F.col("decile").cast("int"),
+            (F.col("decile") / F.lit(float(LORENZ_POINTS))).alias(
+                "value"
+            ),
+            F.round(
+                F.sum("dg").over(
+                    Window.orderBy("decile").rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                )
+                / F.col("sg").cast("double"),
+                6,
+            ).alias("cum_revenue_frac"),
+        )
+    )
+    return gini.unionByName(lorenz)
+
+
+ORACLE_REVENUE_CONCENTRATION = f"""
+rc_spend AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * {AR2_VAL_SCALE}) AS BIGINT))
+              AS BIGINT) AS g
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+rc_ranked AS (
+  SELECT g, row_number() OVER (ORDER BY g, user_id) AS i FROM rc_spend
+),
+rc_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(g) AS BIGINT) AS sg,
+         CAST(sum(i * g) AS BIGINT) AS sig
+  FROM rc_ranked
+),
+rc_lorenz AS (
+  SELECT (i * {LORENZ_POINTS} + t.n - 1) // t.n AS decile,
+         CAST(sum(g) AS BIGINT) AS dg, max(t.sg) AS sg
+  FROM rc_ranked r, rc_tot t
+  GROUP BY 1
+),
+revenue_concentration AS (
+  SELECT 'gini' AS stat, CAST(NULL AS INT) AS decile,
+         round(2 * sig / (n * CAST(sg AS DOUBLE))
+               - (n + 1) / CAST(n AS DOUBLE), 6) AS value,
+         CAST(NULL AS DOUBLE) AS cum_revenue_frac
+  FROM rc_tot
+  UNION ALL
+  SELECT 'lorenz', CAST(decile AS INT),
+         decile / CAST({LORENZ_POINTS} AS DOUBLE),
+         round(sum(dg) OVER (ORDER BY decile
+                             ROWS UNBOUNDED PRECEDING)
+               / CAST(sg AS DOUBLE), 6)
+  FROM rc_lorenz
+)
+"""
