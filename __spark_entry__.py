@@ -1121,6 +1121,12 @@ def q_docs_er_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.er_matches(_docs(spark, sf_dir))
 
 
+def q_docs_template_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-normalized duplicate groups (digits->0, whitespace
+    collapsed) — the boilerplate families exact dedup misses."""
+    return _dedup.template_dedup(_docs(spark, sf_dir))
+
+
 def q_docs_phonetic_er(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phonetic-blocked ER: simplified-Soundex first-word blocks
     (spelling-robust), stop-block cap, Levenshtein verify."""
@@ -1581,6 +1587,13 @@ def q_ml_ols_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified OLS: closed-form normal-equation solve (one moment agg
     + Cramer 3x3), coefficients/R2 engine-exact."""
     return _glm.ols_train(load_table(spark, sf_dir, "events"))
+
+
+def q_ml_ols_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-fold OLS cross-validation trained in ONE pass (per-fold
+    moment rows; training moments by subtraction; held-out R2 from
+    the algebraic SSE expansion)."""
+    return _glm.ols_cv(load_table(spark, sf_dir, "events"))
 
 
 def q_ml_conformal_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2561,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dbscan": q_events_dbscan,
         "ml_logreg_verified": q_ml_logreg_verified,
         "ml_ols_verified": q_ml_ols_verified,
+        "ml_ols_cv": q_ml_ols_cv,
         "ml_conformal_ols": q_ml_conformal_ols,
         "ml_als_verified": q_ml_als_verified,
         "negative_samples": q_negative_samples,
@@ -2716,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy_prefix": q_dedup_fuzzy_prefix,
         "docs_er_matches": q_docs_er_matches,
         "docs_phonetic_er": q_docs_phonetic_er,
+        "docs_template_dedup": q_docs_template_dedup,
         "text_phrase_search": q_text_phrase_search,
         "events_ab_test": q_events_ab_test,
         "events_sketch_rollup": q_events_sketch_rollup,
@@ -3256,6 +3271,9 @@ def oracle_sql() -> dict[str, str]:
         "ml_conformal_ols": _ext_oracle(
             [_glm.ORACLE_CONFORMAL], "conformal_ols"
         ),
+        "ml_ols_cv": _ext_oracle(
+            [_glm.oracle_ols_cv()], "ols_cv"
+        ),
         "events_dbscan": _ext_oracle(
             [_clu.ORACLE_DBSCAN], "dbscan_clusters", recursive=True
         ),
@@ -3426,6 +3444,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_phonetic_er": _ext_oracle(
             [_dedup.ORACLE_PHONETIC_ER], "phonetic_er_pairs"
+        ),
+        "docs_template_dedup": _ext_oracle(
+            [_dedup.ORACLE_TEMPLATE_DEDUP], "template_dedup"
         ),
         "text_phrase_search": _ext_oracle(
             [_text.ORACLE_PHRASE_SEARCH], "phrase_search"

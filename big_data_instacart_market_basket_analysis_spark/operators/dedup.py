@@ -1990,3 +1990,57 @@ winnowing_pairs AS (
   HAVING count(*) >= {WIN_MIN_SHARED}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# template-normalized dedup (boilerplate detection)
+# ---------------------------------------------------------------------------
+
+
+def template_dedup(docs: DataFrame) -> DataFrame:
+    """Template-normalized duplicate groups: lowercase, map every
+    digit run to '0', collapse whitespace runs, THEN group by the
+    md5 of the normalized text. Catches the boilerplate exact dedup
+    misses — "Order #1234 shipped" / "Order #98765 shipped" collapse
+    to one template — which is the dominant duplication mode in
+    scraped logs/receipts/forms. Normalization uses only portable
+    regex classes ([0-9], whitespace) so Java regex and RE2 agree.
+
+    Map-only normalize + one hash-agg on the 16-byte fingerprint
+    (identical cost profile to ``exact_dedup``). Output: one row per
+    template with >1 member — template_hash, n_docs, keep_doc_id
+    (lowest id), example of the scale of each boilerplate family.
+    """
+    norm = F.md5(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "0"),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        docs.select("doc_id", norm.alias("template_hash"))
+        .groupBy("template_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+ORACLE_TEMPLATE_DEDUP = """
+td_norm AS (
+  SELECT doc_id,
+         md5(regexp_replace(regexp_replace(lower(text),
+             '[0-9]+', '0', 'g'), '\\s+', ' ', 'g')) AS template_hash
+  FROM documents
+),
+template_dedup AS (
+  SELECT template_hash, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+  FROM td_norm
+  GROUP BY 1
+  HAVING count(*) > 1
+)
+"""

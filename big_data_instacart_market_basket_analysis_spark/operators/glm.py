@@ -632,3 +632,220 @@ conformal_ols AS (
   FROM cf_cov
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# k-fold OLS cross-validation by moment subtraction (one pass)
+# ---------------------------------------------------------------------------
+
+OLS_CV_FOLDS = 4
+
+
+def ols_cv(events: DataFrame, k: int = OLS_CV_FOLDS) -> DataFrame:
+    """Leakage-safe k-fold CV for the closed-form OLS — trained for
+    ALL folds in ONE corpus pass: per-fold second-order moments from
+    one grouped agg, each fold's training moments by SUBTRACTION
+    (total - fold), betas by the same Cramer solve, and the held-out
+    fold's SSE expanded algebraically from its own moments
+    (SSE = Syy + b'X'Xb - 2 b'X'y — no second scan, no per-fold
+    filter jobs). The same trick the NB classifier's k-fold CV uses
+    (count subtraction); here it is moment subtraction.
+
+    Scale: one hash-agg over users grouped by the md5 fold -> k
+    moment rows; everything else is 1-row-per-fold algebra. k-fold CV
+    costs exactly what a single fit costs. Output per fold: fold,
+    n_test, beta0/1/2 (round 6), r2_test (round 6).
+    """
+    feats = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x1"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("x2"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr(
+                        f"CAST(floor(value * {OLS_Y_SCALE}) AS BIGINT)"
+                    ),
+                )
+            ),
+            F.lit(0),
+        ).alias("y"),
+    ).select(
+        "*",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("olscv:"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % k
+        ).alias("fold"),
+    )
+    fm = feats.groupBy("fold").agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    tot = fm.agg(
+        *[
+            F.sum(c).alias(f"t_{c}")
+            for c in (
+                "n", "sx1", "sx2", "sx11", "sx12", "sx22",
+                "sy", "sx1y", "sx2y", "syy",
+            )
+        ]
+    )
+    tr = fm.crossJoin(F.broadcast(tot)).selectExpr(
+        "fold",
+        "CAST(n AS BIGINT) AS n_test",
+        # held-out fold's own moments (doubles for the SSE expansion)
+        *[
+            f"CAST({c} AS DOUBLE) AS f_{c}"
+            for c in (
+                "n", "sx1", "sx2", "sx11", "sx12", "sx22",
+                "sy", "sx1y", "sx2y", "syy",
+            )
+        ],
+        # training moments by subtraction
+        "CAST(t_n - n AS DOUBLE) AS dn",
+        "CAST(t_sx1 - sx1 AS DOUBLE) AS a1",
+        "CAST(t_sx2 - sx2 AS DOUBLE) AS a2",
+        "CAST(t_sx11 - sx11 AS DOUBLE) AS a11",
+        "CAST(t_sx12 - sx12 AS DOUBLE) AS a12",
+        "CAST(t_sx22 - sx22 AS DOUBLE) AS a22",
+        "CAST(t_sy - sy AS DOUBLE) AS b0",
+        "CAST(t_sx1y - sx1y AS DOUBLE) AS b1",
+        "CAST(t_sx2y - sx2y AS DOUBLE) AS b2",
+    ).selectExpr(
+        "fold", "n_test",
+        "f_syy", "f_sy", "f_n", "f_sx1", "f_sx2", "f_sx11",
+        "f_sx12", "f_sx22", "f_sx1y", "f_sx2y",
+        "dn * (a11 * a22 - a12 * a12) - a1 * (a1 * a22 - a12 * a2)"
+        " + a2 * (a1 * a12 - a11 * a2) AS det",
+        "b0 * (a11 * a22 - a12 * a12) - a1 * (b1 * a22 - a12 * b2)"
+        " + a2 * (b1 * a12 - a11 * b2) AS det0",
+        "dn * (b1 * a22 - a12 * b2) - b0 * (a1 * a22 - a12 * a2)"
+        " + a2 * (a1 * b2 - b1 * a2) AS det1",
+        "dn * (a11 * b2 - b1 * a12) - a1 * (a1 * b2 - b1 * a2)"
+        " + b0 * (a1 * a12 - a11 * a2) AS det2",
+    ).selectExpr(
+        "fold", "n_test",
+        "f_syy", "f_sy", "f_n", "f_sx1", "f_sx2", "f_sx11",
+        "f_sx12", "f_sx22", "f_sx1y", "f_sx2y",
+        "round(det0 / det, 6) AS beta0",
+        "round(det1 / det, 6) AS beta1",
+        "round(det2 / det, 6) AS beta2",
+    ).selectExpr(
+        "fold", "n_test", "beta0", "beta1", "beta2",
+        # SSE expanded from held-out moments with the ROUNDED betas
+        "round(1.0 - (f_syy + beta0 * beta0 * f_n"
+        " + beta1 * beta1 * f_sx11 + beta2 * beta2 * f_sx22"
+        " - 2 * beta0 * f_sy - 2 * beta1 * f_sx1y"
+        " - 2 * beta2 * f_sx2y + 2 * beta0 * beta1 * f_sx1"
+        " + 2 * beta0 * beta2 * f_sx2 + 2 * beta1 * beta2 * f_sx12)"
+        " / (f_syy - f_sy * f_sy / f_n), 6) AS r2_test",
+    )
+    return tr
+
+
+def oracle_ols_cv(k: int = OLS_CV_FOLDS) -> str:
+    cols = (
+        "n", "sx1", "sx2", "sx11", "sx12", "sx22",
+        "sy", "sx1y", "sx2y", "syy",
+    )
+    tot_sel = ", ".join(f"sum({c}) AS t_{c}" for c in cols)
+    f_sel = ", ".join(f"CAST({c} AS DOUBLE) AS f_{c}" for c in cols)
+    return f"""
+ocv_feats AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x1,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x2,
+         CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * {OLS_Y_SCALE}) AS BIGINT) END), 0)
+              AS BIGINT) AS y,
+         CAST(('0x' || substr(md5('olscv:' || CAST(user_id AS VARCHAR)),
+               1, 13)) AS BIGINT) % {k} AS fold
+  FROM events GROUP BY 1
+),
+ocv_fm AS (
+  SELECT fold, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS sx1,
+         CAST(sum(x2) AS BIGINT) AS sx2,
+         CAST(sum(x1 * x1) AS BIGINT) AS sx11,
+         CAST(sum(x1 * x2) AS BIGINT) AS sx12,
+         CAST(sum(x2 * x2) AS BIGINT) AS sx22,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+         CAST(sum(x2 * y) AS BIGINT) AS sx2y,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM ocv_feats GROUP BY 1
+),
+ocv_tot AS (SELECT {tot_sel} FROM ocv_fm),
+ocv_tr AS (
+  SELECT fold, n AS n_test, {f_sel},
+         CAST(t_n - n AS DOUBLE) AS dn,
+         CAST(t_sx1 - sx1 AS DOUBLE) AS a1,
+         CAST(t_sx2 - sx2 AS DOUBLE) AS a2,
+         CAST(t_sx11 - sx11 AS DOUBLE) AS a11,
+         CAST(t_sx12 - sx12 AS DOUBLE) AS a12,
+         CAST(t_sx22 - sx22 AS DOUBLE) AS a22,
+         CAST(t_sy - sy AS DOUBLE) AS b0,
+         CAST(t_sx1y - sx1y AS DOUBLE) AS b1,
+         CAST(t_sx2y - sx2y AS DOUBLE) AS b2
+  FROM ocv_fm, ocv_tot
+),
+ocv_d AS (
+  SELECT fold, n_test, f_syy, f_sy, f_n, f_sx1, f_sx2, f_sx11,
+         f_sx12, f_sx22, f_sx1y, f_sx2y,
+         dn * (a11 * a22 - a12 * a12) - a1 * (a1 * a22 - a12 * a2)
+           + a2 * (a1 * a12 - a11 * a2) AS det,
+         b0 * (a11 * a22 - a12 * a12) - a1 * (b1 * a22 - a12 * b2)
+           + a2 * (b1 * a12 - a11 * b2) AS det0,
+         dn * (b1 * a22 - a12 * b2) - b0 * (a1 * a22 - a12 * a2)
+           + a2 * (a1 * b2 - b1 * a2) AS det1,
+         dn * (a11 * b2 - b1 * a12) - a1 * (a1 * b2 - b1 * a2)
+           + b0 * (a1 * a12 - a11 * a2) AS det2
+  FROM ocv_tr
+),
+ocv_b AS (
+  SELECT fold, n_test, f_syy, f_sy, f_n, f_sx1, f_sx2, f_sx11,
+         f_sx12, f_sx22, f_sx1y, f_sx2y,
+         round(det0 / det, 6) AS beta0,
+         round(det1 / det, 6) AS beta1,
+         round(det2 / det, 6) AS beta2
+  FROM ocv_d
+),
+ols_cv AS (
+  SELECT fold, n_test, beta0, beta1, beta2,
+         round(1.0 - (f_syy + beta0 * beta0 * f_n
+               + beta1 * beta1 * f_sx11 + beta2 * beta2 * f_sx22
+               - 2 * beta0 * f_sy - 2 * beta1 * f_sx1y
+               - 2 * beta2 * f_sx2y + 2 * beta0 * beta1 * f_sx1
+               + 2 * beta0 * beta2 * f_sx2
+               + 2 * beta1 * beta2 * f_sx12)
+               / (f_syy - f_sy * f_sy / f_n), 6) AS r2_test
+  FROM ocv_b
+)
+"""
