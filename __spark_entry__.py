@@ -1204,7 +1204,18 @@ def q_plan_lint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "ann_brute_force": _sim.brute_force_topk(_emb(spark, sf_dir)),
         "text_quality": _text.quality_scores(_docs(spark, sf_dir)),
+        # round-3 heavies: the navigable-graph beam (staged-index
+        # joins + per-round windows) and the bootstrap forest (per-
+        # tree weighted hist aggs) — the two most join-dense new plans
+        "ann_graph_beam": _sim.graph_ann_topk(_emb(spark, sf_dir)),
     }
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        trees as _trees,
+    )
+
+    plans["ml_rf_verified"] = _trees.rf_train(
+        load_table(spark, sf_dir, "events")
+    )
     return _prof.lint_report(spark, plans)
 
 

@@ -2833,10 +2833,17 @@ def graph_ann_topk(
                 F.expr(_DOT.format(a="qv", b="centv")) / F.col("centnorm"),
             )
         )
+        # each round references the previous frontier TWICE (carry +
+        # expand) — unchecked, the logical plan doubles per round
+        # (2^rounds subplan copies; the plan linter measured 64 BNL
+        # nodes at 3+3 rounds). The frontier is n_queries x beam rows
+        # (tiny), so an eager checkpoint per round keeps the plan
+        # linear for the price of a millisecond job.
         nav = (
             scored.withColumn("r", F.row_number().over(wq_c))
             .filter(F.col("r") <= GANN_NAV_BEAM)
             .select("query_id", "cid")
+            .localCheckpoint(eager=True)
         )
     frontier = nav.select("query_id", F.col("cid").alias("node"))
     wq_n = Window.partitionBy("query_id").orderBy(
@@ -2860,6 +2867,7 @@ def graph_ann_topk(
             scored.withColumn("r", F.row_number().over(wq_n))
             .filter(F.col("r") <= GANN_BEAM)
             .select("query_id", "node", "s")
+            .localCheckpoint(eager=True)
         )
     out = frontier.filter(F.col("node") != F.col("query_id"))
     wk = Window.partitionBy("query_id").orderBy(
