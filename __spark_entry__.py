@@ -2485,6 +2485,13 @@ def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.matryoshka_recall(_emb(spark, sf_dir))
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between corpus halves: mean-vector
+    cosine, L2 shift, worst dimension — the vector companion of the
+    scalar PSI/KS drift reports."""
+    return _sim.embedding_drift_report(_emb(spark, sf_dir))
+
+
 def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroid-based silhouette per IVF cell + overall — the
     clustering-quality score (exact silhouette is all-pairs; the
@@ -2832,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_graph_beam": q_ann_graph_beam,
         "ann_graph_recall": q_ann_graph_recall,
         "embedding_silhouette": q_embedding_silhouette,
+        "embedding_drift": q_embedding_drift,
         "idle_rich_customers": q_idle_rich_customers,
         "incremental_join_view": q_incremental_join_view,
         "late_order_priorities": q_late_order_priorities,
@@ -3689,6 +3697,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_silhouette": _ext_oracle(
             [_sim.ORACLE_CELL_SILHOUETTE], "cell_silhouette"
+        ),
+        "embedding_drift": _ext_oracle(
+            [_sim.ORACLE_EMBEDDING_DRIFT], "embedding_drift_report"
         ),
         "ann_graph_recall": _ext_oracle(
             [_sim.oracle_graph_ann_recall()], "graph_ann_recall"

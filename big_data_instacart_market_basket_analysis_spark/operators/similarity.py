@@ -3169,3 +3169,124 @@ cell_silhouette AS (
   FROM cs_s
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding distribution drift (deploy-monitoring for the vector space)
+# ---------------------------------------------------------------------------
+
+EMB_DIMS = 64
+
+
+def embedding_drift_report(emb: DataFrame) -> DataFrame:
+    """Embedding-space drift between two corpus halves (vec_id parity
+    stands in for old-batch/new-batch) — the vector-space companion
+    of the scalar PSI/KS drift reports: when the embedding model or
+    upstream content shifts, the per-dimension mean vector moves, and
+    this report quantifies it — cosine between the two mean vectors,
+    L2 shift, and the worst-shifted dimension.
+
+    Exactness protocol: per-(half, dim) component sums are rounded at
+    6dp (fold-order noise ~1e-13 at these magnitudes), means at 9dp;
+    the 64-term cosine/L2 folds run over the tiny mean table. Scale:
+    one (half, dim) hash-agg over the exploded corpus — 128 output
+    rows regardless of corpus size. Output (stat, value): n_a, n_b,
+    mean_cosine, l2_shift, max_dim_shift, max_dim.
+    """
+    ex = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(_as_double("embedding")).alias("dim", "v"),
+    )
+    means = (
+        ex.groupBy("half", "dim")
+        .agg(F.round(F.sum("v"), 6).alias("s"), F.count("*").alias("n"))
+        .select(
+            "half",
+            "dim",
+            F.round(F.col("s") / F.col("n"), 9).alias("m"),
+        )
+    )
+    piv = means.groupBy("dim").agg(
+        F.max(F.when(F.col("half") == 0, F.col("m"))).alias("ma"),
+        F.max(F.when(F.col("half") == 1, F.col("m"))).alias("mb"),
+    )
+    stats = piv.agg(
+        F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+        F.sum(F.col("ma") * F.col("ma")).alias("na2"),
+        F.sum(F.col("mb") * F.col("mb")).alias("nb2"),
+        F.sum(
+            (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+        ).alias("l2sq"),
+        F.max(F.abs(F.col("ma") - F.col("mb"))).alias("max_shift"),
+        # tie-break packed into one double key (means are 9dp-
+        # quantized, so distinct shifts differ by >= ~1e-9; the 1e12
+        # scale dwarfs the dim penalty) — DuckDB arg_max rejects
+        # struct keys, so both engines use the identical scalar key
+        F.expr("max_by(dim, abs(ma - mb) * 1e12 - dim)").alias(
+            "max_dim"
+        ),
+    )
+    counts = emb.groupBy((F.col("vec_id") % 2).alias("half")).count()
+    n_a = counts.filter(F.col("half") == 0).select(
+        F.col("count").alias("n_a")
+    )
+    n_b = counts.filter(F.col("half") == 1).select(
+        F.col("count").alias("n_b")
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_a))
+        .crossJoin(F.broadcast(n_b))
+        .selectExpr(
+            "stack(6,"
+            " 'n_a', CAST(n_a AS DOUBLE),"
+            " 'n_b', CAST(n_b AS DOUBLE),"
+            " 'mean_cosine', round(dot / (sqrt(na2) * sqrt(nb2)), 6),"
+            " 'l2_shift', round(sqrt(l2sq), 6),"
+            " 'max_dim_shift', round(max_shift, 6),"
+            " 'max_dim', CAST(max_dim AS DOUBLE)) AS (stat, value)"
+        )
+    )
+
+
+ORACLE_EMBEDDING_DRIFT = f"""
+ed_ex AS (
+  SELECT vec_id % 2 AS half, i AS dim,
+         CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings, LATERAL unnest(range(0, {EMB_DIMS})) AS t(i)
+),
+ed_means AS (
+  SELECT half, dim, round(round(sum(v), 6) / count(*), 9) AS m
+  FROM ed_ex GROUP BY 1, 2
+),
+ed_piv AS (
+  SELECT dim,
+         max(CASE WHEN half = 0 THEN m END) AS ma,
+         max(CASE WHEN half = 1 THEN m END) AS mb
+  FROM ed_means GROUP BY 1
+),
+ed_stats AS (
+  SELECT sum(ma * mb) AS dot, sum(ma * ma) AS na2,
+         sum(mb * mb) AS nb2,
+         sum((ma - mb) * (ma - mb)) AS l2sq,
+         max(abs(ma - mb)) AS max_shift,
+         arg_max(dim, abs(ma - mb) * 1e12 - dim) AS max_dim
+  FROM ed_piv
+),
+ed_counts AS (
+  SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b
+  FROM embeddings
+),
+embedding_drift_report AS (
+  SELECT 'n_a' AS stat, CAST(n_a AS DOUBLE) AS value
+  FROM ed_counts
+  UNION ALL SELECT 'n_b', CAST(n_b AS DOUBLE) FROM ed_counts
+  UNION ALL SELECT 'mean_cosine',
+    round(dot / (sqrt(na2) * sqrt(nb2)), 6) FROM ed_stats
+  UNION ALL SELECT 'l2_shift', round(sqrt(l2sq), 6) FROM ed_stats
+  UNION ALL SELECT 'max_dim_shift', round(max_shift, 6) FROM ed_stats
+  UNION ALL SELECT 'max_dim', CAST(max_dim AS DOUBLE) FROM ed_stats
+)
+"""

@@ -781,6 +781,28 @@ def test_triangle_counts_match_bruteforce(spark, edges):
     assert got == expect
 
 
+def test_template_dedup_collapses_boilerplate(spark):
+    """Docs differing only in digit runs / whitespace collapse to one
+    template group; genuinely different text does not."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        dedup as D,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Order #1234  shipped to zone 9"),
+            (2, "order #98765 shipped  to zone 12"),
+            (3, "ORDER #5 shipped to zone 0"),
+            (4, "payment 77 failed"),
+            (5, "payment 9000 failed"),
+            (6, "a completely different document"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["keep_doc_id"]: r["n_docs"] for r in D.template_dedup(docs).collect()}
+    assert rows == {1: 3, 4: 2}
+
+
 def test_hilbert_key_matches_reference_and_injective(spark):
     """The unrolled Hilbert walk must equal the canonical xy2d loop
     (pure-Python reference) on corners + LCG-scattered points, and be
