@@ -2485,6 +2485,13 @@ def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.matryoshka_recall(_emb(spark, sf_dir))
 
 
+def q_ann_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking eval (NDCG@k + MRR) of the IVF and graph-beam
+    indexes vs exact cosine truth — position-aware quality on top of
+    the recall harnesses."""
+    return _sim.retrieval_eval_report(_emb(spark, sf_dir))
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift between corpus halves: mean-vector
     cosine, L2 shift, worst dimension — the vector companion of the
@@ -2840,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_graph_recall": q_ann_graph_recall,
         "embedding_silhouette": q_embedding_silhouette,
         "embedding_drift": q_embedding_drift,
+        "ann_retrieval_eval": q_ann_retrieval_eval,
         "idle_rich_customers": q_idle_rich_customers,
         "incremental_join_view": q_incremental_join_view,
         "late_order_priorities": q_late_order_priorities,
@@ -3700,6 +3708,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_drift": _ext_oracle(
             [_sim.ORACLE_EMBEDDING_DRIFT], "embedding_drift_report"
+        ),
+        "ann_retrieval_eval": _ext_oracle(
+            [_sim.oracle_retrieval_eval()], "retrieval_eval"
         ),
         "ann_graph_recall": _ext_oracle(
             [_sim.oracle_graph_ann_recall()], "graph_ann_recall"

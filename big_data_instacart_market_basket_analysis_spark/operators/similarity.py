@@ -3290,3 +3290,132 @@ embedding_drift_report AS (
   UNION ALL SELECT 'max_dim', CAST(max_dim AS DOUBLE) FROM ed_stats
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# retrieval evaluation: NDCG@k + MRR vs exact ground truth
+# ---------------------------------------------------------------------------
+
+
+def retrieval_eval_report(emb: DataFrame) -> DataFrame:
+    """Graded ranking evaluation of the approximate indexes against
+    exact cosine truth — recall@k (already shipped per index) says
+    WHETHER the right documents surface; NDCG@k and MRR say WHERE.
+    Relevance grades derive from the exact ranking (rel = k+1-rank
+    for the true top-k, 0 otherwise); per query
+    DCG = sum rel_i / log2(i+1) over the APPROX ranking, IDCG over
+    the ideal (= exact) ranking, and MRR uses the first relevant hit.
+
+    Everything is joins/aggs on the k-row-per-query result tables —
+    evaluation cost is independent of corpus size. log2 terms are
+    libm-deterministic constants; per-query ratios round at 9dp,
+    system means at 6dp. Output per system: system, n_queries,
+    mean_ndcg, mrr.
+    """
+    truth = brute_force_topk(emb).select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(TOP_K + 1) - F.col("rank")).alias("rel"),
+        F.col("rank").alias("ideal_rank"),
+    )
+    idcg = truth.groupBy("query_id").agg(
+        F.sum(
+            F.col("rel") / F.log2(F.col("ideal_rank") + 1)
+        ).alias("idcg")
+    )
+    systems = {
+        "ivf": ivf_ann_topk(emb),
+        "graph_beam": graph_ann_topk(emb),
+    }
+    out = None
+    for name, approx in systems.items():
+        scored = (
+            approx.select("query_id", "neighbor_id", "rank")
+            .join(
+                truth.select("query_id", "neighbor_id", "rel"),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .select(
+                "query_id",
+                "rank",
+                F.coalesce("rel", F.lit(0)).alias("rel"),
+            )
+        )
+        per_q = (
+            scored.groupBy("query_id")
+            .agg(
+                F.sum(
+                    F.col("rel") / F.log2(F.col("rank") + 1)
+                ).alias("dcg"),
+                F.min(
+                    F.when(F.col("rel") > 0, F.col("rank"))
+                ).alias("first_hit"),
+            )
+            .join(idcg, "query_id")
+            .select(
+                "query_id",
+                F.round(F.col("dcg") / F.col("idcg"), 9).alias("ndcg"),
+                F.coalesce(
+                    F.lit(1.0) / F.col("first_hit"), F.lit(0.0)
+                ).alias("rr"),
+            )
+        )
+        row = per_q.agg(
+            F.lit(name).alias("system"),
+            F.count("*").alias("n_queries"),
+            F.round(F.avg("ndcg"), 6).alias("mean_ndcg"),
+            F.round(F.avg("rr"), 6).alias("mrr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def oracle_retrieval_eval() -> str:
+    return (
+        ORACLE_BRUTE_FORCE_TOPK
+        + ","
+        + oracle_ivf_ann_topk().strip().lstrip(",")
+        + ","
+        + oracle_graph_ann_topk()
+        + f""",
+re_truth AS (
+  SELECT query_id, neighbor_id, {TOP_K + 1} - rank AS rel,
+         rank AS ideal_rank
+  FROM brute_force_topk
+),
+re_idcg AS (
+  SELECT query_id, sum(rel / log2(ideal_rank + 1)) AS idcg
+  FROM re_truth GROUP BY 1
+),
+re_sys AS (
+  SELECT 'ivf' AS system, query_id, neighbor_id, rank
+  FROM ivf_ann_topk
+  UNION ALL
+  SELECT 'graph_beam', query_id, neighbor_id, rank
+  FROM graph_ann_topk
+),
+re_scored AS (
+  SELECT s.system, s.query_id, s.rank, COALESCE(t.rel, 0) AS rel
+  FROM re_sys s
+  LEFT JOIN re_truth t
+    ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+),
+re_perq AS (
+  SELECT s.system, s.query_id,
+         round(sum(s.rel / log2(s.rank + 1)) / max(i.idcg), 9)
+           AS ndcg,
+         COALESCE(CAST(1 AS DOUBLE)
+                  / min(CASE WHEN s.rel > 0 THEN s.rank END), 0.0)
+           AS rr
+  FROM re_scored s JOIN re_idcg i ON s.query_id = i.query_id
+  GROUP BY 1, 2
+),
+retrieval_eval AS (
+  SELECT system, CAST(count(*) AS BIGINT) AS n_queries,
+         round(avg(ndcg), 6) AS mean_ndcg,
+         round(avg(rr), 6) AS mrr
+  FROM re_perq GROUP BY 1
+)
+"""
+    )
