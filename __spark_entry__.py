@@ -1960,6 +1960,14 @@ def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rel.cdc_apply_orders(load_table(spark, sf_dir, "orders"))
 
 
+def q_orders_ivm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-view maintenance WITH deletes: count/sum
+    by delta algebra, MAX by clean-path greatest or dirty-group
+    rescan; the oracle recomputes the final state from scratch, so
+    the hash match proves the maintenance lossless."""
+    return _rel.agg_view_maintain(load_table(spark, sf_dir, "orders"))
+
+
 def q_parts_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL (multiset difference) between the same multisets —
     surviving multiplicity is count_R - count_N."""
@@ -2813,6 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_intersect_all": q_parts_intersect_all,
         "parts_except_all": q_parts_except_all,
         "orders_cdc_apply": q_orders_cdc_apply,
+        "orders_ivm_retract": q_orders_ivm_retract,
         "events_rolling_dau": q_events_rolling_dau,
         "events_user_funnel": q_events_user_funnel,
         "events_attribution": q_events_attribution,
@@ -3634,6 +3643,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orders_cdc_apply": _ext_oracle(
             [_rel.ORACLE_CDC_APPLY], "cdc_apply"
+        ),
+        "orders_ivm_retract": _ext_oracle(
+            [_rel.ORACLE_AGG_VIEW_MAINTAIN], "agg_view_maintain"
         ),
         "events_rfm_segments": _ext_oracle(
             [_tmp.ORACLE_RFM_SEGMENTS], "rfm_segments"

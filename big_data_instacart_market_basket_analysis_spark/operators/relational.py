@@ -1628,3 +1628,135 @@ weighted_median_price AS (
   GROUP BY 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate-view maintenance WITH RETRACTIONS
+# ---------------------------------------------------------------------------
+
+#: deterministic delta carving of the orders log: every 5th orderkey
+#: arrives as a late INSERT; every 7th base row is RETRACTED
+#: (CDC delete). Prices go through integer cents so the additive
+#: algebra is exact.
+IVM_INS_MOD = 5
+IVM_DEL_MOD = 7
+
+
+def agg_view_maintain(orders: DataFrame) -> DataFrame:
+    """Incremental maintenance of a per-customer aggregate view under
+    INSERTS AND DELETES — the retraction case add-only rollups
+    (``incremental_rollup``) cannot express. count/sum are
+    self-maintainable (add inserts, subtract retractions); MAX is not
+    under deletes — retracting the current max invalidates the stored
+    value. The maintenance rule: if the retracted max is BELOW the
+    stored max the group stays clean (max' = greatest(stored, ins));
+    otherwise the group is marked DIRTY and ONLY those groups rescan
+    the final state — at 100 TB the rescan touches the dirty keys'
+    partitions, never the table (deletes hitting the group max are
+    rare; the dirty fraction is the report's honesty metric).
+
+    The query is self-proving: its output comes from base aggregates
+    + delta algebra + dirty rescan, while the DuckDB oracle aggregates
+    the FINAL state from scratch — hash equality proves the
+    maintenance algebra lossless. Output: o_custkey, n_orders,
+    total_cents, max_cents, was_dirty.
+    """
+    keyed = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    is_ins = F.col("o_orderkey") % IVM_INS_MOD == 0
+    is_del = (~is_ins) & (F.col("o_orderkey") % IVM_DEL_MOD == 0)
+    base = keyed.filter(~is_ins)
+    inserts = keyed.filter(is_ins)
+    deletes = keyed.filter(is_del)
+    final_state = keyed.filter(~is_del)
+
+    def agg(df: DataFrame, p: str) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias(f"{p}n"),
+            F.sum("cents").alias(f"{p}s"),
+            F.max("cents").alias(f"{p}m"),
+        )
+
+    merged = (
+        agg(base, "b")
+        .join(agg(inserts, "i"), "o_custkey", "full_outer")
+        .join(agg(deletes, "d"), "o_custkey", "left")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce("bn", F.lit(0))
+                + F.coalesce("in", F.lit(0))
+                - F.coalesce("dn", F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce("bs", F.lit(0))
+                + F.coalesce("is", F.lit(0))
+                - F.coalesce("ds", F.lit(0))
+            ).alias("total_cents"),
+            F.col("bm"),
+            F.col("im"),
+            # dirty iff a retraction removed (a row tying) the stored max
+            (F.col("dm").isNotNull() & (F.col("dm") == F.col("bm"))).alias(
+                "was_dirty"
+            ),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    clean = merged.filter(~F.col("was_dirty")).select(
+        "o_custkey",
+        "n_orders",
+        "total_cents",
+        F.greatest(
+            F.coalesce("bm", F.lit(-(1 << 62))),
+            F.coalesce("im", F.lit(-(1 << 62))),
+        ).alias("max_cents"),
+        "was_dirty",
+    )
+    dirty_keys = merged.filter(F.col("was_dirty")).select(
+        "o_custkey", "n_orders", "total_cents", "was_dirty"
+    )
+    rescanned = dirty_keys.join(final_state, "o_custkey").groupBy(
+        "o_custkey", "n_orders", "total_cents", "was_dirty"
+    ).agg(F.max("cents").alias("max_cents")).select(
+        "o_custkey", "n_orders", "total_cents", "max_cents", "was_dirty"
+    )
+    return clean.unionByName(rescanned)
+
+
+ORACLE_AGG_VIEW_MAINTAIN = f"""
+ivm_keyed AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey % {IVM_INS_MOD} = 0 AS is_ins,
+         o_orderkey % {IVM_INS_MOD} <> 0
+           AND o_orderkey % {IVM_DEL_MOD} = 0 AS is_del
+  FROM orders
+),
+-- the oracle aggregates the FINAL state from scratch; only the dirty
+-- flag replays the maintenance-side rule (it is a property of the
+-- delta, not of the final state)
+ivm_dirty AS (
+  SELECT b.o_custkey,
+         max(CASE WHEN is_del THEN cents END) IS NOT NULL
+           AND max(CASE WHEN is_del THEN cents END) = max(cents)
+           AS was_dirty
+  FROM ivm_keyed b WHERE NOT is_ins
+  GROUP BY 1
+),
+agg_view_maintain AS (
+  SELECT f.o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(f.cents) AS BIGINT) AS total_cents,
+         CAST(max(f.cents) AS BIGINT) AS max_cents,
+         COALESCE(max(d.was_dirty), FALSE) AS was_dirty
+  FROM ivm_keyed f
+  LEFT JOIN ivm_dirty d ON f.o_custkey = d.o_custkey
+  WHERE NOT f.is_del
+  GROUP BY 1
+)
+"""
