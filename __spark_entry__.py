@@ -577,6 +577,12 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.user_holt_winters(load_table(spark, sf_dir, "events"))
 
 
+def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED pre-period covariate adjustment: theta, adjusted
+    variance, percent reduction — engine-exact from one moment agg."""
+    return _tmp.cuped_report(load_table(spark, sf_dir, "events"))
+
+
 def q_events_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve + exact Gini of per-user revenue (integer-cent
     rank algebra; rank window at user grain)."""
@@ -2689,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ar2_forecast": q_events_ar2_forecast,
         "events_mta_models": q_events_mta_models,
         "events_revenue_gini": q_events_revenue_gini,
+        "events_cuped": q_events_cuped,
         "events_ks_drift": q_events_ks_drift,
         "events_mannwhitney": q_events_mannwhitney,
         "events_chi2": q_events_chi2,
@@ -3118,6 +3125,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_revenue_gini": _ext_oracle(
             [_tmp.ORACLE_REVENUE_CONCENTRATION], "revenue_concentration"
+        ),
+        "events_cuped": _ext_oracle(
+            [_tmp.ORACLE_CUPED], "cuped_report"
         ),
         "events_ks_drift": _ext_oracle(
             [_tmp.ORACLE_KS_DRIFT], "ks_drift_test"

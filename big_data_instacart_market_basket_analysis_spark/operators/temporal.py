@@ -5467,3 +5467,129 @@ revenue_concentration AS (
   FROM rc_lorenz
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (pre-period covariate adjustment)
+# ---------------------------------------------------------------------------
+
+#: pre/post split day-of-month boundary for the CUPED report.
+CUPED_SPLIT_DAY = 16
+
+
+def cuped_report(events: DataFrame) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data; Deng
+    et al. 2013): regress each user's post-period spend on their
+    pre-period spend and subtract the predictable part —
+    theta = cov(pre, post) / var(pre), adjusted = post - theta*pre —
+    the standard way to shrink A/B-test confidence intervals without
+    more traffic. The report quantifies the win: theta, raw vs
+    adjusted variance, percent reduction.
+
+    One user-grain agg (integer cents) -> one 1-row moment agg; the
+    variance of the adjusted metric expands algebraically from the
+    same moments with the PRE-ROUNDED theta, so the whole readout is
+    engine-exact. Output (stat, value): n_users, theta, var_post,
+    var_adj, reduction_pct.
+    """
+    per_user = events.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.dayofmonth("ts") < CUPED_SPLIT_DAY,
+                    F.expr("CAST(floor(value * 100) AS BIGINT)"),
+                )
+            ),
+            F.lit(0),
+        ).alias("pre"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.dayofmonth("ts") >= CUPED_SPLIT_DAY,
+                    F.expr("CAST(floor(value * 100) AS BIGINT)"),
+                )
+            ),
+            F.lit(0),
+        ).alias("post"),
+    )
+    m = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("pre").alias("sp"),
+        F.sum("post").alias("so"),
+        F.sum(F.col("pre") * F.col("pre")).alias("spp"),
+        F.sum(F.col("pre") * F.col("post")).alias("spo"),
+        F.sum(F.col("post") * F.col("post")).alias("soo"),
+    )
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(sp AS DOUBLE) AS sp",
+        "CAST(so AS DOUBLE) AS so",
+        "CAST(spp AS DOUBLE) AS spp",
+        "CAST(spo AS DOUBLE) AS spo",
+        "CAST(soo AS DOUBLE) AS soo",
+    ).selectExpr(
+        "n", "sp", "so", "spp", "spo", "soo",
+        "round((n * spo - sp * so) / (n * spp - sp * sp), 9) AS theta",
+    ).selectExpr(
+        "n",
+        "theta",
+        "round((soo - so * so / n) / (n - 1), 4) AS var_post",
+        # Var(post - theta*pre) expanded from the same moments
+        "round(((soo - 2 * theta * spo + theta * theta * spp)"
+        " - (so - theta * sp) * (so - theta * sp) / n) / (n - 1), 4)"
+        " AS var_adj",
+    ).selectExpr(
+        "stack(5,"
+        " 'n_users', CAST(n AS DOUBLE),"
+        " 'theta', round(theta, 6),"
+        " 'var_post', var_post,"
+        " 'var_adj', var_adj,"
+        " 'reduction_pct', round(100.0 * (1.0 - var_adj / var_post), 4))"
+        " AS (stat, value)"
+    )
+
+
+ORACLE_CUPED = f"""
+cu_user AS (
+  SELECT user_id,
+         CAST(COALESCE(sum(CASE WHEN dayofmonth(ts) < {CUPED_SPLIT_DAY}
+              THEN CAST(floor(value * 100) AS BIGINT) END), 0)
+              AS BIGINT) AS pre,
+         CAST(COALESCE(sum(CASE WHEN dayofmonth(ts) >= {CUPED_SPLIT_DAY}
+              THEN CAST(floor(value * 100) AS BIGINT) END), 0)
+              AS BIGINT) AS post
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+cu_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pre) AS DOUBLE) AS sp,
+         CAST(sum(post) AS DOUBLE) AS so,
+         CAST(sum(pre * pre) AS DOUBLE) AS spp,
+         CAST(sum(pre * post) AS DOUBLE) AS spo,
+         CAST(sum(post * post) AS DOUBLE) AS soo
+  FROM cu_user
+),
+cu_t AS (
+  SELECT *, round((n * spo - sp * so) / (n * spp - sp * sp), 9) AS theta
+  FROM cu_m
+),
+cu_v AS (
+  SELECT n, theta,
+         round((soo - so * so / n) / (n - 1), 4) AS var_post,
+         round(((soo - 2 * theta * spo + theta * theta * spp)
+                - (so - theta * sp) * (so - theta * sp) / n)
+               / (n - 1), 4) AS var_adj
+  FROM cu_t
+),
+cuped_report AS (
+  SELECT 'n_users' AS stat, CAST(n AS DOUBLE) AS value FROM cu_v
+  UNION ALL SELECT 'theta', round(theta, 6) FROM cu_v
+  UNION ALL SELECT 'var_post', var_post FROM cu_v
+  UNION ALL SELECT 'var_adj', var_adj FROM cu_v
+  UNION ALL SELECT 'reduction_pct',
+    round(100.0 * (1.0 - var_adj / var_post), 4) FROM cu_v
+)
+"""
