@@ -166,6 +166,11 @@ HEADLINE = [
     "ml_ols_verified",
     "events_ar2_forecast",
     "events_mta_models",
+    "ann_retrieval_eval",
+    "embedding_silhouette",
+    "ml_conformal_ols",
+    "orders_ivm_retract",
+    "events_revenue_gini",
 ]
 
 

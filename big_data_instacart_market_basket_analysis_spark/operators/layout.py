@@ -582,7 +582,10 @@ def curve_locality_report(events: DataFrame) -> DataFrame:
         F.col("hy").alias("y"),
         F.col("hkey").alias("key"),
     )
-    both = z.unionByName(h)
+    # the keyed union feeds TWO aggs (extents, zones) and the Hilbert
+    # key is a 16-level expression chain — unstaged, both keys compute
+    # twice (measured 6.3 s vs 3.4 s at sf0.1)
+    both = z.unionByName(h).localCheckpoint(eager=True)
     extents = both.groupBy(F.col("curve").alias("ecurve")).agg(
         F.min("key").alias("kmin"),
         (F.max("key") - F.min("key") + 1).alias("krange"),
