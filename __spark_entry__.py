@@ -577,6 +577,12 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.user_holt_winters(load_table(spark, sf_dir, "events"))
 
 
+def q_events_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel robust outlier screen: per-type median/MAD flags with
+    pre-rounded operands (exact percentiles, two passes)."""
+    return _tmp.hampel_outliers(load_table(spark, sf_dir, "events"))
+
+
 def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED pre-period covariate adjustment: theta, adjusted
     variance, percent reduction — engine-exact from one moment agg."""
@@ -2696,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mta_models": q_events_mta_models,
         "events_revenue_gini": q_events_revenue_gini,
         "events_cuped": q_events_cuped,
+        "events_hampel": q_events_hampel,
         "events_ks_drift": q_events_ks_drift,
         "events_mannwhitney": q_events_mannwhitney,
         "events_chi2": q_events_chi2,
@@ -3128,6 +3135,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_cuped": _ext_oracle(
             [_tmp.ORACLE_CUPED], "cuped_report"
+        ),
+        "events_hampel": _ext_oracle(
+            [_tmp.ORACLE_HAMPEL], "hampel_outliers"
         ),
         "events_ks_drift": _ext_oracle(
             [_tmp.ORACLE_KS_DRIFT], "ks_drift_test"

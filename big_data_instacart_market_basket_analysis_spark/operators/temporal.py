@@ -5200,9 +5200,12 @@ MTA_WINDOW_MS = 24 * 3600 * 1000
 def attribution_report(events: DataFrame) -> DataFrame:
     """Multi-touch attribution: every purchase's journey is the same
     user's click/view touches in the 24h before it; credit is split
-    by the three standard models — first_touch (all credit to the
-    earliest touch), last_touch (latest), linear (1/k each) — plus an
-    'unattributed' row for purchases with no preceding touch.
+    by the four standard models — first_touch (all credit to the
+    earliest touch), last_touch (latest), linear (1/k each),
+    time_decay (weight halves every 6h of touch age: w = 2^-bucket,
+    an exact DYADIC rational so the double sums are engine-exact,
+    normalized per journey) — plus an 'unattributed' row for
+    purchases with no preceding touch.
 
     Plan: purchases x touches is a per-user time-range join (bounded
     by a user's touches per day, never corpus-quadratic; the user_id
@@ -5238,6 +5241,11 @@ def attribution_report(events: DataFrame) -> DataFrame:
         & (F.col("tms") >= F.col("pms") - MTA_WINDOW_MS)
     )
     wp = Window.partitionBy("pid")
+    # time-decay weight: halves per 6h age bucket — 2^-b is an exact
+    # dyadic, so per-journey totals are exact and shares deterministic
+    decay_w = F.lit(1.0) / F.expr(
+        f"CAST(pow(2, (pms - tms) DIV {6 * 3600 * 1000}) AS DOUBLE)"
+    )
     ranked = journeys.select(
         "pid",
         "channel",
@@ -5248,6 +5256,8 @@ def attribution_report(events: DataFrame) -> DataFrame:
         .over(wp.orderBy(F.col("tms").desc(), F.col("tid").desc()))
         .alias("rn_last"),
         F.count("*").over(wp).alias("k"),
+        decay_w.alias("w"),
+        F.sum(decay_w).over(wp).alias("wtot"),
     )
     first = (
         ranked.filter(F.col("rn_first") == 1)
@@ -5279,6 +5289,21 @@ def attribution_report(events: DataFrame) -> DataFrame:
         )
         .select(F.lit("linear").alias("model"), "channel", "touches", "credit")
     )
+    time_decay = (
+        ranked.groupBy("channel")
+        .agg(
+            F.count("*").alias("touches"),
+            F.round(F.sum(F.col("w") / F.col("wtot")), 4).alias(
+                "credit"
+            ),
+        )
+        .select(
+            F.lit("time_decay").alias("model"),
+            "channel",
+            "touches",
+            "credit",
+        )
+    )
     unattributed = (
         purchases.join(
             journeys.select("pid").distinct(), "pid", "left_anti"
@@ -5294,6 +5319,7 @@ def attribution_report(events: DataFrame) -> DataFrame:
     return (
         first.unionByName(last)
         .unionByName(linear)
+        .unionByName(time_decay)
         .unionByName(unattributed)
     )
 
@@ -5311,17 +5337,21 @@ at_t AS (
   FROM at_base WHERE event_type IN ('click', 'view')
 ),
 at_j AS (
-  SELECT p.pid, t.channel, t.tms, t.tid
+  SELECT p.pid, t.channel, t.tms, t.tid,
+         CAST(1 AS DOUBLE)
+           / CAST(pow(2, (p.pms - t.tms) // {6 * 3600 * 1000})
+                  AS DOUBLE) AS w
   FROM at_p p JOIN at_t t ON p.user_id = t.user_id
   WHERE t.tms < p.pms AND t.tms >= p.pms - {MTA_WINDOW_MS}
 ),
 at_r AS (
-  SELECT pid, channel,
+  SELECT pid, channel, w,
          row_number() OVER (PARTITION BY pid
                             ORDER BY tms, tid) AS rn_first,
          row_number() OVER (PARTITION BY pid
                             ORDER BY tms DESC, tid DESC) AS rn_last,
-         count(*) OVER (PARTITION BY pid) AS k
+         count(*) OVER (PARTITION BY pid) AS k,
+         sum(w) OVER (PARTITION BY pid) AS wtot
   FROM at_j
 ),
 attribution_report AS (
@@ -5336,6 +5366,10 @@ attribution_report AS (
   UNION ALL
   SELECT 'linear', channel, CAST(count(*) AS BIGINT),
          round(sum(CAST(1 AS DOUBLE) / k), 4)
+  FROM at_r GROUP BY 2
+  UNION ALL
+  SELECT 'time_decay', channel, CAST(count(*) AS BIGINT),
+         round(sum(w / wtot), 4)
   FROM at_r GROUP BY 2
   UNION ALL
   SELECT 'unattributed', 'none', CAST(count(*) AS BIGINT),
@@ -5591,5 +5625,90 @@ cuped_report AS (
   UNION ALL SELECT 'var_adj', var_adj FROM cu_v
   UNION ALL SELECT 'reduction_pct',
     round(100.0 * (1.0 - var_adj / var_post), 4) FROM cu_v
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hampel (median/MAD) robust outlier screen
+# ---------------------------------------------------------------------------
+
+#: Hampel threshold: 3 sigma-equivalents, MAD -> sigma factor 1.4826.
+HAMPEL_K = 4.4478
+
+
+def hampel_outliers(events: DataFrame) -> DataFrame:
+    """Robust per-type outlier screen: median and MAD (median absolute
+    deviation) instead of mean/stddev — the estimator a heavy-tailed
+    value column needs (one fat order shifts a mean, not a median).
+    Flags values with |v - median| > 3 * 1.4826 * MAD.
+
+    Two exact-percentile passes (median, then MAD on the residuals
+    against the PRE-ROUNDED median — the broadcast join keeps both
+    engines comparing identical operands) + one counting pass; all
+    three shuffle on event_type with map-side partials. Output per
+    type: n, median, mad, n_outliers, outlier_pct.
+    """
+    med = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    with_med = events.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.round(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)),
+            6,
+        ).alias("mad")
+    )
+    flagged = with_med.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.first("med").alias("median"),
+        F.first("mad").alias("mad"),
+        F.sum(
+            (
+                F.abs(F.col("value") - F.col("med"))
+                > F.lit(HAMPEL_K) * F.col("mad")
+            ).cast("bigint")
+        ).alias("n_outliers"),
+        F.round(
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(HAMPEL_K) * F.col("mad")
+                ).cast("bigint")
+            )
+            / F.count("*"),
+            4,
+        ).alias("outlier_pct"),
+    )
+
+
+ORACLE_HAMPEL = f"""
+hm_med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY 1
+),
+hm_mad AS (
+  SELECT e.event_type,
+         round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+  FROM events e JOIN hm_med m USING (event_type)
+  GROUP BY 1
+),
+hampel_outliers AS (
+  SELECT e.event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         max(m.med) AS median,
+         max(d.mad) AS mad,
+         CAST(sum(CASE WHEN abs(e.value - m.med)
+                         > CAST({HAMPEL_K} AS DOUBLE) * d.mad
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         round(sum(CASE WHEN abs(e.value - m.med)
+                          > CAST({HAMPEL_K} AS DOUBLE) * d.mad
+                        THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 4) AS outlier_pct
+  FROM events e
+  JOIN hm_med m USING (event_type)
+  JOIN hm_mad d USING (event_type)
+  GROUP BY 1
 )
 """
