@@ -142,6 +142,7 @@ _FRAGMENTS: dict[str, str] = {
     "sequential_pairs": _bask.ORACLE_SEQUENTIAL_PAIRS,
     "frequent_pairs": _bask.ORACLE_FREQUENT_PAIRS,
     "apriori_triples": _bask.ORACLE_APRIORI_TRIPLES,
+    "closed_maximal_pairs": _bask.ORACLE_CLOSED_MAXIMAL_PAIRS,
     "als_rank1": _mf.oracle_als_rank1(),
     "negative_samples": _samp.oracle_negative_samples(),
     "als_bpr_auc": _mf.oracle_als_bpr_auc(),
@@ -207,6 +208,7 @@ _DEPS: dict[str, list[str]] = {
     "sequential_pairs": ["seq_spans"],
     "frequent_pairs": ["baskets_base"],
     "apriori_triples": ["baskets_base"],
+    "closed_maximal_pairs": ["frequent_pairs", "apriori_triples"],
     "als_rank1": [],
     "negative_samples": [],
     "als_bpr_auc": ["als_rank1", "negative_samples"],
@@ -413,6 +415,13 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified Apriori 3-itemsets (downward-closure pruned candidate
     stream; oracle counts unpruned — hash match proves losslessness)."""
     return _bask.apriori_triples(instacart_tables(spark, sf_dir))
+
+
+def q_closed_maximal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed/maximal flags for every frequent pair (itemset-lattice
+    condensation; completeness guaranteed by downward closure at the
+    shared support threshold)."""
+    return _bask.closed_maximal_pairs(instacart_tables(spark, sf_dir))
 
 
 def q_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2591,6 +2600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_customer_rollup": q_geo_customer_rollup,
         "frequent_pairs": q_frequent_pairs,
         "apriori_triples": q_apriori_triples,
+        "closed_maximal_pairs": q_closed_maximal_pairs,
         "pair_rules": q_pair_rules,
         "basket_sizes": q_basket_sizes,
         "sequential_pairs": q_sequential_pairs,
@@ -2940,6 +2950,7 @@ def oracle_sql() -> dict[str, str]:
         "top_products_per_user": _oracle("top_products_per_user"),
         "frequent_pairs": _oracle("frequent_pairs"),
         "apriori_triples": _oracle("apriori_triples"),
+        "closed_maximal_pairs": _oracle("closed_maximal_pairs"),
         "ml_als_verified": _oracle("als_rank1"),
         "negative_samples": _oracle("negative_samples"),
         "ml_als_bpr_auc": _oracle("als_bpr_auc"),
