@@ -417,6 +417,13 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bask.apriori_triples(instacart_tables(spark, sf_dir))
 
 
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph structure: log2 degree histogram +
+    assortativity coefficient (integer moments, one rounded
+    division)."""
+    return _graph.degree_stats(_lineitem(spark, sf_dir))
+
+
 def q_closed_maximal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed/maximal flags for every frequent pair (itemset-lattice
     condensation; completeness guaranteed by downward closure at the
@@ -2798,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_reps": q_dedup_cluster_reps,
         "pagerank_products": q_pagerank_products,
         "graph_triangles": q_graph_triangles,
+        "graph_degree_stats": q_graph_degree_stats,
         "graph_bfs": q_graph_bfs,
         "graph_lpa": q_graph_lpa,
         "graph_item_similarity": q_graph_item_similarity,
@@ -3425,6 +3433,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_triangles": _ext_oracle(
             [_graph.ORACLE_TRIANGLE_COUNTS], "triangle_counts"
+        ),
+        "graph_degree_stats": _ext_oracle(
+            [_graph.ORACLE_DEGREE_STATS], "degree_stats"
         ),
         "graph_bfs": _ext_oracle(
             [_graph.oracle_bfs_distances()], "bfs_distances"

@@ -781,3 +781,115 @@ item_sim_holdout AS (
                 WHERE s.item = t.item AND s.neighbor = t.neighbor)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# degree distribution + assortativity
+# ---------------------------------------------------------------------------
+
+
+def degree_stats(lineitem: DataFrame) -> DataFrame:
+    """Structural readout of the co-purchase graph: log2-bucketed
+    degree histogram plus the degree assortativity coefficient
+    (Newman 2002) — the Pearson correlation of endpoint degrees over
+    all directed edges, the number that says whether hubs attach to
+    hubs (r > 0) or to leaves (r < 0). Degrees are integers, so every
+    moment is an exact BIGINT and r is one rounded division.
+
+    Reuses the session-staged edge list; two hash-aggs (degrees,
+    moments) + one broadcast join. Output rows: ('hist', bucket,
+    n_nodes, NULL) per occupied log2 bucket and one
+    ('assortativity', NULL, n_edges, r) row.
+    """
+    edges = _edges_staged(lineitem)
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+    hist = (
+        deg.select(
+            F.floor(F.log2("deg")).cast("bigint").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("hist").alias("stat"),
+            "bucket",
+            "n",
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    da = deg.select(F.col("a").alias("a"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("a").alias("b"), F.col("deg").alias("dy"))
+    m = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("dx").alias("sx"),
+            F.sum("dy").alias("sy"),
+            F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+            F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+            F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        )
+        .select(
+            F.lit("assortativity").alias("stat"),
+            F.lit(None).cast("bigint").alias("bucket"),
+            F.col("n"),
+            F.round(
+                (
+                    F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / (
+                    F.sqrt(
+                        (
+                            F.col("n") * F.col("sxx")
+                            - F.col("sx") * F.col("sx")
+                        ).cast("double")
+                    )
+                    * F.sqrt(
+                        (
+                            F.col("n") * F.col("syy")
+                            - F.col("sy") * F.col("sy")
+                        ).cast("double")
+                    )
+                ),
+                6,
+            ).alias("value"),
+        )
+    )
+    return hist.unionByName(m)
+
+
+ORACLE_DEGREE_STATS = """
+dg_edges AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey <> l2.l_partkey
+),
+dg_deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM dg_edges GROUP BY 1
+),
+dg_hist AS (
+  SELECT 'hist' AS stat, CAST(floor(log2(deg)) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS value
+  FROM dg_deg GROUP BY 2
+),
+dg_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x.deg) AS BIGINT) AS sx,
+         CAST(sum(y.deg) AS BIGINT) AS sy,
+         CAST(sum(x.deg * x.deg) AS BIGINT) AS sxx,
+         CAST(sum(y.deg * y.deg) AS BIGINT) AS syy,
+         CAST(sum(x.deg * y.deg) AS BIGINT) AS sxy
+  FROM dg_edges e
+  JOIN dg_deg x ON e.a = x.a
+  JOIN dg_deg y ON e.b = y.a
+),
+degree_stats AS (
+  SELECT * FROM dg_hist
+  UNION ALL
+  SELECT 'assortativity', CAST(NULL AS BIGINT), n,
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+  FROM dg_m
+)
+"""
