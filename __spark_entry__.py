@@ -593,6 +593,13 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.user_holt_winters(load_table(spark, sf_dir, "events"))
 
 
+def q_events_multi_test_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Welch tests with Benjamini-Hochberg FDR control —
+    multiple-comparisons hygiene; A&S normal-CDF polynomial computed
+    identically in both engines."""
+    return _tmp.multi_test_bh(load_table(spark, sf_dir, "events"))
+
+
 def q_events_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hampel robust outlier screen: per-type median/MAD flags with
     pre-rounded operands (exact percentiles, two passes)."""
@@ -2720,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_revenue_gini": q_events_revenue_gini,
         "events_cuped": q_events_cuped,
         "events_hampel": q_events_hampel,
+        "events_multi_test_bh": q_events_multi_test_bh,
         "events_ks_drift": q_events_ks_drift,
         "events_mannwhitney": q_events_mannwhitney,
         "events_chi2": q_events_chi2,
@@ -3157,6 +3165,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_hampel": _ext_oracle(
             [_tmp.ORACLE_HAMPEL], "hampel_outliers"
+        ),
+        "events_multi_test_bh": _ext_oracle(
+            [_tmp.oracle_multi_test_bh()], "multi_test_bh"
         ),
         "events_ks_drift": _ext_oracle(
             [_tmp.ORACLE_KS_DRIFT], "ks_drift_test"

@@ -5712,3 +5712,179 @@ hampel_outliers AS (
   GROUP BY 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# multiple-testing control: per-type Welch tests + Benjamini-Hochberg
+# ---------------------------------------------------------------------------
+
+#: BH false-discovery-rate budget (q).
+BH_Q_PCT = 10
+#: Abramowitz-Stegun 26.2.17 normal-CDF coefficients.
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+
+
+def _phi_tail_expr(zcol: str) -> str:
+    """1 - Phi(|z|) via the A&S 26.2.17 polynomial — identical
+    operation order in both engines; inputs are pre-rounded z scores
+    so the doubles agree to libm ulps, absorbed by the p round."""
+    b = [f"CAST({c!r} AS DOUBLE)" for c in _AS_B]
+    t = (
+        f"(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)"
+        f" + CAST(0.2316419 AS DOUBLE) * abs({zcol})))"
+    )
+    pdf = (
+        f"(exp(-abs({zcol}) * abs({zcol}) / 2)"
+        f" / CAST(2.5066282746310002 AS DOUBLE))"
+    )
+    poly = (
+        f"({t} * ({b[0]} + {t} * ({b[1]} + {t} * ({b[2]} + {t} *"
+        f" ({b[3]} + {t} * {b[4]})))))"
+    )
+    return f"({pdf} * {poly})"
+
+
+def multi_test_bh(events: DataFrame) -> DataFrame:
+    """One Welch z-test PER EVENT TYPE (variant = user parity, metric
+    = per-user value total) with Benjamini-Hochberg FDR control
+    across the family — the multiple-comparisons hygiene a metrics
+    platform runs when every segment gets its own test: rank
+    p-values ascending, find the largest i with p_(i) <= i*q/m, and
+    flag ranks up to it.
+
+    Per-type moments are pre-rounded (the ab_test protocol), p-values
+    come from the A&S normal-CDF polynomial (same expression text in
+    both engines, rounded 6), and the BH step-up is a window over m
+    rows (m = #types — tiny). Output per type: event_type, welch_z,
+    p_value, bh_rank, bh_threshold, significant.
+    """
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 4).alias("user_total")
+    ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    g = per_user.groupBy("event_type").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+        F.round(
+            F.avg(F.when(F.col("variant") == 0, F.col("user_total"))), 6
+        ).alias("mean0"),
+        F.round(
+            F.avg(F.when(F.col("variant") == 1, F.col("user_total"))), 6
+        ).alias("mean1"),
+        F.round(
+            F.var_samp(
+                F.when(F.col("variant") == 0, F.col("user_total"))
+            ),
+            6,
+        ).alias("var0"),
+        F.round(
+            F.var_samp(
+                F.when(F.col("variant") == 1, F.col("user_total"))
+            ),
+            6,
+        ).alias("var1"),
+    )
+    z = g.select(
+        "event_type",
+        F.round(
+            (F.col("mean1") - F.col("mean0"))
+            / F.sqrt(
+                F.col("var0") / F.col("n0") + F.col("var1") / F.col("n1")
+            ),
+            6,
+        ).alias("welch_z"),
+    ).selectExpr(
+        "event_type",
+        "welch_z",
+        f"round(2 * {_phi_tail_expr('welch_z')}, 6) AS p_value",
+    )
+    wr = Window.orderBy("p_value", "event_type")
+    wall = Window.partitionBy()
+    ranked = z.select(
+        "*",
+        F.row_number().over(wr).alias("bh_rank"),
+        F.count("*").over(wall).alias("m"),
+    ).select(
+        "*",
+        F.round(
+            F.col("bh_rank") * BH_Q_PCT / (F.lit(100.0) * F.col("m")), 6
+        ).alias("bh_threshold"),
+    )
+    cutoff = ranked.select(
+        "*",
+        F.max(
+            F.when(
+                F.col("p_value") <= F.col("bh_threshold"),
+                F.col("bh_rank"),
+            )
+        )
+        .over(wall)
+        .alias("cutoff"),
+    )
+    return cutoff.select(
+        "event_type",
+        "welch_z",
+        "p_value",
+        "bh_rank",
+        "bh_threshold",
+        F.coalesce(
+            F.col("bh_rank") <= F.col("cutoff"), F.lit(False)
+        ).alias("significant"),
+    )
+
+
+def oracle_multi_test_bh() -> str:
+    tail = _phi_tail_expr("welch_z")
+    return f"""
+bh_user AS (
+  SELECT event_type, user_id, round(sum(value), 4) AS user_total,
+         CAST(user_id % 2 AS INT) AS variant
+  FROM events GROUP BY 1, 2
+),
+bh_g AS (
+  SELECT event_type,
+         sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1,
+         round(avg(CASE WHEN variant = 0 THEN user_total END), 6)
+           AS mean0,
+         round(avg(CASE WHEN variant = 1 THEN user_total END), 6)
+           AS mean1,
+         round(var_samp(CASE WHEN variant = 0 THEN user_total END), 6)
+           AS var0,
+         round(var_samp(CASE WHEN variant = 1 THEN user_total END), 6)
+           AS var1
+  FROM bh_user GROUP BY 1
+),
+bh_z AS (
+  SELECT event_type,
+         round((mean1 - mean0)
+               / sqrt(var0 / n0 + var1 / n1), 6) AS welch_z
+  FROM bh_g
+),
+bh_p AS (
+  SELECT event_type, welch_z,
+         round(2 * {tail}, 6) AS p_value
+  FROM bh_z
+),
+bh_r AS (
+  SELECT *, row_number() OVER (ORDER BY p_value, event_type)
+              AS bh_rank,
+         count(*) OVER () AS m
+  FROM bh_p
+),
+bh_t AS (
+  SELECT *, round(bh_rank * {BH_Q_PCT}
+                  / (CAST(100 AS DOUBLE) * m), 6) AS bh_threshold
+  FROM bh_r
+),
+bh_c AS (
+  SELECT *, max(CASE WHEN p_value <= bh_threshold
+                     THEN bh_rank END) OVER () AS cutoff
+  FROM bh_t
+),
+multi_test_bh AS (
+  SELECT event_type, welch_z, p_value, CAST(bh_rank AS INT) AS bh_rank,
+         bh_threshold,
+         COALESCE(bh_rank <= cutoff, FALSE) AS significant
+  FROM bh_c
+)
+"""
