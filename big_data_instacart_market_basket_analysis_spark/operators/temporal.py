@@ -5888,3 +5888,74 @@ multi_test_bh AS (
   FROM bh_c
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# winsorized means (clip-at-percentile robust aggregate)
+# ---------------------------------------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def winsorized_means(events: DataFrame) -> DataFrame:
+    """Winsorized per-type value means: clip at the exact p5/p95
+    (pre-rounded — both engines clip against identical bounds) and
+    compare against the raw mean — the robust-aggregate companion of
+    the Hampel screen (Hampel FLAGS outliers; winsorizing BOUNDS
+    their influence). Two passes: exact percentiles, then one clipped
+    agg. Output per type: n, raw_mean, p_lo, p_hi, winsor_mean,
+    shift_pct (how much the tails were moving the raw mean).
+    """
+    bounds = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(WINSOR_LO)), 6).alias("p_lo"),
+        F.round(F.percentile("value", F.lit(WINSOR_HI)), 6).alias("p_hi"),
+    )
+    clipped = events.join(F.broadcast(bounds), "event_type")
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("raw_mean"),
+        F.first("p_lo").alias("p_lo"),
+        F.first("p_hi").alias("p_hi"),
+        F.round(
+            F.avg(
+                F.greatest(
+                    F.least(F.col("value"), F.col("p_hi")), F.col("p_lo")
+                )
+            ),
+            6,
+        ).alias("winsor_mean"),
+    ).select(
+        "*",
+        F.round(
+            F.lit(100.0)
+            * (F.col("raw_mean") - F.col("winsor_mean"))
+            / F.col("winsor_mean"),
+            4,
+        ).alias("shift_pct"),
+    )
+
+
+ORACLE_WINSORIZED = f"""
+wz_b AS (
+  SELECT event_type,
+         round(quantile_cont(value, {WINSOR_LO}), 6) AS p_lo,
+         round(quantile_cont(value, {WINSOR_HI}), 6) AS p_hi
+  FROM events GROUP BY 1
+),
+wz_a AS (
+  SELECT e.event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         round(avg(e.value), 6) AS raw_mean,
+         max(b.p_lo) AS p_lo,
+         max(b.p_hi) AS p_hi,
+         round(avg(greatest(least(e.value, b.p_hi), b.p_lo)), 6)
+           AS winsor_mean
+  FROM events e JOIN wz_b b USING (event_type)
+  GROUP BY 1
+),
+winsorized_means AS (
+  SELECT *, round(CAST(100 AS DOUBLE) * (raw_mean - winsor_mean)
+                  / winsor_mean, 4) AS shift_pct
+  FROM wz_a
+)
+"""
