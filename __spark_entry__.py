@@ -593,10 +593,10 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.user_holt_winters(load_table(spark, sf_dir, "events"))
 
 
-def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winsorized per-type means (clip at exact p5/p95) vs raw —
-    bounded-influence robust aggregates."""
-    return _tmp.winsorized_means(load_table(spark, sf_dir, "events"))
+def q_events_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test (tie-corrected) + Theil-Sen slope on
+    the daily revenue series — days-bounded pair set, integer S."""
+    return _tmp.robust_trend(load_table(spark, sf_dir, "events"))
 
 
 def q_events_multi_test_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2734,7 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cuped": q_events_cuped,
         "events_hampel": q_events_hampel,
         "events_multi_test_bh": q_events_multi_test_bh,
-        "events_winsorized": q_events_winsorized,
+        "events_robust_trend": q_events_robust_trend,
         "events_ks_drift": q_events_ks_drift,
         "events_mannwhitney": q_events_mannwhitney,
         "events_chi2": q_events_chi2,
@@ -3176,8 +3176,8 @@ def oracle_sql() -> dict[str, str]:
         "events_multi_test_bh": _ext_oracle(
             [_tmp.oracle_multi_test_bh()], "multi_test_bh"
         ),
-        "events_winsorized": _ext_oracle(
-            [_tmp.ORACLE_WINSORIZED], "winsorized_means"
+        "events_robust_trend": _ext_oracle(
+            [_tmp.ORACLE_ROBUST_TREND], "robust_trend"
         ),
         "events_ks_drift": _ext_oracle(
             [_tmp.ORACLE_KS_DRIFT], "ks_drift_test"

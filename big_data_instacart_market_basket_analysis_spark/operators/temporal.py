@@ -5891,71 +5891,129 @@ multi_test_bh AS (
 
 
 # ---------------------------------------------------------------------------
-# winsorized means (clip-at-percentile robust aggregate)
+# robust trend: Mann-Kendall test + Theil-Sen slope
 # ---------------------------------------------------------------------------
 
-WINSOR_LO, WINSOR_HI = 0.05, 0.95
 
+def robust_trend(events: DataFrame) -> DataFrame:
+    """Nonparametric trend readout for the daily revenue series:
+    Mann-Kendall S (sum of sign(v_j - v_i) over day pairs — exact
+    integer), its tie-corrected variance and z statistic, plus the
+    Theil-Sen slope (median of pairwise slopes — the robust
+    trend-rate estimator a single outlier day cannot move).
 
-def winsorized_means(events: DataFrame) -> DataFrame:
-    """Winsorized per-type value means: clip at the exact p5/p95
-    (pre-rounded — both engines clip against identical bounds) and
-    compare against the raw mean — the robust-aggregate companion of
-    the Hampel screen (Hampel FLAGS outliers; winsorizing BOUNDS
-    their influence). Two passes: exact percentiles, then one clipped
-    agg. Output per type: n, raw_mean, p_lo, p_hi, winsor_mean,
-    shift_pct (how much the tails were moving the raw mean).
+    The pair set is DAYS-grain quadratic — bounded by the calendar
+    (~66k pairs for a year), never by corpus size; the corpus-sized
+    work is the one daily hash-agg above it. S and the tie term are
+    exact BIGINTs; z is one rounded expression; the slope median is
+    an exact percentile over integer-ratio doubles. Output
+    (stat, value): n_days, s, var_s, z, theil_sen_slope.
     """
-    bounds = events.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(WINSOR_LO)), 6).alias("p_lo"),
-        F.round(F.percentile("value", F.lit(WINSOR_HI)), 6).alias("p_hi"),
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(f"CAST(floor(value * {AR2_VAL_SCALE}) AS BIGINT)")
+            ).alias("v")
+        )
     )
-    clipped = events.join(F.broadcast(bounds), "event_type")
-    return clipped.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.round(F.avg("value"), 6).alias("raw_mean"),
-        F.first("p_lo").alias("p_lo"),
-        F.first("p_hi").alias("p_hi"),
+    w = Window.orderBy("day")
+    s = daily.select(
+        F.row_number().over(w).alias("i"), F.col("v")
+    )
+    a = s.select(F.col("i").alias("i"), F.col("v").alias("vi"))
+    b = s.select(F.col("i").alias("j"), F.col("v").alias("vj"))
+    pairs = a.join(b, F.col("i") < F.col("j"))
+    pair_stats = pairs.agg(
+        F.sum(F.signum(F.col("vj") - F.col("vi")).cast("bigint")).alias(
+            "s_stat"
+        ),
         F.round(
-            F.avg(
-                F.greatest(
-                    F.least(F.col("value"), F.col("p_hi")), F.col("p_lo")
-                )
+            F.percentile(
+                (F.col("vj") - F.col("vi"))
+                / (F.col("j") - F.col("i")).cast("double"),
+                F.lit(0.5),
             ),
-            6,
-        ).alias("winsor_mean"),
-    ).select(
-        "*",
-        F.round(
-            F.lit(100.0)
-            * (F.col("raw_mean") - F.col("winsor_mean"))
-            / F.col("winsor_mean"),
             4,
-        ).alias("shift_pct"),
+        ).alias("theil_sen_slope"),
+    )
+    ties = (
+        s.groupBy("v")
+        .agg(F.count("*").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+            F.sum("t").alias("n"),
+        )
+    )
+    return (
+        pair_stats.crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n",
+            "s_stat",
+            "theil_sen_slope",
+            "(n * (n - 1) * (2 * n + 5) - tie_term)"
+            " / CAST(18 AS DOUBLE) AS var_s",
+        )
+        .selectExpr(
+            "n", "s_stat", "theil_sen_slope", "var_s",
+            "CASE WHEN s_stat > 0"
+            " THEN round((s_stat - 1) / sqrt(var_s), 6)"
+            " WHEN s_stat < 0"
+            " THEN round((s_stat + 1) / sqrt(var_s), 6)"
+            " ELSE CAST(0 AS DOUBLE) END AS z",
+        )
+        .selectExpr(
+            "stack(5,"
+            " 'n_days', CAST(n AS DOUBLE),"
+            " 's', CAST(s_stat AS DOUBLE),"
+            " 'var_s', round(var_s, 4),"
+            " 'z', z,"
+            " 'theil_sen_slope', theil_sen_slope) AS (stat, value)"
+        )
     )
 
 
-ORACLE_WINSORIZED = f"""
-wz_b AS (
-  SELECT event_type,
-         round(quantile_cont(value, {WINSOR_LO}), 6) AS p_lo,
-         round(quantile_cont(value, {WINSOR_HI}), 6) AS p_hi
-  FROM events GROUP BY 1
-),
-wz_a AS (
-  SELECT e.event_type,
-         CAST(count(*) AS BIGINT) AS n,
-         round(avg(e.value), 6) AS raw_mean,
-         max(b.p_lo) AS p_lo,
-         max(b.p_hi) AS p_hi,
-         round(avg(greatest(least(e.value, b.p_hi), b.p_lo)), 6)
-           AS winsor_mean
-  FROM events e JOIN wz_b b USING (event_type)
+ORACLE_ROBUST_TREND = f"""
+rt_daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * {AR2_VAL_SCALE}) AS BIGINT))
+              AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
   GROUP BY 1
 ),
-winsorized_means AS (
-  SELECT *, round(CAST(100 AS DOUBLE) * (raw_mean - winsor_mean)
-                  / winsor_mean, 4) AS shift_pct
-  FROM wz_a
+rt_s AS (
+  SELECT row_number() OVER (ORDER BY day) AS i, v FROM rt_daily
+),
+rt_pairs AS (
+  SELECT CAST(sum(CAST(sign(b.v - a.v) AS BIGINT)) AS BIGINT)
+           AS s_stat,
+         round(quantile_cont((b.v - a.v)
+               / CAST(b.i - a.i AS DOUBLE), 0.5), 4)
+           AS theil_sen_slope
+  FROM rt_s a JOIN rt_s b ON a.i < b.i
+),
+rt_ties AS (
+  SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+         CAST(sum(t) AS BIGINT) AS n
+  FROM (SELECT count(*) AS t FROM rt_s GROUP BY v)
+),
+rt_v AS (
+  SELECT n, s_stat, theil_sen_slope,
+         (n * (n - 1) * (2 * n + 5) - tie_term)
+           / CAST(18 AS DOUBLE) AS var_s
+  FROM rt_pairs, rt_ties
+),
+robust_trend AS (
+  SELECT 'n_days' AS stat, CAST(n AS DOUBLE) AS value FROM rt_v
+  UNION ALL SELECT 's', CAST(s_stat AS DOUBLE) FROM rt_v
+  UNION ALL SELECT 'var_s', round(var_s, 4) FROM rt_v
+  UNION ALL SELECT 'z',
+    CASE WHEN s_stat > 0 THEN round((s_stat - 1) / sqrt(var_s), 6)
+         WHEN s_stat < 0 THEN round((s_stat + 1) / sqrt(var_s), 6)
+         ELSE CAST(0 AS DOUBLE) END FROM rt_v
+  UNION ALL SELECT 'theil_sen_slope', theil_sen_slope FROM rt_v
 )
 """
