@@ -424,6 +424,20 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph.degree_stats(_lineitem(spark, sf_dir))
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (fixed unrolled rounds, per-round checkpointed
+    frontier): per-node induced degree + core membership + converged
+    flag; all-integer hash parity with the unrolled DuckDB schedule."""
+    return _graph.k_core_membership(_lineitem(spark, sf_dir))
+
+
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over non-adjacent pairs: common neighbors +
+    integer resource-allocation index (hub-capped wedge join, global
+    top-N TakeOrdered)."""
+    return _graph.link_prediction_ra(_lineitem(spark, sf_dir))
+
+
 def q_closed_maximal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed/maximal flags for every frequent pair (itemset-lattice
     condensation; completeness guaranteed by downward closure at the
@@ -2821,6 +2835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_products": q_pagerank_products,
         "graph_triangles": q_graph_triangles,
         "graph_degree_stats": q_graph_degree_stats,
+        "graph_kcore": q_graph_kcore,
+        "graph_link_prediction": q_graph_link_prediction,
         "graph_bfs": q_graph_bfs,
         "graph_lpa": q_graph_lpa,
         "graph_item_similarity": q_graph_item_similarity,
@@ -3457,6 +3473,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_degree_stats": _ext_oracle(
             [_graph.ORACLE_DEGREE_STATS], "degree_stats"
+        ),
+        "graph_kcore": _ext_oracle(
+            [_graph.oracle_k_core()], "k_core_membership"
+        ),
+        "graph_link_prediction": _ext_oracle(
+            [_graph.oracle_link_prediction_ra()], "link_prediction_ra"
         ),
         "graph_bfs": _ext_oracle(
             [_graph.oracle_bfs_distances()], "bfs_distances"

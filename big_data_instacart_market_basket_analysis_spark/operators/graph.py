@@ -893,3 +893,254 @@ degree_stats AS (
   FROM dg_m
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round peeling)
+# ---------------------------------------------------------------------------
+
+#: k-core threshold: nodes must keep >= KCORE_K neighbors inside the
+#: surviving subgraph. 96 sits near the fixture's median co-purchase
+#: degree (89 at sf0.001, 115 at sf0.01), so peeling is non-trivial at
+#: both test scales.
+KCORE_K = 96
+
+#: fixed peeling supersteps. Peeling converges in at most |V| rounds
+#: but in practice a handful; the engine and the oracle run the SAME
+#: fixed count, and the output's ``converged`` flag (no node dropped in
+#: the final round) says whether more rounds would change anything.
+KCORE_ROUNDS = 4
+
+
+def k_core_membership(
+    lineitem: DataFrame,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+) -> DataFrame:
+    """Distributed k-core peeling on the co-purchase graph: repeatedly
+    drop nodes whose degree *inside the surviving subgraph* falls below
+    ``k``. Returns one row per original node:
+    (node, deg0, core_deg, in_core, converged).
+
+    Scale shape ([EXT]; the graph view of the reference's basket
+    analysis, F.py:296-396 territory): each round is two semi-joins
+    (filter edges to surviving endpoints) + one hash-agg (recount) —
+    the Giraph/Pregel peeling schedule with no driver data movement.
+    The surviving-node frontier is localCheckpointed per round because
+    it is referenced twice (both edge endpoints); without that the
+    lineage doubles per round (the plan_lint lesson from the graph-ANN
+    beam). At cluster scale the frontier is a staged table and rounds
+    continue until a count() fixpoint; here rounds are FIXED so the
+    DuckDB oracle (same unrolled schedule, materialized CTEs) is
+    hash-exact. All-integer output.
+    """
+    edges = _edges_staged(lineitem)
+    deg0 = edges.groupBy("a").agg(F.count("*").alias("deg0"))
+    alive = deg0.filter(F.col("deg0") >= k).select(F.col("a").alias("node"))
+    alive = alive.localCheckpoint(eager=True)
+    last = None
+    for _ in range(rounds):
+        ind_deg = (
+            edges.join(alive, edges.a == alive.node, "leftsemi")
+            .join(
+                alive.select(F.col("node").alias("bn")),
+                F.col("b") == F.col("bn"),
+                "leftsemi",
+            )
+            .groupBy("a")
+            .agg(F.count("*").alias("core_deg"))
+        )
+        last = ind_deg.localCheckpoint(eager=True)
+        alive = (
+            last.filter(F.col("core_deg") >= k)
+            .select(F.col("a").alias("node"))
+        )
+    n_alive = alive.agg(F.count("*").alias("n_alive"))
+    n_prev = last.filter(F.col("core_deg") >= k).agg(
+        F.count("*").alias("n_prev")
+    )
+    # converged iff the final filter dropped nobody vs the round-(R-1)
+    # survivor set that produced `last`: compare survivor counts of the
+    # last two rounds (1-row broadcast crossJoin, the engine's standard
+    # scalar-attach shape).
+    conv = n_alive.crossJoin(n_prev).select(
+        (F.col("n_alive") == F.col("n_prev")).cast("int").alias("converged")
+    )
+    surv = last.filter(F.col("core_deg") >= k)
+    out = (
+        deg0.join(surv, "a", "left")
+        .select(
+            F.col("a").alias("node"),
+            "deg0",
+            F.coalesce(F.col("core_deg"), F.lit(0)).alias("core_deg"),
+            F.col("core_deg").isNotNull().cast("int").alias("in_core"),
+        )
+        .crossJoin(F.broadcast(conv))
+    )
+    return out
+
+
+def oracle_k_core(
+    k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> str:
+    """Unrolled peeling schedule; alive_r is AS MATERIALIZED because it
+    is referenced by both edge endpoints (inlining would double the
+    plan per round)."""
+    ctes = [
+        """
+kc_edges AS MATERIALIZED (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey <> l2.l_partkey
+),
+kc_deg0 AS MATERIALIZED (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg0 FROM kc_edges GROUP BY 1
+),
+kc_alive0 AS MATERIALIZED (
+  SELECT a AS node FROM kc_deg0 WHERE deg0 >= {k}
+)""".format(k=k)
+    ]
+    prev = "kc_alive0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            """
+kc_ind{r} AS MATERIALIZED (
+  SELECT e.a, CAST(count(*) AS BIGINT) AS core_deg
+  FROM kc_edges e
+  JOIN {prev} x ON e.a = x.node
+  JOIN {prev} y ON e.b = y.node
+  GROUP BY 1
+),
+kc_alive{r} AS MATERIALIZED (
+  SELECT a AS node FROM kc_ind{r} WHERE core_deg >= {k}
+)""".format(r=r, prev=prev, k=k)
+        )
+        prev = f"kc_alive{r}"
+    ctes.append(
+        """
+kc_conv AS (
+  SELECT CAST((SELECT count(*) FROM kc_alive{R}) =
+              (SELECT count(*) FROM kc_alive{Rm1}) AS INT) AS converged
+),
+k_core_membership AS (
+  SELECT d.a AS node, d.deg0,
+         CAST(coalesce(s.core_deg, 0) AS BIGINT) AS core_deg,
+         CAST(s.core_deg IS NOT NULL AS INT) AS in_core,
+         (SELECT converged FROM kc_conv) AS converged
+  FROM kc_deg0 d
+  LEFT JOIN (SELECT * FROM kc_ind{R} WHERE core_deg >= {k}) s
+    ON d.a = s.a
+)""".format(R=rounds, Rm1=rounds - 1, k=k)
+    )
+    return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# link prediction: common-neighbor + integer resource-allocation index
+# ---------------------------------------------------------------------------
+
+#: wedge-center degree cap for link prediction: wedges through nodes
+#: with degree above this are skipped (their per-neighbor contribution
+#: 1e6 DIV deg is tiny anyway). Inactive on the fixtures (max degree
+#: 206) but bounds every z-bucket to RA_DF_CAP^2 candidate pairs at
+#: 100 TB — the same hub discipline as MAX_SHINGLE_DF / the triangle
+#: skew guard.
+RA_DF_CAP = 1024
+
+#: integer score scale: each common neighbor z contributes
+#: 1_000_000 DIV deg(z) (floor division — exact in both engines; a
+#: float 1/deg or 1/log(deg) sum would be fold-order sensitive).
+RA_SCALE = 1_000_000
+
+#: global top-N candidate links reported.
+RA_TOP_N = 100
+
+
+def link_prediction_ra(
+    lineitem: DataFrame,
+    df_cap: int = RA_DF_CAP,
+    top_n: int = RA_TOP_N,
+) -> DataFrame:
+    """Link prediction on the co-purchase graph: for node pairs a<b
+    that are NOT adjacent, count common neighbors (cn) and an
+    integer-scaled resource-allocation index
+    ra_micros = sum_z 1e6 DIV deg(z) over common neighbors z
+    (Zhou/Lu/Zhang's RA index — the discretized cousin of
+    Adamic-Adar, chosen because floor-division sums are hash-exact
+    across engines while 1/log(deg) float sums are not). Returns the
+    global top ``top_n`` by (ra_micros, cn, a, b) — a TakeOrdered, no
+    full sort.
+
+    Scale shape: one wedge join through each center z (bounded by the
+    ``df_cap`` hub cap), one hash-agg on (a, b), one anti-join against
+    the edge list to drop already-adjacent pairs. Wedge volume is
+    sum(deg(z)^2) — identical to the triangle join already benched at
+    ~2 s/sf0.01 — and each z-bucket is capped at df_cap^2.
+    """
+    edges = _edges_staged(lineitem)
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+    nbr = edges.join(
+        deg.filter(F.col("deg") <= df_cap), "a"
+    ).select(
+        F.col("a").alias("z"),
+        F.col("b").alias("n"),
+        (F.lit(RA_SCALE) / F.col("deg")).cast("bigint").alias("give"),
+    )
+    lo = nbr.select("z", F.col("n").alias("pa"), "give")
+    hi = nbr.select("z", F.col("n").alias("pb"))
+    wedges = lo.join(hi, "z").filter(F.col("pa") < F.col("pb"))
+    scored = wedges.groupBy("pa", "pb").agg(
+        F.count("*").alias("cn"),
+        F.sum("give").alias("ra_micros"),
+    )
+    non_adj = scored.join(
+        edges.filter(F.col("a") < F.col("b")),
+        (scored.pa == edges.a) & (scored.pb == edges.b),
+        "left_anti",
+    )
+    return (
+        non_adj.orderBy(
+            F.desc("ra_micros"), F.desc("cn"), "pa", "pb"
+        )
+        .limit(top_n)
+        .select(
+            F.col("pa").alias("a"),
+            F.col("pb").alias("b"),
+            "cn",
+            "ra_micros",
+        )
+    )
+
+
+def oracle_link_prediction_ra(
+    df_cap: int = RA_DF_CAP, top_n: int = RA_TOP_N
+) -> str:
+    return """
+lp_edges AS MATERIALIZED (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey <> l2.l_partkey
+),
+lp_deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM lp_edges GROUP BY 1
+),
+lp_nbr AS MATERIALIZED (
+  SELECT e.a AS z, e.b AS n, CAST({scale} // d.deg AS BIGINT) AS give
+  FROM lp_edges e JOIN lp_deg d ON e.a = d.a
+  WHERE d.deg <= {cap}
+),
+lp_scored AS (
+  SELECT x.n AS pa, y.n AS pb,
+         CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum(x.give) AS BIGINT) AS ra_micros
+  FROM lp_nbr x JOIN lp_nbr y ON x.z = y.z AND x.n < y.n
+  GROUP BY 1, 2
+),
+link_prediction_ra AS (
+  SELECT s.pa AS a, s.pb AS b, s.cn, s.ra_micros
+  FROM lp_scored s
+  ANTI JOIN (SELECT * FROM lp_edges WHERE a < b) e
+    ON s.pa = e.a AND s.pb = e.b
+  ORDER BY s.ra_micros DESC, s.cn DESC, s.pa, s.pb
+  LIMIT {n}
+)""".format(scale=RA_SCALE, cap=df_cap, n=top_n)
