@@ -136,6 +136,8 @@ _FRAGMENTS: dict[str, str] = {
     "threshold_binarize": _rel.ORACLE_THRESHOLD_BINARIZE,
     "top_products_per_user": _rel.ORACLE_TOP_PRODUCTS_PER_USER,
     "loo_target_encoding": _feat.ORACLE_LOO_TARGET_ENCODING,
+    "woe_iv_encoding": _feat.ORACLE_WOE_IV,
+    "info_gain_ranking": _feat.ORACLE_INFO_GAIN,
     "feature_correlations": _prof.oracle_feature_correlations(),
     "baskets_base": _bask.ORACLE_BASKETS,
     "seq_spans": _bask.ORACLE_SEQ_SPANS,
@@ -194,6 +196,8 @@ _DEPS: dict[str, list[str]] = {
     "threshold_binarize": ["product_features"],
     "top_products_per_user": ["prior_enriched", "user_product_features"],
     "loo_target_encoding": [],
+    "woe_iv_encoding": [],
+    "info_gain_ranking": [],
     "feature_correlations": [
         "prior_enriched",
         "user_prior_features",
@@ -2035,6 +2039,20 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.interpolate_missing_values(load_table(spark, sf_dir, "events"))
 
 
+def q_woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding of aisle vs reordered (half-unit
+    smoothed shares, per-category WOE + IV contribution + total IV —
+    the credit-scoring feature screen)."""
+    return _feat.woe_iv_encoding(instacart_tables(spark, sf_dir))
+
+
+def q_info_gain_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy-based feature screening: info gain + split entropy for 5
+    categorical features vs reordered, from exact n*ln(n) count
+    algebra (one unpivot + one hash-agg)."""
+    return _feat.info_gain_ranking(instacart_tables(spark, sf_dir))
+
+
 def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe leave-one-out target encoding of productID
     against the reordered target (hash-agg + broadcast, no window)."""
@@ -2896,6 +2914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_weighted_median": q_weighted_median,
         "events_interpolate": q_events_interpolate,
         "loo_target_encoding": q_loo_target_encoding,
+        "woe_iv_encoding": q_woe_iv_encoding,
+        "info_gain_ranking": q_info_gain_ranking,
         "feature_correlations": q_feature_correlations,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "regional_revenue": q_regional_revenue,
@@ -3763,6 +3783,8 @@ def oracle_sql() -> dict[str, str]:
             [_tmp.ORACLE_INTERPOLATE_MISSING], "interpolate_missing"
         ),
         "loo_target_encoding": _oracle("loo_target_encoding"),
+        "woe_iv_encoding": _oracle("woe_iv_encoding"),
+        "info_gain_ranking": _oracle("info_gain_ranking"),
         "feature_correlations": _oracle("feature_correlations"),
         "parts_intersect_all": _ext_oracle(
             [_rel.ORACLE_PARTS_INTERSECT_ALL], "parts_intersect_all"

@@ -246,3 +246,244 @@ loo_target_encoding AS (
   FROM iprior_products op JOIN loo_sums s ON op.productID = s.productID
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# weight-of-evidence encoding + information value
+# ---------------------------------------------------------------------------
+
+def woe_iv_encoding(t) -> DataFrame:
+    """Weight-of-evidence encoding of the product aisle against the
+    ``reordered`` target over the prior split (the credit-scoring /
+    feature-screening encoder that complements ``loo_target_encoding``):
+    per category c,
+    ``woe = ln(((n_event_c + .5)/tot_event) / ((n_nonevent_c + .5)/tot_nonevent))``
+    (half-unit smoothing so empty cells stay finite) and the
+    information-value contribution ``iv = (se - sne) * woe`` on the
+    same smoothed shares; the category table also carries the total IV
+    (sum of rounded contributions — the screening statistic that ranks
+    features).
+
+    Plan: one fact-side hash-agg to the (productID) grain? No — aisle
+    is a product attribute, so the fact rows broadcast-join the
+    products dim first, then ONE hash-agg to the aisle grain
+    (dim-bounded), a 1-row total agg, and row-local log arithmetic.
+    At 100 TB the shuffle payload is |aisles| rows of two BIGINTs.
+    """
+    labeled = t.prior_products.join(
+        F.broadcast(t.products.select("productID", "aisle_id")),
+        "productID",
+    )
+    cat = labeled.groupBy("aisle_id").agg(
+        F.sum("reordered").alias("n_event"),
+        F.sum(F.lit(1) - F.col("reordered")).alias("n_nonevent"),
+    )
+    tot = cat.agg(
+        F.sum("n_event").alias("tot_event"),
+        F.sum("n_nonevent").alias("tot_nonevent"),
+    )
+    scored = cat.crossJoin(F.broadcast(tot)).select(
+        "aisle_id",
+        "n_event",
+        "n_nonevent",
+        F.round(
+            F.log(
+                ((F.col("n_event") + 0.5) / F.col("tot_event"))
+                / ((F.col("n_nonevent") + 0.5) / F.col("tot_nonevent"))
+            ),
+            6,
+        ).alias("woe"),
+        F.round(
+            (
+                (F.col("n_event") + 0.5) / F.col("tot_event")
+                - (F.col("n_nonevent") + 0.5) / F.col("tot_nonevent")
+            )
+            * F.log(
+                ((F.col("n_event") + 0.5) / F.col("tot_event"))
+                / ((F.col("n_nonevent") + 0.5) / F.col("tot_nonevent"))
+            ),
+            6,
+        ).alias("iv_contrib"),
+    )
+    iv_tot = scored.agg(
+        F.round(F.sum("iv_contrib"), 6).alias("iv_total")
+    )
+    return scored.crossJoin(F.broadcast(iv_tot))
+
+
+ORACLE_WOE_IV = """
+woe_cat AS (
+  SELECT p.aisle_id,
+         CAST(sum(op.reordered) AS BIGINT) AS n_event,
+         CAST(sum(1 - op.reordered) AS BIGINT) AS n_nonevent
+  FROM iprior_products op JOIN iproducts p ON op.productID = p.productID
+  GROUP BY 1
+),
+woe_tot AS (
+  SELECT CAST(sum(n_event) AS BIGINT) AS tot_event,
+         CAST(sum(n_nonevent) AS BIGINT) AS tot_nonevent
+  FROM woe_cat
+),
+woe_scored AS (
+  SELECT c.aisle_id, c.n_event, c.n_nonevent,
+         round(ln(((c.n_event + CAST(0.5 AS DOUBLE)) / t.tot_event)
+                  / ((c.n_nonevent + CAST(0.5 AS DOUBLE)) / t.tot_nonevent)), 6) AS woe,
+         round(((c.n_event + CAST(0.5 AS DOUBLE)) / t.tot_event
+                - (c.n_nonevent + CAST(0.5 AS DOUBLE)) / t.tot_nonevent)
+               * ln(((c.n_event + CAST(0.5 AS DOUBLE)) / t.tot_event)
+                    / ((c.n_nonevent + CAST(0.5 AS DOUBLE)) / t.tot_nonevent)), 6)
+           AS iv_contrib
+  FROM woe_cat c CROSS JOIN woe_tot t
+),
+woe_iv_encoding AS (
+  SELECT s.*, (SELECT round(sum(iv_contrib), 6) FROM woe_scored)
+           AS iv_total
+  FROM woe_scored s
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# information-gain feature ranking
+# ---------------------------------------------------------------------------
+
+def info_gain_ranking(t) -> DataFrame:
+    """Entropy-based feature screening against ``reordered`` over the
+    prior split: for each candidate categorical feature (aisle,
+    department, order dow/hod, days-since week bucket), report
+    ``info_gain = H(y) - H(y|f)`` and the gain ratio
+    ``info_gain / H(f)`` (Quinlan's split criterion pair — what a
+    tree trainer would rank before its first split; the engine's CART
+    uses the Gini twin of this).
+
+    Plan: the enriched fact unpivots to (feature, value) rows via
+    ``stack`` (map-side, x5 rows), then ONE hash-agg to the
+    (feature, value) grain with event/total counts; every entropy is
+    assembled from exact BIGINT counts with per-term ``n*ln(n)``
+    algebra so the only floats are final rounded divisions. Output is
+    5 rows regardless of fact size.
+    """
+    labeled = (
+        t.prior_products.join(
+            t.prior_orders.select(
+                "orderID", "order_dow", "order_hod", "days_since"
+            ),
+            "orderID",
+        )
+        .join(
+            F.broadcast(t.products.select("productID", "aisle_id", "dep_id")),
+            "productID",
+        )
+        .select(
+            "reordered",
+            F.expr(
+                "stack(5,"
+                " 'aisle', cast(aisle_id as string),"
+                " 'dep', cast(dep_id as string),"
+                " 'dow', cast(order_dow as string),"
+                " 'hod', cast(order_hod as string),"
+                " 'ds_week', cast(days_since div 7 as string)"
+                ") as (feature, value)"
+            ),
+        )
+        .select("feature", "value", "reordered")
+    )
+    cell = labeled.groupBy("feature", "value").agg(
+        F.sum("reordered").alias("n_e"),
+        F.count("*").alias("n_v"),
+    )
+    # H(y|f) = (1/N) * sum_v [ n_v*ln(n_v) - n_e*ln(n_e) - (n_v-n_e)*ln(n_v-n_e) ]
+    # using n*ln(n) with n*ln(n)=0 at n=0; H(f) likewise from n_v.
+    xlx = lambda c: F.when(c > 0, c.cast("double") * F.log(c.cast("double"))).otherwise(F.lit(0.0))
+    per_f = cell.groupBy("feature").agg(
+        F.count("*").alias("n_values"),
+        F.sum("n_e").alias("N_e"),
+        F.sum("n_v").alias("N"),
+        F.sum(
+            xlx(F.col("n_v"))
+            - xlx(F.col("n_e"))
+            - xlx(F.col("n_v") - F.col("n_e"))
+        ).alias("cond_term"),
+        F.sum(xlx(F.col("n_v"))).alias("split_term"),
+    )
+    return per_f.select(
+        "feature",
+        "n_values",
+        F.round(
+            (
+                xlx(F.col("N"))
+                - xlx(F.col("N_e"))
+                - xlx(F.col("N") - F.col("N_e"))
+            )
+            / F.col("N"),
+            6,
+        ).alias("entropy_y"),
+        F.round(F.col("cond_term") / F.col("N"), 6).alias("cond_entropy"),
+        F.round(
+            (
+                xlx(F.col("N"))
+                - xlx(F.col("N_e"))
+                - xlx(F.col("N") - F.col("N_e"))
+            )
+            / F.col("N")
+            - F.col("cond_term") / F.col("N"),
+            6,
+        ).alias("info_gain"),
+        F.round(
+            (F.log(F.col("N").cast("double")) - F.col("split_term") / F.col("N")),
+            6,
+        ).alias("split_entropy"),
+    )
+
+
+ORACLE_INFO_GAIN = """
+ig_rows AS (
+  SELECT op.reordered, f.feature, f.value
+  FROM iprior_products op
+  JOIN iprior_orders o ON op.orderID = o.orderID
+  JOIN iproducts p ON op.productID = p.productID
+  CROSS JOIN LATERAL (VALUES
+    ('aisle', CAST(p.aisle_id AS VARCHAR)),
+    ('dep', CAST(p.dep_id AS VARCHAR)),
+    ('dow', CAST(o.order_dow AS VARCHAR)),
+    ('hod', CAST(o.order_hod AS VARCHAR)),
+    ('ds_week', CAST(o.days_since // 7 AS VARCHAR))
+  ) AS f(feature, value)
+),
+ig_cell AS (
+  SELECT feature, value,
+         CAST(sum(reordered) AS BIGINT) AS n_e,
+         CAST(count(*) AS BIGINT) AS n_v
+  FROM ig_rows GROUP BY 1, 2
+),
+ig_per_f AS (
+  SELECT feature,
+         CAST(count(*) AS BIGINT) AS n_values,
+         CAST(sum(n_e) AS BIGINT) AS N_e,
+         CAST(sum(n_v) AS BIGINT) AS N,
+         sum(CASE WHEN n_v > 0 THEN n_v * ln(CAST(n_v AS DOUBLE)) ELSE 0 END
+             - CASE WHEN n_e > 0 THEN n_e * ln(CAST(n_e AS DOUBLE)) ELSE 0 END
+             - CASE WHEN n_v - n_e > 0
+                    THEN (n_v - n_e) * ln(CAST(n_v - n_e AS DOUBLE))
+                    ELSE 0 END) AS cond_term,
+         sum(CASE WHEN n_v > 0 THEN n_v * ln(CAST(n_v AS DOUBLE)) ELSE 0 END)
+           AS split_term
+  FROM ig_cell GROUP BY 1
+),
+info_gain_ranking AS (
+  SELECT feature, n_values,
+         round((CASE WHEN N > 0 THEN N * ln(CAST(N AS DOUBLE)) ELSE 0 END
+                - CASE WHEN N_e > 0 THEN N_e * ln(CAST(N_e AS DOUBLE)) ELSE 0 END
+                - CASE WHEN N - N_e > 0
+                       THEN (N - N_e) * ln(CAST(N - N_e AS DOUBLE)) ELSE 0 END)
+               / N, 6) AS entropy_y,
+         round(cond_term / N, 6) AS cond_entropy,
+         round((CASE WHEN N > 0 THEN N * ln(CAST(N AS DOUBLE)) ELSE 0 END
+                - CASE WHEN N_e > 0 THEN N_e * ln(CAST(N_e AS DOUBLE)) ELSE 0 END
+                - CASE WHEN N - N_e > 0
+                       THEN (N - N_e) * ln(CAST(N - N_e AS DOUBLE)) ELSE 0 END)
+               / N - cond_term / N, 6) AS info_gain,
+         round(ln(CAST(N AS DOUBLE)) - split_term / N, 6) AS split_entropy
+  FROM ig_per_f
+)
+"""
