@@ -677,6 +677,20 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.markov_transitions(load_table(spark, sf_dir, "events"))
 
 
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type chain by integer
+    power iteration (millionths scale, 8 unrolled rounds — exact
+    parity with the unrolled oracle)."""
+    return _tmp.markov_stationary(load_table(spark, sf_dir, "events"))
+
+
+def q_events_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution: 2^4 coalitions over
+    pre-first-purchase touch sets, integer 24ths — the game-theoretic
+    anchor for the heuristic MTA models."""
+    return _tmp.shapley_attribution(load_table(spark, sf_dir, "events"))
+
+
 def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-user spend — exact rank formulation
     with integral tie-group rank sums (bucketed prefix-sum ranks)."""
@@ -2771,6 +2785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mannwhitney": q_events_mannwhitney,
         "events_chi2": q_events_chi2,
         "events_markov": q_events_markov,
+        "events_markov_stationary": q_events_markov_stationary,
+        "events_shapley": q_events_shapley,
         "events_cusum": q_events_cusum,
         "events_bot_flags": q_events_bot_flags,
         "events_gini": q_events_gini,
@@ -3226,6 +3242,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_markov": _ext_oracle(
             [_tmp.ORACLE_MARKOV], "markov_transitions"
+        ),
+        "events_markov_stationary": _ext_oracle(
+            [_tmp.oracle_markov_stationary()], "markov_stationary"
+        ),
+        "events_shapley": _ext_oracle(
+            [_tmp.ORACLE_SHAPLEY], "shapley_attribution"
         ),
         "events_cusum": _ext_oracle(
             [_tmp.ORACLE_CUSUM], "cusum_changepoints", recursive=True

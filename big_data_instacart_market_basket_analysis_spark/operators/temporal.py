@@ -6017,3 +6017,314 @@ robust_trend AS (
   UNION ALL SELECT 'theil_sen_slope', theil_sen_slope FROM rt_v
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution (integer power iteration)
+# ---------------------------------------------------------------------------
+
+#: fixed power-iteration rounds for the stationary distribution; the
+#: chain on |types| states mixes in a handful of rounds and BOTH
+#: engines run the same unrolled count, so parity is exact regardless.
+STATIONARY_ITERATIONS = 8
+
+#: probability scale (millionths) — same integer-arithmetic stance as
+#: graph.pagerank_products: float matrix powers are fold-order
+#: sensitive across engines, floor-division mass flow is exact.
+STATIONARY_SCALE = 1_000_000
+
+
+def markov_stationary(
+    events: DataFrame, iterations: int = STATIONARY_ITERATIONS
+) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain by integer power iteration: pi'_j = sum_i (pi_i * n_ij) DIV
+    n_i on a millionths scale, starting uniform. The long-run "where
+    does the funnel settle" readout on top of ``markov_transitions``.
+
+    The transition table is |types|^2 rows, so every iteration is a
+    joins-and-aggs plan over a broadcast-sized table; the heavy stage
+    remains the ONE per-user window that built the pairs. Floor
+    division leaks ≤1 millionth per edge per round (documented,
+    deterministic, identical in the oracle) — the price of
+    cross-engine exactness.
+
+    Output: (state, pi_millionths, n_iterations).
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    pairs = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    trans = pairs.join(F.broadcast(totals), "from_type").localCheckpoint(
+        eager=True
+    )
+    n_states = totals.agg(F.count("*").alias("k"))
+    pi = totals.select(F.col("from_type").alias("state")).crossJoin(
+        F.broadcast(n_states)
+    ).select(
+        "state",
+        (F.lit(STATIONARY_SCALE) / F.col("k")).cast("bigint").alias("pi"),
+    )
+    for _ in range(iterations):
+        pi = (
+            trans.join(pi, trans.from_type == pi.state)
+            .select(
+                F.col("to_type").alias("state"),
+                ((F.col("pi") * F.col("n")) / F.col("n_from"))
+                .cast("bigint")
+                .alias("flow"),
+            )
+            .groupBy("state")
+            .agg(F.sum("flow").alias("pi"))
+        )
+    return pi.select(
+        "state",
+        F.col("pi").alias("pi_millionths"),
+        F.lit(iterations).alias("n_iterations"),
+    )
+
+
+def oracle_markov_stationary(
+    iterations: int = STATIONARY_ITERATIONS,
+) -> str:
+    ctes = [
+        """
+mst_counts AS MATERIALIZED (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+  ) WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+mst_tot AS MATERIALIZED (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+  FROM mst_counts GROUP BY 1
+),
+mst_trans AS MATERIALIZED (
+  SELECT c.from_type, c.to_type, c.n, t.n_from
+  FROM mst_counts c JOIN mst_tot t USING (from_type)
+),
+mst_p0 AS (
+  SELECT from_type AS state,
+         CAST({scale} // (SELECT count(*) FROM mst_tot) AS BIGINT) AS pi
+  FROM mst_tot
+)""".format(scale=STATIONARY_SCALE)
+    ]
+    prev = "mst_p0"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            """
+mst_p{i} AS MATERIALIZED (
+  SELECT t.to_type AS state,
+         CAST(sum((p.pi * t.n) // t.n_from) AS BIGINT) AS pi
+  FROM mst_trans t JOIN {prev} p ON t.from_type = p.state
+  GROUP BY 1
+)""".format(i=i, prev=prev)
+        )
+        prev = f"mst_p{i}"
+    ctes.append(
+        """
+markov_stationary AS (
+  SELECT state, pi AS pi_millionths,
+         {it} AS n_iterations
+  FROM {prev}
+)""".format(it=iterations, prev=prev)
+    )
+    return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# exact Shapley-value channel attribution
+# ---------------------------------------------------------------------------
+
+#: fixed channel vocabulary -> bitmask bit (the four non-conversion
+#: event types of the fixture; 'purchase' is the conversion). Exact
+#: Shapley enumerates 2^|channels| coalitions — tractable precisely
+#: because the channel vocabulary is tiny and FIXED, never data-sized.
+SHAPLEY_CHANNEL_BITS: tuple[tuple[str, int], ...] = (
+    ("click", 1),
+    ("error", 2),
+    ("signup", 4),
+    ("view", 8),
+)
+
+#: n=4 coalition weights: |S|! * (n-1-|S|)! for |S| = 0..3; the
+#: denominator n! = 24 stays symbolic so every Shapley value is an
+#: exact integer number of 24ths.
+_SHAPLEY_W = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+def shapley_attribution(events: DataFrame) -> DataFrame:
+    """EXACT Shapley-value channel attribution over pre-conversion
+    journeys: the characteristic function v(S) counts converting
+    users whose touched-channel set is contained in coalition S
+    (touches = distinct non-purchase event types strictly before the
+    user's first purchase), and each channel's Shapley value is the
+    weighted sum of marginals v(S ∪ {c}) − v(S) over the 2^4
+    coalitions. The game-theoretic MTA model that
+    ``attribution_report``'s heuristic models (first/last/linear/
+    time-decay) approximate.
+
+    Scale shape: the fact-sized work is one groupBy(user) min-ts and
+    one distinct on (user, channel-bit) — everything after lives on a
+    ≤16-row mask-count table expanded to coalitions via a
+    higher-order-function superset explode (no nested-loop join, no
+    driver collect). All counts and weights are integers; the single
+    division by 4! happens at the rounded edge.
+
+    Output: (channel, shapley_24ths, shapley) — shapley values sum to
+    v(full) − v(empty) by construction (efficiency axiom).
+    """
+    fp = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("fp_us"))
+    )
+    bit_expr = F.when(F.lit(False), F.lit(0))
+    for name, bit in SHAPLEY_CHANNEL_BITS:
+        bit_expr = bit_expr.when(F.col("event_type") == name, F.lit(bit))
+    touches = (
+        events.join(fp, "user_id")
+        .filter(
+            (F.unix_micros("ts") < F.col("fp_us"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select("user_id", bit_expr.alias("bit"))
+        .distinct()
+    )
+    masks = (
+        fp.join(
+            touches.groupBy("user_id").agg(F.sum("bit").alias("mask")),
+            "user_id",
+            "left",
+        )
+        .select(F.coalesce(F.col("mask"), F.lit(0)).alias("mask"))
+        .groupBy("mask")
+        .agg(F.count("*").alias("n_users"))
+    )
+    # v(S) for all 16 coalitions: explode each mask to its supersets
+    # (HOF filter over sequence(0,15) — map-side, 16x at most), agg.
+    v = (
+        masks.select(
+            F.explode(
+                F.expr("filter(sequence(0, 15), s -> (s & mask) = mask)")
+            ).alias("S"),
+            "n_users",
+        )
+        .groupBy("S")
+        .agg(F.sum("n_users").alias("v"))
+    )
+    spark = events.sparkSession
+    combos = spark.range(16).select(
+        F.col("id").cast("int").alias("S"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("channel"),
+                        F.lit(bit).alias("c_bit"),
+                    )
+                    for name, bit in SHAPLEY_CHANNEL_BITS
+                ]
+            )
+        ).alias("ch"),
+    ).select("S", "ch.channel", "ch.c_bit").filter(
+        F.expr("(S & c_bit) = 0")
+    )
+    w_expr = (
+        F.when(F.expr("bit_count(S)") == 0, F.lit(_SHAPLEY_W[0]))
+        .when(F.expr("bit_count(S)") == 1, F.lit(_SHAPLEY_W[1]))
+        .when(F.expr("bit_count(S)") == 2, F.lit(_SHAPLEY_W[2]))
+        .otherwise(F.lit(_SHAPLEY_W[3]))
+    )
+    vS = v.select(F.col("S").alias("vs_key"), F.col("v").alias("v_s"))
+    vSc = v.select(F.col("S").alias("vc_key"), F.col("v").alias("v_sc"))
+    scored = (
+        combos.withColumn("w", w_expr)
+        .withColumn("Sc", F.expr("S | c_bit"))
+        .join(F.broadcast(vS), F.col("S") == F.col("vs_key"), "left")
+        .join(F.broadcast(vSc), F.col("Sc") == F.col("vc_key"), "left")
+        .select(
+            "channel",
+            (
+                F.col("w")
+                * (
+                    F.coalesce(F.col("v_sc"), F.lit(0))
+                    - F.coalesce(F.col("v_s"), F.lit(0))
+                )
+            ).alias("contrib"),
+        )
+    )
+    return scored.groupBy("channel").agg(
+        F.sum("contrib").alias("shapley_24ths")
+    ).select(
+        "channel",
+        "shapley_24ths",
+        F.round(
+            F.col("shapley_24ths") / F.lit(24).cast("double"), 6
+        ).alias("shapley"),
+    )
+
+
+ORACLE_SHAPLEY = """
+shp_fp AS (
+  SELECT user_id, min(ts) AS fp_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+shp_touch AS (
+  SELECT DISTINCT e.user_id,
+         CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+              WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END AS bit
+  FROM events e JOIN shp_fp f ON e.user_id = f.user_id
+  WHERE e.ts < f.fp_ts AND e.event_type <> 'purchase'
+),
+shp_masks AS MATERIALIZED (
+  SELECT coalesce(t.mask, 0) AS mask, CAST(count(*) AS BIGINT) AS n_users
+  FROM shp_fp f
+  LEFT JOIN (SELECT user_id, CAST(sum(bit) AS BIGINT) AS mask
+             FROM shp_touch GROUP BY 1) t
+    ON f.user_id = t.user_id
+  GROUP BY 1
+),
+shp_v AS MATERIALIZED (
+  SELECT s.s AS S, CAST(sum(m.n_users) AS BIGINT) AS v
+  FROM shp_masks m, LATERAL unnest(range(16)) AS s(s)
+  WHERE (CAST(s.s AS BIGINT) & m.mask) = m.mask
+  GROUP BY 1
+),
+shp_combos AS (
+  SELECT CAST(s.s AS INT) AS S, c.channel, c.c_bit
+  FROM (SELECT * FROM range(16)) s(s)
+  CROSS JOIN (VALUES ('click', 1), ('error', 2),
+                     ('signup', 4), ('view', 8)) c(channel, c_bit)
+  WHERE (CAST(s.s AS INT) & c.c_bit) = 0
+),
+shapley_attribution AS (
+  SELECT c.channel,
+         CAST(sum((CASE bit_count(c.S) WHEN 0 THEN 6 WHEN 1 THEN 2
+                        WHEN 2 THEN 2 ELSE 6 END)
+                  * (coalesce(vc.v, 0) - coalesce(vs.v, 0))) AS BIGINT)
+           AS shapley_24ths,
+         round(CAST(sum((CASE bit_count(c.S) WHEN 0 THEN 6 WHEN 1 THEN 2
+                              WHEN 2 THEN 2 ELSE 6 END)
+                        * (coalesce(vc.v, 0) - coalesce(vs.v, 0)))
+                    AS DOUBLE) / CAST(24 AS DOUBLE), 6) AS shapley
+  FROM shp_combos c
+  LEFT JOIN shp_v vs ON c.S = vs.S
+  LEFT JOIN shp_v vc ON (c.S | c.c_bit) = vc.S
+  GROUP BY 1
+)
+"""
