@@ -1194,6 +1194,14 @@ def q_docs_er_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.er_matches(_docs(spark, sf_dir))
 
 
+def q_docs_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage: latent-class EM over the
+    8-row agreement-pattern contingency of the blocked candidate
+    pairs (2 unrolled rounds, 9-dp pre-rounded parameters); per
+    pattern posterior + log-odds match weight."""
+    return _dedup.fellegi_sunter_weights(_docs(spark, sf_dir))
+
+
 def q_docs_template_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template-normalized duplicate groups (digits->0, whitespace
     collapsed) — the boilerplate families exact dedup misses."""
@@ -2856,6 +2864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_unpivot": q_events_type_unpivot,
         "dedup_fuzzy_prefix": q_dedup_fuzzy_prefix,
         "docs_er_matches": q_docs_er_matches,
+        "docs_fellegi_sunter": q_docs_fellegi_sunter,
         "docs_phonetic_er": q_docs_phonetic_er,
         "docs_template_dedup": q_docs_template_dedup,
         "text_phrase_search": q_text_phrase_search,
@@ -3604,6 +3613,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_er_matches": _ext_oracle(
             [_dedup.ORACLE_ER_MATCHES], "er_matches"
+        ),
+        "docs_fellegi_sunter": _ext_oracle(
+            [_dedup.oracle_fellegi_sunter()], "fellegi_sunter"
         ),
         "docs_phonetic_er": _ext_oracle(
             [_dedup.ORACLE_PHONETIC_ER], "phonetic_er_pairs"

@@ -2044,3 +2044,245 @@ template_dedup AS (
   HAVING count(*) > 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (unrolled EM)
+# ---------------------------------------------------------------------------
+
+#: EM iterations over the 8-row agreement-pattern table; parameters are
+#: rounded to 9 dp after every M-step (the AR2 "pre-rounded operands"
+#: stance) so both engines iterate on identical doubles.
+FS_EM_ITERATIONS = 2
+FS_INIT_P = 0.1
+FS_INIT_M = 0.9
+
+
+def fellegi_sunter_weights(docs: DataFrame) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage over the blocked candidate
+    pairs (same (lang, first-word) block as ``er_matches`` — ONE
+    candidate-generation rule for every pairwise matcher): each pair's
+    comparison vector has three binary agreement fields
+
+      g1 = token-Jaccard >= 0.5 (integer form 2*i >= u),
+      g2 = same source, g3 = same n_chars-div-100 length band,
+
+    and the classic latent-class EM estimates (p, m_k, u_k) on the
+    8-row pattern contingency — E-step posteriors from the current
+    parameters, M-step moment ratios, ``FS_EM_ITERATIONS`` unrolled
+    rounds with parameters rounded to 9 dp each round so the
+    iteration is engine-exact. Output per observed pattern: counts,
+    match posterior, and the log-odds FS match weight
+    sum_k ln(m_k/u_k | agree; (1-m_k)/(1-u_k) | disagree).
+
+    Scale shape: the quadratic step is block-bounded (hot blocks
+    dropped pre-join, same cap as er_matches); EVERYTHING after the
+    one hash-agg to the 8-row pattern grain is constant-size algebra
+    (1-row parameter broadcasts), so EM cost is independent of corpus
+    size — the right shape for linkage at 100 TB where EM on raw
+    pairs would be a multi-TB shuffle per iteration.
+    """
+    keyed = _block_capped(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.substring_index(F.col("text"), " ", 1).alias("blk"),
+            F.array_distinct(
+                F.filter(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.length(t) > 0,
+                )
+            ).alias("toks"),
+            "source",
+            (F.col("n_chars") / 100).cast("bigint").alias("band"),
+        ),
+        FUZZY_MAX_BLOCK,
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"), "lang", "blk",
+        F.col("toks").alias("ta"), F.col("source").alias("sa"),
+        F.col("band").alias("ba"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"), "lang", "blk",
+        F.col("toks").alias("tb"), F.col("source").alias("sb"),
+        F.col("band").alias("bb"),
+    )
+    i = F.size(F.array_intersect("ta", "tb"))
+    u = F.size("ta") + F.size("tb") - i
+    pat = (
+        a.join(b, ["lang", "blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            (F.lit(2) * i >= u).cast("int").alias("g1"),
+            (F.col("sa") == F.col("sb")).cast("int").alias("g2"),
+            (F.col("ba") == F.col("bb")).cast("int").alias("g3"),
+        )
+        .groupBy("g1", "g2", "g3")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    params = pat.agg(
+        F.lit(float(FS_INIT_P)).alias("p"),
+        F.lit(float(FS_INIT_M)).alias("m1"),
+        F.lit(float(FS_INIT_M)).alias("m2"),
+        F.lit(float(FS_INIT_M)).alias("m3"),
+        F.round(
+            F.sum(F.col("n") * F.col("g1")) / F.sum("n").cast("double"), 9
+        ).alias("u1"),
+        F.round(
+            F.sum(F.col("n") * F.col("g2")) / F.sum("n").cast("double"), 9
+        ).alias("u2"),
+        F.round(
+            F.sum(F.col("n") * F.col("g3")) / F.sum("n").cast("double"), 9
+        ).alias("u3"),
+    )
+
+    def _lik(side: str):
+        # product over the 3 fields of (g ? theta : 1-theta), written in
+        # one fixed multiplication order for bit parity.
+        t1, t2, t3 = (F.col(f"{side}1"), F.col(f"{side}2"), F.col(f"{side}3"))
+        return (
+            F.when(F.col("g1") == 1, t1).otherwise(1.0 - t1)
+            * F.when(F.col("g2") == 1, t2).otherwise(1.0 - t2)
+            * F.when(F.col("g3") == 1, t3).otherwise(1.0 - t3)
+        )
+
+    for _ in range(FS_EM_ITERATIONS):
+        est = pat.crossJoin(F.broadcast(params)).select(
+            "g1", "g2", "g3", "n",
+            (
+                (F.col("p") * _lik("m"))
+                / (
+                    F.col("p") * _lik("m")
+                    + (1.0 - F.col("p")) * _lik("u")
+                )
+            ).alias("w"),
+        )
+        params = est.agg(
+            F.round(
+                F.sum(F.col("w") * F.col("n")) / F.sum("n").cast("double"),
+                9,
+            ).alias("p"),
+            *[
+                F.round(
+                    F.sum(F.col("w") * F.col("n") * F.col(f"g{k}"))
+                    / F.sum(F.col("w") * F.col("n")),
+                    9,
+                ).alias(f"m{k}")
+                for k in (1, 2, 3)
+            ],
+            *[
+                F.round(
+                    F.sum((1.0 - F.col("w")) * F.col("n") * F.col(f"g{k}"))
+                    / F.sum((1.0 - F.col("w")) * F.col("n")),
+                    9,
+                ).alias(f"u{k}")
+                for k in (1, 2, 3)
+            ],
+        )
+    w_term = lambda k: F.when(
+        F.col(f"g{k}") == 1, F.log(F.col(f"m{k}") / F.col(f"u{k}"))
+    ).otherwise(
+        F.log((1.0 - F.col(f"m{k}")) / (1.0 - F.col(f"u{k}")))
+    )
+    return pat.crossJoin(F.broadcast(params)).select(
+        "g1", "g2", "g3",
+        F.col("n").alias("n_pairs"),
+        F.round(
+            (F.col("p") * _lik("m"))
+            / (F.col("p") * _lik("m") + (1.0 - F.col("p")) * _lik("u")),
+            6,
+        ).alias("posterior"),
+        F.round(w_term(1) + w_term(2) + w_term(3), 6).alias("fs_weight"),
+    )
+
+
+def _fs_oracle_lik(side: str) -> str:
+    return (
+        f"(CASE WHEN g1 = 1 THEN {side}1 ELSE 1.0 - {side}1 END"
+        f" * CASE WHEN g2 = 1 THEN {side}2 ELSE 1.0 - {side}2 END"
+        f" * CASE WHEN g3 = 1 THEN {side}3 ELSE 1.0 - {side}3 END)"
+    )
+
+
+def oracle_fellegi_sunter() -> str:
+    lm, lu = _fs_oracle_lik("m"), _fs_oracle_lik("u")
+    ctes = [
+        f"""
+fs_keyed_all AS (
+  SELECT doc_id, lang, string_split(text, ' ')[1] AS blk,
+         list_distinct(list_filter(string_split(text, ' '),
+                                   t -> len(t) > 0)) AS toks,
+         source, n_chars // 100 AS band
+  FROM documents
+),
+fs_blocks AS (
+  SELECT lang, blk FROM fs_keyed_all
+  GROUP BY 1, 2 HAVING count(*) <= {FUZZY_MAX_BLOCK}
+),
+fs_keyed AS (
+  SELECT k.* FROM fs_keyed_all k JOIN fs_blocks b USING (lang, blk)
+),
+fs_pat AS MATERIALIZED (
+  SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT CAST(2 * len(list_intersect(a.toks, b.toks))
+                >= len(a.toks) + len(b.toks)
+                   - len(list_intersect(a.toks, b.toks)) AS INT) AS g1,
+           CAST(a.source = b.source AS INT) AS g2,
+           CAST(a.band = b.band AS INT) AS g3
+    FROM fs_keyed a JOIN fs_keyed b
+      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+  )
+  GROUP BY 1, 2, 3
+),
+fs_params0 AS MATERIALIZED (
+  SELECT CAST({FS_INIT_P} AS DOUBLE) AS p,
+         CAST({FS_INIT_M} AS DOUBLE) AS m1,
+         CAST({FS_INIT_M} AS DOUBLE) AS m2,
+         CAST({FS_INIT_M} AS DOUBLE) AS m3,
+         round(sum(n * g1) / CAST(sum(n) AS DOUBLE), 9) AS u1,
+         round(sum(n * g2) / CAST(sum(n) AS DOUBLE), 9) AS u2,
+         round(sum(n * g3) / CAST(sum(n) AS DOUBLE), 9) AS u3
+  FROM fs_pat
+)"""
+    ]
+    prev = "fs_params0"
+    for it in range(1, FS_EM_ITERATIONS + 1):
+        ctes.append(
+            f"""
+fs_est{it} AS MATERIALIZED (
+  SELECT g1, g2, g3, n,
+         (p * {lm}) / (p * {lm} + (1.0 - p) * {lu}) AS w
+  FROM fs_pat CROSS JOIN {prev}
+),
+fs_params{it} AS MATERIALIZED (
+  SELECT round(sum(w * n) / CAST(sum(n) AS DOUBLE), 9) AS p,
+         round(sum(w * n * g1) / sum(w * n), 9) AS m1,
+         round(sum(w * n * g2) / sum(w * n), 9) AS m2,
+         round(sum(w * n * g3) / sum(w * n), 9) AS m3,
+         round(sum((1.0 - w) * n * g1) / sum((1.0 - w) * n), 9) AS u1,
+         round(sum((1.0 - w) * n * g2) / sum((1.0 - w) * n), 9) AS u2,
+         round(sum((1.0 - w) * n * g3) / sum((1.0 - w) * n), 9) AS u3
+  FROM fs_est{it}
+)"""
+        )
+        prev = f"fs_params{it}"
+    ctes.append(
+        f"""
+fellegi_sunter AS (
+  SELECT g1, g2, g3, n AS n_pairs,
+         round((p * {lm}) / (p * {lm} + (1.0 - p) * {lu}), 6)
+           AS posterior,
+         round(CASE WHEN g1 = 1 THEN ln(m1 / u1)
+                    ELSE ln((1.0 - m1) / (1.0 - u1)) END
+               + CASE WHEN g2 = 1 THEN ln(m2 / u2)
+                      ELSE ln((1.0 - m2) / (1.0 - u2)) END
+               + CASE WHEN g3 = 1 THEN ln(m3 / u3)
+                      ELSE ln((1.0 - m3) / (1.0 - u3)) END, 6)
+           AS fs_weight
+  FROM fs_pat CROSS JOIN {prev}
+)"""
+    )
+    return ",".join(ctes)
