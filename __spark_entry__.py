@@ -517,6 +517,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered (PPJoin-style) shingle-Jaccard join at t=1/2 —
+    LOSSLESS candidate pruning; the oracle is the uncapped exact
+    all-pairs Jaccard, so the hash match proves completeness."""
+    return _dedup.ppjoin_pairs(_docs(spark, sf_dir))
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
@@ -2745,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_embedding_dedup": q_stream_embedding_dedup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ppjoin": q_dedup_ppjoin,
         "dedup_containment": q_dedup_containment,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "dedup_simhash_eval": q_dedup_simhash_eval,
@@ -3045,6 +3053,10 @@ def oracle_sql() -> dict[str, str]:
         "sql_dept_top_reordered": _oracle("sql_dept_top_reordered"),
         "dedup_exact": _ext_oracle(
             [_dedup.ORACLE_EXACT_DEDUP], "exact_dedup"
+        ),
+        "dedup_ppjoin": _ext_oracle(
+            [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_PPJOIN],
+            "ppjoin_pairs",
         ),
         "dedup_ngram_jaccard": _ext_oracle(
             [_dedup.ORACLE_SHINGLES, _dedup.ORACLE_NGRAM_JACCARD],

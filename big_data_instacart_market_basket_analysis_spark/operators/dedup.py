@@ -2286,3 +2286,107 @@ fellegi_sunter AS (
 )"""
     )
     return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# PPJoin-style prefix-filtered similarity join (lossless)
+# ---------------------------------------------------------------------------
+
+#: Jaccard threshold as an exact rational (1/2): the comparison runs
+#: cross-multiplied in integers, and the prefix length n - ceil(t*n) + 1
+#: is integer ceiling division — no float ever decides membership.
+PPJOIN_T_NUM, PPJOIN_T_DEN = 1, 2
+
+
+def ppjoin_pairs(docs: DataFrame) -> DataFrame:
+    """Prefix-filtered shingle-Jaccard join (Chaudhuri/Xiao-Wang
+    PPJoin family, prefix filter only): for threshold t, a doc's
+    *prefix* is its n - ceil(t·n) + 1 globally RAREST shingles
+    (ascending document frequency, shingle text tiebreak); any pair
+    with Jaccard >= t must share a prefix shingle — so candidates come
+    from an inverted index over prefixes only, then exact
+    set-intersection verification runs per candidate. LOSSLESS by the
+    prefix-filter theorem: the DuckDB oracle computes the UNCAPPED
+    exact all-pairs Jaccard, so the hash match proves no pair was
+    pruned — the completeness guarantee the df-capped
+    ``ngram_jaccard_pairs`` trades away.
+
+    Scale shape: rare shingles have short posting lists by
+    definition — the candidate join's bucket sizes are df-bounded
+    where df is SMALL for every prefix member (hot shingles sort out
+    of prefixes); verification is candidate-bounded, joining two
+    doc-length-bounded shingle arrays per pair. The full PPJoin
+    positional/suffix filters are further constant-factor prunes on
+    the same plan shape (documented, not needed at fixture scale).
+    """
+    sh = _shingles_staged(docs)
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    n = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    pref_len = F.expr(
+        f"n - ((n * {PPJOIN_T_NUM} + {PPJOIN_T_DEN - 1})"
+        f" div {PPJOIN_T_DEN}) + 1"
+    )
+    prefix = (
+        sh.join(dfreq, "sh")
+        .join(n, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pref_len)
+        .select("doc_id", "sh")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("d1"), "sh")
+        .join(prefix.select(F.col("doc_id").alias("d2"), "sh"), "sh")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("sh")).alias("arr")
+    )
+    verified = (
+        cand.join(
+            arrs.select(F.col("doc_id").alias("d1"), F.col("arr").alias("a1")),
+            "d1",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("d2"), F.col("arr").alias("a2")),
+            "d2",
+        )
+        .withColumn("i", F.size(F.array_intersect("a1", "a2")))
+        .withColumn("u", F.size("a1") + F.size("a2") - F.col("i"))
+        .filter(
+            F.lit(PPJOIN_T_DEN) * F.col("i")
+            >= F.lit(PPJOIN_T_NUM) * F.col("u")
+        )
+    )
+    return verified.select(
+        "d1",
+        "d2",
+        F.col("i").cast("bigint").alias("shared"),
+        F.round(F.col("i") / F.col("u"), 6).alias("jaccard"),
+    )
+
+
+#: oracle = UNCAPPED exact all-pairs Jaccard (appended after
+#: ORACLE_SHINGLES); hash equality proves the prefix filter lossless.
+ORACLE_PPJOIN = f"""
+ppj_n AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM dshingles GROUP BY 1
+),
+ppj_shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
+  FROM dshingles a JOIN dshingles b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ppjoin_pairs AS (
+  SELECT s.d1, s.d2, s.i AS shared,
+         round(s.i / CAST(na.n + nb.n - s.i AS DOUBLE), 6) AS jaccard
+  FROM ppj_shared s
+  JOIN ppj_n na ON s.d1 = na.doc_id
+  JOIN ppj_n nb ON s.d2 = nb.doc_id
+  WHERE {PPJOIN_T_DEN} * s.i >= {PPJOIN_T_NUM} * (na.n + nb.n - s.i)
+)
+"""

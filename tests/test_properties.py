@@ -1527,3 +1527,43 @@ def test_negative_samples_never_positive(spark):
     assert neg.join(pos, ["userID", "productID"], "inner").count() == 0
     per_user = neg.groupBy("userID").count().agg(F.max("count")).collect()
     assert per_user[0][0] <= sampling.NEG_K
+
+
+def test_ppjoin_equals_bruteforce_and_prunes(spark):
+    """Prefix-filter completeness on a corpus designed so most pairs
+    are NOT candidates: PPJoin output must equal brute-force shingle
+    Jaccard >= 1/2 exactly (the losslessness theorem), including a
+    near-dup pair and excluding a sub-threshold one."""
+    from itertools import combinations
+
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        dedup as dd,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " extra"),                      # near-dup of 1
+        (3, "one two three four five six seven"),  # unrelated
+        (4, "one two three nine ten eleven twelve"),  # weak overlap w/ 3
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in dd.ppjoin_pairs(docs).collect()
+    }
+
+    def shingles(text):
+        w = text.lower().split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    sets = {i: shingles(t) for i, t in rows}
+    for a, b in combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if 2 * i >= u:
+            want[(a, b)] = round(i / u, 6)
+    assert want  # the near-dup pair exists
+    assert got == want
