@@ -1709,6 +1709,15 @@ def q_events_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _clu.dbscan_clusters(load_table(spark, sf_dir, "events"))
 
 
+def q_events_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eps-graph relative-density outlier factor (the LOF analog on
+    the DBSCAN grid): integer density ratios, cross-multiplied 3/2
+    flag; oracle replays the quadratic eps-join."""
+    return _clu.relative_density_outliers(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified Poisson bootstrap: one-pass B-replica resampling, CI of
     the mean from the replica-mean distribution."""
@@ -2708,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hist_quantiles": q_events_hist_quantiles,
         "events_bootstrap_ci": q_events_bootstrap_ci,
         "events_dbscan": q_events_dbscan,
+        "events_density_outliers": q_events_density_outliers,
         "ml_logreg_verified": q_ml_logreg_verified,
         "ml_ols_verified": q_ml_ols_verified,
         "ml_ols_cv": q_ml_ols_cv,
@@ -3451,6 +3461,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_dbscan": _ext_oracle(
             [_clu.ORACLE_DBSCAN], "dbscan_clusters", recursive=True
+        ),
+        "events_density_outliers": _ext_oracle(
+            [_clu.ORACLE_RDF_OUTLIERS], "relative_density_outliers"
         ),
         "events_bootstrap_ci": _ext_oracle(
             [_tmp.oracle_bootstrap_ci()], "bootstrap_mean_ci"

@@ -272,3 +272,110 @@ dbscan_clusters AS (
   LEFT JOIN db_border bl ON bl.key = p.key
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# eps-graph relative-density outlier factor (the LOF analog)
+# ---------------------------------------------------------------------------
+
+#: outlier flag threshold as an exact rational: score > 3/2 (the
+#: neighborhood is 1.5x denser than the point) — compared
+#: cross-multiplied in integers, never as a float.
+RDF_THRESH_NUM, RDF_THRESH_DEN = 3, 2
+
+
+def relative_density_outliers(events: DataFrame) -> DataFrame:
+    """Relative-density outlier factor on the quantized point set —
+    the eps-neighborhood analog of LOF (Breunig et al. 2000): for
+    each point p, ``score = (Σ_q w_q·N_q / Σ_q w_q) / N_p`` over p's
+    closed eps-neighborhood, where N is the weighted neighborhood
+    count. Points whose neighbors are much denser than they are
+    (score > 3/2) are local outliers even when globally unremarkable
+    — LOF's defining property; true k-NN LOF needs unbounded-radius
+    k-distances, which is exactly what does NOT scale, so the
+    eps-confined relative density is the standard distributed stand-in
+    (same candidate generation as grid DBSCAN).
+
+    All numerators/denominators are BIGINT (weights x counts), so the
+    score is one rounded division and the flag an integer
+    cross-multiplication; the oracle replays the textbook quadratic
+    eps-join, proving 3x3 grid blocking loses no neighbor.
+
+    Output: (x, y, w, n_p, score, is_outlier).
+    """
+    pts = _points(events)
+    pairs = _neighbor_pairs(pts)
+    counts = pairs.groupBy("ka").agg(F.sum("bw").alias("n_p"))
+    nq = counts.select(F.col("ka").alias("kb"), F.col("n_p").alias("n_q"))
+    agg = (
+        pairs.join(nq, "kb")
+        .groupBy("ka")
+        .agg(
+            F.sum(F.col("bw") * F.col("n_q")).alias("num"),
+            F.sum("bw").alias("den"),
+        )
+    )
+    return (
+        agg.join(counts, "ka")
+        .join(
+            pts.select(F.col("key").alias("ka"), "x", "y", "w"), "ka"
+        )
+        .select(
+            "x",
+            "y",
+            "w",
+            "n_p",
+            F.round(
+                F.col("num")
+                / (F.col("den") * F.col("n_p")).cast("double"),
+                6,
+            ).alias("score"),
+            (
+                F.lit(RDF_THRESH_DEN) * F.col("num")
+                > F.lit(RDF_THRESH_NUM) * F.col("den") * F.col("n_p")
+            )
+            .cast("int")
+            .alias("is_outlier"),
+        )
+    )
+
+
+ORACLE_RDF_OUTLIERS = f"""
+rdf_per AS (
+  SELECT user_id, dayofweek(ts) AS dow,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+rdf_pts AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS w,
+         x * {_KEY_MUL} + y AS key
+  FROM (SELECT (s + 50 * n) // (100 * n) AS x, n AS y FROM rdf_per)
+  GROUP BY 1, 2
+),
+rdf_nbr AS MATERIALIZED (
+  SELECT a.key AS ka, b.key AS kb, b.w AS bw
+  FROM rdf_pts a JOIN rdf_pts b
+    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= {DBSCAN_EPS * DBSCAN_EPS}
+),
+rdf_counts AS MATERIALIZED (
+  SELECT ka, CAST(sum(bw) AS BIGINT) AS n_p FROM rdf_nbr GROUP BY 1
+),
+rdf_agg AS (
+  SELECT n.ka,
+         CAST(sum(n.bw * q.n_p) AS BIGINT) AS num,
+         CAST(sum(n.bw) AS BIGINT) AS den
+  FROM rdf_nbr n JOIN rdf_counts q ON n.kb = q.ka
+  GROUP BY 1
+),
+relative_density_outliers AS (
+  SELECT p.x, p.y, p.w, c.n_p,
+         round(a.num / CAST(a.den * c.n_p AS DOUBLE), 6) AS score,
+         CAST({RDF_THRESH_DEN} * a.num
+              > {RDF_THRESH_NUM} * a.den * c.n_p AS INT) AS is_outlier
+  FROM rdf_agg a
+  JOIN rdf_counts c ON a.ka = c.ka
+  JOIN rdf_pts p ON a.ka = p.key
+)
+"""
