@@ -1811,6 +1811,21 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ind_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unary inclusion-dependency verification over the FK lattice +
+    reverse directions (distinct-collapse both sides, anti-probe;
+    holds iff zero unmatched values)."""
+    return _prof.ind_discovery(
+        {
+            t: load_table(spark, sf_dir, t)
+            for t in (
+                "lineitem", "orders", "part", "customer",
+                "supplier", "nation", "region",
+            )
+        }
+    )
+
+
 def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency verification over candidate column pairs
     (TANE inner loop; one distinct-grain hash-agg per candidate)."""
@@ -2912,6 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_setcover": q_docs_setcover,
         "fd_discovery": q_fd_discovery,
+        "ind_discovery": q_ind_discovery,
         "join_cardinality_estimate": q_join_cardinality,
         "sql_udf_tiers": q_sql_udf_tiers,
         "sql_clustered_orders": q_sql_clustered_orders,
@@ -3726,6 +3742,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fd_discovery": _ext_oracle(
             [_prof.oracle_fd_discovery()], "fd_discovery"
+        ),
+        "ind_discovery": _ext_oracle(
+            [_prof.oracle_ind_discovery()], "ind_discovery"
         ),
         "docs_setcover": _ext_oracle(
             [_dedup.ORACLE_SHINGLES, _samp.oracle_setcover()],

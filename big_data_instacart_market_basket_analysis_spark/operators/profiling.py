@@ -845,3 +845,85 @@ join_cardinality_estimate AS (
   FROM jce_est e, jce_exact x
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# unary inclusion-dependency discovery
+# ---------------------------------------------------------------------------
+
+#: candidate unary INDs (dep_tbl.dep_col ⊆ ref_tbl.ref_col) — the
+#: foreign-key lattice of the star schema plus the REVERSE directions,
+#: whose truth is a data property (does every part/order actually get
+#: referenced?) rather than a schema one. Fixed list, like
+#: FD_CANDIDATES: discovery systems (Metanome/Sindy) prune the n^2
+#: column lattice first; verification per surviving candidate is this
+#: exact query.
+IND_CANDIDATES: tuple[tuple[str, str, str, str], ...] = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+)
+
+
+def ind_discovery(tables: dict[str, DataFrame]) -> DataFrame:
+    """Unary inclusion-dependency verification (the SPIDER/Sindy
+    check): for each candidate A ⊆ B, collapse both sides to their
+    distinct value sets, left-join, and count unmatched A values —
+    the IND holds iff n_missing = 0. The schema-discovery audit that
+    finds joinable columns (and broken foreign keys) before anyone
+    writes a join; at 100 TB each side is one distinct-collapse
+    (map-side combined) and the probe shuffles only DISTINCT values,
+    never raw rows.
+
+    Output per candidate: dep, ref, n_distinct, n_missing, holds.
+    """
+    out = None
+    for dt, dc, rt, rc in IND_CANDIDATES:
+        da = tables[dt].select(F.col(dc).alias("v")).distinct()
+        rb = (
+            tables[rt]
+            .select(F.col(rc).alias("v"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        row = (
+            da.join(rb, "v", "left")
+            .agg(
+                F.lit(f"{dt}.{dc}").alias("dep"),
+                F.lit(f"{rt}.{rc}").alias("ref"),
+                F.count("*").alias("n_distinct"),
+                F.sum(F.col("hit").isNull().cast("bigint")).alias(
+                    "n_missing"
+                ),
+                (F.sum(F.col("hit").isNull().cast("bigint")) == 0)
+                .cast("int")
+                .alias("holds"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def oracle_ind_discovery() -> str:
+    selects = []
+    for dt, dc, rt, rc in IND_CANDIDATES:
+        selects.append(
+            f"""SELECT '{dt}.{dc}' AS dep, '{rt}.{rc}' AS ref,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(count(*) FILTER (WHERE rv IS NULL) AS BIGINT) AS n_missing,
+         CAST(count(*) FILTER (WHERE rv IS NULL) = 0 AS INT) AS holds
+  FROM (
+    SELECT b.v AS rv
+    FROM (SELECT DISTINCT {dc} AS v FROM {dt}) a
+    LEFT JOIN (SELECT DISTINCT {rc} AS v FROM {rt}) b ON a.v = b.v
+  )"""
+        )
+    union = "\n  UNION ALL\n  ".join(selects)
+    return f"ind_discovery AS (\n  {union}\n)"
