@@ -863,6 +863,13 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.readability_scores(_docs(spark, sf_dir))
 
 
+def q_text_nb_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile cumulative-gains/lift table of the NB quality scores
+    (bucketed prefix-sum ranks, integer decile cuts; threshold-sizing
+    readout for corpus filtering)."""
+    return _text.nb_gains_table(_docs(spark, sf_dir))
+
+
 def q_text_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC-AUC of the NB classifier (AUC = Mann-Whitney
     statistic via doubled midranks — integral until one division);
@@ -2799,6 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nb_quality": q_text_nb_quality,
         "text_nb_quality_cv": q_text_nb_quality_cv,
         "text_nb_auc": q_text_nb_auc,
+        "text_nb_gains": q_text_nb_gains,
         "text_readability": q_text_readability,
         "text_rake_keywords": q_text_rake_keywords,
         "embedding_knn_outliers": q_embedding_knn_outliers,
@@ -3207,6 +3215,11 @@ def oracle_sql() -> dict[str, str]:
             [_text.oracle_gopher_rules(), _text.ORACLE_NB_QUALITY,
              _text.ORACLE_NB_AUC],
             "nb_quality_auc",
+        ),
+        "text_nb_gains": _ext_oracle(
+            [_text.oracle_gopher_rules(), _text.ORACLE_NB_QUALITY,
+             _text.ORACLE_NB_GAINS],
+            "nb_gains_table",
         ),
         "text_readability": _ext_oracle(
             [_text.ORACLE_READABILITY], "readability"

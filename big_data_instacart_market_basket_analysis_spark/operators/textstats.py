@@ -3471,3 +3471,116 @@ hashing_collision_report AS (
   FROM fhc_pb GROUP BY 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# decile gains / lift table for the NB quality classifier
+# ---------------------------------------------------------------------------
+
+def nb_gains_table(docs: DataFrame) -> DataFrame:
+    """Cumulative-gains and lift table of the NB quality classifier:
+    docs ranked by score (log_odds DESC, doc_id tiebreak — fully
+    deterministic), cut into 10 equal-count deciles by integer rank
+    arithmetic; per decile the positive rate, the lift over the base
+    rate, and the cumulative share of all positives captured — the
+    "how much of the good data do the top-k% scores buy" readout that
+    sizes a quality-filter threshold before a 100 TB scoring run.
+
+    Ranks come from the bucketed prefix-sum (floor(log_odds) buckets,
+    descending offsets) — the same no-global-sort machinery as the
+    AUC/KS rank computations; deciles, counts, and every numerator
+    are integers, with division only at the rounded edge. The final
+    cumulative window runs over exactly 10 aggregated rows.
+
+    Output: decile (0 = best-scored), n, n_pos, pos_rate, lift,
+    cum_gains.
+    """
+    scored = nb_quality_scores(docs).select("doc_id", "log_odds", "keep")
+    per = scored.withColumn("bucket", F.floor("log_odds"))
+    btot = per.groupBy("bucket").agg(F.count("*").alias("bc"))
+    woff = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("bc").over(woff), F.lit(0)).alias("off"),
+    )
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("log_odds"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        per.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "r",
+            F.col("off")
+            + F.coalesce(F.count("*").over(win), F.lit(0))
+            + 1,
+        )
+    )
+    tot = scored.agg(
+        F.count("*").alias("n_all"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("tp"),
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("decile", F.expr("((r - 1) * 10) div n_all"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_pos"),
+            F.first("n_all").alias("n_all"),
+            F.first("tp").alias("tp"),
+        )
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return dec.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos") / F.col("n").cast("double"), 6).alias(
+            "pos_rate"
+        ),
+        F.round(
+            (F.col("n_pos") * F.col("n_all"))
+            / (F.col("n") * F.col("tp")).cast("double"),
+            6,
+        ).alias("lift"),
+        F.round(
+            F.sum("n_pos").over(wcum) / F.col("tp").cast("double"), 6
+        ).alias("cum_gains"),
+    )
+
+
+ORACLE_NB_GAINS = """
+gt_r AS (
+  SELECT doc_id, keep,
+         row_number() OVER (ORDER BY log_odds DESC, doc_id) AS r
+  FROM nb_quality
+),
+gt_n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM gt_r
+),
+gt_d AS (
+  SELECT ((r.r - 1) * 10) // t.n_all AS decile,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(max(t.n_all) AS BIGINT) AS n_all, CAST(max(t.tp) AS BIGINT) AS tp
+  FROM gt_r r CROSS JOIN gt_n t
+  GROUP BY 1
+),
+nb_gains_table AS (
+  SELECT decile, n, n_pos,
+         round(n_pos / CAST(n AS DOUBLE), 6) AS pos_rate,
+         round((n_pos * n_all) / CAST(n * tp AS DOUBLE), 6) AS lift,
+         round(sum(n_pos) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / CAST(tp AS DOUBLE), 6) AS cum_gains
+  FROM gt_d
+)
+"""
