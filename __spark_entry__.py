@@ -684,6 +684,26 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.markov_transitions(load_table(spark, sf_dir, "events"))
 
 
+def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on purchase value (parity variants x
+    midpoint periods; exact integer-cent cell sums, one rounded
+    estimate row)."""
+    return _tmp.did_report(load_table(spark, sf_dir, "events"))
+
+
+def q_events_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation over event-type
+    strata (size x std shares from exact integer cent moments)."""
+    return _samp.neyman_allocation(load_table(spark, sf_dir, "events"))
+
+
+def q_graph_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy recommender eval: catalog coverage + intra-list
+    similarity of the item-item top-k lists (integer-micros pairwise
+    sims, C(k,2)-bounded list pairs)."""
+    return _graph.rec_coverage_diversity(_lineitem(spark, sf_dir))
+
+
 def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the event-type chain by integer
     power iteration (millionths scale, 8 unrolled rounds — exact
@@ -2836,6 +2856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov": q_events_markov,
         "events_markov_stationary": q_events_markov_stationary,
         "events_shapley": q_events_shapley,
+        "events_did": q_events_did,
+        "events_neyman": q_events_neyman,
+        "graph_rec_coverage": q_graph_rec_coverage,
         "events_cusum": q_events_cusum,
         "events_bot_flags": q_events_bot_flags,
         "events_gini": q_events_gini,
@@ -3305,6 +3328,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_markov_stationary": _ext_oracle(
             [_tmp.oracle_markov_stationary()], "markov_stationary"
+        ),
+        "events_did": _ext_oracle([_tmp.ORACLE_DID], "did_report"),
+        "events_neyman": _ext_oracle(
+            [_samp.ORACLE_NEYMAN], "neyman_allocation"
+        ),
+        "graph_rec_coverage": _ext_oracle(
+            [_graph.oracle_rec_coverage_diversity()],
+            "rec_coverage_diversity",
         ),
         "events_shapley": _ext_oracle(
             [_tmp.ORACLE_SHAPLEY], "shapley_attribution"

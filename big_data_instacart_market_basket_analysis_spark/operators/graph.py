@@ -1144,3 +1144,173 @@ link_prediction_ra AS (
   ORDER BY s.ra_micros DESC, s.cn DESC, s.pa, s.pb
   LIMIT {n}
 )""".format(scale=RA_SCALE, cap=df_cap, n=top_n)
+
+
+# ---------------------------------------------------------------------------
+# recommendation-list coverage + diversity evaluation
+# ---------------------------------------------------------------------------
+
+def rec_coverage_diversity(
+    lineitem: DataFrame, k: int = SIM_TOP_K
+) -> DataFrame:
+    """Beyond-accuracy recommender eval over the item-item top-k
+    lists: catalog coverage (what share of the catalog is ever
+    recommended — low coverage = popularity lock-in) and intra-list
+    similarity (avg pairwise similarity between the items of one
+    list — high ILS = redundant recommendations; Ziegler et al.
+    2005). The hit-rate eval (`item_sim_holdout_eval`) says the recs
+    are RIGHT; this says whether they are also DIVERSE — the pair of
+    numbers every production recommender tracks together.
+
+    Pairwise list similarity is integer-exact: sim_micros =
+    1e6·|A∩B| DIV |A∪B| from the same basket-bounded co-occurrence
+    counts (missing pair = 0), so the ILS average is a division of
+    BIGINTs. List pairs are C(k,2) per anchor — bounded by the rec
+    width, never by catalog size.
+
+    Output (1 row): n_anchors, catalog_size, n_recommended,
+    coverage, n_list_pairs, avg_ils.
+    """
+    recs = item_similarity(lineitem, k)
+    catalog = (
+        lineitem.select(F.col("l_partkey").alias("p"))
+        .distinct()
+        .agg(F.count("*").alias("catalog_size"))
+    )
+    cover = recs.agg(
+        F.count_distinct("item").alias("n_anchors"),
+        F.count_distinct("neighbor").alias("n_recommended"),
+    )
+    # pairwise sims inside each list, canonical (lo, hi) pair key
+    r1 = recs.select("item", F.col("neighbor").alias("n1"), F.col("rank").alias("r1"))
+    r2 = recs.select("item", F.col("neighbor").alias("n2"), F.col("rank").alias("r2"))
+    lp = (
+        r1.join(r2, "item")
+        .filter(F.col("r1") < F.col("r2"))
+        .select(
+            F.least("n1", "n2").alias("p"),
+            F.greatest("n1", "n2").alias("q"),
+        )
+    )
+    op = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ords = op.groupBy("p").agg(F.count("*").alias("n_ord"))
+    pairs = (
+        op.join(op.select("ok", F.col("p").alias("q")), "ok")
+        .filter(F.col("p") < F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sims = (
+        lp.join(pairs, ["p", "q"], "left")
+        .join(ords.select(F.col("p"), F.col("n_ord").alias("na")), "p")
+        .join(
+            ords.select(F.col("p").alias("q"), F.col("n_ord").alias("nb")),
+            "q",
+        )
+        .select(
+            (
+                F.lit(1_000_000)
+                * F.coalesce(F.col("n_common"), F.lit(0))
+                / (
+                    F.col("na")
+                    + F.col("nb")
+                    - F.coalesce(F.col("n_common"), F.lit(0))
+                )
+            )
+            .cast("bigint")
+            .alias("sim_micros")
+        )
+    )
+    ils = sims.agg(
+        F.count("*").alias("n_list_pairs"),
+        F.sum("sim_micros").alias("sim_sum"),
+    )
+    return (
+        cover.crossJoin(F.broadcast(catalog))
+        .crossJoin(F.broadcast(ils))
+        .select(
+            "n_anchors",
+            "catalog_size",
+            "n_recommended",
+            F.round(
+                F.col("n_recommended") / F.col("catalog_size").cast("double"),
+                6,
+            ).alias("coverage"),
+            "n_list_pairs",
+            F.round(
+                F.col("sim_sum")
+                / (F.lit(1_000_000.0) * F.col("n_list_pairs")),
+                6,
+            ).alias("avg_ils"),
+        )
+    )
+
+
+def oracle_rec_coverage_diversity(k: int = SIM_TOP_K) -> str:
+    return f"""
+rcd_op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+),
+rcd_ord AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS n_ord FROM rcd_op GROUP BY 1
+),
+rcd_pairs AS MATERIALIZED (
+  SELECT a.p, b.p AS q, CAST(count(*) AS BIGINT) AS n_common
+  FROM rcd_op a JOIN rcd_op b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY 1, 2
+),
+rcd_scored AS (
+  SELECT w.p, w.q, w.n_common,
+         round(w.n_common / (na.n_ord + nb.n_ord - w.n_common), 6)
+           AS jaccard
+  FROM rcd_pairs w
+  JOIN rcd_ord na ON na.p = w.p
+  JOIN rcd_ord nb ON nb.p = w.q
+),
+rcd_both AS (
+  SELECT p AS item, q AS neighbor, jaccard FROM rcd_scored
+  UNION ALL
+  SELECT q, p, jaccard FROM rcd_scored
+),
+rcd_recs AS MATERIALIZED (
+  SELECT item, neighbor,
+         CAST(row_number() OVER (
+           PARTITION BY item ORDER BY jaccard DESC, neighbor) AS INT)
+           AS rank
+  FROM rcd_both
+  QUALIFY row_number() OVER (
+    PARTITION BY item ORDER BY jaccard DESC, neighbor) <= {k}
+),
+rcd_lp AS (
+  SELECT least(a.neighbor, b.neighbor) AS p,
+         greatest(a.neighbor, b.neighbor) AS q
+  FROM rcd_recs a JOIN rcd_recs b
+    ON a.item = b.item AND a.rank < b.rank
+),
+rcd_sims AS (
+  SELECT CAST(1000000 * coalesce(c.n_common, 0)
+              // (na.n_ord + nb.n_ord - coalesce(c.n_common, 0))
+              AS BIGINT) AS sim_micros
+  FROM rcd_lp l
+  LEFT JOIN rcd_pairs c ON l.p = c.p AND l.q = c.q
+  JOIN rcd_ord na ON na.p = l.p
+  JOIN rcd_ord nb ON nb.p = l.q
+),
+rec_coverage_diversity AS (
+  SELECT (SELECT CAST(count(DISTINCT item) AS BIGINT) FROM rcd_recs)
+           AS n_anchors,
+         (SELECT CAST(count(DISTINCT p) AS BIGINT) FROM rcd_op)
+           AS catalog_size,
+         (SELECT CAST(count(DISTINCT neighbor) AS BIGINT) FROM rcd_recs)
+           AS n_recommended,
+         round((SELECT count(DISTINCT neighbor) FROM rcd_recs)
+               / CAST((SELECT count(DISTINCT p) FROM rcd_op) AS DOUBLE), 6)
+           AS coverage,
+         (SELECT CAST(count(*) AS BIGINT) FROM rcd_sims) AS n_list_pairs,
+         round((SELECT sum(sim_micros) FROM rcd_sims)
+               / (CAST(1000000 AS DOUBLE)
+                  * (SELECT count(*) FROM rcd_sims)), 6) AS avg_ils
+)
+"""

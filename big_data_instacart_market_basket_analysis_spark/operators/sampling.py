@@ -695,3 +695,92 @@ negative_samples AS (
   ) WHERE rn <= {k}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation (optimal stratified sample design)
+# ---------------------------------------------------------------------------
+
+#: total sample budget the allocation distributes.
+NEYMAN_TOTAL = 1000
+
+
+def neyman_allocation(events: DataFrame) -> DataFrame:
+    """Neyman-optimal stratified allocation over event-type strata:
+    the share of a fixed sample budget each stratum should get is
+    ``N_h * S_h / Σ N_h * S_h`` (proportional to size x standard
+    deviation — minimizes the variance of the stratified mean at
+    fixed n; Neyman 1934). The sample-DESIGN step that runs before
+    any of the engine's samplers at 100 TB: strata with volatile
+    values earn more budget than uniform ones.
+
+    Variances come from exact integer cent moments (n·Σx² − (Σx)² —
+    one hash-agg to the |types| grain), so the only floats are the
+    final sqrt/share expressions, all computed from BIGINTs and
+    rounded. Shares are reported (6 dp) rather than floored integer
+    counts — floor(share x budget) sits on a knife edge the
+    cross-engine float rules exclude.
+
+    Output: (event_type, n_rows, var_cents2, alloc_share, n_alloc_est).
+    """
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    per = events.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    scored = per.select(
+        "event_type",
+        "n_rows",
+        (
+            (F.col("n_rows") * F.col("s2") - F.col("s1") * F.col("s1"))
+            / (F.col("n_rows") * (F.col("n_rows") - 1))
+        ).alias("var_c2"),
+    ).select(
+        "event_type",
+        "n_rows",
+        F.round(F.col("var_c2"), 6).alias("var_cents2"),
+        (F.col("n_rows") * F.sqrt(F.col("var_c2"))).alias("w"),
+    )
+    tot = scored.agg(F.sum("w").alias("w_tot"))
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_rows",
+            "var_cents2",
+            F.round(F.col("w") / F.col("w_tot"), 6).alias("alloc_share"),
+            F.round(
+                F.lit(NEYMAN_TOTAL) * F.col("w") / F.col("w_tot"), 2
+            ).alias("n_alloc_est"),
+        )
+    )
+
+
+ORACLE_NEYMAN = f"""
+ney_per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(cents) AS BIGINT) AS s1,
+         CAST(sum(cents * cents) AS BIGINT) AS s2
+  FROM (SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events)
+  GROUP BY 1
+),
+ney_scored AS (
+  SELECT event_type, n_rows,
+         round((n_rows * s2 - s1 * s1)
+               / CAST(n_rows * (n_rows - 1) AS DOUBLE), 6) AS var_cents2,
+         n_rows * sqrt((n_rows * s2 - s1 * s1)
+                       / CAST(n_rows * (n_rows - 1) AS DOUBLE)) AS w
+  FROM ney_per
+),
+neyman_allocation AS (
+  SELECT event_type, n_rows, var_cents2,
+         round(w / (SELECT sum(w) FROM ney_scored), 6) AS alloc_share,
+         round({NEYMAN_TOTAL} * w / (SELECT sum(w) FROM ney_scored), 2)
+           AS n_alloc_est
+  FROM ney_scored
+)
+"""

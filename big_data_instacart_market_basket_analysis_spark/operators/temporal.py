@@ -6328,3 +6328,115 @@ shapley_attribution AS (
   GROUP BY 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+def did_report(events: DataFrame) -> DataFrame:
+    """Difference-in-differences on the purchase metric: variant =
+    user parity (the engine's standing deterministic assignment),
+    period = event time before/after the stream's midpoint (one
+    min/max agg broadcast back — no calendar constant baked in).
+    DiD = (treat_post − treat_pre) − (ctrl_post − ctrl_pre), the
+    workhorse quasi-experimental estimator when only the treated
+    group crosses an exposure boundary.
+
+    Cell means come from EXACT integer cent sums (value quantized to
+    cents — the dbscan stance), so the four means and the estimate
+    are each one rounded division of BIGINTs; the whole query is two
+    hash-aggs (cell grain = 4 rows) + a 1-row broadcast.
+
+    Output: one row per (variant, period) cell with n/mean, plus one
+    ('did', NULL) row carrying the estimate.
+    """
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    base = events.filter(F.col("event_type") == AB_METRIC_TYPE).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.unix_micros("ts").alias("us"),
+        cents.alias("cents"),
+    )
+    span = base.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("bigint").alias("mid")
+    )
+    cells = (
+        base.crossJoin(F.broadcast(span))
+        .select(
+            "variant",
+            (F.col("us") >= F.col("mid")).cast("int").alias("post"),
+            "cents",
+        )
+        .groupBy("variant", "post")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+    )
+    mean = F.round(F.col("s") / (F.lit(100.0) * F.col("n")), 6)
+    rows = cells.select(
+        F.col("variant").cast("string").alias("cell_variant"),
+        F.col("post"),
+        "n",
+        mean.alias("mean_value"),
+    )
+    # DiD from the 4 exact cell sums: one conditional agg, one
+    # rounded expression (means expanded algebraically).
+    did = cells.agg(
+        F.lit("did").alias("cell_variant"),
+        F.lit(None).cast("int").alias("post"),
+        F.sum("n").alias("n"),
+        F.round(
+            (
+                F.sum(F.when((F.col("variant") == 1) & (F.col("post") == 1), F.col("s")).otherwise(0))
+                / (F.lit(100.0) * F.sum(F.when((F.col("variant") == 1) & (F.col("post") == 1), F.col("n")).otherwise(0)))
+                - F.sum(F.when((F.col("variant") == 1) & (F.col("post") == 0), F.col("s")).otherwise(0))
+                / (F.lit(100.0) * F.sum(F.when((F.col("variant") == 1) & (F.col("post") == 0), F.col("n")).otherwise(0)))
+            )
+            - (
+                F.sum(F.when((F.col("variant") == 0) & (F.col("post") == 1), F.col("s")).otherwise(0))
+                / (F.lit(100.0) * F.sum(F.when((F.col("variant") == 0) & (F.col("post") == 1), F.col("n")).otherwise(0)))
+                - F.sum(F.when((F.col("variant") == 0) & (F.col("post") == 0), F.col("s")).otherwise(0))
+                / (F.lit(100.0) * F.sum(F.when((F.col("variant") == 0) & (F.col("post") == 0), F.col("n")).otherwise(0)))
+            ),
+            6,
+        ).alias("mean_value"),
+    )
+    return rows.unionByName(did)
+
+
+ORACLE_DID = """
+did_base AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant,
+         epoch_us(ts) AS us,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+did_span AS (
+  SELECT CAST((min(us) + max(us)) // 2 AS BIGINT) AS mid FROM did_base
+),
+did_cells AS MATERIALIZED (
+  SELECT variant, CAST(us >= (SELECT mid FROM did_span) AS INT) AS post,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+  FROM did_base
+  GROUP BY 1, 2
+),
+did_report AS (
+  SELECT CAST(variant AS VARCHAR) AS cell_variant, post, n,
+         round(s / (CAST(100 AS DOUBLE) * n), 6) AS mean_value
+  FROM did_cells
+  UNION ALL
+  SELECT 'did', CAST(NULL AS INT), CAST(sum(n) AS BIGINT),
+         round((sum(CASE WHEN variant = 1 AND post = 1 THEN s ELSE 0 END)
+                / (CAST(100 AS DOUBLE) *
+                   sum(CASE WHEN variant = 1 AND post = 1 THEN n ELSE 0 END))
+                - sum(CASE WHEN variant = 1 AND post = 0 THEN s ELSE 0 END)
+                / (CAST(100 AS DOUBLE) *
+                   sum(CASE WHEN variant = 1 AND post = 0 THEN n ELSE 0 END)))
+               - (sum(CASE WHEN variant = 0 AND post = 1 THEN s ELSE 0 END)
+                  / (CAST(100 AS DOUBLE) *
+                     sum(CASE WHEN variant = 0 AND post = 1 THEN n ELSE 0 END))
+                  - sum(CASE WHEN variant = 0 AND post = 0 THEN s ELSE 0 END)
+                  / (CAST(100 AS DOUBLE) *
+                     sum(CASE WHEN variant = 0 AND post = 0 THEN n ELSE 0 END))),
+               6) AS mean_value
+  FROM did_cells
+)
+"""
