@@ -684,6 +684,13 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.markov_transitions(load_table(spark, sf_dir, "events"))
 
 
+def q_events_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-type value distributions onto the
+    pooled distribution (integer doubled-midrank/position algebra,
+    span-exploded pooled rank lookup via equi-join; no global sort)."""
+    return _tmp.quantile_normalize(load_table(spark, sf_dir, "events"))
+
+
 def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences on purchase value (parity variants x
     midpoint periods; exact integer-cent cell sums, one rounded
@@ -2857,6 +2864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_stationary": q_events_markov_stationary,
         "events_shapley": q_events_shapley,
         "events_did": q_events_did,
+        "events_quantile_norm": q_events_quantile_norm,
         "events_neyman": q_events_neyman,
         "graph_rec_coverage": q_graph_rec_coverage,
         "events_cusum": q_events_cusum,
@@ -3330,6 +3338,9 @@ def oracle_sql() -> dict[str, str]:
             [_tmp.oracle_markov_stationary()], "markov_stationary"
         ),
         "events_did": _ext_oracle([_tmp.ORACLE_DID], "did_report"),
+        "events_quantile_norm": _ext_oracle(
+            [_tmp.ORACLE_QUANTILE_NORM], "quantile_normalize"
+        ),
         "events_neyman": _ext_oracle(
             [_samp.ORACLE_NEYMAN], "neyman_allocation"
         ),

@@ -6440,3 +6440,182 @@ did_report AS (
   FROM did_cells
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# quantile normalization (per-type -> pooled distribution alignment)
+# ---------------------------------------------------------------------------
+
+#: prefix-sum bucket width (cents) for the no-global-sort rank
+#: machinery shared with the KS/AUC computations.
+QN_BUCKET_CENTS = 1000
+
+
+def quantile_normalize(events: DataFrame) -> DataFrame:
+    """Quantile normalization of per-type value distributions onto the
+    POOLED distribution (the microarray-era normalizer, now the
+    standard way to make per-source quality/score columns comparable
+    before corpus mixing): a value at relative rank p within its type
+    maps to the pooled distribution's p-quantile (linear
+    interpolation).
+
+    Everything up to the final rounding is INTEGER rank algebra:
+    within-type doubled midranks m2 = 2s + c + 1 at the (type, cents)
+    grain, pooled position split as
+    pos_num = (m2 - 1)·(N - 1), denom = 2·n_g,
+    idx = pos_num DIV denom, rem = pos_num MOD denom,
+    and the interpolated target v[idx] + rem/denom·(v[idx+1] − v[idx])
+    divides once at the rounded edge. Pooled rank→value lookup is an
+    EQUI-join against the span-exploded pooled value grain (sequence
+    per span — linear in rows, uniformly keyed); ranks come from
+    bucketed prefix-sums, so no data-sized single-partition window
+    exists anywhere.
+
+    Output: (event_type, cents, c, norm_value).
+    """
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    base = events.select("event_type", cents.alias("cents"))
+    # (type, cents) grain with within-type start offsets
+    tv = base.groupBy("event_type", "cents").agg(
+        F.count("*").alias("c")
+    ).withColumn("bucket", F.expr(f"cents div {QN_BUCKET_CENTS}"))
+    tb = tv.groupBy("event_type", "bucket").agg(F.sum("c").alias("bc"))
+    wtb = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toff = tb.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.sum("bc").over(wtb), F.lit(0)).alias("off"),
+    )
+    wiv = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tranked = (
+        tv.join(toff, ["event_type", "bucket"])
+        .withColumn(
+            "s", F.col("off") + F.coalesce(F.sum("c").over(wiv), F.lit(0))
+        )
+        .select("event_type", "cents", "c", "s")
+    )
+    ng = base.groupBy("event_type").agg(F.count("*").alias("n_g"))
+    ntot = base.agg(F.count("*").alias("n_pool"))
+    # pooled value grain -> 0-based rank spans -> exploded rank table
+    pv = base.groupBy("cents").agg(F.count("*").alias("pc")).withColumn(
+        "bucket", F.expr(f"cents div {QN_BUCKET_CENTS}")
+    )
+    pb = pv.groupBy("bucket").agg(F.sum("pc").alias("bc"))
+    wpb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    poff = pb.select(
+        "bucket", F.coalesce(F.sum("bc").over(wpb), F.lit(0)).alias("off")
+    )
+    wpv = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pranked = (
+        pv.join(F.broadcast(poff), "bucket")
+        .withColumn(
+            "s0", F.col("off") + F.coalesce(F.sum("pc").over(wpv), F.lit(0))
+        )
+        .select("cents", "pc", "s0")
+    )
+    pool_ranks = pranked.select(
+        F.col("cents").alias("pv"),
+        F.explode(
+            F.sequence(F.col("s0"), F.col("s0") + F.col("pc") - 1)
+        ).alias("rk"),
+    )
+    pos = (
+        tranked.join(ng, "event_type")
+        .crossJoin(F.broadcast(ntot))
+        .withColumn("m2", F.lit(2) * F.col("s") + F.col("c") + 1)
+        .withColumn(
+            "pos_num", (F.col("m2") - 1) * (F.col("n_pool") - 1)
+        )
+        .withColumn("denom", F.lit(2) * F.col("n_g"))
+        .withColumn("idx", F.expr("pos_num div denom"))
+        .withColumn("rem", F.expr("pos_num - idx * denom"))
+    )
+    lo = pool_ranks.select(F.col("rk").alias("idx"), F.col("pv").alias("v0"))
+    hi = pool_ranks.select(
+        (F.col("rk") - 1).alias("idx"), F.col("pv").alias("v1")
+    )
+    return (
+        pos.join(lo, "idx")
+        .join(hi, "idx", "left")
+        .select(
+            "event_type",
+            "cents",
+            "c",
+            F.round(
+                (
+                    F.col("v0")
+                    + (F.col("rem") / F.col("denom"))
+                    * (F.coalesce(F.col("v1"), F.col("v0")) - F.col("v0"))
+                )
+                / 100.0,
+                6,
+            ).alias("norm_value"),
+        )
+    )
+
+
+ORACLE_QUANTILE_NORM = """
+qn_base AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+qn_tv AS (
+  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS c
+  FROM qn_base GROUP BY 1, 2
+),
+qn_tranked AS (
+  SELECT event_type, cents, c,
+         CAST(coalesce(sum(c) OVER (PARTITION BY event_type
+           ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM qn_tv
+),
+qn_ng AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_g
+  FROM qn_base GROUP BY 1
+),
+qn_ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_pool FROM qn_base),
+qn_pv AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS pc,
+         CAST(coalesce(sum(count(*)) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS s0
+  FROM qn_base GROUP BY cents
+),
+qn_pool_ranks AS MATERIALIZED (
+  SELECT cents AS pv, CAST(u.rk AS BIGINT) AS rk
+  FROM qn_pv, LATERAL unnest(generate_series(s0, s0 + pc - 1)) AS u(rk)
+),
+qn_pos AS (
+  SELECT t.event_type, t.cents, t.c,
+         (2 * t.s + t.c + 1 - 1) * (n.n_pool - 1) AS pos_num,
+         2 * g.n_g AS denom
+  FROM qn_tranked t
+  JOIN qn_ng g USING (event_type)
+  CROSS JOIN qn_ntot n
+),
+quantile_normalize AS (
+  SELECT p.event_type, p.cents, p.c,
+         round((lo.pv + ((p.pos_num - (p.pos_num // p.denom) * p.denom)
+                         / CAST(p.denom AS DOUBLE))
+                        * (coalesce(hi.pv, lo.pv) - lo.pv)) / 100.0, 6)
+           AS norm_value
+  FROM qn_pos p
+  JOIN qn_pool_ranks lo ON lo.rk = p.pos_num // p.denom
+  LEFT JOIN qn_pool_ranks hi ON hi.rk = p.pos_num // p.denom + 1
+)
+"""
