@@ -435,6 +435,13 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph.k_core_membership(_lineitem(spark, sf_dir))
 
 
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss edge peeling (fixed unrolled rounds, per-round
+    checkpointed edge set): initial/final triangle support + truss
+    membership per canonical edge."""
+    return _graph.ktruss_edges(_lineitem(spark, sf_dir))
+
+
 def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction over non-adjacent pairs: common neighbors +
     integer resource-allocation index (hub-capped wedge join, global
@@ -2951,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_degree_stats": q_graph_degree_stats,
         "graph_kcore": q_graph_kcore,
+        "graph_ktruss": q_graph_ktruss,
         "graph_link_prediction": q_graph_link_prediction,
         "graph_bfs": q_graph_bfs,
         "graph_lpa": q_graph_lpa,
@@ -3623,6 +3631,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_kcore": _ext_oracle(
             [_graph.oracle_k_core()], "k_core_membership"
+        ),
+        "graph_ktruss": _ext_oracle(
+            [_graph.oracle_ktruss()], "ktruss_edges"
         ),
         "graph_link_prediction": _ext_oracle(
             [_graph.oracle_link_prediction_ra()], "link_prediction_ra"

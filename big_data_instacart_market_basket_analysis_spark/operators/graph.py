@@ -1314,3 +1314,161 @@ rec_coverage_diversity AS (
                   * (SELECT count(*) FROM rcd_sims)), 6) AS avg_ils
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# k-truss decomposition (fixed-round edge peeling)
+# ---------------------------------------------------------------------------
+
+#: truss parameter: surviving edges must sit in >= KTRUSS_K - 2
+#: triangles of the surviving subgraph.
+KTRUSS_K = 4
+
+#: fixed peeling rounds (same stance as KCORE_ROUNDS: engine and
+#: oracle run the SAME unrolled schedule; convergence is a flag, not a
+#: loop condition).
+KTRUSS_ROUNDS = 2
+
+
+def _edge_support(edges: DataFrame) -> DataFrame:
+    """Triangle support per canonical (a<b) edge: enumerate each
+    triangle x<y<z once via the two-join wedge closure, then credit
+    its three edges (one explode via 3-way union, one hash-agg).
+    Orientation note: canonical-id wedge join, the same shape whose
+    skew guard lives in `_oriented_edges` — at 100 TB the hybrid
+    orientation applies unchanged because the triangle set (and hence
+    every edge's support) is orientation-invariant."""
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("x2"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, (F.col("x") == F.col("x2")) & (F.col("y") < F.col("z")))
+        .select("x", "y", "z")
+        .join(
+            edges.select(
+                F.col("a").alias("y"), F.col("b").alias("z")
+            ),
+            ["y", "z"],
+            "leftsemi",
+        )
+    )
+    credit = (
+        tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+        .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+    )
+    return credit.groupBy("a", "b").agg(F.count("*").alias("support"))
+
+
+def ktruss_edges(
+    lineitem: DataFrame,
+    k: int = KTRUSS_K,
+    rounds: int = KTRUSS_ROUNDS,
+) -> DataFrame:
+    """k-truss decomposition of the co-purchase graph by fixed-round
+    edge peeling: repeatedly drop edges supported by fewer than k−2
+    triangles OF THE SURVIVING SUBGRAPH — the community-core
+    condensation one notch stricter than k-core (every truss edge has
+    k−2 common-neighbor witnesses). Per round: one wedge-closure
+    support count + one filter, surviving edge set localCheckpointed
+    (it is referenced three times by the next round's triangle join).
+
+    Output: every original canonical edge with its initial support,
+    final-round support (0 if peeled), and truss membership —
+    all-integer parity with the unrolled materialized-CTE oracle.
+    """
+    min_sup = k - 2
+    edges = (
+        _edges_staged(lineitem)
+        .filter(F.col("a") < F.col("b"))
+        .localCheckpoint(eager=True)
+    )
+    sup0 = _edge_support(edges).localCheckpoint(eager=True)
+    cur_sup = sup0
+    for _ in range(rounds - 1):
+        cur = (
+            cur_sup.filter(F.col("support") >= min_sup)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        cur_sup = _edge_support(cur).localCheckpoint(eager=True)
+    final = cur_sup.filter(F.col("support") >= min_sup).select(
+        "a", "b", F.col("support").alias("support_final")
+    )
+    return (
+        edges.join(
+            sup0.select("a", "b", F.col("support").alias("support0")),
+            ["a", "b"],
+            "left",
+        )
+        .join(final, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("support0"), F.lit(0)).alias("support0"),
+            F.coalesce(F.col("support_final"), F.lit(0)).alias(
+                "support_final"
+            ),
+            F.col("support_final").isNotNull().cast("int").alias(
+                "in_truss"
+            ),
+        )
+    )
+
+
+def oracle_ktruss(
+    k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS
+) -> str:
+    min_sup = k - 2
+    sup_tpl = """
+kt_sup{r} AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support
+  FROM (
+    SELECT t.x AS a, t.y AS b FROM ({tri}) t
+    UNION ALL
+    SELECT t.x, t.z FROM ({tri}) t
+    UNION ALL
+    SELECT t.y, t.z FROM ({tri}) t
+  )
+  GROUP BY 1, 2
+)"""
+    tri_tpl = (
+        "SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        "FROM {src} e1 JOIN {src} e2 ON e1.a = e2.a AND e1.b < e2.b "
+        "WHERE EXISTS (SELECT 1 FROM {src} e3 "
+        "WHERE e3.a = e1.b AND e3.b = e2.b)"
+    )
+    ctes = [
+        """
+kt_e0 AS MATERIALIZED (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey
+)"""
+    ]
+    ctes.append(sup_tpl.format(r=0, tri=tri_tpl.format(src="kt_e0")))
+    prev_sup = "kt_sup0"
+    for r in range(1, rounds):
+        ctes.append(
+            """
+kt_e{r} AS MATERIALIZED (
+  SELECT a, b FROM {prev} WHERE support >= {m}
+)""".format(r=r, prev=prev_sup, m=min_sup)
+        )
+        ctes.append(
+            sup_tpl.format(r=r, tri=tri_tpl.format(src=f"kt_e{r}"))
+        )
+        prev_sup = f"kt_sup{r}"
+    ctes.append(
+        """
+ktruss_edges AS (
+  SELECT e.a, e.b,
+         CAST(coalesce(s0.support, 0) AS BIGINT) AS support0,
+         CAST(coalesce(f.support, 0) AS BIGINT) AS support_final,
+         CAST(f.support IS NOT NULL AS INT) AS in_truss
+  FROM kt_e0 e
+  LEFT JOIN kt_sup0 s0 ON e.a = s0.a AND e.b = s0.b
+  LEFT JOIN (SELECT * FROM {prev} WHERE support >= {m}) f
+    ON e.a = f.a AND e.b = f.b
+)""".format(prev=prev_sup, m=min_sup)
+    )
+    return ",".join(ctes)
