@@ -1852,6 +1852,19 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dict_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding benefit estimates per candidate column
+    (exact integer byte accounting; index bits via length(bin(d-1)),
+    no float logs)."""
+    return _prof.dict_encoding_advisor(
+        {
+            t: load_table(spark, sf_dir, t)
+            for t in ("part", "orders", "lineitem", "customer",
+                      "nation", "events")
+        }
+    )
+
+
 def q_ind_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unary inclusion-dependency verification over the FK lattice +
     reverse directions (distinct-collapse both sides, anti-probe;
@@ -2975,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_setcover": q_docs_setcover,
         "fd_discovery": q_fd_discovery,
         "ind_discovery": q_ind_discovery,
+        "dict_advisor": q_dict_advisor,
         "join_cardinality_estimate": q_join_cardinality,
         "sql_udf_tiers": q_sql_udf_tiers,
         "sql_clustered_orders": q_sql_clustered_orders,
@@ -3811,6 +3825,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ind_discovery": _ext_oracle(
             [_prof.oracle_ind_discovery()], "ind_discovery"
+        ),
+        "dict_advisor": _ext_oracle(
+            [_prof.oracle_dict_advisor()], "dict_encoding_advisor"
         ),
         "docs_setcover": _ext_oracle(
             [_dedup.ORACLE_SHINGLES, _samp.oracle_setcover()],

@@ -927,3 +927,110 @@ def oracle_ind_discovery() -> str:
         )
     union = "\n  UNION ALL\n  ".join(selects)
     return f"ind_discovery AS (\n  {union}\n)"
+
+
+# ---------------------------------------------------------------------------
+# dictionary-encoding advisor
+# ---------------------------------------------------------------------------
+
+#: columns audited for dictionary encodability (table, column) — the
+#: categorical-ish string columns of the star schema + event stream.
+DICT_CANDIDATES: tuple[tuple[str, str], ...] = (
+    ("part", "p_brand"),
+    ("part", "p_type"),
+    ("part", "p_name"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+    ("customer", "c_mktsegment"),
+    ("nation", "n_name"),
+    ("events", "event_type"),
+)
+
+
+def dict_encoding_advisor(tables: dict[str, DataFrame]) -> DataFrame:
+    """Dictionary-encoding benefit estimate per candidate column — the
+    storage-layout sibling of the RLE sort-order advisor: plain size
+    is the exact sum of value byte lengths; dictionary size is the
+    distinct values' bytes plus n_rows index entries of
+    ceil(log2(n_distinct)) bits. Everything is INTEGER arithmetic —
+    index bits come from length(bin(n_distinct - 1)), never a float
+    log — so the recommendation flag is an exact BIGINT comparison.
+    Two hash-aggs per column (value grain, then 1 row); at 100 TB
+    this is the scan-time stats pass a layout optimizer runs before
+    rewriting a table.
+
+    Output per column: tbl_col, n_rows, n_distinct, plain_bytes,
+    idx_bits, dict_bytes_est, recommend.
+    """
+    out = None
+    for tbl, col in DICT_CANDIDATES:
+        vals = (
+            tables[tbl]
+            .select(F.col(col).cast("string").alias("v"))
+            .groupBy("v")
+            .agg(F.count("*").alias("c"))
+        )
+        row = (
+            vals.agg(
+                F.lit(f"{tbl}.{col}").alias("tbl_col"),
+                F.sum("c").alias("n_rows"),
+                F.count("*").alias("n_distinct"),
+                F.sum(F.length("v") * F.col("c")).alias("plain_bytes"),
+                F.sum(F.length("v")).alias("distinct_bytes"),
+            )
+            .withColumn(
+                "idx_bits",
+                F.when(
+                    F.col("n_distinct") > 1,
+                    F.length(F.expr("bin(n_distinct - 1)")),
+                )
+                .otherwise(F.lit(1))
+                .cast("bigint"),
+            )
+            .withColumn(
+                "dict_bytes_est",
+                F.col("distinct_bytes")
+                + F.expr("(n_rows * idx_bits + 7) div 8"),
+            )
+            .select(
+                "tbl_col",
+                "n_rows",
+                "n_distinct",
+                "plain_bytes",
+                "idx_bits",
+                "dict_bytes_est",
+                (F.col("dict_bytes_est") < F.col("plain_bytes"))
+                .cast("int")
+                .alias("recommend"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def oracle_dict_advisor() -> str:
+    selects = []
+    for tbl, col in DICT_CANDIDATES:
+        selects.append(
+            f"""SELECT '{tbl}.{col}' AS tbl_col, n_rows, n_distinct,
+         plain_bytes, idx_bits,
+         distinct_bytes + (n_rows * idx_bits + 7) // 8 AS dict_bytes_est,
+         CAST(distinct_bytes + (n_rows * idx_bits + 7) // 8 < plain_bytes
+              AS INT) AS recommend
+  FROM (
+    SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(length(v) * c) AS BIGINT) AS plain_bytes,
+           CAST(sum(length(v)) AS BIGINT) AS distinct_bytes,
+           CAST(CASE WHEN count(*) > 1
+                     THEN length(bin(count(*) - 1)) ELSE 1 END AS BIGINT)
+             AS idx_bits
+    FROM (
+      SELECT CAST({col} AS VARCHAR) AS v, CAST(count(*) AS BIGINT) AS c
+      FROM {tbl} GROUP BY 1
+    )
+  )"""
+        )
+    union = "\n  UNION ALL\n  ".join(selects)
+    return f"dict_encoding_advisor AS (\n  {union}\n)"
