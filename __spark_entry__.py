@@ -691,6 +691,18 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.markov_transitions(load_table(spark, sf_dir, "events"))
 
 
+def q_events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step backtest of naive/snaive7/dyadic-EWMA/drift on the
+    daily revenue series (exact rational forecasts, MAE/MAPE/MASE)."""
+    return _tmp.forecast_backtest(load_table(spark, sf_dir, "events"))
+
+
+def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power readout: current-sample MDE + per-arm n for a 5%
+    lift (exact integer moments, closed-form normal approximation)."""
+    return _tmp.ab_power_mde(load_table(spark, sf_dir, "events"))
+
+
 def q_events_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile normalization of per-type value distributions onto the
     pooled distribution (integer doubled-midrank/position algebra,
@@ -2885,6 +2897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_shapley": q_events_shapley,
         "events_did": q_events_did,
         "events_quantile_norm": q_events_quantile_norm,
+        "events_forecast_backtest": q_events_forecast_backtest,
+        "events_power_mde": q_events_power_mde,
         "events_neyman": q_events_neyman,
         "graph_rec_coverage": q_graph_rec_coverage,
         "events_cusum": q_events_cusum,
@@ -3362,6 +3376,12 @@ def oracle_sql() -> dict[str, str]:
         "events_did": _ext_oracle([_tmp.ORACLE_DID], "did_report"),
         "events_quantile_norm": _ext_oracle(
             [_tmp.ORACLE_QUANTILE_NORM], "quantile_normalize"
+        ),
+        "events_forecast_backtest": _ext_oracle(
+            [_tmp.ORACLE_FORECAST_BACKTEST], "forecast_backtest"
+        ),
+        "events_power_mde": _ext_oracle(
+            [_tmp.ORACLE_AB_POWER], "ab_power_mde"
         ),
         "events_neyman": _ext_oracle(
             [_samp.ORACLE_NEYMAN], "neyman_allocation"

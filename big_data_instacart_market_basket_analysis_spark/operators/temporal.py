@@ -6619,3 +6619,256 @@ quantile_normalize AS (
   LEFT JOIN qn_pool_ranks hi ON hi.rk = p.pos_num // p.denom + 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# forecast backtest: naive / seasonal-naive / truncated-EWMA / drift
+# ---------------------------------------------------------------------------
+
+def forecast_backtest(events: DataFrame) -> DataFrame:
+    """One-step-ahead backtest of four closed-form forecasters on the
+    daily purchase-revenue series — the model-selection harness that
+    says WHICH of the engine's forecasting rungs (naive, weekly
+    seasonal-naive, 8-day dyadic EWMA, drift) earns its keep, scored
+    on a common eval window with MAE / MAPE / MASE.
+
+    Every forecast is an exact rational with a model-specific integer
+    denominator s (1, 1, 255, 7): the dyadic EWMA is
+    (128·l1 + … + 1·l8)/255 and drift is (8·l1 − l8)/7, so each
+    error is |s·v − num| / s with BIGINT numerators — MAE and MASE
+    are exact-integer ratios rounded once, and MAPE averages
+    per-term rationals. The series is DAYS-grain (calendar-bounded),
+    so the lag windows sort thousands of rows at most; the one
+    corpus-sized stage is the first hash-agg.
+
+    Output per model: (model, n_evals, mae, mape, mase).
+    """
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(f"CAST(floor(value * {AR2_VAL_SCALE}) AS BIGINT)")
+            ).alias("v")
+        )
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "v", *[F.lag("v", i).over(w).alias(f"l{i}") for i in range(1, 9)]
+    ).filter(F.col("l8").isNotNull() & (F.col("v") > 0))
+    ewma_num = sum(
+        (F.lit(2 ** (8 - i)) * F.col(f"l{i}") for i in range(2, 9)),
+        F.lit(128) * F.col("l1"),
+    )
+    models = {
+        "naive": (F.col("l1"), 1),
+        "snaive7": (F.col("l7"), 1),
+        "ewma8": (ewma_num, 255),
+        "drift": (F.lit(8) * F.col("l1") - F.col("l8"), 7),
+    }
+    naive_abs = F.sum(F.abs(F.col("v") - F.col("l1"))).alias("naive_abs")
+    out = None
+    for name, (num, s) in models.items():
+        e_abs = F.abs(F.lit(s) * F.col("v") - num)
+        row = lagged.agg(
+            F.lit(name).alias("model"),
+            F.count("*").alias("n_evals"),
+            F.sum(e_abs).alias("abs_sum"),
+            F.sum(F.abs(F.col("v") - F.col("l1"))).alias("naive_sum"),
+            F.round(
+                F.avg(e_abs / (F.lit(float(s)) * F.col("v"))), 6
+            ).alias("mape"),
+        ).select(
+            "model",
+            "n_evals",
+            F.round(
+                F.col("abs_sum")
+                / (F.lit(float(s) * 100.0) * F.col("n_evals")),
+                6,
+            ).alias("mae"),
+            "mape",
+            F.round(
+                F.col("abs_sum")
+                / (F.lit(float(s)) * F.col("naive_sum")),
+                6,
+            ).alias("mase"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+ORACLE_FORECAST_BACKTEST = f"""
+fb_daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * {AR2_VAL_SCALE}) AS BIGINT))
+              AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+fb_lagged AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT v,
+           lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+           lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4,
+           lag(v, 5) OVER w AS l5, lag(v, 6) OVER w AS l6,
+           lag(v, 7) OVER w AS l7, lag(v, 8) OVER w AS l8
+    FROM fb_daily WINDOW w AS (ORDER BY day)
+  ) WHERE l8 IS NOT NULL AND v > 0
+),
+forecast_backtest AS (
+  SELECT 'naive' AS model, CAST(count(*) AS BIGINT) AS n_evals,
+         round(sum(abs(v - l1)) / (CAST(100 AS DOUBLE) * count(*)), 6)
+           AS mae,
+         round(avg(abs(v - l1) / (CAST(1 AS DOUBLE) * v)), 6) AS mape,
+         round(sum(abs(v - l1)) / (CAST(1 AS DOUBLE) * sum(abs(v - l1))),
+               6) AS mase
+  FROM fb_lagged
+  UNION ALL
+  SELECT 'snaive7', CAST(count(*) AS BIGINT),
+         round(sum(abs(v - l7)) / (CAST(100 AS DOUBLE) * count(*)), 6),
+         round(avg(abs(v - l7) / (CAST(1 AS DOUBLE) * v)), 6),
+         round(sum(abs(v - l7)) / (CAST(1 AS DOUBLE) * sum(abs(v - l1))),
+               6)
+  FROM fb_lagged
+  UNION ALL
+  SELECT 'ewma8', CAST(count(*) AS BIGINT),
+         round(sum(abs(255 * v - (128*l1 + 64*l2 + 32*l3 + 16*l4
+                                  + 8*l5 + 4*l6 + 2*l7 + l8)))
+               / (CAST(25500 AS DOUBLE) * count(*)), 6),
+         round(avg(abs(255 * v - (128*l1 + 64*l2 + 32*l3 + 16*l4
+                                  + 8*l5 + 4*l6 + 2*l7 + l8))
+                   / (CAST(255 AS DOUBLE) * v)), 6),
+         round(sum(abs(255 * v - (128*l1 + 64*l2 + 32*l3 + 16*l4
+                                  + 8*l5 + 4*l6 + 2*l7 + l8)))
+               / (CAST(255 AS DOUBLE) * sum(abs(v - l1))), 6)
+  FROM fb_lagged
+  UNION ALL
+  SELECT 'drift', CAST(count(*) AS BIGINT),
+         round(sum(abs(7 * v - (8 * l1 - l8)))
+               / (CAST(700 AS DOUBLE) * count(*)), 6),
+         round(avg(abs(7 * v - (8 * l1 - l8))
+                   / (CAST(7 AS DOUBLE) * v)), 6),
+         round(sum(abs(7 * v - (8 * l1 - l8)))
+               / (CAST(7 AS DOUBLE) * sum(abs(v - l1))), 6)
+  FROM fb_lagged
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis: MDE + required sample size
+# ---------------------------------------------------------------------------
+
+#: two-sided alpha=.05 and 80% power normal quantiles (z_{.975},
+#: z_{.80}) — fixed double literals, identical text in both engines.
+POWER_Z_ALPHA = 1.959964
+POWER_Z_BETA = 0.841621
+#: target relative lift the sample-size row is computed for.
+POWER_TARGET_REL = 0.05
+
+
+def ab_power_mde(events: DataFrame) -> DataFrame:
+    """Experiment power readout on the purchase metric: the minimum
+    detectable effect at the CURRENT sample (two-sample normal
+    approximation, alpha=.05 two-sided, 80% power) and the per-arm
+    sample size a 5%-of-mean lift would need — the two numbers a team
+    checks BEFORE trusting (or launching) the A/B readout that
+    `ab_test_report` / `cuped_report` deliver.
+
+        mde = (z_a + z_b) * sqrt(s2 * (1/n0 + 1/n1))
+        n_per_arm = 2 * s2 * (z_a + z_b)^2 / (target_rel * mean)^2
+
+    User-grain totals come from exact integer cent sums; the pooled
+    variance uses the n·Σx²−(Σx)² BIGINT identity, so the only floats
+    are the final closed-form expressions (identical text in both
+    engines, rounded at the edge).
+
+    Output (1 row): n0, n1, mean_value, sd_value, mde_abs, mde_rel,
+    n_per_arm_5pct.
+    """
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    per_user = (
+        events.filter(F.col("event_type") == AB_METRIC_TYPE)
+        .groupBy("user_id")
+        .agg(F.sum(cents).alias("uc"))
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+            "uc",
+        )
+    )
+    m = per_user.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+        F.count("*").alias("n"),
+        F.sum("uc").alias("s1"),
+        F.sum(F.col("uc") * F.col("uc")).alias("s2m"),
+    )
+    z = POWER_Z_ALPHA + POWER_Z_BETA
+    s2 = (
+        (F.col("n") * F.col("s2m") - F.col("s1") * F.col("s1"))
+        / (F.col("n") * (F.col("n") - 1))
+    ) / F.lit(10000.0)
+    mean = F.col("s1") / (F.lit(100.0) * F.col("n"))
+    mde = F.lit(z) * F.sqrt(
+        s2 * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return m.select(
+        "n0",
+        "n1",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(F.sqrt(s2), 6).alias("sd_value"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / mean, 6).alias("mde_rel"),
+        F.round(
+            F.lit(2.0)
+            * s2
+            * F.lit(z * z)
+            / ((F.lit(POWER_TARGET_REL) * mean)
+               * (F.lit(POWER_TARGET_REL) * mean)),
+            2,
+        ).alias("n_per_arm_5pct"),
+    )
+
+
+ORACLE_AB_POWER = f"""
+pw_user AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS uc
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+pw_m AS (
+  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n0,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(uc) AS BIGINT) AS s1,
+         CAST(sum(uc * uc) AS BIGINT) AS s2m
+  FROM pw_user
+),
+ab_power_mde AS (
+  SELECT n0, n1,
+         round(s1 / (CAST(100 AS DOUBLE) * n), 6) AS mean_value,
+         round(sqrt(((n * s2m - s1 * s1)
+                     / CAST(n * (n - 1) AS DOUBLE)) / 10000.0), 6)
+           AS sd_value,
+         round({POWER_Z_ALPHA + POWER_Z_BETA}
+               * sqrt((((n * s2m - s1 * s1)
+                        / CAST(n * (n - 1) AS DOUBLE)) / 10000.0)
+                      * (CAST(1 AS DOUBLE) / n0
+                         + CAST(1 AS DOUBLE) / n1)), 6) AS mde_abs,
+         round(({POWER_Z_ALPHA + POWER_Z_BETA}
+                * sqrt((((n * s2m - s1 * s1)
+                         / CAST(n * (n - 1) AS DOUBLE)) / 10000.0)
+                       * (CAST(1 AS DOUBLE) / n0
+                          + CAST(1 AS DOUBLE) / n1)))
+               / (s1 / (CAST(100 AS DOUBLE) * n)), 6) AS mde_rel,
+         round(2.0 * (((n * s2m - s1 * s1)
+                       / CAST(n * (n - 1) AS DOUBLE)) / 10000.0)
+               * {(POWER_Z_ALPHA + POWER_Z_BETA) ** 2}
+               / (({POWER_TARGET_REL} * (s1 / (CAST(100 AS DOUBLE) * n)))
+                  * ({POWER_TARGET_REL}
+                     * (s1 / (CAST(100 AS DOUBLE) * n)))), 2)
+           AS n_per_arm_5pct
+  FROM pw_m
+)
+"""
