@@ -1825,6 +1825,13 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _privacy.l_diversity_audit(load_table(spark, sf_dir, "events"))
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit: total variational distance between each QI
+    cell's sensitive distribution and the global one (absent-value
+    mass included; integer cross-multiplied 0.2 flag)."""
+    return _privacy.t_closeness_audit(load_table(spark, sf_dir, "events"))
+
+
 def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map pruning simulation: natural vs date-sorted layouts
     against a quarter predicate (min/max stats, one agg per layout)."""
@@ -3010,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rle_layout_report": q_rle_layout,
         "zonemap_skipping_report": q_zonemap_skipping,
         "events_l_diversity": q_l_diversity,
+        "events_t_closeness": q_t_closeness,
         "docs_quality_sample": q_docs_quality_sample,
         "docs_weighted_sample_aes": q_docs_weighted_sample_aes,
         "docs_lang_temperature": q_docs_lang_temperature,
@@ -3821,6 +3829,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_l_diversity": _ext_oracle(
             [_privacy.ORACLE_L_DIVERSITY], "l_diversity_audit"
+        ),
+        "events_t_closeness": _ext_oracle(
+            [_privacy.ORACLE_T_CLOSENESS], "t_closeness_audit"
         ),
         "zonemap_skipping_report": _ext_oracle(
             [_layout.oracle_zonemap_skipping()], "zonemap_skipping_report"

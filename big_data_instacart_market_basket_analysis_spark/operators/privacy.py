@@ -359,3 +359,131 @@ l_diversity_audit AS (
   FROM ld_sv GROUP BY 1, 2
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit
+# ---------------------------------------------------------------------------
+
+#: t-closeness threshold as an exact rational (1/5): a QI group passes
+#: if the variational distance between its sensitive distribution and
+#: the global one is <= 0.2, compared cross-multiplied in integers.
+T_CLOSE_NUM, T_CLOSE_DEN = 1, 5
+
+
+def t_closeness_audit(events: DataFrame) -> DataFrame:
+    """t-closeness (Li et al. 2007) — the audit l-diversity cannot
+    provide: a group can be diverse yet still skewed far from the
+    population (e.g. 90% one sensitive value vs 20% globally), which
+    leaks probabilistic information. Same published QI grid as the
+    k-anonymity/l-diversity audits; distance is the total variational
+    distance (categorical EMD) between group and global sensitive
+    distributions:
+
+        tvd = 1/2 * sum_s |c_gs/n_g - C_s/N|
+            = [ sum_present |c_gs*N - C_s*n_g| + (N - sum_present C_s)*n_g ]
+              / (2*n_g*N)
+
+    where the second numerator term accounts for sensitive values
+    ABSENT from the group (their |0 - C_s*n_g| mass — dropping them
+    understates the distance, the classic implementation bug). All
+    numerators are BIGINT, so the audit flag is an exact
+    cross-multiplied comparison and the reported tvd one rounded
+    division. Two grid-bounded hash-aggs + a |sensitive|-row
+    broadcast.
+
+    Output: (hour_band, value_band, n_rows, tvd, t_ok).
+    """
+    qi = events.select(
+        (
+            F.floor(F.hour("ts") / HOUR_BAND_WIDTH) * HOUR_BAND_WIDTH
+        ).alias("hour_band"),
+        (
+            F.floor(F.col("value") / VALUE_BAND_WIDTH) * VALUE_BAND_WIDTH
+        ).alias("value_band"),
+        F.col("event_type").alias("sensitive"),
+    )
+    per_sv = qi.groupBy("hour_band", "value_band", "sensitive").agg(
+        F.count("*").alias("c")
+    )
+    glob = qi.groupBy("sensitive").agg(F.count("*").alias("cs"))
+    ntot = qi.agg(F.count("*").alias("n_all"))
+    ng = per_sv.groupBy("hour_band", "value_band").agg(
+        F.sum("c").alias("n_g")
+    )
+    joined = (
+        per_sv.join(ng, ["hour_band", "value_band"])
+        .join(F.broadcast(glob), "sensitive")
+        .crossJoin(F.broadcast(ntot))
+    )
+    grp = joined.groupBy("hour_band", "value_band").agg(
+        F.first("n_g").alias("n_g"),
+        F.first("n_all").alias("n_all"),
+        F.sum(
+            F.abs(
+                F.col("c") * F.col("n_all") - F.col("cs") * F.col("n_g")
+            )
+        ).alias("present_num"),
+        F.sum("cs").alias("present_cs"),
+    )
+    dist_num = F.col("present_num") + (
+        F.col("n_all") - F.col("present_cs")
+    ) * F.col("n_g")
+    return grp.select(
+        "hour_band",
+        "value_band",
+        F.col("n_g").alias("n_rows"),
+        F.round(
+            dist_num
+            / (F.lit(2.0) * F.col("n_g") * F.col("n_all")),
+            6,
+        ).alias("tvd"),
+        (
+            dist_num * F.lit(T_CLOSE_DEN)
+            <= F.lit(2 * T_CLOSE_NUM) * F.col("n_g") * F.col("n_all")
+        )
+        .cast("int")
+        .alias("t_ok"),
+    )
+
+
+ORACLE_T_CLOSENESS = f"""
+tc_sv AS (
+  SELECT CAST(floor(hour(ts) / {HOUR_BAND_WIDTH})
+              * {HOUR_BAND_WIDTH} AS BIGINT) AS hour_band,
+         CAST(floor(value / {VALUE_BAND_WIDTH})
+              * {VALUE_BAND_WIDTH} AS BIGINT) AS value_band,
+         event_type AS sensitive,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+tc_ng AS (
+  SELECT hour_band, value_band, CAST(sum(c) AS BIGINT) AS n_g
+  FROM tc_sv GROUP BY 1, 2
+),
+tc_glob AS (
+  SELECT sensitive, CAST(sum(c) AS BIGINT) AS cs FROM tc_sv GROUP BY 1
+),
+tc_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM tc_sv),
+tc_grp AS (
+  SELECT s.hour_band, s.value_band,
+         CAST(max(g.n_g) AS BIGINT) AS n_g,
+         CAST(max(t.n_all) AS BIGINT) AS n_all,
+         CAST(sum(abs(s.c * t.n_all - gl.cs * g.n_g)) AS BIGINT)
+           AS present_num,
+         CAST(sum(gl.cs) AS BIGINT) AS present_cs
+  FROM tc_sv s
+  JOIN tc_ng g USING (hour_band, value_band)
+  JOIN tc_glob gl USING (sensitive)
+  CROSS JOIN tc_tot t
+  GROUP BY 1, 2
+),
+t_closeness_audit AS (
+  SELECT hour_band, value_band, n_g AS n_rows,
+         round((present_num + (n_all - present_cs) * n_g)
+               / (CAST(2 AS DOUBLE) * n_g * n_all), 6) AS tvd,
+         CAST((present_num + (n_all - present_cs) * n_g) * {T_CLOSE_DEN}
+              <= 2 * {T_CLOSE_NUM} * n_g * n_all AS INT) AS t_ok
+  FROM tc_grp
+)
+"""
