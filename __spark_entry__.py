@@ -909,6 +909,13 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.readability_scores(_docs(spark, sf_dir))
 
 
+def q_text_nb_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB learning curve: 1/3, 2/3, 3/3 cumulative training steps
+    scored on a fixed holdout bucket — all models trained in one
+    corpus pass via bucket-count explode."""
+    return _text.nb_learning_curve(_docs(spark, sf_dir))
+
+
 def q_text_nb_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile cumulative-gains/lift table of the NB quality scores
     (bucketed prefix-sum ranks, integer decile cuts; threshold-sizing
@@ -2873,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nb_quality_cv": q_text_nb_quality_cv,
         "text_nb_auc": q_text_nb_auc,
         "text_nb_gains": q_text_nb_gains,
+        "text_nb_learning_curve": q_text_nb_learning_curve,
         "text_readability": q_text_readability,
         "text_rake_keywords": q_text_rake_keywords,
         "embedding_knn_outliers": q_embedding_knn_outliers,
@@ -3295,6 +3303,11 @@ def oracle_sql() -> dict[str, str]:
             [_text.oracle_gopher_rules(), _text.ORACLE_NB_QUALITY,
              _text.ORACLE_NB_GAINS],
             "nb_gains_table",
+        ),
+        "text_nb_learning_curve": _ext_oracle(
+            [_text.oracle_gopher_rules(),
+             _text.ORACLE_NB_LEARNING_CURVE],
+            "nb_learning_curve",
         ),
         "text_readability": _ext_oracle(
             [_text.ORACLE_READABILITY], "readability"

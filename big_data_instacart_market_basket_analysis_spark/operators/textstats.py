@@ -3584,3 +3584,216 @@ nb_gains_table AS (
   FROM gt_d
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# NB learning curve (data-scaling readout)
+# ---------------------------------------------------------------------------
+
+#: doc_id mod 4 buckets: 0..2 are cumulative training steps, 3 is the
+#: fixed held-out eval set every step is scored on.
+LC_BUCKETS = 4
+
+
+def nb_learning_curve(docs: DataFrame) -> DataFrame:
+    """Learning curve of the NB quality classifier: models trained on
+    1/3, 2/3, and 3/3 of the training buckets (doc_id mod 4 ∈
+    {0},{0,1},{0,1,2}), all scored on the SAME held-out bucket (3) —
+    the data-scaling readout that says whether more labeled data
+    would still buy accuracy (the flat-curve signal that stops
+    labeling spend). Like the k-fold CV, ALL models train in ONE
+    corpus pass: per-(token, bucket, class) counts explode to the
+    cumulative steps they belong to (sequence(b+1, 3) — each bucket
+    row fans out to at most 3 step rows), so step j's model is one
+    more tiny agg, never a rescan; scoring joins the held-out tokens
+    against the per-step vocabulary once.
+
+    Output per step: (step, n_train_docs, n_eval, n_correct,
+    accuracy).
+    """
+    labels = (
+        gopher_rules(docs)
+        .select("doc_id", "keep")
+        .withColumn("b", F.pmod("doc_id", F.lit(LC_BUCKETS)))
+    )
+    toks = (
+        docs.select("doc_id", F.explode(_tokens_col()).alias("t"))
+        .filter(F.col("t") != "")
+        .join(labels, "doc_id")
+    )
+    train_tb = (
+        toks.filter(F.col("b") < LC_BUCKETS - 1)
+        .groupBy("t", "b")
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("ckb"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("crb"),
+        )
+    )
+    steps = train_tb.select(
+        "t",
+        "ckb",
+        "crb",
+        F.explode(
+            F.sequence(F.col("b") + 1, F.lit(LC_BUCKETS - 1))
+        ).alias("step"),
+    )
+    tok_step = steps.groupBy("t", "step").agg(
+        F.sum("ckb").alias("ck"), F.sum("crb").alias("cr")
+    )
+    scal = tok_step.groupBy("step").agg(
+        F.sum("ck").alias("nk"),
+        F.sum("cr").alias("nr"),
+        F.count("*").alias("v"),
+    )
+    dpri = (
+        labels.filter(F.col("b") < LC_BUCKETS - 1)
+        .select(
+            "keep",
+            F.explode(
+                F.sequence(F.col("b") + 1, F.lit(LC_BUCKETS - 1))
+            ).alias("step"),
+        )
+        .groupBy("step")
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("dk"),
+            F.count("*").alias("d"),
+        )
+    )
+    ev = toks.filter(F.col("b") == LC_BUCKETS - 1).select(
+        "doc_id",
+        "t",
+        "keep",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(LC_BUCKETS - 1))
+        ).alias("step"),
+    )
+    contrib = (
+        ev.join(tok_step, ["t", "step"], "left")
+        .join(F.broadcast(scal), "step")
+        .select(
+            "doc_id",
+            "step",
+            "keep",
+            (
+                F.log(
+                    (F.coalesce(F.col("ck"), F.lit(0)) + 1)
+                    / (F.col("nk") + F.col("v")).cast("double")
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                    / (F.col("nr") + F.col("v")).cast("double")
+                )
+            ).alias("lp"),
+        )
+    )
+    per_doc = (
+        contrib.groupBy("doc_id", "step", "keep")
+        .agg(F.sum("lp").alias("s"))
+        .join(F.broadcast(dpri), "step")
+        .select(
+            "step",
+            "keep",
+            F.round(
+                F.col("s")
+                + F.log(
+                    F.col("dk") / (F.col("d") - F.col("dk")).cast("double")
+                ),
+                6,
+            ).alias("log_odds"),
+        )
+    )
+    return (
+        per_doc.groupBy("step")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum(
+                F.when(
+                    (F.col("log_odds") > 0) == F.col("keep"), 1
+                ).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .join(F.broadcast(dpri.select("step", F.col("d").alias("n_train_docs"))), "step")
+        .select(
+            "step",
+            "n_train_docs",
+            "n_eval",
+            "n_correct",
+            F.round(
+                F.col("n_correct") / F.col("n_eval").cast("double"), 4
+            ).alias("accuracy"),
+        )
+    )
+
+
+ORACLE_NB_LEARNING_CURVE = f"""
+lc_labels AS (
+  SELECT doc_id, keep, doc_id % {LC_BUCKETS} AS b FROM gopher_rules
+),
+lc_toks AS (
+  SELECT k.doc_id, k.t, l.keep, l.b
+  FROM (
+    SELECT doc_id, t
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+          FROM documents)
+    WHERE t <> ''
+  ) k JOIN lc_labels l ON k.doc_id = l.doc_id
+),
+lc_train_tb AS (
+  SELECT t, b,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS ckb,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS crb
+  FROM lc_toks WHERE b < {LC_BUCKETS - 1}
+  GROUP BY 1, 2
+),
+lc_tok_step AS MATERIALIZED (
+  SELECT t, CAST(u.step AS BIGINT) AS step,
+         CAST(sum(ckb) AS BIGINT) AS ck,
+         CAST(sum(crb) AS BIGINT) AS cr
+  FROM lc_train_tb,
+       LATERAL unnest(range(b + 1, {LC_BUCKETS})) AS u(step)
+  GROUP BY 1, 2
+),
+lc_scal AS (
+  SELECT step, CAST(sum(ck) AS BIGINT) AS nk,
+         CAST(sum(cr) AS BIGINT) AS nr,
+         CAST(count(*) AS BIGINT) AS v
+  FROM lc_tok_step GROUP BY 1
+),
+lc_dpri AS (
+  SELECT CAST(u.step AS BIGINT) AS step,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS dk,
+         CAST(count(*) AS BIGINT) AS d
+  FROM lc_labels, LATERAL unnest(range(b + 1, {LC_BUCKETS})) AS u(step)
+  WHERE b < {LC_BUCKETS - 1}
+  GROUP BY 1
+),
+lc_ev AS (
+  SELECT doc_id, t, keep, CAST(u.step AS BIGINT) AS step
+  FROM lc_toks, LATERAL unnest(range(1, {LC_BUCKETS})) AS u(step)
+  WHERE b = {LC_BUCKETS - 1}
+),
+lc_per_doc AS (
+  SELECT e.doc_id, e.step, e.keep,
+         round(sum(ln((coalesce(ts.ck, 0) + 1)
+                      / CAST(s.nk + s.v AS DOUBLE))
+                   - ln((coalesce(ts.cr, 0) + 1)
+                        / CAST(s.nr + s.v AS DOUBLE)))
+               + ln(p.dk / CAST(p.d - p.dk AS DOUBLE)), 6) AS log_odds
+  FROM lc_ev e
+  LEFT JOIN lc_tok_step ts ON e.t = ts.t AND e.step = ts.step
+  JOIN lc_scal s ON e.step = s.step
+  JOIN lc_dpri p ON e.step = p.step
+  GROUP BY e.doc_id, e.step, e.keep, p.dk, p.d
+),
+nb_learning_curve AS (
+  SELECT d.step, p.d AS n_train_docs,
+         CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(CASE WHEN (d.log_odds > 0) = d.keep THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct,
+         round(sum(CASE WHEN (d.log_odds > 0) = d.keep THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 4) AS accuracy
+  FROM lc_per_doc d JOIN lc_dpri p ON d.step = p.step
+  GROUP BY 1, 2
+)
+"""
