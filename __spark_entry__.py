@@ -1294,6 +1294,13 @@ def q_sql_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sqlapi.sql_daily_gapfill(spark, sf_dir)
 
 
+def q_sql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL INTERSECT/EXCEPT/LEFT SEMI JOIN syntax over the two
+    ship-window halves (set algebra compiled to distinct+semi/anti
+    joins)."""
+    return _sqlapi.sql_setops_halves(spark, sf_dir)
+
+
 def q_sql_urgent_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS through the SQL parser; Catalyst
     decorrelates into left-semi + left-anti hash joins."""
@@ -2967,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_upsert": q_orders_merge_upsert,
         "sql_daily_gapfill": q_sql_daily_gapfill,
         "sql_urgent_only": q_sql_urgent_only,
+        "sql_setops": q_sql_setops,
         "sql_part_supplier_stats": q_sql_part_supplier_stats,
         "sql_small_qty_revenue": q_sql_small_qty_revenue,
         "sql_pipe_priority_stats": q_sql_pipe_priority_stats,
@@ -3716,6 +3724,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orders_merge_upsert": _ext_oracle(
             [_rel.ORACLE_MERGE_UPSERT], "merge_upsert_orders"
+        ),
+        "sql_setops": _ext_oracle(
+            [_sqlapi.ORACLE_SQL_SETOPS], "sql_setops_halves"
         ),
         "sql_urgent_only": _ext_oracle(
             [_sqlapi.ORACLE_SQL_URGENT_ONLY], "sql_urgent_only"

@@ -670,3 +670,90 @@ sql_filter_clause_stats AS (
   GROUP BY o_orderstatus
 )
 """
+
+
+def sql_setops_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL set operators through the parser: the distinct part sets of
+    the two calendar halves of the lineitem ship window compared with
+    INTERSECT / EXCEPT (both directions) plus a LEFT SEMI JOIN-syntax
+    restriction — the four set-algebra clauses the DataFrame API
+    spells as intersect()/exceptAll()/join("leftsemi").
+
+    Catalyst compiles INTERSECT/EXCEPT to left-semi/left-anti joins
+    over distinct-collapsed inputs — the same distinct+join shape the
+    IND-discovery operator hand-builds, so the SQL surface and the
+    programmatic path share one physical strategy (two hash-aggs +
+    one join per set op, shuffling only distinct keys).
+
+    Output: (set_op, n_parts) — one row per operator exercised.
+    """
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH mid AS (
+          SELECT date_add(CAST(min(l_shipdate) AS DATE),
+                          CAST(datediff(CAST(max(l_shipdate) AS DATE),
+                                        CAST(min(l_shipdate) AS DATE)) / 2
+                               AS INT)) AS m
+          FROM lineitem
+        ),
+        h1 AS (SELECT DISTINCT l_partkey FROM lineitem, mid
+               WHERE CAST(l_shipdate AS DATE) < m),
+        h2 AS (SELECT DISTINCT l_partkey FROM lineitem, mid
+               WHERE CAST(l_shipdate AS DATE) >= m)
+        SELECT 'intersect' AS set_op, count(*) AS n_parts
+        FROM (SELECT l_partkey FROM h1
+              INTERSECT SELECT l_partkey FROM h2)
+        UNION ALL
+        SELECT 'h1_except_h2', count(*)
+        FROM (SELECT l_partkey FROM h1
+              EXCEPT SELECT l_partkey FROM h2)
+        UNION ALL
+        SELECT 'h2_except_h1', count(*)
+        FROM (SELECT l_partkey FROM h2
+              EXCEPT SELECT l_partkey FROM h1)
+        UNION ALL
+        SELECT 'semi_join_expensive', count(*)
+        FROM (SELECT h1.l_partkey FROM h1
+              LEFT SEMI JOIN part p
+                ON h1.l_partkey = p.p_partkey
+               AND p.p_retailprice > 1500)
+        """
+    )
+
+
+ORACLE_SQL_SETOPS = """
+sqs_mid AS (
+  SELECT CAST(min(l_shipdate) AS DATE)
+         + CAST(date_diff('day', CAST(min(l_shipdate) AS DATE),
+                          CAST(max(l_shipdate) AS DATE)) // 2 AS INT) AS m
+  FROM lineitem
+),
+sqs_h1 AS (
+  SELECT DISTINCT l_partkey FROM lineitem, sqs_mid
+  WHERE CAST(l_shipdate AS DATE) < m
+),
+sqs_h2 AS (
+  SELECT DISTINCT l_partkey FROM lineitem, sqs_mid
+  WHERE CAST(l_shipdate AS DATE) >= m
+),
+sql_setops_halves AS (
+  SELECT 'intersect' AS set_op, CAST(count(*) AS BIGINT) AS n_parts
+  FROM (SELECT l_partkey FROM sqs_h1
+        INTERSECT SELECT l_partkey FROM sqs_h2)
+  UNION ALL
+  SELECT 'h1_except_h2', CAST(count(*) AS BIGINT)
+  FROM (SELECT l_partkey FROM sqs_h1
+        EXCEPT SELECT l_partkey FROM sqs_h2)
+  UNION ALL
+  SELECT 'h2_except_h1', CAST(count(*) AS BIGINT)
+  FROM (SELECT l_partkey FROM sqs_h2
+        EXCEPT SELECT l_partkey FROM sqs_h1)
+  UNION ALL
+  SELECT 'semi_join_expensive', CAST(count(*) AS BIGINT)
+  FROM (SELECT h.l_partkey FROM sqs_h1 h
+        WHERE EXISTS (SELECT 1 FROM part p
+                      WHERE h.l_partkey = p.p_partkey
+                        AND p.p_retailprice > 1500))
+)
+"""
