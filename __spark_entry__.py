@@ -691,6 +691,32 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.markov_transitions(load_table(spark, sf_dir, "events"))
 
 
+def q_ml_ridge_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified closed-form ridge regression (λ on the slope diagonal
+    of the same integer Gram moments as the verified OLS)."""
+    return _glm.ridge_train(load_table(spark, sf_dir, "events"))
+
+
+def q_events_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion by variant (pooled-p̂
+    normal approximation, rounded-z significance flag)."""
+    return _tmp.conversion_ztest(load_table(spark, sf_dir, "events"))
+
+
+def q_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand rate per product (dyadic EWMA of
+    last-4 demand sizes / intervals, exact BIGINT numerators)."""
+    return _tmp.croston_forecast(_lineitem(spark, sf_dir))
+
+
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log own-price elasticity per brand (five log moments, one
+    rounded OLS-slope ratio)."""
+    return _tmp.price_elasticity(
+        _lineitem(spark, sf_dir), load_table(spark, sf_dir, "part")
+    )
+
+
 def q_events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-step backtest of naive/snaive7/dyadic-EWMA/drift on the
     daily revenue series (exact rational forecasts, MAE/MAPE/MASE)."""
@@ -708,6 +734,16 @@ def q_events_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled distribution (integer doubled-midrank/position algebra,
     span-exploded pooled rank lookup via equi-join; no global sort)."""
     return _tmp.quantile_normalize(load_table(spark, sf_dir, "events"))
+
+
+def q_events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution: journey-chain absorption
+    probabilities (integer millionths, unrolled rounds) with per-
+    channel removal effects and normalized shares — the data-driven
+    MTA model beside the heuristic and Shapley ones."""
+    return _tmp.markov_removal_attribution(
+        load_table(spark, sf_dir, "events")
+    )
 
 
 def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2918,9 +2954,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_stationary": q_events_markov_stationary,
         "events_shapley": q_events_shapley,
         "events_did": q_events_did,
+        "events_markov_attribution": q_events_markov_attribution,
         "events_quantile_norm": q_events_quantile_norm,
         "events_forecast_backtest": q_events_forecast_backtest,
         "events_power_mde": q_events_power_mde,
+        "croston_forecast": q_croston_forecast,
+        "price_elasticity": q_price_elasticity,
+        "ml_ridge_verified": q_ml_ridge_verified,
+        "events_conversion_ztest": q_events_conversion_ztest,
         "events_neyman": q_events_neyman,
         "graph_rec_coverage": q_graph_rec_coverage,
         "events_cusum": q_events_cusum,
@@ -3403,11 +3444,26 @@ def oracle_sql() -> dict[str, str]:
             [_tmp.oracle_markov_stationary()], "markov_stationary"
         ),
         "events_did": _ext_oracle([_tmp.ORACLE_DID], "did_report"),
+        "events_markov_attribution": _ext_oracle(
+            [_tmp.oracle_markov_removal()], "markov_removal_attribution"
+        ),
         "events_quantile_norm": _ext_oracle(
             [_tmp.ORACLE_QUANTILE_NORM], "quantile_normalize"
         ),
         "events_forecast_backtest": _ext_oracle(
             [_tmp.ORACLE_FORECAST_BACKTEST], "forecast_backtest"
+        ),
+        "croston_forecast": _ext_oracle(
+            [_tmp.ORACLE_CROSTON], "croston_forecast"
+        ),
+        "ml_ridge_verified": _ext_oracle(
+            [_glm.oracle_ridge()], "ridge_train"
+        ),
+        "events_conversion_ztest": _ext_oracle(
+            [_tmp.ORACLE_CONVERSION_ZTEST], "conversion_ztest"
+        ),
+        "price_elasticity": _ext_oracle(
+            [_tmp.ORACLE_ELASTICITY], "price_elasticity"
         ),
         "events_power_mde": _ext_oracle(
             [_tmp.ORACLE_AB_POWER], "ab_power_mde"

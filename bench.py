@@ -171,6 +171,23 @@ HEADLINE = [
     "ml_conformal_ols",
     "orders_ivm_retract",
     "events_revenue_gini",
+    # round-3 continuation wave: graph decompositions, lossless
+    # prefix-filter dedup, linkage EM, data-driven attribution,
+    # distribution alignment, learning-curve eval
+    "graph_kcore",
+    "graph_ktruss",
+    "graph_link_prediction",
+    "graph_rec_coverage",
+    "dedup_ppjoin",
+    "docs_fellegi_sunter",
+    "events_markov_attribution",
+    "events_shapley",
+    "events_quantile_norm",
+    "events_forecast_backtest",
+    "text_nb_learning_curve",
+    "text_nb_gains",
+    "ind_discovery",
+    "dict_advisor",
 ]
 
 

@@ -849,3 +849,140 @@ ols_cv AS (
   FROM ocv_b
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# verified ridge regression (closed-form, L2-regularized OLS)
+# ---------------------------------------------------------------------------
+
+#: ridge penalty on the slope coefficients (intercept unpenalized —
+#: the standard convention); integer so the regularized Gram matrix
+#: stays integer-exact before the double Cramer solve.
+RIDGE_LAMBDA = 1000
+
+
+def ridge_train(events: DataFrame, lam: int = RIDGE_LAMBDA) -> DataFrame:
+    """Verified ridge regression — the L2-regularized sibling of
+    ``ols_train``, same features (spend ~ clicks + views), solved in
+    closed form from (X'X + λI')β = X'y where λ is added to the SLOPE
+    diagonal entries only (a11, a22): the intercept stays
+    unpenalized, the textbook convention. Identical 100 TB shape —
+    ONE scan to a 10-number integer moment row, Cramer 3x3 in one
+    fixed double order — because regularization changes two matrix
+    entries, not the plan. Shipping ridge beside OLS lets the engine
+    show shrinkage verifiably: |beta_ridge| <= |beta_ols| on the
+    same moments.
+
+    Output (stat, value): n, lambda, beta0, beta1, beta2 (round 6).
+    """
+    feats = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x1"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("x2"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr(
+                        f"CAST(floor(value * {OLS_Y_SCALE}) AS BIGINT)"
+                    ),
+                )
+            ),
+            F.lit(0),
+        ).alias("y"),
+    )
+    m = feats.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        (F.sum(F.col("x1") * F.col("x1")) + F.lit(lam)).alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        (F.sum(F.col("x2") * F.col("x2")) + F.lit(lam)).alias("sx22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+    )
+    d = m.selectExpr(
+        "CAST(n AS DOUBLE) AS dn",
+        "CAST(sx1 AS DOUBLE) AS a1",
+        "CAST(sx2 AS DOUBLE) AS a2",
+        "CAST(sx11 AS DOUBLE) AS a11",
+        "CAST(sx12 AS DOUBLE) AS a12",
+        "CAST(sx22 AS DOUBLE) AS a22",
+        "CAST(sy AS DOUBLE) AS b0",
+        "CAST(sx1y AS DOUBLE) AS b1",
+        "CAST(sx2y AS DOUBLE) AS b2",
+        "CAST(n AS BIGINT) AS n_keep",
+    ).selectExpr(
+        "*",
+        "dn * (a11 * a22 - a12 * a12) - a1 * (a1 * a22 - a12 * a2)"
+        " + a2 * (a1 * a12 - a11 * a2) AS det",
+        "b0 * (a11 * a22 - a12 * a12) - a1 * (b1 * a22 - a12 * b2)"
+        " + a2 * (b1 * a12 - a11 * b2) AS det0",
+        "dn * (b1 * a22 - a12 * b2) - b0 * (a1 * a22 - a12 * a2)"
+        " + a2 * (a1 * b2 - b1 * a2) AS det1",
+        "dn * (a11 * b2 - b1 * a12) - a1 * (a1 * b2 - b1 * a2)"
+        " + b0 * (a1 * a12 - a11 * a2) AS det2",
+    )
+    rows = []
+    rows.append(("n", "CAST(n_keep AS DOUBLE)"))
+    rows.append(("lambda", f"CAST({lam} AS DOUBLE)"))
+    rows.append(("beta0", "round(det0 / det, 6)"))
+    rows.append(("beta1", "round(det1 / det, 6)"))
+    rows.append(("beta2", "round(det2 / det, 6)"))
+    out = None
+    for stat, expr in rows:
+        r = d.selectExpr(f"'{stat}' AS stat", f"{expr} AS value")
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def oracle_ridge(lam: int = RIDGE_LAMBDA) -> str:
+    return f"""
+rg_feats AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x1,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x2,
+         CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * {OLS_Y_SCALE}) AS BIGINT) END), 0)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+rg_m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS dn,
+         CAST(sum(x1) AS DOUBLE) AS a1,
+         CAST(sum(x2) AS DOUBLE) AS a2,
+         CAST(sum(x1 * x1) + {lam} AS DOUBLE) AS a11,
+         CAST(sum(x1 * x2) AS DOUBLE) AS a12,
+         CAST(sum(x2 * x2) + {lam} AS DOUBLE) AS a22,
+         CAST(sum(y) AS DOUBLE) AS b0,
+         CAST(sum(x1 * y) AS DOUBLE) AS b1,
+         CAST(sum(x2 * y) AS DOUBLE) AS b2,
+         CAST(count(*) AS BIGINT) AS n_keep
+  FROM rg_feats
+),
+rg_d AS (
+  SELECT *,
+         dn * (a11 * a22 - a12 * a12) - a1 * (a1 * a22 - a12 * a2)
+           + a2 * (a1 * a12 - a11 * a2) AS det,
+         b0 * (a11 * a22 - a12 * a12) - a1 * (b1 * a22 - a12 * b2)
+           + a2 * (b1 * a12 - a11 * b2) AS det0,
+         dn * (b1 * a22 - a12 * b2) - b0 * (a1 * a22 - a12 * a2)
+           + a2 * (a1 * b2 - b1 * a2) AS det1,
+         dn * (a11 * b2 - b1 * a12) - a1 * (a1 * b2 - b1 * a2)
+           + b0 * (a1 * a12 - a11 * a2) AS det2
+  FROM rg_m
+),
+ridge_train AS (
+  SELECT 'n' AS stat, CAST(n_keep AS DOUBLE) AS value FROM rg_d
+  UNION ALL SELECT 'lambda', CAST({lam} AS DOUBLE) FROM rg_d
+  UNION ALL SELECT 'beta0', round(det0 / det, 6) FROM rg_d
+  UNION ALL SELECT 'beta1', round(det1 / det, 6) FROM rg_d
+  UNION ALL SELECT 'beta2', round(det2 / det, 6) FROM rg_d
+)
+"""

@@ -6872,3 +6872,587 @@ ab_power_mde AS (
   FROM pw_m
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (data-driven MTA)
+# ---------------------------------------------------------------------------
+
+#: absorption-iteration rounds: P(absorb into conv within K steps)
+#: from START; both engines run the SAME unrolled count. K=10 covers
+#: paths far longer than any fixture journey.
+MRA_ROUNDS = 10
+#: millionths probability scale (the PageRank/stationary stance).
+MRA_SCALE = 1_000_000
+#: the removable channels (the non-conversion event types).
+MRA_CHANNELS: tuple[str, ...] = ("click", "error", "signup", "view")
+
+
+def markov_removal_attribution(events: DataFrame) -> DataFrame:
+    """Markov-chain attribution by removal effect (Anderl et al.
+    2014) — the data-driven MTA model that closes the engine's
+    attribution ladder (heuristics in `attribution_report`,
+    game-theoretic Shapley in `shapley_attribution`): build the
+    first-order journey chain START → channels → conv/null from each
+    user's pre-first-purchase history, then for each channel compute
+    how much conversion probability disappears when that channel's
+    node is removed (entries into it re-routed to null, its
+    out-edges dropped):
+
+        effect_c = (P(conv) − P_c(conv)) / P(conv),
+        share_c  = effect_c / Σ effects.
+
+    Absorption probabilities run as INTEGER millionths flows
+    a_k(s) = (Σ_t cnt(s,t)·a_{k-1}(t)) DIV n_s over ``MRA_ROUNDS``
+    unrolled rounds — all five chain variants (none + 4 removals)
+    iterate TOGETHER as one (variant, from, to) table, so each round
+    is one tiny join + hash-agg regardless of how many channels are
+    audited. The only fact-sized stages are the first-purchase agg
+    and one per-user lead() window (the sessionization shuffle every
+    journey model shares).
+
+    Output per channel: (channel, p_conv_base_mill, p_conv_removed_mill,
+    removal_effect, attribution_share).
+    """
+    us = F.unix_micros("ts")
+    fp = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("fp_us"))
+    )
+    allu = events.select("user_id").distinct()
+    base = (
+        events.join(fp, "user_id", "left")
+        .filter(
+            (F.col("event_type") != "purchase")
+            & (F.col("fp_us").isNull() | (us < F.col("fp_us")))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("ch"),
+            us.alias("ts_us"),
+            "event_id",
+            F.col("fp_us").isNotNull().alias("conv"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = base.select(
+        "user_id",
+        "ch",
+        "conv",
+        F.row_number().over(w).alias("rn"),
+        F.lead("ch").over(w).alias("nxt"),
+    )
+    mids = seq.select(
+        F.col("ch").alias("src"),
+        F.coalesce(
+            F.col("nxt"),
+            F.when(F.col("conv"), F.lit("conv")).otherwise(F.lit("null")),
+        ).alias("dst"),
+    )
+    starts = seq.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("ch").alias("dst")
+    )
+    lonely = (
+        allu.join(base.select("user_id").distinct(), "user_id", "left_anti")
+        .join(fp.select("user_id", F.lit(True).alias("c")), "user_id", "left")
+        .select(
+            F.lit("START").alias("src"),
+            F.when(F.col("c"), F.lit("conv")).otherwise(F.lit("null")).alias("dst"),
+        )
+    )
+    counts = (
+        mids.unionByName(starts)
+        .unionByName(lonely)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+    )
+    variants = F.array(
+        *[F.lit(v) for v in ("none",) + MRA_CHANNELS]
+    )
+    var_counts = (
+        counts.select(
+            F.explode(variants).alias("variant"), "src", "dst", "cnt"
+        )
+        .filter(F.col("src") != F.col("variant"))
+        .select(
+            "variant",
+            "src",
+            F.when(F.col("dst") == F.col("variant"), F.lit("null"))
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "cnt",
+        )
+        .groupBy("variant", "src", "dst")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    tot = var_counts.groupBy("variant", "src").agg(
+        F.sum("cnt").alias("n_src")
+    )
+    trans = var_counts.join(tot, ["variant", "src"]).localCheckpoint(
+        eager=True
+    )
+    absorbing = (
+        trans.select("variant")
+        .distinct()
+        .select(
+            "variant",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("conv").alias("state"),
+                        F.lit(MRA_SCALE).cast("bigint").alias("a"),
+                    ),
+                    F.struct(
+                        F.lit("null").alias("state"),
+                        F.lit(0).cast("bigint").alias("a"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("variant", "s.state", "s.a")
+        .localCheckpoint(eager=True)
+    )
+    a = absorbing
+    for _ in range(MRA_ROUNDS):
+        stepped = (
+            trans.join(
+                a.select(
+                    "variant", F.col("state").alias("dst"), F.col("a").alias("av")
+                ),
+                ["variant", "dst"],
+                "left",
+            )
+            .groupBy("variant", "src", "n_src")
+            .agg(F.sum(F.col("cnt") * F.coalesce(F.col("av"), F.lit(0))).alias("flow"))
+            .select(
+                "variant",
+                F.col("src").alias("state"),
+                F.expr("flow div n_src").alias("a"),
+            )
+        )
+        a = stepped.unionByName(absorbing)
+    start_a = a.filter(F.col("state") == "START").select(
+        "variant", F.col("a").alias("p_conv")
+    )
+    base_p = start_a.filter(F.col("variant") == "none").select(
+        F.col("p_conv").alias("p_base")
+    )
+    per_ch = (
+        start_a.filter(F.col("variant") != "none")
+        .crossJoin(F.broadcast(base_p))
+        .select(
+            F.col("variant").alias("channel"),
+            F.col("p_base").alias("p_conv_base_mill"),
+            F.col("p_conv").alias("p_conv_removed_mill"),
+            F.round(
+                (F.col("p_base") - F.col("p_conv"))
+                / F.col("p_base").cast("double"),
+                6,
+            ).alias("removal_effect"),
+            (F.col("p_base") - F.col("p_conv")).alias("eff_num"),
+        )
+    )
+    eff_tot = per_ch.agg(F.sum("eff_num").alias("eff_sum"))
+    return (
+        per_ch.crossJoin(F.broadcast(eff_tot))
+        .select(
+            "channel",
+            "p_conv_base_mill",
+            "p_conv_removed_mill",
+            "removal_effect",
+            F.round(
+                F.col("eff_num") / F.col("eff_sum").cast("double"), 6
+            ).alias("attribution_share"),
+        )
+    )
+
+
+def oracle_markov_removal(rounds: int = MRA_ROUNDS) -> str:
+    ctes = [
+        """
+mra_fp AS (
+  SELECT user_id, min(epoch_us(ts)) AS fp_us
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+mra_base AS (
+  SELECT e.user_id, e.event_type AS ch, epoch_us(e.ts) AS ts_us,
+         e.event_id, f.fp_us IS NOT NULL AS conv
+  FROM events e LEFT JOIN mra_fp f ON e.user_id = f.user_id
+  WHERE e.event_type <> 'purchase'
+    AND (f.fp_us IS NULL OR epoch_us(e.ts) < f.fp_us)
+),
+mra_seq AS (
+  SELECT user_id, ch, conv,
+         row_number() OVER w AS rn, lead(ch) OVER w AS nxt
+  FROM mra_base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+mra_counts AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT ch AS src,
+           coalesce(nxt, CASE WHEN conv THEN 'conv' ELSE 'null' END)
+             AS dst
+    FROM mra_seq
+    UNION ALL
+    SELECT 'START', ch FROM mra_seq WHERE rn = 1
+    UNION ALL
+    SELECT 'START',
+           CASE WHEN f.user_id IS NOT NULL THEN 'conv' ELSE 'null' END
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN (SELECT DISTINCT user_id FROM mra_base) b
+      ON u.user_id = b.user_id
+    LEFT JOIN mra_fp f ON u.user_id = f.user_id
+    WHERE b.user_id IS NULL
+  )
+  GROUP BY 1, 2
+),
+mra_var AS MATERIALIZED (
+  SELECT v.variant, c.src,
+         CASE WHEN c.dst = v.variant THEN 'null' ELSE c.dst END AS dst,
+         CAST(sum(c.cnt) AS BIGINT) AS cnt
+  FROM mra_counts c
+  CROSS JOIN (VALUES ('none'), ('click'), ('error'),
+                     ('signup'), ('view')) v(variant)
+  WHERE c.src <> v.variant
+  GROUP BY 1, 2, 3
+),
+mra_trans AS MATERIALIZED (
+  SELECT vc.*, t.n_src FROM mra_var vc
+  JOIN (SELECT variant, src, CAST(sum(cnt) AS BIGINT) AS n_src
+        FROM mra_var GROUP BY 1, 2) t USING (variant, src)
+),
+mra_a0 AS (
+  SELECT variant, 'conv' AS state,
+         CAST({scale} AS BIGINT) AS a
+  FROM (SELECT DISTINCT variant FROM mra_trans)
+  UNION ALL
+  SELECT variant, 'null', CAST(0 AS BIGINT)
+  FROM (SELECT DISTINCT variant FROM mra_trans)
+)""".format(scale=MRA_SCALE)
+    ]
+    prev = "mra_a0"
+    for k in range(1, rounds + 1):
+        ctes.append(
+            """
+mra_a{k} AS MATERIALIZED (
+  SELECT t.variant, t.src AS state,
+         CAST(sum(t.cnt * coalesce(p.a, 0)) // max(t.n_src) AS BIGINT)
+           AS a
+  FROM mra_trans t
+  LEFT JOIN {prev} p ON t.variant = p.variant AND t.dst = p.state
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT * FROM mra_a0
+)""".format(k=k, prev=prev)
+        )
+        prev = f"mra_a{k}"
+    ctes.append(
+        """
+mra_start AS (
+  SELECT variant, a AS p_conv FROM {prev} WHERE state = 'START'
+),
+markov_removal_attribution AS (
+  SELECT s.variant AS channel,
+         b.p_conv AS p_conv_base_mill,
+         s.p_conv AS p_conv_removed_mill,
+         round((b.p_conv - s.p_conv) / CAST(b.p_conv AS DOUBLE), 6)
+           AS removal_effect,
+         round((b.p_conv - s.p_conv)
+               / CAST((SELECT sum(b2.p_conv - s2.p_conv)
+                       FROM mra_start s2
+                       CROSS JOIN (SELECT p_conv FROM mra_start
+                                   WHERE variant = 'none') b2
+                       WHERE s2.variant <> 'none') AS DOUBLE), 6)
+           AS attribution_share
+  FROM mra_start s
+  CROSS JOIN (SELECT p_conv FROM mra_start WHERE variant = 'none') b
+  WHERE s.variant <> 'none'
+)""".format(prev=prev)
+    )
+    return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# Croston intermittent-demand forecast (per-product)
+# ---------------------------------------------------------------------------
+
+#: dyadic EWMA over the last 4 demand events / intervals: weights
+#: 8,4,2,1 (/15 cancels in the final ratio) — exact integers.
+CROSTON_LAGS = 4
+
+
+def croston_forecast(lineitem: DataFrame) -> DataFrame:
+    """Croston's method for intermittent demand, per product: smooth
+    the nonzero demand SIZES and the INTER-demand intervals
+    separately, forecast = smoothed size / smoothed interval (units
+    per day). The per-entity member of the forecasting family (AR2/
+    Holt/backtest run on the global series) — sparse, gappy demand
+    is exactly where naive smoothing fails and Croston is the
+    textbook answer.
+
+    Both smoothers are truncated dyadic EWMAs over the last 4 demand
+    events (weights 8,4,2,1): z_num = 8q1+4q2+2q3+q4 and
+    p_num = 8i1+4i2+2i3+i4 are exact BIGINTs (quantities integral,
+    intervals in whole days), the /15 normalizations cancel, and the
+    forecast is ONE rounded division — no recursive float state, so
+    per-product forecasts hash-match at any scale. One hash-agg to
+    (product, day), one per-product window (bounded by a product's
+    demand-day count), products with <5 demand days excluded.
+
+    Output: (product, n_demand_days, z_num, p_num, croston_rate).
+    """
+    dd = (
+        lineitem.groupBy(
+            F.col("l_partkey").alias("product"),
+            F.to_date("l_shipdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_quantity"), 0).cast("bigint")).alias("q")
+        )
+    )
+    w = Window.partitionBy("product").orderBy(F.desc("day"))
+    last = (
+        dd.select(
+            "product",
+            "day",
+            "q",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("product")).alias(
+                "n_demand_days"
+            ),
+            *[F.lead("q", i).over(w).alias(f"q{i}") for i in range(1, CROSTON_LAGS)],
+            *[F.lead("day", i).over(w).alias(f"d{i}") for i in range(1, CROSTON_LAGS + 1)],
+        )
+        .filter((F.col("rn") == 1) & F.col(f"d{CROSTON_LAGS}").isNotNull())
+    )
+    z_num = (
+        F.lit(8) * F.col("q")
+        + F.lit(4) * F.col("q1")
+        + F.lit(2) * F.col("q2")
+        + F.col("q3")
+    )
+    p_num = (
+        F.lit(8) * F.datediff(F.col("day"), F.col("d1"))
+        + F.lit(4) * F.datediff(F.col("d1"), F.col("d2"))
+        + F.lit(2) * F.datediff(F.col("d2"), F.col("d3"))
+        + F.datediff(F.col("d3"), F.col("d4"))
+    )
+    return last.select(
+        "product",
+        "n_demand_days",
+        z_num.cast("bigint").alias("z_num"),
+        p_num.cast("bigint").alias("p_num"),
+        F.round(z_num / p_num.cast("double"), 6).alias("croston_rate"),
+    )
+
+
+ORACLE_CROSTON = f"""
+cr_dd AS (
+  SELECT l_partkey AS product, CAST(l_shipdate AS DATE) AS day,
+         CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+cr_last AS (
+  SELECT * FROM (
+    SELECT product, day, q,
+           row_number() OVER w AS rn,
+           count(*) OVER (PARTITION BY product) AS n_demand_days,
+           lead(q, 1) OVER w AS q1, lead(q, 2) OVER w AS q2,
+           lead(q, 3) OVER w AS q3,
+           lead(day, 1) OVER w AS d1, lead(day, 2) OVER w AS d2,
+           lead(day, 3) OVER w AS d3, lead(day, 4) OVER w AS d4
+    FROM cr_dd WINDOW w AS (PARTITION BY product ORDER BY day DESC)
+  ) WHERE rn = 1 AND d4 IS NOT NULL
+),
+croston_forecast AS (
+  SELECT product, CAST(n_demand_days AS BIGINT) AS n_demand_days,
+         CAST(8 * q + 4 * q1 + 2 * q2 + q3 AS BIGINT) AS z_num,
+         CAST(8 * date_diff('day', d1, day)
+              + 4 * date_diff('day', d2, d1)
+              + 2 * date_diff('day', d3, d2)
+              + date_diff('day', d4, d3) AS BIGINT) AS p_num,
+         round((8 * q + 4 * q1 + 2 * q2 + q3)
+               / CAST(8 * date_diff('day', d1, day)
+                      + 4 * date_diff('day', d2, d1)
+                      + 2 * date_diff('day', d3, d2)
+                      + date_diff('day', d4, d3) AS DOUBLE), 6)
+           AS croston_rate
+  FROM cr_last
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# log-log price elasticity by brand
+# ---------------------------------------------------------------------------
+
+def price_elasticity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Own-price elasticity of demand per brand by the log-log OLS
+    slope: elasticity = cov(ln q, ln p) / var(ln p) over line items
+    (unit price p = extendedprice/quantity) — the pricing-analytics
+    staple; |elasticity| > 1 marks elastic brands. One broadcast dim
+    join + one hash-agg of five log moments per brand; the slope is
+    a single rounded ratio (cancellation noise sits ~1e-9 below the
+    6-dp edge).
+
+    Output: (brand, n, elasticity, avg_ln_price, avg_ln_qty).
+    """
+    rows = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        lineitem.l_partkey == F.col("p_partkey"),
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
+        F.log("l_quantity").alias("y"),
+    )
+    m = rows.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        "brand",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("elasticity"),
+        F.round(F.col("sx") / F.col("n"), 6).alias("avg_ln_price"),
+        F.round(F.col("sy") / F.col("n"), 6).alias("avg_ln_qty"),
+    )
+
+
+ORACLE_ELASTICITY = """
+el_rows AS (
+  SELECT p.p_brand AS brand,
+         ln(l.l_extendedprice / l.l_quantity) AS x,
+         ln(l.l_quantity) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+el_m AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM el_rows GROUP BY 1
+),
+price_elasticity AS (
+  SELECT brand, n,
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           AS elasticity,
+         round(sx / n, 6) AS avg_ln_price,
+         round(sy / n, 6) AS avg_ln_qty
+  FROM el_m
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# two-proportion z-test on conversion rates
+# ---------------------------------------------------------------------------
+
+def conversion_ztest(events: DataFrame) -> DataFrame:
+    """Two-proportion z-test on user CONVERSION (did the user purchase
+    at all) by the standing parity variants — the binary-outcome
+    companion of the Welch mean test: z = (p1 − p0) /
+    sqrt(p̂(1−p̂)(1/n0 + 1/n1)) with the pooled p̂. Everything is
+    exact integer counts until the one closed-form expression; the
+    significance flag compares the 6-dp-rounded |z| against the fixed
+    two-sided 5% critical value, so both engines decide identically.
+
+    One distinct-user agg + one 4-count conditional agg — the
+    conversion readout costs two shuffles of user-grain keys at any
+    event volume.
+
+    Output (1 row): n0, n1, conv0, conv1, p0, p1, z, significant.
+    """
+    conv = (
+        events.groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("c")
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"), "c"
+        )
+    )
+    m = conv.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("c")).otherwise(0)).alias(
+            "c0"
+        ),
+        F.sum(F.when(F.col("variant") == 1, F.col("c")).otherwise(0)).alias(
+            "c1"
+        ),
+    )
+    p0 = F.col("c0") / F.col("n0").cast("double")
+    p1 = F.col("c1") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")) / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    z = F.round(
+        (p1 - p0)
+        / F.sqrt(
+            pp
+            * (1.0 - pp)
+            * (
+                1.0 / F.col("n0").cast("double")
+                + 1.0 / F.col("n1").cast("double")
+            )
+        ),
+        6,
+    )
+    return m.select(
+        "n0",
+        "n1",
+        F.col("c0").alias("conv0"),
+        F.col("c1").alias("conv1"),
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(POWER_Z_ALPHA)).cast("int").alias("significant"),
+    )
+
+
+ORACLE_CONVERSION_ZTEST = f"""
+cz_conv AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS INT) AS c
+  FROM events GROUP BY user_id
+),
+cz_m AS (
+  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n0,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1,
+         CAST(sum(CASE WHEN variant = 0 THEN c ELSE 0 END) AS BIGINT)
+           AS c0,
+         CAST(sum(CASE WHEN variant = 1 THEN c ELSE 0 END) AS BIGINT)
+           AS c1
+  FROM cz_conv
+),
+conversion_ztest AS (
+  SELECT n0, n1, c0 AS conv0, c1 AS conv1,
+         round(c0 / CAST(n0 AS DOUBLE), 6) AS p0,
+         round(c1 / CAST(n1 AS DOUBLE), 6) AS p1,
+         round((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
+               / sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                      * (1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                      * (CAST(1 AS DOUBLE) / n0
+                         + CAST(1 AS DOUBLE) / n1)), 6) AS z,
+         CAST(abs(round((c1 / CAST(n1 AS DOUBLE)
+                         - c0 / CAST(n0 AS DOUBLE))
+               / sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                      * (1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                      * (CAST(1 AS DOUBLE) / n0
+                         + CAST(1 AS DOUBLE) / n1)), 6))
+              > {POWER_Z_ALPHA} AS INT) AS significant
+  FROM cz_m
+)
+"""
