@@ -807,6 +807,43 @@ def q_events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.mannwhitney_test(load_table(spark, sf_dir, "events"))
 
 
+def q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (per-user view count vs purchase
+    cents): doubled-midrank BIGINT moments via bucketed prefix-sums,
+    one rounded Pearson-on-ranks division."""
+    return _tmp.spearman_corr(load_table(spark, sf_dir, "events"))
+
+
+def q_events_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five event types' values: exact
+    BIGINT cent moments per group, SSB/SSW assembled over k=5 rows."""
+    return _tmp.anova_f_test(load_table(spark, sf_dir, "events"))
+
+
+def q_events_permutation_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Randomization test for the A/B lift: 64 md5-derived label
+    reshuffles in one exploded pass, exact cents, add-one p-value."""
+    return _tmp.permutation_test(load_table(spark, sf_dir, "events"))
+
+
+def q_orders_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of customer revenue decomposed
+    between/within nations (additive, unlike Gini)."""
+    return _tmp.theil_decomposition(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: integer-millionth seed-restart walk on
+    the shared co-purchase stage, 3 unrolled supersteps."""
+    return _graph.personalized_pagerank(_lineitem(spark, sf_dir))
+
+
 def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS test (first vs second half of the stream):
     supremum computed on integers at every distinct value, cumulative
@@ -2950,6 +2987,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ks_drift": q_events_ks_drift,
         "events_mannwhitney": q_events_mannwhitney,
         "events_chi2": q_events_chi2,
+        "events_spearman": q_events_spearman,
+        "events_anova": q_events_anova,
+        "events_permutation_test": q_events_permutation_test,
+        "orders_theil": q_orders_theil,
+        "graph_ppr": q_graph_ppr,
         "events_markov": q_events_markov,
         "events_markov_stationary": q_events_markov_stationary,
         "events_shapley": q_events_shapley,
@@ -3436,6 +3478,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_chi2": _ext_oracle(
             [_tmp.oracle_chi2_independence()], "chi2_independence"
+        ),
+        "events_spearman": _ext_oracle(
+            [_tmp.ORACLE_SPEARMAN], "spearman_corr"
+        ),
+        "events_anova": _ext_oracle([_tmp.ORACLE_ANOVA], "anova_f_test"),
+        "events_permutation_test": _ext_oracle(
+            [_tmp.ORACLE_PERMTEST], "permutation_test"
+        ),
+        "orders_theil": _ext_oracle(
+            [_tmp.ORACLE_THEIL], "theil_decomposition"
+        ),
+        "graph_ppr": _ext_oracle(
+            [_graph.oracle_ppr()], "personalized_pagerank"
         ),
         "events_markov": _ext_oracle(
             [_tmp.ORACLE_MARKOV], "markov_transitions"

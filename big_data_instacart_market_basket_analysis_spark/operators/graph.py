@@ -1472,3 +1472,126 @@ ktruss_edges AS (
 )""".format(prev=prev_sup, m=min_sup)
     )
     return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (seed-restart random walk)
+# ---------------------------------------------------------------------------
+
+#: deterministic seed rule: parts whose key is divisible by this.
+PPR_SEED_MOD = 50
+
+
+def personalized_pagerank(
+    lineitem: DataFrame, iterations: int = PR_ITERATIONS
+) -> DataFrame:
+    """Personalized PageRank over the co-purchase graph: the teleport
+    mass restarts at a SEED SET (parts with partkey % PPR_SEED_MOD ==
+    0, a deterministic rule) instead of uniformly — "products
+    relevant to THESE anchor products", the recommender-flavored
+    sibling of the global `pagerank_products`. Same integer-millionth
+    arithmetic and fixed unrolled supersteps; the only change is the
+    restart term: base(v) = 15% · SCALE if v is a seed else 0, so
+    rank mass decays with walk distance from the seeds.
+
+    Non-seed sinks of the seeds' neighborhoods keep nonzero rank via
+    incoming flow only; nodes unreachable from the seed set decay to
+    0 (floor division) — exactly the PPR semantics. Per superstep:
+    one join + one hash-agg on the node key, the edge list reused
+    from the session-staged co-purchase stage shared with
+    PageRank/triangles.
+
+    Output: (node, is_seed, rank_millionths).
+    """
+    edges = _edges_staged(lineitem)
+    out_deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+    base = (100 - PR_DAMP_PCT) * PR_SCALE // 100
+    seed = F.col("node") % PPR_SEED_MOD == 0
+    ranks = out_deg.select(
+        F.col("a").alias("node"),
+        F.when(F.col("a") % PPR_SEED_MOD == 0, F.lit(PR_SCALE))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(
+                ranks.join(out_deg, ranks.node == out_deg.a).select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("deg"))
+                    .cast("bigint")
+                    .alias("give"),
+                ),
+                edges.a == F.col("src"),
+            )
+            .groupBy("b")
+            .agg(F.sum("give").alias("incoming"))
+        )
+        ranks = contrib.select(
+            F.col("b").alias("node"),
+            (
+                F.when(F.col("b") % PPR_SEED_MOD == 0, F.lit(base))
+                .otherwise(F.lit(0))
+                + (F.col("incoming") * PR_DAMP_PCT / 100).cast("bigint")
+            ).alias("rank"),
+        )
+    return ranks.select(
+        "node",
+        seed.cast("int").alias("is_seed"),
+        F.col("rank").alias("rank_millionths"),
+    )
+
+
+def oracle_ppr(iterations: int = PR_ITERATIONS) -> str:
+    base = (100 - PR_DAMP_PCT) * PR_SCALE // 100
+    ctes = [
+        """
+ppr_edges AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey <> l2.l_partkey
+),
+ppr_deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM ppr_edges GROUP BY 1
+),
+ppr_r0 AS (
+  SELECT a AS node,
+         CAST(CASE WHEN a % {mod} = 0 THEN {scale} ELSE 0 END
+              AS BIGINT) AS rank
+  FROM ppr_deg
+)""".format(mod=PPR_SEED_MOD, scale=PR_SCALE)
+    ]
+    prev = "ppr_r0"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            """
+ppr_r{i} AS (
+  SELECT e.b AS node,
+         CAST(CASE WHEN e.b % {mod} = 0 THEN {base} ELSE 0 END
+              + (sum(CAST(r.rank // d.deg AS BIGINT)) * {damp}) // 100
+              AS BIGINT) AS rank
+  FROM ppr_edges e
+  JOIN {prev} r ON e.a = r.node
+  JOIN ppr_deg d ON e.a = d.a
+  GROUP BY 1
+)""".format(
+                i=i,
+                mod=PPR_SEED_MOD,
+                base=base,
+                damp=PR_DAMP_PCT,
+                prev=prev,
+            )
+        )
+        prev = f"ppr_r{i}"
+    ctes.append(
+        f"""
+personalized_pagerank AS (
+  SELECT node,
+         CAST(CASE WHEN node % {PPR_SEED_MOD} = 0 THEN 1 ELSE 0 END
+              AS INT) AS is_seed,
+         rank AS rank_millionths
+  FROM {prev}
+)"""
+    )
+    return ",".join(ctes)

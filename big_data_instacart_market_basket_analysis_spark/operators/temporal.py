@@ -7456,3 +7456,545 @@ conversion_ztest AS (
   FROM cz_m
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (engagement vs spend)
+# ---------------------------------------------------------------------------
+
+#: bucket width (cents) for the spend-side rank prefix-sum buckets.
+SPEARMAN_Y_BUCKET = 100_000
+
+
+def spearman_corr(events: DataFrame) -> DataFrame:
+    """Spearman rank correlation between per-user engagement (view
+    count) and per-user spend (purchase cents) — the monotone-
+    association companion of the Pearson `feature_correlations`:
+    rank-based, so whales and heavy tails cannot fake (or hide) a
+    relationship.
+
+    Rank arithmetic is exact: ties become midranks, and the DOUBLED
+    midrank of a distinct value at cumulative position p with tie
+    count c is the integer 2p + c + 1 (the Mann-Whitney machinery).
+    rho is then Pearson on the doubled ranks — the doubling cancels —
+    so all five moment sums are BIGINTs and both engines agree
+    bit-for-bit until the one rounded division. Cumulative positions
+    come from bucketed prefix-sums over the DISTINCT-value grain (no
+    global sort); the value→rank maps join back to users on value
+    equality.
+
+    At 100 TB the doubled-rank products approach 4N^3 — past ~1e9
+    users the moment sums need decimal(38,0) instead of BIGINT (same
+    plan, wider accumulator).
+
+    Output (1 row): n, s_dxdy, rho, t_stat, significant.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100, 0).cast("bigint"),
+            ).otherwise(0)
+        ).alias("y"),
+    )
+
+    def _doubled_ranks(col: str, bucket_div: int, out: str) -> DataFrame:
+        per_v = (
+            per_user.groupBy(col)
+            .agg(F.count("*").alias("c"))
+            .withColumn("bucket", F.expr(f"{col} DIV {bucket_div}"))
+        )
+        btot = per_v.groupBy("bucket").agg(F.sum("c").alias("bc"))
+        woff = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = btot.select(
+            "bucket",
+            F.coalesce(F.sum("bc").over(woff), F.lit(0)).alias("off"),
+        )
+        win = Window.partitionBy("bucket").orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return (
+            per_v.join(F.broadcast(offsets), "bucket")
+            .select(
+                col,
+                (
+                    F.lit(2)
+                    * (
+                        F.col("off")
+                        + F.coalesce(F.sum("c").over(win), F.lit(0))
+                    )
+                    + F.col("c")
+                    + 1
+                ).alias(out),
+            )
+        )
+
+    paired = per_user.join(_doubled_ranks("x", 1, "dx"), "x").join(
+        _doubled_ranks("y", SPEARMAN_Y_BUCKET, "dy"), "y"
+    )
+    m = paired.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    denx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    deny = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    # t derives from the 6-dp-ROUNDED rho so both engines feed the t
+    # formula literally identical doubles (DuckDB's ^2 pow vs x*x
+    # could differ in the last ulp on the unrounded value).
+    rho6 = F.round(num / F.sqrt(denx * deny), 6)
+    t = rho6 * F.sqrt((nd - 2) / (1.0 - rho6 * rho6))
+    return m.select(
+        "n",
+        F.col("sxy").alias("s_dxdy"),
+        rho6.alias("rho"),
+        F.round(t, 6).alias("t_stat"),
+        (F.abs(F.round(t, 6)) > 1.96).alias("significant"),
+    )
+
+
+ORACLE_SPEARMAN = """
+sp_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+sp_xr AS (
+  SELECT v, 2 * p + c + 1 AS dx FROM (
+    SELECT x AS v, CAST(count(*) AS BIGINT) AS c,
+           CAST(coalesce(sum(count(*)) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS p
+    FROM sp_user GROUP BY 1
+  )
+),
+sp_yr AS (
+  SELECT v, 2 * p + c + 1 AS dy FROM (
+    SELECT y AS v, CAST(count(*) AS BIGINT) AS c,
+           CAST(coalesce(sum(count(*)) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS p
+    FROM sp_user GROUP BY 1
+  )
+),
+sp_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx.dx) AS BIGINT) AS sx,
+         CAST(sum(ry.dy) AS BIGINT) AS sy,
+         CAST(sum(rx.dx * ry.dy) AS BIGINT) AS sxy,
+         CAST(sum(rx.dx * rx.dx) AS BIGINT) AS sxx,
+         CAST(sum(ry.dy * ry.dy) AS BIGINT) AS syy
+  FROM sp_user u
+  JOIN sp_xr rx ON u.x = rx.v
+  JOIN sp_yr ry ON u.y = ry.v
+),
+sp_r AS (
+  SELECT n, sxy,
+         round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+               6) AS rho
+  FROM sp_m
+),
+spearman_corr AS (
+  SELECT n, sxy AS s_dxdy, rho,
+         round(rho * sqrt((CAST(n AS DOUBLE) - 2)
+                          / (1.0 - rho * rho)), 6) AS t_stat,
+         abs(round(rho * sqrt((CAST(n AS DOUBLE) - 2)
+                          / (1.0 - rho * rho)), 6)) > 1.96
+           AS significant
+  FROM sp_r
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# one-way ANOVA F-test (value by event type)
+# ---------------------------------------------------------------------------
+
+#: F critical value at alpha=0.05 for df1=4 (5 groups), df2=inf.
+ANOVA_F_CRIT_05 = 2.372
+
+
+def anova_f_test(events: DataFrame) -> DataFrame:
+    """One-way ANOVA F-test of event value (cents) across the five
+    event types — "do the type means differ at all", the k-group
+    generalization the pairwise Welch/Mann-Whitney tests can't answer
+    without multiplicity (that correction lives in
+    ``events_multi_test_bh``).
+
+    All per-group moments (n_g, Σx, Σx²) are exact BIGINTs from ONE
+    map-side-combinable hash-agg over the fact table; SSB/SSW then
+    assemble from the k=5 group rows in doubles (the only float sums
+    cross 5 rows, so fold-order noise is bounded ~5 ulp at 1e13 —
+    twelve orders below the 6-dp edge of F). The critical value is a
+    fixed df1=4 literal (df2 is effectively infinite at any scale
+    this engine targets). At 100 TB Σx² in cents² approaches BIGINT
+    range around 1e18 — switch the q accumulator to decimal(38,0) at
+    that point; the plan is unchanged.
+
+    Output (1 row): k, n, ssb, ssw, f_stat, significant.
+    """
+    g = (
+        events.select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("ng"),
+            F.sum("c").alias("sg"),
+            F.sum(F.col("c") * F.col("c")).alias("qg"),
+        )
+    )
+    m = g.agg(
+        F.count("*").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(
+            F.col("sg").cast("double")
+            * F.col("sg").cast("double")
+            / F.col("ng").cast("double")
+        ).alias("t1"),
+    )
+    nd = F.col("n").cast("double")
+    ssb = F.col("t1") - F.col("s").cast("double") * F.col("s").cast(
+        "double"
+    ) / nd
+    ssw = F.col("q").cast("double") - F.col("t1")
+    fstat = (ssb / (F.col("k").cast("double") - 1)) / (
+        ssw / (nd - F.col("k").cast("double"))
+    )
+    return m.select(
+        "k",
+        "n",
+        F.round(ssb, 4).alias("ssb"),
+        F.round(ssw, 4).alias("ssw"),
+        F.round(fstat, 6).alias("f_stat"),
+        (F.round(fstat, 6) > ANOVA_F_CRIT_05).alias("significant"),
+    )
+
+
+ORACLE_ANOVA = f"""
+av_g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(c) AS BIGINT) AS sg,
+         CAST(sum(c * c) AS BIGINT) AS qg
+  FROM (
+    SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+    FROM events
+  ) GROUP BY 1
+),
+av_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(ng) AS BIGINT) AS n,
+         CAST(sum(sg) AS BIGINT) AS s,
+         CAST(sum(qg) AS BIGINT) AS q,
+         sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+             / CAST(ng AS DOUBLE)) AS t1
+  FROM av_g
+),
+anova_f_test AS (
+  SELECT k, n,
+         round(t1 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE), 4) AS ssb,
+         round(CAST(q AS DOUBLE) - t1, 4) AS ssw,
+         round(((t1 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1))
+               / ((CAST(q AS DOUBLE) - t1)
+                  / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))),
+               6) AS f_stat,
+         round(((t1 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1))
+               / ((CAST(q AS DOUBLE) - t1)
+                  / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))),
+               6) > {ANOVA_F_CRIT_05} AS significant
+  FROM av_m
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# permutation test (exact randomization inference for the A/B lift)
+# ---------------------------------------------------------------------------
+
+#: number of md5-derived label permutations.
+PERM_B = 64
+
+
+def permutation_test(events: DataFrame, b: int = PERM_B) -> DataFrame:
+    """Randomization (permutation) test for the A/B mean-spend lift —
+    the assumption-free significance check beside the parametric
+    Welch/z family: reshuffle the variant labels B times, recompute
+    the mean difference under each reshuffle, and report how often a
+    label-blind world produces a gap at least as large as the
+    observed one. p = (1 + #extreme) / (B + 1), the standard
+    add-one-permutation estimator.
+
+    Reshuffle b assigns user u to arm md5(u ':' b) parity — the
+    deterministic permutation stream both engines replay identically.
+    ALL B reshuffles run in ONE pass: explode the per-user spend
+    table by sequence(0, B-1) (linear B×users rows, map-side
+    combinable) and hash-agg to B difference rows; per-b sums are
+    exact BIGINT cents, each difference is one scalar expression
+    rounded at 6 dp before the >= comparison so the extreme-count is
+    boundary-safe. B scales the explode linearly — at 100 TB pick B
+    by the same token budget as any fact-table pass (the shuffle
+    carries 4·B aggregate cells, nothing more).
+
+    Output (1 row): n_users, b, obs_diff, n_extreme, p_value.
+    """
+    per_user = (
+        events.filter(F.col("event_type") == AB_METRIC_TYPE)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("bigint")
+            ).alias("uc")
+        )
+    )
+    obs = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.round(
+            F.sum(
+                F.when(F.col("user_id") % 2 == 0, F.col("uc")).otherwise(0)
+            )
+            / F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+            - F.sum(
+                F.when(F.col("user_id") % 2 == 1, F.col("uc")).otherwise(0)
+            )
+            / F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)),
+            6,
+        ).alias("obs_diff"),
+    )
+    lab = (
+        per_user.select(
+            "user_id",
+            "uc",
+            F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("b"),
+        )
+        .withColumn(
+            "arm",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("user_id"), F.col("b"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2,
+        )
+    )
+    per_b = lab.groupBy("b").agg(
+        F.round(
+            F.sum(F.when(F.col("arm") == 0, F.col("uc")).otherwise(0))
+            / F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            - F.sum(F.when(F.col("arm") == 1, F.col("uc")).otherwise(0))
+            / F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)),
+            6,
+        ).alias("diff")
+    )
+    return (
+        per_b.crossJoin(F.broadcast(obs))
+        .agg(
+            F.max("n_users").alias("n_users"),
+            F.count("*").alias("b"),
+            F.max("obs_diff").alias("obs_diff"),
+            F.sum(
+                (F.abs(F.col("diff")) >= F.abs(F.col("obs_diff"))).cast(
+                    "int"
+                )
+            ).alias("n_extreme"),
+        )
+        .select(
+            "n_users",
+            "b",
+            "obs_diff",
+            "n_extreme",
+            F.round(
+                (1 + F.col("n_extreme")) / (F.col("b").cast("double") + 1),
+                6,
+            ).alias("p_value"),
+        )
+    )
+
+
+ORACLE_PERMTEST = f"""
+pt_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS uc
+  FROM events WHERE event_type = '{AB_METRIC_TYPE}' GROUP BY 1
+),
+pt_obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         round(CAST(sum(CASE WHEN user_id % 2 = 0 THEN uc ELSE 0 END)
+                    AS BIGINT)
+               / CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT)
+               - CAST(sum(CASE WHEN user_id % 2 = 1 THEN uc ELSE 0 END)
+                      AS BIGINT)
+               / CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT), 6) AS obs_diff
+  FROM pt_user
+),
+pt_lab AS (
+  SELECT u.uc, t.b,
+         CAST(('0x' || substr(md5(u.user_id || ':' || t.b), 1, 15))
+              AS BIGINT) % 2 AS arm
+  FROM pt_user u, LATERAL (SELECT unnest(range({PERM_B})) AS b) t
+),
+pt_b AS (
+  SELECT b,
+         round(CAST(sum(CASE WHEN arm = 0 THEN uc ELSE 0 END) AS BIGINT)
+               / CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               - CAST(sum(CASE WHEN arm = 1 THEN uc ELSE 0 END) AS BIGINT)
+               / CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               6) AS diff
+  FROM pt_lab GROUP BY 1
+),
+permutation_test AS (
+  SELECT max(o.n_users) AS n_users,
+         CAST(count(*) AS BIGINT) AS b,
+         max(o.obs_diff) AS obs_diff,
+         CAST(sum(CASE WHEN abs(p.diff) >= abs(o.obs_diff)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+         round((1 + CAST(sum(CASE WHEN abs(p.diff) >= abs(o.obs_diff)
+                             THEN 1 ELSE 0 END) AS BIGINT))
+               / (CAST(count(*) AS DOUBLE) + 1), 6) AS p_value
+  FROM pt_b p, pt_obs o
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality decomposition (customer revenue, between/within nations)
+# ---------------------------------------------------------------------------
+
+
+def theil_decomposition(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Theil T inequality index of customer revenue, decomposed into
+    BETWEEN-nation and WITHIN-nation components — the additive
+    decomposition Gini/Lorenz (``events_revenue_gini``) cannot give:
+    T_total = Σ_g share_g · T_g + Σ_g share_g · ln(mean_g / mean).
+
+    One order-grain agg to customer cents (exact BIGINT), one
+    customer→nation join (nation broadcast), one nation-grain moment
+    agg (n_g, Σx, Σ x·ln x); the global row attaches by a 1-row
+    broadcast cross join. The only doubles are the per-group Σ x·ln x
+    (noise ~1e-12 relative to T_g at the 6-dp edge) and the ln of
+    exact-integer ratios, identical IEEE scalars in both engines.
+
+    Output per nation: nation, n_cust, s_cents, theil_within_g
+    (T_g), between_term, within_term.
+    """
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        ).alias("x")
+    )
+    grp = (
+        cust.join(
+            customer.select("c_custkey", "c_nationkey"),
+            cust.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("ng"),
+            F.sum("x").alias("sg"),
+            F.sum(
+                F.col("x").cast("double") * F.log(F.col("x").cast("double"))
+            ).alias("xlx"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("ng").alias("n"), F.sum("sg").alias("s")
+    )
+    sgd = F.col("sg").cast("double")
+    sd = F.col("s").cast("double")
+    tg = F.col("xlx") / sgd - F.log(sgd / F.col("ng").cast("double"))
+    share = sgd / sd
+    between = share * F.log(
+        (sgd / F.col("ng").cast("double"))
+        / (sd / F.col("n").cast("double"))
+    )
+    return grp.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        F.col("ng").alias("n_cust"),
+        F.col("sg").alias("s_cents"),
+        F.round(tg, 6).alias("theil_within_g"),
+        F.round(between, 6).alias("between_term"),
+        F.round(share * tg, 6).alias("within_term"),
+    )
+
+
+ORACLE_THEIL = """
+th_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+th_g AS (
+  SELECT n.n_name AS nation,
+         CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(t.x) AS BIGINT) AS sg,
+         sum(CAST(t.x AS DOUBLE) * ln(CAST(t.x AS DOUBLE))) AS xlx
+  FROM th_cust t
+  JOIN customer c ON t.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+),
+th_tot AS (
+  SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s
+  FROM th_g
+),
+theil_decomposition AS (
+  SELECT g.nation, g.ng AS n_cust, g.sg AS s_cents,
+         round(g.xlx / CAST(g.sg AS DOUBLE)
+               - ln(CAST(g.sg AS DOUBLE) / CAST(g.ng AS DOUBLE)),
+               6) AS theil_within_g,
+         round(CAST(g.sg AS DOUBLE) / CAST(t.s AS DOUBLE)
+               * ln((CAST(g.sg AS DOUBLE) / CAST(g.ng AS DOUBLE))
+                    / (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))),
+               6) AS between_term,
+         round(CAST(g.sg AS DOUBLE) / CAST(t.s AS DOUBLE)
+               * (g.xlx / CAST(g.sg AS DOUBLE)
+                  - ln(CAST(g.sg AS DOUBLE) / CAST(g.ng AS DOUBLE))),
+               6) AS within_term
+  FROM th_g g, th_tot t
+)
+"""
