@@ -1738,6 +1738,36 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.concurrency_curve(load_table(spark, sf_dir, "events"))
 
 
+def q_events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the censored user
+    lifetimes (additive hazard view beside the KM product)."""
+    return _tmp.nelson_aalen(load_table(spark, sf_dir, "events"))
+
+
+def q_events_group_sequential(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """O'Brien-Fleming group-sequential A/B looks: cumulative exact
+    cent moments per epoch, fixed boundary literals."""
+    return _tmp.group_sequential_test(load_table(spark, sf_dir, "events"))
+
+
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative constraint suite over lineitem/orders:
+    scan-shared conditional aggs + one distinct-key anti join."""
+    return _prof.dq_constraint_report(
+        _lineitem(spark, sf_dir), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_mv_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-proving MV rollup rewrite: (year,month,brand) MV answers
+    the (year,brand) query; base answer + equality flag in-band."""
+    return _rel.mv_rollup_rewrite(
+        _lineitem(spark, sf_dir), load_table(spark, sf_dir, "part")
+    )
+
+
 def q_events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier user-lifetime survival curve with right-censoring
     of still-active users."""
@@ -2906,6 +2936,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_predict": q_events_markov_predict,
         "events_type_corr": q_events_type_corr,
         "events_km_survival": q_events_km_survival,
+        "events_nelson_aalen": q_events_nelson_aalen,
+        "events_group_sequential": q_events_group_sequential,
+        "dq_constraints": q_dq_constraints,
+        "mv_rollup_rewrite": q_mv_rollup_rewrite,
         "events_concurrency": q_events_concurrency,
         "events_stl_decompose": q_events_stl_decompose,
         "events_twap": q_events_twap,
@@ -3751,6 +3785,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_km_survival": _ext_oracle(
             [_tmp.ORACLE_KM_SURVIVAL], "km_survival"
+        ),
+        "events_nelson_aalen": _ext_oracle(
+            [_tmp.ORACLE_NELSON_AALEN], "nelson_aalen"
+        ),
+        "events_group_sequential": _ext_oracle(
+            [_tmp.oracle_group_sequential()], "group_sequential_test"
+        ),
+        "dq_constraints": _ext_oracle(
+            [_prof.ORACLE_DQ], "dq_constraint_report"
+        ),
+        "mv_rollup_rewrite": _ext_oracle(
+            [_rel.ORACLE_MV_REWRITE], "mv_rollup_rewrite"
         ),
         "events_concurrency": _ext_oracle(
             [_tmp.ORACLE_CONCURRENCY], "concurrency_curve"

@@ -1034,3 +1034,192 @@ def oracle_dict_advisor() -> str:
         )
     union = "\n  UNION ALL\n  ".join(selects)
     return f"dict_encoding_advisor AS (\n  {union}\n)"
+
+
+# ---------------------------------------------------------------------------
+# declarative data-quality constraint suite (Deequ-style)
+# ---------------------------------------------------------------------------
+
+#: accepted order-status codes for the accepted-values constraint.
+DQ_STATUS_VALUES = ("O", "F", "P")
+
+
+def dq_constraint_report(
+    lineitem: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Declarative data-quality verification suite (the Deequ /
+    Great-Expectations shape): a fixed set of constraints evaluates
+    to one row each — (constraint, observed, passed) — so a pipeline
+    gates on ``min(passed)`` and a human reads WHICH check broke.
+
+    Checks: completeness(l_shipdate), non_negative(l_quantity),
+    range(l_discount ∈ [0, 0.1]), uniqueness(o_orderkey),
+    accepted_values(o_orderstatus), referential(l_orderkey ⊆
+    o_orderkey), row_count(lineitem ≥ 1).
+
+    Cost model: ALL lineitem constraints fuse into ONE conditional
+    hash-agg pass and all orders constraints into another (Deequ's
+    scan-sharing, expressed as multi-agg); the referential check is
+    one left-anti join that shuffles only DISTINCT keys. Observed
+    metrics are exact integer counts cast to double at the edge.
+
+    Output: (constraint, observed, passed) — 7 rows at any scale.
+    """
+    li = lineitem.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_shipdate").isNull().cast("int")).alias(
+            "null_ship"
+        ),
+        F.sum((F.col("l_quantity") < 0).cast("int")).alias("neg_qty"),
+        F.sum(
+            (
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+            ).cast("int")
+        ).alias("disc_oob"),
+    )
+    od = orders.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(
+            (~F.col("o_orderstatus").isin(*DQ_STATUS_VALUES)).cast(
+                "int"
+            )
+        ).alias("bad_status"),
+    )
+    orphans = (
+        lineitem.select("l_orderkey")
+        .distinct()
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "leftanti",
+        )
+        .agg(F.count("*").alias("n_orphan"))
+    )
+
+    def row(name, observed, passed):
+        return F.struct(
+            F.lit(name).alias("constraint"),
+            F.round(observed.cast("double"), 6).alias("observed"),
+            passed.cast("int").alias("passed"),
+        )
+
+    li_rows = li.select(
+        F.explode(
+            F.array(
+                row(
+                    "completeness(l_shipdate)",
+                    1 - F.col("null_ship") / F.col("n"),
+                    F.col("null_ship") == 0,
+                ),
+                row(
+                    "non_negative(l_quantity)",
+                    F.col("neg_qty"),
+                    F.col("neg_qty") == 0,
+                ),
+                row(
+                    "range(l_discount,0,0.1)",
+                    F.col("disc_oob"),
+                    F.col("disc_oob") == 0,
+                ),
+                row("row_count(lineitem)", F.col("n"), F.col("n") >= 1),
+            )
+        ).alias("r")
+    )
+    od_rows = od.select(
+        F.explode(
+            F.array(
+                row(
+                    "uniqueness(o_orderkey)",
+                    F.col("n_keys") / F.col("n"),
+                    F.col("n_keys") == F.col("n"),
+                ),
+                row(
+                    "accepted_values(o_orderstatus)",
+                    F.col("bad_status"),
+                    F.col("bad_status") == 0,
+                ),
+            )
+        ).alias("r")
+    )
+    ref_rows = orphans.select(
+        F.explode(
+            F.array(
+                row(
+                    "referential(l_orderkey->o_orderkey)",
+                    F.col("n_orphan"),
+                    F.col("n_orphan") == 0,
+                )
+            )
+        ).alias("r")
+    )
+    return (
+        li_rows.unionByName(od_rows)
+        .unionByName(ref_rows)
+        .select("r.constraint", "r.observed", "r.passed")
+    )
+
+
+ORACLE_DQ = """
+dq_li AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_ship,
+         CAST(sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS neg_qty,
+         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS disc_oob
+  FROM lineitem
+),
+dq_od AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+  FROM orders
+),
+dq_ref AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orphan
+  FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)
+),
+dq_constraint_report AS (
+  SELECT 'completeness(l_shipdate)' AS constraint,
+         round(CAST(1 AS DOUBLE) - null_ship / CAST(n AS DOUBLE), 6)
+           AS observed,
+         CAST(CASE WHEN null_ship = 0 THEN 1 ELSE 0 END AS INT)
+           AS passed
+  FROM dq_li
+  UNION ALL
+  SELECT 'non_negative(l_quantity)',
+         round(CAST(neg_qty AS DOUBLE), 6),
+         CAST(CASE WHEN neg_qty = 0 THEN 1 ELSE 0 END AS INT)
+  FROM dq_li
+  UNION ALL
+  SELECT 'range(l_discount,0,0.1)',
+         round(CAST(disc_oob AS DOUBLE), 6),
+         CAST(CASE WHEN disc_oob = 0 THEN 1 ELSE 0 END AS INT)
+  FROM dq_li
+  UNION ALL
+  SELECT 'row_count(lineitem)',
+         round(CAST(n AS DOUBLE), 6),
+         CAST(CASE WHEN n >= 1 THEN 1 ELSE 0 END AS INT)
+  FROM dq_li
+  UNION ALL
+  SELECT 'uniqueness(o_orderkey)',
+         round(n_keys / CAST(n AS DOUBLE), 6),
+         CAST(CASE WHEN n_keys = n THEN 1 ELSE 0 END AS INT)
+  FROM dq_od
+  UNION ALL
+  SELECT 'accepted_values(o_orderstatus)',
+         round(CAST(bad_status AS DOUBLE), 6),
+         CAST(CASE WHEN bad_status = 0 THEN 1 ELSE 0 END AS INT)
+  FROM dq_od
+  UNION ALL
+  SELECT 'referential(l_orderkey->o_orderkey)',
+         round(CAST(n_orphan AS DOUBLE), 6),
+         CAST(CASE WHEN n_orphan = 0 THEN 1 ELSE 0 END AS INT)
+  FROM dq_ref
+)
+"""

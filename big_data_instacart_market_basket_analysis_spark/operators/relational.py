@@ -1760,3 +1760,99 @@ agg_view_maintain AS (
   GROUP BY 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# materialized-view rollup rewrite (self-proving)
+# ---------------------------------------------------------------------------
+
+
+def mv_rollup_rewrite(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Aggregate-rollup query rewrite, proven correct in-band: build
+    the (year, month, brand) revenue MATERIALIZED VIEW once, answer
+    the coarser (year, brand) query by RE-AGGREGATING THE MV (the
+    classic MV-rewrite rule: SUM and COUNT roll up along any grouping
+    lattice edge), and emit the base-table answer beside it with an
+    exact-equality flag — the output is its own proof that the
+    rewrite is lossless.
+
+    The MV is ~|years × months × brands| rows, so the rewritten query
+    aggregates thousands of rows instead of the fact table — at
+    100 TB that is the entire point of the technique; the base-path
+    column exists here only as the self-check (a real deployment
+    would not run it). Revenue is exact integer cents, so equality is
+    bit-for-bit, fold-order-free.
+
+    Output per (year, brand): o_year, brand, revenue_mv,
+    revenue_base, n_mv_cells, rewrite_ok.
+    """
+    rows = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        lineitem.l_partkey == F.col("p_partkey"),
+    ).select(
+        F.year(F.to_date("l_shipdate")).alias("o_year"),
+        F.month(F.to_date("l_shipdate")).alias("o_month"),
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    mv = rows.groupBy("o_year", "o_month", "brand").agg(
+        F.sum("cents").alias("rev"), F.count("*").alias("cnt")
+    )
+    from_mv = mv.groupBy("o_year", "brand").agg(
+        F.sum("rev").alias("revenue_mv"),
+        F.count("*").alias("n_mv_cells"),
+    )
+    from_base = rows.groupBy("o_year", "brand").agg(
+        F.sum("cents").alias("revenue_base")
+    )
+    return (
+        from_mv.join(from_base, ["o_year", "brand"])
+        .select(
+            "o_year",
+            "brand",
+            "revenue_mv",
+            "revenue_base",
+            "n_mv_cells",
+            (F.col("revenue_mv") == F.col("revenue_base"))
+            .cast("int")
+            .alias("rewrite_ok"),
+        )
+    )
+
+
+ORACLE_MV_REWRITE = """
+mvr_rows AS (
+  SELECT date_part('year', CAST(l_shipdate AS DATE)) AS o_year,
+         date_part('month', CAST(l_shipdate AS DATE)) AS o_month,
+         p.p_brand AS brand,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+mvr_mv AS (
+  SELECT o_year, o_month, brand,
+         CAST(sum(cents) AS BIGINT) AS rev,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM mvr_rows GROUP BY 1, 2, 3
+),
+mvr_from_mv AS (
+  SELECT o_year, brand,
+         CAST(sum(rev) AS BIGINT) AS revenue_mv,
+         CAST(count(*) AS BIGINT) AS n_mv_cells
+  FROM mvr_mv GROUP BY 1, 2
+),
+mvr_from_base AS (
+  SELECT o_year, brand, CAST(sum(cents) AS BIGINT) AS revenue_base
+  FROM mvr_rows GROUP BY 1, 2
+),
+mv_rollup_rewrite AS (
+  SELECT m.o_year, m.brand, m.revenue_mv, b.revenue_base,
+         m.n_mv_cells,
+         CAST(CASE WHEN m.revenue_mv = b.revenue_base
+                   THEN 1 ELSE 0 END AS INT) AS rewrite_ok
+  FROM mvr_from_mv m
+  JOIN mvr_from_base b
+    ON m.o_year = b.o_year AND m.brand = b.brand
+)
+"""

@@ -7998,3 +7998,297 @@ theil_decomposition AS (
   FROM th_g g, th_tot t
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (companion of Kaplan-Meier)
+# ---------------------------------------------------------------------------
+
+
+def nelson_aalen(events: DataFrame) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over the same
+    censored user lifetimes as ``km_survival``: H(t) = Σ_{t_i<=t}
+    d_i/n_i, with the Poisson variance Σ d_i/n_i² and the
+    Fleming-Harrington survival exp(−H) beside it — the hazard-scale
+    view KM's product form cannot give (H is additive, so hazards of
+    disjoint cohorts/windows merge by +).
+
+    Identical distributed shape to KM: one user-grain span agg, one
+    distinct-duration grain table (bounded by the day span), and
+    cumulative sums over the ORDERED duration grain — both engines
+    fold the d/n rationals in the same order, so results agree to the
+    last double bit before round(6).
+
+    Output per churn time: t_days, n_risk, n_churned, cum_hazard,
+    var_hazard, fh_survival.
+    """
+    spans = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    horizon = events.agg(F.max(F.to_date("ts")).alias("dmax"))
+    users = spans.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("d1", "d0").alias("t_days"),
+        (F.datediff("dmax", "d1") < KM_CENSOR_DAYS).alias("censored"),
+    )
+    per_t = users.groupBy("t_days").agg(
+        F.count("*").alias("n_exit"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias(
+            "n_churned"
+        ),
+    )
+    w = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wS = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = users.count()
+    nr = F.lit(total) - F.coalesce(F.sum("n_exit").over(w), F.lit(0))
+    curve = (
+        per_t.withColumn("n_risk", nr)
+        .withColumn(
+            "hterm",
+            F.col("n_churned").cast("double")
+            / F.col("n_risk").cast("double"),
+        )
+        .withColumn(
+            "vterm",
+            F.col("n_churned").cast("double")
+            / (
+                F.col("n_risk").cast("double")
+                * F.col("n_risk").cast("double")
+            ),
+        )
+        .withColumn("h", F.sum("hterm").over(wS))
+        .withColumn("v", F.sum("vterm").over(wS))
+    )
+    return curve.filter(F.col("n_churned") > 0).select(
+        "t_days",
+        "n_risk",
+        "n_churned",
+        F.round("h", 6).alias("cum_hazard"),
+        F.round("v", 6).alias("var_hazard"),
+        F.round(F.exp(-F.col("h")), 6).alias("fh_survival"),
+    )
+
+
+ORACLE_NELSON_AALEN = f"""
+na_u AS (
+  SELECT date_diff('day', d0, d1) AS t_days,
+         date_diff('day', d1,
+                   (SELECT max(CAST(ts AS DATE)) FROM events))
+           < {KM_CENSOR_DAYS} AS censored
+  FROM (SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+               max(CAST(ts AS DATE)) AS d1
+        FROM events GROUP BY 1)
+),
+na_t AS (
+  SELECT t_days, CAST(count(*) AS BIGINT) AS n_exit,
+         CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_churned
+  FROM na_u GROUP BY 1
+),
+na_c AS (
+  SELECT t_days, n_churned,
+         CAST((SELECT count(*) FROM na_u)
+           - COALESCE(sum(n_exit) OVER (ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+  FROM na_t
+),
+na_h AS (
+  SELECT t_days, n_risk, n_churned,
+         sum(CAST(n_churned AS DOUBLE) / CAST(n_risk AS DOUBLE))
+           OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS h,
+         sum(CAST(n_churned AS DOUBLE)
+             / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)))
+           OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS v
+  FROM na_c
+),
+nelson_aalen AS (
+  SELECT t_days, n_risk, n_churned,
+         round(h, 6) AS cum_hazard,
+         round(v, 6) AS var_hazard,
+         round(exp(-h), 6) AS fh_survival
+  FROM na_h WHERE n_churned > 0
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# group-sequential A/B test (O'Brien-Fleming boundaries)
+# ---------------------------------------------------------------------------
+
+#: number of interim looks.
+GS_LOOKS = 5
+#: two-sided alpha=0.05 O'Brien-Fleming z boundaries for K=5 looks.
+GS_OBF_BOUNDS = (4.877, 3.357, 2.680, 2.290, 2.031)
+
+
+def group_sequential_test(events: DataFrame) -> DataFrame:
+    """Group-sequential A/B monitoring with O'Brien-Fleming stopping
+    boundaries: the observation window splits into K=5 equal-width
+    epochs, and at each look k the CUMULATIVE purchase-value z
+    (variant 0 vs 1, exact integer-cent moments through epoch k) is
+    compared to the OBF boundary — the peeking-safe alternative to
+    re-running a fixed-horizon test daily (which inflates false
+    positives ~3x at daily peeks).
+
+    One fact pass to (epoch, variant) moment cells (10 rows), then
+    cumulative sums over the ordered 5-row epoch grain; each z is one
+    closed-form expression on exact BIGINTs, boundaries are fixed
+    literals. Epoch edges derive from the min/max event day (1-row
+    broadcast), so the split is deterministic at any scale.
+
+    Output per look: look, n_cum, z (rounded 6), obf_bound, crossed.
+    """
+    days = events.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        (F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1)
+        .alias("span"),
+    )
+    cells = (
+        events.filter(F.col("event_type") == AB_METRIC_TYPE)
+        .crossJoin(F.broadcast(days))
+        .select(
+            F.least(
+                F.lit(GS_LOOKS - 1),
+                (
+                    F.lit(GS_LOOKS)
+                    * F.datediff(F.to_date("ts"), F.col("d0"))
+                )
+                / F.col("span"),
+            )
+            .cast("int")
+            .alias("epoch"),
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("epoch", "variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("q"),
+        )
+    )
+    wcum = Window.partitionBy("variant").orderBy("epoch").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.select(
+        "epoch",
+        "variant",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("s").over(wcum).alias("cs"),
+        F.sum("q").over(wcum).alias("cq"),
+    )
+    looks = (
+        cum.groupBy("epoch")
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, F.col("cn"))).alias("n0"),
+            F.sum(F.when(F.col("variant") == 0, F.col("cs"))).alias("s0"),
+            F.sum(F.when(F.col("variant") == 0, F.col("cq"))).alias("q0"),
+            F.sum(F.when(F.col("variant") == 1, F.col("cn"))).alias("n1"),
+            F.sum(F.when(F.col("variant") == 1, F.col("cs"))).alias("s1"),
+            F.sum(F.when(F.col("variant") == 1, F.col("cq"))).alias("q1"),
+        )
+    )
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    # per-arm variance via the n·Σx² − (Σx)² identity on exact ints,
+    # assembled in doubles (single scalar expression per look).
+    v0 = (
+        n0d * F.col("q0").cast("double")
+        - F.col("s0").cast("double") * F.col("s0").cast("double")
+    ) / (n0d * n0d * (n0d - 1))
+    v1 = (
+        n1d * F.col("q1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (n1d * n1d * (n1d - 1))
+    z = (
+        F.col("s1").cast("double") / n1d
+        - F.col("s0").cast("double") / n0d
+    ) / F.sqrt(v0 + v1)
+    bound = F.element_at(
+        F.array(*[F.lit(b) for b in GS_OBF_BOUNDS]), F.col("epoch") + 1
+    )
+    return looks.select(
+        (F.col("epoch") + 1).alias("look"),
+        (F.col("n0") + F.col("n1")).alias("n_cum"),
+        F.round(z, 6).alias("z"),
+        bound.alias("obf_bound"),
+        (F.abs(F.round(z, 6)) > bound).alias("crossed"),
+    )
+
+
+def oracle_group_sequential() -> str:
+    bounds = ", ".join(
+        f"({i + 1}, CAST({b} AS DOUBLE))"
+        for i, b in enumerate(GS_OBF_BOUNDS)
+    )
+    return f"""
+gs_days AS (
+  SELECT min(CAST(ts AS DATE)) AS d0,
+         date_diff('day', min(CAST(ts AS DATE)),
+                   max(CAST(ts AS DATE))) + 1 AS span
+  FROM events
+),
+gs_cells AS (
+  SELECT CAST(least({GS_LOOKS - 1},
+              ({GS_LOOKS} * date_diff('day', d.d0, CAST(e.ts AS DATE)))
+              // d.span) AS INT) AS epoch,
+         CAST(e.user_id % 2 AS INT) AS variant,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS s,
+         CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)
+                  * CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS q
+  FROM events e, gs_days d
+  WHERE e.event_type = '{AB_METRIC_TYPE}'
+  GROUP BY 1, 2
+),
+gs_cum AS (
+  SELECT epoch, variant,
+         CAST(sum(n) OVER wc AS BIGINT) AS cn,
+         CAST(sum(s) OVER wc AS BIGINT) AS cs,
+         CAST(sum(q) OVER wc AS BIGINT) AS cq
+  FROM gs_cells
+  WINDOW wc AS (PARTITION BY variant ORDER BY epoch
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+gs_looks AS (
+  SELECT epoch,
+         CAST(sum(CASE WHEN variant = 0 THEN cn END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN variant = 0 THEN cs END) AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN variant = 0 THEN cq END) AS BIGINT) AS q0,
+         CAST(sum(CASE WHEN variant = 1 THEN cn END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN variant = 1 THEN cs END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN variant = 1 THEN cq END) AS BIGINT) AS q1
+  FROM gs_cum GROUP BY 1
+),
+gs_bounds (look, b) AS (VALUES {bounds}),
+gs_z AS (
+  SELECT epoch + 1 AS look, n0 + n1 AS n_cum,
+         round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+               / sqrt((CAST(n0 AS DOUBLE) * CAST(q0 AS DOUBLE)
+                       - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                      / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                         * (CAST(n0 AS DOUBLE) - 1))
+                      + (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                        / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                           * (CAST(n1 AS DOUBLE) - 1))), 6) AS z
+  FROM gs_looks
+),
+group_sequential_test AS (
+  SELECT g.look, g.n_cum, g.z, b.b AS obf_bound,
+         abs(g.z) > b.b AS crossed
+  FROM gs_z g JOIN gs_bounds b ON g.look = b.look
+)
+"""
