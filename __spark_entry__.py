@@ -1738,6 +1738,24 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.concurrency_curve(load_table(spark, sf_dir, "events"))
 
 
+def q_events_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift deciles + cumulative Qini on the randomized arms
+    (distinct-score prefix-sum deciles, exact BIGINT counts)."""
+    return _tmp.qini_uplift(load_table(spark, sf_dir, "events"))
+
+
+def q_events_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPS/SNIPS off-policy replay evaluation of an engagement-
+    targeting policy on the uniformly randomized A/B log."""
+    return _tmp.offpolicy_ips(load_table(spark, sf_dir, "events"))
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity per LPA community (e_in/|E| − (d/|E|)²),
+    exact BIGINT counts on the staged edge list."""
+    return _graph.community_modularity(_lineitem(spark, sf_dir))
+
+
 def q_events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson-Aalen cumulative hazard over the censored user
     lifetimes (additive hazard view beside the KM product)."""
@@ -2937,6 +2955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_corr": q_events_type_corr,
         "events_km_survival": q_events_km_survival,
         "events_nelson_aalen": q_events_nelson_aalen,
+        "events_qini": q_events_qini,
+        "events_offpolicy": q_events_offpolicy,
+        "graph_modularity": q_graph_modularity,
         "events_group_sequential": q_events_group_sequential,
         "dq_constraints": q_dq_constraints,
         "mv_rollup_rewrite": q_mv_rollup_rewrite,
@@ -3788,6 +3809,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_nelson_aalen": _ext_oracle(
             [_tmp.ORACLE_NELSON_AALEN], "nelson_aalen"
+        ),
+        "events_qini": _ext_oracle([_tmp.ORACLE_QINI], "qini_uplift"),
+        "events_offpolicy": _ext_oracle(
+            [_tmp.ORACLE_IPS], "offpolicy_ips"
+        ),
+        "graph_modularity": _ext_oracle(
+            [_graph.oracle_modularity()], "community_modularity"
         ),
         "events_group_sequential": _ext_oracle(
             [_tmp.oracle_group_sequential()], "group_sequential_test"

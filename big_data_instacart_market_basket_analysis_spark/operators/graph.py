@@ -1595,3 +1595,113 @@ personalized_pagerank AS (
 )"""
     )
     return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# modularity of the LPA communities
+# ---------------------------------------------------------------------------
+
+
+def community_modularity(lineitem: DataFrame) -> DataFrame:
+    """Newman modularity of the LPA community assignment — the
+    quality score that says whether the communities the propagation
+    found are DENSER than chance: per community c on the directed
+    (double-counted) edge list E,
+
+        q_c = e_in(c)/|E| − (d(c)/|E|)²,   Q = Σ_c q_c.
+
+    e_in counts edges with both endpoints in c (two node-key joins of
+    the staged edge list against the label table), d(c) sums member
+    degrees (one join + agg); |E| attaches as a 1-row broadcast. All
+    counts are exact BIGINTs; q_c is one scalar expression per
+    community row, so the readout hash-matches. The eval completes
+    the community pipeline the same way recall harnesses complete
+    the ANN indexes: detection (LPA) + quality (this).
+
+    Output per community: community, n_nodes, e_in, d_tot, q_term.
+    """
+    edges = _edges_staged(lineitem)
+    labels = lpa_communities(lineitem).select("node", "community")
+    m_tot = edges.agg(F.count("*").alias("n_edges"))
+    e_in = (
+        edges.join(
+            labels.select(F.col("node").alias("a"), F.col("community").alias("ca")),
+            "a",
+        )
+        .join(
+            labels.select(F.col("node").alias("b"), F.col("community").alias("cb")),
+            "b",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+    d_tot = (
+        labels.join(deg, labels.node == deg.a)
+        .groupBy("community")
+        .agg(F.count("*").alias("n_nodes"), F.sum("deg").alias("d_tot"))
+    )
+    ed = F.col("n_edges").cast("double")
+    return (
+        d_tot.join(e_in, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).alias("e_in"),
+            "d_tot",
+        )
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            "community",
+            "n_nodes",
+            "e_in",
+            "d_tot",
+            F.round(
+                F.col("e_in").cast("double") / ed
+                - (F.col("d_tot").cast("double") / ed)
+                * (F.col("d_tot").cast("double") / ed),
+                9,
+            ).alias("q_term"),
+        )
+    )
+
+
+def oracle_modularity(iterations: int = LPA_ITERATIONS) -> str:
+    """Chains on the LPA oracle CTEs (lpa_edges / lpa_communities)."""
+    return (
+        oracle_lpa_communities(iterations)
+        + """,
+mod_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM lpa_edges
+),
+mod_ein AS (
+  SELECT la.community, CAST(count(*) AS BIGINT) AS e_in
+  FROM lpa_edges e
+  JOIN lpa_communities la ON e.a = la.node
+  JOIN lpa_communities lb ON e.b = lb.node
+  WHERE la.community = lb.community
+  GROUP BY 1
+),
+mod_deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM lpa_edges GROUP BY 1
+),
+mod_dtot AS (
+  SELECT l.community, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d.deg) AS BIGINT) AS d_tot
+  FROM lpa_communities l JOIN mod_deg d ON l.node = d.a
+  GROUP BY 1
+),
+community_modularity AS (
+  SELECT t.community, t.n_nodes,
+         CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, t.d_tot,
+         round(CAST(coalesce(e.e_in, 0) AS DOUBLE)
+                 / CAST(m.n_edges AS DOUBLE)
+               - (CAST(t.d_tot AS DOUBLE) / CAST(m.n_edges AS DOUBLE))
+                 * (CAST(t.d_tot AS DOUBLE) / CAST(m.n_edges AS DOUBLE)),
+               9) AS q_term
+  FROM mod_dtot t
+  LEFT JOIN mod_ein e ON t.community = e.community
+  CROSS JOIN mod_m m
+)"""
+    )

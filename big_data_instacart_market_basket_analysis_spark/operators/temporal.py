@@ -8292,3 +8292,239 @@ group_sequential_test AS (
   FROM gs_z g JOIN gs_bounds b ON g.look = b.look
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# uplift deciles + Qini curve (incrementality evaluation)
+# ---------------------------------------------------------------------------
+
+
+def qini_uplift(events: DataFrame) -> DataFrame:
+    """Uplift-by-decile table with the cumulative Qini statistic: rank
+    users by a targeting score (pre-conversion engagement = view
+    count), split into score deciles (best first), and per decile
+    compare conversion between the randomized arms; the Qini value at
+    cut k is the classic CONV_T(k) − CONV_C(k)·N_T(k)/N_C(k) on
+    cumulative counts — "how many EXTRA conversions did targeting the
+    top k deciles cause". The evaluation half of uplift modeling —
+    plug any score in; this one uses a transparent covariate so the
+    whole readout is oracle-checkable.
+
+    Deciles come from descending prefix-sums over the DISTINCT-score
+    grain (ties share a decile; no global sort) and everything
+    downstream lives on the 10-row decile grain — exact BIGINT counts
+    until the two rounded ratios per row.
+
+    Output per decile: decile, n_t, n_c, conv_t, conv_c, uplift,
+    qini_cum.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("x"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("y"),
+    ).select(
+        "x", "y", (F.col("user_id") % 2).cast("int").alias("t")
+    )
+    per_v = per_user.groupBy("x").agg(F.count("*").alias("c"))
+    wd = Window.orderBy(F.desc("x")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = per_user.agg(F.count("*").alias("n_all"))
+    dec = (
+        per_v.withColumn(
+            "p", F.coalesce(F.sum("c").over(wd), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            F.least(
+                F.lit(9), (10 * F.col("p")) / F.col("n_all")
+            )
+            .cast("int")
+            .alias("decile"),
+        )
+    )
+    cells = (
+        per_user.join(dec, "x")
+        .groupBy("decile")
+        .agg(
+            F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).alias("n_t"),
+            F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).alias("n_c"),
+            F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).alias(
+                "conv_t"
+            ),
+            F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).alias(
+                "conv_c"
+            ),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return cells.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.round(
+            F.col("conv_t") / F.col("n_t")
+            - F.col("conv_c") / F.col("n_c"),
+            6,
+        ).alias("uplift"),
+        F.round(
+            F.sum("conv_t").over(wc)
+            - F.sum("conv_c").over(wc)
+            * F.sum("n_t").over(wc)
+            / F.sum("n_c").over(wc),
+            6,
+        ).alias("qini_cum"),
+    )
+
+
+ORACLE_QINI = """
+qn_user AS (
+  SELECT CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y,
+         CAST(user_id % 2 AS INT) AS t
+  FROM events GROUP BY user_id
+),
+qn_dec AS (
+  SELECT x, CAST(least(9, (10 * p) // n_all) AS INT) AS decile FROM (
+    SELECT x,
+           CAST(coalesce(sum(count(*)) OVER (ORDER BY x DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS p,
+           (SELECT count(*) FROM qn_user) AS n_all
+    FROM qn_user GROUP BY 1
+  )
+),
+qn_cells AS (
+  SELECT d.decile,
+         CAST(sum(CASE WHEN u.t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_t,
+         CAST(sum(CASE WHEN u.t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_c,
+         CAST(sum(CASE WHEN u.t = 1 THEN u.y ELSE 0 END) AS BIGINT)
+           AS conv_t,
+         CAST(sum(CASE WHEN u.t = 0 THEN u.y ELSE 0 END) AS BIGINT)
+           AS conv_c
+  FROM qn_user u JOIN qn_dec d ON u.x = d.x
+  GROUP BY 1
+),
+qini_uplift AS (
+  SELECT decile, n_t, n_c, conv_t, conv_c,
+         round(conv_t / CAST(n_t AS DOUBLE)
+               - conv_c / CAST(n_c AS DOUBLE), 6) AS uplift,
+         round(CAST(sum(conv_t) OVER wq AS BIGINT)
+               - CAST(sum(conv_c) OVER wq AS BIGINT)
+                 * CAST(sum(n_t) OVER wq AS BIGINT)
+                 / CAST(sum(n_c) OVER wq AS DOUBLE), 6) AS qini_cum
+  FROM qn_cells
+  WINDOW wq AS (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# off-policy evaluation (IPS / SNIPS replay on randomized logs)
+# ---------------------------------------------------------------------------
+
+#: target policy: treat users with at least this many views.
+IPS_POLICY_MIN_VIEWS = 3
+
+
+def offpolicy_ips(events: DataFrame) -> DataFrame:
+    """Off-policy (counterfactual) evaluation by replay: the A/B log
+    randomized arms uniformly (p = 1/2), so ANY deterministic target
+    policy π can be valued offline — IPS = (1/N) Σ 1[a=π(x)]·r/p and
+    its self-normalized SNIPS variant (lower variance, the standard
+    fix when match rates drift). Here π targets engaged users
+    (views ≥ {mv}); reward is purchase cents. This is the bandit /
+    recommender-replay primitive: evaluate tomorrow's policy on
+    yesterday's randomized traffic without an experiment.
+
+    One user-grain agg (arm, views, exact cents), one conditional
+    1-row reduction — every statistic is a ratio of BIGINT sums.
+
+    Output (1 row): n, n_match, v_logged, v_ips, v_snips.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100, 0).cast("bigint"),
+            ).otherwise(0)
+        ).alias("r"),
+    ).select(
+        "x",
+        "r",
+        (F.col("user_id") % 2).cast("int").alias("a"),
+    )
+    pi = F.when(
+        F.col("x") >= IPS_POLICY_MIN_VIEWS, F.lit(1)
+    ).otherwise(F.lit(0))
+    m = per_user.select(
+        "r", (F.col("a") == pi).cast("int").alias("match")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("match").alias("n_match"),
+        F.sum("r").alias("s_all"),
+        F.sum(F.col("match") * F.col("r")).alias("s_match"),
+    )
+    return m.select(
+        "n",
+        "n_match",
+        F.round(F.col("s_all") / F.col("n"), 6).alias("v_logged"),
+        F.round(
+            F.lit(2) * F.col("s_match") / F.col("n"), 6
+        ).alias("v_ips"),
+        F.round(F.col("s_match") / F.col("n_match"), 6).alias(
+            "v_snips"
+        ),
+    )
+
+
+offpolicy_ips.__doc__ = offpolicy_ips.__doc__.format(
+    mv=IPS_POLICY_MIN_VIEWS
+)
+
+
+ORACLE_IPS = f"""
+op_user AS (
+  SELECT CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS r,
+         CAST(user_id % 2 AS INT) AS a
+  FROM events GROUP BY user_id
+),
+op_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a = (CASE WHEN x >= {IPS_POLICY_MIN_VIEWS}
+                                      THEN 1 ELSE 0 END)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         CAST(sum(r) AS BIGINT) AS s_all,
+         CAST(sum(CASE WHEN a = (CASE WHEN x >= {IPS_POLICY_MIN_VIEWS}
+                                      THEN 1 ELSE 0 END)
+                       THEN r ELSE 0 END) AS BIGINT) AS s_match
+  FROM op_user
+),
+offpolicy_ips AS (
+  SELECT n, n_match,
+         round(s_all / CAST(n AS DOUBLE), 6) AS v_logged,
+         round(2 * s_match / CAST(n AS DOUBLE), 6) AS v_ips,
+         round(s_match / CAST(n_match AS DOUBLE), 6) AS v_snips
+  FROM op_m
+)
+"""
