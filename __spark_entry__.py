@@ -1738,6 +1738,20 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.concurrency_curve(load_table(spark, sf_dir, "events"))
 
 
+def q_events_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between the arms' churn survival curves:
+    hypergeometric O−E/V terms on exact at-risk prefix sums."""
+    return _tmp.logrank_test(load_table(spark, sf_dir, "events"))
+
+
+def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog sweep line (+1 orderdate, −1 last receipt);
+    cumulative window on the bounded day grain."""
+    return _tmp.orders_backlog_curve(
+        load_table(spark, sf_dir, "orders"), _lineitem(spark, sf_dir)
+    )
+
+
 def q_events_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uplift deciles + cumulative Qini on the randomized arms
     (distinct-score prefix-sum deciles, exact BIGINT counts)."""
@@ -2956,6 +2970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_km_survival": q_events_km_survival,
         "events_nelson_aalen": q_events_nelson_aalen,
         "events_qini": q_events_qini,
+        "events_logrank": q_events_logrank,
+        "orders_backlog": q_orders_backlog,
         "events_offpolicy": q_events_offpolicy,
         "graph_modularity": q_graph_modularity,
         "events_group_sequential": q_events_group_sequential,
@@ -3811,6 +3827,12 @@ def oracle_sql() -> dict[str, str]:
             [_tmp.ORACLE_NELSON_AALEN], "nelson_aalen"
         ),
         "events_qini": _ext_oracle([_tmp.ORACLE_QINI], "qini_uplift"),
+        "events_logrank": _ext_oracle(
+            [_tmp.ORACLE_LOGRANK], "logrank_test"
+        ),
+        "orders_backlog": _ext_oracle(
+            [_tmp.ORACLE_BACKLOG], "orders_backlog_curve"
+        ),
         "events_offpolicy": _ext_oracle(
             [_tmp.ORACLE_IPS], "offpolicy_ips"
         ),

@@ -188,6 +188,25 @@ HEADLINE = [
     "text_nb_gains",
     "ind_discovery",
     "dict_advisor",
+    # round-3 session-2 wave: rank/randomization statistics, causal
+    # and survival companions, engine features (MV rewrite, DQ suite),
+    # seed-restart graph walk, community quality
+    "events_spearman",
+    "events_anova",
+    "events_permutation_test",
+    "orders_theil",
+    "graph_ppr",
+    "events_nelson_aalen",
+    "events_group_sequential",
+    "dq_constraints",
+    "mv_rollup_rewrite",
+    "events_qini",
+    "events_offpolicy",
+    "graph_modularity",
+    "ml_ridge_verified",
+    "events_conversion_ztest",
+    "croston_forecast",
+    "price_elasticity",
 ]
 
 

@@ -8528,3 +8528,242 @@ offpolicy_ips AS (
   FROM op_m
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# log-rank test (survival difference between the A/B arms)
+# ---------------------------------------------------------------------------
+
+
+def logrank_test(events: DataFrame) -> DataFrame:
+    """Log-rank test comparing the two arms' churn survival curves —
+    the hypothesis test the KM/Nelson-Aalen estimators describe: at
+    each distinct churn time, arm 1's observed churn d1 is compared
+    to its hypergeometric expectation d·n1/n given the at-risk sets,
+    and z = Σ(O−E)/sqrt(ΣV). Censoring (active in the final window)
+    is handled exactly as in ``km_survival``.
+
+    All at-risk counts are exact BIGINT prefix-sums over the ordered
+    distinct-DURATION grain (bounded by the day span); the O−E and
+    variance terms are per-row scalars on those integers, summed over
+    the duration grain (noise ~1e-15 vs the 6-dp edge). V terms with
+    n ≤ 1 are 0 by definition.
+
+    Output (1 row): n_times, o1, e1, z, significant.
+    """
+    spans = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+        F.max(F.col("user_id") % 2).alias("arm"),
+    )
+    horizon = events.agg(F.max(F.to_date("ts")).alias("dmax"))
+    users = spans.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("d1", "d0").alias("t_days"),
+        (F.datediff("dmax", "d1") < KM_CENSOR_DAYS).alias("censored"),
+        F.col("arm").cast("int").alias("arm"),
+    )
+    per_t = users.groupBy("t_days").agg(
+        F.count("*").alias("ex"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("ch"),
+        F.sum("arm").alias("ex1"),
+        F.sum(
+            F.when(~F.col("censored"), F.col("arm")).otherwise(0)
+        ).alias("ch1"),
+    )
+    tot = users.agg(
+        F.count("*").alias("nn"), F.sum("arm").alias("nn1")
+    )
+    w = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = (
+        per_t.withColumn(
+            "cex", F.coalesce(F.sum("ex").over(w), F.lit(0))
+        )
+        .withColumn(
+            "cex1", F.coalesce(F.sum("ex1").over(w), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ch",
+            "ch1",
+            (F.col("nn") - F.col("cex")).alias("n"),
+            (F.col("nn1") - F.col("cex1")).alias("n1"),
+        )
+        .filter(F.col("ch") > 0)
+    )
+    nd = F.col("n").cast("double")
+    n1d = F.col("n1").cast("double")
+    chd = F.col("ch").cast("double")
+    eterm = chd * n1d / nd
+    vterm = F.when(
+        F.col("n") > 1,
+        chd
+        * (n1d / nd)
+        * (1.0 - n1d / nd)
+        * (nd - chd)
+        / (nd - 1.0),
+    ).otherwise(F.lit(0.0))
+    agg = risk.agg(
+        F.count("*").alias("n_times"),
+        F.sum("ch1").alias("o1"),
+        F.sum(eterm).alias("e1"),
+        F.sum(F.col("ch1").cast("double") - eterm).alias("ome"),
+        F.sum(vterm).alias("v"),
+    )
+    z = F.col("ome") / F.sqrt(F.col("v"))
+    return agg.select(
+        "n_times",
+        "o1",
+        F.round("e1", 6).alias("e1"),
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > 1.96).alias("significant"),
+    )
+
+
+ORACLE_LOGRANK = f"""
+lr_u AS (
+  SELECT date_diff('day', d0, d1) AS t_days,
+         date_diff('day', d1,
+                   (SELECT max(CAST(ts AS DATE)) FROM events))
+           < {KM_CENSOR_DAYS} AS censored,
+         arm
+  FROM (SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+               max(CAST(ts AS DATE)) AS d1,
+               CAST(max(user_id % 2) AS INT) AS arm
+        FROM events GROUP BY 1)
+),
+lr_t AS (
+  SELECT t_days,
+         CAST(count(*) AS BIGINT) AS ex,
+         CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+           AS ch,
+         CAST(sum(arm) AS BIGINT) AS ex1,
+         CAST(sum(CASE WHEN NOT censored THEN arm ELSE 0 END)
+              AS BIGINT) AS ch1
+  FROM lr_u GROUP BY 1
+),
+lr_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nn,
+         CAST(sum(arm) AS BIGINT) AS nn1
+  FROM lr_u
+),
+lr_r AS (
+  SELECT ch, ch1,
+         t.nn - CAST(coalesce(sum(ex) OVER wp, 0) AS BIGINT) AS n,
+         t.nn1 - CAST(coalesce(sum(ex1) OVER wp, 0) AS BIGINT) AS n1
+  FROM lr_t, lr_tot t
+  WINDOW wp AS (ORDER BY t_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+lr_a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_times,
+         CAST(sum(ch1) AS BIGINT) AS o1,
+         sum(CAST(ch AS DOUBLE) * CAST(n1 AS DOUBLE)
+             / CAST(n AS DOUBLE)) AS e1,
+         sum(CAST(ch1 AS DOUBLE)
+             - CAST(ch AS DOUBLE) * CAST(n1 AS DOUBLE)
+               / CAST(n AS DOUBLE)) AS ome,
+         sum(CASE WHEN n > 1
+                  THEN CAST(ch AS DOUBLE)
+                       * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(n AS DOUBLE) - CAST(ch AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1.0)
+                  ELSE 0.0 END) AS v
+  FROM lr_r WHERE ch > 0
+),
+logrank_test AS (
+  SELECT n_times, o1, round(e1, 6) AS e1,
+         round(ome / sqrt(v), 6) AS z,
+         abs(round(ome / sqrt(v), 6)) > 1.96 AS significant
+  FROM lr_a
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# order backlog curve (open orders over time, sweep line)
+# ---------------------------------------------------------------------------
+
+
+def orders_backlog_curve(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Open-order backlog over time: an order opens at o_orderdate and
+    closes when its LAST lineitem ships (max l_shipdate — the fixture's
+    fulfillment timestamp), so
+    the backlog on day d = Σ(+1 opens, −1 closes) up to d — the
+    sweep-line / interval-stabbing reduction (the fulfillment-ops
+    sibling of the session concurrency curve). Little's law readers
+    can divide avg backlog by the open rate to recover lead time.
+
+    One lineitem hash-agg (max ship day per order), one order-grain
+    join, then ±1 deltas collapse to the DAY grain — the cumulative
+    window runs over a few thousand day rows at ANY fact scale, so
+    the single-partition prefix is data-independent.
+
+    Output per day: day, n_opened, n_closed, backlog.
+    """
+    closes = lineitem.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("close_day")
+    )
+    spans = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.to_date("o_orderdate").alias("open_day"),
+    ).join(closes, "l_orderkey")
+    deltas = spans.select(
+        F.col("open_day").alias("day"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    ).unionByName(
+        spans.select(
+            F.col("close_day").alias("day"),
+            F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+        )
+    )
+    per_day = deltas.groupBy("day").agg(
+        F.sum("opened").alias("n_opened"),
+        F.sum("closed").alias("n_closed"),
+    )
+    wc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per_day.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed"))
+        .over(wc)
+        .alias("backlog"),
+    )
+
+
+ORACLE_BACKLOG = """
+bk_close AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS close_day
+  FROM lineitem GROUP BY 1
+),
+bk_span AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS open_day, c.close_day
+  FROM orders o JOIN bk_close c ON o.o_orderkey = c.l_orderkey
+),
+bk_delta AS (
+  SELECT open_day AS day, 1 AS opened, 0 AS closed FROM bk_span
+  UNION ALL
+  SELECT close_day AS day, 0 AS opened, 1 AS closed FROM bk_span
+),
+bk_day AS (
+  SELECT day, CAST(sum(opened) AS BIGINT) AS n_opened,
+         CAST(sum(closed) AS BIGINT) AS n_closed
+  FROM bk_delta GROUP BY 1
+),
+orders_backlog_curve AS (
+  SELECT day, n_opened, n_closed,
+         CAST(sum(n_opened - n_closed) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS backlog
+  FROM bk_day
+)
+"""
