@@ -1738,6 +1738,26 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.concurrency_curve(load_table(spark, sf_dir, "events"))
 
 
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres/Paasche/Fisher monthly price indices vs the base
+    month's matched basket (rational month-part prices)."""
+    return _ana.price_index_report(_lineitem(spark, sf_dir))
+
+
+def q_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HHI + CR4 brand-revenue concentration (exact cents, bounded
+    brand grain)."""
+    return _ana.market_hhi(
+        _lineitem(spark, sf_dir), load_table(spark, sf_dir, "part")
+    )
+
+
+def q_parts_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classes via descending distinct-revenue prefix
+    sums and cross-multiplied integer 80/95 cuts."""
+    return _ana.abc_classes(_lineitem(spark, sf_dir))
+
+
 def q_events_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-rank test between the arms' churn survival curves:
     hypergeometric O−E/V terms on exact at-risk prefix sums."""
@@ -2972,6 +2992,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_qini": q_events_qini,
         "events_logrank": q_events_logrank,
         "orders_backlog": q_orders_backlog,
+        "price_index": q_price_index,
+        "market_hhi": q_market_hhi,
+        "parts_abc": q_parts_abc,
         "events_offpolicy": q_events_offpolicy,
         "graph_modularity": q_graph_modularity,
         "events_group_sequential": q_events_group_sequential,
@@ -3833,6 +3856,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_backlog": _ext_oracle(
             [_tmp.ORACLE_BACKLOG], "orders_backlog_curve"
         ),
+        "price_index": _ext_oracle(
+            [_ana.ORACLE_PRICE_INDEX], "price_index_report"
+        ),
+        "market_hhi": _ext_oracle([_ana.ORACLE_HHI], "market_hhi"),
+        "parts_abc": _ext_oracle([_ana.ORACLE_ABC], "abc_classes"),
         "events_offpolicy": _ext_oracle(
             [_tmp.ORACLE_IPS], "offpolicy_ips"
         ),

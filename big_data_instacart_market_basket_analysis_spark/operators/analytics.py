@@ -976,3 +976,266 @@ trending_parts AS (
    AND p.l_partkey = t.l_partkey
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# market-structure economics: price indices, concentration, ABC classes
+# ---------------------------------------------------------------------------
+
+
+def price_index_report(lineitem: DataFrame) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices per month against
+    the first month as base — the econometric price-level readout
+    over the fact table: L = Σp_t·q_0 / Σp_0·q_0 holds quantities at
+    the base basket, P = Σp_t·q_t / Σp_0·q_t at the current one,
+    Fisher is their geometric mean. Per (month, part) the price is
+    the exact rational (cents, qty) pair; index terms are one scalar
+    double per matched part (s_t/q_t·q_0 etc.), so fold-order noise
+    across parts sits ~1e-10 under the 6-dp edge. Only parts traded
+    in BOTH the month and the base enter (the matched-basket rule).
+
+    Shape: one (month, part) hash-agg, one broadcast of the base
+    month's basket (part-grain), one month-grain agg. The base-month
+    key comes from a 1-row broadcast min.
+
+    Output per month: month, n_parts, laspeyres, paasche, fisher.
+    """
+    mp = (
+        lineitem.select(
+            (
+                F.year(F.to_date("l_shipdate")) * 100
+                + F.month(F.to_date("l_shipdate"))
+            ).alias("month"),
+            F.col("l_partkey").alias("part"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("s"),
+        )
+        .groupBy("month", "part")
+        .agg(F.sum("q").alias("q"), F.sum("s").alias("s"))
+    )
+    base_m = mp.agg(F.min("month").alias("bm"))
+    base = (
+        mp.join(F.broadcast(base_m), mp.month == F.col("bm"))
+        .select(
+            "part",
+            F.col("q").alias("q0"),
+            F.col("s").alias("s0"),
+        )
+    )
+    joined = mp.join(base, "part")
+    pt = F.col("s").cast("double") / F.col("q").cast("double")
+    p0 = F.col("s0").cast("double") / F.col("q0").cast("double")
+    per_month = joined.groupBy("month").agg(
+        F.count("*").alias("n_parts"),
+        F.sum(pt * F.col("q0").cast("double")).alias("lnum"),
+        F.sum(p0 * F.col("q0").cast("double")).alias("lden"),
+        F.sum(pt * F.col("q").cast("double")).alias("pnum"),
+        F.sum(p0 * F.col("q").cast("double")).alias("pden"),
+    )
+    lasp = F.col("lnum") / F.col("lden")
+    paas = F.col("pnum") / F.col("pden")
+    return per_month.select(
+        "month",
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+ORACLE_PRICE_INDEX = """
+pi_mp AS (
+  SELECT date_part('year', CAST(l_shipdate AS DATE)) * 100
+         + date_part('month', CAST(l_shipdate AS DATE)) AS month,
+         l_partkey AS part,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS s
+  FROM lineitem GROUP BY 1, 2
+),
+pi_base AS (
+  SELECT part, q AS q0, s AS s0 FROM pi_mp
+  WHERE month = (SELECT min(month) FROM pi_mp)
+),
+pi_m AS (
+  SELECT m.month, CAST(count(*) AS BIGINT) AS n_parts,
+         sum(CAST(m.s AS DOUBLE) / CAST(m.q AS DOUBLE)
+             * CAST(b.q0 AS DOUBLE)) AS lnum,
+         sum(CAST(b.s0 AS DOUBLE) / CAST(b.q0 AS DOUBLE)
+             * CAST(b.q0 AS DOUBLE)) AS lden,
+         sum(CAST(m.s AS DOUBLE) / CAST(m.q AS DOUBLE)
+             * CAST(m.q AS DOUBLE)) AS pnum,
+         sum(CAST(b.s0 AS DOUBLE) / CAST(b.q0 AS DOUBLE)
+             * CAST(m.q AS DOUBLE)) AS pden
+  FROM pi_mp m JOIN pi_base b ON m.part = b.part
+  GROUP BY 1
+),
+price_index_report AS (
+  SELECT month, n_parts,
+         round(lnum / lden, 6) AS laspeyres,
+         round(pnum / pden, 6) AS paasche,
+         round(sqrt((lnum / lden) * (pnum / pden)), 6) AS fisher
+  FROM pi_m
+)
+"""
+
+
+def market_hhi(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Herfindahl-Hirschman concentration index + CR4 over brand
+    revenue shares — the antitrust-style market-structure readout
+    beside the Gini/Lorenz inequality family: HHI = Σ (100·share_b)²
+    (0..10000 points), CR4 = top-4 brands' combined share. Brand
+    revenue is exact integer cents; shares divide once per brand row
+    (dim-bounded grain), and the top-4 selection is a row_number over
+    the ~dozens-of-brands grain ordered (rev DESC, brand) — bounded,
+    deterministic under ties.
+
+    Output (1 row): n_brands, total_cents, hhi, cr4.
+    """
+    rev = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast(
+                    "bigint"
+                )
+            ).alias("r")
+        )
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    wr = Window.orderBy(F.desc("r"), F.asc("brand"))
+    shares = (
+        rev.withColumn("rk", F.row_number().over(wr))
+        .crossJoin(F.broadcast(tot))
+    )
+    sh = F.col("r").cast("double") / F.col("t").cast("double")
+    return shares.agg(
+        F.count("*").alias("n_brands"),
+        F.max("t").alias("total_cents"),
+        F.round(F.sum(F.lit(100.0) * sh * (F.lit(100.0) * sh)), 6).alias(
+            "hhi"
+        ),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 4, sh).otherwise(F.lit(0.0))),
+            6,
+        ).alias("cr4"),
+    )
+
+
+ORACLE_HHI = """
+hh_rev AS (
+  SELECT p.p_brand AS brand,
+         CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+),
+hh_tot AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM hh_rev),
+hh_rk AS (
+  SELECT r, t,
+         row_number() OVER (ORDER BY r DESC, brand) AS rk
+  FROM hh_rev, hh_tot
+),
+market_hhi AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_brands,
+         max(t) AS total_cents,
+         round(sum((100.0 * CAST(r AS DOUBLE) / CAST(t AS DOUBLE))
+                   * (100.0 * CAST(r AS DOUBLE) / CAST(t AS DOUBLE))),
+               6) AS hhi,
+         round(sum(CASE WHEN rk <= 4
+                        THEN CAST(r AS DOUBLE) / CAST(t AS DOUBLE)
+                        ELSE 0.0 END), 6) AS cr4
+  FROM hh_rk
+)
+"""
+
+
+def abc_classes(lineitem: DataFrame) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    = the head that carries ≤80% of cumulative revenue, B to 95%, C
+    the tail — the operational cut of the Lorenz curve. Cumulative
+    revenue comes from descending prefix-sums over the DISTINCT
+    part-revenue grain (no global sort; a tie group classifies as a
+    unit), and the class cuts are cross-multiplied integers
+    (cum·100 ≤ 80·total), so no float touches the decision.
+
+    Output per class: abc_class, n_parts, rev_cents, rev_share.
+    """
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        ).alias("x")
+    )
+    per_v = per_part.groupBy("x").agg(F.count("*").alias("c"))
+    wd = Window.orderBy(F.desc("x")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per_part.agg(F.sum("x").alias("t"))
+    classed = (
+        per_v.withColumn("cum", F.sum(F.col("x") * F.col("c")).over(wd))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "c",
+            F.when(
+                F.col("cum") * 100 <= 80 * F.col("t"), F.lit("A")
+            )
+            .when(F.col("cum") * 100 <= 95 * F.col("t"), F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+            "t",
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.sum("c").alias("n_parts"),
+            F.sum(F.col("x") * F.col("c")).alias("rev_cents"),
+            F.round(
+                F.sum(F.col("x") * F.col("c")).cast("double")
+                / F.max("t").cast("double"),
+                6,
+            ).alias("rev_share"),
+        )
+    )
+
+
+ORACLE_ABC = """
+abc_p AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS x
+  FROM lineitem GROUP BY 1
+),
+abc_v AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS c FROM abc_p GROUP BY 1
+),
+abc_t AS (SELECT CAST(sum(x) AS BIGINT) AS t FROM abc_p),
+abc_c AS (
+  SELECT x, c, t,
+         CASE WHEN cum * 100 <= 80 * t THEN 'A'
+              WHEN cum * 100 <= 95 * t THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM (
+    SELECT x, c,
+           CAST(sum(x * c) OVER (ORDER BY x DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+    FROM abc_v
+  ), abc_t
+),
+abc_classes AS (
+  SELECT abc_class,
+         CAST(sum(c) AS BIGINT) AS n_parts,
+         CAST(sum(x * c) AS BIGINT) AS rev_cents,
+         round(CAST(sum(x * c) AS BIGINT) / CAST(max(t) AS DOUBLE), 6)
+           AS rev_share
+  FROM abc_c GROUP BY 1
+)
+"""
