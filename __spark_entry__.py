@@ -1738,6 +1738,33 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.concurrency_curve(load_table(spark, sf_dir, "events"))
 
 
+def q_events_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking (IPF) on the type×variant grid to uniform/50-50
+    target margins — integer-millionth unrolled rounds."""
+    return _tmp.ipf_raking(load_table(spark, sf_dir, "events"))
+
+
+def q_events_stratified_ate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Post-stratified ATE over engagement quartiles: within-stratum
+    arm contrasts + weights, ATE = Σ contributions."""
+    return _tmp.stratified_ate(load_table(spark, sf_dir, "events"))
+
+
+def q_delta_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-encoding advisor over sorted integer keys: bucketed
+    two-level max-gap, integer bin()-length bit widths."""
+    return _prof.delta_encoding_advisor(
+        {
+            "orders": load_table(spark, sf_dir, "orders"),
+            "lineitem": _lineitem(spark, sf_dir),
+            "events": load_table(spark, sf_dir, "events"),
+            "customer": load_table(spark, sf_dir, "customer"),
+        }
+    )
+
+
 def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laspeyres/Paasche/Fisher monthly price indices vs the base
     month's matched basket (rational month-part prices)."""
@@ -2995,6 +3022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_index": q_price_index,
         "market_hhi": q_market_hhi,
         "parts_abc": q_parts_abc,
+        "events_ipf": q_events_ipf,
+        "events_stratified_ate": q_events_stratified_ate,
+        "delta_advisor": q_delta_advisor,
         "events_offpolicy": q_events_offpolicy,
         "graph_modularity": q_graph_modularity,
         "events_group_sequential": q_events_group_sequential,
@@ -3861,6 +3891,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "market_hhi": _ext_oracle([_ana.ORACLE_HHI], "market_hhi"),
         "parts_abc": _ext_oracle([_ana.ORACLE_ABC], "abc_classes"),
+        "events_ipf": _ext_oracle(
+            [_tmp.oracle_ipf_raking()], "ipf_raking"
+        ),
+        "events_stratified_ate": _ext_oracle(
+            [_tmp.ORACLE_STRAT_ATE], "stratified_ate"
+        ),
+        "delta_advisor": _ext_oracle(
+            [_prof.oracle_delta_advisor()], "delta_encoding_advisor"
+        ),
         "events_offpolicy": _ext_oracle(
             [_tmp.ORACLE_IPS], "offpolicy_ips"
         ),

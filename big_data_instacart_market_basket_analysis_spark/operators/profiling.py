@@ -17,7 +17,7 @@ plan shape is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: profiled columns of the documents fixture.
@@ -1223,3 +1223,154 @@ dq_constraint_report AS (
   FROM dq_ref
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# delta-encoding advisor (sorted integer key columns)
+# ---------------------------------------------------------------------------
+
+#: integer key columns whose storage order is (or would be) the key
+#: itself — the precondition for delta/delta-of-delta encoding.
+DELTA_CANDIDATES: tuple[tuple[str, str], ...] = (
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"),
+    ("events", "event_id"),
+    ("customer", "c_custkey"),
+)
+
+#: bucket width for the distinct-key prefix machinery.
+DELTA_BUCKET = 1_000_000
+
+
+def delta_encoding_advisor(
+    tables: dict[str, DataFrame]
+) -> DataFrame:
+    """Delta-encoding benefit estimate per sorted integer key column —
+    the third leg of the layout-advisor family (RLE sort advisor,
+    dictionary advisor): in key order, each value stores only its gap
+    from the predecessor, so the bit width is ceil(log2(max_gap + 1))
+    instead of 64. Duplicate rows are gap-0 and free.
+
+    The max gap over the DISTINCT-key grain is computed WITHOUT a
+    global sort: within-bucket gaps via a lag window partitioned by
+    key DIV {B}, cross-bucket gaps via min/max per bucket and a lag
+    over the bounded bucket grain; the true max is the max of both.
+    Bits come from length(bin(max_gap)) — integer, never a float log
+    — so the recommendation is an exact BIGINT comparison.
+
+    Output per column: tbl_col, n_rows, n_distinct, max_gap,
+    delta_bits, delta_bytes_est, plain_bytes, recommend.
+    """
+    out = None
+    for tbl, col in DELTA_CANDIDATES:
+        vals = (
+            tables[tbl]
+            .select(F.col(col).cast("bigint").alias("v"))
+            .groupBy("v")
+            .agg(F.count("*").alias("c"))
+            .withColumn("bucket", F.expr(f"v DIV {DELTA_BUCKET}"))
+        )
+        win = Window.partitionBy("bucket").orderBy("v")
+        within = vals.select(
+            "v",
+            "c",
+            "bucket",
+            (F.col("v") - F.lag("v").over(win)).alias("gap"),
+        )
+        bgrain = within.groupBy("bucket").agg(
+            F.min("v").alias("bmin"),
+            F.max("v").alias("bmax"),
+            F.max("gap").alias("wmax"),
+            F.sum("c").alias("bc"),
+            F.count("*").alias("bd"),
+        )
+        wb = Window.orderBy("bucket")
+        cross = bgrain.select(
+            "wmax",
+            "bc",
+            "bd",
+            (F.col("bmin") - F.lag("bmax").over(wb)).alias("xgap"),
+        )
+        row = (
+            cross.agg(
+                F.lit(f"{tbl}.{col}").alias("tbl_col"),
+                F.sum("bc").alias("n_rows"),
+                F.sum("bd").alias("n_distinct"),
+                F.greatest(
+                    F.coalesce(F.max("wmax"), F.lit(0)),
+                    F.coalesce(F.max("xgap"), F.lit(0)),
+                ).alias("max_gap"),
+            )
+            .withColumn(
+                "delta_bits",
+                F.when(
+                    F.col("max_gap") > 0,
+                    F.length(F.expr("bin(max_gap)")),
+                )
+                .otherwise(F.lit(1))
+                .cast("bigint"),
+            )
+            .withColumn(
+                "delta_bytes_est",
+                F.lit(8)
+                + F.expr("((n_rows - 1) * delta_bits + 7) div 8"),
+            )
+            .withColumn("plain_bytes", F.col("n_rows") * 8)
+            .select(
+                "tbl_col",
+                "n_rows",
+                "n_distinct",
+                "max_gap",
+                "delta_bits",
+                "delta_bytes_est",
+                "plain_bytes",
+                (F.col("delta_bytes_est") < F.col("plain_bytes"))
+                .cast("int")
+                .alias("recommend"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+delta_encoding_advisor.__doc__ = delta_encoding_advisor.__doc__.format(
+    B=DELTA_BUCKET
+)
+
+
+def oracle_delta_advisor() -> str:
+    """Textbook single-order lag per column — semantically identical
+    to the bucketed two-level max."""
+    parts = []
+    for tbl, col in DELTA_CANDIDATES:
+        parts.append(
+            f"""
+  SELECT '{tbl}.{col}' AS tbl_col, n_rows, n_distinct, max_gap,
+         CAST(CASE WHEN max_gap > 0
+                   THEN length(bin(max_gap))
+                   ELSE 1 END AS BIGINT) AS delta_bits,
+         CAST(8 + ((n_rows - 1)
+              * (CASE WHEN max_gap > 0
+                      THEN length(bin(max_gap)) ELSE 1 END) + 7) // 8
+              AS BIGINT) AS delta_bytes_est,
+         CAST(n_rows * 8 AS BIGINT) AS plain_bytes,
+         CAST(CASE WHEN 8 + ((n_rows - 1)
+                   * (CASE WHEN max_gap > 0
+                          THEN length(bin(max_gap)) ELSE 1 END) + 7)
+                   // 8 < n_rows * 8
+                   THEN 1 ELSE 0 END AS INT) AS recommend
+  FROM (
+    SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
+    FROM (
+      SELECT c, v - lag(v) OVER (ORDER BY v) AS gap
+      FROM (SELECT CAST({col} AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM {tbl} GROUP BY 1)
+    )
+  )"""
+        )
+        parts.append("  UNION ALL")
+    body = "\n".join(parts[:-1])
+    return f"delta_encoding_advisor AS (\n{body}\n)"

@@ -8767,3 +8767,288 @@ orders_backlog_curve AS (
   FROM bk_day
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# iterative proportional fitting (survey raking) on the type x variant grid
+# ---------------------------------------------------------------------------
+
+#: IPF rounds (each = one row-scale + one column-scale).
+IPF_ROUNDS = 3
+#: weight scale (millionths).
+IPF_SCALE = 1_000_000
+
+
+def ipf_raking(events: DataFrame) -> DataFrame:
+    """Survey raking / iterative proportional fitting: reweight the
+    observed (event_type × variant) contingency cells so the weighted
+    margins match TARGET margins (uniform over types, 50/50 over
+    variants) — the standard post-stratification weighting when a
+    sample's composition drifts from the population's. Each IPF round
+    scales rows then columns by target/current margin; weights are
+    integer millionths with floor division, so the unrolled rounds
+    replay exactly in any engine.
+
+    The fact table collapses to the k×2 cell grid in ONE hash-agg;
+    every IPF round after that is two aggs + two joins on the
+    CELL-GRAIN table (bounded by the category product, never data) —
+    at 100 TB the iteration cost does not change.
+
+    Output per cell: event_type, variant, n_obs, w_mill (final
+    weight, millionths of the initial uniform weight).
+    """
+    # one fact pass to the k x 2 cell grid, then CHECKPOINT: every IPF
+    # round references the weight table twice (margin agg + rescale
+    # join), so without a lineage cut the fact agg re-runs 4^rounds
+    # times (measured 12 s -> ~1 s at sf0.01).
+    cells = (
+        events.groupBy(
+            "event_type",
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+        )
+        .agg(F.count("*").alias("n_obs"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(F.sum("n_obs").alias("n"), F.count("*").alias("k"))
+    # target margins: each type gets n/n_types, each variant n/2 —
+    # expressed per cell via 1-row broadcast.
+    w = (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "variant",
+            "n_obs",
+            "n",
+            F.lit(IPF_SCALE).cast("bigint").alias("w"),
+        )
+    )
+    n_types = cells.select("event_type").distinct().count()
+    # margins as partitioned windows over the cell grid (the oracle's
+    # exact shape) — no per-round joins, so the unrolled plan stays
+    # flat: 2 window ops per round over k x 2 rows.
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("variant")
+    for _ in range(IPF_ROUNDS):
+        w = w.withColumn(
+            "rm", F.sum(F.col("w") * F.col("n_obs")).over(wr)
+        ).select(
+            "event_type",
+            "variant",
+            "n_obs",
+            "n",
+            F.expr(
+                f"CAST(w * (n * {IPF_SCALE} DIV {n_types})"
+                " DIV rm AS BIGINT)"
+            ).alias("w"),
+        )
+        w = w.withColumn(
+            "cm", F.sum(F.col("w") * F.col("n_obs")).over(wc)
+        ).select(
+            "event_type",
+            "variant",
+            "n_obs",
+            "n",
+            F.expr(
+                f"CAST(w * (n * {IPF_SCALE} DIV 2)"
+                " DIV cm AS BIGINT)"
+            ).alias("w"),
+        )
+    return w.select(
+        "event_type", "variant", "n_obs", F.col("w").alias("w_mill")
+    )
+
+
+def oracle_ipf_raking(rounds: int = IPF_ROUNDS) -> str:
+    ctes = [
+        f"""
+ipf_cells AS (
+  SELECT event_type, CAST(user_id % 2 AS INT) AS variant,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM events GROUP BY 1, 2
+),
+ipf_tot AS (
+  SELECT CAST(sum(n_obs) AS BIGINT) AS n,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS nt
+  FROM ipf_cells
+),
+ipf_w0 AS (
+  SELECT event_type, variant, n_obs, n, nt,
+         CAST({IPF_SCALE} AS BIGINT) AS w
+  FROM ipf_cells, ipf_tot
+)"""
+    ]
+    prev = "ipf_w0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""
+ipf_r{i} AS MATERIALIZED (
+  SELECT event_type, variant, n_obs, n, nt,
+         CAST(w * (n * {IPF_SCALE} // nt)
+              // (CAST(sum(w * n_obs) OVER (PARTITION BY event_type)
+                  AS BIGINT)) AS BIGINT) AS w
+  FROM {prev}
+),
+ipf_c{i} AS MATERIALIZED (
+  SELECT event_type, variant, n_obs, n, nt,
+         CAST(w * (n * {IPF_SCALE} // 2)
+              // (CAST(sum(w * n_obs) OVER (PARTITION BY variant)
+                  AS BIGINT)) AS BIGINT) AS w
+  FROM ipf_r{i}
+)"""
+        )
+        prev = f"ipf_c{i}"
+    ctes.append(
+        f"""
+ipf_raking AS (
+  SELECT event_type, variant, n_obs, w AS w_mill FROM {prev}
+)"""
+    )
+    return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# stratified average treatment effect (post-stratification causal readout)
+# ---------------------------------------------------------------------------
+
+#: engagement strata (quartiles of the view-count proxy).
+ATE_STRATA = 4
+
+
+def stratified_ate(events: DataFrame) -> DataFrame:
+    """Post-stratified average treatment effect: users stratify into
+    engagement quartiles (view-count prefix-sum buckets — the
+    propensity-proxy blocking step), the arm contrast is estimated
+    WITHIN each stratum, and the ATE is the stratum-weighted sum —
+    the causal design that removes covariate imbalance a raw
+    difference-in-means inherits (here the arms are randomized, so
+    this doubles as a balance check: contributions should agree).
+
+    Per-stratum means come from exact BIGINT cent sums; each output
+    row carries its weight n_g/N and contribution weight·diff, so
+    ATE = Σ ate_contrib is readable off the result. Strata cuts use
+    the same DISTINCT-score prefix machinery as the Qini deciles.
+
+    Output per stratum: stratum, n_t, n_c, mean_t, mean_c, diff,
+    weight, ate_contrib.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100, 0).cast("bigint"),
+            ).otherwise(0)
+        ).alias("r"),
+    ).select(
+        "x", "r", (F.col("user_id") % 2).cast("int").alias("t")
+    )
+    per_v = per_user.groupBy("x").agg(F.count("*").alias("c"))
+    wd = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = per_user.agg(F.count("*").alias("n_all"))
+    strata = (
+        per_v.withColumn(
+            "p", F.coalesce(F.sum("c").over(wd), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            F.least(
+                F.lit(ATE_STRATA - 1),
+                (ATE_STRATA * F.col("p")) / F.col("n_all"),
+            )
+            .cast("int")
+            .alias("stratum"),
+            "n_all",
+        )
+    )
+    cells = (
+        per_user.join(strata, "x")
+        .groupBy("stratum")
+        .agg(
+            F.max("n_all").alias("n_all"),
+            F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).alias("n_t"),
+            F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).alias("n_c"),
+            F.sum(F.when(F.col("t") == 1, F.col("r")).otherwise(0)).alias(
+                "s_t"
+            ),
+            F.sum(F.when(F.col("t") == 0, F.col("r")).otherwise(0)).alias(
+                "s_c"
+            ),
+        )
+    )
+    mt = F.col("s_t").cast("double") / F.col("n_t").cast("double")
+    mc = F.col("s_c").cast("double") / F.col("n_c").cast("double")
+    wgt = (F.col("n_t") + F.col("n_c")).cast("double") / F.col(
+        "n_all"
+    ).cast("double")
+    return cells.select(
+        "stratum",
+        "n_t",
+        "n_c",
+        F.round(mt, 6).alias("mean_t"),
+        F.round(mc, 6).alias("mean_c"),
+        F.round(mt - mc, 6).alias("diff"),
+        F.round(wgt, 6).alias("weight"),
+        F.round(wgt * (mt - mc), 6).alias("ate_contrib"),
+    )
+
+
+ORACLE_STRAT_ATE = f"""
+sa_user AS (
+  SELECT CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS r,
+         CAST(user_id % 2 AS INT) AS t
+  FROM events GROUP BY user_id
+),
+sa_strata AS (
+  SELECT x, CAST(least({ATE_STRATA - 1},
+                       ({ATE_STRATA} * p) // n_all) AS INT) AS stratum,
+         n_all
+  FROM (
+    SELECT x,
+           CAST(coalesce(sum(count(*)) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS p,
+           (SELECT count(*) FROM sa_user) AS n_all
+    FROM sa_user GROUP BY 1
+  )
+),
+sa_cells AS (
+  SELECT s.stratum,
+         CAST(max(s.n_all) AS BIGINT) AS n_all,
+         CAST(sum(CASE WHEN u.t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_t,
+         CAST(sum(CASE WHEN u.t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_c,
+         CAST(sum(CASE WHEN u.t = 1 THEN u.r ELSE 0 END) AS BIGINT)
+           AS s_t,
+         CAST(sum(CASE WHEN u.t = 0 THEN u.r ELSE 0 END) AS BIGINT)
+           AS s_c
+  FROM sa_user u JOIN sa_strata s ON u.x = s.x
+  GROUP BY 1
+),
+stratified_ate AS (
+  SELECT stratum, n_t, n_c,
+         round(CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE), 6)
+           AS mean_t,
+         round(CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+           AS mean_c,
+         round(CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+               - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+           AS diff,
+         round(CAST(n_t + n_c AS DOUBLE) / CAST(n_all AS DOUBLE), 6)
+           AS weight,
+         round(CAST(n_t + n_c AS DOUBLE) / CAST(n_all AS DOUBLE)
+               * (CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                  - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)), 6)
+           AS ate_contrib
+  FROM sa_cells
+)
+"""
