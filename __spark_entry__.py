@@ -1738,6 +1738,24 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.concurrency_curve(load_table(spark, sf_dir, "events"))
 
 
+def q_events_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges g + CI for the A/B spend contrast (exact
+    BIGINT moments, one closed-form expression each)."""
+    return _tmp.effect_size_report(load_table(spark, sf_dir, "events"))
+
+
+def q_events_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill power-law tail index of the spend distribution (top-5%
+    tail via descending distinct-value prefix sums)."""
+    return _tmp.hill_tail_index(load_table(spark, sf_dir, "events"))
+
+
+def q_docs_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the Gopher and CCNet quality raters
+    (chance-corrected agreement on exact 2x2 cells)."""
+    return _text.rater_kappa(load_table(spark, sf_dir, "documents"))
+
+
 def q_events_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survey raking (IPF) on the type×variant grid to uniform/50-50
     target margins — integer-millionth unrolled rounds."""
@@ -3025,6 +3043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ipf": q_events_ipf,
         "events_stratified_ate": q_events_stratified_ate,
         "delta_advisor": q_delta_advisor,
+        "events_effect_size": q_events_effect_size,
+        "events_hill_tail": q_events_hill_tail,
+        "docs_rater_kappa": q_docs_rater_kappa,
         "events_offpolicy": q_events_offpolicy,
         "graph_modularity": q_graph_modularity,
         "events_group_sequential": q_events_group_sequential,
@@ -3899,6 +3920,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "delta_advisor": _ext_oracle(
             [_prof.oracle_delta_advisor()], "delta_encoding_advisor"
+        ),
+        "events_effect_size": _ext_oracle(
+            [_tmp.ORACLE_EFFECT_SIZE], "effect_size_report"
+        ),
+        "events_hill_tail": _ext_oracle(
+            [_tmp.ORACLE_HILL], "hill_tail_index"
+        ),
+        "docs_rater_kappa": _ext_oracle(
+            [
+                _text.oracle_gopher_rules(),
+                _text.ORACLE_UNIGRAM_LOGPROB,
+                _text.ORACLE_CCNET_BUCKETS,
+                _text.ORACLE_KAPPA,
+            ],
+            "rater_kappa",
         ),
         "events_offpolicy": _ext_oracle(
             [_tmp.ORACLE_IPS], "offpolicy_ips"

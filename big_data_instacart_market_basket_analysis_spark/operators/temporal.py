@@ -9052,3 +9052,233 @@ stratified_ate AS (
   FROM sa_cells
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# standardized effect size (Cohen's d / Hedges g for the A/B contrast)
+# ---------------------------------------------------------------------------
+
+
+def effect_size_report(events: DataFrame) -> DataFrame:
+    """Standardized effect size of the A/B spend contrast — the
+    magnitude readout the significance family (Welch z, Mann-Whitney,
+    permutation) deliberately doesn't give: Cohen's d on the pooled
+    SD, the small-sample Hedges g correction, and the 95% CI of d.
+    "Significant but d = 0.02" and "underpowered but d = 0.8" are the
+    two decisions this row exists for.
+
+    Per-arm moments are exact BIGINT cents from ONE user-grain agg +
+    one 1-row reduction; d/g/CI are a single scalar expression each
+    (the n·Σx² − (Σx)² variance identity), so both engines agree to
+    the last bit before round(6).
+
+    Output (1 row): n0, n1, mean_diff, cohen_d, hedges_g, d_lo, d_hi.
+    """
+    per_user = (
+        events.filter(F.col("event_type") == AB_METRIC_TYPE)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("bigint")
+            ).alias("uc")
+        )
+        .select(
+            "uc", (F.col("user_id") % 2).cast("int").alias("v")
+        )
+    )
+    m = per_user.agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("v") == 0, F.col("uc")).otherwise(0)).alias(
+            "s0"
+        ),
+        F.sum(
+            F.when(F.col("v") == 0, F.col("uc") * F.col("uc")).otherwise(0)
+        ).alias("q0"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("v") == 1, F.col("uc")).otherwise(0)).alias(
+            "s1"
+        ),
+        F.sum(
+            F.when(F.col("v") == 1, F.col("uc") * F.col("uc")).otherwise(0)
+        ).alias("q1"),
+    )
+    n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    ss0 = F.col("q0").cast("double") - F.col("s0").cast(
+        "double"
+    ) * F.col("s0").cast("double") / n0
+    ss1 = F.col("q1").cast("double") - F.col("s1").cast(
+        "double"
+    ) * F.col("s1").cast("double") / n1
+    sp = F.sqrt((ss0 + ss1) / (n0 + n1 - 2))
+    diff = F.col("s1").cast("double") / n1 - F.col("s0").cast(
+        "double"
+    ) / n0
+    d = diff / sp
+    g = d * (1.0 - 3.0 / (4.0 * (n0 + n1) - 9.0))
+    se = F.sqrt((n0 + n1) / (n0 * n1) + d * d / (2.0 * (n0 + n1)))
+    return m.select(
+        "n0",
+        "n1",
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(d, 6).alias("cohen_d"),
+        F.round(g, 6).alias("hedges_g"),
+        F.round(d - 1.96 * se, 6).alias("d_lo"),
+        F.round(d + 1.96 * se, 6).alias("d_hi"),
+    )
+
+
+ORACLE_EFFECT_SIZE = f"""
+es_u AS (
+  SELECT CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS uc,
+         CAST(user_id % 2 AS INT) AS v
+  FROM events WHERE event_type = '{AB_METRIC_TYPE}'
+  GROUP BY user_id
+),
+es_m AS (
+  SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN v = 0 THEN uc ELSE 0 END) AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN v = 0 THEN uc * uc ELSE 0 END) AS BIGINT)
+           AS q0,
+         CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN v = 1 THEN uc ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN v = 1 THEN uc * uc ELSE 0 END) AS BIGINT)
+           AS q1
+  FROM es_u
+),
+es_d AS (
+  SELECT n0, n1,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff,
+         (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+         / sqrt(((CAST(q0 AS DOUBLE)
+                  - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                    / CAST(n0 AS DOUBLE))
+                 + (CAST(q1 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / CAST(n1 AS DOUBLE)))
+                / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 2))
+           AS d
+  FROM es_m
+),
+effect_size_report AS (
+  SELECT n0, n1,
+         round(diff, 6) AS mean_diff,
+         round(d, 6) AS cohen_d,
+         round(d * (1.0 - 3.0 / (4.0 * (CAST(n0 AS DOUBLE)
+                                        + CAST(n1 AS DOUBLE)) - 9.0)),
+               6) AS hedges_g,
+         round(d - 1.96 * sqrt((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+                 / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                 + d * d / (2.0 * (CAST(n0 AS DOUBLE)
+                                   + CAST(n1 AS DOUBLE)))), 6) AS d_lo,
+         round(d + 1.96 * sqrt((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+                 / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                 + d * d / (2.0 * (CAST(n0 AS DOUBLE)
+                                   + CAST(n1 AS DOUBLE)))), 6) AS d_hi
+  FROM es_d
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (power-law heaviness of the spend tail)
+# ---------------------------------------------------------------------------
+
+#: tail fraction (top 1/20 of users by spend).
+HILL_TAIL_DIV = 20
+
+
+def hill_tail_index(events: DataFrame) -> DataFrame:
+    """Hill estimator of the spend distribution's power-law tail
+    index: over the top ~5% of users by spend, alpha =
+    k / Σ ln(x_i / x_min) — the heavy-tail diagnostic behind "is
+    revenue Pareto enough that whale outliers are structural, not
+    anomalies" (alpha ≤ 2 means infinite variance: cap-based
+    anomaly rules will misfire forever). Companion to the Zipf fit
+    on term frequencies, pointed at money.
+
+    The tail cut uses the descending DISTINCT-value prefix machinery
+    (a straddling tie group joins the tail as a unit; k_eff is
+    reported); ln terms are per-user scalars summed over the
+    k-bounded tail only.
+
+    Output (1 row): n_users, k_tail, xmin_cents, alpha.
+    """
+    per_user = (
+        events.filter(F.col("event_type") == AB_METRIC_TYPE)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("bigint")
+            ).alias("uc")
+        )
+    )
+    per_v = per_user.groupBy("uc").agg(F.count("*").alias("c"))
+    wd = Window.orderBy(F.desc("uc")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = per_user.agg(F.count("*").alias("n_all"))
+    tail_vals = (
+        per_v.withColumn(
+            "p", F.coalesce(F.sum("c").over(wd), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("p") < F.expr(f"n_all DIV {HILL_TAIL_DIV}")
+        )
+        .select("uc", "c", "n_all")
+    )
+    m = tail_vals.agg(
+        F.max("n_all").alias("n_users"),
+        F.sum("c").alias("k_tail"),
+        F.min("uc").alias("xmin"),
+        F.sum(
+            F.col("c").cast("double")
+            * F.log(F.col("uc").cast("double"))
+        ).alias("slnx"),
+    )
+    alpha = F.col("k_tail").cast("double") / (
+        F.col("slnx")
+        - F.col("k_tail").cast("double")
+        * F.log(F.col("xmin").cast("double"))
+    )
+    return m.select(
+        "n_users",
+        "k_tail",
+        F.col("xmin").alias("xmin_cents"),
+        F.round(alpha, 6).alias("alpha"),
+    )
+
+
+ORACLE_HILL = f"""
+hl_u AS (
+  SELECT CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS uc
+  FROM events WHERE event_type = '{AB_METRIC_TYPE}'
+  GROUP BY user_id
+),
+hl_v AS (
+  SELECT uc, CAST(count(*) AS BIGINT) AS c,
+         CAST(coalesce(sum(count(*)) OVER (ORDER BY uc DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS p,
+         (SELECT count(*) FROM hl_u) AS n_all
+  FROM hl_u GROUP BY 1
+),
+hl_m AS (
+  SELECT CAST(max(n_all) AS BIGINT) AS n_users,
+         CAST(sum(c) AS BIGINT) AS k_tail,
+         CAST(min(uc) AS BIGINT) AS xmin,
+         sum(CAST(c AS DOUBLE) * ln(CAST(uc AS DOUBLE))) AS slnx
+  FROM hl_v WHERE p < n_all // {HILL_TAIL_DIV}
+),
+hill_tail_index AS (
+  SELECT n_users, k_tail, xmin AS xmin_cents,
+         round(CAST(k_tail AS DOUBLE)
+               / (slnx - CAST(k_tail AS DOUBLE)
+                         * ln(CAST(xmin AS DOUBLE))), 6) AS alpha
+  FROM hl_m
+)
+"""

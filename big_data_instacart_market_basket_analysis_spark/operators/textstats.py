@@ -3797,3 +3797,98 @@ nb_learning_curve AS (
   GROUP BY 1, 2
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# inter-rater agreement (Cohen's kappa between two quality filters)
+# ---------------------------------------------------------------------------
+
+
+def rater_kappa(docs: DataFrame) -> DataFrame:
+    """Cohen's kappa between the engine's two independent quality
+    raters — the Gopher rule verdict and the CCNet perplexity tercile
+    (keep = not 'tail') — the chance-corrected agreement readout that
+    raw accuracy overstates when the base rate is skewed. Labeling
+    pipelines gate on exactly this number before trusting weak labels
+    (kappa < 0.4 means the raters barely agree beyond chance and the
+    ensemble label is noise).
+
+    One doc-key join of the two per-doc verdict tables, then a single
+    4-cell conditional agg; po/pe/kappa are one scalar expression on
+    the exact BIGINT cells.
+
+    Output (1 row): n, both_keep, gopher_only, ccnet_only, neither,
+    po, pe, kappa.
+    """
+    g = gopher_rules(docs).select(
+        "doc_id", F.col("keep").alias("r1")
+    )
+    c = ccnet_buckets(docs).select(
+        "doc_id", (F.col("bucket") != "tail").alias("r2")
+    )
+    cells = g.join(c, "doc_id").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("r1") & F.col("r2")).cast("int")
+        ).alias("a"),
+        F.sum(
+            (F.col("r1") & ~F.col("r2")).cast("int")
+        ).alias("b"),
+        F.sum(
+            (~F.col("r1") & F.col("r2")).cast("int")
+        ).alias("c"),
+        F.sum(
+            (~F.col("r1") & ~F.col("r2")).cast("int")
+        ).alias("d"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("a") + F.col("d")).cast("double") / nd
+    pe = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        + (F.col("c") + F.col("d")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
+    ) / (nd * nd)
+    return cells.select(
+        "n",
+        F.col("a").alias("both_keep"),
+        F.col("b").alias("gopher_only"),
+        F.col("c").alias("ccnet_only"),
+        F.col("d").alias("neither"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
+
+
+ORACLE_KAPPA = """
+kp_cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN g.keep AND c.bucket <> 'tail'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN g.keep AND c.bucket = 'tail'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN NOT g.keep AND c.bucket <> 'tail'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN NOT g.keep AND c.bucket = 'tail'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM gopher_rules g JOIN ccnet_buckets c USING (doc_id)
+),
+rater_kappa AS (
+  SELECT n, a AS both_keep, b AS gopher_only, c AS ccnet_only,
+         d AS neither,
+         round(CAST(a + d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+         round((CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+         round((CAST(a + d AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                   + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / (1.0 - (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                         + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
+               6) AS kappa
+  FROM kp_cells
+)
+"""
