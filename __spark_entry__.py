@@ -1738,6 +1738,24 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.concurrency_curve(load_table(spark, sf_dir, "events"))
 
 
+def q_events_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality: lagged clicks vs lagged revenue on the day
+    series — nested verified-OLS F-test (Cramer 3x3 vs 2x2)."""
+    return _glm.granger_test(load_table(spark, sf_dir, "events"))
+
+
+def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficients at fixed degree thresholds: one edge
+    pass with conditional sums, exact BIGINT densities."""
+    return _graph.rich_club(_lineitem(spark, sf_dir))
+
+
+def q_ann_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified kNN classifier eval: majority-vote over exact cosine
+    neighbors, packed-BIGINT argmax, per-class accuracy."""
+    return _sim.knn_classifier_eval(_emb(spark, sf_dir))
+
+
 def q_events_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's d / Hedges g + CI for the A/B spend contrast (exact
     BIGINT moments, one closed-form expression each)."""
@@ -3046,6 +3064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_effect_size": q_events_effect_size,
         "events_hill_tail": q_events_hill_tail,
         "docs_rater_kappa": q_docs_rater_kappa,
+        "events_granger": q_events_granger,
+        "graph_rich_club": q_graph_rich_club,
+        "ann_knn_classifier": q_ann_knn_classifier,
         "events_offpolicy": q_events_offpolicy,
         "graph_modularity": q_graph_modularity,
         "events_group_sequential": q_events_group_sequential,
@@ -3926,6 +3947,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_hill_tail": _ext_oracle(
             [_tmp.ORACLE_HILL], "hill_tail_index"
+        ),
+        "events_granger": _ext_oracle(
+            [_glm.ORACLE_GRANGER], "granger_test"
+        ),
+        "graph_rich_club": _ext_oracle(
+            [_graph.oracle_rich_club()], "rich_club"
+        ),
+        "ann_knn_classifier": _ext_oracle(
+            [_sim.ORACLE_KNN_CLS], "knn_classifier_eval"
         ),
         "docs_rater_kappa": _ext_oracle(
             [

@@ -986,3 +986,184 @@ ridge_train AS (
   UNION ALL SELECT 'beta2', round(det2 / det, 6) FROM rg_d
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Granger causality (do lagged clicks predict revenue beyond its own lag?)
+# ---------------------------------------------------------------------------
+
+#: F critical value at alpha=0.05 for df1=1, df2~60.
+GRANGER_F_CRIT = 4.00
+
+
+def granger_test(events: DataFrame) -> DataFrame:
+    """Granger causality test on the daily series: does yesterday's
+    CLICK count improve today's revenue prediction beyond yesterday's
+    revenue itself? Restricted model y_t ~ y_{t-1} (2×2 closed form)
+    vs full model y_t ~ y_{t-1} + clk_{t-1} (the 3×3 Cramer solve of
+    the verified-OLS family); F = (SSE_r − SSE_f) / (SSE_f/(n−3)),
+    df1 = 1 with a fixed critical literal.
+
+    Both regressions come from ONE moment row: the fact table
+    collapses to the day grain, lags are one window over the bounded
+    day series (calendar gaps treated as consecutive observations —
+    documented), and all ten moments are exact BIGINT cent products.
+    At ~1e9 cents/day the y² moments near BIGINT range —
+    decimal(38,0) swap, plan unchanged.
+
+    Output (1 row): n_days, beta_lag_rev, beta_lag_clicks, sse_r,
+    sse_f, f_stat, granger_causes.
+    """
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                ).otherwise(0)
+            ).alias("rev"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("clk"),
+        )
+    )
+    w = Window.orderBy("day")
+    rows = (
+        daily.select(
+            F.col("rev").alias("y"),
+            F.lag("rev").over(w).alias("x1"),
+            F.lag("clk").over(w).alias("x2"),
+        )
+        .filter(F.col("x1").isNotNull())
+    )
+    m = rows.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = m.selectExpr(
+        "CAST(n AS DOUBLE) AS dn",
+        "CAST(sx1 AS DOUBLE) AS a1",
+        "CAST(sx2 AS DOUBLE) AS a2",
+        "CAST(sx11 AS DOUBLE) AS a11",
+        "CAST(sx12 AS DOUBLE) AS a12",
+        "CAST(sx22 AS DOUBLE) AS a22",
+        "CAST(sy AS DOUBLE) AS b0",
+        "CAST(sx1y AS DOUBLE) AS b1",
+        "CAST(sx2y AS DOUBLE) AS b2",
+        "CAST(syy AS DOUBLE) AS yy",
+        "CAST(n AS BIGINT) AS n_days",
+    ).selectExpr(
+        "*",
+        # full 3x3 Cramer (fixed parenthesization, oracle-mirrored)
+        "dn * (a11 * a22 - a12 * a12) - a1 * (a1 * a22 - a12 * a2)"
+        " + a2 * (a1 * a12 - a11 * a2) AS det",
+        "b0 * (a11 * a22 - a12 * a12) - a1 * (b1 * a22 - a12 * b2)"
+        " + a2 * (b1 * a12 - a11 * b2) AS det0",
+        "dn * (b1 * a22 - a12 * b2) - b0 * (a1 * a22 - a12 * a2)"
+        " + a2 * (a1 * b2 - b1 * a2) AS det1",
+        "dn * (a11 * b2 - b1 * a12) - a1 * (a1 * b2 - b1 * a2)"
+        " + b0 * (a1 * a12 - a11 * a2) AS det2",
+        # restricted 2x2
+        "dn * a11 - a1 * a1 AS detr",
+        "b0 * a11 - a1 * b1 AS det0r",
+        "dn * b1 - b0 * a1 AS det1r",
+    ).selectExpr(
+        "n_days",
+        "det1 / det AS beta1",
+        "det2 / det AS beta2",
+        "yy - (det0 / det * b0 + det1 / det * b1 + det2 / det * b2)"
+        " AS sse_f",
+        "yy - (det0r / detr * b0 + det1r / detr * b1) AS sse_r",
+    )
+    fstat = (F.col("sse_r") - F.col("sse_f")) / (
+        F.col("sse_f") / (F.col("n_days").cast("double") - 3)
+    )
+    return d.select(
+        "n_days",
+        F.round("beta1", 6).alias("beta_lag_rev"),
+        F.round("beta2", 6).alias("beta_lag_clicks"),
+        F.round("sse_r", 2).alias("sse_r"),
+        F.round("sse_f", 2).alias("sse_f"),
+        F.round(fstat, 6).alias("f_stat"),
+        (F.round(fstat, 6) > GRANGER_F_CRIT).alias("granger_causes"),
+    )
+
+
+ORACLE_GRANGER = f"""
+gr_daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS clk
+  FROM events GROUP BY 1
+),
+gr_rows AS (
+  SELECT y, x1, x2 FROM (
+    SELECT rev AS y,
+           lag(rev) OVER (ORDER BY day) AS x1,
+           lag(clk) OVER (ORDER BY day) AS x2
+    FROM gr_daily
+  ) WHERE x1 IS NOT NULL
+),
+gr_m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS dn,
+         CAST(sum(x1) AS DOUBLE) AS a1,
+         CAST(sum(x2) AS DOUBLE) AS a2,
+         CAST(sum(x1 * x1) AS DOUBLE) AS a11,
+         CAST(sum(x1 * x2) AS DOUBLE) AS a12,
+         CAST(sum(x2 * x2) AS DOUBLE) AS a22,
+         CAST(sum(y) AS DOUBLE) AS b0,
+         CAST(sum(x1 * y) AS DOUBLE) AS b1,
+         CAST(sum(x2 * y) AS DOUBLE) AS b2,
+         CAST(sum(y * y) AS DOUBLE) AS yy,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM gr_rows
+),
+gr_d AS (
+  SELECT *,
+         dn * (a11 * a22 - a12 * a12) - a1 * (a1 * a22 - a12 * a2)
+           + a2 * (a1 * a12 - a11 * a2) AS det,
+         b0 * (a11 * a22 - a12 * a12) - a1 * (b1 * a22 - a12 * b2)
+           + a2 * (b1 * a12 - a11 * b2) AS det0,
+         dn * (b1 * a22 - a12 * b2) - b0 * (a1 * a22 - a12 * a2)
+           + a2 * (a1 * b2 - b1 * a2) AS det1,
+         dn * (a11 * b2 - b1 * a12) - a1 * (a1 * b2 - b1 * a2)
+           + b0 * (a1 * a12 - a11 * a2) AS det2,
+         dn * a11 - a1 * a1 AS detr,
+         b0 * a11 - a1 * b1 AS det0r,
+         dn * b1 - b0 * a1 AS det1r
+  FROM gr_m
+),
+gr_s AS (
+  SELECT n_days,
+         det1 / det AS beta1,
+         det2 / det AS beta2,
+         yy - (det0 / det * b0 + det1 / det * b1 + det2 / det * b2)
+           AS sse_f,
+         yy - (det0r / detr * b0 + det1r / detr * b1) AS sse_r
+  FROM gr_d
+),
+granger_test AS (
+  SELECT n_days,
+         round(beta1, 6) AS beta_lag_rev,
+         round(beta2, 6) AS beta_lag_clicks,
+         round(sse_r, 2) AS sse_r,
+         round(sse_f, 2) AS sse_f,
+         round((sse_r - sse_f) / (sse_f / (CAST(n_days AS DOUBLE) - 3)),
+               6) AS f_stat,
+         round((sse_r - sse_f) / (sse_f / (CAST(n_days AS DOUBLE) - 3)),
+               6) > {GRANGER_F_CRIT} AS granger_causes
+  FROM gr_s
+)
+"""

@@ -1705,3 +1705,116 @@ community_modularity AS (
   CROSS JOIN mod_m m
 )"""
     )
+
+
+# ---------------------------------------------------------------------------
+# rich-club coefficient (do hubs preferentially interlink?)
+# ---------------------------------------------------------------------------
+
+#: degree thresholds audited.
+RICH_CLUB_KS = (8, 16, 32, 64)
+
+
+def rich_club(lineitem: DataFrame) -> DataFrame:
+    """Rich-club coefficient φ(k) at fixed degree thresholds: among
+    nodes with degree > k, the realized fraction of possible directed
+    edges — φ rising with k means the hub products preferentially
+    co-occur with EACH OTHER (a rich club), which is exactly the
+    regime where degree-based skew guards (the triangle hybrid
+    orientation) earn their keep.
+
+    ONE pass over the staged edge list with |K| conditional sums
+    (both-endpoints-above-k counts, via two degree joins) + one pass
+    over the degree table for the club sizes; φ is a per-row scalar
+    on exact BIGINTs. No per-pair work anywhere — adding thresholds
+    adds columns, not passes.
+
+    Output per k: k, n_club, e_club, phi.
+    """
+    edges = _edges_staged(lineitem)
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+    ed = (
+        edges.join(
+            deg.select(F.col("a"), F.col("deg").alias("da")), "a"
+        )
+        .join(
+            deg.select(
+                F.col("a").alias("b"), F.col("deg").alias("db")
+            ),
+            "b",
+        )
+    )
+    e_sums = ed.agg(
+        *[
+            F.sum(
+                ((F.col("da") > k) & (F.col("db") > k)).cast("int")
+            ).alias(f"e{k}")
+            for k in RICH_CLUB_KS
+        ]
+    )
+    n_sums = deg.agg(
+        *[
+            F.sum((F.col("deg") > k).cast("int")).alias(f"n{k}")
+            for k in RICH_CLUB_KS
+        ]
+    )
+    rows = e_sums.crossJoin(F.broadcast(n_sums)).selectExpr(
+        "stack({}, {}) AS (k, n_club, e_club)".format(
+            len(RICH_CLUB_KS),
+            ", ".join(
+                f"{k}, n{k}, e{k}" for k in RICH_CLUB_KS
+            ),
+        )
+    )
+    phi = F.when(
+        F.col("n_club") > 1,
+        F.round(
+            F.col("e_club").cast("double")
+            / (
+                F.col("n_club").cast("double")
+                * (F.col("n_club").cast("double") - 1)
+            ),
+            9,
+        ),
+    ).otherwise(F.lit(None))
+    return rows.select("k", "n_club", "e_club", phi.alias("phi"))
+
+
+def oracle_rich_club() -> str:
+    arms = []
+    for k in RICH_CLUB_KS:
+        arms.append(
+            f"""
+  SELECT {k} AS k,
+         (SELECT CAST(sum(CASE WHEN deg > {k} THEN 1 ELSE 0 END)
+                      AS BIGINT) FROM rc_deg) AS n_club,
+         (SELECT CAST(sum(CASE WHEN da.deg > {k} AND db.deg > {k}
+                               THEN 1 ELSE 0 END) AS BIGINT)
+          FROM rc_edges e
+          JOIN rc_deg da ON e.a = da.a
+          JOIN rc_deg db ON e.b = db.a) AS e_club"""
+        )
+        arms.append("  UNION ALL")
+    body = "\n".join(arms[:-1])
+    return f"""
+rc_edges AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey <> l2.l_partkey
+),
+rc_deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM rc_edges GROUP BY 1
+),
+rc_rows AS (
+{body}
+),
+rich_club AS (
+  SELECT k, n_club, e_club,
+         CASE WHEN n_club > 1
+              THEN round(CAST(e_club AS DOUBLE)
+                         / (CAST(n_club AS DOUBLE)
+                            * (CAST(n_club AS DOUBLE) - 1)), 9)
+              ELSE NULL END AS phi
+  FROM rc_rows
+)
+"""

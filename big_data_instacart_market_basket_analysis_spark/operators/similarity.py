@@ -3419,3 +3419,139 @@ retrieval_eval AS (
 )
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# verified kNN classifier (majority-vote over exact cosine neighbors)
+# ---------------------------------------------------------------------------
+
+#: neighbors per vote and held-out query stride.
+KNN_CLS_K = 5
+KNN_CLS_STRIDE = 20
+
+
+def knn_classifier_eval(emb: DataFrame) -> DataFrame:
+    """Verified k-nearest-neighbor classification over the embedding
+    space: every STRIDE-th vector is held out, its label predicted by
+    majority vote over its K exact-cosine neighbors among the REST,
+    and per-class accuracy reported — the model-free classifier
+    baseline every learned classifier must beat, fully hash-checkable
+    because the vote is count arithmetic on a deterministic neighbor
+    set.
+
+    The vote argmax packs (count, label) into one BIGINT key
+    (cnt·M + (M−1−label), the LPA trick) so ties break to the
+    smaller label without a window sort. The brute-force scoring join
+    is the recall-harness shape: queries broadcast, corpus scanned
+    once; swap in the IVF/LSH candidate generators for the 100 TB
+    path — the vote and eval stages are index-agnostic.
+
+    Output per class: label, n_queries, n_correct, accuracy.
+    """
+    queries = emb.filter(
+        F.col("vec_id") % KNN_CLS_STRIDE == 0
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    corpus = emb.filter(
+        F.col("vec_id") % KNN_CLS_STRIDE != 0
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double("embedding").alias("cv"),
+        F.col("label").alias("nl"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .withColumn("cosine", _cosine("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_CLS_K)
+        .select("query_id", "true_label", "nl")
+    )
+    m = 1 << 20
+    votes = (
+        topk.groupBy("query_id", "true_label", "nl")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("query_id", "true_label")
+        .agg(
+            F.max(
+                F.col("cnt") * m + (F.lit(m - 1) - F.col("nl"))
+            ).alias("key")
+        )
+        .select(
+            "query_id",
+            "true_label",
+            (F.lit(m - 1) - F.col("key") % m).alias("pred"),
+        )
+    )
+    return (
+        votes.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(
+                (F.col("pred") == F.col("true_label")).cast("int")
+            ).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_correct",
+            F.round(
+                F.col("n_correct") / F.col("n_queries").cast("double"),
+                6,
+            ).alias("accuracy"),
+        )
+    )
+
+
+ORACLE_KNN_CLS = f"""
+kc_q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         label AS true_label
+  FROM embeddings WHERE vec_id % {KNN_CLS_STRIDE} = 0
+),
+kc_c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+         label AS nl
+  FROM embeddings WHERE vec_id % {KNN_CLS_STRIDE} <> 0
+),
+kc_top AS (
+  SELECT query_id, true_label, nl FROM (
+    SELECT q.query_id, q.true_label, c.nl,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, c.cv)
+                      / (sqrt(list_dot_product(q.qv, q.qv))
+                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.neighbor_id) AS rank
+    FROM kc_q q, kc_c c
+  ) WHERE rank <= {KNN_CLS_K}
+),
+kc_pred AS (
+  SELECT query_id, true_label,
+         {(1 << 20) - 1} - max(CAST(cnt AS BIGINT) * {1 << 20}
+             + ({(1 << 20) - 1} - nl)) % {1 << 20} AS pred
+  FROM (
+    SELECT query_id, true_label, nl,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM kc_top GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+),
+knn_classifier_eval AS (
+  SELECT true_label AS label,
+         CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct,
+         round(CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+                    AS BIGINT)
+               / CAST(count(*) AS DOUBLE), 6) AS accuracy
+  FROM kc_pred GROUP BY 1
+)
+"""
