@@ -1738,6 +1738,12 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.concurrency_curve(load_table(spark, sf_dir, "events"))
 
 
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top pre-conversion journey paths (capped ordered prefix,
+    deterministic top-N) with per-path conversion rates."""
+    return _tmp.top_paths(load_table(spark, sf_dir, "events"))
+
+
 def q_events_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Granger causality: lagged clicks vs lagged revenue on the day
     series — nested verified-OLS F-test (Cramer 3x3 vs 2x2)."""
@@ -3067,6 +3073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_granger": q_events_granger,
         "graph_rich_club": q_graph_rich_club,
         "ann_knn_classifier": q_ann_knn_classifier,
+        "events_top_paths": q_events_top_paths,
         "events_offpolicy": q_events_offpolicy,
         "graph_modularity": q_graph_modularity,
         "events_group_sequential": q_events_group_sequential,
@@ -3956,6 +3963,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_knn_classifier": _ext_oracle(
             [_sim.ORACLE_KNN_CLS], "knn_classifier_eval"
+        ),
+        "events_top_paths": _ext_oracle(
+            [_tmp.ORACLE_TOP_PATHS], "top_paths"
         ),
         "docs_rater_kappa": _ext_oracle(
             [

@@ -207,6 +207,20 @@ HEADLINE = [
     "events_conversion_ztest",
     "croston_forecast",
     "price_elasticity",
+    "events_logrank",
+    "orders_backlog",
+    "price_index",
+    "market_hhi",
+    "parts_abc",
+    "events_ipf",
+    "events_stratified_ate",
+    "delta_advisor",
+    "events_effect_size",
+    "events_hill_tail",
+    "docs_rater_kappa",
+    "events_granger",
+    "graph_rich_club",
+    "ann_knn_classifier",
 ]
 
 

@@ -9282,3 +9282,120 @@ hill_tail_index AS (
   FROM hl_m
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# top journey paths (ordered pre-conversion sequences)
+# ---------------------------------------------------------------------------
+
+#: path prefix length and output cap.
+PATH_PREFIX_LEN = 4
+PATH_TOP_N = 20
+
+
+def top_paths(events: DataFrame) -> DataFrame:
+    """Top pre-conversion journey paths: each user's first
+    {PATH_PREFIX_LEN} non-purchase event types (in time order, the
+    same pre-first-purchase journey the Markov/Shapley attribution
+    models read) become a path string, ranked by how many users walk
+    it and annotated with its conversion rate — the "Pathfinder"
+    readout: WHICH sequences convert, not just which steps.
+
+    One per-user window (the shared sessionization shuffle), one
+    user-grain agg building the capped path via sorted collect +
+    slice (bounded by the prefix cap, never the event count), one
+    path-grain agg, and a deterministic (n_users DESC, path) top-N.
+
+    Output: path, n_users, n_conv, conv_rate — {PATH_TOP_N} rows.
+    """
+    fp = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.expr("unix_micros(ts)")).alias("fp_us"))
+    )
+    base = (
+        events.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id", "left")
+        .filter(
+            F.col("fp_us").isNull()
+            | (F.expr("unix_micros(ts)") < F.col("fp_us"))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(ts)").alias("us"),
+            "event_id",
+            F.col("fp_us").isNotNull().alias("conv"),
+        )
+    )
+    per_user = base.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(us, event_id, event_type))),"
+                    " x -> x.event_type)"
+                ),
+                1,
+                PATH_PREFIX_LEN,
+            ),
+        ).alias("path"),
+        F.max(F.col("conv").cast("int")).alias("conv"),
+    )
+    paths = per_user.groupBy("path").agg(
+        F.count("*").alias("n_users"),
+        F.sum("conv").alias("n_conv"),
+    )
+    return (
+        paths.orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(PATH_TOP_N)
+        .select(
+            "path",
+            "n_users",
+            "n_conv",
+            F.round(
+                F.col("n_conv") / F.col("n_users").cast("double"), 6
+            ).alias("conv_rate"),
+        )
+    )
+
+
+top_paths.__doc__ = top_paths.__doc__.format(
+    PATH_PREFIX_LEN=PATH_PREFIX_LEN, PATH_TOP_N=PATH_TOP_N
+)
+
+
+ORACLE_TOP_PATHS = f"""
+tp_fp AS (
+  SELECT user_id, min(epoch_us(ts)) AS fp_us
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+tp_base AS (
+  SELECT e.user_id, e.event_type, epoch_us(e.ts) AS us, e.event_id,
+         f.fp_us IS NOT NULL AS conv
+  FROM events e LEFT JOIN tp_fp f ON e.user_id = f.user_id
+  WHERE e.event_type <> 'purchase'
+    AND (f.fp_us IS NULL OR epoch_us(e.ts) < f.fp_us)
+),
+tp_user AS (
+  SELECT user_id,
+         array_to_string(
+           (list(event_type ORDER BY us, event_id))
+             [1:{PATH_PREFIX_LEN}], '>') AS path,
+         CAST(max(CASE WHEN conv THEN 1 ELSE 0 END) AS INT) AS conv
+  FROM tp_base GROUP BY 1
+),
+tp_paths AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(conv) AS BIGINT) AS n_conv
+  FROM tp_user GROUP BY 1
+),
+top_paths AS (
+  SELECT path, n_users, n_conv,
+         round(n_conv / CAST(n_users AS DOUBLE), 6) AS conv_rate
+  FROM tp_paths
+  ORDER BY n_users DESC, path
+  LIMIT {PATH_TOP_N}
+)
+"""
