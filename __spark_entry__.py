@@ -1738,6 +1738,42 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.concurrency_curve(load_table(spark, sf_dir, "events"))
 
 
+def q_events_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank on paired pre/post per-user spend
+    (doubled midranks, tie-corrected normal z)."""
+    return _tmp.wilcoxon_signed_rank(load_table(spark, sf_dir, "events"))
+
+
+def q_events_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired-binary test: purchase in first vs second half,
+    chi2 on the discordant cells."""
+    return _tmp.mcnemar_test(load_table(spark, sf_dir, "events"))
+
+
+def q_events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue direction — the
+    i.i.d. admission test for the forecasting family."""
+    return _tmp.runs_test(load_table(spark, sf_dir, "events"))
+
+
+def q_ann_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit (sign) quantized Hamming top-k: two 32-bit words per
+    vector, XOR+popcount distance."""
+    return _sim.binary_ann_topk(_emb(spark, sf_dir))
+
+
+def q_ann_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the 1-bit index vs exact cosine truth — the cost
+    of 32x compression, quantified."""
+    return _sim.binary_ann_recall(_emb(spark, sf_dir))
+
+
+def q_events_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time: area under the KM curve to
+    tau=21 days (lead() steps over the bounded duration grain)."""
+    return _tmp.rmst_report(load_table(spark, sf_dir, "events"))
+
+
 def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top pre-conversion journey paths (capped ordered prefix,
     deterministic top-N) with per-path conversion rates."""
@@ -3074,6 +3110,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_rich_club": q_graph_rich_club,
         "ann_knn_classifier": q_ann_knn_classifier,
         "events_top_paths": q_events_top_paths,
+        "ann_binary_topk": q_ann_binary_topk,
+        "ann_binary_recall": q_ann_binary_recall,
+        "events_rmst": q_events_rmst,
+        "events_wilcoxon": q_events_wilcoxon,
+        "events_mcnemar": q_events_mcnemar,
+        "events_runs_test": q_events_runs_test,
         "events_offpolicy": q_events_offpolicy,
         "graph_modularity": q_graph_modularity,
         "events_group_sequential": q_events_group_sequential,
@@ -3967,6 +4009,25 @@ def oracle_sql() -> dict[str, str]:
         "events_top_paths": _ext_oracle(
             [_tmp.ORACLE_TOP_PATHS], "top_paths"
         ),
+        "ann_binary_topk": _ext_oracle(
+            [_sim.ORACLE_BINARY_TOPK], "binary_ann_topk"
+        ),
+        "ann_binary_recall": _ext_oracle(
+            [
+                _sim.ORACLE_BRUTE_FORCE_TOPK,
+                _sim.ORACLE_BINARY_TOPK,
+                _sim.ORACLE_BINARY_RECALL,
+            ],
+            "binary_ann_recall",
+        ),
+        "events_rmst": _ext_oracle([_tmp.ORACLE_RMST], "rmst_report"),
+        "events_wilcoxon": _ext_oracle(
+            [_tmp.ORACLE_WILCOXON], "wilcoxon_signed_rank"
+        ),
+        "events_mcnemar": _ext_oracle(
+            [_tmp.ORACLE_MCNEMAR], "mcnemar_test"
+        ),
+        "events_runs_test": _ext_oracle([_tmp.ORACLE_RUNS], "runs_test"),
         "docs_rater_kappa": _ext_oracle(
             [
                 _text.oracle_gopher_rules(),

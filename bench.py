@@ -221,6 +221,13 @@ HEADLINE = [
     "events_granger",
     "graph_rich_club",
     "ann_knn_classifier",
+    "events_top_paths",
+    "ann_binary_topk",
+    "ann_binary_recall",
+    "events_rmst",
+    "events_wilcoxon",
+    "events_mcnemar",
+    "events_runs_test",
 ]
 
 

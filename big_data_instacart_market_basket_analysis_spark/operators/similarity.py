@@ -3555,3 +3555,166 @@ knn_classifier_eval AS (
   FROM kc_pred GROUP BY 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# binary (sign) embedding quantization + Hamming top-k + recall
+# ---------------------------------------------------------------------------
+
+
+def binary_signatures(emb: DataFrame) -> DataFrame:
+    """1-bit (sign) quantization of the 64-dim embeddings into two
+    32-bit words — the most aggressive point on the engine's
+    quantization ladder (float32 → int8 → PQ → 1 bit; 32× smaller
+    than float32): bit i of word w = [dim (32w+i) > 0]. Packing runs
+    as a posexplode + one hash-agg of shiftleft terms (exact BIGINT
+    sums, bit 31 max — no sign-bit overflow), so both engines build
+    identical words.
+
+    Output: vec_id, w1, w2.
+    """
+    pos = emb.select(
+        "vec_id", F.posexplode(_as_double("embedding"))
+    ).select(
+        "vec_id",
+        F.col("pos"),
+        (F.col("col") > 0).cast("int").alias("b"),
+    )
+    return pos.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                (F.col("pos") < 32) & (F.col("b") == 1),
+                F.expr("shiftleft(1L, pos)"),
+            ).otherwise(F.lit(0))
+        ).alias("w1"),
+        F.sum(
+            F.when(
+                (F.col("pos") >= 32) & (F.col("b") == 1),
+                F.expr("shiftleft(1L, pos - 32)"),
+            ).otherwise(F.lit(0))
+        ).alias("w2"),
+    )
+
+
+def binary_ann_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Hamming top-k over the binary signatures: distance =
+    bit_count(w1a XOR w1b) + bit_count(w2a XOR w2b), ties by
+    neighbor_id — 2 XORs + 2 popcounts per candidate, the reason
+    binary quantization wins the memory-bandwidth race at corpus
+    scale. Same query/corpus split as the exact brute force so the
+    recall harness composes.
+
+    Output: query_id, neighbor_id, rank, hamming.
+    """
+    sigs = binary_signatures(emb)
+    queries = sigs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w1").alias("q1"),
+        F.col("w2").alias("q2"),
+    )
+    corpus = sigs.select(
+        F.col("vec_id").alias("neighbor_id"), "w1", "w2"
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(q1 ^ w1) + bit_count(q2 ^ w2)"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "hamming")
+    )
+
+
+def binary_ann_recall(emb: DataFrame) -> DataFrame:
+    """Recall@k of the 1-bit index against the exact cosine truth —
+    quantifies what the 32× compression costs, beside the int8 / PQ /
+    matryoshka / RP recall harnesses.
+
+    Output: query_id, n_hits, recall_at_k.
+    """
+    truth = brute_force_topk(emb).select("query_id", "neighbor_id")
+    approx = binary_ann_topk(emb).select("query_id", "neighbor_id")
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "leftsemi")
+    per_query = hits.groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    all_queries = truth.select("query_id").distinct()
+    return all_queries.join(per_query, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) / F.lit(TOP_K), 4
+        ).alias("recall_at_k"),
+    )
+
+
+_BIN_SIGS_SQL = """
+bq_pos AS (
+  SELECT e.vec_id, t.i AS pos,
+         CASE WHEN e.embedding[t.i + 1] > 0 THEN 1 ELSE 0 END AS b
+  FROM embeddings e, range(64) t(i)
+),
+bq_sigs AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN pos < 32 AND b = 1
+                       THEN (CAST(1 AS BIGINT) << pos)
+                       ELSE 0 END) AS BIGINT) AS w1,
+         CAST(sum(CASE WHEN pos >= 32 AND b = 1
+                       THEN (CAST(1 AS BIGINT) << (pos - 32))
+                       ELSE 0 END) AS BIGINT) AS w2
+  FROM bq_pos GROUP BY 1
+)"""
+
+
+ORACLE_BINARY_TOPK = f"""{_BIN_SIGS_SQL},
+bq_q AS (
+  SELECT vec_id AS query_id, w1 AS q1, w2 AS q2 FROM bq_sigs
+  WHERE vec_id < {N_QUERIES}
+),
+bq_sc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         bit_count(xor(q.q1, c.w1)) + bit_count(xor(q.q2, c.w2))
+           AS hamming
+  FROM bq_q q, bq_sigs c
+  WHERE q.query_id <> c.vec_id
+),
+binary_ann_topk AS (
+  SELECT query_id, neighbor_id, rank, hamming FROM (
+    SELECT query_id, neighbor_id, hamming,
+           CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY hamming, neighbor_id) AS INT) AS rank
+    FROM bq_sc
+  ) WHERE rank <= {TOP_K}
+)
+"""
+
+
+ORACLE_BINARY_RECALL = f"""
+brq AS (SELECT DISTINCT query_id FROM brute_force_topk),
+brh AS (
+  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM binary_ann_topk a
+  WHERE EXISTS (SELECT 1 FROM brute_force_topk b
+                WHERE b.query_id = a.query_id
+                  AND b.neighbor_id = a.neighbor_id)
+  GROUP BY a.query_id
+),
+binary_ann_recall AS (
+  SELECT q.query_id,
+         COALESCE(h.n_hits, 0) AS n_hits,
+         round(COALESCE(h.n_hits, 0) / CAST({TOP_K} AS DOUBLE), 4)
+           AS recall_at_k
+  FROM brq q LEFT JOIN brh h ON q.query_id = h.query_id
+)
+"""

@@ -9399,3 +9399,507 @@ top_paths AS (
   LIMIT {PATH_TOP_N}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# restricted mean survival time (area under the KM curve)
+# ---------------------------------------------------------------------------
+
+#: RMST horizon (days).
+RMST_TAU = 21
+
+
+def rmst_report(events: DataFrame) -> DataFrame:
+    """Restricted mean survival time: the area under the Kaplan-Meier
+    curve up to τ = {tau} days — "expected days retained within the
+    first {tau}", the single-number summary regulators and A/B
+    readouts prefer over eyeballing the curve (it is well-defined
+    under censoring where the plain mean is not).
+
+    Reuses the KM machinery verbatim (user-grain span agg, ordered
+    distinct-duration grain); RMST = Σ S(t_i)·(min(t_{{i+1}},τ) −
+    min(t_i,τ)) over the step function with S(0)=1 — one lead()
+    window over the bounded duration grain, the ln-sum survival fold
+    shared with ``km_survival``.
+
+    Output (1 row): tau, n_users, n_churn_times, rmst_days.
+    """
+    spans = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    horizon = events.agg(F.max(F.to_date("ts")).alias("dmax"))
+    users = spans.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("d1", "d0").alias("t_days"),
+        (F.datediff("dmax", "d1") < KM_CENSOR_DAYS).alias("censored"),
+    )
+    per_t = users.groupBy("t_days").agg(
+        F.count("*").alias("n_exit"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias(
+            "n_churned"
+        ),
+    )
+    w = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wS = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = users.count()
+    curve = (
+        per_t.withColumn(
+            "n_risk",
+            F.lit(total) - F.coalesce(F.sum("n_exit").over(w), F.lit(0)),
+        )
+        .withColumn(
+            "lnterm",
+            F.when(
+                F.col("n_churned") > 0,
+                F.log(
+                    F.lit(1.0) - F.col("n_churned") / F.col("n_risk")
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("s", F.exp(F.sum("lnterm").over(wS)))
+        .filter(F.col("n_churned") > 0)
+    )
+    wl = Window.orderBy("t_days")
+    steps = curve.select(
+        "t_days",
+        "s",
+        F.lead("t_days", 1, RMST_TAU).over(wl).alias("t_next"),
+        F.first("t_days").over(
+            Window.orderBy("t_days").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("t_first"),
+    )
+    # segment [0, t_first) has S=1; each churn time t contributes
+    # S(t)·(min(next,τ) − min(t,τ)).
+    seg = steps.select(
+        (
+            F.col("s")
+            * (
+                F.least(F.col("t_next"), F.lit(RMST_TAU))
+                - F.least(F.col("t_days"), F.lit(RMST_TAU))
+            ).cast("double")
+        ).alias("area"),
+        F.least(F.col("t_first"), F.lit(RMST_TAU)).alias("head"),
+    )
+    return seg.agg(
+        F.lit(RMST_TAU).alias("tau"),
+        F.lit(total).cast("bigint").alias("n_users"),
+        F.count("*").alias("n_churn_times"),
+        F.round(
+            F.max("head").cast("double") + F.sum("area"), 6
+        ).alias("rmst_days"),
+    )
+
+
+rmst_report.__doc__ = rmst_report.__doc__.format(tau=RMST_TAU)
+
+
+ORACLE_RMST = f"""
+rm_u AS (
+  SELECT date_diff('day', d0, d1) AS t_days,
+         date_diff('day', d1,
+                   (SELECT max(CAST(ts AS DATE)) FROM events))
+           < {KM_CENSOR_DAYS} AS censored
+  FROM (SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+               max(CAST(ts AS DATE)) AS d1
+        FROM events GROUP BY 1)
+),
+rm_t AS (
+  SELECT t_days, CAST(count(*) AS BIGINT) AS n_exit,
+         CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_churned
+  FROM rm_u GROUP BY 1
+),
+rm_c AS (
+  SELECT t_days, n_churned,
+         (SELECT count(*) FROM rm_u)
+           - COALESCE(sum(n_exit) OVER (ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM rm_t
+),
+rm_s AS (
+  SELECT t_days,
+         exp(sum(CASE WHEN n_churned > 0
+                      THEN ln(1.0 - n_churned
+                              / CAST(n_risk AS DOUBLE))
+                      ELSE 0.0 END)
+             OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS s,
+         n_churned
+  FROM rm_c
+),
+rm_steps AS (
+  SELECT t_days, s,
+         lead(t_days, 1, {RMST_TAU}) OVER (ORDER BY t_days) AS t_next,
+         min(t_days) OVER () AS t_first
+  FROM rm_s WHERE n_churned > 0
+),
+rmst_report AS (
+  SELECT {RMST_TAU} AS tau,
+         (SELECT CAST(count(*) AS BIGINT) FROM rm_u) AS n_users,
+         CAST(count(*) AS BIGINT) AS n_churn_times,
+         round(CAST(max(least(t_first, {RMST_TAU})) AS DOUBLE)
+               + sum(s * CAST(least(t_next, {RMST_TAU})
+                              - least(t_days, {RMST_TAU}) AS DOUBLE)),
+               6) AS rmst_days
+  FROM rm_steps
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# paired tests: Wilcoxon signed-rank, McNemar, runs test
+# ---------------------------------------------------------------------------
+
+#: midpoint split for the paired pre/post design (microseconds).
+PAIRED_SPLIT = "2024-01-16"
+
+
+def wilcoxon_signed_rank(events: DataFrame) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-user spend — first
+    half vs second half of the observation window for the SAME user —
+    the within-subject companion of the (between-subject)
+    Mann-Whitney: pairing removes user-level variance, so it detects
+    temporal shifts whales would otherwise drown out. Zero
+    differences drop (the standard convention); |d| midranks come
+    from the doubled-rank prefix-sum machinery, W+ = Σ ranks of
+    positive diffs stays integral (doubled), and z uses the
+    tie-corrected normal approximation.
+
+    Output (1 row): n_pairs, w_plus_x2, z, significant.
+    """
+    per_user = (
+        events.filter(F.col("event_type") == AB_METRIC_TYPE)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts") < F.lit(PAIRED_SPLIT).cast("timestamp"),
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                ).otherwise(0)
+            ).alias("pre"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.lit(PAIRED_SPLIT).cast("timestamp"),
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                ).otherwise(0)
+            ).alias("post"),
+        )
+        .select((F.col("post") - F.col("pre")).alias("d"))
+        .filter(F.col("d") != 0)
+    )
+    per_v = per_user.groupBy(F.abs("d").alias("ad")).agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("d") < 0, 1).otherwise(0)).alias("cn"),
+    ).withColumn("c", F.col("cp") + F.col("cn")).withColumn(
+        "bucket", F.expr("ad DIV 100000")
+    )
+    btot = per_v.groupBy("bucket").agg(F.sum("c").alias("bc"))
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("bc").over(woff), F.lit(0)).alias("off"),
+    )
+    win = Window.partitionBy("bucket").orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per_v.join(F.broadcast(offsets), "bucket").select(
+        "cp",
+        "cn",
+        "c",
+        (
+            F.col("off") + F.coalesce(F.sum("c").over(win), F.lit(0))
+        ).alias("p"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("cp") + F.col("cn")).alias("n"),
+        F.sum(
+            F.col("cp") * (F.lit(2) * F.col("p") + F.col("c") + 1)
+        ).alias("wp_x2"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_sum"),
+    )
+    nd = F.col("n").cast("double")
+    mu_x2 = nd * (nd + 1) / 2.0
+    var_x4 = nd * (nd + 1) * (2 * nd + 1) / 6.0 - F.col(
+        "tie_sum"
+    ).cast("double") / 12.0
+    z = (F.col("wp_x2").cast("double") - mu_x2) / F.sqrt(var_x4)
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        F.col("wp_x2").alias("w_plus_x2"),
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > 1.96).alias("significant"),
+    )
+
+
+ORACLE_WILCOXON = f"""
+wx_u AS (
+  SELECT CAST(sum(CASE WHEN ts < TIMESTAMP '{PAIRED_SPLIT}'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS pre,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{PAIRED_SPLIT}'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS post
+  FROM events WHERE event_type = '{AB_METRIC_TYPE}'
+  GROUP BY user_id
+),
+wx_d AS (
+  SELECT post - pre AS d FROM wx_u WHERE post - pre <> 0
+),
+wx_v AS (
+  SELECT abs(d) AS ad,
+         CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS cn,
+         CAST(count(*) AS BIGINT) AS c
+  FROM wx_d GROUP BY 1
+),
+wx_r AS (
+  SELECT cp, cn, c,
+         CAST(coalesce(sum(c) OVER (ORDER BY ad
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS p
+  FROM wx_v
+),
+wx_a AS (
+  SELECT CAST(sum(cp + cn) AS BIGINT) AS n,
+         CAST(sum(cp * (2 * p + c + 1)) AS BIGINT) AS wp_x2,
+         CAST(sum(c * c * c - c) AS BIGINT) AS tie_sum
+  FROM wx_r
+),
+wilcoxon_signed_rank AS (
+  SELECT n AS n_pairs, wp_x2 AS w_plus_x2,
+         round((CAST(wp_x2 AS DOUBLE)
+                - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 2.0)
+               / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+                      * (2 * CAST(n AS DOUBLE) + 1) / 6.0
+                      - CAST(tie_sum AS DOUBLE) / 12.0), 6) AS z,
+         abs(round((CAST(wp_x2 AS DOUBLE)
+                - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 2.0)
+               / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+                      * (2 * CAST(n AS DOUBLE) + 1) / 6.0
+                      - CAST(tie_sum AS DOUBLE) / 12.0), 6)) > 1.96
+           AS significant
+  FROM wx_a
+)
+"""
+
+
+def mcnemar_test(events: DataFrame) -> DataFrame:
+    """McNemar test on paired binary outcomes: did each user purchase
+    in the first half vs the second half of the window — the paired
+    2×2 where only the DISCORDANT cells carry information:
+    χ² = (b − c)²/(b + c) with 1 df. The binary sibling of the
+    Wilcoxon pre/post design; one user-grain agg + one 4-cell
+    reduction, everything integral until the final ratio.
+
+    Output (1 row): n_both, pre_only, post_only, n_neither, chi2,
+    significant.
+    """
+    flags = events.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") < F.lit(PAIRED_SPLIT).cast("timestamp"))
+            ).cast("int")
+        ).alias("pre"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.lit(PAIRED_SPLIT).cast("timestamp"))
+            ).cast("int")
+        ).alias("post"),
+    )
+    cells = flags.agg(
+        F.sum(
+            ((F.col("pre") == 1) & (F.col("post") == 1)).cast("int")
+        ).alias("n_both"),
+        F.sum(
+            ((F.col("pre") == 1) & (F.col("post") == 0)).cast("int")
+        ).alias("pre_only"),
+        F.sum(
+            ((F.col("pre") == 0) & (F.col("post") == 1)).cast("int")
+        ).alias("post_only"),
+        F.sum(
+            ((F.col("pre") == 0) & (F.col("post") == 0)).cast("int")
+        ).alias("n_neither"),
+    )
+    b, c = F.col("pre_only"), F.col("post_only")
+    chi2 = ((b - c) * (b - c)).cast("double") / (b + c).cast("double")
+    return cells.select(
+        "n_both",
+        "pre_only",
+        "post_only",
+        "n_neither",
+        F.round(chi2, 6).alias("chi2"),
+        (F.round(chi2, 6) > 3.841).alias("significant"),
+    )
+
+
+ORACLE_MCNEMAR = f"""
+mn_u AS (
+  SELECT CAST(max(CASE WHEN event_type = 'purchase'
+                        AND ts < TIMESTAMP '{PAIRED_SPLIT}'
+                       THEN 1 ELSE 0 END) AS INT) AS pre,
+         CAST(max(CASE WHEN event_type = 'purchase'
+                        AND ts >= TIMESTAMP '{PAIRED_SPLIT}'
+                       THEN 1 ELSE 0 END) AS INT) AS post
+  FROM events GROUP BY user_id
+),
+mn_c AS (
+  SELECT CAST(sum(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_both,
+         CAST(sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS pre_only,
+         CAST(sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS post_only,
+         CAST(sum(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_neither
+  FROM mn_u
+),
+mcnemar_test AS (
+  SELECT n_both, pre_only, post_only, n_neither,
+         round(CAST((pre_only - post_only) * (pre_only - post_only)
+                    AS DOUBLE)
+               / CAST(pre_only + post_only AS DOUBLE), 6) AS chi2,
+         round(CAST((pre_only - post_only) * (pre_only - post_only)
+                    AS DOUBLE)
+               / CAST(pre_only + post_only AS DOUBLE), 6) > 3.841
+           AS significant
+  FROM mn_c
+)
+"""
+
+
+def runs_test(events: DataFrame) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily revenue
+    direction: the up/down sign sequence vs its own median-free
+    expectation — too FEW runs means momentum/trend, too many means
+    oscillation; either breaks the i.i.d. assumption the forecasting
+    family quietly makes, so this is their admission test.
+
+    Day-grain: signs from lag() on the ordered bounded series, runs
+    counted as sign-change prefix events, mean/variance of the run
+    count from the exact (n_up, n_down) integers.
+
+    Output (1 row): n_days, n_up, n_down, n_runs, z, significant.
+    """
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                ).otherwise(0)
+            ).alias("rev")
+        )
+    )
+    w = Window.orderBy("day")
+    # runs = 1 + number of sign changes over the day-ordered signs.
+    seq = (
+        daily.select(
+            "day", (F.col("rev") - F.lag("rev").over(w)).alias("d")
+        )
+        .filter(F.col("d").isNotNull() & (F.col("d") != 0))
+        .select("day", (F.col("d") > 0).cast("int").alias("s"))
+    )
+    wd = Window.orderBy("day")
+    runs = seq.select(
+        "s",
+        (
+            F.col("s") != F.coalesce(F.lag("s").over(wd), F.col("s"))
+        ).cast("int").alias("chg"),
+    )
+    m = runs.agg(
+        F.count("*").alias("n"),
+        F.sum("s").alias("n_up"),
+        F.sum(F.lit(1) - F.col("s")).alias("n_down"),
+        (F.sum("chg") + 1).alias("n_runs"),
+    )
+    nu = F.col("n_up").cast("double")
+    nd2 = F.col("n_down").cast("double")
+    ntot = nu + nd2
+    mu = 2 * nu * nd2 / ntot + 1
+    var = (
+        (2 * nu * nd2 * (2 * nu * nd2 - ntot))
+        / (ntot * ntot * (ntot - 1))
+    )
+    z = (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
+    return m.select(
+        F.col("n").alias("n_days"),
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > 1.96).alias("significant"),
+    )
+
+
+ORACLE_RUNS = """
+rn_daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev
+  FROM events GROUP BY 1
+),
+rn_seq AS (
+  SELECT day, CAST(d > 0 AS INT) AS s FROM (
+    SELECT day, rev - lag(rev) OVER (ORDER BY day) AS d FROM rn_daily
+  ) WHERE d IS NOT NULL AND d <> 0
+),
+rn_runs AS (
+  SELECT s,
+         CAST(s <> coalesce(lag(s) OVER (ORDER BY day), s) AS INT)
+           AS chg
+  FROM rn_seq
+),
+rn_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(s) AS BIGINT) AS n_up,
+         CAST(sum(1 - s) AS BIGINT) AS n_down,
+         CAST(sum(chg) + 1 AS BIGINT) AS n_runs
+  FROM rn_runs
+),
+runs_test AS (
+  SELECT n AS n_days, n_up, n_down, n_runs,
+         round((CAST(n_runs AS DOUBLE)
+                - (2 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                   / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                   + 1))
+               / sqrt((2 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                       * (2 * CAST(n_up AS DOUBLE)
+                          * CAST(n_down AS DOUBLE)
+                          - (CAST(n_up AS DOUBLE)
+                             + CAST(n_down AS DOUBLE))))
+                      / ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                         * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                         * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)
+                            - 1))), 6) AS z,
+         abs(round((CAST(n_runs AS DOUBLE)
+                - (2 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                   / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                   + 1))
+               / sqrt((2 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                       * (2 * CAST(n_up AS DOUBLE)
+                          * CAST(n_down AS DOUBLE)
+                          - (CAST(n_up AS DOUBLE)
+                             + CAST(n_down AS DOUBLE))))
+                      / ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                         * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                         * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)
+                            - 1))), 6)) > 1.96 AS significant
+  FROM rn_m
+)
+"""
