@@ -1738,6 +1738,14 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.concurrency_curve(load_table(spark, sf_dir, "events"))
 
 
+def q_events_variance_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hartley's Fmax variance-homogeneity screen across event types
+    — the ANOVA assumption check."""
+    return _tmp.variance_ratio_screen(load_table(spark, sf_dir, "events"))
+
+
 def q_events_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilcoxon signed-rank on paired pre/post per-user spend
     (doubled midranks, tie-corrected normal z)."""
@@ -3116,6 +3124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_wilcoxon": q_events_wilcoxon,
         "events_mcnemar": q_events_mcnemar,
         "events_runs_test": q_events_runs_test,
+        "events_variance_ratio": q_events_variance_ratio,
         "events_offpolicy": q_events_offpolicy,
         "graph_modularity": q_graph_modularity,
         "events_group_sequential": q_events_group_sequential,
@@ -4028,6 +4037,9 @@ def oracle_sql() -> dict[str, str]:
             [_tmp.ORACLE_MCNEMAR], "mcnemar_test"
         ),
         "events_runs_test": _ext_oracle([_tmp.ORACLE_RUNS], "runs_test"),
+        "events_variance_ratio": _ext_oracle(
+            [_tmp.ORACLE_VARRATIO], "variance_ratio_screen"
+        ),
         "docs_rater_kappa": _ext_oracle(
             [
                 _text.oracle_gopher_rules(),

@@ -228,6 +228,7 @@ HEADLINE = [
     "events_wilcoxon",
     "events_mcnemar",
     "events_runs_test",
+    "events_variance_ratio",
 ]
 
 

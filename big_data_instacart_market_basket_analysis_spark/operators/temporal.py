@@ -9903,3 +9903,79 @@ runs_test AS (
   FROM rn_m
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# variance-homogeneity screen (Hartley's Fmax across event types)
+# ---------------------------------------------------------------------------
+
+
+def variance_ratio_screen(events: DataFrame) -> DataFrame:
+    """Hartley's Fmax homogeneity-of-variance screen across the event
+    types: max group variance / min group variance — the assumption
+    check ANOVA (``events_anova``) quietly requires; Fmax >> 1 says
+    use Welch-style corrections instead. Per-group variances come
+    from the n·Σx² − (Σx)² identity on exact BIGINT cents (one
+    map-combinable agg); the ratio picks max/min via greatest/least
+    over the k=5 group rows packed into one 1-row reduction.
+
+    Output per group + ratio columns: event_type, n, variance; the
+    f_max and n_groups columns repeat on every row (grain-preserving
+    so both the per-group audit AND the verdict are one readout).
+    """
+    g = (
+        events.select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("q"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    var = (
+        nd * F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    ) / (nd * (nd - 1))
+    gv = g.select("event_type", "n", F.round(var, 4).alias("variance"))
+    ext = gv.agg(
+        F.max("variance").alias("vmax"),
+        F.min("variance").alias("vmin"),
+        F.count("*").alias("n_groups"),
+    )
+    return gv.crossJoin(F.broadcast(ext)).select(
+        "event_type",
+        "n",
+        "variance",
+        "n_groups",
+        F.round(F.col("vmax") / F.col("vmin"), 6).alias("f_max"),
+    )
+
+
+ORACLE_VARRATIO = """
+vr_g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         round((CAST(count(*) AS DOUBLE) * CAST(sum(c * c) AS DOUBLE)
+                - CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+               / (CAST(count(*) AS DOUBLE)
+                  * (CAST(count(*) AS DOUBLE) - 1)), 4) AS variance
+  FROM (
+    SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+    FROM events
+  ) GROUP BY 1
+),
+vr_e AS (
+  SELECT max(variance) AS vmax, min(variance) AS vmin,
+         CAST(count(*) AS BIGINT) AS n_groups
+  FROM vr_g
+),
+variance_ratio_screen AS (
+  SELECT g.event_type, g.n, g.variance, e.n_groups,
+         round(e.vmax / e.vmin, 6) AS f_max
+  FROM vr_g g, vr_e e
+)
+"""
