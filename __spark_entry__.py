@@ -443,9 +443,10 @@ def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link prediction over non-adjacent pairs: common neighbors +
-    integer resource-allocation index (hub-capped wedge join, global
-    top-N TakeOrdered)."""
+    """Per-seed link prediction: common neighbors + integer
+    resource-allocation index over a deterministic seed set's
+    non-adjacent candidates (seed-scoped wedge join — linear where
+    all-pairs RA is sum(deg^2) by definition)."""
     return _graph.link_prediction_ra(_lineitem(spark, sf_dir))
 
 

@@ -1055,27 +1055,41 @@ RA_SCALE = 1_000_000
 #: global top-N candidate links reported.
 RA_TOP_N = 100
 
+#: deterministic seed set for per-seed link prediction: partkey
+#: divisible by this. Scoping predictions to a seed set is what makes
+#: the operator linear: all-pairs RA is sum(deg^2) BY DEFINITION
+#: (measured 91 s at sf0.1), while the per-seed wedge volume is the
+#: seed fraction of it — the production "recommend new links for
+#: THESE nodes" shape.
+RA_SEED_MOD = 100
+
+#: predictions kept per seed.
+RA_PER_SEED = 5
+
 
 def link_prediction_ra(
     lineitem: DataFrame,
     df_cap: int = RA_DF_CAP,
-    top_n: int = RA_TOP_N,
+    per_seed: int = RA_PER_SEED,
 ) -> DataFrame:
-    """Link prediction on the co-purchase graph: for node pairs a<b
-    that are NOT adjacent, count common neighbors (cn) and an
-    integer-scaled resource-allocation index
+    """Per-seed link prediction on the co-purchase graph: for each
+    SEED node (partkey % RA_SEED_MOD == 0) rank the non-adjacent
+    candidates by the integer-scaled resource-allocation index
     ra_micros = sum_z 1e6 DIV deg(z) over common neighbors z
-    (Zhou/Lu/Zhang's RA index — the discretized cousin of
-    Adamic-Adar, chosen because floor-division sums are hash-exact
-    across engines while 1/log(deg) float sums are not). Returns the
-    global top ``top_n`` by (ra_micros, cn, a, b) — a TakeOrdered, no
-    full sort.
+    (Zhou/Lu/Zhang's RA — the discretized cousin of Adamic-Adar,
+    floor-division sums being hash-exact where 1/log(deg) float sums
+    are not), keeping the top ``per_seed`` per seed.
 
-    Scale shape: one wedge join through each center z (bounded by the
-    ``df_cap`` hub cap), one hash-agg on (a, b), one anti-join against
-    the edge list to drop already-adjacent pairs. Wedge volume is
-    sum(deg(z)^2) — identical to the triangle join already benched at
-    ~2 s/sf0.01 — and each z-bucket is capped at df_cap^2.
+    Scale shape: the wedge join touches only wedges whose LO endpoint
+    is a seed, so volume is the seed fraction of sum(deg(z)^2) — the
+    all-pairs variant is quadratic by definition (measured 91 s at
+    sf0.1 vs ~2 s scoped) and no cap can save it; scoping to the
+    nodes you actually want recommendations for is the production
+    form. Hub centers above ``df_cap`` are skipped (tiny 1e6 DIV deg
+    contributions), bounding every z-bucket. The per-seed window is
+    bounded by a seed's 2-hop neighborhood.
+
+    Output: seed, cand, cn, ra_micros, rank (rank <= per_seed).
     """
     edges = _edges_staged(lineitem)
     deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
@@ -1086,34 +1100,34 @@ def link_prediction_ra(
         F.col("b").alias("n"),
         (F.lit(RA_SCALE) / F.col("deg")).cast("bigint").alias("give"),
     )
-    lo = nbr.select("z", F.col("n").alias("pa"), "give")
-    hi = nbr.select("z", F.col("n").alias("pb"))
-    wedges = lo.join(hi, "z").filter(F.col("pa") < F.col("pb"))
-    scored = wedges.groupBy("pa", "pb").agg(
+    seed_side = nbr.filter(
+        F.col("n") % RA_SEED_MOD == 0
+    ).select("z", F.col("n").alias("seed"))
+    cand_side = nbr.select("z", F.col("n").alias("cand"), "give")
+    wedges = seed_side.join(cand_side, "z").filter(
+        F.col("seed") != F.col("cand")
+    )
+    scored = wedges.groupBy("seed", "cand").agg(
         F.count("*").alias("cn"),
         F.sum("give").alias("ra_micros"),
     )
     non_adj = scored.join(
-        edges.filter(F.col("a") < F.col("b")),
-        (scored.pa == edges.a) & (scored.pb == edges.b),
+        edges,
+        (scored.seed == edges.a) & (scored.cand == edges.b),
         "left_anti",
     )
+    w = Window.partitionBy("seed").orderBy(
+        F.desc("ra_micros"), F.desc("cn"), F.asc("cand")
+    )
     return (
-        non_adj.orderBy(
-            F.desc("ra_micros"), F.desc("cn"), "pa", "pb"
-        )
-        .limit(top_n)
-        .select(
-            F.col("pa").alias("a"),
-            F.col("pb").alias("b"),
-            "cn",
-            "ra_micros",
-        )
+        non_adj.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_seed)
+        .select("seed", "cand", "cn", "ra_micros", "rank")
     )
 
 
 def oracle_link_prediction_ra(
-    df_cap: int = RA_DF_CAP, top_n: int = RA_TOP_N
+    df_cap: int = RA_DF_CAP, per_seed: int = RA_PER_SEED
 ) -> str:
     return """
 lp_edges AS MATERIALIZED (
@@ -1130,20 +1144,24 @@ lp_nbr AS MATERIALIZED (
   WHERE d.deg <= {cap}
 ),
 lp_scored AS (
-  SELECT x.n AS pa, y.n AS pb,
+  SELECT x.n AS seed, y.n AS cand,
          CAST(count(*) AS BIGINT) AS cn,
-         CAST(sum(x.give) AS BIGINT) AS ra_micros
-  FROM lp_nbr x JOIN lp_nbr y ON x.z = y.z AND x.n < y.n
+         CAST(sum(y.give) AS BIGINT) AS ra_micros
+  FROM lp_nbr x JOIN lp_nbr y ON x.z = y.z AND x.n <> y.n
+  WHERE x.n % {mod} = 0
   GROUP BY 1, 2
 ),
 link_prediction_ra AS (
-  SELECT s.pa AS a, s.pb AS b, s.cn, s.ra_micros
-  FROM lp_scored s
-  ANTI JOIN (SELECT * FROM lp_edges WHERE a < b) e
-    ON s.pa = e.a AND s.pb = e.b
-  ORDER BY s.ra_micros DESC, s.cn DESC, s.pa, s.pb
-  LIMIT {n}
-)""".format(scale=RA_SCALE, cap=df_cap, n=top_n)
+  SELECT seed, cand, cn, ra_micros, rank FROM (
+    SELECT s.seed, s.cand, s.cn, s.ra_micros,
+           CAST(row_number() OVER (
+             PARTITION BY s.seed
+             ORDER BY s.ra_micros DESC, s.cn DESC, s.cand) AS INT)
+             AS rank
+    FROM lp_scored s
+    ANTI JOIN lp_edges e ON s.seed = e.a AND s.cand = e.b
+  ) WHERE rank <= {n}
+)""".format(scale=RA_SCALE, cap=df_cap, mod=RA_SEED_MOD, n=per_seed)
 
 
 # ---------------------------------------------------------------------------
