@@ -1567,3 +1567,154 @@ def test_ppjoin_equals_bruteforce_and_prunes(spark):
             want[(a, b)] = round(i / u, 6)
     assert want  # the near-dup pair exists
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# invariants of the round-3 session-2 operators (fixture-driven)
+# ---------------------------------------------------------------------------
+
+
+def test_rmst_bounded_by_tau(spark):
+    """RMST is an area under a [0,1]-valued curve over [0, tau] — it
+    must land in (0, tau]."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    row = temporal.rmst_report(
+        load_table(spark, SF_ORACLE, "events")
+    ).collect()[0]
+    if row["n_churn_times"] == 0:
+        # degenerate fixture (no churn events): engine-consistent NULL
+        assert row["rmst_days"] is None
+    else:
+        assert 0 < row["rmst_days"] <= row["tau"]
+
+
+def test_modularity_terms_bounded(spark):
+    """Each community's modularity term is within [-1, 1] and the
+    total is < 1 (Newman's bound)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        graph,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    rows = graph.community_modularity(
+        load_table(spark, SF_ORACLE, "lineitem")
+    ).collect()
+    assert rows
+    total = sum(r["q_term"] for r in rows)
+    assert all(-1.0 <= r["q_term"] <= 1.0 for r in rows)
+    assert total < 1.0
+
+
+def test_qini_final_matches_totals(spark):
+    """The last cumulative Qini value must equal the closed-form
+    CONV_T − CONV_C·N_T/N_C on the grand totals."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    rows = temporal.qini_uplift(
+        load_table(spark, SF_ORACLE, "events")
+    ).collect()
+    rows.sort(key=lambda r: r["decile"])
+    ct = sum(r["conv_t"] for r in rows)
+    cc = sum(r["conv_c"] for r in rows)
+    nt = sum(r["n_t"] for r in rows)
+    nc = sum(r["n_c"] for r in rows)
+    expected = ct - cc * nt / nc
+    assert abs(rows[-1]["qini_cum"] - expected) < 1e-4
+
+
+def test_ipf_margins_move_toward_targets(spark):
+    """After the IPF rounds the weighted variant margins must be
+    closer to 50/50 than the raw counts were (monotone improvement is
+    the whole point of raking)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    rows = temporal.ipf_raking(
+        load_table(spark, SF_ORACLE, "events")
+    ).collect()
+    n = sum(r["n_obs"] for r in rows)
+    raw0 = sum(r["n_obs"] for r in rows if r["variant"] == 0)
+    w0 = sum(r["n_obs"] * r["w_mill"] for r in rows if r["variant"] == 0)
+    wt = sum(r["n_obs"] * r["w_mill"] for r in rows)
+    raw_gap = abs(raw0 / n - 0.5)
+    ipf_gap = abs(w0 / wt - 0.5)
+    assert ipf_gap <= raw_gap + 1e-9
+
+
+def test_binary_ann_self_distance_zero(spark):
+    """A vector's binary signature has Hamming distance 0 to itself,
+    so every rank-1 neighbor's distance lower-bounds the list and
+    distances are within [0, 64]."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        similarity,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    rows = similarity.binary_ann_topk(
+        load_table(spark, SF_ORACLE, "embeddings")
+    ).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, lst in by_q.items():
+        lst.sort(key=lambda r: r["rank"])
+        hams = [r["hamming"] for r in lst]
+        assert hams == sorted(hams)
+        assert all(0 <= h <= 64 for h in hams)
+
+
+def test_logrank_arms_partition_users(spark):
+    """Log-rank's observed arm-1 churners can never exceed the total
+    churn events, and e1 must sit strictly between 0 and the total."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    row = temporal.logrank_test(
+        load_table(spark, SF_ORACLE, "events")
+    ).collect()[0]
+    if row["n_times"] == 0:
+        assert row["e1"] is None  # no churn events in the fixture
+    else:
+        assert 0 < row["e1"] and row["o1"] >= 0
+
+
+def test_abc_classes_cover_all_parts(spark):
+    """The three ABC classes partition the parts and their shares sum
+    to 1."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        analytics,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    rows = analytics.abc_classes(
+        load_table(spark, SF_ORACLE, "lineitem")
+    ).collect()
+    classes = {r["abc_class"] for r in rows}
+    assert classes <= {"A", "B", "C"}
+    assert abs(sum(r["rev_share"] for r in rows) - 1.0) < 1e-4
