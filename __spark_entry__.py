@@ -1739,6 +1739,22 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.concurrency_curve(load_table(spark, sf_dir, "events"))
 
 
+def q_parts_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor critical-fractile stock per product: integer
+    cross-multiplied empirical quantile of demand days."""
+    return _tmp.newsvendor_stock(_lineitem(spark, sf_dir))
+
+
+def q_orders_service_level(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly fill rate + exact p90 lead time (per-month prefix sums
+    on the distinct lead-day grain)."""
+    return _tmp.service_level_report(
+        load_table(spark, sf_dir, "orders"), _lineitem(spark, sf_dir)
+    )
+
+
 def q_events_variance_ratio(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3126,6 +3142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mcnemar": q_events_mcnemar,
         "events_runs_test": q_events_runs_test,
         "events_variance_ratio": q_events_variance_ratio,
+        "parts_newsvendor": q_parts_newsvendor,
+        "orders_service_level": q_orders_service_level,
         "events_offpolicy": q_events_offpolicy,
         "graph_modularity": q_graph_modularity,
         "events_group_sequential": q_events_group_sequential,
@@ -4040,6 +4058,12 @@ def oracle_sql() -> dict[str, str]:
         "events_runs_test": _ext_oracle([_tmp.ORACLE_RUNS], "runs_test"),
         "events_variance_ratio": _ext_oracle(
             [_tmp.ORACLE_VARRATIO], "variance_ratio_screen"
+        ),
+        "parts_newsvendor": _ext_oracle(
+            [_tmp.ORACLE_NEWSVENDOR], "newsvendor_stock"
+        ),
+        "orders_service_level": _ext_oracle(
+            [_tmp.ORACLE_SERVICE_LEVEL], "service_level_report"
         ),
         "docs_rater_kappa": _ext_oracle(
             [

@@ -229,6 +229,8 @@ HEADLINE = [
     "events_mcnemar",
     "events_runs_test",
     "events_variance_ratio",
+    "parts_newsvendor",
+    "orders_service_level",
 ]
 
 

@@ -9979,3 +9979,220 @@ variance_ratio_screen AS (
   FROM vr_g g, vr_e e
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# newsvendor stock levels (critical-fractile empirical quantile)
+# ---------------------------------------------------------------------------
+
+#: critical ratio cu/(cu+co) as an exact fraction (3/4: underage
+#: costs 3x overage).
+NV_CR_NUM, NV_CR_DEN = 3, 4
+#: minimum demand days for a product to be stocked by model.
+NV_MIN_DAYS = 5
+
+
+def newsvendor_stock(lineitem: DataFrame) -> DataFrame:
+    """Newsvendor optimal stock per product: the smallest stock level
+    q with empirical demand CDF F(q) >= cu/(cu+co) — the classic
+    single-period inventory rule, solved on the exact per-product
+    demand-day distribution (days with demand; the intermittency
+    correction is Croston's job one query over). The quantile pick is
+    integer cross-multiplication (cum·DEN >= NUM·n), so no float
+    touches the decision; achieved service level is reported beside
+    the target.
+
+    One (product, day) hash-agg, per-product prefix sums over the
+    DISTINCT demand-value grain (bounded by a product's demand-day
+    count), one filtered argmin via the min-over-qualifying trick.
+
+    Output per product: product, n_days, stock_q, service_level.
+    """
+    dd = (
+        lineitem.groupBy(
+            F.col("l_partkey").alias("product"),
+            F.to_date("l_shipdate").alias("day"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    )
+    per_v = dd.groupBy("product", "q").agg(F.count("*").alias("c"))
+    wv = Window.partitionBy("product").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = dd.groupBy("product").agg(F.count("*").alias("n_days"))
+    cum = (
+        per_v.withColumn("cum", F.sum("c").over(wv))
+        .join(tot, "product")
+        .filter(F.col("n_days") >= NV_MIN_DAYS)
+    )
+    qualifying = cum.filter(
+        F.col("cum") * NV_CR_DEN >= NV_CR_NUM * F.col("n_days")
+    )
+    pick = qualifying.groupBy("product").agg(
+        F.max("n_days").alias("n_days"),
+        F.min("q").alias("stock_q"),
+    )
+    achieved = cum.select(
+        F.col("product").alias("p2"),
+        F.col("q").alias("q2"),
+        "cum",
+    )
+    return (
+        pick.join(
+            achieved,
+            (pick.product == achieved.p2)
+            & (pick.stock_q == achieved.q2),
+        )
+        .select(
+            "product",
+            "n_days",
+            "stock_q",
+            F.round(
+                F.col("cum") / F.col("n_days").cast("double"), 6
+            ).alias("service_level"),
+        )
+    )
+
+
+ORACLE_NEWSVENDOR = f"""
+nv_dd AS (
+  SELECT l_partkey AS product, CAST(l_shipdate AS DATE) AS day,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+nv_v AS (
+  SELECT product, q, CAST(count(*) AS BIGINT) AS c
+  FROM nv_dd GROUP BY 1, 2
+),
+nv_cum AS (
+  SELECT v.product, v.q,
+         CAST(sum(v.c) OVER (PARTITION BY v.product ORDER BY v.q
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         t.n_days
+  FROM nv_v v
+  JOIN (SELECT product, CAST(count(*) AS BIGINT) AS n_days
+        FROM nv_dd GROUP BY 1) t USING (product)
+  WHERE t.n_days >= {NV_MIN_DAYS}
+),
+nv_pick AS (
+  SELECT product, max(n_days) AS n_days, min(q) AS stock_q
+  FROM nv_cum
+  WHERE cum * {NV_CR_DEN} >= {NV_CR_NUM} * n_days
+  GROUP BY 1
+),
+newsvendor_stock AS (
+  SELECT p.product, p.n_days, p.stock_q,
+         round(c.cum / CAST(p.n_days AS DOUBLE), 6) AS service_level
+  FROM nv_pick p
+  JOIN nv_cum c ON p.product = c.product AND p.stock_q = c.q
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# order service level (fill rate + p90 lead time per month)
+# ---------------------------------------------------------------------------
+
+#: on-time threshold (days from order to line ship).
+SL_ON_TIME_DAYS = 30
+
+
+def service_level_report(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Monthly order-line service level: fill rate (share of lines
+    shipped within {d} days of the order date) and the p90 lead time
+    — the fulfillment SLA readout beside the backlog curve. The p90
+    is an exact empirical quantile via per-month prefix sums on the
+    DISTINCT lead-day grain with an integer cross-multiplied cut
+    (cum·10 >= 9·n) — no float, no global sort.
+
+    Output per month: month, n_lines, fill_rate, p90_lead_days.
+    """
+    lines = lineitem.join(
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.to_date("o_orderdate").alias("od"),
+        ),
+        "l_orderkey",
+    ).select(
+        (F.year("od") * 100 + F.month("od")).alias("month"),
+        F.datediff(F.to_date("l_shipdate"), F.col("od")).alias("lead"),
+    )
+    per_v = lines.groupBy("month", "lead").agg(
+        F.count("*").alias("c")
+    )
+    wv = Window.partitionBy("month").orderBy("lead").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = lines.groupBy("month").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(
+            (F.col("lead") <= SL_ON_TIME_DAYS).cast("int")
+        ).alias("on_time"),
+    )
+    cum = per_v.withColumn("cum", F.sum("c").over(wv)).join(
+        tot, "month"
+    )
+    p90 = (
+        cum.filter(F.col("cum") * 10 >= 9 * F.col("n_lines"))
+        .groupBy("month")
+        .agg(F.min("lead").alias("p90_lead_days"))
+    )
+    return (
+        tot.join(p90, "month")
+        .select(
+            "month",
+            "n_lines",
+            F.round(
+                F.col("on_time") / F.col("n_lines").cast("double"), 6
+            ).alias("fill_rate"),
+            "p90_lead_days",
+        )
+    )
+
+
+service_level_report.__doc__ = service_level_report.__doc__.format(
+    d=SL_ON_TIME_DAYS
+)
+
+
+ORACLE_SERVICE_LEVEL = f"""
+sl_lines AS (
+  SELECT date_part('year', CAST(o.o_orderdate AS DATE)) * 100
+         + date_part('month', CAST(o.o_orderdate AS DATE)) AS month,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS lead
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+sl_v AS (
+  SELECT month, lead, CAST(count(*) AS BIGINT) AS c
+  FROM sl_lines GROUP BY 1, 2
+),
+sl_tot AS (
+  SELECT month, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN lead <= {SL_ON_TIME_DAYS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS on_time
+  FROM sl_lines GROUP BY 1
+),
+sl_cum AS (
+  SELECT v.month, v.lead,
+         CAST(sum(v.c) OVER (PARTITION BY v.month ORDER BY v.lead
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         t.n_lines
+  FROM sl_v v JOIN sl_tot t USING (month)
+),
+sl_p90 AS (
+  SELECT month, CAST(min(lead) AS BIGINT) AS p90_lead_days
+  FROM sl_cum WHERE cum * 10 >= 9 * n_lines
+  GROUP BY 1
+),
+service_level_report AS (
+  SELECT t.month, t.n_lines,
+         round(t.on_time / CAST(t.n_lines AS DOUBLE), 6) AS fill_rate,
+         p.p90_lead_days
+  FROM sl_tot t JOIN sl_p90 p USING (month)
+)
+"""
