@@ -1739,6 +1739,12 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.concurrency_curve(load_table(spark, sf_dir, "events"))
 
 
+def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative purchase cents per first-seen
+    week cohort by week offset, normalized per member."""
+    return _tmp.cohort_ltv(load_table(spark, sf_dir, "events"))
+
+
 def q_parts_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newsvendor critical-fractile stock per product: integer
     cross-multiplied empirical quantile of demand days."""
@@ -3144,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_variance_ratio": q_events_variance_ratio,
         "parts_newsvendor": q_parts_newsvendor,
         "orders_service_level": q_orders_service_level,
+        "events_cohort_ltv": q_events_cohort_ltv,
         "events_offpolicy": q_events_offpolicy,
         "graph_modularity": q_graph_modularity,
         "events_group_sequential": q_events_group_sequential,
@@ -4064,6 +4071,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orders_service_level": _ext_oracle(
             [_tmp.ORACLE_SERVICE_LEVEL], "service_level_report"
+        ),
+        "events_cohort_ltv": _ext_oracle(
+            [_tmp.ORACLE_COHORT_LTV], "cohort_ltv"
         ),
         "docs_rater_kappa": _ext_oracle(
             [

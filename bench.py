@@ -231,6 +231,7 @@ HEADLINE = [
     "events_variance_ratio",
     "parts_newsvendor",
     "orders_service_level",
+    "events_cohort_ltv",
 ]
 
 

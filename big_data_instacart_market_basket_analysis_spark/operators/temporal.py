@@ -10196,3 +10196,101 @@ service_level_report AS (
   FROM sl_tot t JOIN sl_p90 p USING (month)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV curves (cumulative revenue per signup cohort)
+# ---------------------------------------------------------------------------
+
+
+def cohort_ltv(events: DataFrame) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen WEEK,
+    purchase revenue accumulated by week offset — the revenue sibling
+    of `retention_cohorts` (how much each vintage has SPENT by week w,
+    normalized per cohort member). The payback question ("when does a
+    cohort's cumulative LTV cross acquisition cost") reads straight
+    off cum_ltv_per_user.
+
+    One user-grain first-seen agg, one (cohort, offset) cent agg, and
+    a cumulative window PARTITIONED by cohort over the bounded
+    week-offset grain. Revenue is exact BIGINT cents; the per-user
+    normalization divides once per grid row.
+
+    Output: cohort_week, offset_w, cohort_size, rev_cents,
+    cum_rev_cents, cum_ltv_per_user.
+    """
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cw")
+    )
+    sizes = firsts.groupBy("cw").agg(
+        F.count("*").alias("cohort_size")
+    )
+    rev = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cw",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("cw")) / 7
+            ).cast("int").alias("offset_w"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("cw", "offset_w")
+        .agg(F.sum("c").alias("rev_cents"))
+    )
+    wc = Window.partitionBy("cw").orderBy("offset_w").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rev.withColumn("cum_rev_cents", F.sum("rev_cents").over(wc))
+        .join(sizes, "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            "offset_w",
+            "cohort_size",
+            "rev_cents",
+            "cum_rev_cents",
+            F.round(
+                F.col("cum_rev_cents")
+                / (F.lit(100.0) * F.col("cohort_size")),
+                6,
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
+ORACLE_COHORT_LTV = """
+cl_first AS (
+  SELECT user_id,
+         CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+  FROM events GROUP BY 1
+),
+cl_sizes AS (
+  SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM cl_first GROUP BY 1
+),
+cl_rev AS (
+  SELECT f.cw,
+         CAST(date_diff('day', f.cw, CAST(e.ts AS DATE)) // 7 AS INT)
+           AS offset_w,
+         CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM events e JOIN cl_first f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+cohort_ltv AS (
+  SELECT r.cw AS cohort_week, r.offset_w, s.cohort_size, r.rev_cents,
+         CAST(sum(r.rev_cents) OVER (PARTITION BY r.cw
+              ORDER BY r.offset_w
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_rev_cents,
+         round(CAST(sum(r.rev_cents) OVER (PARTITION BY r.cw
+                   ORDER BY r.offset_w
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT)
+               / (CAST(100.0 AS DOUBLE) * s.cohort_size), 6)
+           AS cum_ltv_per_user
+  FROM cl_rev r JOIN cl_sizes s USING (cw)
+)
+"""
