@@ -1739,6 +1739,12 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.concurrency_curve(load_table(spark, sf_dir, "events"))
 
 
+def q_ml_poisson_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified Poisson GLM (log link, centered day-trend covariate):
+    Newton steps unrolled over the bounded day grain."""
+    return _glm.poisson_train(load_table(spark, sf_dir, "events"))
+
+
 def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort LTV curves: cumulative purchase cents per first-seen
     week cohort by week offset, normalized per member."""
@@ -3151,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_newsvendor": q_parts_newsvendor,
         "orders_service_level": q_orders_service_level,
         "events_cohort_ltv": q_events_cohort_ltv,
+        "ml_poisson_verified": q_ml_poisson_verified,
         "events_offpolicy": q_events_offpolicy,
         "graph_modularity": q_graph_modularity,
         "events_group_sequential": q_events_group_sequential,
@@ -4074,6 +4081,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_cohort_ltv": _ext_oracle(
             [_tmp.ORACLE_COHORT_LTV], "cohort_ltv"
+        ),
+        "ml_poisson_verified": _ext_oracle(
+            [_glm.oracle_poisson()], "poisson_train"
         ),
         "docs_rater_kappa": _ext_oracle(
             [

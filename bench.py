@@ -232,6 +232,7 @@ HEADLINE = [
     "parts_newsvendor",
     "orders_service_level",
     "events_cohort_ltv",
+    "ml_poisson_verified",
 ]
 
 
