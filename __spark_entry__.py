@@ -1739,6 +1739,18 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.concurrency_curve(load_table(spark, sf_dir, "events"))
 
 
+def q_events_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection on daily revenue with windowed prominence and a
+    cross-multiplied major-peak flag."""
+    return _tmp.revenue_peaks(load_table(spark, sf_dir, "events"))
+
+
+def q_ann_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio nearest-centroid classifier eval — the linear baseline
+    beside the kNN vote, on the same held-out split."""
+    return _sim.rocchio_classifier_eval(_emb(spark, sf_dir))
+
+
 def q_ml_poisson_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified Poisson GLM (log link, centered day-trend covariate):
     Newton steps unrolled over the bounded day grain."""
@@ -3158,6 +3170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_service_level": q_orders_service_level,
         "events_cohort_ltv": q_events_cohort_ltv,
         "ml_poisson_verified": q_ml_poisson_verified,
+        "events_peaks": q_events_peaks,
+        "ann_rocchio": q_ann_rocchio,
         "events_offpolicy": q_events_offpolicy,
         "graph_modularity": q_graph_modularity,
         "events_group_sequential": q_events_group_sequential,
@@ -4084,6 +4098,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ml_poisson_verified": _ext_oracle(
             [_glm.oracle_poisson()], "poisson_train"
+        ),
+        "events_peaks": _ext_oracle([_tmp.ORACLE_PEAKS], "revenue_peaks"),
+        "ann_rocchio": _ext_oracle(
+            [_sim.ORACLE_ROCCHIO], "rocchio_classifier_eval"
         ),
         "docs_rater_kappa": _ext_oracle(
             [

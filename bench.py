@@ -233,6 +233,8 @@ HEADLINE = [
     "orders_service_level",
     "events_cohort_ltv",
     "ml_poisson_verified",
+    "events_peaks",
+    "ann_rocchio",
 ]
 
 

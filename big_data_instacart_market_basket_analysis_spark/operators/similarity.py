@@ -3718,3 +3718,151 @@ binary_ann_recall AS (
   FROM brq q LEFT JOIN brh h ON q.query_id = h.query_id
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Rocchio nearest-centroid classifier (the linear baseline beside kNN)
+# ---------------------------------------------------------------------------
+
+
+def rocchio_classifier_eval(emb: DataFrame) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification over the embedding
+    space: per-label mean vectors trained on the index split, each
+    held-out query assigned to the centroid with the highest cosine —
+    the LINEAR baseline beside the kNN vote (`knn_classifier_eval`);
+    when Rocchio matches kNN the classes are unimodal and a 5-vector
+    model replaces the whole index.
+
+    Centroids and scores run entirely on the exploded (vector, dim)
+    grain: one (label, pos) mean agg, one (query, label) dot-product
+    agg, norms alongside — every stage is a hash-agg keyed by small
+    grains. Cosines round to 9 dp BEFORE the argmax ordering, so the
+    winner is engine-exact; ties break to the smaller label.
+
+    Output per class: label, n_queries, n_correct, accuracy.
+    """
+    pos = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(_as_double("embedding")),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("pos"),
+        F.col("col").alias("v"),
+    )
+    cents = (
+        pos.filter(F.col("vec_id") % KNN_CLS_STRIDE != 0)
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("cv"))
+    )
+    cnorm = cents.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cn")
+    )
+    q = pos.filter(F.col("vec_id") % KNN_CLS_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        "pos",
+        F.col("v").alias("qv"),
+    )
+    qnorm = q.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("qn")
+    )
+    dots = (
+        q.join(cents.withColumnRenamed("label", "clabel"), "pos")
+        .groupBy("query_id", "true_label", "clabel")
+        .agg(F.sum(F.col("qv") * F.col("cv")).alias("dot"))
+    )
+    scored = (
+        dots.join(F.broadcast(cnorm.withColumnRenamed("label", "clabel")), "clabel")
+        .join(qnorm, "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "clabel",
+            F.round(
+                F.col("dot") / (F.col("qn") * F.col("cn")), 9
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("clabel")
+    )
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", "true_label", F.col("clabel").alias("pred"))
+    )
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(
+                (F.col("pred") == F.col("true_label")).cast("int")
+            ).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_correct",
+            F.round(
+                F.col("n_correct") / F.col("n_queries").cast("double"),
+                6,
+            ).alias("accuracy"),
+        )
+    )
+
+
+ORACLE_ROCCHIO = f"""
+rc_pos AS (
+  SELECT e.vec_id, e.label, t.i AS pos,
+         CAST(e.embedding[t.i + 1] AS DOUBLE) AS v
+  FROM embeddings e, range(64) t(i)
+),
+rc_cents AS MATERIALIZED (
+  SELECT label, pos, avg(v) AS cv
+  FROM rc_pos WHERE vec_id % {KNN_CLS_STRIDE} <> 0
+  GROUP BY 1, 2
+),
+rc_cnorm AS (
+  SELECT label, sqrt(sum(cv * cv)) AS cn FROM rc_cents GROUP BY 1
+),
+rc_q AS MATERIALIZED (
+  SELECT vec_id AS query_id, label AS true_label, pos, v AS qv
+  FROM rc_pos WHERE vec_id % {KNN_CLS_STRIDE} = 0
+),
+rc_qnorm AS (
+  SELECT query_id, sqrt(sum(qv * qv)) AS qn FROM rc_q GROUP BY 1
+),
+rc_dots AS (
+  SELECT q.query_id, q.true_label, c.label AS clabel,
+         sum(q.qv * c.cv) AS dot
+  FROM rc_q q JOIN rc_cents c USING (pos)
+  GROUP BY 1, 2, 3
+),
+rc_scored AS (
+  SELECT d.query_id, d.true_label, d.clabel,
+         round(d.dot / (n.qn * m.cn), 9) AS cos
+  FROM rc_dots d
+  JOIN rc_cnorm m ON d.clabel = m.label
+  JOIN rc_qnorm n ON d.query_id = n.query_id
+),
+rc_pred AS (
+  SELECT query_id, true_label, clabel AS pred FROM (
+    SELECT query_id, true_label, clabel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, clabel) AS rk
+    FROM rc_scored
+  ) WHERE rk = 1
+),
+rocchio_classifier_eval AS (
+  SELECT true_label AS label,
+         CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct,
+         round(CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+                    AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+           AS accuracy
+  FROM rc_pred GROUP BY 1
+)
+"""

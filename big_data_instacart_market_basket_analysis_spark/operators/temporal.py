@@ -10294,3 +10294,98 @@ cohort_ltv AS (
   FROM cl_rev r JOIN cl_sizes s USING (cw)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# peak detection on the daily revenue series (windowed prominence)
+# ---------------------------------------------------------------------------
+
+#: half-window (days) for the prominence baseline.
+PEAK_WINDOW_DAYS = 7
+
+
+def revenue_peaks(events: DataFrame) -> DataFrame:
+    """Peak detection on daily revenue: a day is a peak when it beats
+    both neighbors, and its PROMINENCE is how far it rises above the
+    higher of the two window-side minima (±{w} days) — the signal
+    statistic that separates a real demand spike from ripple, beside
+    the CUSUM/Hampel change detectors. All arithmetic is integer
+    cents; the major-peak flag is cross-multiplied (5·prom >= rev, a
+    20% prominence bar), so the readout is engine-exact.
+
+    Day-grain windows only (lag/lead + two sliding mins over the
+    bounded series).
+
+    Output per peak: day, rev_cents, prom_cents, is_major.
+    """
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                ).otherwise(0)
+            ).alias("rev")
+        )
+    )
+    w = Window.orderBy("day")
+    wl = Window.orderBy("day").rowsBetween(-PEAK_WINDOW_DAYS, -1)
+    wr = Window.orderBy("day").rowsBetween(1, PEAK_WINDOW_DAYS)
+    marked = daily.select(
+        "day",
+        "rev",
+        F.lag("rev").over(w).alias("prev"),
+        F.lead("rev").over(w).alias("nxt"),
+        F.min("rev").over(wl).alias("lmin"),
+        F.min("rev").over(wr).alias("rmin"),
+    ).filter(
+        F.col("prev").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("rev") > F.col("prev"))
+        & (F.col("rev") > F.col("nxt"))
+    )
+    prom = F.col("rev") - F.greatest("lmin", "rmin")
+    return marked.select(
+        "day",
+        F.col("rev").alias("rev_cents"),
+        prom.alias("prom_cents"),
+        (F.lit(5) * prom >= F.col("rev")).cast("int").alias("is_major"),
+    )
+
+
+revenue_peaks.__doc__ = revenue_peaks.__doc__.format(
+    w=PEAK_WINDOW_DAYS
+)
+
+
+ORACLE_PEAKS = f"""
+pk_daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev
+  FROM events GROUP BY 1
+),
+pk_m AS (
+  SELECT day, rev,
+         lag(rev) OVER w AS prev, lead(rev) OVER w AS nxt,
+         min(rev) OVER (ORDER BY day
+             ROWS BETWEEN {PEAK_WINDOW_DAYS} PRECEDING
+             AND 1 PRECEDING) AS lmin,
+         min(rev) OVER (ORDER BY day
+             ROWS BETWEEN 1 FOLLOWING
+             AND {PEAK_WINDOW_DAYS} FOLLOWING) AS rmin
+  FROM pk_daily
+  WINDOW w AS (ORDER BY day)
+),
+revenue_peaks AS (
+  SELECT day, rev AS rev_cents,
+         rev - greatest(lmin, rmin) AS prom_cents,
+         CAST(5 * (rev - greatest(lmin, rmin)) >= rev AS INT)
+           AS is_major
+  FROM pk_m
+  WHERE prev IS NOT NULL AND nxt IS NOT NULL
+    AND rev > prev AND rev > nxt
+)
+"""
