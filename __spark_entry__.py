@@ -1368,6 +1368,18 @@ def q_sql_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sqlapi.sql_daily_gapfill(spark, sf_dir)
 
 
+def q_sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL named-WINDOW clause: one shared window family feeding
+    rank/share/count (basket-bounded partitions)."""
+    return _sqlapi.sql_named_window(spark, sf_dir)
+
+
+def q_sql_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> vs =) join semantics, proven in-band
+    by per-bucket match counts under both operators."""
+    return _sqlapi.sql_nullsafe_join(spark, sf_dir)
+
+
 def q_sql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL INTERSECT/EXCEPT/LEFT SEMI JOIN syntax over the two
     ship-window halves (set algebra compiled to distinct+semi/anti
@@ -3329,6 +3341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_daily_gapfill": q_sql_daily_gapfill,
         "sql_urgent_only": q_sql_urgent_only,
         "sql_setops": q_sql_setops,
+        "sql_named_window": q_sql_named_window,
+        "sql_nullsafe": q_sql_nullsafe,
         "sql_part_supplier_stats": q_sql_part_supplier_stats,
         "sql_small_qty_revenue": q_sql_small_qty_revenue,
         "sql_pipe_priority_stats": q_sql_pipe_priority_stats,
@@ -4213,6 +4227,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sql_setops": _ext_oracle(
             [_sqlapi.ORACLE_SQL_SETOPS], "sql_setops_halves"
+        ),
+        "sql_named_window": _ext_oracle(
+            [_sqlapi.ORACLE_SQL_NAMED_WINDOW], "sql_named_window"
+        ),
+        "sql_nullsafe": _ext_oracle(
+            [_sqlapi.ORACLE_SQL_NULLSAFE], "sql_nullsafe_join"
         ),
         "sql_urgent_only": _ext_oracle(
             [_sqlapi.ORACLE_SQL_URGENT_ONLY], "sql_urgent_only"

@@ -235,6 +235,8 @@ HEADLINE = [
     "ml_poisson_verified",
     "events_peaks",
     "ann_rocchio",
+    "sql_named_window",
+    "sql_nullsafe",
 ]
 
 

@@ -757,3 +757,96 @@ sql_setops_halves AS (
                         AND p.p_retailprice > 1500))
 )
 """
+
+
+def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL named-WINDOW clause: one window definition shared by four
+    window functions — parser surface the DataFrame API spells as a
+    reused Window spec. Per order: line revenue rank, share of the
+    order's revenue, running share, and line count, all over the same
+    (orderkey, revenue-desc) window family.
+
+    Window partitions by orderkey (basket-bounded — never a global
+    sort); money is DECIMAL-exact until the output-edge rounding.
+    """
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               rank() OVER w AS rev_rank,
+               round(CAST(l_extendedprice AS DOUBLE)
+                     / CAST(sum(l_extendedprice) OVER wp AS DOUBLE),
+                     6) AS rev_share,
+               count(*) OVER wp AS n_lines
+        FROM lineitem
+        WHERE l_orderkey % 50 = 0
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_extendedprice DESC, l_linenumber),
+               wp AS (PARTITION BY l_orderkey)
+        """
+    )
+
+
+ORACLE_SQL_NAMED_WINDOW = """
+sql_named_window AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(rank() OVER w AS BIGINT) AS rev_rank,
+         round(CAST(l_extendedprice AS DOUBLE)
+               / CAST(sum(l_extendedprice) OVER wp AS DOUBLE), 6)
+           AS rev_share,
+         CAST(count(*) OVER wp AS BIGINT) AS n_lines
+  FROM lineitem
+  WHERE l_orderkey % 50 = 0
+  WINDOW w AS (PARTITION BY l_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber),
+         wp AS (PARTITION BY l_orderkey)
+)
+"""
+
+
+def sql_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (`<=>` / IS NOT DISTINCT FROM): orders
+    bucketed by a NULLABLE key (clerk bucket, NULLIF'd on a
+    deterministic slice) joined to the bucket dimension with BOTH
+    operators — the null-safe join matches the NULL bucket rows a
+    plain equi-join silently drops. Output counts per bucket under
+    each semantics, proving the difference in-band.
+    """
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH keyed AS (
+          SELECT NULLIF(o_custkey % 10, 0) AS bucket
+          FROM orders
+        ),
+        dim AS (
+          SELECT DISTINCT bucket FROM keyed
+        )
+        SELECT d.bucket,
+               CAST(sum(CASE WHEN k.bucket <=> d.bucket
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nullsafe,
+               CAST(sum(CASE WHEN k.bucket = d.bucket
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_plain
+        FROM dim d CROSS JOIN keyed k
+        GROUP BY d.bucket
+        """
+    )
+
+
+ORACLE_SQL_NULLSAFE = """
+ns_keyed AS (
+  SELECT NULLIF(o_custkey % 10, 0) AS bucket FROM orders
+),
+ns_dim AS (SELECT DISTINCT bucket FROM ns_keyed),
+sql_nullsafe_join AS (
+  SELECT d.bucket,
+         CAST(sum(CASE WHEN k.bucket IS NOT DISTINCT FROM d.bucket
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe,
+         CAST(sum(CASE WHEN k.bucket = d.bucket
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_plain
+  FROM ns_dim d CROSS JOIN ns_keyed k
+  GROUP BY d.bucket
+)
+"""
