@@ -128,6 +128,7 @@ _FRAGMENTS: dict[str, str] = {
     "candidates": _cand.ORACLE_CANDIDATES,
     "feature_lift": _cand.ORACLE_FEATURE_LIFT,
     "proxy_submission": _sub.ORACLE_PROXY_SUBMISSION,
+    "ef1_submission": _sub.ORACLE_EF1_SUBMISSION,
     "orders_limited": _rel.ORACLE_ORDERS_LIMITED,
     "dept_aisle_rollup": _rel.ORACLE_DEPT_AISLE_ROLLUP,
     "user_segment_stats": _rel.ORACLE_USER_SEGMENT_STATS,
@@ -171,6 +172,15 @@ _DEPS: dict[str, list[str]] = {
         "user_product_features",
     ],
     "proxy_submission": [
+        "prior_enriched",
+        "user_prior_features",
+        "user_order_features",
+        "users_final",
+        "product_features",
+        "user_product_features",
+        "candidates",
+    ],
+    "ef1_submission": [
         "prior_enriched",
         "user_prior_features",
         "user_order_features",
@@ -337,6 +347,13 @@ def q_feature_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_proxy_submission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sub.proxy_submission(instacart_tables(spark, sf_dir))
+
+
+def q_ef1_submission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-F1-optimal per-order k selection (ordered-cumulative
+    EF1 curve, 'None' probability signal) — the principled upgrade of
+    the reference's fixed 0.19 threshold."""
+    return _sub.ef1_submission(instacart_tables(spark, sf_dir))
 
 
 def q_orders_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3100,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidates": q_candidates,
         "feature_lift": q_feature_lift,
         "proxy_submission": q_proxy_submission,
+        "ef1_submission": q_ef1_submission,
         "orders_limited": q_orders_limited,
         "eval_split_counts": q_eval_split_counts,
         "dept_aisle_rollup": q_dept_aisle_rollup,
@@ -3526,6 +3544,7 @@ def oracle_sql() -> dict[str, str]:
         "candidates": _oracle("candidates"),
         "feature_lift": _oracle("feature_lift"),
         "proxy_submission": _oracle("proxy_submission"),
+        "ef1_submission": _oracle("ef1_submission"),
         "orders_limited": _oracle("orders_limited"),
         "eval_split_counts": _oracle("eval_split_counts"),
         "dept_aisle_rollup": _oracle("dept_aisle_rollup"),

@@ -237,6 +237,7 @@ HEADLINE = [
     "ann_rocchio",
     "sql_named_window",
     "sql_nullsafe",
+    "ef1_submission",
 ]
 
 
