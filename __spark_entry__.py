@@ -151,6 +151,7 @@ _FRAGMENTS: dict[str, str] = {
     "als_bpr_auc": _mf.oracle_als_bpr_auc(),
     "pair_rules": _bask.ORACLE_PAIR_RULES,
     "basket_sizes": _bask.ORACLE_BASKET_SIZES,
+    "pair_substitutes": _bask.ORACLE_PAIR_SUBSTITUTES,
     "sql_dept_stats": _sqlapi.ORACLE_SQL_DEPT_STATS,
     "sql_dept_top_reordered": _sqlapi.ORACLE_SQL_DEPT_TOP_REORDERED,
 }
@@ -228,6 +229,7 @@ _DEPS: dict[str, list[str]] = {
     "als_bpr_auc": ["als_rank1", "negative_samples"],
     "pair_rules": ["baskets_base"],
     "basket_sizes": ["baskets_base"],
+    "pair_substitutes": ["baskets_base"],
     "sql_dept_stats": ["product_features"],
     "sql_dept_top_reordered": ["product_features"],
 }
@@ -343,6 +345,12 @@ def q_feature_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration/lift table of the product reorder-ratio feature vs
     the train label (fixed-width bins; map-only + one hash-agg)."""
     return _cand.feature_lift(instacart_tables(spark, sf_dir))
+
+
+def q_pair_substitutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substitute/complement classification for same-aisle popular
+    pairs (below/above-chance co-occurrence z)."""
+    return _bask.pair_substitutes(instacart_tables(spark, sf_dir))
 
 
 def q_proxy_submission(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3117,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidates": q_candidates,
         "feature_lift": q_feature_lift,
         "proxy_submission": q_proxy_submission,
+        "pair_substitutes": q_pair_substitutes,
         "ef1_submission": q_ef1_submission,
         "orders_limited": q_orders_limited,
         "eval_split_counts": q_eval_split_counts,
@@ -3544,6 +3553,7 @@ def oracle_sql() -> dict[str, str]:
         "candidates": _oracle("candidates"),
         "feature_lift": _oracle("feature_lift"),
         "proxy_submission": _oracle("proxy_submission"),
+        "pair_substitutes": _oracle("pair_substitutes"),
         "ef1_submission": _oracle("ef1_submission"),
         "orders_limited": _oracle("orders_limited"),
         "eval_split_counts": _oracle("eval_split_counts"),

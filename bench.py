@@ -238,6 +238,7 @@ HEADLINE = [
     "sql_named_window",
     "sql_nullsafe",
     "ef1_submission",
+    "pair_substitutes",
 ]
 
 

@@ -649,3 +649,147 @@ closed_maximal_pairs AS (
   LEFT JOIN cmp_sup s ON f.p1 = s.x AND f.p2 = s.y
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# substitute / complement classification (same-aisle pair deviation test)
+# ---------------------------------------------------------------------------
+
+#: a product must appear in at least this many baskets to enter the
+#: substitution grid (bounds the per-aisle quadratic).
+SUBST_MIN_BASKETS = 30
+
+
+def pair_substitutes(t: InstacartTables) -> DataFrame:
+    """Substitute vs complement classification for same-aisle popular
+    product pairs: under independence a pair co-occurs in n1·n2/N
+    baskets; pairs observed FAR BELOW that (z <= −1.96, Poisson
+    approximation) are substitutes (buying one displaces the other),
+    far above are complements — the retail category-management
+    readout that frequent-pairs mining alone cannot give, because
+    substitutes are defined by ABSENT co-occurrences.
+
+    The candidate grid is same-aisle pairs of popular products
+    (>= {mb} baskets), so the quadratic step is bounded per aisle by
+    the popular-product count — the ER-blocking discipline applied to
+    market baskets. Observed counts left-join from the shared staged
+    pair table (0 default); every statistic is a scalar on exact
+    BIGINTs.
+
+    Output per pair: aisle_id, p1, p2, n1, n2, obs, expected, z,
+    relation.
+    """
+    bk = baskets(t)
+    nb = _n_baskets(bk)
+    pc = bk.groupBy("productID").agg(F.count("*").alias("np"))
+    pop = (
+        pc.filter(F.col("np") >= SUBST_MIN_BASKETS)
+        .join(
+            F.broadcast(t.products.select("productID", "aisle_id")),
+            "productID",
+        )
+    )
+    a = pop.select(
+        F.col("aisle_id"),
+        F.col("productID").alias("p1"),
+        F.col("np").alias("n1"),
+    )
+    b = pop.select(
+        F.col("aisle_id"),
+        F.col("productID").alias("p2"),
+        F.col("np").alias("n2"),
+    )
+    grid = a.join(b, "aisle_id").filter(F.col("p1") < F.col("p2"))
+    obs = _pair_counts_staged(t, 1).select(
+        "p1", "p2", F.col("pair_count").alias("obs")
+    )
+    scored = (
+        grid.join(obs, ["p1", "p2"], "left")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "aisle_id",
+            "p1",
+            "p2",
+            "n1",
+            "n2",
+            F.coalesce("obs", F.lit(0)).alias("obs"),
+            (
+                F.col("n1").cast("double")
+                * F.col("n2").cast("double")
+                / F.col("n_baskets").cast("double")
+            ).alias("exp_raw"),
+        )
+    )
+    z = (F.col("obs") - F.col("exp_raw")) / F.sqrt(F.col("exp_raw"))
+    return scored.select(
+        "aisle_id",
+        "p1",
+        "p2",
+        "n1",
+        "n2",
+        "obs",
+        F.round("exp_raw", 4).alias("expected"),
+        F.round(z, 6).alias("z"),
+        F.when(F.round(z, 6) <= -1.96, F.lit("substitute"))
+        .when(F.round(z, 6) >= 1.96, F.lit("complement"))
+        .otherwise(F.lit("independent"))
+        .alias("relation"),
+    )
+
+
+pair_substitutes.__doc__ = pair_substitutes.__doc__.format(
+    mb=SUBST_MIN_BASKETS
+)
+
+
+ORACLE_PAIR_SUBSTITUTES = f"""
+ps_pc AS (
+  SELECT productID, CAST(count(*) AS BIGINT) AS np
+  FROM ibaskets GROUP BY 1
+),
+ps_pop AS (
+  SELECT c.productID, c.np, p.aisle_id
+  FROM ps_pc c JOIN iproducts p USING (productID)
+  WHERE c.np >= {SUBST_MIN_BASKETS}
+),
+ps_obs AS (
+  SELECT a.productID AS p1, b.productID AS p2,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM ibaskets a JOIN ibaskets b
+    ON a.orderID = b.orderID AND a.productID < b.productID
+  GROUP BY 1, 2
+),
+ps_grid AS (
+  SELECT a.aisle_id, a.productID AS p1, b.productID AS p2,
+         a.np AS n1, b.np AS n2
+  FROM ps_pop a JOIN ps_pop b
+    ON a.aisle_id = b.aisle_id AND a.productID < b.productID
+),
+pair_substitutes AS (
+  SELECT g.aisle_id, g.p1, g.p2, g.n1, g.n2,
+         CAST(coalesce(o.obs, 0) AS BIGINT) AS obs,
+         round(CAST(g.n1 AS DOUBLE) * CAST(g.n2 AS DOUBLE)
+               / CAST(nb.n_baskets AS DOUBLE), 4) AS expected,
+         round((coalesce(o.obs, 0)
+                - CAST(g.n1 AS DOUBLE) * CAST(g.n2 AS DOUBLE)
+                  / CAST(nb.n_baskets AS DOUBLE))
+               / sqrt(CAST(g.n1 AS DOUBLE) * CAST(g.n2 AS DOUBLE)
+                      / CAST(nb.n_baskets AS DOUBLE)), 6) AS z,
+         CASE WHEN round((coalesce(o.obs, 0)
+                - CAST(g.n1 AS DOUBLE) * CAST(g.n2 AS DOUBLE)
+                  / CAST(nb.n_baskets AS DOUBLE))
+               / sqrt(CAST(g.n1 AS DOUBLE) * CAST(g.n2 AS DOUBLE)
+                      / CAST(nb.n_baskets AS DOUBLE)), 6) <= -1.96
+              THEN 'substitute'
+              WHEN round((coalesce(o.obs, 0)
+                - CAST(g.n1 AS DOUBLE) * CAST(g.n2 AS DOUBLE)
+                  / CAST(nb.n_baskets AS DOUBLE))
+               / sqrt(CAST(g.n1 AS DOUBLE) * CAST(g.n2 AS DOUBLE)
+                      / CAST(nb.n_baskets AS DOUBLE)), 6) >= 1.96
+              THEN 'complement'
+              ELSE 'independent' END AS relation
+  FROM ps_grid g
+  LEFT JOIN ps_obs o ON g.p1 = o.p1 AND g.p2 = o.p2
+  CROSS JOIN inb nb
+)
+"""
