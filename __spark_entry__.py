@@ -1039,6 +1039,12 @@ def q_media_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.media_scene_changes_query(_docs(spark, sf_dir))
 
 
+def q_media_sniff_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary-header sniffing: PNG IHDR dims parsed from a true
+    BINARY column, self-proving round trip — map-only."""
+    return _mm.media_sniff_dims(_docs(spark, sf_dir))
+
+
 def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash (aHash) image near-dup pairs: Arrow-batched
     hash over the stubbed decoder, then banded Hamming join — the
@@ -3265,6 +3271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "text_bigram_logprob": q_text_bigram_logprob,
         "media_phash_dedup": q_media_phash_dedup,
+        "media_sniff_dims": q_media_sniff_dims,
         "media_scene_changes": q_media_scene_changes,
         "text_nb_quality": q_text_nb_quality,
         "text_nb_quality_cv": q_text_nb_quality_cv,
@@ -4135,6 +4142,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orders_service_level": _ext_oracle(
             [_tmp.ORACLE_SERVICE_LEVEL], "service_level_report"
+        ),
+        "media_sniff_dims": _ext_oracle(
+            [_mm.ORACLE_SNIFF_DIMS], "media_sniff_dims"
         ),
         "events_cohort_ltv": _ext_oracle(
             [_tmp.ORACLE_COHORT_LTV], "cohort_ltv"

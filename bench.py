@@ -239,6 +239,7 @@ HEADLINE = [
     "sql_nullsafe",
     "ef1_submission",
     "pair_substitutes",
+    "media_sniff_dims",
 ]
 
 
