@@ -1045,6 +1045,12 @@ def q_media_sniff_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.media_sniff_dims(_docs(spark, sf_dir))
 
 
+def q_media_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV/RIFF header parsing: little-endian sample-rate and
+    channel fields from a true BINARY column, self-proving."""
+    return _mm.media_wav_meta(_docs(spark, sf_dir))
+
+
 def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash (aHash) image near-dup pairs: Arrow-batched
     hash over the stubbed decoder, then banded Hamming join — the
@@ -3272,6 +3278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": q_text_bigram_logprob,
         "media_phash_dedup": q_media_phash_dedup,
         "media_sniff_dims": q_media_sniff_dims,
+        "media_wav_meta": q_media_wav_meta,
         "media_scene_changes": q_media_scene_changes,
         "text_nb_quality": q_text_nb_quality,
         "text_nb_quality_cv": q_text_nb_quality_cv,
@@ -4145,6 +4152,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_sniff_dims": _ext_oracle(
             [_mm.ORACLE_SNIFF_DIMS], "media_sniff_dims"
+        ),
+        "media_wav_meta": _ext_oracle(
+            [_mm.ORACLE_WAV_META], "media_wav_meta"
         ),
         "events_cohort_ltv": _ext_oracle(
             [_tmp.ORACLE_COHORT_LTV], "cohort_ltv"

@@ -240,6 +240,7 @@ HEADLINE = [
     "ef1_submission",
     "pair_substitutes",
     "media_sniff_dims",
+    "media_wav_meta",
 ]
 
 

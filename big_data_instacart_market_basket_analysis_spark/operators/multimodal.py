@@ -602,3 +602,143 @@ media_sniff_dims AS (
   FROM sn_built
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV/RIFF header parsing (little-endian fields)
+# ---------------------------------------------------------------------------
+
+#: 'RIFF' and 'WAVE'+'fmt ' markers (hex, uppercase).
+RIFF_MAGIC_HEX = "52494646"
+_WAVE_FMT_HEX = "57415645666D7420100000000100"
+
+
+def media_wav_meta(docs: DataFrame) -> DataFrame:
+    """REAL audio-metadata parsing: build a valid RIFF/WAVE fmt-chunk
+    header as a BINARY column (sample rate / channel count derived
+    from doc_id) and parse the LITTLE-endian fields back from the raw
+    bytes — the byte-swap recomposition (LE u32 = reversed byte pairs
+    of the hex) is the half of binary sniffing the big-endian PNG op
+    doesn't cover. Self-proving round trip; map-only at any scale.
+
+    Output: doc_id, sample_rate, channels, sniffed_rate,
+    sniffed_channels, riff_ok, ok.
+    """
+    rate = (F.lit(8000) + (F.col("doc_id") % 5) * 8000).cast("bigint")
+    ch = (1 + F.col("doc_id") % 2).cast("bigint")
+
+    def le32(col):  # little-endian 32-bit hex of an int column
+        be = F.lpad(F.hex(col), 8, "0")
+        return F.concat(
+            F.substring(be, 7, 2),
+            F.substring(be, 5, 2),
+            F.substring(be, 3, 2),
+            F.substring(be, 1, 2),
+        )
+
+    def le16(col):
+        be = F.lpad(F.hex(col), 4, "0")
+        return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))
+
+    payload_hex = F.concat(
+        F.lit(RIFF_MAGIC_HEX),
+        F.lit("24000000"),  # chunk size (fixed toy value)
+        F.lit(_WAVE_FMT_HEX),
+        le16(ch),
+        le32(rate),
+    )
+    built = docs.select(
+        "doc_id",
+        rate.alias("sample_rate"),
+        ch.alias("channels"),
+        F.unhex(payload_hex).alias("payload"),
+    )
+    hx = F.hex(F.col("payload"))
+
+    def rd_le32(start):  # parse LE u32 at 1-based BYTE offset
+        p = (start - 1) * 2 + 1
+        return F.conv(
+            F.concat(
+                F.substring(hx, p + 6, 2),
+                F.substring(hx, p + 4, 2),
+                F.substring(hx, p + 2, 2),
+                F.substring(hx, p, 2),
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    def rd_le16(start):
+        p = (start - 1) * 2 + 1
+        return F.conv(
+            F.concat(
+                F.substring(hx, p + 2, 2), F.substring(hx, p, 2)
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    sr = rd_le32(25)
+    sc = rd_le16(23)
+    return built.select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        sr.alias("sniffed_rate"),
+        sc.alias("sniffed_channels"),
+        (F.substring(hx, 1, 8) == RIFF_MAGIC_HEX)
+        .cast("int")
+        .alias("riff_ok"),
+        (
+            (sr == F.col("sample_rate")) & (sc == F.col("channels"))
+        )
+        .cast("int")
+        .alias("ok"),
+    )
+
+
+def _le32_sql(expr: str) -> str:
+    be = f"lpad(hex({expr}), 8, '0')"
+    return (
+        f"substr({be}, 7, 2) || substr({be}, 5, 2)"
+        f" || substr({be}, 3, 2) || substr({be}, 1, 2)"
+    )
+
+
+def _le16_sql(expr: str) -> str:
+    be = f"lpad(hex({expr}), 4, '0')"
+    return f"substr({be}, 3, 2) || substr({be}, 1, 2)"
+
+
+ORACLE_WAV_META = f"""
+wv_built AS (
+  SELECT doc_id,
+         CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) AS sample_rate,
+         CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+         unhex('{RIFF_MAGIC_HEX}' || '24000000' || '{_WAVE_FMT_HEX}'
+               || {_le16_sql('1 + doc_id % 2')}
+               || {_le32_sql('8000 + (doc_id % 5) * 8000')})
+           AS payload
+  FROM documents
+),
+wv_hex AS (
+  SELECT doc_id, sample_rate, channels, hex(payload) AS hx
+  FROM wv_built
+),
+media_wav_meta AS (
+  SELECT doc_id, sample_rate, channels,
+         CAST(('0x' || substr(hx, 55, 2) || substr(hx, 53, 2)
+               || substr(hx, 51, 2) || substr(hx, 49, 2)) AS BIGINT)
+           AS sniffed_rate,
+         CAST(('0x' || substr(hx, 47, 2) || substr(hx, 45, 2))
+              AS BIGINT) AS sniffed_channels,
+         CAST(substr(hx, 1, 8) = '{RIFF_MAGIC_HEX}' AS INT)
+           AS riff_ok,
+         CAST(CAST(('0x' || substr(hx, 55, 2) || substr(hx, 53, 2)
+               || substr(hx, 51, 2) || substr(hx, 49, 2)) AS BIGINT)
+                = sample_rate
+              AND CAST(('0x' || substr(hx, 47, 2) || substr(hx, 45, 2))
+                       AS BIGINT) = channels AS INT) AS ok
+  FROM wv_hex
+)
+"""
