@@ -33,13 +33,16 @@ from .instacart import instacart_tables
 #: registration is idempotent but not free (re-plans ~16 views and
 #: re-enters instacart_tables per call) — memoize per (session, sf_dir)
 #: the same way instacart_tables uses _TABLE_CACHE.
-_REGISTERED: set[tuple[int, str]] = set()
+#: holds the SESSION OBJECT in the value (dedup._SHINGLE_CACHE /
+#: loaders._tuned_sessions pattern) so a GC'd session's recycled id()
+#: can never make a new session silently skip view registration.
+_REGISTERED: dict[tuple[int, str], object] = {}
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register fixture tables, Instacart views, and derived features."""
     key = (id(spark), sf_dir)
-    if key in _REGISTERED:
+    if _REGISTERED.get(key) is spark:
         return
     register_views(spark, sf_dir)  # raw fixtures
     t = instacart_tables(spark, sf_dir)
@@ -70,7 +73,7 @@ def register_all(spark: SparkSession, sf_dir: str) -> None:
         _text.corpus_prep(docs).createOrReplaceTempView("corpus_prep_v")
     except Exception:
         pass
-    _REGISTERED.add(key)
+    _REGISTERED[key] = spark
 
 
 def sql_dept_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
