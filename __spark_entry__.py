@@ -1806,6 +1806,14 @@ def q_ml_poisson_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _glm.poisson_train(load_table(spark, sf_dir, "events"))
 
 
+def q_events_approx_quantile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approx-percentile rank-error contract: exact CDF position of
+    the sketch median asserted within the declared budget."""
+    return _tmp.approx_quantile_check(load_table(spark, sf_dir, "events"))
+
+
 def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort LTV curves: cumulative purchase cents per first-seen
     week cohort by week offset, normalized per member."""
@@ -3220,6 +3228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_newsvendor": q_parts_newsvendor,
         "orders_service_level": q_orders_service_level,
         "events_cohort_ltv": q_events_cohort_ltv,
+        "events_approx_quantile": q_events_approx_quantile,
         "ml_poisson_verified": q_ml_poisson_verified,
         "events_peaks": q_events_peaks,
         "ann_rocchio": q_ann_rocchio,
@@ -4158,6 +4167,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_cohort_ltv": _ext_oracle(
             [_tmp.ORACLE_COHORT_LTV], "cohort_ltv"
+        ),
+        "events_approx_quantile": _ext_oracle(
+            [_tmp.ORACLE_APPROX_PCTL], "events_approx_quantile"
         ),
         "ml_poisson_verified": _ext_oracle(
             [_glm.oracle_poisson()], "poisson_train"

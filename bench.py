@@ -241,6 +241,7 @@ HEADLINE = [
     "pair_substitutes",
     "media_sniff_dims",
     "media_wav_meta",
+    "events_approx_quantile",
 ]
 
 

@@ -10389,3 +10389,81 @@ revenue_peaks AS (
     AND rev > prev AND rev > nxt
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# approximate-percentile accuracy check (rank-error contract)
+# ---------------------------------------------------------------------------
+
+#: approx_percentile accuracy knob (rank error <= 1/accuracy).
+APPROX_PCTL_ACCURACY = 1000
+#: declared rank-error budget (5x headroom over 1/accuracy), percent.
+APPROX_PCTL_RANK_TOL_PCT = 0.5
+
+
+def approx_quantile_check(events: DataFrame) -> DataFrame:
+    """Approximate-percentile accuracy contract, the quantile sibling
+    of ``events_approx_distinct``: Spark's approx_percentile (the
+    mergeable KLL/GK-family sketch you can afford at 100 TB) has a
+    RANK-error guarantee, not a value guarantee — so the check
+    computes the exact CDF position of the sketch's median answer and
+    asserts it sits within the declared rank budget of 0.5. The
+    sketch value itself is engine-specific (DuckDB's sketch differs),
+    so the differential contract is exact-side + the flag: estimator
+    drift past budget hash-mismatches.
+
+    One sketch agg per type + one conditional recount against the
+    broadcast answers — both map-side-combinable.
+
+    Output per type: event_type, n, p50_exact, rank_tol_pct,
+    within_bound.
+    """
+    approx = events.groupBy("event_type").agg(
+        F.expr(
+            f"approx_percentile(value, 0.5, {APPROX_PCTL_ACCURACY})"
+        ).alias("p50_approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.count("*").alias("n"),
+    )
+    pos = (
+        events.join(
+            F.broadcast(
+                approx.select("event_type", "p50_approx")
+            ),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("value") <= F.col("p50_approx")).cast("int")
+            ).alias("n_le")
+        )
+    )
+    rank_err = F.abs(
+        F.col("n_le").cast("double") / F.col("n").cast("double") - 0.5
+    )
+    return (
+        approx.join(pos, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round("p50_exact", 6).alias("p50_exact"),
+            F.lit(APPROX_PCTL_RANK_TOL_PCT).alias("rank_tol_pct"),
+            (rank_err * 100 <= APPROX_PCTL_RANK_TOL_PCT).alias(
+                "within_bound"
+            ),
+        )
+    )
+
+
+ORACLE_APPROX_PCTL = f"""
+events_approx_quantile AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         round(quantile_cont(value, 0.5), 6) AS p50_exact,
+         {APPROX_PCTL_RANK_TOL_PCT} AS rank_tol_pct,
+         TRUE AS within_bound
+  FROM events
+  GROUP BY 1
+)
+"""
