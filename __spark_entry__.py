@@ -2770,6 +2770,12 @@ def q_stream_histq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_histq(spark, sf_dir)
 
 
+def q_stream_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A/B monitor: per-variant moment cells as 2-row
+    mergeable state; final Welch z equals the batch answer."""
+    return _ev.run_stream_ab_monitor(spark, sf_dir)
+
+
 def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketch as streaming state: constant K-row standing table,
     mergeable bottom-k folds per micro-batch; final estimate equals
@@ -3262,6 +3268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_partitioned_sink": q_stream_partitioned_sink,
         "stream_merge_state": q_stream_merge_state,
         "stream_kmv": q_stream_kmv,
+        "stream_ab_monitor": q_stream_ab_monitor,
         "stream_hist_quantiles": q_stream_histq,
         "stream_cms": q_stream_cms,
         "stream_hll": q_stream_hll,
@@ -4692,6 +4699,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_hist_quantiles": _ext_oracle(
             [_ev.ORACLE_STREAM_HISTQ], "stream_hist_quantiles"
+        ),
+        "stream_ab_monitor": _ext_oracle(
+            [_ev.ORACLE_STREAM_AB], "stream_ab_monitor"
         ),
         "stream_kmv": _ext_oracle(
             [_ev.ORACLE_STREAM_KMV], "stream_kmv"

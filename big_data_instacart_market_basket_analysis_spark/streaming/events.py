@@ -1906,3 +1906,147 @@ stream_hist_quantiles AS (
 
 
 ORACLE_STREAM_HISTQ = _oracle_stream_histq()
+
+
+def run_stream_ab_monitor(
+    spark: SparkSession, sf_dir: str, name: str = "stream_ab_monitor"
+) -> DataFrame:
+    """Streaming A/B monitor: the per-variant moment cells (n, Σcents,
+    Σcents²) are the STANDING STATE, merged per micro-batch by simple
+    addition — moments are the canonical mergeable statistic, so the
+    state is 2 rows regardless of stream length and the final Welch z
+    equals the batch computation bit-for-bit (the oracle). This is
+    the streaming face of the group-sequential family: every
+    micro-batch boundary is an interim look at the same cumulative z
+    the batch `events_ab_test` computes at the end.
+
+    Per batch: one batch-sized agg + a 2-row merge overwrite —
+    checkpoint/restart-safe because addition is associative and the
+    state write is idempotent per batch id.
+
+    Output (1 row): n0, n1, z, significant.
+    """
+    import tempfile
+
+    _tune_stream_session(spark)
+    root = tempfile.mkdtemp(prefix="stream_abm_")
+    src, target = f"{root}/src", f"{root}/state"
+
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    ).repartition(6).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("variant").agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("q"),
+        )
+        if _os.path.isdir(target):
+            part = spark.read.parquet(target).unionByName(part)
+        merged = (
+            part.groupBy("variant")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("s").alias("s"),
+                F.sum("q").alias("q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    st = spark.read.parquet(target)
+    cells = st.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("s"))).alias("s0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("q"))).alias("q0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("s"))).alias("s1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("q"))).alias("q1"),
+    )
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    v0 = (
+        n0d * F.col("q0").cast("double")
+        - F.col("s0").cast("double") * F.col("s0").cast("double")
+    ) / (n0d * n0d * (n0d - 1))
+    v1 = (
+        n1d * F.col("q1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (n1d * n1d * (n1d - 1))
+    z = (
+        F.col("s1").cast("double") / n1d
+        - F.col("s0").cast("double") / n0d
+    ) / F.sqrt(v0 + v1)
+    return cells.select(
+        "n0",
+        "n1",
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > 1.96).alias("significant"),
+    )
+
+
+ORACLE_STREAM_AB = """
+sab_cells AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS s,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+                  * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS q
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+sab_m AS (
+  SELECT CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN variant = 0 THEN s END) AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN variant = 0 THEN q END) AS BIGINT) AS q0,
+         CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN variant = 1 THEN s END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN variant = 1 THEN q END) AS BIGINT) AS q1
+  FROM sab_cells
+),
+stream_ab_monitor AS (
+  SELECT n0, n1,
+         round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+               / sqrt((CAST(n0 AS DOUBLE) * CAST(q0 AS DOUBLE)
+                       - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                      / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                         * (CAST(n0 AS DOUBLE) - 1))
+                      + (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                        / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                           * (CAST(n1 AS DOUBLE) - 1))), 6) AS z,
+         abs(round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+               / sqrt((CAST(n0 AS DOUBLE) * CAST(q0 AS DOUBLE)
+                       - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                      / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                         * (CAST(n0 AS DOUBLE) - 1))
+                      + (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                        / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                           * (CAST(n1 AS DOUBLE) - 1))), 6)) > 1.96
+           AS significant
+  FROM sab_m
+)
+"""
