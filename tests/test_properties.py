@@ -1718,3 +1718,72 @@ def test_abc_classes_cover_all_parts(spark):
     classes = {r["abc_class"] for r in rows}
     assert classes <= {"A", "B", "C"}
     assert abs(sum(r["rev_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_price_index_base_month_is_unity(spark):
+    """The base month's Laspeyres/Paasche/Fisher must all equal 1."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        analytics,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    rows = analytics.price_index_report(
+        load_table(spark, SF_ORACLE, "lineitem")
+    ).collect()
+    base = min(rows, key=lambda r: r["month"])
+    assert base["laspeyres"] == 1.0
+    assert base["paasche"] == 1.0
+    assert base["fisher"] == 1.0
+
+
+def test_hhi_bounds_and_cr4(spark):
+    """HHI lies in (0, 10000]; CR4 in (0, 1]; with >4 brands CR4 < 1."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        analytics,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    r = analytics.market_hhi(
+        load_table(spark, SF_ORACLE, "lineitem"),
+        load_table(spark, SF_ORACLE, "part"),
+    ).collect()[0]
+    assert 0 < r["hhi"] <= 10000
+    assert 0 < r["cr4"] <= 1
+    if r["n_brands"] > 4:
+        assert r["cr4"] < 1
+
+
+def test_newsvendor_service_level_meets_fractile(spark):
+    """Every chosen stock level must achieve at least the 3/4
+    critical ratio (that is its definition)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    rows = temporal.newsvendor_stock(
+        load_table(spark, SF_ORACLE, "lineitem")
+    ).collect()
+    assert rows
+    assert all(r["service_level"] >= 0.75 for r in rows)
+
+
+def test_ef1_submission_selects_nonempty_or_none(spark):
+    """EF1 stars are in (0, 1]; k_star >= 1 whenever products is not
+    'None'; ef1 at k=1 lower-bounds nothing above 1."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["ef1_submission"](
+        spark, SF_ORACLE
+    ).collect()
+    assert rows
+    for r in rows:
+        if r["products"] != "None":
+            assert r["k_star"] >= 1
+            assert 0 < r["ef1_star"] <= 1
