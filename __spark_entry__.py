@@ -1760,6 +1760,12 @@ def q_events_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.cube_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas per-user trend slope on exact
+    integer inputs — Arrow boundary proven lossless by the oracle."""
+    return _udafs.grouped_map_slope(load_table(spark, sf_dir, "events"))
+
+
 def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED_AGG pandas UDF hash-pinned to its native twin (Arrow
     grouped-agg transport proven lossless)."""
@@ -3247,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stl_decompose": q_events_stl_decompose,
         "events_twap": q_events_twap,
         "udf_grouped_agg": q_udf_grouped_agg,
+        "udf_grouped_map": q_udf_grouped_map,
         "events_bitmap_retention": q_events_bitmap_retention,
         "text_decontaminate": q_text_decontaminate,
         "dedup_winnowing": q_dedup_winnowing,
@@ -4214,6 +4221,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_stl_decompose": _ext_oracle(
             [_tmp.ORACLE_STL], "stl_decompose"
+        ),
+        "udf_grouped_map": _ext_oracle(
+            [_udafs.ORACLE_GROUPED_MAP_SLOPE], "grouped_map_slope"
         ),
         "udf_grouped_agg": _ext_oracle(
             [_udafs.ORACLE_GROUPED_AGG], "grouped_agg_spend"

@@ -242,6 +242,8 @@ HEADLINE = [
     "media_sniff_dims",
     "media_wav_meta",
     "events_approx_quantile",
+    "stream_ab_monitor",
+    "udf_grouped_map",
 ]
 
 

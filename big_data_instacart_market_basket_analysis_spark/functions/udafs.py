@@ -15,7 +15,7 @@ hatch exercised and tested.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,5 +63,99 @@ grouped_agg_spend AS (
          round(sum(value) / count(value), 6) AS mean_native
   FROM events WHERE value IS NOT NULL
   GROUP BY 1
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped-map applyInPandas (per-user trend slope), oracle-checked
+# ---------------------------------------------------------------------------
+
+
+def grouped_map_slope(events: DataFrame) -> DataFrame:
+    """Per-user spend trend via the GROUPED-MAP Arrow path
+    (``applyInPandas``): each user's purchase cents regressed on the
+    within-user event index, slope computed in a pandas batch — the
+    grouped-map member of the engine's pandas-interop family
+    (scalar pandas_udf: cosine; grouped-agg: mean twin; map:
+    multimodal; stateful: streaming counter). The regression inputs
+    are EXACT integers prepared by Spark (row-number index, cents),
+    so the pandas float math is one deterministic closed form and the
+    whole operator hash-matches a DuckDB moment oracle — proving the
+    Arrow boundary loses nothing.
+
+    Scale: grouped-map ships each user's rows to one executor batch —
+    fine for user-bounded groups; the moment-based SQL twin (the
+    oracle body) is the plan for unbounded groups.
+
+    Output per user (n >= 3 purchases): user_id, n, slope.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .withColumn("idx", F.row_number().over(w))
+        .select("user_id", "idx", "c")
+    )
+
+    def _slope(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        x = pdf["idx"].astype("int64")
+        y = pdf["c"].astype("int64")
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        num = float(n * sxy - sx * sy)
+        den = float(n * sxx - sx * sx)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n": [n],
+                # raw value: rounding happens ENGINE-side below so
+                # Python's banker's rounding never enters the hash
+                "slope": [num / den],
+            }
+        )
+
+    return (
+        base.groupBy("user_id")
+        .applyInPandas(
+            _slope, schema="user_id bigint, n bigint, slope double"
+        )
+        .filter(F.col("n") >= 3)
+        .select("user_id", "n", F.round("slope", 6).alias("slope"))
+    )
+
+
+ORACLE_GROUPED_MAP_SLOPE = """
+gm_base AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT)
+           AS idx,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+),
+gm_m AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(idx) AS BIGINT) AS sx,
+         CAST(sum(c) AS BIGINT) AS sy,
+         CAST(sum(idx * c) AS BIGINT) AS sxy,
+         CAST(sum(idx * idx) AS BIGINT) AS sxx
+  FROM gm_base GROUP BY 1
+),
+grouped_map_slope AS (
+  SELECT user_id, n,
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+  FROM gm_m WHERE n >= 3
 )
 """
