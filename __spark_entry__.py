@@ -1820,6 +1820,11 @@ def q_events_approx_quantile(
     return _tmp.approx_quantile_check(load_table(spark, sf_dir, "events"))
 
 
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly DAU/MAU stickiness (exact rational avg DAU)."""
+    return _tmp.stickiness_report(load_table(spark, sf_dir, "events"))
+
+
 def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort LTV curves: cumulative purchase cents per first-seen
     week cohort by week offset, normalized per member."""
@@ -3240,6 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_newsvendor": q_parts_newsvendor,
         "orders_service_level": q_orders_service_level,
         "events_cohort_ltv": q_events_cohort_ltv,
+        "events_stickiness": q_events_stickiness,
         "events_approx_quantile": q_events_approx_quantile,
         "ml_poisson_verified": q_ml_poisson_verified,
         "events_peaks": q_events_peaks,
@@ -4184,6 +4190,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_approx_quantile": _ext_oracle(
             [_tmp.ORACLE_APPROX_PCTL], "events_approx_quantile"
+        ),
+        "events_stickiness": _ext_oracle(
+            [_tmp.ORACLE_STICKINESS], "stickiness_report"
         ),
         "ml_poisson_verified": _ext_oracle(
             [_glm.oracle_poisson()], "poisson_train"

@@ -244,6 +244,7 @@ HEADLINE = [
     "events_approx_quantile",
     "stream_ab_monitor",
     "udf_grouped_map",
+    "events_stickiness",
 ]
 
 

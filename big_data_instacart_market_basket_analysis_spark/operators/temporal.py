@@ -10467,3 +10467,83 @@ events_approx_quantile AS (
   GROUP BY 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness (monthly engagement ratio)
+# ---------------------------------------------------------------------------
+
+
+def stickiness_report(events: DataFrame) -> DataFrame:
+    """Monthly DAU/MAU stickiness: average daily active users divided
+    by monthly actives — "of the users who show up at all, how many
+    show up daily", the engagement ratio product teams track beside
+    the rolling-DAU curve. avg DAU is the exact rational Σ(daily
+    distinct)/n_days, so the only division is the final rounded one.
+
+    Two distinct-user aggs ((month, day) and month grain — both
+    map-side combinable) + one month-grain join.
+
+    Output per month: month, n_days, mau, avg_dau, stickiness.
+    """
+    md = events.select(
+        (F.year(F.to_date("ts")) * 100 + F.month(F.to_date("ts"))).alias(
+            "month"
+        ),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    dau = (
+        md.groupBy("month", "day")
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("dau").alias("dau_sum"),
+        )
+    )
+    mau = md.groupBy("month").agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return dau.join(mau, "month").select(
+        "month",
+        "n_days",
+        "mau",
+        F.round(
+            F.col("dau_sum") / F.col("n_days").cast("double"), 6
+        ).alias("avg_dau"),
+        F.round(
+            F.col("dau_sum").cast("double")
+            / (F.col("n_days") * F.col("mau")).cast("double"),
+            6,
+        ).alias("stickiness"),
+    )
+
+
+ORACLE_STICKINESS = """
+st_md AS (
+  SELECT date_part('year', CAST(ts AS DATE)) * 100
+         + date_part('month', CAST(ts AS DATE)) AS month,
+         CAST(ts AS DATE) AS day, user_id
+  FROM events
+),
+st_dau AS (
+  SELECT month, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(dau) AS BIGINT) AS dau_sum
+  FROM (SELECT month, day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM st_md GROUP BY 1, 2)
+  GROUP BY 1
+),
+st_mau AS (
+  SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM st_md GROUP BY 1
+),
+stickiness_report AS (
+  SELECT d.month, d.n_days, m.mau,
+         round(d.dau_sum / CAST(d.n_days AS DOUBLE), 6) AS avg_dau,
+         round(CAST(d.dau_sum AS DOUBLE)
+               / CAST(d.n_days * m.mau AS DOUBLE), 6) AS stickiness
+  FROM st_dau d JOIN st_mau m USING (month)
+)
+"""
