@@ -1820,6 +1820,14 @@ def q_events_approx_quantile(
     return _tmp.approx_quantile_check(load_table(spark, sf_dir, "events"))
 
 
+def q_events_matrix_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact matrix-profile motif + discord on the day grain: BIGINT
+    squared-cent distances, calendar-bounded all-pairs."""
+    return _tmp.matrix_profile_report(load_table(spark, sf_dir, "events"))
+
+
 def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly DAU/MAU stickiness (exact rational avg DAU)."""
     return _tmp.stickiness_report(load_table(spark, sf_dir, "events"))
@@ -3246,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_service_level": q_orders_service_level,
         "events_cohort_ltv": q_events_cohort_ltv,
         "events_stickiness": q_events_stickiness,
+        "events_matrix_profile": q_events_matrix_profile,
         "events_approx_quantile": q_events_approx_quantile,
         "ml_poisson_verified": q_ml_poisson_verified,
         "events_peaks": q_events_peaks,
@@ -4193,6 +4202,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_stickiness": _ext_oracle(
             [_tmp.ORACLE_STICKINESS], "stickiness_report"
+        ),
+        "events_matrix_profile": _ext_oracle(
+            [_tmp.oracle_matrix_profile()], "matrix_profile_report"
         ),
         "ml_poisson_verified": _ext_oracle(
             [_glm.oracle_poisson()], "poisson_train"

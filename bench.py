@@ -245,6 +245,7 @@ HEADLINE = [
     "stream_ab_monitor",
     "udf_grouped_map",
     "events_stickiness",
+    "events_matrix_profile",
 ]
 
 

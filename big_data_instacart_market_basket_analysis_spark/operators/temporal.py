@@ -10547,3 +10547,146 @@ stickiness_report AS (
   FROM st_dau d JOIN st_mau m USING (month)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# exact matrix-profile motif + discord on the daily revenue series
+# ---------------------------------------------------------------------------
+
+#: subsequence window length (days).
+MP_WINDOW = 7
+
+
+def matrix_profile_report(events: DataFrame) -> DataFrame:
+    """Exact matrix-profile readout over daily revenue: the MOTIF
+    (the two most similar non-overlapping {w}-day windows — the
+    recurring pattern) and the DISCORD (the window farthest from its
+    nearest neighbor — the anomaly), the two questions the
+    time-series-mining literature answers with the matrix profile.
+    Distances are EXACT BIGINT sums of squared cent differences over
+    the {w} aligned days, so every argmin/argmax is engine-exact with
+    (dist, i, j) tie-breaks.
+
+    The all-pairs step is day-INDEX grain² — calendar-bounded (never
+    data-bounded), which is what makes the exact profile affordable
+    at any fact scale: the fact table collapses to one row per day
+    first. Windows build from {wm1} lead() columns; overlapping pairs
+    (|i−j| < {w}) are excluded per the trivial-match rule.
+
+    Output (1 row): n_windows, motif_i, motif_j, motif_dist,
+    discord_i, discord_nn_dist.
+    """
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                ).otherwise(0)
+            ).alias("rev")
+        )
+    )
+    w = Window.orderBy("day")
+    idx = daily.select(
+        F.row_number().over(w).alias("i"),
+        "rev",
+        *[
+            F.lead("rev", j).over(w).alias(f"r{j}")
+            for j in range(1, MP_WINDOW)
+        ],
+    ).filter(F.col(f"r{MP_WINDOW - 1}").isNotNull())
+    a = idx.select(
+        F.col("i").alias("ia"),
+        F.col("rev").alias("a0"),
+        *[F.col(f"r{j}").alias(f"a{j}") for j in range(1, MP_WINDOW)],
+    )
+    b = idx.select(
+        F.col("i").alias("ib"),
+        F.col("rev").alias("b0"),
+        *[F.col(f"r{j}").alias(f"b{j}") for j in range(1, MP_WINDOW)],
+    )
+    dist = sum(
+        (F.col(f"a{j}") - F.col(f"b{j}"))
+        * (F.col(f"a{j}") - F.col(f"b{j}"))
+        for j in range(MP_WINDOW)
+    )
+    pairs = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .filter(F.col("ib") - F.col("ia") >= MP_WINDOW)
+        .select("ia", "ib", dist.alias("d"))
+    )
+    motif = pairs.orderBy("d", "ia", "ib").limit(1).select(
+        F.col("ia").alias("motif_i"),
+        F.col("ib").alias("motif_j"),
+        F.col("d").alias("motif_dist"),
+    )
+    both_dir = pairs.select(
+        F.col("ia").alias("i"), F.col("d")
+    ).unionByName(pairs.select(F.col("ib").alias("i"), F.col("d")))
+    nn = both_dir.groupBy("i").agg(F.min("d").alias("nn_d"))
+    discord = nn.orderBy(F.desc("nn_d"), "i").limit(1).select(
+        F.col("i").alias("discord_i"),
+        F.col("nn_d").alias("discord_nn_dist"),
+    )
+    n_w = idx.agg(F.count("*").alias("n_windows"))
+    return n_w.crossJoin(F.broadcast(motif)).crossJoin(
+        F.broadcast(discord)
+    )
+
+
+matrix_profile_report.__doc__ = matrix_profile_report.__doc__.format(
+    w=MP_WINDOW, wm1=MP_WINDOW - 1
+)
+
+
+def oracle_matrix_profile(w: int = MP_WINDOW) -> str:
+    acols = ", ".join(
+        f"lead(rev, {j}) OVER (ORDER BY day) AS r{j}"
+        for j in range(1, w)
+    )
+    dterms = " + ".join(
+        f"(x.{'rev' if j == 0 else f'r{j}'} - y.{'rev' if j == 0 else f'r{j}'})"
+        f" * (x.{'rev' if j == 0 else f'r{j}'} - y.{'rev' if j == 0 else f'r{j}'})"
+        for j in range(w)
+    )
+    return f"""
+mp_daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev
+  FROM events GROUP BY 1
+),
+mp_idx AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+           rev, {acols}
+    FROM mp_daily
+  ) WHERE r{w - 1} IS NOT NULL
+),
+mp_pairs AS MATERIALIZED (
+  SELECT x.i AS ia, y.i AS ib, CAST({dterms} AS BIGINT) AS d
+  FROM mp_idx x JOIN mp_idx y ON x.i < y.i AND y.i - x.i >= {w}
+),
+mp_motif AS (
+  SELECT ia AS motif_i, ib AS motif_j, d AS motif_dist
+  FROM mp_pairs ORDER BY d, ia, ib LIMIT 1
+),
+mp_nn AS (
+  SELECT i, CAST(min(d) AS BIGINT) AS nn_d FROM (
+    SELECT ia AS i, d FROM mp_pairs
+    UNION ALL SELECT ib AS i, d FROM mp_pairs
+  ) GROUP BY 1
+),
+mp_discord AS (
+  SELECT i AS discord_i, nn_d AS discord_nn_dist
+  FROM mp_nn ORDER BY nn_d DESC, i LIMIT 1
+),
+matrix_profile_report AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM mp_idx) AS n_windows,
+         m.motif_i, m.motif_j, m.motif_dist,
+         dc.discord_i, dc.discord_nn_dist
+  FROM mp_motif m CROSS JOIN mp_discord dc
+)
+"""
