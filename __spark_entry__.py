@@ -1820,6 +1820,12 @@ def q_events_approx_quantile(
     return _tmp.approx_quantile_check(load_table(spark, sf_dir, "events"))
 
 
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1..14 + cumulative Ljung-Box Q (exact BIGINT
+    covariances around the floor mean)."""
+    return _tmp.acf_report(load_table(spark, sf_dir, "events"))
+
+
 def q_events_matrix_profile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3255,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_ltv": q_events_cohort_ltv,
         "events_stickiness": q_events_stickiness,
         "events_matrix_profile": q_events_matrix_profile,
+        "events_acf": q_events_acf,
         "events_approx_quantile": q_events_approx_quantile,
         "ml_poisson_verified": q_ml_poisson_verified,
         "events_peaks": q_events_peaks,
@@ -4206,6 +4213,7 @@ def oracle_sql() -> dict[str, str]:
         "events_matrix_profile": _ext_oracle(
             [_tmp.oracle_matrix_profile()], "matrix_profile_report"
         ),
+        "events_acf": _ext_oracle([_tmp.oracle_acf()], "acf_report"),
         "ml_poisson_verified": _ext_oracle(
             [_glm.oracle_poisson()], "poisson_train"
         ),

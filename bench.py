@@ -246,6 +246,7 @@ HEADLINE = [
     "udf_grouped_map",
     "events_stickiness",
     "events_matrix_profile",
+    "events_acf",
 ]
 
 

@@ -10690,3 +10690,180 @@ matrix_profile_report AS (
   FROM mp_motif m CROSS JOIN mp_discord dc
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation function + Ljung-Box portmanteau (lags 1..14)
+# ---------------------------------------------------------------------------
+
+#: ACF lag horizon.
+ACF_MAX_LAG = 14
+#: chi-squared 5% critical values for df 1..14 (Ljung-Box).
+ACF_CHI2_05 = (3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
+               15.507, 16.919, 18.307, 19.675, 21.026, 22.362, 23.685)
+
+
+def acf_report(events: DataFrame) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1..{L} with
+    the cumulative Ljung-Box Q — the residual-whiteness diagnostic
+    the AR/Holt/Croston forecasting family should be judged against
+    (significant Q says structure remains). Deviations center on the
+    FLOOR mean (S DIV n — the deterministic integer choice), so every
+    covariance c_k is an exact BIGINT product-sum; rho_k = c_k/c_0
+    rounds at 6 dp BEFORE entering Q, and Q accumulates over the
+    ordered 14-row lag grain — both engines fold identically.
+
+    One day collapse, {L} lag columns over the bounded series, one
+    15-sum reduction, a stack to the lag grain.
+
+    Output per lag: lag, n_pairs, c_lag, rho, lb_q, significant.
+    """
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                ).otherwise(0)
+            ).alias("rev")
+        )
+    )
+    m = daily.agg(
+        F.expr("sum(rev) DIV count(*)").alias("mu"),
+        F.count("*").alias("n"),
+    )
+    w = Window.orderBy("day")
+    lagged = daily.crossJoin(F.broadcast(m)).select(
+        (F.col("rev") - F.col("mu")).alias("d"),
+        "n",
+        *[
+            (F.lag("rev", k).over(w) - F.col("mu")).alias(f"d{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    agg = lagged.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("d") * F.col("d")).alias("c0"),
+        *[
+            F.sum(F.col("d") * F.col(f"d{k}")).alias(f"c{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+        *[
+            F.count(F.col(f"d{k}")).alias(f"n{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    stacked = agg.selectExpr(
+        "n",
+        "c0",
+        "stack({}, {}) AS (lag, c_lag, n_pairs)".format(
+            ACF_MAX_LAG,
+            ", ".join(
+                f"{k}, c{k}, n{k}" for k in range(1, ACF_MAX_LAG + 1)
+            ),
+        ),
+    )
+    rho = F.round(
+        F.col("c_lag").cast("double") / F.col("c0").cast("double"), 6
+    )
+    terms = stacked.select(
+        "lag",
+        "n_pairs",
+        "c_lag",
+        rho.alias("rho"),
+        (
+            rho * rho / (F.col("n").cast("double") - F.col("lag"))
+        ).alias("term"),
+        "n",
+    )
+    wq = Window.orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    nd = F.col("n").cast("double")
+    q = F.round(nd * (nd + 2) * F.sum("term").over(wq), 6)
+    crit = F.element_at(
+        F.array(*[F.lit(c) for c in ACF_CHI2_05]), F.col("lag")
+    )
+    return terms.select(
+        "lag",
+        "n_pairs",
+        "c_lag",
+        "rho",
+        q.alias("lb_q"),
+        (q > crit).alias("significant"),
+    )
+
+
+acf_report.__doc__ = acf_report.__doc__.format(L=ACF_MAX_LAG)
+
+
+def oracle_acf(max_lag: int = ACF_MAX_LAG) -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(rev, {k}) OVER (ORDER BY day) - mu AS d{k}"
+        for k in range(1, max_lag + 1)
+    )
+    csums = ",\n         ".join(
+        f"CAST(sum(d * d{k}) AS BIGINT) AS c{k},"
+        f" CAST(count(d{k}) AS BIGINT) AS n{k}"
+        for k in range(1, max_lag + 1)
+    )
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT {k} AS lag, c{k} AS c_lag, n{k} AS n_pairs, n, c0"
+        " FROM acf_a"
+        for k in range(1, max_lag + 1)
+    )
+    crits = ", ".join(
+        f"({i + 1}, CAST({c} AS DOUBLE))"
+        for i, c in enumerate(ACF_CHI2_05)
+    )
+    return f"""
+acf_daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev
+  FROM events GROUP BY 1
+),
+acf_m AS (
+  SELECT CAST(sum(rev) // count(*) AS BIGINT) AS mu,
+         CAST(count(*) AS BIGINT) AS n
+  FROM acf_daily
+),
+acf_l AS MATERIALIZED (
+  SELECT rev - mu AS d, n,
+         {lag_cols}
+  FROM acf_daily, acf_m
+),
+acf_a AS MATERIALIZED (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(d * d) AS BIGINT) AS c0,
+         {csums}
+  FROM acf_l
+),
+acf_rows AS (
+{arms}
+),
+acf_crit (lag, crit) AS (VALUES {crits}),
+acf_t AS (
+  SELECT lag, n_pairs, c_lag,
+         round(CAST(c_lag AS DOUBLE) / CAST(c0 AS DOUBLE), 6) AS rho,
+         round(CAST(c_lag AS DOUBLE) / CAST(c0 AS DOUBLE), 6)
+           * round(CAST(c_lag AS DOUBLE) / CAST(c0 AS DOUBLE), 6)
+           / (CAST(n AS DOUBLE) - lag) AS term,
+         n
+  FROM acf_rows
+),
+acf_report AS (
+  SELECT t.lag, t.n_pairs, t.c_lag, t.rho,
+         round(CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) + 2)
+               * sum(t.term) OVER (ORDER BY t.lag
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               6) AS lb_q,
+         round(CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) + 2)
+               * sum(t.term) OVER (ORDER BY t.lag
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               6) > c.crit AS significant
+  FROM acf_t t JOIN acf_crit c USING (lag)
+)
+"""
