@@ -1820,6 +1820,12 @@ def q_events_approx_quantile(
     return _tmp.approx_quantile_check(load_table(spark, sf_dir, "events"))
 
 
+def q_events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACF at lags 1..5 via unrolled Durbin-Levinson on rounded
+    exact-covariance rhos — the Box-Jenkins AR-order pick."""
+    return _tmp.pacf_report(load_table(spark, sf_dir, "events"))
+
+
 def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACF at lags 1..14 + cumulative Ljung-Box Q (exact BIGINT
     covariances around the floor mean)."""
@@ -3262,6 +3268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stickiness": q_events_stickiness,
         "events_matrix_profile": q_events_matrix_profile,
         "events_acf": q_events_acf,
+        "events_pacf": q_events_pacf,
         "events_approx_quantile": q_events_approx_quantile,
         "ml_poisson_verified": q_ml_poisson_verified,
         "events_peaks": q_events_peaks,
@@ -4214,6 +4221,9 @@ def oracle_sql() -> dict[str, str]:
             [_tmp.oracle_matrix_profile()], "matrix_profile_report"
         ),
         "events_acf": _ext_oracle([_tmp.oracle_acf()], "acf_report"),
+        "events_pacf": _ext_oracle(
+            [_tmp.oracle_pacf()], "pacf_report"
+        ),
         "ml_poisson_verified": _ext_oracle(
             [_glm.oracle_poisson()], "poisson_train"
         ),

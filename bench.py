@@ -247,6 +247,7 @@ HEADLINE = [
     "events_stickiness",
     "events_matrix_profile",
     "events_acf",
+    "events_pacf",
 ]
 
 

@@ -10867,3 +10867,196 @@ acf_report AS (
   FROM acf_t t JOIN acf_crit c USING (lag)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# PACF via unrolled Durbin-Levinson (AR-order identification)
+# ---------------------------------------------------------------------------
+
+#: PACF levels (Durbin-Levinson unrolled).
+PACF_MAX_LAG = 5
+
+
+def pacf_report(events: DataFrame) -> DataFrame:
+    """Partial autocorrelations of daily revenue at lags 1..{L} by the
+    Durbin-Levinson recursion, UNROLLED as chained column algebra on
+    the one-row ACF frame — with the ACF table this completes the
+    Box-Jenkins identification pair (ACF tails ↔ PACF cuts choose the
+    AR order the `ar2_forecast` model assumes). Inputs are the
+    6-dp-rounded rho_k (exact-BIGINT covariances around the floor
+    mean, same kernel as `acf_report`), so every level's phis are
+    identical IEEE scalars in both engines.
+
+    Output per lag: lag, pacf (round 6), significant
+    (|pacf| > 1.96/sqrt(n)).
+    """
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                ).otherwise(0)
+            ).alias("rev")
+        )
+    )
+    m = daily.agg(
+        F.expr("sum(rev) DIV count(*)").alias("mu"),
+        F.count("*").alias("n"),
+    )
+    w = Window.orderBy("day")
+    lagged = daily.crossJoin(F.broadcast(m)).select(
+        (F.col("rev") - F.col("mu")).alias("d"),
+        "n",
+        *[
+            (F.lag("rev", k).over(w) - F.col("mu")).alias(f"d{k}")
+            for k in range(1, PACF_MAX_LAG + 1)
+        ],
+    )
+    agg = lagged.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("d") * F.col("d")).alias("c0"),
+        *[
+            F.sum(F.col("d") * F.col(f"d{k}")).alias(f"c{k}")
+            for k in range(1, PACF_MAX_LAG + 1)
+        ],
+    )
+    rhos = agg.select(
+        "n",
+        *[
+            F.round(
+                F.col(f"c{k}").cast("double")
+                / F.col("c0").cast("double"),
+                6,
+            ).alias(f"r{k}")
+            for k in range(1, PACF_MAX_LAG + 1)
+        ],
+    )
+    # Durbin-Levinson, unrolled: level k keeps phi_k1..phi_kk columns.
+    cur = rhos.withColumn("p1_1", F.col("r1"))
+    phis = {1: ["p1_1"]}
+    for k in range(2, PACF_MAX_LAG + 1):
+        prev = phis[k - 1]
+        num = F.col(f"r{k}")
+        den = F.lit(1.0)
+        for j, colname in enumerate(prev, start=1):
+            num = num - F.col(colname) * F.col(f"r{k - j}")
+            den = den - F.col(colname) * F.col(f"r{j}")
+        cur = cur.withColumn(f"p{k}_{k}", num / den)
+        new_cols = []
+        for j, colname in enumerate(prev, start=1):
+            mirror = prev[k - 1 - j]
+            cur = cur.withColumn(
+                f"p{k}_{j}",
+                F.col(colname) - F.col(f"p{k}_{k}") * F.col(mirror),
+            )
+            new_cols.append(f"p{k}_{j}")
+        phis[k] = new_cols + [f"p{k}_{k}"]
+    stacked = cur.selectExpr(
+        "n",
+        "stack({}, {}) AS (lag, pacf_raw)".format(
+            PACF_MAX_LAG,
+            ", ".join(
+                f"{k}, p{k}_{k}" for k in range(1, PACF_MAX_LAG + 1)
+            ),
+        ),
+    )
+    thresh = 1.96 / F.sqrt(F.col("n").cast("double"))
+    return stacked.select(
+        "lag",
+        F.round("pacf_raw", 6).alias("pacf"),
+        (F.abs(F.round("pacf_raw", 6)) > thresh).alias("significant"),
+    )
+
+
+pacf_report.__doc__ = pacf_report.__doc__.format(L=PACF_MAX_LAG)
+
+
+def oracle_pacf(max_lag: int = PACF_MAX_LAG) -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(rev, {k}) OVER (ORDER BY day) - mu AS d{k}"
+        for k in range(1, max_lag + 1)
+    )
+    csums = ",\n         ".join(
+        f"CAST(sum(d * d{k}) AS BIGINT) AS c{k}"
+        for k in range(1, max_lag + 1)
+    )
+    rho_cols = ",\n         ".join(
+        f"round(CAST(c{k} AS DOUBLE) / CAST(c0 AS DOUBLE), 6) AS r{k}"
+        for k in range(1, max_lag + 1)
+    )
+    # unroll Durbin-Levinson as chained CTEs, one per level
+    ctes = []
+    phis = {1: ["p1_1"]}
+    ctes.append("pf_l1 AS (SELECT *, r1 AS p1_1 FROM pf_rho)")
+    prev_cte = "pf_l1"
+    for k in range(2, max_lag + 1):
+        prev = phis[k - 1]
+        num = f"r{k}"
+        den = "1.0"
+        for j, colname in enumerate(prev, start=1):
+            num += f" - {colname} * r{k - j}"
+            den += f" - {colname} * r{j}"
+        parts = [f"({num}) / ({den}) AS p{k}_{k}"]
+        cte_a = (
+            f"pf_l{k}a AS (SELECT *, {parts[0]} FROM {prev_cte})"
+        )
+        ctes.append(cte_a)
+        upd = []
+        new_cols = []
+        for j, colname in enumerate(prev, start=1):
+            mirror = prev[k - 1 - j]
+            upd.append(
+                f"{colname} - p{k}_{k} * {mirror} AS p{k}_{j}"
+            )
+            new_cols.append(f"p{k}_{j}")
+        ctes.append(
+            f"pf_l{k} AS (SELECT *, {', '.join(upd)} FROM pf_l{k}a)"
+        )
+        phis[k] = new_cols + [f"p{k}_{k}"]
+        prev_cte = f"pf_l{k}"
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT {k} AS lag, p{k}_{k} AS pacf_raw, n FROM {prev_cte}"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+pf_daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev
+  FROM events GROUP BY 1
+),
+pf_m AS (
+  SELECT CAST(sum(rev) // count(*) AS BIGINT) AS mu,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pf_daily
+),
+pf_l AS MATERIALIZED (
+  SELECT rev - mu AS d, n,
+         {lag_cols}
+  FROM pf_daily, pf_m
+),
+pf_a AS MATERIALIZED (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(d * d) AS BIGINT) AS c0,
+         {csums}
+  FROM pf_l
+),
+pf_rho AS MATERIALIZED (
+  SELECT n,
+         {rho_cols}
+  FROM pf_a
+),
+{",".join(ctes)},
+pf_rows AS (
+{arms}
+),
+pacf_report AS (
+  SELECT lag, round(pacf_raw, 6) AS pacf,
+         abs(round(pacf_raw, 6))
+           > 1.96 / sqrt(CAST(n AS DOUBLE)) AS significant
+  FROM pf_rows
+)
+"""
