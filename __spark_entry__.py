@@ -1820,6 +1820,12 @@ def q_events_approx_quantile(
     return _tmp.approx_quantile_check(load_table(spark, sf_dir, "events"))
 
 
+def q_events_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation clicks↔revenue at lags −7..+7 (exact BIGINT
+    cross-covariances around floor means)."""
+    return _tmp.ccf_report(load_table(spark, sf_dir, "events"))
+
+
 def q_events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PACF at lags 1..5 via unrolled Durbin-Levinson on rounded
     exact-covariance rhos — the Box-Jenkins AR-order pick."""
@@ -3269,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_matrix_profile": q_events_matrix_profile,
         "events_acf": q_events_acf,
         "events_pacf": q_events_pacf,
+        "events_ccf": q_events_ccf,
         "events_approx_quantile": q_events_approx_quantile,
         "ml_poisson_verified": q_ml_poisson_verified,
         "events_peaks": q_events_peaks,
@@ -4224,6 +4231,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pacf": _ext_oracle(
             [_tmp.oracle_pacf()], "pacf_report"
         ),
+        "events_ccf": _ext_oracle([_tmp.oracle_ccf()], "ccf_report"),
         "ml_poisson_verified": _ext_oracle(
             [_glm.oracle_poisson()], "poisson_train"
         ),

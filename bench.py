@@ -248,6 +248,7 @@ HEADLINE = [
     "events_matrix_profile",
     "events_acf",
     "events_pacf",
+    "events_ccf",
 ]
 
 

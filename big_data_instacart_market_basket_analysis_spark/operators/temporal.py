@@ -11060,3 +11060,152 @@ pacf_report AS (
   FROM pf_rows
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-correlation function (clicks vs revenue, leads and lags)
+# ---------------------------------------------------------------------------
+
+#: CCF lag horizon (both directions).
+CCF_MAX_LAG = 7
+
+
+def ccf_report(events: DataFrame) -> DataFrame:
+    """Cross-correlation between daily CLICKS and daily REVENUE at
+    lags −{L}..+{L}: positive lags correlate today's revenue with
+    clicks k days EARLIER — the lead/lag picture behind the Granger
+    test's single F number (which side leads, and by how much).
+    Deviations center on each series' floor mean, so every
+    cross-covariance is an exact BIGINT product-sum; rho_k divides by
+    the two exact variances once, rounded 6.
+
+    Same one-collapse + lag-column shape as the ACF: adding lags
+    adds columns. Output per lag: lag, n_pairs, rho.
+    """
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                ).otherwise(0)
+            ).alias("rev"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("clk"),
+        )
+    )
+    m = daily.agg(
+        F.expr("sum(rev) DIV count(*)").alias("mur"),
+        F.expr("sum(clk) DIV count(*)").alias("muc"),
+    )
+    w = Window.orderBy("day")
+    lags = list(range(-CCF_MAX_LAG, CCF_MAX_LAG + 1))
+
+    def cname(k: int) -> str:
+        return f"cm{-k}" if k < 0 else f"cp{k}"
+
+    lagged = daily.crossJoin(F.broadcast(m)).select(
+        (F.col("rev") - F.col("mur")).alias("dr"),
+        (F.col("clk") - F.col("muc")).alias("dc"),
+        *[
+            (F.lag("clk", k).over(w) - F.col("muc")).alias(cname(k))
+            for k in lags
+        ],
+    )
+    agg = lagged.agg(
+        F.sum(F.col("dr") * F.col("dr")).alias("vr"),
+        F.sum(F.col("dc") * F.col("dc")).alias("vc"),
+        *[
+            F.sum(F.col("dr") * F.col(cname(k))).alias(f"x{cname(k)}")
+            for k in lags
+        ],
+        *[
+            F.count(F.col(cname(k))).alias(f"n{cname(k)}")
+            for k in lags
+        ],
+    )
+    stacked = agg.selectExpr(
+        "vr",
+        "vc",
+        "stack({}, {}) AS (lag, xc, n_pairs)".format(
+            len(lags),
+            ", ".join(
+                f"{k}, x{cname(k)}, n{cname(k)}" for k in lags
+            ),
+        ),
+    )
+    return stacked.select(
+        "lag",
+        "n_pairs",
+        F.round(
+            F.col("xc").cast("double")
+            / F.sqrt(
+                F.col("vr").cast("double") * F.col("vc").cast("double")
+            ),
+            6,
+        ).alias("rho"),
+    )
+
+
+ccf_report.__doc__ = ccf_report.__doc__.format(L=CCF_MAX_LAG)
+
+
+def oracle_ccf(max_lag: int = CCF_MAX_LAG) -> str:
+    lags = list(range(-max_lag, max_lag + 1))
+
+    def cname(k: int) -> str:
+        return f"cm{-k}" if k < 0 else f"cp{k}"
+
+    lag_cols = ",\n         ".join(
+        f"lag(clk, {k}) OVER (ORDER BY day) - muc AS {cname(k)}"
+        for k in lags
+    )
+    sums = ",\n         ".join(
+        f"CAST(sum(dr * {cname(k)}) AS BIGINT) AS x{cname(k)},"
+        f" CAST(count({cname(k)}) AS BIGINT) AS n{cname(k)}"
+        for k in lags
+    )
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT {k} AS lag, x{cname(k)} AS xc,"
+        f" n{cname(k)} AS n_pairs, vr, vc FROM cc_a"
+        for k in lags
+    )
+    return f"""
+cc_daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS clk
+  FROM events GROUP BY 1
+),
+cc_m AS (
+  SELECT CAST(sum(rev) // count(*) AS BIGINT) AS mur,
+         CAST(sum(clk) // count(*) AS BIGINT) AS muc
+  FROM cc_daily
+),
+cc_l AS MATERIALIZED (
+  SELECT rev - mur AS dr, clk - muc AS dc,
+         {lag_cols}
+  FROM cc_daily, cc_m
+),
+cc_a AS MATERIALIZED (
+  SELECT CAST(sum(dr * dr) AS BIGINT) AS vr,
+         CAST(sum(dc * dc) AS BIGINT) AS vc,
+         {sums}
+  FROM cc_l
+),
+cc_rows AS (
+{arms}
+),
+ccf_report AS (
+  SELECT lag, n_pairs,
+         round(CAST(xc AS DOUBLE)
+               / sqrt(CAST(vr AS DOUBLE) * CAST(vc AS DOUBLE)), 6)
+           AS rho
+  FROM cc_rows
+)
+"""
