@@ -1820,6 +1820,12 @@ def q_events_approx_quantile(
     return _tmp.approx_quantile_check(load_table(spark, sf_dir, "events"))
 
 
+def q_events_wht(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Walsh-Hadamard sequency spectrum of daily
+    revenue (6 butterfly stages, Parseval self-check)."""
+    return _tmp.wht_spectrum(load_table(spark, sf_dir, "events"))
+
+
 def q_events_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-correlation clicks↔revenue at lags −7..+7 (exact BIGINT
     cross-covariances around floor means)."""
@@ -3276,6 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_acf": q_events_acf,
         "events_pacf": q_events_pacf,
         "events_ccf": q_events_ccf,
+        "events_wht": q_events_wht,
         "events_approx_quantile": q_events_approx_quantile,
         "ml_poisson_verified": q_ml_poisson_verified,
         "events_peaks": q_events_peaks,
@@ -4232,6 +4239,7 @@ def oracle_sql() -> dict[str, str]:
             [_tmp.oracle_pacf()], "pacf_report"
         ),
         "events_ccf": _ext_oracle([_tmp.oracle_ccf()], "ccf_report"),
+        "events_wht": _ext_oracle([_tmp.oracle_wht()], "wht_spectrum"),
         "ml_poisson_verified": _ext_oracle(
             [_glm.oracle_poisson()], "poisson_train"
         ),

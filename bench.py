@@ -249,6 +249,7 @@ HEADLINE = [
     "events_acf",
     "events_pacf",
     "events_ccf",
+    "events_wht",
 ]
 
 

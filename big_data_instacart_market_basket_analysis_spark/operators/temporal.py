@@ -11209,3 +11209,140 @@ ccf_report AS (
   FROM cc_rows
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Walsh-Hadamard sequency spectrum (integer-exact spectral analysis)
+# ---------------------------------------------------------------------------
+
+#: WHT block length (2^4 days — the fixtures span ~30 days).
+WHT_N = 16
+
+
+def wht_spectrum(events: DataFrame) -> DataFrame:
+    """Walsh-Hadamard sequency spectrum of the first {n} days of
+    revenue — spectral analysis the engine can hash-verify (16-day block): WHT basis
+    functions are ±1, so every butterfly stage is integer adds/subs
+    and the whole transform stays EXACT BIGINT (a Fourier DFT would
+    drag in cos/sin whose cross-engine rounding is not IEEE-pinned —
+    the reason a periodogram was rejected). High-sequency energy =
+    day-to-day churn, low = slow drift; Parseval (Σcoeff² = {n}·Σx²)
+    rides along as a self-proving flag.
+
+    The butterfly stages run as chained ARRAY transforms on ONE
+    row (each stage materialized — the expression-tree-doubling trap
+    from the Hilbert lesson); fact-scale work is only the day
+    collapse.
+
+    Output per sequency index: seq_idx, coeff, parseval_ok.
+    """
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                ).otherwise(0)
+            ).alias("rev")
+        )
+    )
+    w = Window.orderBy("day")
+    first = (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WHT_N)
+        .select("rn", "rev")
+    )
+    arr = first.groupBy().agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(rn, rev))),"
+            " x -> x.rev)"
+        ).alias("w0")
+    )
+    cur = arr
+    stages = 4
+    for s in range(stages):
+        h = 1 << s
+        cur = cur.select(
+            "*",
+            F.expr(
+                f"transform(sequence(0, {WHT_N - 1}), i -> CASE"
+                f" WHEN (i DIV {h}) % 2 = 0"
+                f" THEN element_at(w{s}, i + 1)"
+                f"      + element_at(w{s}, (i ^ {h}) + 1)"
+                f" ELSE element_at(w{s}, (i ^ {h}) + 1)"
+                f"      - element_at(w{s}, i + 1) END)"
+            ).alias(f"w{s + 1}"),
+        ).select(f"w{s + 1}", "w0")
+    final = cur.select(
+        F.col(f"w{stages}").alias("wf"),
+        F.expr(
+            f"aggregate(w{stages}, CAST(0 AS BIGINT),"
+            " (acc, v) -> acc + v * v)"
+        ).alias("energy"),
+        F.expr(
+            "aggregate(w0, CAST(0 AS BIGINT),"
+            " (acc, v) -> acc + v * v)"
+        ).alias("raw_energy"),
+    )
+    return final.select(
+        F.posexplode("wf").alias("seq_idx", "coeff"),
+        (F.col("energy") == F.lit(WHT_N) * F.col("raw_energy"))
+        .cast("int")
+        .alias("parseval_ok"),
+    )
+
+
+wht_spectrum.__doc__ = wht_spectrum.__doc__.format(n=WHT_N)
+
+
+def oracle_wht(stages: int = 4) -> str:
+    n = 1 << stages
+    ctes = [
+        f"""
+wh_daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev
+  FROM events GROUP BY 1
+),
+wh_first AS (
+  SELECT rev, row_number() OVER (ORDER BY day) AS rn FROM wh_daily
+  QUALIFY rn <= {n}
+),
+wh_a0 AS (
+  SELECT list(rev ORDER BY rn) AS w0 FROM wh_first
+)"""
+    ]
+    prev = "wh_a0"
+    for s in range(stages):
+        h = 1 << s
+        ctes.append(
+            f"""
+wh_a{s + 1} AS MATERIALIZED (
+  SELECT w0, list_transform(range({n}), i -> CASE
+           WHEN (i // {h}) % 2 = 0
+           THEN w{s}[i + 1] + w{s}[xor(i::BIGINT, {h}::BIGINT) + 1]
+           ELSE w{s}[xor(i::BIGINT, {h}::BIGINT) + 1] - w{s}[i + 1]
+         END) AS w{s + 1}
+  FROM {prev}
+)"""
+        )
+        prev = f"wh_a{s + 1}"
+    ctes.append(
+        f"""
+wh_f AS (
+  SELECT w{stages} AS wf,
+         list_sum(list_transform(w{stages}, v -> v * v)) AS energy,
+         list_sum(list_transform(w0, v -> v * v)) AS raw_energy
+  FROM {prev}
+),
+wht_spectrum AS (
+  SELECT CAST(t.i AS INT) AS seq_idx,
+         CAST(wf[t.i + 1] AS BIGINT) AS coeff,
+         CAST(energy = {n} * raw_energy AS INT) AS parseval_ok
+  FROM wh_f, range({n}) t(i)
+)"""
+    )
+    return ",".join(ctes)
