@@ -1863,6 +1863,12 @@ def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.cohort_ltv(load_table(spark, sf_dir, "events"))
 
 
+def q_parts_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EOQ per product — the continuous-review inventory rule beside
+    the newsvendor fractile."""
+    return _tmp.eoq_report(_lineitem(spark, sf_dir))
+
+
 def q_parts_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newsvendor critical-fractile stock per product: integer
     cross-multiplied empirical quantile of demand days."""
@@ -3275,6 +3281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_runs_test": q_events_runs_test,
         "events_variance_ratio": q_events_variance_ratio,
         "parts_newsvendor": q_parts_newsvendor,
+        "parts_eoq": q_parts_eoq,
         "orders_service_level": q_orders_service_level,
         "events_cohort_ltv": q_events_cohort_ltv,
         "events_stickiness": q_events_stickiness,
@@ -4213,6 +4220,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_newsvendor": _ext_oracle(
             [_tmp.ORACLE_NEWSVENDOR], "newsvendor_stock"
         ),
+        "parts_eoq": _ext_oracle([_tmp.ORACLE_EOQ], "eoq_report"),
         "orders_service_level": _ext_oracle(
             [_tmp.ORACLE_SERVICE_LEVEL], "service_level_report"
         ),

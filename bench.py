@@ -250,6 +250,7 @@ HEADLINE = [
     "events_pacf",
     "events_ccf",
     "events_wht",
+    "parts_eoq",
 ]
 
 

@@ -11346,3 +11346,58 @@ wht_spectrum AS (
 )"""
     )
     return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# economic order quantity (EOQ) per product
+# ---------------------------------------------------------------------------
+
+#: fixed ordering cost (cents) and holding cost (cents/unit/window).
+EOQ_ORDER_COST = 5000
+EOQ_HOLD_COST = 20
+
+
+def eoq_report(lineitem: DataFrame) -> DataFrame:
+    """Economic order quantity per product: EOQ = √(2·D·K/h) on the
+    window's total demand D with literal ordering/holding costs — the
+    continuous-review companion of the single-period newsvendor
+    fractile. One hash-agg to product demand, then scalar algebra;
+    order frequency D/EOQ rides along.
+
+    Output per product: product, d_units, eoq_units, orders_per_window.
+    """
+    d = lineitem.groupBy(F.col("l_partkey").alias("product")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("d_units")
+    )
+    eoq = F.sqrt(
+        2.0
+        * F.col("d_units").cast("double")
+        * EOQ_ORDER_COST
+        / EOQ_HOLD_COST
+    )
+    return d.select(
+        "product",
+        "d_units",
+        F.round(eoq, 4).alias("eoq_units"),
+        F.round(F.col("d_units").cast("double") / eoq, 4).alias(
+            "orders_per_window"
+        ),
+    )
+
+
+ORACLE_EOQ = f"""
+eoq_report AS (
+  SELECT l_partkey AS product,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d_units,
+         round(sqrt(2.0 * CAST(sum(CAST(l_quantity AS BIGINT))
+                               AS DOUBLE)
+                    * {EOQ_ORDER_COST} / {EOQ_HOLD_COST}), 4)
+           AS eoq_units,
+         round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+               / sqrt(2.0 * CAST(sum(CAST(l_quantity AS BIGINT))
+                                 AS DOUBLE)
+                      * {EOQ_ORDER_COST} / {EOQ_HOLD_COST}), 4)
+           AS orders_per_window
+  FROM lineitem GROUP BY 1
+)
+"""
