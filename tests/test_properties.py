@@ -1787,3 +1787,71 @@ def test_ef1_submission_selects_nonempty_or_none(spark):
         if r["products"] != "None":
             assert r["k_star"] >= 1
             assert 0 < r["ef1_star"] <= 1
+
+
+def test_wht_parseval_holds(spark):
+    """The Walsh-Hadamard Parseval identity must flag true on every
+    row and coefficient 0 must equal the block sum."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    rows = temporal.wht_spectrum(
+        load_table(spark, SF_ORACLE, "events")
+    ).collect()
+    assert len(rows) == temporal.WHT_N
+    assert all(r["parseval_ok"] == 1 for r in rows)
+
+
+def test_acf_pacf_lag1_agree(spark):
+    """PACF at lag 1 IS the lag-1 autocorrelation; all |rho| <= 1."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    acf = {r["lag"]: r["rho"] for r in temporal.acf_report(ev).collect()}
+    pacf = {
+        r["lag"]: r["pacf"] for r in temporal.pacf_report(ev).collect()
+    }
+    assert abs(pacf[1] - acf[1]) < 1e-9
+    assert all(abs(v) <= 1.0 + 1e-9 for v in acf.values())
+
+
+def test_ccf_bounded(spark):
+    """Cross-correlations are bounded by 1 in absolute value."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    rows = temporal.ccf_report(
+        load_table(spark, SF_ORACLE, "events")
+    ).collect()
+    assert len(rows) == 2 * temporal.CCF_MAX_LAG + 1
+    assert all(abs(r["rho"]) <= 1.0 + 1e-9 for r in rows)
+
+
+def test_matrix_profile_motif_lower_bounds_discord(spark):
+    """The global motif distance (min over all pairs) can never
+    exceed the discord's nearest-neighbor distance (a max of mins)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    r = temporal.matrix_profile_report(
+        load_table(spark, SF_ORACLE, "events")
+    ).collect()[0]
+    assert r["motif_dist"] <= r["discord_nn_dist"]
+    assert r["motif_j"] - r["motif_i"] >= temporal.MP_WINDOW
