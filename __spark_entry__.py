@@ -1820,6 +1820,12 @@ def q_events_approx_quantile(
     return _tmp.approx_quantile_check(load_table(spark, sf_dir, "events"))
 
 
+def q_events_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Haar wavelet energy by resolution level — which
+    timescale carries the volatility."""
+    return _tmp.haar_energy(load_table(spark, sf_dir, "events"))
+
+
 def q_events_wht(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact Walsh-Hadamard sequency spectrum of daily
     revenue (6 butterfly stages, Parseval self-check)."""
@@ -3290,6 +3296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pacf": q_events_pacf,
         "events_ccf": q_events_ccf,
         "events_wht": q_events_wht,
+        "events_haar": q_events_haar,
         "events_approx_quantile": q_events_approx_quantile,
         "ml_poisson_verified": q_ml_poisson_verified,
         "events_peaks": q_events_peaks,
@@ -4248,6 +4255,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_ccf": _ext_oracle([_tmp.oracle_ccf()], "ccf_report"),
         "events_wht": _ext_oracle([_tmp.oracle_wht()], "wht_spectrum"),
+        "events_haar": _ext_oracle(
+            [_tmp.oracle_haar()], "haar_energy"
+        ),
         "ml_poisson_verified": _ext_oracle(
             [_glm.oracle_poisson()], "poisson_train"
         ),

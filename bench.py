@@ -251,6 +251,7 @@ HEADLINE = [
     "events_ccf",
     "events_wht",
     "parts_eoq",
+    "events_haar",
 ]
 
 

@@ -11401,3 +11401,129 @@ eoq_report AS (
   FROM lineitem GROUP BY 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Haar multi-resolution energy decomposition (integer wavelets)
+# ---------------------------------------------------------------------------
+
+#: Haar block (2^4 days) and level count.
+HAAR_N = 16
+HAAR_LEVELS = 4
+
+
+def haar_energy(events: DataFrame) -> DataFrame:
+    """Unnormalized Haar wavelet energy by resolution level over the
+    first {n}-day revenue block: level 1 details are day-pair
+    differences (fastest variation), level 4 the coarsest — the
+    multi-resolution variance decomposition that says WHICH timescale
+    carries the volatility (the hierarchical reading the flat WHT
+    sequency spectrum doesn't give). Unnormalized Haar keeps every
+    approximation/detail coefficient an exact BIGINT (a+b / a−b per
+    pair), so per-level energies hash-match.
+
+    Each level halves the array (one checkpointed 1-row transform —
+    the element_at inlining discipline from the WHT); fact-scale work
+    is only the day collapse.
+
+    Output per level: level, n_coeffs, detail_energy.
+    """
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                ).otherwise(0)
+            ).alias("rev")
+        )
+    )
+    w = Window.orderBy("day")
+    first = (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HAAR_N)
+        .select("rn", "rev")
+    )
+    cur = first.groupBy().agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(rn, rev))),"
+            " x -> x.rev)"
+        ).alias("a0")
+    ).localCheckpoint(eager=True)
+    for lv in range(1, HAAR_LEVELS + 1):
+        m = HAAR_N >> lv
+        cur = cur.select(
+            "*",
+            F.expr(
+                f"transform(sequence(0, {m - 1}), i ->"
+                f" element_at(a{lv - 1}, 2 * i + 1)"
+                f" + element_at(a{lv - 1}, 2 * i + 2))"
+            ).alias(f"a{lv}"),
+            F.expr(
+                f"aggregate(transform(sequence(0, {m - 1}), i ->"
+                f" element_at(a{lv - 1}, 2 * i + 1)"
+                f" - element_at(a{lv - 1}, 2 * i + 2)),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
+            ).alias(f"e{lv}"),
+        ).select(
+            f"a{lv}", *[f"e{j}" for j in range(1, lv + 1)]
+        ).localCheckpoint(eager=True)
+    return cur.selectExpr(
+        "stack({}, {}) AS (level, n_coeffs, detail_energy)".format(
+            HAAR_LEVELS,
+            ", ".join(
+                f"{lv}, CAST({HAAR_N >> lv} AS BIGINT), e{lv}"
+                for lv in range(1, HAAR_LEVELS + 1)
+            ),
+        )
+    )
+
+
+haar_energy.__doc__ = haar_energy.__doc__.format(n=HAAR_N)
+
+
+def oracle_haar(levels: int = HAAR_LEVELS) -> str:
+    n = HAAR_N
+    ctes = [
+        f"""
+ha_daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev
+  FROM events GROUP BY 1
+),
+ha_first AS (
+  SELECT rev, row_number() OVER (ORDER BY day) AS rn FROM ha_daily
+  QUALIFY rn <= {n}
+),
+ha_l0 AS (SELECT list(rev ORDER BY rn) AS a0 FROM ha_first)"""
+    ]
+    prev = "ha_l0"
+    for lv in range(1, levels + 1):
+        m = n >> lv
+        ctes.append(
+            f"""
+ha_l{lv} AS MATERIALIZED (
+  SELECT *,
+         list_transform(range({m}), i ->
+           a{lv - 1}[2 * i + 1] + a{lv - 1}[2 * i + 2]) AS a{lv},
+         list_sum(list_transform(range({m}), i ->
+           (a{lv - 1}[2 * i + 1] - a{lv - 1}[2 * i + 2])
+           * (a{lv - 1}[2 * i + 1] - a{lv - 1}[2 * i + 2])))
+           AS e{lv}
+  FROM {prev}
+)"""
+        )
+        prev = f"ha_l{lv}"
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT {lv} AS level, CAST({n >> lv} AS BIGINT) AS n_coeffs,"
+        f" CAST(e{lv} AS BIGINT) AS detail_energy FROM {prev}"
+        for lv in range(1, levels + 1)
+    )
+    ctes.append(f"""
+haar_energy AS (
+{arms}
+)""")
+    return ",".join(ctes)
