@@ -557,6 +557,12 @@ def q_dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.ppjoin_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-candidate precision vs exact verification — the
+    wasted-verify price of the banding parameters."""
+    return _dedup.lsh_precision_eval(_docs(spark, sf_dir))
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
@@ -3349,6 +3355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_random_projection": q_embedding_random_projection,
         "ann_rp_recall": q_ann_rp_recall,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_lsh_precision": q_dedup_lsh_precision,
         "dedup_minhash_exact_first": q_dedup_minhash_exact_first,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
@@ -3722,6 +3729,13 @@ def oracle_sql() -> dict[str, str]:
              _dedup.ORACLE_MINHASH_LSH,
              _dedup.ORACLE_MINHASH_RECALL_EVAL],
             "minhash_recall_eval",
+        ),
+        "dedup_lsh_precision": _ext_oracle(
+            [_dedup.ORACLE_SHINGLES,
+             "dsizes AS (SELECT doc_id, count(*) AS n FROM dshingles GROUP BY doc_id)",
+             _dedup.ORACLE_MINHASH_LSH,
+             _dedup.ORACLE_LSH_PRECISION],
+            "lsh_precision_eval",
         ),
         "dedup_minhash_lsh": _ext_oracle(
             [_dedup.ORACLE_SHINGLES,

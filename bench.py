@@ -252,6 +252,7 @@ HEADLINE = [
     "events_wht",
     "parts_eoq",
     "events_haar",
+    "dedup_lsh_precision",
 ]
 
 

@@ -2390,3 +2390,78 @@ ppjoin_pairs AS (
   WHERE {PPJOIN_T_DEN} * s.i >= {PPJOIN_T_NUM} * (na.n + nb.n - s.i)
 )
 """
+
+
+def lsh_precision_eval(docs: DataFrame) -> DataFrame:
+    """Dedup QA, the other half of ``minhash_recall_eval``: PRECISION
+    of the LSH band candidates — what fraction of bucket-collision
+    pairs survive exact-Jaccard verification. Recall says what the
+    bands MISS; precision prices what they WASTE (every false
+    candidate is an exact-verify you paid for), and bands×rows tuning
+    at 100 TB is exactly this two-number trade.
+
+    Reuses the session-staged shingles and the same band expressions
+    as the production pipeline, so the candidate set here IS the
+    pipeline's candidate set.
+
+    Output (1 row): n_candidates, n_verified, precision.
+    """
+    sh_staged = _shingles_staged(docs)
+    sigs = minhash_signatures(docs, shingles=sh_staged)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+            ).alias("key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+        )
+        .distinct()
+    )
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    nv = minhash_lsh_pairs(docs, shingles=sh_staged).agg(
+        F.count("*").alias("n_verified")
+    )
+    return nc.crossJoin(F.broadcast(nv)).select(
+        "n_candidates",
+        "n_verified",
+        F.round(
+            F.col("n_verified").cast("double")
+            / F.col("n_candidates").cast("double"),
+            6,
+        ).alias("precision"),
+    )
+
+
+ORACLE_LSH_PRECISION = """
+lsh_precision_eval AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM dcand)
+           AS n_candidates,
+         (SELECT CAST(count(*) AS BIGINT) FROM minhash_lsh)
+           AS n_verified,
+         round((SELECT CAST(count(*) AS DOUBLE) FROM minhash_lsh)
+               / (SELECT CAST(count(*) AS DOUBLE) FROM dcand), 6)
+           AS precision
+)
+"""
