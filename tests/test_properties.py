@@ -1855,3 +1855,37 @@ def test_matrix_profile_motif_lower_bounds_discord(spark):
     ).collect()[0]
     assert r["motif_dist"] <= r["discord_nn_dist"]
     assert r["motif_j"] - r["motif_i"] >= temporal.MP_WINDOW
+
+
+def test_haar_energies_nonnegative(spark):
+    """Haar detail energies are sums of squares: >= 0, one row per
+    level."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    rows = temporal.haar_energy(
+        load_table(spark, SF_ORACLE, "events")
+    ).collect()
+    assert len(rows) == temporal.HAAR_LEVELS
+    assert all(r["detail_energy"] >= 0 for r in rows)
+
+
+def test_lsh_precision_bounded_by_candidates(spark):
+    """Verified pairs are a subset of band candidates, so precision
+    lies in [0, 1] and counts are ordered."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        dedup,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    r = dedup.lsh_precision_eval(
+        load_table(spark, SF_ORACLE, "documents")
+    ).collect()[0]
+    assert 0 <= r["n_verified"] <= r["n_candidates"]
+    assert 0.0 <= r["precision"] <= 1.0
