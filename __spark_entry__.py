@@ -1492,6 +1492,16 @@ def q_plan_lint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # joins + per-round windows) and the bootstrap forest (per-
         # tree weighted hist aggs) — the two most join-dense new plans
         "ann_graph_beam": _sim.graph_ann_topk(_emb(spark, sf_dir)),
+        # round-4: the distributed-rank conversions — these plans must
+        # show ZERO user-grain global windows (the `global-window`
+        # rule catches only the bounded #partitions-row offsets table,
+        # if anything)
+        "events_spend_deciles": _tmp.user_spend_deciles(
+            load_table(spark, sf_dir, "events")
+        ),
+        "events_rfm_segments": _tmp.rfm_segments(
+            load_table(spark, sf_dir, "events")
+        ),
     }
     from big_data_instacart_market_basket_analysis_spark.operators import (
         trees as _trees,
@@ -2194,6 +2204,13 @@ def q_ml_conformal_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned calibration quantile (bounded walk), test-split coverage
     vs the 90% target — the distribution-free guarantee, measured."""
     return _glm.conformal_ols(load_table(spark, sf_dir, "events"))
+
+
+def q_ml_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (PAV) calibrating conversion rate on an
+    engagement score via the exact minimax formulation over a
+    <= ISO_BINS score grain — monotone fit, engine-exact."""
+    return _glm.isotonic_calibration(load_table(spark, sf_dir, "events"))
 
 
 def q_events_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3270,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_km_survival": q_events_km_survival,
         "events_nelson_aalen": q_events_nelson_aalen,
         "events_qini": q_events_qini,
+        "ml_isotonic_verified": q_ml_isotonic,
         "events_logrank": q_events_logrank,
         "orders_backlog": q_orders_backlog,
         "price_index": q_price_index,
@@ -4178,6 +4196,9 @@ def oracle_sql() -> dict[str, str]:
             [_tmp.ORACLE_NELSON_AALEN], "nelson_aalen"
         ),
         "events_qini": _ext_oracle([_tmp.ORACLE_QINI], "qini_uplift"),
+        "ml_isotonic_verified": _ext_oracle(
+            [_glm.ORACLE_ISOTONIC], "isotonic_calibration"
+        ),
         "events_logrank": _ext_oracle(
             [_tmp.ORACLE_LOGRANK], "logrank_test"
         ),

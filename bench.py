@@ -253,6 +253,7 @@ HEADLINE = [
     "parts_eoq",
     "events_haar",
     "dedup_lsh_precision",
+    "ml_isotonic_verified",
 ]
 
 

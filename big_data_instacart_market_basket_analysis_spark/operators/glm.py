@@ -37,6 +37,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    ranking as _rank,
+)
+
 LR_ROUNDS = 4
 LR_RATE = 2.0
 LR_CHARS_THRESHOLD = 300
@@ -1329,3 +1333,161 @@ poisson_train AS (
 )"""
     )
     return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# isotonic regression (PAV) — score calibration, minimax formulation
+# ---------------------------------------------------------------------------
+
+#: score bins for the calibration curve. Raw scores quantize to at
+#: most this many bins BEFORE any quadratic work, so everything after
+#: the one user-grain agg is <= ISO_BINS^2 rows — data-independent,
+#: the binning-first discipline every production calibrator uses.
+ISO_BINS = 32
+
+
+def isotonic_calibration(events: DataFrame) -> DataFrame:
+    """Isotonic regression (pool-adjacent-violators) of conversion
+    rate on an engagement score — the calibration layer that turns a
+    ranking score into a monotone probability, closing the verified
+    model-quality family (logreg gives scores, this makes them honest).
+
+    Instead of the sequential stack-based PAV, the fit uses the exact
+    MINIMAX characterization (Robertson-Wright-Dykstra):
+
+        iso(i) = max_{j<=i} min_{k>=i} mean(y over bins j..k)
+
+    which is pure dataflow: prefix sums over the bin grain (via the
+    distributed-rank kernel — no global window), one bounded
+    inequality self-join to form (j,k) interval means as ratios of
+    BIGINT prefix differences, a per-j running min over k DESC, and a
+    max per i. Every mean is the same double division of the same two
+    BIGINTs in both engines, and min/max are order-insensitive, so
+    the fit hash-matches DuckDB exactly.
+
+    Scale: ONE corpus pass to the user grain, one hash-agg to
+    <= ISO_BINS rows; the quadratic interval table is ISO_BINS^2 rows
+    BY CONSTRUCTION, so the plan is identical at 100 TB (same shape
+    discipline as qini_uplift's decile grain).
+
+    Output per bin: bin, n_users, n_pos, rate, iso_rate (round 6;
+    iso_rate is nondecreasing in bin — the PAV contract).
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("x"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("y"),
+    )
+    bins = (
+        per_user.select(
+            F.least(F.col("x"), F.lit(ISO_BINS - 1))
+            .cast("int")
+            .alias("b"),
+            "y",
+        )
+        .groupBy("b")
+        .agg(F.count("*").alias("sw"), F.sum("y").alias("sy"))
+    )
+    pre = _rank.global_ranked(
+        bins, [F.col("b")], sum_cols=["sw", "sy"]
+    ).select(
+        "b",
+        "sw",
+        "sy",
+        (F.col("_run_sw") - F.col("sw")).alias("pj_sw"),
+        (F.col("_run_sy") - F.col("sy")).alias("pj_sy"),
+        F.col("_run_sw").alias("rk_sw"),
+        F.col("_run_sy").alias("rk_sy"),
+    )
+    j = pre.select(
+        F.col("b").alias("jb"), "pj_sw", "pj_sy"
+    )
+    k = pre.select(
+        F.col("b").alias("kb"), "rk_sw", "rk_sy"
+    )
+    pairs = j.join(k, F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("rk_sy") - F.col("pj_sy")).cast("double")
+            / (F.col("rk_sw") - F.col("pj_sw")).cast("double")
+        ).alias("mean_jk"),
+    )
+    wmin = (
+        Window.partitionBy("jb")
+        .orderBy(F.desc("kb"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # row (jb, i=kb) now holds min over k>=i of mean(jb..k)
+    mins = pairs.select(
+        "jb",
+        F.col("kb").alias("b"),
+        F.min("mean_jk").over(wmin).alias("mn"),
+    )
+    iso = mins.groupBy("b").agg(F.max("mn").alias("iso_raw"))
+    return (
+        bins.join(iso, "b")
+        .select(
+            F.col("b").alias("bin"),
+            F.col("sw").alias("n_users"),
+            F.col("sy").alias("n_pos"),
+            F.round(
+                F.col("sy").cast("double") / F.col("sw").cast("double"),
+                6,
+            ).alias("rate"),
+            F.round(F.col("iso_raw"), 6).alias("iso_rate"),
+        )
+    )
+
+
+ORACLE_ISOTONIC = f"""
+iso_user AS (
+  SELECT CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+iso_bins AS (
+  SELECT CAST(least(x, {ISO_BINS - 1}) AS INT) AS b,
+         CAST(count(*) AS BIGINT) AS sw,
+         CAST(sum(y) AS BIGINT) AS sy
+  FROM iso_user GROUP BY 1
+),
+iso_pre AS (
+  SELECT b, sw, sy,
+         CAST(sum(sw) OVER (ORDER BY b
+              ROWS UNBOUNDED PRECEDING) - sw AS BIGINT) AS pj_sw,
+         CAST(sum(sy) OVER (ORDER BY b
+              ROWS UNBOUNDED PRECEDING) - sy AS BIGINT) AS pj_sy,
+         CAST(sum(sw) OVER (ORDER BY b
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rk_sw,
+         CAST(sum(sy) OVER (ORDER BY b
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rk_sy
+  FROM iso_bins
+),
+iso_pairs AS (
+  SELECT j.b AS jb, k.b AS kb,
+         CAST(k.rk_sy - j.pj_sy AS DOUBLE)
+           / CAST(k.rk_sw - j.pj_sw AS DOUBLE) AS mean_jk
+  FROM iso_pre j JOIN iso_pre k ON j.b <= k.b
+),
+iso_mins AS (
+  SELECT jb, kb AS b,
+         min(mean_jk) OVER (PARTITION BY jb ORDER BY kb DESC
+                            ROWS UNBOUNDED PRECEDING) AS mn
+  FROM iso_pairs
+),
+iso_fit AS (
+  SELECT b, max(mn) AS iso_raw FROM iso_mins GROUP BY 1
+),
+isotonic_calibration AS (
+  SELECT i.b AS bin, i.sw AS n_users, i.sy AS n_pos,
+         round(CAST(i.sy AS DOUBLE) / CAST(i.sw AS DOUBLE), 6) AS rate,
+         round(f.iso_raw, 6) AS iso_rate
+  FROM iso_bins i JOIN iso_fit f ON i.b = f.b
+)
+"""

@@ -595,6 +595,28 @@ PLAN_LINT_RULES: tuple[tuple[str, str, str, str], ...] = (
 )
 
 
+def _count_global_windows(plan_text: str) -> int:
+    """Count WindowExec nodes running on a single partition — the
+    ``Window.orderBy(...)`` with no partitionBy pattern. In the
+    executed-plan rendering such a window's input is always
+    ``Sort ... false, 0`` over ``Exchange SinglePartition`` (the
+    planner must funnel all rows into one task to satisfy a global
+    frame), so we look for that exchange within the three lines under
+    each Window node. Bounded inputs (day-grain, bucket-grain, the
+    #partitions-row offsets table of ``ranking.global_ranked``) also
+    match — by design: the linter reports, the reviewer decides
+    whether the input is bounded by construction; an UNBOUNDED input
+    here (user grain, fact grain) is the canonical scale-killer."""
+    lines = plan_text.splitlines()
+    hits = 0
+    for i, line in enumerate(lines):
+        if "Window [" in line or "WindowGroupLimit" in line:
+            below = "\n".join(lines[i + 1 : i + 4])
+            if "Exchange SinglePartition" in below:
+                hits += 1
+    return hits
+
+
 def plan_lint(df: DataFrame, plan_name: str = "plan") -> list[dict]:
     """Lint one DataFrame's PHYSICAL plan for scale anti-patterns.
 
@@ -619,6 +641,21 @@ def plan_lint(df: DataFrame, plan_name: str = "plan") -> list[dict]:
                     "advice": advice,
                 }
             )
+    n_gw = _count_global_windows(text)
+    if n_gw:
+        findings.append(
+            {
+                "plan": plan_name,
+                "rule": "global-window",
+                "severity": "warn",
+                "n_hits": n_gw,
+                "advice": "WindowExec with no partition key sorts the"
+                " whole input in ONE task; unless the input is bounded"
+                " by construction (day/bucket/#partition grain), use"
+                " ranking.global_ranked (range exchange + local"
+                " row_number + broadcast prefix offsets)",
+            }
+        )
     # informational: shuffle count (not a defect, but the number a
     # reviewer asks first; ReusedExchange is free and excluded)
     n_shuffles = text.count("Exchange hashpartitioning") + text.count(

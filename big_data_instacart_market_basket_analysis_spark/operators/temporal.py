@@ -33,6 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    ranking as _rank,
+)
+
 #: as-of reference stream and probe stream (event_type values).
 ASOF_REF_TYPE = "click"
 ASOF_PROBE_TYPE = "purchase"
@@ -405,23 +409,30 @@ def user_spend_deciles(events: DataFrame) -> DataFrame:
     """Rank users by total purchase spend: ntile decile, percent_rank,
     cume_dist — the ranking-window function family in one query. The
     ORDER BY includes user_id so ties rank deterministically on every
-    engine and partitioning. One shuffle for the per-user sum; the
-    global window is a single ordered pass over one row per user
-    (ranking a pre-aggregated table, not the fact stream — the only
-    shape a global window is acceptable in at 100 TB).
+    engine and partitioning.
+
+    Scale: the global rank comes from the ``ranking.global_ranked``
+    kernel (range exchange + partition-local row_number + broadcast
+    prefix offsets) — NO single-partition WindowExec anywhere in the
+    plan; ntile/percent_rank/cume_dist derive from (rank, n) in
+    closed form, exactly the SQL definitions for this unique order
+    key, so the window-function oracle hash-matches unchanged.
     """
     spend = (
         events.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.round(F.sum("value"), 4).alias("total_spend"))
     )
-    w = Window.orderBy(F.col("total_spend").desc(), "user_id")
-    return spend.select(
+    ranked = _rank.global_ranked(
+        spend, [F.col("total_spend").desc(), F.col("user_id")]
+    )
+    rk, n = F.col("_rk"), F.col("_n_total")
+    return ranked.select(
         "user_id",
         "total_spend",
-        F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        _rank.ntile_expr(10, rk, n).alias("decile"),
+        F.round(_rank.percent_rank_expr(rk, n), 4).alias("pct_rank"),
+        F.round(_rank.cume_dist_expr(rk, n), 4).alias("cume"),
     )
 
 
@@ -1715,14 +1726,11 @@ def rfm_segments(events: DataFrame) -> DataFrame:
     ts), Frequency (purchase count), Monetary (purchase total), each
     discretized into quintiles, plus the composed 3-digit segment
     code. One fact hash-agg to the user grain; the corpus max is a
-    broadcast 1-row agg; the three ntile windows share ONE
-    unpartitioned sort over the user-grain table (user-grain, not
-    fact-grain — the sorted set is |users| rows).
-
-    At 100 TB the unpartitioned ntile over users is the watch-item:
-    |users| is dim-sized (millions, not billions) so a single-reducer
-    sort of the user table is acceptable; past that, swap ntile for
-    approx-percentile cutoffs broadcast back — same output contract.
+    broadcast 1-row agg; each quintile comes from the distributed
+    ``ranking.global_ranked`` kernel (range exchange + local
+    row_number + broadcast offsets) with the exact closed-form ntile —
+    no single-partition sort at any |users|, and the window-ntile
+    oracle hash-matches because the order keys are tie-broken unique.
     """
     purchases = events.filter(F.col("event_type") == AB_METRIC_TYPE)
     per_user = purchases.groupBy("user_id").agg(
@@ -1737,19 +1745,24 @@ def rfm_segments(events: DataFrame) -> DataFrame:
         "recency_ms", F.col("corpus_max_ms") - F.col("last_ms")
     )
     # quintile ranks: recency ASC (small gap = best), freq/monetary
-    # DESC (ties broken by user_id for determinism)
-    w_r = Window.orderBy("recency_ms", "user_id")
-    w_f = Window.orderBy(F.desc("frequency"), "user_id")
-    w_m = Window.orderBy(F.desc("monetary"), "user_id")
-    return enriched.select(
-        "user_id",
-        "recency_ms",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(w_r).alias("r_score"),
-        F.ntile(5).over(w_f).alias("f_score"),
-        F.ntile(5).over(w_m).alias("m_score"),
-    ).withColumn(
+    # DESC (ties broken by user_id for determinism). Three chained
+    # global_ranked passes — each a range exchange + local window, no
+    # single-partition sort; the kernel preserves every input column
+    # so the three ranks accumulate without self-joins.
+    cur = enriched.select(
+        "user_id", "recency_ms", "frequency", "monetary"
+    )
+    for score, order in (
+        ("r_score", [F.col("recency_ms"), F.col("user_id")]),
+        ("f_score", [F.desc("frequency"), F.col("user_id")]),
+        ("m_score", [F.desc("monetary"), F.col("user_id")]),
+    ):
+        ranked = _rank.global_ranked(cur, order)
+        cur = ranked.withColumn(
+            score,
+            _rank.ntile_expr(5, F.col("_rk"), F.col("_n_total")),
+        ).drop("_rk", "_n_total")
+    return cur.withColumn(
         "segment",
         F.concat_ws(
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
@@ -5396,11 +5409,12 @@ def revenue_concentration(events: DataFrame) -> DataFrame:
 
     are exact integer aggregates until two final divisions (round 6).
 
-    The rank window runs at USER grain — the dimension-sized table
-    (the same stance as ``user_spend_deciles``'s ntile); the
-    corpus-sized work is the one groupBy above it. Output rows:
-    'gini' + one Lorenz point per decile (cum_pop_frac,
-    cum_revenue_frac round 6).
+    The user-grain rank i comes from the distributed
+    ``ranking.global_ranked`` kernel (range exchange + local
+    row_number + broadcast prefix offsets) — no single-partition sort
+    at any |users|; the corpus-sized work is the one groupBy above
+    it. Output rows: 'gini' + one Lorenz point per decile
+    (cum_pop_frac, cum_revenue_frac round 6).
     """
     spend = (
         events.filter(F.col("event_type") == "purchase")
@@ -5411,10 +5425,9 @@ def revenue_concentration(events: DataFrame) -> DataFrame:
             ).alias("g")
         )
     )
-    w = Window.orderBy("g", "user_id")
-    ranked = spend.select(
-        "g", F.row_number().over(w).alias("i")
-    )
+    ranked = _rank.global_ranked(
+        spend, [F.col("g"), F.col("user_id")]
+    ).select("g", F.col("_rk").alias("i"))
     gini = ranked.agg(
         F.count("*").alias("n"),
         F.sum("g").alias("sg"),
@@ -8329,14 +8342,14 @@ def qini_uplift(events: DataFrame) -> DataFrame:
         "x", "y", (F.col("user_id") % 2).cast("int").alias("t")
     )
     per_v = per_user.groupBy("x").agg(F.count("*").alias("c"))
-    wd = Window.orderBy(F.desc("x")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     tot = per_user.agg(F.count("*").alias("n_all"))
+    # descending EXCLUSIVE prefix count via the distributed-rank
+    # kernel (inclusive running sum minus own count) — the distinct-
+    # score table is value-grain, but a hot scorer makes it user-
+    # grain-sized, so no unpartitioned window here either.
     dec = (
-        per_v.withColumn(
-            "p", F.coalesce(F.sum("c").over(wd), F.lit(0))
-        )
+        _rank.global_ranked(per_v, [F.desc("x")], sum_cols=["c"])
+        .withColumn("p", F.col("_run_c") - F.col("c"))
         .crossJoin(F.broadcast(tot))
         .select(
             "x",
@@ -9216,14 +9229,13 @@ def hill_tail_index(events: DataFrame) -> DataFrame:
         )
     )
     per_v = per_user.groupBy("uc").agg(F.count("*").alias("c"))
-    wd = Window.orderBy(F.desc("uc")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     tot = per_user.agg(F.count("*").alias("n_all"))
+    # distinct spend-cents is effectively user-grain (cent totals are
+    # nearly unique), so the descending exclusive prefix comes from
+    # the distributed-rank kernel, not an unpartitioned window.
     tail_vals = (
-        per_v.withColumn(
-            "p", F.coalesce(F.sum("c").over(wd), F.lit(0))
-        )
+        _rank.global_ranked(per_v, [F.desc("uc")], sum_cols=["c"])
+        .withColumn("p", F.col("_run_c") - F.col("c"))
         .crossJoin(F.broadcast(tot))
         .filter(
             F.col("p") < F.expr(f"n_all DIV {HILL_TAIL_DIV}")

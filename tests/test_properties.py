@@ -975,6 +975,19 @@ def test_triangle_hub_graph_wedge_bucket_bounded(spark):
     # and the hub emits no wedges at all (it sorts last)
     assert out.filter(F.col("src") == 0).count() == 0
 
+    # _edge_support (k-truss) must ride the same oriented enumeration:
+    # every hub-spoke edge (0, s) with s in a chained pair sits in
+    # exactly 1 triangle except interior spokes' edges which sit in 2;
+    # each chain edge (s, s+1) closes exactly one triangle with the hub.
+    sup = {
+        (r["a"], r["b"]): r["support"]
+        for r in G._edge_support(und, skew_threshold=thresh).collect()
+    }
+    assert sup[(1, 2)] == 1 and sup[(n_spokes - 1, n_spokes)] == 1
+    assert sup[(0, 1)] == 1 and sup[(0, n_spokes)] == 1
+    assert sup[(0, 2)] == 2  # interior spoke: two chain neighbors
+    assert sum(sup.values()) == 3 * (n_spokes - 1)  # 3 credits/triangle
+
 
 @settings(**_SETTINGS)
 @given(cut_day=st.integers(min_value=1, max_value=30))
