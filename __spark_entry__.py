@@ -1649,6 +1649,15 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph.bfs_distances(_lineitem(spark, sf_dir))
 
 
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP (fixed-round Bellman-Ford) over the co-purchase
+    graph with price-gap edge costs — cheapest substitution distance
+    from the 3 lowest-id products, exact within SSSP_ROUNDS hops."""
+    return _graph.sssp_weighted(
+        _lineitem(spark, sf_dir), load_table(spark, sf_dir, "part")
+    )
+
+
 def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities (most-frequent
     neighbor label, min-label ties) with community sizes."""
@@ -3525,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "graph_link_prediction": q_graph_link_prediction,
         "graph_bfs": q_graph_bfs,
+        "graph_sssp": q_graph_sssp,
         "graph_lpa": q_graph_lpa,
         "graph_item_similarity": q_graph_item_similarity,
         "graph_item_sim_hitrate": q_graph_item_sim_hitrate,
@@ -4386,6 +4396,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_link_prediction": _ext_oracle(
             [_graph.oracle_link_prediction_ra()], "link_prediction_ra"
+        ),
+        "graph_sssp": _ext_oracle(
+            [_graph.oracle_sssp_weighted()], "sssp_weighted"
         ),
         "graph_bfs": _ext_oracle(
             [_graph.oracle_bfs_distances()], "bfs_distances"

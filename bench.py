@@ -254,6 +254,7 @@ HEADLINE = [
     "events_haar",
     "dedup_lsh_precision",
     "ml_isotonic_verified",
+    "graph_sssp",
 ]
 
 

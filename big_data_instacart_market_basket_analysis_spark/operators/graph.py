@@ -413,6 +413,140 @@ bfs_distances AS (SELECT node, dist FROM {prev})"""
     return ",".join(ctes)
 
 
+#: weighted-SSSP rounds (Bellman-Ford relaxations): distances are
+#: exact within SSSP_ROUNDS hops — the same fixed-superstep stance as
+#: BFS_HOPS, unrolled identically in the oracle.
+SSSP_ROUNDS = 4
+
+
+def sssp_weighted(
+    lineitem: DataFrame, part: DataFrame, rounds: int = SSSP_ROUNDS
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths over the
+    co-purchase graph — the weighted complement to ``bfs_distances``:
+    edge cost is the PRICE GAP between the two parts (1 + |retail
+    price difference| in cents, integer-exact from the part dim), so
+    the distance reads "cheapest sequence of natural substitutions
+    from a seed product", the graph form of the substitution ladder.
+
+    Fixed-round Bellman-Ford: per superstep ONE equi-join relaxes
+    every edge against the current distance table and ONE min-agg on
+    the node key re-tightens it — the same engine-portable recipe as
+    BFS/PageRank (no driver collect, integer arithmetic end-to-end,
+    unrolled identically in the DuckDB oracle). Distances are exact
+    for all paths within ``rounds`` edges; seeds are the BFS_SEEDS
+    lowest-id products (a distributed TakeOrdered of 3 rows).
+
+    Scale: the weighted edge list attaches prices by TWO broadcast
+    joins of the part dim onto the session-staged edges, then
+    localCheckpoints (referenced every round). Each round shuffles on
+    the node key only — the relax join and the min-agg share that
+    partitioning, and delta-frontier expansion (relax only improved
+    rows) is the same drop-in refinement documented on BFS.
+
+    Output: (node, dist_cents) for every node reached within
+    ``rounds`` hops.
+    """
+    prices = part.select(
+        F.col("p_partkey"),
+        F.round(F.col("p_retailprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    edges = (
+        _edges_staged(lineitem)
+        .join(
+            F.broadcast(
+                prices.select(
+                    F.col("p_partkey").alias("a"),
+                    F.col("cents").alias("ca"),
+                )
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                prices.select(
+                    F.col("p_partkey").alias("b"),
+                    F.col("cents").alias("cb"),
+                )
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            (
+                F.lit(1)
+                + F.abs(F.col("ca") - F.col("cb"))
+            ).cast("bigint").alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    dist = nodes.orderBy("node").limit(BFS_SEEDS).select(
+        "node", F.lit(0).cast("bigint").alias("dist_cents")
+    )
+    for _ in range(rounds):
+        relax = edges.join(
+            dist.select(F.col("node").alias("a"), "dist_cents"), "a"
+        ).select(
+            F.col("b").alias("node"),
+            (F.col("dist_cents") + F.col("w")).alias("dist_cents"),
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist_cents").alias("dist_cents"))
+        )
+    return dist.select("node", "dist_cents")
+
+
+def oracle_sssp_weighted(rounds: int = SSSP_ROUNDS) -> str:
+    ctes = [
+        """
+sp_edges AS MATERIALIZED (
+  SELECT e.a, e.b,
+         CAST(1 + abs(pa.c - pb.c) AS BIGINT) AS w
+  FROM (
+    SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+    WHERE l1.l_partkey <> l2.l_partkey
+  ) e
+  JOIN (SELECT p_partkey,
+               CAST(round(p_retailprice * 100, 0) AS BIGINT) AS c
+        FROM part) pa ON e.a = pa.p_partkey
+  JOIN (SELECT p_partkey,
+               CAST(round(p_retailprice * 100, 0) AS BIGINT) AS c
+        FROM part) pb ON e.b = pb.p_partkey
+),
+sp_d0 AS (
+  SELECT node, CAST(0 AS BIGINT) AS dist_cents FROM (
+    SELECT DISTINCT a AS node FROM sp_edges)
+  ORDER BY node LIMIT {seeds}
+)""".format(seeds=BFS_SEEDS)
+    ]
+    prev = "sp_d0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            """
+sp_d{i} AS MATERIALIZED (
+  SELECT node, CAST(min(dist_cents) AS BIGINT) AS dist_cents FROM (
+    SELECT node, dist_cents FROM {prev}
+    UNION ALL
+    SELECT e.b AS node, d.dist_cents + e.w AS dist_cents
+    FROM sp_edges e JOIN {prev} d ON e.a = d.node
+  ) GROUP BY 1
+)""".format(i=i, prev=prev)
+        )
+        prev = f"sp_d{i}"
+    ctes.append(
+        f"""
+sssp_weighted AS (SELECT node, dist_cents FROM {prev})"""
+    )
+    return ",".join(ctes)
+
+
 # ---------------------------------------------------------------------------
 # label-propagation communities
 # ---------------------------------------------------------------------------

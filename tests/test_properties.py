@@ -989,6 +989,35 @@ def test_triangle_hub_graph_wedge_bucket_bounded(spark):
     assert sum(sup.values()) == 3 * (n_spokes - 1)  # 3 credits/triangle
 
 
+def test_sssp_consistent_with_bfs(spark):
+    """Weighted SSSP and BFS run the same seeds, edges, and round
+    count, so they must reach EXACTLY the same node set; and since
+    every edge weight is >= 1 cent-unit, the weighted distance is a
+    pointwise upper bound... of the hop count: dist_cents >= hops
+    (equality only if every edge on the path costs 1)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        graph as G,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    part = load_table(spark, SF_ORACLE, "part")
+    assert G.SSSP_ROUNDS == G.BFS_HOPS  # the contract the test rides on
+    hops = {
+        r["node"]: r["dist"] for r in G.bfs_distances(li).collect()
+    }
+    wdist = {
+        r["node"]: r["dist_cents"]
+        for r in G.sssp_weighted(li, part).collect()
+    }
+    assert set(hops) == set(wdist)
+    for node, d in wdist.items():
+        assert d >= hops[node]
+        assert (d == 0) == (hops[node] == 0)  # seeds and only seeds
+
+
 @settings(**_SETTINGS)
 @given(cut_day=st.integers(min_value=1, max_value=30))
 def test_incremental_rollup_lossless_for_any_cutoff(spark, cut_day):

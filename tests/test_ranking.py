@@ -123,6 +123,38 @@ def test_global_window_lint_rule_catches_planted_violation(spark):
     }
 
 
+#: queries allowed bounded global windows (day/bucket/decile/lag
+#: grain — see SCALE.md). Everything else in the sweep must be 0.
+_BOUNDED_GLOBAL_WINDOW_OK = {
+    "events_retention",
+    "events_incremental_rollup",
+    "events_ohlc",
+    "events_session_paths",
+}
+
+
+def test_hot_tier_plans_global_window_sweep(spark):
+    """Regression sweep: build every HOT-tier bench plan and assert no
+    query outside the bounded-grain whitelist carries a
+    single-partition WindowExec. Catches any future operator that
+    reintroduces the user-grain global-sort pattern the rank kernel
+    retired."""
+    import bench
+    import __spark_entry__ as entry
+
+    from tests.conftest import SF_SMOKE
+
+    qs = entry.queries()
+    offenders = {}
+    for name in bench.HOT:
+        df = qs[name](spark, SF_SMOKE)
+        text = df._jdf.queryExecution().executedPlan().toString()
+        n = P._count_global_windows(text)
+        if n and name not in _BOUNDED_GLOBAL_WINDOW_OK:
+            offenders[name] = n
+    assert not offenders, offenders
+
+
 def test_fixed_user_grain_queries_lint_clean(spark):
     """The five round-3 'weak' sites, post-conversion: ZERO user-grain
     global windows. revenue_concentration and qini_uplift keep exactly
