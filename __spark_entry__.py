@@ -76,6 +76,7 @@ from big_data_instacart_market_basket_analysis_spark.functions import (
 )
 from big_data_instacart_market_basket_analysis_spark.sources.json_ingest import (
     ORACLE_EVENTS_JSON_ROUNDTRIP,
+    ORACLE_VARIANT_ROLLUP,
 )
 from big_data_instacart_market_basket_analysis_spark.sources.text_ingest import (
     ORACLE_DOCS_TEXT_ROUNDTRIP,
@@ -1423,6 +1424,13 @@ def q_sql_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sqlapi.sql_nullsafe_join(spark, sf_dir)
 
 
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN/DECLARE/SET/WHILE): iterated-mean
+    peel over order values — loop-carried scalar state, one
+    distributed agg per round, unrolled in the oracle."""
+    return _sqlapi.sql_scripting_peel(spark, sf_dir)
+
+
 def q_sql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL INTERSECT/EXCEPT/LEFT SEMI JOIN syntax over the two
     ship-window halves (set algebra compiled to distinct+semi/anti
@@ -1717,6 +1725,18 @@ def q_json_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _json.events_json_roundtrip(spark, sf_dir)
+
+
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT: JSON payload -> parse_json -> typed
+    try_variant_get extractions (top-level, nested path, array index)
+    -> daily rollup; oracle aggregates raw columns, proving the
+    semi-structured round-trip lossless."""
+    from big_data_instacart_market_basket_analysis_spark.sources import (
+        json_ingest as _json,
+    )
+
+    return _json.variant_daily_rollup(load_table(spark, sf_dir, "events"))
 
 
 def q_text_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3267,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": q_events_json_stats,
         "events_user_stats_salted": q_events_user_stats_salted,
         "json_ingest_events": q_json_ingest_events,
+        "events_variant": q_events_variant,
         "text_ingest_docs": q_text_ingest_docs,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
@@ -3498,6 +3519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_setops": q_sql_setops,
         "sql_named_window": q_sql_named_window,
         "sql_nullsafe": q_sql_nullsafe,
+        "sql_scripting": q_sql_scripting,
         "sql_part_supplier_stats": q_sql_part_supplier_stats,
         "sql_small_qty_revenue": q_sql_small_qty_revenue,
         "sql_pipe_priority_stats": q_sql_pipe_priority_stats,
@@ -4433,6 +4455,9 @@ def oracle_sql() -> dict[str, str]:
         "sql_nullsafe": _ext_oracle(
             [_sqlapi.ORACLE_SQL_NULLSAFE], "sql_nullsafe_join"
         ),
+        "sql_scripting": _ext_oracle(
+            [_sqlapi.oracle_sql_scripting_peel()], "sql_scripting_peel"
+        ),
         "sql_urgent_only": _ext_oracle(
             [_sqlapi.ORACLE_SQL_URGENT_ONLY], "sql_urgent_only"
         ),
@@ -4867,6 +4892,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "json_ingest_events": _ext_oracle(
             [ORACLE_EVENTS_JSON_ROUNDTRIP], "events_json_roundtrip"
+        ),
+        "events_variant": _ext_oracle(
+            [ORACLE_VARIANT_ROLLUP], "variant_daily_rollup"
         ),
         "text_ingest_docs": _ext_oracle(
             [ORACLE_DOCS_TEXT_ROUNDTRIP], "docs_text_roundtrip"

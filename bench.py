@@ -255,6 +255,8 @@ HEADLINE = [
     "dedup_lsh_precision",
     "ml_isotonic_verified",
     "graph_sssp",
+    "sql_scripting",
+    "events_variant",
 ]
 
 

@@ -853,3 +853,83 @@ sql_nullsafe_join AS (
   GROUP BY d.bucket
 )
 """
+
+
+#: scripted-peel rounds (SQL scripting WHILE loop, unrolled in the
+#: oracle): each round raises the threshold to the floored mean spend
+#: of the orders still above it — "iterated mean" elite selection.
+SCRIPT_PEEL_ROUNDS = 3
+
+
+def sql_scripting_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN/END, DECLARE, SET, WHILE): an
+    iterated-mean peel over order values — round r sets the threshold
+    to the floored mean cents of orders strictly above the previous
+    threshold, a control-flow pattern (loop-carried scalar state)
+    that plain SQL cannot express but a script can. The loop runs
+    SCRIPT_PEEL_ROUNDS times; each iteration is ONE distributed agg,
+    and the scalar threshold rides in a session variable — at 100 TB
+    this is K sequential one-number aggregations, the cheapest
+    possible iterative shape.
+
+    All arithmetic is exact: cents are BIGINT, the mean is floored
+    with DIV, so the DuckDB oracle replays the loop as unrolled CTEs
+    bit-for-bit. Output (1 row): n_rounds, threshold_cents, n_above
+    (orders above the final threshold).
+    """
+    register_views(spark, sf_dir)  # raw fixtures only — no derived views
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE thr BIGINT DEFAULT 0;
+          DECLARE i INT DEFAULT 0;
+          WHILE i < {SCRIPT_PEEL_ROUNDS} DO
+            SET thr = (
+              SELECT sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     DIV count(*)
+              FROM orders
+              WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) > thr
+            );
+            SET i = i + 1;
+          END WHILE;
+          SELECT CAST(i AS INT) AS n_rounds,
+                 thr AS threshold_cents,
+                 (SELECT CAST(count(*) AS BIGINT) FROM orders
+                  WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                        > thr) AS n_above;
+        END
+        """
+    )
+
+
+def oracle_sql_scripting_peel(rounds: int = SCRIPT_PEEL_ROUNDS) -> str:
+    ctes = [
+        """
+scr_c AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+scr_t0 AS (SELECT CAST(0 AS BIGINT) AS thr)"""
+    ]
+    prev = "scr_t0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            """
+scr_t{i} AS (
+  SELECT CAST(sum(c.cents) // count(*) AS BIGINT) AS thr
+  FROM scr_c c, {prev} p WHERE c.cents > p.thr
+)""".format(i=i, prev=prev)
+        )
+        prev = f"scr_t{i}"
+    ctes.append(
+        f"""
+sql_scripting_peel AS (
+  SELECT CAST({rounds} AS INT) AS n_rounds,
+         p.thr AS threshold_cents,
+         (SELECT CAST(count(*) AS BIGINT) FROM scr_c c
+          WHERE c.cents > p.thr) AS n_above
+  FROM {prev} p
+)"""
+    )
+    return ",".join(ctes)
