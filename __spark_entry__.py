@@ -1534,6 +1534,14 @@ def q_sql_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sqlapi.sql_pivot_returnflag(spark, sf_dir)
 
 
+def q_text_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/2 F1 over deterministic (ref, cand) doc pairs: clipped
+    multiset n-gram overlap, exact BIGINT numerators, the
+    summarization-eval kernel (pair column plugs into any candidate
+    generator)."""
+    return _text.rouge_pairs(_docs(spark, sf_dir))
+
+
 def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training step one: adjacent char-pair counts over
     the frequency-weighted vocabulary (never raw text)."""
@@ -3529,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_pivot_returnflag": q_sql_pivot_returnflag,
         "plan_lint_report": q_plan_lint_report,
         "text_bpe_pairs": q_text_bpe_pairs,
+        "text_rouge": q_text_rouge,
         "text_bpe_train": q_text_bpe_train,
         "events_skew_report": q_events_skew_report,
         "xml_ingest_events": q_xml_ingest_events,
@@ -4483,6 +4492,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_bpe_pairs": _ext_oracle(
             [_text.oracle_bpe_first_merges()], "bpe_first_merges"
+        ),
+        "text_rouge": _ext_oracle(
+            [_text.ORACLE_ROUGE_PAIRS], "rouge_pairs"
         ),
         "sql_var_param_revenue": _ext_oracle(
             [_sqlapi.ORACLE_SQL_VAR_PARAM], "sql_var_param_revenue"

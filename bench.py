@@ -257,6 +257,7 @@ HEADLINE = [
     "graph_sssp",
     "sql_scripting",
     "events_variant",
+    "text_rouge",
 ]
 
 

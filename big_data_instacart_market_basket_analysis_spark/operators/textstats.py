@@ -3892,3 +3892,211 @@ rater_kappa AS (
   FROM kp_cells
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-1/2 pair scoring (summarization/translation eval kernel)
+# ---------------------------------------------------------------------------
+
+
+def rouge_pairs(docs: DataFrame) -> DataFrame:
+    """ROUGE-1 and ROUGE-2 F1 between (reference, candidate) document
+    pairs — the n-gram-overlap eval kernel behind summarization /
+    translation scoring, run at corpus scale. Overlap is the CLIPPED
+    multiset intersection (Σ min(count_ref, count_cand) per n-gram —
+    the official ROUGE definition), so every numerator/denominator is
+    an exact BIGINT and only the final P/R/F divisions are doubles
+    (round 6).
+
+    The pair list here is the deterministic adjacent-id pairing
+    (even doc_id -> doc_id+1) so the metric is oracle-checkable
+    corpus-wide; in production the pair column plugs into any
+    candidate generator (LSH buckets, retrieval top-k) unchanged —
+    the kernel only sees (ref_id, cand_id).
+
+    Scale: one tokenize pass to (doc, ngram, count) for n=1,2, then
+    per-pair equi-joins on (doc_id, ngram) — work bounded by document
+    length times pair count, never corpus^2; all joins key-partition
+    on the pair/doc ids.
+
+    Output per pair: ref_id, cand_id, n1_ref, n1_cand, overlap1,
+    rouge1_f, n2_ref, n2_cand, overlap2, rouge2_f (F1 null when a
+    side has no n-grams of that order).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda t: F.length(t) > 0,
+        ).alias("t"),
+    )
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(slice(t, 1, size(t) - 1),"
+            " (x, i) -> concat(x, ' ', t[i + 1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select(
+        "doc_id", F.explode("t").alias("g"), F.lit(1).alias("n")
+    ).unionByName(
+        toks.select(
+            "doc_id", F.explode(bigrams).alias("g"), F.lit(2).alias("n")
+        )
+    )
+    counts = grams.groupBy("doc_id", "n", "g").agg(
+        F.count("*").alias("c")
+    )
+    totals = counts.groupBy("doc_id", "n").agg(F.sum("c").alias("tot"))
+    pairs = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").alias("ref_id"))
+        .join(
+            docs.select((F.col("doc_id") - 1).alias("ref_id"),
+                        F.col("doc_id").alias("cand_id")),
+            "ref_id",
+        )
+    )
+    ov = (
+        pairs.join(
+            counts.select(
+                F.col("doc_id").alias("ref_id"), "n", "g",
+                F.col("c").alias("cr"),
+            ),
+            "ref_id",
+        )
+        .join(
+            counts.select(
+                F.col("doc_id").alias("cand_id"), "n", "g",
+                F.col("c").alias("cc"),
+            ),
+            ["cand_id", "n", "g"],
+        )
+        .groupBy("ref_id", "cand_id", "n")
+        .agg(F.sum(F.least("cr", "cc")).alias("ov"))
+    )
+    base = (
+        pairs.join(
+            totals.select(
+                F.col("doc_id").alias("ref_id"), "n",
+                F.col("tot").alias("nr"),
+            ),
+            "ref_id",
+        )
+        .join(
+            totals.select(
+                F.col("doc_id").alias("cand_id"), "n",
+                F.col("tot").alias("nc"),
+            ),
+            ["cand_id", "n"],
+            "left",
+        )
+        .join(ov, ["ref_id", "cand_id", "n"], "left")
+        .select(
+            "ref_id", "cand_id", "n",
+            F.col("nr"),
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+            F.coalesce("ov", F.lit(0)).alias("ov"),
+        )
+    )
+    f1 = F.when(
+        (F.col("nr") > 0) & (F.col("nc") > 0),
+        F.round(
+            F.lit(2.0) * F.col("ov")
+            / (F.col("nr") + F.col("nc")).cast("double"),
+            6,
+        ),
+    )
+    wide = base.groupBy("ref_id", "cand_id").pivot("n", [1, 2]).agg(
+        F.first("nr").alias("nref"),
+        F.first("nc").alias("ncand"),
+        F.first("ov").alias("overlap"),
+        F.first(f1).alias("f"),
+    )
+    return wide.select(
+        "ref_id",
+        "cand_id",
+        F.coalesce("1_nref", F.lit(0)).alias("n1_ref"),
+        F.coalesce("1_ncand", F.lit(0)).alias("n1_cand"),
+        F.coalesce("1_overlap", F.lit(0)).alias("overlap1"),
+        F.col("1_f").alias("rouge1_f"),
+        F.coalesce("2_nref", F.lit(0)).alias("n2_ref"),
+        F.coalesce("2_ncand", F.lit(0)).alias("n2_cand"),
+        F.coalesce("2_overlap", F.lit(0)).alias("overlap2"),
+        F.col("2_f").alias("rouge2_f"),
+    )
+
+
+ORACLE_ROUGE_PAIRS = r"""
+rg_toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     t -> length(t) > 0) AS t
+  FROM documents
+),
+rg_grams AS (
+  SELECT doc_id, 1 AS n, u.g AS g
+  FROM rg_toks, unnest(t) AS u(g)
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         t[i] || ' ' || t[i + 1] AS g
+  FROM rg_toks,
+       LATERAL unnest(range(1, greatest(len(t), 1))) AS r(i)
+),
+rg_counts AS (
+  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c
+  FROM rg_grams GROUP BY 1, 2, 3
+),
+rg_totals AS (
+  SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS tot
+  FROM rg_counts GROUP BY 1, 2
+),
+rg_pairs AS (
+  SELECT a.doc_id AS ref_id, b.doc_id AS cand_id
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 2 = 0
+),
+rg_ov AS (
+  SELECT p.ref_id, p.cand_id, r.n,
+         CAST(sum(least(r.c, c2.c)) AS BIGINT) AS ov
+  FROM rg_pairs p
+  JOIN rg_counts r ON r.doc_id = p.ref_id
+  JOIN rg_counts c2 ON c2.doc_id = p.cand_id
+                   AND c2.n = r.n AND c2.g = r.g
+  GROUP BY 1, 2, 3
+),
+rg_base AS (
+  SELECT p.ref_id, p.cand_id, tr.n,
+         tr.tot AS nr,
+         CAST(coalesce(tc.tot, 0) AS BIGINT) AS nc,
+         CAST(coalesce(o.ov, 0) AS BIGINT) AS ov
+  FROM rg_pairs p
+  JOIN rg_totals tr ON tr.doc_id = p.ref_id
+  LEFT JOIN rg_totals tc ON tc.doc_id = p.cand_id AND tc.n = tr.n
+  LEFT JOIN rg_ov o ON o.ref_id = p.ref_id
+                   AND o.cand_id = p.cand_id AND o.n = tr.n
+),
+rouge_pairs AS (
+  SELECT ref_id, cand_id,
+         CAST(coalesce(max(CASE WHEN n = 1 THEN nr END), 0) AS BIGINT)
+           AS n1_ref,
+         CAST(coalesce(max(CASE WHEN n = 1 THEN nc END), 0) AS BIGINT)
+           AS n1_cand,
+         CAST(coalesce(max(CASE WHEN n = 1 THEN ov END), 0) AS BIGINT)
+           AS overlap1,
+         max(CASE WHEN n = 1 AND nr > 0 AND nc > 0 THEN
+             round(2.0 * ov / CAST(nr + nc AS DOUBLE), 6) END)
+           AS rouge1_f,
+         CAST(coalesce(max(CASE WHEN n = 2 THEN nr END), 0) AS BIGINT)
+           AS n2_ref,
+         CAST(coalesce(max(CASE WHEN n = 2 THEN nc END), 0) AS BIGINT)
+           AS n2_cand,
+         CAST(coalesce(max(CASE WHEN n = 2 THEN ov END), 0) AS BIGINT)
+           AS overlap2,
+         max(CASE WHEN n = 2 AND nr > 0 AND nc > 0 THEN
+             round(2.0 * ov / CAST(nr + nc AS DOUBLE), 6) END)
+           AS rouge2_f
+  FROM rg_base
+  GROUP BY 1, 2
+)
+"""

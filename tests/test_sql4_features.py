@@ -67,3 +67,26 @@ def test_variant_rollup_equals_native_twin(spark):
         .collect()
     }
     assert via_variant == native
+
+
+def test_rouge_pairs_hand_computed(spark):
+    """ROUGE-1/2 F1 against a hand-worked example: ref 'a b c a' vs
+    cand 'a b d' — clipped unigram overlap 2 (a:min(2,1) + b:1), F1 =
+    2*2/(4+3); bigram overlap 1 ('a b'), F1 = 2*1/(3+2)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats as TS,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b  c a"), (1, "a b d"), (2, "x"), (3, "y x")],
+        "doc_id long, text string",
+    )
+    rows = {r["ref_id"]: r for r in TS.rouge_pairs(docs).collect()}
+    r0 = rows[0]
+    assert (r0["n1_ref"], r0["n1_cand"], r0["overlap1"]) == (4, 3, 2)
+    assert abs(r0["rouge1_f"] - round(4 / 7, 6)) < 1e-9
+    assert (r0["n2_ref"], r0["n2_cand"], r0["overlap2"]) == (3, 2, 1)
+    assert abs(r0["rouge2_f"] - 0.4) < 1e-9
+    r2 = rows[2]  # ref 'x' has no bigrams: rouge2 undefined (null)
+    assert (r2["overlap1"], r2["n2_ref"]) == (1, 0)
+    assert r2["rouge2_f"] is None
