@@ -595,25 +595,52 @@ PLAN_LINT_RULES: tuple[tuple[str, str, str, str], ...] = (
 )
 
 
+def _node_depth(line: str) -> int:
+    """Tree depth of a plan line = length of its tree-drawing prefix
+    (spaces and the ``:  +- | -`` connectors). Spark indents each
+    child level by a fixed-width connector, so deeper == child."""
+    i = 0
+    for ch in line:
+        if ch in " :+|-":
+            i += 1
+        else:
+            break
+    return i
+
+
 def _count_global_windows(plan_text: str) -> int:
     """Count WindowExec nodes running on a single partition — the
-    ``Window.orderBy(...)`` with no partitionBy pattern. In the
-    executed-plan rendering such a window's input is always
-    ``Sort ... false, 0`` over ``Exchange SinglePartition`` (the
-    planner must funnel all rows into one task to satisfy a global
-    frame), so we look for that exchange within the three lines under
-    each Window node. Bounded inputs (day-grain, bucket-grain, the
-    #partitions-row offsets table of ``ranking.global_ranked``) also
-    match — by design: the linter reports, the reviewer decides
-    whether the input is bounded by construction; an UNBOUNDED input
-    here (user grain, fact grain) is the canonical scale-killer."""
+    ``Window.orderBy(...)`` with no partitionBy pattern (the planner
+    funnels all rows into ONE task to satisfy a global frame).
+
+    For each Window/WindowGroupLimit node, walk its SUBTREE (lines
+    strictly deeper in the tree rendering, however many Sort /
+    Project / Filter / ShuffleQueryStage wrappers intervene — not a
+    fixed 3-line peek) down to the FIRST Exchange-bearing line: a
+    direct ``Exchange SinglePartition`` or a ``ReusedExchange ...,
+    Exchange SinglePartition`` reference both carry the marker text,
+    so exchange reuse cannot hide a hit. Post-AQE renderings repeat
+    the plan under ``== Initial Plan ==``; only the final section is
+    scanned (no double counting).
+
+    Bounded inputs (day-grain, bucket-grain) also match — by design:
+    the linter reports, the reviewer decides whether the input is
+    bounded by construction; an UNBOUNDED input here (user grain,
+    fact grain) is the canonical scale-killer."""
+    plan_text = plan_text.split("== Initial Plan ==")[0]
     lines = plan_text.splitlines()
     hits = 0
     for i, line in enumerate(lines):
         if "Window [" in line or "WindowGroupLimit" in line:
-            below = "\n".join(lines[i + 1 : i + 4])
-            if "Exchange SinglePartition" in below:
-                hits += 1
+            depth = _node_depth(line)
+            for below in lines[i + 1 :]:
+                if _node_depth(below) <= depth:
+                    break  # left this Window's subtree
+                if "Exchange" in below:
+                    # first exchange feeding the window decides it
+                    if "SinglePartition" in below:
+                        hits += 1
+                    break
     return hits
 
 

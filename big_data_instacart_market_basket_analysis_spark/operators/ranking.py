@@ -139,21 +139,83 @@ def global_ranked(
     return out.drop(*drop)
 
 
+def bucket_prefix_offsets(
+    btot: DataFrame,
+    bucket_col: str,
+    value_cols: Sequence[str],
+    descending: bool = False,
+) -> DataFrame:
+    """EXCLUSIVE prefix sums over a bucket-grain table with ZERO
+    WindowExec: pack the (bounded) bucket rows into one sorted
+    struct-array, prefix-sum with array higher-order functions, and
+    explode back — the same machinery as ``global_ranked``'s offsets
+    stage, factored out for the floor-bucket rank family
+    (``nb_pr_curve``, ``nb_quality_auc``, ``nb_gains_table``, ...).
+
+    Input must be BUCKET GRAIN (one row per bucket, counts already
+    aggregated) — the collect_list is bounded by #buckets, which every
+    call site bounds by construction (integer floor of a score whose
+    range is data-independent). Returns one row per bucket with
+    ``_off_{c}`` = sum of c over all buckets strictly BEFORE this one
+    in the (a|de)scending bucket order. O(B^2) slice-sums on B bucket
+    elements, executor-side.
+    """
+    packed = btot.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(bucket_col),
+                    *[F.col(c).cast("long").alias(c) for c in value_cols],
+                )
+            ),
+            asc=not descending,
+        ).alias("_bs")
+    )
+
+    def _prefix(field):
+        return lambda x, i: F.aggregate(
+            F.slice(F.col("_bs"), F.lit(1), i),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y[field],
+        )
+
+    return packed.select(
+        F.explode(
+            F.transform(
+                F.col("_bs"),
+                lambda x, i: F.struct(
+                    x[bucket_col].alias(bucket_col),
+                    *[
+                        _prefix(c)(x, i).alias(f"_off_{c}")
+                        for c in value_cols
+                    ],
+                ),
+            )
+        ).alias("_o")
+    ).select("_o.*")
+
+
 def ntile_expr(k: int, rk: Column, n: Column) -> Column:
     """Exact SQL ``ntile(k)`` from a global row_number ``rk`` (1-based)
     and total count ``n``: the first n % k tiles get floor(n/k)+1 rows,
-    the rest floor(n/k) — integer arithmetic only, so it hash-matches
-    both engines' window ntile bit-for-bit."""
-    q = n - (n % k)  # k*floor(n/k), avoids a second div
-    big = (n % k) * ((q / k).cast("long") + 1)  # rows in fat tiles
-    fat = (q / k).cast("long") + 1
-    thin = (q / k).cast("long")
+    the rest floor(n/k) — INTEGRAL division throughout (SQL ``div``,
+    never a double divide-then-cast), so the identity holds for any
+    BIGINT count, not just below 2^53."""
+
+    def _idiv(a: Column, b: Column) -> Column:
+        # all operands here are nonnegative, so truncating `div`
+        # equals floor division
+        return F.call_function("div", a.cast("long"), b.cast("long"))
+
+    fat = _idiv(n, F.lit(k)) + 1  # floor(n/k)+1 rows per fat tile
+    thin = _idiv(n, F.lit(k))
+    big = (n % k) * fat  # rows covered by the n%k fat tiles
     return (
-        F.when(rk <= big, ((rk + fat - 1) / fat).cast("long"))
+        F.when(rk <= big, _idiv(rk + fat - 1, fat))
         .otherwise(
             (n % k)
             + F.when(
-                thin > 0, ((rk - big + thin - 1) / thin).cast("long")
+                thin > 0, _idiv(rk - big + thin - 1, thin)
             ).otherwise(F.lit(0))
         )
         .cast("int")

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .ranking import bucket_prefix_offsets
+
 # Marker (stopword) lists per language — n-gram-free heuristic language
 # ID by marker-token hit counts. Public common-word lists, truncated.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -3258,30 +3260,63 @@ def nb_pr_curve(docs: DataFrame) -> DataFrame:
     just one row of this).
 
     Counts are exact; precision/recall/F1 are ratios of integral
-    cumulative sums rounded at the edge. The sweep table is bounded
-    by DISTINCT scores (not docs); the cumulative window runs over
-    that bounded table (bucketed-prefix form at corpus scale).
+    cumulative sums rounded at the edge. Distinct scores are 6-dp
+    NB log-odds — near-unique per document, so "distinct scores" is
+    corpus-sized: the descending cumulative therefore uses the same
+    floor(log_odds) bucketed prefix-sum as ``nb_quality_auc`` /
+    ``nb_gains_table`` (bucket-grain offsets window over the handful
+    of integer buckets + a PARTITIONED within-bucket window), never
+    a corpus-sized single-partition sort.
     Output: threshold, n_pred_pos, tp, precision, recall, f1.
     """
+    return _nb_pr_curve_full(docs).select(
+        "threshold", "n_pred_pos", "tp", "precision", "recall", "f1"
+    )
+
+
+def _nb_pr_curve_full(docs: DataFrame) -> DataFrame:
+    """PR sweep with the internal ``pos`` / ``n_pos`` columns kept —
+    ``nb_scorecard`` derives the lagged recall arithmetically from
+    them (previous row's tp == tp - pos, exactly, in integers)."""
     scored = nb_quality_scores(docs).select(
         F.col("log_odds").alias("t"),
         F.col("keep").cast("int").alias("y"),
     )
     per_t = scored.groupBy("t").agg(
         F.count("*").alias("n"), F.sum("y").alias("pos")
+    ).withColumn("bucket", F.floor("t"))
+    # bucketed prefix-sum, descending: bucket-grain offsets (bounded
+    # by the integer log-odds range, prefix-summed via the packed-
+    # array kernel — zero WindowExec) + within-bucket PARTITIONED
+    # cumulative — a bare ORDER BY t DESC window here would be a
+    # corpus-sized Exchange SinglePartition (plan_lint global-window)
+    btot = per_t.groupBy("bucket").agg(
+        F.sum("n").alias("bn"), F.sum("pos").alias("bpos")
     )
-    w = Window.orderBy(F.col("t").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    offsets = bucket_prefix_offsets(
+        btot, "bucket", ["bn", "bpos"], descending=True
+    ).select(
+        "bucket",
+        F.col("_off_bn").alias("off_n"),
+        F.col("_off_bpos").alias("off_pos"),
+    )
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     totals = scored.agg(F.sum("y").alias("n_pos"))
     return (
-        per_t.withColumn("n_pred_pos", F.sum("n").over(w))
-        .withColumn("tp", F.sum("pos").over(w))
+        per_t.join(F.broadcast(offsets), "bucket")
+        .withColumn("n_pred_pos", F.col("off_n") + F.sum("n").over(win))
+        .withColumn("tp", F.col("off_pos") + F.sum("pos").over(win))
         .crossJoin(F.broadcast(totals))
         .select(
             F.col("t").alias("threshold"),
             "n_pred_pos",
             "tp",
+            "pos",
+            "n_pos",
             F.round(F.col("tp") / F.col("n_pred_pos"), 6).alias(
                 "precision"
             ),
@@ -3355,11 +3390,20 @@ def nb_scorecard(docs: DataFrame) -> DataFrame:
             6,
         ).alias("ece")
     )
-    pr = nb_pr_curve(docs)
-    w = Window.orderBy(F.col("threshold").desc())
+    # prev_r (the lagged recall in threshold-DESC order) needs no
+    # window at all: the previous row's tp is exactly tp - pos (both
+    # integers), so lag(round(tp/n_pos,6)) == round((tp-pos)/n_pos,6),
+    # and the first row has tp == pos (prev_r = 0.0 = the coalesce
+    # default). Replaces a corpus-sized unpartitioned lag window.
+    pr = _nb_pr_curve_full(docs)
     ap = (
         pr.withColumn(
-            "prev_r", F.coalesce(F.lag("recall").over(w), F.lit(0.0))
+            "prev_r",
+            F.round(
+                (F.col("tp") - F.col("pos"))
+                / F.col("n_pos").cast("double"),
+                6,
+            ),
         )
         .agg(
             F.round(

@@ -1,13 +1,16 @@
 """Check a single declared query vs its oracle on a bare session."""
-import sys, time
+import os, sys, time
 sys.path.insert(0, ".")
 from pyspark.sql import SparkSession
 import __spark_entry__ as e
 from tests.oracle_harness import compare
 
 names = sys.argv[1].split(",")
-sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
-spark = SparkSession.builder.master("local[32]").appName("check_one").getOrCreate()
+sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+)
+master = "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "32")
+spark = SparkSession.builder.master(master).appName("check_one").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 qs, os_ = e.queries(), e.oracle_sql()
 rc = 0

@@ -106,6 +106,84 @@ def test_kernel_plan_has_no_global_window(spark):
     assert "Exchange rangepartitioning" in text  # the real shuffle
 
 
+def test_kernel_range_exchange_is_reused_not_resampled(spark):
+    """ADVICE r4 (medium): the per-partition stats branch and the
+    offsets join branch must read ONE materialized range exchange.
+    RangePartitioner samples boundaries with RDD-id-derived seeds, so
+    two independent exchanges could place the same row in different
+    _pid's across branches — silently wrong ranks. Pin the executed
+    final plan: exactly one real Exchange rangepartitioning, and the
+    second consumer a ReusedExchange of it."""
+    df = _users(spark, 500)
+    out = R.global_ranked(df, [F.desc("v"), F.col("uid")], ["c"])
+    out.collect()
+    final = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    lines = final.splitlines()
+    real = [
+        ln
+        for ln in lines
+        if "Exchange rangepartitioning" in ln
+        and "ReusedExchange" not in ln
+    ]
+    reused = [ln for ln in lines if "ReusedExchange" in ln]
+    assert len(real) == 1, final
+    assert len(reused) == 1 and "rangepartitioning" in reused[0], final
+
+
+def test_bucket_prefix_offsets_matches_window_prefix(spark):
+    """The packed-array bucket offsets (zero WindowExec) must equal
+    the textbook exclusive-prefix window, ascending and descending."""
+    rows = [(b, (b * 31) % 17 + 1, (b * 7) % 5) for b in range(-6, 9)]
+    btot = spark.createDataFrame(rows, "bucket long, n long, pos long")
+    for desc in (False, True):
+        got = {
+            r["bucket"]: (r["_off_n"], r["_off_pos"])
+            for r in R.bucket_prefix_offsets(
+                btot, "bucket", ["n", "pos"], descending=desc
+            ).collect()
+        }
+        order = F.desc("bucket") if desc else F.asc("bucket")
+        w = Window.orderBy(order).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        want = {
+            r["bucket"]: (r["on"], r["op"])
+            for r in btot.select(
+                "bucket",
+                F.coalesce(F.sum("n").over(w), F.lit(0)).alias("on"),
+                F.coalesce(F.sum("pos").over(w), F.lit(0)).alias("op"),
+            ).collect()
+        }
+        assert got == want, desc
+    # and the helper's own plan carries no WindowExec at all
+    out = R.bucket_prefix_offsets(btot, "bucket", ["n"], descending=True)
+    text = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in text
+
+
+def test_global_window_lint_sees_through_reused_exchange(spark):
+    """ADVICE r4: a ReusedExchange referencing a SinglePartition
+    exchange, or extra Project/Filter wrappers between Sort and
+    Exchange, must not hide a global window from the lint (the old
+    3-line peek could miss both). Execute a plan whose SECOND global
+    window reads the reused single-partition exchange and assert both
+    are counted."""
+    df = _users(spark, 60)
+    w = Window.orderBy("v", "uid")
+    ranked = df.select("uid", "v", F.row_number().over(w).alias("rk"))
+    agg = ranked.groupBy("v").agg(F.max("rk").alias("m"))
+    j = ranked.join(agg, "v")
+    j.collect()
+    text = j._jdf.queryExecution().executedPlan().toString()
+    if "ReusedExchange" in text:  # AQE reused it, as in production
+        assert P._count_global_windows(text) == 2, text
+
+
 def test_global_window_lint_rule_catches_planted_violation(spark):
     """Plant the exact anti-pattern the rule exists for and assert it
     fires; then assert the kernel-based twin is clean."""
