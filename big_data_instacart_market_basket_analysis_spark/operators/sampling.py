@@ -593,26 +593,22 @@ def negative_samples(
     and the positives anti-join are the only joins, both on uniform
     hash keys. Rejected tries below ``k`` survivors per user simply
     yield fewer negatives for that user (documented standard
-    behavior; raise ``tries`` to tighten). The rank window runs on
-    the product DIMENSION (single partition over |products| rows —
-    dimension-sized by definition; at 100 TB products still fit one
-    task, and a zipWithIndex swap is mechanical if they do not).
+    behavior; raise ``tries`` to tighten). The contiguous product
+    rank comes from the distributed-rank kernel (range exchange +
+    local row_number), so even a 100 TB-scale product dimension never
+    funnels through one task.
 
     Output: userID, productID (negative), try_idx, label=0.
     """
-    from pyspark.sql import Window
-
     from .factorization import _ratings
+    from .ranking import global_ranked
 
     ratings = _ratings(t).localCheckpoint(eager=True)
-    wprod = Window.orderBy("productID")
-    prods = (
-        ratings.select("productID")
-        .distinct()
-        .select(
-            "productID",
-            (F.row_number().over(wprod) - 1).cast("bigint").alias("rank"),
-        )
+    prods = global_ranked(
+        ratings.select("productID").distinct(), [F.col("productID")]
+    ).select(
+        "productID",
+        (F.col("_rk") - 1).cast("bigint").alias("rank"),
     )
     n_prod = prods.agg(F.count("*").alias("n_prod"))
     cand = (

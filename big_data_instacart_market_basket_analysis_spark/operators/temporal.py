@@ -8958,14 +8958,15 @@ def stratified_ate(events: DataFrame) -> DataFrame:
         "x", "r", (F.col("user_id") % 2).cast("int").alias("t")
     )
     per_v = per_user.groupBy("x").agg(F.count("*").alias("c"))
-    wd = Window.orderBy("x").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     tot = per_user.agg(F.count("*").alias("n_all"))
+    # ascending EXCLUSIVE prefix count via the distributed-rank
+    # kernel (inclusive running sum minus own count) — the distinct
+    # view-count table is engagement-bounded in practice but
+    # data-dependent in principle, so no unpartitioned window here
+    # (same conversion as the qini/decile siblings, r4 verdict #6)
     strata = (
-        per_v.withColumn(
-            "p", F.coalesce(F.sum("c").over(wd), F.lit(0))
-        )
+        _rank.global_ranked(per_v, [F.asc("x")], sum_cols=["c"])
+        .withColumn("p", F.col("_run_c") - F.col("c"))
         .crossJoin(F.broadcast(tot))
         .select(
             "x",

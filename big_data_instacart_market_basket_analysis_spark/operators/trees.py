@@ -728,11 +728,18 @@ def gbm_permutation_importance(events: DataFrame) -> DataFrame:
 
     The stump table comes from `gbm_train` (3 rows); applying the
     ensemble is one broadcast join + per-user sum, so each feature's
-    probe costs one pass over the user-grain table. The rotation uses
-    one |users| rank window at fixture scale (the scale form is the
-    prefix-bucket rank, same as sorted-neighborhood dedup). Output:
+    probe costs one pass over the user-grain table. The rotation map
+    (user -> next md5-ranked user, last wraps to first) is built ONCE
+    on the distributed-rank kernel — rank r takes rank r%n+1's bin
+    via a self-equi-join, replacing the former user-grain
+    lead/first window (single-partition at scale) — and every user
+    carries all 3 fids by construction (`_gb_binned` explodes a
+    3-element array), so one map serves all three probes. Output:
     fid, sse_base, sse_perm, delta_sse.
     """
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        ranking as _rank,
+    )
     binned = _gb_binned(events).localCheckpoint(eager=True)
     users_y = binned.select("user_id", "y").distinct()
     f0 = users_y.agg(
@@ -776,23 +783,34 @@ def gbm_permutation_importance(events: DataFrame) -> DataFrame:
         )
 
     base = _sse(binned.select("user_id", "fid", "bin"))
-    out = None
-    w = Window.orderBy("h", "user_id")
-    wfull = w.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    ranked = _rank.global_ranked(
+        users_y.select("user_id").withColumn(
+            "h", F.md5(F.col("user_id").cast("string"))
+        ),
+        [F.col("h"), F.col("user_id")],
     )
-    for f in range(3):
-        bf = (
-            binned.filter(F.col("fid") == f)
-            .select("user_id", "bin")
-            .withColumn("h", F.md5(F.col("user_id").cast("string")))
-        )
-        perm = bf.select(
+    rotation = (
+        ranked.select(
             "user_id",
-            F.lit(f).alias("fid"),
-            F.coalesce(
-                F.lead("bin").over(w), F.first("bin").over(wfull)
-            ).alias("bin"),
+            (F.col("_rk") % F.col("_n_total") + 1).alias("_dk"),
+        )
+        .join(
+            ranked.select(
+                F.col("_rk").alias("_dk"),
+                F.col("user_id").alias("donor_id"),
+            ),
+            "_dk",
+        )
+        .select("user_id", "donor_id")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for f in range(3):
+        bf = binned.filter(F.col("fid") == f).select(
+            F.col("user_id").alias("donor_id"), "bin"
+        )
+        perm = rotation.join(bf, "donor_id").select(
+            "user_id", F.lit(f).alias("fid"), "bin"
         )
         permuted = binned.filter(F.col("fid") != f).select(
             "user_id", "fid", "bin"

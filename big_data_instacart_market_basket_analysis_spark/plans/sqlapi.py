@@ -878,9 +878,14 @@ def sql_scripting_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders above the final threshold).
     """
     register_views(spark, sf_dir)  # raw fixtures only — no derived views
+    # flag gates script parsing; restore the session's prior value so
+    # the only operator that touches session conf leaves no trace on
+    # shared bench/test sessions (r4 ADVICE)
+    prior = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql(
-        f"""
+    try:
+        return spark.sql(
+            f"""
         BEGIN
           DECLARE thr BIGINT DEFAULT 0;
           DECLARE i INT DEFAULT 0;
@@ -900,7 +905,12 @@ def sql_scripting_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
                         > thr) AS n_above;
         END
         """
-    )
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prior)
 
 
 def oracle_sql_scripting_peel(rounds: int = SCRIPT_PEEL_ROUNDS) -> str:
