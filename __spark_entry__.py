@@ -1674,6 +1674,13 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled approximate betweenness centrality (Brandes
+    forward sigma counts + per-level rounded dependency accumulation)
+    from BETW_PIVOTS md5-sampled sources, truncated at BETW_HOPS."""
+    return _graph.betweenness_approx(_lineitem(spark, sf_dir))
+
+
 def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities (most-frequent
     neighbor label, min-label ties) with community sizes."""
@@ -3566,6 +3573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_link_prediction": q_graph_link_prediction,
         "graph_bfs": q_graph_bfs,
         "graph_sssp": q_graph_sssp,
+        "graph_betweenness": q_graph_betweenness,
         "graph_lpa": q_graph_lpa,
         "graph_item_similarity": q_graph_item_similarity,
         "graph_item_sim_hitrate": q_graph_item_sim_hitrate,
@@ -4430,6 +4438,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_sssp": _ext_oracle(
             [_graph.oracle_sssp_weighted()], "sssp_weighted"
+        ),
+        "graph_betweenness": _ext_oracle(
+            [_graph.oracle_betweenness()], "graph_betweenness"
         ),
         "graph_bfs": _ext_oracle(
             [_graph.oracle_bfs_distances()], "bfs_distances"

@@ -255,6 +255,7 @@ HEADLINE = [
     "dedup_lsh_precision",
     "ml_isotonic_verified",
     "graph_sssp",
+    "graph_betweenness",
     "sql_scripting",
     "events_variant",
     "text_rouge",

@@ -1931,3 +1931,24 @@ def test_lsh_precision_bounded_by_candidates(spark):
     ).collect()[0]
     assert 0 <= r["n_verified"] <= r["n_candidates"]
     assert 0.0 <= r["precision"] <= 1.0
+
+
+def test_betweenness_path_graph_hand_worked(spark):
+    """Path graph 101-102-103 (two 2-item orders): only the middle
+    node carries betweenness. Hand-worked Brandes: pivots = all 3
+    nodes (sample > |V|); from each leaf pivot delta(102) = 1, from
+    pivot 102 only endpoint deltas (excluded), so betweenness(102) =
+    2.0 over n_pivots=2 and the leaves get no dependency row at all."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        graph,
+    )
+
+    li = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 102), (2, 103)],
+        "l_orderkey long, l_partkey long",
+    )
+    out = {
+        r["node"]: (r["n_pivots"], r["betweenness"])
+        for r in graph.betweenness_approx(li).collect()
+    }
+    assert out == {102: (2, 2.0)}
