@@ -2359,6 +2359,13 @@ def q_sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sqlapi.sql_filter_clause_stats(spark, sf_dir)
 
 
+def q_sql_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE function (CREATE FUNCTION ... RETURNS TABLE) chunker
+    invoked via LATERAL — four-way hash agreement with the native
+    chunker, the Python UDTF, and the DuckDB oracle."""
+    return _sqlapi.sql_table_udtf_chunks(spark, sf_dir)
+
+
 def q_sql_udf_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL scalar UDF (CREATE FUNCTION ... RETURN) + GROUP BY ALL /
     ORDER BY ALL — parser/catalog features, plan stays codegen'd."""
@@ -3591,6 +3598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_advisor": q_dict_advisor,
         "join_cardinality_estimate": q_join_cardinality,
         "sql_udf_tiers": q_sql_udf_tiers,
+        "sql_udtf_chunks": q_sql_udtf_chunks,
         "sql_clustered_orders": q_sql_clustered_orders,
         "sql_filter_clause_stats": q_sql_filter_clause,
         "rle_layout_report": q_rle_layout,
@@ -4621,6 +4629,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sql_filter_clause_stats": _ext_oracle(
             [_sqlapi.ORACLE_SQL_FILTER_CLAUSE], "sql_filter_clause_stats"
+        ),
+        "sql_udtf_chunks": _ext_oracle(
+            [_text.ORACLE_CHUNKS], "chunk_documents"
         ),
         "sql_udf_tiers": _ext_oracle(
             [_sqlapi.ORACLE_SQL_UDF_TIERS], "sql_udf_discount_tiers"

@@ -612,6 +612,52 @@ sql_udf_discount_tiers AS (
 """
 
 
+def sql_table_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language TABLE function (Spark 4 ``CREATE FUNCTION ...
+    RETURNS TABLE (...) RETURN SELECT``): the overlapping document
+    chunker as a catalog-registered SQL UDTF invoked with LATERAL —
+    the declarative twin of ``textstats.chunk_documents_udtf``. Like
+    the scalar SQL UDF, the body is inlined at resolution time (a
+    parser/catalog feature, not a Python worker), so the expansion
+    stays whole-stage-codegen'd JVM-side — the 100 TB-safe way to
+    package a reusable 1->N row transform for SQL users.
+
+    Four-way agreement: native expressions (``docs_chunks``), Python
+    UDTF (``docs_chunks_udtf``), this SQL table function, and the
+    DuckDB oracle all share one hash.
+    """
+    from big_data_instacart_market_basket_analysis_spark.operators.textstats import (
+        CHUNK_SIZE_WORDS,
+        CHUNK_STRIDE_WORDS,
+    )
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        rf"""
+        CREATE OR REPLACE TEMPORARY FUNCTION chunk_docs_sqltf(
+            did BIGINT, txt STRING)
+        RETURNS TABLE (doc_id BIGINT, chunk_id BIGINT, n_words INT,
+                       chunk_md5 STRING)
+        RETURN
+          SELECT did AS doc_id,
+                 CAST(start / {CHUNK_STRIDE_WORDS} AS BIGINT)
+                   AS chunk_id,
+                 CAST(size(slice(w, start + 1, {CHUNK_SIZE_WORDS}))
+                   AS INT) AS n_words,
+                 md5(array_join(
+                     slice(w, start + 1, {CHUNK_SIZE_WORDS}), ' '))
+                   AS chunk_md5
+          FROM (SELECT split(lower(txt), '\\s+') AS w)
+          LATERAL VIEW explode(
+              sequence(0, size(w) - 1, {CHUNK_STRIDE_WORDS})) AS start
+        """
+    )
+    return spark.sql(
+        "SELECT c.* FROM documents, LATERAL chunk_docs_sqltf(doc_id,"
+        " text) c"
+    )
+
+
 def sql_clustered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTE BY / SORT BY through the parser: the write-side
     clustering clauses (hash-exchange on the distribute key, per-
