@@ -1067,6 +1067,13 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.media_phash_dedup_query(_docs(spark, sf_dir))
 
 
+def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (exact-binary 0.75
+    discount, continuation counts) — the KenLM-grade smoothing rung
+    above add-k; all statistics are aggs of one bigram-count table."""
+    return _text.kneser_ney_scores(_docs(spark, sf_dir))
+
+
 def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram LM scoring (add-k smoothed ln P(w2|w1)) — the
     order-sensitive quality filter above the unigram LM; scrambled
@@ -1679,6 +1686,27 @@ def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward sigma counts + per-level rounded dependency accumulation)
     from BETW_PIVOTS md5-sampled sources, truncated at BETW_HOPS."""
     return _graph.betweenness_approx(_lineitem(spark, sf_dir))
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the customer-part bipartite purchase
+    graph — integer-millionth fixed point, multiplication-free
+    normalization, unrolled supersteps."""
+    return _graph.hits_scores(
+        load_table(spark, sf_dir, "orders"), _lineitem(spark, sf_dir)
+    )
+
+
+def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled closeness + harmonic centrality on the session-
+    staged pivot-BFS table (shared with graph_betweenness)."""
+    return _graph.closeness_centrality(_lineitem(spark, sf_dir))
+
+
+def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-diameter estimate (max / p90 / mean hop distance)
+    from the pivot-BFS distance sample; integer p90 cross-multiply."""
+    return _graph.diameter_estimate(_lineitem(spark, sf_dir))
 
 
 def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2325,6 +2353,12 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity audit: distinct + entropy diversity of the sensitive
     attribute inside each published QI cell."""
     return _privacy.l_diversity_audit(load_table(spark, sf_dir, "events"))
+
+
+def q_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized response on the per-user purchaser bit with
+    md5-derandomized coins; exact debias identity, 1 row."""
+    return _privacy.randomized_response(load_table(spark, sf_dir, "events"))
 
 
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3433,6 +3467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_training_export": q_docs_training_export,
         "text_unigram_logprob": q_text_unigram_logprob,
         "text_bigram_logprob": q_text_bigram_logprob,
+        "text_kneser_ney": q_text_kneser_ney,
         "media_phash_dedup": q_media_phash_dedup,
         "media_sniff_dims": q_media_sniff_dims,
         "media_wav_meta": q_media_wav_meta,
@@ -3581,6 +3616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs": q_graph_bfs,
         "graph_sssp": q_graph_sssp,
         "graph_betweenness": q_graph_betweenness,
+        "graph_closeness": q_graph_closeness,
+        "graph_hits": q_graph_hits,
+        "graph_diameter_est": q_graph_diameter,
         "graph_lpa": q_graph_lpa,
         "graph_item_similarity": q_graph_item_similarity,
         "graph_item_sim_hitrate": q_graph_item_sim_hitrate,
@@ -3605,6 +3643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_skipping_report": q_zonemap_skipping,
         "events_l_diversity": q_l_diversity,
         "events_t_closeness": q_t_closeness,
+        "privacy_randomized_response": q_randomized_response,
         "docs_quality_sample": q_docs_quality_sample,
         "docs_weighted_sample_aes": q_docs_weighted_sample_aes,
         "docs_lang_temperature": q_docs_lang_temperature,
@@ -3841,6 +3880,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_bigram_logprob": _ext_oracle(
             [_text.ORACLE_BIGRAM_LOGPROB], "bigram_logprob"
+        ),
+        "text_kneser_ney": _ext_oracle(
+            [_text.ORACLE_KNESER_NEY], "text_kneser_ney"
         ),
         "text_dsir_importance": _ext_oracle(
             [_text.ORACLE_DSIR_IMPORTANCE], "dsir_importance"
@@ -4450,6 +4492,15 @@ def oracle_sql() -> dict[str, str]:
         "graph_betweenness": _ext_oracle(
             [_graph.oracle_betweenness()], "graph_betweenness"
         ),
+        "graph_closeness": _ext_oracle(
+            [_graph.oracle_closeness()], "graph_closeness"
+        ),
+        "graph_hits": _ext_oracle(
+            [_graph.oracle_hits()], "graph_hits"
+        ),
+        "graph_diameter_est": _ext_oracle(
+            [_graph.oracle_diameter()], "graph_diameter_est"
+        ),
         "graph_bfs": _ext_oracle(
             [_graph.oracle_bfs_distances()], "bfs_distances"
         ),
@@ -4614,6 +4665,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_l_diversity": _ext_oracle(
             [_privacy.ORACLE_L_DIVERSITY], "l_diversity_audit"
+        ),
+        "privacy_randomized_response": _ext_oracle(
+            [_privacy.ORACLE_RANDOMIZED_RESPONSE],
+            "privacy_randomized_response",
         ),
         "events_t_closeness": _ext_oracle(
             [_privacy.ORACLE_T_CLOSENESS], "t_closeness_audit"

@@ -256,6 +256,12 @@ HEADLINE = [
     "ml_isotonic_verified",
     "graph_sssp",
     "graph_betweenness",
+    "graph_closeness",
+    "graph_diameter_est",
+    "graph_hits",
+    "text_kneser_ney",
+    "sql_udtf_chunks",
+    "privacy_randomized_response",
     "sql_scripting",
     "events_variant",
     "text_rouge",

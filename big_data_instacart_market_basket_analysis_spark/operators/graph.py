@@ -562,6 +562,71 @@ BETW_PIVOTS = 4
 BETW_HOPS = 3
 
 
+#: pivot-BFS state per (lineitem identity, pivots, hops) — the
+#: (s, node, dist, sigma) table shared by betweenness, closeness/
+#: harmonic centrality, and the diameter estimate, session-staged so
+#: the forward supersteps run once per session (same convention and
+#: id-reuse guard as _EDGES_CACHE / _lpa_labels_staged).
+_PIVOT_BFS_CACHE: dict[tuple[int, int, int], tuple] = {}
+
+
+def _pivot_bfs_staged(
+    lineitem: DataFrame, pivots: int, hops: int
+) -> DataFrame:
+    key = (id(lineitem), pivots, hops)
+    hit = _PIVOT_BFS_CACHE.get(key)
+    if hit is None:
+        hit = (lineitem, _pivot_bfs(lineitem, pivots, hops))
+        _PIVOT_BFS_CACHE[key] = hit
+    return hit[1]
+
+
+def _pivot_bfs(
+    lineitem: DataFrame, pivots: int, hops: int
+) -> DataFrame:
+    """Forward Brandes phase: multi-pivot BFS with exact BIGINT
+    shortest-path counts. Returns (s, node, dist, sigma) for every
+    node within ``hops`` of each of the ``pivots`` md5-sampled
+    sources. Each superstep is one frontier equi-join + one
+    full-outer combine, both partitioned on (s, node); state is
+    K x |V| rows, localCheckpointed per round (referenced twice by
+    the next round — the beam-search lineage rule)."""
+    edges = _edges_staged(lineitem)
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    piv = (
+        nodes.orderBy(F.md5(F.col("node").cast("string")), "node")
+        .limit(pivots)
+        .select(F.col("node").alias("s"))
+    )
+    dist = piv.select(
+        "s",
+        F.col("s").alias("node"),
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    for r in range(1, hops + 1):
+        front = dist.filter(F.col("dist") == r - 1).select(
+            "s", F.col("node").alias("a"), "sigma"
+        )
+        cand = (
+            edges.join(front, "a")
+            .select("s", F.col("b").alias("node"), "sigma")
+            .groupBy("s", "node")
+            .agg(F.sum("sigma").alias("add"))
+        )
+        dist = (
+            dist.join(cand, ["s", "node"], "full")
+            .select(
+                "s",
+                "node",
+                F.coalesce(F.col("dist"), F.lit(r)).alias("dist"),
+                F.coalesce(F.col("sigma"), F.col("add")).alias("sigma"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
 def betweenness_approx(
     lineitem: DataFrame,
     pivots: int = BETW_PIVOTS,
@@ -596,38 +661,7 @@ def betweenness_approx(
     shortest-path DAG passes through it), betweenness (round 6).
     """
     edges = _edges_staged(lineitem)
-    nodes = edges.select(F.col("a").alias("node")).distinct()
-    piv = (
-        nodes.orderBy(F.md5(F.col("node").cast("string")), "node")
-        .limit(pivots)
-        .select(F.col("node").alias("s"))
-    )
-    dist = piv.select(
-        "s",
-        F.col("s").alias("node"),
-        F.lit(0).alias("dist"),
-        F.lit(1).cast("bigint").alias("sigma"),
-    ).localCheckpoint(eager=True)
-    for r in range(1, hops + 1):
-        front = dist.filter(F.col("dist") == r - 1).select(
-            "s", F.col("node").alias("a"), "sigma"
-        )
-        cand = (
-            edges.join(front, "a")
-            .select("s", F.col("b").alias("node"), "sigma")
-            .groupBy("s", "node")
-            .agg(F.sum("sigma").alias("add"))
-        )
-        dist = (
-            dist.join(cand, ["s", "node"], "full")
-            .select(
-                "s",
-                "node",
-                F.coalesce(F.col("dist"), F.lit(r)).alias("dist"),
-                F.coalesce(F.col("sigma"), F.col("add")).alias("sigma"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    dist = _pivot_bfs_staged(lineitem, pivots, hops)
     delta_prev = None
     level_frames = []
     for lvl in range(hops - 1, -1, -1):
@@ -688,27 +722,31 @@ def betweenness_approx(
     )
 
 
-def oracle_betweenness(
-    pivots: int = BETW_PIVOTS, hops: int = BETW_HOPS
-) -> str:
+def _oracle_pivot_bfs(
+    prefix: str, pivots: int, hops: int
+) -> tuple[list[str], str]:
+    """Unrolled forward-BFS CTEs (edges, pivot seed, hops rounds of
+    the sigma-carrying full-outer combine) under ``prefix`` — shared
+    by the betweenness / closeness / diameter oracles. Returns
+    (cte_fragments, final_table_name)."""
     ctes = [
         """
-bw_edges AS MATERIALIZED (
+{p}_edges AS MATERIALIZED (
   SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
   FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
   WHERE l1.l_partkey <> l2.l_partkey
 ),
-bw_f0 AS (
+{p}_f0 AS (
   SELECT node AS s, node, 0 AS dist, CAST(1 AS BIGINT) AS sigma
-  FROM (SELECT DISTINCT a AS node FROM bw_edges)
+  FROM (SELECT DISTINCT a AS node FROM {p}_edges)
   ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT {pivots}
-)""".format(pivots=pivots)
+)""".format(p=prefix, pivots=pivots)
     ]
-    prev = "bw_f0"
+    prev = f"{prefix}_f0"
     for r in range(1, hops + 1):
         ctes.append(
             """
-bw_f{r} AS MATERIALIZED (
+{p}_f{r} AS MATERIALIZED (
   SELECT coalesce(p.s, c.s) AS s,
          coalesce(p.node, c.node) AS node,
          CAST(coalesce(p.dist, {r}) AS INT) AS dist,
@@ -717,14 +755,20 @@ bw_f{r} AS MATERIALIZED (
   FULL JOIN (
     SELECT f.s, e.b AS node, CAST(sum(f.sigma) AS BIGINT) AS sadd
     FROM {prev} f
-    JOIN bw_edges e ON f.node = e.a
+    JOIN {p}_edges e ON f.node = e.a
     WHERE f.dist = {rm1}
     GROUP BY 1, 2
   ) c ON p.s = c.s AND p.node = c.node
-)""".format(r=r, rm1=r - 1, prev=prev)
+)""".format(p=prefix, r=r, rm1=r - 1, prev=prev)
         )
-        prev = f"bw_f{r}"
-    fin = prev
+        prev = f"{prefix}_f{r}"
+    return ctes, prev
+
+
+def oracle_betweenness(
+    pivots: int = BETW_PIVOTS, hops: int = BETW_HOPS
+) -> str:
+    ctes, fin = _oracle_pivot_bfs("bw", pivots, hops)
     prev_b = None
     for lvl in range(hops - 1, -1, -1):
         dj = (
@@ -765,6 +809,145 @@ graph_betweenness AS (
   SELECT node, CAST(count(*) AS BIGINT) AS n_pivots,
          round(sum(delta), 6) AS betweenness
   FROM ({unions}) WHERE node <> s GROUP BY 1
+)"""
+    )
+    return ",".join(ctes)
+
+
+def closeness_centrality(
+    lineitem: DataFrame,
+    pivots: int = BETW_PIVOTS,
+    hops: int = BETW_HOPS,
+) -> DataFrame:
+    """Pivot-sampled closeness and harmonic centrality: per node, the
+    distance sum / reciprocal-distance sum to the BETW_PIVOTS
+    md5-sampled sources within BETW_HOPS — "how near is this product
+    to everywhere" (harmonic is the variant that stays defined under
+    truncation/disconnection, which is exactly the sampled regime).
+    Rides the session-staged `_pivot_bfs` table betweenness already
+    computes, so in a session that runs both queries the supersteps
+    are paid once; this query itself is ONE filter + ONE hash-agg on
+    that K x |V| table.
+
+    dist_sum is exact BIGINT; harmonic sums <= pivots reciprocals
+    (round 6); closeness = n_reached/dist_sum rounded at the edge.
+    Output: node, n_reached, dist_sum, harmonic, closeness.
+    """
+    dist = _pivot_bfs_staged(lineitem, pivots, hops)
+    return (
+        dist.filter(F.col("dist") >= 1)
+        .groupBy("node")
+        .agg(
+            F.count("*").cast("bigint").alias("n_reached"),
+            F.sum("dist").cast("bigint").alias("dist_sum"),
+            F.round(
+                F.sum(F.lit(1.0) / F.col("dist").cast("double")), 6
+            ).alias("harmonic"),
+            F.round(
+                F.count("*").cast("double") / F.sum("dist"), 6
+            ).alias("closeness"),
+        )
+    )
+
+
+def oracle_closeness(
+    pivots: int = BETW_PIVOTS, hops: int = BETW_HOPS
+) -> str:
+    ctes, fin = _oracle_pivot_bfs("cl", pivots, hops)
+    ctes.append(
+        f"""
+graph_closeness AS (
+  SELECT node,
+         CAST(count(*) AS BIGINT) AS n_reached,
+         CAST(sum(dist) AS BIGINT) AS dist_sum,
+         round(sum(CAST(1.0 AS DOUBLE) / dist), 6) AS harmonic,
+         round(CAST(count(*) AS DOUBLE) / sum(dist), 6) AS closeness
+  FROM {fin} WHERE dist >= 1 GROUP BY 1
+)"""
+    )
+    return ",".join(ctes)
+
+
+def diameter_estimate(
+    lineitem: DataFrame,
+    pivots: int = BETW_PIVOTS,
+    hops: int = BETW_HOPS,
+) -> DataFrame:
+    """Effective-diameter estimate from the pivot-BFS distance sample:
+    max observed distance, the p90 "effective diameter" (smallest d
+    whose cumulative pair share reaches 90%, integer cross-multiply —
+    10*cum >= 9*n, no float quantile), and the mean distance — the
+    small-world readout (how many co-purchase hops apart the catalog
+    is). The per-distance histogram has at most ``hops`` rows, so the
+    cumulative is an O(hops^2) self-join on a constant-size table —
+    no window, no sort. One row out.
+    """
+    dist = _pivot_bfs_staged(lineitem, pivots, hops).filter(
+        F.col("dist") >= 1
+    )
+    per_d = dist.groupBy("dist").agg(F.count("*").alias("c"))
+    tot = dist.agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("node").alias("n_nodes_reached"),
+        F.max("dist").alias("max_dist"),
+        F.sum("dist").alias("dist_total"),
+    )
+    cum = (
+        per_d.alias("x")
+        .join(
+            per_d.alias("y"),
+            F.col("y.dist") <= F.col("x.dist"),
+        )
+        .groupBy(F.col("x.dist").alias("d"))
+        .agg(F.sum("y.c").alias("cum"))
+    )
+    p90 = (
+        cum.crossJoin(F.broadcast(tot.select("n_pairs")))
+        .filter(F.col("cum") * 10 >= F.col("n_pairs") * 9)
+        .agg(F.min("d").alias("p90_dist"))
+    )
+    return tot.crossJoin(F.broadcast(p90)).select(
+        "n_pairs",
+        "n_nodes_reached",
+        "max_dist",
+        "p90_dist",
+        F.round(
+            F.col("dist_total").cast("double") / F.col("n_pairs"), 6
+        ).alias("mean_dist"),
+    )
+
+
+def oracle_diameter(
+    pivots: int = BETW_PIVOTS, hops: int = BETW_HOPS
+) -> str:
+    ctes, fin = _oracle_pivot_bfs("dm", pivots, hops)
+    ctes.append(
+        f"""
+dm_d AS (
+  SELECT dist, CAST(count(*) AS BIGINT) AS c
+  FROM {fin} WHERE dist >= 1 GROUP BY 1
+),
+dm_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT node) AS BIGINT) AS n_nodes_reached,
+         CAST(max(dist) AS INT) AS max_dist,
+         CAST(sum(dist) AS BIGINT) AS dist_total
+  FROM {fin} WHERE dist >= 1
+),
+dm_cum AS (
+  SELECT x.dist AS d, CAST(sum(y.c) AS BIGINT) AS cum
+  FROM dm_d x JOIN dm_d y ON y.dist <= x.dist
+  GROUP BY 1
+),
+dm_p90 AS (
+  SELECT CAST(min(d) AS INT) AS p90_dist
+  FROM dm_cum, dm_tot WHERE cum * 10 >= n_pairs * 9
+),
+graph_diameter_est AS (
+  SELECT t.n_pairs, t.n_nodes_reached, t.max_dist, p.p90_dist,
+         round(CAST(t.dist_total AS DOUBLE) / t.n_pairs, 6)
+           AS mean_dist
+  FROM dm_tot t, dm_p90 p
 )"""
     )
     return ",".join(ctes)
@@ -1961,6 +2144,152 @@ ktruss_edges AS (
   LEFT JOIN (SELECT * FROM {prev} WHERE support >= {m}) f
     ON e.a = f.a AND e.b = f.b
 )""".format(prev=prev_sup, m=min_sup)
+    )
+    return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities on the customer-part bipartite graph
+# ---------------------------------------------------------------------------
+
+#: HITS iterations and integer score scale (millionths — the same
+#: fixed-point convention as PageRank's RANK_SCALE).
+HITS_ITERS = 2
+HITS_SCALE = 1_000_000
+
+
+def hits_scores(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    iters: int = HITS_ITERS,
+) -> DataFrame:
+    """HITS (Kleinberg) on the customer->part purchase bipartite
+    graph: customers are hubs, parts are authorities — an authority
+    is a part bought by strong hubs, a hub a customer who buys strong
+    authorities. On a bipartite graph HITS is the natural (and
+    non-degenerate) form; on the symmetric co-purchase graph it would
+    collapse into eigenvector centrality. The co-purchase PageRank
+    answers "what anchors the basket network"; this answers "which
+    parts do the heavy multi-category buyers converge on".
+
+    Engine-portable fixed point: scores live in integer millionths;
+    each half-step is one equi-join + one sum-agg, then max-
+    normalization by INTEGER division (x * SCALE div max) against a
+    broadcast 1-row max — no float anywhere (output is integers).
+    Normalization is MULTIPLICATION-FREE (x div (max div SCALE), not
+    x*SCALE div max) so no intermediate can overflow BIGINT no matter
+    how many buyers a part has; max_score lands in [SCALE, 2*SCALE).
+    Supersteps are fixed and unrolled identically in the oracle, per
+    the PageRank/BFS/SSSP convention.
+
+    Scale: the edge list is |distinct (cust, part)| rows; every
+    iteration shuffles it twice on its two key sides — the classic
+    alternating bipartite agg. The 1-row max is the only driver-
+    independent global, broadcast back. Output per part:
+    l_partkey, n_buyers, authority (millionths).
+    """
+    edges = (
+        orders.select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_custkey").alias("cust"),
+        )
+        .join(
+            lineitem.select(
+                F.col("l_orderkey").alias("ok"),
+                F.col("l_partkey").alias("part"),
+            ),
+            "ok",
+        )
+        .select("cust", "part")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    idiv = lambda a, b: F.call_function(  # noqa: E731
+        "div", a.cast("long"), b.cast("long")
+    )
+    hub = edges.select("cust").distinct().select(
+        "cust", F.lit(HITS_SCALE).cast("long").alias("h")
+    )
+    auth = None
+    for _ in range(iters):
+        araw = (
+            edges.join(hub, "cust")
+            .groupBy("part")
+            .agg(F.sum("h").alias("ar"))
+        )
+        amax = araw.agg(F.max("ar").alias("am"))
+        auth = araw.crossJoin(F.broadcast(amax)).select(
+            "part",
+            idiv(F.col("ar"), idiv(F.col("am"), F.lit(HITS_SCALE))).alias("a"),
+        )
+        hraw = (
+            edges.join(auth, "part")
+            .groupBy("cust")
+            .agg(F.sum("a").alias("hr"))
+        )
+        hmax = hraw.agg(F.max("hr").alias("hm"))
+        hub = hraw.crossJoin(F.broadcast(hmax)).select(
+            "cust",
+            idiv(F.col("hr"), idiv(F.col("hm"), F.lit(HITS_SCALE))).alias("h"),
+        )
+    deg = edges.groupBy("part").agg(
+        F.count("*").cast("bigint").alias("n_buyers")
+    )
+    return deg.join(auth, "part").select(
+        F.col("part").alias("l_partkey"),
+        "n_buyers",
+        F.col("a").alias("authority"),
+    )
+
+
+def oracle_hits(iters: int = HITS_ITERS) -> str:
+    ctes = [
+        """
+ht_e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+ht_h0 AS (
+  SELECT cust, CAST({scale} AS BIGINT) AS h
+  FROM (SELECT DISTINCT cust FROM ht_e)
+)""".format(scale=HITS_SCALE)
+    ]
+    prev_h = "ht_h0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            """
+ht_ar{i} AS MATERIALIZED (
+  SELECT e.part, CAST(sum(h.h) AS BIGINT) AS ar
+  FROM ht_e e JOIN {prev_h} h ON e.cust = h.cust
+  GROUP BY 1
+),
+ht_a{i} AS MATERIALIZED (
+  SELECT part,
+         CAST(ar // ((SELECT max(ar) FROM ht_ar{i}) // {scale})
+              AS BIGINT) AS a
+  FROM ht_ar{i}
+),
+ht_hr{i} AS MATERIALIZED (
+  SELECT e.cust, CAST(sum(a.a) AS BIGINT) AS hr
+  FROM ht_e e JOIN ht_a{i} a ON e.part = a.part
+  GROUP BY 1
+),
+ht_h{i} AS MATERIALIZED (
+  SELECT cust,
+         CAST(hr // ((SELECT max(hr) FROM ht_hr{i}) // {scale})
+              AS BIGINT) AS h
+  FROM ht_hr{i}
+)""".format(i=i, prev_h=prev_h, scale=HITS_SCALE)
+        )
+        prev_h = f"ht_h{i}"
+    ctes.append(
+        f"""
+graph_hits AS (
+  SELECT d.part AS l_partkey, d.n_buyers, a.a AS authority
+  FROM (SELECT part, CAST(count(*) AS BIGINT) AS n_buyers
+        FROM ht_e GROUP BY 1) d
+  JOIN ht_a{iters} a ON d.part = a.part
+)"""
     )
     return ",".join(ctes)
 

@@ -487,3 +487,111 @@ t_closeness_audit AS (
   FROM tc_grp
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# randomized response (Warner's mechanism, derandomized coin)
+# ---------------------------------------------------------------------------
+
+#: flip probability as an exact rational 1/RR_FLIP_MOD: a user's
+#: reported bit is inverted iff md5(user) mod RR_FLIP_MOD == 0.
+#: 4 -> p = 0.25, well inside the (p < 0.5) identifiable regime.
+RR_FLIP_MOD = 4
+
+
+def randomized_response(events: DataFrame) -> DataFrame:
+    """Warner's randomized response over the per-user "is a purchaser"
+    bit: each user reports their true bit XOR a p=1/RR_FLIP_MOD coin,
+    and the population rate is recovered by the standard debias
+    pi_hat = (obs_rate - p) / (1 - 2p) — the local-DP primitive under
+    every telemetry opt-in design (the collector never sees a
+    trustworthy individual bit, only a recoverable aggregate).
+
+    The coin is the md5-derandomized stand-in this repo uses wherever
+    production would draw real randomness (negative sampling,
+    permutation tests): deterministic coins make the mechanism
+    oracle-replayable and the debias identity EXACTLY checkable —
+    with real coins the test would only hold in expectation. In
+    production, swap the md5 coin for a secure RNG per report; the
+    aggregation shape is unchanged (one user-grain hash-agg; the
+    debias algebra runs on a 1-row frame). Counts are integers;
+    division happens once at the rounded edge; epsilon = ln((1-p)/p)
+    is reported from the SAME rounded rational both engines compute.
+
+    Output (1 row): n_users, n_true, n_reported, true_rate, est_rate,
+    epsilon (round 6).
+    """
+    per_user = events.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            > 0
+        )
+        .cast("int")
+        .alias("truth")
+    )
+    coin = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        % RR_FLIP_MOD
+        == 0
+    ).cast("int")
+    reported = per_user.select(
+        "truth",
+        (F.col("truth") != coin).cast("int").alias("rep"),
+    )
+    p = 1.0 / RR_FLIP_MOD
+    agg = reported.agg(
+        F.count("*").alias("n_users"),
+        F.sum("truth").alias("n_true"),
+        F.sum("rep").alias("n_reported"),
+    )
+    return agg.select(
+        "n_users",
+        "n_true",
+        "n_reported",
+        F.round(F.col("n_true") / F.col("n_users").cast("double"), 6).alias(
+            "true_rate"
+        ),
+        F.round(
+            (
+                F.col("n_reported") / F.col("n_users").cast("double")
+                - F.lit(p)
+            )
+            / F.lit(1.0 - 2 * p),
+            6,
+        ).alias("est_rate"),
+        F.round(F.log(F.lit((1.0 - p) / p)), 6).alias("epsilon"),
+    )
+
+
+ORACLE_RANDOMIZED_RESPONSE = f"""
+rr_u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              > 0 AS INT) AS truth,
+         CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+              AS BIGINT) % {RR_FLIP_MOD} = 0 AS INT) AS coin
+  FROM events GROUP BY 1
+),
+rr_r AS (
+  SELECT truth, CAST(truth <> coin AS INT) AS rep FROM rr_u
+),
+rr_a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(truth) AS BIGINT) AS n_true,
+         CAST(sum(rep) AS BIGINT) AS n_reported
+  FROM rr_r
+),
+privacy_randomized_response AS (
+  SELECT n_users, n_true, n_reported,
+         round(n_true / CAST(n_users AS DOUBLE), 6) AS true_rate,
+         round((n_reported / CAST(n_users AS DOUBLE)
+                - CAST({1.0 / RR_FLIP_MOD} AS DOUBLE))
+               / CAST({1.0 - 2.0 / RR_FLIP_MOD} AS DOUBLE), 6)
+           AS est_rate,
+         round(ln(CAST({(RR_FLIP_MOD - 1.0)} AS DOUBLE)), 6) AS epsilon
+  FROM rr_a
+)
+"""

@@ -1922,6 +1922,116 @@ def bigram_logprob_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Kneser-Ney absolute discount — 3/4 is the textbook default and an
+#: EXACT binary double, so both engines subtract the identical value.
+KN_DISCOUNT = 0.75
+
+
+def kneser_ney_scores(docs: DataFrame) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the smoothing that
+    actually ships in KenLM-filtered pretraining pipelines, one rung
+    above add-k: P(w2|w1) = max(C(w1,w2)-D,0)/C(w1*) +
+    (D*T(w1)/C(w1*)) * (N1+(*w2)/B), where T(w1) = distinct
+    continuations of w1, N1+(*w2) = distinct predecessors of w2, and
+    B = distinct bigram types. The continuation term is what rescues
+    "san francisco"-style words that are frequent only in one context
+    — the failure mode add-k cannot see.
+
+    Every statistic is an integer aggregate of the SAME bigram-count
+    table (T and N1+ are second-level aggs of it — no rescans); the
+    discount is the exact-binary 3/4; scored bigrams all occur in the
+    corpus (self-scoring), so the discounted term stays positive and
+    the interpolation total is strictly inside (0, 1]. The scoring
+    expression is parenthesized identically in the oracle so each
+    per-bigram double is bit-reproducible before the rounded per-doc
+    mean. Output: doc_id, n_bigrams, kn_logprob (round 6).
+    """
+    d = KN_DISCOUNT
+    toksarr = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+        ).alias("t"),
+    )
+    bi = (
+        toksarr.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("n_bi"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("n_bi").alias("n_ctx"),
+        F.count("*").alias("n_types"),
+    )
+    cont = bc.groupBy("w2").agg(F.count("*").alias("n_cont"))
+    btypes = bc.agg(F.count("*").alias("b_types"))
+    p = (F.col("n_bi") - F.lit(d)) / F.col("n_ctx") + (
+        F.lit(d) * F.col("n_types") / F.col("n_ctx")
+    ) * (F.col("n_cont") / F.col("b_types"))
+    return (
+        bi.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select("doc_id", F.log(p).alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("kn_logprob"),
+        )
+    )
+
+
+ORACLE_KNESER_NEY = f"""
+kn_t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+kn_bi AS MATERIALIZED (
+  SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+  FROM kn_t, LATERAL unnest(range(0, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+kn_bc AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bi
+  FROM kn_bi GROUP BY 1, 2
+),
+kn_ctx AS (
+  SELECT w1, CAST(sum(n_bi) AS BIGINT) AS n_ctx,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM kn_bc GROUP BY 1
+),
+kn_cont AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n_cont FROM kn_bc GROUP BY 1
+),
+kn_bt AS (SELECT CAST(count(*) AS BIGINT) AS b_types FROM kn_bc),
+text_kneser_ney AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(ln((c.n_bi - {KN_DISCOUNT}) / x.n_ctx
+               + ({KN_DISCOUNT} * x.n_types / x.n_ctx)
+                 * (CAST(n.n_cont AS DOUBLE) / t.b_types))), 6)
+           AS kn_logprob
+  FROM kn_bi b
+  JOIN kn_bc c USING (w1, w2)
+  JOIN kn_ctx x USING (w1)
+  JOIN kn_cont n USING (w2)
+  CROSS JOIN kn_bt t
+  GROUP BY 1
+)
+"""
+
+
 ORACLE_BIGRAM_LOGPROB = f"""
 bl_toks AS (
   SELECT doc_id,
