@@ -2071,6 +2071,12 @@ def q_events_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.ipf_raking(load_table(spark, sf_dir, "events"))
 
 
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares changepoint (binary segmentation, first split) on
+    daily purchase revenue; exact HUGEINT/DECIMAL argmax."""
+    return _tmp.changepoint_split(load_table(spark, sf_dir, "events"))
+
+
 def q_events_stratified_ate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3380,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_hhi": q_market_hhi,
         "parts_abc": q_parts_abc,
         "events_ipf": q_events_ipf,
+        "events_changepoint": q_events_changepoint,
         "events_stratified_ate": q_events_stratified_ate,
         "delta_advisor": q_delta_advisor,
         "events_effect_size": q_events_effect_size,
@@ -4311,6 +4318,9 @@ def oracle_sql() -> dict[str, str]:
         "parts_abc": _ext_oracle([_ana.ORACLE_ABC], "abc_classes"),
         "events_ipf": _ext_oracle(
             [_tmp.oracle_ipf_raking()], "ipf_raking"
+        ),
+        "events_changepoint": _ext_oracle(
+            [_tmp.ORACLE_CHANGEPOINT], "events_changepoint"
         ),
         "events_stratified_ate": _ext_oracle(
             [_tmp.ORACLE_STRAT_ATE], "stratified_ate"

@@ -262,6 +262,7 @@ HEADLINE = [
     "text_kneser_ney",
     "sql_udtf_chunks",
     "privacy_randomized_response",
+    "events_changepoint",
     "sql_scripting",
     "events_variant",
     "text_rouge",

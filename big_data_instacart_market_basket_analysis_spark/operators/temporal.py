@@ -11540,3 +11540,154 @@ haar_energy AS (
 {arms}
 )""")
     return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# least-squares changepoint (binary segmentation, exact integer argmax)
+# ---------------------------------------------------------------------------
+
+
+def changepoint_split(events: DataFrame) -> DataFrame:
+    """Offline least-squares changepoint over the daily purchase-
+    revenue series (binary segmentation, first split): the day s that
+    maximizes the between-segment sum of squares — the "when did the
+    level shift" complement to ``cusum_changepoints``' sequential
+    alarm. Minimizing SSE(s) is equivalent to maximizing
+    f(s) = L(s)^2/n_l + R(s)^2/n_r (L/R = segment cent sums), and the
+    argmax is decided EXACTLY: f(s2) > f(s1) iff
+    P2*N1 > P1*N2 with P = L^2*n_r + R^2*n_l and N = n_l*n_r, all
+    integer products carried in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) — no float ever touches the decision, so the chosen day
+    hash-matches by construction.
+
+    Scale: the only corpus-sized stage is the per-day cent-sum agg;
+    prefix sums and the dominance test are O(days^2) self-joins on
+    the calendar-bounded daily table (no window, no sort), the same
+    stance as the diameter histogram. Output (1 row): split_day
+    (last day of the left segment), n_left, n_right, sum_left_cents,
+    sum_right_cents, mean_left, mean_right, delta_mean (round 6).
+    """
+    daily = events.filter(F.col("event_type") == "purchase").groupBy(
+        F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+            "x"
+        )
+    ).localCheckpoint(eager=True)  # day-grain; consumed by 4 branches
+    tot = daily.agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    pre = (
+        daily.alias("a")
+        .join(daily.alias("b"), F.col("b.day") <= F.col("a.day"))
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(
+            F.count("*").alias("n_l"),
+            F.sum("b.x").alias("sum_l"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_l") < F.col("n"))
+        .select(
+            "day",
+            "n_l",
+            "sum_l",
+            (F.col("n") - F.col("n_l")).alias("n_r"),
+            (F.col("s") - F.col("sum_l")).alias("sum_r"),
+        )
+        .select(
+            "day",
+            "n_l",
+            "n_r",
+            "sum_l",
+            "sum_r",
+            (
+                dec(F.col("sum_l")) * dec(F.col("sum_l"))
+                * dec(F.col("n_r"))
+                + dec(F.col("sum_r")) * dec(F.col("sum_r"))
+                * dec(F.col("n_l"))
+            ).alias("p"),
+            dec(F.col("n_l") * F.col("n_r")).alias("nn"),
+        )
+    )
+    dominated = (
+        cand.alias("c1")
+        .join(
+            cand.alias("c2"),
+            F.col("c2.p") * F.col("c1.nn")
+            > F.col("c1.p") * F.col("c2.nn"),
+            "leftsemi",
+        )
+        .select("c1.day")
+    )
+    best = (
+        cand.join(dominated, "day", "leftanti")
+        .agg(F.min("day").alias("split_day"))
+    )
+    return (
+        cand.join(best, F.col("day") == F.col("split_day"))
+        .select(
+            "split_day",
+            F.col("n_l").alias("n_left"),
+            F.col("n_r").alias("n_right"),
+            F.col("sum_l").alias("sum_left_cents"),
+            F.col("sum_r").alias("sum_right_cents"),
+            F.round(
+                F.col("sum_l").cast("double") / F.col("n_l"), 6
+            ).alias("mean_left"),
+            F.round(
+                F.col("sum_r").cast("double") / F.col("n_r"), 6
+            ).alias("mean_right"),
+            F.round(
+                F.col("sum_r").cast("double") / F.col("n_r")
+                - F.col("sum_l").cast("double") / F.col("n_l"),
+                6,
+            ).alias("delta_mean"),
+        )
+    )
+
+
+ORACLE_CHANGEPOINT = """
+cp_d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+cp_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+  FROM cp_d
+),
+cp_pre AS (
+  SELECT a.day, CAST(count(*) AS BIGINT) AS n_l,
+         CAST(sum(b.x) AS BIGINT) AS sum_l
+  FROM cp_d a JOIN cp_d b ON b.day <= a.day
+  GROUP BY 1
+),
+cp_cand AS MATERIALIZED (
+  SELECT day, n_l, t.n - n_l AS n_r, sum_l, t.s - sum_l AS sum_r,
+         CAST(sum_l AS HUGEINT) * sum_l * (t.n - n_l)
+           + CAST(t.s - sum_l AS HUGEINT) * (t.s - sum_l) * n_l AS p,
+         CAST(n_l AS HUGEINT) * (t.n - n_l) AS nn
+  FROM cp_pre, cp_tot t
+  WHERE n_l < t.n
+),
+cp_best AS (
+  SELECT min(day) AS split_day
+  FROM cp_cand c1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cp_cand c2 WHERE c2.p * c1.nn > c1.p * c2.nn)
+),
+events_changepoint AS (
+  SELECT b.split_day,
+         c.n_l AS n_left, c.n_r AS n_right,
+         c.sum_l AS sum_left_cents, c.sum_r AS sum_right_cents,
+         round(CAST(c.sum_l AS DOUBLE) / c.n_l, 6) AS mean_left,
+         round(CAST(c.sum_r AS DOUBLE) / c.n_r, 6) AS mean_right,
+         round(CAST(c.sum_r AS DOUBLE) / c.n_r
+               - CAST(c.sum_l AS DOUBLE) / c.n_l, 6) AS delta_mean
+  FROM cp_best b JOIN cp_cand c ON c.day = b.split_day
+)
+"""
