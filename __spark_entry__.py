@@ -1067,6 +1067,12 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.media_phash_dedup_query(_docs(spark, sf_dir))
 
 
+def q_text_ql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood retrieval (mu=2000) over the BM25
+    query terms — the LM-school lexical ranker beside Okapi BM25."""
+    return _text.ql_search(_docs(spark, sf_dir))
+
+
 def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (exact-binary 0.75
     discount, continuation counts) — the KenLM-grade smoothing rung
@@ -3475,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "text_bigram_logprob": q_text_bigram_logprob,
         "text_kneser_ney": q_text_kneser_ney,
+        "text_ql_search": q_text_ql_search,
         "media_phash_dedup": q_media_phash_dedup,
         "media_sniff_dims": q_media_sniff_dims,
         "media_wav_meta": q_media_wav_meta,
@@ -3890,6 +3897,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_kneser_ney": _ext_oracle(
             [_text.ORACLE_KNESER_NEY], "text_kneser_ney"
+        ),
+        "text_ql_search": _ext_oracle(
+            [_text.oracle_ql_search()], "ql_search"
         ),
         "text_dsir_importance": _ext_oracle(
             [_text.ORACLE_DSIR_IMPORTANCE], "dsir_importance"

@@ -263,6 +263,7 @@ HEADLINE = [
     "sql_udtf_chunks",
     "privacy_randomized_response",
     "events_changepoint",
+    "text_ql_search",
     "sql_scripting",
     "events_variant",
     "text_rouge",

@@ -1607,6 +1607,104 @@ bm25_search AS (
 """
 
 
+#: Dirichlet-prior smoothing mass for query-likelihood retrieval —
+#: the standard mu (Zhai & Lafferty 2001); an exact integer, so the
+#: smoothing arithmetic starts from identical operands cross-engine.
+QL_MU = 2000
+
+
+def ql_search(docs: DataFrame, k: int = BM25_TOP_K) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval over the same
+    fixed query terms as ``bm25_search`` — the language-modeling
+    school of lexical ranking next to BM25's probabilistic one:
+    score(d) = sum_t ln((tf + mu*cf_t/|C|) / (dl + mu)). Running both
+    models over one corpus is how a RAG pipeline A/Bs its lexical
+    leg; the two top-k lists rank-disagree exactly where doc-length
+    normalization vs collection-frequency smoothing disagree.
+
+    Same 100 TB plan shape as BM25: per-doc tfs for ONLY the query
+    terms via filter() (no token shuffle), a 1-row corpus-stats agg
+    (collection frequencies + total tokens) broadcast back, score as
+    a pure projection, TakeOrdered top-k on the ROUNDED score with a
+    doc_id tie-break. Smoothing keeps every term's contribution
+    finite, so no doc is filtered out — the limit is the only cut.
+
+    Output: doc_id, dl, ql (round 4), top-k by (ql DESC, doc_id).
+    """
+    toks = _tokens_col()
+
+    def _eq(term: str):
+        return lambda t: t == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(toks, _eq(term))).alias(f"tf_{i}")
+        for i, term in enumerate(BM25_QUERY_TERMS)
+    ]
+    per_doc = docs.select(
+        "doc_id", F.size(toks).alias("dl"), *tf_cols
+    )
+    stats = per_doc.agg(
+        F.sum("dl").alias("c_total"),
+        *[
+            F.sum(F.col(f"tf_{i}")).alias(f"cf_{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    mu = F.lit(float(QL_MU))
+    score = None
+    for i in range(len(BM25_QUERY_TERMS)):
+        part = F.log(
+            (
+                F.col(f"tf_{i}").cast("double")
+                + mu * F.col(f"cf_{i}") / F.col("c_total")
+            )
+            / (F.col("dl") + mu)
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select("doc_id", "dl", F.round(score, 4).alias("ql"))
+        .orderBy(F.desc("ql"), "doc_id")
+        .limit(k)
+    )
+
+
+def oracle_ql_search(k: int = BM25_TOP_K) -> str:
+    split = "regexp_split_to_array(lower(text), '\\s+')"
+    tf_sql = ", ".join(
+        f"len(list_filter({split}, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    cf_sql = ", ".join(
+        f"CAST(sum(tf_{i}) AS BIGINT) AS cf_{i}"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    score_sql = " + ".join(
+        f"ln((CAST(tf_{i} AS DOUBLE)"
+        f" + CAST({QL_MU}.0 AS DOUBLE) * cf_{i} / c_total)"
+        f" / (dl + CAST({QL_MU}.0 AS DOUBLE)))"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    return f"""
+qls_per_doc AS (
+  SELECT doc_id, len({split}) AS dl, {tf_sql}
+  FROM documents
+),
+qls_stats AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS c_total, {cf_sql}
+  FROM qls_per_doc
+),
+ql_search AS (
+  SELECT doc_id, dl, ql FROM (
+    SELECT doc_id, dl, round({score_sql}, 4) AS ql
+    FROM qls_per_doc CROSS JOIN qls_stats
+  )
+  ORDER BY ql DESC, doc_id
+  LIMIT {k}
+)
+"""
+
+
 #: BPE pair-count surface: top-k adjacent character pairs.
 BPE_TOP_PAIRS = 20
 
