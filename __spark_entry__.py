@@ -2077,6 +2077,12 @@ def q_events_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.ipf_raking(load_table(spark, sf_dir, "events"))
 
 
+def q_events_adstock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-window adstock + saturation on daily clicks; exact
+    dyadic decay terms (clicks / 2^age), day-grain range self-join."""
+    return _tmp.adstock_daily(load_table(spark, sf_dir, "events"))
+
+
 def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Least-squares changepoint (binary segmentation, first split) on
     daily purchase revenue; exact HUGEINT/DECIMAL argmax."""
@@ -3392,6 +3398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_hhi": q_market_hhi,
         "parts_abc": q_parts_abc,
         "events_ipf": q_events_ipf,
+        "events_adstock": q_events_adstock,
         "events_changepoint": q_events_changepoint,
         "events_stratified_ate": q_events_stratified_ate,
         "delta_advisor": q_delta_advisor,
@@ -4328,6 +4335,9 @@ def oracle_sql() -> dict[str, str]:
         "parts_abc": _ext_oracle([_ana.ORACLE_ABC], "abc_classes"),
         "events_ipf": _ext_oracle(
             [_tmp.oracle_ipf_raking()], "ipf_raking"
+        ),
+        "events_adstock": _ext_oracle(
+            [_tmp.ORACLE_ADSTOCK], "events_adstock"
         ),
         "events_changepoint": _ext_oracle(
             [_tmp.ORACLE_CHANGEPOINT], "events_changepoint"

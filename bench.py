@@ -264,6 +264,7 @@ HEADLINE = [
     "privacy_randomized_response",
     "events_changepoint",
     "text_ql_search",
+    "events_adstock",
     "sql_scripting",
     "events_variant",
     "text_rouge",

@@ -11691,3 +11691,118 @@ events_changepoint AS (
   FROM cp_best b JOIN cp_cand c ON c.day = b.split_day
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# finite-window adstock (marketing carry-over) — exact dyadic arithmetic
+# ---------------------------------------------------------------------------
+
+#: adstock decay 1/2 per day with a 14-day memory: every carry-over
+#: term is clicks / 2^age — an EXACT dyadic double (computed as
+#: division by a shifted integer, never pow()), so the per-day sums
+#: are bit-identical across engines regardless of fold order.
+ADSTOCK_WINDOW_DAYS = 14
+
+
+def adstock_daily(events: DataFrame) -> DataFrame:
+    """Finite-window adstock: the marketing carry-over transform
+    A_t = sum_{age<WINDOW} clicks_{t-age} / 2^age, plus the
+    diminishing-returns saturation S_t = A_t / (A_t + K) with K the
+    series' mean adstock — the two standard preprocessing steps of a
+    media-mix model, computed exactly. Decay 1/2 with integer click
+    counts makes every term an exact dyadic (clicks divided by a
+    shifted-integer power of two, no pow()), so A_t is bit-identical
+    in both engines with NO sequential fold at all — unlike the
+    EWMA/Holt ladder, this is a plain day-grain range self-join,
+    which is also what makes it embarrassingly parallel at 100 TB
+    (the infinite-memory form needs the stateful fold; 14 days of
+    memory is the standard adstock posture).
+
+    Scale: the only corpus-sized stage is the per-day agg; the decay
+    join is days x WINDOW rows, calendar-bounded. Output per day:
+    day, clicks, rev_cents, adstock (round 6), saturated (round 6).
+    """
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("clicks"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                ).otherwise(0)
+            ).alias("rev_cents"),
+        )
+        .localCheckpoint(eager=True)  # day-grain; 3 consumers
+    )
+    contrib = (
+        daily.alias("t")
+        .join(
+            daily.alias("s"),
+            (F.col("s.day") <= F.col("t.day"))
+            & (
+                F.datediff(F.col("t.day"), F.col("s.day"))
+                < ADSTOCK_WINDOW_DAYS
+            ),
+        )
+        .select(
+            F.col("t.day").alias("day"),
+            # pyspark's shiftleft() wants a literal bit count, so the
+            # column-exponent shift goes through F.expr
+            F.expr(
+                "CAST(s.clicks AS DOUBLE)"
+                " / CAST(shiftleft(CAST(1 AS BIGINT),"
+                "        datediff(t.day, s.day)) AS DOUBLE)"
+            ).alias("term"),
+        )
+        .groupBy("day")
+        .agg(F.sum("term").alias("adstock"))
+    )
+    base = daily.join(contrib, "day")
+    k = base.agg(
+        (F.sum("adstock") / F.count("*")).alias("k")
+    )
+    return (
+        base.crossJoin(F.broadcast(k))
+        .select(
+            "day",
+            "clicks",
+            "rev_cents",
+            F.round(F.col("adstock"), 6).alias("adstock"),
+            F.round(
+                F.col("adstock") / (F.col("adstock") + F.col("k")), 6
+            ).alias("saturated"),
+        )
+    )
+
+
+ORACLE_ADSTOCK = f"""
+ad_d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS clicks,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS rev_cents
+  FROM events GROUP BY 1
+),
+ad_a AS (
+  SELECT t.day,
+         sum(CAST(s.clicks AS DOUBLE)
+             / CAST((CAST(1 AS BIGINT) << datediff('day', s.day, t.day))
+                    AS DOUBLE)) AS adstock
+  FROM ad_d t JOIN ad_d s
+    ON s.day <= t.day
+   AND datediff('day', s.day, t.day) < {ADSTOCK_WINDOW_DAYS}
+  GROUP BY 1
+),
+ad_k AS (SELECT sum(adstock) / count(*) AS k FROM ad_a),
+events_adstock AS (
+  SELECT d.day, d.clicks, d.rev_cents,
+         round(a.adstock, 6) AS adstock,
+         round(a.adstock / (a.adstock + k.k), 6) AS saturated
+  FROM ad_d d JOIN ad_a a USING (day), ad_k k
+)
+"""
