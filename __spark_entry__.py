@@ -3266,6 +3266,12 @@ def q_ann_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.retrieval_eval_report(_emb(spark, sf_dir))
 
 
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit: mean pairwise cosine of normalized vectors via
+    the sum-vector identity (one explode+agg pass, no pair join)."""
+    return _sim.embedding_isotropy(_emb(spark, sf_dir))
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift between corpus halves: mean-vector
     cosine, L2 shift, worst dimension — the vector companion of the
@@ -3728,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_graph_recall": q_ann_graph_recall,
         "embedding_silhouette": q_embedding_silhouette,
         "embedding_drift": q_embedding_drift,
+        "embedding_isotropy": q_embedding_isotropy,
         "ann_retrieval_eval": q_ann_retrieval_eval,
         "idle_rich_customers": q_idle_rich_customers,
         "incremental_join_view": q_incremental_join_view,
@@ -4892,6 +4899,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_drift": _ext_oracle(
             [_sim.ORACLE_EMBEDDING_DRIFT], "embedding_drift_report"
+        ),
+        "embedding_isotropy": _ext_oracle(
+            [_sim.ORACLE_EMBEDDING_ISOTROPY], "embedding_isotropy"
         ),
         "ann_retrieval_eval": _ext_oracle(
             [_sim.oracle_retrieval_eval()], "retrieval_eval"

@@ -265,6 +265,7 @@ HEADLINE = [
     "events_changepoint",
     "text_ql_search",
     "events_adstock",
+    "embedding_isotropy",
     "sql_scripting",
     "events_variant",
     "text_rouge",

@@ -3866,3 +3866,83 @@ rocchio_classifier_eval AS (
   FROM rc_pred GROUP BY 1
 )
 """
+
+
+def embedding_isotropy(emb: DataFrame) -> DataFrame:
+    """Isotropy audit of the embedding space: mean pairwise cosine of
+    the NORMALIZED vectors via the sum-vector identity
+    (sum_{i!=j} u_i.u_j = ||sum u||^2 - n), plus the mean raw norm —
+    the two numbers that flag anisotropic collapse (a "cone-shaped"
+    embedding space inflates every cosine similarity and quietly
+    breaks semantic dedup / ANN thresholds downstream; well-spread
+    spaces sit near 0).
+
+    Exactness protocol (the drift-report convention): per-vector
+    norms are 64-term in-order folds (bit-equal across engines);
+    per-dim normalized component sums round at 6dp to absorb
+    corpus-fold order; the final identity runs on the 64-row rounded
+    sum table. Scale: ONE explode + hash-agg pass — 64 rows out
+    regardless of corpus size; no pair ever materializes (the naive
+    mean-cosine is an n^2 cross join).
+
+    Output (stat, value): n_vecs, mean_norm, mean_pairwise_cos.
+    """
+    per = emb.select(
+        F.expr(
+            "sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>),"
+            " CAST(0 AS DOUBLE), (a, x) -> a + x * x))"
+        ).alias("nrm"),
+        _as_double("embedding").alias("e"),
+    )
+    ex = per.select(
+        "nrm", F.posexplode("e").alias("dim", "v")
+    )
+    sums = ex.groupBy("dim").agg(
+        F.round(F.sum(F.col("v") / F.col("nrm")), 6).alias("s")
+    )
+    tot = per.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+    )
+    ssum = sums.agg(F.sum(F.col("s") * F.col("s")).alias("ss"))
+    return tot.crossJoin(F.broadcast(ssum)).selectExpr(
+        "stack(3,"
+        " 'n_vecs', CAST(n AS DOUBLE),"
+        " 'mean_norm', mean_norm,"
+        " 'mean_pairwise_cos',"
+        " round((ss - n) / (CAST(n AS DOUBLE) * (n - 1)), 6))"
+        " AS (stat, value)"
+    )
+
+
+ORACLE_EMBEDDING_ISOTROPY = f"""
+iso_nrm AS (
+  SELECT vec_id,
+         sqrt((SELECT sum(CAST(embedding[i + 1] AS DOUBLE)
+                          * CAST(embedding[i + 1] AS DOUBLE))
+               FROM unnest(range(0, {EMB_DIMS})) AS t(i))) AS nrm,
+         embedding
+  FROM embeddings
+),
+iso_ex AS (
+  SELECT nrm, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM iso_nrm, LATERAL unnest(range(0, {EMB_DIMS})) AS t(i)
+),
+iso_s AS (
+  SELECT dim, round(sum(v / nrm), 6) AS s FROM iso_ex GROUP BY 1
+),
+iso_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, round(avg(nrm), 6) AS mean_norm
+  FROM iso_nrm
+),
+iso_ss AS (SELECT sum(s * s) AS ss FROM iso_s),
+embedding_isotropy AS (
+  SELECT 'n_vecs' AS stat, CAST(n AS DOUBLE) AS value FROM iso_tot
+  UNION ALL
+  SELECT 'mean_norm', mean_norm FROM iso_tot
+  UNION ALL
+  SELECT 'mean_pairwise_cos',
+         round((ss - n) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+  FROM iso_ss, iso_tot
+)
+"""
