@@ -1067,6 +1067,18 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.media_phash_dedup_query(_docs(spark, sf_dir))
 
 
+def q_text_trigram_jm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram LM scoring (Jelinek-Mercer 1/2,1/4,1/4) -
+    the top rung of the n-gram quality-filter ladder."""
+    return _text.trigram_jm_scores(_docs(spark, sf_dir))
+
+
+def q_docs_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of the corpus source mix between
+    doc_id-parity halves - the always-finite crawl-mix drift monitor."""
+    return _text.source_jsd_report(_docs(spark, sf_dir))
+
+
 def q_text_ql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirichlet query-likelihood retrieval (mu=2000) over the BM25
     query terms — the LM-school lexical ranker beside Okapi BM25."""
@@ -3495,6 +3507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": q_text_bigram_logprob,
         "text_kneser_ney": q_text_kneser_ney,
         "text_ql_search": q_text_ql_search,
+        "docs_source_jsd": q_docs_source_jsd,
+        "text_trigram_jm": q_text_trigram_jm,
         "media_phash_dedup": q_media_phash_dedup,
         "media_sniff_dims": q_media_sniff_dims,
         "media_wav_meta": q_media_wav_meta,
@@ -3914,6 +3928,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_ql_search": _ext_oracle(
             [_text.oracle_ql_search()], "ql_search"
+        ),
+        "docs_source_jsd": _ext_oracle(
+            [_text.ORACLE_SOURCE_JSD], "docs_source_jsd"
+        ),
+        "text_trigram_jm": _ext_oracle(
+            [_text.ORACLE_TRIGRAM_JM], "text_trigram_jm"
         ),
         "text_dsir_importance": _ext_oracle(
             [_text.ORACLE_DSIR_IMPORTANCE], "dsir_importance"

@@ -266,6 +266,8 @@ HEADLINE = [
     "text_ql_search",
     "events_adstock",
     "embedding_isotropy",
+    "text_trigram_jm",
+    "docs_source_jsd",
     "sql_scripting",
     "events_variant",
     "text_rouge",

@@ -4352,3 +4352,222 @@ rouge_pairs AS (
   GROUP BY 1, 2
 )
 """
+
+
+def source_jsd_report(docs: DataFrame) -> DataFrame:
+    """Jensen-Shannon divergence of the corpus SOURCE mix between the
+    two doc_id-parity halves — the symmetric, always-finite sibling
+    of the PSI value-drift report, and the standard "did my crawl mix
+    shift" monitor for a pretraining corpus (JSD is bounded by ln 2
+    and defined even when a source exists on only one side — exactly
+    where PSI blows up and alerts with a null).
+
+    Per source s: half shares p_ref/p_cur (rounded 6 so ln sees
+    identical inputs cross-engine), midpoint m = (p_ref+p_cur)/2, and
+    the contribution 0.5*(p_ref*ln(p_ref/m) + p_cur*ln(p_cur/m)) with
+    the 0*ln(0) = 0 convention; total JSD = sum of terms. One
+    conditional hash-agg (source x side in a single pass) — the only
+    corpus-sized stage is that count.
+
+    Output per source: source, n_ref, n_cur, p_ref, p_cur, jsd_term.
+    """
+    side = (F.col("doc_id") % 2 == 1).cast("bigint")
+    binned = docs.groupBy("source").agg(
+        F.sum(1 - side).alias("n_ref"),
+        F.sum(side).alias("n_cur"),
+    )
+    totals = binned.agg(
+        F.sum("n_ref").alias("tot_ref"),
+        F.sum("n_cur").alias("tot_cur"),
+    )
+    shared = binned.join(F.broadcast(totals))
+    p_ref = F.round(F.col("n_ref") / F.col("tot_ref"), 6)
+    p_cur = F.round(F.col("n_cur") / F.col("tot_cur"), 6)
+    m = (p_ref + p_cur) / 2
+    t_ref = F.when(F.col("n_ref") > 0, p_ref * F.log(p_ref / m)).otherwise(
+        F.lit(0.0)
+    )
+    t_cur = F.when(F.col("n_cur") > 0, p_cur * F.log(p_cur / m)).otherwise(
+        F.lit(0.0)
+    )
+    return shared.select(
+        "source",
+        "n_ref",
+        "n_cur",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+        F.round(F.lit(0.5) * (t_ref + t_cur), 6).alias("jsd_term"),
+    )
+
+
+ORACLE_SOURCE_JSD = """
+jsd_b AS (
+  SELECT source,
+         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_cur
+  FROM documents GROUP BY 1
+),
+jsd_t AS (
+  SELECT sum(n_ref) AS tot_ref, sum(n_cur) AS tot_cur FROM jsd_b
+),
+jsd_s AS (
+  SELECT source, n_ref, n_cur,
+         round(CAST(n_ref AS DOUBLE) / tot_ref, 6) AS p_ref,
+         round(CAST(n_cur AS DOUBLE) / tot_cur, 6) AS p_cur
+  FROM jsd_b, jsd_t
+),
+docs_source_jsd AS (
+  SELECT source, n_ref, n_cur, p_ref, p_cur,
+         round(CAST(0.5 AS DOUBLE) * (
+           (CASE WHEN n_ref > 0
+                 THEN p_ref * ln(p_ref / ((p_ref + p_cur) / 2))
+                 ELSE CAST(0.0 AS DOUBLE) END)
+           + (CASE WHEN n_cur > 0
+                   THEN p_cur * ln(p_cur / ((p_ref + p_cur) / 2))
+                   ELSE CAST(0.0 AS DOUBLE) END)), 6) AS jsd_term
+  FROM jsd_s
+)
+"""
+
+
+#: Jelinek-Mercer interpolation weights (tri, bi, uni) — exact binary
+#: dyadics, so the mixture arithmetic is identical cross-engine.
+JM_L3, JM_L2, JM_L1 = 0.5, 0.25, 0.25
+
+
+def trigram_jm_scores(docs: DataFrame) -> DataFrame:
+    """Interpolated trigram LM scoring (Jelinek-Mercer): per-doc mean
+    ln(l3*P3 + l2*P2 + l1*P1) with MLE component models — the top
+    rung of the n-gram ladder (unigram -> bigram add-k -> bigram KN
+    -> interpolated trigram). Mixing with lower orders is what keeps
+    a trigram model usable at all (pure trigram MLE is hopelessly
+    sparse); the exact-binary weights (1/2, 1/4, 1/4) make the
+    mixture bit-reproducible.
+
+    One explode builds the trigram table; every lower-order count is
+    a second-level agg of it plus the shared token explode for
+    unigrams — the corpus shuffles once per n-gram order, never per
+    doc. Self-scoring keeps every component positive (each scored
+    trigram occurs at least once). Output: doc_id, n_trigrams,
+    jm_logprob (round 6).
+    """
+    toksarr = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+        ).alias("t"),
+    )
+    tri = (
+        toksarr.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2,"
+                    " t[i + 2] AS w3))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2", "g.w3")
+    )
+    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("n3"))
+    c2ctx = c3.groupBy("w1", "w2").agg(F.sum("n3").alias("n2ctx"))
+    # bigram/unigram stats from the full token stream (not just
+    # trigram-interior positions) — the standard component models
+    uni = toksarr.select(F.explode("t").alias("w"))
+    cu = uni.groupBy("w").agg(F.count("*").alias("nu"))
+    utot = uni.agg(F.count("*").alias("nt"))
+    bi = (
+        toksarr.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w2, t[i + 1] AS w3))"
+                )
+            ).alias("b")
+        )
+        .select("b.w2", "b.w3")
+    )
+    cb = bi.groupBy("w2", "w3").agg(F.count("*").alias("nb"))
+    cbctx = cb.groupBy("w2").agg(F.sum("nb").alias("nbctx"))
+    p = (
+        F.lit(JM_L3) * F.col("n3") / F.col("n2ctx")
+        + F.lit(JM_L2) * F.col("nb") / F.col("nbctx")
+        + F.lit(JM_L1) * F.col("nu") / F.col("nt")
+    )
+    return (
+        tri.join(c3, ["w1", "w2", "w3"])
+        .join(c2ctx, ["w1", "w2"])
+        .join(cb, ["w2", "w3"])
+        .join(cbctx, "w2")
+        .join(cu.withColumnRenamed("w", "w3"), "w3")
+        .crossJoin(F.broadcast(utot))
+        .select("doc_id", F.log(p).alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(F.avg("lp"), 6).alias("jm_logprob"),
+        )
+    )
+
+
+ORACLE_TRIGRAM_JM = f"""
+jm_t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+jm_tri AS MATERIALIZED (
+  SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2, t[i + 3] AS w3
+  FROM jm_t, LATERAL unnest(range(0, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+jm_c3 AS MATERIALIZED (
+  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n3
+  FROM jm_tri GROUP BY 1, 2, 3
+),
+jm_c2ctx AS (
+  SELECT w1, w2, CAST(sum(n3) AS BIGINT) AS n2ctx
+  FROM jm_c3 GROUP BY 1, 2
+),
+jm_uni AS MATERIALIZED (
+  SELECT doc_id, x.w FROM jm_t, LATERAL unnest(t) AS x(w)
+),
+jm_cu AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS nu FROM jm_uni GROUP BY 1
+),
+jm_ut AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM jm_uni),
+jm_bi AS MATERIALIZED (
+  SELECT t[i + 1] AS w2, t[i + 2] AS w3
+  FROM jm_t, LATERAL unnest(range(0, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+jm_cb AS MATERIALIZED (
+  SELECT w2, w3, CAST(count(*) AS BIGINT) AS nb
+  FROM jm_bi GROUP BY 1, 2
+),
+jm_cbctx AS (
+  SELECT w2, CAST(sum(nb) AS BIGINT) AS nbctx FROM jm_cb GROUP BY 1
+),
+text_trigram_jm AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_trigrams,
+         round(avg(ln(
+           CAST({JM_L3} AS DOUBLE) * c.n3 / x.n2ctx
+           + CAST({JM_L2} AS DOUBLE) * b.nb / bx.nbctx
+           + CAST({JM_L1} AS DOUBLE) * u.nu / t.nt)), 6) AS jm_logprob
+  FROM jm_tri g
+  JOIN jm_c3 c USING (w1, w2, w3)
+  JOIN jm_c2ctx x USING (w1, w2)
+  JOIN jm_cb b USING (w2, w3)
+  JOIN jm_cbctx bx USING (w2)
+  JOIN jm_cu u ON u.w = g.w3
+  CROSS JOIN jm_ut t
+  GROUP BY 1
+)
+"""
