@@ -249,22 +249,7 @@ def triangle_counts_from_edges(
     10^12-pair bucket pure id-orientation would build. All three
     steps stay equi-joins (hash joins under AQE skew splitting).
     """
-    out = _oriented_edges(und, skew_threshold)
-    e1 = out.select(
-        F.col("src").alias("u"),
-        F.col("dst").alias("v"),
-        F.col("kdst").alias("kv"),
-    )
-    e2 = out.select(
-        F.col("src").alias("u"),
-        F.col("dst").alias("w"),
-        F.col("kdst").alias("kw"),
-    )
-    wedges = e1.join(e2, "u").filter(F.col("kv") < F.col("kw"))
-    tri = wedges.join(
-        out.select(F.col("src").alias("v"), F.col("dst").alias("w")),
-        ["v", "w"],
-    )
+    tri = _triangles(und, skew_threshold)
     per_node = (
         tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
@@ -281,15 +266,75 @@ def triangle_counts_from_edges(
     )
 
 
+def _triangles(
+    und: DataFrame,
+    skew_threshold: int = TRIANGLE_SKEW_DEG_THRESHOLD,
+) -> DataFrame:
+    """Oriented triangle list (u, v, w), each triangle exactly once —
+    the wedge-closure enumeration shared by per-node counting and the
+    k-truss credit table."""
+    out = _oriented_edges(und, skew_threshold)
+    e1 = out.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("kdst").alias("kv"),
+    )
+    e2 = out.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("w"),
+        F.col("kdst").alias("kw"),
+    )
+    wedges = e1.join(e2, "u").filter(F.col("kv") < F.col("kw"))
+    return wedges.join(
+        out.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    ).select("u", "v", "w")
+
+
+#: staged triangle list per lineitem identity — the wedge-closure
+#: join is the heaviest graph stage after edge construction, and BOTH
+#: `graph_triangles` and `graph_ktruss` consume its output; staging it
+#: (like _EDGES_CACHE / _PIVOT_BFS_CACHE) makes the second consumer in
+#: a session pay only an explode + agg.
+_TRIS_CACHE: dict[int, tuple] = {}
+
+
+def _triangles_staged(lineitem: DataFrame) -> DataFrame:
+    key = id(lineitem)
+    hit = _TRIS_CACHE.get(key)
+    if hit is None:
+        und = _edges_staged(lineitem).filter(F.col("a") < F.col("b"))
+        hit = (
+            lineitem,
+            _triangles(und).localCheckpoint(eager=True),
+        )
+        _TRIS_CACHE[key] = hit
+    return hit[1]
+
+
 def triangle_counts(lineitem: DataFrame) -> DataFrame:
     """Triangle counting on the co-purchase graph — see
     ``triangle_counts_from_edges`` for the enumeration and the skew
-    guard. The canonical undirected edge list derives from the
-    session-staged directed list by a cheap a<b filter, so the
-    co-purchase self-join never recomputes across consumers (PageRank
-    shares the same stage)."""
+    guard. Both the canonical edge list AND the triangle list are
+    session-staged (`_edges_staged` / `_triangles_staged`), so in a
+    session that also peels the k-truss the wedge closure runs
+    once."""
     und = _edges_staged(lineitem).filter(F.col("a") < F.col("b"))
-    return triangle_counts_from_edges(und)
+    tri = _triangles_staged(lineitem)
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return per_node.join(deg, "node").select(
+        "node", "n_triangles", "degree"
+    )
 
 
 ORACLE_TRIANGLE_COUNTS = """
@@ -1944,25 +1989,10 @@ def _triangle_credit(
     (u, v, w) — the staging table the incremental k-truss peel
     subtracts from (a dead triangle is found by edge semi-join and
     its credits retracted without re-enumerating wedges)."""
-    out = _oriented_edges(edges, skew_threshold)
-    e1 = out.select(
-        F.col("src").alias("u"),
-        F.col("dst").alias("v"),
-        F.col("kdst").alias("kv"),
-    )
-    e2 = out.select(
-        F.col("src").alias("u"),
-        F.col("dst").alias("w"),
-        F.col("kdst").alias("kw"),
-    )
-    tri = (
-        e1.join(e2, "u")
-        .filter(F.col("kv") < F.col("kw"))
-        .join(
-            out.select(F.col("src").alias("v"), F.col("dst").alias("w")),
-            ["v", "w"],
-        )
-    )
+    return _credit_from_triangles(_triangles(edges, skew_threshold))
+
+
+def _credit_from_triangles(tri: DataFrame) -> DataFrame:
     # single-pass credit: explode the three canonical edges per
     # triangle (a 3-way unionAll would re-execute the wedge-closure
     # join once PER BRANCH — measured 3x the enumeration cost).
@@ -2023,7 +2053,10 @@ def ktruss_edges(
         .filter(F.col("a") < F.col("b"))
         .localCheckpoint(eager=True)
     )
-    credit = _triangle_credit(edges).localCheckpoint(eager=True)
+    # credit derives map-only from the SESSION-STAGED triangle list
+    # (shared with graph_triangles), so the wedge closure never
+    # re-runs for the peel — and needs no checkpoint of its own.
+    credit = _credit_from_triangles(_triangles_staged(lineitem))
     sup0 = (
         credit.groupBy("a", "b")
         .agg(F.count("*").alias("support"))
