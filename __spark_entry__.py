@@ -2595,6 +2595,12 @@ def q_text_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.nb_calibration(_docs(spark, sf_dir))
 
 
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out vocabulary coverage: vocab from the even-doc half,
+    per-lang token/type OOV rates on the odd half."""
+    return _text.oov_rate_report(_docs(spark, sf_dir))
+
+
 def q_text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary growth curve (first-appearance bucketing,
     no running-distinct state)."""
@@ -3701,6 +3707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hashed_features": q_text_hashed_features,
         "text_textrank": q_text_textrank,
         "text_heaps_curve": q_text_heaps_curve,
+        "text_oov_rate": q_text_oov_rate,
         "text_nb_calibration": q_text_nb_calibration,
         "text_lang_confusion": q_text_lang_confusion,
         "text_nb_pr_curve": q_text_nb_pr_curve,
@@ -4819,6 +4826,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_textrank": _ext_oracle(
             [_text.oracle_textrank()], "textrank_keywords"
+        ),
+        "text_oov_rate": _ext_oracle(
+            [_text.ORACLE_OOV_RATE], "text_oov_rate"
         ),
         "text_heaps_curve": _ext_oracle(
             [_text.oracle_heaps()], "heaps_curve"

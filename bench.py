@@ -268,6 +268,7 @@ HEADLINE = [
     "embedding_isotropy",
     "text_trigram_jm",
     "docs_source_jsd",
+    "text_oov_rate",
     "sql_scripting",
     "events_variant",
     "text_rouge",

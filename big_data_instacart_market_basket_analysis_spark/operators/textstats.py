@@ -4571,3 +4571,98 @@ text_trigram_jm AS (
   GROUP BY 1
 )
 """
+
+
+def oov_rate_report(docs: DataFrame) -> DataFrame:
+    """Held-out vocabulary coverage: build the token vocabulary on
+    the even-doc_id half, score the odd half, and report per-language
+    token and type OOV rates — the number that decides whether a
+    tokenizer/vocab generalizes to incoming data or was overfit to
+    the training crawl (Heaps' curve shows growth WITHIN a corpus;
+    this measures transfer ACROSS corpora halves).
+
+    Plan: one explode each side; the vocabulary is token-TYPE grain
+    (Zipf-bounded, far smaller than the stream), joined on the token
+    key; everything after is one per-language hash-agg. Counts are
+    integers, rates divide at the rounded edge. Output per lang:
+    lang, n_tokens, n_oov_tokens, n_types, n_oov_types,
+    token_oov_rate, type_oov_rate (round 6).
+    """
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+        ).alias("tok"),
+    )
+    ref_vocab = (
+        toks.filter(F.col("doc_id") % 2 == 0).select("tok").distinct()
+    )
+    cur = toks.filter(F.col("doc_id") % 2 == 1)
+    flagged = cur.join(
+        ref_vocab.withColumn("_seen", F.lit(1)), "tok", "left"
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_seen").isNull(), 1).otherwise(0)
+            ).alias("n_oov_tokens"),
+            F.countDistinct("tok").alias("n_types"),
+            F.countDistinct(
+                F.when(F.col("_seen").isNull(), F.col("tok"))
+            ).alias("n_oov_types"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov_tokens",
+            "n_types",
+            "n_oov_types",
+            F.round(
+                F.col("n_oov_tokens") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("token_oov_rate"),
+            F.round(
+                F.col("n_oov_types") / F.col("n_types").cast("double"),
+                6,
+            ).alias("type_oov_rate"),
+        )
+    )
+
+
+ORACLE_OOV_RATE = """
+oov_tok AS MATERIALIZED (
+  SELECT doc_id, lang, x.tok
+  FROM (
+    SELECT doc_id, lang,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       t -> t <> '') AS ts
+    FROM documents
+  ), LATERAL unnest(ts) AS x(tok)
+),
+oov_ref AS (
+  SELECT DISTINCT tok FROM oov_tok WHERE doc_id % 2 = 0
+),
+oov_flag AS (
+  SELECT c.lang, c.tok, r.tok IS NULL AS is_oov
+  FROM oov_tok c LEFT JOIN oov_ref r ON c.tok = r.tok
+  WHERE c.doc_id % 2 = 1
+),
+text_oov_rate AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN is_oov THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov_tokens,
+         CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+         CAST(count(DISTINCT CASE WHEN is_oov THEN tok END) AS BIGINT)
+           AS n_oov_types,
+         round(sum(CASE WHEN is_oov THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) AS token_oov_rate,
+         round(count(DISTINCT CASE WHEN is_oov THEN tok END)
+               / CAST(count(DISTINCT tok) AS DOUBLE), 6)
+           AS type_oov_rate
+  FROM oov_flag GROUP BY 1
+)
+"""
