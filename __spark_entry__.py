@@ -2089,6 +2089,12 @@ def q_events_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.ipf_raking(load_table(spark, sf_dir, "events"))
 
 
+def q_orders_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (eps=1/2, sqrt-exact generalized
+    mean) of customer revenue - welfare-grounded beside Gini/Theil."""
+    return _tmp.atkinson_index(load_table(spark, sf_dir, "orders"))
+
+
 def q_events_adstock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Finite-window adstock + saturation on daily clicks; exact
     dyadic decay terms (clicks / 2^age), day-grain range self-join."""
@@ -3422,6 +3428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_hhi": q_market_hhi,
         "parts_abc": q_parts_abc,
         "events_ipf": q_events_ipf,
+        "orders_atkinson": q_orders_atkinson,
         "events_adstock": q_events_adstock,
         "events_changepoint": q_events_changepoint,
         "events_stratified_ate": q_events_stratified_ate,
@@ -4369,6 +4376,9 @@ def oracle_sql() -> dict[str, str]:
         "parts_abc": _ext_oracle([_ana.ORACLE_ABC], "abc_classes"),
         "events_ipf": _ext_oracle(
             [_tmp.oracle_ipf_raking()], "ipf_raking"
+        ),
+        "orders_atkinson": _ext_oracle(
+            [_tmp.ORACLE_ATKINSON], "orders_atkinson"
         ),
         "events_adstock": _ext_oracle(
             [_tmp.ORACLE_ADSTOCK], "events_adstock"

@@ -269,6 +269,7 @@ HEADLINE = [
     "text_trigram_jm",
     "docs_source_jsd",
     "text_oov_rate",
+    "orders_atkinson",
     "sql_scripting",
     "events_variant",
     "text_rouge",

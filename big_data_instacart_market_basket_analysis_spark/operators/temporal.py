@@ -11806,3 +11806,60 @@ events_adstock AS (
   FROM ad_d d JOIN ad_a a USING (day), ad_k k
 )
 """
+
+
+def atkinson_index(orders: DataFrame) -> DataFrame:
+    """Atkinson inequality index (aversion eps = 1/2) of customer
+    revenue — the welfare-grounded member of the inequality family
+    beside Gini (ordinal) and Theil (entropy): A = 1 - EDE/mean with
+    EDE = (sum sqrt(x)/n)^2, the equally-distributed-equivalent
+    income — "society would accept A% less total revenue if it were
+    spread evenly". eps=1/2 keeps the generalized mean inside IEEE-
+    exact sqrt (no pow), the same exactness posture as the Theil
+    x*ln x sums: one customer-grain BIGINT cent agg, one corpus agg
+    of sqrt terms, ratios at the rounded edge.
+
+    Output (1 row): n_cust, mean_cents, ede_cents, atkinson (round 6).
+    """
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        ).alias("x")
+    )
+    agg = cust.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.sqrt(F.col("x").cast("double"))).alias("rs"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    ede = (F.col("rs") / F.col("n")) * (F.col("rs") / F.col("n"))
+    return agg.select(
+        F.col("n").alias("n_cust"),
+        F.round(mean, 6).alias("mean_cents"),
+        F.round(ede, 6).alias("ede_cents"),
+        F.round(F.lit(1.0) - ede / mean, 6).alias("atkinson"),
+    )
+
+
+ORACLE_ATKINSON = """
+atk_c AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+atk_a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+         sum(sqrt(CAST(x AS DOUBLE))) AS rs
+  FROM atk_c
+),
+orders_atkinson AS (
+  SELECT n AS n_cust,
+         round(CAST(s AS DOUBLE) / n, 6) AS mean_cents,
+         round((rs / n) * (rs / n), 6) AS ede_cents,
+         round(CAST(1.0 AS DOUBLE)
+               - ((rs / n) * (rs / n)) / (CAST(s AS DOUBLE) / n), 6)
+           AS atkinson
+  FROM atk_a
+)
+"""
