@@ -1546,6 +1546,12 @@ def q_plan_lint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prof.lint_report(spark, plans)
 
 
+def q_sql_dynamic_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE + IDENTIFIER(?) + USING: injection-safe
+    dynamic SQL with a parameter-bound table name."""
+    return _sqlapi.sql_dynamic_identifier(spark, sf_dir)
+
+
 def q_sql_var_param_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 SQL session variables (DECLARE/SET VAR) + named query
     parameters, both resolved to constants at plan time — pushdown
@@ -3637,6 +3643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_lateral_top_orders": q_sql_lateral_top_orders,
         "sql_customer_chain": q_sql_customer_chain,
         "sql_var_param_revenue": q_sql_var_param_revenue,
+        "sql_dynamic_identifier": q_sql_dynamic_identifier,
         "sql_pivot_returnflag": q_sql_pivot_returnflag,
         "plan_lint_report": q_plan_lint_report,
         "text_bpe_pairs": q_text_bpe_pairs,
@@ -4639,6 +4646,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_rouge": _ext_oracle(
             [_text.ORACLE_ROUGE_PAIRS], "rouge_pairs"
+        ),
+        "sql_dynamic_identifier": _ext_oracle(
+            [_sqlapi.ORACLE_SQL_DYNAMIC_IDENTIFIER],
+            "sql_dynamic_identifier",
         ),
         "sql_var_param_revenue": _ext_oracle(
             [_sqlapi.ORACLE_SQL_VAR_PARAM], "sql_var_param_revenue"

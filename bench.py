@@ -270,6 +270,7 @@ HEADLINE = [
     "docs_source_jsd",
     "text_oov_rate",
     "orders_atkinson",
+    "sql_dynamic_identifier",
     "sql_scripting",
     "events_variant",
     "text_rouge",

@@ -521,6 +521,44 @@ def sql_var_param_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_dynamic_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 dynamic SQL, injection-safe: ``EXECUTE IMMEDIATE``
+    runs a templated statement whose TABLE NAME arrives through
+    ``IDENTIFIER(?)`` and whose predicate value through a positional
+    ``USING`` binding — the catalog-safe way multi-tenant tooling
+    templates "same report, different table" without string
+    interpolation (an interpolated name is an injection vector and
+    invisible to the analyzer; IDENTIFIER binds it as a first-class
+    identifier). The inner statement resolves to the ordinary
+    analyzed plan, so pushdown/pruning behave exactly as if the query
+    had been written literally — proven by the hash against the
+    hand-resolved oracle.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM IDENTIFIER(?) WHERE o_orderstatus = ? GROUP BY 1'
+          USING 'orders', 'F'
+        """
+    )
+
+
+ORACLE_SQL_DYNAMIC_IDENTIFIER = """
+sql_dynamic_identifier AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+)
+"""
+
+
 ORACLE_SQL_VAR_PARAM = f"""
 sql_var_param_revenue AS (
   SELECT l_returnflag,
