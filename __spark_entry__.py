@@ -1721,6 +1721,13 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_betweenness_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampling stability eval: two disjoint md5 pivot sets,
+    top-k overlap + Pearson agreement - the estimator-honesty harness
+    the ANN recall evals set the pattern for."""
+    return _graph.betweenness_stability_eval(_lineitem(spark, sf_dir))
+
+
 def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot-sampled closeness + harmonic centrality on the session-
     staged pivot-BFS table (shared with graph_betweenness)."""
@@ -3678,6 +3685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": q_graph_sssp,
         "graph_betweenness": q_graph_betweenness,
         "graph_closeness": q_graph_closeness,
+        "graph_betweenness_stability": q_graph_betweenness_stability,
         "graph_hits": q_graph_hits,
         "graph_diameter_est": q_graph_diameter,
         "graph_lpa": q_graph_lpa,
@@ -4575,6 +4583,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_closeness": _ext_oracle(
             [_graph.oracle_closeness()], "graph_closeness"
+        ),
+        "graph_betweenness_stability": _ext_oracle(
+            [_graph.oracle_betweenness_stability()],
+            "graph_betweenness_stability",
         ),
         "graph_hits": _ext_oracle(
             [_graph.oracle_hits()], "graph_hits"

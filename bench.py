@@ -271,6 +271,7 @@ HEADLINE = [
     "text_oov_rate",
     "orders_atkinson",
     "sql_dynamic_identifier",
+    "graph_betweenness_stability",
     "sql_scripting",
     "events_variant",
     "text_rouge",

@@ -643,6 +643,15 @@ def _pivot_bfs(
         .limit(pivots)
         .select(F.col("node").alias("s"))
     )
+    return _pivot_bfs_from(edges, piv, hops)
+
+
+def _pivot_bfs_from(
+    edges: DataFrame, piv: DataFrame, hops: int
+) -> DataFrame:
+    """Forward supersteps from an explicit pivot frame (column ``s``)
+    — the kernel behind `_pivot_bfs` and the stability eval's
+    disjoint pivot sets."""
     dist = piv.select(
         "s",
         F.col("s").alias("node"),
@@ -707,6 +716,15 @@ def betweenness_approx(
     """
     edges = _edges_staged(lineitem)
     dist = _pivot_bfs_staged(lineitem, pivots, hops)
+    return _betweenness_from_bfs(edges, dist, hops)
+
+
+def _betweenness_from_bfs(
+    edges: DataFrame, dist: DataFrame, hops: int
+) -> DataFrame:
+    """Backward Brandes accumulation over a prepared (s, node, dist,
+    sigma) table — shared by `betweenness_approx` and the pivot-set
+    stability eval."""
     delta_prev = None
     level_frames = []
     for lvl in range(hops - 1, -1, -1):
@@ -768,24 +786,38 @@ def betweenness_approx(
 
 
 def _oracle_pivot_bfs(
-    prefix: str, pivots: int, hops: int
+    prefix: str,
+    pivots: int,
+    hops: int,
+    offset: int = 0,
+    edges_src: str | None = None,
 ) -> tuple[list[str], str]:
     """Unrolled forward-BFS CTEs (edges, pivot seed, hops rounds of
     the sigma-carrying full-outer combine) under ``prefix`` — shared
-    by the betweenness / closeness / diameter oracles. Returns
+    by the betweenness / closeness / diameter / stability oracles.
+    ``offset`` skips the first N md5-ordered pivots (disjoint pivot
+    sets); ``edges_src`` reuses another prefix's edge CTE. Returns
     (cte_fragments, final_table_name)."""
-    ctes = [
+    edges_cte = (
         """
 {p}_edges AS MATERIALIZED (
   SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
   FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
   WHERE l1.l_partkey <> l2.l_partkey
-),
+)""".format(p=prefix)
+        if edges_src is None
+        else """
+{p}_edges AS (SELECT a, b FROM {src})""".format(p=prefix, src=edges_src)
+    )
+    ctes = [
+        edges_cte
+        + """,
 {p}_f0 AS (
   SELECT node AS s, node, 0 AS dist, CAST(1 AS BIGINT) AS sigma
   FROM (SELECT DISTINCT a AS node FROM {p}_edges)
-  ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT {pivots}
-)""".format(p=prefix, pivots=pivots)
+  ORDER BY md5(CAST(node AS VARCHAR)), node
+  LIMIT {pivots} OFFSET {offset}
+)""".format(p=prefix, pivots=pivots, offset=offset)
     ]
     prev = f"{prefix}_f0"
     for r in range(1, hops + 1):
@@ -810,16 +842,18 @@ def _oracle_pivot_bfs(
     return ctes, prev
 
 
-def oracle_betweenness(
-    pivots: int = BETW_PIVOTS, hops: int = BETW_HOPS
-) -> str:
-    ctes, fin = _oracle_pivot_bfs("bw", pivots, hops)
+def _oracle_backward(
+    prefix: str, fin: str, hops: int, out_name: str
+) -> list[str]:
+    """Unrolled backward dependency-accumulation CTEs over a forward
+    table ``fin`` (from ``_oracle_pivot_bfs`` with the same prefix),
+    ending in ``out_name`` (node, n_pivots, betweenness)."""
+    ctes = []
     prev_b = None
     for lvl in range(hops - 1, -1, -1):
         dj = (
-            "LEFT JOIN bw_b{nxt} d ON d.s = w.s AND d.node = w.node".format(
-                nxt=lvl + 1
-            )
+            "LEFT JOIN {p}_b{nxt} d ON d.s = w.s"
+            " AND d.node = w.node".format(p=prefix, nxt=lvl + 1)
             if prev_b is not None
             else ""
         )
@@ -830,30 +864,163 @@ def oracle_betweenness(
         )
         ctes.append(
             """
-bw_b{lvl} AS MATERIALIZED (
+{p}_b{lvl} AS MATERIALIZED (
   SELECT v.s, v.node,
          round(sum(CAST(v.sigma AS DOUBLE) / w.sigma
                * (CAST(1.0 AS DOUBLE) + {dexpr})), 9) AS delta
   FROM {fin} v
-  JOIN bw_edges e ON v.node = e.a
+  JOIN {p}_edges e ON v.node = e.a
   JOIN {fin} w ON w.s = v.s AND w.node = e.b
                 AND w.dist = v.dist + 1
   {dj}
   WHERE v.dist = {lvl}
   GROUP BY 1, 2
-)""".format(lvl=lvl, fin=fin, dj=dj, dexpr=dexpr)
+)""".format(p=prefix, lvl=lvl, fin=fin, dj=dj, dexpr=dexpr)
         )
-        prev_b = f"bw_b{lvl}"
+        prev_b = f"{prefix}_b{lvl}"
     unions = " UNION ALL ".join(
-        f"SELECT s, node, delta FROM bw_b{lvl}"
+        f"SELECT s, node, delta FROM {prefix}_b{lvl}"
         for lvl in range(hops - 1, -1, -1)
     )
     ctes.append(
         f"""
-graph_betweenness AS (
+{out_name} AS (
   SELECT node, CAST(count(*) AS BIGINT) AS n_pivots,
          round(sum(delta), 6) AS betweenness
   FROM ({unions}) WHERE node <> s GROUP BY 1
+)"""
+    )
+    return ctes
+
+
+def oracle_betweenness(
+    pivots: int = BETW_PIVOTS, hops: int = BETW_HOPS
+) -> str:
+    ctes, fin = _oracle_pivot_bfs("bw", pivots, hops)
+    ctes += _oracle_backward("bw", fin, hops, "graph_betweenness")
+    return ",".join(ctes)
+
+
+#: stability-eval top-k: agreement is judged on the heads of the two
+#: rankings (the rows a downstream consumer would actually act on).
+BETW_EVAL_TOPK = 20
+
+
+def betweenness_stability_eval(
+    lineitem: DataFrame,
+    pivots: int = BETW_PIVOTS,
+    hops: int = BETW_HOPS,
+    k: int = BETW_EVAL_TOPK,
+) -> DataFrame:
+    """Sampling-stability eval for the pivot-sampled betweenness —
+    the same estimator-honesty harness the ANN/LSH family carries
+    (recall/precision vs truth): run the estimator twice from
+    DISJOINT md5-ordered pivot sets (ranks 1..K and K+1..2K) and
+    report how much the two independent estimates agree — top-k
+    overlap/Jaccard (do the sets of brokerage products match?) and
+    the Pearson correlation over commonly-scored nodes (do the
+    magnitudes?). Low agreement means "raise BETW_PIVOTS before
+    trusting the ranking", measured instead of guessed.
+
+    Both runs share the staged edge list; each is one forward BFS +
+    backward accumulation (same bounded shapes as the estimator).
+    The joint score table is node-grain, localCheckpointed once; the
+    Pearson moments are one agg over it. Output (1 row): n_common,
+    top_k, n_top_overlap, jaccard_topk, pearson_r (round 6).
+    """
+    edges = _edges_staged(lineitem)
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    ordered = nodes.orderBy(
+        F.md5(F.col("node").cast("string")), "node"
+    )
+    pa = ordered.limit(pivots).select(F.col("node").alias("s"))
+    pb = (
+        ordered.offset(pivots)
+        .limit(pivots)
+        .select(F.col("node").alias("s"))
+    )
+    ba = _betweenness_from_bfs(
+        edges, _pivot_bfs_from(edges, pa, hops), hops
+    ).select("node", F.col("betweenness").alias("x"))
+    bb = _betweenness_from_bfs(
+        edges, _pivot_bfs_from(edges, pb, hops), hops
+    ).select("node", F.col("betweenness").alias("y"))
+    ba = ba.localCheckpoint(eager=True)
+    bb = bb.localCheckpoint(eager=True)
+    both = ba.join(bb, "node")
+    topa = ba.orderBy(F.desc("x"), "node").limit(k).select("node")
+    topb = bb.orderBy(F.desc("y"), "node").limit(k).select("node")
+    ov = topa.join(topb, "node").agg(
+        F.count("*").alias("n_top_overlap")
+    )
+    st = both.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy"))
+    )
+    return st.crossJoin(F.broadcast(ov)).select(
+        F.col("n").alias("n_common"),
+        F.lit(k).alias("top_k"),
+        "n_top_overlap",
+        F.round(
+            F.col("n_top_overlap")
+            / (F.lit(2 * k) - F.col("n_top_overlap")).cast("double"),
+            6,
+        ).alias("jaccard_topk"),
+        F.round(r, 6).alias("pearson_r"),
+    )
+
+
+def oracle_betweenness_stability(
+    pivots: int = BETW_PIVOTS,
+    hops: int = BETW_HOPS,
+    k: int = BETW_EVAL_TOPK,
+) -> str:
+    ctes, fin_a = _oracle_pivot_bfs("ba", pivots, hops)
+    ctes += _oracle_backward("ba", fin_a, hops, "ba_out")
+    ctes_b, fin_b = _oracle_pivot_bfs(
+        "bb", pivots, hops, offset=pivots, edges_src="ba_edges"
+    )
+    ctes += ctes_b
+    ctes += _oracle_backward("bb", fin_b, hops, "bb_out")
+    ctes.append(
+        f"""
+be_both AS (
+  SELECT a.node, a.betweenness AS x, b.betweenness AS y
+  FROM ba_out a JOIN bb_out b USING (node)
+),
+be_ta AS (
+  SELECT node FROM ba_out ORDER BY betweenness DESC, node LIMIT {k}
+),
+be_tb AS (
+  SELECT node FROM bb_out ORDER BY betweenness DESC, node LIMIT {k}
+),
+be_ov AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_top_overlap
+  FROM be_ta JOIN be_tb USING (node)
+),
+be_st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sx2, sum(y * y) AS sy2
+  FROM be_both
+),
+graph_betweenness_stability AS (
+  SELECT n AS n_common, CAST({k} AS INT) AS top_k, n_top_overlap,
+         round(n_top_overlap
+               / CAST({2 * k} - n_top_overlap AS DOUBLE), 6)
+           AS jaccard_topk,
+         round((n * sxy - sx * sy)
+               / (sqrt(n * sx2 - sx * sx)
+                  * sqrt(n * sy2 - sy * sy)), 6) AS pearson_r
+  FROM be_st, be_ov
 )"""
     )
     return ",".join(ctes)
@@ -940,7 +1107,12 @@ def diameter_estimate(
     cum = (
         per_d.alias("x")
         .join(
-            per_d.alias("y"),
+            # broadcast the <= hops-row histogram explicitly: without
+            # the hint the planner can only prove a CartesianProduct
+            # for the inequality join (the r5 planboard's one
+            # error-severity hit), and BNLJ-over-broadcast is the
+            # honest shape for a constant-size table
+            F.broadcast(per_d.alias("y")),
             F.col("y.dist") <= F.col("x.dist"),
         )
         .groupBy(F.col("x.dist").alias("d"))

@@ -4,6 +4,7 @@ the few bounded driver-side collects some operators perform) and run
 the judge reads as PLANBOARD_r{N}.json.
 
 Usage: python scripts/planboard.py [out.json] [sf_dir]
+       python scripts/planboard.py --diff OLD.json NEW.json
 
 Each entry: {query: {rules: {rule: n_hits}, global_windows: N,
 shuffles: N, err: ...}}; the summary line totals rule hits so a
@@ -22,6 +23,36 @@ import __spark_entry__ as e
 from big_data_instacart_market_basket_analysis_spark.operators import (
     profiling as P,
 )
+
+def _diff(old_path: str, new_path: str) -> None:
+    """Per-query plan-shape deltas between two boards: shuffle-count
+    and global-window changes, plus added/removed queries — the
+    one-command round-over-round regression readout."""
+    old = json.load(open(old_path))["plans"]
+    new = json.load(open(new_path))["plans"]
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+    moved = []
+    for name in sorted(set(old) & set(new)):
+        o, n = old[name], new[name]
+        if "err" in o or "err" in n:
+            if o.get("err") != n.get("err"):
+                moved.append((name, "err", o.get("err"), n.get("err")))
+            continue
+        for k in ("shuffles", "global_windows"):
+            if o.get(k) != n.get(k):
+                moved.append((name, k, o.get(k), n.get(k)))
+    print(f"added {len(added)}: {added}")
+    print(f"removed {len(removed)}: {removed}")
+    if not moved:
+        print("no plan-shape deltas on shared queries")
+    for name, k, ov, nv in moved:
+        print(f"  {name}: {k} {ov} -> {nv}")
+
+
+if len(sys.argv) > 1 and sys.argv[1] == "--diff":
+    _diff(sys.argv[2], sys.argv[3])
+    sys.exit(0)
 
 out_path = sys.argv[1] if len(sys.argv) > 1 else "PLANBOARD.json"
 sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
