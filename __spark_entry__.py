@@ -2102,6 +2102,12 @@ def q_events_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.ipf_raking(load_table(spark, sf_dir, "events"))
 
 
+def q_orders_reorder_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s,S) reorder-policy simulation over daily purchase demand -
+    all-integer day fold, recursive-CTE-verified."""
+    return _tmp.reorder_policy_sim(load_table(spark, sf_dir, "events"))
+
+
 def q_orders_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Atkinson inequality index (eps=1/2, sqrt-exact generalized
     mean) of customer revenue - welfare-grounded beside Gini/Theil."""
@@ -3442,6 +3448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_abc": q_parts_abc,
         "events_ipf": q_events_ipf,
         "orders_atkinson": q_orders_atkinson,
+        "orders_reorder_policy": q_orders_reorder_policy,
         "events_adstock": q_events_adstock,
         "events_changepoint": q_events_changepoint,
         "events_stratified_ate": q_events_stratified_ate,
@@ -4394,6 +4401,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orders_atkinson": _ext_oracle(
             [_tmp.ORACLE_ATKINSON], "orders_atkinson"
+        ),
+        "orders_reorder_policy": _ext_oracle(
+            [_tmp.oracle_reorder_policy()], "orders_reorder_policy",
+            recursive=True,
         ),
         "events_adstock": _ext_oracle(
             [_tmp.ORACLE_ADSTOCK], "events_adstock"

@@ -272,6 +272,7 @@ HEADLINE = [
     "orders_atkinson",
     "sql_dynamic_identifier",
     "graph_betweenness_stability",
+    "orders_reorder_policy",
     "sql_scripting",
     "events_variant",
     "text_rouge",

@@ -11863,3 +11863,128 @@ orders_atkinson AS (
   FROM atk_a
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# (s, S) reorder-policy simulation — integer day-grain fold
+# ---------------------------------------------------------------------------
+
+#: replenishment lead time in days (two fixed pipeline slots).
+INV_LEAD_DAYS = 2
+
+
+def reorder_policy_sim(events: DataFrame) -> DataFrame:
+    """(s, S) periodic-review inventory simulation replayed over the
+    daily purchase-demand series — the dynamic companion to the
+    static EOQ / newsvendor / service-level rules: each day arrivals
+    land (lead = 2 days), demand ships from stock (lost-sales model),
+    and when the inventory POSITION (on hand + on order) falls to the
+    reorder point s, an order tops it back up to S. s and S derive
+    from the series itself (s = mean daily demand x (lead+1) + 1,
+    S = 2s, integer DIV) so the operator is scale-free.
+
+    Every quantity is an INTEGER (units), so the left fold (Spark
+    ``aggregate`` over the day-sorted array; DuckDB row-per-step
+    recursive CTE with the identical op order) is exact — no float
+    enters at any step, the strongest form of the EWMA/Holt/CUSUM
+    recursion pattern. The daily series is calendar-bounded; the
+    only corpus-sized stage is the per-day demand count.
+
+    Output per day: day, demand, arrived, shipped, short,
+    on_hand_end, on_order, ordered_qty.
+    """
+    lead = INV_LEAD_DAYS
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("d"))
+    )
+    stats = daily.agg(
+        F.sum("d").alias("tot"), F.count("*").alias("nd")
+    )
+    base = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "d",
+        F.expr(f"(tot div nd) * {lead + 1} + 1").alias("spt"),
+        (F.expr(f"(tot div nd) * {lead + 1} + 1") * 2).alias("sup"),
+    )
+    arr = base.groupBy("spt", "sup").agg(
+        F.expr("array_sort(collect_list(struct(day, d)))").alias("xs")
+    )
+    oh1 = "(acc.oh + acc.p1)"
+    ship = f"least({oh1}, x.d)"
+    oh2 = f"({oh1} - {ship})"
+    pos = f"({oh2} + acc.p2)"
+    q = f"IF({pos} <= spt, sup - {pos}, CAST(0 AS BIGINT))"
+    row = (
+        f"struct(x.day AS day, x.d AS demand,"
+        f" acc.p1 AS arrived, {ship} AS shipped,"
+        f" (x.d - {ship}) AS short, {oh2} AS on_hand_end,"
+        f" (acc.p2 + {q}) AS on_order, {q} AS ordered_qty)"
+    )
+    fold = (
+        "aggregate(xs,"
+        " struct(CAST(sup AS BIGINT) AS oh, CAST(0 AS BIGINT) AS p1,"
+        "        CAST(0 AS BIGINT) AS p2,"
+        "        CAST(array() AS"
+        "          ARRAY<STRUCT<day: DATE, demand: BIGINT,"
+        "            arrived: BIGINT, shipped: BIGINT, short: BIGINT,"
+        "            on_hand_end: BIGINT, on_order: BIGINT,"
+        "            ordered_qty: BIGINT>>) AS rows),"
+        f" (acc, x) -> struct({oh2} AS oh, acc.p2 AS p1, {q} AS p2,"
+        f"   concat(acc.rows, array({row})) AS rows))"
+    )
+    return (
+        arr.select(F.explode(F.expr(f"{fold}.rows")).alias("r"))
+        .select("r.*")
+    )
+
+
+def oracle_reorder_policy(lead: int = INV_LEAD_DAYS) -> str:
+    return f"""
+iv_daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS d
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+iv_pol AS (
+  SELECT CAST((sum(d) // count(*)) * {lead + 1} + 1 AS BIGINT) AS spt,
+         CAST(((sum(d) // count(*)) * {lead + 1} + 1) * 2 AS BIGINT)
+           AS sup
+  FROM iv_daily
+),
+iv_seq AS (
+  SELECT day, d, row_number() OVER (ORDER BY day) AS pos, spt, sup
+  FROM iv_daily, iv_pol
+),
+iv_rec AS (
+  SELECT day, d, pos, spt, sup,
+         CAST(0 AS BIGINT) AS arrived,
+         least(sup, d) AS shipped,
+         d - least(sup, d) AS short,
+         sup - least(sup, d) AS oh,
+         CAST(0 AS BIGINT) AS p1,
+         CASE WHEN sup - least(sup, d) <= spt
+              THEN sup - (sup - least(sup, d))
+              ELSE CAST(0 AS BIGINT) END AS p2
+  FROM iv_seq WHERE pos = 1
+  UNION ALL
+  SELECT s.day, s.d, s.pos, s.spt, s.sup,
+         r.p1 AS arrived,
+         least(r.oh + r.p1, s.d) AS shipped,
+         s.d - least(r.oh + r.p1, s.d) AS short,
+         (r.oh + r.p1) - least(r.oh + r.p1, s.d) AS oh,
+         r.p2 AS p1,
+         CASE WHEN ((r.oh + r.p1) - least(r.oh + r.p1, s.d)) + r.p2
+                   <= s.spt
+              THEN s.sup
+                   - (((r.oh + r.p1) - least(r.oh + r.p1, s.d))
+                      + r.p2)
+              ELSE CAST(0 AS BIGINT) END AS p2
+  FROM iv_rec r JOIN iv_seq s ON s.pos = r.pos + 1
+),
+orders_reorder_policy AS (
+  SELECT day, d AS demand, arrived, shipped, short,
+         oh AS on_hand_end, p1 + p2 AS on_order, p2 AS ordered_qty
+  FROM iv_rec
+)
+"""

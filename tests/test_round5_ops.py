@@ -165,3 +165,32 @@ def test_ql_and_bm25_rank_same_corpus(spark):
     assert ql[1] > ql[2]
     assert bm[1] > bm[2]
     assert 3 not in bm  # zero-score docs filtered by BM25
+
+
+def test_reorder_policy_conserves_units_and_replenishes(spark):
+    """Constant demand 5/day for 12 days: mu=5, s=16, S=32. Hand
+    properties: shipped+short==demand daily, stock never negative,
+    arrivals equal orders two days later, and total shipped + ending
+    inventory position == S + total ordered (unit conservation under
+    lost sales)."""
+    rows = []
+    eid = 0
+    for d in range(1, 13):
+        for _ in range(5):
+            rows.append((eid, f"2024-04-{d:02d} 09:00:00", 1, "purchase", 2.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sorted(
+        temporal.reorder_policy_sim(ev).collect(), key=lambda r: str(r["day"])
+    )
+    assert all(r["shipped"] + r["short"] == r["demand"] for r in out)
+    assert all(r["on_hand_end"] >= 0 for r in out)
+    for i, r in enumerate(out):
+        if i >= 2:
+            assert r["arrived"] == out[i - 2]["ordered_qty"]
+    total_shipped = sum(r["shipped"] for r in out)
+    total_ordered = sum(r["ordered_qty"] for r in out)
+    last = out[-1]
+    assert total_shipped + last["on_hand_end"] + last["on_order"] == 32 + total_ordered
