@@ -933,14 +933,15 @@ def betweenness_stability_eval(
     ordered = nodes.orderBy(
         F.md5(F.col("node").cast("string")), "node"
     )
-    pa = ordered.limit(pivots).select(F.col("node").alias("s"))
     pb = (
         ordered.offset(pivots)
         .limit(pivots)
         .select(F.col("node").alias("s"))
     )
+    # set A is exactly the estimator's own pivot set — ride the
+    # session-staged forward table instead of recomputing it
     ba = _betweenness_from_bfs(
-        edges, _pivot_bfs_from(edges, pa, hops), hops
+        edges, _pivot_bfs_staged(lineitem, pivots, hops), hops
     ).select("node", F.col("betweenness").alias("x"))
     bb = _betweenness_from_bfs(
         edges, _pivot_bfs_from(edges, pb, hops), hops
