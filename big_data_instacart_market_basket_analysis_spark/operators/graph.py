@@ -951,8 +951,13 @@ def betweenness_stability_eval(
     both = ba.join(bb, "node")
     topa = ba.orderBy(F.desc("x"), "node").limit(k).select("node")
     topb = bb.orderBy(F.desc("y"), "node").limit(k).select("node")
-    ov = topa.join(topb, "node").agg(
-        F.count("*").alias("n_top_overlap")
+    # actual list sizes, not the nominal k (r5 advice): on graphs
+    # with fewer than k scored nodes 2k-overlap overstates Jaccard.
+    ov = (
+        topa.join(topb, "node")
+        .agg(F.count("*").alias("n_top_overlap"))
+        .crossJoin(topa.agg(F.count("*").alias("n_a")))
+        .crossJoin(topb.agg(F.count("*").alias("n_b")))
     )
     st = both.agg(
         F.count("*").alias("n"),
@@ -962,17 +967,26 @@ def betweenness_stability_eval(
         F.sum(F.col("x") * F.col("x")).alias("sx2"),
         F.sum(F.col("y") * F.col("y")).alias("sy2"),
     )
-    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"))
-        * F.sqrt(F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy"))
+    varx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    # zero-variance runs have no defined correlation — emit null
+    # deliberately (both engines), never divide by zero (r5 advice).
+    r = F.when(
+        (varx > 0) & (vary > 0),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.sqrt(varx) * F.sqrt(vary)),
     )
+    union_sz = (
+        F.col("n_a") + F.col("n_b") - F.col("n_top_overlap")
+    ).cast("double")
     return st.crossJoin(F.broadcast(ov)).select(
         F.col("n").alias("n_common"),
         F.lit(k).alias("top_k"),
         "n_top_overlap",
         F.round(
-            F.col("n_top_overlap")
-            / (F.lit(2 * k) - F.col("n_top_overlap")).cast("double"),
+            F.when(
+                union_sz > 0, F.col("n_top_overlap") / union_sz
+            ),
             6,
         ).alias("jaccard_topk"),
         F.round(r, 6).alias("pearson_r"),
@@ -1004,7 +1018,9 @@ be_tb AS (
   SELECT node FROM bb_out ORDER BY betweenness DESC, node LIMIT {k}
 ),
 be_ov AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_top_overlap
+  SELECT CAST(count(*) AS BIGINT) AS n_top_overlap,
+         (SELECT CAST(count(*) AS BIGINT) FROM be_ta) AS n_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM be_tb) AS n_b
   FROM be_ta JOIN be_tb USING (node)
 ),
 be_st AS (
@@ -1015,12 +1031,16 @@ be_st AS (
 ),
 graph_betweenness_stability AS (
   SELECT n AS n_common, CAST({k} AS INT) AS top_k, n_top_overlap,
-         round(n_top_overlap
-               / CAST({2 * k} - n_top_overlap AS DOUBLE), 6)
-           AS jaccard_topk,
-         round((n * sxy - sx * sy)
-               / (sqrt(n * sx2 - sx * sx)
-                  * sqrt(n * sy2 - sy * sy)), 6) AS pearson_r
+         round(CASE WHEN n_a + n_b - n_top_overlap > 0
+               THEN n_top_overlap
+                    / CAST(n_a + n_b - n_top_overlap AS DOUBLE)
+               END, 6) AS jaccard_topk,
+         round(CASE WHEN n * sx2 - sx * sx > 0
+                     AND n * sy2 - sy * sy > 0
+               THEN (n * sxy - sx * sy)
+                    / (sqrt(n * sx2 - sx * sx)
+                       * sqrt(n * sy2 - sy * sy)) END, 6)
+           AS pearson_r
   FROM be_st, be_ov
 )"""
     )
@@ -2208,8 +2228,10 @@ def ktruss_edges(
     rows per triangle); each later round subtracts instead of
     recounting — a triangle dies iff it contains a peeled edge (one
     semi-join of the credit table against the just-peeled edge set,
-    distinct on the triangle id), and a surviving edge's subgraph
-    support is exactly support0 minus its credits in dead triangles
+    distinct on the triangle id, anti-joined against the cumulative
+    dead set so each triangle's credit is retracted exactly ONCE),
+    and a surviving edge's subgraph support is exactly support0 minus
+    its credits in dead triangles
     (E_r ⊆ E_0, so every E_r triangle is an E_0 triangle). Both
     probe sides are tiny (peeled edges, then ≤ min_sup·|peeled| dead
     triangle ids), so AQE turns them into broadcast joins; the full
@@ -2248,13 +2270,20 @@ def ktruss_edges(
             .select("u", "v", "w")
             .distinct()
         )
+        # NEWLY-dead only (r5 advice): a triangle that contained a
+        # round-1 peeled edge is already subtracted from the running
+        # support — anti-join the cumulative dead set so each dead
+        # triangle's credit is retracted exactly once across rounds.
+        if dead_tris is not None:
+            nd = nd.join(dead_tris, ["u", "v", "w"], "leftanti")
+        nd = nd.localCheckpoint(eager=True)
         dead_tris = (
             nd
             if dead_tris is None
-            else dead_tris.unionByName(nd).distinct()
+            else dead_tris.unionByName(nd)
         ).localCheckpoint(eager=True)
         lost = (
-            credit.join(dead_tris, ["u", "v", "w"], "leftsemi")
+            credit.join(nd, ["u", "v", "w"], "leftsemi")
             .groupBy("a", "b")
             .agg(F.count("*").alias("lost"))
         )

@@ -11554,11 +11554,22 @@ def changepoint_split(events: DataFrame) -> DataFrame:
     level shift" complement to ``cusum_changepoints``' sequential
     alarm. Minimizing SSE(s) is equivalent to maximizing
     f(s) = L(s)^2/n_l + R(s)^2/n_r (L/R = segment cent sums), and the
-    argmax is decided EXACTLY: f(s2) > f(s1) iff
-    P2*N1 > P1*N2 with P = L^2*n_r + R^2*n_l and N = n_l*n_r, all
-    integer products carried in DECIMAL(38,0) (Spark) / HUGEINT
-    (DuckDB) — no float ever touches the decision, so the chosen day
-    hash-matches by construction.
+    argmax is decided EXACTLY in two integer tiers: with
+    P = L^2*n_r + R^2*n_l and N = n_l*n_r, split P = q*N + r by
+    exact integer division (q = P div N, r = P mod N, both exact in
+    DECIMAL(38,0) / HUGEINT), then f(s2) > f(s1) iff q2 > q1 OR
+    (q2 = q1 AND r2*N1 > r1*N2) — no float ever touches the
+    decision, so the chosen day hash-matches by construction.
+
+    Overflow envelope (r5 advice): the former single-tier cross-
+    multiply P2*N1 needed P*N < 1e38 (total cents S below ~$900B at
+    10y of days). The two-tier form's largest intermediates are P
+    itself (≤ S^2·n < 1e38 up to S ~ $1.6e15 over 10y) and r*N
+    (< N^2 ≤ n^4/16 ~ 1e17 at 100y of days) — the calendar bounds
+    the fraction tier, so only P's own width constrains scale.
+    Spark-side exactness of the decimal split is pinned by
+    tests/test_round5_ops.py (q via (p - p % nn) / nn is integral
+    and fits 38-6 = 32 integral digits under the envelope).
 
     Scale: the only corpus-sized stage is the per-day cent-sum agg;
     prefix sums and the dominance test are O(days^2) self-joins on
@@ -11611,13 +11622,30 @@ def changepoint_split(events: DataFrame) -> DataFrame:
             ).alias("p"),
             dec(F.col("n_l") * F.col("n_r")).alias("nn"),
         )
+        # two-tier exact split of f = p/nn: integer quotient + the
+        # remainder (both exact — decimal %, then a division that is
+        # integral by construction). Keeps every later comparison
+        # within r*nn < nn^2 instead of p*nn (r5 advice overflow fix).
+        .withColumn("r", F.col("p") % F.col("nn"))
+        .withColumn(
+            "q",
+            (
+                (F.col("p") - F.col("r")) / F.col("nn")
+            ).cast("decimal(38,0)"),
+        )
     )
     dominated = (
         cand.alias("c1")
         .join(
             cand.alias("c2"),
-            F.col("c2.p") * F.col("c1.nn")
-            > F.col("c1.p") * F.col("c2.nn"),
+            (F.col("c2.q") > F.col("c1.q"))
+            | (
+                (F.col("c2.q") == F.col("c1.q"))
+                & (
+                    F.col("c2.r") * F.col("c1.nn")
+                    > F.col("c1.r") * F.col("c2.nn")
+                )
+            ),
             "leftsemi",
         )
         .select("c1.day")
@@ -11667,18 +11695,25 @@ cp_pre AS (
   GROUP BY 1
 ),
 cp_cand AS MATERIALIZED (
-  SELECT day, n_l, t.n - n_l AS n_r, sum_l, t.s - sum_l AS sum_r,
-         CAST(sum_l AS HUGEINT) * sum_l * (t.n - n_l)
-           + CAST(t.s - sum_l AS HUGEINT) * (t.s - sum_l) * n_l AS p,
-         CAST(n_l AS HUGEINT) * (t.n - n_l) AS nn
-  FROM cp_pre, cp_tot t
-  WHERE n_l < t.n
+  SELECT day, n_l, n_r, sum_l, sum_r, p, nn,
+         p // nn AS q, p % nn AS r
+  FROM (
+    SELECT day, n_l, t.n - n_l AS n_r, sum_l, t.s - sum_l AS sum_r,
+           CAST(sum_l AS HUGEINT) * sum_l * (t.n - n_l)
+             + CAST(t.s - sum_l AS HUGEINT) * (t.s - sum_l) * n_l
+             AS p,
+           CAST(n_l AS HUGEINT) * (t.n - n_l) AS nn
+    FROM cp_pre, cp_tot t
+    WHERE n_l < t.n
+  )
 ),
 cp_best AS (
   SELECT min(day) AS split_day
   FROM cp_cand c1
   WHERE NOT EXISTS (
-    SELECT 1 FROM cp_cand c2 WHERE c2.p * c1.nn > c1.p * c2.nn)
+    SELECT 1 FROM cp_cand c2
+    WHERE c2.q > c1.q
+       OR (c2.q = c1.q AND c2.r * c1.nn > c1.r * c2.nn))
 ),
 events_changepoint AS (
   SELECT b.split_day,

@@ -4365,7 +4365,11 @@ def source_jsd_report(docs: DataFrame) -> DataFrame:
     Per source s: half shares p_ref/p_cur (rounded 6 so ln sees
     identical inputs cross-engine), midpoint m = (p_ref+p_cur)/2, and
     the contribution 0.5*(p_ref*ln(p_ref/m) + p_cur*ln(p_cur/m)) with
-    the 0*ln(0) = 0 convention; total JSD = sum of terms. One
+    the 0*ln(0) = 0 convention — guarded on the ROUNDED share
+    (p > 0), not the raw count (r5 advice): a source with share
+    below 5e-7 rounds to p = 0.0 while n > 0, and ln(0) would be
+    null in Spark vs -inf in DuckDB; guarding on what ln actually
+    sees keeps the term finite and cross-engine identical. One
     conditional hash-agg (source x side in a single pass) — the only
     corpus-sized stage is that count.
 
@@ -4384,10 +4388,10 @@ def source_jsd_report(docs: DataFrame) -> DataFrame:
     p_ref = F.round(F.col("n_ref") / F.col("tot_ref"), 6)
     p_cur = F.round(F.col("n_cur") / F.col("tot_cur"), 6)
     m = (p_ref + p_cur) / 2
-    t_ref = F.when(F.col("n_ref") > 0, p_ref * F.log(p_ref / m)).otherwise(
+    t_ref = F.when(p_ref > 0, p_ref * F.log(p_ref / m)).otherwise(
         F.lit(0.0)
     )
-    t_cur = F.when(F.col("n_cur") > 0, p_cur * F.log(p_cur / m)).otherwise(
+    t_cur = F.when(p_cur > 0, p_cur * F.log(p_cur / m)).otherwise(
         F.lit(0.0)
     )
     return shared.select(
@@ -4421,10 +4425,10 @@ jsd_s AS (
 docs_source_jsd AS (
   SELECT source, n_ref, n_cur, p_ref, p_cur,
          round(CAST(0.5 AS DOUBLE) * (
-           (CASE WHEN n_ref > 0
+           (CASE WHEN p_ref > 0
                  THEN p_ref * ln(p_ref / ((p_ref + p_cur) / 2))
                  ELSE CAST(0.0 AS DOUBLE) END)
-           + (CASE WHEN n_cur > 0
+           + (CASE WHEN p_cur > 0
                    THEN p_cur * ln(p_cur / ((p_ref + p_cur) / 2))
                    ELSE CAST(0.0 AS DOUBLE) END)), 6) AS jsd_term
   FROM jsd_s

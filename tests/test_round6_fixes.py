@@ -1,0 +1,126 @@
+"""Regression pins for the round-5 advice fixes: multi-round
+incremental k-truss (newly-dead retraction, not cumulative
+re-subtraction), the changepoint two-tier exact quotient split,
+the source-JSD rounded-share guard, and the betweenness-stability
+small-graph guards (actual top-list sizes, null Pearson on zero
+variance)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    graph,
+    textstats,
+)
+
+
+def _li(spark, rows):
+    return spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+
+def _clique_orders(spark, orders):
+    rows = [(ok, p) for ok, parts in orders for p in parts]
+    return _li(spark, rows)
+
+
+def test_ktruss_multi_round_does_not_double_subtract(spark):
+    """K4 {1,2,3,4} + pendant triangle {1,2,5}, k=4 (min_sup=2),
+    rounds=3: round 1 peels 1-5/2-5 (support 1), killing triangle
+    (1,2,5) and dropping edge 1-2 from 3 to 2; round 2 peels NOTHING
+    — the pre-fix code re-subtracted the already-dead triangle's
+    credit each later round, wrongly peeling 1-2 at round 2. The K4
+    must survive intact (r5 advice, graph.py incremental peel)."""
+    li = _clique_orders(spark, [(10, [1, 2, 3, 4]), (11, [1, 2, 5])])
+    out = {
+        (r["a"], r["b"]): (r["support0"], r["support_final"], r["in_truss"])
+        for r in graph.ktruss_edges(li, k=4, rounds=3).collect()
+    }
+    assert out[(1, 2)] == (3, 2, 1)  # the double-subtraction victim
+    for e in [(1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]:
+        assert out[e] == (2, 2, 1)
+    assert out[(1, 5)] == (1, 0, 0)
+    assert out[(2, 5)] == (1, 0, 0)
+
+
+def test_ktruss_cascade_peel_matches_recount(spark):
+    """Triangle strip (1,2,3)(2,3,4)(3,4,5)(4,5,6), k=4, rounds=3:
+    every edge dies — round 1 peels the support-1 boundary edges,
+    which kills all four triangles, so round 2's recount support of
+    the spine edges (23, 34, 45) is 0. The incremental retraction
+    must reproduce the full cascade."""
+    li = _clique_orders(
+        spark,
+        [(1, [1, 2, 3]), (2, [2, 3, 4]), (3, [3, 4, 5]), (4, [4, 5, 6])],
+    )
+    rows = graph.ktruss_edges(li, k=4, rounds=3).collect()
+    assert all(r["in_truss"] == 0 for r in rows)
+    sup0 = {(r["a"], r["b"]): r["support0"] for r in rows}
+    assert sup0[(2, 3)] == 2 and sup0[(3, 4)] == 2 and sup0[(4, 5)] == 2
+
+
+def test_changepoint_two_tier_decimal_split_is_exact(spark):
+    """The dominance test's quotient/remainder split (q = p div nn,
+    r = p mod nn, both DECIMAL(38,0)) must be exact at the overflow
+    envelope's edge — p near 1e35 with an awkward modulus. Pins the
+    Spark decimal semantics the r5 advice fix relies on."""
+    df = spark.createDataFrame(
+        [
+            ("99999999999999999999999999999999999", "333333337"),
+            ("10000000000000000000000000000000000", "999999999"),
+            ("123456789012345678901234567890", "1048576"),
+        ],
+        "p string, nn string",
+    ).select(
+        F.col("p").cast("decimal(38,0)").alias("p"),
+        F.col("nn").cast("decimal(38,0)").alias("nn"),
+    )
+    out = df.select(
+        "p",
+        "nn",
+        (F.col("p") % F.col("nn")).alias("r"),
+        ((F.col("p") - F.col("p") % F.col("nn")) / F.col("nn"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    ).collect()
+    for row in out:
+        p, nn, q, r = int(row["p"]), int(row["nn"]), int(row["q"]), int(row["r"])
+        assert q == p // nn and r == p % nn
+        assert 0 <= r < nn
+
+
+def test_source_jsd_sub_rounding_share_stays_finite(spark):
+    """A source whose half-share is below 5e-7 rounds to p = 0.0
+    while n > 0; the term must be exactly 0.0 (the 0*ln(0)
+    convention), not null/-inf — the guard reads the ROUNDED share,
+    which is what ln actually sees (r5 advice, textstats.py)."""
+    docs = spark.range(5_000_002).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 2, F.lit("rare"))
+        .otherwise(F.lit("common"))
+        .alias("source"),
+    )
+    out = {
+        r["source"]: r
+        for r in textstats.source_jsd_report(docs).collect()
+    }
+    rare = out["rare"]
+    # one doc per parity half -> share 4e-7 -> rounds to 0.0
+    assert rare["n_ref"] == 1 and rare["n_cur"] == 1
+    assert rare["p_ref"] == 0.0 and rare["p_cur"] == 0.0
+    assert rare["jsd_term"] == 0.0  # finite, not null
+    assert out["common"]["jsd_term"] is not None
+
+
+def test_betweenness_stability_small_graph_guards(spark):
+    """Path of 3 (only 3 nodes): set B's pivot ranks (K+1..2K) are
+    empty, so the top-B list has 0 rows — Jaccard must use the
+    ACTUAL list sizes (|A|+|B|-overlap = 1, not 2k), and Pearson
+    must be null (no common scored nodes -> no defined correlation),
+    not a division by zero (r5 advice, graph.py)."""
+    li = _li(spark, [(1, 101), (1, 102), (2, 102), (2, 103)])
+    r = graph.betweenness_stability_eval(li).collect()[0]
+    assert r["n_common"] == 0
+    assert r["n_top_overlap"] == 0
+    assert r["jaccard_topk"] == 0.0  # 0 / (1 + 0 - 0), not 0/(2k-0)
+    assert r["pearson_r"] is None
