@@ -600,11 +600,58 @@ sssp_weighted AS (SELECT node, dist_cents FROM {prev})"""
 #: betweenness needs all |V| sources (all-pairs — rejected in the idea
 #: ledger); pivot sampling (Brandes & Pich 2007) estimates it from K
 #: sources, and md5 ordering makes the "random" sample engine-portable.
+#:
+#: SCALING POLICY (r5 verdict #3 — how K must grow, and when the
+#: stability eval mandates raising it):
+#:
+#: - Growth law: K = max(4, ceil(4 * log2 |V|)) — the additive-error
+#:   concentration of pivot sampling is ~sqrt(log|V| / K) (Hoeffding
+#:   over the per-pivot dependency contributions, Brandes & Pich
+#:   2007; Riondato & Kornaropoulos 2014 give the matching VC bound),
+#:   so logarithmic growth in |V| holds the error constant. K=4 is a
+#:   FIXTURE setting (|V| ~ 2e3); at 100x (|V| ~ 2e5) the policy says
+#:   K ~ 70, still a constant factor on the K x |V| state.
+#: - Trust floors, measured by `betweenness_stability_eval` (two
+#:   disjoint K-pivot runs): the top-k ranking is actionable iff
+#:   jaccard_topk >= 0.5. Below the floor, DOUBLE K and re-evaluate;
+#:   if doubling K twice does not move jaccard_topk, the spectrum
+#:   itself is flat (no brokerage structure — every node is equally
+#:   "between") and no K makes the top-k stable: treat the scores as
+#:   non-rankable rather than raising K further. pearson_r is the
+#:   secondary magnitude diagnostic — meaningful only when n_common
+#:   is large AND the spectrum is non-flat; it is deliberately NOT a
+#:   gate (on a flat spectrum it measures sampling noise).
+#: - The TPC-H-ish fixtures are the flat case by construction
+#:   (lineitem part pairs are uniform random, so the co-purchase
+#:   graph is Erdos-Renyi-like): the eval reports jaccard_topk ~0 at
+#:   K=4..32 — the honest "do not rank on this" answer, pinned by
+#:   tests/test_round6_fixes.py on both sides of the floor (a
+#:   bridge-structured graph clears it; the fixture graph does not).
 BETW_PIVOTS = 4
 #: forward/backward supersteps: dependency within BETW_HOPS hops of a
 #: pivot — the same fixed-superstep stance as BFS_HOPS/SSSP_ROUNDS,
 #: unrolled identically in the oracle.
 BETW_HOPS = 3
+
+#: the stability-eval trust floor: act on the top-k betweenness
+#: ranking only when the two disjoint pivot runs' top lists overlap
+#: at jaccard_topk >= this value (see the BETW_PIVOTS policy above).
+BETW_JACCARD_FLOOR = 0.5
+
+
+def recommended_pivots(n_nodes: int) -> int:
+    """The BETW_PIVOTS growth law as code: K = max(4, ceil(4 *
+    log2 |V|)) — logarithmic in graph size so the sqrt(log|V|/K)
+    sampling error stays constant while the K x |V| state stays a
+    constant factor over single-source BFS. The stability eval's
+    jaccard floor decides whether the policy K is sufficient on a
+    given graph (and whether ANY K is — flat spectra are
+    non-rankable; see the BETW_PIVOTS docstring)."""
+    import math
+
+    if n_nodes < 2:
+        return 4
+    return max(4, math.ceil(4 * math.log2(n_nodes)))
 
 
 #: pivot-BFS state per (lineitem identity, pivots, hops) — the
@@ -623,6 +670,31 @@ def _pivot_bfs_staged(
     if hit is None:
         hit = (lineitem, _pivot_bfs(lineitem, pivots, hops))
         _PIVOT_BFS_CACHE[key] = hit
+    return hit[1]
+
+
+#: final node-grain betweenness score table per (lineitem identity,
+#: pivots, hops) — the BACKWARD Brandes accumulation is also shared
+#: (r5 verdict #1): `graph_betweenness` and the stability eval's set
+#: A are the same estimator run, so the delta accumulation runs once
+#: per session instead of once per consumer. Holds the parent
+#: DataFrame ref (id-reuse guard, same convention as the BFS cache).
+_BETWEENNESS_CACHE: dict[tuple[int, int, int], tuple] = {}
+
+
+def _betweenness_staged(
+    lineitem: DataFrame, pivots: int, hops: int
+) -> DataFrame:
+    key = (id(lineitem), pivots, hops)
+    hit = _BETWEENNESS_CACHE.get(key)
+    if hit is None:
+        tbl = _betweenness_from_bfs(
+            _edges_staged(lineitem),
+            _pivot_bfs_staged(lineitem, pivots, hops),
+            hops,
+        ).localCheckpoint(eager=True)
+        hit = (lineitem, tbl)
+        _BETWEENNESS_CACHE[key] = hit
     return hit[1]
 
 
@@ -714,9 +786,7 @@ def betweenness_approx(
     Output per reached non-pivot node: node, n_pivots (pivots whose
     shortest-path DAG passes through it), betweenness (round 6).
     """
-    edges = _edges_staged(lineitem)
-    dist = _pivot_bfs_staged(lineitem, pivots, hops)
-    return _betweenness_from_bfs(edges, dist, hops)
+    return _betweenness_staged(lineitem, pivots, hops)
 
 
 def _betweenness_from_bfs(
@@ -938,15 +1008,15 @@ def betweenness_stability_eval(
         .limit(pivots)
         .select(F.col("node").alias("s"))
     )
-    # set A is exactly the estimator's own pivot set — ride the
-    # session-staged forward table instead of recomputing it
-    ba = _betweenness_from_bfs(
-        edges, _pivot_bfs_staged(lineitem, pivots, hops), hops
-    ).select("node", F.col("betweenness").alias("x"))
+    # set A is exactly the estimator's own run — ride the session-
+    # staged SCORE table (forward BFS and backward accumulation both
+    # run once per session; r5 verdict #1), already checkpointed.
+    ba = _betweenness_staged(lineitem, pivots, hops).select(
+        "node", F.col("betweenness").alias("x")
+    )
     bb = _betweenness_from_bfs(
         edges, _pivot_bfs_from(edges, pb, hops), hops
     ).select("node", F.col("betweenness").alias("y"))
-    ba = ba.localCheckpoint(eager=True)
     bb = bb.localCheckpoint(eager=True)
     both = ba.join(bb, "node")
     topa = ba.orderBy(F.desc("x"), "node").limit(k).select("node")

@@ -112,6 +112,48 @@ def test_source_jsd_sub_rounding_share_stays_finite(spark):
     assert out["common"]["jsd_term"] is not None
 
 
+def test_betweenness_pivot_policy_growth_law():
+    """The documented K = max(4, ceil(4*log2|V|)) policy as code:
+    fixture scale stays cheap, 100x scale grows logarithmically."""
+    assert graph.recommended_pivots(1) == 4
+    assert graph.recommended_pivots(16) == 16
+    assert graph.recommended_pivots(2_000) == 44  # sf0.01 |V|
+    assert graph.recommended_pivots(200_000) == 71  # 100x |V|
+    assert graph.recommended_pivots(2_000_000) == 84
+
+
+def test_betweenness_stability_clears_floor_on_structured_graph(spark):
+    """Barbell (two 12-cliques joined through a bridge node): real
+    brokerage structure. The two disjoint pivot runs must agree on
+    the brokers — jaccard_topk above the trust floor (here exactly
+    1.0: both top lists are precisely the three bridge-path nodes),
+    demonstrating the floor is clearable when structure exists."""
+    rows = (
+        [(1, p) for p in range(1, 13)]
+        + [(2, p) for p in range(101, 113)]
+        + [(3, 12), (3, 50), (4, 50), (4, 101)]
+    )
+    li = _li(spark, rows)
+    r = graph.betweenness_stability_eval(li).collect()[0]
+    assert r["jaccard_topk"] >= graph.BETW_JACCARD_FLOOR
+    assert r["n_top_overlap"] == 3  # nodes 12, 50, 101 — the bridge
+
+
+def test_betweenness_stability_flags_flat_fixture_graph(spark):
+    """The fixtures' co-purchase graph is uniform-random (flat
+    betweenness truth): the eval must report agreement BELOW the
+    trust floor — the honest 'do not act on this ranking at K=4'
+    signal the scaling policy keys on."""
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    r = graph.betweenness_stability_eval(li).collect()[0]
+    assert r["jaccard_topk"] is not None
+    assert r["jaccard_topk"] < graph.BETW_JACCARD_FLOOR
+
+
 def test_betweenness_stability_small_graph_guards(spark):
     """Path of 3 (only 3 nodes): set B's pivot ranks (K+1..2K) are
     empty, so the top-B list has 0 rows — Jaccard must use the
