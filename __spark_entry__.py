@@ -1629,6 +1629,13 @@ def q_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.cluster_representatives(_docs(spark, sf_dir))
 
 
+def q_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source retention accounting after quality-aware survivor
+    selection: docs and bytes kept/dropped + keep rate — the
+    dedup-to-export audit table (r5 verdict #4)."""
+    return _dedup.retention_report(_docs(spark, sf_dir))
+
+
 def q_docs_pack_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence payload assembly: same batching as
     docs_pack_batches but emitting each batch's EOS-joined payload
@@ -3682,6 +3689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_pack_payloads": q_docs_pack_payloads,
         "dedup_cluster_reps": q_dedup_cluster_reps,
+        "dedup_retention": q_dedup_retention,
         "pagerank_products": q_pagerank_products,
         "graph_triangles": q_graph_triangles,
         "graph_degree_stats": q_graph_degree_stats,
@@ -4737,6 +4745,18 @@ def oracle_sql() -> dict[str, str]:
                 _dedup.ORACLE_CLUSTER_REPRESENTATIVES,
             ],
             "cluster_representatives",
+            recursive=True,
+        ),
+        "dedup_retention": _ext_oracle(
+            [
+                _dedup.ORACLE_SHINGLES,
+                _dedup.ORACLE_NGRAM_JACCARD,
+                _dedup.ORACLE_CONNECTED_CLUSTERS,
+                _text.oracle_quality_scores(),
+                _dedup.ORACLE_CLUSTER_REPRESENTATIVES,
+                _dedup.ORACLE_RETENTION_REPORT,
+            ],
+            "retention_report",
             recursive=True,
         ),
         "dedup_hybrid": _ext_oracle(

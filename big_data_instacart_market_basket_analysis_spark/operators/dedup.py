@@ -1236,6 +1236,69 @@ def cluster_representatives(docs: DataFrame) -> DataFrame:
     )
 
 
+def retention_report(docs: DataFrame) -> DataFrame:
+    """Dedup retention report (r5 verdict #4): after quality-aware
+    survivor selection, what did the corpus lose — docs and bytes
+    kept/dropped PER SOURCE, the accounting table every LLM pipeline
+    ships between dedup and export (a source whose keep-rate cratered
+    is a crawl bug, not a dedup win).
+
+    Composition of verified pieces: connected-components labels ->
+    `cluster_representatives` keepers (max_by quality) -> one LEFT
+    join of the corpus against the keeper ids -> one source-grain
+    hash-agg. The keeper set is cluster-grain (corpus-sized in the
+    worst all-singletons case) so it joins hash-to-hash on doc_id —
+    never broadcast; the report itself is |sources| rows. "bytes" is
+    the fixtures' n_chars column (1 char = 1 byte in the synthetic
+    ASCII corpus; at 100 TB you'd sum the real byte length the same
+    way).
+
+    Output per source: source, n_docs, n_kept, n_dropped,
+    bytes_total, bytes_kept, bytes_dropped, keep_rate (round 6).
+    """
+    keepers = cluster_representatives(docs).select(
+        F.col("keeper_doc_id").alias("doc_id"), F.lit(1).alias("kept")
+    )
+    flagged = docs.select("doc_id", "source", "n_chars").join(
+        keepers, "doc_id", "left"
+    )
+    kept = F.coalesce(F.col("kept"), F.lit(0))
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        F.sum(1 - kept).cast("bigint").alias("n_dropped"),
+        F.sum("n_chars").alias("bytes_total"),
+        F.sum(F.col("n_chars") * kept).alias("bytes_kept"),
+        F.sum(F.col("n_chars") * (1 - kept)).alias("bytes_dropped"),
+        F.round(
+            F.sum(kept).cast("double") / F.count("*"), 6
+        ).alias("keep_rate"),
+    )
+
+
+ORACLE_RETENTION_REPORT = """
+drr_flagged AS (
+  SELECT d.source, d.n_chars,
+         CASE WHEN k.keeper_doc_id IS NOT NULL THEN 1 ELSE 0 END
+           AS kept
+  FROM documents d
+  LEFT JOIN cluster_representatives k ON d.doc_id = k.keeper_doc_id
+),
+retention_report AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(kept) AS BIGINT) AS n_kept,
+         CAST(sum(1 - kept) AS BIGINT) AS n_dropped,
+         CAST(sum(n_chars) AS BIGINT) AS bytes_total,
+         CAST(sum(n_chars * kept) AS BIGINT) AS bytes_kept,
+         CAST(sum(n_chars * (1 - kept)) AS BIGINT) AS bytes_dropped,
+         round(CAST(sum(kept) AS DOUBLE) / count(*), 6) AS keep_rate
+  FROM drr_flagged
+  GROUP BY 1
+)
+"""
+
+
 ORACLE_CLUSTER_REPRESENTATIVES = """
 cr_labeled AS (
   SELECT c.doc_id, c.cluster_id, q.quality_score

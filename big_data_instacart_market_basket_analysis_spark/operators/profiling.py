@@ -717,6 +717,55 @@ def lint_report(spark, plans: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: shuffle-count jumps strictly above this are named (not failed) in
+#: the round-over-round planboard diff.
+SHUFFLE_JUMP_FLAG = 2
+
+
+def planboard_diff(old_plans: dict, new_plans: dict) -> dict:
+    """Round-over-round plan-shape ratchet (r5 verdict #2): per-query
+    deltas between two planboard ``plans`` maps. ``gate`` is FAIL iff
+    any shared query's global_windows count INCREASED or a query
+    newly errors — the two regressions the full-board sweep exists to
+    prevent; shuffle jumps > SHUFFLE_JUMP_FLAG are named for review
+    but do not fail (a deliberate rank-kernel or bucketing conversion
+    legitimately adds an exchange). Decreases and brand-new queries'
+    own counts are the sweep test's jurisdiction, not the ratchet's.
+
+    Driver-side pure function on two dicts — kept in the package (not
+    the script) so the gate itself is unit-testable."""
+    added = sorted(set(new_plans) - set(old_plans))
+    removed = sorted(set(old_plans) - set(new_plans))
+    gw_up, shuffle_jumps, err_changes, notes = {}, {}, {}, {}
+    for name in sorted(set(old_plans) & set(new_plans)):
+        o, n = old_plans[name], new_plans[name]
+        if "err" in o or "err" in n:
+            if o.get("err") != n.get("err"):
+                err_changes[name] = [o.get("err"), n.get("err")]
+            continue
+        og = o.get("global_windows", 0)
+        ng = n.get("global_windows", 0)
+        if ng > og:
+            gw_up[name] = [og, ng]
+        elif ng != og:
+            notes.setdefault("global_windows_down", {})[name] = [og, ng]
+        osh, nsh = o.get("shuffles", 0), n.get("shuffles", 0)
+        if nsh - osh > SHUFFLE_JUMP_FLAG:
+            shuffle_jumps[name] = [osh, nsh]
+    new_errs = {
+        k: v for k, v in err_changes.items() if v[1] is not None
+    }
+    return {
+        "added": added,
+        "removed": removed,
+        "global_window_increases": gw_up,
+        "shuffle_jumps_flagged": shuffle_jumps,
+        "err_changes": err_changes,
+        "notes": notes,
+        "gate": "FAIL" if (gw_up or new_errs) else "PASS",
+    }
+
+
 # ---------------------------------------------------------------------------
 # functional-dependency discovery
 # ---------------------------------------------------------------------------

@@ -3,15 +3,25 @@ the few bounded driver-side collects some operators perform) and run
 ``profiling.plan_lint`` over each — the per-round plan-shape board
 the judge reads as PLANBOARD_r{N}.json.
 
-Usage: python scripts/planboard.py [out.json] [sf_dir]
+Usage: python scripts/planboard.py [out.json] [sf_dir] [baseline.json]
        python scripts/planboard.py --diff OLD.json NEW.json
 
 Each entry: {query: {rules: {rule: n_hits}, global_windows: N,
-shuffles: N, err: ...}}; the summary line totals rule hits so a
-round-over-round diff shows shuffle/plan regressions immediately.
+shuffles: N, err: ...}}.
+
+ROUND-OVER-ROUND GATE (r5 verdict #2): the board embeds a ``diff``
+section against the newest committed PLANBOARD_r*.json (or an
+explicit baseline path) — per-query global-window and shuffle-count
+deltas plus added/removed queries — and the run EXITS NONZERO on any
+global_windows increase (the regression the full-board sweep exists
+to prevent); shuffle jumps > +2 are flagged by name but do not fail
+(a deliberate rank-kernel/bucketing conversion legitimately adds an
+exchange — those are adjudicated in review, not auto-blocked).
 """
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -24,40 +34,30 @@ from big_data_instacart_market_basket_analysis_spark.operators import (
     profiling as P,
 )
 
-def _diff(old_path: str, new_path: str) -> None:
-    """Per-query plan-shape deltas between two boards: shuffle-count
-    and global-window changes, plus added/removed queries — the
-    one-command round-over-round regression readout."""
-    old = json.load(open(old_path))["plans"]
-    new = json.load(open(new_path))["plans"]
-    added = sorted(set(new) - set(old))
-    removed = sorted(set(old) - set(new))
-    moved = []
-    for name in sorted(set(old) & set(new)):
-        o, n = old[name], new[name]
-        if "err" in o or "err" in n:
-            if o.get("err") != n.get("err"):
-                moved.append((name, "err", o.get("err"), n.get("err")))
+def _latest_board(exclude: str) -> str | None:
+    """Newest committed PLANBOARD_r*.json by round number."""
+    cands = []
+    for p in glob.glob("PLANBOARD_r*.json"):
+        if os.path.abspath(p) == os.path.abspath(exclude):
             continue
-        for k in ("shuffles", "global_windows"):
-            if o.get(k) != n.get(k):
-                moved.append((name, k, o.get(k), n.get(k)))
-    print(f"added {len(added)}: {added}")
-    print(f"removed {len(removed)}: {removed}")
-    if not moved:
-        print("no plan-shape deltas on shared queries")
-    for name, k, ov, nv in moved:
-        print(f"  {name}: {k} {ov} -> {nv}")
+        m = re.search(r"PLANBOARD_r(\d+)\.json$", p)
+        if m:
+            cands.append((int(m.group(1)), p))
+    return max(cands)[1] if cands else None
 
 
 if len(sys.argv) > 1 and sys.argv[1] == "--diff":
-    _diff(sys.argv[2], sys.argv[3])
-    sys.exit(0)
+    old = json.load(open(sys.argv[2]))["plans"]
+    new = json.load(open(sys.argv[3]))["plans"]
+    d = P.planboard_diff(old, new)
+    print(json.dumps(d, indent=1, sort_keys=True))
+    sys.exit(0 if d["gate"] == "PASS" else 1)
 
 out_path = sys.argv[1] if len(sys.argv) > 1 else "PLANBOARD.json"
 sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
     "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
 )
+baseline = sys.argv[3] if len(sys.argv) > 3 else _latest_board(out_path)
 master = "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "32")
 spark = (
     SparkSession.builder.master(master)
@@ -111,8 +111,14 @@ summary = {
     "sf_dir": sf_dir,
     "wall_secs": round(time.time() - t0, 1),
 }
+doc = {"summary": summary, "plans": board}
+if baseline and os.path.exists(baseline):
+    diff = P.planboard_diff(json.load(open(baseline))["plans"], board)
+    diff["baseline"] = baseline
+    doc["diff"] = diff
+    summary["gate"] = diff["gate"]
 with open(out_path, "w") as fh:
-    json.dump({"summary": summary, "plans": board}, fh, indent=1, sort_keys=True)
+    json.dump(doc, fh, indent=1, sort_keys=True)
 print(json.dumps(summary))
 offenders = {
     n: b["global_windows"]
@@ -120,3 +126,18 @@ offenders = {
     if b.get("global_windows")
 }
 print("global-window offenders:", json.dumps(offenders, sort_keys=True))
+if "diff" in doc:
+    d = doc["diff"]
+    print(
+        "diff vs %s: gate=%s +%d/-%d queries, gw_up=%s, shuffle_jumps=%s"
+        % (
+            baseline,
+            d["gate"],
+            len(d["added"]),
+            len(d["removed"]),
+            json.dumps(d["global_window_increases"]),
+            json.dumps(d["shuffle_jumps_flagged"]),
+        )
+    )
+    if d["gate"] != "PASS":
+        sys.exit(1)

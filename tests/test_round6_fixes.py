@@ -10,7 +10,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from big_data_instacart_market_basket_analysis_spark.operators import (
+    dedup,
     graph,
+    profiling,
     textstats,
 )
 
@@ -112,6 +114,61 @@ def test_source_jsd_sub_rounding_share_stays_finite(spark):
     assert out["common"]["jsd_term"] is not None
 
 
+def test_planboard_diff_gate_trips_on_global_window_regression():
+    """The round-over-round ratchet (r5 verdict #2): reverting
+    nb_pr_curve's bucketed prefix-sum back to an unpartitioned window
+    (global_windows 0 -> 2) must FAIL the gate; a +3 shuffle jump is
+    named but does not fail; decreases, removals and new queries
+    pass."""
+    old = {
+        "nb_pr_curve": {"global_windows": 0, "shuffles": 4},
+        "stratified_ate": {"global_windows": 0, "shuffles": 3},
+        "parts_abc": {"global_windows": 1, "shuffles": 2},
+        "gone_query": {"global_windows": 0, "shuffles": 1},
+    }
+    new = {
+        "nb_pr_curve": {"global_windows": 2, "shuffles": 4},  # revert!
+        "stratified_ate": {"global_windows": 0, "shuffles": 6},  # +3
+        "parts_abc": {"global_windows": 0, "shuffles": 2},  # improved
+        "new_query": {"global_windows": 0, "shuffles": 9},
+    }
+    d = profiling.planboard_diff(old, new)
+    assert d["gate"] == "FAIL"
+    assert d["global_window_increases"] == {"nb_pr_curve": [0, 2]}
+    assert d["shuffle_jumps_flagged"] == {"stratified_ate": [3, 6]}
+    assert d["added"] == ["new_query"] and d["removed"] == ["gone_query"]
+    assert d["notes"]["global_windows_down"] == {"parts_abc": [1, 0]}
+
+    # undo the revert -> the same board passes (jump still named)
+    new["nb_pr_curve"]["global_windows"] = 0
+    d2 = profiling.planboard_diff(old, new)
+    assert d2["gate"] == "PASS"
+    assert d2["shuffle_jumps_flagged"] == {"stratified_ate": [3, 6]}
+
+
+def test_planboard_diff_gate_trips_on_new_error():
+    """A query that starts erroring at plan-build time is a gate
+    failure; one whose prior error is FIXED passes."""
+    old = {
+        "q_ok": {"global_windows": 0, "shuffles": 1},
+        "q_was_broken": {"err": "AnalysisException: x"},
+    }
+    new_break = {
+        "q_ok": {"err": "PySparkValueError: boom"},
+        "q_was_broken": {"err": "AnalysisException: x"},
+    }
+    assert profiling.planboard_diff(old, new_break)["gate"] == "FAIL"
+    new_fixed = {
+        "q_ok": {"global_windows": 0, "shuffles": 1},
+        "q_was_broken": {"global_windows": 0, "shuffles": 2},
+    }
+    d = profiling.planboard_diff(old, new_fixed)
+    assert d["gate"] == "PASS"
+    assert d["err_changes"] == {
+        "q_was_broken": ["AnalysisException: x", None]
+    }
+
+
 def test_betweenness_pivot_policy_growth_law():
     """The documented K = max(4, ceil(4*log2|V|)) policy as code:
     fixture scale stays cheap, 100x scale grows logarithmically."""
@@ -166,3 +223,31 @@ def test_betweenness_stability_small_graph_guards(spark):
     assert r["n_top_overlap"] == 0
     assert r["jaccard_topk"] == 0.0  # 0 / (1 + 0 - 0), not 0/(2k-0)
     assert r["pearson_r"] is None
+
+
+def test_retention_report_accounting_identities(spark):
+    """Per source: kept + dropped == total for both docs and bytes;
+    every cluster keeps exactly one member, so total kept across
+    sources == number of clusters. Near-dup pair: doc 1 and 2 are
+    95%-overlapping long texts (same source); doc 3 is unique."""
+    base = " ".join("tok%d" % i for i in range(40))
+    near = " ".join("tok%d" % i for i in range(38)) + " zzz yyy"
+    uniq = " ".join("u%d" % i for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "web", len(base)),
+            (2, near, "en", "web", len(near)),
+            (3, uniq, "en", "books", len(uniq)),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    rows = {r["source"]: r for r in dedup.retention_report(docs).collect()}
+    for r in rows.values():
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
+        assert r["bytes_kept"] + r["bytes_dropped"] == r["bytes_total"]
+        assert abs(r["keep_rate"] - r["n_kept"] / r["n_docs"]) < 1e-9
+    assert rows["books"]["n_kept"] == 1 and rows["books"]["n_dropped"] == 0
+    assert rows["web"]["n_docs"] == 2
+    # docs 1 and 2 are near-dups -> one keeper, one dropped
+    assert rows["web"]["n_kept"] == 1 and rows["web"]["n_dropped"] == 1
