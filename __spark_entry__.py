@@ -2017,6 +2017,15 @@ def q_orders_service_level(
     )
 
 
+def q_orders_erlang_blocking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Erlang-B staffing curve: exact-integer blocking probability
+    (millionths) for 1..12 servers at the corpus-derived offered
+    load (M/M/s/s loss model; J(s) = a^s + s*J(s-1) recursion)."""
+    return _tmp.erlang_blocking_curve(load_table(spark, sf_dir, "orders"))
+
+
 def q_events_variance_ratio(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3477,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_newsvendor": q_parts_newsvendor,
         "parts_eoq": q_parts_eoq,
         "orders_service_level": q_orders_service_level,
+        "orders_erlang_blocking": q_orders_erlang_blocking,
         "events_cohort_ltv": q_events_cohort_ltv,
         "events_stickiness": q_events_stickiness,
         "events_matrix_profile": q_events_matrix_profile,
@@ -4472,6 +4482,9 @@ def oracle_sql() -> dict[str, str]:
         "parts_eoq": _ext_oracle([_tmp.ORACLE_EOQ], "eoq_report"),
         "orders_service_level": _ext_oracle(
             [_tmp.ORACLE_SERVICE_LEVEL], "service_level_report"
+        ),
+        "orders_erlang_blocking": _ext_oracle(
+            [_tmp.oracle_erlang_blocking()], "erlang_blocking"
         ),
         "media_sniff_dims": _ext_oracle(
             [_mm.ORACLE_SNIFF_DIMS], "media_sniff_dims"

@@ -10212,6 +10212,163 @@ service_level_report AS (
 
 
 # ---------------------------------------------------------------------------
+# Erlang-B blocking curve (exact integer recursion)
+# ---------------------------------------------------------------------------
+
+#: staffing grid: blocking probability for 1..S servers at the
+#: corpus-derived offered load. 12 servers x the A cap below keeps
+#: every intermediate within DECIMAL(38,0)/HUGEINT (see envelope in
+#: the docstring).
+ERLANG_MAX_SERVERS = 12
+#: offered-load cap (erlangs): above this, blocking at <= 12 servers
+#: is ~1 anyway and a^s would overflow 38 digits; the output carries
+#: a `capped` flag so a reader knows the curve saturated.
+ERLANG_A_CAP = 400
+#: blocking probability in integer millionths (the HITS/PageRank
+#: fixed-point convention).
+ERLANG_SCALE = 1_000_000
+
+
+def erlang_blocking_curve(orders: DataFrame) -> DataFrame:
+    """Erlang-B staffing curve: blocking probability B(s, a) for
+    s = 1..{S} servers at the data-derived offered load a (mean
+    orders per hour, 1-hour mean handle time — the M/M/s/s loss
+    model's "how many parallel agents do we staff so arrivals aren't
+    turned away"). The last "doable" entry on the deferred idea
+    ledger (r5 verdict #6).
+
+    EXACT INTEGER recursion — no float touches any value: with
+    J(s) = 1/B(s,a) * a^s, the Erlang-B recurrence
+    B(s) = a*B(s-1) / (s + a*B(s-1)) becomes the integer recursion
+        J(0) = 1;  J(s) = a^s + s * J(s-1)
+    (equivalently J(s) = sum_k a^k * s!/k!), carried in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) on a 1-row frame,
+    unrolled {S} levels exactly like PageRank/BFS/PACF. The output
+    blocking_ppm = (a^s * 1e6) div J(s) is one exact integer
+    division (the changepoint divmod split), so the whole curve
+    hash-matches by construction.
+
+    Overflow envelope: a <= {CAP} (capped, flagged) and s <= {S}
+    give a^s * 1e6 <= 400^12 * 1e6 ~ 1.7e37 < 1e38, and
+    J(s) <= max(a^s * e, s! * e^a) stays under 1e38 for the same
+    range (a >= s: J ~ a^s * (1 + s/a + ...); a < s <= 12:
+    J <= 12! * e^12 ~ 7.8e13).
+
+    Scale: ONE global count-agg over orders (n_orders, n_days) —
+    the only corpus-sized stage; the recursion is driver-free column
+    algebra on the broadcast 1-row load. Output per s: servers,
+    offered_load, capped, blocking_ppm.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = orders.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.to_date("o_orderdate")).alias("days"),
+    )
+    base = tot.select(
+        F.expr(
+            f"least((n + days * 24 - 1) div (days * 24),"
+            f" cast({ERLANG_A_CAP} as bigint))"
+        ).alias("a_int"),
+        F.expr(
+            f"cast((n + days * 24 - 1) div (days * 24)"
+            f" > {ERLANG_A_CAP} as int)"
+        ).alias("capped"),
+    ).select(
+        "a_int",
+        "capped",
+        dec(F.col("a_int")).alias("a"),
+        dec(F.lit(1)).alias("ap"),
+        dec(F.lit(1)).alias("j"),
+    )
+    levels = []
+    cur = base
+    for s in range(1, ERLANG_MAX_SERVERS + 1):
+        cur = cur.select(
+            "a_int",
+            "capped",
+            "a",
+            (F.col("ap") * F.col("a")).alias("ap"),
+            (
+                F.col("ap") * F.col("a") + F.lit(s) * F.col("j")
+            ).alias("j"),
+        )
+        levels.append(
+            cur.select(
+                F.lit(s).alias("servers"),
+                F.col("a_int").alias("offered_load"),
+                "capped",
+                "ap",
+                "j",
+            )
+        )
+    allv = levels[0]
+    for fr in levels[1:]:
+        allv = allv.unionByName(fr)
+    num = F.col("ap") * F.lit(ERLANG_SCALE).cast("decimal(38,0)")
+    return allv.select(
+        "servers",
+        "offered_load",
+        "capped",
+        ((num - num % F.col("j")) / F.col("j"))
+        .cast("bigint")
+        .alias("blocking_ppm"),
+    )
+
+
+erlang_blocking_curve.__doc__ = erlang_blocking_curve.__doc__.format(
+    S=ERLANG_MAX_SERVERS, CAP=ERLANG_A_CAP
+)
+
+
+def oracle_erlang_blocking(
+    max_servers: int = ERLANG_MAX_SERVERS,
+    cap: int = ERLANG_A_CAP,
+    scale: int = ERLANG_SCALE,
+) -> str:
+    ctes = [
+        """
+eb_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+           AS days
+  FROM orders
+)""",
+        f"""
+eb_0 AS (
+  SELECT least((n + days * 24 - 1) // (days * 24),
+               CAST({cap} AS BIGINT)) AS a_int,
+         CAST((n + days * 24 - 1) // (days * 24) > {cap} AS INT)
+           AS capped,
+         CAST(least((n + days * 24 - 1) // (days * 24),
+                    CAST({cap} AS BIGINT)) AS HUGEINT) AS a,
+         CAST(1 AS HUGEINT) AS ap,
+         CAST(1 AS HUGEINT) AS j
+  FROM eb_tot
+)""",
+    ]
+    for s in range(1, max_servers + 1):
+        ctes.append(
+            f"""
+eb_{s} AS (
+  SELECT a_int, capped, a, ap * a AS ap, ap * a + {s} * j AS j
+  FROM eb_{s - 1}
+)"""
+        )
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({s} AS INT) AS servers,"
+        f" a_int AS offered_load, capped,"
+        f" CAST((ap * {scale}) // j AS BIGINT) AS blocking_ppm"
+        f" FROM eb_{s}"
+        for s in range(1, max_servers + 1)
+    )
+    ctes.append(f"""
+erlang_blocking AS (
+{arms}
+)""")
+    return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
 # cohort LTV curves (cumulative revenue per signup cohort)
 # ---------------------------------------------------------------------------
 

@@ -13,6 +13,7 @@ from big_data_instacart_market_basket_analysis_spark.operators import (
     dedup,
     graph,
     profiling,
+    temporal,
     textstats,
 )
 
@@ -251,3 +252,36 @@ def test_retention_report_accounting_identities(spark):
     assert rows["web"]["n_docs"] == 2
     # docs 1 and 2 are near-dups -> one keeper, one dropped
     assert rows["web"]["n_kept"] == 1 and rows["web"]["n_dropped"] == 1
+
+
+def test_erlang_blocking_hand_worked_and_monotone(spark):
+    """48 orders on one day -> offered load a = 2 erlangs. Hand-worked
+    J recursion: J0=1, J1=2+1=3, J2=4+2*3=10, J3=8+3*10=38 ->
+    B = 2/3, 4/10, 8/38 -> 666666, 400000, 210526 ppm. Blocking must
+    be strictly decreasing in servers (more agents, fewer lost
+    calls)."""
+    orders = spark.createDataFrame(
+        [(i, "1995-01-01") for i in range(48)],
+        "o_orderkey long, o_orderdate string",
+    )
+    rows = sorted(
+        temporal.erlang_blocking_curve(orders).collect(),
+        key=lambda r: r["servers"],
+    )
+    assert all(r["offered_load"] == 2 and r["capped"] == 0 for r in rows)
+    ppm = [r["blocking_ppm"] for r in rows]
+    assert ppm[0] == 666666 and ppm[1] == 400000 and ppm[2] == 210526
+    assert all(a > b for a, b in zip(ppm, ppm[1:]))
+
+
+def test_erlang_blocking_caps_and_flags_huge_load(spark):
+    """12000 orders on one day -> a_raw = 500 > cap 400: the curve
+    saturates at the cap and says so."""
+    orders = spark.createDataFrame(
+        [(i, "1995-01-01") for i in range(12_000)],
+        "o_orderkey long, o_orderdate string",
+    )
+    rows = temporal.erlang_blocking_curve(orders).collect()
+    assert all(r["offered_load"] == 400 and r["capped"] == 1 for r in rows)
+    # at a=400 with <= 12 servers virtually everything blocks
+    assert all(r["blocking_ppm"] > 900_000 for r in rows)
