@@ -792,6 +792,13 @@ def q_events_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _samp.neyman_allocation(load_table(spark, sf_dir, "events"))
 
 
+def q_parts_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sample of parts by revenue (Madow, md5 order,
+    start 0): exact integer hit counts via the rank kernel's
+    cumulative line — sum(n_hits) == n by telescoping."""
+    return _samp.pps_systematic_sample(_lineitem(spark, sf_dir))
+
+
 def q_graph_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-accuracy recommender eval: catalog coverage + intra-list
     similarity of the item-item top-k lists (integer-micros pairwise
@@ -882,6 +889,13 @@ def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     supremum computed on integers at every distinct value, cumulative
     counts via the bucketed prefix-sum (no global sort)."""
     return _tmp.ks_drift_test(load_table(spark, sf_dir, "events"))
+
+
+def q_events_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) drift between the stream halves:
+    exact integer CDF-gap terms on the cent grain integrated over
+    value gaps — the magnitude-aware sibling of KS/PSI."""
+    return _tmp.wasserstein_drift(load_table(spark, sf_dir, "events"))
 
 
 def q_events_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2356,6 +2370,14 @@ def q_ml_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _glm.isotonic_calibration(load_table(spark, sf_dir, "events"))
 
 
+def q_ml_platt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling: sigmoid(a*s + c) conversion calibration fitted
+    by bounded-bin-grain GD (8 rounds, 9-dp-rounded weights) on the
+    same score bins as the isotonic calibrator — the parametric
+    member of the calibration family."""
+    return _glm.platt_calibration(load_table(spark, sf_dir, "events"))
+
+
 def q_events_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-blocked weighted DBSCAN over (user, dow) activity points;
     oracle replays the textbook quadratic epsilon-join + recursive
@@ -3457,6 +3479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_nelson_aalen": q_events_nelson_aalen,
         "events_qini": q_events_qini,
         "ml_isotonic_verified": q_ml_isotonic,
+        "ml_platt_verified": q_ml_platt,
         "events_logrank": q_events_logrank,
         "orders_backlog": q_orders_backlog,
         "price_index": q_price_index,
@@ -3592,6 +3615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_multi_test_bh": q_events_multi_test_bh,
         "events_robust_trend": q_events_robust_trend,
         "events_ks_drift": q_events_ks_drift,
+        "events_wasserstein": q_events_wasserstein,
         "events_mannwhitney": q_events_mannwhitney,
         "events_chi2": q_events_chi2,
         "events_spearman": q_events_spearman,
@@ -3612,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_ridge_verified": q_ml_ridge_verified,
         "events_conversion_ztest": q_events_conversion_ztest,
         "events_neyman": q_events_neyman,
+        "parts_pps_sample": q_parts_pps_sample,
         "graph_rec_coverage": q_graph_rec_coverage,
         "events_cusum": q_events_cusum,
         "events_bot_flags": q_events_bot_flags,
@@ -4117,6 +4142,9 @@ def oracle_sql() -> dict[str, str]:
         "events_ks_drift": _ext_oracle(
             [_tmp.ORACLE_KS_DRIFT], "ks_drift_test"
         ),
+        "events_wasserstein": _ext_oracle(
+            [_tmp.ORACLE_WASSERSTEIN], "wasserstein_drift"
+        ),
         "events_mannwhitney": _ext_oracle(
             [_tmp.ORACLE_MANNWHITNEY], "mannwhitney_test"
         ),
@@ -4169,6 +4197,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_neyman": _ext_oracle(
             [_samp.ORACLE_NEYMAN], "neyman_allocation"
+        ),
+        "parts_pps_sample": _ext_oracle(
+            [_samp.oracle_pps_systematic()], "pps_systematic_sample"
         ),
         "graph_rec_coverage": _ext_oracle(
             [_graph.oracle_rec_coverage_diversity()],
@@ -4400,6 +4431,9 @@ def oracle_sql() -> dict[str, str]:
             [_tmp.ORACLE_NELSON_AALEN], "nelson_aalen"
         ),
         "events_qini": _ext_oracle([_tmp.ORACLE_QINI], "qini_uplift"),
+        "ml_platt_verified": _ext_oracle(
+            [_glm.oracle_platt()], "platt_calibration"
+        ),
         "ml_isotonic_verified": _ext_oracle(
             [_glm.ORACLE_ISOTONIC], "isotonic_calibration"
         ),

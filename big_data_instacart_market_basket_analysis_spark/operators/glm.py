@@ -1491,3 +1491,158 @@ isotonic_calibration AS (
   FROM iso_bins i JOIN iso_fit f ON i.b = f.b
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Platt scaling (parametric sibling of the isotonic calibrator)
+# ---------------------------------------------------------------------------
+
+#: Platt GD: rounds and a dyadic learning rate (exact in binary, so
+#: the update arithmetic carries no literal-representation noise).
+PLATT_ROUNDS = 8
+PLATT_RATE = 2.0
+
+
+def platt_calibration(events: DataFrame) -> DataFrame:
+    """Platt scaling (Platt 1999): fit p = sigmoid(a*s + c) of
+    conversion on the SAME engagement-score bins the isotonic
+    calibrator uses — the parametric member of the calibration
+    family (isotonic bends anywhere but can overfit sparse bins;
+    Platt is 2 parameters and extrapolates). Deviation from Platt's
+    paper: plain 0/1 targets instead of the (N+1)/(N+2) smoothed
+    targets — documented, mirrored in the oracle.
+
+    The corpus collapses to the <= ISO_BINS weighted bin rows FIRST
+    (one user-grain pass + one hash-agg — identical shape to
+    `isotonic_calibration`), then full-batch GD runs on that bounded
+    table: per round one broadcast of the 1-row (a, c) weights, the
+    weighted log-loss gradient over <= 32 rows, and a 9-dp-rounded
+    update (the logreg_train convention, which makes cross-round
+    state exactly equal in both engines; the sigmoid is rounded at
+    12 dp on an exactly-representable input — s = b/32 is dyadic).
+
+    Scale: GD cost is independent of corpus size (the bin table is
+    constant-width); the only corpus-sized stages are the two
+    aggregations. Output per bin: bin, n_users, n_pos, rate,
+    platt_rate (round 6), a_hat, c_hat (the fitted params, repeated
+    — round 6).
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("x"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("y"),
+    )
+    bins = (
+        per_user.select(
+            F.least(F.col("x"), F.lit(ISO_BINS - 1))
+            .cast("int")
+            .alias("b"),
+            "y",
+        )
+        .groupBy("b")
+        .agg(F.count("*").alias("sw"), F.sum("y").alias("sy"))
+        .localCheckpoint(eager=True)  # <= 32 rows, reused per round
+    )
+    s = F.col("b").cast("double") / F.lit(float(ISO_BINS))
+    w = None  # 1-row (a, c)
+    for _ in range(PLATT_ROUNDS):
+        src_df = (
+            bins.select(
+                "*", F.lit(0.0).alias("a"), F.lit(0.0).alias("c")
+            )
+            if w is None
+            else bins.crossJoin(F.broadcast(w))
+        )
+        m = F.col("a") * s + F.col("c")
+        p = F.least(
+            F.greatest(
+                F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-m)), 12),
+                F.lit(_P_FLOOR),
+            ),
+            F.lit(1.0 - _P_FLOOR),
+        )
+        scored = src_df.select("*", p.alias("p"))
+        resid = F.col("sw") * F.col("p") - F.col("sy")
+        w = scored.agg(
+            F.round(
+                F.first("a")
+                - F.lit(PLATT_RATE)
+                * F.sum(resid * s)
+                / F.sum("sw"),
+                9,
+            ).alias("a"),
+            F.round(
+                F.first("c")
+                - F.lit(PLATT_RATE) * F.sum(resid) / F.sum("sw"),
+                9,
+            ).alias("c"),
+        )
+    m_fin = F.col("a") * s + F.col("c")
+    return bins.crossJoin(F.broadcast(w)).select(
+        F.col("b").alias("bin"),
+        F.col("sw").alias("n_users"),
+        F.col("sy").alias("n_pos"),
+        F.round(
+            F.col("sy").cast("double") / F.col("sw").cast("double"), 6
+        ).alias("rate"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-m_fin)), 6
+        ).alias("platt_rate"),
+        F.round(F.col("a"), 6).alias("a_hat"),
+        F.round(F.col("c"), 6).alias("c_hat"),
+    )
+
+
+def oracle_platt() -> str:
+    ctes = [
+        """
+pl_user AS (
+  SELECT CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+)""",
+        f"""
+pl_bins AS MATERIALIZED (
+  SELECT CAST(least(x, {ISO_BINS - 1}) AS INT) AS b,
+         CAST(count(*) AS BIGINT) AS sw,
+         CAST(sum(y) AS BIGINT) AS sy
+  FROM pl_user GROUP BY 1
+)""",
+        """
+pl_w0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS c)""",
+    ]
+    sx = f"(CAST(b AS DOUBLE) / {ISO_BINS})"
+    p_expr = (
+        "least(greatest(round(1.0 / (1.0 + exp(-(w.a * {sx}"
+        " + w.c))), 12), {floor!r}), 1.0 - {floor!r})"
+    ).format(sx=sx, floor=_P_FLOOR)
+    for r in range(1, PLATT_ROUNDS + 1):
+        ctes.append(
+            f"""
+pl_w{r} AS MATERIALIZED (
+  SELECT round(w.a - {PLATT_RATE!r} * sum((sw * {p_expr} - sy)
+               * {sx}) / sum(sw), 9) AS a,
+         round(w.c - {PLATT_RATE!r} * sum(sw * {p_expr} - sy)
+               / sum(sw), 9) AS c
+  FROM pl_bins, pl_w{r - 1} w
+  GROUP BY w.a, w.c
+)"""
+        )
+    ctes.append(
+        f"""
+platt_calibration AS (
+  SELECT b AS bin, sw AS n_users, sy AS n_pos,
+         round(CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS rate,
+         round(1.0 / (1.0 + exp(-(w.a * {sx} + w.c))), 6)
+           AS platt_rate,
+         round(w.a, 6) AS a_hat,
+         round(w.c, 6) AS c_hat
+  FROM pl_bins, pl_w{PLATT_ROUNDS} w
+)"""
+    )
+    return ",".join(ctes)

@@ -780,3 +780,102 @@ neyman_allocation AS (
   FROM ney_scored
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# PPS systematic sampling (Madow) over parts by revenue
+# ---------------------------------------------------------------------------
+
+#: systematic PPS draw count.
+PPS_SAMPLE_N = 200
+
+
+def pps_systematic_sample(
+    lineitem: DataFrame, n: int = PPS_SAMPLE_N
+) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling (Madow
+    1949) of parts weighted by revenue — the estimator-friendly way
+    to audit a heavy-tailed catalog: big sellers are (nearly) certain
+    draws, the tail is sampled in proportion, and Horvitz-Thompson
+    reweighting by T/n per hit reproduces the revenue total EXACTLY
+    (telescoping: sum of n_hits is exactly n).
+
+    Deterministic variant: units are laid on the cumulative revenue
+    line in md5(partkey) order (the repo's engine-portable "random"
+    shuffle) and the systematic start is 0 instead of a random
+    offset — documented deviation from Madow's random start, chosen
+    so the draw is reproducible and oracle-checkable. A unit whose
+    size spans several skip intervals is drawn multiple times
+    (n_hits > 1), the standard PPS-with-replacement accounting.
+
+    Exactness: hit counts are pure integer arithmetic —
+    n_hits = (cum_hi*n) div T - (cum_lo*n) div T with all products
+    in DECIMAL(38,0)/HUGEINT, so the sample hash-matches by
+    construction. The cumulative line comes from the distributed
+    rank kernel (range exchange + local window + broadcast packed
+    prefix offsets — ZERO global WindowExec); the oracle replays it
+    as a plain window cumsum.
+
+    Output per drawn part: l_partkey, size_cents, n_hits.
+    """
+    from . import ranking as _rank
+
+    sizes = lineitem.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        ).alias("size_cents")
+    )
+    ordered = sizes.withColumn(
+        "h", F.md5(F.col("l_partkey").cast("string"))
+    )
+    ranked = _rank.global_ranked(
+        ordered,
+        [F.col("h"), F.col("l_partkey")],
+        sum_cols=["size_cents"],
+    )
+    tot = sizes.agg(F.sum("size_cents").alias("t"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    hi = dec(F.col("_run_size_cents")) * F.lit(n)
+    lo = dec(F.col("_run_size_cents") - F.col("size_cents")) * F.lit(n)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "size_cents",
+            (
+                F.call_function("div", hi, dec(F.col("t")))
+                - F.call_function("div", lo, dec(F.col("t")))
+            ).alias("n_hits"),
+        )
+        .filter(F.col("n_hits") >= 1)
+    )
+
+
+def oracle_pps_systematic(n: int = PPS_SAMPLE_N) -> str:
+    return f"""
+pps_sizes AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS size_cents
+  FROM lineitem GROUP BY 1
+),
+pps_cum AS (
+  SELECT l_partkey, size_cents,
+         CAST(sum(size_cents) OVER (
+           ORDER BY md5(CAST(l_partkey AS VARCHAR)), l_partkey
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hi
+  FROM pps_sizes
+),
+pps_tot AS (
+  SELECT CAST(sum(size_cents) AS BIGINT) AS t FROM pps_sizes
+),
+pps_systematic_sample AS (
+  SELECT l_partkey, size_cents, n_hits FROM (
+    SELECT l_partkey, size_cents,
+           CAST((CAST(cum_hi AS HUGEINT) * {n}) // t
+                - (CAST(cum_hi - size_cents AS HUGEINT) * {n}) // t
+                AS BIGINT) AS n_hits
+    FROM pps_cum, pps_tot
+  ) WHERE n_hits >= 1
+)
+"""

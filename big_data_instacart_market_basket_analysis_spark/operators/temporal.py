@@ -2454,6 +2454,160 @@ ks_drift_test AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# Wasserstein-1 drift (earth-mover distance between the two halves)
+# ---------------------------------------------------------------------------
+
+
+def wasserstein_drift(events: DataFrame) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between the first and
+    second half of the event stream's value distribution — the
+    magnitude-aware member of the drift family: KS reports the worst
+    single CDF gap, PSI a binned log-ratio, W1 the literal dollars a
+    unit of probability mass must move, integrating ALL gaps
+    (W1 = integral |F1 - F2| dx over the value axis).
+
+    Exactness: values are exact BIGINT cents; at every distinct cent
+    value the CDF gap numerator D = |cum1*n2 - cum2*n1| is an exact
+    integer (the KS trick) and the integral term D * gap_to_next_cent
+    is carried in DECIMAL(38,0); the single division by n1*n2*100
+    happens once at the output edge (round 6, dollars).
+
+    Scale: same distributed shape as `ks_drift_test` — per-value cum
+    counts via the bucketed prefix sum (per-bucket totals -> tiny
+    offset table -> within-bucket window, no global sort); the gap to
+    the next distinct value is a within-bucket lead stitched across
+    bucket boundaries by a bucket-grain join against the next
+    non-empty bucket's min (offset-table-sized work). The last value
+    contributes nothing (both CDFs are 1 there, D = 0).
+
+    Output (1 row): n1, n2, n_values, w1_dollars.
+    """
+    ev = events.filter(F.col("value").isNotNull()).select(
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+    )
+    bounds = ev.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    )
+    sided = ev.crossJoin(F.broadcast(bounds)).select(
+        "v",
+        (
+            F.col("ts_us") * 2 <= (F.col("lo") + F.col("hi"))
+        ).alias("first_half"),
+    )
+    per_value = sided.groupBy("v").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("first_half"), 0).otherwise(1)).alias("c2"),
+    ).withColumn("bucket", F.floor(F.col("v") / 100))
+    btot = per_value.groupBy("bucket").agg(
+        F.sum("c1").alias("b1"),
+        F.sum("c2").alias("b2"),
+        F.min("v").alias("bmin"),
+    )
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wnext = Window.orderBy("bucket").rowsBetween(1, 1)
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("b1").over(woff), F.lit(0)).alias("off1"),
+        F.coalesce(F.sum("b2").over(woff), F.lit(0)).alias("off2"),
+        F.first("bmin").over(wnext).alias("next_bmin"),
+    )
+    win = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wlead = Window.partitionBy("bucket").orderBy("v").rowsBetween(1, 1)
+    totals = per_value.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    cum = (
+        per_value.join(F.broadcast(offsets), "bucket")
+        .select(
+            "v",
+            (F.col("off1") + F.sum("c1").over(win)).alias("cum1"),
+            (F.col("off2") + F.sum("c2").over(win)).alias("cum2"),
+            F.coalesce(
+                F.first("v").over(wlead), F.col("next_bmin")
+            ).alias("v_next"),
+        )
+        .filter(F.col("v_next").isNotNull())
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n1",
+            "n2",
+            (
+                F.abs(
+                    F.col("cum1") * F.col("n2")
+                    - F.col("cum2") * F.col("n1")
+                ).cast("decimal(38,0)")
+                * (F.col("v_next") - F.col("v")).cast("decimal(38,0)")
+            ).alias("term"),
+        )
+    )
+    return (
+        cum.groupBy("n1", "n2")
+        .agg(
+            (F.count("*") + 1).alias("n_values"),
+            F.sum("term").alias("s"),
+        )
+        .select(
+            "n1",
+            "n2",
+            "n_values",
+            F.round(
+                F.col("s").cast("double")
+                / (
+                    F.col("n1").cast("double")
+                    * F.col("n2")
+                    * 100
+                ),
+                6,
+            ).alias("w1_dollars"),
+        )
+    )
+
+
+ORACLE_WASSERSTEIN = """
+w1v AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT)
+           AS c1,
+         CAST(sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS BIGINT)
+           AS c2
+  FROM (
+    SELECT value, epoch_us(ts) * 2 <= (lo + hi) AS first_half
+    FROM events,
+         (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+          FROM events WHERE value IS NOT NULL)
+    WHERE value IS NOT NULL
+  ) GROUP BY 1
+),
+w1t AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM w1v
+),
+w1c AS (
+  SELECT CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+         CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS cum2,
+         v,
+         lead(v) OVER (ORDER BY v) AS v_next
+  FROM w1v
+),
+wasserstein_drift AS (
+  SELECT t.n1, t.n2,
+         CAST(count(*) + 1 AS BIGINT) AS n_values,
+         round(CAST(sum(CAST(abs(cum1 * t.n2 - cum2 * t.n1) AS HUGEINT)
+                        * (v_next - v)) AS DOUBLE)
+               / (CAST(t.n1 AS DOUBLE) * t.n2 * 100), 6) AS w1_dollars
+  FROM w1c, w1t t
+  WHERE v_next IS NOT NULL
+  GROUP BY t.n1, t.n2
+)
+"""
+
+
 def mannwhitney_test(events: DataFrame) -> DataFrame:
     """Mann-Whitney U between the two A/B variants' per-user purchase
     totals — the nonparametric companion to ``ab_test_report``'s Welch

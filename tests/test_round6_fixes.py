@@ -11,8 +11,10 @@ import pyspark.sql.functions as F
 
 from big_data_instacart_market_basket_analysis_spark.operators import (
     dedup,
+    glm,
     graph,
     profiling,
+    sampling,
     temporal,
     textstats,
 )
@@ -285,3 +287,81 @@ def test_erlang_blocking_caps_and_flags_huge_load(spark):
     assert all(r["offered_load"] == 400 and r["capped"] == 1 for r in rows)
     # at a=400 with <= 12 servers virtually everything blocks
     assert all(r["blocking_ppm"] > 900_000 for r in rows)
+
+
+def test_wasserstein_hand_worked_shift(spark):
+    """First half values {1.00, 2.00}, second half {2.00, 3.00}: the
+    CDFs differ by 0.5 on [1,2) and 0.5 on [2,3) -> W1 = 1.00
+    dollars exactly (a pure +1.00 location shift)."""
+    rows = [
+        ("2024-01-01 00:00:00", 1.0),
+        ("2024-01-01 01:00:00", 2.0),
+        ("2024-01-01 23:00:00", 2.0),
+        ("2024-01-02 00:00:00", 3.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "ts string, value double"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    r = temporal.wasserstein_drift(events).collect()[0]
+    assert (r["n1"], r["n2"]) == (2, 2)
+    assert r["w1_dollars"] == 1.0
+
+
+def test_wasserstein_identical_halves_is_zero(spark):
+    """Same distribution in both halves -> zero transport cost."""
+    rows = [
+        ("2024-01-01 00:00:00", 5.0),
+        ("2024-01-01 01:00:00", 9.0),
+        ("2024-01-01 23:00:00", 5.0),
+        ("2024-01-02 00:00:00", 9.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "ts string, value double"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    assert temporal.wasserstein_drift(events).collect()[0]["w1_dollars"] == 0.0
+
+
+def test_pps_sample_hits_telescope_to_n(spark):
+    """Madow systematic PPS: sum of hit counts telescopes to exactly
+    n, and a unit holding > 2 skip intervals of mass is drawn >= 2
+    times while tail units get at most ceil(share*n)+1."""
+    rows = [(1, 900, 500.0)] + [
+        (i, 900 + i, 5.0) for i in range(2, 102)
+    ]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_extendedprice double"
+    )
+    out = sampling.pps_systematic_sample(li, n=20).collect()
+    assert sum(r["n_hits"] for r in out) == 20
+    hits = {r["l_partkey"]: r["n_hits"] for r in out}
+    # part 900 holds 50% of revenue -> ~10 of 20 draws
+    assert hits[900] >= 9
+
+
+def test_platt_calibration_is_monotone_and_bounded(spark):
+    """Positive-slope fit: platt_rate must be strictly increasing in
+    bin (sigmoid of an increasing line) and inside (0, 1)."""
+    rows = []
+    uid = 0
+    # low-engagement users rarely convert, high-engagement often
+    for b, (n, pos) in {0: (50, 5), 5: (40, 20), 15: (30, 27)}.items():
+        for i in range(n):
+            uid += 1
+            for _ in range(b):
+                rows.append((uid, "view", "2024-01-01 00:00:00"))
+            rows.append(
+                (uid, "purchase" if i < pos else "click",
+                 "2024-01-01 01:00:00")
+            )
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).select("user_id", "event_type",
+             F.col("ts").cast("timestamp").alias("ts"))
+    out = sorted(
+        glm.platt_calibration(events).collect(), key=lambda r: r["bin"]
+    )
+    assert [r["bin"] for r in out] == [0, 5, 15]
+    assert out[0]["a_hat"] > 0
+    rates = [r["platt_rate"] for r in out]
+    assert rates == sorted(rates) and rates[0] < rates[-1]
+    assert all(0.0 < x < 1.0 for x in rates)
