@@ -46,6 +46,7 @@ GLOBAL_WINDOW_WHITELIST: dict[str, tuple[int, str]] = {
     "events_granger": (1, "day"),
     "events_km_survival": (2, "t_days (event-age days)"),
     "events_ks_drift": (1, "bucket"),
+    "events_wasserstein": (1, "bucket"),
     "events_logrank": (1, "t_days"),
     "events_mannwhitney": (1, "bucket"),
     "events_matrix_profile": (7, "day (window-arm leads)"),
