@@ -2265,6 +2265,14 @@ def q_events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.km_survival(load_table(spark, sf_dir, "events"))
 
 
+def q_events_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified Cox proportional hazards (Breslow ties) of
+    time-to-first-purchase on engagement: Newton iterations on the
+    calendar x bin grid — per-round beta, score, information,
+    hazard ratio."""
+    return _tmp.cox_ph_train(load_table(spark, sf_dir, "events"))
+
+
 def q_events_type_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation matrix of hourly event-type count series
     (dense hour grid, integral sums)."""
@@ -3476,6 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_predict": q_events_markov_predict,
         "events_type_corr": q_events_type_corr,
         "events_km_survival": q_events_km_survival,
+        "events_cox_ph": q_events_cox_ph,
         "events_nelson_aalen": q_events_nelson_aalen,
         "events_qini": q_events_qini,
         "ml_isotonic_verified": q_ml_isotonic,
@@ -4426,6 +4435,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_km_survival": _ext_oracle(
             [_tmp.ORACLE_KM_SURVIVAL], "km_survival"
+        ),
+        "events_cox_ph": _ext_oracle(
+            [_tmp.oracle_cox_ph()], "cox_ph_train"
         ),
         "events_nelson_aalen": _ext_oracle(
             [_tmp.ORACLE_NELSON_AALEN], "nelson_aalen"

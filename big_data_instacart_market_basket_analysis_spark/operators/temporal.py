@@ -12334,3 +12334,231 @@ orders_reorder_policy AS (
   FROM iv_rec
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Cox proportional hazards (verified, Breslow ties, Newton on the grid)
+# ---------------------------------------------------------------------------
+
+#: Cox covariate bins (engagement views capped at BINS-1) and Newton
+#: rounds. The covariate enters as s = x/BINS — exact dyadic, bounded
+#: in [0,1), so exp(beta*s) stays O(1) and the 12-dp rounding absorbs
+#: cross-engine libm ulp (the logreg sigmoid convention).
+COX_BINS = 8
+COX_ROUNDS = 4
+
+
+def cox_ph_train(events: DataFrame) -> DataFrame:
+    """Verified Cox proportional-hazards regression of time-to-first-
+    purchase on engagement (view count) — the covariate-adjusted
+    member that completes the survival family (KM/Nelson-Aalen
+    estimate curves, log-rank compares two groups; Cox quantifies a
+    continuous covariate's hazard ratio). Subject = user; duration =
+    days from first activity to first purchase; users who never
+    purchase are right-censored at their last activity day. The
+    covariate is the user's total view count (capped bin; includes
+    post-purchase views — documented simplification, it is a demo
+    covariate, and the oracle mirrors it exactly).
+
+    Breslow tie handling; full Newton-Raphson, COX_ROUNDS unrolled
+    iterations identically in the oracle. The corpus collapses ONCE
+    to the (t x covariate-bin) exit grid (<= day-span * COX_BINS
+    rows, calendar-bounded). Risk sets at each event day te are an
+    explicit bounded theta-join ev_days x grid on t >= te (never a
+    window, and no bin can go missing from a risk set — every user
+    with t >= te is counted whatever day they exit). Each iteration:
+    broadcast the 1-row beta, weight by w = round(exp(beta*s), 12)
+    with s = x/COX_BINS exact dyadic in [0,1) (so exp stays O(1) and
+    the rounding absorbs cross-engine libm ulp), reduce to per-day
+    S0/S1/S2, fold the score U = sum_t [s_sum_t - d_t*S1/S0] and
+    information I = sum_t d_t*(S2/S0 - (S1/S0)^2); update
+    beta' = round(beta + U/I, 9) — cross-round state exactly equal
+    in both engines (the logreg_train discipline).
+
+    Scale: iteration cost is independent of corpus size (constant
+    grid); the only corpus-sized stages are the two user-grain aggs.
+    Output per round: round, beta, score_u, fisher_i, hazard_ratio
+    (exp(beta) for the full s=1 engagement span, round 6).
+    """
+    purchases = events.filter(
+        F.col("event_type") == "purchase"
+    ).groupBy("user_id").agg(F.min(F.to_date("ts")).alias("dp"))
+    spans = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("views"),
+    )
+    users = spans.join(purchases, "user_id", "left").select(
+        F.when(
+            F.col("dp").isNotNull(), F.datediff("dp", "d0")
+        ).otherwise(F.datediff("d1", "d0")).alias("t"),
+        F.least(F.col("views"), F.lit(COX_BINS - 1))
+        .cast("int")
+        .alias("x"),
+        F.col("dp").isNotNull().cast("int").alias("event"),
+    )
+    cell = (
+        users.groupBy("t", "x")
+        .agg(
+            F.count("*").alias("n_exit"),
+            F.sum("event").alias("n_event"),
+        )
+        .localCheckpoint(eager=True)  # calendar x bins grid
+    )
+    s = F.col("x").cast("double") / F.lit(float(COX_BINS))
+    ev = (
+        cell.groupBy("t")
+        .agg(
+            F.sum("n_event").alias("d"),
+            F.sum(F.col("n_event") * s).alias("s_sum"),
+        )
+        .filter(F.col("d") > 0)
+        .select(F.col("t").alias("te"), "d", "s_sum")
+        .localCheckpoint(eager=True)
+    )
+    # bounded risk-set expansion: every grid cell joins every event
+    # day it is at risk for (|ev_days| x |grid| rows, both
+    # calendar/bin-bounded)
+    risk = (
+        ev.select("te")
+        .join(
+            cell.select("t", "x", "n_exit"),
+            F.col("t") >= F.col("te"),
+        )
+        .groupBy("te", "x")
+        .agg(F.sum("n_exit").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    beta = None  # 1-row (beta)
+    out = None
+    for rnd in range(1, COX_ROUNDS + 1):
+        src_df = (
+            risk.select("*", F.lit(0.0).alias("beta"))
+            if beta is None
+            else risk.crossJoin(F.broadcast(beta.select("beta")))
+        )
+        w = F.round(F.exp(F.col("beta") * s), 12)
+        day = src_df.groupBy("te").agg(
+            F.sum(F.col("r") * w).alias("s0"),
+            F.sum(F.col("r") * s * w).alias("s1"),
+            F.sum(F.col("r") * s * s * w).alias("s2"),
+            F.first("beta").alias("beta"),
+        )
+        terms = day.join(ev, "te").select(
+            "beta",
+            (
+                F.col("s_sum") - F.col("d") * F.col("s1") / F.col("s0")
+            ).alias("u_t"),
+            (
+                F.col("d")
+                * (
+                    F.col("s2") / F.col("s0")
+                    - (F.col("s1") / F.col("s0"))
+                    * (F.col("s1") / F.col("s0"))
+                )
+            ).alias("i_t"),
+        )
+        stat = terms.agg(
+            F.first("beta").alias("beta_prev"),
+            F.sum("u_t").alias("u"),
+            F.sum("i_t").alias("i"),
+        )
+        beta = stat.select(
+            F.round(
+                F.col("beta_prev") + F.col("u") / F.col("i"), 9
+            ).alias("beta"),
+            F.col("u").alias("u"),
+            F.col("i").alias("i"),
+        ).localCheckpoint(eager=True)
+        row = beta.select(
+            F.lit(rnd).alias("round"),
+            "beta",
+            F.round(F.col("u"), 6).alias("score_u"),
+            F.round(F.col("i"), 6).alias("fisher_i"),
+            F.round(F.exp("beta"), 6).alias("hazard_ratio"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def oracle_cox_ph(
+    bins: int = COX_BINS, rounds: int = COX_ROUNDS
+) -> str:
+    sx = f"(CAST(x AS DOUBLE) / {bins})"
+    ctes = [
+        f"""
+cox_u AS (
+  SELECT CASE WHEN p.dp IS NOT NULL
+              THEN date_diff('day', s.d0, p.dp)
+              ELSE date_diff('day', s.d0, s.d1) END AS t,
+         CAST(least(s.views, {bins - 1}) AS INT) AS x,
+         CAST(p.dp IS NOT NULL AS INT) AS event
+  FROM (SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+               max(CAST(ts AS DATE)) AS d1,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                        END) AS BIGINT) AS views
+        FROM events GROUP BY 1) s
+  LEFT JOIN (SELECT user_id, min(CAST(ts AS DATE)) AS dp
+             FROM events WHERE event_type = 'purchase'
+             GROUP BY 1) p USING (user_id)
+)""",
+        """
+cox_cell AS MATERIALIZED (
+  SELECT t, x, CAST(count(*) AS BIGINT) AS n_exit,
+         CAST(sum(event) AS BIGINT) AS n_event
+  FROM cox_u GROUP BY 1, 2
+)""",
+        f"""
+cox_ev AS MATERIALIZED (
+  SELECT t AS te, CAST(sum(n_event) AS BIGINT) AS d,
+         sum(n_event * {sx}) AS s_sum
+  FROM cox_cell GROUP BY 1
+  HAVING sum(n_event) > 0
+)""",
+        """
+cox_risk AS MATERIALIZED (
+  SELECT e.te, c.x, CAST(sum(c.n_exit) AS BIGINT) AS r
+  FROM cox_ev e JOIN cox_cell c ON c.t >= e.te
+  GROUP BY 1, 2
+)""",
+        """
+cox_b0 AS (SELECT CAST(0.0 AS DOUBLE) AS beta)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""
+cox_day{r} AS (
+  SELECT te,
+         sum(r * round(exp(b.beta * {sx}), 12)) AS s0,
+         sum(r * {sx} * round(exp(b.beta * {sx}), 12)) AS s1,
+         sum(r * {sx} * {sx} * round(exp(b.beta * {sx}), 12)) AS s2,
+         any_value(b.beta) AS beta
+  FROM cox_risk, cox_b{r - 1} b
+  GROUP BY te
+)""",
+        )
+        ctes.append(
+            f"""
+cox_b{r} AS MATERIALIZED (
+  SELECT round(any_value(beta)
+               + sum(s_sum - d * s1 / s0)
+               / sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0))), 9)
+           AS beta,
+         sum(s_sum - d * s1 / s0) AS u,
+         sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0))) AS i
+  FROM cox_day{r} JOIN cox_ev USING (te)
+)"""
+        )
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({r} AS INT) AS round, beta,"
+        f" round(u, 6) AS score_u, round(i, 6) AS fisher_i,"
+        f" round(exp(beta), 6) AS hazard_ratio FROM cox_b{r}"
+        for r in range(1, rounds + 1)
+    )
+    ctes.append(f"""
+cox_ph_train AS (
+{arms}
+)""")
+    return ",".join(ctes)

@@ -365,3 +365,39 @@ def test_platt_calibration_is_monotone_and_bounded(spark):
     rates = [r["platt_rate"] for r in out]
     assert rates == sorted(rates) and rates[0] < rates[-1]
     assert all(0.0 < x < 1.0 for x in rates)
+
+
+def test_cox_ph_positive_hazard_for_fast_converters(spark):
+    """Hand-built survival data: high-engagement users purchase on
+    day 1, low-engagement users purchase on day 20 or never
+    (censored) -> the engagement coefficient must be positive (higher
+    hazard of converting), the Newton score must shrink toward 0, and
+    the hazard ratio must equal exp(beta) rounded the same way."""
+    import math
+
+    rows = []
+    uid = 0
+    for _ in range(30):  # fast converters: 7+ views, purchase day 1
+        uid += 1
+        rows += [(uid, "view", "2024-01-01 00:00:00")] * 7
+        rows.append((uid, "purchase", "2024-01-02 00:00:00"))
+    for i in range(30):  # slow: no views, purchase day 20 or censored
+        uid += 1
+        rows.append((uid, "click", "2024-01-01 00:00:00"))
+        if i < 10:
+            rows.append((uid, "purchase", "2024-01-21 00:00:00"))
+        else:
+            rows.append((uid, "click", "2024-01-25 00:00:00"))
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).select("user_id", "event_type",
+             F.col("ts").cast("timestamp").alias("ts"))
+    out = sorted(
+        temporal.cox_ph_train(events).collect(), key=lambda r: r["round"]
+    )
+    last = out[-1]
+    assert last["beta"] > 0
+    assert abs(out[-1]["score_u"]) < abs(out[0]["score_u"])
+    assert abs(
+        last["hazard_ratio"] - round(math.exp(last["beta"]), 6)
+    ) < 1e-9
