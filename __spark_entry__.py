@@ -840,6 +840,21 @@ def q_events_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT daily conversion monitor: cumulative LLR on exact
+    integer counts with Python-injected ln constants (bitwise-equal
+    IEEE arithmetic in both engines) vs the Wald boundaries."""
+    return _tmp.sprt_monitor(load_table(spark, sf_dir, "events"))
+
+
+def q_events_overdispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Poisson overdispersion gate on per-user purchase counts:
+    dispersion index + normal-approx z from three exact integers."""
+    return _tmp.overdispersion_test(load_table(spark, sf_dir, "events"))
+
+
 def q_events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U between the A/B variants' per-user purchase
     totals — rank-based (whale-robust) significance; doubled-rank
@@ -2124,6 +2139,12 @@ def q_docs_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the Gopher and CCNet quality raters
     (chance-corrected agreement on exact 2x2 cells)."""
     return _text.rater_kappa(load_table(spark, sf_dir, "documents"))
+
+
+def q_docs_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal, 3 raters: Gopher, CCNet
+    tercile, length heuristic) — exact-integer disagreement ratio."""
+    return _text.krippendorff_alpha(load_table(spark, sf_dir, "documents"))
 
 
 def q_events_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3504,6 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_effect_size": q_events_effect_size,
         "events_hill_tail": q_events_hill_tail,
         "docs_rater_kappa": q_docs_rater_kappa,
+        "docs_krippendorff": q_docs_krippendorff,
         "events_granger": q_events_granger,
         "graph_rich_club": q_graph_rich_club,
         "ann_knn_classifier": q_ann_knn_classifier,
@@ -3627,6 +3649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_wasserstein": q_events_wasserstein,
         "events_mannwhitney": q_events_mannwhitney,
         "events_chi2": q_events_chi2,
+        "events_sprt": q_events_sprt,
+        "events_overdispersion": q_events_overdispersion,
         "events_spearman": q_events_spearman,
         "events_anova": q_events_anova,
         "events_permutation_test": q_events_permutation_test,
@@ -4160,6 +4184,12 @@ def oracle_sql() -> dict[str, str]:
         "events_chi2": _ext_oracle(
             [_tmp.oracle_chi2_independence()], "chi2_independence"
         ),
+        "events_sprt": _ext_oracle(
+            [_tmp.ORACLE_SPRT], "sprt_monitor"
+        ),
+        "events_overdispersion": _ext_oracle(
+            [_tmp.ORACLE_OVERDISPERSION], "overdispersion_test"
+        ),
         "events_spearman": _ext_oracle(
             [_tmp.ORACLE_SPEARMAN], "spearman_corr"
         ),
@@ -4565,6 +4595,15 @@ def oracle_sql() -> dict[str, str]:
         "events_peaks": _ext_oracle([_tmp.ORACLE_PEAKS], "revenue_peaks"),
         "ann_rocchio": _ext_oracle(
             [_sim.ORACLE_ROCCHIO], "rocchio_classifier_eval"
+        ),
+        "docs_krippendorff": _ext_oracle(
+            [
+                _text.oracle_gopher_rules(),
+                _text.ORACLE_UNIGRAM_LOGPROB,
+                _text.ORACLE_CCNET_BUCKETS,
+                _text.ORACLE_KRIPPENDORFF,
+            ],
+            "krippendorff_alpha",
         ),
         "docs_rater_kappa": _ext_oracle(
             [

@@ -30,6 +30,8 @@ values).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -12562,3 +12564,204 @@ cox_ph_train AS (
 {arms}
 )""")
     return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# SPRT sequential conversion monitor (Wald boundaries)
+# ---------------------------------------------------------------------------
+
+#: SPRT hypotheses and error rates: is the purchase share among
+#: click/purchase events p0 (null) or p1 (alternative)? The four
+#: log-constants are computed ONCE in Python and injected as
+#: identical double literals into both engines, so the per-day LLR
+#: is bitwise-identical IEEE arithmetic on exact integer counts — no
+#: cross-engine ln() ever runs.
+SPRT_P0 = 0.25
+SPRT_P1 = 0.30
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.20
+SPRT_L1 = math.log(SPRT_P1 / SPRT_P0)
+SPRT_L0 = math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+SPRT_UPPER = math.log((1 - SPRT_BETA) / SPRT_ALPHA)
+SPRT_LOWER = math.log(SPRT_BETA / (1 - SPRT_ALPHA))
+
+
+def sprt_monitor(events: DataFrame) -> DataFrame:
+    """Wald's sequential probability ratio test as a daily monitor:
+    each click/purchase event is a Bernoulli trial (success =
+    purchase), and the cumulative log-likelihood ratio
+    llr = S*ln(p1/p0) + (N-S)*ln(q1/q0) is checked daily against the
+    Wald boundaries ln((1-beta)/alpha) / ln(beta/(1-alpha)) — the
+    always-valid sequential sibling of the fixed-horizon
+    `conversion_ztest` and the group-sequential OBF plan (SPRT stops
+    the moment the evidence suffices, with both error rates
+    controlled by construction).
+
+    Exactness: daily (n, s) are integers; the ln constants are
+    Python-computed double literals injected identically into both
+    engines, so llr is the same two IEEE multiplies and one add
+    everywhere — no engine libm in the plan. Cumulative counts come
+    from a bounded day x day prefix self-join (calendar grain, the
+    changepoint convention — no window).
+
+    Output per day: day, n_cum, s_cum, llr (round 6), decision
+    ('accept_h1' / 'accept_h0' / 'continue').
+    """
+    daily = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+    cum = (
+        daily.alias("a")
+        .join(daily.alias("b"), F.col("b.day") <= F.col("a.day"))
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(
+            F.sum("b.n").alias("n_cum"),
+            F.sum("b.s").alias("s_cum"),
+        )
+    )
+    llr = F.col("s_cum") * F.lit(SPRT_L1) + (
+        F.col("n_cum") - F.col("s_cum")
+    ) * F.lit(SPRT_L0)
+    return cum.select(
+        "day",
+        "n_cum",
+        "s_cum",
+        F.round(llr, 6).alias("llr"),
+        F.when(llr >= F.lit(SPRT_UPPER), F.lit("accept_h1"))
+        .when(llr <= F.lit(SPRT_LOWER), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
+ORACLE_SPRT = f"""
+sprt_d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END) AS BIGINT) AS s
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+sprt_c AS (
+  SELECT a.day, CAST(sum(b.n) AS BIGINT) AS n_cum,
+         CAST(sum(b.s) AS BIGINT) AS s_cum
+  FROM sprt_d a JOIN sprt_d b ON b.day <= a.day
+  GROUP BY 1
+),
+sprt_monitor AS (
+  SELECT day, n_cum, s_cum,
+         round(s_cum * CAST({SPRT_L1!r} AS DOUBLE)
+               + (n_cum - s_cum) * CAST({SPRT_L0!r} AS DOUBLE), 6)
+           AS llr,
+         CASE WHEN s_cum * CAST({SPRT_L1!r} AS DOUBLE)
+                   + (n_cum - s_cum) * CAST({SPRT_L0!r} AS DOUBLE)
+                   >= CAST({SPRT_UPPER!r} AS DOUBLE)
+              THEN 'accept_h1'
+              WHEN s_cum * CAST({SPRT_L1!r} AS DOUBLE)
+                   + (n_cum - s_cum) * CAST({SPRT_L0!r} AS DOUBLE)
+                   <= CAST({SPRT_LOWER!r} AS DOUBLE)
+              THEN 'accept_h0'
+              ELSE 'continue' END AS decision
+  FROM sprt_c
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Poisson overdispersion test (dispersion index on per-user counts)
+# ---------------------------------------------------------------------------
+
+
+def overdispersion_test(events: DataFrame) -> DataFrame:
+    """Poisson overdispersion check on per-user purchase counts — the
+    gate before trusting the verified Poisson GLM's standard errors
+    (count data whose variance exceeds its mean needs a negative-
+    binomial or quasi-Poisson treatment; this measures the excess
+    instead of assuming it away). Dispersion index D = s^2/mean with
+    the chi-square/normal approximation z = (D-1)*sqrt((n-1)/2).
+
+    Exactness: the corpus reduces to three exact integers (n, sum c,
+    sum c^2); mean and variance are single divisions of exact
+    integer expressions (var numerator n*S2 - S1^2 is pure BIGINT-in-
+    DECIMAL), so both engines divide the same two integers once and
+    round 6.
+
+    Output (1 row): n_users, mean_count, var_count, dispersion_index,
+    z_score, overdispersed (z > 1.645, one-sided 5%).
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("c")
+    )
+    agg = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    var_num = dec(F.col("n")) * dec(F.col("s2")) - dec(
+        F.col("s1")
+    ) * dec(F.col("s1"))
+    var_den = dec(F.col("n")) * dec(F.col("n") - 1)
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = var_num.cast("double") / var_den.cast("double")
+    d_idx = var / mean
+    z = (d_idx - F.lit(1.0)) * F.sqrt(
+        (F.col("n") - 1).cast("double") / F.lit(2.0)
+    )
+    return agg.select(
+        F.col("n").alias("n_users"),
+        F.round(mean, 6).alias("mean_count"),
+        F.round(var, 6).alias("var_count"),
+        F.round(d_idx, 6).alias("dispersion_index"),
+        F.round(z, 6).alias("z_score"),
+        (F.round(z, 6) > 1.645).alias("overdispersed"),
+    )
+
+
+ORACLE_OVERDISPERSION = """
+od_u AS (
+  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+od_a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM od_u
+),
+overdispersion_test AS (
+  SELECT n AS n_users,
+         round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+           AS mean_count,
+         round(CAST(CAST(n AS HUGEINT) * s2
+                    - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE), 6)
+           AS var_count,
+         round((CAST(CAST(n AS HUGEINT) * s2
+                     - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))
+               / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+           AS dispersion_index,
+         round(((CAST(CAST(n AS HUGEINT) * s2
+                      - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))
+                / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) - 1.0)
+               * sqrt(CAST(n - 1 AS DOUBLE) / 2.0), 6) AS z_score,
+         round(((CAST(CAST(n AS HUGEINT) * s2
+                      - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))
+                / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) - 1.0)
+               * sqrt(CAST(n - 1 AS DOUBLE) / 2.0), 6) > 1.645
+           AS overdispersed
+  FROM od_a
+)
+"""

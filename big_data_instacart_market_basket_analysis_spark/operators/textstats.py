@@ -4146,6 +4146,98 @@ rater_kappa AS (
 """
 
 
+#: length-heuristic third rater for the multi-rater agreement audit.
+KRIPP_LEN_MIN = 400
+
+
+def krippendorff_alpha(docs: DataFrame) -> DataFrame:
+    """Krippendorff's alpha (nominal, 3 raters) over the engine's
+    quality raters — Gopher rules, the CCNet tercile (keep = not
+    'tail'), and the naive length heuristic (n_chars >=
+    {L}) — the generalization of Cohen's kappa beyond two raters
+    that labeling pipelines use to decide whether an ensemble weak
+    label is trustworthy at all (alpha < 0.667 = unreliable by
+    Krippendorff's own convention).
+
+    EXACT integer form for binary categories with m = 3 raters on
+    every unit: per doc the positive-vote count o in 0..3 gives
+    observed disagreement mass sum o*(3-o); with N = 3n total votes
+    split N1 ones / N0 zeros, alpha = 1 - [sum o*(3-o) * (3n-1)] /
+    [2*N1*N0] — a single ratio of exact integers (DECIMAL(38,0) /
+    HUGEINT), divided once and rounded 6 at the output edge. No
+    float enters the tally.
+
+    Scale: three already-bounded per-doc verdict tables joined on
+    doc_id, one count agg — the same shape as `rater_kappa` plus one
+    join. Output (1 row): n_docs, n_pos_votes, disagree_pairs,
+    alpha.
+    """
+    g = gopher_rules(docs).select(
+        "doc_id", F.col("keep").cast("int").alias("r1")
+    )
+    c = ccnet_buckets(docs).select(
+        "doc_id", (F.col("bucket") != "tail").cast("int").alias("r2")
+    )
+    l = docs.select(
+        "doc_id",
+        (F.col("n_chars") >= KRIPP_LEN_MIN).cast("int").alias("r3"),
+    )
+    o = (F.col("r1") + F.col("r2") + F.col("r3")).alias("o")
+    per = g.join(c, "doc_id").join(l, "doc_id").select(o)
+    agg = per.agg(
+        F.count("*").alias("n"),
+        F.sum("o").alias("n1"),
+        F.sum(F.col("o") * (F.lit(3) - F.col("o"))).alias("dis"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    num = dec(F.col("dis")) * dec(F.lit(3) * F.col("n") - 1)
+    den = (
+        F.lit(2).cast("decimal(38,0)")
+        * dec(F.col("n1"))
+        * dec(F.lit(3) * F.col("n") - F.col("n1"))
+    )
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.col("n1").alias("n_pos_votes"),
+        F.col("dis").alias("disagree_pairs"),
+        F.round(
+            F.lit(1.0) - num.cast("double") / den.cast("double"), 6
+        ).alias("alpha"),
+    )
+
+
+krippendorff_alpha.__doc__ = krippendorff_alpha.__doc__.format(
+    L=KRIPP_LEN_MIN
+)
+
+
+ORACLE_KRIPPENDORFF = f"""
+ka_per AS (
+  SELECT (CASE WHEN g.keep THEN 1 ELSE 0 END
+          + CASE WHEN c.bucket <> 'tail' THEN 1 ELSE 0 END
+          + CASE WHEN d.n_chars >= {KRIPP_LEN_MIN} THEN 1 ELSE 0 END)
+           AS o
+  FROM gopher_rules g
+  JOIN ccnet_buckets c USING (doc_id)
+  JOIN documents d USING (doc_id)
+),
+ka_agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(o) AS BIGINT) AS n1,
+         CAST(sum(o * (3 - o)) AS BIGINT) AS dis
+  FROM ka_per
+),
+krippendorff_alpha AS (
+  SELECT n AS n_docs, n1 AS n_pos_votes, dis AS disagree_pairs,
+         round(1.0 - CAST(CAST(dis AS HUGEINT) * (3 * n - 1)
+                          AS DOUBLE)
+                     / CAST(CAST(2 AS HUGEINT) * n1 * (3 * n - n1)
+                            AS DOUBLE), 6) AS alpha
+  FROM ka_agg
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # ROUGE-1/2 pair scoring (summarization/translation eval kernel)
 # ---------------------------------------------------------------------------

@@ -401,3 +401,88 @@ def test_cox_ph_positive_hazard_for_fast_converters(spark):
     assert abs(
         last["hazard_ratio"] - round(math.exp(last["beta"]), 6)
     ) < 1e-9
+
+
+def test_sprt_monitor_llr_and_boundaries(spark):
+    """Day 1: 10 trials, 5 successes -> llr = 5*L1 + 5*L0 exactly;
+    cumulative counts telescope across days; decision string follows
+    the Wald boundaries."""
+    rows = (
+        [(i, "purchase", "2024-01-01 00:00:00") for i in range(5)]
+        + [(i + 5, "click", "2024-01-01 00:00:00") for i in range(5)]
+        + [(i + 10, "purchase", "2024-01-02 00:00:00") for i in range(3)]
+    )
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).select("user_id", "event_type",
+             F.col("ts").cast("timestamp").alias("ts"))
+    out = {str(r["day"]): r for r in temporal.sprt_monitor(events).collect()}
+    d1 = out["2024-01-01"]
+    assert (d1["n_cum"], d1["s_cum"]) == (10, 5)
+    expect = round(5 * temporal.SPRT_L1 + 5 * temporal.SPRT_L0, 6)
+    assert abs(d1["llr"] - expect) < 1e-9
+    d2 = out["2024-01-02"]
+    assert (d2["n_cum"], d2["s_cum"]) == (13, 8)
+    for r in out.values():
+        raw = r["s_cum"] * temporal.SPRT_L1 + (
+            r["n_cum"] - r["s_cum"]
+        ) * temporal.SPRT_L0
+        want = (
+            "accept_h1" if raw >= temporal.SPRT_UPPER
+            else "accept_h0" if raw <= temporal.SPRT_LOWER
+            else "continue"
+        )
+        assert r["decision"] == want
+
+
+def test_overdispersion_equidispersed_poisson_like(spark):
+    """Counts {0,1,2} balanced: mean 1, variance 2/3 -> D < 1, z < 0,
+    not overdispersed. A heavy-tail set {0,0,0,9} -> D >> 1."""
+    rows = []
+    uid = 0
+    for c in (0, 1, 2) * 10:
+        uid += 1
+        rows.append((uid, "view", "2024-01-01 00:00:00"))
+        rows += [(uid, "purchase", "2024-01-01 01:00:00")] * c
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).select("user_id", "event_type",
+             F.col("ts").cast("timestamp").alias("ts"))
+    r = temporal.overdispersion_test(events).collect()[0]
+    assert r["n_users"] == 30
+    assert abs(r["mean_count"] - 1.0) < 1e-9
+    assert abs(r["var_count"] - round(20 / 29, 6)) < 1e-9
+    assert not r["overdispersed"]
+
+    rows2 = [(1, "view", "2024-01-01 00:00:00"),
+             (2, "view", "2024-01-01 00:00:00"),
+             (3, "view", "2024-01-01 00:00:00"),
+             (4, "view", "2024-01-01 00:00:00")]
+    rows2 += [(4, "purchase", "2024-01-01 01:00:00")] * 9
+    events2 = spark.createDataFrame(
+        rows2, "user_id long, event_type string, ts string"
+    ).select("user_id", "event_type",
+             F.col("ts").cast("timestamp").alias("ts"))
+    r2 = temporal.overdispersion_test(events2).collect()[0]
+    assert r2["dispersion_index"] > 5
+
+
+def test_krippendorff_perfect_and_chance_agreement(spark):
+    """All three raters agreeing on every doc -> alpha = 1 (zero
+    observed disagreement). The exact-integer identity is pinned by
+    recomputing alpha from the emitted integer tallies."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w%d" % i for i in range(120)]), "en",
+             "web", 800),
+            (2, " ".join(["v%d" % i for i in range(120)]), "en",
+             "web", 700),
+            (3, "x", "en", "web", 2),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    r = textstats.krippendorff_alpha(docs).collect()[0]
+    n, n1, dis = r["n_docs"], r["n_pos_votes"], r["disagree_pairs"]
+    want = round(1.0 - (dis * (3 * n - 1)) / (2 * n1 * (3 * n - n1)), 6)
+    assert abs(r["alpha"] - want) < 1e-9
