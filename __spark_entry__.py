@@ -623,6 +623,15 @@ def q_dedup_detector_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.detector_matrix(_docs(spark, sf_dir))
 
 
+def q_dedup_capture_recapture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chapman capture-recapture estimate of total near-dup pairs
+    from the MinHash-LSH and SimHash detectors' overlap — the
+    'how much did dedup miss' floor."""
+    return _dedup.capture_recapture_estimate(_docs(spark, sf_dir))
+
+
 def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entropy rate of the event-type Markov chain (bits): the
     predictability summary of user behavior; entropy collapse flags
@@ -2218,6 +2227,15 @@ def q_parts_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ana.abc_classes(_lineitem(spark, sf_dir))
 
 
+def q_parts_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix: Lorenz revenue classes x weekly
+    demand-variability classes (CV cut by exact cross-multiplied
+    integers, zero weeks included via the shared calendar count)."""
+    return _ana.abc_xyz_matrix(
+        _lineitem(spark, sf_dir), load_table(spark, sf_dir, "orders")
+    )
+
+
 def q_events_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-rank test between the arms' churn survival curves:
     hypergeometric O−E/V terms on exact at-risk prefix sums."""
@@ -3515,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_index": q_price_index,
         "market_hhi": q_market_hhi,
         "parts_abc": q_parts_abc,
+        "parts_abc_xyz": q_parts_abc_xyz,
         "events_ipf": q_events_ipf,
         "orders_atkinson": q_orders_atkinson,
         "orders_reorder_policy": q_orders_reorder_policy,
@@ -3596,6 +3615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "dedup_simhash_eval": q_dedup_simhash_eval,
         "dedup_detector_matrix": q_dedup_detector_matrix,
+        "dedup_capture_recapture": q_dedup_capture_recapture,
         "events_entropy_rate": q_events_entropy_rate,
         "text_dup_spans": q_text_dup_spans,
         "embedding_random_projection": q_embedding_random_projection,
@@ -3975,6 +3995,17 @@ def oracle_sql() -> dict[str, str]:
              _dedup.ORACLE_SORTED_NEIGHBORHOOD,
              _dedup.ORACLE_DETECTOR_MATRIX],
             "detector_matrix",
+        ),
+        "dedup_capture_recapture": _ext_oracle(
+            [
+                _dedup.ORACLE_SHINGLES,
+                "dsizes AS (SELECT doc_id, count(*) AS n FROM dshingles"
+                " GROUP BY doc_id)",
+                _dedup.ORACLE_MINHASH_LSH,
+                _dedup._oracle_simhash(),
+                _dedup.ORACLE_CAPTURE_RECAPTURE,
+            ],
+            "capture_recapture_estimate",
         ),
         "events_entropy_rate": _ext_oracle(
             [_tmp.ORACLE_MARKOV_ENTROPY], "markov_entropy_rate"
@@ -4490,6 +4521,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "market_hhi": _ext_oracle([_ana.ORACLE_HHI], "market_hhi"),
         "parts_abc": _ext_oracle([_ana.ORACLE_ABC], "abc_classes"),
+        "parts_abc_xyz": _ext_oracle(
+            [_ana.ORACLE_ABC_XYZ], "abc_xyz_matrix"
+        ),
         "events_ipf": _ext_oracle(
             [_tmp.oracle_ipf_raking()], "ipf_raking"
         ),

@@ -1247,3 +1247,164 @@ abc_classes AS (
   FROM abc_c GROUP BY 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# ABC-XYZ inventory matrix (revenue class x demand-variability class)
+# ---------------------------------------------------------------------------
+
+
+def abc_xyz_matrix(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """ABC-XYZ inventory matrix — the two-axis segmentation planners
+    actually stock from: ABC cuts parts by cumulative revenue (the
+    `abc_classes` Lorenz cut), XYZ cuts them by demand variability
+    (coefficient of variation of WEEKLY quantity, zero-demand weeks
+    included: X steady CV <= 0.5, Y moderate <= 1.0, Z erratic). An
+    A/Z cell (high revenue, erratic demand) is the planner's problem
+    child; C/X is automate-and-forget.
+
+    EXACT integer decisions everywhere: with n = calendar week count
+    (shared by all parts), S1 = total qty, S2 = sum of squared weekly
+    qty, population variance * n^2 = n*S2 - S1^2 and mean^2 * n^2 =
+    S1^2, so CV <= 1/2 iff 4*(n*S2 - S1^2) <= S1^2 and CV <= 1 iff
+    n*S2 - S1^2 <= S1^2 — cross-multiplied DECIMAL(38,0)/HUGEINT,
+    no division; the ABC cut reuses the cross-multiplied cum*100 <=
+    80*total form on the revenue grain (rank kernel, no global
+    window).
+
+    Scale: one (part, week) agg, one part-grain agg, the
+    revenue-grain ABC table from the rank kernel joined back on the
+    cent-sum key, and a 9-cell output agg. Output per cell:
+    abc_class, xyz_class, n_parts, rev_cents, qty_total.
+    """
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        ranking as _rank,
+    )
+
+    li = lineitem.join(
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.weekofyear(F.to_date("o_orderdate")).alias("wk_in_yr"),
+            (
+                F.year(F.to_date("o_orderdate")) * 100
+                + F.weekofyear(F.to_date("o_orderdate"))
+            ).alias("wk"),
+        ),
+        "l_orderkey",
+    )
+    weeks = li.select("wk").distinct().count()
+    per_wk = li.groupBy("l_partkey", "wk").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("q")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_part = per_wk.groupBy("l_partkey").agg(
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+    )
+    rev = lineitem.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        ).alias("x")
+    )
+    var_n2 = dec(F.lit(weeks)) * dec(F.col("s2")) - dec(
+        F.col("s1")
+    ) * dec(F.col("s1"))
+    mean_n2 = dec(F.col("s1")) * dec(F.col("s1"))
+    xyz = per_part.select(
+        "l_partkey",
+        "s1",
+        F.when(var_n2 * 4 <= mean_n2, F.lit("X"))
+        .when(var_n2 <= mean_n2, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz_class"),
+    )
+    per_v = rev.groupBy("x").agg(F.count("*").alias("c")).withColumn(
+        "xc", F.col("x") * F.col("c")
+    )
+    tot = rev.agg(F.sum("x").alias("t"))
+    classed = (
+        _rank.global_ranked(per_v, [F.desc("x")], sum_cols=["xc"])
+        .withColumnRenamed("_run_xc", "cum")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            F.when(
+                F.col("cum") * 100 <= 80 * F.col("t"), F.lit("A")
+            )
+            .when(F.col("cum") * 100 <= 95 * F.col("t"), F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+        )
+    )
+    labeled = rev.join(classed, "x").join(xyz, "l_partkey")
+    return labeled.groupBy("abc_class", "xyz_class").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("x").alias("rev_cents"),
+        F.sum("s1").alias("qty_total"),
+    )
+
+
+ORACLE_ABC_XYZ = """
+ax_li AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice,
+         date_part('year', CAST(o.o_orderdate AS DATE)) * 100
+         + date_part('week', CAST(o.o_orderdate AS DATE)) AS wk
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+ax_wkn AS (
+  SELECT CAST(count(DISTINCT wk) AS BIGINT) AS n FROM ax_li
+),
+ax_pw AS (
+  SELECT l_partkey, wk, CAST(sum(CAST(l_quantity AS BIGINT))
+         AS BIGINT) AS q
+  FROM ax_li GROUP BY 1, 2
+),
+ax_pp AS (
+  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS s1,
+         CAST(sum(q * q) AS BIGINT) AS s2
+  FROM ax_pw GROUP BY 1
+),
+ax_xyz AS (
+  SELECT l_partkey, s1,
+         CASE WHEN 4 * (CAST(n AS HUGEINT) * s2
+                        - CAST(s1 AS HUGEINT) * s1)
+                   <= CAST(s1 AS HUGEINT) * s1 THEN 'X'
+              WHEN CAST(n AS HUGEINT) * s2
+                   - CAST(s1 AS HUGEINT) * s1
+                   <= CAST(s1 AS HUGEINT) * s1 THEN 'Y'
+              ELSE 'Z' END AS xyz_class
+  FROM ax_pp, ax_wkn
+),
+ax_rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS x
+  FROM lineitem GROUP BY 1
+),
+ax_v AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS c FROM ax_rev GROUP BY 1
+),
+ax_t AS (SELECT CAST(sum(x) AS BIGINT) AS t FROM ax_rev),
+ax_cls AS (
+  SELECT x,
+         CASE WHEN cum * 100 <= 80 * t THEN 'A'
+              WHEN cum * 100 <= 95 * t THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM (
+    SELECT x, CAST(sum(x * c) OVER (ORDER BY x DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+    FROM ax_v
+  ), ax_t
+),
+abc_xyz_matrix AS (
+  SELECT cls.abc_class, z.xyz_class,
+         CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(r.x) AS BIGINT) AS rev_cents,
+         CAST(sum(z.s1) AS BIGINT) AS qty_total
+  FROM ax_rev r
+  JOIN ax_cls cls ON r.x = cls.x
+  JOIN ax_xyz z ON r.l_partkey = z.l_partkey
+  GROUP BY 1, 2
+)
+"""

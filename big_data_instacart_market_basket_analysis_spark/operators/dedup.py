@@ -2528,3 +2528,92 @@ lsh_precision_eval AS (
            AS precision
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# capture-recapture estimate of undetected near-dup pairs (Chapman)
+# ---------------------------------------------------------------------------
+
+
+def capture_recapture_estimate(docs: DataFrame) -> DataFrame:
+    """Chapman capture-recapture estimate of the TRUE number of
+    near-dup pairs from two independent detectors — the "how much did
+    dedup miss" number a 100-TB pipeline needs when exact all-pairs
+    truth is unaffordable: treat the MinHash-LSH pair set and the
+    SimHash pair set as two captures of the same population; the
+    overlap rate estimates total abundance
+    N_hat = (n1+1)*(n2+1)/(m+1) - 1 (Chapman's bias-corrected form),
+    and coverage = |A union B| / N_hat is the fraction of duplicate
+    mass the detector ensemble actually caught. Assumes detector
+    independence — documented; correlated detectors bias N_hat low,
+    so the number reads as an optimistic floor on what was missed.
+
+    One union of the two already-verified pair sets, one pair-grain
+    dedup agg, one 1-row reduction — the detectors themselves
+    dominate the cost and are session-staged. All counts exact
+    BIGINT; the two output estimates are single rounded divisions.
+
+    Output (1 row): n_minhash, n_simhash, n_overlap, n_union,
+    n_est_total, coverage_est.
+    """
+    a = minhash_lsh_pairs(docs).select(
+        "d1", "d2", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    b = simhash_pairs(docs).select(
+        "d1", "d2", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    pairs = (
+        a.unionByName(b)
+        .groupBy("d1", "d2")
+        .agg(
+            F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+        )
+    )
+    agg = pairs.agg(
+        F.sum("in_a").alias("n1"),
+        F.sum("in_b").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("m"),
+        F.count("*").alias("u"),
+    )
+    n_est = (
+        (F.col("n1") + 1) * (F.col("n2") + 1)
+    ).cast("double") / (F.col("m") + 1).cast("double") - F.lit(1.0)
+    return agg.select(
+        F.col("n1").alias("n_minhash"),
+        F.col("n2").alias("n_simhash"),
+        F.col("m").alias("n_overlap"),
+        F.col("u").alias("n_union"),
+        F.round(n_est, 6).alias("n_est_total"),
+        F.round(F.col("u").cast("double") / n_est, 6).alias(
+            "coverage_est"
+        ),
+    )
+
+
+ORACLE_CAPTURE_RECAPTURE = """
+crc_pairs AS (
+  SELECT d1, d2, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM (
+    SELECT d1, d2, 1 AS in_a, 0 AS in_b FROM minhash_lsh
+    UNION ALL
+    SELECT d1, d2, 0 AS in_a, 1 AS in_b FROM simhash_pairs
+  ) GROUP BY 1, 2
+),
+crc_agg AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS n1,
+         CAST(sum(in_b) AS BIGINT) AS n2,
+         CAST(sum(in_a * in_b) AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS u
+  FROM crc_pairs
+),
+capture_recapture_estimate AS (
+  SELECT n1 AS n_minhash, n2 AS n_simhash, m AS n_overlap,
+         u AS n_union,
+         round(CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+               / CAST(m + 1 AS DOUBLE) - 1.0, 6) AS n_est_total,
+         round(CAST(u AS DOUBLE)
+               / (CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+                  / CAST(m + 1 AS DOUBLE) - 1.0), 6) AS coverage_est
+  FROM crc_agg
+)
+"""

@@ -486,3 +486,63 @@ def test_krippendorff_perfect_and_chance_agreement(spark):
     n, n1, dis = r["n_docs"], r["n_pos_votes"], r["disagree_pairs"]
     want = round(1.0 - (dis * (3 * n - 1)) / (2 * n1 * (3 * n - n1)), 6)
     assert abs(r["alpha"] - want) < 1e-9
+
+
+def test_capture_recapture_chapman_identity(spark):
+    """The Chapman estimate recomputes exactly from the emitted
+    integer tallies, and union <= estimate (coverage <= 1 within
+    rounding) whenever both detectors fire."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        dedup as _dd,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    r = _dd.capture_recapture_estimate(docs).collect()[0]
+    n1, n2, m, u = (
+        r["n_minhash"], r["n_simhash"], r["n_overlap"], r["n_union"]
+    )
+    assert u == n1 + n2 - m
+    want = round((n1 + 1) * (n2 + 1) / (m + 1) - 1.0, 6)
+    assert abs(r["n_est_total"] - want) < 1e-9
+    assert r["n_est_total"] >= u - 1e-9  # can't estimate below seen
+
+
+def test_abc_xyz_matrix_partitions_all_parts(spark):
+    """Cell counts partition the catalog; a steady weekly demand
+    series lands in X while a single-spike series lands in Z."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        analytics as _an,
+    )
+
+    li_rows, o_rows = [], []
+    # part 1: qty 10 in each of 8 distinct weeks (CV = 0 -> X)
+    days = ["1995-01-02", "1995-01-09", "1995-01-16", "1995-01-23",
+            "1995-01-30", "1995-02-06", "1995-02-13", "1995-02-20"]
+    for w, d in enumerate(days):
+        li_rows.append((w, 1, 10, 100.0))
+        o_rows.append((w, d))
+    # part 2: one giant spike week (CV >> 1 -> Z), higher revenue
+    li_rows.append((100, 2, 90, 3_000.0))
+    o_rows.append((100, "1995-01-02"))
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_quantity long,"
+        " l_extendedprice double",
+    )
+    orders = spark.createDataFrame(
+        o_rows, "o_orderkey long, o_orderdate string"
+    )
+    cells = _an.abc_xyz_matrix(li, orders).collect()
+    assert sum(c["n_parts"] for c in cells) == 2
+    assert all(
+        c["abc_class"] in "ABC" and c["xyz_class"] in "XYZ"
+        for c in cells
+    )
+    by_qty = {c["qty_total"]: c for c in cells}
+    assert by_qty[80]["xyz_class"] == "X"   # steady 10 x 8 weeks
+    assert by_qty[90]["xyz_class"] == "Z"   # one spike in 8 weeks
+    assert by_qty[90]["abc_class"] == "A"   # 79% of revenue
+    assert by_qty[80]["abc_class"] == "C"   # the remaining tail
