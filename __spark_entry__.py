@@ -856,6 +856,18 @@ def q_events_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.sprt_monitor(load_table(spark, sf_dir, "events"))
 
 
+def q_events_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% median CI via order-statistic ranks
+    (normal-approx binomial ranks, bucketed prefix-sum selection)."""
+    return _tmp.median_ci(load_table(spark, sf_dir, "events"))
+
+
+def q_events_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test of conversion across ordered
+    engagement bins — integer numerator, one rounded z division."""
+    return _tmp.trend_test(load_table(spark, sf_dir, "events"))
+
+
 def q_events_overdispersion(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2154,6 +2166,12 @@ def q_docs_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Krippendorff's alpha (nominal, 3 raters: Gopher, CCNet
     tercile, length heuristic) — exact-integer disagreement ratio."""
     return _text.krippendorff_alpha(load_table(spark, sf_dir, "documents"))
+
+
+def q_docs_vocab_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 unseen-vocabulary estimate + Good-Turing coverage from
+    the frequency-of-frequencies table (exact integer tallies)."""
+    return _text.vocab_chao1(load_table(spark, sf_dir, "documents"))
 
 
 def q_events_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3545,6 +3563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hill_tail": q_events_hill_tail,
         "docs_rater_kappa": q_docs_rater_kappa,
         "docs_krippendorff": q_docs_krippendorff,
+        "docs_vocab_chao1": q_docs_vocab_chao1,
         "events_granger": q_events_granger,
         "graph_rich_club": q_graph_rich_club,
         "ann_knn_classifier": q_ann_knn_classifier,
@@ -3670,6 +3689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mannwhitney": q_events_mannwhitney,
         "events_chi2": q_events_chi2,
         "events_sprt": q_events_sprt,
+        "events_median_ci": q_events_median_ci,
+        "events_trend_test": q_events_trend_test,
         "events_overdispersion": q_events_overdispersion,
         "events_spearman": q_events_spearman,
         "events_anova": q_events_anova,
@@ -4218,6 +4239,12 @@ def oracle_sql() -> dict[str, str]:
         "events_sprt": _ext_oracle(
             [_tmp.ORACLE_SPRT], "sprt_monitor"
         ),
+        "events_median_ci": _ext_oracle(
+            [_tmp.ORACLE_MEDIAN_CI], "median_ci"
+        ),
+        "events_trend_test": _ext_oracle(
+            [_tmp.ORACLE_TREND_TEST], "trend_test"
+        ),
         "events_overdispersion": _ext_oracle(
             [_tmp.ORACLE_OVERDISPERSION], "overdispersion_test"
         ),
@@ -4629,6 +4656,9 @@ def oracle_sql() -> dict[str, str]:
         "events_peaks": _ext_oracle([_tmp.ORACLE_PEAKS], "revenue_peaks"),
         "ann_rocchio": _ext_oracle(
             [_sim.ORACLE_ROCCHIO], "rocchio_classifier_eval"
+        ),
+        "docs_vocab_chao1": _ext_oracle(
+            [_text.ORACLE_CHAO1], "vocab_chao1"
         ),
         "docs_krippendorff": _ext_oracle(
             [

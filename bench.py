@@ -276,6 +276,18 @@ HEADLINE = [
     "sql_scripting",
     "events_variant",
     "text_rouge",
+    # round-6 additions
+    "dedup_retention",
+    "orders_erlang_blocking",
+    "events_wasserstein",
+    "ml_platt_verified",
+    "parts_pps_sample",
+    "events_cox_ph",
+    "docs_krippendorff",
+    "events_sprt",
+    "events_overdispersion",
+    "dedup_capture_recapture",
+    "parts_abc_xyz",
 ]
 
 

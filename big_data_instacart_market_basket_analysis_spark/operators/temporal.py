@@ -12765,3 +12765,219 @@ overdispersion_test AS (
   FROM od_a
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# distribution-free median confidence interval (order-statistic ranks)
+# ---------------------------------------------------------------------------
+
+
+def median_ci(events: DataFrame) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median
+    purchase value via order-statistic ranks — the nonparametric
+    answer the idea ledger's exact-binomial version (rejected:
+    astronomic binomials) approximates: ranks l = floor(n/2 -
+    0.98*sqrt(n)) and u = ceil(n/2 + 1 + 0.98*sqrt(n)) bracket the
+    median with ~95% coverage (normal approximation to Binomial(n,
+    1/2); 0.98 = z/2), clamped to [1, n].
+
+    Cross-engine exactness: ranks are floor/ceil of the same IEEE
+    expression on the exact integer n (identical in both engines);
+    each order statistic is then "min value whose cumulative count
+    reaches the rank" on the cent grain — the KS bucketed-prefix-sum
+    shape, integers all the way.
+
+    Output (1 row): n, median_cents, ci_lo_cents, ci_hi_cents.
+    """
+    ev = events.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v")
+    )
+    per_value = ev.groupBy("v").agg(F.count("*").alias("c")).withColumn(
+        "bucket", F.floor(F.col("v") / 100)
+    )
+    btot = per_value.groupBy("bucket").agg(F.sum("c").alias("bc"))
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("bc").over(woff), F.lit(0)).alias("off"),
+    )
+    win = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_value.join(F.broadcast(offsets), "bucket").select(
+        "v", (F.col("off") + F.sum("c").over(win)).alias("cum")
+    )
+    tot = ev.agg(F.count("*").alias("n"))
+    nd = F.col("n").cast("double")
+    ranks = tot.select(
+        "n",
+        F.greatest(
+            F.floor(nd / 2 - F.lit(0.98) * F.sqrt(nd)), F.lit(1)
+        ).cast("bigint").alias("r_lo"),
+        F.least(
+            F.ceil(nd / 2 + 1 + F.lit(0.98) * F.sqrt(nd)),
+            F.col("n"),
+        ).cast("bigint").alias("r_hi"),
+        ((F.col("n") + 1) / 2).cast("bigint").alias("r_med"),
+    )
+    j = cum.crossJoin(F.broadcast(ranks))
+    pick = lambda r: F.min(  # noqa: E731
+        F.when(F.col("cum") >= F.col(r), F.col("v"))
+    )
+    return j.groupBy("n").agg(
+        pick("r_med").alias("median_cents"),
+        pick("r_lo").alias("ci_lo_cents"),
+        pick("r_hi").alias("ci_hi_cents"),
+    )
+
+
+ORACLE_MEDIAN_CI = """
+mci_v AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1
+),
+mci_c AS (
+  SELECT v, CAST(sum(c) OVER (ORDER BY v
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM mci_v
+),
+mci_t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM mci_v),
+mci_r AS (
+  SELECT n,
+         greatest(CAST(floor(CAST(n AS DOUBLE) / 2
+                  - 0.98 * sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1)
+           AS r_lo,
+         least(CAST(ceil(CAST(n AS DOUBLE) / 2 + 1
+                  + 0.98 * sqrt(CAST(n AS DOUBLE))) AS BIGINT), n)
+           AS r_hi,
+         (n + 1) // 2 AS r_med
+  FROM mci_t
+),
+median_ci AS (
+  SELECT r.n,
+         min(CASE WHEN c.cum >= r.r_med THEN c.v END) AS median_cents,
+         min(CASE WHEN c.cum >= r.r_lo THEN c.v END) AS ci_lo_cents,
+         min(CASE WHEN c.cum >= r.r_hi THEN c.v END) AS ci_hi_cents
+  FROM mci_c c, mci_r r
+  GROUP BY r.n
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test (conversion vs ordered engagement)
+# ---------------------------------------------------------------------------
+
+
+def trend_test(events: DataFrame) -> DataFrame:
+    """Cochran-Armitage test for TREND in conversion across ordered
+    engagement bins — the dose-response question the plain chi-square
+    independence test wastes power on (chi2 sees any deviation; CA
+    targets the monotone alternative a funnel owner actually cares
+    about). Exposure score = capped view-count bin 0..7, outcome =
+    converted (any purchase).
+
+    Numerator A = sum_i x_i*(y_i*N - n_i*R) is pure integer
+    (DECIMAL(38,0)/HUGEINT); Var(A/N) = R*(N-R)*C/N^3 with
+    C = N*sum(n*x^2) - (sum n*x)^2 also integer-exact, evaluated as
+    the same IEEE double product chain in both engines; z =
+    (A/N)/sqrt(Var) is one rounded division (round 6). One
+    user-grain pass + one 8-row bin agg.
+
+    Output (1 row): n_users, n_converted, z_trend, increasing
+    (z > 1.645 one-sided).
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("views"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("y"),
+    )
+    bins = per_user.select(
+        F.least(F.col("views"), F.lit(7)).cast("int").alias("x"), "y"
+    ).groupBy("x").agg(
+        F.count("*").alias("n"), F.sum("y").alias("yy")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = bins.agg(
+        F.sum("n").alias("nn"),
+        F.sum("yy").alias("rr"),
+        F.sum(dec(F.col("x")) * dec(F.col("yy"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("n"))).alias("sxn"),
+        F.sum(
+            dec(F.col("x")) * dec(F.col("x")) * dec(F.col("n"))
+        ).alias("sxxn"),
+    )
+    a_num = dec(F.col("sxy")) * dec(F.col("nn")) - dec(
+        F.col("sxn")
+    ) * dec(F.col("rr"))
+    c_term = (
+        dec(F.col("nn")) * dec(F.col("sxxn"))
+        - dec(F.col("sxn")) * dec(F.col("sxn"))
+    ).cast("double")
+    var = (
+        F.col("rr").cast("double")
+        * (F.col("nn") - F.col("rr")).cast("double")
+        / F.col("nn").cast("double")
+        * c_term
+        / F.col("nn").cast("double")
+        / F.col("nn").cast("double")
+    )
+    z = a_num.cast("double") / F.col("nn").cast("double") / F.sqrt(var)
+    return agg.select(
+        F.col("nn").alias("n_users"),
+        F.col("rr").alias("n_converted"),
+        F.round(z, 6).alias("z_trend"),
+        (F.round(z, 6) > 1.645).alias("increasing"),
+    )
+
+
+ORACLE_TREND_TEST = """
+tt_u AS (
+  SELECT CAST(least(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                        END), 7) AS INT) AS x,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+tt_b AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT)
+           AS yy
+  FROM tt_u GROUP BY 1
+),
+tt_a AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(yy) AS BIGINT) AS rr,
+         CAST(sum(CAST(x AS HUGEINT) * yy) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * n) AS HUGEINT) AS sxn,
+         CAST(sum(CAST(x AS HUGEINT) * x * n) AS HUGEINT) AS sxxn
+  FROM tt_b
+),
+trend_test AS (
+  SELECT nn AS n_users, rr AS n_converted,
+         round((CAST(sxy * nn - sxn * rr AS DOUBLE)
+                / CAST(nn AS DOUBLE))
+               / sqrt(CAST(rr AS DOUBLE)
+                      * CAST(nn - rr AS DOUBLE) / CAST(nn AS DOUBLE)
+                      * CAST(nn * sxxn - sxn * sxn AS DOUBLE)
+                      / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)),
+               6) AS z_trend,
+         round((CAST(sxy * nn - sxn * rr AS DOUBLE)
+                / CAST(nn AS DOUBLE))
+               / sqrt(CAST(rr AS DOUBLE)
+                      * CAST(nn - rr AS DOUBLE) / CAST(nn AS DOUBLE)
+                      * CAST(nn * sxxn - sxn * sxn AS DOUBLE)
+                      / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)),
+               6) > 1.645 AS increasing
+  FROM tt_a
+)
+"""

@@ -4762,3 +4762,83 @@ text_oov_rate AS (
   FROM oov_flag GROUP BY 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Chao1 unseen-vocabulary estimate (species richness)
+# ---------------------------------------------------------------------------
+
+
+def vocab_chao1(docs: DataFrame) -> DataFrame:
+    """Chao1 species-richness estimate of the TRUE vocabulary size
+    from the hapax/dis-legomena counts — "how many word types exist
+    that this corpus sample has not seen yet", the coverage question
+    Heaps' curve extrapolates heuristically and Chao1 bounds
+    nonparametrically: V_hat = V + f1*(f1-1)/(2*(f2+1)) (the
+    bias-corrected form, defined even when f2 = 0), where f1/f2 are
+    the singleton/doubleton type counts. Good-Turing sample coverage
+    rides along: C_hat = 1 - f1/n_tokens.
+
+    Two stacked hash-aggs (token -> freq, freq -> type count) reduce
+    the corpus to a frequency-of-frequencies table bounded by the max
+    token count; every output is exact integers plus two single
+    rounded divisions.
+
+    Output (1 row): n_tokens, vocab, f1, f2, chao1_est, coverage.
+    """
+    tf = (
+        docs.select(F.explode(_tokens_col()).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    agg = tf.agg(
+        F.sum("freq").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.sum((F.col("freq") == 1).cast("int")).alias("f1"),
+        F.sum((F.col("freq") == 2).cast("int")).alias("f2"),
+    )
+    chao = F.col("vocab").cast("double") + (
+        F.col("f1") * (F.col("f1") - 1)
+    ).cast("double") / (2 * (F.col("f2") + 1)).cast("double")
+    return agg.select(
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        F.round(chao, 6).alias("chao1_est"),
+        F.round(
+            F.lit(1.0)
+            - F.col("f1").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+ORACLE_CHAO1 = r"""
+ch_tf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY 1
+),
+ch_a AS (
+  SELECT CAST(sum(freq) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS f1,
+         CAST(sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS f2
+  FROM ch_tf
+),
+vocab_chao1 AS (
+  SELECT n_tokens, vocab, f1, f2,
+         round(CAST(vocab AS DOUBLE)
+               + CAST(f1 * (f1 - 1) AS DOUBLE)
+                 / CAST(2 * (f2 + 1) AS DOUBLE), 6) AS chao1_est,
+         round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+           AS coverage
+  FROM ch_a
+)
+"""

@@ -546,3 +546,60 @@ def test_abc_xyz_matrix_partitions_all_parts(spark):
     assert by_qty[90]["xyz_class"] == "Z"   # one spike in 8 weeks
     assert by_qty[90]["abc_class"] == "A"   # 79% of revenue
     assert by_qty[80]["abc_class"] == "C"   # the remaining tail
+
+
+def test_median_ci_brackets_median_hand_worked(spark):
+    """101 purchases valued 1..101 dollars: median = 51.00, and the
+    normal-approx rank CI (ranks ~41..62) must bracket it with lo <
+    med < hi; all ranks clamp inside [1, n]."""
+    rows = [(i, "purchase", "2024-01-01 00:00:00", float(i))
+            for i in range(1, 102)]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).select("user_id", "event_type",
+             F.col("ts").cast("timestamp").alias("ts"), "value")
+    r = temporal.median_ci(events).collect()[0]
+    assert r["n"] == 101
+    assert r["median_cents"] == 5100
+    assert r["ci_lo_cents"] < 5100 < r["ci_hi_cents"]
+    assert 1_00 <= r["ci_lo_cents"] and r["ci_hi_cents"] <= 101_00
+
+
+def test_trend_test_detects_monotone_conversion(spark):
+    """Conversion rising with engagement (10% at x=0, 90% at x=7)
+    -> strongly positive z; flat conversion -> |z| near 0."""
+    def mk(rates):
+        rows, uid = [], 0
+        for x, rate in rates.items():
+            for i in range(40):
+                uid += 1
+                rows += [(uid, "view", "2024-01-01 00:00:00")] * x
+                rows.append(
+                    (uid,
+                     "purchase" if i < int(rate * 40) else "click",
+                     "2024-01-01 01:00:00"))
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, ts string"
+        ).select("user_id", "event_type",
+                 F.col("ts").cast("timestamp").alias("ts"))
+
+    up = temporal.trend_test(mk({0: 0.1, 3: 0.5, 7: 0.9})).collect()[0]
+    assert up["z_trend"] > 3 and up["increasing"]
+    flat = temporal.trend_test(mk({0: 0.5, 3: 0.5, 7: 0.5})).collect()[0]
+    assert abs(flat["z_trend"]) < 1
+
+
+def test_chao1_identity_and_floor(spark):
+    """chao1 >= vocab always; with text 'a a b' per doc repeated,
+    singletons/doubletons tally exactly."""
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha beta gamma", "en", "web", 20),
+         (2, "alpha delta", "en", "web", 10)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    r = textstats.vocab_chao1(docs).collect()[0]
+    # tokens: alpha x3, beta, gamma, delta -> V=4, f1=3, f2=0
+    assert (r["n_tokens"], r["vocab"], r["f1"], r["f2"]) == (6, 4, 3, 0)
+    assert abs(r["chao1_est"] - (4 + 3 * 2 / 2)) < 1e-9
+    assert r["chao1_est"] >= r["vocab"]
