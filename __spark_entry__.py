@@ -1735,6 +1735,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph.triangle_counts(_lineitem(spark, sf_dir))
 
 
+def q_graph_clustering_coef(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local clustering coefficient per node + global transitivity —
+    one join over the session-staged triangle and edge lists."""
+    return _graph.clustering_coefficient(_lineitem(spark, sf_dir))
+
+
 def q_graph_item_sim_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out recommender eval: hit-rate@k of the item-item model
     trained on 80% of orders, scored on the held-out 20%."""
@@ -2172,6 +2180,16 @@ def q_docs_vocab_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chao1 unseen-vocabulary estimate + Good-Turing coverage from
     the frequency-of-frequencies table (exact integer tallies)."""
     return _text.vocab_chao1(load_table(spark, sf_dir, "documents"))
+
+
+def q_docs_source_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vocabulary Jaccard between source pairs — do the crawls
+    contribute distinct language, or mirror each other?"""
+    return _text.source_vocab_overlap(
+        load_table(spark, sf_dir, "documents")
+    )
 
 
 def q_events_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3564,6 +3582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_rater_kappa": q_docs_rater_kappa,
         "docs_krippendorff": q_docs_krippendorff,
         "docs_vocab_chao1": q_docs_vocab_chao1,
+        "docs_source_overlap": q_docs_source_overlap,
         "events_granger": q_events_granger,
         "graph_rich_club": q_graph_rich_club,
         "ann_knn_classifier": q_ann_knn_classifier,
@@ -3801,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_retention": q_dedup_retention,
         "pagerank_products": q_pagerank_products,
         "graph_triangles": q_graph_triangles,
+        "graph_clustering_coef": q_graph_clustering_coef,
         "graph_degree_stats": q_graph_degree_stats,
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
@@ -4660,6 +4680,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_vocab_chao1": _ext_oracle(
             [_text.ORACLE_CHAO1], "vocab_chao1"
         ),
+        "docs_source_overlap": _ext_oracle(
+            [_text.ORACLE_SOURCE_OVERLAP], "source_vocab_overlap"
+        ),
         "docs_krippendorff": _ext_oracle(
             [
                 _text.oracle_gopher_rules(),
@@ -4740,6 +4763,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_products": _ext_oracle(
             [_graph.oracle_pagerank()], "pagerank_products"
+        ),
+        "graph_clustering_coef": _ext_oracle(
+            [_graph.ORACLE_CLUSTERING_COEF], "clustering_coefficient"
         ),
         "graph_triangles": _ext_oracle(
             [_graph.ORACLE_TRIANGLE_COUNTS], "triangle_counts"

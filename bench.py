@@ -288,6 +288,11 @@ HEADLINE = [
     "events_overdispersion",
     "dedup_capture_recapture",
     "parts_abc_xyz",
+    "events_median_ci",
+    "events_trend_test",
+    "docs_vocab_chao1",
+    "docs_source_overlap",
+    "graph_clustering_coef",
 ]
 
 

@@ -2948,3 +2948,121 @@ rich_club AS (
   FROM rc_rows
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# clustering coefficient (local per node + global transitivity)
+# ---------------------------------------------------------------------------
+
+
+def clustering_coefficient(lineitem: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node — how close each
+    product's co-purchase neighborhood is to a clique:
+    c_v = 2*tri_v / (deg_v*(deg_v-1)) — plus the global transitivity
+    3*T / W = 2*sum(tri_v) / sum(deg*(deg-1)) repeated on every row
+    for one-table reading. The community-density companion to the
+    triangle counts (same staged enumeration) that separates "high
+    degree because hub" from "high degree because clique".
+
+    Cost on top of the SESSION-STAGED triangle list and edge list:
+    one explode-agg, one degree agg, one join — nothing re-enumerates
+    wedges. Exactness: coefficients are single divisions of exact
+    BIGINTs (wedge counts deg*(deg-1)/2 are integer-exact; isolated-
+    degree-1 nodes are excluded by the triangle join's nature and
+    guarded by a when()).
+
+    Output per triangle-bearing node: node, degree, n_triangles,
+    local_coef, global_transitivity (both round 6).
+    """
+    und = _edges_staged(lineitem).filter(F.col("a") < F.col("b"))
+    tri = _triangles_staged(lineitem)
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    joined = per_node.join(deg, "node")
+    glob = joined.agg(
+        F.sum("n_triangles").alias("t3"),  # = 3*T over triangle nodes
+    ).crossJoin(
+        F.broadcast(
+            deg.agg(
+                F.sum(
+                    F.col("degree") * (F.col("degree") - 1)
+                ).alias("w2")  # = 2*W
+            )
+        )
+    ).select(
+        F.round(
+            (2 * F.col("t3")).cast("double")
+            / F.col("w2").cast("double"),
+            6,
+        ).alias("global_transitivity")
+    )
+    wedge2 = F.col("degree") * (F.col("degree") - 1)
+    return joined.crossJoin(F.broadcast(glob)).select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.round(
+            F.when(
+                wedge2 > 0,
+                (2 * F.col("n_triangles")).cast("double")
+                / wedge2.cast("double"),
+            ),
+            6,
+        ).alias("local_coef"),
+        "global_transitivity",
+    )
+
+
+ORACLE_CLUSTERING_COEF = """
+cc_und AS (
+  SELECT a, b FROM (
+    SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+    FROM lineitem l1
+    JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+    WHERE l1.l_partkey <> l2.l_partkey
+  ) WHERE a < b
+),
+cc_tri AS (
+  SELECT ab.a, ab.b, bc.b AS c
+  FROM cc_und ab
+  JOIN cc_und bc ON ab.b = bc.a
+  JOIN cc_und ac ON ac.a = ab.a AND ac.b = bc.b
+),
+cc_pn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS node FROM cc_tri
+        UNION ALL SELECT b FROM cc_tri
+        UNION ALL SELECT c FROM cc_tri)
+  GROUP BY 1
+),
+cc_deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT a AS node FROM cc_und
+        UNION ALL SELECT b FROM cc_und)
+  GROUP BY 1
+),
+cc_glob AS (
+  SELECT round(
+    (SELECT CAST(2 * sum(n_triangles) AS DOUBLE) FROM cc_pn)
+    / (SELECT CAST(sum(degree * (degree - 1)) AS DOUBLE)
+       FROM cc_deg), 6) AS global_transitivity
+),
+clustering_coefficient AS (
+  SELECT p.node, d.degree, p.n_triangles,
+         round(CASE WHEN d.degree * (d.degree - 1) > 0
+               THEN CAST(2 * p.n_triangles AS DOUBLE)
+                    / CAST(d.degree * (d.degree - 1) AS DOUBLE) END,
+               6) AS local_coef,
+         g.global_transitivity
+  FROM cc_pn p JOIN cc_deg d ON p.node = d.node, cc_glob g
+)
+"""

@@ -4842,3 +4842,117 @@ vocab_chao1 AS (
   FROM ch_a
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# source vocabulary-overlap matrix (which crawls duplicate each other)
+# ---------------------------------------------------------------------------
+
+
+def source_vocab_overlap(docs: DataFrame) -> DataFrame:
+    """Vocabulary Jaccard between every pair of corpus sources — the
+    lexical companion to the doc-level near-dup detectors: two crawls
+    can share few exact documents yet nearly coincide in vocabulary
+    (mirror sites, syndication), which reweights how much NEW
+    language a source actually contributes to a pretraining mix
+    (`docs_source_jsd` watches the mix shares shift; this watches
+    whether the sources are even distinct material).
+
+    Distinct (source, token) pairs, one token-grain self-join (each
+    token fans out at most |sources|^2 — the source domain is tiny by
+    construction), per-source vocab sizes joined back. All counts
+    exact BIGINT; Jaccard is the single rounded division.
+
+    Output per source pair (s1 < s2): source_1, source_2, vocab_1,
+    vocab_2, n_shared, jaccard.
+    """
+    sv = (
+        docs.select(
+            "source", F.explode(_tokens_col()).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+        .localCheckpoint(eager=True)  # (source, token) grain
+    )
+    vocab = sv.groupBy("source").agg(F.count("*").alias("v"))
+    pairs = (
+        sv.alias("x")
+        .join(
+            sv.alias("y"),
+            (F.col("x.w") == F.col("y.w"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_1"),
+            F.col("y.source").alias("source_2"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                vocab.select(
+                    F.col("source").alias("source_1"),
+                    F.col("v").alias("vocab_1"),
+                )
+            ),
+            "source_1",
+        )
+        .join(
+            F.broadcast(
+                vocab.select(
+                    F.col("source").alias("source_2"),
+                    F.col("v").alias("vocab_2"),
+                )
+            ),
+            "source_2",
+        )
+        .select(
+            "source_1",
+            "source_2",
+            "vocab_1",
+            "vocab_2",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (
+                    F.col("vocab_1")
+                    + F.col("vocab_2")
+                    - F.col("n_shared")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_SOURCE_OVERLAP = r"""
+so_sv AS (
+  SELECT DISTINCT source, w
+  FROM (SELECT source,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+so_v AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS v
+  FROM so_sv GROUP BY 1
+),
+so_p AS (
+  SELECT x.source AS source_1, y.source AS source_2,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM so_sv x JOIN so_sv y
+    ON x.w = y.w AND x.source < y.source
+  GROUP BY 1, 2
+),
+source_vocab_overlap AS (
+  SELECT p.source_1, p.source_2,
+         v1.v AS vocab_1, v2.v AS vocab_2, p.n_shared,
+         round(CAST(p.n_shared AS DOUBLE)
+               / CAST(v1.v + v2.v - p.n_shared AS DOUBLE), 6)
+           AS jaccard
+  FROM so_p p
+  JOIN so_v v1 ON v1.source = p.source_1
+  JOIN so_v v2 ON v2.source = p.source_2
+)
+"""

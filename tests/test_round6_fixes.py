@@ -603,3 +603,35 @@ def test_chao1_identity_and_floor(spark):
     assert (r["n_tokens"], r["vocab"], r["f1"], r["f2"]) == (6, 4, 3, 0)
     assert abs(r["chao1_est"] - (4 + 3 * 2 / 2)) < 1e-9
     assert r["chao1_est"] >= r["vocab"]
+
+
+def test_clustering_coef_triangle_plus_pendant(spark):
+    """Triangle {1,2,3} + pendant edge 3-4: nodes 1,2 have c = 1
+    (their 2 neighbors are connected), node 3 has c = 2*1/(3*2) =
+    1/3; transitivity = 3*1/W with W = 1+1+3 = 5 wedges -> 0.6."""
+    li = _clique_orders(spark, [(1, [1, 2, 3]), (2, [3, 4])])
+    rows = {r["node"]: r for r in
+            graph.clustering_coefficient(li).collect()}
+    assert rows[1]["local_coef"] == 1.0
+    assert rows[2]["local_coef"] == 1.0
+    assert abs(rows[3]["local_coef"] - round(1 / 3, 6)) < 1e-9
+    assert abs(rows[1]["global_transitivity"] - 0.6) < 1e-9
+    assert 4 not in rows  # degree-1 pendant bears no triangle
+
+
+def test_source_overlap_jaccard_hand_worked(spark):
+    """web vocab {a,b,c}, books vocab {b,c,d}: shared 2, union 4 ->
+    jaccard 0.5."""
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "web", 5),
+         (2, "b c d", "en", "books", 5),
+         (3, "c b", "en", "books", 3)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    r = textstats.source_vocab_overlap(docs).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["source_1"], row["source_2"]) == ("books", "web")
+    assert (row["vocab_1"], row["vocab_2"], row["n_shared"]) == (3, 3, 2)
+    assert row["jaccard"] == 0.5
