@@ -3121,6 +3121,13 @@ def q_stream_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_ab_monitor(spark, sf_dir)
 
 
+def q_stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Wald SPRT: 1-row (n, s) mergeable state per
+    micro-batch; final LLR/decision equals the batch monitor's last
+    day (batch==stream duality for the sequential-testing ladder)."""
+    return _ev.run_stream_sprt(spark, sf_dir)
+
+
 def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketch as streaming state: constant K-row standing table,
     mergeable bottom-k folds per micro-batch; final estimate equals
@@ -3642,6 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_merge_state": q_stream_merge_state,
         "stream_kmv": q_stream_kmv,
         "stream_ab_monitor": q_stream_ab_monitor,
+        "stream_sprt": q_stream_sprt,
         "stream_hist_quantiles": q_stream_histq,
         "stream_cms": q_stream_cms,
         "stream_hll": q_stream_hll,
@@ -5269,6 +5277,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_ab_monitor": _ext_oracle(
             [_ev.ORACLE_STREAM_AB], "stream_ab_monitor"
+        ),
+        "stream_sprt": _ext_oracle(
+            [_ev.ORACLE_STREAM_SPRT], "stream_sprt"
         ),
         "stream_kmv": _ext_oracle(
             [_ev.ORACLE_STREAM_KMV], "stream_kmv"

@@ -293,6 +293,7 @@ HEADLINE = [
     "docs_vocab_chao1",
     "docs_source_overlap",
     "graph_clustering_coef",
+    "stream_sprt",
 ]
 
 

@@ -2050,3 +2050,118 @@ stream_ab_monitor AS (
   FROM sab_m
 )
 """
+
+
+def run_stream_sprt(
+    spark: SparkSession, sf_dir: str, name: str = "stream_sprt"
+) -> DataFrame:
+    """Streaming Wald SPRT: the sequential test whose state is the
+    minimal mergeable pair (n, s) — each micro-batch adds its trial
+    and success counts to a 1-row standing state, and the cumulative
+    log-likelihood ratio after the final batch equals the batch
+    `events_sprt` monitor's last day bit-for-bit (same
+    Python-injected ln constants, same integer counts). SPRT is the
+    canonical STREAMING test — it was designed to be decided
+    mid-stream — so this is the batch==stream duality check the
+    repo's stream family runs, applied to the sequential-testing
+    ladder.
+
+    Per batch: one batch-sized conditional count agg + a 1-row merge
+    overwrite (addition is associative; idempotent per batch id).
+
+    Output (1 row): n_trials, n_success, llr, decision.
+    """
+    import tempfile
+
+    from big_data_instacart_market_basket_analysis_spark.operators.temporal import (
+        SPRT_L0,
+        SPRT_L1,
+        SPRT_LOWER,
+        SPRT_UPPER,
+    )
+
+    _tune_stream_session(spark)
+    root = tempfile.mkdtemp(prefix="stream_sprt_")
+    src, target = f"{root}/src", f"{root}/state"
+
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        (F.col("event_type") == "purchase").cast("int").alias("y")
+    ).repartition(6).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.agg(
+            F.count("*").alias("n"), F.sum("y").alias("s")
+        )
+        if _os.path.isdir(target):
+            part = spark.read.parquet(target).unionByName(part)
+        merged = part.agg(
+            F.sum("n").alias("n"), F.sum("s").alias("s")
+        ).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    st = spark.read.parquet(target)
+    llr = F.col("s") * F.lit(SPRT_L1) + (
+        F.col("n") - F.col("s")
+    ) * F.lit(SPRT_L0)
+    return st.select(
+        F.col("n").alias("n_trials"),
+        F.col("s").alias("n_success"),
+        F.round(llr, 6).alias("llr"),
+        F.when(llr >= F.lit(SPRT_UPPER), F.lit("accept_h1"))
+        .when(llr <= F.lit(SPRT_LOWER), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
+def _oracle_stream_sprt() -> str:
+    from big_data_instacart_market_basket_analysis_spark.operators.temporal import (
+        SPRT_L0,
+        SPRT_L1,
+        SPRT_LOWER,
+        SPRT_UPPER,
+    )
+
+    return f"""
+ssp_a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END) AS BIGINT) AS s
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+stream_sprt AS (
+  SELECT n AS n_trials, s AS n_success,
+         round(s * CAST({SPRT_L1!r} AS DOUBLE)
+               + (n - s) * CAST({SPRT_L0!r} AS DOUBLE), 6) AS llr,
+         CASE WHEN s * CAST({SPRT_L1!r} AS DOUBLE)
+                   + (n - s) * CAST({SPRT_L0!r} AS DOUBLE)
+                   >= CAST({SPRT_UPPER!r} AS DOUBLE)
+              THEN 'accept_h1'
+              WHEN s * CAST({SPRT_L1!r} AS DOUBLE)
+                   + (n - s) * CAST({SPRT_L0!r} AS DOUBLE)
+                   <= CAST({SPRT_LOWER!r} AS DOUBLE)
+              THEN 'accept_h0'
+              ELSE 'continue' END AS decision
+  FROM ssp_a
+)
+"""
+
+
+ORACLE_STREAM_SPRT = _oracle_stream_sprt()

@@ -635,3 +635,26 @@ def test_source_overlap_jaccard_hand_worked(spark):
     assert (row["source_1"], row["source_2"]) == ("books", "web")
     assert (row["vocab_1"], row["vocab_2"], row["n_shared"]) == (3, 3, 2)
     assert row["jaccard"] == 0.5
+
+
+def test_stream_sprt_equals_batch_last_day(spark):
+    """Batch==stream duality: the streaming SPRT's final (n, s, llr,
+    decision) must equal the batch daily monitor's last row at
+    sf0.001."""
+    from big_data_instacart_market_basket_analysis_spark.streaming import (
+        events as _ev,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    st = _ev.run_stream_sprt(spark, sf).collect()[0]
+    batch = max(
+        temporal.sprt_monitor(load_table(spark, sf, "events")).collect(),
+        key=lambda r: r["day"],
+    )
+    assert st["n_trials"] == batch["n_cum"]
+    assert st["n_success"] == batch["s_cum"]
+    assert abs(st["llr"] - batch["llr"]) < 1e-9
+    assert st["decision"] == batch["decision"]
