@@ -658,3 +658,22 @@ def test_stream_sprt_equals_batch_last_day(spark):
     assert st["n_success"] == batch["s_cum"]
     assert abs(st["llr"] - batch["llr"]) < 1e-9
     assert st["decision"] == batch["decision"]
+
+
+def test_betweenness_backward_staging_is_shared(spark):
+    """r5 verdict #1 pin: the estimator and the stability eval's set
+    A must ride the SAME session-staged backward-delta table — a
+    second betweenness_approx call returns the cached DataFrame
+    object, so the accumulation runs once per session."""
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    a = graph.betweenness_approx(li)
+    b = graph.betweenness_approx(li)
+    assert a is b
+    assert (
+        graph._betweenness_staged(li, graph.BETW_PIVOTS, graph.BETW_HOPS)
+        is a
+    )
