@@ -2084,6 +2084,40 @@ def q_orders_erlang_blocking(
     return _tmp.erlang_blocking_curve(load_table(spark, sf_dir, "orders"))
 
 
+def q_orders_erlang_wait(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Erlang-C staffing curve: exact-integer waiting probability and
+    mean queue wait for 1..12 servers at the capped offered load
+    (M/M/s queue; same J(s) recursion as Erlang-B, all-integer
+    P_wait = a^s*s / ((s-a)(J-a^s) + a^s*s))."""
+    return _tmp.erlang_wait_curve(load_table(spark, sf_dir, "orders"))
+
+
+def q_events_kendall_tau(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall tau-b + Mann-Kendall z on the daily revenue series:
+    exact integer pair counting over the calendar-bounded day grain."""
+    return _tmp.kendall_tau_daily(load_table(spark, sf_dir, "events"))
+
+
+def q_events_kruskal_wallis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kruskal-Wallis H across event types with exact mid-rank ties:
+    cent-grain ranks via the octave-bucket prefix kernel (zero global
+    windows), tie-corrected H from 5 exact integer group rows."""
+    return _tmp.kruskal_wallis(load_table(spark, sf_dir, "events"))
+
+
+def q_events_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's variance-homogeneity F on |x - group mean| with the
+    deviation carried as an exact integer numerator (|c*n_g - s_g|),
+    so no rational ever rounds before the final 5-row assembly."""
+    return _tmp.levene_test(load_table(spark, sf_dir, "events"))
+
+
 def q_events_variance_ratio(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3605,6 +3639,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_eoq": q_parts_eoq,
         "orders_service_level": q_orders_service_level,
         "orders_erlang_blocking": q_orders_erlang_blocking,
+        "orders_erlang_wait": q_orders_erlang_wait,
+        "events_kendall_tau": q_events_kendall_tau,
+        "events_kruskal_wallis": q_events_kruskal_wallis,
+        "events_levene": q_events_levene,
         "events_cohort_ltv": q_events_cohort_ltv,
         "events_stickiness": q_events_stickiness,
         "events_matrix_profile": q_events_matrix_profile,
@@ -4650,6 +4688,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orders_erlang_blocking": _ext_oracle(
             [_tmp.oracle_erlang_blocking()], "erlang_blocking"
+        ),
+        "orders_erlang_wait": _ext_oracle(
+            [_tmp.oracle_erlang_wait()], "erlang_wait"
+        ),
+        "events_kendall_tau": _ext_oracle(
+            [_tmp.ORACLE_KENDALL], "kendall_tau_daily"
+        ),
+        "events_kruskal_wallis": _ext_oracle(
+            [_tmp.ORACLE_KRUSKAL], "kruskal_wallis"
+        ),
+        "events_levene": _ext_oracle(
+            [_tmp.ORACLE_LEVENE], "levene_test"
         ),
         "media_sniff_dims": _ext_oracle(
             [_mm.ORACLE_SNIFF_DIMS], "media_sniff_dims"

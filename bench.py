@@ -294,6 +294,10 @@ HEADLINE = [
     "docs_source_overlap",
     "graph_clustering_coef",
     "stream_sprt",
+    "orders_erlang_wait",
+    "events_kendall_tau",
+    "events_kruskal_wallis",
+    "events_levene",
 ]
 
 

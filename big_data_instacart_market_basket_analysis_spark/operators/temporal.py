@@ -12981,3 +12981,562 @@ trend_test AS (
   FROM tt_a
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b trend on the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+def kendall_tau_daily(events: DataFrame) -> DataFrame:
+    """Kendall tau-b rank correlation between calendar day and daily
+    purchase revenue — the pair-counting twin of ``events_spearman``
+    (which ranks) and the nonparametric cousin of the Mann-Kendall
+    trend test: is revenue drifting up over the observation window,
+    judged only by orderings, never by magnitudes.
+
+    EXACT INTEGER pair counting: the day-grain series (calendar-
+    bounded, ~365 rows/year at ANY data scale) self-joins on
+    d1 < d2 and every pair is classified concordant / discordant /
+    revenue-tied by integer cent comparison — C, D, T are exact
+    BIGINTs in both engines. Days are distinct so the x-tie term
+    vanishes and tau_b = (C-D)/sqrt(n0*(n0-T)) with n0 = C+D+T; the
+    Mann-Kendall normal z = (C-D)/sqrt(n(n-1)(2n+5)/18) shares the
+    same integers. Both are one rounded division (round 6).
+
+    Scale shape: ONE map-side-combinable day agg over the fact table
+    is the only corpus-sized stage; the pair join is calendar² —
+    bounded work forever. Output (1 row): n_days, concordant,
+    discordant, tied_pairs, tau_b, z_mk, trending.
+    """
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .alias("rev")
+        )
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("rev").alias("r1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("rev").alias("r2"))
+    pairs = a.join(b, F.col("d1") < F.col("d2"))
+    m = pairs.agg(
+        F.sum((F.col("r2") > F.col("r1")).cast("bigint")).alias("c"),
+        F.sum((F.col("r2") < F.col("r1")).cast("bigint")).alias("dd"),
+        F.sum((F.col("r2") == F.col("r1")).cast("bigint")).alias("t"),
+    ).crossJoin(daily.agg(F.count("*").alias("nd")))
+    n0 = F.col("c") + F.col("dd") + F.col("t")
+    num = (F.col("c") - F.col("dd")).cast("double")
+    tau = num / F.sqrt(
+        n0.cast("double") * (n0 - F.col("t")).cast("double")
+    )
+    ndd = F.col("nd").cast("double")
+    z = num / F.sqrt(
+        ndd * (ndd - 1) * (2 * ndd + 5) / 18
+    )
+    return m.select(
+        F.col("nd").alias("n_days"),
+        F.col("c").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        F.col("t").alias("tied_pairs"),
+        F.round(tau, 6).alias("tau_b"),
+        F.round(z, 6).alias("z_mk"),
+        (F.abs(F.round(z, 6)) > 1.96).alias("trending"),
+    )
+
+
+ORACLE_KENDALL = """
+kt_d AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+kt_m AS (
+  SELECT CAST(sum(CASE WHEN b.rev > a.rev THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(sum(CASE WHEN b.rev < a.rev THEN 1 ELSE 0 END)
+              AS BIGINT) AS dd,
+         CAST(sum(CASE WHEN b.rev = a.rev THEN 1 ELSE 0 END)
+              AS BIGINT) AS t,
+         (SELECT CAST(count(*) AS BIGINT) FROM kt_d) AS nd
+  FROM kt_d a JOIN kt_d b ON a.d < b.d
+),
+kendall_tau_daily AS (
+  SELECT nd AS n_days, c AS concordant, dd AS discordant,
+         t AS tied_pairs,
+         round(CAST(c - dd AS DOUBLE)
+               / sqrt(CAST(c + dd + t AS DOUBLE)
+                      * CAST(c + dd + t - t AS DOUBLE)), 6) AS tau_b,
+         round(CAST(c - dd AS DOUBLE)
+               / sqrt(CAST(nd AS DOUBLE) * (CAST(nd AS DOUBLE) - 1)
+                      * (2 * CAST(nd AS DOUBLE) + 5) / 18), 6)
+           AS z_mk,
+         abs(round(CAST(c - dd AS DOUBLE)
+               / sqrt(CAST(nd AS DOUBLE) * (CAST(nd AS DOUBLE) - 1)
+                      * (2 * CAST(nd AS DOUBLE) + 5) / 18), 6)) > 1.96
+           AS trending
+  FROM kt_m
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H test (k-group rank test with exact tie handling)
+# ---------------------------------------------------------------------------
+
+#: chi-square critical value at alpha=.05 for df = k-1 = 4 groups.
+KRUSKAL_CHI2_CRIT_05 = 9.487729
+
+
+def kruskal_wallis(events: DataFrame) -> DataFrame:
+    """Kruskal-Wallis H test of event value across the five event
+    types — the k-group generalization of ``events_mannwhitney``
+    (rank-based, outlier-immune) beside the parametric
+    ``events_anova``. Ranks use the exact mid-rank tie convention.
+
+    EXACT INTEGER ranks with zero global windows: values collapse to
+    cent-grain (value, count) rows; the exclusive prefix count below
+    each distinct value comes from the octave-bucket rank kernel —
+    floor(log2) buckets (data-independent <= ~48 octaves at any
+    scale) get exclusive offsets via ``ranking.bucket_prefix_offsets``
+    (packed-array prefix sums, no WindowExec) and within-octave
+    prefixes via a PARTITIONED window over the cent-grain rows, the
+    same shape the verdict blessed for ``nb_pr_curve``. The doubled
+    mid-rank 2r(v) = 2*pre(v) + cnt(v) + 1 is integer, so each
+    group's doubled rank-sum R2_g = sum n_gv * 2r(v) is an exact
+    DECIMAL(38,0) (HUGEINT in the oracle), as are the tie term
+    T = sum(t^3 - t) and N. H and its tie correction assemble from
+    the k=5 group rows in doubles (fold noise ~5 ulp, far below the
+    6-dp edge), mirroring the ANOVA convention.
+
+    Scale shape: one cent-grain hash-agg over the fact table is the
+    only corpus-sized stage; everything after runs on cent-grain and
+    5-row frames. Output (1 row): k, n, h_stat, h_tie_adj,
+    significant.
+    """
+    cg = events.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    tg = cg.groupBy("event_type", "c").agg(
+        F.count("*").alias("ntc")
+    )
+    vg = tg.groupBy("c").agg(F.sum("ntc").alias("cnt"))
+    bkt = F.when(
+        F.col("c") >= 0, F.floor(F.log2(F.col("c") + 1))
+    ).otherwise(-1 - F.floor(F.log2(-F.col("c")))).cast("bigint")
+    vgb = vg.select("c", "cnt", bkt.alias("bucket"))
+    btot = vgb.groupBy("bucket").agg(F.sum("cnt").alias("bc"))
+    offs = _rank.bucket_prefix_offsets(btot, "bucket", ["bc"])
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = (
+        vgb.withColumn(
+            "inb", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(offs), "bucket")
+        .select(
+            "c",
+            "cnt",
+            (F.col("_off_bc") + F.col("inb")).alias("pre"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    r = (
+        tg.join(pre, "c")
+        .groupBy("event_type")
+        .agg(
+            F.sum("ntc").alias("ng"),
+            F.sum(
+                dec(F.col("ntc"))
+                * dec(2 * F.col("pre") + F.col("cnt") + 1)
+            ).alias("r2"),
+        )
+    )
+    t = vg.agg(
+        F.sum(
+            dec(F.col("cnt")) * dec(F.col("cnt")) * dec(F.col("cnt"))
+            - dec(F.col("cnt"))
+        ).alias("tt"),
+        F.sum("cnt").alias("nn"),
+    )
+    m = r.agg(
+        F.count("*").alias("k"),
+        F.sum(
+            F.col("r2").cast("double")
+            * F.col("r2").cast("double")
+            / (4 * F.col("ng").cast("double"))
+        ).alias("t1"),
+    ).crossJoin(t)
+    nd = F.col("nn").cast("double")
+    h = 12 * F.col("t1") / (nd * (nd + 1)) - 3 * (nd + 1)
+    corr = 1 - F.col("tt").cast("double") / (nd * nd * nd - nd)
+    hadj = h / corr
+    return m.select(
+        "k",
+        F.col("nn").alias("n"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(hadj, 6).alias("h_tie_adj"),
+        (F.round(hadj, 6) > KRUSKAL_CHI2_CRIT_05).alias(
+            "significant"
+        ),
+    )
+
+
+ORACLE_KRUSKAL = f"""
+kw_c AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+kw_tg AS (
+  SELECT event_type, c, CAST(count(*) AS BIGINT) AS ntc
+  FROM kw_c GROUP BY 1, 2
+),
+kw_vg AS (
+  SELECT c, CAST(sum(ntc) AS BIGINT) AS cnt FROM kw_tg GROUP BY 1
+),
+kw_pre AS (
+  SELECT c, cnt,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS pre
+  FROM kw_vg
+),
+kw_r AS (
+  SELECT t.event_type, CAST(sum(t.ntc) AS BIGINT) AS ng,
+         CAST(sum(CAST(t.ntc AS HUGEINT)
+                  * (2 * p.pre + p.cnt + 1)) AS HUGEINT) AS r2
+  FROM kw_tg t JOIN kw_pre p ON t.c = p.c GROUP BY 1
+),
+kw_t AS (
+  SELECT CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+              AS HUGEINT) AS tt,
+         CAST(sum(cnt) AS BIGINT) AS nn
+  FROM kw_vg
+),
+kw_m AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM kw_r) AS k,
+         (SELECT sum(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+                     / (4 * CAST(ng AS DOUBLE))) FROM kw_r) AS t1,
+         tt, nn
+  FROM kw_t
+),
+kruskal_wallis AS (
+  SELECT k, nn AS n,
+         round(12 * t1 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE)
+               + 1)) - 3 * (CAST(nn AS DOUBLE) + 1), 6) AS h_stat,
+         round((12 * t1 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE)
+               + 1)) - 3 * (CAST(nn AS DOUBLE) + 1))
+               / (1 - CAST(tt AS DOUBLE)
+                  / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                     * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))), 6)
+           AS h_tie_adj,
+         round((12 * t1 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE)
+               + 1)) - 3 * (CAST(nn AS DOUBLE) + 1))
+               / (1 - CAST(tt AS DOUBLE)
+                  / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                     * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))), 6)
+           > {KRUSKAL_CHI2_CRIT_05} AS significant
+  FROM kw_m
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Levene's test (variance homogeneity across the k groups)
+# ---------------------------------------------------------------------------
+
+
+def levene_test(events: DataFrame) -> DataFrame:
+    """Levene's test for homogeneity of variance of event value
+    across the five event types — the formal inferential test beside
+    the Hartley Fmax screen (``events_variance_ratio``): where Fmax
+    just ratios the extreme variances, Levene runs a one-way ANOVA F
+    on the absolute deviations z_i = |x_i - mean(group)|, giving an
+    actual F-distributed statistic that tolerates non-normal tails.
+
+    EXACT INTEGER deviations with no rational rounding: the group
+    mean s_g/n_g never materializes — each deviation is carried as
+    the integer numerator |c_i * n_g - s_g| over the implicit
+    denominator n_g, so the per-group moments Z_g = sum|.| and
+    Q_g = sum(.)^2 are exact DECIMAL(38,0)/HUGEINT. The F statistic
+    then assembles from the k=5 group rows in doubles
+    (SSB = sum Z_g^2/n_g^3 - (sum Z_g/n_g)^2/N,
+    SSW = sum Q_g/n_g^2 - Z_g^2/n_g^3 — the n_g powers restore each
+    group's denominator), the same bounded 5-row fold as ANOVA.
+
+    Scale shape: two map-side-combinable passes over the fact table
+    (moments, then deviations against the broadcast 5-row group
+    frame) — no window, no shuffle beyond the two hash-aggs.
+    Overflow envelope: Q_g <= n_g * (c_max * n_g)^2 ~ 1e38 at
+    n_g ~ 3e9 rows/group with 5-digit cent values; beyond that,
+    pre-scale cents to dollars (document, don't silently saturate).
+    Output (1 row): k, n, ssb, ssw, w_stat, homogeneous.
+    """
+    cg = events.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    g = cg.groupBy("event_type").agg(
+        F.count("*").alias("ng"), F.sum("c").alias("sg")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dev = cg.join(F.broadcast(g), "event_type").select(
+        "event_type",
+        "ng",
+        F.abs(
+            dec(F.col("c")) * dec(F.col("ng")) - dec(F.col("sg"))
+        ).alias("d"),
+    )
+    gm = dev.groupBy("event_type").agg(
+        F.max("ng").alias("ng"),
+        F.sum("d").alias("z1"),
+        F.sum(F.col("d") * F.col("d")).alias("q"),
+    )
+    ngd = F.col("ng").cast("double")
+    m = gm.agg(
+        F.count("*").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum(
+            F.col("z1").cast("double")
+            * F.col("z1").cast("double")
+            / (ngd * ngd * ngd)
+        ).alias("t1"),
+        F.sum(F.col("z1").cast("double") / ngd).alias("zb"),
+        F.sum(
+            F.col("q").cast("double") / (ngd * ngd)
+        ).alias("t2"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    ssb = F.col("t1") - F.col("zb") * F.col("zb") / nd
+    ssw = F.col("t2") - F.col("t1")
+    w = (ssb / (kd - 1)) / (ssw / (nd - kd))
+    return m.select(
+        "k",
+        "n",
+        F.round(ssb, 4).alias("ssb"),
+        F.round(ssw, 4).alias("ssw"),
+        F.round(w, 6).alias("w_stat"),
+        (F.round(w, 6) <= ANOVA_F_CRIT_05).alias("homogeneous"),
+    )
+
+
+ORACLE_LEVENE = f"""
+lv_c AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+lv_g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(c) AS BIGINT) AS sg
+  FROM lv_c GROUP BY 1
+),
+lv_d AS (
+  SELECT c.event_type, g.ng,
+         abs(CAST(c.c AS HUGEINT) * g.ng - g.sg) AS d
+  FROM lv_c c JOIN lv_g g ON c.event_type = g.event_type
+),
+lv_gm AS (
+  SELECT event_type, CAST(max(ng) AS BIGINT) AS ng,
+         CAST(sum(d) AS HUGEINT) AS z1,
+         CAST(sum(d * d) AS HUGEINT) AS q
+  FROM lv_d GROUP BY 1
+),
+lv_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(ng) AS BIGINT) AS n,
+         sum(CAST(z1 AS DOUBLE) * CAST(z1 AS DOUBLE)
+             / (CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE)
+                * CAST(ng AS DOUBLE))) AS t1,
+         sum(CAST(z1 AS DOUBLE) / CAST(ng AS DOUBLE)) AS zb,
+         sum(CAST(q AS DOUBLE)
+             / (CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE))) AS t2
+  FROM lv_gm
+),
+levene_test AS (
+  SELECT k, n,
+         round(t1 - zb * zb / CAST(n AS DOUBLE), 4) AS ssb,
+         round(t2 - t1, 4) AS ssw,
+         round(((t1 - zb * zb / CAST(n AS DOUBLE))
+                / (CAST(k AS DOUBLE) - 1))
+               / ((t2 - t1) / (CAST(n AS DOUBLE)
+                               - CAST(k AS DOUBLE))), 6) AS w_stat,
+         round(((t1 - zb * zb / CAST(n AS DOUBLE))
+                / (CAST(k AS DOUBLE) - 1))
+               / ((t2 - t1) / (CAST(n AS DOUBLE)
+                               - CAST(k AS DOUBLE))), 6)
+           <= {ANOVA_F_CRIT_05} AS homogeneous
+  FROM lv_m
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Erlang-C wait-probability curve (M/M/s queue with waiting room)
+# ---------------------------------------------------------------------------
+
+#: offered-load cap for the WAIT curve. Unlike Erlang-B (loss model,
+#: meaningful at any a), Erlang-C is only finite for s > a, and the
+#: curve tops out at ERLANG_MAX_SERVERS servers — so the staffable
+#: load is capped lower and flagged. Bonus: in the stable branch
+#: a <= s-1 <= 11, so every integer term stays ~1e13 and the 1e6
+#: ppm scaling can never approach the DECIMAL(38,0)/HUGEINT ceiling.
+ERLANG_C_A_CAP = 8
+
+
+def erlang_wait_curve(orders: DataFrame) -> DataFrame:
+    """Erlang-C staffing curve: probability an arriving order WAITS
+    (all s agents busy, M/M/s with infinite queue) plus the mean
+    queue wait, for s = 1..{S} at the data-derived offered load —
+    the companion of ``orders_erlang_blocking`` for systems that
+    queue instead of turning work away.
+
+    Same EXACT INTEGER recursion J(s) = a^s + s*J(s-1) as Erlang-B
+    (J(s) = sum_k a^k * s!/k!), then the waiting probability in pure
+    integers: with q = a^s * s and D = (s-a)*(J(s) - a^s) + a^s * s,
+        P_wait = q / D            (s > a; else 1 — unstable queue)
+        W_q    = P_wait / (s - a) (mean wait, 1-hour handle time)
+    both emitted as exact integer divisions (ppm / micro-hours) via
+    the divmod split, so the whole curve hash-matches by
+    construction. Load is capped at {CAP} erlangs (flagged): the
+    stable branch needs a < s <= {S} anyway, and the cap keeps every
+    term within ~1e13 * 1e6 — five orders below the DECIMAL(38,0)
+    ceiling at ANY data scale.
+
+    Scale: ONE global count-agg over orders; the recursion is
+    driver-free column algebra on a broadcast 1-row frame. Output
+    per s: servers, offered_load, capped, wait_ppm, wq_micro_hours
+    (NULL when the queue is unstable).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = orders.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.to_date("o_orderdate")).alias("days"),
+    )
+    base = tot.select(
+        F.expr(
+            f"least((n + days * 24 - 1) div (days * 24),"
+            f" cast({ERLANG_C_A_CAP} as bigint))"
+        ).alias("a_int"),
+        F.expr(
+            f"cast((n + days * 24 - 1) div (days * 24)"
+            f" > {ERLANG_C_A_CAP} as int)"
+        ).alias("capped"),
+    ).select(
+        "a_int",
+        "capped",
+        dec(F.col("a_int")).alias("a"),
+        dec(F.lit(1)).alias("ap"),
+        dec(F.lit(1)).alias("j"),
+    )
+    levels = []
+    cur = base
+    for s in range(1, ERLANG_MAX_SERVERS + 1):
+        cur = cur.select(
+            "a_int",
+            "capped",
+            "a",
+            (F.col("ap") * F.col("a")).alias("ap"),
+            (
+                F.col("ap") * F.col("a") + F.lit(s) * F.col("j")
+            ).alias("j"),
+        )
+        levels.append(
+            cur.select(
+                F.lit(s).alias("servers"),
+                F.col("a_int").alias("offered_load"),
+                "capped",
+                "a",
+                "ap",
+                "j",
+            )
+        )
+    allv = levels[0]
+    for fr in levels[1:]:
+        allv = allv.unionByName(fr)
+    sd = F.col("servers").cast("decimal(38,0)")
+    q = F.col("ap") * sd
+    den = (sd - F.col("a")) * (F.col("j") - F.col("ap")) + q
+    scale = F.lit(ERLANG_SCALE).cast("decimal(38,0)")
+    num_p = q * scale
+    den_w = den * (sd - F.col("a"))
+    stable = F.col("servers") > F.col("offered_load")
+    return allv.select(
+        "servers",
+        "offered_load",
+        "capped",
+        F.when(
+            stable,
+            ((num_p - num_p % den) / den).cast("bigint"),
+        )
+        .otherwise(F.lit(ERLANG_SCALE).cast("bigint"))
+        .alias("wait_ppm"),
+        F.when(
+            stable,
+            ((num_p - num_p % den_w) / den_w).cast("bigint"),
+        ).alias("wq_micro_hours"),
+    )
+
+
+erlang_wait_curve.__doc__ = erlang_wait_curve.__doc__.format(
+    S=ERLANG_MAX_SERVERS, CAP=ERLANG_C_A_CAP
+)
+
+
+def oracle_erlang_wait(
+    max_servers: int = ERLANG_MAX_SERVERS,
+    cap: int = ERLANG_C_A_CAP,
+    scale: int = ERLANG_SCALE,
+) -> str:
+    ctes = [
+        """
+ec_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+           AS days
+  FROM orders
+)""",
+        f"""
+ec_0 AS (
+  SELECT least((n + days * 24 - 1) // (days * 24),
+               CAST({cap} AS BIGINT)) AS a_int,
+         CAST((n + days * 24 - 1) // (days * 24) > {cap} AS INT)
+           AS capped,
+         CAST(least((n + days * 24 - 1) // (days * 24),
+                    CAST({cap} AS BIGINT)) AS HUGEINT) AS a,
+         CAST(1 AS HUGEINT) AS ap,
+         CAST(1 AS HUGEINT) AS j
+  FROM ec_tot
+)""",
+    ]
+    for s in range(1, max_servers + 1):
+        ctes.append(
+            f"""
+ec_{s} AS (
+  SELECT a_int, capped, a, ap * a AS ap, ap * a + {s} * j AS j
+  FROM ec_{s - 1}
+)"""
+        )
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({s} AS INT) AS servers,"
+        f" a_int AS offered_load, capped,"
+        f" CASE WHEN {s} > a_int THEN CAST((ap * {s} * {scale})"
+        f" // (({s} - a) * (j - ap) + ap * {s}) AS BIGINT)"
+        f" ELSE CAST({scale} AS BIGINT) END AS wait_ppm,"
+        f" CASE WHEN {s} > a_int THEN CAST((ap * {s} * {scale})"
+        f" // ((({s} - a) * (j - ap) + ap * {s}) * ({s} - a))"
+        f" AS BIGINT) ELSE CAST(NULL AS BIGINT) END"
+        f" AS wq_micro_hours"
+        f" FROM ec_{s}"
+        for s in range(1, max_servers + 1)
+    )
+    ctes.append(f"""
+erlang_wait AS (
+{arms}
+)""")
+    return ",".join(ctes)
