@@ -2118,6 +2118,55 @@ def q_events_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.levene_test(load_table(spark, sf_dir, "events"))
 
 
+def q_events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman blocked rank test (types ranked within each day):
+    all-integer Conover form — doubled mid-ranks from the k^2/day
+    grid, chi2 as a ratio of two exact BIGINTs."""
+    return _tmp.friedman_test(load_table(spark, sf_dir, "events"))
+
+
+def q_events_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc pairs after the ANOVA omnibus: studentized
+    range q per type pair from the same exact integer moments."""
+    return _tmp.tukey_hsd(load_table(spark, sf_dir, "events"))
+
+
+def q_orders_lot_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wagner-Whitin optimal lot-sizing frontier as an all-integer
+    min-plus shortest path, solved by distributed matrix squaring
+    over the calendar-bounded month graph."""
+    return _tmp.lot_sizing_frontier(load_table(spark, sf_dir, "orders"))
+
+
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc trigram novelty attribution: credit each distinct
+    trigram to its corpus-first owner, score docs by the share of
+    vocabulary they introduce (doc-grain Heaps complement)."""
+    return _text.novelty_attribution(load_table(spark, sf_dir, "documents"))
+
+
+def q_events_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel block-maxima fit (method of moments on exact-integer
+    daily maxima of hourly revenue) with the 30-block return level."""
+    return _tmp.gumbel_maxima(load_table(spark, sf_dir, "events"))
+
+
+def q_events_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic time warping between the daily click and purchase
+    series: packed-array DP kernel vs the oracle's antidiagonal
+    wavefront recursion — exact BIGINT warp distance (resolves the
+    deferred-ledger 'cross-dependent DP state' entry)."""
+    return _tmp.dtw_alignment(load_table(spark, sf_dir, "events"))
+
+
+def q_docs_nw_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needleman-Wunsch global token alignment of the two anchor
+    docs (packed-array max-DP kernel vs wavefront oracle with
+    per-parent candidate contributions) — second resolved
+    deferred-ledger DP entry."""
+    return _text.nw_alignment(load_table(spark, sf_dir, "documents"))
+
+
 def q_events_variance_ratio(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3643,6 +3692,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kendall_tau": q_events_kendall_tau,
         "events_kruskal_wallis": q_events_kruskal_wallis,
         "events_levene": q_events_levene,
+        "events_friedman": q_events_friedman,
+        "events_tukey_hsd": q_events_tukey_hsd,
+        "orders_lot_sizing": q_orders_lot_sizing,
+        "text_novelty": q_text_novelty,
+        "events_gumbel": q_events_gumbel,
+        "events_dtw": q_events_dtw,
+        "docs_nw_align": q_docs_nw_align,
         "events_cohort_ltv": q_events_cohort_ltv,
         "events_stickiness": q_events_stickiness,
         "events_matrix_profile": q_events_matrix_profile,
@@ -4700,6 +4756,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_levene": _ext_oracle(
             [_tmp.ORACLE_LEVENE], "levene_test"
+        ),
+        "events_friedman": _ext_oracle(
+            [_tmp.ORACLE_FRIEDMAN], "friedman_test"
+        ),
+        "events_tukey_hsd": _ext_oracle(
+            [_tmp.ORACLE_TUKEY], "tukey_hsd"
+        ),
+        "orders_lot_sizing": _ext_oracle(
+            [_tmp.oracle_lot_sizing()], "lot_sizing"
+        ),
+        "text_novelty": _ext_oracle(
+            [_text.ORACLE_NOVELTY], "novelty_attribution"
+        ),
+        "events_gumbel": _ext_oracle(
+            [_tmp.ORACLE_GUMBEL], "gumbel_maxima"
+        ),
+        "events_dtw": _ext_oracle(
+            [_tmp.ORACLE_DTW], "dtw_alignment", recursive=True
+        ),
+        "docs_nw_align": _ext_oracle(
+            [_text.ORACLE_NW], "nw_alignment", recursive=True
         ),
         "media_sniff_dims": _ext_oracle(
             [_mm.ORACLE_SNIFF_DIMS], "media_sniff_dims"

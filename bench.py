@@ -298,6 +298,13 @@ HEADLINE = [
     "events_kendall_tau",
     "events_kruskal_wallis",
     "events_levene",
+    "events_friedman",
+    "events_tukey_hsd",
+    "orders_lot_sizing",
+    "text_novelty",
+    "events_gumbel",
+    "events_dtw",
+    "docs_nw_align",
 ]
 
 

@@ -12991,9 +12991,11 @@ trend_test AS (
 def kendall_tau_daily(events: DataFrame) -> DataFrame:
     """Kendall tau-b rank correlation between calendar day and daily
     purchase revenue — the pair-counting twin of ``events_spearman``
-    (which ranks) and the nonparametric cousin of the Mann-Kendall
-    trend test: is revenue drifting up over the observation window,
-    judged only by orderings, never by magnitudes.
+    (which ranks): the normalized -1..1 CORRELATION COEFFICIENT with
+    exact tie handling that the sibling ``events_robust_trend``
+    (Mann-Kendall S + tie-corrected z + Theil-Sen slope) does not
+    emit; its z_mk here is the textbook no-tie-correction form, kept
+    beside tau_b because the two share the same three integers.
 
     EXACT INTEGER pair counting: the day-grain series (calendar-
     bounded, ~365 rows/year at ANY data scale) self-joins on
@@ -13540,3 +13542,692 @@ erlang_wait AS (
 {arms}
 )""")
     return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# Friedman test (blocked rank test: event types ranked within each day)
+# ---------------------------------------------------------------------------
+
+
+def friedman_test(events: DataFrame) -> DataFrame:
+    """Friedman test of whether the five event types keep the same
+    activity ordering day after day — the BLOCKED rank test (each
+    calendar day is a block, types are ranked within the day by
+    event count), immune to day-level volume swings that would
+    swamp the unblocked Kruskal-Wallis.
+
+    ALL-INTEGER Conover form: within-block mid-ranks come from the
+    day-grain grid self-joined against itself (k^2 rows per day,
+    calendar-bounded) as doubled ranks 2r = 2*#smaller + #tied + 1;
+    with A4 = sum (2r)^2 and R2_j = sum_d 2r the tie-robust statistic
+        T = (k-1) * sum_j (R2_j - b(k+1))^2 / (A4 - b*k*(k+1)^2)
+    is a ratio of two exact BIGINTs — the doubling cancels, so the
+    ONLY float is the final rounded division (NULL when every day
+    ranks every type identically — zero rank variance). Missing
+    (day, type) cells enter as 0 via the dense day x type grid.
+
+    Scale: one (day, type) hash-agg over the fact table, then
+    calendar-bounded grid algebra; no windows. Output (1 row):
+    n_days, k, chi2_f, significant (vs chi-square df=4 at .05 —
+    the fixture's k=5; re-literal for other treatment counts).
+    """
+    dtc = (
+        events.groupBy(
+            F.to_date("ts").alias("d"), F.col("event_type").alias("ty")
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    days = dtc.select("d").distinct()
+    types = dtc.select("ty").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(dtc, ["d", "ty"], "left")
+        .select("d", "ty", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+    )
+    other = grid.select(
+        F.col("d").alias("d2"),
+        F.col("x").alias("x2"),
+    )
+    r2 = (
+        grid.join(other, F.col("d") == F.col("d2"))
+        .groupBy("d", "ty", "x")
+        .agg(
+            (
+                2 * F.sum((F.col("x2") < F.col("x")).cast("bigint"))
+                + F.sum((F.col("x2") == F.col("x")).cast("bigint"))
+                + 1
+            ).alias("r2")
+        )
+    )
+    per_type = r2.groupBy("ty").agg(F.sum("r2").alias("rj2"))
+    tot = r2.agg(
+        F.countDistinct("d").alias("b"),
+        F.countDistinct("ty").alias("k"),
+        F.sum(F.col("r2") * F.col("r2")).alias("a4"),
+    )
+    m = (
+        per_type.crossJoin(F.broadcast(tot))
+        .groupBy("b", "k", "a4")
+        .agg(
+            F.sum(
+                (F.col("rj2") - F.col("b") * (F.col("k") + 1))
+                * (F.col("rj2") - F.col("b") * (F.col("k") + 1))
+            ).alias("num")
+        )
+    )
+    den = F.col("a4") - F.col("b") * F.col("k") * (F.col("k") + 1) * (
+        F.col("k") + 1
+    )
+    chi = F.when(
+        den != 0,
+        F.round(
+            ((F.col("k") - 1) * F.col("num")).cast("double")
+            / den.cast("double"),
+            6,
+        ),
+    )
+    return m.select(
+        F.col("b").alias("n_days"),
+        "k",
+        chi.alias("chi2_f"),
+        (chi > KRUSKAL_CHI2_CRIT_05).alias("significant"),
+    )
+
+
+ORACLE_FRIEDMAN = f"""
+fr_dtc AS (
+  SELECT CAST(ts AS DATE) AS d, event_type AS ty,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+fr_grid AS (
+  SELECT dd.d, tt.ty, coalesce(c.x, 0) AS x
+  FROM (SELECT DISTINCT d FROM fr_dtc) dd
+  CROSS JOIN (SELECT DISTINCT ty FROM fr_dtc) tt
+  LEFT JOIN fr_dtc c ON c.d = dd.d AND c.ty = tt.ty
+),
+fr_r2 AS (
+  SELECT g.d, g.ty, g.x,
+         2 * CAST(sum(CASE WHEN o.x < g.x THEN 1 ELSE 0 END)
+                  AS BIGINT)
+         + CAST(sum(CASE WHEN o.x = g.x THEN 1 ELSE 0 END)
+                AS BIGINT) + 1 AS r2
+  FROM fr_grid g JOIN fr_grid o ON g.d = o.d
+  GROUP BY 1, 2, 3
+),
+fr_pt AS (
+  SELECT ty, CAST(sum(r2) AS BIGINT) AS rj2 FROM fr_r2 GROUP BY 1
+),
+fr_tot AS (
+  SELECT CAST(count(DISTINCT d) AS BIGINT) AS b,
+         CAST(count(DISTINCT ty) AS BIGINT) AS k,
+         CAST(sum(r2 * r2) AS BIGINT) AS a4
+  FROM fr_r2
+),
+fr_m AS (
+  SELECT b, k, a4,
+         CAST(sum((rj2 - b * (k + 1)) * (rj2 - b * (k + 1)))
+              AS BIGINT) AS num
+  FROM fr_pt, fr_tot GROUP BY 1, 2, 3
+),
+friedman_test AS (
+  SELECT b AS n_days, k,
+         CASE WHEN a4 - b * k * (k + 1) * (k + 1) <> 0 THEN
+           round(CAST((k - 1) * num AS DOUBLE)
+                 / CAST(a4 - b * k * (k + 1) * (k + 1) AS DOUBLE), 6)
+         END AS chi2_f,
+         CASE WHEN a4 - b * k * (k + 1) * (k + 1) <> 0 THEN
+           round(CAST((k - 1) * num AS DOUBLE)
+                 / CAST(a4 - b * k * (k + 1) * (k + 1) AS DOUBLE), 6)
+         END > {KRUSKAL_CHI2_CRIT_05} AS significant
+  FROM fr_m
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tukey HSD post-hoc pairwise comparisons (after the ANOVA omnibus)
+# ---------------------------------------------------------------------------
+
+#: studentized-range critical value q(.05; k=5 groups, df=inf) — the
+#: same infinite-df convention as the ANOVA literal (any SF this
+#: engine targets has df2 >> 120).
+TUKEY_Q_CRIT_05_K5 = 3.858
+
+
+def tukey_hsd(events: DataFrame) -> DataFrame:
+    """Tukey HSD post-hoc: which PAIRS of event types differ in mean
+    value, with the studentized-range correction that keeps the
+    familywise error at .05 across all C(5,2)=10 comparisons — the
+    follow-up question ``events_anova``'s single omnibus F cannot
+    answer (and the multiplicity trap of running 10 raw Welch tests;
+    the generic BH machinery for that lives in
+    ``events_multi_test_bh``).
+
+    Same exact integer moments as the ANOVA (ONE hash-agg: n_g, Σc,
+    Σc² per group); MSW assembles in doubles from the k=5 rows, and
+    each pair row computes q = |mean_i - mean_j| /
+    sqrt(MSW/2 * (1/n_i + 1/n_j)) as one mirrored double chain. The
+    pair join is k^2-bounded (string-ordered to emit each unordered
+    pair once, deterministically in both engines).
+
+    Output (10 rows): type_a, type_b, n_a, n_b, mean_diff_cents,
+    q_stat, significant.
+    """
+    g = (
+        events.select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("ng"),
+            F.sum("c").alias("sg"),
+            F.sum(F.col("c") * F.col("c")).alias("qg"),
+        )
+    )
+    msw = g.agg(
+        F.sum("ng").alias("n"),
+        F.count("*").alias("k"),
+        (
+            F.sum(F.col("qg").cast("double"))
+            - F.sum(
+                F.col("sg").cast("double")
+                * F.col("sg").cast("double")
+                / F.col("ng").cast("double")
+            )
+        ).alias("ssw"),
+    ).select(
+        (
+            F.col("ssw")
+            / (F.col("n").cast("double") - F.col("k").cast("double"))
+        ).alias("msw")
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("ng").alias("n_a"),
+        F.col("sg").alias("s_a"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("ng").alias("n_b"),
+        F.col("sg").alias("s_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b")).crossJoin(
+        F.broadcast(msw)
+    )
+    diff = F.abs(
+        F.col("s_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    )
+    se = F.sqrt(
+        F.col("msw")
+        / 2
+        * (
+            1 / F.col("n_a").cast("double")
+            + 1 / F.col("n_b").cast("double")
+        )
+    )
+    q = F.round(diff / se, 6)
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.round(diff, 4).alias("mean_diff_cents"),
+        q.alias("q_stat"),
+        (q > TUKEY_Q_CRIT_05_K5).alias("significant"),
+    )
+
+
+ORACLE_TUKEY = f"""
+tk_g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(c) AS BIGINT) AS sg,
+         CAST(sum(c * c) AS BIGINT) AS qg
+  FROM (SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events)
+  GROUP BY 1
+),
+tk_msw AS (
+  SELECT (sum(CAST(qg AS DOUBLE))
+          - sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                / CAST(ng AS DOUBLE)))
+         / (CAST(sum(ng) AS DOUBLE) - CAST(count(*) AS DOUBLE))
+           AS msw
+  FROM tk_g
+),
+tukey_hsd AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.ng AS n_a, b.ng AS n_b,
+         round(abs(CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE)
+                   - CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE)),
+               4) AS mean_diff_cents,
+         round(abs(CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE)
+                   - CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE))
+               / sqrt(msw / 2 * (1 / CAST(a.ng AS DOUBLE)
+                                 + 1 / CAST(b.ng AS DOUBLE))), 6)
+           AS q_stat,
+         round(abs(CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE)
+                   - CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE))
+               / sqrt(msw / 2 * (1 / CAST(a.ng AS DOUBLE)
+                                 + 1 / CAST(b.ng AS DOUBLE))), 6)
+           > {TUKEY_Q_CRIT_05_K5} AS significant
+  FROM tk_g a JOIN tk_g b ON a.event_type < b.event_type, tk_msw
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wagner-Whitin optimal lot sizing (min-plus shortest path, doubled)
+# ---------------------------------------------------------------------------
+
+#: ordering (setup) cost per replenishment, cents.
+LOT_SETUP_CENTS = 5000
+#: holding cost per unit per month, cents.
+LOT_HOLD_CENTS = 1
+#: min-plus squaring rounds: paths of up to 2^8 = 256 edges, i.e. a
+#: 256-month (21-year) planning calendar — raise by one round per
+#: further doubling of the calendar; each round is one bounded join.
+LOT_DOUBLING_ROUNDS = 8
+
+
+def lot_sizing_frontier(orders: DataFrame) -> DataFrame:
+    """Wagner-Whitin optimal lot sizing over the monthly demand
+    series: the minimum total (setup + holding) cost plan that
+    satisfies every month's demand by batching future months into
+    earlier orders — the DYNAMIC counterpart of the static EOQ
+    (``parts_eoq``) and newsvendor fractile.
+
+    Classic WW is a sequential driver-side DP; here the DP runs as a
+    PACKED-ARRAY KERNEL on the calendar-bounded demand series — the
+    same machinery as ``ranking.bucket_prefix_offsets``: one
+    corpus-sized month hash-agg, then the months pack into a single
+    sorted array and f(j) = min_{{i<=j}} f(i-1) + K + h*H(i,j) runs
+    as nested higher-order functions entirely executor-side (H(i,j)
+    = sum_{{t=i..j}} (t-i)*d_t assembles O(1) per candidate from
+    prefix arrays P0/P1, so the kernel is O(months^2) integer ops on
+    ~e2 elements — microseconds, where a join-based min-plus
+    squaring loop pays 8 rounds of job scheduling for the same
+    bounded state). Every cost is an exact BIGINT cent, so min()
+    agrees across engines by construction; the oracle replays the
+    equivalent min-plus shortest path ({R} unrolled squaring rounds
+    over the order-coverage edge graph) and the hash gate proves the
+    two formulations identical. Month index = count of distinct
+    months <= m (a months^2 self-join — contiguous ids even when a
+    calendar month has no orders, no global window).
+
+    Output per month: through_month, month_idx, demand,
+    opt_cost_cents = cheapest plan covering months 1..t (the full
+    DP frontier, of which the last row is THE Wagner-Whitin
+    optimum).
+    """
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mon")
+    ).agg(F.count("*").alias("d"))
+    idx = (
+        m.join(
+            m.select(F.col("mon").alias("mon2")),
+            F.col("mon2") <= F.col("mon"),
+        )
+        .groupBy("mon", "d")
+        .agg(F.count("*").alias("t"))
+    )
+    packed = idx.agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "d", "mon"))
+        ).alias("ms")
+    )
+    pfx = packed.select(
+        "ms",
+        F.expr(
+            "aggregate(ms, array(cast(0 as bigint)),"
+            " (a, x) -> array_append(a,"
+            " element_at(a, -1) + x.d))"
+        ).alias("p0"),
+        F.expr(
+            "aggregate(ms, array(cast(0 as bigint)),"
+            " (a, x) -> array_append(a,"
+            " element_at(a, -1) + x.t * x.d))"
+        ).alias("p1"),
+    )
+    k, h = LOT_SETUP_CENTS, LOT_HOLD_CENTS
+    dp = pfx.select(
+        "ms",
+        F.expr(
+            "aggregate(sequence(1, size(ms)),"
+            " array(cast(0 as bigint)),"
+            " (acc, j) -> array_append(acc,"
+            "  aggregate(sequence(2, j),"
+            f"   element_at(acc, 1) + {k} + {h} *"
+            "    ((element_at(p1, j + 1) - element_at(p1, 1))"
+            "     - 1 * (element_at(p0, j + 1) - element_at(p0, 1))),"
+            "   (best, i) -> least(best,"
+            f"    element_at(acc, i) + {k} + {h} *"
+            "     ((element_at(p1, j + 1) - element_at(p1, i))"
+            "      - i * (element_at(p0, j + 1)"
+            "             - element_at(p0, i)))))))"
+        ).alias("f"),
+    )
+    return dp.select(
+        F.explode(
+            F.expr(
+                "transform(ms, (x, ix) -> struct("
+                " x.mon as through_month, x.t as month_idx,"
+                " x.d as demand,"
+                " element_at(f, ix + 2) as opt_cost_cents))"
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
+lot_sizing_frontier.__doc__ = lot_sizing_frontier.__doc__.format(
+    R=LOT_DOUBLING_ROUNDS
+)
+
+
+def oracle_lot_sizing(
+    setup: int = LOT_SETUP_CENTS,
+    hold: int = LOT_HOLD_CENTS,
+    rounds: int = LOT_DOUBLING_ROUNDS,
+) -> str:
+    ctes = [
+        """
+ww_m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+         CAST(count(*) AS BIGINT) AS d
+  FROM orders GROUP BY 1
+)""",
+        """
+ww_i AS (
+  SELECT a.mon, a.d, CAST(count(*) AS BIGINT) AS t
+  FROM ww_m a JOIN ww_m b ON b.mon <= a.mon GROUP BY 1, 2
+)""",
+        f"""
+ww_e AS (
+  SELECT i.t AS src, j.t + 1 AS dst,
+         {setup} + {hold} * CAST(sum((u.t - i.t) * u.d) AS BIGINT)
+           AS w
+  FROM ww_i i JOIN ww_i j ON j.t >= i.t
+  JOIN ww_i u ON u.t BETWEEN i.t AND j.t
+  GROUP BY 1, 2
+)""",
+        """
+ww_d0 AS (
+  SELECT src, dst, w FROM ww_e
+  UNION ALL
+  SELECT t, t, CAST(0 AS BIGINT) FROM ww_i
+  UNION ALL
+  SELECT max(t) + 1, max(t) + 1, CAST(0 AS BIGINT) FROM ww_i
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        # MATERIALIZED: each round references its predecessor twice;
+        # an inlined CTE chain re-evaluates 2^rounds times.
+        ctes.append(
+            f"""
+ww_d{r} AS MATERIALIZED (
+  SELECT a.src, b.dst, CAST(min(a.w + b.w) AS BIGINT) AS w
+  FROM ww_d{r - 1} a JOIN ww_d{r - 1} b ON a.dst = b.src
+  GROUP BY 1, 2
+)"""
+        )
+    ctes.append(
+        f"""
+lot_sizing AS (
+  SELECT m.mon AS through_month, m.t AS month_idx, m.d AS demand,
+         d.w AS opt_cost_cents
+  FROM ww_d{rounds} d JOIN ww_i m ON d.dst = m.t + 1
+  WHERE d.src = 1
+)"""
+    )
+    return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# Gumbel block-maxima fit (extreme value analysis of hourly revenue)
+# ---------------------------------------------------------------------------
+
+#: Euler-Mascheroni constant and pi, written once as literals so the
+#: Spark and DuckDB expressions share the exact same doubles.
+EULER_GAMMA = 0.5772156649015329
+PI_LIT = 3.141592653589793
+#: return period (blocks) for the headline return level.
+GUMBEL_RET_BLOCKS = 30
+
+
+def gumbel_maxima(events: DataFrame) -> DataFrame:
+    """Gumbel extreme-value fit on DAILY MAXIMA of hourly purchase
+    revenue — "how big an hourly revenue spike should we provision
+    for once per month": the block-maxima complement of
+    ``events_hill_tail`` (which estimates the tail index from upper
+    order statistics; Gumbel assumes the light-tailed domain and
+    yields calibrated return levels).
+
+    Method of moments on the block maxima (Gumbel mean = mu +
+    gamma*beta, variance = pi^2 beta^2 / 6):
+        beta = s * sqrt(6) / pi,  mu = m - gamma*beta,
+        x_T  = mu - beta * ln(-ln(1 - 1/T))
+    where m and s come from EXACT BIGINT block sums (each hourly
+    revenue is an integer cent sum, each daily max an integer, and
+    n, sum(x), sum(x^2) exact — the doubles start only at the final
+    closed forms, with gamma/pi as shared literals). Two bounded
+    hash-aggs (hour grain, then day grain) over one corpus pass.
+
+    Output (1 row): n_blocks, mean_max_cents, sd_max_cents, beta,
+    mu, ret30_cents (the once-per-{T}-blocks level).
+    """
+    hourly = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("bigint")
+            ).alias("rev")
+        )
+    )
+    daily_max = hourly.groupBy(F.to_date("h").alias("d")).agg(
+        F.max("rev").alias("mx")
+    )
+    mm = daily_max.agg(
+        F.count("*").alias("n"),
+        F.sum("mx").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    var = (
+        nd * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (nd * (nd - 1))
+    sd = F.sqrt(var)
+    beta = sd * F.sqrt(F.lit(6.0)) / F.lit(PI_LIT)
+    mu = mean - F.lit(EULER_GAMMA) * beta
+    ret = mu - beta * F.log(
+        -F.log(1 - 1 / F.lit(float(GUMBEL_RET_BLOCKS)))
+    )
+    return mm.select(
+        F.col("n").alias("n_blocks"),
+        F.round(mean, 4).alias("mean_max_cents"),
+        F.round(sd, 4).alias("sd_max_cents"),
+        F.round(beta, 4).alias("beta"),
+        F.round(mu, 4).alias("mu"),
+        F.round(ret, 4).alias("ret30_cents"),
+    )
+
+
+gumbel_maxima.__doc__ = gumbel_maxima.__doc__.format(
+    T=GUMBEL_RET_BLOCKS
+)
+
+
+ORACLE_GUMBEL = f"""
+gb_h AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+gb_d AS (
+  SELECT CAST(h AS DATE) AS d, CAST(max(rev) AS BIGINT) AS mx
+  FROM gb_h GROUP BY 1
+),
+gb_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(mx) AS BIGINT) AS s1,
+         CAST(sum(mx * mx) AS BIGINT) AS s2
+  FROM gb_d
+),
+gumbel_maxima AS (
+  SELECT n AS n_blocks,
+         round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 4)
+           AS mean_max_cents,
+         round(sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))),
+               4) AS sd_max_cents,
+         round(sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+               * sqrt(6.0) / {PI_LIT}, 4) AS beta,
+         round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+               - {EULER_GAMMA} * (sqrt((CAST(n AS DOUBLE)
+                   * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+                 * sqrt(6.0) / {PI_LIT}), 4) AS mu,
+         round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+               - {EULER_GAMMA} * (sqrt((CAST(n AS DOUBLE)
+                   * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+                 * sqrt(6.0) / {PI_LIT}))
+               - (sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+                  * sqrt(6.0) / {PI_LIT})
+                 * ln(-ln(1 - 1 / {float(GUMBEL_RET_BLOCKS)})), 4)
+           AS ret30_cents
+  FROM gb_m
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dynamic time warping (clicks vs purchases daily-shape alignment)
+# ---------------------------------------------------------------------------
+
+#: DTW "infinity" border sentinel. Path costs are bounded by
+#: calendar_len * max|a-b| (~3.7e14 even at 1e11 daily counts), so
+#: 4e15 can never be chosen over a real path and INF + cost stays
+#: far inside BIGINT.
+DTW_INF = 4_000_000_000_000_000
+
+
+def dtw_alignment(events: DataFrame) -> DataFrame:
+    """Dynamic time warping distance between the daily CLICK and
+    PURCHASE count series — "do purchases trace the same shape as
+    clicks, allowing lag/stretch", where plain correlation
+    (``events_type_corr``) and fixed-lag CCF (``events_ccf``) demand
+    rigid alignment. Previously on the deferred ledger as
+    "cross-dependent DP state"; resolved by the same two moves as
+    the Wagner-Whitin kernel:
+
+    ENGINE: the DP D(i,j) = |a_i-b_j| + min(D(i-1,j), D(i,j-1),
+    D(i-1,j-1)) runs as a packed-array kernel — both day-grain
+    series pack into arrays (calendar-bounded at ANY corpus scale)
+    and nested higher-order aggregates build the DP rows executor-
+    side, O(n*m) exact BIGINT ops, one job. ORACLE: DuckDB replays
+    the DP as a WAVEFRONT recursion — antidiagonal k has no
+    intra-diagonal dependency, so a recursive CTE advances one
+    diagonal per step carrying two diagonals of (i, j, d) rows (the
+    classic systolic-array DTW schedule, here in pure SQL). Both
+    sides are exact integers, so the hash gate proves the two
+    schedules compute the same warp distance.
+
+    The corpus-sized work is one (date, type) hash-agg. Output
+    (1 row): n_a, n_b, dtw_cost (sum of |count gaps| along the
+    optimal warp path).
+    """
+    def _daily(ty: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == ty)
+            .groupBy(F.to_date("ts").alias("d"))
+            .agg(F.count("*").alias("cnt"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("d", "cnt"))
+                ).alias("s")
+            )
+            .select(F.expr("transform(s, x -> x.cnt)"))
+        )
+
+    packed = (
+        _daily("click").toDF("av").crossJoin(_daily("purchase").toDF("bv"))
+    )
+    inf = f"cast({DTW_INF} as bigint)"
+    dp = packed.select(
+        F.expr("size(av)").alias("n_a"),
+        F.expr("size(bv)").alias("n_b"),
+        F.expr(
+            "aggregate(sequence(1, size(av)),"
+            f" concat(array(cast(0 as bigint)),"
+            f"  transform(sequence(1, size(bv)), x -> {inf})),"
+            " (prev, i) -> aggregate(sequence(1, size(bv)),"
+            f"  array({inf}),"
+            "  (r, j) -> array_append(r,"
+            "   abs(element_at(av, i) - element_at(bv, j))"
+            "   + least(element_at(prev, j + 1), element_at(prev, j),"
+            "           element_at(r, -1)))))"
+        ).alias("row"),
+    )
+    return dp.select(
+        "n_a",
+        "n_b",
+        F.expr("element_at(row, n_b + 1)").alias("dtw_cost"),
+    )
+
+
+ORACLE_DTW = f"""
+dtw_a AS (
+  SELECT list(cnt ORDER BY d) AS av FROM (
+    SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS cnt
+    FROM events WHERE event_type = 'click' GROUP BY 1)
+),
+dtw_b AS (
+  SELECT list(cnt ORDER BY d) AS bv FROM (
+    SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS cnt
+    FROM events WHERE event_type = 'purchase' GROUP BY 1)
+),
+dtw_ab AS (
+  SELECT av, bv, len(av) AS n, len(bv) AS m FROM dtw_a, dtw_b
+),
+dtw_rec AS (
+  SELECT * FROM (VALUES
+    (1, 0, 0, CAST(0 AS BIGINT)),
+    (0, 1, 0, CAST({DTW_INF} AS BIGINT)),
+    (0, 0, 1, CAST({DTW_INF} AS BIGINT))) AS t(age, i, j, d)
+  UNION ALL
+  SELECT u.age, u.ci AS i, u.cj AS j,
+         CASE WHEN u.age = 1 THEN min(w.d)
+              WHEN u.ci = 0 OR u.cj = 0 THEN CAST({DTW_INF} AS BIGINT)
+              ELSE abs(ab.av[u.ci] - ab.bv[u.cj]) + min(w.d) END AS d
+  FROM dtw_rec w
+  CROSS JOIN dtw_ab ab
+  CROSS JOIN UNNEST(
+    CASE WHEN w.age = 0 THEN [
+      {{'age': 0, 'ci': w.i + 1, 'cj': w.j}},
+      {{'age': 0, 'ci': w.i, 'cj': w.j + 1}},
+      {{'age': 1, 'ci': w.i, 'cj': w.j}}]
+    ELSE [{{'age': 0, 'ci': w.i + 1, 'cj': w.j + 1}}] END) AS t(u)
+  WHERE u.ci <= ab.n AND u.cj <= ab.m
+        AND NOT (u.age = 1 AND w.i + w.j >= ab.n + ab.m)
+  GROUP BY u.age, u.ci, u.cj, ab.av, ab.bv, ab.n, ab.m
+),
+dtw_alignment AS (
+  SELECT ab.n AS n_a, ab.m AS n_b, w.d AS dtw_cost
+  FROM dtw_rec w, dtw_ab ab
+  WHERE w.age = 0 AND w.i = ab.n AND w.j = ab.m
+)
+"""

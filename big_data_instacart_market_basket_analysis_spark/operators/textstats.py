@@ -4956,3 +4956,231 @@ source_vocab_overlap AS (
   JOIN so_v v2 ON v2.source = p.source_2
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty attribution (which docs introduce new trigrams)
+# ---------------------------------------------------------------------------
+
+
+def novelty_attribution(docs: DataFrame) -> DataFrame:
+    """Per-document n-gram NOVELTY attribution: credit every distinct
+    word trigram to its corpus-first owner (lowest doc_id containing
+    it) and score each document by the share of its trigram
+    vocabulary it introduces — the doc-grain complement of the
+    corpus-level Heaps curve (``text_heaps_curve``): Heaps says how
+    fast the corpus stops being new; this says WHICH documents the
+    remaining newness comes from, the ranking a curation pass uses
+    to keep tail documents that still teach the model something.
+
+    Exact integers end to end: trigram sets per doc via the same
+    higher-order array expressions as ``repetition_scores`` (map-side,
+    scan speed), ONE combinable min-agg over the trigram key for
+    ownership, one doc-grain count-agg, and a left join back (docs
+    introducing nothing get 0). novelty_pct is the single rounded
+    division. Docs with fewer than 3 tokens have no trigrams and are
+    excluded by construction (documented grain).
+
+    Scale: the trigram explode is the corpus-sized stage (linear in
+    tokens); both aggs are map-side combinable; no windows, no
+    driver state. Output: doc_id, n_distinct_trigrams, n_introduced,
+    novelty_pct.
+    """
+    tg = (
+        "transform(sequence(0, size(w) - 3),"
+        " i -> concat_ws(' ', element_at(w, i + 1),"
+        " element_at(w, i + 2), element_at(w, i + 3)))"
+    )
+    tri = (
+        docs.select("doc_id", _tokens_col().alias("w"))
+        .filter(F.expr("size(w) >= 3"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"array_distinct({tg})")).alias("g"),
+        )
+    )
+    owners = (
+        tri.groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_introduced"))
+    )
+    per_doc = tri.groupBy("doc_id").agg(
+        F.count("*").alias("n_distinct_trigrams")
+    )
+    return (
+        per_doc.join(owners, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_distinct_trigrams",
+            F.coalesce(F.col("n_introduced"), F.lit(0)).alias(
+                "n_introduced"
+            ),
+        )
+        .withColumn(
+            "novelty_pct",
+            F.round(
+                100
+                * F.col("n_introduced").cast("double")
+                / F.col("n_distinct_trigrams").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+ORACLE_NOVELTY = """
+nv_tri AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 3
+),
+nv_own AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_introduced
+  FROM (SELECT g, min(doc_id) AS doc_id FROM nv_tri GROUP BY 1)
+  GROUP BY 1
+),
+nv_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_trigrams
+  FROM nv_tri GROUP BY 1
+),
+novelty_attribution AS (
+  SELECT d.doc_id, d.n_distinct_trigrams,
+         coalesce(o.n_introduced, 0) AS n_introduced,
+         round(100 * CAST(coalesce(o.n_introduced, 0) AS DOUBLE)
+               / CAST(d.n_distinct_trigrams AS DOUBLE), 6)
+           AS novelty_pct
+  FROM nv_doc d LEFT JOIN nv_own o ON d.doc_id = o.doc_id
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Needleman-Wunsch global alignment (token-level, two anchor docs)
+# ---------------------------------------------------------------------------
+
+#: alignment scoring and the per-side token cap (the DP is
+#: CAP^2-bounded regardless of corpus size).
+NW_MATCH = 2
+NW_MISMATCH = -1
+NW_GAP = 1
+NW_MAX_TOKENS = 64
+
+
+def nw_alignment(docs: DataFrame) -> DataFrame:
+    """Needleman-Wunsch GLOBAL token alignment between the corpus's
+    two lowest-doc_id documents (first {CAP} tokens each) — the
+    edit-path scoring (+{M} match / {X} mismatch / -{G} gap) that
+    tells HOW two near-duplicate texts differ, where the dedup
+    family only scores THAT they do. Previously on the deferred
+    ledger as "cross-dependent DP state"; resolved with the same
+    pair of schedules as ``events_dtw``:
+
+    ENGINE: packed-array DP kernel — both token prefixes ride one
+    row, S(i,j) = max(S(i-1,j-1)+s(a_i,b_j), S(i-1,j)-g,
+    S(i,j-1)-g) builds through nested higher-order aggregates,
+    O(CAP^2) exact BIGINT ops in one job. ORACLE: antidiagonal
+    WAVEFRONT recursive CTE (no intra-diagonal dependency; each
+    parent row carries its own candidate contribution — gap from
+    lateral parents, match/mismatch from the diagonal one — and a
+    per-cell group-max combines them). Exact integers throughout,
+    so the hash gate proves the two schedules equal.
+
+    The corpus-sized work is the deterministic TakeOrdered(2) doc
+    pick. Output (1 row): doc_a, doc_b, n_a, n_b, align_score.
+    """
+    two = docs.orderBy("doc_id").limit(2).select(
+        "doc_id", _tokens_col().alias("w")
+    )
+    packed = two.agg(
+        F.min("doc_id").alias("doc_a"),
+        F.max("doc_id").alias("doc_b"),
+        F.slice(F.min_by("w", "doc_id"), 1, NW_MAX_TOKENS).alias("av"),
+        F.slice(F.max_by("w", "doc_id"), 1, NW_MAX_TOKENS).alias("bv"),
+    )
+    dp = packed.select(
+        "doc_a",
+        "doc_b",
+        F.expr("size(av)").alias("n_a"),
+        F.expr("size(bv)").alias("n_b"),
+        F.expr(
+            "aggregate(sequence(1, size(av)),"
+            " transform(sequence(0, size(bv)),"
+            "  j -> cast(-j as bigint)),"
+            " (prev, i) -> aggregate(sequence(1, size(bv)),"
+            "  array(cast(-i as bigint)),"
+            "  (r, j) -> array_append(r, greatest("
+            f"   element_at(prev, j) + (case when element_at(av, i)"
+            f"    = element_at(bv, j) then {NW_MATCH}"
+            f"    else {NW_MISMATCH} end),"
+            f"   element_at(prev, j + 1) - {NW_GAP},"
+            f"   element_at(r, -1) - {NW_GAP}))))"
+        ).alias("row"),
+    )
+    return dp.select(
+        "doc_a",
+        "doc_b",
+        "n_a",
+        "n_b",
+        F.expr("element_at(row, n_b + 1)").alias("align_score"),
+    )
+
+
+nw_alignment.__doc__ = nw_alignment.__doc__.format(
+    CAP=NW_MAX_TOKENS, M=NW_MATCH, X=NW_MISMATCH, G=NW_GAP
+)
+
+
+ORACLE_NW = f"""
+nw_two AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+  FROM documents ORDER BY doc_id LIMIT 2
+),
+nw_ab AS (
+  SELECT min(doc_id) AS doc_a, max(doc_id) AS doc_b,
+         list_slice(arg_min(w, doc_id), 1, {NW_MAX_TOKENS}) AS av,
+         list_slice(arg_max(w, doc_id), 1, {NW_MAX_TOKENS}) AS bv,
+         len(list_slice(arg_min(w, doc_id), 1, {NW_MAX_TOKENS}))
+           AS n,
+         len(list_slice(arg_max(w, doc_id), 1, {NW_MAX_TOKENS}))
+           AS m
+  FROM nw_two
+),
+nw_rec AS (
+  SELECT * FROM (VALUES
+    (1, 0, 0, CAST(0 AS BIGINT)),
+    (0, 1, 0, CAST(-{NW_GAP} AS BIGINT)),
+    (0, 0, 1, CAST(-{NW_GAP} AS BIGINT))) AS t(age, i, j, d)
+  UNION ALL
+  SELECT u.age, u.ci AS i, u.cj AS j,
+         CASE WHEN u.age = 1 THEN min(u.cand)
+              WHEN u.ci = 0 THEN CAST(-{NW_GAP} * u.cj AS BIGINT)
+              WHEN u.cj = 0 THEN CAST(-{NW_GAP} * u.ci AS BIGINT)
+              ELSE max(u.cand) END AS d
+  FROM nw_rec w
+  CROSS JOIN nw_ab ab
+  CROSS JOIN UNNEST(
+    CASE WHEN w.age = 0 THEN [
+      {{'age': 0, 'ci': w.i + 1, 'cj': w.j,
+        'cand': w.d - {NW_GAP}}},
+      {{'age': 0, 'ci': w.i, 'cj': w.j + 1,
+        'cand': w.d - {NW_GAP}}},
+      {{'age': 1, 'ci': w.i, 'cj': w.j, 'cand': w.d}}]
+    ELSE [{{'age': 0, 'ci': w.i + 1, 'cj': w.j + 1,
+           'cand': w.d + CASE WHEN ab.av[w.i + 1] = ab.bv[w.j + 1]
+                              THEN {NW_MATCH}
+                              ELSE {NW_MISMATCH} END}}] END) AS t(u)
+  WHERE u.ci <= ab.n AND u.cj <= ab.m
+        AND NOT (u.age = 1 AND w.i + w.j >= ab.n + ab.m)
+  GROUP BY u.age, u.ci, u.cj, ab.n, ab.m
+),
+nw_alignment AS (
+  SELECT ab.doc_a, ab.doc_b, ab.n AS n_a, ab.m AS n_b,
+         w.d AS align_score
+  FROM nw_rec w, nw_ab ab
+  WHERE w.age = 0 AND w.i = ab.n AND w.j = ab.m
+)
+"""

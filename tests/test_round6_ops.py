@@ -153,3 +153,225 @@ def test_erlang_wait_cap_flag(spark):
     assert out[1]["offered_load"] == 8 and out[1]["capped"] == 1
     assert all(out[s]["wait_ppm"] == 1_000_000 for s in range(1, 9))
     assert out[9]["wait_ppm"] < 1_000_000
+
+
+def test_friedman_hand_value(spark):
+    """2 days x 3 types, counts (3,1,2) then (2,1,3): rank sums
+    A=5, B=2, C=5 with no ties => classic chi2_F = 12/(bk(k+1)) *
+    sum R^2 - 3b(k+1) = 27 - 24 = 3.0; the all-integer Conover form
+    must reproduce it exactly."""
+    rows = []
+    for day, counts in [(1, {"A": 3, "B": 1, "C": 2}),
+                        (2, {"A": 2, "B": 1, "C": 3})]:
+        for ty, n in counts.items():
+            rows += [(_day(day), ty, 1.0)] * n
+    r = temporal.friedman_test(_events(spark, rows)).collect()[0]
+    assert (r["n_days"], r["k"]) == (2, 3)
+    assert abs(r["chi2_f"] - 3.0) < 1e-9
+
+
+def test_friedman_degenerate_null(spark):
+    """Every type equally active every day => zero rank variance,
+    the denominator vanishes, chi2_f must be NULL (not a crash or
+    a divide-by-zero Infinity)."""
+    rows = []
+    for day in (1, 2):
+        for ty in ("A", "B", "C"):
+            rows += [(_day(day), ty, 1.0)] * 2
+    r = temporal.friedman_test(_events(spark, rows)).collect()[0]
+    assert r["chi2_f"] is None
+
+
+def test_tukey_hand_value(spark):
+    """A={0,200}c, B={100,300}c: means differ by 100, MSW = 20000,
+    se = sqrt(20000/2 * (1/2+1/2)) = 100 => q = 1.0, not
+    significant at the k=5 studentized-range cutoff."""
+    ev = _events(
+        spark,
+        [
+            (_day(1), "A", 0.0),
+            (_day(1), "A", 2.0),
+            (_day(1), "B", 1.0),
+            (_day(1), "B", 3.0),
+        ],
+    )
+    r = temporal.tukey_hsd(ev).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["type_a"], row["type_b"]) == ("A", "B")
+    assert abs(row["mean_diff_cents"] - 100.0) < 1e-9
+    assert abs(row["q_stat"] - 1.0) < 1e-9
+    assert not row["significant"]
+
+
+def _monthly_orders(spark, counts):
+    rows = []
+    oid = 0
+    for mi, n in enumerate(counts, start=1):
+        for _ in range(n):
+            rows.append((oid, f"1995-{mi:02d}-15"))
+            oid += 1
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate string"
+    ).select("o_orderkey", F.col("o_orderdate").cast("date"))
+
+
+def test_lot_sizing_hand_frontier(spark):
+    """Demand 10/10/10 with K=5000, h=1: f(1)=5000 (one order),
+    f(2)=5010 (batch month 2 into month 1: 10 unit-months held),
+    f(3)=5030 (one batch covers all three: 10 + 2*10 held) — the
+    single-batch plan beats any split by nearly K."""
+    out = temporal.lot_sizing_frontier(
+        _monthly_orders(spark, [10, 10, 10])
+    ).collect()
+    got = {r["month_idx"]: r["opt_cost_cents"] for r in out}
+    assert got == {1: 5000, 2: 5010, 3: 5030}
+
+
+def test_lot_sizing_split_beats_batch(spark):
+    """Demand 1/5001: holding 5001 units one month (5001c) costs
+    more than a second setup (5000c), so the optimum orders twice:
+    f(2) = 10000, not 10001 — the DP must pick the split."""
+    out = temporal.lot_sizing_frontier(
+        _monthly_orders(spark, [1, 5001])
+    ).collect()
+    got = {r["month_idx"]: r["opt_cost_cents"] for r in out}
+    assert got == {1: 5000, 2: 10000}
+
+
+def test_lot_sizing_frontier_monotone(spark):
+    """The frontier is nondecreasing in t (covering more months
+    can never get cheaper) and each step adds at most K + h*d_t
+    (ordering the new month alone is always feasible)."""
+    out = sorted(
+        temporal.lot_sizing_frontier(
+            _monthly_orders(spark, [7, 0, 13, 2, 40, 1])
+        ).collect(),
+        key=lambda r: r["month_idx"],
+    )
+    costs = [r["opt_cost_cents"] for r in out]
+    assert all(b >= a for a, b in zip(costs, costs[1:]))
+    for prev, cur in zip(out, out[1:]):
+        assert (
+            cur["opt_cost_cents"]
+            <= prev["opt_cost_cents"] + 5000 + cur["demand"]
+        )
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_novelty_attribution_hand(spark):
+    """doc1 introduces both its trigrams; doc2 shares 'a b c' (owned
+    by the lower doc_id) and introduces only 'b c x'; a 2-token doc
+    has no trigrams and is excluded by construction."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in textstats.novelty_attribution(
+            _docs(
+                spark,
+                [(1, "a b c d"), (2, "a b c x"), (3, "a b")],
+            )
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert (out[1]["n_distinct_trigrams"], out[1]["n_introduced"]) == (2, 2)
+    assert out[1]["novelty_pct"] == 100.0
+    assert (out[2]["n_distinct_trigrams"], out[2]["n_introduced"]) == (2, 1)
+    assert out[2]["novelty_pct"] == 50.0
+
+
+def test_gumbel_hand_value(spark):
+    """Daily hourly-revenue maxima 100/200/300 cents: m=200, s=100,
+    beta = 100*sqrt(6)/pi, mu = m - gamma*beta, and the 30-block
+    return level follows the closed form."""
+    import math
+
+    rows = [
+        (datetime.datetime(2024, 1, 1, 10), "purchase", 1.00),
+        (datetime.datetime(2024, 1, 1, 11), "purchase", 0.50),
+        (datetime.datetime(2024, 1, 2, 10), "purchase", 2.00),
+        (datetime.datetime(2024, 1, 3, 10), "purchase", 3.00),
+        (datetime.datetime(2024, 1, 3, 11), "purchase", 1.00),
+    ]
+    r = temporal.gumbel_maxima(_events(spark, rows)).collect()[0]
+    beta = 100 * math.sqrt(6) / math.pi
+    mu = 200 - 0.5772156649015329 * beta
+    ret = mu - beta * math.log(-math.log(1 - 1 / 30))
+    assert r["n_blocks"] == 3
+    assert abs(r["mean_max_cents"] - 200.0) < 1e-9
+    assert abs(r["sd_max_cents"] - 100.0) < 1e-9
+    assert abs(r["beta"] - beta) < 1e-3
+    assert abs(r["mu"] - mu) < 1e-3
+    assert abs(r["ret30_cents"] - ret) < 1e-3
+
+
+def _click_purchase_days(spark, clicks, purchases):
+    rows = []
+    for day, n in enumerate(clicks, start=1):
+        rows += [(_day(day), "click", 1.0)] * n
+    for day, n in enumerate(purchases, start=1):
+        rows += [(_day(day), "purchase", 1.0)] * n
+    return _events(spark, rows)
+
+
+def test_dtw_identical_series_zero(spark):
+    """Identical daily shapes warp at zero cost."""
+    ev = _click_purchase_days(spark, [3, 1, 4, 1], [3, 1, 4, 1])
+    r = temporal.dtw_alignment(ev).collect()[0]
+    assert (r["n_a"], r["n_b"], r["dtw_cost"]) == (4, 4, 0)
+
+
+def test_dtw_shift_absorbed(spark):
+    """A one-day lag of the same spike costs 0 under DTW (the whole
+    point vs fixed-lag distance: the warp path absorbs the shift)."""
+    ev = _click_purchase_days(spark, [1, 5, 1, 1], [1, 1, 5, 1])
+    r = temporal.dtw_alignment(ev).collect()[0]
+    assert r["dtw_cost"] == 0
+
+
+def test_dtw_hand_value(spark):
+    """a=[2,4], b=[3]: every cell pays |a_i-3|, the only path is
+    (1,1)->(2,1): cost 1 + 1 = 2."""
+    ev = _click_purchase_days(spark, [2, 4], [3])
+    r = temporal.dtw_alignment(ev).collect()[0]
+    assert (r["n_a"], r["n_b"], r["dtw_cost"]) == (2, 1, 2)
+
+
+def test_nw_alignment_hand_values(spark):
+    """'a b c' vs 'a x c': match + mismatch + match = 2-1+2 = 3;
+    'a b' vs 'a x b': the optimal path opens one gap: 2-1+2 = 3."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats,
+    )
+
+    r = textstats.nw_alignment(
+        _docs(spark, [(1, "a b c"), (2, "a x c")])
+    ).collect()[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert (r["n_a"], r["n_b"], r["align_score"]) == (3, 3, 3)
+
+    r = textstats.nw_alignment(
+        _docs(spark, [(1, "a b"), (2, "a x b")])
+    ).collect()[0]
+    assert (r["n_a"], r["n_b"], r["align_score"]) == (2, 3, 3)
+
+
+def test_nw_alignment_identical_prefix_cap(spark):
+    """Identical 100-token docs: score = 2 * CAP (64) — the cap
+    bounds the DP, not the documents."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats,
+    )
+
+    text = " ".join(f"w{i}" for i in range(100))
+    r = textstats.nw_alignment(
+        _docs(spark, [(1, text), (2, text)])
+    ).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (64, 64)
+    assert r["align_score"] == 128
