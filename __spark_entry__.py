@@ -1474,6 +1474,13 @@ def q_docs_phonetic_er(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.phonetic_er_pairs(_docs(spark, sf_dir))
 
 
+def q_parts_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler over blocked part-name pairs as a packed-array
+    greedy-matching fold (no UDF); oracle replays the fold one char
+    per recursive-CTE step — third resolved deferred-ledger entry."""
+    return _dedup.jaro_winkler_pairs(load_table(spark, sf_dir, "part"))
+
+
 def q_xml_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML ingest round-trip (Spark 4 native XML, pinned schema):
     distributed write + schema-driven re-read must equal the parquet
@@ -3211,6 +3218,13 @@ def q_stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_sprt(spark, sf_dir)
 
 
+def q_stream_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Gumbel extremes monitor: additive hour-grain state
+    (one grain finer than the block so partial-hour merges stay
+    exact); final fit equals events_gumbel bit-for-bit."""
+    return _ev.run_stream_extremes(spark, sf_dir)
+
+
 def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketch as streaming state: constant K-row standing table,
     mergeable bottom-k folds per micro-batch; final estimate equals
@@ -3744,6 +3758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_kmv": q_stream_kmv,
         "stream_ab_monitor": q_stream_ab_monitor,
         "stream_sprt": q_stream_sprt,
+        "stream_extremes": q_stream_extremes,
         "stream_hist_quantiles": q_stream_histq,
         "stream_cms": q_stream_cms,
         "stream_hll": q_stream_hll,
@@ -3910,6 +3925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_er_matches": q_docs_er_matches,
         "docs_fellegi_sunter": q_docs_fellegi_sunter,
         "docs_phonetic_er": q_docs_phonetic_er,
+        "parts_jaro_winkler": q_parts_jaro_winkler,
         "docs_template_dedup": q_docs_template_dedup,
         "text_phrase_search": q_text_phrase_search,
         "events_ab_test": q_events_ab_test,
@@ -5044,6 +5060,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_phonetic_er": _ext_oracle(
             [_dedup.ORACLE_PHONETIC_ER], "phonetic_er_pairs"
         ),
+        "parts_jaro_winkler": _ext_oracle(
+            [_dedup.ORACLE_JARO_WINKLER], "jaro_winkler",
+            recursive=True,
+        ),
         "docs_template_dedup": _ext_oracle(
             [_dedup.ORACLE_TEMPLATE_DEDUP], "template_dedup"
         ),
@@ -5407,6 +5427,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_sprt": _ext_oracle(
             [_ev.ORACLE_STREAM_SPRT], "stream_sprt"
+        ),
+        "stream_extremes": _ext_oracle(
+            [_tmp.ORACLE_GUMBEL], "gumbel_maxima"
         ),
         "stream_kmv": _ext_oracle(
             [_ev.ORACLE_STREAM_KMV], "stream_kmv"

@@ -305,6 +305,8 @@ HEADLINE = [
     "events_gumbel",
     "events_dtw",
     "docs_nw_align",
+    "parts_jaro_winkler",
+    "stream_extremes",
 ]
 
 

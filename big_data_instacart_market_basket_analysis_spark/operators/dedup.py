@@ -2617,3 +2617,208 @@ capture_recapture_estimate AS (
   FROM crc_agg
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler similarity (expression-only, no UDF)
+# ---------------------------------------------------------------------------
+
+#: deterministic pair budget for the blocked name-pair demo.
+JW_PAIR_LIMIT = 20
+
+
+def jaro_winkler_pairs(part: DataFrame) -> DataFrame:
+    """Jaro-Winkler similarity over blocked part-name pairs —
+    previously on the deferred ledger as "UDF-only": the greedy
+    windowed character matching IS an order-dependent fold, but like
+    the DTW/NW/Wagner-Whitin family it runs as a PACKED-ARRAY KERNEL:
+    chars ride arrays, and one ``aggregate`` over the s1 positions
+    carries (used-mask, matched-chars, matched-positions) state —
+    exact textbook Jaro (mid-window greedy match, transpositions =
+    half the out-of-order matches) with the Winkler prefix boost,
+    zero Python rows. The oracle replays the SAME fold one character
+    per recursive-CTE step (the state rides LIST columns), so the
+    hash gate proves the two schedules equal.
+
+    Matching/transposition counts are exact integers; jaro/jw are
+    one mirrored double chain rounded at 6 dp. Pairs: distinct names
+    sharing the leading word (the block key), lexicographic a < b,
+    deterministic TakeOrdered({LIM}) — at scale the block join is the
+    same bounded-block shape as the Levenshtein ER pass
+    (``docs_er_matches``), and the per-pair kernel is O(len^2/ w)
+    chars. Output: name_a, name_b, n_matches, transpositions,
+    jw_sim.
+    """
+    names = part.select(F.col("p_name").alias("nm")).distinct()
+    blk = names.select(
+        "nm", F.split(F.col("nm"), " ").getItem(0).alias("blk")
+    )
+    a = blk.select(
+        F.col("nm").alias("name_a"), F.col("blk").alias("blk_a")
+    )
+    b = blk.select(
+        F.col("nm").alias("name_b"), F.col("blk").alias("blk_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .select("name_a", "name_b")
+        .orderBy("name_a", "name_b")
+        .limit(JW_PAIR_LIMIT)
+    )
+    prep = pairs.select(
+        "name_a",
+        "name_b",
+        F.expr("split(name_a, '')").alias("s1"),
+        F.expr("split(name_b, '')").alias("s2"),
+        F.length("name_a").alias("l1"),
+        F.length("name_b").alias("l2"),
+        F.expr(
+            "cast(greatest(greatest(length(name_a), length(name_b))"
+            " div 2 - 1, 0) as int)"
+        ).alias("w"),
+    )
+    jj = (
+        "element_at(filter(sequence(greatest(1, i - w),"
+        " least(l2, i + w)),"
+        " j -> element_at(s2, j) = element_at(s1, i)"
+        " AND NOT element_at(acc.used, j)), 1)"
+    )
+    fold = prep.select(
+        "name_a",
+        "name_b",
+        "s2",
+        "l1",
+        "l2",
+        F.expr(
+            "aggregate(sequence(1, l1),"
+            " named_struct("
+            "  'used', transform(sequence(1, l2), x -> false),"
+            "  'mc', cast(array() as array<string>),"
+            "  'mj', cast(array() as array<int>)),"
+            " (acc, i) -> named_struct("
+            f"  'used', if({jj} is null, acc.used,"
+            f"   transform(acc.used, (u, idx) ->"
+            f"    if(idx + 1 = {jj}, true, u))),"
+            f"  'mc', if({jj} is null, acc.mc,"
+            f"   array_append(acc.mc, element_at(s1, i))),"
+            f"  'mj', if({jj} is null, acc.mj,"
+            f"   array_append(acc.mj, {jj}))))"
+        ).alias("st"),
+    )
+    done = fold.select(
+        "name_a",
+        "name_b",
+        "l1",
+        "l2",
+        F.expr("size(st.mc)").alias("m"),
+        F.expr(
+            "size(filter(sequence(1, size(st.mc)),"
+            " k -> element_at(st.mc, k) <> element_at(s2,"
+            "  element_at(array_sort(st.mj), k))))"
+        ).alias("mismatches"),
+        F.expr(
+            "size(filter(sequence(1, least(l1, l2)),"
+            " k -> substring(name_a, 1, k)"
+            " = substring(name_b, 1, k)))"
+        ).alias("pfx"),
+    )
+    jaro = F.expr(
+        "CASE WHEN m = 0 THEN 0.0 ELSE"
+        " (CAST(m AS DOUBLE) / l1 + CAST(m AS DOUBLE) / l2"
+        "  + CAST(m - mismatches div 2 AS DOUBLE) / m) / 3 END"
+    )
+    return done.select(
+        "name_a",
+        "name_b",
+        F.col("m").cast("bigint").alias("n_matches"),
+        F.expr("cast(mismatches div 2 as bigint)").alias(
+            "transpositions"
+        ),
+        F.round(
+            jaro + F.expr("least(pfx, 4)") * 0.1 * (1 - jaro), 6
+        ).alias("jw_sim"),
+    )
+
+
+jaro_winkler_pairs.__doc__ = jaro_winkler_pairs.__doc__.format(
+    LIM=JW_PAIR_LIMIT
+)
+
+
+ORACLE_JARO_WINKLER = f"""
+jw_names AS (SELECT DISTINCT p_name AS nm FROM part),
+jw_pairs AS (
+  SELECT a.nm AS name_a, b.nm AS name_b,
+         row_number() OVER (ORDER BY a.nm, b.nm) AS pid
+  FROM (SELECT nm, split_part(nm, ' ', 1) AS blk FROM jw_names) a
+  JOIN (SELECT nm, split_part(nm, ' ', 1) AS blk FROM jw_names) b
+    ON a.blk = b.blk AND a.nm < b.nm
+  ORDER BY a.nm, b.nm LIMIT {JW_PAIR_LIMIT}
+),
+jw_prep AS (
+  SELECT pid, name_a, name_b,
+         string_split(name_a, '') AS s1,
+         string_split(name_b, '') AS s2,
+         len(name_a) AS l1, len(name_b) AS l2,
+         greatest(greatest(len(name_a), len(name_b)) // 2 - 1, 0)
+           AS w
+  FROM jw_pairs
+),
+jw_rec AS (
+  SELECT pid, 1 AS i,
+         list_transform(range(1, l2 + 1), x -> false) AS used,
+         CAST([] AS VARCHAR[]) AS mc,
+         CAST([] AS BIGINT[]) AS mj
+  FROM jw_prep
+  UNION ALL
+  SELECT r.pid, r.i + 1,
+         CASE WHEN f.jj IS NULL THEN r.used
+              ELSE list_transform(range(1, p.l2 + 1),
+                     x -> CASE WHEN x = f.jj THEN true
+                               ELSE r.used[x] END) END,
+         CASE WHEN f.jj IS NULL THEN r.mc
+              ELSE list_append(r.mc, p.s1[r.i]) END,
+         CASE WHEN f.jj IS NULL THEN r.mj
+              ELSE list_append(r.mj, f.jj) END
+  FROM jw_rec r
+  JOIN jw_prep p ON p.pid = r.pid
+  CROSS JOIN LATERAL (
+    SELECT list_filter(range(greatest(1, r.i - p.w),
+                             least(p.l2, r.i + p.w) + 1),
+             j -> p.s2[j] = p.s1[r.i] AND NOT r.used[j])[1] AS jj
+  ) f
+  WHERE r.i <= p.l1
+),
+jw_done AS (
+  SELECT r.pid, len(r.mc) AS m,
+         CAST(len(list_filter(range(1, len(r.mc) + 1),
+           k -> r.mc[k] <> p.s2[list_sort(r.mj)[k]])) AS BIGINT)
+           AS mismatches
+  FROM jw_rec r JOIN jw_prep p ON p.pid = r.pid
+  WHERE r.i = p.l1 + 1
+),
+jaro_winkler AS (
+  SELECT p.name_a, p.name_b, CAST(d.m AS BIGINT) AS n_matches,
+         d.mismatches // 2 AS transpositions,
+         round(CASE WHEN d.m = 0 THEN 0.0 ELSE
+           (CAST(d.m AS DOUBLE) / p.l1 + CAST(d.m AS DOUBLE) / p.l2
+            + CAST(d.m - d.mismatches // 2 AS DOUBLE) / d.m) / 3
+           END
+           + least(v.pfx, 4) * 0.1
+             * (1 - CASE WHEN d.m = 0 THEN 0.0 ELSE
+                 (CAST(d.m AS DOUBLE) / p.l1
+                  + CAST(d.m AS DOUBLE) / p.l2
+                  + CAST(d.m - d.mismatches // 2 AS DOUBLE) / d.m)
+                 / 3 END), 6) AS jw_sim
+  FROM jw_done d JOIN jw_prep p ON p.pid = d.pid
+  CROSS JOIN LATERAL (
+    SELECT CAST(len(list_filter(range(1, least(p.l1, p.l2) + 1),
+          k -> substr(p.name_a, 1, k) = substr(p.name_b, 1, k)))
+          AS BIGINT) AS pfx
+  ) v
+)
+"""

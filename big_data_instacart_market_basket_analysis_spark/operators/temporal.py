@@ -12798,13 +12798,9 @@ def median_ci(events: DataFrame) -> DataFrame:
         "bucket", F.floor(F.col("v") / 100)
     )
     btot = per_value.groupBy("bucket").agg(F.sum("c").alias("bc"))
-    woff = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = btot.select(
-        "bucket",
-        F.coalesce(F.sum("bc").over(woff), F.lit(0)).alias("off"),
-    )
+    offsets = _rank.bucket_prefix_offsets(
+        btot, "bucket", ["bc"]
+    ).select("bucket", F.col("_off_bc").alias("off"))
     win = Window.partitionBy("bucket").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -14027,6 +14023,13 @@ def gumbel_maxima(events: DataFrame) -> DataFrame:
             ).alias("rev")
         )
     )
+    return gumbel_from_hourly(hourly)
+
+
+def gumbel_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Gumbel fit from an (h, rev) hour-grain revenue table — the
+    shared tail of ``gumbel_maxima`` and its streaming twin (whose
+    standing state is exactly this additive hour-grain table)."""
     daily_max = hourly.groupBy(F.to_date("h").alias("d")).agg(
         F.max("rev").alias("mx")
     )

@@ -2165,3 +2165,68 @@ stream_sprt AS (
 
 
 ORACLE_STREAM_SPRT = _oracle_stream_sprt()
+
+
+def run_stream_extremes(
+    spark: SparkSession, sf_dir: str, name: str = "stream_extremes"
+) -> DataFrame:
+    """Streaming extreme-value monitor: the Gumbel block-maxima fit
+    (``events_gumbel``) with its state kept as the ADDITIVE hour-grain
+    revenue table — hourly sums split across micro-batches merge by
+    plain addition (a max-of-partial-hours state would be WRONG:
+    max(partial, partial) != max(full); keeping state one grain finer
+    than the block makes the merge exact), and the daily-max + method
+    -of-moments tail runs once on the final standing table, equal to
+    the batch answer bit-for-bit.
+
+    Per batch: one batch-sized hour agg + a calendar-bounded state
+    merge (idempotent per batch id). State: hours-in-calendar rows at
+    ANY corpus scale.
+
+    Output (1 row): n_blocks, mean_max_cents, sd_max_cents, beta, mu,
+    ret30_cents.
+    """
+    import tempfile
+
+    from big_data_instacart_market_basket_analysis_spark.operators.temporal import (
+        gumbel_from_hourly,
+    )
+
+    _tune_stream_session(spark)
+    root = tempfile.mkdtemp(prefix="stream_extremes_")
+    src, target = f"{root}/src", f"{root}/state"
+
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    ).repartition(6).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("h").agg(F.sum("c").alias("rev"))
+        if _os.path.isdir(target):
+            part = spark.read.parquet(target).unionByName(part)
+        merged = (
+            part.groupBy("h")
+            .agg(F.sum("rev").alias("rev"))
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return gumbel_from_hourly(spark.read.parquet(target))
