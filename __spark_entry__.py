@@ -3218,6 +3218,30 @@ def q_stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_sprt(spark, sf_dir)
 
 
+def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-bucket retention report over the unigram-LM doc
+    scores: bounded ln(vocab) bucket grain, packed-offset cumulative
+    doc/token counts — the KenLM-filter planning table."""
+    return _text.ppl_bucket_report(load_table(spark, sf_dir, "documents"))
+
+
+def q_events_seasonality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FPP3 seasonality/trend strength summary of the verified STL
+    decomposition: F_s and F_t with the strong-seasonality flag."""
+    return _tmp.seasonality_strength(load_table(spark, sf_dir, "events"))
+
+
+def q_events_energy_distance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-integer energy distance between purchase and click value
+    distributions: all three pair sums via prefix decomposition on
+    the cent grain (no quadratic pair join), e-statistic included."""
+    return _tmp.energy_distance(load_table(spark, sf_dir, "events"))
+
+
 def q_stream_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Gumbel extremes monitor: additive hour-grain state
     (one grain finer than the block so partial-hour merges stay
@@ -3759,6 +3783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ab_monitor": q_stream_ab_monitor,
         "stream_sprt": q_stream_sprt,
         "stream_extremes": q_stream_extremes,
+        "events_energy_distance": q_events_energy_distance,
+        "events_seasonality": q_events_seasonality,
+        "text_ppl_buckets": q_text_ppl_buckets,
         "stream_hist_quantiles": q_stream_histq,
         "stream_cms": q_stream_cms,
         "stream_hll": q_stream_hll,
@@ -5430,6 +5457,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_extremes": _ext_oracle(
             [_tmp.ORACLE_GUMBEL], "gumbel_maxima"
+        ),
+        "events_energy_distance": _ext_oracle(
+            [_tmp.ORACLE_ENERGY], "energy_distance"
+        ),
+        "events_seasonality": _ext_oracle(
+            [_tmp.ORACLE_STL, _tmp.ORACLE_SEASONALITY],
+            "seasonality_strength",
+        ),
+        "text_ppl_buckets": _ext_oracle(
+            [_text.ORACLE_UNIGRAM_LOGPROB, _text.ORACLE_PPL_BUCKETS],
+            "ppl_bucket_report",
         ),
         "stream_kmv": _ext_oracle(
             [_ev.ORACLE_STREAM_KMV], "stream_kmv"

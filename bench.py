@@ -307,6 +307,9 @@ HEADLINE = [
     "docs_nw_align",
     "parts_jaro_winkler",
     "stream_extremes",
+    "events_energy_distance",
+    "events_seasonality",
+    "text_ppl_buckets",
 ]
 
 

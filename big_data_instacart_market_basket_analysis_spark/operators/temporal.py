@@ -14234,3 +14234,302 @@ dtw_alignment AS (
   WHERE w.age = 0 AND w.i = ab.n AND w.j = ab.m
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# energy distance (exact-integer two-sample distribution test)
+# ---------------------------------------------------------------------------
+
+
+def energy_distance(events: DataFrame) -> DataFrame:
+    """Energy distance between the purchase and click value
+    distributions — the moment-free two-sample test that is
+    consistent against ANY distributional difference (location,
+    scale, shape), where KS (``events_ks_drift``) keys on the single
+    largest CDF gap and Wasserstein (``events_wasserstein``) on mean
+    transport: E = 2*E|X-Y| - E|X-X'| - E|Y-Y'|, plus the Szekely-
+    Rizzo e-statistic nm/(n+m)*E.
+
+    EXACT INTEGER pair sums without the quadratic pair join: on the
+    merged cent grain, every absolute-difference sum decomposes
+    through exclusive prefix sums — sum_pairs |x-y| = sum_v cx(v) *
+    [(v*N_below - S_below) + (S_above - v*N_above)] — so A = sum
+    |X-Y|, B = sum |X-X'|, C = sum |Y-Y'| are exact DECIMAL(38,0)/
+    HUGEINT from ONE prefix pass (octave-bucket kernel + partitioned
+    within-bucket windows, zero global windows, the Kruskal-Wallis
+    shape with four running sums). E and the e-statistic are the
+    only double arithmetic, mirrored and rounded at 6 dp.
+
+    Scale: one cent-grain hash-agg over the fact table; everything
+    after runs on cent-grain and 1-row frames. Output (1 row):
+    n_x, n_y, a_cross, b_within_x, c_within_y, energy_dist, e_stat.
+    """
+    ev = events.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+        (F.col("event_type") == "purchase").alias("is_x"),
+    )
+    vg = ev.groupBy("v").agg(
+        F.sum(F.when(F.col("is_x"), 1).otherwise(0)).alias("cx"),
+        F.sum(F.when(F.col("is_x"), 0).otherwise(1)).alias("cy"),
+    ).select(
+        "v",
+        "cx",
+        "cy",
+        (F.col("cx") * F.col("v")).alias("sx"),
+        (F.col("cy") * F.col("v")).alias("sy"),
+        F.when(
+            F.col("v") >= 0, F.floor(F.log2(F.col("v") + 1))
+        )
+        .otherwise(-1 - F.floor(F.log2(-F.col("v"))))
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    cols = ["cx", "cy", "sx", "sy"]
+    btot = vg.groupBy("bucket").agg(
+        *[F.sum(c).alias(c) for c in cols]
+    )
+    offs = _rank.bucket_prefix_offsets(btot, "bucket", cols)
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pre = vg.join(F.broadcast(offs), "bucket").select(
+        "v",
+        "cx",
+        "cy",
+        *[
+            (
+                F.col(f"_off_{c}")
+                + F.coalesce(F.sum(c).over(w_in), F.lit(0))
+            ).alias(f"p{c}")
+            for c in cols
+        ],
+    )
+    tot = vg.agg(
+        F.sum("cx").alias("nx"),
+        F.sum("cy").alias("ny"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+    )
+    j = pre.crossJoin(F.broadcast(tot))
+
+    def _term(cnt: str, pn: str, ps: str, tn, ts) -> F.Column:
+        below = dec(F.col("v")) * dec(F.col(pn)) - dec(F.col(ps))
+        above = (
+            dec(ts)
+            - dec(F.col(ps))
+            - dec(F.col("v")) * dec(F.col(cnt))
+        ) - dec(F.col("v")) * (
+            dec(tn) - dec(F.col(pn)) - dec(F.col(cnt))
+        )
+        return below + above
+
+    m = j.agg(
+        F.max("nx").alias("nx"),
+        F.max("ny").alias("ny"),
+        F.sum(
+            dec(F.col("cx"))
+            * _term("cy", "pcy", "psy", F.col("ny"), F.col("tsy"))
+        ).alias("a"),
+        F.sum(
+            dec(F.col("cx"))
+            * _term("cx", "pcx", "psx", F.col("nx"), F.col("tsx"))
+        ).alias("b"),
+        F.sum(
+            dec(F.col("cy"))
+            * _term("cy", "pcy", "psy", F.col("ny"), F.col("tsy"))
+        ).alias("c"),
+    )
+    nd, md = F.col("nx").cast("double"), F.col("ny").cast("double")
+    e = (
+        2 * F.col("a").cast("double") / (nd * md)
+        - F.col("b").cast("double") / (nd * nd)
+        - F.col("c").cast("double") / (md * md)
+    )
+    return m.select(
+        F.col("nx").alias("n_x"),
+        F.col("ny").alias("n_y"),
+        F.col("a").cast("decimal(38,0)").alias("a_cross"),
+        F.col("b").cast("decimal(38,0)").alias("b_within_x"),
+        F.col("c").cast("decimal(38,0)").alias("c_within_y"),
+        F.round(e, 6).alias("energy_dist"),
+        F.round(nd * md / (nd + md) * e, 6).alias("e_stat"),
+    )
+
+
+ORACLE_ENERGY = """
+en_v AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+         event_type = 'purchase' AS is_x
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+en_g AS (
+  SELECT v,
+         CAST(sum(CASE WHEN is_x THEN 1 ELSE 0 END) AS BIGINT)
+           AS cx,
+         CAST(sum(CASE WHEN is_x THEN 0 ELSE 1 END) AS BIGINT)
+           AS cy
+  FROM en_v GROUP BY 1
+),
+en_p AS (
+  SELECT v, cx, cy,
+         CAST(coalesce(sum(cx) OVER w, 0) AS BIGINT) AS pcx,
+         CAST(coalesce(sum(cy) OVER w, 0) AS BIGINT) AS pcy,
+         CAST(coalesce(sum(cx * v) OVER w, 0) AS BIGINT) AS psx,
+         CAST(coalesce(sum(cy * v) OVER w, 0) AS BIGINT) AS psy
+  FROM en_g
+  WINDOW w AS (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+en_t AS (
+  SELECT CAST(sum(cx) AS BIGINT) AS nx,
+         CAST(sum(cy) AS BIGINT) AS ny,
+         CAST(sum(cx * v) AS BIGINT) AS tsx,
+         CAST(sum(cy * v) AS BIGINT) AS tsy
+  FROM en_g
+),
+en_m AS (
+  SELECT nx, ny,
+         CAST(sum(CAST(cx AS HUGEINT)
+           * ((CAST(v AS HUGEINT) * pcy - psy)
+              + ((CAST(tsy AS HUGEINT) - psy - CAST(v AS HUGEINT)
+                  * cy)
+                 - CAST(v AS HUGEINT) * (CAST(ny AS HUGEINT) - pcy
+                                         - cy)))) AS HUGEINT) AS a,
+         CAST(sum(CAST(cx AS HUGEINT)
+           * ((CAST(v AS HUGEINT) * pcx - psx)
+              + ((CAST(tsx AS HUGEINT) - psx - CAST(v AS HUGEINT)
+                  * cx)
+                 - CAST(v AS HUGEINT) * (CAST(nx AS HUGEINT) - pcx
+                                         - cx)))) AS HUGEINT) AS b,
+         CAST(sum(CAST(cy AS HUGEINT)
+           * ((CAST(v AS HUGEINT) * pcy - psy)
+              + ((CAST(tsy AS HUGEINT) - psy - CAST(v AS HUGEINT)
+                  * cy)
+                 - CAST(v AS HUGEINT) * (CAST(ny AS HUGEINT) - pcy
+                                         - cy)))) AS HUGEINT) AS c
+  FROM en_p, en_t GROUP BY 1, 2
+),
+energy_distance AS (
+  SELECT nx AS n_x, ny AS n_y,
+         CAST(a AS DECIMAL(38, 0)) AS a_cross,
+         CAST(b AS DECIMAL(38, 0)) AS b_within_x,
+         CAST(c AS DECIMAL(38, 0)) AS c_within_y,
+         round(2 * CAST(a AS DOUBLE) / (CAST(nx AS DOUBLE)
+               * CAST(ny AS DOUBLE))
+               - CAST(b AS DOUBLE) / (CAST(nx AS DOUBLE)
+                                      * CAST(nx AS DOUBLE))
+               - CAST(c AS DOUBLE) / (CAST(ny AS DOUBLE)
+                                      * CAST(ny AS DOUBLE)), 6)
+           AS energy_dist,
+         round(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+               / (CAST(nx AS DOUBLE) + CAST(ny AS DOUBLE))
+               * (2 * CAST(a AS DOUBLE) / (CAST(nx AS DOUBLE)
+                  * CAST(ny AS DOUBLE))
+                  - CAST(b AS DOUBLE) / (CAST(nx AS DOUBLE)
+                                         * CAST(nx AS DOUBLE))
+                  - CAST(c AS DOUBLE) / (CAST(ny AS DOUBLE)
+                                         * CAST(ny AS DOUBLE))), 6)
+           AS e_stat
+  FROM en_m
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# seasonality / trend strength (STL summary, Hyndman & Athanasopoulos)
+# ---------------------------------------------------------------------------
+
+
+def seasonality_strength(events: DataFrame) -> DataFrame:
+    """Seasonality and trend STRENGTH of the daily event series —
+    the two 0..1 numbers (Hyndman & Athanasopoulos, FPP3 ch. 4.4)
+    that summarize the whole ``events_stl_decompose`` table:
+        F_s = max(0, 1 - Var(R) / Var(S + R))
+        F_t = max(0, 1 - Var(R) / Var(T + R))
+    answering "is the day-of-week cycle real, and is there a trend
+    worth modeling" before anyone commits to a seasonal forecaster.
+
+    Pure composition of the verified STL components: one hash-agg
+    over the day-grain decomposition collects n, Σ and Σ² of R,
+    S+R, and T+R (the components are 6-dp-rounded doubles, so the
+    sums fold identically in both engines at day-grain cardinality);
+    each strength is one mirrored double chain, rounded at 6 dp.
+
+    Output (1 row): n_days, f_seasonal, f_trend, seasonal_is_real
+    (F_s > 0.64 — the usual "strong seasonality" reading).
+    """
+    comp = stl_decompose(events).select(
+        F.col("remainder").alias("r"),
+        (F.col("seasonal") + F.col("remainder")).alias("sr"),
+        (F.col("trend") + F.col("remainder")).alias("tr"),
+    )
+    m = comp.agg(
+        F.count("*").alias("n"),
+        F.sum("r").alias("s_r"),
+        F.sum(F.col("r") * F.col("r")).alias("q_r"),
+        F.sum("sr").alias("s_sr"),
+        F.sum(F.col("sr") * F.col("sr")).alias("q_sr"),
+        F.sum("tr").alias("s_tr"),
+        F.sum(F.col("tr") * F.col("tr")).alias("q_tr"),
+    )
+    nd = F.col("n").cast("double")
+
+    def _var(q: str, s: str) -> F.Column:
+        return F.col(q) / nd - (F.col(s) / nd) * (F.col(s) / nd)
+
+    fs = F.greatest(
+        F.lit(0.0), 1 - _var("q_r", "s_r") / _var("q_sr", "s_sr")
+    )
+    ft = F.greatest(
+        F.lit(0.0), 1 - _var("q_r", "s_r") / _var("q_tr", "s_tr")
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(fs, 6).alias("f_seasonal"),
+        F.round(ft, 6).alias("f_trend"),
+        (F.round(fs, 6) > 0.64).alias("seasonal_is_real"),
+    )
+
+
+ORACLE_SEASONALITY = """
+sstr_c AS (
+  SELECT remainder AS r, seasonal + remainder AS sr,
+         trend + remainder AS tr
+  FROM stl_decompose
+),
+sstr_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(r) AS s_r, sum(r * r) AS q_r,
+         sum(sr) AS s_sr, sum(sr * sr) AS q_sr,
+         sum(tr) AS s_tr, sum(tr * tr) AS q_tr
+  FROM sstr_c
+),
+seasonality_strength AS (
+  SELECT n AS n_days,
+         round(greatest(0.0, 1 - (q_r / CAST(n AS DOUBLE)
+                 - (s_r / CAST(n AS DOUBLE))
+                   * (s_r / CAST(n AS DOUBLE)))
+               / (q_sr / CAST(n AS DOUBLE)
+                  - (s_sr / CAST(n AS DOUBLE))
+                    * (s_sr / CAST(n AS DOUBLE)))), 6) AS f_seasonal,
+         round(greatest(0.0, 1 - (q_r / CAST(n AS DOUBLE)
+                 - (s_r / CAST(n AS DOUBLE))
+                   * (s_r / CAST(n AS DOUBLE)))
+               / (q_tr / CAST(n AS DOUBLE)
+                  - (s_tr / CAST(n AS DOUBLE))
+                    * (s_tr / CAST(n AS DOUBLE)))), 6) AS f_trend,
+         round(greatest(0.0, 1 - (q_r / CAST(n AS DOUBLE)
+                 - (s_r / CAST(n AS DOUBLE))
+                   * (s_r / CAST(n AS DOUBLE)))
+               / (q_sr / CAST(n AS DOUBLE)
+                  - (s_sr / CAST(n AS DOUBLE))
+                    * (s_sr / CAST(n AS DOUBLE)))), 6) > 0.64
+           AS seasonal_is_real
+  FROM sstr_m
+)
+"""

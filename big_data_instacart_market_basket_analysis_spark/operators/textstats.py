@@ -5184,3 +5184,93 @@ nw_alignment AS (
   WHERE w.age = 0 AND w.i = ab.n AND w.j = ab.m
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# perplexity-bucket retention report (the KenLM-filter planning table)
+# ---------------------------------------------------------------------------
+
+
+def ppl_bucket_report(docs: DataFrame) -> DataFrame:
+    """Perplexity-bucket retention report: documents bucketed by
+    integer floor of their unigram cross-entropy (nats/token, from
+    the verified ``unigram_logprob_scores``), with cumulative doc
+    and token counts in most-predictable-first order — the planning
+    table behind every KenLM-style perplexity filter ("cutting at
+    bucket b keeps X% of docs / Y tokens"); pairs with
+    ``text_quality`` (heuristics) and ``text_nb_quality`` (trained)
+    as the LM leg of the quality-filter family.
+
+    The bucket key floor(-avg_logprob) is bounded by ln(vocab) —
+    ~40 buckets at ANY corpus scale — so the cumulative sums run
+    through the packed-array offset kernel (zero global windows,
+    zero WindowExec). Counts are exact BIGINTs; the share is the
+    single rounded division.
+
+    Output per occupied bucket: ppl_bucket, n_docs, n_tokens,
+    cum_docs, cum_tokens, doc_share_pct.
+    """
+    scores = unigram_logprob_scores(docs)
+    b = scores.select(
+        F.floor(-F.col("avg_logprob")).cast("bigint").alias("b"),
+        "n_tokens",
+    )
+    bt = b.groupBy("b").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    offs = bucket_prefix_offsets(
+        bt, "b", ["n_docs", "n_tokens"]
+    )
+    tot = bt.agg(F.sum("n_docs").alias("td"))
+    return (
+        bt.join(F.broadcast(offs), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("b").alias("ppl_bucket"),
+            "n_docs",
+            "n_tokens",
+            (F.col("_off_n_docs") + F.col("n_docs")).alias(
+                "cum_docs"
+            ),
+            (F.col("_off_n_tokens") + F.col("n_tokens")).alias(
+                "cum_tokens"
+            ),
+            F.round(
+                100
+                * (F.col("_off_n_docs") + F.col("n_docs")).cast(
+                    "double"
+                )
+                / F.col("td").cast("double"),
+                6,
+            ).alias("doc_share_pct"),
+        )
+    )
+
+
+ORACLE_PPL_BUCKETS = """
+ppb_s AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(ln(CAST(n_t AS DOUBLE) / n_total)), 6)
+           AS avg_logprob
+  FROM ult JOIN ulu USING (t), ultot
+  GROUP BY doc_id
+),
+ppb_b AS (
+  SELECT CAST(floor(-avg_logprob) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM ppb_s GROUP BY 1
+),
+ppl_bucket_report AS (
+  SELECT b AS ppl_bucket, n_docs, n_tokens,
+         CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+         CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+         round(100 * CAST(sum(n_docs) OVER w AS DOUBLE)
+               / (SELECT CAST(sum(n_docs) AS DOUBLE) FROM ppb_b),
+               6) AS doc_share_pct
+  FROM ppb_b
+  WINDOW w AS (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+"""

@@ -411,3 +411,82 @@ def test_jaro_winkler_disjoint_strings(spark):
     # second words and check the score reflects only block overlap
     r = dedup.jaro_winkler_pairs(parts).collect()[0]
     assert 0.0 < r["jw_sim"] < 1.0
+
+
+def test_energy_distance_hand_value(spark):
+    """X={0c,2c} (purchases), Y={1c} (clicks): A=|0-1|+|2-1|=2,
+    B=|0-2|+|2-0|=4, C=0 => E = 2*2/2 - 4/4 = 1.0 and
+    e_stat = (2*1/3)*1 = 2/3."""
+    ev = _events(
+        spark,
+        [
+            (_day(1), "purchase", 0.00),
+            (_day(1), "purchase", 0.02),
+            (_day(1), "click", 0.01),
+        ],
+    )
+    r = temporal.energy_distance(ev).collect()[0]
+    assert (r["n_x"], r["n_y"]) == (2, 1)
+    assert (int(r["a_cross"]), int(r["b_within_x"]),
+            int(r["c_within_y"])) == (2, 4, 0)
+    assert abs(r["energy_dist"] - 1.0) < 1e-9
+    assert abs(r["e_stat"] - 2 / 3) < 1e-6
+
+
+def test_energy_distance_identical_is_zero(spark):
+    """Identical samples => energy distance exactly 0 (the metric
+    property E >= 0 with equality iff same distribution)."""
+    ev = _events(
+        spark,
+        [
+            (_day(1), "purchase", 0.01),
+            (_day(1), "purchase", 0.02),
+            (_day(1), "click", 0.01),
+            (_day(1), "click", 0.02),
+        ],
+    )
+    r = temporal.energy_distance(ev).collect()[0]
+    assert r["energy_dist"] == 0.0
+    assert r["e_stat"] == 0.0
+
+
+def test_seasonality_strength_weekly_cycle(spark):
+    """A hard weekly cycle (one busy day per week, flat otherwise)
+    over 5 weeks => F_seasonal close to 1 and far above F_trend."""
+    rows = []
+    for day in range(1, 31):
+        n = 12 if day % 7 == 1 else 1
+        if day == 17:
+            n += 5  # one irregular day so the remainder is nonzero
+        rows += [(_day(day), "view", 1.0)] * n
+    r = temporal.seasonality_strength(_events(spark, rows)).collect()[0]
+    assert r["n_days"] == 24  # full 7-day-window days only
+    assert r["f_seasonal"] > 0.9
+    assert r["seasonal_is_real"]
+    assert 0.0 <= r["f_trend"] < r["f_seasonal"]
+
+
+def test_ppl_buckets_cumulative_and_share(spark):
+    """Cumulative counts are monotone in the bucket order, the last
+    cumulative row equals the totals, and the share ends at 100%."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the the the the"),
+            (2, "the of and to"),
+            (3, "rare unique words here"),
+        ],
+    )
+    rows = sorted(
+        textstats.ppl_bucket_report(docs).collect(),
+        key=lambda r: r["ppl_bucket"],
+    )
+    cd = [r["cum_docs"] for r in rows]
+    assert cd == sorted(cd)
+    assert cd[-1] == 3
+    assert abs(rows[-1]["doc_share_pct"] - 100.0) < 1e-9
+    assert rows[-1]["cum_tokens"] == 12
