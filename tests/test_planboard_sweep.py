@@ -60,6 +60,8 @@ GLOBAL_WINDOW_WHITELIST: dict[str, tuple[int, str]] = {
     "events_rmst": (3, "t_days"),
     "events_robust_trend": (2, "day"),
     "events_runs_test": (2, "day"),
+    "events_seasonality": (2, "day — inherits stl_decompose's dense "
+                              "day-grid MA window + dow re-join"),
     "events_skew_report": (1, "partstats"),
     "events_spearman": (2, "bucket"),
     "events_stl_decompose": (2, "day"),
