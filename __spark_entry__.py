@@ -3218,6 +3218,51 @@ def q_stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_sprt(spark, sf_dir)
 
 
+def q_orders_potwo_policy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Power-of-two ordering policies priced exactly against the
+    Wagner-Whitin optimum (the synchronizable policy class's real
+    gap on this demand series)."""
+    return _tmp.potwo_policy_eval(load_table(spark, sf_dir, "orders"))
+
+
+def q_events_record_days(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Record-value trend test: packed running-max record count vs
+    the distribution-free harmonic-number expectation."""
+    return _tmp.record_days_test(load_table(spark, sf_dir, "events"))
+
+
+def q_events_turning_points(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall turning-points randomness test: strict local extrema
+    of daily revenue vs the 2(n-2)/3 i.i.d. expectation."""
+    return _tmp.turning_points_test(load_table(spark, sf_dir, "events"))
+
+
+def q_events_mood_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mood's median test across event types: exact grand-median
+    order statistic, k x 2 above/below table, chi2 = sum O^2/E - T."""
+    return _tmp.mood_median_test(load_table(spark, sf_dir, "events"))
+
+
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness (zero-inclusive variance-to-mean
+    of per-doc counts): top-20 clumpiest terms, exact moments."""
+    return _text.term_burstiness(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning G^2 collocations over bigram 2x2 tables: the
+    rare-pair-robust collocation test beside raw PMI."""
+    return _text.collocations_llr(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-bucket retention report over the unigram-LM doc
     scores: bounded ln(vocab) bucket grain, packed-offset cumulative
@@ -3786,6 +3831,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_energy_distance": q_events_energy_distance,
         "events_seasonality": q_events_seasonality,
         "text_ppl_buckets": q_text_ppl_buckets,
+        "text_burstiness": q_text_burstiness,
+        "text_collocations": q_text_collocations,
+        "events_mood_median": q_events_mood_median,
+        "events_record_days": q_events_record_days,
+        "events_turning_points": q_events_turning_points,
+        "orders_potwo_policy": q_orders_potwo_policy,
         "stream_hist_quantiles": q_stream_histq,
         "stream_cms": q_stream_cms,
         "stream_hll": q_stream_hll,
@@ -5468,6 +5519,25 @@ def oracle_sql() -> dict[str, str]:
         "text_ppl_buckets": _ext_oracle(
             [_text.ORACLE_UNIGRAM_LOGPROB, _text.ORACLE_PPL_BUCKETS],
             "ppl_bucket_report",
+        ),
+        "text_burstiness": _ext_oracle(
+            [_text.ORACLE_BURSTINESS], "term_burstiness"
+        ),
+        "text_collocations": _ext_oracle(
+            [_text.ORACLE_COLLOCATIONS], "collocations_llr"
+        ),
+        "events_mood_median": _ext_oracle(
+            [_tmp.ORACLE_MOOD], "mood_median_test"
+        ),
+        "events_record_days": _ext_oracle(
+            [_tmp.ORACLE_RECORDS], "record_days_test"
+        ),
+        "events_turning_points": _ext_oracle(
+            [_tmp.ORACLE_TURNING], "turning_points_test"
+        ),
+        "orders_potwo_policy": _ext_oracle(
+            [_tmp.oracle_lot_sizing(), _tmp.oracle_potwo()],
+            "potwo_policy",
         ),
         "stream_kmv": _ext_oracle(
             [_ev.ORACLE_STREAM_KMV], "stream_kmv"

@@ -310,6 +310,12 @@ HEADLINE = [
     "events_energy_distance",
     "events_seasonality",
     "text_ppl_buckets",
+    "text_burstiness",
+    "text_collocations",
+    "events_mood_median",
+    "events_record_days",
+    "events_turning_points",
+    "orders_potwo_policy",
 ]
 
 

@@ -14533,3 +14533,497 @@ seasonality_strength AS (
   FROM sstr_m
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test (k-group location test on the grand median)
+# ---------------------------------------------------------------------------
+
+
+def mood_median_test(events: DataFrame) -> DataFrame:
+    """Mood's median test: do the five event types straddle the GRAND
+    median of value differently — the maximally outlier-robust
+    k-group location test (only above/below survives), the blunt
+    cousin of Kruskal-Wallis (``events_kruskal_wallis``) that stays
+    valid under wildly different group shapes.
+
+    The grand median is the exact order statistic at rank
+    (n+1) div 2, selected by the same zero-global-window bucketed
+    prefix machinery as ``events_median_ci``; values EQUAL to it are
+    dropped (documented convention). The k x 2 contingency table is
+    then one conditional hash-agg, and chi2 = sum (O-E)^2/E
+    assembles from the k=5 rows with E = row*col/T — exact integer
+    counts into one mirrored double chain, rounded at 6 dp.
+
+    Two corpus passes (value-grain agg; above/below count against
+    the broadcast 1-row median). Output (1 row): k, n_used,
+    n_ties_dropped, grand_median_cents, chi2, significant (df=4
+    convention of the fixture's k=5 — same literal as the KW test).
+    """
+    cg = events.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    vg = cg.groupBy("c").agg(F.count("*").alias("cnt"))
+    bkt = F.when(
+        F.col("c") >= 0, F.floor(F.log2(F.col("c") + 1))
+    ).otherwise(-1 - F.floor(F.log2(-F.col("c")))).cast("bigint")
+    vgb = vg.select("c", "cnt", bkt.alias("bucket"))
+    btot = vgb.groupBy("bucket").agg(F.sum("cnt").alias("bc"))
+    offs = _rank.bucket_prefix_offsets(btot, "bucket", ["bc"])
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vgb.join(F.broadcast(offs), "bucket").select(
+        "c",
+        (F.col("_off_bc") + F.sum("cnt").over(w_in)).alias("cum"),
+    )
+    tot = vg.agg(F.sum("cnt").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= (F.col("n") + 1) / 2,
+                    F.col("c"),
+                )
+            ).alias("med")
+        )
+    )
+    g = (
+        cg.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("c") > F.col("med")).cast("bigint")).alias(
+                "ab"
+            ),
+            F.sum((F.col("c") < F.col("med")).cast("bigint")).alias(
+                "be"
+            ),
+            F.sum((F.col("c") == F.col("med")).cast("bigint")).alias(
+                "ti"
+            ),
+            F.max("med").alias("med"),
+        )
+    )
+    m = g.agg(
+        F.count("*").alias("k"),
+        F.sum("ab").alias("ta"),
+        F.sum("be").alias("tb"),
+        F.sum("ti").alias("tt"),
+        F.max("med").alias("med"),
+        F.sum(
+            F.col("ab").cast("double") * F.col("ab").cast("double")
+            / (F.col("ab") + F.col("be")).cast("double")
+        ).alias("qa"),
+        F.sum(
+            F.col("be").cast("double") * F.col("be").cast("double")
+            / (F.col("ab") + F.col("be")).cast("double")
+        ).alias("qb"),
+    )
+    tu = (F.col("ta") + F.col("tb")).cast("double")
+    chi = tu * (
+        F.col("qa") / F.col("ta").cast("double")
+        + F.col("qb") / F.col("tb").cast("double")
+    ) - tu
+    return m.select(
+        "k",
+        (F.col("ta") + F.col("tb")).alias("n_used"),
+        F.col("tt").alias("n_ties_dropped"),
+        F.col("med").alias("grand_median_cents"),
+        F.round(chi, 6).alias("chi2"),
+        (F.round(chi, 6) > KRUSKAL_CHI2_CRIT_05).alias("significant"),
+    )
+
+
+ORACLE_MOOD = f"""
+md_c AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+md_v AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM md_c GROUP BY 1
+),
+md_cum AS (
+  SELECT c, CAST(sum(cnt) OVER (ORDER BY c
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum
+  FROM md_v
+),
+md_m AS (
+  SELECT min(CASE WHEN cum >= (n + 1) / 2 THEN c END) AS med
+  FROM md_cum, (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM md_v)
+),
+md_g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN c > med THEN 1 ELSE 0 END) AS BIGINT)
+           AS ab,
+         CAST(sum(CASE WHEN c < med THEN 1 ELSE 0 END) AS BIGINT)
+           AS be,
+         CAST(sum(CASE WHEN c = med THEN 1 ELSE 0 END) AS BIGINT)
+           AS ti,
+         CAST(max(med) AS BIGINT) AS med
+  FROM md_c, md_m GROUP BY 1
+),
+md_a AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(ab) AS BIGINT) AS ta,
+         CAST(sum(be) AS BIGINT) AS tb,
+         CAST(sum(ti) AS BIGINT) AS tt,
+         CAST(max(med) AS BIGINT) AS med,
+         sum(CAST(ab AS DOUBLE) * CAST(ab AS DOUBLE)
+             / CAST(ab + be AS DOUBLE)) AS qa,
+         sum(CAST(be AS DOUBLE) * CAST(be AS DOUBLE)
+             / CAST(ab + be AS DOUBLE)) AS qb
+  FROM md_g
+),
+mood_median_test AS (
+  SELECT k, ta + tb AS n_used, tt AS n_ties_dropped,
+         med AS grand_median_cents,
+         round(CAST(ta + tb AS DOUBLE)
+               * (qa / CAST(ta AS DOUBLE) + qb / CAST(tb AS DOUBLE))
+               - CAST(ta + tb AS DOUBLE), 6) AS chi2,
+         round(CAST(ta + tb AS DOUBLE)
+               * (qa / CAST(ta AS DOUBLE) + qb / CAST(tb AS DOUBLE))
+               - CAST(ta + tb AS DOUBLE), 6)
+           > {KRUSKAL_CHI2_CRIT_05} AS significant
+  FROM md_a
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# record-value test (trend detection by counting record days)
+# ---------------------------------------------------------------------------
+
+
+def record_days_test(events: DataFrame) -> DataFrame:
+    """Record-value trend test on daily revenue: count the days that
+    set a new all-time high. Under exchangeability (no trend) the
+    expected record count is the harmonic number H_n and
+    Var = H_n - H_n^(2), both distribution-FREE — so an excess of
+    records is trend evidence that needs no magnitude assumptions at
+    all, the third leg beside Mann-Kendall (pair signs,
+    ``events_robust_trend``) and runs (``events_runs_test``).
+
+    Zero windows: the day-grain series packs into one sorted array
+    (calendar-bounded at any corpus scale) and the running-max fold
+    counts records executor-side; H_n and H_n^(2) fold over
+    sequence(1, n) in the same order in both engines (DuckDB replays
+    the record count with a MAX OVER and the harmonic sums with
+    list_transform — same IEEE additions). The first day is a record
+    by convention (H_n includes the i=1 term).
+
+    Output (1 row): n_days, n_records, expected, z, trending
+    (one-sided z > 1.645).
+    """
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .alias("rev")
+        )
+    )
+    packed = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "rev"))).alias("s")
+    )
+    m = packed.select(
+        F.expr("size(s)").alias("n"),
+        F.expr(
+            "aggregate(s,"
+            " named_struct('mx', cast(-1 as bigint),"
+            "              'r', cast(0 as bigint)),"
+            " (acc, x) -> named_struct("
+            "  'mx', greatest(acc.mx, x.rev),"
+            "  'r', acc.r + if(x.rev > acc.mx, 1, 0))).r"
+        ).alias("n_records"),
+        F.expr(
+            "aggregate(sequence(1, size(s)), cast(0.0 as double),"
+            " (a, i) -> a + 1.0 / i)"
+        ).alias("h1"),
+        F.expr(
+            "aggregate(sequence(1, size(s)), cast(0.0 as double),"
+            " (a, i) -> a + 1.0 / (cast(i as double) * i))"
+        ).alias("h2"),
+    )
+    z = (F.col("n_records").cast("double") - F.col("h1")) / F.sqrt(
+        F.col("h1") - F.col("h2")
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        "n_records",
+        F.round(F.col("h1"), 6).alias("expected"),
+        F.round(z, 6).alias("z"),
+        (F.round(z, 6) > 1.645).alias("trending"),
+    )
+
+
+ORACLE_RECORDS = """
+rd_d AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+rd_f AS (
+  SELECT CASE WHEN rev > coalesce(max(rev) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS isrec
+  FROM rd_d
+),
+rd_r AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(isrec) AS BIGINT) AS n_records
+  FROM rd_f
+),
+rd_h AS (
+  SELECT n, n_records,
+         list_aggregate(list_transform(range(1, n + 1),
+           i -> 1.0 / i), 'sum') AS h1,
+         list_aggregate(list_transform(range(1, n + 1),
+           i -> 1.0 / (CAST(i AS DOUBLE) * i)), 'sum') AS h2
+  FROM rd_r
+),
+record_days_test AS (
+  SELECT n AS n_days, n_records, round(h1, 6) AS expected,
+         round((CAST(n_records AS DOUBLE) - h1) / sqrt(h1 - h2), 6)
+           AS z,
+         round((CAST(n_records AS DOUBLE) - h1) / sqrt(h1 - h2), 6)
+           > 1.645 AS trending
+  FROM rd_h
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# turning-points randomness test (local extrema count)
+# ---------------------------------------------------------------------------
+
+
+def turning_points_test(events: DataFrame) -> DataFrame:
+    """Turning-points test of the daily revenue series: count the
+    interior days that are strict local maxima or minima. An i.i.d.
+    series has E[T] = 2(n-2)/3 and Var[T] = (16n-29)/90 — too FEW
+    turning points means momentum/trend, too MANY means oscillation
+    (negative autocorrelation); the classic Kendall randomness check
+    beside runs (``events_runs_test``, signs vs median) and records
+    (``events_record_days``, all-time highs). Plateaus (a day equal
+    to a neighbor) are not turning points under the strict-extremum
+    convention (documented; exact in integer cents).
+
+    Zero windows: the calendar-bounded day series packs into one
+    sorted array and the triple scan is a single higher-order filter;
+    the moments are closed forms of n. Output (1 row): n_days,
+    n_turning, expected, z, nonrandom (|z| > 1.96).
+    """
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .alias("rev")
+        )
+    )
+    packed = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "rev"))).alias("s")
+    )
+    m = packed.select(
+        F.expr("size(s)").alias("n"),
+        F.expr(
+            "size(filter(sequence(2, size(s) - 1), i ->"
+            " (s[i - 1].rev > s[i - 2].rev"
+            "  AND s[i - 1].rev > s[i].rev)"
+            " OR (s[i - 1].rev < s[i - 2].rev"
+            "     AND s[i - 1].rev < s[i].rev)))"
+        ).cast("bigint").alias("t"),
+    )
+    nd = F.col("n").cast("double")
+    exp_t = 2 * (nd - 2) / 3
+    var_t = (16 * nd - 29) / 90
+    z = (F.col("t").cast("double") - exp_t) / F.sqrt(var_t)
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.col("t").alias("n_turning"),
+        F.round(exp_t, 6).alias("expected"),
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > 1.96).alias("nonrandom"),
+    )
+
+
+ORACLE_TURNING = """
+tp_d AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+tp_l AS (
+  SELECT rev,
+         lag(rev) OVER (ORDER BY d) AS prev,
+         lead(rev) OVER (ORDER BY d) AS nxt
+  FROM tp_d
+),
+tp_m AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM tp_d) AS n,
+         CAST(sum(CASE WHEN (rev > prev AND rev > nxt)
+                         OR (rev < prev AND rev < nxt)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS t
+  FROM tp_l WHERE prev IS NOT NULL AND nxt IS NOT NULL
+),
+turning_points_test AS (
+  SELECT n AS n_days, t AS n_turning,
+         round(2 * (CAST(n AS DOUBLE) - 2) / 3, 6) AS expected,
+         round((CAST(t AS DOUBLE)
+                - 2 * (CAST(n AS DOUBLE) - 2) / 3)
+               / sqrt((16 * CAST(n AS DOUBLE) - 29) / 90), 6) AS z,
+         abs(round((CAST(t AS DOUBLE)
+                - 2 * (CAST(n AS DOUBLE) - 2) / 3)
+               / sqrt((16 * CAST(n AS DOUBLE) - 29) / 90), 6)) > 1.96
+           AS nonrandom
+  FROM tp_m
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# power-of-two ordering policies vs the Wagner-Whitin optimum
+# ---------------------------------------------------------------------------
+
+#: power-of-two ordering intervals evaluated: 2^0 .. 2^POTWO_MAX_EXP
+#: months (128 covers any calendar the lot-sizing envelope covers).
+POTWO_MAX_EXP = 7
+
+
+def potwo_policy_eval(orders: DataFrame) -> DataFrame:
+    """Power-of-two ordering policies against the exact Wagner-Whitin
+    optimum (``orders_lot_sizing``): order every 2^j months
+    (skipping empty cycles), j = 0..{J} — the restricted policy
+    class operations actually run because it synchronizes across
+    SKUs, with the classic result that the best power-of-two is
+    within ~6% of optimal under stationary demand. This query prices
+    that gap EXACTLY on the real demand series.
+
+    All integers: each cycle's holding cost folds from the same
+    (t - cycle_start) * d_t terms as the WW edge costs via one
+    (interval, cycle) hash-agg over the months x {NJ} policy grid
+    (calendar-bounded), and the optimum joins in from the verified
+    DP frontier's last row. vs_optimal_pct is the single rounded
+    division; ties on the best policy break toward the shorter
+    interval via the exact integer comparison.
+
+    Output ({NJ} rows): interval_months, n_orders_placed,
+    total_cost_cents, optimal_cost_cents, vs_optimal_pct, is_best.
+    """
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mon")
+    ).agg(F.count("*").alias("d"))
+    idx = (
+        m.join(
+            m.select(F.col("mon").alias("mon2")),
+            F.col("mon2") <= F.col("mon"),
+        )
+        .groupBy("mon", "d")
+        .agg(F.count("*").alias("t"))
+    )
+    exps = idx.sparkSession.range(POTWO_MAX_EXP + 1).select(
+        F.expr("shiftleft(cast(1 as bigint), cast(id as int))").alias(
+            "l"
+        )
+    )
+    cyc = (
+        idx.crossJoin(F.broadcast(exps))
+        .withColumn(
+            "c0",
+            (F.col("t") - 1) - (F.col("t") - 1) % F.col("l"),
+        )
+        .groupBy("l", "c0")
+        .agg(
+            F.sum(
+                (F.col("t") - 1 - F.col("c0")) * F.col("d")
+            ).alias("hold"),
+            F.sum("d").alias("dem"),
+        )
+    )
+    per_l = cyc.groupBy("l").agg(
+        F.sum((F.col("dem") > 0).cast("bigint")).alias(
+            "n_orders_placed"
+        ),
+        F.sum(
+            F.when(
+                F.col("dem") > 0,
+                F.lit(LOT_SETUP_CENTS)
+                + F.lit(LOT_HOLD_CENTS) * F.col("hold"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("total_cost_cents"),
+    )
+    opt = lot_sizing_frontier(orders).agg(
+        F.max_by("opt_cost_cents", "month_idx").alias("opt")
+    )
+    best = per_l.agg(F.min("total_cost_cents").alias("bc"))
+    return (
+        per_l.crossJoin(F.broadcast(opt))
+        .crossJoin(F.broadcast(best))
+        .select(
+            F.col("l").alias("interval_months"),
+            "n_orders_placed",
+            "total_cost_cents",
+            F.col("opt").alias("optimal_cost_cents"),
+            F.round(
+                100
+                * F.col("total_cost_cents").cast("double")
+                / F.col("opt").cast("double"),
+                6,
+            ).alias("vs_optimal_pct"),
+            (F.col("total_cost_cents") == F.col("bc")).alias(
+                "is_best"
+            ),
+        )
+    )
+
+
+potwo_policy_eval.__doc__ = potwo_policy_eval.__doc__.format(
+    J=POTWO_MAX_EXP, NJ=POTWO_MAX_EXP + 1
+)
+
+
+def oracle_potwo(
+    setup: int = LOT_SETUP_CENTS,
+    hold: int = LOT_HOLD_CENTS,
+    max_exp: int = POTWO_MAX_EXP,
+) -> str:
+    exps = " UNION ALL ".join(
+        f"SELECT CAST({1 << j} AS BIGINT) AS l"
+        for j in range(max_exp + 1)
+    )
+    return f"""
+pt_e AS ({exps}),
+pt_c AS (
+  SELECT e.l, (i.t - 1) - (i.t - 1) % e.l AS c0,
+         CAST(sum((i.t - 1 - ((i.t - 1) - (i.t - 1) % e.l)) * i.d)
+              AS BIGINT) AS hold,
+         CAST(sum(i.d) AS BIGINT) AS dem
+  FROM ww_i i, pt_e e GROUP BY 1, 2
+),
+pt_l AS (
+  SELECT l,
+         CAST(sum(CASE WHEN dem > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orders_placed,
+         CAST(sum(CASE WHEN dem > 0 THEN {setup} + {hold} * hold
+                  ELSE 0 END) AS BIGINT) AS total_cost_cents
+  FROM pt_c GROUP BY 1
+),
+pt_o AS (
+  SELECT arg_max(opt_cost_cents, month_idx) AS opt FROM lot_sizing
+),
+pt_b AS (SELECT min(total_cost_cents) AS bc FROM pt_l),
+potwo_policy AS (
+  SELECT l AS interval_months, n_orders_placed, total_cost_cents,
+         opt AS optimal_cost_cents,
+         round(100 * CAST(total_cost_cents AS DOUBLE)
+               / CAST(opt AS DOUBLE), 6) AS vs_optimal_pct,
+         total_cost_cents = bc AS is_best
+  FROM pt_l, pt_o, pt_b
+)"""

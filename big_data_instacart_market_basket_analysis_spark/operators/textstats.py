@@ -5274,3 +5274,233 @@ ppl_bucket_report AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# term burstiness (Church-Gale variance-to-mean over documents)
+# ---------------------------------------------------------------------------
+
+#: minimum corpus frequency for a term to be scored, and the report
+#: size (deterministic: rounded-score order, term tie-break).
+BURST_MIN_TF = 30
+BURST_TOP_K = 20
+
+
+def term_burstiness(docs: DataFrame) -> DataFrame:
+    """Church-Gale term BURSTINESS: the variance-to-mean ratio of a
+    term's per-document count (zeros included). Function words
+    sprinkle evenly (VMR ~ 1, Poisson); content words clump — a few
+    docs use them heavily — so VMR >> 1. The classic signal for
+    separating topical vocabulary from glue, complementing plain
+    frequency (``text_top_terms``) and contrastive tf-idf
+    (``text_tfidf_top_terms``).
+
+    One (term, doc) hash-agg then one term-grain agg: with D docs
+    and exact BIGINTs s1 = sum c, s2 = sum c^2, the zero-inclusive
+    moments are mean = s1/D and var = s2/D - mean^2, so
+    VMR = (s2/D - (s1/D)^2) / (s1/D) — one mirrored double chain,
+    rounded BEFORE the ordering so the top-{K} cut is
+    engine-deterministic (term tie-break). Terms below {MIN} corpus
+    occurrences are dropped (VMR of rare terms is noise).
+
+    Output ({K} rows): term, df_docs, tf_total, vmr.
+    """
+    td = (
+        docs.select("doc_id", F.explode(_tokens_col()).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    d_tot = docs.agg(F.count("*").alias("dd"))
+    per_term = (
+        td.groupBy("t")
+        .agg(
+            F.count("*").alias("df_docs"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+        .filter(F.col("s1") >= BURST_MIN_TF)
+        .crossJoin(F.broadcast(d_tot))
+    )
+    dd = F.col("dd").cast("double")
+    mean = F.col("s1").cast("double") / dd
+    vmr = (F.col("s2").cast("double") / dd - mean * mean) / mean
+    return (
+        per_term.select(
+            F.col("t").alias("term"),
+            "df_docs",
+            F.col("s1").alias("tf_total"),
+            F.round(vmr, 6).alias("vmr"),
+        )
+        .orderBy(F.desc("vmr"), "term")
+        .limit(BURST_TOP_K)
+    )
+
+
+term_burstiness.__doc__ = term_burstiness.__doc__.format(
+    K=BURST_TOP_K, MIN=BURST_MIN_TF
+)
+
+
+ORACLE_BURSTINESS = f"""
+bu_td AS (
+  SELECT t, doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+        FROM documents)
+  WHERE t <> '' GROUP BY 1, 2
+),
+bu_d AS (SELECT CAST(count(*) AS BIGINT) AS dd FROM documents),
+bu_t AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS df_docs,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM bu_td GROUP BY 1 HAVING sum(c) >= {BURST_MIN_TF}
+),
+term_burstiness AS (
+  SELECT t AS term, df_docs, s1 AS tf_total,
+         round((CAST(s2 AS DOUBLE) / CAST(dd AS DOUBLE)
+                - (CAST(s1 AS DOUBLE) / CAST(dd AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(dd AS DOUBLE)))
+               / (CAST(s1 AS DOUBLE) / CAST(dd AS DOUBLE)), 6)
+           AS vmr
+  FROM bu_t, bu_d
+  ORDER BY vmr DESC, term LIMIT {BURST_TOP_K}
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# collocations by Dunning log-likelihood ratio (G^2)
+# ---------------------------------------------------------------------------
+
+#: minimum bigram count scored and report size.
+LLR_MIN_PAIR = 5
+LLR_TOP_K = 20
+
+
+def collocations_llr(docs: DataFrame) -> DataFrame:
+    """Collocation mining by Dunning's log-likelihood ratio — the G^2
+    statistic over each bigram's 2x2 contingency table (Dunning
+    1993), THE standard collocation test: unlike raw PMI
+    (``text_skipgram_pmi``) it does not explode on rare pairs,
+    because every cell's evidence is weighted by its count.
+
+    Exact integer tables: bigram count k11, first-word margin c1,
+    second-word margin c2, corpus bigram total N from three
+    map-combinable hash-aggs; the derived cells k12 = c1-k11,
+    k21 = c2-k11, k22 = N-c1-c2+k11 stay integers. G^2 =
+    2 * sum k*ln(k*N/(row*col)) over the four cells (zero cells
+    contribute 0 by the xlogx convention) — a fixed 4-term double
+    chain mirrored in both engines, rounded BEFORE the deterministic
+    (g2 desc, w1, w2) top-{K} cut. Pairs under {MIN} occurrences are
+    not scored.
+
+    Output ({K} rows): w1, w2, k11, g2.
+    """
+    bg = (
+        docs.select(_tokens_col().alias("w"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(element_at(w, i + 1) as w1,"
+                    " element_at(w, i + 2) as w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    pairs = bg.groupBy("w1", "w2").agg(F.count("*").alias("k11"))
+    first = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    second = bg.groupBy("w2").agg(F.count("*").alias("c2"))
+    tot = bg.agg(F.count("*").alias("nn"))
+    j = (
+        pairs.filter(F.col("k11") >= LLR_MIN_PAIR)
+        .join(first, "w1")
+        .join(second, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+
+    def _cell(k: F.Column, row: F.Column, col: F.Column) -> F.Column:
+        arg = (
+            k.cast("double")
+            * F.col("nn").cast("double")
+            / (row.cast("double") * col.cast("double"))
+        )
+        return F.when(k > 0, k.cast("double") * F.log(arg)).otherwise(
+            F.lit(0.0)
+        )
+
+    k11 = F.col("k11")
+    c1, c2, nn = F.col("c1"), F.col("c2"), F.col("nn")
+    g2 = 2 * (
+        _cell(k11, c1, c2)
+        + _cell(c1 - k11, c1, nn - c2)
+        + _cell(c2 - k11, nn - c1, c2)
+        + _cell(nn - c1 - c2 + k11, nn - c1, nn - c2)
+    )
+    return (
+        j.select(
+            "w1", "w2", "k11", F.round(g2, 6).alias("g2")
+        )
+        .orderBy(F.desc("g2"), "w1", "w2")
+        .limit(LLR_TOP_K)
+    )
+
+
+collocations_llr.__doc__ = collocations_llr.__doc__.format(
+    K=LLR_TOP_K, MIN=LLR_MIN_PAIR
+)
+
+
+ORACLE_COLLOCATIONS = f"""
+co_bg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT regexp_split_to_array(lower(text), '\\s+') AS w
+        FROM documents),
+       unnest(range(1, len(w))) AS t(i)
+  WHERE w[i] <> '' AND w[i + 1] <> ''
+),
+co_p AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS k11
+  FROM co_bg GROUP BY 1, 2 HAVING count(*) >= {LLR_MIN_PAIR}
+),
+co_1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM co_bg GROUP BY 1
+),
+co_2 AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM co_bg GROUP BY 1
+),
+co_n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM co_bg),
+collocations_llr AS (
+  SELECT p.w1, p.w2, p.k11,
+         round(2 * (
+           (CASE WHEN p.k11 > 0 THEN CAST(p.k11 AS DOUBLE)
+             * ln(CAST(p.k11 AS DOUBLE) * CAST(nn AS DOUBLE)
+                  / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+             ELSE 0.0 END)
+           + (CASE WHEN c1 - p.k11 > 0
+               THEN CAST(c1 - p.k11 AS DOUBLE)
+               * ln(CAST(c1 - p.k11 AS DOUBLE) * CAST(nn AS DOUBLE)
+                    / (CAST(c1 AS DOUBLE)
+                       * CAST(nn - c2 AS DOUBLE)))
+               ELSE 0.0 END)
+           + (CASE WHEN c2 - p.k11 > 0
+               THEN CAST(c2 - p.k11 AS DOUBLE)
+               * ln(CAST(c2 - p.k11 AS DOUBLE) * CAST(nn AS DOUBLE)
+                    / (CAST(nn - c1 AS DOUBLE)
+                       * CAST(c2 AS DOUBLE)))
+               ELSE 0.0 END)
+           + (CASE WHEN nn - c1 - c2 + p.k11 > 0
+               THEN CAST(nn - c1 - c2 + p.k11 AS DOUBLE)
+               * ln(CAST(nn - c1 - c2 + p.k11 AS DOUBLE)
+                    * CAST(nn AS DOUBLE)
+                    / (CAST(nn - c1 AS DOUBLE)
+                       * CAST(nn - c2 AS DOUBLE)))
+               ELSE 0.0 END)), 6) AS g2
+  FROM co_p p JOIN co_1 USING (w1) JOIN co_2 USING (w2), co_n
+  ORDER BY g2 DESC, w1, w2 LIMIT {LLR_TOP_K}
+)
+"""

@@ -490,3 +490,146 @@ def test_ppl_buckets_cumulative_and_share(spark):
     assert cd[-1] == 3
     assert abs(rows[-1]["doc_share_pct"] - 100.0) < 1e-9
     assert rows[-1]["cum_tokens"] == 12
+
+
+def test_mood_median_hand_table(spark):
+    """Values A={1,2,3}, B={4,5}c: grand median (rank 3 of 5) = 3c;
+    above = {4,5} (both B), below = {1,2} (both A), the single tie
+    (3c) drops. Perfect separation of a 2x2 table with margins
+    2/2 => chi2 = T = 4."""
+    ev = _events(
+        spark,
+        [
+            (_day(1), "A", 0.01),
+            (_day(1), "A", 0.02),
+            (_day(1), "A", 0.03),
+            (_day(1), "B", 0.04),
+            (_day(1), "B", 0.05),
+        ],
+    )
+    r = temporal.mood_median_test(ev).collect()[0]
+    assert (r["k"], r["n_used"], r["n_ties_dropped"]) == (2, 4, 1)
+    assert r["grand_median_cents"] == 3
+    assert abs(r["chi2"] - 4.0) < 1e-9
+
+
+def test_burstiness_clumped_beats_even(spark):
+    """'zz' appears 30 times in one doc (clumped), 'qq' once in each
+    of 30 docs (even): VMR(zz) >> VMR(qq) ~ just under 1."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats,
+    )
+
+    rows = [(1, " ".join(["zz"] * 30) + " qq")]
+    rows += [(i, "qq filler") for i in range(2, 31)]
+    out = {
+        r["term"]: r["vmr"]
+        for r in textstats.term_burstiness(_docs(spark, rows)).collect()
+    }
+    assert out["zz"] > 25  # var dominated by the single clump
+    assert out["qq"] < 1.01
+
+
+def test_collocations_fixed_pair_tops(spark):
+    """A bigram that ALWAYS occurs together ('san francisco' 6x)
+    out-scores one whose parts also roam free."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "san francisco " * 6 + "new york " * 6
+                + "new car new day york here big york now"),
+        ],
+    )
+    rows = textstats.collocations_llr(docs).collect()
+    by = {(r["w1"], r["w2"]): r["g2"] for r in rows}
+    assert ("san", "francisco") in by and ("new", "york") in by
+    assert by[("san", "francisco")] > by[("new", "york")]
+    assert by[("san", "francisco")] > 0
+
+
+def test_record_days_hand_count(spark):
+    """Revs 10, 5, 20, 20, 30: records at days 1, 3, 5 (day 4 ties
+    the max, not a record) => 3 records; H_5 = 2.283333."""
+    ev = _events(
+        spark,
+        [
+            (_day(1), "purchase", 10.0),
+            (_day(2), "purchase", 5.0),
+            (_day(3), "purchase", 20.0),
+            (_day(4), "purchase", 20.0),
+            (_day(5), "purchase", 30.0),
+        ],
+    )
+    r = temporal.record_days_test(ev).collect()[0]
+    assert (r["n_days"], r["n_records"]) == (5, 3)
+    assert abs(r["expected"] - (1 + 1 / 2 + 1 / 3 + 1 / 4 + 1 / 5)) < 1e-6
+
+
+def test_record_days_monotone_all_records(spark):
+    """Strictly rising series: every day is a record."""
+    ev = _events(
+        spark, [(_day(i), "purchase", float(i)) for i in range(1, 11)]
+    )
+    r = temporal.record_days_test(ev).collect()[0]
+    assert r["n_records"] == 10
+    assert r["trending"]
+
+
+def test_turning_points_hand_count(spark):
+    """Revs 1, 3, 2, 2, 4, 1: interior days 2..5 — day2 peak (1<3>2),
+    day3 no (plateau right), day4 no (plateau left), day5 peak
+    (2<4>1) => T = 2; E[T] = 2*(6-2)/3 = 8/3."""
+    ev = _events(
+        spark,
+        [
+            (_day(1), "purchase", 1.0),
+            (_day(2), "purchase", 3.0),
+            (_day(3), "purchase", 2.0),
+            (_day(4), "purchase", 2.0),
+            (_day(5), "purchase", 4.0),
+            (_day(6), "purchase", 1.0),
+        ],
+    )
+    r = temporal.turning_points_test(ev).collect()[0]
+    assert (r["n_days"], r["n_turning"]) == (6, 2)
+    assert abs(r["expected"] - 8 / 3) < 1e-6
+
+
+def test_turning_points_sawtooth_everything_turns(spark):
+    """A strict sawtooth turns at every interior day: T = n - 2,
+    far above 2(n-2)/3 => nonrandom (oscillation detected)."""
+    vals = [1.0 if i % 2 else 9.0 for i in range(20)]
+    ev = _events(
+        spark,
+        [(_day(i + 1), "purchase", v) for i, v in enumerate(vals)],
+    )
+    r = temporal.turning_points_test(ev).collect()[0]
+    assert r["n_turning"] == 18
+    assert r["nonrandom"]
+
+
+def test_potwo_policy_vs_optimum(spark):
+    """Demand 10/10/10: WW optimum = 5030 (one batch). Power-of-two
+    policies: L=1 orders thrice (15000), L=2 twice (5000+10 +
+    5000 = 10010), L=4+ once covering all three = 5030 — which IS
+    the optimum, so the best power-of-two gap is exactly 0%."""
+    out = {
+        r["interval_months"]: r
+        for r in temporal.potwo_policy_eval(
+            _monthly_orders(spark, [10, 10, 10])
+        ).collect()
+    }
+    assert len(out) == 8
+    assert out[1]["total_cost_cents"] == 15000
+    assert out[2]["total_cost_cents"] == 10010
+    assert out[4]["total_cost_cents"] == 5030
+    assert out[4]["optimal_cost_cents"] == 5030
+    assert out[4]["is_best"] and not out[1]["is_best"]
+    assert abs(out[4]["vs_optimal_pct"] - 100.0) < 1e-9
+    # empty later cycles are skipped: L=1 places 3 orders, L=4 one
+    assert out[1]["n_orders_placed"] == 3
+    assert out[4]["n_orders_placed"] == 1
