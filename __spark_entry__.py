@@ -3218,6 +3218,30 @@ def q_stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_sprt(spark, sf_dir)
 
 
+def q_events_jarque_bera(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jarque-Bera normality test from exact DECIMAL raw power sums
+    (the assumption check for the whole parametric family)."""
+    return _tmp.jarque_bera_test(load_table(spark, sf_dir, "events"))
+
+
+def q_events_quartile_skew(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bowley quartile skewness on exact integer-rank quartiles —
+    the outlier-immune shape readout beside the moment skewness."""
+    return _tmp.quartile_skew(load_table(spark, sf_dir, "events"))
+
+
+def q_events_ansari_bradley(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ansari-Bradley rank scale test (purchase vs click spread):
+    exact integer mid-rank scores, parity-split null moments."""
+    return _tmp.ansari_bradley(load_table(spark, sf_dir, "events"))
+
+
 def q_orders_potwo_policy(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3837,6 +3861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_record_days": q_events_record_days,
         "events_turning_points": q_events_turning_points,
         "orders_potwo_policy": q_orders_potwo_policy,
+        "events_jarque_bera": q_events_jarque_bera,
+        "events_quartile_skew": q_events_quartile_skew,
+        "events_ansari_bradley": q_events_ansari_bradley,
         "stream_hist_quantiles": q_stream_histq,
         "stream_cms": q_stream_cms,
         "stream_hll": q_stream_hll,
@@ -5538,6 +5565,15 @@ def oracle_sql() -> dict[str, str]:
         "orders_potwo_policy": _ext_oracle(
             [_tmp.oracle_lot_sizing(), _tmp.oracle_potwo()],
             "potwo_policy",
+        ),
+        "events_jarque_bera": _ext_oracle(
+            [_tmp.ORACLE_JARQUE_BERA], "jarque_bera"
+        ),
+        "events_quartile_skew": _ext_oracle(
+            [_tmp.ORACLE_QUARTILE_SKEW], "quartile_skew"
+        ),
+        "events_ansari_bradley": _ext_oracle(
+            [_tmp.ORACLE_ANSARI], "ansari_bradley"
         ),
         "stream_kmv": _ext_oracle(
             [_ev.ORACLE_STREAM_KMV], "stream_kmv"

@@ -316,6 +316,9 @@ HEADLINE = [
     "events_record_days",
     "events_turning_points",
     "orders_potwo_policy",
+    "events_jarque_bera",
+    "events_quartile_skew",
+    "events_ansari_bradley",
 ]
 
 

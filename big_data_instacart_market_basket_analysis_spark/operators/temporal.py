@@ -15027,3 +15027,374 @@ potwo_policy AS (
          total_cost_cents = bc AS is_best
   FROM pt_l, pt_o, pt_b
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test (moment-based, exact raw power sums)
+# ---------------------------------------------------------------------------
+
+#: chi-square critical value at alpha=.05, df=2 (the JB reference).
+JB_CHI2_CRIT_05 = 5.991
+
+
+def jarque_bera_test(events: DataFrame) -> DataFrame:
+    """Jarque-Bera NORMALITY test of purchase value — the question
+    every parametric user of this engine's t/z/ANOVA family is
+    implicitly assuming away: are the values even close to Gaussian?
+    JB = n/6 * (skew^2 + kurtosis_excess^2/4) ~ chi2(2) under
+    normality; heavy tails or asymmetry reject.
+
+    ONE map-side-combinable hash-agg collects the exact raw power
+    sums S1..S4 in DECIMAL(38,0)/HUGEINT (c^4 at 5-digit cents is
+    ~6e18 per row — past BIGINT, inside DECIMAL up to ~1e15 rows);
+    the central moments, g1, g2 and JB assemble from the single
+    moment row in one mirrored double chain, rounded at 6 dp. The
+    sample skewness/kurtosis themselves are emitted — the
+    distribution-shape readout next to the robust quartile version
+    (``events_quartile_skew``).
+
+    Output (1 row): n, skewness, kurtosis_excess, jb_stat, normal.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    c = F.col("c")
+    m = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec(c)).alias("s1"),
+            F.sum(dec(c) * dec(c)).alias("s2"),
+            F.sum(dec(c) * dec(c) * dec(c)).alias("s3"),
+            F.sum(dec(c) * dec(c) * dec(c) * dec(c)).alias("s4"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    m2 = r2 - mu * mu
+    m3 = r3 - 3 * mu * r2 + 2 * mu * mu * mu
+    m4 = r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+    g1 = m3 / F.sqrt(m2 * m2 * m2)
+    g2 = m4 / (m2 * m2) - 3
+    jb = nd / 6 * (g1 * g1 + g2 * g2 / 4)
+    return m.select(
+        "n",
+        F.round(g1, 6).alias("skewness"),
+        F.round(g2, 6).alias("kurtosis_excess"),
+        F.round(jb, 6).alias("jb_stat"),
+        (F.round(jb, 6) <= JB_CHI2_CRIT_05).alias("normal"),
+    )
+
+
+ORACLE_JARQUE_BERA = f"""
+jb_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2,
+         CAST(sum(CAST(c AS HUGEINT) * c * c) AS HUGEINT) AS s3,
+         CAST(sum(CAST(c AS HUGEINT) * c * c * c) AS HUGEINT) AS s4
+  FROM (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase')
+),
+jb_r AS (
+  SELECT n, CAST(s1 AS DOUBLE) / n AS mu,
+         CAST(s2 AS DOUBLE) / n AS r2,
+         CAST(s3 AS DOUBLE) / n AS r3,
+         CAST(s4 AS DOUBLE) / n AS r4
+  FROM jb_m
+),
+jb_c AS (
+  SELECT n, r2 - mu * mu AS m2,
+         r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+         r4 - 4 * mu * r3 + 6 * mu * mu * r2
+            - 3 * mu * mu * mu * mu AS m4
+  FROM jb_r
+),
+jb_g AS (
+  SELECT n, m3 / sqrt(m2 * m2 * m2) AS g1,
+         m4 / (m2 * m2) - 3 AS g2
+  FROM jb_c
+),
+jarque_bera AS (
+  SELECT n, round(g1, 6) AS skewness,
+         round(g2, 6) AS kurtosis_excess,
+         round(CAST(n AS DOUBLE) / 6 * (g1 * g1 + g2 * g2 / 4), 6)
+           AS jb_stat,
+         round(CAST(n AS DOUBLE) / 6 * (g1 * g1 + g2 * g2 / 4), 6)
+           <= {JB_CHI2_CRIT_05} AS normal
+  FROM jb_g
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# quartile (Bowley) skewness — robust shape readout
+# ---------------------------------------------------------------------------
+
+
+def quartile_skew(events: DataFrame) -> DataFrame:
+    """Bowley quartile skewness of purchase value — the
+    outlier-immune shape readout beside the moment version inside
+    ``events_jarque_bera`` (whose g1 a single fat order can move
+    arbitrarily; Bowley is bounded in [-1, 1] and touches only
+    order statistics): B = (Q3 + Q1 - 2*Q2) / (Q3 - Q1).
+
+    EXACT quartiles: Q_k = min value whose cumulative count reaches
+    rank ceil(k*n/4) = (k*n + 3) div 4 — pure integer ranks, no
+    interpolation convention to mismatch — selected by the same
+    zero-global-window bucketed prefix machinery as
+    ``events_median_ci``. B is the single rounded division.
+
+    Output (1 row): n, q1_cents, q2_cents, q3_cents, iqr_cents,
+    bowley_skew.
+    """
+    ev = events.filter(F.col("event_type") == "purchase").select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c")
+    )
+    vg = ev.groupBy("c").agg(F.count("*").alias("cnt"))
+    bkt = F.when(
+        F.col("c") >= 0, F.floor(F.log2(F.col("c") + 1))
+    ).otherwise(-1 - F.floor(F.log2(-F.col("c")))).cast("bigint")
+    vgb = vg.select("c", "cnt", bkt.alias("bucket"))
+    btot = vgb.groupBy("bucket").agg(F.sum("cnt").alias("bc"))
+    offs = _rank.bucket_prefix_offsets(btot, "bucket", ["bc"])
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vgb.join(F.broadcast(offs), "bucket").select(
+        "c",
+        (F.col("_off_bc") + F.sum("cnt").over(w_in)).alias("cum"),
+    )
+    tot = vg.agg(F.sum("cnt").alias("n"))
+    j = cum.crossJoin(F.broadcast(tot))
+
+    def _q(k: int) -> F.Column:
+        rank = F.expr(f"({k} * n + 3) div 4")
+        return F.min(F.when(F.col("cum") >= rank, F.col("c")))
+
+    m = j.groupBy("n").agg(
+        _q(1).alias("q1"), _q(2).alias("q2"), _q(3).alias("q3")
+    )
+    b = F.when(
+        F.col("q3") > F.col("q1"),
+        F.round(
+            (
+                F.col("q3") + F.col("q1") - 2 * F.col("q2")
+            ).cast("double")
+            / (F.col("q3") - F.col("q1")).cast("double"),
+            6,
+        ),
+    )
+    return m.select(
+        "n",
+        F.col("q1").alias("q1_cents"),
+        F.col("q2").alias("q2_cents"),
+        F.col("q3").alias("q3_cents"),
+        (F.col("q3") - F.col("q1")).alias("iqr_cents"),
+        b.alias("bowley_skew"),
+    )
+
+
+ORACLE_QUARTILE_SKEW = """
+qs_v AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase')
+  GROUP BY 1
+),
+qs_c AS (
+  SELECT c, CAST(sum(cnt) OVER (ORDER BY c
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum
+  FROM qs_v
+),
+qs_m AS (
+  SELECT n,
+         min(CASE WHEN cum >= (1 * n + 3) // 4 THEN c END) AS q1,
+         min(CASE WHEN cum >= (2 * n + 3) // 4 THEN c END) AS q2,
+         min(CASE WHEN cum >= (3 * n + 3) // 4 THEN c END) AS q3
+  FROM qs_c, (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM qs_v)
+  GROUP BY n
+),
+quartile_skew AS (
+  SELECT n, q1 AS q1_cents, q2 AS q2_cents, q3 AS q3_cents,
+         q3 - q1 AS iqr_cents,
+         CASE WHEN q3 > q1 THEN
+           round(CAST(q3 + q1 - 2 * q2 AS DOUBLE)
+                 / CAST(q3 - q1 AS DOUBLE), 6)
+         END AS bowley_skew
+  FROM qs_m
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ansari-Bradley test (rank-based two-sample SCALE test)
+# ---------------------------------------------------------------------------
+
+
+def ansari_bradley(events: DataFrame) -> DataFrame:
+    """Ansari-Bradley test: do purchase and click values differ in
+    SPREAD (same-ish center assumed) — the rank-based scale test
+    beside the parametric Hartley/Levene pair: each observation
+    scores min(rank, N+1-rank) (extremes score low, the middle
+    high), so a sample squeezed toward the center scores HIGH.
+
+    EXACT INTEGER scores with the mid-rank convention: on the merged
+    cent grain the doubled mid-rank 2r = 2*pre + cnt + 1 comes from
+    the octave-bucket kernel (zero global windows, the KW shape) and
+    the doubled score 2s = least(2r, 2*(N+1) - 2r) stays integer, so
+    AB2 = sum cx*2s is an exact BIGINT. The no-tie null moments
+    (parity-split closed forms: E = n(N+2)/4 / n(N+1)^2/(4N),
+    Var = nm(N+2)(N-2)/(48(N-1)) / nm(N+1)(3+N^2)/(48N^2)) give the
+    normal z — documented convention: mid-rank scores with the
+    no-tie variance, conservative at cent grain where ties are a
+    vanishing fraction.
+
+    Output (1 row): n_x, n_y, ab2_score, z, scale_differs
+    (|z| > 1.96).
+    """
+    ev = events.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        (F.col("event_type") == "purchase").alias("is_x"),
+    )
+    vg = ev.groupBy("c").agg(
+        F.sum(F.when(F.col("is_x"), 1).otherwise(0)).alias("cx"),
+        F.count("*").alias("cnt"),
+    )
+    bkt = F.when(
+        F.col("c") >= 0, F.floor(F.log2(F.col("c") + 1))
+    ).otherwise(-1 - F.floor(F.log2(-F.col("c")))).cast("bigint")
+    vgb = vg.select("c", "cx", "cnt", bkt.alias("bucket"))
+    btot = vgb.groupBy("bucket").agg(F.sum("cnt").alias("bc"))
+    offs = _rank.bucket_prefix_offsets(btot, "bucket", ["bc"])
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = vgb.join(F.broadcast(offs), "bucket").select(
+        "c",
+        "cx",
+        "cnt",
+        (
+            F.col("_off_bc")
+            + F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+        ).alias("pre"),
+    )
+    tot = vg.agg(
+        F.sum("cnt").alias("nn"), F.sum("cx").alias("nx")
+    )
+    j = pre.crossJoin(F.broadcast(tot))
+    r2 = 2 * F.col("pre") + F.col("cnt") + 1
+    s2 = F.least(r2, 2 * (F.col("nn") + 1) - r2)
+    m = j.groupBy("nn", "nx").agg(
+        F.sum(F.col("cx") * s2).alias("ab2")
+    )
+    nd = F.col("nn").cast("double")
+    xd = F.col("nx").cast("double")
+    yd = nd - xd
+    even = F.col("nn") % 2 == 0
+    e_ab = F.when(even, xd * (nd + 2) / 4).otherwise(
+        xd * (nd + 1) * (nd + 1) / (4 * nd)
+    )
+    v_ab = F.when(
+        even,
+        xd * yd * (nd + 2) * (nd - 2) / (48 * (nd - 1)),
+    ).otherwise(
+        xd * yd * (nd + 1) * (3 + nd * nd) / (48 * nd * nd)
+    )
+    z = (F.col("ab2").cast("double") / 2 - e_ab) / F.sqrt(v_ab)
+    return m.select(
+        F.col("nx").alias("n_x"),
+        (F.col("nn") - F.col("nx")).alias("n_y"),
+        F.col("ab2").alias("ab2_score"),
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > 1.96).alias("scale_differs"),
+    )
+
+
+ORACLE_ANSARI = """
+ab_v AS (
+  SELECT c,
+         CAST(sum(CASE WHEN is_x THEN 1 ELSE 0 END) AS BIGINT)
+           AS cx,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+               event_type = 'purchase' AS is_x
+        FROM events WHERE event_type IN ('purchase', 'click'))
+  GROUP BY 1
+),
+ab_p AS (
+  SELECT c, cx, cnt,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS pre
+  FROM ab_v
+),
+ab_t AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS nn,
+         CAST(sum(cx) AS BIGINT) AS nx
+  FROM ab_v
+),
+ab_m AS (
+  SELECT nn, nx,
+         CAST(sum(cx * least(2 * pre + cnt + 1,
+                             2 * (nn + 1) - (2 * pre + cnt + 1)))
+              AS BIGINT) AS ab2
+  FROM ab_p, ab_t GROUP BY 1, 2
+),
+ansari_bradley AS (
+  SELECT nx AS n_x, nn - nx AS n_y, ab2 AS ab2_score,
+         round((CAST(ab2 AS DOUBLE) / 2
+                - CASE WHEN nn % 2 = 0
+                  THEN CAST(nx AS DOUBLE) * (CAST(nn AS DOUBLE) + 2)
+                       / 4
+                  ELSE CAST(nx AS DOUBLE) * (CAST(nn AS DOUBLE) + 1)
+                       * (CAST(nn AS DOUBLE) + 1)
+                       / (4 * CAST(nn AS DOUBLE)) END)
+               / sqrt(CASE WHEN nn % 2 = 0
+                  THEN CAST(nx AS DOUBLE)
+                       * (CAST(nn AS DOUBLE) - CAST(nx AS DOUBLE))
+                       * (CAST(nn AS DOUBLE) + 2)
+                       * (CAST(nn AS DOUBLE) - 2)
+                       / (48 * (CAST(nn AS DOUBLE) - 1))
+                  ELSE CAST(nx AS DOUBLE)
+                       * (CAST(nn AS DOUBLE) - CAST(nx AS DOUBLE))
+                       * (CAST(nn AS DOUBLE) + 1)
+                       * (3 + CAST(nn AS DOUBLE)
+                          * CAST(nn AS DOUBLE))
+                       / (48 * CAST(nn AS DOUBLE)
+                          * CAST(nn AS DOUBLE)) END), 6) AS z,
+         abs(round((CAST(ab2 AS DOUBLE) / 2
+                - CASE WHEN nn % 2 = 0
+                  THEN CAST(nx AS DOUBLE) * (CAST(nn AS DOUBLE) + 2)
+                       / 4
+                  ELSE CAST(nx AS DOUBLE) * (CAST(nn AS DOUBLE) + 1)
+                       * (CAST(nn AS DOUBLE) + 1)
+                       / (4 * CAST(nn AS DOUBLE)) END)
+               / sqrt(CASE WHEN nn % 2 = 0
+                  THEN CAST(nx AS DOUBLE)
+                       * (CAST(nn AS DOUBLE) - CAST(nx AS DOUBLE))
+                       * (CAST(nn AS DOUBLE) + 2)
+                       * (CAST(nn AS DOUBLE) - 2)
+                       / (48 * (CAST(nn AS DOUBLE) - 1))
+                  ELSE CAST(nx AS DOUBLE)
+                       * (CAST(nn AS DOUBLE) - CAST(nx AS DOUBLE))
+                       * (CAST(nn AS DOUBLE) + 1)
+                       * (3 + CAST(nn AS DOUBLE)
+                          * CAST(nn AS DOUBLE))
+                       / (48 * CAST(nn AS DOUBLE)
+                          * CAST(nn AS DOUBLE)) END), 6)) > 1.96
+           AS scale_differs
+  FROM ab_m
+)
+"""

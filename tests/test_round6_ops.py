@@ -633,3 +633,60 @@ def test_potwo_policy_vs_optimum(spark):
     # empty later cycles are skipped: L=1 places 3 orders, L=4 one
     assert out[1]["n_orders_placed"] == 3
     assert out[4]["n_orders_placed"] == 1
+
+
+def test_jarque_bera_symmetric_light_tails(spark):
+    """Symmetric two-point-ish sample {1,2,3}c repeated: skewness
+    exactly 0; kurtosis of the discrete uniform on 3 points is
+    -1.5 => JB = n/6 * (0 + 1.5^2/4)."""
+    rows = [(_day(1), "purchase", v) for v in (0.01, 0.02, 0.03)] * 4
+    r = temporal.jarque_bera_test(_events(spark, rows)).collect()[0]
+    assert r["n"] == 12
+    assert r["skewness"] == 0.0
+    assert abs(r["kurtosis_excess"] - (-1.5)) < 1e-9
+    assert abs(r["jb_stat"] - 12 / 6 * (1.5 ** 2 / 4)) < 1e-6
+
+
+def test_quartile_skew_hand_values(spark):
+    """Values 1..8c: ranks ceil(k*8/4) pick Q1=2, Q2=4, Q3=6 =>
+    symmetric, Bowley = 0; right-stretched {1,2,3,100}c skews
+    positive."""
+    ev = _events(
+        spark,
+        [(_day(1), "purchase", i / 100) for i in range(1, 9)],
+    )
+    r = temporal.quartile_skew(ev).collect()[0]
+    assert (r["q1_cents"], r["q2_cents"], r["q3_cents"]) == (2, 4, 6)
+    assert r["bowley_skew"] == 0.0
+
+    ev2 = _events(
+        spark,
+        [
+            (_day(1), "purchase", v)
+            for v in (0.01, 0.02, 0.03, 0.04, 1.00, 1.01)
+        ],
+    )
+    r2 = temporal.quartile_skew(ev2).collect()[0]
+    # n=6: Q1 = 2c, Q2 = 3c, Q3 = 100c -> (100+2-6)/98
+    assert (r2["q1_cents"], r2["q2_cents"], r2["q3_cents"]) == (2, 3, 100)
+    assert r2["bowley_skew"] > 0.9
+
+
+def test_ansari_bradley_hand_scores(spark):
+    """X={10,40}c (the extremes), Y={20,30}c (the middle) with no
+    ties: N=4 scores are 1,2,2,1 so AB(X) = 2 (2s sum = 4);
+    E[AB] = n(N+2)/4 = 3 => squeezed-X scores BELOW expectation
+    (z < 0: X is the more spread sample)."""
+    ev = _events(
+        spark,
+        [
+            (_day(1), "purchase", 0.10),
+            (_day(1), "purchase", 0.40),
+            (_day(1), "click", 0.20),
+            (_day(1), "click", 0.30),
+        ],
+    )
+    r = temporal.ansari_bradley(ev).collect()[0]
+    assert (r["n_x"], r["n_y"]) == (2, 2)
+    assert r["ab2_score"] == 4
+    assert r["z"] < 0
