@@ -2681,10 +2681,17 @@ def jaro_winkler_pairs(part: DataFrame) -> DataFrame:
             " div 2 - 1, 0) as int)"
         ).alias("w"),
     )
+    # The in-lambda window-bounds predicate guards the EMPTY-window
+    # case (i - w > l2): Spark's sequence(start, stop) descends when
+    # start > stop, which would otherwise scan positions LEFT of the
+    # legal window; DuckDB's range() yields [] there, so without the
+    # guard the two engines could match different characters (review
+    # finding). Legal windows are unaffected.
     jj = (
         "element_at(filter(sequence(greatest(1, i - w),"
         " least(l2, i + w)),"
-        " j -> element_at(s2, j) = element_at(s1, i)"
+        " j -> j >= greatest(1, i - w) AND j <= least(l2, i + w)"
+        " AND element_at(s2, j) = element_at(s1, i)"
         " AND NOT element_at(acc.used, j)), 1)"
     )
     fold = prep.select(

@@ -13080,6 +13080,64 @@ kendall_tau_daily AS (
 
 
 # ---------------------------------------------------------------------------
+# shared octave-bucket prefix kernel for the cent-grain rank family
+# ---------------------------------------------------------------------------
+
+
+def _cent_prefix(
+    vg: DataFrame,
+    sum_cols: list,
+    value_col: str = "c",
+    inclusive: bool = False,
+) -> DataFrame:
+    """Octave-bucket prefix sums over a value-grain table with ZERO
+    global windows — the one home for the kernel the rank-test
+    family (Kruskal-Wallis, Mood, Ansari-Bradley, quartiles, energy
+    distance) previously repeated inline (round-6 review
+    consolidation). Sign-safe floor(log2) buckets (data-independent
+    <= ~48 octaves at any value range) get exclusive offsets via
+    ``ranking.bucket_prefix_offsets``; within-octave prefixes ride a
+    PARTITIONED window. Returns the input columns plus ``_pre_{col}``
+    = sum of col over values strictly BELOW (or up to, when
+    ``inclusive``) this row's value.
+
+    Callers must drop NULL values upstream: a NULL value key would
+    fall out of the bucket equi-join and silently vanish from every
+    prefix while the DuckDB oracles' plain windows still count it
+    (review finding) — the query-level IS NOT NULL filters keep both
+    engines counting the same rows.
+    """
+    v = F.col(value_col)
+    bkt = (
+        F.when(v >= 0, F.floor(F.log2(v + 1)))
+        .otherwise(-1 - F.floor(F.log2(-v)))
+        .cast("bigint")
+    )
+    vgb = vg.select("*", bkt.alias("bucket"))
+    btot = vgb.groupBy("bucket").agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+    offs = _rank.bucket_prefix_offsets(btot, "bucket", sum_cols)
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(value_col)
+        .rowsBetween(
+            Window.unboundedPreceding, 0 if inclusive else -1
+        )
+    )
+    out = [
+        (
+            F.col(f"_off_{c}")
+            + F.coalesce(F.sum(c).over(w_in), F.lit(0))
+        ).alias(f"_pre_{c}")
+        for c in sum_cols
+    ]
+    return vgb.join(F.broadcast(offs), "bucket").select(
+        *vg.columns, *out
+    )
+
+
+# ---------------------------------------------------------------------------
 # Kruskal-Wallis H test (k-group rank test with exact tie handling)
 # ---------------------------------------------------------------------------
 
@@ -13113,7 +13171,7 @@ def kruskal_wallis(events: DataFrame) -> DataFrame:
     5-row frames. Output (1 row): k, n, h_stat, h_tie_adj,
     significant.
     """
-    cg = events.select(
+    cg = events.filter(F.col("value").isNotNull()).select(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
     )
@@ -13121,27 +13179,8 @@ def kruskal_wallis(events: DataFrame) -> DataFrame:
         F.count("*").alias("ntc")
     )
     vg = tg.groupBy("c").agg(F.sum("ntc").alias("cnt"))
-    bkt = F.when(
-        F.col("c") >= 0, F.floor(F.log2(F.col("c") + 1))
-    ).otherwise(-1 - F.floor(F.log2(-F.col("c")))).cast("bigint")
-    vgb = vg.select("c", "cnt", bkt.alias("bucket"))
-    btot = vgb.groupBy("bucket").agg(F.sum("cnt").alias("bc"))
-    offs = _rank.bucket_prefix_offsets(btot, "bucket", ["bc"])
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("c")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    pre = (
-        vgb.withColumn(
-            "inb", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
-        )
-        .join(F.broadcast(offs), "bucket")
-        .select(
-            "c",
-            "cnt",
-            (F.col("_off_bc") + F.col("inb")).alias("pre"),
-        )
+    pre = _cent_prefix(vg, ["cnt"]).select(
+        "c", "cnt", F.col("_pre_cnt").alias("pre")
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     r = (
@@ -13188,7 +13227,7 @@ def kruskal_wallis(events: DataFrame) -> DataFrame:
 ORACLE_KRUSKAL = f"""
 kw_c AS (
   SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 kw_tg AS (
   SELECT event_type, c, CAST(count(*) AS BIGINT) AS ntc
@@ -13892,9 +13931,18 @@ def lot_sizing_frontier(orders: DataFrame) -> DataFrame:
     dp = pfx.select(
         "ms",
         F.expr(
+            # the j = 1 guard keeps the fold off sequence(2, 1)
+            # (Spark descends to [2, 1], and element_at(acc, 2) on
+            # the 1-element seed only "works" via non-ANSI
+            # out-of-bounds NULL + least() null-skipping — review
+            # finding; the guard makes the kernel ANSI-safe).
             "aggregate(sequence(1, size(ms)),"
             " array(cast(0 as bigint)),"
             " (acc, j) -> array_append(acc,"
+            "  if(j < 2,"
+            f"   element_at(acc, 1) + {k} + {h} *"
+            "    ((element_at(p1, j + 1) - element_at(p1, 1))"
+            "     - 1 * (element_at(p0, j + 1) - element_at(p0, 1))),"
             "  aggregate(sequence(2, j),"
             f"   element_at(acc, 1) + {k} + {h} *"
             "    ((element_at(p1, j + 1) - element_at(p1, 1))"
@@ -13903,7 +13951,7 @@ def lot_sizing_frontier(orders: DataFrame) -> DataFrame:
             f"    element_at(acc, i) + {k} + {h} *"
             "     ((element_at(p1, j + 1) - element_at(p1, i))"
             "      - i * (element_at(p0, j + 1)"
-            "             - element_at(p0, i)))))))"
+            "             - element_at(p0, i))))))))"
         ).alias("f"),
     )
     return dp.select(
@@ -14166,8 +14214,16 @@ def dtw_alignment(events: DataFrame) -> DataFrame:
             .select(F.expr("transform(s, x -> x.cnt)"))
         )
 
+    # Empty-series guard (review finding): a zero-row side packs to
+    # an empty array and the DP fold would index element_at(av, 0);
+    # dropping the degenerate row yields 0 rows — matching the
+    # oracle, whose final diagonal (n, m) never materializes when
+    # either list is NULL/empty.
     packed = (
-        _daily("click").toDF("av").crossJoin(_daily("purchase").toDF("bv"))
+        _daily("click")
+        .toDF("av")
+        .crossJoin(_daily("purchase").toDF("bv"))
+        .filter(F.expr("size(av) > 0 AND size(bv) > 0"))
     )
     inf = f"cast({DTW_INF} as bigint)"
     dp = packed.select(
@@ -14266,6 +14322,7 @@ def energy_distance(events: DataFrame) -> DataFrame:
     """
     ev = events.filter(
         F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
     ).select(
         F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
         (F.col("event_type") == "purchase").alias("is_x"),
@@ -14279,35 +14336,14 @@ def energy_distance(events: DataFrame) -> DataFrame:
         "cy",
         (F.col("cx") * F.col("v")).alias("sx"),
         (F.col("cy") * F.col("v")).alias("sy"),
-        F.when(
-            F.col("v") >= 0, F.floor(F.log2(F.col("v") + 1))
-        )
-        .otherwise(-1 - F.floor(F.log2(-F.col("v"))))
-        .cast("bigint")
-        .alias("bucket"),
     )
     cols = ["cx", "cy", "sx", "sy"]
-    btot = vg.groupBy("bucket").agg(
-        *[F.sum(c).alias(c) for c in cols]
-    )
-    offs = _rank.bucket_prefix_offsets(btot, "bucket", cols)
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    pre = vg.join(F.broadcast(offs), "bucket").select(
+    pre = _cent_prefix(vg, cols, value_col="v").select(
         "v",
         "cx",
         "cy",
-        *[
-            (
-                F.col(f"_off_{c}")
-                + F.coalesce(F.sum(c).over(w_in), F.lit(0))
-            ).alias(f"p{c}")
-            for c in cols
-        ],
+        *[F.col(f"_pre_{c}").alias(f"p{c}") for c in cols],
     )
     tot = vg.agg(
         F.sum("cx").alias("nx"),
@@ -14366,6 +14402,7 @@ en_v AS (
   SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
          event_type = 'purchase' AS is_x
   FROM events WHERE event_type IN ('purchase', 'click')
+    AND value IS NOT NULL
 ),
 en_g AS (
   SELECT v,
@@ -14560,25 +14597,13 @@ def mood_median_test(events: DataFrame) -> DataFrame:
     n_ties_dropped, grand_median_cents, chi2, significant (df=4
     convention of the fixture's k=5 — same literal as the KW test).
     """
-    cg = events.select(
+    cg = events.filter(F.col("value").isNotNull()).select(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
     )
     vg = cg.groupBy("c").agg(F.count("*").alias("cnt"))
-    bkt = F.when(
-        F.col("c") >= 0, F.floor(F.log2(F.col("c") + 1))
-    ).otherwise(-1 - F.floor(F.log2(-F.col("c")))).cast("bigint")
-    vgb = vg.select("c", "cnt", bkt.alias("bucket"))
-    btot = vgb.groupBy("bucket").agg(F.sum("cnt").alias("bc"))
-    offs = _rank.bucket_prefix_offsets(btot, "bucket", ["bc"])
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = vgb.join(F.broadcast(offs), "bucket").select(
-        "c",
-        (F.col("_off_bc") + F.sum("cnt").over(w_in)).alias("cum"),
+    cum = _cent_prefix(vg, ["cnt"], inclusive=True).select(
+        "c", F.col("_pre_cnt").alias("cum")
     )
     tot = vg.agg(F.sum("cnt").alias("n"))
     med = (
@@ -14641,7 +14666,7 @@ def mood_median_test(events: DataFrame) -> DataFrame:
 ORACLE_MOOD = f"""
 md_c AS (
   SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 md_v AS (
   SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM md_c GROUP BY 1
@@ -15152,24 +15177,15 @@ def quartile_skew(events: DataFrame) -> DataFrame:
     Output (1 row): n, q1_cents, q2_cents, q3_cents, iqr_cents,
     bowley_skew.
     """
-    ev = events.filter(F.col("event_type") == "purchase").select(
+    ev = events.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+    ).select(
         F.round(F.col("value") * 100, 0).cast("bigint").alias("c")
     )
     vg = ev.groupBy("c").agg(F.count("*").alias("cnt"))
-    bkt = F.when(
-        F.col("c") >= 0, F.floor(F.log2(F.col("c") + 1))
-    ).otherwise(-1 - F.floor(F.log2(-F.col("c")))).cast("bigint")
-    vgb = vg.select("c", "cnt", bkt.alias("bucket"))
-    btot = vgb.groupBy("bucket").agg(F.sum("cnt").alias("bc"))
-    offs = _rank.bucket_prefix_offsets(btot, "bucket", ["bc"])
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = vgb.join(F.broadcast(offs), "bucket").select(
-        "c",
-        (F.col("_off_bc") + F.sum("cnt").over(w_in)).alias("cum"),
+    cum = _cent_prefix(vg, ["cnt"], inclusive=True).select(
+        "c", F.col("_pre_cnt").alias("cum")
     )
     tot = vg.agg(F.sum("cnt").alias("n"))
     j = cum.crossJoin(F.broadcast(tot))
@@ -15205,7 +15221,8 @@ ORACLE_QUARTILE_SKEW = """
 qs_v AS (
   SELECT c, CAST(count(*) AS BIGINT) AS cnt
   FROM (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
-        FROM events WHERE event_type = 'purchase')
+        FROM events WHERE event_type = 'purchase'
+          AND value IS NOT NULL)
   GROUP BY 1
 ),
 qs_c AS (
@@ -15262,6 +15279,7 @@ def ansari_bradley(events: DataFrame) -> DataFrame:
     """
     ev = events.filter(
         F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
     ).select(
         F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
         (F.col("event_type") == "purchase").alias("is_x"),
@@ -15270,25 +15288,8 @@ def ansari_bradley(events: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("is_x"), 1).otherwise(0)).alias("cx"),
         F.count("*").alias("cnt"),
     )
-    bkt = F.when(
-        F.col("c") >= 0, F.floor(F.log2(F.col("c") + 1))
-    ).otherwise(-1 - F.floor(F.log2(-F.col("c")))).cast("bigint")
-    vgb = vg.select("c", "cx", "cnt", bkt.alias("bucket"))
-    btot = vgb.groupBy("bucket").agg(F.sum("cnt").alias("bc"))
-    offs = _rank.bucket_prefix_offsets(btot, "bucket", ["bc"])
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("c")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    pre = vgb.join(F.broadcast(offs), "bucket").select(
-        "c",
-        "cx",
-        "cnt",
-        (
-            F.col("_off_bc")
-            + F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
-        ).alias("pre"),
+    pre = _cent_prefix(vg, ["cnt"]).select(
+        "c", "cx", "cnt", F.col("_pre_cnt").alias("pre")
     )
     tot = vg.agg(
         F.sum("cnt").alias("nn"), F.sum("cx").alias("nx")
@@ -15330,7 +15331,8 @@ ab_v AS (
          CAST(count(*) AS BIGINT) AS cnt
   FROM (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
                event_type = 'purchase' AS is_x
-        FROM events WHERE event_type IN ('purchase', 'click'))
+        FROM events WHERE event_type IN ('purchase', 'click')
+          AND value IS NOT NULL)
   GROUP BY 1
 ),
 ab_p AS (

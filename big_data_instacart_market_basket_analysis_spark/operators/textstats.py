@@ -5109,9 +5109,9 @@ def nw_alignment(docs: DataFrame) -> DataFrame:
         F.expr(
             "aggregate(sequence(1, size(av)),"
             " transform(sequence(0, size(bv)),"
-            "  j -> cast(-j as bigint)),"
+            f"  j -> cast(-j * {NW_GAP} as bigint)),"
             " (prev, i) -> aggregate(sequence(1, size(bv)),"
-            "  array(cast(-i as bigint)),"
+            f"  array(cast(-i * {NW_GAP} as bigint)),"
             "  (r, j) -> array_append(r, greatest("
             f"   element_at(prev, j) + (case when element_at(av, i)"
             f"    = element_at(bv, j) then {NW_MATCH}"
@@ -5250,11 +5250,7 @@ def ppl_bucket_report(docs: DataFrame) -> DataFrame:
 
 ORACLE_PPL_BUCKETS = """
 ppb_s AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         round(avg(ln(CAST(n_t AS DOUBLE) / n_total)), 6)
-           AS avg_logprob
-  FROM ult JOIN ulu USING (t), ultot
-  GROUP BY doc_id
+  SELECT doc_id, n_tokens, avg_logprob FROM unigram_logprob
 ),
 ppb_b AS (
   SELECT CAST(floor(-avg_logprob) AS BIGINT) AS b,
@@ -5400,6 +5396,7 @@ def collocations_llr(docs: DataFrame) -> DataFrame:
     """
     bg = (
         docs.select(_tokens_col().alias("w"))
+        .filter(F.expr("size(w) >= 2"))
         .select(
             F.explode(
                 F.expr(

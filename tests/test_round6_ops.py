@@ -690,3 +690,75 @@ def test_ansari_bradley_hand_scores(spark):
     assert (r["n_x"], r["n_y"]) == (2, 2)
     assert r["ab2_score"] == 4
     assert r["z"] < 0
+
+
+# --- round-6 code-review regression pins -------------------------------
+
+
+def test_collocations_single_token_doc_survives(spark):
+    """A 1-token doc used to crash the bigram transform with
+    INVALID_INDEX_OF_ZERO (sequence(0,-1) descends through i=-1);
+    it must simply contribute no bigrams (review finding)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats,
+    )
+
+    docs = _docs(
+        spark, [(1, "solo"), (2, ("a b " * 6).strip())]
+    )
+    rows = textstats.collocations_llr(docs).collect()
+    assert {(r["w1"], r["w2"]) for r in rows} == {("a", "b"), ("b", "a")}
+
+
+def test_dtw_empty_series_yields_no_rows(spark):
+    """No purchase events => the purchase series is empty; the DP
+    must yield 0 rows, not an element_at(bv, 0) crash (review
+    finding; matches the oracle's empty final diagonal)."""
+    ev = _events(spark, [(_day(1), "click", 1.0)])
+    assert temporal.dtw_alignment(ev).count() == 0
+
+
+def test_jaro_winkler_empty_window_matches_reference(spark):
+    """When the longer name's tail positions have i - w > l2 the
+    legal window is EMPTY; the pre-fix kernel scanned Spark's
+    descending sequence and matched s2's unused 't' from outside
+    the window (m=4). Textbook greedy matching says m=3,
+    jw = 0.747222 (review finding)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        dedup,
+    )
+
+    parts = spark.createDataFrame(
+        [(1, "ab azzzzzzzzzzzzzt"), (2, "ab t")],
+        "p_partkey long, p_name string",
+    )
+    r = dedup.jaro_winkler_pairs(parts).collect()[0]
+    assert r["n_matches"] == 3
+    assert abs(r["jw_sim"] - 0.747222) < 1e-6
+
+
+def test_kernel_rank_queries_ignore_null_values(spark):
+    """A NULL-valued event must not shift N or the ranks: the Spark
+    kernel would silently drop it at the bucket join while the
+    DuckDB oracle's window counted it (review finding) — both sides
+    now filter, so adding a NULL row changes nothing."""
+    base = [
+        (_day(1), "A", 0.01),
+        (_day(1), "A", 0.02),
+        (_day(1), "B", 0.03),
+        (_day(1), "B", 0.04),
+    ]
+    with_null = base + [(_day(1), "B", None)]
+    a = temporal.kruskal_wallis(_events(spark, base)).collect()[0]
+    b = temporal.kruskal_wallis(_events(spark, with_null)).collect()[0]
+    assert a == b
+    qa = temporal.quartile_skew(
+        _events(spark, [(_day(1), "purchase", v) for v in
+                        (0.01, 0.02, 0.03, 0.04)] )
+    ).collect()[0]
+    qb = temporal.quartile_skew(
+        _events(spark, [(_day(1), "purchase", v) for v in
+                        (0.01, 0.02, 0.03, 0.04)]
+                + [(_day(1), "purchase", None)])
+    ).collect()[0]
+    assert qa == qb
