@@ -3218,6 +3218,15 @@ def q_stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_sprt(spark, sf_dir)
 
 
+def q_events_partial_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partial correlation clicks<->purchases controlling views:
+    three Pearson r's from one 11-integer day-grain moment agg,
+    deconfounded in a single mirrored chain."""
+    return _tmp.partial_correlation(load_table(spark, sf_dir, "events"))
+
+
 def q_events_jarque_bera(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3864,6 +3873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_jarque_bera": q_events_jarque_bera,
         "events_quartile_skew": q_events_quartile_skew,
         "events_ansari_bradley": q_events_ansari_bradley,
+        "events_partial_corr": q_events_partial_corr,
         "stream_hist_quantiles": q_stream_histq,
         "stream_cms": q_stream_cms,
         "stream_hll": q_stream_hll,
@@ -5574,6 +5584,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_ansari_bradley": _ext_oracle(
             [_tmp.ORACLE_ANSARI], "ansari_bradley"
+        ),
+        "events_partial_corr": _ext_oracle(
+            [_tmp.ORACLE_PARTIAL_CORR], "partial_correlation"
         ),
         "stream_kmv": _ext_oracle(
             [_ev.ORACLE_STREAM_KMV], "stream_kmv"

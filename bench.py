@@ -319,6 +319,7 @@ HEADLINE = [
     "events_jarque_bera",
     "events_quartile_skew",
     "events_ansari_bradley",
+    "events_partial_corr",
 ]
 
 

@@ -15400,3 +15400,142 @@ ansari_bradley AS (
   FROM ab_m
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# partial correlation (clicks <-> purchases controlling for views)
+# ---------------------------------------------------------------------------
+
+
+def partial_correlation(events: DataFrame) -> DataFrame:
+    """Partial correlation of daily click and purchase counts
+    CONTROLLING for daily view volume — "do clicks drive purchases,
+    or does overall traffic drive both": r_xy.z =
+    (r_xy - r_xz*r_yz) / sqrt((1-r_xz^2)(1-r_yz^2)), the one-line
+    deconfounder beside the raw pairwise ``events_type_corr`` and
+    the lag picture in ``events_ccf``.
+
+    All three pairwise Pearson correlations come from ONE day-grain
+    pivot agg with exact BIGINT moment sums (n, Sx, Sy, Sz, all
+    squares and cross-products — eleven integers); the three r's and
+    the partial assemble in a mirrored double chain, rounded at 6 dp.
+    Missing (day, type) cells are true zero counts via the dense
+    conditional agg. Output (1 row): n_days, r_xy, r_xz, r_yz,
+    r_partial, confounded (sign flip or |drop| > half).
+    """
+    d = (
+        events.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("event_type") == "click").cast("bigint")
+            ).alias("x"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("bigint")
+            ).alias("y"),
+            F.sum(
+                (F.col("event_type") == "view").cast("bigint")
+            ).alias("z"),
+        )
+    )
+    m = d.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+    )
+    nd = F.col("n").cast("double")
+
+    def _r(sab, sa, sb, saa, sbb) -> F.Column:
+        num = nd * F.col(sab).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        da = nd * F.col(saa).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sa).cast("double")
+        db = nd * F.col(sbb).cast("double") - F.col(sb).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        return num / F.sqrt(da * db)
+
+    rxy = _r("sxy", "sx", "sy", "sxx", "syy")
+    rxz = _r("sxz", "sx", "sz", "sxx", "szz")
+    ryz = _r("syz", "sy", "sz", "syy", "szz")
+    rp = (rxy - rxz * ryz) / F.sqrt(
+        (1 - rxz * rxz) * (1 - ryz * ryz)
+    )
+    conf = (F.round(rp, 6) * F.round(rxy, 6) < 0) | (
+        F.abs(F.round(rp, 6)) < F.abs(F.round(rxy, 6)) / 2
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(ryz, 6).alias("r_yz"),
+        F.round(rp, 6).alias("r_partial"),
+        conf.alias("confounded"),
+    )
+
+
+ORACLE_PARTIAL_CORR = """
+pc_d AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END) AS BIGINT) AS y,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS z
+  FROM events GROUP BY 1
+),
+pc_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(z) AS BIGINT) AS sz,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(z * z) AS BIGINT) AS szz,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * z) AS BIGINT) AS sxz,
+         CAST(sum(y * z) AS BIGINT) AS syz
+  FROM pc_d
+),
+pc_r AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / sqrt((CAST(n AS DOUBLE) * sxx
+                 - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy
+                   - CAST(sy AS DOUBLE) * sy)) AS rxy,
+         (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+         / sqrt((CAST(n AS DOUBLE) * sxx
+                 - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * szz
+                   - CAST(sz AS DOUBLE) * sz)) AS rxz,
+         (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+         / sqrt((CAST(n AS DOUBLE) * syy
+                 - CAST(sy AS DOUBLE) * sy)
+                * (CAST(n AS DOUBLE) * szz
+                   - CAST(sz AS DOUBLE) * sz)) AS ryz
+  FROM pc_m
+),
+partial_correlation AS (
+  SELECT n AS n_days, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+         round(ryz, 6) AS r_yz,
+         round((rxy - rxz * ryz)
+               / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+           AS r_partial,
+         (round((rxy - rxz * ryz)
+                / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+          * round(rxy, 6) < 0)
+         OR (abs(round((rxy - rxz * ryz)
+                / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6))
+             < abs(round(rxy, 6)) / 2) AS confounded
+  FROM pc_r
+)
+"""

@@ -762,3 +762,28 @@ def test_kernel_rank_queries_ignore_null_values(spark):
                 + [(_day(1), "purchase", None)])
     ).collect()[0]
     assert qa == qb
+
+
+def test_partial_corr_deconfounds_common_driver(spark):
+    """Clicks and purchases both scale with daily views (the common
+    driver) but are perfectly ANTI-correlated within each traffic
+    level: raw r_xy is strongly positive, yet controlling views
+    flips the sign to r_partial = -1 — the textbook Simpson-style
+    reversal the confounded flag exists to catch."""
+    import itertools
+
+    rows = []
+    # views v drive both: x ~ v + noise_a, y ~ v + noise_b where the
+    # noises alternate out of phase (conditionally unrelated)
+    pattern = [(10, 3, 1), (10, 1, 3), (20, 6, 4), (20, 4, 6),
+               (30, 9, 7), (30, 7, 9), (40, 12, 10), (40, 10, 12)]
+    for day, (v, x, y) in enumerate(
+        itertools.chain.from_iterable([pattern] * 2), start=1
+    ):
+        rows += [(_day(day), "view", 1.0)] * v
+        rows += [(_day(day), "click", 1.0)] * x
+        rows += [(_day(day), "purchase", 1.0)] * y
+    r = temporal.partial_correlation(_events(spark, rows)).collect()[0]
+    assert r["r_xy"] > 0.8           # confounded raw correlation
+    assert r["r_partial"] < -0.9     # sign flips once views enter
+    assert r["confounded"]
