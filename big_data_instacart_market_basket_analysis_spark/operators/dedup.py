@@ -2626,6 +2626,11 @@ capture_recapture_estimate AS (
 #: deterministic pair budget for the blocked name-pair demo.
 JW_PAIR_LIMIT = 20
 
+#: Winkler boost threshold: the prefix boost only applies when the
+#: base Jaro similarity exceeds this (the textbook / Apache Commons
+#: convention — an unconditional boost overstates dissimilar pairs).
+JW_BOOST_THRESHOLD = 0.7
+
 
 def jaro_winkler_pairs(part: DataFrame) -> DataFrame:
     """Jaro-Winkler similarity over blocked part-name pairs —
@@ -2635,8 +2640,9 @@ def jaro_winkler_pairs(part: DataFrame) -> DataFrame:
     chars ride arrays, and one ``aggregate`` over the s1 positions
     carries (used-mask, matched-chars, matched-positions) state —
     exact textbook Jaro (mid-window greedy match, transpositions =
-    half the out-of-order matches) with the Winkler prefix boost,
-    zero Python rows. The oracle replays the SAME fold one character
+    half the out-of-order matches) with the Winkler prefix boost
+    applied ONLY when base Jaro > {THR} (the textbook / Apache
+    Commons gating convention), zero Python rows. The oracle replays the SAME fold one character
     per recursive-CTE step (the state rides LIST columns), so the
     hash gate proves the two schedules equal.
 
@@ -2746,13 +2752,17 @@ def jaro_winkler_pairs(part: DataFrame) -> DataFrame:
             "transpositions"
         ),
         F.round(
-            jaro + F.expr("least(pfx, 4)") * 0.1 * (1 - jaro), 6
+            F.when(
+                jaro > JW_BOOST_THRESHOLD,
+                jaro + F.expr("least(pfx, 4)") * 0.1 * (1 - jaro),
+            ).otherwise(jaro),
+            6,
         ).alias("jw_sim"),
     )
 
 
 jaro_winkler_pairs.__doc__ = jaro_winkler_pairs.__doc__.format(
-    LIM=JW_PAIR_LIMIT
+    LIM=JW_PAIR_LIMIT, THR=JW_BOOST_THRESHOLD
 )
 
 
@@ -2811,21 +2821,22 @@ jw_done AS (
 jaro_winkler AS (
   SELECT p.name_a, p.name_b, CAST(d.m AS BIGINT) AS n_matches,
          d.mismatches // 2 AS transpositions,
-         round(CASE WHEN d.m = 0 THEN 0.0 ELSE
-           (CAST(d.m AS DOUBLE) / p.l1 + CAST(d.m AS DOUBLE) / p.l2
-            + CAST(d.m - d.mismatches // 2 AS DOUBLE) / d.m) / 3
-           END
-           + least(v.pfx, 4) * 0.1
-             * (1 - CASE WHEN d.m = 0 THEN 0.0 ELSE
-                 (CAST(d.m AS DOUBLE) / p.l1
-                  + CAST(d.m AS DOUBLE) / p.l2
-                  + CAST(d.m - d.mismatches // 2 AS DOUBLE) / d.m)
-                 / 3 END), 6) AS jw_sim
+         round(CASE WHEN j.jaro > {JW_BOOST_THRESHOLD}
+                    THEN j.jaro + least(v.pfx, 4) * 0.1
+                         * (1 - j.jaro)
+                    ELSE j.jaro END, 6) AS jw_sim
   FROM jw_done d JOIN jw_prep p ON p.pid = d.pid
   CROSS JOIN LATERAL (
     SELECT CAST(len(list_filter(range(1, least(p.l1, p.l2) + 1),
           k -> substr(p.name_a, 1, k) = substr(p.name_b, 1, k)))
           AS BIGINT) AS pfx
   ) v
+  CROSS JOIN LATERAL (
+    SELECT CASE WHEN d.m = 0 THEN 0.0 ELSE
+             (CAST(d.m AS DOUBLE) / p.l1
+              + CAST(d.m AS DOUBLE) / p.l2
+              + CAST(d.m - d.mismatches // 2 AS DOUBLE) / d.m) / 3
+           END AS jaro
+  ) j
 )
 """

@@ -13314,7 +13314,7 @@ def levene_test(events: DataFrame) -> DataFrame:
     pre-scale cents to dollars (document, don't silently saturate).
     Output (1 row): k, n, ssb, ssw, w_stat, homogeneous.
     """
-    cg = events.select(
+    cg = events.filter(F.col("value").isNotNull()).select(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
     )
@@ -13366,7 +13366,7 @@ def levene_test(events: DataFrame) -> DataFrame:
 ORACLE_LEVENE = f"""
 lv_c AS (
   SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 lv_g AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
@@ -13750,7 +13750,8 @@ def tukey_hsd(events: DataFrame) -> DataFrame:
     q_stat, significant.
     """
     g = (
-        events.select(
+        events.filter(F.col("value").isNotNull())
+        .select(
             "event_type",
             F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
         )
@@ -13822,7 +13823,7 @@ tk_g AS (
          CAST(sum(c * c) AS BIGINT) AS qg
   FROM (SELECT event_type,
                CAST(round(value * 100, 0) AS BIGINT) AS c
-        FROM events)
+        FROM events WHERE value IS NOT NULL)
   GROUP BY 1
 ),
 tk_msw AS (
@@ -14584,9 +14585,12 @@ def mood_median_test(events: DataFrame) -> DataFrame:
     cousin of Kruskal-Wallis (``events_kruskal_wallis``) that stays
     valid under wildly different group shapes.
 
-    The grand median is the exact order statistic at rank
-    (n+1) div 2, selected by the same zero-global-window bucketed
-    prefix machinery as ``events_median_ci``; values EQUAL to it are
+    The grand median is the smallest value whose inclusive
+    cumulative count reaches (n+1)/2 under FLOAT division — i.e. the
+    lower median for odd n and the UPPER median (rank n/2 + 1) for
+    even n; both engines mirror this upper-median convention. It is
+    selected by the same zero-global-window bucketed prefix
+    machinery as ``events_median_ci``; values EQUAL to it are
     dropped (documented convention). The k x 2 contingency table is
     then one conditional hash-agg, and chi2 = sum (O-E)^2/E
     assembles from the k=5 rows with E = row*col/T — exact integer
@@ -15083,7 +15087,10 @@ def jarque_bera_test(events: DataFrame) -> DataFrame:
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     c = F.col("c")
     m = (
-        events.filter(F.col("event_type") == "purchase")
+        events.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
         .select(
             F.round(F.col("value") * 100, 0).cast("bigint").alias("c")
         )
@@ -15123,7 +15130,8 @@ jb_m AS (
          CAST(sum(CAST(c AS HUGEINT) * c * c) AS HUGEINT) AS s3,
          CAST(sum(CAST(c AS HUGEINT) * c * c * c) AS HUGEINT) AS s4
   FROM (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
-        FROM events WHERE event_type = 'purchase')
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL)
 ),
 jb_r AS (
   SELECT n, CAST(s1 AS DOUBLE) / n AS mu,

@@ -2180,8 +2180,13 @@ def run_stream_extremes(
     the batch answer bit-for-bit.
 
     Per batch: one batch-sized hour agg + a calendar-bounded state
-    merge (idempotent per batch id). State: hours-in-calendar rows at
-    ANY corpus scale.
+    merge. The merge is ADDITIVE (not idempotent): it relies on the
+    exactly-once batch delivery a single ``processAllAvailable`` run
+    of a file-source checkpointed query guarantees — under an
+    at-least-once replay a re-delivered batch would double-count, so
+    a production deployment would key per-batch partials by
+    ``batch_id`` and aggregate on read. State: hours-in-calendar rows
+    at ANY corpus scale.
 
     Output (1 row): n_blocks, mean_max_cents, sd_max_cents, beta, mu,
     ret30_cents.

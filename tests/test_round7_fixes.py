@@ -1,0 +1,123 @@
+"""Regression pins for the round-6 advice fixes: the Jaro-Winkler
+boost-threshold gate (boost only when base Jaro > 0.7), the
+`value IS NOT NULL` filters on levene/tukey/jarque-bera, and the
+mood-median upper-median convention for even n."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    dedup,
+    temporal,
+)
+
+
+def _part(spark, names):
+    return spark.createDataFrame([(n,) for n in names], "p_name string")
+
+
+def _events(spark, rows):
+    """rows: (event_type, value) — the minimal shape the shape/scale
+    test family reads."""
+    return spark.createDataFrame(rows, "event_type string, value double")
+
+
+def test_jw_boost_not_applied_below_threshold(spark):
+    """'aa bcd' vs 'aa xyz': m=3 in-order matches, jaro = 2/3 <= 0.7,
+    common prefix 'aa ' (3 chars). The pre-fix unconditional boost
+    gave 0.766667; the gated textbook convention must return the
+    bare jaro 0.666667."""
+    out = {
+        (r["name_a"], r["name_b"]): r["jw_sim"]
+        for r in dedup.jaro_winkler_pairs(
+            _part(spark, ["aa bcd", "aa xyz"])
+        ).collect()
+    }
+    assert out[("aa bcd", "aa xyz")] == 0.666667
+
+
+def test_jw_boost_applied_above_threshold(spark):
+    """'aa bcde' vs 'aa bcdx': m=6, jaro = (6/7+6/7+1)/3 = 0.904762
+    > 0.7, prefix 6 capped at 4 -> jw = jaro + 0.4*(1-jaro) =
+    0.942857."""
+    out = {
+        (r["name_a"], r["name_b"]): r["jw_sim"]
+        for r in dedup.jaro_winkler_pairs(
+            _part(spark, ["aa bcde", "aa bcdx"])
+        ).collect()
+    }
+    assert out[("aa bcde", "aa bcdx")] == 0.942857
+
+
+def test_levene_ignores_null_values(spark):
+    """Two NULL values must not inflate n/ng: n = 6, and the W stat
+    equals the 6-row answer (NULLs previously biased the group
+    means via count(*))."""
+    rows = [
+        ("view", 1.0),
+        ("view", 2.0),
+        ("view", 3.0),
+        ("view", None),
+        ("purchase", 10.0),
+        ("purchase", 20.0),
+        ("purchase", 30.0),
+        ("purchase", None),
+    ]
+    got = temporal.levene_test(_events(spark, rows)).collect()[0]
+    clean = temporal.levene_test(
+        _events(spark, [r for r in rows if r[1] is not None])
+    ).collect()[0]
+    assert got["n"] == 6
+    assert got.asDict() == clean.asDict()
+
+
+def test_tukey_ignores_null_values(spark):
+    rows = [
+        ("view", 1.0),
+        ("view", 2.0),
+        ("view", None),
+        ("purchase", 5.0),
+        ("purchase", 9.0),
+        ("purchase", None),
+    ]
+    got = temporal.tukey_hsd(_events(spark, rows)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    # means from non-null rows only: |700 - 150| = 550 cents
+    assert r["mean_diff_cents"] == 550.0
+
+
+def test_jarque_bera_ignores_null_values(spark):
+    rows = [
+        ("purchase", 1.0),
+        ("purchase", 2.0),
+        ("purchase", 3.0),
+        ("purchase", 10.0),
+        ("purchase", None),
+        ("view", 99.0),
+    ]
+    got = temporal.jarque_bera_test(_events(spark, rows)).collect()[0]
+    clean = temporal.jarque_bera_test(
+        _events(spark, [r for r in rows if r[1] is not None])
+    ).collect()[0]
+    assert got["n"] == 4
+    assert got.asDict() == clean.asDict()
+
+
+def test_mood_median_upper_median_for_even_n(spark):
+    """Values {1,2,3,4}: the documented convention is the UPPER
+    median for even n — the smallest value whose inclusive
+    cumulative count reaches (n+1)/2 = 2.5, i.e. 3 (300 cents)."""
+    rows = [
+        ("view", 1.0),
+        ("view", 2.0),
+        ("purchase", 3.0),
+        ("purchase", 4.0),
+    ]
+    got = temporal.mood_median_test(_events(spark, rows)).collect()[0]
+    assert got["grand_median_cents"] == 300
+    # the median row itself is tie-dropped
+    assert got["n_ties_dropped"] == 1
+    assert got["n_used"] == 3
