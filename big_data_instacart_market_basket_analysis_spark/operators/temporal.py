@@ -11859,6 +11859,15 @@ haar_energy AS (
 # least-squares changepoint (binary segmentation, exact integer argmax)
 # ---------------------------------------------------------------------------
 
+def _cp_base():
+    """Word base for the changepoint dominance comparison: p is
+    split as p = hi*BASE + lo so cross-multiplied comparisons never
+    divide a decimal by a column (Spark decimal division keeps only
+    32 integer digits — the round-6 q = p div nn NULLed past
+    q ~ 1e32). A function, not a module constant: building a Column
+    needs an active session."""
+    return F.lit(10**18).cast("decimal(19,0)")
+
 
 def changepoint_split(events: DataFrame) -> DataFrame:
     """Offline least-squares changepoint over the daily purchase-
@@ -11867,22 +11876,24 @@ def changepoint_split(events: DataFrame) -> DataFrame:
     level shift" complement to ``cusum_changepoints``' sequential
     alarm. Minimizing SSE(s) is equivalent to maximizing
     f(s) = L(s)^2/n_l + R(s)^2/n_r (L/R = segment cent sums), and the
-    argmax is decided EXACTLY in two integer tiers: with
-    P = L^2*n_r + R^2*n_l and N = n_l*n_r, split P = q*N + r by
-    exact integer division (q = P div N, r = P mod N, both exact in
-    DECIMAL(38,0) / HUGEINT), then f(s2) > f(s1) iff q2 > q1 OR
-    (q2 = q1 AND r2*N1 > r1*N2) — no float ever touches the
+    argmax is decided EXACTLY: with P = L^2*n_r + R^2*n_l and
+    N = n_l*n_r, f(s2) > f(s1) iff P2*N1 > P1*N2 — evaluated on the
+    Spark side in two 10^18-base WORDS per side (P = hi*10^18 + lo;
+    the cross product's words are hi*N + carry and (lo*N) mod 10^18,
+    every term <= 1e34, compared lexicographically) and on the
+    DuckDB side in native 128-bit HUGEINT. No float ever touches the
     decision, so the chosen day hash-matches by construction.
 
-    Overflow envelope (r5 advice): the former single-tier cross-
-    multiply P2*N1 needed P*N < 1e38 (total cents S below ~$900B at
-    10y of days). The two-tier form's largest intermediates are P
-    itself (≤ S^2·n < 1e38 up to S ~ $1.6e15 over 10y) and r*N
-    (< N^2 ≤ n^4/16 ~ 1e17 at 100y of days) — the calendar bounds
-    the fraction tier, so only P's own width constrains scale.
-    Spark-side exactness of the decimal split is pinned by
-    tests/test_round5_ops.py (q via (p - p % nn) / nn is integral
-    and fits 38-6 = 32 integral digits under the envelope).
+    Overflow envelope (r5 advice, re-derived r7): the single-tier
+    cross-multiply P2*N1 in ONE word needed P*N < 1e38; the round-6
+    two-tier q = P div N quotient was exact only up to q < 1e32
+    (Spark decimal division keeps 32 integral digits — caught by the
+    r7 boundary test, which this word-split form fixes). The word
+    form's largest intermediate is hi*N <= (P/1e18)*N ~ 1e34 at a
+    century calendar, so only P's own DECIMAL(38) width constrains
+    scale: exact while S^2*n < 1e38, i.e. total cents
+    S < sqrt(1e38/n) (~1.5e17 cents at n = 4096 days — see SCALE.md
+    round-7 section for the rescaling rule beyond that).
 
     Scale: the only corpus-sized stage is the per-day cent-sum agg;
     prefix sums and the dominance test are O(days^2) self-joins on
@@ -11933,32 +11944,41 @@ def changepoint_split(events: DataFrame) -> DataFrame:
                 + dec(F.col("sum_r")) * dec(F.col("sum_r"))
                 * dec(F.col("n_l"))
             ).alias("p"),
-            dec(F.col("n_l") * F.col("n_r")).alias("nn"),
+            (F.col("n_l") * F.col("n_r")).cast("decimal(14,0)").alias(
+                "nn"
+            ),
         )
-        # two-tier exact split of f = p/nn: integer quotient + the
-        # remainder (both exact — decimal %, then a division that is
-        # integral by construction). Keeps every later comparison
-        # within r*nn < nn^2 instead of p*nn (r5 advice overflow fix).
-        .withColumn("r", F.col("p") % F.col("nn"))
+        # exact hi/lo word split of p by the LITERAL base 10^18
+        # (decimal %, then a division that is integral by
+        # construction and <= 1e20 — inside Spark's decimal(38,6)
+        # division cap). The round-6 q = p div nn quotient NULLed
+        # for q >= 1e32 (Spark division keeps only 32 integer
+        # digits), so the dominance test now cross-multiplies in
+        # two exact words instead of dividing by nn at all.
+        .withColumn("lo", F.col("p") % _cp_base())
         .withColumn(
-            "q",
-            (
-                (F.col("p") - F.col("r")) / F.col("nn")
-            ).cast("decimal(38,0)"),
+            "hi",
+            ((F.col("p") - F.col("lo")) / _cp_base()).cast(
+                "decimal(38,0)"
+            ),
         )
     )
+
+    def _words(p_hi, p_lo, nn):
+        """(hi, lo) words of (p_hi*BASE + p_lo) * nn — every term
+        bounded: raw <= 1e32, carry <= 1e14, hi*nn <= 1e34."""
+        raw = p_lo * nn
+        rlo = raw % _cp_base()
+        carry = ((raw - rlo) / _cp_base()).cast("decimal(38,0)")
+        return p_hi * nn + carry, rlo
+
+    xh, xl = _words(F.col("c2.hi"), F.col("c2.lo"), F.col("c1.nn"))
+    yh, yl = _words(F.col("c1.hi"), F.col("c1.lo"), F.col("c2.nn"))
     dominated = (
         cand.alias("c1")
         .join(
             cand.alias("c2"),
-            (F.col("c2.q") > F.col("c1.q"))
-            | (
-                (F.col("c2.q") == F.col("c1.q"))
-                & (
-                    F.col("c2.r") * F.col("c1.nn")
-                    > F.col("c1.r") * F.col("c2.nn")
-                )
-            ),
+            (xh > yh) | ((xh == yh) & (xl > yl)),
             "leftsemi",
         )
         .select("c1.day")

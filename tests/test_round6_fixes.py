@@ -65,10 +65,13 @@ def test_ktruss_cascade_peel_matches_recount(spark):
 
 
 def test_changepoint_two_tier_decimal_split_is_exact(spark):
-    """The dominance test's quotient/remainder split (q = p div nn,
-    r = p mod nn, both DECIMAL(38,0)) must be exact at the overflow
-    envelope's edge — p near 1e35 with an awkward modulus. Pins the
-    Spark decimal semantics the r5 advice fix relies on."""
+    """Decimal quotient/remainder (q = p div nn, r = p mod nn) is
+    exact WHILE q fits 32 integral digits — p near 1e35 with an
+    awkward modulus. (Round 7 found q NULLs past q ~ 1e32 — Spark
+    decimal division keeps 32 integral digits — so changepoint's
+    dominance test no longer divides by a column at all; see
+    test_round7_fixes.test_changepoint_boundary_magnitude. This pin
+    documents the semantics inside that cap.)"""
     df = spark.createDataFrame(
         [
             ("99999999999999999999999999999999999", "333333337"),

@@ -121,3 +121,46 @@ def test_mood_median_upper_median_for_even_n(spark):
     # the median row itself is tie-dropped
     assert got["n_ties_dropped"] == 1
     assert got["n_used"] == 3
+
+
+def test_changepoint_boundary_magnitude(spark):
+    """SCALE.md round-7 envelope pin: day sums ~3.6e18 cents push
+    p = sum_l^2*n_r + sum_r^2*n_l to ~5.2e37 — the same decade as
+    the DECIMAL(38,0) ceiling. The split must stay EXACT (argmax
+    matches a Python-fractions brute force), not NULL-saturate."""
+    from datetime import datetime
+    from fractions import Fraction
+
+    c = 100 * (1 << 52)  # cents per row: 25*2^54, double-exact
+    val = float(1 << 52)  # dollars per row
+    rows = []
+    per_day = {1: 4, 2: 4, 3: 1, 4: 1}  # mean shift after day 2
+    for day, k in per_day.items():
+        for i in range(k):
+            rows.append(
+                (datetime(2024, 1, day, 8 + i), "purchase", val)
+            )
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    )
+    got = temporal.changepoint_split(ev).collect()[0]
+
+    sums = [per_day[d] * c for d in sorted(per_day)]
+    n = len(sums)
+    best_day, best_f = None, None
+    for i in range(1, n):
+        sl, sr = sum(sums[:i]), sum(sums[i:])
+        nl, nr = i, n - i
+        f = Fraction(sl * sl * nr + sr * sr * nl, nl * nr)
+        if best_f is None or f > best_f:
+            best_day, best_f = i, f
+    assert got["split_day"].day == best_day
+    assert got["sum_left_cents"] == sum(sums[:best_day])
+    assert got["sum_right_cents"] == sum(sums[best_day:])
+    # magnitude check: p ~ 2.8e37 (envelope decade), and the former
+    # round-6 quotient q = p div nn ~ 6.9e36 is far past the 1e32
+    # Spark decimal-division cap that NULLed it
+    sl, sr = sum(sums[:2]), sum(sums[2:])
+    p = sl * sl * 2 + sr * sr * 2
+    assert p > 10**37
+    assert p // 4 > 10**32
