@@ -2615,6 +2615,13 @@ def q_docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _samp.global_shuffle(_docs(spark, sf_dir))
 
 
+def q_events_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TABLESAMPLE twins (BERNOULLI per-row + SYSTEM
+    per-512-row-block md5-threshold draws) — the engine-independent
+    form of SQL's engine-seeded TABLESAMPLE; map-only, zero shuffle."""
+    return _samp.tablesample_events(load_table(spark, sf_dir, "events"))
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity audit: distinct + entropy diversity of the sensitive
     attribute inside each published QI cell."""
@@ -4074,6 +4081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": q_text_tfidf_top_terms,
         "docs_pack_batches": q_docs_pack_batches,
         "docs_split_by_hash": q_docs_split_by_hash,
+        "events_tablesample": q_events_tablesample,
         "docs_global_shuffle": q_docs_global_shuffle,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_setcover": q_docs_setcover,
@@ -5245,6 +5253,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_split_by_hash": _ext_oracle(
             [_samp.ORACLE_SPLIT_BY_HASH], "split_by_hash"
+        ),
+        "events_tablesample": _ext_oracle(
+            [_samp.ORACLE_TABLESAMPLE], "tablesample_events"
         ),
         "docs_global_shuffle": _ext_oracle(
             [_samp.ORACLE_GLOBAL_SHUFFLE], "global_shuffle"

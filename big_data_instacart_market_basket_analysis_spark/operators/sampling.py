@@ -879,3 +879,88 @@ pps_systematic_sample AS (
   ) WHERE n_hits >= 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic TABLESAMPLE twins (BERNOULLI row-level + SYSTEM block-level)
+# ---------------------------------------------------------------------------
+
+#: sampling fraction and seed for the TABLESAMPLE emulation. The SQL
+#: standard's TABLESAMPLE REPEATABLE(seed) is engine-seeded (Spark's
+#: `TABLESAMPLE (10 PERCENT) REPEATABLE(7)` and DuckDB's draw different
+#: rows for the same seed — that is WHY it sat on the deferred ledger).
+#: These twins reproduce the two standard semantics with the engine-
+#: independent md5-threshold draw every shipped split/sample already
+#: uses, so the result is cross-engine deterministic AND plan-shape
+#: independent (rand() per-partition seeding leaks the physical plan).
+TABLESAMPLE_FRAC = 0.10
+TABLESAMPLE_SEED = 7
+
+#: rows per simulated storage block for the SYSTEM variant. SYSTEM
+#: sampling admits whole pages, trading variance for zero per-row I/O;
+#: blocking contiguous event_id ranges mirrors that: one md5 draw per
+#: block admits/rejects its full id range.
+TABLESAMPLE_BLOCK_ROWS = 512
+
+TABLESAMPLE_THRESHOLD = hex_threshold(TABLESAMPLE_FRAC)
+
+
+def tablesample_events(events: DataFrame) -> DataFrame:
+    """Deterministic TABLESAMPLE over ``events``: the BERNOULLI
+    (row-level) and SYSTEM (block-level) variants side by side, both
+    as pure md5-threshold filters — P[md5 < t] = frac exactly as in
+    ``split_by_hash`` (sampling.py:37), seeded by a namespaced
+    literal so the two draws are independent.
+
+    BERNOULLI draws per row on ``md5('ts:seed:' || event_id)``;
+    SYSTEM draws once per 512-row block on the block ordinal
+    ``event_id div 512`` and admits the whole block — the page-level
+    I/O-saving semantics of SQL TABLESAMPLE SYSTEM, made
+    deterministic. Retires the TABLESAMPLE deferred-ledger entry:
+    what was deferred was matching ENGINE-seeded draws cross-engine,
+    not the operator.
+
+    Scale: both variants are map-only filters that fuse into the
+    scan — zero shuffle, trivially parallel at 100 TB; the SYSTEM
+    draw is a per-row hash of a derived block id (no pre-pass).
+    Output: method, event_id, user_id, event_type, value.
+    """
+    cols = ["event_id", "user_id", "event_type", "value"]
+    bern = events.filter(
+        F.md5(
+            F.concat(
+                F.lit(f"ts:{TABLESAMPLE_SEED}:"),
+                F.col("event_id").cast("string"),
+            )
+        )
+        < F.lit(TABLESAMPLE_THRESHOLD)
+    ).select(F.lit("bernoulli").alias("method"), *cols)
+    syst = events.filter(
+        F.md5(
+            F.concat(
+                F.lit(f"blk:{TABLESAMPLE_SEED}:"),
+                F.expr(
+                    f"cast(event_id div {TABLESAMPLE_BLOCK_ROWS}"
+                    " as string)"
+                ),
+            )
+        )
+        < F.lit(TABLESAMPLE_THRESHOLD)
+    ).select(F.lit("system").alias("method"), *cols)
+    return bern.unionByName(syst)
+
+
+ORACLE_TABLESAMPLE = f"""
+tablesample_events AS (
+  SELECT 'bernoulli' AS method, event_id, user_id, event_type, value
+  FROM events
+  WHERE md5('ts:{TABLESAMPLE_SEED}:' || CAST(event_id AS VARCHAR))
+        < '{TABLESAMPLE_THRESHOLD}'
+  UNION ALL
+  SELECT 'system' AS method, event_id, user_id, event_type, value
+  FROM events
+  WHERE md5('blk:{TABLESAMPLE_SEED}:'
+            || CAST(event_id // {TABLESAMPLE_BLOCK_ROWS} AS VARCHAR))
+        < '{TABLESAMPLE_THRESHOLD}'
+)
+"""
