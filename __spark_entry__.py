@@ -1330,6 +1330,16 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.semdedup_survivors(_emb(spark, sf_dir))
 
 
+def q_text_decontaminate_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: IVF-cell-confined
+    cosine screen of training vectors against the benchmark embedding
+    set — the paraphrased-contamination case the lexical n-gram
+    screens miss."""
+    return _sim.semantic_decontaminate(_emb(spark, sf_dir))
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.token_counts(_docs(spark, sf_dir))
 
@@ -3846,6 +3856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udf_grouped_map": q_udf_grouped_map,
         "events_bitmap_retention": q_events_bitmap_retention,
         "text_decontaminate": q_text_decontaminate,
+        "text_decontaminate_semantic": q_text_decontaminate_semantic,
         "dedup_winnowing": q_dedup_winnowing,
         "events_cms_hitters": q_events_cms_hitters,
         "events_approx_quantiles": q_events_approx_quantiles,
@@ -4674,6 +4685,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_semdedup": _ext_oracle(
             [_sim.oracle_semdedup()], "semantic_dedup"
+        ),
+        "text_decontaminate_semantic": _ext_oracle(
+            [_sim.oracle_semantic_decontaminate()],
+            "semantic_decontaminate",
         ),
         "text_hashing_collisions": _ext_oracle(
             [_text.ORACLE_HASHING_COLLISIONS], "hashing_collision_report"

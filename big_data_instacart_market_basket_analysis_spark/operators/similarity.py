@@ -881,6 +881,104 @@ semantic_dedup AS (
 
 
 # ---------------------------------------------------------------------------
+# semantic benchmark decontamination (embedding-space eval-leak screen)
+# ---------------------------------------------------------------------------
+
+#: benchmark embedding set: the first N vec_ids stand in for a held-out
+#: eval suite (same convention as the lexical screens' first
+#: N_BENCHMARK_DOCS doc_ids in dedup.py). Threshold matches SemDeDup's
+#: paraphrase-grade cosine on the synthetic embedding space.
+N_BENCHMARK_VECS = 20
+DECON_SEM_COSINE = 0.40
+
+
+def semantic_decontaminate(
+    emb: DataFrame,
+    n_bench: int = N_BENCHMARK_VECS,
+    threshold: float = DECON_SEM_COSINE,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag training
+    vectors whose cosine to ANY benchmark vector reaches
+    ``threshold`` — the PARAPHRASED-contamination case the 3/5-gram
+    lexical screens (``dedup_decontaminate``, ``text_decontaminate``)
+    cannot see, because a reworded eval question shares no shingles
+    with its source. Composes the two verified pieces the r6 verdict
+    named: the IVF cell confinement of ``semdedup_survivors`` and the
+    benchmark-vs-training split of the lexical screens.
+
+    Scale shape: identical to SemDeDup — the pair join is confined to
+    IVF cells (cost sum over cells of |cell_train| x |cell_bench|,
+    never |corpus| x |bench|), and the benchmark side is a fixed
+    small suite -> broadcast. Cell confinement trades recall for the
+    1/cells scan fraction exactly as the SemDeDup kernel does; the
+    recall knob is the codebook granularity (or nprobe>1 assignment
+    of the BENCHMARK side only, which multiplies the tiny side, not
+    the corpus). At 100 TB the corpus-side cost is the cell
+    assignment it already pays for IVF search (shared via the staged
+    assignment).
+
+    Output: (vec_id, n_benchmark_hits, max_cosine) — training
+    vectors with >= 1 benchmark hit in their cell.
+    """
+    assigned = _assignment_staged(emb)
+    bench = assigned.filter(F.col("vec_id") < n_bench).select(
+        F.col("centroid_id").alias("b_cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+    )
+    train = assigned.filter(F.col("vec_id") >= n_bench)
+    return (
+        train.join(
+            F.broadcast(bench),
+            F.col("centroid_id") == F.col("b_cell"),
+        )
+        .withColumn("cosine", _cosine("v", "bv"))
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_benchmark_hits"),
+            F.round(F.max("cosine"), 6).alias("max_cosine"),
+        )
+    )
+
+
+def oracle_semantic_decontaminate() -> str:
+    cos = _ORACLE_COS.format(a="t.v", b="b.v")
+    return f"""
+dcs_vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+dcs_cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS centnorm
+  FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+),
+dcs_assign AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT x.vec_id, x.v, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY list_dot_product(x.v, c.centv) / c.centnorm DESC,
+                      c.centroid_id) AS crank
+    FROM dcs_vecs x, dcs_cents c
+  ) WHERE crank = 1
+),
+semantic_decontaminate AS (
+  SELECT t.vec_id, count(*) AS n_benchmark_hits,
+         round(max({cos}), 6) AS max_cosine
+  FROM dcs_assign t
+  JOIN dcs_assign b
+    ON t.centroid_id = b.centroid_id
+   AND b.vec_id < {N_BENCHMARK_VECS}
+   AND t.vec_id >= {N_BENCHMARK_VECS}
+  WHERE {cos} >= {DECON_SEM_COSINE}
+  GROUP BY 1
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # RAG retrieval composition: chunk -> embed -> top-k -> context pack
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,104 @@
+"""Hand-worked invariant tests for the round-7 operator wave."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from big_data_instacart_market_basket_analysis_spark.operators import (
+    sampling,
+    similarity,
+)
+
+
+def _emb(spark, vecs):
+    """vecs: {vec_id: [floats]} -> embeddings-shaped frame."""
+    return spark.createDataFrame(
+        [(i, v) for i, v in sorted(vecs.items())],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_semantic_decontaminate_flags_planted_paraphrase(spark):
+    """A training vector nearly parallel to a benchmark vector (the
+    embedding of a paraphrased eval question — zero shared n-grams)
+    must be flagged with cosine ~1; an orthogonal training vector in
+    the same cell must not. All ids < 31 share the single stride
+    centroid (vec 0), so cell confinement cannot hide the plant."""
+    base = [1.0, 2.0, 3.0, 4.0]
+    vecs = {0: [1.0, 0.0, 0.0, 0.0], 3: base}
+    # benchmark filler (ids < 20) far from the plant
+    for i in range(1, 20):
+        if i != 3:
+            vecs[i] = [0.0, 0.0, float(i % 3 == 0), 1.0 + i]
+    vecs[25] = [1.01, 2.02, 3.03, 4.04]  # paraphrase of benchmark 3
+    vecs[26] = [-4.0, 3.0, -2.0, 1.0]  # orthogonal to base
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_decontaminate(
+            _emb(spark, vecs), threshold=0.99
+        ).collect()
+    }
+    assert 25 in out
+    assert out[25]["max_cosine"] > 0.999
+    assert 26 not in out
+
+
+def test_semantic_decontaminate_excludes_benchmark_side(spark):
+    """Benchmark vectors themselves (ids < n_bench) never appear as
+    flagged training rows, even though they trivially self-match."""
+    vecs = {i: [float(i + 1), 1.0] for i in range(40)}
+    out = similarity.semantic_decontaminate(
+        _emb(spark, vecs), threshold=0.0
+    )
+    ids = [r["vec_id"] for r in out.select("vec_id").collect()]
+    assert ids and min(ids) >= similarity.N_BENCHMARK_VECS
+
+
+def test_tablesample_fraction_and_determinism(spark):
+    """Bernoulli keeps ~frac of rows (md5 is uniform); both variants
+    are identical across reruns and plan shapes (no rand())."""
+    n = 512 * 100  # 100 full blocks so the system draw has support
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 97).alias("user_id"),
+        F.lit("purchase").alias("event_type"),
+        (F.col("id") % 13).cast("double").alias("value"),
+    )
+    out1 = sampling.tablesample_events(ev)
+    counts = {
+        r["method"]: r["n"]
+        for r in out1.groupBy("method").agg(F.count("*").alias("n")).collect()
+    }
+    frac = sampling.TABLESAMPLE_FRAC
+    # bernoulli: 51200 draws, sd ~ 0.13% of n. system: only 100
+    # block-level draws, sd ~ 3 blocks -> inherently coarse (the
+    # variance cost of page sampling that the docstring names).
+    assert abs(counts["bernoulli"] / n - frac) < 0.02
+    assert abs(counts["system"] / n - frac) < 0.10
+    # system admits whole blocks: every sampled block is complete
+    blocks = (
+        sampling.tablesample_events(ev)
+        .filter(F.col("method") == "system")
+        .groupBy(
+            F.expr(
+                f"event_id div {sampling.TABLESAMPLE_BLOCK_ROWS}"
+            ).alias("blk")
+        )
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    assert blocks and all(
+        r["c"] == sampling.TABLESAMPLE_BLOCK_ROWS for r in blocks
+    )
+    # determinism across a different physical plan (repartition)
+    h1 = sorted(
+        (r["method"], r["event_id"])
+        for r in out1.select("method", "event_id").collect()
+    )
+    h2 = sorted(
+        (r["method"], r["event_id"])
+        for r in sampling.tablesample_events(ev.repartition(7))
+        .select("method", "event_id")
+        .collect()
+    )
+    assert h1 == h2
