@@ -2347,11 +2347,15 @@ def ktruss_edges(
         if dead_tris is not None:
             nd = nd.join(dead_tris, ["u", "v", "w"], "leftanti")
         nd = nd.localCheckpoint(eager=True)
+        # cumulative dead set: checkpointed per round so the
+        # unionByName chain's lineage stays O(1) per round instead of
+        # O(rounds) (r6 verdict task 4). First round skips the
+        # re-checkpoint — nd is already materialized.
         dead_tris = (
             nd
             if dead_tris is None
-            else dead_tris.unionByName(nd)
-        ).localCheckpoint(eager=True)
+            else dead_tris.unionByName(nd).localCheckpoint(eager=True)
+        )
         lost = (
             credit.join(nd, ["u", "v", "w"], "leftsemi")
             .groupBy("a", "b")
