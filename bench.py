@@ -367,6 +367,139 @@ def _sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+# --------------------------------------------------------------------------
+# round-over-round diff gate (r6 verdict task 1): the time-domain twin of
+# planboard's plan-shape gate. A query is FLAGGED when it drifts >1.5x AND
+# >0.5s vs the last committed BENCH_DETAIL_r{N-1}.json; a flag escalates to
+# a gate FAILURE only when the same query's PLANBOARD stats (rules,
+# global_windows, shuffles) also changed round-over-round — machine jitter
+# stays a named flag, plan-caused slowdowns fail. The WATCHLIST names ride
+# in every diff regardless of flagging so known drifters are adjudicated
+# mechanically in the committed artifact.
+# --------------------------------------------------------------------------
+
+DIFF_RATIO = 1.5
+DIFF_ABS_SECS = 0.5
+
+#: adjudication carry-overs from the r6 verdict: four jitter suspects +
+#: the two-round drifter.
+WATCHLIST = [
+    "embedding_knn_outliers",
+    "text_bm25",
+    "rag_rerank",
+    "candidates",
+    "events_mta_models",
+]
+
+
+def _latest_round_file(pattern: str) -> str | None:
+    import glob
+
+    cands = []
+    for p in glob.glob(pattern):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            cands.append((int(m.group(1)), p))
+    return max(cands)[1] if cands else None
+
+
+def _plan_entry(board: dict, name: str):
+    e = (board or {}).get("plans", {}).get(name)
+    if e is None or "err" in e:
+        return None
+    return {
+        "rules": e.get("rules", {}),
+        "global_windows": e.get("global_windows"),
+        "shuffles": e.get("shuffles"),
+    }
+
+
+def bench_diff(
+    timings: dict[str, float],
+    prev_path: str | None = None,
+    cur_board: dict | None = None,
+    prev_board: dict | None = None,
+) -> dict:
+    """Diff current timings vs the newest committed BENCH_DETAIL_r*.json,
+    adjudicating flags against the planboard round-over-round stats.
+    The three optional args override file discovery (tests plant
+    regressions through them)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_path = prev_path or os.environ.get(
+        "SPARK_GRAFT_BENCH_PREV",
+        _latest_round_file(os.path.join(here, "BENCH_DETAIL_r*.json")),
+    )
+    if not prev_path or not os.path.exists(prev_path):
+        return {"baseline": None, "gate": "SKIP (no baseline)"}
+    prev = json.load(open(prev_path)).get("queries", {})
+
+    if cur_board is None:
+        cur_board_path = os.path.join(here, "PLANBOARD.json")
+        cur_board = (
+            json.load(open(cur_board_path))
+            if os.path.exists(cur_board_path)
+            else None
+        )
+    if prev_board is None:
+        prev_board_path = _latest_round_file(
+            os.path.join(here, "PLANBOARD_r*.json")
+        )
+        prev_board = (
+            json.load(open(prev_board_path))
+            if prev_board_path and os.path.exists(prev_board_path)
+            else None
+        )
+
+    def plan_changed(name):
+        if cur_board is None or prev_board is None:
+            return None  # unknown: cannot escalate, stays a flag
+        a, b = _plan_entry(prev_board, name), _plan_entry(cur_board, name)
+        if a is None or b is None:
+            return None
+        return a != b
+
+    common = sorted(set(prev) & set(timings))
+    flagged, watch = {}, {}
+    import math
+
+    logsum = 0.0
+    for q in common:
+        p, c = prev[q], timings[q]
+        if p > 0 and c > 0:
+            logsum += math.log(c / p)
+        if c > p * DIFF_RATIO and c - p > DIFF_ABS_SECS:
+            pc = plan_changed(q)
+            flagged[q] = {
+                "prev": p,
+                "cur": c,
+                "ratio": round(c / p, 2) if p else None,
+                "plan_changed": pc,
+                "verdict": "plan-regression" if pc else "jitter-flag",
+            }
+    for q in WATCHLIST:
+        if q in prev and q in timings:
+            watch[q] = {
+                "prev": prev[q],
+                "cur": timings[q],
+                "ratio": round(timings[q] / prev[q], 2)
+                if prev[q]
+                else None,
+            }
+    fails = [q for q, f in flagged.items() if f["plan_changed"]]
+    return {
+        "baseline": os.path.basename(prev_path),
+        "n_common": len(common),
+        "geomean_ratio": round(math.exp(logsum / len(common)), 3)
+        if common
+        else None,
+        "flag_rule": f">{DIFF_RATIO}x AND >{DIFF_ABS_SECS}s",
+        "flagged": flagged,
+        "watch": watch,
+        "gate": "FAIL" if fails else "PASS",
+        "failed": fails,
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -406,6 +539,7 @@ def main() -> None:
         "hot_total": round(sum(timings[n] for n in HOT), 3),
         "hot": HOT,
         "queries": timings,
+        "diff": bench_diff(timings),
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -425,6 +559,8 @@ def main() -> None:
         "load_start": load_start,
         "load_end": round(os.getloadavg()[0], 2),
         "queries": {n: timings[n] for n in HOT},
+        "diff_gate": detail["diff"].get("gate"),
+        "diff_flagged": sorted(detail["diff"].get("flagged", {})),
         "detail": "BENCH_DETAIL.json",
     }
     detail["load_start"] = out["load_start"]

@@ -190,3 +190,52 @@ def test_ktruss_rounds3_e2e_matches_oracle_recount(spark):
     )
     res = compare(df, sql, sf)
     assert res["hash_match"], res
+
+
+def test_bench_diff_gate_planted_regressions(tmp_path):
+    """r6 verdict task 1 pin: a >1.5x AND >0.5s drift whose PLANBOARD
+    stats are unchanged stays a named jitter FLAG (gate PASS); the
+    same drift with a plan-stat change escalates to gate FAIL; small
+    drifts are not flagged at all."""
+    import json as _json
+
+    import bench
+
+    prev = tmp_path / "BENCH_DETAIL_r99.json"
+    prev.write_text(
+        _json.dumps(
+            {"queries": {"q_jit": 1.0, "q_plan": 1.0, "q_ok": 1.0}}
+        )
+    )
+    plans_old = {
+        "plans": {
+            "q_jit": {"rules": {}, "global_windows": 0, "shuffles": 3},
+            "q_plan": {"rules": {}, "global_windows": 0, "shuffles": 3},
+            "q_ok": {"rules": {}, "global_windows": 0, "shuffles": 3},
+        }
+    }
+    plans_new = _json.loads(_json.dumps(plans_old))
+    plans_new["plans"]["q_plan"]["shuffles"] = 9  # the plan regression
+
+    cur = {"q_jit": 2.1, "q_plan": 2.1, "q_ok": 1.2}
+    d = bench.bench_diff(
+        cur,
+        prev_path=str(prev),
+        cur_board=plans_new,
+        prev_board=plans_old,
+    )
+    assert d["gate"] == "FAIL"
+    assert d["failed"] == ["q_plan"]
+    assert d["flagged"]["q_jit"]["verdict"] == "jitter-flag"
+    assert d["flagged"]["q_plan"]["verdict"] == "plan-regression"
+    assert "q_ok" not in d["flagged"]
+
+    # identical plans -> same drifts are flags only, gate PASS
+    d2 = bench.bench_diff(
+        cur,
+        prev_path=str(prev),
+        cur_board=plans_old,
+        prev_board=plans_old,
+    )
+    assert d2["gate"] == "PASS"
+    assert sorted(d2["flagged"]) == ["q_jit", "q_plan"]
