@@ -2150,6 +2150,40 @@ def q_events_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.levene_test(load_table(spark, sf_dir, "events"))
 
 
+def q_events_durbin_watson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Durbin-Watson first-order serial-correlation screen on daily
+    revenue: both quadratic forms exact DECIMAL(38,0), one final
+    division."""
+    return _tmp.durbin_watson(load_table(spark, sf_dir, "events"))
+
+
+def q_events_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs extreme studentized deviate of daily revenue: exact
+    integer argmax (n-scaled deviations, min-day ties), G assembled
+    in doubles at the end."""
+    return _tmp.grubbs_extreme(load_table(spark, sf_dir, "events"))
+
+
+def q_events_brown_forsythe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brown-Forsythe median-based variance homogeneity: exact
+    per-group median order statistics via per-group octave prefixes,
+    integer deviations, 5-row F assembly."""
+    return _tmp.brown_forsythe(load_table(spark, sf_dir, "events"))
+
+
+def q_events_cliffs_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cliff's delta ordinal effect size purchases-vs-clicks: all
+    three pair counts exact via the cent-grain prefix kernel — no
+    pair join."""
+    return _tmp.cliffs_delta(load_table(spark, sf_dir, "events"))
+
+
 def q_events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Friedman blocked rank test (types ranked within each day):
     all-integer Conover form — doubled mid-ranks from the k^2/day
@@ -3840,6 +3874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kendall_tau": q_events_kendall_tau,
         "events_kruskal_wallis": q_events_kruskal_wallis,
         "events_levene": q_events_levene,
+        "events_durbin_watson": q_events_durbin_watson,
+        "events_grubbs": q_events_grubbs,
+        "events_brown_forsythe": q_events_brown_forsythe,
+        "events_cliffs_delta": q_events_cliffs_delta,
         "events_friedman": q_events_friedman,
         "events_tukey_hsd": q_events_tukey_hsd,
         "orders_lot_sizing": q_orders_lot_sizing,
@@ -4925,6 +4963,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_levene": _ext_oracle(
             [_tmp.ORACLE_LEVENE], "levene_test"
+        ),
+        "events_durbin_watson": _ext_oracle(
+            [_tmp.ORACLE_DURBIN_WATSON], "durbin_watson"
+        ),
+        "events_grubbs": _ext_oracle(
+            [_tmp.ORACLE_GRUBBS], "grubbs_extreme"
+        ),
+        "events_brown_forsythe": _ext_oracle(
+            [_tmp.ORACLE_BROWN_FORSYTHE], "brown_forsythe"
+        ),
+        "events_cliffs_delta": _ext_oracle(
+            [_tmp.ORACLE_CLIFFS_DELTA], "cliffs_delta"
         ),
         "events_friedman": _ext_oracle(
             [_tmp.ORACLE_FRIEDMAN], "friedman_test"

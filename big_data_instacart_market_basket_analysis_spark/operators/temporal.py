@@ -15567,3 +15567,509 @@ partial_correlation AS (
   FROM pc_r
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson first-order autocorrelation test (round 7)
+# ---------------------------------------------------------------------------
+
+#: rule-of-thumb DW bands: < 1.5 positive autocorrelation, > 2.5
+#: negative (the exact dL/dU bounds depend on n and regressor count —
+#: a table lookup, not an expression; the bands are the standard
+#: practitioners' screen).
+DW_POS_BAND = 1.5
+DW_NEG_BAND = 2.5
+
+
+def durbin_watson(events: DataFrame) -> DataFrame:
+    """Durbin-Watson statistic of the daily purchase-revenue series
+    (deviations from its own mean — the null-model residuals):
+    DW = sum (x_t - x_{t-1})^2 / sum (x_t - xbar)^2, the classic
+    first-order serial-correlation screen that complements the
+    ACF/Ljung-Box report (``events_acf``) with the single-number
+    regression-residual diagnostic (DW ~ 2(1 - rho1)).
+
+    EXACT until the last division: both quadratic forms assemble from
+    integer cent sums as DECIMAL(38,0) — numerator n*ssd, denominator
+    n*Q - S^2 (the n-scaled centered sum of squares, so the mean
+    never materializes as a rational). Overflow envelope: n*Q < 1e38
+    holds while daily sums stay under ~1.5e17 cents at a 10-year
+    calendar — same decade analysis as SCALE.md's changepoint
+    section, same rescaling rule beyond it.
+
+    One corpus pass to day grain; the lag-1 difference rides a
+    calendar-bounded ordered window (the acf_report stance).
+    Output (1 row): n_days, dw, positive_autocorr, negative_autocorr.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("bigint")
+            ).alias("x")
+        )
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "x", (F.col("x") - F.lag("x", 1).over(w)).alias("d")
+    )
+    m = lagged.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("q"),
+        F.sum(dec(F.col("d")) * dec(F.col("d"))).alias("ssd"),
+    )
+    num = dec(F.col("n")) * F.col("ssd")
+    den = dec(F.col("n")) * F.col("q") - dec(F.col("s")) * dec(
+        F.col("s")
+    )
+    dw = F.round(num.cast("double") / den.cast("double"), 6)
+    return m.select(
+        F.col("n").alias("n_days"),
+        dw.alias("dw"),
+        (dw < DW_POS_BAND).alias("positive_autocorr"),
+        (dw > DW_NEG_BAND).alias("negative_autocorr"),
+    )
+
+
+ORACLE_DURBIN_WATSON = f"""
+dwt_d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+dwt_l AS (
+  SELECT x, x - lag(x) OVER (ORDER BY day) AS d FROM dwt_d
+),
+dwt_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q,
+         CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS ssd
+  FROM dwt_l
+),
+durbin_watson AS (
+  SELECT n AS n_days,
+         round(CAST(n * ssd AS DOUBLE)
+               / CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE), 6)
+           AS dw,
+         round(CAST(n * ssd AS DOUBLE)
+               / CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE), 6)
+           < {DW_POS_BAND} AS positive_autocorr,
+         round(CAST(n * ssd AS DOUBLE)
+               / CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE), 6)
+           > {DW_NEG_BAND} AS negative_autocorr
+  FROM dwt_m
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grubbs extreme-studentized-deviate screen (round 7)
+# ---------------------------------------------------------------------------
+
+
+def grubbs_extreme(events: DataFrame) -> DataFrame:
+    """Grubbs-style extreme studentized deviate of the daily
+    purchase-revenue series: G = max|x - xbar| / s — "is the single
+    most extreme day statistically surprising", the one-point
+    complement to the windowed Hampel/MAD screens. The exact Grubbs
+    critical value is a t-quantile in n (engine-ulp territory, like
+    the DFT's trig basis — deliberately not reproduced); the emitted
+    flag is the practitioners' G > 3 three-sigma screen, with G
+    itself exact-to-rounding for any downstream table lookup.
+
+    The extreme day is selected by EXACT integer comparison: the
+    n-scaled deviation |x*n - S| is a BIGINT-in-DECIMAL, the max is
+    integral, and ties break to the earliest day (min day at the max
+    — deterministic in both engines, no arg_max tie ambiguity).
+    G = maxdev * sqrt((n-1) / (n * (n*Q - S^2))) assembles in doubles
+    only at the end, rounded 6 dp.
+
+    One day collapse + one broadcast re-scan of the day table.
+    Output (1 row): n_days, extreme_day, extreme_cents, g_stat,
+    exceeds_three_sigma.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("bigint")
+            ).alias("x")
+        )
+        .localCheckpoint(eager=True)  # day-grain; read twice
+    )
+    m = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("q"),
+    )
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "x",
+        "n",
+        "s",
+        "q",
+        F.abs(dec(F.col("x")) * dec(F.col("n")) - dec(F.col("s"))).alias(
+            "dn"
+        ),
+    )
+    mx = dev.groupBy().agg(F.max("dn").alias("mx"))
+    ext = (
+        dev.join(F.broadcast(mx), F.col("dn") == F.col("mx"))
+        .groupBy("n", "s", "q", "mx")
+        .agg(
+            F.min("day").alias("extreme_day"),
+            F.min("x").alias("extreme_cents"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    den = (
+        dec(F.col("n")) * F.col("q")
+        - dec(F.col("s")) * dec(F.col("s"))
+    ).cast("double")
+    g = F.round(
+        F.col("mx").cast("double") * F.sqrt((nd - 1) / (nd * den)), 6
+    )
+    return ext.select(
+        F.col("n").alias("n_days"),
+        "extreme_day",
+        "extreme_cents",
+        g.alias("g_stat"),
+        (g > 3.0).alias("exceeds_three_sigma"),
+    )
+
+
+ORACLE_GRUBBS = """
+gr_d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+gr_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+  FROM gr_d
+),
+gr_dev AS (
+  SELECT d.day, d.x, m.n, m.s, m.q,
+         abs(CAST(d.x AS HUGEINT) * m.n - m.s) AS dn
+  FROM gr_d d, gr_m m
+),
+gr_mx AS (SELECT max(dn) AS mx FROM gr_dev),
+grubbs_extreme AS (
+  SELECT n AS n_days,
+         min(day) AS extreme_day,
+         min(x) AS extreme_cents,
+         round(CAST(mx AS DOUBLE)
+               * sqrt((CAST(n AS DOUBLE) - 1)
+                      / (CAST(n AS DOUBLE)
+                         * CAST(n * q - CAST(s AS HUGEINT) * s
+                                AS DOUBLE))), 6) AS g_stat,
+         round(CAST(mx AS DOUBLE)
+               * sqrt((CAST(n AS DOUBLE) - 1)
+                      / (CAST(n AS DOUBLE)
+                         * CAST(n * q - CAST(s AS HUGEINT) * s
+                                AS DOUBLE))), 6) > 3.0
+           AS exceeds_three_sigma
+  FROM gr_dev JOIN gr_mx ON dn = mx
+  GROUP BY n, s, q, mx
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe median-based variance homogeneity (round 7)
+# ---------------------------------------------------------------------------
+
+
+def brown_forsythe(events: DataFrame) -> DataFrame:
+    """Brown-Forsythe test: Levene's ANOVA-on-deviations with the
+    deviations taken from each group's MEDIAN instead of its mean —
+    the recommended default when groups are skewed or heavy-tailed
+    (the mean-based W in ``events_levene`` loses level control
+    there). Completes the scale-test ladder: Levene (mean),
+    Brown-Forsythe (median), Ansari-Bradley (ranks).
+
+    Each group's median is the EXACT order statistic under the same
+    upper-median convention as ``events_mood_median``, selected by
+    PER-GROUP octave-bucket prefix sums (offsets ride a bucket-grain
+    partitioned window <= 48 rows per group; within-octave prefixes a
+    (group, octave)-partitioned window — zero global windows). The
+    deviations z = |c - med_g| are then plain BIGINTs, so the group
+    moments are exact and the F statistic assembles from the k=5
+    moment rows in one mirrored double chain.
+
+    Two corpus passes (value-grain agg; deviation agg against the
+    broadcast 5-row median frame). Output (1 row): k, n, ssb, ssw,
+    f_stat, homogeneous.
+    """
+    cg = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    vg = cg.groupBy("event_type", "c").agg(F.count("*").alias("cnt"))
+    v = F.col("c")
+    bkt = (
+        F.when(v >= 0, F.floor(F.log2(v + 1)))
+        .otherwise(-1 - F.floor(F.log2(-v)))
+        .cast("bigint")
+    )
+    vgb = vg.select("*", bkt.alias("bucket"))
+    woff = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    btot = vgb.groupBy("event_type", "bucket").agg(
+        F.sum("cnt").alias("bc")
+    )
+    offs = btot.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.sum("bc").over(woff), F.lit(0)).alias("off"),
+    )
+    win = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vgb.join(offs, ["event_type", "bucket"]).select(
+        "event_type",
+        "c",
+        (F.col("off") + F.sum("cnt").over(win)).alias("cum"),
+    )
+    ng = vg.groupBy("event_type").agg(F.sum("cnt").alias("ng"))
+    med = (
+        cum.join(ng, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= (F.col("ng") + 1) / 2, F.col("c")
+                )
+            ).alias("med")
+        )
+    )
+    gm = (
+        cg.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("c") - F.col("med")).alias("z"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("ng"),
+            F.sum("z").alias("sg"),
+            F.sum(F.col("z") * F.col("z")).alias("qg"),
+        )
+    )
+    m = gm.agg(
+        F.count("*").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum(
+            F.col("sg").cast("double")
+            * F.col("sg").cast("double")
+            / F.col("ng").cast("double")
+        ).alias("t1"),
+        F.sum(F.col("sg").cast("double")).alias("ts"),
+        F.sum(F.col("qg").cast("double")).alias("t2"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    ssb = F.col("t1") - F.col("ts") * F.col("ts") / nd
+    ssw = F.col("t2") - F.col("t1")
+    f = (ssb / (kd - 1)) / (ssw / (nd - kd))
+    return m.select(
+        "k",
+        "n",
+        F.round(ssb, 4).alias("ssb"),
+        F.round(ssw, 4).alias("ssw"),
+        F.round(f, 6).alias("f_stat"),
+        (F.round(f, 6) <= ANOVA_F_CRIT_05).alias("homogeneous"),
+    )
+
+
+ORACLE_BROWN_FORSYTHE = f"""
+bf_c AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+bf_v AS (
+  SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+  FROM bf_c GROUP BY 1, 2
+),
+bf_cum AS (
+  SELECT event_type, c,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum
+  FROM bf_v
+),
+bf_ng AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS ng
+  FROM bf_v GROUP BY 1
+),
+bf_med AS (
+  SELECT m.event_type,
+         min(CASE WHEN m.cum >= (g.ng + 1) / 2 THEN m.c END) AS med
+  FROM bf_cum m JOIN bf_ng g ON m.event_type = g.event_type
+  GROUP BY 1
+),
+bf_gm AS (
+  SELECT c.event_type, CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(abs(c.c - m.med)) AS BIGINT) AS sg,
+         CAST(sum(CAST(abs(c.c - m.med) AS HUGEINT)
+                  * abs(c.c - m.med)) AS HUGEINT) AS qg
+  FROM bf_c c JOIN bf_med m ON c.event_type = m.event_type
+  GROUP BY 1
+),
+bf_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(ng) AS BIGINT) AS n,
+         sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+             / CAST(ng AS DOUBLE)) AS t1,
+         sum(CAST(sg AS DOUBLE)) AS ts,
+         sum(CAST(qg AS DOUBLE)) AS t2
+  FROM bf_gm
+),
+brown_forsythe AS (
+  SELECT k, n,
+         round(t1 - ts * ts / CAST(n AS DOUBLE), 4) AS ssb,
+         round(t2 - t1, 4) AS ssw,
+         round(((t1 - ts * ts / CAST(n AS DOUBLE))
+                / (CAST(k AS DOUBLE) - 1))
+               / ((t2 - t1) / (CAST(n AS DOUBLE)
+                               - CAST(k AS DOUBLE))), 6) AS f_stat,
+         round(((t1 - ts * ts / CAST(n AS DOUBLE))
+                / (CAST(k AS DOUBLE) - 1))
+               / ((t2 - t1) / (CAST(n AS DOUBLE)
+                               - CAST(k AS DOUBLE))), 6)
+           <= {ANOVA_F_CRIT_05} AS homogeneous
+  FROM bf_m
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta ordinal effect size (round 7)
+# ---------------------------------------------------------------------------
+
+#: Romano et al. magnitude bands on |delta|.
+CLIFFS_NEGLIGIBLE = 0.147
+CLIFFS_SMALL = 0.33
+CLIFFS_MEDIUM = 0.474
+
+
+def cliffs_delta(events: DataFrame) -> DataFrame:
+    """Cliff's delta between purchase and click event values:
+    delta = (#(x>y) - #(x<y)) / (n1*n2) — the ordinal,
+    distribution-free effect size that complements Cohen's d
+    (``events_effect_size``: means can be dominated by whales) and
+    the Mann-Whitney z (significance, not magnitude).
+
+    All three pair counts are EXACT integers from one pass of the
+    octave-bucket prefix kernel (``_cent_prefix``): on the cent
+    grain, #(x>y) = sum c1(v) * (#y strictly below v), ties =
+    sum c1(v)*c2(v), #(x<y) = n1*n2 - gt - ties — no pair join, no
+    global window. Only the final delta divides, rounded 6 dp; the
+    magnitude label reads the ROUNDED delta (the JSD guard
+    convention).
+
+    Output (1 row): n1, n2, n_gt, n_lt, n_tie, delta, magnitude.
+    """
+    cg = events.filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        (F.col("event_type") == "purchase").alias("is_x"),
+    )
+    vg = cg.groupBy("c").agg(
+        F.sum(F.when(F.col("is_x"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("is_x"), 0).otherwise(1)).alias("c2"),
+    )
+    pre = _cent_prefix(vg, ["c2"], inclusive=False)
+    agg = pre.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * F.col("_pre_c2")).alias("n_gt"),
+        F.sum(F.col("c1") * F.col("c2")).alias("n_tie"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    lt = n1 * n2 - F.col("n_gt") - F.col("n_tie")
+    delta = F.round(
+        (F.col("n_gt") - lt).cast("double")
+        / (n1 * n2).cast("double"),
+        6,
+    )
+    mag = (
+        F.when(F.abs(delta) < CLIFFS_NEGLIGIBLE, "negligible")
+        .when(F.abs(delta) < CLIFFS_SMALL, "small")
+        .when(F.abs(delta) < CLIFFS_MEDIUM, "medium")
+        .otherwise("large")
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "n_gt",
+        lt.alias("n_lt"),
+        "n_tie",
+        delta.alias("delta"),
+        mag.alias("magnitude"),
+    )
+
+
+ORACLE_CLIFFS_DELTA = f"""
+cd_c AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+         event_type = 'purchase' AS is_x
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+),
+cd_v AS (
+  SELECT c,
+         CAST(sum(CASE WHEN is_x THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN is_x THEN 0 ELSE 1 END) AS BIGINT) AS c2
+  FROM cd_c GROUP BY 1
+),
+cd_p AS (
+  SELECT c1, c2,
+         CAST(coalesce(sum(c2) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS pre_c2
+  FROM cd_v
+),
+cd_a AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(c1 * pre_c2) AS BIGINT) AS n_gt,
+         CAST(sum(c1 * c2) AS BIGINT) AS n_tie
+  FROM cd_p
+),
+cliffs_delta AS (
+  SELECT n1, n2, n_gt,
+         n1 * n2 - n_gt - n_tie AS n_lt,
+         n_tie,
+         round(CAST(n_gt - (n1 * n2 - n_gt - n_tie) AS DOUBLE)
+               / CAST(n1 * n2 AS DOUBLE), 6) AS delta,
+         CASE WHEN abs(round(CAST(n_gt - (n1 * n2 - n_gt - n_tie)
+                    AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6))
+                   < {CLIFFS_NEGLIGIBLE} THEN 'negligible'
+              WHEN abs(round(CAST(n_gt - (n1 * n2 - n_gt - n_tie)
+                    AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6))
+                   < {CLIFFS_SMALL} THEN 'small'
+              WHEN abs(round(CAST(n_gt - (n1 * n2 - n_gt - n_tie)
+                    AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6))
+                   < {CLIFFS_MEDIUM} THEN 'medium'
+              ELSE 'large' END AS magnitude
+  FROM cd_a
+)
+"""

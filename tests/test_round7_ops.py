@@ -102,3 +102,109 @@ def test_tablesample_fraction_and_determinism(spark):
         .collect()
     )
     assert h1 == h2
+
+
+def _tev(spark, rows):
+    """(ts, event_type, value) frame for the temporal family."""
+    return spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    )
+
+
+def _days(vals, typ="purchase"):
+    from datetime import datetime
+
+    return [
+        (datetime(2024, 1, d + 1, 9), typ, float(v))
+        for d, v in enumerate(vals)
+    ]
+
+
+def test_durbin_watson_hand_worked(spark):
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    # alternating 1,3,1,3 dollars: num = 3*200^2, den = 4*100^2 -> 3.0
+    r = temporal.durbin_watson(_tev(spark, _days([1, 3, 1, 3]))).collect()[0]
+    assert r["dw"] == 3.0
+    assert r["negative_autocorr"] and not r["positive_autocorr"]
+    # monotone ramp 1..4: num = 3*100^2 = 30000, den = 50000 -> 0.6
+    r = temporal.durbin_watson(_tev(spark, _days([1, 2, 3, 4]))).collect()[0]
+    assert r["dw"] == 0.6
+    assert r["positive_autocorr"] and not r["negative_autocorr"]
+
+
+def test_grubbs_hand_worked(spark):
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    # [1,1,1,10] dollars: maxdev day 4, g = 675/450 = 1.5
+    r = temporal.grubbs_extreme(
+        _tev(spark, _days([1, 1, 1, 10]))
+    ).collect()[0]
+    assert r["extreme_day"].day == 4
+    assert r["extreme_cents"] == 1000
+    assert r["g_stat"] == 1.5
+    assert not r["exceeds_three_sigma"]
+
+
+def test_brown_forsythe_identical_groups_homogeneous(spark):
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    rows = []
+    for t in ("view", "purchase"):
+        rows += [(t, v) for v in (1.0, 2.0, 3.0, 4.0, 5.0)]
+    r = temporal.brown_forsythe(
+        spark.createDataFrame(rows, "event_type string, value double")
+    ).collect()[0]
+    assert r["f_stat"] == 0.0
+    assert r["homogeneous"]
+
+
+def test_brown_forsythe_scale_difference_flagged(spark):
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    rows = [("view", float(v)) for v in (10, 10, 10, 10, 11)] + [
+        ("purchase", float(v)) for v in (1, 500, 1, 500, 1000)
+    ]
+    r = temporal.brown_forsythe(
+        spark.createDataFrame(rows, "event_type string, value double")
+    ).collect()[0]
+    assert r["f_stat"] > temporal.ANOVA_F_CRIT_05
+    assert not r["homogeneous"]
+
+
+def test_cliffs_delta_hand_worked(spark):
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    def ev(purch, clicks):
+        from datetime import datetime
+
+        rows = [
+            (datetime(2024, 1, 1, i), "purchase", float(v))
+            for i, v in enumerate(purch)
+        ] + [
+            (datetime(2024, 1, 2, i), "click", float(v))
+            for i, v in enumerate(clicks)
+        ]
+        return _tev(spark, rows)
+
+    # complete separation -> delta 1, large
+    r = temporal.cliffs_delta(ev([10, 20], [1, 2])).collect()[0]
+    assert (r["n_gt"], r["n_lt"], r["n_tie"]) == (4, 0, 0)
+    assert r["delta"] == 1.0 and r["magnitude"] == "large"
+    # crossing pairs -> 0, negligible
+    r = temporal.cliffs_delta(ev([5, 10], [1, 20])).collect()[0]
+    assert (r["n_gt"], r["n_lt"]) == (2, 2)
+    assert r["delta"] == 0.0 and r["magnitude"] == "negligible"
+    # ties counted, excluded from both directions
+    r = temporal.cliffs_delta(ev([5, 7], [5, 3])).collect()[0]
+    assert r["n_tie"] == 1 and r["n_gt"] == 3 and r["n_lt"] == 0
