@@ -2184,6 +2184,32 @@ def q_events_cliffs_delta(
     return _tmp.cliffs_delta(load_table(spark, sf_dir, "events"))
 
 
+def q_events_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over the user x type incidence matrix: exact
+    k-scaled integer form, k-row assembly."""
+    return _tmp.cochran_q(load_table(spark, sf_dir, "events"))
+
+
+def q_events_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L ordered-alternative trend across the 7-day revenue
+    cycle: Friedman's doubled-midrank grid weighted by position,
+    gapfilled complete blocks only."""
+    return _tmp.page_trend(load_table(spark, sf_dir, "events"))
+
+
+def q_events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis over dyadic day
+    windows: integer-exact R and sd moments per block, 3-point
+    log-log OLS."""
+    return _tmp.hurst_exponent(load_table(spark, sf_dir, "events"))
+
+
+def q_events_weibull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull shape/scale by median-rank regression on the packed
+    day series — sequential same-IEEE folds in both engines."""
+    return _tmp.weibull_fit(load_table(spark, sf_dir, "events"))
+
+
 def q_events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Friedman blocked rank test (types ranked within each day):
     all-integer Conover form — doubled mid-ranks from the k^2/day
@@ -3878,6 +3904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_grubbs": q_events_grubbs,
         "events_brown_forsythe": q_events_brown_forsythe,
         "events_cliffs_delta": q_events_cliffs_delta,
+        "events_cochran_q": q_events_cochran_q,
+        "events_page_trend": q_events_page_trend,
+        "events_hurst": q_events_hurst,
+        "events_weibull": q_events_weibull,
         "events_friedman": q_events_friedman,
         "events_tukey_hsd": q_events_tukey_hsd,
         "orders_lot_sizing": q_orders_lot_sizing,
@@ -4975,6 +5005,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_cliffs_delta": _ext_oracle(
             [_tmp.ORACLE_CLIFFS_DELTA], "cliffs_delta"
+        ),
+        "events_cochran_q": _ext_oracle(
+            [_tmp.ORACLE_COCHRAN_Q], "cochran_q"
+        ),
+        "events_page_trend": _ext_oracle(
+            [_tmp.ORACLE_PAGE_TREND], "page_trend"
+        ),
+        "events_hurst": _ext_oracle(
+            [_tmp.ORACLE_HURST], "hurst_exponent"
+        ),
+        "events_weibull": _ext_oracle(
+            [_tmp.ORACLE_WEIBULL], "weibull_fit"
         ),
         "events_friedman": _ext_oracle(
             [_tmp.ORACLE_FRIEDMAN], "friedman_test"

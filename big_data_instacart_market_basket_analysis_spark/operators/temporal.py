@@ -16073,3 +16073,596 @@ cliffs_delta AS (
   FROM cd_a
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q for k related binary treatments (round 7)
+# ---------------------------------------------------------------------------
+
+
+def cochran_q(events: DataFrame) -> DataFrame:
+    """Cochran's Q over the user x event-type INCIDENCE matrix (did
+    user u ever emit type t): do the k event types differ in reach —
+    the k-treatment generalization of McNemar (``events_mcnemar``)
+    for matched binary outcomes, the presence/absence complement to
+    the magnitude ladder (ANOVA/KW on values).
+
+    Exact integer algebra end to end: with column totals C_t, row
+    totals R_u and N = sum C_t, Q = (k-1) * sum_t (k*C_t - N)^2 /
+    (k * (k*N - sum_u R_u^2)) — the k-scaled form that never builds
+    the rational N/k. All-zero and all-one rows are provably
+    Q-neutral (they shift every C_t and N together), so no row
+    filtering convention is needed.
+
+    Scale: one distinct-pair hash-agg (user, type), then user-grain
+    and type-grain rollups — k is the type domain, so the final
+    assembly is a k-row fold. Output (1 row): k, n_users,
+    n_incidences, q_stat, significant (chi2 df=4 at .05 — the
+    fixture's k=5 convention, same literal as the KW test).
+    """
+    inc = events.select("user_id", "event_type").distinct()
+    ct = inc.groupBy("event_type").agg(F.count("*").alias("c"))
+    ru = inc.groupBy("user_id").agg(F.count("*").alias("r"))
+    rtot = ru.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("r") * F.col("r")).alias("r2"),
+    )
+    m = (
+        ct.agg(
+            F.count("*").alias("k"),
+            F.sum("c").alias("nn"),
+            F.collect_list("c").alias("cs"),
+        )
+        .crossJoin(F.broadcast(rtot))
+    )
+    num = (F.col("k") - 1) * F.aggregate(
+        "cs",
+        F.lit(0).cast("bigint"),
+        lambda acc, c: acc
+        + (F.col("k") * c - F.col("nn"))
+        * (F.col("k") * c - F.col("nn")),
+    )
+    den = F.col("k") * (F.col("k") * F.col("nn") - F.col("r2"))
+    q = F.when(
+        den != 0,
+        F.round(num.cast("double") / den.cast("double"), 6),
+    )
+    return m.select(
+        "k",
+        "n_users",
+        F.col("nn").alias("n_incidences"),
+        q.alias("q_stat"),
+        (q > KRUSKAL_CHI2_CRIT_05).alias("significant"),
+    )
+
+
+ORACLE_COCHRAN_Q = f"""
+cq_inc AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+cq_ct AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS c
+  FROM cq_inc GROUP BY 1
+),
+cq_ru AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(r * r) AS BIGINT) AS r2
+  FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS r
+        FROM cq_inc GROUP BY 1)
+),
+cq_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(c) AS BIGINT) AS nn
+  FROM cq_ct
+),
+cq_num AS (
+  SELECT (m.k - 1)
+         * CAST(sum((m.k * t.c - m.nn) * (m.k * t.c - m.nn))
+                AS BIGINT) AS num
+  FROM cq_ct t, cq_m m GROUP BY m.k, m.nn
+),
+cochran_q AS (
+  SELECT m.k, u.n_users, m.nn AS n_incidences,
+         CASE WHEN m.k * (m.k * m.nn - u.r2) <> 0 THEN
+           round(CAST(n.num AS DOUBLE)
+                 / CAST(m.k * (m.k * m.nn - u.r2) AS DOUBLE), 6)
+         END AS q_stat,
+         CASE WHEN m.k * (m.k * m.nn - u.r2) <> 0 THEN
+           round(CAST(n.num AS DOUBLE)
+                 / CAST(m.k * (m.k * m.nn - u.r2) AS DOUBLE), 6)
+         END > {KRUSKAL_CHI2_CRIT_05} AS significant
+  FROM cq_m m, cq_ru u, cq_num n
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Page's trend test over the 7-day revenue cycle (round 7)
+# ---------------------------------------------------------------------------
+
+PAGE_CYCLE = 7
+
+
+def page_trend(events: DataFrame) -> DataFrame:
+    """Page's L test for an ORDERED alternative: does daily purchase
+    revenue trend monotonically across the 7-day cycle? Friedman
+    (``events_friedman``) only answers "are the positions different";
+    Page's L = sum_j j*R_j weights the within-block ranks by the
+    hypothesized order and so has power specifically against
+    monotone trends.
+
+    Blocks are consecutive 7-day calendar windows from the first
+    event day over the GAPFILLED calendar (absent days enter as 0
+    revenue — a sequence() explode, calendar-bounded), keeping only
+    complete blocks; position j = 1..7 within the block. Ranks use
+    the same doubled-midrank k^2-per-block grid as Friedman (exact
+    integers), so L2 = sum j*2R_j is a BIGINT; the normal
+    approximation z = (L2 - b*k(k+1)^2/2) / sqrt(b*k^2(k+1)(k^2-1)/36)
+    assembles in doubles (midrank ties use the untied-variance
+    formula — the standard practical convention, documented).
+
+    One corpus pass to day grain; everything after is
+    calendar-bounded grid algebra, no windows. Output (1 row):
+    n_blocks, k, l2_stat, z, increasing, decreasing (one-sided 1.645
+    both ways).
+    """
+    k = PAGE_CYCLE
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("bigint")
+            ).alias("x")
+        )
+    )
+    span = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        F.explode(F.expr("sequence(d0, d1)")).alias("day"), "d0"
+    )
+    grid = (
+        cal.join(daily, "day", "left")
+        .select(
+            F.floor(F.datediff("day", "d0") / k).alias("blk"),
+            (F.datediff("day", "d0") % k + 1).alias("pos"),
+            F.coalesce("x", F.lit(0)).alias("x"),
+        )
+    )
+    full = grid.groupBy("blk").agg(F.count("*").alias("c")).filter(
+        F.col("c") == k
+    ).select("blk")
+    g = grid.join(full, "blk", "leftsemi")
+    other = g.select(
+        F.col("blk").alias("b2"), F.col("x").alias("x2")
+    )
+    r2 = (
+        g.join(other, F.col("blk") == F.col("b2"))
+        .groupBy("blk", "pos", "x")
+        .agg(
+            (
+                2 * F.sum((F.col("x2") < F.col("x")).cast("bigint"))
+                + F.sum((F.col("x2") == F.col("x")).cast("bigint"))
+                + 1
+            ).alias("r2")
+        )
+    )
+    m = r2.agg(
+        F.countDistinct("blk").alias("b"),
+        F.sum(F.col("pos") * F.col("r2")).alias("l2"),
+    )
+    bd = F.col("b").cast("double")
+    e2 = bd * k * (k + 1) * (k + 1) / 2.0
+    var2 = bd * k * k * (k + 1) * (k * k - 1) / 36.0
+    z = F.round((F.col("l2") - e2) / F.sqrt(var2), 6)
+    return m.select(
+        F.col("b").alias("n_blocks"),
+        F.lit(k).alias("k"),
+        F.col("l2").alias("l2_stat"),
+        z.alias("z"),
+        (z > 1.645).alias("increasing"),
+        (z < -1.645).alias("decreasing"),
+    )
+
+
+ORACLE_PAGE_TREND = f"""
+pg_d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+pg_span AS (SELECT min(day) AS d0, max(day) AS d1 FROM pg_d),
+pg_cal AS (
+  SELECT unnest(generate_series(s.d0, s.d1,
+                                INTERVAL 1 DAY))::DATE AS day, s.d0
+  FROM pg_span s
+),
+pg_grid AS (
+  SELECT CAST(datediff('day', c.d0, c.day) // {PAGE_CYCLE}
+              AS BIGINT) AS blk,
+         CAST(datediff('day', c.d0, c.day) % {PAGE_CYCLE} + 1
+              AS BIGINT) AS pos,
+         coalesce(d.x, 0) AS x
+  FROM pg_cal c LEFT JOIN pg_d d ON d.day = c.day
+),
+pg_full AS (
+  SELECT blk FROM pg_grid GROUP BY 1
+  HAVING count(*) = {PAGE_CYCLE}
+),
+pg_g AS (
+  SELECT g.* FROM pg_grid g
+  WHERE EXISTS (SELECT 1 FROM pg_full f WHERE f.blk = g.blk)
+),
+pg_r2 AS (
+  SELECT g.blk, g.pos, g.x,
+         2 * CAST(sum(CASE WHEN o.x < g.x THEN 1 ELSE 0 END)
+                  AS BIGINT)
+         + CAST(sum(CASE WHEN o.x = g.x THEN 1 ELSE 0 END)
+                AS BIGINT) + 1 AS r2
+  FROM pg_g g JOIN pg_g o ON g.blk = o.blk
+  GROUP BY 1, 2, 3
+),
+pg_m AS (
+  SELECT CAST(count(DISTINCT blk) AS BIGINT) AS b,
+         CAST(sum(pos * r2) AS BIGINT) AS l2
+  FROM pg_r2
+),
+page_trend AS (
+  SELECT b AS n_blocks, CAST({PAGE_CYCLE} AS INT) AS k,
+         l2 AS l2_stat,
+         round((l2 - CAST(b AS DOUBLE) * {PAGE_CYCLE}
+                * {PAGE_CYCLE + 1} * {PAGE_CYCLE + 1} / 2.0)
+               / sqrt(CAST(b AS DOUBLE) * {PAGE_CYCLE * PAGE_CYCLE}
+                      * {PAGE_CYCLE + 1}
+                      * {PAGE_CYCLE * PAGE_CYCLE - 1} / 36.0), 6)
+           AS z,
+         round((l2 - CAST(b AS DOUBLE) * {PAGE_CYCLE}
+                * {PAGE_CYCLE + 1} * {PAGE_CYCLE + 1} / 2.0)
+               / sqrt(CAST(b AS DOUBLE) * {PAGE_CYCLE * PAGE_CYCLE}
+                      * {PAGE_CYCLE + 1}
+                      * {PAGE_CYCLE * PAGE_CYCLE - 1} / 36.0), 6)
+           > 1.645 AS increasing,
+         round((l2 - CAST(b AS DOUBLE) * {PAGE_CYCLE}
+                * {PAGE_CYCLE + 1} * {PAGE_CYCLE + 1} / 2.0)
+               / sqrt(CAST(b AS DOUBLE) * {PAGE_CYCLE * PAGE_CYCLE}
+                      * {PAGE_CYCLE + 1}
+                      * {PAGE_CYCLE * PAGE_CYCLE - 1} / 36.0), 6)
+           < -1.645 AS decreasing
+  FROM pg_m
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis (round 7)
+# ---------------------------------------------------------------------------
+
+#: dyadic R/S window sizes (days). Data-independent grid; windows
+#: with fewer than 2 complete blocks at the fixture span simply drop
+#: out of the regression (mirrored in the oracle).
+HURST_WINDOWS = (8, 16, 32)
+
+
+def hurst_exponent(events: DataFrame) -> DataFrame:
+    """Hurst exponent of daily purchase revenue by classic rescaled-
+    range analysis: split the (gapfilled) day series into complete
+    blocks of w days for each dyadic w, compute R/S per block
+    (range of cumulative mean-deviations over the block sd), and
+    regress log2(mean R/S) on log2(w) — H > 0.5 long-range
+    persistence, H < 0.5 mean reversion, the fractal complement to
+    the ACF's fixed-lag view.
+
+    Integer-exact core: within a block of size w, the w-scaled
+    cumulative deviation at step j is the BIGINT w*cum_j - j*S_w, so
+    R*w = max - min is exact and S^2 assembles from integer moments;
+    only the final R/S, log2 and the 3-point OLS slope are doubles,
+    rounded 6 dp. Per-block prefix sums ride (w, block)-partitioned
+    windows — w-bounded by the declared grid, zero global windows.
+
+    One corpus pass to day grain, then |grid| x days bounded algebra.
+    Output (1 row): n_days, n_points, hurst, persistent.
+    """
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("bigint")
+            ).alias("x")
+        )
+    )
+    span = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        F.explode(F.expr("sequence(d0, d1)")).alias("day"), "d0"
+    )
+    ser = cal.join(daily, "day", "left").select(
+        F.datediff("day", "d0").alias("idx"),
+        F.coalesce("x", F.lit(0)).alias("x"),
+    )
+    n_days = ser.groupBy().agg(F.count("*").alias("n_days"))
+    arms = ser.select(
+        "idx",
+        "x",
+        F.explode(
+            F.array(*[F.lit(w) for w in HURST_WINDOWS])
+        ).alias("w"),
+    ).select(
+        "w",
+        F.floor(F.col("idx") / F.col("w")).alias("blk"),
+        (F.col("idx") % F.col("w") + 1).alias("j"),
+        "x",
+    )
+    full = (
+        arms.groupBy("w", "blk")
+        .agg(F.count("*").alias("c"), F.sum("x").alias("sw"))
+        .filter(F.col("c") == F.col("w"))
+        .select("w", "blk", "sw")
+    )
+    win = (
+        Window.partitionBy("w", "blk")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = (
+        arms.join(full, ["w", "blk"])
+        .select(
+            "w",
+            "blk",
+            "j",
+            "x",
+            "sw",
+            (
+                F.col("w") * F.sum("x").over(win)
+                - F.col("j") * F.col("sw")
+            ).alias("cumdev_w"),
+        )
+    )
+    decc = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    blocks = dev.groupBy("w", "blk").agg(
+        (
+            (F.greatest(F.max("cumdev_w"), F.lit(0))
+             - F.least(F.min("cumdev_w"), F.lit(0))).cast("double")
+            / F.col("w").cast("double")
+        ).alias("r"),
+        # population sd from EXACT integer moments (a double x^2 sum
+        # loses integer exactness past 2^53)
+        F.sqrt(
+            F.sum(decc(F.col("x")) * decc(F.col("x"))).cast("double")
+            / F.col("w").cast("double")
+            - (F.max("sw").cast("double") / F.col("w"))
+            * (F.max("sw").cast("double") / F.col("w"))
+        ).alias("s"),
+    )
+    per_w = (
+        blocks.filter(F.col("s") > 0)
+        .groupBy("w")
+        .agg(F.avg(F.col("r") / F.col("s")).alias("rs"))
+        .filter(F.col("rs") > 0)
+        .select(
+            F.log2("w").alias("lx"), F.log2("rs").alias("ly")
+        )
+    )
+    reg = per_w.agg(
+        F.count("*").alias("np"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    npd = F.col("np").cast("double")
+    h = F.round(
+        (npd * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (npd * F.col("sxx") - F.col("sx") * F.col("sx")),
+        6,
+    )
+    return reg.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        F.col("np").alias("n_points"),
+        h.alias("hurst"),
+        (h > 0.5).alias("persistent"),
+    )
+
+
+def _oracle_hurst() -> str:
+    ws = ", ".join(str(w) for w in HURST_WINDOWS)
+    return f"""
+hu_d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+hu_span AS (SELECT min(day) AS d0, max(day) AS d1 FROM hu_d),
+hu_ser AS (
+  SELECT CAST(datediff('day', s.d0, c.day) AS BIGINT) AS idx,
+         coalesce(d.x, 0) AS x
+  FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+               AS day, d0
+        FROM hu_span) c(day, d0)
+  CROSS JOIN hu_span s
+  LEFT JOIN hu_d d ON d.day = c.day
+),
+hu_n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM hu_ser),
+hu_arms AS (
+  SELECT w, idx // w AS blk, idx % w + 1 AS j, x
+  FROM hu_ser, unnest([{ws}]) AS t(w)
+),
+hu_full AS (
+  SELECT w, blk, CAST(sum(x) AS BIGINT) AS sw
+  FROM hu_arms GROUP BY 1, 2 HAVING count(*) = w
+),
+hu_dev AS (
+  SELECT a.w, a.blk, a.j, a.x, f.sw,
+         a.w * CAST(sum(a.x) OVER (PARTITION BY a.w, a.blk
+                 ORDER BY a.j ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT)
+           - a.j * f.sw AS cumdev_w
+  FROM hu_arms a JOIN hu_full f ON a.w = f.w AND a.blk = f.blk
+),
+hu_blocks AS (
+  SELECT w, blk,
+         CAST(greatest(max(cumdev_w), 0)
+              - least(min(cumdev_w), 0) AS DOUBLE)
+           / CAST(w AS DOUBLE) AS r,
+         sqrt(CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE)
+              / CAST(w AS DOUBLE)
+              - (CAST(max(sw) AS DOUBLE) / w)
+                * (CAST(max(sw) AS DOUBLE) / w)) AS s
+  FROM hu_dev GROUP BY 1, 2
+),
+hu_pw AS (
+  SELECT log2(CAST(w AS DOUBLE)) AS lx, log2(rs) AS ly
+  FROM (SELECT w, avg(r / s) AS rs FROM hu_blocks
+        WHERE s > 0 GROUP BY 1)
+  WHERE rs > 0
+),
+hu_reg AS (
+  SELECT CAST(count(*) AS BIGINT) AS np,
+         sum(lx) AS sx, sum(ly) AS sy,
+         sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+  FROM hu_pw
+),
+hurst_exponent AS (
+  SELECT n.n_days, r.np AS n_points,
+         round((CAST(r.np AS DOUBLE) * r.sxy - r.sx * r.sy)
+               / (CAST(r.np AS DOUBLE) * r.sxx - r.sx * r.sx), 6)
+           AS hurst,
+         round((CAST(r.np AS DOUBLE) * r.sxy - r.sx * r.sy)
+               / (CAST(r.np AS DOUBLE) * r.sxx - r.sx * r.sx), 6)
+           > 0.5 AS persistent
+  FROM hu_reg r, hu_n n
+)
+"""
+
+
+ORACLE_HURST = _oracle_hurst()
+
+
+# ---------------------------------------------------------------------------
+# Weibull fit by median-rank regression (round 7)
+# ---------------------------------------------------------------------------
+
+
+def weibull_fit(events: DataFrame) -> DataFrame:
+    """Weibull (shape, scale) fit of the daily purchase-revenue
+    distribution by MEDIAN-RANK REGRESSION — the probability-plot
+    method reliability engineering standardizes on: sort the n day
+    values, assign Bernard median ranks F_i = (i-0.3)/(n+0.4), and
+    OLS ln(-ln(1-F_i)) on ln(x_i); the slope IS the Weibull shape k
+    (k < 1 heavy-tailed/decreasing hazard), exp(-intercept/k) the
+    scale. Complements the Gumbel block-maxima fit (domain of
+    attraction vs body fit) and the Hill tail index.
+
+    Determinism: the day series packs into ONE (x, day)-sorted array
+    (calendar-bounded), and every regression sum is a SEQUENTIAL
+    executor-side fold over positions 1..n — the record-days/Gumbel
+    "same IEEE additions" protocol — so both engines add identical
+    doubles in identical order before the 6-dp rounding.
+
+    One corpus pass to day grain; the fold is O(days). Output
+    (1 row): n_days, shape, scale_cents, r2.
+    """
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("bigint")
+            ).alias("x")
+        )
+        .filter(F.col("x") > 0)
+    )
+    packed = daily.agg(
+        F.sort_array(F.collect_list(F.struct("x", "day"))).alias("s")
+    )
+
+    def fold(term: str) -> F.Column:
+        return F.expr(
+            "aggregate(sequence(1, size(s)), cast(0.0 as double),"
+            f" (a, i) -> a + ({term}))"
+        )
+
+    lx = "ln(cast(element_at(s, i).x as double))"
+    yy = (
+        "ln(-ln(1.0 - (cast(i as double) - 0.3)"
+        " / (cast(size(s) as double) + 0.4)))"
+    )
+    m = packed.select(
+        F.expr("size(s)").alias("n"),
+        fold(lx).alias("sx"),
+        fold(yy).alias("sy"),
+        fold(f"({lx}) * ({yy})").alias("sxy"),
+        fold(f"({lx}) * ({lx})").alias("sxx"),
+        fold(f"({yy}) * ({yy})").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    k = num / denx
+    b = (F.col("sy") - k * F.col("sx")) / nd
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(k, 6).alias("shape"),
+        F.round(F.exp(-b / k), 2).alias("scale_cents"),
+        F.round(num * num / (denx * deny), 6).alias("r2"),
+    )
+
+
+ORACLE_WEIBULL = """
+wb_d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+  HAVING sum(CAST(round(value * 100, 0) AS BIGINT)) > 0
+),
+wb_p AS (
+  SELECT list(x ORDER BY x, day) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM wb_d
+),
+wb_m AS (
+  SELECT n,
+         list_aggregate(list_transform(range(1, n + 1),
+           i -> ln(CAST(s[i] AS DOUBLE))), 'sum') AS sx,
+         list_aggregate(list_transform(range(1, n + 1),
+           i -> ln(-ln(1.0 - (CAST(i AS DOUBLE) - 0.3)
+                             / (CAST(n AS DOUBLE) + 0.4)))), 'sum')
+           AS sy,
+         list_aggregate(list_transform(range(1, n + 1),
+           i -> ln(CAST(s[i] AS DOUBLE))
+                * ln(-ln(1.0 - (CAST(i AS DOUBLE) - 0.3)
+                               / (CAST(n AS DOUBLE) + 0.4)))), 'sum')
+           AS sxy,
+         list_aggregate(list_transform(range(1, n + 1),
+           i -> ln(CAST(s[i] AS DOUBLE))
+                * ln(CAST(s[i] AS DOUBLE))), 'sum') AS sxx,
+         list_aggregate(list_transform(range(1, n + 1),
+           i -> ln(-ln(1.0 - (CAST(i AS DOUBLE) - 0.3)
+                             / (CAST(n AS DOUBLE) + 0.4)))
+                * ln(-ln(1.0 - (CAST(i AS DOUBLE) - 0.3)
+                               / (CAST(n AS DOUBLE) + 0.4)))), 'sum')
+           AS syy
+  FROM wb_p
+),
+weibull_fit AS (
+  SELECT n AS n_days,
+         round((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS shape,
+         round(exp(-((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                            / (CAST(n AS DOUBLE) * sxx - sx * sx))
+                           * sx) / CAST(n AS DOUBLE))
+                   / ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n AS DOUBLE) * sxx - sx * sx))), 2)
+           AS scale_cents,
+         round((CAST(n AS DOUBLE) * sxy - sx * sy)
+               * (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+  FROM wb_m
+)
+"""

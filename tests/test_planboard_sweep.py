@@ -38,6 +38,8 @@ GLOBAL_WINDOW_WHITELIST: dict[str, tuple[int, str]] = {
     "docs_global_shuffle": (1, "bucket"),
     "events_acf": (2, "lag grid + day"),
     "events_ar2_forecast": (2, "day"),
+    "events_durbin_watson": (1, "day (lag-1 diff over the daily "
+                                "series — the acf_report stance)"),
     "events_bitmap_retention": (1, "day"),
     "events_ccf": (1, "day"),
     "events_concurrency": (1, "hour"),

@@ -112,10 +112,11 @@ def _tev(spark, rows):
 
 
 def _days(vals, typ="purchase"):
-    from datetime import datetime
+    from datetime import datetime, timedelta
 
+    d0 = datetime(2024, 1, 1, 9)
     return [
-        (datetime(2024, 1, d + 1, 9), typ, float(v))
+        (d0 + timedelta(days=d), typ, float(v))
         for d, v in enumerate(vals)
     ]
 
@@ -208,3 +209,79 @@ def test_cliffs_delta_hand_worked(spark):
     # ties counted, excluded from both directions
     r = temporal.cliffs_delta(ev([5, 7], [5, 3])).collect()[0]
     assert r["n_tie"] == 1 and r["n_gt"] == 3 and r["n_lt"] == 0
+
+
+def test_cochran_q_hand_worked_and_neutral_rows(spark):
+    from datetime import datetime
+
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    def ev(pairs):
+        return spark.createDataFrame(
+            [
+                (datetime(2024, 1, 1, 9), u, t, 1.0)
+                for u, t in pairs
+            ],
+            "ts timestamp, user_id long, event_type string, value double",
+        )
+
+    base = [(1, "a"), (1, "b"), (2, "a"), (3, "a"), (4, "b")]
+    r = temporal.cochran_q(ev(base)).collect()[0]
+    # C=(3,2), N=5, k=2, sumR2=7: Q = 2/6 = 0.333333
+    assert r["q_stat"] == 0.333333
+    assert (r["k"], r["n_users"], r["n_incidences"]) == (2, 4, 5)
+    # an all-treatments user is Q-neutral
+    r2 = temporal.cochran_q(
+        ev(base + [(9, "a"), (9, "b")])
+    ).collect()[0]
+    assert r2["q_stat"] == r["q_stat"]
+
+
+def test_page_trend_detects_monotone_cycle(spark):
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    # two complete blocks, values strictly increasing with position:
+    # L2 maximal = 560, E2 = 448, z = 112/sqrt(1045.33) = 3.464102
+    vals = list(range(1, 8)) * 2
+    r = temporal.page_trend(_tev(spark, _days(vals))).collect()[0]
+    assert r["n_blocks"] == 2 and r["l2_stat"] == 560
+    assert r["z"] > 3.4 and r["increasing"] and not r["decreasing"]
+    # reversed cycle -> symmetric negative
+    r2 = temporal.page_trend(
+        _tev(spark, _days(list(range(7, 0, -1)) * 2))
+    ).collect()[0]
+    assert r2["z"] < -3.4 and r2["decreasing"]
+
+
+def test_hurst_alternating_is_antipersistent(spark):
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    vals = [1 if d % 2 == 0 else 3 for d in range(64)]
+    r = temporal.hurst_exponent(_tev(spark, _days(vals))).collect()[0]
+    assert r["n_days"] == 64 and r["n_points"] >= 2
+    assert r["hurst"] < 0.5 and not r["persistent"]
+    ramp = [float(d + 1) for d in range(64)]
+    r2 = temporal.hurst_exponent(_tev(spark, _days(ramp))).collect()[0]
+    assert r2["hurst"] > 0.5 and r2["persistent"]
+
+
+def test_weibull_scale_equivariance(spark):
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    vals = [2.0, 3.5, 5.0, 7.5, 11.0, 16.0, 23.0, 31.0]
+    a = temporal.weibull_fit(_tev(spark, _days(vals))).collect()[0]
+    b = temporal.weibull_fit(
+        _tev(spark, _days([v * 3 for v in vals]))
+    ).collect()[0]
+    # multiplying the data by c leaves shape invariant, scales scale
+    assert abs(a["shape"] - b["shape"]) < 1e-4
+    assert abs(b["scale_cents"] / a["scale_cents"] - 3.0) < 1e-3
+    assert 0.0 < a["r2"] <= 1.0
