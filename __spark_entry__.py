@@ -468,6 +468,40 @@ def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph.ktruss_edges(_lineitem(spark, sf_dir))
 
 
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction beside the RA index: per-node
+    integer floor(1e6/ln(deg)) contributions, exact BIGINT wedge
+    sums, seed-scoped."""
+    return _graph.adamic_adar_prediction(_lineitem(spark, sf_dir))
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r) of the co-purchase graph:
+    five exact BIGINT edge-degree moments, one final Pearson
+    assembly."""
+    return _graph.degree_assortativity(_lineitem(spark, sf_dir))
+
+
+def q_nation_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revealed comparative advantage per (nation, part type): one
+    fact pass to the 25x6 grid, rollup shares, exact cross-multiplied
+    specialization flag."""
+    return _ana.nation_rca(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_docs_systematic_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Systematic 1-in-k sample over the deterministic md5 shuffle
+    order — exact ceil(N/k) size, period-proof frame."""
+    return _samp.systematic_sample(_docs(spark, sf_dir))
+
+
 def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-seed link prediction: common neighbors + integer
     resource-allocation index over a deterministic seed set's
@@ -4159,6 +4193,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
         "graph_link_prediction": q_graph_link_prediction,
+        "graph_adamic_adar": q_graph_adamic_adar,
+        "graph_assortativity": q_graph_assortativity,
+        "nation_rca": q_nation_rca,
+        "docs_systematic_sample": q_docs_systematic_sample,
         "graph_bfs": q_graph_bfs,
         "graph_sssp": q_graph_sssp,
         "graph_betweenness": q_graph_betweenness,
@@ -5177,6 +5215,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_link_prediction": _ext_oracle(
             [_graph.oracle_link_prediction_ra()], "link_prediction_ra"
+        ),
+        "graph_adamic_adar": _ext_oracle(
+            [_graph.oracle_adamic_adar()], "adamic_adar"
+        ),
+        "graph_assortativity": _ext_oracle(
+            [_graph.ORACLE_ASSORTATIVITY], "degree_assortativity"
+        ),
+        "nation_rca": _ext_oracle(
+            [_ana.ORACLE_NATION_RCA], "nation_rca"
+        ),
+        "docs_systematic_sample": _ext_oracle(
+            [_samp.ORACLE_SYSTEMATIC], "systematic_sample"
         ),
         "graph_sssp": _ext_oracle(
             [_graph.oracle_sssp_weighted()], "sssp_weighted"

@@ -1408,3 +1408,126 @@ abc_xyz_matrix AS (
   GROUP BY 1, 2
 )
 """
+
+
+# --------------------------------------------------------------------------
+# revealed comparative advantage / location quotient (round 7)
+# --------------------------------------------------------------------------
+
+
+def nation_rca(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """Revealed comparative advantage (Balassa index / location
+    quotient) of each supplier nation in each part type:
+    RCA = (rev_nt / rev_n) / (rev_t / rev_total) — which nations
+    over-index in which product categories relative to the global
+    mix, the trade-economics rollup beside the share reports
+    (``nation_market_share`` asks "how much", RCA asks "relative to
+    whom").
+
+    All four revenue terms are exact integer cents from ONE
+    (nation, type) hash-agg (the three coarser terms are rollups of
+    the same 25 x 6 grid — no second fact pass). RCA divides once per
+    grid row; the ``specialized`` flag (RCA > 1) is decided by the
+    EXACT integer cross-multiplication rev_nt * rev_total >
+    rev_n * rev_t in DECIMAL(38,0), so boundary cells never flip on
+    float noise.
+
+    Fact table touches: one, with both dims broadcast. Output per
+    (nation, type): n_name, p_type, rev_cents, rca, specialized.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    grid = (
+        lineitem.join(
+            F.broadcast(
+                supplier.select("s_suppkey", "s_nationkey")
+            ),
+            lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("n_name", "p_type")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast(
+                    "bigint"
+                )
+            ).alias("rev_nt")
+        )
+        .localCheckpoint(eager=True)  # 25 x 6 grid; 3 rollups
+    )
+    by_n = grid.groupBy("n_name").agg(F.sum("rev_nt").alias("rev_n"))
+    by_t = grid.groupBy("p_type").agg(F.sum("rev_nt").alias("rev_t"))
+    tot = grid.agg(F.sum("rev_nt").alias("rev_all"))
+    out = (
+        grid.join(F.broadcast(by_n), "n_name")
+        .join(F.broadcast(by_t), "p_type")
+        .crossJoin(F.broadcast(tot))
+    )
+    rca = F.round(
+        (
+            F.col("rev_nt").cast("double")
+            * F.col("rev_all").cast("double")
+        )
+        / (
+            F.col("rev_n").cast("double")
+            * F.col("rev_t").cast("double")
+        ),
+        6,
+    )
+    return out.select(
+        "n_name",
+        "p_type",
+        F.col("rev_nt").alias("rev_cents"),
+        rca.alias("rca"),
+        (
+            dec(F.col("rev_nt")) * dec(F.col("rev_all"))
+            > dec(F.col("rev_n")) * dec(F.col("rev_t"))
+        ).alias("specialized"),
+    )
+
+
+ORACLE_NATION_RCA = """
+rca_grid AS MATERIALIZED (
+  SELECT n.n_name, p.p_type,
+         CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev_nt
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+rca_n AS (
+  SELECT n_name, CAST(sum(rev_nt) AS BIGINT) AS rev_n
+  FROM rca_grid GROUP BY 1
+),
+rca_t AS (
+  SELECT p_type, CAST(sum(rev_nt) AS BIGINT) AS rev_t
+  FROM rca_grid GROUP BY 1
+),
+rca_tot AS (SELECT CAST(sum(rev_nt) AS BIGINT) AS rev_all
+            FROM rca_grid),
+nation_rca AS (
+  SELECT g.n_name, g.p_type, g.rev_nt AS rev_cents,
+         round((CAST(g.rev_nt AS DOUBLE) * CAST(t.rev_all AS DOUBLE))
+               / (CAST(n.rev_n AS DOUBLE)
+                  * CAST(y.rev_t AS DOUBLE)), 6) AS rca,
+         CAST(g.rev_nt AS HUGEINT) * t.rev_all
+           > CAST(n.rev_n AS HUGEINT) * y.rev_t AS specialized
+  FROM rca_grid g
+  JOIN rca_n n ON g.n_name = n.n_name
+  JOIN rca_t y ON g.p_type = y.p_type
+  CROSS JOIN rca_tot t
+)
+"""

@@ -3070,3 +3070,216 @@ clustering_coefficient AS (
   FROM cc_pn p JOIN cc_deg d ON p.node = d.node, cc_glob g
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction (round 7)
+# ---------------------------------------------------------------------------
+
+
+def adamic_adar_prediction(
+    lineitem: DataFrame,
+    df_cap: int = RA_DF_CAP,
+    per_seed: int = RA_PER_SEED,
+) -> DataFrame:
+    """Per-seed Adamic-Adar link prediction beside the RA index
+    (``graph_link_prediction``): AA weights each common neighbor z by
+    1/ln(deg(z)) — gentler hub damping than RA's 1/deg, the classic
+    citation-recommendation tradeoff (AA keeps mid-degree bridges
+    that RA almost zeroes out).
+
+    Same scale shape as the RA kernel (seed-scoped wedges, df-capped
+    centers, per-seed 2-hop-bounded window); the float trap is
+    dodged the same way: each z contributes the PER-NODE integer
+    floor(1e6 / ln(deg(z))) — ln is evaluated once per node, where
+    both engines agree bitwise, and the wedge SUM is then exact
+    BIGINT arithmetic in any fold order (a raw 1/ln float sum would
+    be fold-order jitter). deg >= 2 is structural for a common
+    neighbor, and the filter also guards ln(1) = 0.
+
+    Output: seed, cand, cn, aa_micros, rank (rank <= per_seed).
+    """
+    edges = _edges_staged(lineitem)
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+    nbr = edges.join(
+        deg.filter(
+            (F.col("deg") <= df_cap) & (F.col("deg") >= 2)
+        ),
+        "a",
+    ).select(
+        F.col("a").alias("z"),
+        F.col("b").alias("n"),
+        F.floor(F.lit(RA_SCALE) / F.log(F.col("deg")))
+        .cast("bigint")
+        .alias("give"),
+    )
+    seed_side = nbr.filter(
+        F.col("n") % RA_SEED_MOD == 0
+    ).select("z", F.col("n").alias("seed"))
+    cand_side = nbr.select("z", F.col("n").alias("cand"), "give")
+    wedges = seed_side.join(cand_side, "z").filter(
+        F.col("seed") != F.col("cand")
+    )
+    scored = wedges.groupBy("seed", "cand").agg(
+        F.count("*").alias("cn"),
+        F.sum("give").alias("aa_micros"),
+    )
+    non_adj = scored.join(
+        edges,
+        (scored.seed == edges.a) & (scored.cand == edges.b),
+        "left_anti",
+    )
+    w = Window.partitionBy("seed").orderBy(
+        F.desc("aa_micros"), F.desc("cn"), F.asc("cand")
+    )
+    return (
+        non_adj.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_seed)
+        .select("seed", "cand", "cn", "aa_micros", "rank")
+    )
+
+
+def oracle_adamic_adar(
+    df_cap: int = RA_DF_CAP, per_seed: int = RA_PER_SEED
+) -> str:
+    return """
+aa_edges AS MATERIALIZED (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey <> l2.l_partkey
+),
+aa_deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM aa_edges GROUP BY 1
+),
+aa_nbr AS MATERIALIZED (
+  SELECT e.a AS z, e.b AS n,
+         CAST(floor({scale} / ln(d.deg)) AS BIGINT) AS give
+  FROM aa_edges e JOIN aa_deg d ON e.a = d.a
+  WHERE d.deg <= {cap} AND d.deg >= 2
+),
+aa_scored AS (
+  SELECT x.n AS seed, y.n AS cand,
+         CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum(y.give) AS BIGINT) AS aa_micros
+  FROM aa_nbr x JOIN aa_nbr y ON x.z = y.z AND x.n <> y.n
+  WHERE x.n % {mod} = 0
+  GROUP BY 1, 2
+),
+adamic_adar AS (
+  SELECT seed, cand, cn, aa_micros, rank FROM (
+    SELECT s.seed, s.cand, s.cn, s.aa_micros,
+           CAST(row_number() OVER (
+             PARTITION BY s.seed
+             ORDER BY s.aa_micros DESC, s.cn DESC, s.cand) AS INT)
+             AS rank
+    FROM aa_scored s
+    WHERE NOT EXISTS (SELECT 1 FROM aa_edges e
+                      WHERE e.a = s.seed AND e.b = s.cand)
+  ) WHERE rank <= {k}
+)
+""".format(scale=RA_SCALE, cap=df_cap, mod=RA_SEED_MOD, k=per_seed)
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity (round 7)
+# ---------------------------------------------------------------------------
+
+
+def degree_assortativity(lineitem: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient of the co-purchase graph:
+    the Pearson correlation of endpoint degrees over the (directed
+    symmetric) edge list — Newman's r. Positive: hubs buy with hubs
+    (assortative mixing); negative: hub-and-spoke structure. The
+    one-number mixing summary beside the degree histogram
+    (``graph_degree_stats``) and rich-club coefficient.
+
+    Exact to the last division: all five moments (M, sum j, sum k,
+    sum jk, sum j^2, ...) are BIGINT sums of integer degrees over
+    the edge list (each undirected edge contributes both
+    orientations — the standard convention that makes r symmetric),
+    assembled into r = (M*Sjk - Sj*Sk) / sqrt((M*Sjj - Sj^2)
+    (M*Skk - Sk^2)) in doubles only at the 1-row end, rounded 6 dp.
+
+    One degree agg + one broadcast-degree edge scan. Output (1 row):
+    n_edges, assortativity, assortative.
+    """
+    edges = _edges_staged(lineitem)  # both orientations present
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+    dd = edges.join(
+        deg.select(F.col("a"), F.col("deg").alias("dj")), "a"
+    ).join(
+        deg.select(
+            F.col("a").alias("b"), F.col("deg").alias("dk")
+        ),
+        "b",
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = dd.agg(
+        F.count("*").alias("m"),
+        F.sum("dj").alias("sj"),
+        F.sum("dk").alias("sk"),
+        F.sum(dec(F.col("dj")) * dec(F.col("dk"))).alias("sjk"),
+        F.sum(dec(F.col("dj")) * dec(F.col("dj"))).alias("sjj"),
+        F.sum(dec(F.col("dk")) * dec(F.col("dk"))).alias("skk"),
+    )
+    md = F.col("m").cast("double")
+    num = md * F.col("sjk").cast("double") - F.col("sj").cast(
+        "double"
+    ) * F.col("sk").cast("double")
+    den = F.sqrt(
+        (
+            md * F.col("sjj").cast("double")
+            - F.col("sj").cast("double") * F.col("sj").cast("double")
+        )
+        * (
+            md * F.col("skk").cast("double")
+            - F.col("sk").cast("double") * F.col("sk").cast("double")
+        )
+    )
+    r = F.round(num / den, 6)
+    return m.select(
+        F.col("m").alias("n_edges"),
+        r.alias("assortativity"),
+        (r > 0).alias("assortative"),
+    )
+
+
+ORACLE_ASSORTATIVITY = """
+as_edges AS MATERIALIZED (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey <> l2.l_partkey
+),
+as_deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM as_edges GROUP BY 1
+),
+as_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(j.deg) AS BIGINT) AS sj,
+         CAST(sum(k.deg) AS BIGINT) AS sk,
+         CAST(sum(CAST(j.deg AS HUGEINT) * k.deg) AS HUGEINT) AS sjk,
+         CAST(sum(CAST(j.deg AS HUGEINT) * j.deg) AS HUGEINT) AS sjj,
+         CAST(sum(CAST(k.deg AS HUGEINT) * k.deg) AS HUGEINT) AS skk
+  FROM as_edges e
+  JOIN as_deg j ON e.a = j.a
+  JOIN as_deg k ON e.b = k.a
+),
+degree_assortativity AS (
+  SELECT m AS n_edges,
+         round((CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+                - CAST(sj AS DOUBLE) * CAST(sk AS DOUBLE))
+               / sqrt((CAST(m AS DOUBLE) * CAST(sjj AS DOUBLE)
+                       - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+                      * (CAST(m AS DOUBLE) * CAST(skk AS DOUBLE)
+                         - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))),
+               6) AS assortativity,
+         round((CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+                - CAST(sj AS DOUBLE) * CAST(sk AS DOUBLE))
+               / sqrt((CAST(m AS DOUBLE) * CAST(sjj AS DOUBLE)
+                       - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+                      * (CAST(m AS DOUBLE) * CAST(skk AS DOUBLE)
+                         - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))),
+               6) > 0 AS assortative
+  FROM as_m
+)
+"""

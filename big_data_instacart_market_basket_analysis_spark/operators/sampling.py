@@ -964,3 +964,41 @@ tablesample_events AS (
         < '{TABLESAMPLE_THRESHOLD}'
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# systematic sampling over the deterministic shuffle order (round 7)
+# ---------------------------------------------------------------------------
+
+SYSTEMATIC_K = 10
+
+
+def systematic_sample(docs: DataFrame, k: int = SYSTEMATIC_K) -> DataFrame:
+    """Systematic 1-in-k sample: every k-th document of the
+    deterministic md5 shuffle order (``global_shuffle``) starting at
+    position 1 — the classic equal-probability design whose implicit
+    stratification over the (randomized) frame gives lower variance
+    than Bernoulli at the same rate, with an EXACT output size
+    ceil(N/k). Because the frame order is itself the seeded md5
+    permutation, periodicity in the underlying table cannot align
+    with the sampling interval (the textbook systematic-sampling
+    hazard).
+
+    Scale: inherits global_shuffle's zero-single-partition rank
+    (256 range buckets + prefix offsets); the filter fuses on top.
+    Output: doc_id, shuffle_key, global_pos.
+    """
+    return global_shuffle(docs).filter(
+        F.col("global_pos") % k == 1
+    )
+
+
+ORACLE_SYSTEMATIC = (
+    ORACLE_GLOBAL_SHUFFLE
+    + f""",
+systematic_sample AS (
+  SELECT doc_id, shuffle_key, global_pos FROM global_shuffle
+  WHERE global_pos % {SYSTEMATIC_K} = 1
+)
+"""
+)

@@ -36,6 +36,8 @@ GLOBAL_WINDOW_WHITELIST: dict[str, tuple[int, str]] = {
     "dedup_sorted_neighborhood": (2, "bucket"),
     "delta_advisor": (4, "bucket"),
     "docs_global_shuffle": (1, "bucket"),
+    "docs_systematic_sample": (1, "bucket (inherits global_shuffle's "
+                                  "256-row offsets window)"),
     "events_acf": (2, "lag grid + day"),
     "events_ar2_forecast": (2, "day"),
     "events_durbin_watson": (1, "day (lag-1 diff over the daily "
@@ -44,6 +46,10 @@ GLOBAL_WINDOW_WHITELIST: dict[str, tuple[int, str]] = {
     "events_ccf": (1, "day"),
     "events_concurrency": (1, "hour"),
     "events_forecast_backtest": (4, "day"),
+    "events_hurst": (1, "day ((w, block)-partitioned prefix over the "
+                        "gapfilled calendar; the first exchange below "
+                        "it is the 1-row span agg the calendar "
+                        "generator explodes from)"),
     "events_gini": (1, "bucket"),
     "events_granger": (1, "day"),
     "events_km_survival": (2, "t_days (event-age days)"),

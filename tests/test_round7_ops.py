@@ -285,3 +285,85 @@ def test_weibull_scale_equivariance(spark):
     assert abs(a["shape"] - b["shape"]) < 1e-4
     assert abs(b["scale_cents"] / a["scale_cents"] - 3.0) < 1e-3
     assert 0.0 < a["r2"] <= 1.0
+
+
+def _li(spark, rows):
+    return spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+
+def test_assortativity_star_is_disassortative(spark):
+    """A star K1,4 (hub 1 + leaves 2..5, from 4 two-item orders) has
+    r < 0 (degree-1 leaves attach only to the degree-4 hub); a clean
+    4-cycle-free regular graph (one 4-clique) gives den = 0 -> NULL
+    (zero degree variance — Newman's r undefined)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        graph,
+    )
+
+    star = _li(
+        spark, [(o, p) for o, pair in enumerate([(1, 2), (1, 3), (1, 4), (1, 5)]) for p in pair]
+    )
+    r = graph.degree_assortativity(star).collect()[0]
+    assert r["n_edges"] == 8  # 4 undirected edges, both orientations
+    assert r["assortativity"] == -1.0 and not r["assortative"]
+    clique = _li(spark, [(99, p) for p in (1, 2, 3, 4)])
+    r2 = graph.degree_assortativity(clique).collect()[0]
+    assert r2["assortativity"] is None
+
+
+def test_adamic_adar_hand_worked(spark):
+    """Path seed(100)-z-cand with deg(z)=2: the seed's only
+    non-adjacent 2-hop candidate gets aa = floor(1e6/ln 2) from the
+    single common neighbor."""
+    import math
+
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        graph,
+    )
+
+    li = _li(spark, [(1, 100), (1, 7), (2, 7), (2, 9)])
+    out = {
+        (r["seed"], r["cand"]): r
+        for r in graph.adamic_adar_prediction(li).collect()
+    }
+    row = out[(100, 9)]
+    assert row["cn"] == 1
+    assert row["aa_micros"] == math.floor(1_000_000 / math.log(2))
+
+
+def test_nation_rca_shares_multiply_to_one(spark):
+    """Sanity on fixture data: sum over the grid of
+    rev_cents == total, and a cell's specialized flag agrees with
+    rca > 1 after rounding."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        analytics,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = analytics.nation_rca(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "part"),
+    ).collect()
+    assert out
+    for r in out:
+        if r["rca"] is not None and abs(r["rca"] - 1.0) > 1e-9:
+            assert r["specialized"] == (r["rca"] > 1.0), r
+
+
+def test_systematic_sample_exact_size_and_spacing(spark):
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        sampling,
+    )
+
+    docs = spark.range(101).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text")
+    )
+    out = sampling.systematic_sample(docs).collect()
+    # ceil(101/10) = 11 rows, positions 1, 11, ..., 101
+    assert len(out) == 11
+    assert sorted(r["global_pos"] for r in out) == list(range(1, 102, 10))
