@@ -1681,6 +1681,28 @@ def q_sql_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sqlapi.sql_pivot_returnflag(spark, sf_dir)
 
 
+def q_text_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 over the same deterministic (ref, cand) pairs as ROUGE:
+    clipped modified precisions + brevity penalty from the shared
+    exact-integer n-gram base."""
+    return _text.bleu_pairs(_docs(spark, sf_dir))
+
+
+def q_text_lexical_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-doc TTR / Guiraud RTTR / Maas lexical-diversity indices —
+    the boilerplate-detection quality feature beside the corpus
+    Heaps/Zipf fits."""
+    return _text.lexical_diversity(_docs(spark, sf_dir))
+
+
+def q_events_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart of the daily error-event rate: exact counts,
+    3-sigma binomial limits, rounded-literal out-of-control flags."""
+    return _tmp.error_pchart(load_table(spark, sf_dir, "events"))
+
+
 def q_text_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-1/2 F1 over deterministic (ref, cand) doc pairs: clipped
     multiset n-gram overlap, exact BIGINT numerators, the
@@ -4164,6 +4186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plan_lint_report": q_plan_lint_report,
         "text_bpe_pairs": q_text_bpe_pairs,
         "text_rouge": q_text_rouge,
+        "text_bleu": q_text_bleu,
+        "text_lexical_diversity": q_text_lexical_diversity,
+        "events_pchart": q_events_pchart,
         "text_bpe_train": q_text_bpe_train,
         "events_skew_report": q_events_skew_report,
         "xml_ingest_events": q_xml_ingest_events,
@@ -5308,6 +5333,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_bpe_pairs": _ext_oracle(
             [_text.oracle_bpe_first_merges()], "bpe_first_merges"
+        ),
+        "text_bleu": _ext_oracle(
+            [_text.ORACLE_BLEU_PAIRS], "bleu_pairs"
+        ),
+        "text_lexical_diversity": _ext_oracle(
+            [_text.ORACLE_LEXICAL_DIVERSITY], "lexical_diversity"
+        ),
+        "events_pchart": _ext_oracle(
+            [_tmp.ORACLE_PCHART], "error_pchart"
         ),
         "text_rouge": _ext_oracle(
             [_text.ORACLE_ROUGE_PAIRS], "rouge_pairs"

@@ -16666,3 +16666,90 @@ weibull_fit AS (
   FROM wb_m
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# p-chart attribute control chart (round 7)
+# ---------------------------------------------------------------------------
+
+
+def error_pchart(events: DataFrame) -> DataFrame:
+    """Shewhart p-chart of the daily ERROR-event fraction: center
+    line pbar = total errors / total events, per-day 3-sigma
+    binomial limits UCL/LCL = pbar +- 3*sqrt(pbar(1-pbar)/n_t) (LCL
+    clamped at 0), and the out-of-control flag — the attribute-chart
+    member of the SPC family beside CUSUM (drift) and EWMA (small
+    sustained shifts): the p-chart catches single-day blowups in a
+    RATE whose daily denominator varies.
+
+    All counts are exact BIGINTs from one day-grain agg; p, the
+    limits and the flag are one mirrored double chain per day row,
+    with the flag comparing the 6-dp ROUNDED p against the 6-dp
+    ROUNDED limits (the JSD guard convention — both engines compare
+    identical literals).
+
+    One corpus pass; day-grain output. Output per day: day, n_events,
+    n_errors, p, ucl, lcl, out_of_control.
+    """
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("event_type") == "error").cast("bigint")
+        ).alias("e"),
+    )
+    tot = daily.agg(
+        F.sum("n").alias("tn"), F.sum("e").alias("te")
+    )
+    j = daily.crossJoin(F.broadcast(tot))
+    pbar = F.col("te").cast("double") / F.col("tn").cast("double")
+    se = F.sqrt(pbar * (1 - pbar) / F.col("n").cast("double"))
+    p = F.round(F.col("e").cast("double") / F.col("n").cast("double"), 6)
+    ucl = F.round(pbar + 3 * se, 6)
+    lcl = F.round(F.greatest(pbar - 3 * se, F.lit(0.0)), 6)
+    return j.select(
+        "day",
+        F.col("n").alias("n_events"),
+        F.col("e").alias("n_errors"),
+        p.alias("p"),
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        ((p > ucl) | (p < lcl)).alias("out_of_control"),
+    )
+
+
+ORACLE_PCHART = """
+pc_d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS e
+  FROM events GROUP BY 1
+),
+pc_t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(e) AS BIGINT) AS te
+  FROM pc_d
+),
+error_pchart AS (
+  SELECT day, n AS n_events, e AS n_errors,
+         round(CAST(e AS DOUBLE) / n, 6) AS p,
+         round(CAST(te AS DOUBLE) / tn
+               + 3 * sqrt((CAST(te AS DOUBLE) / tn)
+                          * (1 - CAST(te AS DOUBLE) / tn) / n), 6)
+           AS ucl,
+         round(greatest(CAST(te AS DOUBLE) / tn
+               - 3 * sqrt((CAST(te AS DOUBLE) / tn)
+                          * (1 - CAST(te AS DOUBLE) / tn) / n),
+               0.0), 6) AS lcl,
+         (round(CAST(e AS DOUBLE) / n, 6)
+            > round(CAST(te AS DOUBLE) / tn
+                    + 3 * sqrt((CAST(te AS DOUBLE) / tn)
+                               * (1 - CAST(te AS DOUBLE) / tn) / n),
+                    6))
+         OR (round(CAST(e AS DOUBLE) / n, 6)
+            < round(greatest(CAST(te AS DOUBLE) / tn
+                    - 3 * sqrt((CAST(te AS DOUBLE) / tn)
+                               * (1 - CAST(te AS DOUBLE) / tn) / n),
+                    0.0), 6)) AS out_of_control
+  FROM pc_d, pc_t
+)
+"""

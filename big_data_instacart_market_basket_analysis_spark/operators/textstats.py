@@ -4267,6 +4267,40 @@ def rouge_pairs(docs: DataFrame) -> DataFrame:
     rouge1_f, n2_ref, n2_cand, overlap2, rouge2_f (F1 null when a
     side has no n-grams of that order).
     """
+    base = _pair_ngram_base(docs)
+    f1 = F.when(
+        (F.col("nr") > 0) & (F.col("nc") > 0),
+        F.round(
+            F.lit(2.0) * F.col("ov")
+            / (F.col("nr") + F.col("nc")).cast("double"),
+            6,
+        ),
+    )
+    wide = base.groupBy("ref_id", "cand_id").pivot("n", [1, 2]).agg(
+        F.first("nr").alias("nref"),
+        F.first("nc").alias("ncand"),
+        F.first("ov").alias("overlap"),
+        F.first(f1).alias("f"),
+    )
+    return wide.select(
+        "ref_id",
+        "cand_id",
+        F.coalesce("1_nref", F.lit(0)).alias("n1_ref"),
+        F.coalesce("1_ncand", F.lit(0)).alias("n1_cand"),
+        F.coalesce("1_overlap", F.lit(0)).alias("overlap1"),
+        F.col("1_f").alias("rouge1_f"),
+        F.coalesce("2_nref", F.lit(0)).alias("n2_ref"),
+        F.coalesce("2_ncand", F.lit(0)).alias("n2_cand"),
+        F.coalesce("2_overlap", F.lit(0)).alias("overlap2"),
+        F.col("2_f").alias("rouge2_f"),
+    )
+
+
+def _pair_ngram_base(docs: DataFrame) -> DataFrame:
+    """Shared n-gram overlap base of the pairwise eval kernels
+    (ROUGE, BLEU): per adjacent-id (ref, cand) pair and n in {1, 2},
+    the exact BIGINT totals and clipped-multiset overlap
+    (ref_id, cand_id, n, nr, nc, ov)."""
     toks = docs.select(
         "doc_id",
         F.filter(
@@ -4343,32 +4377,7 @@ def rouge_pairs(docs: DataFrame) -> DataFrame:
             F.coalesce("ov", F.lit(0)).alias("ov"),
         )
     )
-    f1 = F.when(
-        (F.col("nr") > 0) & (F.col("nc") > 0),
-        F.round(
-            F.lit(2.0) * F.col("ov")
-            / (F.col("nr") + F.col("nc")).cast("double"),
-            6,
-        ),
-    )
-    wide = base.groupBy("ref_id", "cand_id").pivot("n", [1, 2]).agg(
-        F.first("nr").alias("nref"),
-        F.first("nc").alias("ncand"),
-        F.first("ov").alias("overlap"),
-        F.first(f1).alias("f"),
-    )
-    return wide.select(
-        "ref_id",
-        "cand_id",
-        F.coalesce("1_nref", F.lit(0)).alias("n1_ref"),
-        F.coalesce("1_ncand", F.lit(0)).alias("n1_cand"),
-        F.coalesce("1_overlap", F.lit(0)).alias("overlap1"),
-        F.col("1_f").alias("rouge1_f"),
-        F.coalesce("2_nref", F.lit(0)).alias("n2_ref"),
-        F.coalesce("2_ncand", F.lit(0)).alias("n2_cand"),
-        F.coalesce("2_overlap", F.lit(0)).alias("overlap2"),
-        F.col("2_f").alias("rouge2_f"),
-    )
+    return base
 
 
 ORACLE_ROUGE_PAIRS = r"""
@@ -5499,5 +5508,223 @@ collocations_llr AS (
                ELSE 0.0 END)), 6) AS g2
   FROM co_p p JOIN co_1 USING (w1) JOIN co_2 USING (w2), co_n
   ORDER BY g2 DESC, w1, w2 LIMIT {LLR_TOP_K}
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# BLEU-2 pairwise eval (round 7)
+# ---------------------------------------------------------------------------
+
+
+def bleu_pairs(docs: DataFrame) -> DataFrame:
+    """Sentence-level BLEU-2 between the same adjacent-id
+    (reference, candidate) pairs as ``rouge_pairs``, from the same
+    shared exact-integer n-gram base (``_pair_ngram_base``): modified
+    (clipped) n-gram precisions p_n = overlap_n / cand_n for n=1,2,
+    brevity penalty BP = min(1, exp(1 - ref_len/cand_len)), and
+    BLEU2 = BP * sqrt(p1*p2). ROUGE answers recall ("how much of the
+    reference survived"), BLEU precision ("how much of the candidate
+    is licensed") — a generation-eval suite needs both.
+
+    Determinism: every count is BIGINT; p1/p2/BP/BLEU are one
+    mirrored double chain per pair row, rounded 6 dp. BLEU2 is NULL
+    when either precision is zero (the unsmoothed convention,
+    documented — smoothing variants change only this CASE).
+
+    Scale: identical to ROUGE — tokenize pass + per-pair equi-joins
+    keyed on pair/doc ids, never corpus^2. Output per pair: ref_id,
+    cand_id, ref_len, cand_len, p1, p2, bp, bleu2.
+    """
+    base = _pair_ngram_base(docs)
+    wide = base.groupBy("ref_id", "cand_id").pivot("n", [1, 2]).agg(
+        F.first("nr").alias("nr"),
+        F.first("nc").alias("nc"),
+        F.first("ov").alias("ov"),
+    )
+    nr1 = F.coalesce("1_nr", F.lit(0))
+    nc1 = F.coalesce("1_nc", F.lit(0))
+    nc2 = F.coalesce("2_nc", F.lit(0))
+    ov1 = F.coalesce("1_ov", F.lit(0))
+    ov2 = F.coalesce("2_ov", F.lit(0))
+    p1 = F.when(nc1 > 0, ov1.cast("double") / nc1.cast("double"))
+    p2 = F.when(nc2 > 0, ov2.cast("double") / nc2.cast("double"))
+    bp = F.when(
+        nc1 > 0,
+        F.least(
+            F.lit(1.0),
+            F.exp(1 - nr1.cast("double") / nc1.cast("double")),
+        ),
+    )
+    bleu = F.when(
+        (p1 > 0) & (p2 > 0), F.round(bp * F.sqrt(p1 * p2), 6)
+    )
+    return wide.select(
+        "ref_id",
+        "cand_id",
+        nr1.alias("ref_len"),
+        nc1.alias("cand_len"),
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(bp, 6).alias("bp"),
+        bleu.alias("bleu2"),
+    )
+
+
+ORACLE_BLEU_PAIRS = r"""
+bl_toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     t -> length(t) > 0) AS t
+  FROM documents
+),
+bl_grams AS (
+  SELECT doc_id, 1 AS n, u.g AS g
+  FROM bl_toks, unnest(t) AS u(g)
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         t[i] || ' ' || t[i + 1] AS g
+  FROM bl_toks,
+       LATERAL unnest(range(1, greatest(len(t), 1))) AS r(i)
+),
+bl_counts AS (
+  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c
+  FROM bl_grams GROUP BY 1, 2, 3
+),
+bl_totals AS (
+  SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS tot
+  FROM bl_counts GROUP BY 1, 2
+),
+bl_pairs AS (
+  SELECT a.doc_id AS ref_id, b.doc_id AS cand_id
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 2 = 0
+),
+bl_ov AS (
+  SELECT p.ref_id, p.cand_id, r.n,
+         CAST(sum(least(r.c, c2.c)) AS BIGINT) AS ov
+  FROM bl_pairs p
+  JOIN bl_counts r ON r.doc_id = p.ref_id
+  JOIN bl_counts c2 ON c2.doc_id = p.cand_id
+                   AND c2.n = r.n AND c2.g = r.g
+  GROUP BY 1, 2, 3
+),
+bl_w AS (
+  SELECT p.ref_id, p.cand_id,
+         CAST(coalesce(max(CASE WHEN t.n = 1 THEN t.tot END), 0)
+              AS BIGINT) AS nr1,
+         CAST(coalesce(max(CASE WHEN t.n = 1 THEN tc.tot END), 0)
+              AS BIGINT) AS nc1,
+         CAST(coalesce(max(CASE WHEN t.n = 2 THEN tc.tot END), 0)
+              AS BIGINT) AS nc2,
+         CAST(coalesce(max(CASE WHEN t.n = 1 THEN o.ov END), 0)
+              AS BIGINT) AS ov1,
+         CAST(coalesce(max(CASE WHEN t.n = 2 THEN o.ov END), 0)
+              AS BIGINT) AS ov2
+  FROM bl_pairs p
+  JOIN bl_totals t ON t.doc_id = p.ref_id
+  LEFT JOIN bl_totals tc ON tc.doc_id = p.cand_id AND tc.n = t.n
+  LEFT JOIN bl_ov o ON o.ref_id = p.ref_id
+                   AND o.cand_id = p.cand_id AND o.n = t.n
+  GROUP BY 1, 2
+),
+bleu_pairs AS (
+  SELECT ref_id, cand_id,
+         nr1 AS ref_len, nc1 AS cand_len,
+         CASE WHEN nc1 > 0
+              THEN round(CAST(ov1 AS DOUBLE) / nc1, 6) END AS p1,
+         CASE WHEN nc2 > 0
+              THEN round(CAST(ov2 AS DOUBLE) / nc2, 6) END AS p2,
+         CASE WHEN nc1 > 0
+              THEN round(least(1.0,
+                   exp(1 - CAST(nr1 AS DOUBLE) / nc1)), 6) END AS bp,
+         CASE WHEN nc1 > 0 AND nc2 > 0
+                   AND ov1 > 0 AND ov2 > 0
+              THEN round(least(1.0,
+                     exp(1 - CAST(nr1 AS DOUBLE) / nc1))
+                   * sqrt((CAST(ov1 AS DOUBLE) / nc1)
+                          * (CAST(ov2 AS DOUBLE) / nc2)), 6)
+         END AS bleu2
+  FROM bl_w
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# lexical diversity per document (round 7)
+# ---------------------------------------------------------------------------
+
+
+def lexical_diversity(docs: DataFrame) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio (TTR), root
+    TTR (Guiraud's RTTR = V/sqrt(N) — the length-corrected form), and
+    Maas's a^2 = (ln N - ln V)/ln(N)^2 (lower = richer, the most
+    length-stable of the classic indices). Complements the corpus
+    Heaps/Zipf fits (``text_heaps_curve``, ``text_zipf_fit``) with a
+    per-doc quality feature a filtering pipeline thresholds on
+    (template/boilerplate docs sit at pathologically low diversity).
+
+    N and V are exact BIGINTs from one tokenize + distinct pass; the
+    three indices are one mirrored double chain, rounded 6 dp (Maas
+    NULL at N = 1 — ln(1) = 0 denominator — and for empty docs).
+
+    Scale: one (doc, token) hash-agg; doc-grain output. Output per
+    doc: doc_id, n_tokens, n_types, ttr, rttr, maas.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    )
+    m = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_types"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    vd = F.col("n_types").cast("double")
+    ttr = F.round(vd / nd, 6)
+    rttr = F.round(vd / F.sqrt(nd), 6)
+    maas = F.when(
+        F.col("n_tokens") > 1,
+        F.round(
+            (F.log(nd) - F.log(vd)) / (F.log(nd) * F.log(nd)), 6
+        ),
+    )
+    return m.select(
+        "doc_id", "n_tokens", "n_types",
+        ttr.alias("ttr"), rttr.alias("rttr"), maas.alias("maas"),
+    )
+
+
+ORACLE_LEXICAL_DIVERSITY = r"""
+ld_m AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+  FROM (
+    SELECT doc_id, u.tok
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> length(t) > 0) AS t
+          FROM documents),
+         unnest(t) AS u(tok)
+  )
+  GROUP BY 1
+),
+lexical_diversity AS (
+  SELECT doc_id, n_tokens, n_types,
+         round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+         round(CAST(n_types AS DOUBLE)
+               / sqrt(CAST(n_tokens AS DOUBLE)), 6) AS rttr,
+         CASE WHEN n_tokens > 1 THEN
+           round((ln(CAST(n_tokens AS DOUBLE))
+                  - ln(CAST(n_types AS DOUBLE)))
+                 / (ln(CAST(n_tokens AS DOUBLE))
+                    * ln(CAST(n_tokens AS DOUBLE))), 6)
+         END AS maas
+  FROM ld_m
 )
 """

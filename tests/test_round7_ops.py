@@ -367,3 +367,88 @@ def test_systematic_sample_exact_size_and_spacing(spark):
     # ceil(101/10) = 11 rows, positions 1, 11, ..., 101
     assert len(out) == 11
     assert sorted(r["global_pos"] for r in out) == list(range(1, 102, 10))
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bleu_hand_worked(spark):
+    """ref(0)='a b c d', cand(1)='a b c x': p1=3/4, p2=2/3,
+    bp=1 (equal length), bleu2=sqrt(0.5)=0.707107. Identical pair
+    (2,3) scores 1.0. Short candidate gets bp<1."""
+    import math
+
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats,
+    )
+
+    out = {
+        (r["ref_id"], r["cand_id"]): r
+        for r in textstats.bleu_pairs(
+            _docs_df(
+                spark,
+                ["a b c d", "a b c x", "p q r", "p q r", "m n o p", "m n"],
+            )
+        ).collect()
+    }
+    r = out[(0, 1)]
+    assert (r["p1"], r["p2"]) == (0.75, 0.666667)
+    assert r["bp"] == 1.0
+    assert r["bleu2"] == round(math.sqrt(0.75 * (2 / 3)), 6)
+    assert out[(2, 3)]["bleu2"] == 1.0
+    r = out[(4, 5)]
+    assert r["bp"] == round(math.exp(1 - 4 / 2), 6)
+
+
+def test_lexical_diversity_hand_worked(spark):
+    import math
+
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in textstats.lexical_diversity(
+            _docs_df(spark, ["a b a b a", "x y z", "solo"])
+        ).collect()
+    }
+    assert out[0]["n_tokens"] == 5 and out[0]["n_types"] == 2
+    assert out[0]["ttr"] == 0.4
+    assert out[0]["rttr"] == round(2 / math.sqrt(5), 6)
+    assert out[0]["maas"] == round(
+        (math.log(5) - math.log(2)) / math.log(5) ** 2, 6
+    )
+    assert out[1]["ttr"] == 1.0
+    assert out[2]["maas"] is None  # N = 1: ln(1) denominator
+
+
+def test_pchart_flags_blowup_day(spark):
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    # 9 calm days: 1 error in 50; day 10: 30 errors in 50
+    rows = []
+    from datetime import datetime, timedelta
+
+    d0 = datetime(2024, 3, 1, 8)
+    for d in range(10):
+        n_err = 30 if d == 9 else 1
+        for i in range(50):
+            rows.append(
+                (
+                    d0 + timedelta(days=d, minutes=i),
+                    "error" if i < n_err else "view",
+                    1.0,
+                )
+            )
+    out = {
+        r["day"].day: r
+        for r in temporal.error_pchart(_tev(spark, rows)).collect()
+    }
+    assert not out[1]["out_of_control"]
+    assert out[10]["out_of_control"] and out[10]["p"] == 0.6
