@@ -3468,6 +3468,26 @@ def q_events_energy_distance(
     return _tmp.energy_distance(load_table(spark, sf_dir, "events"))
 
 
+def q_stream_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming p-chart: additive day-grain (n, e) state; the final
+    chart equals events_pchart bit-for-bit (stream==batch duality)."""
+    return _ev.run_stream_pchart(spark, sf_dir)
+
+
+def q_docs_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-stage cluster sample: whole sources drawn by md5 threshold,
+    map-side filter fused into the scan."""
+    return _samp.cluster_sample(_docs(spark, sf_dir))
+
+
+def q_events_ks_exponential(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-sample KS of interarrival gaps vs the fitted exponential:
+    ECDF via the octave prefix kernel, sup over both jump sides."""
+    return _tmp.ks_exponential(load_table(spark, sf_dir, "events"))
+
+
 def q_stream_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Gumbel extremes monitor: additive hour-grain state
     (one grain finer than the block so partial-hour merges stay
@@ -4018,6 +4038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ab_monitor": q_stream_ab_monitor,
         "stream_sprt": q_stream_sprt,
         "stream_extremes": q_stream_extremes,
+        "stream_pchart": q_stream_pchart,
+        "docs_cluster_sample": q_docs_cluster_sample,
+        "events_ks_exponential": q_events_ks_exponential,
         "events_energy_distance": q_events_energy_distance,
         "events_seasonality": q_events_seasonality,
         "text_ppl_buckets": q_text_ppl_buckets,
@@ -5762,6 +5785,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_extremes": _ext_oracle(
             [_tmp.ORACLE_GUMBEL], "gumbel_maxima"
+        ),
+        "stream_pchart": _ext_oracle(
+            [_tmp.ORACLE_PCHART], "error_pchart"
+        ),
+        "docs_cluster_sample": _ext_oracle(
+            [_samp.ORACLE_CLUSTER_SAMPLE], "cluster_sample"
+        ),
+        "events_ks_exponential": _ext_oracle(
+            [_tmp.ORACLE_KS_EXPONENTIAL], "ks_exponential"
         ),
         "events_energy_distance": _ext_oracle(
             [_tmp.ORACLE_ENERGY], "energy_distance"

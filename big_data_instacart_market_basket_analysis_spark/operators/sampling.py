@@ -1002,3 +1002,49 @@ systematic_sample AS (
 )
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# one-stage cluster sampling by source (round 7)
+# ---------------------------------------------------------------------------
+
+CLUSTER_SAMPLE_FRAC = 0.4
+CLUSTER_SAMPLE_SEED = 11
+CLUSTER_THRESHOLD = hex_threshold(CLUSTER_SAMPLE_FRAC)
+
+
+def cluster_sample(docs: DataFrame) -> DataFrame:
+    """One-stage CLUSTER sample: draw whole SOURCES (the natural
+    crawl/provenance clusters) with the deterministic md5-threshold
+    Bernoulli at rate ``CLUSTER_SAMPLE_FRAC``, keep every document of
+    a drawn source — the design you use when per-document access is
+    expensive but per-source access is sequential (one crawl archive
+    = one cluster), trading the intra-cluster correlation variance
+    penalty for contiguous I/O. Completes the design-based family:
+    Bernoulli/systematic (element), stratified (per-language),
+    PPS/A-ES (weighted), cluster (this).
+
+    Scale: the draw is evaluated per ROW on the row's own source
+    string (a pure map-side filter fused into the scan — no source
+    list materializes, no join); identical rows always agree, so the
+    admitted set is exactly the union of drawn clusters.
+
+    Output: doc_id, source.
+    """
+    draw = F.md5(
+        F.concat(
+            F.lit(f"cl:{CLUSTER_SAMPLE_SEED}:"), F.col("source")
+        )
+    )
+    return docs.filter(draw < F.lit(CLUSTER_THRESHOLD)).select(
+        "doc_id", "source"
+    )
+
+
+ORACLE_CLUSTER_SAMPLE = f"""
+cluster_sample AS (
+  SELECT doc_id, source FROM documents
+  WHERE md5('cl:{CLUSTER_SAMPLE_SEED}:' || source)
+        < '{CLUSTER_THRESHOLD}'
+)
+"""

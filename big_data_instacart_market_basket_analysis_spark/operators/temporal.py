@@ -16697,6 +16697,13 @@ def error_pchart(events: DataFrame) -> DataFrame:
             (F.col("event_type") == "error").cast("bigint")
         ).alias("e"),
     )
+    return pchart_from_daily(daily)
+
+
+def pchart_from_daily(daily: DataFrame) -> DataFrame:
+    """p-chart assembly from a day-grain (day, n, e) frame — shared
+    by the batch op and the streaming twin (whose standing state IS
+    this frame, merged additively across micro-batches)."""
     tot = daily.agg(
         F.sum("n").alias("tn"), F.sum("e").alias("te")
     )
@@ -16751,5 +16758,118 @@ error_pchart AS (
                                * (1 - CAST(te AS DOUBLE) / tn) / n),
                     0.0), 6)) AS out_of_control
   FROM pc_d, pc_t
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# one-sample KS goodness-of-fit: interarrival gaps vs exponential (round 7)
+# ---------------------------------------------------------------------------
+
+
+def ks_exponential(events: DataFrame) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov test of per-user interarrival
+    gaps against the fitted EXPONENTIAL (rate = 1/mean gap): is the
+    arrival process memoryless — the Poisson-process assumption the
+    queueing family (Erlang-B/C) quietly makes, here tested instead
+    of assumed. The two-sample KS (``events_ks_drift``) compares two
+    empirical samples; this compares one sample to an analytic CDF,
+    so D must be evaluated on BOTH sides of each ECDF jump (the sup
+    can land at F(x-) as well as F(x)).
+
+    Gaps come from the user-partitioned deterministic lag (the
+    ``user_interarrival_stats`` kernel); the ECDF rides the
+    octave-bucket prefix kernel at ms value grain (zero global
+    windows), counts stay exact BIGINTs, and the analytic CDF
+    1 - exp(-g*n/S) is one mirrored double chain per distinct value.
+    D rounds at 6 dp; reject uses the asymptotic 5% bound
+    1.358/sqrt(n) (rounded before compare, the literal-guard
+    convention).
+
+    One shuffle to user partitions + value-grain algebra. Output
+    (1 row): n_gaps, mean_gap_ms, d_stat, reject.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gaps = (
+        events.select(
+            "user_id",
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+        )
+        .withColumn(
+            "g", F.col("ts_ms") - F.lag("ts_ms").over(w)
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    vg = gaps.groupBy("g").agg(F.count("*").alias("cnt"))
+    pre = _cent_prefix(vg, ["cnt"], value_col="g", inclusive=True)
+    tot = vg.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("g") * F.col("cnt")).alias("s"),
+    )
+    j = pre.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    fe = 1 - F.exp(
+        -F.col("g").cast("double") * nd / F.col("s").cast("double")
+    )
+    hi = F.abs(F.col("_pre_cnt").cast("double") / nd - fe)
+    lo = F.abs(
+        (F.col("_pre_cnt") - F.col("cnt")).cast("double") / nd - fe
+    )
+    m = j.groupBy("n", "s").agg(
+        F.round(F.max(F.greatest(hi, lo)), 6).alias("d_stat")
+    )
+    return m.select(
+        F.col("n").alias("n_gaps"),
+        F.round(
+            F.col("s").cast("double") / F.col("n").cast("double"), 4
+        ).alias("mean_gap_ms"),
+        "d_stat",
+        (
+            F.col("d_stat")
+            > F.round(1.358 / F.sqrt(F.col("n").cast("double")), 6)
+        ).alias("reject"),
+    )
+
+
+ORACLE_KS_EXPONENTIAL = """
+ke_g AS (
+  SELECT ts_ms - lag(ts_ms) OVER (
+           PARTITION BY user_id ORDER BY ts_ms, event_id) AS g
+  FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events)
+),
+ke_v AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS cnt
+  FROM ke_g WHERE g IS NOT NULL GROUP BY 1
+),
+ke_p AS (
+  SELECT g, cnt,
+         CAST(sum(cnt) OVER (ORDER BY g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum
+  FROM ke_v
+),
+ke_t AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(g * cnt) AS BIGINT) AS s
+  FROM ke_v
+),
+ke_d AS (
+  SELECT t.n, t.s,
+         round(max(greatest(
+           abs(CAST(p.cum AS DOUBLE) / t.n
+               - (1 - exp(-CAST(p.g AS DOUBLE) * t.n / t.s))),
+           abs(CAST(p.cum - p.cnt AS DOUBLE) / t.n
+               - (1 - exp(-CAST(p.g AS DOUBLE) * t.n / t.s)))
+         )), 6) AS d_stat
+  FROM ke_p p, ke_t t GROUP BY 1, 2
+),
+ks_exponential AS (
+  SELECT n AS n_gaps,
+         round(CAST(s AS DOUBLE) / n, 4) AS mean_gap_ms,
+         d_stat,
+         d_stat > round(1.358 / sqrt(CAST(n AS DOUBLE)), 6)
+           AS reject
+  FROM ke_d
 )
 """

@@ -2235,3 +2235,68 @@ def run_stream_extremes(
     finally:
         q.stop()
     return gumbel_from_hourly(spark.read.parquet(target))
+
+
+def run_stream_pchart(
+    spark: SparkSession, sf_dir: str, name: str = "stream_pchart"
+) -> DataFrame:
+    """Streaming p-chart: the daily error-rate control chart
+    (``events_pchart``) with its state kept as the ADDITIVE day-grain
+    (n_events, n_errors) pair table — counts split across
+    micro-batches merge by plain addition, and the center line /
+    3-sigma limits / flags run once on the final standing table,
+    equal to the batch chart bit-for-bit (the stream==batch duality
+    every stream op here is held to).
+
+    Per batch: one batch-sized day agg + a calendar-bounded additive
+    state merge (same exactly-once caveat as ``run_stream_extremes``:
+    a production deployment keys partials by batch_id). State:
+    days-in-calendar rows at ANY corpus scale.
+
+    Output: the batch p-chart columns (day, n_events, n_errors, p,
+    ucl, lcl, out_of_control).
+    """
+    import tempfile
+
+    from big_data_instacart_market_basket_analysis_spark.operators.temporal import (
+        pchart_from_daily,
+    )
+
+    _tune_stream_session(spark)
+    root = tempfile.mkdtemp(prefix="stream_pchart_")
+    src, target = f"{root}/src", f"{root}/state"
+
+    load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        (F.col("event_type") == "error").cast("bigint").alias("err"),
+    ).repartition(6).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("day").agg(
+            F.count("*").alias("n"), F.sum("err").alias("e")
+        )
+        if _os.path.isdir(target):
+            part = spark.read.parquet(target).unionByName(part)
+        merged = (
+            part.groupBy("day")
+            .agg(F.sum("n").alias("n"), F.sum("e").alias("e"))
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return pchart_from_daily(spark.read.parquet(target))

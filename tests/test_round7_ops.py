@@ -452,3 +452,51 @@ def test_pchart_flags_blowup_day(spark):
     }
     assert not out[1]["out_of_control"]
     assert out[10]["out_of_control"] and out[10]["p"] == 0.6
+
+
+def test_cluster_sample_admits_whole_sources(spark):
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        sampling,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t", f"src{i % 7}") for i in range(70)],
+        "doc_id long, text string, source string",
+    )
+    out = sampling.cluster_sample(docs).collect()
+    assert out
+    kept = {r["source"] for r in out}
+    per_src = {}
+    for r in out:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    # every admitted cluster is complete (10 docs per source)
+    assert all(v == 10 for v in per_src.values())
+    assert 0 < len(kept) < 7
+
+
+def test_ks_exponential_rejects_constant_gaps(spark):
+    """Perfectly regular arrivals (constant gap) are maximally
+    non-exponential: the ECDF is a single step at the mean, so
+    D = 1 - 1/e at the jump's left side -> reject. n = 200 gaps."""
+    from datetime import datetime, timedelta
+
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    d0 = datetime(2024, 1, 1)
+    rows = [
+        (d0 + timedelta(seconds=10 * i), "view", 1.0, 1, i)
+        for i in range(201)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "ts timestamp, event_type string, value double,"
+        " user_id long, event_id long",
+    )
+    r = temporal.ks_exponential(ev).collect()[0]
+    assert r["n_gaps"] == 200
+    assert r["mean_gap_ms"] == 10000.0
+    # D = max(|1 - (1-e^-1)|, |0 - (1-e^-1)|) = 1 - 1/e = 0.632121
+    assert r["d_stat"] == 0.632121
+    assert r["reject"]
