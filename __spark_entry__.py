@@ -2266,6 +2266,20 @@ def q_events_weibull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.weibull_fit(load_table(spark, sf_dir, "events"))
 
 
+def q_events_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett normal-theory variance homogeneity: exact group
+    moments, ln chain with small-sample correction."""
+    return _tmp.bartlett_test(load_table(spark, sf_dir, "events"))
+
+
+def q_events_welch_anova(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Welch heteroscedastic one-way ANOVA: inverse-variance weights
+    from exact group moments, k-row assembly."""
+    return _tmp.welch_anova(load_table(spark, sf_dir, "events"))
+
+
 def q_events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Friedman blocked rank test (types ranked within each day):
     all-integer Conover form — doubled mid-ranks from the k^2/day
@@ -3984,6 +3998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_page_trend": q_events_page_trend,
         "events_hurst": q_events_hurst,
         "events_weibull": q_events_weibull,
+        "events_bartlett": q_events_bartlett,
+        "events_welch_anova": q_events_welch_anova,
         "events_friedman": q_events_friedman,
         "events_tukey_hsd": q_events_tukey_hsd,
         "orders_lot_sizing": q_orders_lot_sizing,
@@ -5103,6 +5119,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_weibull": _ext_oracle(
             [_tmp.ORACLE_WEIBULL], "weibull_fit"
+        ),
+        "events_bartlett": _ext_oracle(
+            [_tmp.ORACLE_BARTLETT], "bartlett_test"
+        ),
+        "events_welch_anova": _ext_oracle(
+            [_tmp.ORACLE_WELCH_ANOVA], "welch_anova"
         ),
         "events_friedman": _ext_oracle(
             [_tmp.ORACLE_FRIEDMAN], "friedman_test"

@@ -16873,3 +16873,249 @@ ks_exponential AS (
   FROM ke_d
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Bartlett variance-homogeneity test (round 7)
+# ---------------------------------------------------------------------------
+
+
+def bartlett_test(events: DataFrame) -> DataFrame:
+    """Bartlett's test for equal variances across event types — the
+    NORMAL-THEORY member of the scale ladder (most powerful under
+    normality, notoriously sensitive to heavy tails; Levene and
+    Brown-Forsythe are its robust fallbacks, and all three shipping
+    together is exactly how a practitioner triangulates):
+    T = [(N-k) ln(Sp^2) - sum (n_i-1) ln(S_i^2)] / C with the
+    Bartlett small-sample correction C.
+
+    Per-group moments (n_i, sum c, sum c^2) are exact DECIMAL/BIGINT
+    from ONE hash-agg; the unbiased variances, lns and the k-row
+    assembly are one mirrored double chain (ln evaluated on
+    identical doubles in both engines), rounded 6 dp. Groups with
+    n_i < 2 or zero variance are excluded from the statistic (ln(0)
+    guard), with the count emitted.
+
+    Output (1 row): k_used, n, t_stat, significant (chi2 df=4 at
+    .05 — the fixture-k convention of the ladder).
+    """
+    g = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("ng"),
+            F.sum("c").alias("sg"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)")
+                * F.col("c").cast("decimal(38,0)")
+            ).alias("qg"),
+        )
+    )
+    ngd = F.col("ng").cast("double")
+    var = (
+        ngd * F.col("qg").cast("double")
+        - F.col("sg").cast("double") * F.col("sg").cast("double")
+    ) / (ngd * (ngd - 1))
+    gv = g.select("ng", var.alias("v")).filter(
+        (F.col("ng") >= 2) & (F.col("v") > 0)
+    )
+    m = gv.agg(
+        F.count("*").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum((F.col("ng") - 1).cast("double") * F.col("v")).alias(
+            "sv"
+        ),
+        F.sum(
+            (F.col("ng") - 1).cast("double") * F.log("v")
+        ).alias("slv"),
+        F.sum(1.0 / (F.col("ng") - 1).cast("double")).alias("sinv"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    nk = nd - kd
+    sp2 = F.col("sv") / nk
+    c = 1 + (F.col("sinv") - 1 / nk) / (3 * (kd - 1))
+    t = F.round((nk * F.log(sp2) - F.col("slv")) / c, 6)
+    return m.select(
+        F.col("k").alias("k_used"),
+        "n",
+        t.alias("t_stat"),
+        (t > KRUSKAL_CHI2_CRIT_05).alias("significant"),
+    )
+
+
+ORACLE_BARTLETT = f"""
+bt_g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(c) AS BIGINT) AS sg,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS qg
+  FROM (SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL)
+  GROUP BY 1
+),
+bt_v AS (
+  SELECT ng,
+         (CAST(ng AS DOUBLE) * CAST(qg AS DOUBLE)
+          - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+         / (CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1)) AS v
+  FROM bt_g
+),
+bt_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(ng) AS BIGINT) AS n,
+         sum((CAST(ng AS DOUBLE) - 1) * v) AS sv,
+         sum((CAST(ng AS DOUBLE) - 1) * ln(v)) AS slv,
+         sum(1.0 / (CAST(ng AS DOUBLE) - 1)) AS sinv
+  FROM bt_v WHERE ng >= 2 AND v > 0
+),
+bartlett_test AS (
+  SELECT k AS k_used, n,
+         round(((CAST(n AS DOUBLE) - k)
+                * ln(sv / (CAST(n AS DOUBLE) - k)) - slv)
+               / (1 + (sinv - 1 / (CAST(n AS DOUBLE) - k))
+                      / (3 * (CAST(k AS DOUBLE) - 1))), 6) AS t_stat,
+         round(((CAST(n AS DOUBLE) - k)
+                * ln(sv / (CAST(n AS DOUBLE) - k)) - slv)
+               / (1 + (sinv - 1 / (CAST(n AS DOUBLE) - k))
+                      / (3 * (CAST(k AS DOUBLE) - 1))), 6)
+           > {KRUSKAL_CHI2_CRIT_05} AS significant
+  FROM bt_m
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Welch heteroscedastic one-way ANOVA (round 7)
+# ---------------------------------------------------------------------------
+
+
+def welch_anova(events: DataFrame) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA of event value across
+    types: the location test that does NOT assume equal variances —
+    the partner the scale ladder (Levene/Brown-Forsythe/Bartlett)
+    points you to when it rejects homogeneity and the classic F
+    (``events_anova``) loses its level. Weights w_i = n_i/s_i^2;
+    F* = [sum w_i (m_i - m_w)^2 / (k-1)] /
+    [1 + 2(k-2)/(k^2-1) * sum (1-w_i/W)^2/(n_i-1)].
+
+    Same exact-integer group moments as the ANOVA (one hash-agg);
+    means/variances/weights are a mirrored k-row double chain,
+    rounded 6 dp. Groups need n_i >= 2 and s_i^2 > 0 (excluded
+    otherwise, count emitted). The critical value is the ladder's
+    fixed df1=4 literal (Welch df2 is large at any fixture scale).
+
+    Output (1 row): k_used, n, f_stat, significant.
+    """
+    g = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("ng"),
+            F.sum("c").alias("sg"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)")
+                * F.col("c").cast("decimal(38,0)")
+            ).alias("qg"),
+        )
+    )
+    ngd = F.col("ng").cast("double")
+    mean = F.col("sg").cast("double") / ngd
+    var = (
+        ngd * F.col("qg").cast("double")
+        - F.col("sg").cast("double") * F.col("sg").cast("double")
+    ) / (ngd * (ngd - 1))
+    gv = g.select("ng", mean.alias("m"), var.alias("v")).filter(
+        (F.col("ng") >= 2) & (F.col("v") > 0)
+    ).withColumn("w", F.col("ng").cast("double") / F.col("v"))
+    m = gv.agg(
+        F.count("*").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("m")).alias("swm"),
+        F.sum(F.col("w") * F.col("m") * F.col("m")).alias("swm2"),
+        F.sum(
+            F.col("w") * F.col("w") / (F.col("ng") - 1).cast("double")
+        ).alias("sww"),
+        F.sum(F.col("w") / (F.col("ng") - 1).cast("double")).alias(
+            "swn"
+        ),
+        F.sum(1.0 / (F.col("ng") - 1).cast("double")).alias("sinv"),
+    )
+    kd = F.col("k").cast("double")
+    # sum (1 - w_i/W)^2/(n_i-1) expands to sinv - 2*swn/W + sww/W^2
+    lam = (
+        F.col("sinv")
+        - 2 * F.col("swn") / F.col("sw")
+        + F.col("sww") / (F.col("sw") * F.col("sw"))
+    )
+    # sum w_i (m_i - m_w)^2 = swm2 - swm^2/W
+    num = (
+        F.col("swm2") - F.col("swm") * F.col("swm") / F.col("sw")
+    ) / (kd - 1)
+    den = 1 + 2 * (kd - 2) / (kd * kd - 1) * lam
+    f = F.round(num / den, 6)
+    return m.select(
+        F.col("k").alias("k_used"),
+        "n",
+        f.alias("f_stat"),
+        (f > ANOVA_F_CRIT_05).alias("significant"),
+    )
+
+
+ORACLE_WELCH_ANOVA = f"""
+wa_g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(c) AS BIGINT) AS sg,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS qg
+  FROM (SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL)
+  GROUP BY 1
+),
+wa_v AS (
+  SELECT ng,
+         CAST(sg AS DOUBLE) / ng AS m,
+         (CAST(ng AS DOUBLE) * CAST(qg AS DOUBLE)
+          - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+         / (CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1)) AS v
+  FROM wa_g
+),
+wa_w AS (
+  SELECT ng, m, v, CAST(ng AS DOUBLE) / v AS w
+  FROM wa_v WHERE ng >= 2 AND v > 0
+),
+wa_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(ng) AS BIGINT) AS n,
+         sum(w) AS sw,
+         sum(w * m) AS swm,
+         sum(w * m * m) AS swm2,
+         sum(w * w / (CAST(ng AS DOUBLE) - 1)) AS sww,
+         sum(w / (CAST(ng AS DOUBLE) - 1)) AS swn,
+         sum(1.0 / (CAST(ng AS DOUBLE) - 1)) AS sinv
+  FROM wa_w
+),
+welch_anova AS (
+  SELECT k AS k_used, n,
+         round(((swm2 - swm * swm / sw) / (CAST(k AS DOUBLE) - 1))
+               / (1 + 2 * (CAST(k AS DOUBLE) - 2)
+                      / (CAST(k AS DOUBLE) * k - 1)
+                      * (sinv - 2 * swn / sw + sww / (sw * sw))), 6)
+           AS f_stat,
+         round(((swm2 - swm * swm / sw) / (CAST(k AS DOUBLE) - 1))
+               / (1 + 2 * (CAST(k AS DOUBLE) - 2)
+                      / (CAST(k AS DOUBLE) * k - 1)
+                      * (sinv - 2 * swn / sw + sww / (sw * sw))), 6)
+           > {ANOVA_F_CRIT_05} AS significant
+  FROM wa_m
+)
+"""

@@ -500,3 +500,33 @@ def test_ks_exponential_rejects_constant_gaps(spark):
     # D = max(|1 - (1-e^-1)|, |0 - (1-e^-1)|) = 1 - 1/e = 0.632121
     assert r["d_stat"] == 0.632121
     assert r["reject"]
+
+
+def test_bartlett_and_welch_on_equal_vs_unequal_groups(spark):
+    """Identical groups: Bartlett T = 0, Welch F = 0 (equal means).
+    Groups with equal means but wildly different spread: Bartlett
+    fires, Welch does not (it tests LOCATION under heteroscedasticity
+    — exactly the division of labor the ladder documents)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    same = []
+    for t in ("view", "purchase"):
+        same += [(t, float(v)) for v in (1, 2, 3, 4, 5)]
+    df = spark.createDataFrame(same, "event_type string, value double")
+    b = temporal.bartlett_test(df).collect()[0]
+    w = temporal.welch_anova(df).collect()[0]
+    assert b["t_stat"] == 0.0 and not b["significant"]
+    assert w["f_stat"] == 0.0 and not w["significant"]
+
+    # equal means (30), very different variances, n = 12 per group
+    tight = [("view", 30.0 + 0.1 * ((-1) ** i)) for i in range(12)]
+    wide = [("purchase", 30.0 + 25.0 * ((-1) ** i)) for i in range(12)]
+    df2 = spark.createDataFrame(
+        tight + wide, "event_type string, value double"
+    )
+    b2 = temporal.bartlett_test(df2).collect()[0]
+    w2 = temporal.welch_anova(df2).collect()[0]
+    assert b2["significant"]
+    assert w2["f_stat"] == 0.0 and not w2["significant"]
