@@ -320,6 +320,29 @@ HEADLINE = [
     "events_quartile_skew",
     "events_ansari_bradley",
     "events_partial_corr",
+    # round-7 additions
+    "events_tablesample",
+    "text_decontaminate_semantic",
+    "events_durbin_watson",
+    "events_grubbs",
+    "events_brown_forsythe",
+    "events_cliffs_delta",
+    "events_cochran_q",
+    "events_page_trend",
+    "events_hurst",
+    "events_weibull",
+    "events_bartlett",
+    "events_welch_anova",
+    "events_ks_exponential",
+    "events_pchart",
+    "stream_pchart",
+    "graph_adamic_adar",
+    "graph_assortativity",
+    "nation_rca",
+    "text_bleu",
+    "text_lexical_diversity",
+    "docs_systematic_sample",
+    "docs_cluster_sample",
 ]
 
 
