@@ -1265,7 +1265,7 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sim.brute_force_topk(_emb(spark, sf_dir)).select(
+    return _sim._brute_topk_staged(_emb(spark, sf_dir)).select(
         "query_id", "neighbor_id", "rank"
     )
 
@@ -1275,7 +1275,7 @@ def q_ann_brute_force_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     float agrees across engines (both fold the dot product
     left-to-right; rounding absorbs the <=1-ulp libm drift) — upgraded
     from rows-only to a full oracle row."""
-    return _sim.brute_force_topk(_emb(spark, sf_dir)).withColumn(
+    return _sim._brute_topk_staged(_emb(spark, sf_dir)).withColumn(
         "cosine", F.round("cosine", 6)
     )
 
