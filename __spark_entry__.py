@@ -592,6 +592,12 @@ def _events_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _EVENTS_CACHE[key]
 
 
+def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup report: modulus-CDC boundaries
+    via per-doc window-hash filters, chunk-level savings ratio."""
+    return _dedup.cdc_chunk_report(_docs(spark, sf_dir))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -2264,6 +2270,12 @@ def q_events_weibull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weibull shape/scale by median-rank regression on the packed
     day series — sequential same-IEEE folds in both engines."""
     return _tmp.weibull_fit(load_table(spark, sf_dir, "events"))
+
+
+def q_events_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular mean / Rayleigh uniformity of purchase hour: 24 exact
+    hour counts, packed same-IEEE trig folds, exp(-z) approx p."""
+    return _tmp.rayleigh_hour(load_table(spark, sf_dir, "events"))
 
 
 def q_events_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3999,6 +4011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hurst": q_events_hurst,
         "events_weibull": q_events_weibull,
         "events_bartlett": q_events_bartlett,
+        "events_rayleigh": q_events_rayleigh,
         "events_welch_anova": q_events_welch_anova,
         "events_friedman": q_events_friedman,
         "events_tukey_hsd": q_events_tukey_hsd,
@@ -4075,6 +4088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll": q_stream_hll,
         "stream_embedding_dedup": q_stream_embedding_dedup,
         "dedup_exact": q_dedup_exact,
+        "dedup_cdc": q_dedup_cdc,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ppjoin": q_dedup_ppjoin,
         "dedup_containment": q_dedup_containment,
@@ -5122,6 +5136,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_bartlett": _ext_oracle(
             [_tmp.ORACLE_BARTLETT], "bartlett_test"
+        ),
+        "events_rayleigh": _ext_oracle(
+            [_tmp.ORACLE_RAYLEIGH], "rayleigh_hour"
+        ),
+        "dedup_cdc": _ext_oracle(
+            [_dedup.ORACLE_CDC], "cdc_chunk_report"
         ),
         "events_welch_anova": _ext_oracle(
             [_tmp.ORACLE_WELCH_ANOVA], "welch_anova"

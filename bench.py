@@ -343,6 +343,8 @@ HEADLINE = [
     "text_lexical_diversity",
     "docs_systematic_sample",
     "docs_cluster_sample",
+    "events_rayleigh",
+    "dedup_cdc",
 ]
 
 

@@ -2840,3 +2840,152 @@ jaro_winkler AS (
   ) j
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) dedup report (round 7)
+# ---------------------------------------------------------------------------
+
+#: rolling-window width (chars) and boundary modulus: a position cuts
+#: when hash(text[i : i+K]) % MOD == 0, giving ~MOD-char expected
+#: chunks. This is the baseline modulus CDC (no FastCDC min/max
+#: normalization — that refinement is a sequential accept/skip fold
+#: over candidate cuts, documented as the production knob).
+CDC_K = 8
+CDC_MOD = 64
+
+
+def cdc_chunk_report(docs: DataFrame) -> DataFrame:
+    """Content-defined chunking dedup report: cut every document at
+    CONTENT-derived boundaries (hash of the 8-char window divides
+    CDC_MOD), hash each chunk, and report the cross-corpus
+    chunk-level dedup — the storage/transfer dedup complement to the
+    span/segment text screens: because boundaries depend only on
+    LOCAL content, an insertion early in a file shifts every byte
+    offset yet leaves all later chunk hashes IDENTICAL (the
+    shift-resistance fixed-size blocking fundamentally lacks, and
+    the reason every backup/dataset-transfer system chunks this
+    way).
+
+    Boundary detection is a per-doc higher-order filter over
+    character positions (zero explodes until the bounded chunk list;
+    md5-prefix window hashes — the SimHash '0x'||hex trick keeps the
+    integer bit-equal cross-engine); chunk hashes are md5 of the
+    substring spans. Exact integer counts/lengths end to end; the
+    savings ratio divides once.
+
+    Scale: per-doc O(len) window hashes fused in the scan projection,
+    one (chunk-hash) hash-agg — the same shape as the shingle
+    kernels. Output (1 row): n_docs, n_chunks, n_unique_chunks,
+    total_chars, unique_chars, savings_ratio, avg_chunk_chars.
+    """
+    k, mod = CDC_K, CDC_MOD
+    prepped = docs.filter(F.length("text") >= 1).select(
+        "doc_id",
+        "text",
+        F.length("text").alias("ln"),
+    )
+    cuts = F.expr(
+        f"if(ln >= {k} + 1,"
+        f" filter(sequence(2, ln - {k} + 1),"
+        f"  i -> conv(substring(md5(substring(text, i, {k})), 1, 8),"
+        f"   16, 10) % {mod} = 0),"
+        " cast(array() as array<int>))"
+    )
+    spans = prepped.select(
+        "doc_id",
+        "text",
+        F.concat(F.array(F.lit(1)), cuts).alias("starts"),
+        F.concat(cuts, F.array(F.col("ln") + 1)).alias("ends"),
+    )
+    chunks = spans.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(starts)),"
+                " j -> named_struct("
+                "  'ch', md5(substring(text, element_at(starts, j),"
+                "   element_at(ends, j) - element_at(starts, j))),"
+                "  'clen', cast(element_at(ends, j)"
+                "   - element_at(starts, j) as bigint)))"
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.ch").alias("ch"), F.col("c.clen").alias("clen"))
+    per_hash = chunks.groupBy("ch").agg(
+        F.count("*").alias("copies"),
+        F.max("clen").alias("clen"),
+    )
+    nd = prepped.agg(F.count("*").alias("n_docs"))
+    m = per_hash.agg(
+        F.sum("copies").alias("n_chunks"),
+        F.count("*").alias("n_unique_chunks"),
+        F.sum(F.col("copies") * F.col("clen")).alias("total_chars"),
+        F.sum("clen").alias("unique_chars"),
+    ).crossJoin(F.broadcast(nd))
+    return m.select(
+        "n_docs",
+        "n_chunks",
+        "n_unique_chunks",
+        "total_chars",
+        "unique_chars",
+        F.round(
+            1
+            - F.col("unique_chars").cast("double")
+            / F.col("total_chars").cast("double"),
+            6,
+        ).alias("savings_ratio"),
+        F.round(
+            F.col("total_chars").cast("double")
+            / F.col("n_chunks").cast("double"),
+            2,
+        ).alias("avg_chunk_chars"),
+    )
+
+
+ORACLE_CDC = f"""
+cdc_p AS (
+  SELECT doc_id, text, length(text) AS ln
+  FROM documents WHERE length(text) >= 1
+),
+cdc_s AS (
+  SELECT doc_id, text, ln,
+         list_prepend(1,
+           CASE WHEN ln >= {CDC_K} + 1 THEN
+             list_filter(range(2, ln - {CDC_K} + 2),
+               i -> CAST(('0x' || substr(md5(substr(text, i, {CDC_K})),
+                          1, 8)) AS BIGINT) % {CDC_MOD} = 0)
+           ELSE [] END) AS starts,
+         list_append(
+           CASE WHEN ln >= {CDC_K} + 1 THEN
+             list_filter(range(2, ln - {CDC_K} + 2),
+               i -> CAST(('0x' || substr(md5(substr(text, i, {CDC_K})),
+                          1, 8)) AS BIGINT) % {CDC_MOD} = 0)
+           ELSE [] END, ln + 1) AS ends
+  FROM cdc_p
+),
+cdc_c AS (
+  SELECT doc_id,
+         md5(substr(text, starts[j], ends[j] - starts[j])) AS ch,
+         CAST(ends[j] - starts[j] AS BIGINT) AS clen
+  FROM cdc_s, LATERAL unnest(range(1, len(starts) + 1)) AS t(j)
+),
+cdc_h AS (
+  SELECT ch, CAST(count(*) AS BIGINT) AS copies,
+         CAST(max(clen) AS BIGINT) AS clen
+  FROM cdc_c GROUP BY 1
+),
+cdc_nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM cdc_p),
+cdc_chunk_report AS (
+  SELECT d.n_docs,
+         CAST(sum(copies) AS BIGINT) AS n_chunks,
+         CAST(count(*) AS BIGINT) AS n_unique_chunks,
+         CAST(sum(copies * clen) AS BIGINT) AS total_chars,
+         CAST(sum(clen) AS BIGINT) AS unique_chars,
+         round(1 - CAST(sum(clen) AS DOUBLE)
+                   / sum(copies * clen), 6) AS savings_ratio,
+         round(CAST(sum(copies * clen) AS DOUBLE)
+               / sum(copies), 2) AS avg_chunk_chars
+  FROM cdc_h, cdc_nd d
+  GROUP BY d.n_docs
+)
+"""

@@ -17119,3 +17119,102 @@ welch_anova AS (
   FROM wa_m
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# circular statistics: Rayleigh uniformity of purchase hour (round 7)
+# ---------------------------------------------------------------------------
+
+
+def rayleigh_hour(events: DataFrame) -> DataFrame:
+    """Circular statistics of the purchase HOUR-OF-DAY: mean
+    direction (peak hour), resultant length R-bar, and the Rayleigh
+    uniformity test z = n*R-bar^2 — the correct way to average a
+    clock (the linear mean of {23h, 1h} is noon; the circular mean
+    is midnight), and the formal "is there a daily rhythm at all"
+    gate under the seasonality ladder.
+
+    The corpus collapses to 24 exact hour counts in one hash-agg;
+    C = sum n_h cos(2*pi*h/24) and S = ... sin(...) then fold over
+    the PACKED hour-sorted array (one sequential executor fold —
+    same-IEEE additions in both engines, the record-days protocol),
+    so the only doubles are 24 identical cos/sin terms in identical
+    order. p ~ exp(-z) (large-n Rayleigh); the flag compares the
+    6-dp ROUNDED p to 0.05.
+
+    Output (1 row): n, mean_hour, r_bar, z_stat, p_approx,
+    nonuniform.
+    """
+    hc = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.hour("ts").alias("h"))
+        .agg(F.count("*").alias("c"))
+    )
+    packed = hc.agg(
+        F.sort_array(F.collect_list(F.struct("h", "c"))).alias("s")
+    )
+    m = packed.select(
+        F.expr(
+            "aggregate(s, cast(0 as bigint), (a, x) -> a + x.c)"
+        ).alias("n"),
+        F.expr(
+            "aggregate(s, cast(0.0 as double),"
+            " (a, x) -> a + x.c * cos(2 * pi() * x.h / 24))"
+        ).alias("cc"),
+        F.expr(
+            "aggregate(s, cast(0.0 as double),"
+            " (a, x) -> a + x.c * sin(2 * pi() * x.h / 24))"
+        ).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    rbar = F.sqrt(
+        F.col("cc") * F.col("cc") + F.col("ss") * F.col("ss")
+    ) / nd
+    mean_hour = (
+        (F.atan2(F.col("ss"), F.col("cc")) / (2 * F.lit(3.141592653589793)))
+        * 24 + 24
+    ) % 24
+    z = nd * rbar * rbar
+    p = F.round(F.exp(-z), 6)
+    return m.select(
+        "n",
+        F.round(mean_hour, 4).alias("mean_hour"),
+        F.round(rbar, 6).alias("r_bar"),
+        F.round(z, 6).alias("z_stat"),
+        p.alias("p_approx"),
+        (p < 0.05).alias("nonuniform"),
+    )
+
+
+ORACLE_RAYLEIGH = """
+ry_h AS (
+  SELECT hour(ts) AS h, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+ry_p AS (
+  SELECT list({'h': h, 'c': c} ORDER BY h) AS s FROM ry_h
+),
+ry_m AS (
+  SELECT list_aggregate(list_transform(s, x -> x.c), 'sum') AS n,
+         list_aggregate(list_transform(s,
+           x -> x.c * cos(2 * pi() * x.h / 24)), 'sum') AS cc,
+         list_aggregate(list_transform(s,
+           x -> x.c * sin(2 * pi() * x.h / 24)), 'sum') AS ss
+  FROM ry_p
+),
+rayleigh_hour AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         round(((atan2(ss, cc) / (2 * 3.141592653589793)) * 24
+                % 24 + 24) % 24, 4) AS mean_hour,
+         round(sqrt(cc * cc + ss * ss) / n, 6) AS r_bar,
+         round(n * (sqrt(cc * cc + ss * ss) / n)
+                 * (sqrt(cc * cc + ss * ss) / n), 6) AS z_stat,
+         round(exp(-(n * (sqrt(cc * cc + ss * ss) / n)
+                     * (sqrt(cc * cc + ss * ss) / n))), 6)
+           AS p_approx,
+         round(exp(-(n * (sqrt(cc * cc + ss * ss) / n)
+                     * (sqrt(cc * cc + ss * ss) / n))), 6) < 0.05
+           AS nonuniform
+  FROM ry_m
+)
+"""

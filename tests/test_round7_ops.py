@@ -530,3 +530,56 @@ def test_bartlett_and_welch_on_equal_vs_unequal_groups(spark):
     w2 = temporal.welch_anova(df2).collect()[0]
     assert b2["significant"]
     assert w2["f_stat"] == 0.0 and not w2["significant"]
+
+
+def test_rayleigh_concentrated_vs_uniform(spark):
+    from datetime import datetime, timedelta
+
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    d0 = datetime(2024, 1, 1, 0)
+    # all purchases at hour 14 -> r_bar = 1, mean_hour = 14, reject
+    conc = [
+        (d0 + timedelta(days=i, hours=14), "purchase", 1.0)
+        for i in range(50)
+    ]
+    r = temporal.rayleigh_hour(_tev(spark, conc)).collect()[0]
+    assert r["r_bar"] == 1.0 and r["mean_hour"] == 14.0
+    assert r["nonuniform"]
+    # perfectly balanced over all 24 hours -> resultant ~0, keep null
+    unif = [
+        (d0 + timedelta(days=i, hours=h), "purchase", 1.0)
+        for i in range(5)
+        for h in range(24)
+    ]
+    r2 = temporal.rayleigh_hour(_tev(spark, unif)).collect()[0]
+    assert r2["r_bar"] < 1e-9 and not r2["nonuniform"]
+
+
+def test_cdc_shift_resistance(spark):
+    """The CDC property: prepending a paragraph to a long doc leaves
+    the tail chunks identical, so the two versions dedup at the
+    chunk level far better than fixed blocks would — here: the
+    2-doc corpus's unique chars are well under the total."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        dedup,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    body = " ".join(
+        "".join(rng.choice("abcdefgh") for _ in range(5))
+        for _ in range(400)
+    )
+    docs = spark.createDataFrame(
+        [(0, body), (1, "PREFIX INSERTED HERE " + body)],
+        "doc_id long, text string",
+    )
+    r = dedup.cdc_chunk_report(docs).collect()[0]
+    assert r["n_docs"] == 2
+    assert r["total_chars"] == len(body) * 2 + len("PREFIX INSERTED HERE ")
+    # most of the duplicated body dedups away
+    assert r["savings_ratio"] > 0.4
