@@ -2272,6 +2272,27 @@ def q_events_weibull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.weibull_fit(load_table(spark, sf_dir, "events"))
 
 
+def q_join_order_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """System-R join-order enumeration over the C-O-L chain with the
+    independence cardinality model; Cartesian-leading permutations
+    rank last by construction."""
+    return _prof.join_order_advisor(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_events_aqp_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate SUM from the deterministic 10% sample with a CLT
+    99% bound, audited against the exact answer in the same row."""
+    return _prof.aqp_revenue(load_table(spark, sf_dir, "events"))
+
+
 def q_events_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Circular mean / Rayleigh uniformity of purchase hour: 24 exact
     hour counts, packed same-IEEE trig folds, exp(-z) approx p."""
@@ -4012,6 +4033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weibull": q_events_weibull,
         "events_bartlett": q_events_bartlett,
         "events_rayleigh": q_events_rayleigh,
+        "join_order_advisor": q_join_order_advisor,
+        "events_aqp_revenue": q_events_aqp_revenue,
         "events_welch_anova": q_events_welch_anova,
         "events_friedman": q_events_friedman,
         "events_tukey_hsd": q_events_tukey_hsd,
@@ -5139,6 +5162,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_rayleigh": _ext_oracle(
             [_tmp.ORACLE_RAYLEIGH], "rayleigh_hour"
+        ),
+        "join_order_advisor": _ext_oracle(
+            [_prof.ORACLE_JOIN_ORDER], "join_order_advisor"
+        ),
+        "events_aqp_revenue": _ext_oracle(
+            [_prof.oracle_aqp_revenue()], "aqp_revenue"
         ),
         "dedup_cdc": _ext_oracle(
             [_dedup.ORACLE_CDC], "cdc_chunk_report"

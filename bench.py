@@ -345,6 +345,8 @@ HEADLINE = [
     "docs_cluster_sample",
     "events_rayleigh",
     "dedup_cdc",
+    "join_order_advisor",
+    "events_aqp_revenue",
 ]
 
 

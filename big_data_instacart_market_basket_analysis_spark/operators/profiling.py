@@ -1487,3 +1487,272 @@ def oracle_delta_advisor() -> str:
         parts.append("  UNION ALL")
     body = "\n".join(parts[:-1])
     return f"delta_encoding_advisor AS (\n{body}\n)"
+
+
+# ---------------------------------------------------------------------------
+# cost-based join-order advisor (round 7)
+# ---------------------------------------------------------------------------
+
+
+def join_order_advisor(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """System-R-style join-order enumeration over the
+    customer - orders - lineitem chain: for each of the 6 left-deep
+    permutations, estimate both intermediate cardinalities with the
+    textbook independence model |A JOIN B on k| = |A|*|B| /
+    max(ndv_A(k), ndv_B(k)) (post-join ndv preserved as
+    min(parent ndv, est rows); a pair with NO connecting predicate
+    costs the full Cartesian — which is exactly why the advisor
+    exists: the two permutations that lead with customer x lineitem
+    must rank last), cost = sum of intermediate sizes, and rank the
+    orders. This is the CBO decision the engine's sketches
+    (``join_cardinality_estimate``) feed at 100 TB — here with exact
+    ndv stats so the ranking itself is deterministic and
+    oracle-checkable.
+
+    One stats pass per table (count + exact ndv of its join keys);
+    the 6-permutation frame is literal. Output per permutation:
+    perm, est_rows_1, est_rows_2, est_cost, rank.
+    """
+    st = (
+        customer.agg(
+            F.count("*").alias("nc"),
+            F.countDistinct("c_custkey").alias("dc_ck"),
+        )
+        .crossJoin(
+            orders.agg(
+                F.count("*").alias("no"),
+                F.countDistinct("o_custkey").alias("do_ck"),
+                F.countDistinct("o_orderkey").alias("do_ok"),
+            )
+        )
+        .crossJoin(
+            lineitem.agg(
+                F.count("*").alias("nl"),
+                F.countDistinct("l_orderkey").alias("dl_ok"),
+            )
+        )
+    )
+    perms = st.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(p)
+                    for p in (
+                        "C*O*L",
+                        "O*C*L",
+                        "O*L*C",
+                        "L*O*C",
+                        "C*L*O",
+                        "L*C*O",
+                    )
+                ]
+            )
+        ).alias("perm"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r1_co = d("nc") * d("no") / F.greatest(d("dc_ck"), d("do_ck"))
+    r1_ol = d("no") * d("nl") / F.greatest(d("do_ok"), d("dl_ok"))
+    r1_cl = d("nc") * d("nl")
+    ndv_ok_after_co = F.least(d("do_ok"), r1_co)
+    ndv_ck_after_ol = F.least(d("do_ck"), r1_ol)
+    r2 = (
+        F.when(
+            F.col("perm").isin("C*O*L", "O*C*L"),
+            r1_co * d("nl") / F.greatest(ndv_ok_after_co, d("dl_ok")),
+        )
+        .when(
+            F.col("perm").isin("O*L*C", "L*O*C"),
+            r1_ol * d("nc") / F.greatest(ndv_ck_after_ol, d("dc_ck")),
+        )
+        .otherwise(
+            r1_cl
+            * d("no")
+            / (
+                F.greatest(d("dc_ck"), d("do_ck"))
+                * F.greatest(d("dl_ok"), d("do_ok"))
+            )
+        )
+    )
+    r1 = (
+        F.when(F.col("perm").isin("C*O*L", "O*C*L"), r1_co)
+        .when(F.col("perm").isin("O*L*C", "L*O*C"), r1_ol)
+        .otherwise(r1_cl)
+    )
+    w = Window.orderBy(F.round(r1 + r2, 2), F.col("perm"))
+    return perms.select(
+        "perm",
+        F.round(r1, 2).alias("est_rows_1"),
+        F.round(r2, 2).alias("est_rows_2"),
+        F.round(r1 + r2, 2).alias("est_cost"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+ORACLE_JOIN_ORDER = """
+jo_st AS (
+  SELECT c.nc, c.dc_ck, o.no, o.do_ck, o.do_ok, l.nl, l.dl_ok
+  FROM (SELECT CAST(count(*) AS BIGINT) AS nc,
+               CAST(count(DISTINCT c_custkey) AS BIGINT) AS dc_ck
+        FROM customer) c,
+       (SELECT CAST(count(*) AS BIGINT) AS no,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS do_ck,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS do_ok
+        FROM orders) o,
+       (SELECT CAST(count(*) AS BIGINT) AS nl,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS dl_ok
+        FROM lineitem) l
+),
+jo_r AS (
+  SELECT p.perm,
+         CASE WHEN p.perm IN ('C*O*L', 'O*C*L')
+              THEN CAST(nc AS DOUBLE) * no
+                   / greatest(dc_ck, do_ck)
+              WHEN p.perm IN ('O*L*C', 'L*O*C')
+              THEN CAST(no AS DOUBLE) * nl
+                   / greatest(do_ok, dl_ok)
+              ELSE CAST(nc AS DOUBLE) * nl END AS r1,
+         CASE WHEN p.perm IN ('C*O*L', 'O*C*L')
+              THEN (CAST(nc AS DOUBLE) * no / greatest(dc_ck, do_ck))
+                   * nl
+                   / greatest(least(CAST(do_ok AS DOUBLE),
+                       CAST(nc AS DOUBLE) * no
+                       / greatest(dc_ck, do_ck)),
+                     CAST(dl_ok AS DOUBLE))
+              WHEN p.perm IN ('O*L*C', 'L*O*C')
+              THEN (CAST(no AS DOUBLE) * nl / greatest(do_ok, dl_ok))
+                   * nc
+                   / greatest(least(CAST(do_ck AS DOUBLE),
+                       CAST(no AS DOUBLE) * nl
+                       / greatest(do_ok, dl_ok)),
+                     CAST(dc_ck AS DOUBLE))
+              ELSE CAST(nc AS DOUBLE) * nl * no
+                   / (greatest(dc_ck, do_ck)
+                      * greatest(dl_ok, do_ok)) END AS r2
+  FROM jo_st,
+       (SELECT unnest(['C*O*L', 'O*C*L', 'O*L*C',
+                       'L*O*C', 'C*L*O', 'L*C*O']) AS perm) p
+),
+join_order_advisor AS (
+  SELECT perm, round(r1, 2) AS est_rows_1, round(r2, 2) AS est_rows_2,
+         round(r1 + r2, 2) AS est_cost,
+         CAST(row_number() OVER (ORDER BY round(r1 + r2, 2), perm)
+              AS INT) AS rank
+  FROM jo_r
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# sample-based approximate aggregation with error bound (round 7)
+# ---------------------------------------------------------------------------
+
+AQP_FRAC = 0.1
+AQP_SEED = 13
+
+
+def aqp_revenue(events: DataFrame) -> DataFrame:
+    """Approximate-query-processing SUM: estimate total purchase
+    revenue from the deterministic 10% md5-Bernoulli row sample with
+    a CLT error bound, next to the exact answer — the AQP engine
+    feature (sample once at ingest, answer aggregates 10x cheaper
+    with a quantified bound), made verifiable: the oracle replays
+    sample, estimator, bound AND truth, so the hash gate pins the
+    whole audit.
+
+    Horvitz-Thompson under Bernoulli(f): T_hat = S_sample/f with
+    Var(T_hat) = (1-f)/f^2 * sum v_i^2 estimated from the sample;
+    the 99% halfwidth is 2.576*sqrt(Var_hat). Sample membership is
+    the engine-independent md5 draw (plan-shape independent), sums
+    are exact BIGINT cents; the estimate/bound/flag are one mirrored
+    double chain.
+
+    Output (1 row): n_rows, n_sample, exact_cents, est_cents,
+    rel_error, ci99_halfwidth_cents, within_ci.
+    """
+    thr = format(int(AQP_FRAC * 16**32), "032x")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    base = events.filter(F.col("event_type") == "purchase").select(
+        cents.alias("c"),
+        (
+            F.md5(
+                F.concat(
+                    F.lit(f"aqp:{AQP_SEED}:"),
+                    F.col("event_id").cast("string"),
+                )
+            )
+            < thr
+        ).alias("in_s"),
+    )
+    m = base.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("c").alias("exact_cents"),
+        F.sum(F.when(F.col("in_s"), 1).otherwise(0)).alias("n_sample"),
+        F.sum(F.when(F.col("in_s"), F.col("c")).otherwise(0)).alias(
+            "ss"
+        ),
+        F.sum(
+            F.when(
+                F.col("in_s"),
+                F.col("c").cast("decimal(38,0)")
+                * F.col("c").cast("decimal(38,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("sq"),
+    )
+    f = AQP_FRAC
+    est = F.col("ss").cast("double") / f
+    var = (1 - f) / (f * f) * F.col("sq").cast("double")
+    hw = 2.576 * F.sqrt(var)
+    return m.select(
+        "n_rows",
+        "n_sample",
+        "exact_cents",
+        F.round(est, 2).alias("est_cents"),
+        F.round(
+            (est - F.col("exact_cents").cast("double"))
+            / F.col("exact_cents").cast("double"),
+            6,
+        ).alias("rel_error"),
+        F.round(hw, 2).alias("ci99_halfwidth_cents"),
+        (
+            F.abs(est - F.col("exact_cents").cast("double")) <= hw
+        ).alias("within_ci"),
+    )
+
+
+def oracle_aqp_revenue() -> str:
+    thr = format(int(AQP_FRAC * 16**32), "032x")
+    return f"""
+aqp_b AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+         md5('aqp:{AQP_SEED}:' || CAST(event_id AS VARCHAR))
+           < '{thr}' AS in_s
+  FROM events WHERE event_type = 'purchase'
+),
+aqp_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(c) AS BIGINT) AS exact_cents,
+         CAST(sum(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sample,
+         CAST(sum(CASE WHEN in_s THEN c ELSE 0 END) AS BIGINT) AS ss,
+         CAST(sum(CASE WHEN in_s THEN CAST(c AS HUGEINT) * c
+                       ELSE 0 END) AS HUGEINT) AS sq
+  FROM aqp_b
+),
+aqp_revenue AS (
+  SELECT n_rows, n_sample, exact_cents,
+         round(CAST(ss AS DOUBLE) / {AQP_FRAC}, 2) AS est_cents,
+         round((CAST(ss AS DOUBLE) / {AQP_FRAC} - exact_cents)
+               / exact_cents, 6) AS rel_error,
+         round(2.576 * sqrt((1 - {AQP_FRAC})
+               / ({AQP_FRAC} * {AQP_FRAC})
+               * CAST(sq AS DOUBLE)), 2) AS ci99_halfwidth_cents,
+         abs(CAST(ss AS DOUBLE) / {AQP_FRAC} - exact_cents)
+           <= 2.576 * sqrt((1 - {AQP_FRAC})
+               / ({AQP_FRAC} * {AQP_FRAC}) * CAST(sq AS DOUBLE))
+           AS within_ci
+  FROM aqp_m
+)
+"""

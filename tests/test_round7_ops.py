@@ -583,3 +583,49 @@ def test_cdc_shift_resistance(spark):
     assert r["total_chars"] == len(body) * 2 + len("PREFIX INSERTED HERE ")
     # most of the duplicated body dedups away
     assert r["savings_ratio"] > 0.4
+
+
+def test_join_order_advisor_ranks_cartesian_last(spark):
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        profiling,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["perm"]: r
+        for r in profiling.join_order_advisor(
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "lineitem"),
+        ).collect()
+    }
+    assert len(out) == 6
+    # the two Cartesian-leading plans must be the two worst
+    worst = sorted(out.values(), key=lambda r: r["rank"])[-2:]
+    assert {r["perm"] for r in worst} == {"C*L*O", "L*C*O"}
+    # symmetric first joins tie on cost
+    assert out["C*O*L"]["est_cost"] == out["O*C*L"]["est_cost"]
+
+
+def test_aqp_estimate_close_and_bounded(spark):
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        profiling,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    r = profiling.aqp_revenue(
+        load_table(spark, "/root/testdata/sf0.01", "events")
+    ).collect()[0]
+    assert 0 < r["n_sample"] < r["n_rows"]
+    # 10% md5 draw: sample fraction within 3 sd of 0.1
+    import math
+
+    sd = math.sqrt(0.1 * 0.9 / r["n_rows"])
+    assert abs(r["n_sample"] / r["n_rows"] - 0.1) < 3 * sd + 0.01
+    assert abs(r["rel_error"]) < 0.2
+    assert r["within_ci"]
