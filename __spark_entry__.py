@@ -2293,6 +2293,21 @@ def q_events_aqp_revenue(
     return _prof.aqp_revenue(load_table(spark, sf_dir, "events"))
 
 
+def q_events_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramer-von Mises: fully exact integer core via the
+    prefix kernel, one final division."""
+    return _tmp.cramer_von_mises(load_table(spark, sf_dir, "events"))
+
+
+def q_events_anderson_darling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Anderson-Darling (Scholz-Stephens ties version):
+    doubled-midrank integer cumulatives, O(N) harmonic state folds
+    for the exact variance standardization."""
+    return _tmp.anderson_darling_2s(load_table(spark, sf_dir, "events"))
+
+
 def q_events_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Circular mean / Rayleigh uniformity of purchase hour: 24 exact
     hour counts, packed same-IEEE trig folds, exp(-z) approx p."""
@@ -4033,6 +4048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weibull": q_events_weibull,
         "events_bartlett": q_events_bartlett,
         "events_rayleigh": q_events_rayleigh,
+        "events_cvm": q_events_cvm,
+        "events_anderson_darling": q_events_anderson_darling,
         "join_order_advisor": q_join_order_advisor,
         "events_aqp_revenue": q_events_aqp_revenue,
         "events_welch_anova": q_events_welch_anova,
@@ -5162,6 +5179,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_rayleigh": _ext_oracle(
             [_tmp.ORACLE_RAYLEIGH], "rayleigh_hour"
+        ),
+        "events_cvm": _ext_oracle(
+            [_tmp.ORACLE_CVM], "cramer_von_mises"
+        ),
+        "events_anderson_darling": _ext_oracle(
+            [_tmp.ORACLE_AD_2S], "anderson_darling_2s"
         ),
         "join_order_advisor": _ext_oracle(
             [_prof.ORACLE_JOIN_ORDER], "join_order_advisor"

@@ -347,6 +347,8 @@ HEADLINE = [
     "dedup_cdc",
     "join_order_advisor",
     "events_aqp_revenue",
+    "events_cvm",
+    "events_anderson_darling",
 ]
 
 

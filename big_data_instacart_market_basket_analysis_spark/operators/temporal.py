@@ -17218,3 +17218,333 @@ rayleigh_hour AS (
   FROM ry_m
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Cramer-von Mises two-sample test (round 7)
+# ---------------------------------------------------------------------------
+
+#: asymptotic 5% critical value of the two-sample CvM T statistic.
+CVM_CRIT_05 = 0.461
+
+
+def cramer_von_mises(events: DataFrame) -> DataFrame:
+    """Two-sample Cramer-von Mises test, purchase vs click values:
+    T = nm/N^2 * sum over pooled points of (F_n - G_m)^2 — the
+    INTEGRATED-distance member of the two-sample family (KS reads
+    the single worst gap; CvM accumulates every gap, so it sees
+    broad shape differences KS's sup misses; energy/AD weight the
+    tails differently).
+
+    FULLY exact integer core: with per-value counts a, b, inclusive
+    cumulatives A, B (the octave prefix kernel) and z = a + b,
+    T = sum_v z*(m*A - n*B)^2 / (n*m*N^2) — the numerator sum is one
+    DECIMAL(38,0) hash-agg (envelope: z*(mA)^2 <= N*(nm)^2 ~ 1e38 at
+    n,m ~ 5e7 pooled cent-grain rows; beyond that, pre-aggregate the
+    value grain coarser), and T divides ONCE, rounded 6 dp.
+
+    Output (1 row): n1, n2, t_stat, significant (T > 0.461, the
+    asymptotic 5% point).
+    """
+    cg = events.filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        (F.col("event_type") == "purchase").alias("is_x"),
+    )
+    vg = cg.groupBy("c").agg(
+        F.sum(F.when(F.col("is_x"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("is_x"), 0).otherwise(1)).alias("b"),
+    )
+    pre = _cent_prefix(vg, ["a", "b"], inclusive=True)
+    tot = vg.agg(F.sum("a").alias("n"), F.sum("b").alias("m"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = pre.crossJoin(F.broadcast(tot))
+    term = dec(F.col("a") + F.col("b")) * (
+        dec(F.col("m")) * dec(F.col("_pre_a"))
+        - dec(F.col("n")) * dec(F.col("_pre_b"))
+    ) * (
+        dec(F.col("m")) * dec(F.col("_pre_a"))
+        - dec(F.col("n")) * dec(F.col("_pre_b"))
+    )
+    agg = j.groupBy("n", "m").agg(F.sum(term).alias("s"))
+    nd, md = F.col("n").cast("double"), F.col("m").cast("double")
+    nn = nd + md
+    t = F.round(
+        F.col("s").cast("double") / (nd * md * nn * nn), 6
+    )
+    return agg.select(
+        F.col("n").alias("n1"),
+        F.col("m").alias("n2"),
+        t.alias("t_stat"),
+        (t > CVM_CRIT_05).alias("significant"),
+    )
+
+
+ORACLE_CVM = f"""
+cv_c AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+         event_type = 'purchase' AS is_x
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+),
+cv_v AS (
+  SELECT c,
+         CAST(sum(CASE WHEN is_x THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN is_x THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM cv_c GROUP BY 1
+),
+cv_p AS (
+  SELECT a, b,
+         CAST(sum(a) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS ca,
+         CAST(sum(b) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cb
+  FROM cv_v
+),
+cv_t AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n, CAST(sum(b) AS BIGINT) AS m
+  FROM cv_v
+),
+cv_s AS (
+  SELECT t.n, t.m,
+         CAST(sum(CAST(p.a + p.b AS HUGEINT)
+              * (t.m * CAST(p.ca AS HUGEINT) - t.n * p.cb)
+              * (t.m * CAST(p.ca AS HUGEINT) - t.n * p.cb))
+              AS HUGEINT) AS s
+  FROM cv_p p, cv_t t GROUP BY 1, 2
+),
+cramer_von_mises AS (
+  SELECT n AS n1, m AS n2,
+         round(CAST(s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * m * (n + m) * (n + m)), 6)
+           AS t_stat,
+         round(CAST(s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * m * (n + m) * (n + m)), 6)
+           > {CVM_CRIT_05} AS significant
+  FROM cv_s
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anderson-Darling two-sample test (round 7)
+# ---------------------------------------------------------------------------
+
+#: asymptotic 5% point of the standardized AD k-sample statistic
+#: (Scholz-Stephens T_kN table, k=2 -> df m=1): 1.960.
+AD_CRIT_05 = 1.960
+
+
+def anderson_darling_2s(events: DataFrame) -> DataFrame:
+    """Two-sample Anderson-Darling test (Scholz-Stephens A2akN,
+    ties-adjusted midrank version), purchase vs click values — the
+    TAIL-WEIGHTED member of the two-sample family: the 1/(H(1-H))
+    weight makes AD the most sensitive of KS/CvM/AD to differences
+    in the distribution tails, which is where revenue distributions
+    actually differ.
+
+    Integer core via the octave prefix kernel: per pooled distinct
+    value, the DOUBLED midrank cumulatives 2B = 2*cum - z and
+    2Ba = 2*cuma - a are exact BIGINTs; each value's term
+    z*(N*2Ba - n*2B)^2 / (2B*(2N - 2B) - N*z) is then ONE division
+    (numerator DECIMAL-exact), and the sum over the value grain is
+    a double fold whose addends are O(N) — fold-order noise ~1e-12
+    relative against the 6-dp rounding (the AR2 protocol, noted in
+    code). Standardized against the Scholz-Stephens variance with
+    H/h/g evaluated by the same packed harmonic folds as the
+    record-days test.
+
+    Output (1 row): n1, n2, a2_stat, t_std, significant
+    (T > 1.960).
+    """
+    cg = events.filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        (F.col("event_type") == "purchase").alias("is_x"),
+    )
+    vg = cg.groupBy("c").agg(
+        F.sum(F.when(F.col("is_x"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("is_x"), 0).otherwise(1)).alias("b"),
+    ).withColumn("z", F.col("a") + F.col("b"))
+    pre = _cent_prefix(vg, ["a", "z"], inclusive=True)
+    tot = vg.agg(
+        F.sum("a").alias("n"),
+        F.sum("b").alias("m"),
+        F.sum("z").alias("nn"),
+    )
+    j = pre.crossJoin(F.broadcast(tot))
+    # doubled midrank cumulatives (exact integers)
+    b2 = 2 * F.col("_pre_z") - F.col("z")
+    ba2 = 2 * F.col("_pre_a") - F.col("a")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = (
+        dec(F.col("nn")) * dec(ba2) - dec(F.col("n")) * dec(b2)
+    )
+    den = dec(b2) * dec(2 * F.col("nn") - b2) - dec(
+        F.col("nn")
+    ) * dec(F.col("z"))
+    term = F.when(
+        den != 0,
+        (dec(F.col("z")) * num * num).cast("double")
+        / den.cast("double"),
+    ).otherwise(F.lit(0.0))
+    agg = j.groupBy("n", "m", "nn").agg(F.sum(term).alias("s"))
+    nd = F.col("nn").cast("double")
+    hcap = (
+        1.0 / F.col("n").cast("double")
+        + 1.0 / F.col("m").cast("double")
+    )
+    # doubled-cumulative scaling cancels: (N*2Ba - n*2B)^2 =
+    # 4*(N*Ba - n*B)^2 and den(2B) = 4*(B(N-B) - N*z/4). For k=2 the
+    # two samples' inner sums are IDENTICAL ((N*Ma2 - m*B) =
+    # -(N*Ma1 - n*B)), so sum_i (1/n_i)(...) = hcap * s, and
+    # A2 = (N-1)/N * hcap * s / N.
+    a2 = (nd - 1) / nd * hcap * F.col("s") / nd
+    # Scholz-Stephens variance of A2akN for k=2. h = H_{N-1} is one
+    # O(N) fold; g = sum_{i<=N-2} (H_{N-1} - H_i)/(N-i) runs as ONE
+    # O(N) state fold carrying the running harmonic (same-IEEE
+    # ascending-i additions in both engines — the record-days
+    # protocol; the naive double fold is O(N^2), a scale-killer).
+    agg = agg.withColumn(
+        "hh",
+        F.expr(
+            "aggregate(sequence(1, cast(nn - 1 as int)),"
+            " cast(0.0 as double), (ac, i) -> ac + 1.0 / i)"
+        ),
+    ).withColumn(
+        "gg",
+        F.expr(
+            "aggregate(sequence(1, cast(nn - 2 as int)),"
+            " named_struct('h', cast(0.0 as double),"
+            "              'acc', cast(0.0 as double)),"
+            " (st, i) -> named_struct("
+            "  'h', st.h + 1.0 / i,"
+            "  'acc', st.acc"
+            "   + (hh - (st.h + 1.0 / i)) / (nn - i))).acc"
+        ),
+    )
+    hh = F.col("hh")
+    gg = F.col("gg")
+    k = 2
+    aa = (4 * gg - 6) * (k - 1) + (10 - 6 * gg) * hcap
+    bb = (
+        (2 * gg - 4) * k * k
+        + 8 * hh * k
+        + (2 * gg - 14 * hh - 4) * hcap
+        - 8 * hh
+        + 4 * gg
+        - 6
+    )
+    cc = (
+        (6 * hh + 2 * gg - 2) * k * k
+        + (4 * hh - 4 * gg + 6) * k
+        + (2 * hh - 6) * hcap
+        + 4 * hh
+    )
+    dd = (2 * hh + 6) * k * k - 4 * hh * k
+    var = (
+        aa * nd * nd * nd + bb * nd * nd + cc * nd + dd
+    ) / ((nd - 1) * (nd - 2) * (nd - 3))
+    tstd = F.round((a2 - (k - 1)) / F.sqrt(var), 6)
+    return agg.select(
+        F.col("n").alias("n1"),
+        F.col("m").alias("n2"),
+        F.round(a2, 6).alias("a2_stat"),
+        tstd.alias("t_std"),
+        (tstd > AD_CRIT_05).alias("significant"),
+    )
+
+
+ORACLE_AD_2S = f"""
+ad_c AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+         event_type = 'purchase' AS is_x
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+),
+ad_v AS (
+  SELECT c,
+         CAST(sum(CASE WHEN is_x THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN is_x THEN 0 ELSE 1 END) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS z0
+  FROM ad_c GROUP BY 1
+),
+ad_p AS (
+  SELECT a, b, z0 AS z,
+         CAST(sum(a) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS ca,
+         CAST(sum(z0) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cz
+  FROM ad_v
+),
+ad_t AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n, CAST(sum(b) AS BIGINT) AS m,
+         CAST(sum(z0) AS BIGINT) AS nn
+  FROM ad_v
+),
+ad_s AS (
+  SELECT t.n, t.m, t.nn,
+         sum(CASE WHEN (2 * p.cz - p.z)
+                       * (2 * t.nn - (2 * p.cz - p.z))
+                       - t.nn * p.z <> 0
+             THEN CAST(CAST(p.z AS HUGEINT)
+                  * (t.nn * CAST(2 * p.ca - p.a AS HUGEINT)
+                     - t.n * (2 * p.cz - p.z))
+                  * (t.nn * CAST(2 * p.ca - p.a AS HUGEINT)
+                     - t.n * (2 * p.cz - p.z)) AS DOUBLE)
+                  / CAST(CAST(2 * p.cz - p.z AS HUGEINT)
+                         * (2 * t.nn - (2 * p.cz - p.z))
+                         - CAST(t.nn AS HUGEINT) * p.z AS DOUBLE)
+             ELSE 0.0 END) AS s
+  FROM ad_p p, ad_t t GROUP BY 1, 2, 3
+),
+ad_hg AS (
+  SELECT n, m, nn, s,
+         list_aggregate(list_transform(range(1, CAST(nn AS INT)),
+           i -> 1.0 / i), 'sum') AS hh,
+         1.0 / n + 1.0 / m AS hcap
+  FROM ad_s
+),
+ad_gi AS (
+  SELECT h.nn, (hh - sum(1.0 / t.i) OVER (ORDER BY t.i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           / (h.nn - t.i) AS gterm,
+         t.i
+  FROM ad_hg h, LATERAL unnest(range(1, CAST(h.nn - 1 AS INT)))
+       AS t(i)
+),
+ad_g AS (
+  SELECT list_aggregate(list(gterm ORDER BY i), 'sum') AS gg
+  FROM ad_gi
+),
+ad_f AS (
+  SELECT n, m, nn, hh, hcap, gg,
+         (CAST(nn AS DOUBLE) - 1) / nn * hcap * s / nn AS a2,
+         ((((4 * gg - 6) * 1 + (10 - 6 * gg) * hcap)
+             * CAST(nn AS DOUBLE) * nn * nn
+           + ((2 * gg - 4) * 4 + 8 * hh * 2
+              + (2 * gg - 14 * hh - 4) * hcap - 8 * hh
+              + 4 * gg - 6) * CAST(nn AS DOUBLE) * nn
+           + ((6 * hh + 2 * gg - 2) * 4
+              + (4 * hh - 4 * gg + 6) * 2
+              + (2 * hh - 6) * hcap + 4 * hh) * CAST(nn AS DOUBLE)
+           + ((2 * hh + 6) * 4 - 4 * hh * 2))
+          / ((CAST(nn AS DOUBLE) - 1) * (nn - 2) * (nn - 3))) AS var
+  FROM ad_hg, ad_g
+),
+anderson_darling_2s AS (
+  SELECT n AS n1, m AS n2,
+         round(a2, 6) AS a2_stat,
+         round((a2 - 1) / sqrt(var), 6) AS t_std,
+         round((a2 - 1) / sqrt(var), 6) > {AD_CRIT_05} AS significant
+  FROM ad_f
+)
+"""

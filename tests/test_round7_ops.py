@@ -629,3 +629,62 @@ def test_aqp_estimate_close_and_bounded(spark):
     assert abs(r["n_sample"] / r["n_rows"] - 0.1) < 3 * sd + 0.01
     assert abs(r["rel_error"]) < 0.2
     assert r["within_ci"]
+
+
+def _two_sample_ev(spark, xs, ys):
+    from datetime import datetime, timedelta
+
+    d0 = datetime(2024, 1, 1)
+    rows = [
+        (d0 + timedelta(minutes=i), "purchase", float(v))
+        for i, v in enumerate(xs)
+    ] + [
+        (d0 + timedelta(minutes=i), "click", float(v))
+        for i, v in enumerate(ys)
+    ]
+    return _tev(spark, rows)
+
+
+def test_cvm_zero_on_identical_rejects_shifted(spark):
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    xs = [float(v % 37) for v in range(300)]
+    same = temporal.cramer_von_mises(
+        _two_sample_ev(spark, xs, xs)
+    ).collect()[0]
+    assert same["t_stat"] == 0.0 and not same["significant"]
+    shifted = temporal.cramer_von_mises(
+        _two_sample_ev(spark, xs, [v + 100 for v in xs])
+    ).collect()[0]
+    assert shifted["significant"] and shifted["t_stat"] > 1
+
+
+def test_anderson_darling_rank_invariance_and_power(spark):
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    xs = [float(v % 41) for v in range(250)]
+    ys = [float((v * 7) % 41) + 0.5 for v in range(250)]
+    base = temporal.anderson_darling_2s(
+        _two_sample_ev(spark, xs, ys)
+    ).collect()[0]
+    # rank statistic: scaling both samples by 3 changes nothing
+    scaled = temporal.anderson_darling_2s(
+        _two_sample_ev(
+            spark, [3 * v for v in xs], [3 * v for v in ys]
+        )
+    ).collect()[0]
+    assert base["a2_stat"] == scaled["a2_stat"]
+    assert base["t_std"] == scaled["t_std"]
+    # clear location shift rejects; identical samples do not
+    shifted = temporal.anderson_darling_2s(
+        _two_sample_ev(spark, xs, [v + 100 for v in xs])
+    ).collect()[0]
+    assert shifted["significant"]
+    same = temporal.anderson_darling_2s(
+        _two_sample_ev(spark, xs, xs)
+    ).collect()[0]
+    assert not same["significant"]
