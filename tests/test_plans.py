@@ -53,9 +53,22 @@ def test_reference_surface_has_no_python_udfs(spark):
 
 
 def test_scan_filter_pushdown(spark):
-    """ann_brute_force filters vec_id < N at the source — the predicate
-    must reach the parquet scan (row-group pruning at scale)."""
-    plan = _plan(spark, "ann_brute_force")
+    """brute_force_topk filters vec_id < N at the source — the
+    predicate must reach the parquet scan (row-group pruning at
+    scale). Asserted on the UNSTAGED builder: the declared
+    ann_brute_force query reads the session-staged checkpoint
+    (round 7), so the scan that must prune is the one the stage
+    materializes from."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    df = similarity.brute_force_topk(emb)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id" in plan, plan
 
 

@@ -722,8 +722,11 @@ def test_jaro_winkler_empty_window_matches_reference(spark):
     """When the longer name's tail positions have i - w > l2 the
     legal window is EMPTY; the pre-fix kernel scanned Spark's
     descending sequence and matched s2's unused 't' from outside
-    the window (m=4). Textbook greedy matching says m=3,
-    jw = 0.747222 (review finding)."""
+    the window (m=4). Textbook greedy matching says m=3, base jaro
+    0.638889 (review finding). Round 7 gates the Winkler boost at
+    jaro > 0.7 (the Apache Commons convention — r6 advice), so this
+    below-threshold pair now keeps its bare jaro instead of the
+    formerly-boosted 0.747222."""
     from big_data_instacart_market_basket_analysis_spark.operators import (
         dedup,
     )
@@ -734,7 +737,7 @@ def test_jaro_winkler_empty_window_matches_reference(spark):
     )
     r = dedup.jaro_winkler_pairs(parts).collect()[0]
     assert r["n_matches"] == 3
-    assert abs(r["jw_sim"] - 0.747222) < 1e-6
+    assert abs(r["jw_sim"] - 0.638889) < 1e-6
 
 
 def test_kernel_rank_queries_ignore_null_values(spark):
