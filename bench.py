@@ -491,11 +491,12 @@ def bench_diff(
     flagged, watch = {}, {}
     import math
 
-    logsum = 0.0
+    logsum, n_ratio = 0.0, 0
     for q in common:
         p, c = prev[q], timings[q]
         if p > 0 and c > 0:
             logsum += math.log(c / p)
+            n_ratio += 1
         if c > p * DIFF_RATIO and c - p > DIFF_ABS_SECS:
             pc = plan_changed(q)
             flagged[q] = {
@@ -518,8 +519,8 @@ def bench_diff(
     return {
         "baseline": os.path.basename(prev_path),
         "n_common": len(common),
-        "geomean_ratio": round(math.exp(logsum / len(common)), 3)
-        if common
+        "geomean_ratio": round(math.exp(logsum / n_ratio), 3)
+        if n_ratio
         else None,
         "flag_rule": f">{DIFF_RATIO}x AND >{DIFF_ABS_SECS}s",
         "flagged": flagged,

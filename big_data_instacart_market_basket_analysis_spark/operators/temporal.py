@@ -13109,6 +13109,7 @@ def _cent_prefix(
     sum_cols: list,
     value_col: str = "c",
     inclusive: bool = False,
+    group_cols: tuple = (),
 ) -> DataFrame:
     """Octave-bucket prefix sums over a value-grain table with ZERO
     global windows — the one home for the kernel the rank-test
@@ -13120,6 +13121,14 @@ def _cent_prefix(
     PARTITIONED window. Returns the input columns plus ``_pre_{col}``
     = sum of col over values strictly BELOW (or up to, when
     ``inclusive``) this row's value.
+
+    With ``group_cols`` the prefixes run INDEPENDENTLY per group
+    (Brown-Forsythe's per-type medians): bucket totals and offsets
+    are keyed by (group, bucket) — offsets ride a bucket-grain
+    window partitioned by group (<= ~48 rows per group), the
+    within-octave window partitions by (group, bucket). The
+    ungrouped path is byte-identical to before (round-7 review:
+    don't fork the kernel).
 
     Callers must drop NULL values upstream: a NULL value key would
     fall out of the bucket equi-join and silently vanish from every
@@ -13134,12 +13143,30 @@ def _cent_prefix(
         .cast("bigint")
     )
     vgb = vg.select("*", bkt.alias("bucket"))
-    btot = vgb.groupBy("bucket").agg(
+    gcols = list(group_cols)
+    btot = vgb.groupBy(*gcols, "bucket").agg(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
-    offs = _rank.bucket_prefix_offsets(btot, "bucket", sum_cols)
+    if gcols:
+        woff = (
+            Window.partitionBy(*gcols)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = btot.select(
+            *gcols,
+            "bucket",
+            *[
+                F.coalesce(F.sum(c).over(woff), F.lit(0)).alias(
+                    f"_off_{c}"
+                )
+                for c in sum_cols
+            ],
+        )
+    else:
+        offs = _rank.bucket_prefix_offsets(btot, "bucket", sum_cols)
     w_in = (
-        Window.partitionBy("bucket")
+        Window.partitionBy(*gcols, "bucket")
         .orderBy(value_col)
         .rowsBetween(
             Window.unboundedPreceding, 0 if inclusive else -1
@@ -13152,7 +13179,7 @@ def _cent_prefix(
         ).alias(f"_pre_{c}")
         for c in sum_cols
     ]
-    return vgb.join(F.broadcast(offs), "bucket").select(
+    return vgb.join(F.broadcast(offs), gcols + ["bucket"]).select(
         *vg.columns, *out
     )
 
@@ -15720,12 +15747,17 @@ def grubbs_extreme(events: DataFrame) -> DataFrame:
         ),
     )
     mx = dev.groupBy().agg(F.max("dn").alias("mx"))
+    # the (day, cents) pair must come from ONE row: min_by on day
+    # keeps the earliest tied max-deviation day's own revenue
+    # (independent min(day)/min(x) could pair day A with day B's
+    # cents when two days tie — review finding); day is unique at
+    # this grain, so min_by is deterministic in both engines.
     ext = (
         dev.join(F.broadcast(mx), F.col("dn") == F.col("mx"))
         .groupBy("n", "s", "q", "mx")
         .agg(
             F.min("day").alias("extreme_day"),
-            F.min("x").alias("extreme_cents"),
+            F.expr("min_by(x, day)").alias("extreme_cents"),
         )
     )
     nd = F.col("n").cast("double")
@@ -15767,7 +15799,7 @@ gr_mx AS (SELECT max(dn) AS mx FROM gr_dev),
 grubbs_extreme AS (
   SELECT n AS n_days,
          min(day) AS extreme_day,
-         min(x) AS extreme_cents,
+         arg_min(x, day) AS extreme_cents,
          round(CAST(mx AS DOUBLE)
                * sqrt((CAST(n AS DOUBLE) - 1)
                       / (CAST(n AS DOUBLE)
@@ -15816,36 +15848,9 @@ def brown_forsythe(events: DataFrame) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
     )
     vg = cg.groupBy("event_type", "c").agg(F.count("*").alias("cnt"))
-    v = F.col("c")
-    bkt = (
-        F.when(v >= 0, F.floor(F.log2(v + 1)))
-        .otherwise(-1 - F.floor(F.log2(-v)))
-        .cast("bigint")
-    )
-    vgb = vg.select("*", bkt.alias("bucket"))
-    woff = (
-        Window.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    btot = vgb.groupBy("event_type", "bucket").agg(
-        F.sum("cnt").alias("bc")
-    )
-    offs = btot.select(
-        "event_type",
-        "bucket",
-        F.coalesce(F.sum("bc").over(woff), F.lit(0)).alias("off"),
-    )
-    win = (
-        Window.partitionBy("event_type", "bucket")
-        .orderBy("c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = vgb.join(offs, ["event_type", "bucket"]).select(
-        "event_type",
-        "c",
-        (F.col("off") + F.sum("cnt").over(win)).alias("cum"),
-    )
+    cum = _cent_prefix(
+        vg, ["cnt"], inclusive=True, group_cols=("event_type",)
+    ).select("event_type", "c", F.col("_pre_cnt").alias("cum"))
     ng = vg.groupBy("event_type").agg(F.sum("cnt").alias("ng"))
     med = (
         cum.join(ng, "event_type")
@@ -16581,9 +16586,13 @@ def weibull_fit(events: DataFrame) -> DataFrame:
     )
 
     def fold(term: str) -> F.Column:
+        # empty-series guard: sequence(1, 0) DESCENDS in Spark, so an
+        # unguarded fold would index element_at(s, 0) and throw where
+        # DuckDB's empty range() yields a NULL row (review finding).
         return F.expr(
-            "aggregate(sequence(1, size(s)), cast(0.0 as double),"
-            f" (a, i) -> a + ({term}))"
+            "if(size(s) = 0, cast(null as double),"
+            " aggregate(sequence(1, size(s)), cast(0.0 as double),"
+            f" (a, i) -> a + ({term})))"
         )
 
     lx = "ln(cast(element_at(s, i).x as double))"
@@ -17338,6 +17347,14 @@ cramer_von_mises AS (
 #: (Scholz-Stephens T_kN table, k=2 -> df m=1): 1.960.
 AD_CRIT_05 = 1.960
 
+#: harmonic-number evaluation switch: exact ascending fold up to this
+#: pooled size, Euler-Maclaurin closed form beyond (EM error < 1e-14
+#: at the cap — eleven orders under the 6-dp rounding; both engines
+#: branch on the same literal, so the doubles agree either way).
+AD_HARMONIC_FOLD_CAP = 512
+_EULER_GAMMA = 0.5772156649015329
+_PI2_OVER_6 = 1.6449340668482264
+
 
 def anderson_darling_2s(events: DataFrame) -> DataFrame:
     """Two-sample Anderson-Darling test (Scholz-Stephens A2akN,
@@ -17406,27 +17423,51 @@ def anderson_darling_2s(events: DataFrame) -> DataFrame:
     # -(N*Ma1 - n*B)), so sum_i (1/n_i)(...) = hcap * s, and
     # A2 = (N-1)/N * hcap * s / N.
     a2 = (nd - 1) / nd * hcap * F.col("s") / nd
-    # Scholz-Stephens variance of A2akN for k=2. h = H_{N-1} is one
-    # O(N) fold; g = sum_{i<=N-2} (H_{N-1} - H_i)/(N-i) runs as ONE
-    # O(N) state fold carrying the running harmonic (same-IEEE
-    # ascending-i additions in both engines — the record-days
-    # protocol; the naive double fold is O(N^2), a scale-killer).
+    # Scholz-Stephens variance of A2akN for k=2. The constants need
+    # only the harmonic numbers H_{N-1} and H2_N: the double sum
+    # g = sum_{i<=N-2} (H_{N-1} - H_i)/(N-i) has the CLOSED FORM
+    # g = H2_N - 2*H_{N-1}/N - 1/N^2 (generating-function identity
+    # sum_{j<N} H_{N-j}/j = H_N^2 - H2_N, validated to machine
+    # precision in tests) — so NOTHING here is O(N): below the
+    # AD_HARMONIC_FOLD_CAP literal both engines run the exact
+    # ascending fold, above it the Euler-Maclaurin expansions (error
+    # < 1e-14 at the cap, identical doubles both engines). No
+    # corpus-sized array ever materializes (review finding).
+    em_h = (
+        f"ln(cast(nn - 1 as double)) + {_EULER_GAMMA!r}"
+        " + 1.0 / (2.0 * (nn - 1))"
+        " - 1.0 / (12.0 * (nn - 1) * (nn - 1))"
+        " + 1.0 / (120.0 * (nn - 1) * (nn - 1) * (nn - 1)"
+        " * (nn - 1))"
+    )
+    em_h2 = (
+        f"{_PI2_OVER_6!r} - 1.0 / nn + 1.0 / (2.0 * nn * nn)"
+        " - 1.0 / (6.0 * nn * nn * nn)"
+        " + 1.0 / (30.0 * nn * nn * nn * nn * nn)"
+    )
+    cap = AD_HARMONIC_FOLD_CAP
     agg = agg.withColumn(
         "hh",
         F.expr(
-            "aggregate(sequence(1, cast(nn - 1 as int)),"
-            " cast(0.0 as double), (ac, i) -> ac + 1.0 / i)"
+            f"if(nn - 1 <= {cap},"
+            " aggregate(sequence(1, cast(nn - 1 as int)),"
+            " cast(0.0 as double), (ac, i) -> ac + 1.0 / i),"
+            f" {em_h})"
+        ),
+    ).withColumn(
+        "h2n",
+        F.expr(
+            f"if(nn <= {cap},"
+            " aggregate(sequence(1, cast(nn as int)),"
+            " cast(0.0 as double),"
+            " (ac, i) -> ac + 1.0 / (cast(i as double) * i)),"
+            f" {em_h2})"
         ),
     ).withColumn(
         "gg",
         F.expr(
-            "aggregate(sequence(1, cast(nn - 2 as int)),"
-            " named_struct('h', cast(0.0 as double),"
-            "              'acc', cast(0.0 as double)),"
-            " (st, i) -> named_struct("
-            "  'h', st.h + 1.0 / i,"
-            "  'acc', st.acc"
-            "   + (hh - (st.h + 1.0 / i)) / (nn - i))).acc"
+            "h2n - 2.0 * hh / nn"
+            " - 1.0 / (cast(nn as double) * nn)"
         ),
     )
     hh = F.col("hh")
@@ -17508,22 +17549,27 @@ ad_s AS (
 ),
 ad_hg AS (
   SELECT n, m, nn, s,
-         list_aggregate(list_transform(range(1, CAST(nn AS INT)),
-           i -> 1.0 / i), 'sum') AS hh,
+         CASE WHEN nn - 1 <= {AD_HARMONIC_FOLD_CAP} THEN
+           list_aggregate(list_transform(range(1, CAST(nn AS INT)),
+             i -> 1.0 / i), 'sum')
+         ELSE ln(CAST(nn - 1 AS DOUBLE)) + {_EULER_GAMMA!r}
+              + 1.0 / (2.0 * (nn - 1))
+              - 1.0 / (12.0 * (nn - 1) * (nn - 1))
+              + 1.0 / (120.0 * (nn - 1) * (nn - 1) * (nn - 1)
+                       * (nn - 1)) END AS hh,
+         CASE WHEN nn <= {AD_HARMONIC_FOLD_CAP} THEN
+           list_aggregate(list_transform(range(1, CAST(nn + 1 AS INT)),
+             i -> 1.0 / (CAST(i AS DOUBLE) * i)), 'sum')
+         ELSE {_PI2_OVER_6!r} - 1.0 / nn + 1.0 / (2.0 * nn * nn)
+              - 1.0 / (6.0 * nn * nn * nn)
+              + 1.0 / (30.0 * nn * nn * nn * nn * nn) END AS h2n,
          1.0 / n + 1.0 / m AS hcap
   FROM ad_s
 ),
-ad_gi AS (
-  SELECT h.nn, (hh - sum(1.0 / t.i) OVER (ORDER BY t.i
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-           / (h.nn - t.i) AS gterm,
-         t.i
-  FROM ad_hg h, LATERAL unnest(range(1, CAST(h.nn - 1 AS INT)))
-       AS t(i)
-),
 ad_g AS (
-  SELECT list_aggregate(list(gterm ORDER BY i), 'sum') AS gg
-  FROM ad_gi
+  SELECT n, m, nn, s, hh, hcap,
+         h2n - 2.0 * hh / nn - 1.0 / (CAST(nn AS DOUBLE) * nn) AS gg
+  FROM ad_hg
 ),
 ad_f AS (
   SELECT n, m, nn, hh, hcap, gg,
@@ -17538,7 +17584,7 @@ ad_f AS (
               + (2 * hh - 6) * hcap + 4 * hh) * CAST(nn AS DOUBLE)
            + ((2 * hh + 6) * 4 - 4 * hh * 2))
           / ((CAST(nn AS DOUBLE) - 1) * (nn - 2) * (nn - 3))) AS var
-  FROM ad_hg, ad_g
+  FROM ad_g
 ),
 anderson_darling_2s AS (
   SELECT n AS n1, m AS n2,

@@ -239,3 +239,116 @@ def test_bench_diff_gate_planted_regressions(tmp_path):
     )
     assert d2["gate"] == "PASS"
     assert sorted(d2["flagged"]) == ["q_jit", "q_plan"]
+
+
+def test_grubbs_tie_pair_consistency(spark):
+    """Two days tie on |x*n - S| with values on opposite sides of the
+    mean: the emitted (extreme_day, extreme_cents) must be ONE row's
+    pair — day 1 with ITS OWN 500 cents, not day 2's smaller value
+    (review finding: independent min(day)/min(x) mixed rows)."""
+    from datetime import datetime
+
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 9), "purchase", 5.0),
+            (datetime(2024, 1, 2, 9), "purchase", 1.0),
+        ],
+        "ts timestamp, event_type string, value double",
+    )
+    r = temporal.grubbs_extreme(ev).collect()[0]
+    assert r["extreme_day"].day == 1
+    assert r["extreme_cents"] == 500
+
+
+def test_weibull_empty_series_returns_null_row(spark):
+    """No purchase rows: the fold must not index element_at(s, 0)
+    (Spark's sequence(1, 0) descends — review finding); the query
+    returns a degenerate row instead of raising."""
+    from datetime import datetime
+
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    ev = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 9), "view", 1.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    rows = temporal.weibull_fit(ev).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_days"] == 0
+    assert rows[0]["shape"] is None
+
+
+def test_ad_harmonic_closed_form_and_em_branch(spark):
+    """g's closed form H2_N - 2*H_{N-1}/N - 1/N^2 equals the direct
+    double sum (machine precision), and the operator crosses the
+    512 exact/EM switch without a discontinuity visible at 6 dp:
+    rank-invariance (scale both samples) holds on the EM branch
+    (pooled N = 700 > 512)."""
+    import math
+
+    for N in (5, 17, 100, 700):
+        H = [0.0] * N
+        for i in range(1, N):
+            H[i] = H[i - 1] + 1.0 / i
+        direct = sum((H[N - 1] - H[i]) / (N - i) for i in range(1, N - 1))
+        h2 = sum(1.0 / (i * i) for i in range(1, N + 1))
+        hn1 = H[N - 1]
+        closed = h2 - 2 * hn1 / N - 1.0 / (N * N)
+        assert abs(direct - closed) < 1e-12, N
+
+    from datetime import datetime, timedelta
+
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    d0 = datetime(2024, 1, 1)
+
+    def ev(xs, ys):
+        rows = [
+            (d0 + timedelta(minutes=i), "purchase", float(v))
+            for i, v in enumerate(xs)
+        ] + [
+            (d0 + timedelta(minutes=i), "click", float(v))
+            for i, v in enumerate(ys)
+        ]
+        return spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double"
+        )
+
+    xs = [float(v % 31) for v in range(350)]
+    ys = [float((v * 11) % 31) + 0.25 for v in range(350)]
+    a = temporal.anderson_darling_2s(ev(xs, ys)).collect()[0]
+    b = temporal.anderson_darling_2s(
+        ev([2 * v for v in xs], [2 * v for v in ys])
+    ).collect()[0]
+    assert (a["n1"] + a["n2"]) == 700  # EM branch
+    assert a["t_std"] == b["t_std"]
+    assert a["t_std"] is not None
+
+
+def test_bench_geomean_skips_zero_timings(tmp_path):
+    """A zero-timed query must not dilute the geomean divisor
+    (review finding): 2 real 2x drifts + 1 zero-timed -> geomean 2.0,
+    not 1.59."""
+    import json as _json
+
+    import bench
+
+    prev = tmp_path / "BENCH_DETAIL_r98.json"
+    prev.write_text(
+        _json.dumps({"queries": {"a": 1.0, "b": 1.0, "z": 0.0}})
+    )
+    d = bench.bench_diff(
+        {"a": 2.0, "b": 2.0, "z": 0.5},
+        prev_path=str(prev),
+        cur_board={"plans": {}},
+        prev_board={"plans": {}},
+    )
+    assert d["geomean_ratio"] == 2.0
