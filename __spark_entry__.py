@@ -2303,8 +2303,8 @@ def q_events_anderson_darling(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Two-sample Anderson-Darling (Scholz-Stephens ties version):
-    doubled-midrank integer cumulatives, O(N) harmonic state folds
-    for the exact variance standardization."""
+    doubled-midrank integer cumulatives, O(1) closed-form harmonic
+    constants for the variance standardization."""
     return _tmp.anderson_darling_2s(load_table(spark, sf_dir, "events"))
 
 
