@@ -688,3 +688,98 @@ def test_anderson_darling_rank_invariance_and_power(spark):
         _two_sample_ev(spark, xs, xs)
     ).collect()[0]
     assert not same["significant"]
+
+
+def test_cochran_q_matches_textbook_form(spark):
+    """Independent-algebra cross-check: the operator's k-scaled
+    integer form must equal the textbook
+    Q = k(k-1) sum (C_t - N/k)^2 / (k sum R - sum R^2) computed
+    directly in Python floats on a messy synthetic incidence set."""
+    from datetime import datetime
+
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    types = ["a", "b", "c"]
+    pairs = set()
+    for u in range(40):
+        for t in types:
+            if rng.random() < (0.2 + 0.2 * types.index(t)):
+                pairs.add((u, t))
+    pairs = sorted(pairs)
+    ev = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 8), u, t, 1.0) for u, t in pairs],
+        "ts timestamp, user_id long, event_type string, value double",
+    )
+    got = temporal.cochran_q(ev).collect()[0]
+
+    k = len({t for _, t in pairs})
+    cts = {t: sum(1 for _, x in pairs if x == t) for t in types}
+    rus = {}
+    for u, _ in pairs:
+        rus[u] = rus.get(u, 0) + 1
+    n = sum(cts.values())
+    num = k * (k - 1) * sum((c - n / k) ** 2 for c in cts.values() if c)
+    den = k * sum(rus.values()) - sum(r * r for r in rus.values())
+    expect = num / den
+    assert abs(got["q_stat"] - round(expect, 6)) < 2e-6
+
+
+def test_weibull_recovers_planted_shape(spark):
+    """Statistical validity: day values generated from the exact
+    Weibull inverse CDF at the Bernard plotting positions make the
+    regression EXACT — shape and scale recovered, r2 = 1."""
+    import math
+
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    k_true, lam_cents = 1.7, 50_000.0
+    n = 40
+    vals = []
+    for i in range(1, n + 1):
+        f = (i - 0.3) / (n + 0.4)
+        x_cents = lam_cents * (-math.log(1 - f)) ** (1 / k_true)
+        vals.append(round(x_cents) / 100.0)  # dollars, cent grid
+    r = temporal.weibull_fit(_tev(spark, _days(vals))).collect()[0]
+    assert abs(r["shape"] - k_true) < 0.02
+    assert abs(r["scale_cents"] / lam_cents - 1) < 0.02
+    assert r["r2"] > 0.999
+
+
+def test_durbin_watson_range_and_white_noise(spark):
+    """DW lives in [0, 4]; a fixed 'white-ish' series lands in the
+    no-autocorrelation band (neither flag fires)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    vals = [rng.uniform(10, 20) for _ in range(80)]
+    r = temporal.durbin_watson(_tev(spark, _days(vals))).collect()[0]
+    assert 0.0 <= r["dw"] <= 4.0
+    assert not r["positive_autocorr"] and not r["negative_autocorr"]
+
+
+def test_two_sample_family_agrees_on_strong_shift(spark):
+    """KS-free coherence check: CvM, AD and Cliff's delta must all
+    call a 100-unit location shift (n=m=200) — the family's members
+    may disagree on subtle shapes, never on this."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        temporal,
+    )
+
+    xs = [float(v % 29) for v in range(200)]
+    ys = [v + 100 for v in xs]
+    ev = _two_sample_ev(spark, xs, ys)
+    assert temporal.cramer_von_mises(ev).collect()[0]["significant"]
+    assert temporal.anderson_darling_2s(ev).collect()[0]["significant"]
+    d = temporal.cliffs_delta(ev).collect()[0]
+    assert d["delta"] == -1.0 and d["magnitude"] == "large"
