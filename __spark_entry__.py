@@ -28,6 +28,9 @@ from big_data_instacart_market_basket_analysis_spark.operators import (
 )
 from big_data_instacart_market_basket_analysis_spark.ml import models as _ml
 from big_data_instacart_market_basket_analysis_spark.operators import (
+    _staging,
+)
+from big_data_instacart_market_basket_analysis_spark.operators import (
     analytics as _ana,
 )
 from big_data_instacart_market_basket_analysis_spark.operators import (
@@ -577,7 +580,7 @@ def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _read_once(spark, sf_dir, "lineitem")
 
 
-_EVENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_EVENTS_CACHE: dict[tuple[int, str], tuple] = {}
 
 
 def _events_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,10 +589,13 @@ def _events_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized point table and eps-neighbor pairs by input identity,
     so dbscan and the density-outlier query share one
     materialization."""
-    key = (id(spark), sf_dir)
-    if key not in _EVENTS_CACHE:
-        _EVENTS_CACHE[key] = load_table(spark, sf_dir, "events")
-    return _EVENTS_CACHE[key]
+    return _staging.stage(
+        _EVENTS_CACHE,
+        (id(spark), sf_dir),
+        spark,
+        lambda: load_table(spark, sf_dir, "events"),
+        checkpoint=False,
+    )
 
 
 def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1018,7 +1024,7 @@ def q_ml_cart_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         trees as _trees,
     )
 
-    return _trees.cart_train(load_table(spark, sf_dir, "events"))
+    return _trees.cart_train_staged(_events_stable(spark, sf_dir))
 
 
 def q_ml_rf_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,23 +1034,19 @@ def q_ml_rf_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         trees as _trees,
     )
 
-    return _trees.rf_train(load_table(spark, sf_dir, "events"))
+    return _trees.rf_train(_events_stable(spark, sf_dir))
 
 
 def q_ml_gbm_perm_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Permutation importance for the verified GBM (deterministic
     md5 rank-rotation shuffle, exact SSE deltas)."""
-    return _trees.gbm_permutation_importance(
-        load_table(spark, sf_dir, "events")
-    )
+    return _trees.gbm_permutation_importance(_events_stable(spark, sf_dir))
 
 
 def q_ml_cart_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-gain feature importance derived from the verified CART
     model table (explainability as a query)."""
-    return _trees.cart_feature_importance(
-        load_table(spark, sf_dir, "events")
-    )
+    return _trees.cart_feature_importance(_events_stable(spark, sf_dir))
 
 
 def q_events_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1059,7 +1061,7 @@ def q_events_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ml_gbm_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified gradient boosting: depth-1 stumps on integer-scaled
     residuals; per-round split/leaves/SSE hash-verified."""
-    return _trees.gbm_train(load_table(spark, sf_dir, "events"))
+    return _trees.gbm_train_staged(_events_stable(spark, sf_dir))
 
 
 def q_events_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

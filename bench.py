@@ -516,6 +516,19 @@ def bench_diff(
                 else None,
             }
     fails = [q for q, f in flagged.items() if f["plan_changed"]]
+    # r7 ADVICE: a None plan verdict (board missing/unparseable/err row)
+    # must not fail open — a flagged drift that cannot be adjudicated
+    # yields gate UNKNOWN, so absent planboard artifacts can't mask a
+    # plan-caused regression behind a 'jitter-flag' PASS.
+    unadjudicated = [
+        q for q, f in flagged.items() if f["plan_changed"] is None
+    ]
+    if fails:
+        gate = "FAIL"
+    elif unadjudicated:
+        gate = "UNKNOWN (planboard unavailable for flagged queries)"
+    else:
+        gate = "PASS"
     return {
         "baseline": os.path.basename(prev_path),
         "n_common": len(common),
@@ -525,8 +538,9 @@ def bench_diff(
         "flag_rule": f">{DIFF_RATIO}x AND >{DIFF_ABS_SECS}s",
         "flagged": flagged,
         "watch": watch,
-        "gate": "FAIL" if fails else "PASS",
+        "gate": gate,
         "failed": fails,
+        "unadjudicated": unadjudicated,
     }
 
 

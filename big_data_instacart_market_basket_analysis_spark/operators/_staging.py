@@ -1,0 +1,54 @@
+"""Session staging with eviction (r7 ADVICE item 3).
+
+The id()-keyed staging caches (clustering's point/neighbor/core-label
+chain, similarity's brute-force truth, the entry module's stable
+events handle) pin the input DataFrame plus an eagerly
+localCheckpointed result so every same-session consumer reuses one
+materialization. Keeping the input reference is load-bearing (it
+stabilizes ``id()`` against CPython reuse), but an unbounded dict
+makes eviction impossible: a long-lived driver that processes many
+inputs accumulates checkpoint blocks for process lifetime.
+
+``stage`` keeps the convention and adds the eviction hook: when a NEW
+input identity arrives, every entry owned by a DIFFERENT input is
+dropped first. Dropping the Python references releases the
+checkpointed DataFrame to GC, which is exactly how localCheckpoint
+blocks are reclaimed (Spark's ContextCleaner unpersists the backing
+RDD once the last reference dies) — so a superseded input's blocks are
+freed instead of pinned forever, while all variants for the CURRENT
+input (e.g. brute-force truth at several (n_queries, k)) stay warm.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+def stage(
+    cache: dict,
+    key,
+    owner,
+    build: Callable[[], DataFrame],
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Return the staged result for ``key``, building (and eagerly
+    localCheckpointing, unless ``checkpoint=False``) on first touch.
+
+    ``owner`` is the object whose identity scopes the entry (the input
+    DataFrame, or the SparkSession for per-session handles). On a miss,
+    entries owned by any OTHER object are evicted before inserting, so
+    the cache holds at most one input-identity generation at a time.
+    """
+    hit = cache.get(key)
+    if hit is None:
+        stale = [k for k, v in cache.items() if v[0] is not owner]
+        for k in stale:
+            del cache[k]
+        df = build()
+        if checkpoint:
+            df = df.localCheckpoint(eager=True)
+        hit = (owner, df)
+        cache[key] = hit
+    return hit[1]

@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._staging import stage as _stage
 from .dedup import MAX_CC_ROUNDS, _large_star, _small_star
 
 #: epsilon in quantized coordinate units (euclidean, squared test) and
@@ -86,26 +87,18 @@ _NBR_CACHE: dict[int, tuple] = {}
 
 
 def _points_staged(events: DataFrame) -> DataFrame:
-    key = id(events)
-    hit = _POINTS_CACHE.get(key)
-    if hit is None:
-        hit = (events, _points(events).localCheckpoint(eager=True))
-        _POINTS_CACHE[key] = hit
-    return hit[1]
+    return _stage(
+        _POINTS_CACHE, id(events), events, lambda: _points(events)
+    )
 
 
 def _neighbor_pairs_staged(events: DataFrame) -> DataFrame:
-    key = id(events)
-    hit = _NBR_CACHE.get(key)
-    if hit is None:
-        hit = (
-            events,
-            _neighbor_pairs(_points_staged(events)).localCheckpoint(
-                eager=True
-            ),
-        )
-        _NBR_CACHE[key] = hit
-    return hit[1]
+    return _stage(
+        _NBR_CACHE,
+        id(events),
+        events,
+        lambda: _neighbor_pairs(_points_staged(events)),
+    )
 
 
 def _neighbor_pairs(pts: DataFrame) -> DataFrame:
@@ -170,12 +163,9 @@ _CORE_LABELS_CACHE: dict[int, tuple] = {}
 
 
 def _core_labels_staged(events: DataFrame) -> DataFrame:
-    key = id(events)
-    hit = _CORE_LABELS_CACHE.get(key)
-    if hit is None:
-        hit = (events, _core_labels(events).localCheckpoint(eager=True))
-        _CORE_LABELS_CACHE[key] = hit
-    return hit[1]
+    return _stage(
+        _CORE_LABELS_CACHE, id(events), events, lambda: _core_labels(events)
+    )
 
 
 def _core_labels(events: DataFrame) -> DataFrame:

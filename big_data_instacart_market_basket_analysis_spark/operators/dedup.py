@@ -2888,8 +2888,8 @@ def cdc_chunk_report(docs: DataFrame) -> DataFrame:
     cuts = F.expr(
         f"if(ln >= {k} + 1,"
         f" filter(sequence(2, ln - {k} + 1),"
-        f"  i -> conv(substring(md5(substring(text, i, {k})), 1, 8),"
-        f"   16, 10) % {mod} = 0),"
+        f"  i -> cast(conv(substring(md5(substring(text, i, {k})), 1, 8),"
+        f"   16, 10) as bigint) % {mod} = 0),"
         " cast(array() as array<int>))"
     )
     spans = prepped.select(

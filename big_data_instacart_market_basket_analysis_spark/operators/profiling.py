@@ -1581,13 +1581,27 @@ def join_order_advisor(
         .when(F.col("perm").isin("O*L*C", "L*O*C"), r1_ol)
         .otherwise(r1_cl)
     )
-    w = Window.orderBy(F.round(r1 + r2, 2), F.col("perm"))
-    return perms.select(
+    scored = perms.select(
         "perm",
         F.round(r1, 2).alias("est_rows_1"),
         F.round(r2, 2).alias("est_rows_2"),
         F.round(r1 + r2, 2).alias("est_cost"),
-        F.row_number().over(w).cast("int").alias("rank"),
+    )
+    # rank via a self-join dominance count over the 6-row literal frame
+    # (r7 ADVICE: no Window.orderBy without partitionBy anywhere on the
+    # surface — a broadcast NLJ over 6x6 rows replaces the
+    # single-partition exchange a global window would force).
+    other = scored.select(
+        F.col("perm").alias("o_perm"), F.col("est_cost").alias("o_cost")
+    )
+    dominated = (F.col("o_cost") < F.col("est_cost")) | (
+        (F.col("o_cost") == F.col("est_cost"))
+        & (F.col("o_perm") < F.col("perm"))
+    )
+    return (
+        scored.join(F.broadcast(other), dominated, "left")
+        .groupBy("perm", "est_rows_1", "est_rows_2", "est_cost")
+        .agg((F.count("o_perm") + F.lit(1)).cast("int").alias("rank"))
     )
 
 

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._staging import stage as _stage
+
 N_QUERIES = 5
 TOP_K = 10
 N_PLANES = 8
@@ -67,17 +69,12 @@ _BRUTE_CACHE: dict[tuple, tuple] = {}
 def _brute_topk_staged(
     emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
 ) -> DataFrame:
-    key = (id(emb), n_queries, k)
-    hit = _BRUTE_CACHE.get(key)
-    if hit is None:
-        hit = (
-            emb,
-            brute_force_topk(emb, n_queries, k).localCheckpoint(
-                eager=True
-            ),
-        )
-        _BRUTE_CACHE[key] = hit
-    return hit[1]
+    return _stage(
+        _BRUTE_CACHE,
+        (id(emb), n_queries, k),
+        emb,
+        lambda: brute_force_topk(emb, n_queries, k),
+    )
 
 
 def brute_force_topk(

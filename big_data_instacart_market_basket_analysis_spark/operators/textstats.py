@@ -4353,13 +4353,24 @@ def _pair_ngram_base(docs: DataFrame) -> DataFrame:
         .groupBy("ref_id", "cand_id", "n")
         .agg(F.sum(F.least("cr", "cc")).alias("ov"))
     )
+    # The n in {1, 2} frame is driven from the PAIR crossed with a
+    # literal frame, not from the reference's totals (r7 ADVICE): a
+    # reference with <2 tokens still yields the n=2 row, so BLEU's
+    # p2 denominator is the candidate's real bigram count (p2 = 0,
+    # per the BLEU definition) instead of a spuriously-NULL row.
+    nframe = pairs.select(
+        "ref_id",
+        "cand_id",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("n"),
+    )
     base = (
-        pairs.join(
+        nframe.join(
             totals.select(
                 F.col("doc_id").alias("ref_id"), "n",
                 F.col("tot").alias("nr"),
             ),
-            "ref_id",
+            ["ref_id", "n"],
+            "left",
         )
         .join(
             totals.select(
@@ -4372,7 +4383,7 @@ def _pair_ngram_base(docs: DataFrame) -> DataFrame:
         .join(ov, ["ref_id", "cand_id", "n"], "left")
         .select(
             "ref_id", "cand_id", "n",
-            F.col("nr"),
+            F.coalesce("nr", F.lit(0)).alias("nr"),
             F.coalesce("nc", F.lit(0)).alias("nc"),
             F.coalesce("ov", F.lit(0)).alias("ov"),
         )
@@ -4419,15 +4430,16 @@ rg_ov AS (
   GROUP BY 1, 2, 3
 ),
 rg_base AS (
-  SELECT p.ref_id, p.cand_id, tr.n,
-         tr.tot AS nr,
+  SELECT p.ref_id, p.cand_id, nf.n,
+         CAST(coalesce(tr.tot, 0) AS BIGINT) AS nr,
          CAST(coalesce(tc.tot, 0) AS BIGINT) AS nc,
          CAST(coalesce(o.ov, 0) AS BIGINT) AS ov
   FROM rg_pairs p
-  JOIN rg_totals tr ON tr.doc_id = p.ref_id
-  LEFT JOIN rg_totals tc ON tc.doc_id = p.cand_id AND tc.n = tr.n
+  CROSS JOIN (SELECT 1 AS n UNION ALL SELECT 2 AS n) nf
+  LEFT JOIN rg_totals tr ON tr.doc_id = p.ref_id AND tr.n = nf.n
+  LEFT JOIN rg_totals tc ON tc.doc_id = p.cand_id AND tc.n = nf.n
   LEFT JOIN rg_ov o ON o.ref_id = p.ref_id
-                   AND o.cand_id = p.cand_id AND o.n = tr.n
+                   AND o.cand_id = p.cand_id AND o.n = nf.n
 ),
 rouge_pairs AS (
   SELECT ref_id, cand_id,
@@ -5611,21 +5623,22 @@ bl_ov AS (
 ),
 bl_w AS (
   SELECT p.ref_id, p.cand_id,
-         CAST(coalesce(max(CASE WHEN t.n = 1 THEN t.tot END), 0)
+         CAST(coalesce(max(CASE WHEN nf.n = 1 THEN tr.tot END), 0)
               AS BIGINT) AS nr1,
-         CAST(coalesce(max(CASE WHEN t.n = 1 THEN tc.tot END), 0)
+         CAST(coalesce(max(CASE WHEN nf.n = 1 THEN tc.tot END), 0)
               AS BIGINT) AS nc1,
-         CAST(coalesce(max(CASE WHEN t.n = 2 THEN tc.tot END), 0)
+         CAST(coalesce(max(CASE WHEN nf.n = 2 THEN tc.tot END), 0)
               AS BIGINT) AS nc2,
-         CAST(coalesce(max(CASE WHEN t.n = 1 THEN o.ov END), 0)
+         CAST(coalesce(max(CASE WHEN nf.n = 1 THEN o.ov END), 0)
               AS BIGINT) AS ov1,
-         CAST(coalesce(max(CASE WHEN t.n = 2 THEN o.ov END), 0)
+         CAST(coalesce(max(CASE WHEN nf.n = 2 THEN o.ov END), 0)
               AS BIGINT) AS ov2
   FROM bl_pairs p
-  JOIN bl_totals t ON t.doc_id = p.ref_id
-  LEFT JOIN bl_totals tc ON tc.doc_id = p.cand_id AND tc.n = t.n
+  CROSS JOIN (SELECT 1 AS n UNION ALL SELECT 2 AS n) nf
+  LEFT JOIN bl_totals tr ON tr.doc_id = p.ref_id AND tr.n = nf.n
+  LEFT JOIN bl_totals tc ON tc.doc_id = p.cand_id AND tc.n = nf.n
   LEFT JOIN bl_ov o ON o.ref_id = p.ref_id
-                   AND o.cand_id = p.cand_id AND o.n = t.n
+                   AND o.cand_id = p.cand_id AND o.n = nf.n
   GROUP BY 1, 2
 ),
 bleu_pairs AS (

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._staging import stage as _stage
+
 TREE_BINS = 16
 TREE_LABEL_MIN = 14
 _VAL_SCALE = 100
@@ -171,6 +173,18 @@ def _argmin_split_from_hist(hist: DataFrame) -> DataFrame:
         .select("fid", "bin", score.alias("score"))
         .orderBy("score", "fid", "bin")
         .limit(1)
+    )
+
+
+#: converged CART model table per input identity (r8): shared by
+#: `ml_cart_verified` and `cart_feature_importance`, which otherwise
+#: re-runs the full depth-2 split search to read 7 rows.
+_CART_CACHE: dict[int, tuple] = {}
+
+
+def cart_train_staged(events: DataFrame) -> DataFrame:
+    return _stage(
+        _CART_CACHE, id(events), events, lambda: cart_train(events)
     )
 
 
@@ -463,6 +477,36 @@ def _gb_binned(events: DataFrame):
     )
 
 
+#: r8 (verdict task 2): the GBM family's shared session state. Both
+#: `ml_gbm_verified` (returns the stump table) and
+#: `ml_gbm_perm_importance` (re-applies the FIXED stumps per probe)
+#: need the same trained ensemble; before staging, the importance
+#: query re-ran the full driver-coordinated boosting loop — the exact
+#: blind spot the betweenness/dbscan pattern closes. The melted
+#: (user, y, fid, bin) table and the converged 3-row stump table are
+#: each materialized once per input identity; superseded inputs are
+#: evicted (see `_staging.stage`).
+_GB_BINNED_CACHE: dict[int, tuple] = {}
+_GBM_CACHE: dict[tuple, tuple] = {}
+
+
+def _gb_binned_staged(events: DataFrame) -> DataFrame:
+    return _stage(
+        _GB_BINNED_CACHE, id(events), events, lambda: _gb_binned(events)
+    )
+
+
+def gbm_train_staged(
+    events: DataFrame, rounds: int = GB_ROUNDS
+) -> DataFrame:
+    return _stage(
+        _GBM_CACHE,
+        (id(events), rounds),
+        events,
+        lambda: gbm_train(events, rounds),
+    )
+
+
 def gbm_train(events: DataFrame, rounds: int = GB_ROUNDS) -> DataFrame:
     """Verified gradient boosting: ``rounds`` depth-1 regression
     stumps fit to the running residual of the scaled purchase count —
@@ -484,7 +528,7 @@ def gbm_train(events: DataFrame, rounds: int = GB_ROUNDS) -> DataFrame:
     residual table localCheckpointed per round. Output per round:
     round, fid, bin, vl, vr, sse.
     """
-    binned = _gb_binned(events).localCheckpoint(eager=True)
+    binned = _gb_binned_staged(events)
     resid = binned.select("user_id", "y").distinct().select(
         "user_id", F.col("y").alias("r")
     )
@@ -637,7 +681,7 @@ gb_melt AS (
 gb_ranges AS (
   SELECT fid, min(val) AS lo, max(val) AS hi FROM gb_melt GROUP BY 1
 ),
-gb_binned AS (
+gb_binned AS MATERIALIZED (
   SELECT user_id, y, fid,
          CAST((val - lo) * {TREE_BINS} // (hi - lo + 1) AS INT) AS bin
   FROM gb_melt JOIN gb_ranges USING (fid)
@@ -676,7 +720,7 @@ def cart_feature_importance(events: DataFrame) -> DataFrame:
     7-row model table — explainability as a query, itself
     hash-verified. Output: fid, total_gain, importance (round 6).
     """
-    tree = cart_train(events)
+    tree = cart_train_staged(events)
     splits = tree.filter(F.col("kind") == "split")
     neg = F.col("n") - F.col("pos")
     parent = (
@@ -740,16 +784,12 @@ def gbm_permutation_importance(events: DataFrame) -> DataFrame:
     from big_data_instacart_market_basket_analysis_spark.operators import (
         ranking as _rank,
     )
-    binned = _gb_binned(events).localCheckpoint(eager=True)
+    binned = _gb_binned_staged(events)
     users_y = binned.select("user_id", "y").distinct()
     f0 = users_y.agg(
         F.expr("CAST(floor(sum(y) / count(*)) AS BIGINT)").alias("f0v")
     )
-    stumps = (
-        gbm_train(events)
-        .select("fid", "bin", "vl", "vr")
-        .localCheckpoint(eager=True)
-    )
+    stumps = gbm_train_staged(events).select("fid", "bin", "vl", "vr")
 
     def _sse(bins_df: DataFrame) -> DataFrame:
         adj = (
