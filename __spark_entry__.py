@@ -2316,6 +2316,20 @@ def q_events_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.rayleigh_hour(load_table(spark, sf_dir, "events"))
 
 
+def q_events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct-sum daily periodogram at integer periods 2..14 days
+    (mean-centered, gap-filled day series; packed same-IEEE trig
+    folds — retires the r6/r7 DFT deferral via the Rayleigh
+    protocol)."""
+    return _tmp.periodogram_daily(_events_stable(spark, sf_dir))
+
+
+def q_events_lru_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user capacity-k LRU hit-rate curve (k in 1,2,4,8): exact
+    integer array fold per user, recursive-CTE oracle replay."""
+    return _tmp.lru_hitrate(_events_stable(spark, sf_dir))
+
+
 def q_events_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bartlett normal-theory variance homogeneity: exact group
     moments, ln chain with small-sample correction."""
@@ -4050,6 +4064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weibull": q_events_weibull,
         "events_bartlett": q_events_bartlett,
         "events_rayleigh": q_events_rayleigh,
+        "events_periodogram": q_events_periodogram,
+        "events_lru_hitrate": q_events_lru_hitrate,
         "events_cvm": q_events_cvm,
         "events_anderson_darling": q_events_anderson_darling,
         "join_order_advisor": q_join_order_advisor,
@@ -5181,6 +5197,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_rayleigh": _ext_oracle(
             [_tmp.ORACLE_RAYLEIGH], "rayleigh_hour"
+        ),
+        "events_periodogram": _ext_oracle(
+            [_tmp.ORACLE_PERIODOGRAM], "events_periodogram"
+        ),
+        "events_lru_hitrate": _ext_oracle(
+            [_tmp.ORACLE_LRU_HITRATE], "events_lru_hitrate",
+            recursive=True,
         ),
         "events_cvm": _ext_oracle(
             [_tmp.ORACLE_CVM], "cramer_von_mises"

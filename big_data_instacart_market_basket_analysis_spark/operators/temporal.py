@@ -17594,3 +17594,279 @@ anderson_darling_2s AS (
   FROM ad_f
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# daily periodogram at fixed integer periods (round 8)
+# ---------------------------------------------------------------------------
+
+#: candidate cycle lengths, in days. Integer periods over the
+#: calendar-bounded day index keep every trig argument 2*pi*d/P an
+#: identical double in both engines.
+PERIODOGRAM_PERIODS = tuple(range(2, 15))
+
+
+def periodogram_daily(events: DataFrame) -> DataFrame:
+    """Direct-sum power spectrum of the DAILY purchase-count series at
+    fixed integer periods (2..14 days) — the "which weekly/biweekly
+    cycle dominates" readout that closes the seasonality ladder above
+    the Rayleigh uniformity gate (is there a daily rhythm) and the STL
+    decomposition. This retires the r6/r7 DFT deferral: the deferral
+    reasoned that an irrational trig basis breaks the cross-engine
+    hash, but ``rayleigh_hour`` (round 7) established the packed
+    same-IEEE trig-fold protocol — the corpus collapses to an exact
+    integer day-count series, and the only doubles are T identical
+    cos/sin terms folded in identical (day-sorted) order in both
+    engines (the record-days protocol).
+
+    Per period P: C = sum_d (x_d - mu) cos(2 pi d / P), S = likewise
+    with sin, power I_P = (C^2 + S^2) / T — the classic periodogram of
+    the MEAN-CENTERED series (centering removes the DC term that would
+    otherwise swamp every bin). The day series is gap-filled over the
+    full calendar span (a zero-purchase day is a real observation, and
+    skipping it would shift every later phase), x_d and T are exact
+    BIGINTs, and mu = total/T is the single shared double.
+
+    Scale: one day-grain hash-agg (calendar-bounded — SCALE.md's
+    bounded-grain argument: days do not grow with row count), then a
+    13-row period frame folding over the packed array on one executor.
+    At 100 TB the day table is still tiny; the fold cost is
+    |periods| * T multiply-adds. Output per period: period, c_term,
+    s_term, power, is_peak.
+    """
+    pd_ = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    bounds = pd_.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = bounds.select(
+        F.explode(F.expr("sequence(d0, d1)")).alias("day"), "d0"
+    )
+    daily = cal.join(pd_, "day", "left").select(
+        F.datediff("day", "d0").cast("bigint").alias("d"),
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+    )
+    packed = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "c"))).alias("s"),
+        F.sum("c").alias("tot"),
+        F.count("*").alias("t"),
+    )
+    per = packed.select(
+        "s",
+        "t",
+        (F.col("tot").cast("double") / F.col("t").cast("double")).alias(
+            "mu"
+        ),
+        F.explode(
+            F.array(*[F.lit(p) for p in PERIODOGRAM_PERIODS])
+        ).alias("period"),
+    )
+    folded = per.select(
+        "period",
+        "t",
+        F.expr(
+            "aggregate(s, cast(0.0 as double),"
+            " (a, x) -> a + (x.c - mu) * cos(2 * pi() * x.d / period))"
+        ).alias("cc"),
+        F.expr(
+            "aggregate(s, cast(0.0 as double),"
+            " (a, x) -> a + (x.c - mu) * sin(2 * pi() * x.d / period))"
+        ).alias("ss"),
+    )
+    # + 0.0 normalizes IEEE -0.0 (record-days convention: a tiny
+    # negative rounds to -0.0 in one engine, +0.0 in the other).
+    pw = folded.select(
+        "period",
+        (F.round("cc", 6) + 0.0).alias("c_term"),
+        (F.round("ss", 6) + 0.0).alias("s_term"),
+        F.round(
+            (F.col("cc") * F.col("cc") + F.col("ss") * F.col("ss"))
+            / F.col("t").cast("double"),
+            6,
+        ).alias("power"),
+    )
+    mx = pw.agg(F.max("power").alias("pmax"))
+    return pw.crossJoin(F.broadcast(mx)).select(
+        "period",
+        "c_term",
+        "s_term",
+        "power",
+        (F.col("power") == F.col("pmax")).alias("is_peak"),
+    )
+
+
+ORACLE_PERIODOGRAM = f"""
+pg_d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+pg_b AS (SELECT min(day) AS d0, max(day) AS d1 FROM pg_d),
+pg_cal AS (
+  SELECT CAST(u.day AS DATE) AS day, b.d0
+  FROM pg_b b, unnest(generate_series(CAST(b.d0 AS TIMESTAMP),
+                                      CAST(b.d1 AS TIMESTAMP),
+                                      INTERVAL 1 DAY)) AS u(day)
+),
+pg_daily AS (
+  SELECT CAST(date_diff('day', c.d0, c.day) AS BIGINT) AS d,
+         CAST(coalesce(p.c, 0) AS BIGINT) AS c
+  FROM pg_cal c LEFT JOIN pg_d p USING (day)
+),
+pg_pack AS (
+  SELECT list({{'d': d, 'c': c}} ORDER BY d) AS s,
+         CAST(sum(c) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS t
+  FROM pg_daily
+),
+pg_per AS (
+  SELECT s, t, CAST(tot AS DOUBLE) / t AS mu, pp.period
+  FROM pg_pack,
+       (SELECT unnest([{", ".join(str(p) for p in PERIODOGRAM_PERIODS)}])
+          AS period) pp
+),
+pg_f AS (
+  SELECT period, t,
+         list_aggregate(list_transform(s,
+           x -> (x.c - mu) * cos(2 * pi() * x.d / period)), 'sum') AS cc,
+         list_aggregate(list_transform(s,
+           x -> (x.c - mu) * sin(2 * pi() * x.d / period)), 'sum') AS ss
+  FROM pg_per
+),
+pg_pw AS (
+  SELECT period, round(cc, 6) + 0.0 AS c_term,
+         round(ss, 6) + 0.0 AS s_term,
+         round((cc * cc + ss * ss) / t, 6) AS power
+  FROM pg_f
+),
+events_periodogram AS (
+  SELECT period, c_term, s_term, power,
+         power = (SELECT max(power) FROM pg_pw) AS is_peak
+  FROM pg_pw
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-user bounded-capacity LRU hit-rate simulation (round 8)
+# ---------------------------------------------------------------------------
+
+#: cache capacities to report — the cache-sizing curve.
+LRU_CAPACITIES = (1, 2, 4, 8)
+
+
+def lru_hitrate(events: DataFrame) -> DataFrame:
+    """Per-user capacity-k LRU cache simulation over each user's
+    time-ordered item-access sequence (item = the ``props`` JSON
+    payload's ``k`` field — the event's object id), reporting the
+    corpus hit rate per capacity in {1, 2, 4, 8} — the cache-sizing
+    readout a serving team asks of an access log ("how big must the
+    per-session cache be before hit rate plateaus"). This retires the
+    deferred-ledger LRU entry: the GLOBAL-sequence variant stays
+    parked (one unbounded fold over the whole corpus), but the
+    per-user sequence is key-bounded — exactly the legitimacy argument
+    the shipped DTW/Needleman-Wunsch packed-array kernels rely on.
+
+    The simulation is an exact integer fold: each user's item array
+    (sorted by ts, event_id — ts is unique per user in the fixtures,
+    the tiebreak is for safety) is folded once per capacity with an
+    (lru-list, hits) accumulator — hit moves the item to the front,
+    miss prepends and truncates to capacity. Zero doubles anywhere
+    except the final hit_rate division, mirrored 6 dp.
+
+    Scale: one (user, item-array) hash-agg — per-user arrays are
+    session-bounded, the same grain every sequence kernel here uses —
+    then |capacities| folds per user, each O(len * capacity) with
+    capacity <= 8. The oracle replays the identical automaton as a
+    recursive CTE. Output per capacity: capacity, n_refs, hits,
+    hit_rate.
+    """
+    seq = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+    )
+    per_user = seq.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id,"
+            " item))), x -> x.item)"
+        ).alias("items")
+    )
+    caps = per_user.select(
+        "items",
+        F.explode(
+            F.array(*[F.lit(k) for k in LRU_CAPACITIES])
+        ).alias("capacity"),
+    )
+    folded = caps.select(
+        "capacity",
+        F.size("items").cast("bigint").alias("refs"),
+        F.expr(
+            "aggregate(items,"
+            " named_struct('q', cast(array() as array<bigint>),"
+            "              'h', cast(0 as bigint)),"
+            " (acc, x) -> if(array_contains(acc.q, x),"
+            "   named_struct('q', concat(array(x),"
+            "                            filter(acc.q, e -> e != x)),"
+            "                'h', acc.h + 1L),"
+            "   named_struct('q', slice(concat(array(x), acc.q), 1,"
+            "                           capacity),"
+            "                'h', acc.h)),"
+            " acc -> acc.h)"
+        ).alias("hits"),
+    )
+    out = folded.groupBy("capacity").agg(
+        F.sum("refs").alias("n_refs"), F.sum("hits").alias("hits")
+    )
+    return out.select(
+        F.col("capacity").cast("int").alias("capacity"),
+        "n_refs",
+        "hits",
+        F.round(
+            F.col("hits").cast("double") / F.col("n_refs").cast("double"),
+            6,
+        ).alias("hit_rate"),
+    )
+
+
+ORACLE_LRU_HITRATE = f"""
+lru_seq AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         CAST(props ->> '$.k' AS BIGINT) AS item
+  FROM events
+),
+lru_len AS (SELECT user_id, CAST(max(rn) AS BIGINT) AS m
+            FROM lru_seq GROUP BY 1),
+lru_step AS (
+  SELECT l.user_id, c.capacity, 0 AS rn,
+         CAST([] AS BIGINT[]) AS q, CAST(0 AS BIGINT) AS h
+  FROM lru_len l
+  CROSS JOIN (SELECT unnest([{", ".join(str(k) for k in LRU_CAPACITIES)}])
+                AS capacity) c
+  UNION ALL
+  SELECT s.user_id, s.capacity, s.rn + 1,
+         CASE WHEN list_contains(s.q, e.item)
+              THEN list_prepend(e.item,
+                                list_filter(s.q, x -> x <> e.item))
+              ELSE array_slice(list_prepend(e.item, s.q),
+                               1, s.capacity) END,
+         s.h + CASE WHEN list_contains(s.q, e.item) THEN 1 ELSE 0 END
+  FROM lru_step s
+  JOIN lru_seq e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+),
+lru_fin AS (
+  SELECT s.capacity, s.h, l.m
+  FROM lru_step s JOIN lru_len l ON l.user_id = s.user_id
+  WHERE s.rn = l.m
+),
+events_lru_hitrate AS (
+  SELECT CAST(capacity AS INT) AS capacity,
+         CAST(sum(m) AS BIGINT) AS n_refs,
+         CAST(sum(h) AS BIGINT) AS hits,
+         round(CAST(sum(h) AS DOUBLE) / sum(m), 6) AS hit_rate
+  FROM lru_fin GROUP BY 1
+)
+"""
