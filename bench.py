@@ -349,6 +349,17 @@ HEADLINE = [
     "events_aqp_revenue",
     "events_cvm",
     "events_anderson_darling",
+    # round-8 promotions (r7 verdict task 1): the board's slow tail,
+    # minus streaming (cannot re-run in the warm loop) and
+    # ml_cv_selection (inherent grid-training cost) — both of those
+    # are gated by boardtail_diff from DRIVERSIM deltas instead.
+    "ml_gbm_perm_importance",
+    "plan_lint_report",
+    "sql_dept_stats",
+    "sql_daily_gapfill",
+    "ml_cart_importance",
+    "ml_train_metrics",
+    "pysource_docs",
 ]
 
 
@@ -535,6 +546,129 @@ def bench_diff(
         "geomean_ratio": round(math.exp(logsum / n_ratio), 3)
         if n_ratio
         else None,
+        "flag_rule": f">{DIFF_RATIO}x AND >{DIFF_ABS_SECS}s",
+        "flagged": flagged,
+        "watch": watch,
+        "gate": gate,
+        "failed": fails,
+        "unadjudicated": unadjudicated,
+    }
+
+
+# --------------------------------------------------------------------------
+# board-tail diff gate (r7 verdict task 1): the full-board twin of
+# bench_diff. The bench tier times 288 of ~515 queries min-of-runs;
+# everything else — notably the streaming queries, which cannot re-run
+# in the warm bench loop — has its only timing signal in the
+# DRIVERSIM board. This gate diffs every SLOW board line (> 5 s in
+# either round) against the last committed DRIVERSIM_r{N-1}.json with
+# the same flag rule and planboard adjudication as bench_diff, so the
+# blind spot that let events_dbscan drift for three rounds is closed
+# for the whole surface. Run by scripts/driver_sim.py; the verdict
+# rides in DRIVERSIM.json as "tail_diff".
+# --------------------------------------------------------------------------
+
+BOARDTAIL_SECS = 5.0
+
+#: the r7 board's named slow tail — rides in every tail diff so the
+#: lines the r7 verdict called out are adjudicated mechanically.
+BOARDTAIL_WATCHLIST = [
+    "ml_gbm_perm_importance",
+    "stream_interval_join_outer",
+    "plan_lint_report",
+    "sql_dept_stats",
+    "sql_daily_gapfill",
+    "ml_rf_verified",
+    "ml_gbm_verified",
+    "ml_cv_selection",
+    "stream_checkpoint_restart",
+    "stream_merge_state",
+]
+
+
+def boardtail_diff(
+    cur_secs: dict[str, float],
+    prev_path: str | None = None,
+    cur_board: dict | None = None,
+    prev_board: dict | None = None,
+) -> dict:
+    """Diff per-query DRIVERSIM wall times vs the newest committed
+    DRIVERSIM_r*.json, restricted to the slow tail (> BOARDTAIL_SECS
+    in either round) plus the watchlist. Same flag rule, planboard
+    adjudication, and UNKNOWN-on-missing-boards semantics as
+    bench_diff. ``cur_secs`` maps query -> seconds (the driver_sim
+    board's "sec" fields)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_path = prev_path or _latest_round_file(
+        os.path.join(here, "DRIVERSIM_r*.json")
+    )
+    if not prev_path or not os.path.exists(prev_path):
+        return {"baseline": None, "gate": "SKIP (no baseline)"}
+    prev_board_raw = json.load(open(prev_path))
+    prev = {
+        q: r.get("sec")
+        for q, r in (prev_board_raw.get("results") or {}).items()
+        if isinstance(r, dict) and r.get("sec") is not None
+    }
+
+    if cur_board is None:
+        p = os.path.join(here, "PLANBOARD.json")
+        cur_board = json.load(open(p)) if os.path.exists(p) else None
+    if prev_board is None:
+        p = _latest_round_file(os.path.join(here, "PLANBOARD_r*.json"))
+        prev_board = (
+            json.load(open(p)) if p and os.path.exists(p) else None
+        )
+
+    def plan_changed(name):
+        if cur_board is None or prev_board is None:
+            return None
+        a, b = _plan_entry(prev_board, name), _plan_entry(cur_board, name)
+        if a is None or b is None:
+            return None
+        return a != b
+
+    tail = sorted(
+        q
+        for q in set(prev) & set(cur_secs)
+        if prev[q] > BOARDTAIL_SECS or cur_secs[q] > BOARDTAIL_SECS
+    )
+    flagged, watch = {}, {}
+    for q in tail:
+        p, c = prev[q], cur_secs[q]
+        if c > p * DIFF_RATIO and c - p > DIFF_ABS_SECS:
+            pc = plan_changed(q)
+            flagged[q] = {
+                "prev": p,
+                "cur": c,
+                "ratio": round(c / p, 2) if p else None,
+                "plan_changed": pc,
+                "verdict": "plan-regression" if pc else "jitter-flag",
+            }
+    for q in BOARDTAIL_WATCHLIST:
+        if q in prev and q in cur_secs:
+            watch[q] = {
+                "prev": prev[q],
+                "cur": cur_secs[q],
+                "ratio": round(cur_secs[q] / prev[q], 2)
+                if prev[q]
+                else None,
+            }
+    fails = [q for q, f in flagged.items() if f["plan_changed"]]
+    unadjudicated = [
+        q for q, f in flagged.items() if f["plan_changed"] is None
+    ]
+    if fails:
+        gate = "FAIL"
+    elif unadjudicated:
+        gate = "UNKNOWN (planboard unavailable for flagged queries)"
+    else:
+        gate = "PASS"
+    return {
+        "baseline": os.path.basename(prev_path),
+        "tail_rule": f">{BOARDTAIL_SECS}s either round",
+        "n_tail": len(tail),
+        "tail": tail,
         "flag_rule": f">{DIFF_RATIO}x AND >{DIFF_ABS_SECS}s",
         "flagged": flagged,
         "watch": watch,

@@ -82,10 +82,27 @@ def main() -> int:
         "bad": sorted(bad),
         "results": results,
     }
+    # board-tail timing diff gate (r7 verdict task 1): every slow
+    # board line — including the streaming queries the warm bench
+    # loop cannot re-run — is diffed vs the last committed round's
+    # board, with planboard adjudication (see bench.boardtail_diff).
+    try:
+        import bench
+
+        board["tail_diff"] = bench.boardtail_diff(
+            {q: r["sec"] for q, r in results.items()}
+        )
+    except Exception:
+        board["tail_diff"] = {
+            "gate": "UNKNOWN (boardtail_diff raised)",
+            "err": traceback.format_exc(limit=2).splitlines()[-1],
+        }
     with open(out_path, "w") as fh:
         json.dump(board, fh, indent=1, sort_keys=True)
     print(f"\ntotal {board['total_sec']:.0f}s; {len(results)} queries; "
           f"{len(bad)} bad: {sorted(bad)}; board -> {out_path}")
+    print("tail_diff gate:", board["tail_diff"].get("gate"),
+          "flagged:", sorted(board["tail_diff"].get("flagged", {})))
     return 1 if bad else 0
 
 

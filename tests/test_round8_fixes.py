@@ -148,6 +148,43 @@ def test_bench_diff_unknown_when_boards_missing(tmp_path):
     assert diff3["gate"] == "PASS"
 
 
+def test_boardtail_diff_gates_slow_lines(tmp_path):
+    """The board-tail gate (r7 verdict task 1) must: restrict to the
+    >5s tail, flag a planted regression, escalate to FAIL on a plan
+    change, emit UNKNOWN when boards are missing, and carry the named
+    watchlist."""
+    import json as _json
+
+    import bench
+
+    prev = tmp_path / "DRIVERSIM_r99.json"
+    prev.write_text(_json.dumps({"results": {
+        "stream_slow": {"sec": 10.0, "status": "HASH-OK"},
+        "fast_one": {"sec": 0.3, "status": "HASH-OK"},
+        "ml_gbm_perm_importance": {"sec": 6.0, "status": "HASH-OK"},
+    }}))
+    plans_same = {"plans": {
+        "stream_slow": {"rules": {}, "global_windows": 0, "shuffles": 2},
+    }}
+    plans_diff = {"plans": {
+        "stream_slow": {"rules": {}, "global_windows": 0, "shuffles": 9},
+    }}
+    cur = {"stream_slow": 30.0, "fast_one": 0.4,
+           "ml_gbm_perm_importance": 5.5}
+    d = bench.boardtail_diff(cur, prev_path=str(prev),
+                             cur_board=plans_same, prev_board=plans_same)
+    assert d["gate"] == "PASS" and list(d["flagged"]) == ["stream_slow"]
+    assert "fast_one" not in d["tail"]  # sub-threshold line not gated
+    assert "ml_gbm_perm_importance" in d["watch"]
+    d2 = bench.boardtail_diff(cur, prev_path=str(prev),
+                              cur_board=plans_diff, prev_board=plans_same)
+    assert d2["gate"] == "FAIL" and d2["failed"] == ["stream_slow"]
+    d3 = bench.boardtail_diff(cur, prev_path=str(prev),
+                              cur_board={"plans": {}},
+                              prev_board={"plans": {}})
+    assert d3["gate"].startswith("UNKNOWN")
+
+
 def test_bleu_pair_driven_n_frame(spark):
     """Reference with one token: the n=2 row must still exist with the
     CANDIDATE's bigram denominator, so p2 = 0.0 (not NULL) and the
