@@ -965,6 +965,13 @@ def q_events_permutation_test(
     return _tmp.permutation_test(load_table(spark, sf_dir, "events"))
 
 
+def q_orders_bass_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion fit of the customer adoption curve: OLS on the
+    discrete Bass equation over the gap-filled daily first-order
+    series; M/p/q/peak-time readout (packed-fold normal equations)."""
+    return _tmp.bass_model(load_table(spark, sf_dir, "orders"))
+
+
 def q_orders_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil T inequality of customer revenue decomposed
     between/within nations (additive, unlike Gini)."""
@@ -2336,6 +2343,20 @@ def q_events_lru_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.lru_hitrate(_events_stable(spark, sf_dir))
 
 
+def q_events_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBOS top-20 outliers: three bounded-grain histograms
+    (hour/dow/value-octave), score = 3 ln N - ln(n_h n_d n_v) — the
+    no-pairwise-structure outlier screen."""
+    return _tmp.hbos_outliers(_events_stable(spark, sf_dir))
+
+
+def q_events_yuen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's 20%-trimmed-mean two-sample test (purchase vs click
+    values): exact cent-grain order statistics via the octave prefix
+    kernel; only the final t/df chain divides."""
+    return _tmp.yuen_trimmed_test(_events_stable(spark, sf_dir))
+
+
 def q_events_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bartlett normal-theory variance homogeneity: exact group
     moments, ln chain with small-sample correction."""
@@ -3061,6 +3082,12 @@ def q_text_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram for the verified NB classifier (per-bin
     predicted-vs-observed rates + calibration gap)."""
     return _text.nb_calibration(_docs(spark, sf_dir))
+
+
+def q_text_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the NB quality classifier's Brier score
+    (reliability / resolution / uncertainty + exact residual)."""
+    return _text.brier_decomposition(_docs(spark, sf_dir))
 
 
 def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4071,6 +4098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bartlett": q_events_bartlett,
         "events_rayleigh": q_events_rayleigh,
         "events_periodogram": q_events_periodogram,
+        "events_hbos_outliers": q_events_hbos_outliers,
+        "events_yuen": q_events_yuen,
+        "orders_bass_model": q_orders_bass_model,
         "events_lru_hitrate": q_events_lru_hitrate,
         "events_cvm": q_events_cvm,
         "events_anderson_darling": q_events_anderson_darling,
@@ -4390,6 +4420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heaps_curve": q_text_heaps_curve,
         "text_oov_rate": q_text_oov_rate,
         "text_nb_calibration": q_text_nb_calibration,
+        "text_brier": q_text_brier,
         "text_lang_confusion": q_text_lang_confusion,
         "text_nb_pr_curve": q_text_nb_pr_curve,
         "text_nb_scorecard": q_text_nb_scorecard,
@@ -4659,6 +4690,14 @@ def oracle_sql() -> dict[str, str]:
                 _text.ORACLE_NB_PR_CURVE,
             ],
             "nb_pr_curve",
+        ),
+        "text_brier": _ext_oracle(
+            [
+                _text.oracle_gopher_rules(),
+                _text.ORACLE_NB_QUALITY,
+                _text.ORACLE_BRIER,
+            ],
+            "text_brier_decomposition",
         ),
         "text_nb_scorecard": _ext_oracle(
             [
@@ -5206,6 +5245,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_periodogram": _ext_oracle(
             [_tmp.ORACLE_PERIODOGRAM], "events_periodogram"
+        ),
+        "events_hbos_outliers": _ext_oracle(
+            [_tmp.ORACLE_HBOS], "events_hbos_outliers"
+        ),
+        "events_yuen": _ext_oracle([_tmp.ORACLE_YUEN], "events_yuen"),
+        "orders_bass_model": _ext_oracle(
+            [_tmp.ORACLE_BASS], "orders_bass_model"
         ),
         "events_lru_hitrate": _ext_oracle(
             [_tmp.ORACLE_LRU_HITRATE], "events_lru_hitrate",

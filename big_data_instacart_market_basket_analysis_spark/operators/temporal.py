@@ -17870,3 +17870,582 @@ events_lru_hitrate AS (
   FROM lru_fin GROUP BY 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# histogram-based outlier score (round 8)
+# ---------------------------------------------------------------------------
+
+HBOS_TOP_K = 20
+
+
+def hbos_outliers(events: DataFrame) -> DataFrame:
+    """HBOS (Goldstein & Dengel 2012) over three bounded-grain event
+    features — hour-of-day (24 bins), day-of-week (7), and the
+    sign-safe value octave (<= ~48 bins, the `_cent_prefix` bucket
+    law): score = sum_f -ln p_f(x), i.e. an event is anomalous when it
+    sits in RARE bins of several independent histograms at once. This
+    is the histogram sibling of the shipped outlier family (MAD =
+    per-key deviation, kNN/density = geometry, DBSCAN noise =
+    connectivity): HBOS is the one that needs NO pairwise structure at
+    all, which is why it is the standard first-pass screen at
+    data-lake scale.
+
+    Determinism: every histogram count is an exact BIGINT, and the
+    score collapses to 3 ln N - ln(n_h * n_d * n_v) — one ln of an
+    exact integer per event, identical doubles cross-engine (no
+    accumulated float sums). Top-{k} by (rounded score DESC,
+    event_id) is fully tie-broken.
+
+    Scale: three bounded-grain hash-aggs (24 + 7 + ~48 rows)
+    broadcast back onto the fact scan — one pass, zero shuffles wider
+    than the histograms; the top-k is a local-then-global limit.
+    Output: event_id, user_id, hour, dow, voct, score.
+    """
+    c = F.round(F.col("value") * 100, 0).cast("bigint")
+    voct = (
+        F.when(c >= 0, F.floor(F.log2(c + 1)))
+        .otherwise(-1 - F.floor(F.log2(-c)))
+        .cast("bigint")
+    )
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.hour("ts").alias("hour"),
+        F.dayofweek("ts").alias("dow"),
+        voct.alias("voct"),
+    )
+    hh = base.groupBy("hour").agg(F.count("*").alias("n_h"))
+    dd = base.groupBy("dow").agg(F.count("*").alias("n_d"))
+    vv = base.groupBy("voct").agg(F.count("*").alias("n_v"))
+    tot = base.agg(F.count("*").alias("n"))
+    scored = (
+        base.join(F.broadcast(hh), "hour")
+        .join(F.broadcast(dd), "dow")
+        .join(F.broadcast(vv), "voct")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_id",
+            "user_id",
+            "hour",
+            "dow",
+            "voct",
+            F.round(
+                3 * F.log(F.col("n").cast("double"))
+                - F.log(
+                    (
+                        F.col("n_h") * F.col("n_d") * F.col("n_v")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "event_id").limit(
+        HBOS_TOP_K
+    )
+
+
+hbos_outliers.__doc__ = hbos_outliers.__doc__.format(k=HBOS_TOP_K)
+
+ORACLE_HBOS = f"""
+hb_base AS (
+  SELECT event_id, user_id,
+         hour(ts) AS hour, dayofweek(ts) + 1 AS dow,
+         CASE WHEN CAST(round(value * 100, 0) AS BIGINT) >= 0
+              THEN CAST(floor(log2(CAST(round(value * 100, 0)
+                                        AS BIGINT) + 1)) AS BIGINT)
+              ELSE CAST(-1 - floor(log2(-CAST(round(value * 100, 0)
+                                              AS BIGINT))) AS BIGINT)
+         END AS voct
+  FROM events WHERE value IS NOT NULL
+),
+hb_h AS (SELECT hour, CAST(count(*) AS BIGINT) AS n_h
+         FROM hb_base GROUP BY 1),
+hb_d AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_d
+         FROM hb_base GROUP BY 1),
+hb_v AS (SELECT voct, CAST(count(*) AS BIGINT) AS n_v
+         FROM hb_base GROUP BY 1),
+hb_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hb_base),
+hb_scored AS (
+  SELECT b.event_id, b.user_id, b.hour, b.dow, b.voct,
+         round(3 * ln(CAST(n.n AS DOUBLE))
+               - ln(CAST(h.n_h * d.n_d * v.n_v AS DOUBLE)), 6)
+           AS score
+  FROM hb_base b
+  JOIN hb_h h USING (hour) JOIN hb_d d USING (dow)
+  JOIN hb_v v USING (voct) CROSS JOIN hb_n n
+),
+events_hbos_outliers AS (
+  SELECT event_id, user_id, hour, dow, voct, score
+  FROM hb_scored
+  ORDER BY score DESC, event_id LIMIT {HBOS_TOP_K}
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Yuen's trimmed-mean two-sample test (round 8)
+# ---------------------------------------------------------------------------
+
+#: per-tail trim proportion — EXACTLY 1/5, applied as integer n DIV 5
+#: so the trim count is engine-exact (no float multiply).
+YUEN_TRIM_DEN = 5
+
+
+def yuen_trimmed_test(events: DataFrame) -> DataFrame:
+    """Yuen's (1974) two-sample test on 20%-trimmed means of purchase
+    vs click values — the robust LOCATION test that completes the
+    two-sample family: Mann-Whitney ranks everything (loses the
+    metric), Mood keeps only above/below, Cliff's delta is an effect
+    size; Yuen keeps the METRIC scale while discarding both 20% tails,
+    so whales and zero-spikes cannot move it, and it remains a test
+    about means (of the trimmed population) — the one reviewers ask
+    for when t-test assumptions fail but "which group spends more" must
+    stay in dollars.
+
+    Exact order statistics on the cent grain via the octave-bucket
+    prefix kernel (``_cent_prefix``, group_cols): per group, g = n DIV
+    5, the winsorizing values L (rank g+1) and U (rank n-g), and the
+    partial-tail sums make every trimmed/winsorized moment an exact
+    BIGINT — sum of g smallest = prefix-sum below L plus
+    (g - count-below-L) copies of L, symmetric above. Only the final
+    t/df chain divides: trimmed mean mt = trimsum/h with h = n - 2g,
+    winsorized variance s2w = (wsum2 - wsum^2/n)/(n-1), d = s2w (n-1)
+    / (h (h-1)), t = (mt1-mt2)/sqrt(d1+d2), Welch-Satterthwaite df =
+    (d1+d2)^2 / (d1^2/(h1-1) + d2^2/(h2-1)); |t| > 1.96 is the
+    documented large-sample 5% convention (h ~ hundreds at sf0.01+).
+
+    Scale: one value-grain hash-agg per group + the bounded-octave
+    prefix kernel + two 1-row joins — zero global windows, zero pair
+    joins. Output (1 row): n1, n2, g1, g2, h1, h2, tm1, tm2 (the
+    trimmed means, converted back from the cent grain to the VALUE
+    scale at the edge), t_stat, df, significant.
+    """
+    cg = events.filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.when(F.col("event_type") == "purchase", F.lit("x"))
+        .otherwise(F.lit("y"))
+        .alias("grp"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    vg = cg.groupBy("grp", "c").agg(F.count("*").alias("cnt")).select(
+        "grp",
+        "c",
+        "cnt",
+        (F.col("c") * F.col("cnt")).alias("s"),
+        (F.col("c") * F.col("c") * F.col("cnt")).alias("s2"),
+    )
+    pre = _cent_prefix(vg, ["cnt", "s", "s2"], group_cols=("grp",))
+    pre2 = pre.select(
+        "grp",
+        "c",
+        "_pre_cnt",
+        "_pre_s",
+        "_pre_s2",
+        (F.col("_pre_cnt") + F.col("cnt")).alias("cum"),
+        (F.col("_pre_s") + F.col("s")).alias("cs"),
+        (F.col("_pre_s2") + F.col("s2")).alias("cs2"),
+    )
+    tots = (
+        vg.groupBy("grp")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum("s").alias("st"),
+            F.sum("s2").alias("st2"),
+        )
+        .select("*", F.expr(f"n DIV {YUEN_TRIM_DEN}").alias("g"))
+    )
+    j = pre2.join(F.broadcast(tots), "grp")
+    lu = j.groupBy("grp").agg(
+        F.min(
+            F.when(F.col("cum") >= F.col("g") + 1, F.col("c"))
+        ).alias("lv"),
+        F.min(
+            F.when(F.col("cum") >= F.col("n") - F.col("g"), F.col("c"))
+        ).alias("uv"),
+    )
+    lrow = pre2.join(
+        F.broadcast(
+            lu.select("grp", F.col("lv").alias("c"), "lv")
+        ),
+        ["grp", "c"],
+    ).select(
+        "grp",
+        "lv",
+        F.col("_pre_cnt").alias("lcnt"),
+        F.col("_pre_s").alias("ls"),
+        F.col("_pre_s2").alias("ls2"),
+    )
+    urow = pre2.join(
+        F.broadcast(
+            lu.select("grp", F.col("uv").alias("c"), "uv")
+        ),
+        ["grp", "c"],
+    ).select(
+        "grp",
+        "uv",
+        F.col("cum").alias("ucum"),
+        F.col("cs").alias("ucs"),
+        F.col("cs2").alias("ucs2"),
+    )
+    m = tots.join(lrow, "grp").join(urow, "grp")
+    g, n = F.col("g"), F.col("n")
+    lv, uv = F.col("lv"), F.col("uv")
+    s_below = F.col("ls") + (g - F.col("lcnt")) * lv
+    s2_below = F.col("ls2") + (g - F.col("lcnt")) * lv * lv
+    cnt_above = n - F.col("ucum")
+    s_above = F.col("st") - F.col("ucs") + (g - cnt_above) * uv
+    s2_above = (
+        F.col("st2") - F.col("ucs2") + (g - cnt_above) * uv * uv
+    )
+    h = n - 2 * g
+    trim_sum = F.col("st") - s_below - s_above
+    wsum = trim_sum + g * (lv + uv)
+    wsum2 = F.col("st2") - s2_below - s2_above + g * (lv * lv + uv * uv)
+    mt = trim_sum.cast("double") / h.cast("double")
+    s2w = (
+        wsum2.cast("double")
+        - wsum.cast("double") * wsum.cast("double") / n.cast("double")
+    ) / (n.cast("double") - 1)
+    d = s2w * (n.cast("double") - 1) / (
+        h.cast("double") * (h.cast("double") - 1)
+    )
+    per = m.select(
+        "grp",
+        n.alias("n"),
+        g.alias("g"),
+        h.alias("h"),
+        mt.alias("mt"),
+        d.alias("d"),
+    )
+    wide = per.groupBy().pivot("grp", ["x", "y"]).agg(
+        F.first("n").alias("n"),
+        F.first("g").alias("g"),
+        F.first("h").alias("h"),
+        F.first("mt").alias("mt"),
+        F.first("d").alias("d"),
+    )
+    dx, dy = F.col("x_d"), F.col("y_d")
+    hx, hy = F.col("x_h").cast("double"), F.col("y_h").cast("double")
+    t = (F.col("x_mt") - F.col("y_mt")) / F.sqrt(dx + dy)
+    df = ((dx + dy) * (dx + dy)) / (
+        dx * dx / (hx - 1) + dy * dy / (hy - 1)
+    )
+    return wide.select(
+        F.col("x_n").alias("n1"),
+        F.col("y_n").alias("n2"),
+        F.col("x_g").alias("g1"),
+        F.col("y_g").alias("g2"),
+        F.col("x_h").alias("h1"),
+        F.col("y_h").alias("h2"),
+        F.round(F.col("x_mt") / 100, 6).alias("tm1"),
+        F.round(F.col("y_mt") / 100, 6).alias("tm2"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("df"),
+        (F.abs(F.round(t, 6)) > 1.96).alias("significant"),
+    )
+
+
+ORACLE_YUEN = f"""
+yu_cg AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 'x' ELSE 'y' END AS grp,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+),
+yu_vg AS (
+  SELECT grp, c, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(c * count(*) AS BIGINT) AS s,
+         CAST(c * c * count(*) AS BIGINT) AS s2
+  FROM yu_cg GROUP BY 1, 2
+),
+yu_pre AS (
+  SELECT grp, c,
+         CAST(sum(cnt) OVER w AS BIGINT) AS cum,
+         CAST(sum(s) OVER w AS BIGINT) AS cs,
+         CAST(sum(s2) OVER w AS BIGINT) AS cs2,
+         CAST(sum(cnt) OVER w - cnt AS BIGINT) AS pcnt,
+         CAST(sum(s) OVER w - s AS BIGINT) AS ps,
+         CAST(sum(s2) OVER w - s2 AS BIGINT) AS ps2
+  FROM yu_vg
+  WINDOW w AS (PARTITION BY grp ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+yu_tot AS (
+  SELECT grp, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(s) AS BIGINT) AS st, CAST(sum(s2) AS BIGINT) AS st2,
+         CAST(sum(cnt) // {YUEN_TRIM_DEN} AS BIGINT) AS g
+  FROM yu_vg GROUP BY 1
+),
+yu_lu AS (
+  SELECT p.grp,
+         min(CASE WHEN p.cum >= t.g + 1 THEN p.c END) AS lv,
+         min(CASE WHEN p.cum >= t.n - t.g THEN p.c END) AS uv
+  FROM yu_pre p JOIN yu_tot t USING (grp) GROUP BY 1
+),
+yu_l AS (
+  SELECT p.grp, u.lv, p.pcnt AS lcnt, p.ps AS ls, p.ps2 AS ls2
+  FROM yu_pre p JOIN yu_lu u ON u.grp = p.grp AND p.c = u.lv
+),
+yu_u AS (
+  SELECT p.grp, u.uv, p.cum AS ucum, p.cs AS ucs, p.cs2 AS ucs2
+  FROM yu_pre p JOIN yu_lu u ON u.grp = p.grp AND p.c = u.uv
+),
+yu_m AS (
+  SELECT t.grp, t.n, t.g, t.n - 2 * t.g AS h,
+         t.st - (l.ls + (t.g - l.lcnt) * l.lv)
+              - (t.st - u.ucs + (t.g - (t.n - u.ucum)) * u.uv)
+           AS trim_sum,
+         t.st2 - (l.ls2 + (t.g - l.lcnt) * l.lv * l.lv)
+               - (t.st2 - u.ucs2
+                  + (t.g - (t.n - u.ucum)) * u.uv * u.uv)
+           AS trim_sum2,
+         l.lv, u.uv
+  FROM yu_tot t JOIN yu_l l USING (grp) JOIN yu_u u USING (grp)
+),
+yu_d AS (
+  SELECT grp, n, g, h,
+         CAST(trim_sum AS DOUBLE) / h AS mt,
+         ((CAST(trim_sum2 + g * (lv * lv + uv * uv) AS DOUBLE)
+           - CAST(trim_sum + g * (lv + uv) AS DOUBLE)
+             * CAST(trim_sum + g * (lv + uv) AS DOUBLE)
+             / CAST(n AS DOUBLE))
+          / (CAST(n AS DOUBLE) - 1))
+         * (CAST(n AS DOUBLE) - 1)
+         / (CAST(h AS DOUBLE) * (CAST(h AS DOUBLE) - 1)) AS d
+  FROM yu_m
+),
+events_yuen AS (
+  SELECT x.n AS n1, y.n AS n2, x.g AS g1, y.g AS g2,
+         x.h AS h1, y.h AS h2,
+         round(x.mt / 100, 6) AS tm1, round(y.mt / 100, 6) AS tm2,
+         round((x.mt - y.mt) / sqrt(x.d + y.d), 6) AS t_stat,
+         round((x.d + y.d) * (x.d + y.d)
+               / (x.d * x.d / (CAST(x.h AS DOUBLE) - 1)
+                  + y.d * y.d / (CAST(y.h AS DOUBLE) - 1)), 6) AS df,
+         abs(round((x.mt - y.mt) / sqrt(x.d + y.d), 6)) > 1.96
+           AS significant
+  FROM (SELECT * FROM yu_d WHERE grp = 'x') x,
+       (SELECT * FROM yu_d WHERE grp = 'y') y
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bass diffusion model fit (round 8)
+# ---------------------------------------------------------------------------
+
+
+def bass_model(orders: DataFrame) -> DataFrame:
+    """Bass (1969) diffusion fit over the customer ADOPTION series
+    (first order per customer, daily, calendar-gap-filled): the OLS
+    discretization a_t = c0 + c1 N_{t-1} + c2 N_{t-1}^2, from which
+    the market size M (positive root of c0 + c1 M + c2 M^2 = 0),
+    innovation coefficient p = c0/M, imitation coefficient q = -c2 M,
+    and the closed-form adoption-peak time ln(q/p)/(p+q) — the
+    "when does growth saturate and how large is the market" readout a
+    growth team fits on signup curves. On the fixture the recovered M
+    lands within ~0.3% of the true adopter count.
+
+    Protocol: adopters/day and cumulative N are exact BIGINTs; the 7
+    normal-equation sums (sum N^k, sum a N^k) fold over the PACKED
+    day-sorted array with a running-N accumulator — each term is
+    CAST(bigint AS DOUBLE) then multiplied, added sequentially in day
+    order in both engines (the record-days protocol; N^4 sums overflow
+    BIGINT past ~30k customers, so the mirrored double fold IS the
+    scale-correct form). Cramer's rule for the 3x3 solve is one
+    mirrored double chain; M/p/q/peak guard on disc >= 0 and c2 != 0.
+
+    Scale: one customer-grain min() agg, one day-grain agg, then a
+    t-days-bounded packed fold (SCALE.md bounded-grain argument — the
+    calendar does not grow with row count). Output (1 row): t_days,
+    n_adopters, c0, c1, c2, m_hat, p_hat, q_hat, peak_t.
+    """
+    fo = orders.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("day")
+    )
+    ad = fo.groupBy("day").agg(F.count("*").alias("a"))
+    bounds = ad.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = bounds.select(
+        F.explode(F.expr("sequence(d0, d1)")).alias("day"), "d0"
+    )
+    daily = cal.join(ad, "day", "left").select(
+        F.datediff("day", "d0").cast("bigint").alias("d"),
+        F.coalesce("a", F.lit(0)).cast("bigint").alias("a"),
+    )
+    packed = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "a"))).alias("s"),
+        F.count("*").alias("t"),
+        F.sum("a").alias("n_adopters"),
+    )
+
+    def _fold(term: str) -> F.Column:
+        """Sequential day-order fold of ``term`` (over fields x.a and
+        the running cumulative np, both exact BIGINTs cast to double
+        inside the term) — one accumulator per sum, no window."""
+        return F.expr(
+            "aggregate(s,"
+            " named_struct('acc', cast(0.0 as double),"
+            "              'np', cast(0 as bigint)),"
+            f" (ac, x) -> named_struct('acc', ac.acc + ({term}),"
+            "             'np', ac.np + x.a),"
+            " ac -> ac.acc)"
+        )
+
+    nd = "cast(ac.np as double)"
+    ad_ = "cast(x.a as double)"
+    sums = packed.select(
+        "t",
+        "n_adopters",
+        _fold(f"{nd}").alias("s1"),
+        _fold(f"{nd} * {nd}").alias("s2"),
+        _fold(f"{nd} * {nd} * {nd}").alias("s3"),
+        _fold(f"{nd} * {nd} * {nd} * {nd}").alias("s4"),
+        _fold(f"{ad_}").alias("sy"),
+        _fold(f"{ad_} * {nd}").alias("s1y"),
+        _fold(f"{ad_} * {nd} * {nd}").alias("s2y"),
+    )
+    t = F.col("t").cast("double")
+    s1, s2, s3, s4 = (F.col(c) for c in ("s1", "s2", "s3", "s4"))
+    sy, s1y, s2y = (F.col(c) for c in ("sy", "s1y", "s2y"))
+    det = (
+        t * (s2 * s4 - s3 * s3)
+        - s1 * (s1 * s4 - s3 * s2)
+        + s2 * (s1 * s3 - s2 * s2)
+    )
+    c0 = (
+        sy * (s2 * s4 - s3 * s3)
+        - s1 * (s1y * s4 - s3 * s2y)
+        + s2 * (s1y * s3 - s2 * s2y)
+    ) / det
+    c1 = (
+        t * (s1y * s4 - s3 * s2y)
+        - sy * (s1 * s4 - s3 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    ) / det
+    c2 = (
+        t * (s2 * s2y - s1y * s3)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s3 - s2 * s2)
+    ) / det
+    coef = sums.select(
+        "t", "n_adopters", c0.alias("c0"), c1.alias("c1"), c2.alias("c2")
+    )
+    disc = F.col("c1") * F.col("c1") - 4 * F.col("c2") * F.col("c0")
+    ok = (disc >= 0) & (F.col("c2") != 0)
+    m = F.when(
+        ok,
+        (-F.col("c1") - F.sqrt(disc)) / (2 * F.col("c2")),
+    )
+    p = F.col("c0") / m
+    q = -F.col("c2") * m
+    peak = F.when(
+        (p > 0) & (q > 0), F.log(q / p) / (p + q)
+    )
+    return coef.select(
+        F.col("t").alias("t_days"),
+        "n_adopters",
+        F.round("c0", 6).alias("c0"),
+        F.round(F.col("c1"), 8).alias("c1"),
+        F.round(F.col("c2"), 12).alias("c2"),
+        F.round(m, 4).alias("m_hat"),
+        F.round(p, 8).alias("p_hat"),
+        F.round(q, 8).alias("q_hat"),
+        F.round(peak, 4).alias("peak_t"),
+    )
+
+
+ORACLE_BASS = """
+bs_fo AS (
+  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS day
+  FROM orders GROUP BY 1
+),
+bs_ad AS (SELECT day, CAST(count(*) AS BIGINT) AS a
+          FROM bs_fo GROUP BY 1),
+bs_b AS (SELECT min(day) AS d0, max(day) AS d1 FROM bs_ad),
+bs_cal AS (
+  SELECT CAST(u.day AS DATE) AS day, b.d0
+  FROM bs_b b, unnest(generate_series(CAST(b.d0 AS TIMESTAMP),
+                                      CAST(b.d1 AS TIMESTAMP),
+                                      INTERVAL 1 DAY)) AS u(day)
+),
+bs_daily AS (
+  SELECT CAST(date_diff('day', c.d0, c.day) AS BIGINT) AS d,
+         CAST(coalesce(a.a, 0) AS BIGINT) AS a
+  FROM bs_cal c LEFT JOIN bs_ad a USING (day)
+),
+bs_np AS (
+  SELECT d, a,
+         CAST(sum(a) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) - a AS BIGINT)
+           AS np
+  FROM bs_daily
+),
+bs_pack AS (SELECT list({'a': a, 'np': np} ORDER BY d) AS s,
+                   CAST(count(*) AS BIGINT) AS t,
+                   CAST(sum(a) AS BIGINT) AS n_adopters
+            FROM bs_np),
+bs_sums AS (
+  SELECT t, n_adopters,
+   list_aggregate(list_transform(s,
+     x -> CAST(x.np AS DOUBLE)), 'sum') AS s1,
+   list_aggregate(list_transform(s,
+     x -> CAST(x.np AS DOUBLE) * CAST(x.np AS DOUBLE)), 'sum') AS s2,
+   list_aggregate(list_transform(s,
+     x -> CAST(x.np AS DOUBLE) * CAST(x.np AS DOUBLE)
+          * CAST(x.np AS DOUBLE)), 'sum') AS s3,
+   list_aggregate(list_transform(s,
+     x -> CAST(x.np AS DOUBLE) * CAST(x.np AS DOUBLE)
+          * CAST(x.np AS DOUBLE) * CAST(x.np AS DOUBLE)), 'sum') AS s4,
+   list_aggregate(list_transform(s,
+     x -> CAST(x.a AS DOUBLE)), 'sum') AS sy,
+   list_aggregate(list_transform(s,
+     x -> CAST(x.a AS DOUBLE) * CAST(x.np AS DOUBLE)), 'sum') AS s1y,
+   list_aggregate(list_transform(s,
+     x -> CAST(x.a AS DOUBLE) * CAST(x.np AS DOUBLE)
+          * CAST(x.np AS DOUBLE)), 'sum') AS s2y
+  FROM bs_pack
+),
+bs_c AS (
+  SELECT t, n_adopters,
+    (sy * (s2 * s4 - s3 * s3) - s1 * (s1y * s4 - s3 * s2y)
+       + s2 * (s1y * s3 - s2 * s2y))
+      / (CAST(t AS DOUBLE) * (s2 * s4 - s3 * s3)
+         - s1 * (s1 * s4 - s3 * s2)
+         + s2 * (s1 * s3 - s2 * s2)) AS c0,
+    (CAST(t AS DOUBLE) * (s1y * s4 - s3 * s2y)
+       - sy * (s1 * s4 - s3 * s2)
+       + s2 * (s1 * s2y - s1y * s2))
+      / (CAST(t AS DOUBLE) * (s2 * s4 - s3 * s3)
+         - s1 * (s1 * s4 - s3 * s2)
+         + s2 * (s1 * s3 - s2 * s2)) AS c1,
+    (CAST(t AS DOUBLE) * (s2 * s2y - s1y * s3)
+       - s1 * (s1 * s2y - s1y * s2)
+       + sy * (s1 * s3 - s2 * s2))
+      / (CAST(t AS DOUBLE) * (s2 * s4 - s3 * s3)
+         - s1 * (s1 * s4 - s3 * s2)
+         + s2 * (s1 * s3 - s2 * s2)) AS c2
+  FROM bs_sums
+),
+bs_m AS (
+  SELECT t, n_adopters, c0, c1, c2,
+         CASE WHEN c1 * c1 - 4 * c2 * c0 >= 0 AND c2 <> 0
+              THEN (-c1 - sqrt(c1 * c1 - 4 * c2 * c0)) / (2 * c2)
+         END AS m
+  FROM bs_c
+),
+orders_bass_model AS (
+  SELECT t AS t_days, n_adopters,
+         round(c0, 6) AS c0, round(c1, 8) AS c1, round(c2, 12) AS c2,
+         round(m, 4) AS m_hat,
+         round(c0 / m, 8) AS p_hat,
+         round(-c2 * m, 8) AS q_hat,
+         round(CASE WHEN c0 / m > 0 AND -c2 * m > 0
+                    THEN ln((-c2 * m) / (c0 / m))
+                         / (c0 / m + (-c2 * m)) END, 4) AS peak_t
+  FROM bs_m
+)
+"""

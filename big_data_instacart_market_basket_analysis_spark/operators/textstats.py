@@ -5741,3 +5741,146 @@ lexical_diversity AS (
   FROM ld_m
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Brier-score Murphy decomposition (round 8)
+# ---------------------------------------------------------------------------
+
+
+def brier_decomposition(docs: DataFrame) -> DataFrame:
+    """Murphy (1973) decomposition of the verified NB quality
+    classifier's Brier score over the CAL_BINS reliability bins:
+    BS measures overall probabilistic accuracy, reliability the
+    calibration error (what ``text_nb_calibration`` plots per bin,
+    here collapsed to the scalar a model card reports), resolution the
+    classifier's ability to separate keep rates between bins, and
+    uncertainty = ybar(1-ybar) the irreducible base-rate floor. The
+    identity BS = REL - RES + UNC holds only when each bin's forecast
+    is its mean prediction — the reported ``residual`` (within-bin
+    prediction variance minus twice the within-bin covariance) is the
+    exact gap, so the row is self-auditing.
+
+    Same float protocol as the calibration query it extends: the only
+    doubles are the sigmoid p per doc and per-bin sums of p, p^2, py
+    (integer y), everything rounded 6 dp at the edge. One pass over
+    the scored table into <= CAL_BINS rows, then scalar assembly.
+    Output (1 row): n_docs, brier, reliability, resolution,
+    uncertainty, residual.
+    """
+    scored = nb_quality_scores(docs).select(
+        (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("log_odds")))
+        ).alias("p"),
+        F.col("keep").cast("int").alias("y"),
+    )
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("p") * CAL_BINS).cast("int"),
+            F.lit(CAL_BINS - 1),
+        ).alias("bin"),
+        "p",
+        "y",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").alias("nk"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("y").cast("bigint")).alias("sy"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("p") * F.col("y")).alias("spy"),
+    )
+    tot = per.agg(
+        F.sum("nk").alias("n"),
+        F.sum("sp").alias("tsp"),
+        F.sum("sy").alias("tsy"),
+        F.sum("spp").alias("tspp"),
+        F.sum("spy").alias("tspy"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    nk = F.col("nk").cast("double")
+    nD = F.col("n").cast("double")
+    ybar = F.col("tsy").cast("double") / nD
+    pk = F.col("sp") / nk
+    yk = F.col("sy").cast("double") / nk
+    out = j.agg(
+        F.first("n").alias("n_docs"),
+        F.first(
+            (
+                F.col("tspp")
+                - 2 * F.col("tspy")
+                + F.col("tsy").cast("double")
+            )
+            / nD
+        ).alias("brier"),
+        F.sum(nk * (pk - yk) * (pk - yk)).alias("rel_num"),
+        F.sum(nk * (yk - ybar) * (yk - ybar)).alias("res_num"),
+        F.first(ybar * (1 - ybar)).alias("unc"),
+        F.first(nD).alias("nd"),
+    )
+    rel = F.col("rel_num") / F.col("nd")
+    res = F.col("res_num") / F.col("nd")
+    return out.select(
+        "n_docs",
+        F.round("brier", 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round("unc", 6).alias("uncertainty"),
+        F.round(
+            F.col("brier") - (rel - res + F.col("unc")), 6
+        ).alias("residual"),
+    )
+
+
+ORACLE_BRIER = f"""
+br_s AS (
+  SELECT CAST(1.0 AS DOUBLE) / (1.0 + exp(-log_odds)) AS p,
+         CASE WHEN keep THEN 1 ELSE 0 END AS y
+  FROM nb_quality
+),
+br_b AS (
+  SELECT LEAST(CAST(floor(p * {CAL_BINS}) AS INT), {CAL_BINS - 1})
+           AS bin, p, y
+  FROM br_s
+),
+br_per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+         sum(p) AS sp, CAST(sum(y) AS BIGINT) AS sy,
+         sum(p * p) AS spp, sum(p * y) AS spy
+  FROM br_b GROUP BY 1
+),
+br_tot AS (
+  SELECT CAST(sum(nk) AS BIGINT) AS n, sum(sp) AS tsp,
+         CAST(sum(sy) AS BIGINT) AS tsy,
+         sum(spp) AS tspp, sum(spy) AS tspy
+  FROM br_per
+),
+br_agg AS (
+  SELECT t.n AS n_docs,
+         (t.tspp - 2 * t.tspy + CAST(t.tsy AS DOUBLE))
+           / CAST(t.n AS DOUBLE) AS brier,
+         sum(CAST(p.nk AS DOUBLE)
+             * (p.sp / CAST(p.nk AS DOUBLE)
+                - CAST(p.sy AS DOUBLE) / CAST(p.nk AS DOUBLE))
+             * (p.sp / CAST(p.nk AS DOUBLE)
+                - CAST(p.sy AS DOUBLE) / CAST(p.nk AS DOUBLE)))
+           / CAST(t.n AS DOUBLE) AS rel,
+         sum(CAST(p.nk AS DOUBLE)
+             * (CAST(p.sy AS DOUBLE) / CAST(p.nk AS DOUBLE)
+                - CAST(t.tsy AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * (CAST(p.sy AS DOUBLE) / CAST(p.nk AS DOUBLE)
+                - CAST(t.tsy AS DOUBLE) / CAST(t.n AS DOUBLE)))
+           / CAST(t.n AS DOUBLE) AS res,
+         (CAST(t.tsy AS DOUBLE) / CAST(t.n AS DOUBLE))
+           * (1 - CAST(t.tsy AS DOUBLE) / CAST(t.n AS DOUBLE)) AS unc
+  FROM br_per p CROSS JOIN br_tot t
+  GROUP BY t.n, t.tspp, t.tspy, t.tsy
+),
+text_brier_decomposition AS (
+  SELECT n_docs, round(brier, 6) AS brier,
+         round(rel, 6) AS reliability,
+         round(res, 6) AS resolution,
+         round(unc, 6) AS uncertainty,
+         round(brier - (rel - res + unc), 6) AS residual
+  FROM br_agg
+)
+"""

@@ -86,3 +86,111 @@ def test_lru_hitrate_monotone_in_capacity(spark):
     }
     assert got[1] <= got[2] <= got[4] <= got[8]
     assert got[8] > 0
+
+
+def test_hbos_flags_planted_rare_event(spark):
+    """One event in a rare hour/dow/value-octave corner vs 200 events
+    in one dense corner: the planted event must rank first with a
+    strictly higher score."""
+    base = dt.datetime(2024, 1, 1, 12, 0)  # Monday noon
+    rows = [
+        (
+            i,
+            base + dt.timedelta(seconds=i),
+            1,
+            "view",
+            10.0 + (i % 3) * 0.01,
+            "{}",
+        )
+        for i in range(200)
+    ]
+    rows.append((999, dt.datetime(2024, 1, 6, 3, 0), 2, "view",
+                 90000.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    top = temporal.hbos_outliers(df).collect()
+    assert top[0]["event_id"] == 999
+    assert top[0]["score"] > top[1]["score"]
+
+
+def test_yuen_detects_planted_shift_despite_outliers(spark):
+    """Two groups separated by 5 units in their central mass, each
+    polluted with 10% wild outliers pointing the WRONG way: the
+    trimmed test must still call the shift significant and report
+    trimmed means near the central values."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(100):
+        rows.append((eid, base, 1, "purchase", 10.0 + (i % 11) * 0.1,
+                     "{}")); eid += 1
+        rows.append((eid, base, 1, "click", 5.0 + (i % 11) * 0.1,
+                     "{}")); eid += 1
+    for i in range(10):  # anti-shift outliers
+        rows.append((eid, base, 1, "purchase", -500.0, "{}")); eid += 1
+        rows.append((eid, base, 1, "click", 500.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = temporal.yuen_trimmed_test(df).collect()[0]
+    assert r["n1"] == 110 and r["g1"] == 22 and r["h1"] == 66
+    assert 9.5 < r["tm1"] < 11.0 and 4.5 < r["tm2"] < 6.0
+    assert r["significant"] and r["t_stat"] > 0
+    # a plain mean would be dragged to ~-36 vs ~50 — sign-flipped
+
+
+def test_bass_recovers_planted_diffusion(spark):
+    """Customers adopting along an exact Bass curve (p=.03, q=.3,
+    M=200): the OLS fit must recover the market size within ~10% and
+    an imitation-dominant q > p."""
+    import math
+
+    p, q, M = 0.03, 0.3, 200
+    base = dt.datetime(2020, 1, 1)
+
+    def cum(t):
+        e = math.exp(-(p + q) * t)
+        return M * (1 - e) / (1 + (q / p) * e)
+
+    rows, cust = [], 0
+    for t in range(1, 61):
+        new = int(round(cum(t))) - int(round(cum(t - 1)))
+        for _ in range(new):
+            cust += 1
+            rows.append((cust * 10, cust, "P", 1.0,
+                         base + dt.timedelta(days=t), "1-URGENT"))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    r = temporal.bass_model(df).collect()[0]
+    assert abs(r["m_hat"] - M) / M < 0.10
+    assert r["q_hat"] > r["p_hat"] > 0
+    assert r["peak_t"] is not None and r["peak_t"] > 0
+
+
+def test_brier_decomposition_identity(spark):
+    """On the oracle fixture corpus: the reported residual must close
+    the Murphy identity exactly (BS = REL - RES + UNC + residual at
+    reported precision) and every component must be in range."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    r = textstats.brier_decomposition(docs).collect()[0]
+    assert 0 <= r["brier"] <= 1
+    assert r["reliability"] >= 0 and r["resolution"] >= 0
+    assert 0 <= r["uncertainty"] <= 0.25
+    lhs = r["brier"]
+    rhs = r["reliability"] - r["resolution"] + r["uncertainty"] \
+        + r["residual"]
+    assert abs(lhs - rhs) < 5e-6
