@@ -1318,6 +1318,12 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_recall_eval(_emb(spark, sf_dir))
 
 
+def q_ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@k vs nprobe tuning curve against the staged
+    brute-force truth, with the probed-cell scan fraction."""
+    return _sim.ivf_probe_sweep(_emb(spark, sf_dir))
+
+
 def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar-quantized cosine top-k (4x memory compression, exact
     integer dot products -> engine-stable ranking)."""
@@ -3643,6 +3649,13 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev.run_stream_static_enrich(spark, sf_dir)
 
 
+def q_stream_hbos_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HBOS anomaly alerts against a static batch-trained
+    histogram model (stateless model-apply; alert stream == batch
+    filter over a bounded input)."""
+    return _ev.run_stream_hbos_alerts(spark, sf_dir)
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (purchases x last-30min clicks),
     watermark-bounded state; inner join over bounded input == the batch
@@ -4155,6 +4168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_dedup_wwm": q_stream_dedup_within_watermark,
         "stream_static_enrich": q_stream_static_enrich,
+        "stream_hbos_alerts": q_stream_hbos_alerts,
         "stream_partitioned_sink": q_stream_partitioned_sink,
         "stream_merge_state": q_stream_merge_state,
         "stream_kmv": q_stream_kmv,
@@ -4283,6 +4297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "ann_ivf_probe_sweep": q_ann_ivf_probe_sweep,
         "ann_quantized": q_ann_quantized,
         "events_zorder": q_events_zorder,
         "events_hilbert": q_events_hilbert,
@@ -4945,6 +4960,13 @@ def oracle_sql() -> dict[str, str]:
                 _sim.ORACLE_ANN_RECALL,
             ],
             "ann_recall",
+        ),
+        "ann_ivf_probe_sweep": _ext_oracle(
+            [
+                _sim.ORACLE_BRUTE_FORCE_TOPK,
+                _sim.oracle_ivf_probe_sweep(),
+            ],
+            "ann_ivf_probe_sweep",
         ),
         "ann_quantized": _ext_oracle(
             [_sim.ORACLE_QUANTIZED_TOPK], "quantized_topk"
@@ -5927,6 +5949,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_static_enrich": _ext_oracle(
             [_ev.ORACLE_STREAM_STATIC_ENRICH], "stream_static_enrich"
+        ),
+        "stream_hbos_alerts": _ext_oracle(
+            [_ev.ORACLE_STREAM_HBOS], "stream_hbos_alerts"
         ),
         "stream_dedup_wwm": _ext_oracle(
             [_ev.ORACLE_STREAM_DEDUP_WWM], "stream_dedup_wwm"

@@ -4064,3 +4064,123 @@ embedding_isotropy AS (
   FROM iso_ss, iso_tot
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF probe-sweep recall curve (round 8)
+# ---------------------------------------------------------------------------
+
+#: nprobe settings swept by the tuning curve.
+IVF_SWEEP_PROBES = (1, 2, 4)
+
+
+def ivf_probe_sweep(emb: DataFrame) -> DataFrame:
+    """Recall@k vs nprobe tuning curve for the IVF index — the
+    ANN-benchmarks readout that decides the recall/scan-fraction
+    operating point BEFORE deploying an index at corpus scale
+    (``ann_ivf_recall`` reports one point; capacity planning needs the
+    curve). For each nprobe in {probes}, the IVF top-k is intersected
+    with the session-staged brute-force truth (the same shared table
+    all eight ANN evals read), with the probed-cell fraction alongside
+    — recall buys scan fraction, and the knee of this curve is the
+    production setting.
+
+    Scale: the inverted lists and the centroid ranking are built once
+    (session-staged assignment); each sweep point adds only a
+    query-side probe set ({nq} queries x nprobe cells) and a k-row
+    intersection — the corpus is never rescanned. Output per nprobe:
+    nprobe, n_cells, scan_frac, hits, recall_at_k.
+    """
+    truth = _brute_topk_staged(emb).select("query_id", "neighbor_id")
+    ncells = _ivf_centroids(emb).agg(
+        F.count("*").alias("n_cells")
+    )
+    out = None
+    for p in IVF_SWEEP_PROBES:
+        approx = ivf_ann_topk(emb, nprobe=p).select(
+            "query_id", "neighbor_id"
+        )
+        hits = approx.join(
+            truth, ["query_id", "neighbor_id"], "leftsemi"
+        ).agg(F.count("*").cast("bigint").alias("hits"))
+        row = hits.crossJoin(F.broadcast(ncells)).select(
+            F.lit(p).alias("nprobe"),
+            "n_cells",
+            F.round(
+                F.lit(p) / F.col("n_cells").cast("double"), 4
+            ).alias("scan_frac"),
+            "hits",
+            F.round(
+                F.col("hits") / F.lit(N_QUERIES * TOP_K), 4
+            ).alias("recall_at_k"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+ivf_probe_sweep.__doc__ = ivf_probe_sweep.__doc__.format(
+    probes=IVF_SWEEP_PROBES, nq=N_QUERIES
+)
+
+
+def oracle_ivf_probe_sweep() -> str:
+    cos_qn = _ORACLE_COS.format(a="p.qv", b="l.cv")
+    probes = ", ".join(str(p) for p in IVF_SWEEP_PROBES)
+    return f"""
+swv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+swc AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS centnorm
+  FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+),
+swr AS (
+  SELECT x.vec_id, x.v, c.centroid_id,
+         CAST(row_number() OVER (
+           PARTITION BY x.vec_id
+           ORDER BY list_dot_product(x.v, c.centv) / c.centnorm DESC,
+                    c.centroid_id) AS INT) AS crank
+  FROM swv x, swc c
+),
+swl AS (
+  SELECT vec_id AS neighbor_id, v AS cv, centroid_id
+  FROM swr WHERE crank = 1
+),
+swnp AS (SELECT unnest([{probes}]) AS nprobe),
+swp AS (
+  SELECT n.nprobe, r.vec_id AS query_id, r.v AS qv, r.centroid_id
+  FROM swr r, swnp n
+  WHERE r.crank <= n.nprobe AND r.vec_id < {N_QUERIES}
+),
+swt AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT p.nprobe, p.query_id, l.neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY p.nprobe, p.query_id
+             ORDER BY {cos_qn} DESC, l.neighbor_id) AS INT) AS rank
+    FROM swp p JOIN swl l ON p.centroid_id = l.centroid_id
+    WHERE p.query_id <> l.neighbor_id
+  ) WHERE rank <= {TOP_K}
+),
+swh AS (
+  SELECT nprobe, CAST(count(*) AS BIGINT) AS hits
+  FROM swt t
+  WHERE EXISTS (SELECT 1 FROM brute_force_topk b
+                WHERE b.query_id = t.query_id
+                  AND b.neighbor_id = t.neighbor_id)
+  GROUP BY 1
+),
+swcells AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM swc),
+ann_ivf_probe_sweep AS (
+  SELECT n.nprobe, s.n_cells,
+         round(n.nprobe / CAST(s.n_cells AS DOUBLE), 4) AS scan_frac,
+         CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         round(COALESCE(h.hits, 0)
+               / CAST({N_QUERIES * TOP_K} AS DOUBLE), 4)
+           AS recall_at_k
+  FROM swnp n LEFT JOIN swh h ON h.nprobe = n.nprobe
+  CROSS JOIN swcells s
+)
+"""

@@ -2300,3 +2300,122 @@ def run_stream_pchart(
     finally:
         q.stop()
     return pchart_from_daily(spark.read.parquet(target))
+
+
+# ---------------------------------------------------------------------------
+# streaming HBOS anomaly alerts against a static model (round 8)
+# ---------------------------------------------------------------------------
+
+#: alert threshold on the HBOS score — the ~99th percentile of the
+#: fixture score distribution; the score is a sum of -ln(bin
+#: probability) terms, so its distribution stabilizes as N grows and a
+#: fixed literal stays scale-meaningful.
+HBOS_ALERT_MIN = 10.0
+
+
+def run_stream_hbos_alerts(
+    spark: SparkSession, sf_dir: str, name: str = "stream_hbos"
+) -> DataFrame:
+    """Streaming anomaly alerts: score each micro-batch event against
+    a STATIC HBOS model (the hour/dow/value-octave histograms of
+    ``events_hbos_outliers``, trained batch-side — the "train on
+    yesterday, score the live stream" model-apply pattern) and emit
+    only events whose score crosses the alert threshold.
+
+    Stateless like the enrich query (the model rides in as three
+    broadcast-hash dims inside every micro-batch; nothing
+    accumulates), so over a bounded input the alert stream equals the
+    batch filter — the oracle. In production the model DataFrames are
+    re-resolved at each micro-batch replan, which is exactly how a
+    nightly-refreshed model serves a live scorer. The score is one ln
+    of an exact integer per event (see the batch twin), so the stream
+    and the oracle agree bit-for-bit.
+    """
+    batch = normalize_event_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+    def _feats(df: DataFrame) -> DataFrame:
+        c = F.round(F.col("value") * 100, 0).cast("bigint")
+        voct = (
+            F.when(c >= 0, F.floor(F.log2(c + 1)))
+            .otherwise(-1 - F.floor(F.log2(-c)))
+            .cast("bigint")
+        )
+        return df.filter(F.col("value").isNotNull()).select(
+            "event_id",
+            "user_id",
+            F.hour("ts").alias("hour"),
+            F.dayofweek("ts").alias("dow"),
+            voct.alias("voct"),
+        )
+
+    model = _feats(batch)
+    hh = model.groupBy("hour").agg(F.count("*").alias("n_h"))
+    dd = model.groupBy("dow").agg(F.count("*").alias("n_d"))
+    vv = model.groupBy("voct").agg(F.count("*").alias("n_v"))
+    tot = model.agg(F.count("*").alias("n"))
+    score = F.round(
+        3 * F.log(F.col("n").cast("double"))
+        - F.log(
+            (F.col("n_h") * F.col("n_d") * F.col("n_v")).cast("double")
+        ),
+        6,
+    )
+    alerts = (
+        _feats(_event_stream(spark, sf_dir))
+        .join(F.broadcast(hh), "hour")
+        .join(F.broadcast(dd), "dow")
+        .join(F.broadcast(vv), "voct")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_id", "user_id", "hour", "dow", "voct",
+            score.alias("score"),
+        )
+        .filter(F.col("score") > HBOS_ALERT_MIN)
+    )
+    q = (
+        alerts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_STREAM_HBOS = f"""
+sh_base AS (
+  SELECT event_id, user_id,
+         hour(ts) AS hour, dayofweek(ts) + 1 AS dow,
+         CASE WHEN CAST(round(value * 100, 0) AS BIGINT) >= 0
+              THEN CAST(floor(log2(CAST(round(value * 100, 0)
+                                        AS BIGINT) + 1)) AS BIGINT)
+              ELSE CAST(-1 - floor(log2(-CAST(round(value * 100, 0)
+                                              AS BIGINT))) AS BIGINT)
+         END AS voct
+  FROM events WHERE value IS NOT NULL
+),
+sh_h AS (SELECT hour, CAST(count(*) AS BIGINT) AS n_h
+         FROM sh_base GROUP BY 1),
+sh_d AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_d
+         FROM sh_base GROUP BY 1),
+sh_v AS (SELECT voct, CAST(count(*) AS BIGINT) AS n_v
+         FROM sh_base GROUP BY 1),
+sh_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sh_base),
+stream_hbos_alerts AS (
+  SELECT b.event_id, b.user_id, b.hour, b.dow, b.voct,
+         round(3 * ln(CAST(n.n AS DOUBLE))
+               - ln(CAST(h.n_h * d.n_d * v.n_v AS DOUBLE)), 6)
+           AS score
+  FROM sh_base b
+  JOIN sh_h h USING (hour) JOIN sh_d d USING (dow)
+  JOIN sh_v v USING (voct) CROSS JOIN sh_n n
+  WHERE round(3 * ln(CAST(n.n AS DOUBLE))
+              - ln(CAST(h.n_h * d.n_d * v.n_v AS DOUBLE)), 6)
+        > {HBOS_ALERT_MIN}
+)
+"""

@@ -194,3 +194,44 @@ def test_brier_decomposition_identity(spark):
     rhs = r["reliability"] - r["resolution"] + r["uncertainty"] \
         + r["residual"]
     assert abs(lhs - rhs) < 5e-6
+
+
+def test_ivf_probe_sweep_monotone(spark):
+    """Recall@k is non-decreasing in nprobe (more cells probed can
+    only add candidates) and the scan fraction is nprobe/n_cells."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        similarity,
+    )
+    from tests.conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    rows = {r["nprobe"]: r for r in similarity.ivf_probe_sweep(emb).collect()}
+    assert sorted(rows) == [1, 2, 4]
+    assert rows[1]["recall_at_k"] <= rows[2]["recall_at_k"] \
+        <= rows[4]["recall_at_k"]
+    for p, r in rows.items():
+        assert r["scan_frac"] == round(p / r["n_cells"], 4)
+    assert rows[4]["recall_at_k"] > 0
+
+
+def test_stream_hbos_equals_batch_filter(spark):
+    """The streaming alert set over a bounded input equals the batch
+    HBOS filter (stateless model-apply duality)."""
+    from big_data_instacart_market_basket_analysis_spark.streaming import (
+        events as sev,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["event_id"], r["score"])
+        for r in sev.run_stream_hbos_alerts(
+            spark, sf, name="stream_hbos_t8"
+        ).collect()
+    }
+    assert all(s > sev.HBOS_ALERT_MIN for _, s in got)
+    # replay the batch filter through the same scoring law
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    full = temporal.hbos_outliers(ev)  # top-20 of the same scores
+    top = {(r["event_id"], r["score"]) for r in full.collect()
+           if r["score"] > sev.HBOS_ALERT_MIN}
+    assert top <= got  # every above-threshold top-20 event is alerted
