@@ -965,6 +965,12 @@ def q_events_permutation_test(
     return _tmp.permutation_test(load_table(spark, sf_dir, "events"))
 
 
+def q_events_nb_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial MoM fit of per-user purchase counts (zeros
+    included): r = m^2/(v-m), p = m/v; NULL when not overdispersed."""
+    return _tmp.nb_fit(_events_stable(spark, sf_dir))
+
+
 def q_orders_bass_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bass diffusion fit of the customer adoption curve: OLS on the
     discrete Bass equation over the gap-filled daily first-order
@@ -1962,6 +1968,12 @@ def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc TF-IDF top-3 terms (tf/df hash-aggs + per-doc rank)."""
     return _text.tfidf_top_terms(_docs(spark, sf_dir))
+
+
+def q_docs_pack_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency curve across token budgets {512..4096}:
+    batches, mean fill, overflow — the sequence-length cost readout."""
+    return _text.pack_sweep(_docs(spark, sf_dir))
 
 
 def q_docs_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4114,6 +4126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hbos_outliers": q_events_hbos_outliers,
         "events_yuen": q_events_yuen,
         "orders_bass_model": q_orders_bass_model,
+        "events_nb_fit": q_events_nb_fit,
         "events_lru_hitrate": q_events_lru_hitrate,
         "events_cvm": q_events_cvm,
         "events_anderson_darling": q_events_anderson_darling,
@@ -4399,6 +4412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": q_dedup_decontaminate,
         "text_tfidf_top_terms": q_text_tfidf_top_terms,
         "docs_pack_batches": q_docs_pack_batches,
+        "docs_pack_sweep": q_docs_pack_sweep,
         "docs_split_by_hash": q_docs_split_by_hash,
         "events_tablesample": q_events_tablesample,
         "docs_global_shuffle": q_docs_global_shuffle,
@@ -5275,6 +5289,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_bass_model": _ext_oracle(
             [_tmp.ORACLE_BASS], "orders_bass_model"
         ),
+        "events_nb_fit": _ext_oracle(
+            [_tmp.ORACLE_NB_FIT], "events_nb_fit"
+        ),
         "events_lru_hitrate": _ext_oracle(
             [_tmp.ORACLE_LRU_HITRATE], "events_lru_hitrate",
             recursive=True,
@@ -5668,6 +5685,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_batches": _ext_oracle(
             [_text.ORACLE_TOKEN_COUNTS, _text.ORACLE_PACK_BATCHES],
             "pack_batches",
+        ),
+        "docs_pack_sweep": _ext_oracle(
+            [_text.ORACLE_TOKEN_COUNTS, _text.ORACLE_PACK_SWEEP],
+            "docs_pack_sweep",
         ),
         "docs_pack_payloads": _ext_oracle(
             [_text.ORACLE_TOKEN_COUNTS, _text.ORACLE_PACK_PAYLOADS],

@@ -18449,3 +18449,111 @@ orders_bass_model AS (
   FROM bs_m
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# negative-binomial method-of-moments fit (round 8)
+# ---------------------------------------------------------------------------
+
+
+def nb_fit(events: DataFrame) -> DataFrame:
+    """Negative-binomial method-of-moments fit of the per-user
+    purchase-count distribution — the FIT companion to the
+    overdispersion TEST (``events_overdispersion``): once the VMR says
+    counts are overdispersed, the modeling question is "which NB", and
+    the MoM answer is closed-form: r = m^2/(v - m), p = m/v (NULL when
+    v <= m — under/equi-dispersed data has no NB fit, exactly the case
+    the test flags). r is the heterogeneity readout a growth model
+    (NBD, gamma-Poisson mixtures) consumes directly.
+
+    Counts and both raw moments are exact BIGINTs from one user-grain
+    hash-agg (users with zero purchases INCLUDED via the left join —
+    dropping them biases m upward, the classic NBD mistake); mean,
+    variance (n-1 denominator), VMR, r, p are one mirrored double
+    chain rounded 6 dp. Output (1 row): n_users, mean_purchases,
+    var_purchases, vmr, nb_r, nb_p.
+    """
+    users = events.select("user_id").distinct()
+    pc = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("k"))
+    )
+    counts = users.join(pc, "user_id", "left").select(
+        F.coalesce("k", F.lit(0)).cast("bigint").alias("k")
+    )
+    m = counts.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("s"),
+        F.sum(F.col("k") * F.col("k")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / n
+    ) / (n - 1)
+    r = F.when(var > mean, mean * mean / (var - mean))
+    p = F.when(var > mean, mean / var)
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(mean, 6).alias("mean_purchases"),
+        F.round(var, 6).alias("var_purchases"),
+        F.round(var / mean, 6).alias("vmr"),
+        F.round(r, 6).alias("nb_r"),
+        F.round(p, 6).alias("nb_p"),
+    )
+
+
+ORACLE_NB_FIT = """
+nbf_u AS (SELECT DISTINCT user_id FROM events),
+nbf_p AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS k
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+nbf_c AS (
+  SELECT CAST(coalesce(p.k, 0) AS BIGINT) AS k
+  FROM nbf_u u LEFT JOIN nbf_p p USING (user_id)
+),
+nbf_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS s,
+         CAST(sum(k * k) AS BIGINT) AS s2
+  FROM nbf_c
+),
+events_nb_fit AS (
+  SELECT n AS n_users,
+         round(CAST(s AS DOUBLE) / n, 6) AS mean_purchases,
+         round((CAST(s2 AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1), 6) AS var_purchases,
+         round(((CAST(s2 AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE))
+                / (CAST(n AS DOUBLE) - 1))
+               / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS vmr,
+         round(CASE WHEN (CAST(s2 AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+                 > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               THEN (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / ((CAST(s2 AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1)
+                       - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               END, 6) AS nb_r,
+         round(CASE WHEN (CAST(s2 AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+                 > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               THEN (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / ((CAST(s2 AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1))
+               END, 6) AS nb_p
+  FROM nbf_m
+)
+"""

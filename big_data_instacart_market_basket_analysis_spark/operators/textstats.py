@@ -5884,3 +5884,124 @@ text_brier_decomposition AS (
   FROM br_agg
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# packing-efficiency capacity sweep (round 8)
+# ---------------------------------------------------------------------------
+
+#: token budgets swept by the packing-efficiency curve.
+PACK_SWEEP_BUDGETS = (512, 1024, 2048, 4096)
+
+
+def pack_sweep(docs: DataFrame) -> DataFrame:
+    """Packing-efficiency curve across token budgets — the capacity
+    counterpart of ``pack_batches``: for each budget in {budgets},
+    apply the same streaming-pack rule (batch boundary where the
+    running per-(lang, shard) token count crosses a budget multiple)
+    and report batches, mean fill fraction, and overflow batches
+    (a single doc longer than the budget). Sequence-length choice is a
+    real training-cost decision: short budgets waste step overhead on
+    many small batches, long ones pad — this row IS that trade-off,
+    computed before any tokens are materialized.
+
+    One token-count pass and ONE per-shard cumulative window shared by
+    every sweep point (the budget only re-buckets the same running
+    sum); all counts exact BIGINTs, fill/overflow divide once per
+    capacity row. Output per budget: budget, n_batches, total_tokens,
+    mean_fill, overflow_batches.
+    """
+    toks = token_counts(docs).select("doc_id", "n_tokens")
+    sharded = (
+        docs.select("doc_id", "lang")
+        .join(toks, "doc_id")
+        .withColumn(
+            "shard", F.floor(F.col("doc_id") / PACK_SHARD_DOCS)
+        )
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = sharded.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+    )
+    swept = cum.select(
+        "lang",
+        "shard",
+        "n_tokens",
+        "cum_before",
+        F.explode(
+            F.array(*[F.lit(b) for b in PACK_SWEEP_BUDGETS])
+        ).alias("budget"),
+    ).withColumn(
+        "batch_id",
+        F.floor(F.col("cum_before") / F.col("budget")),
+    )
+    per_batch = swept.groupBy(
+        "budget", "lang", "shard", "batch_id"
+    ).agg(F.sum("n_tokens").alias("batch_tokens"))
+    return (
+        per_batch.groupBy("budget")
+        .agg(
+            F.count("*").alias("n_batches"),
+            F.sum("batch_tokens").alias("total_tokens"),
+            F.sum(
+                (F.col("batch_tokens") > F.col("budget")).cast(
+                    "bigint"
+                )
+            ).alias("overflow_batches"),
+        )
+        .select(
+            "budget",
+            "n_batches",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double")
+                / (F.col("n_batches") * F.col("budget")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("mean_fill"),
+            "overflow_batches",
+        )
+    )
+
+
+pack_sweep.__doc__ = pack_sweep.__doc__.format(
+    budgets=PACK_SWEEP_BUDGETS
+)
+
+ORACLE_PACK_SWEEP = f"""
+psw_cum AS (
+  SELECT d.doc_id, d.lang, t.n_tokens,
+         CAST(floor(d.doc_id / {PACK_SHARD_DOCS}) AS BIGINT) AS shard,
+         coalesce(CAST(sum(t.n_tokens) OVER (
+           PARTITION BY d.lang, floor(d.doc_id / {PACK_SHARD_DOCS})
+           ORDER BY d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT), 0) AS cum_before
+  FROM documents d JOIN token_counts t USING (doc_id)
+),
+psw_b AS (
+  SELECT b.budget, c.lang, c.shard,
+         CAST(floor(c.cum_before / b.budget) AS BIGINT) AS batch_id,
+         CAST(sum(c.n_tokens) AS BIGINT) AS batch_tokens
+  FROM psw_cum c,
+       (SELECT unnest([{", ".join(str(b) for b in PACK_SWEEP_BUDGETS)}])
+          AS budget) b
+  GROUP BY 1, 2, 3, 4
+),
+docs_pack_sweep AS (
+  SELECT budget,
+         CAST(count(*) AS BIGINT) AS n_batches,
+         CAST(sum(batch_tokens) AS BIGINT) AS total_tokens,
+         round(CAST(sum(batch_tokens) AS DOUBLE)
+               / (count(*) * budget), 6) AS mean_fill,
+         CAST(sum(CASE WHEN batch_tokens > budget THEN 1 ELSE 0 END)
+              AS BIGINT) AS overflow_batches
+  FROM psw_b GROUP BY 1
+)
+"""

@@ -235,3 +235,45 @@ def test_stream_hbos_equals_batch_filter(spark):
     top = {(r["event_id"], r["score"]) for r in full.collect()
            if r["score"] > sev.HBOS_ALERT_MIN}
     assert top <= got  # every above-threshold top-20 event is alerted
+
+
+def test_pack_sweep_capacity_laws(spark):
+    """Bigger budgets can only reduce batch count; token totals are
+    budget-invariant; fills are positive."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    rows = {r["budget"]: r for r in textstats.pack_sweep(docs).collect()}
+    assert sorted(rows) == [512, 1024, 2048, 4096]
+    assert len({r["total_tokens"] for r in rows.values()}) == 1
+    bs = [rows[b]["n_batches"] for b in sorted(rows)]
+    assert bs == sorted(bs, reverse=True)
+    assert all(r["mean_fill"] > 0 for r in rows.values())
+
+
+def test_nb_fit_planted_mixture(spark):
+    """A 2-component Poisson-like mixture (half the users at rate 1,
+    half at rate 9) is overdispersed: VMR > 1, r/p defined, and the
+    MoM identities hold (m = r(1-p)/p within rounding)."""
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(40):
+        k = 1 if u % 2 == 0 else 9
+        for i in range(k):
+            rows.append((eid, base + dt.timedelta(minutes=eid), u,
+                         "purchase", 1.0, "{}")); eid += 1
+        rows.append((eid, base + dt.timedelta(minutes=eid), u,
+                     "view", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = temporal.nb_fit(df).collect()[0]
+    assert r["n_users"] == 40 and r["mean_purchases"] == 5.0
+    assert r["vmr"] > 1 and r["nb_r"] is not None
+    m_back = r["nb_r"] * (1 - r["nb_p"]) / r["nb_p"]
+    assert abs(m_back - r["mean_purchases"]) < 1e-3
