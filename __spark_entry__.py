@@ -84,6 +84,10 @@ from big_data_instacart_market_basket_analysis_spark.sources.json_ingest import 
 from big_data_instacart_market_basket_analysis_spark.sources.text_ingest import (
     ORACLE_DOCS_TEXT_ROUNDTRIP,
 )
+from big_data_instacart_market_basket_analysis_spark.sources.orc_ingest import (
+    ORACLE_EVENTS_ORC_ROUNDTRIP,
+    events_orc_roundtrip,
+)
 from big_data_instacart_market_basket_analysis_spark.sources.xml_ingest import (
     ORACLE_EVENTS_XML_ROUNDTRIP,
     events_xml_roundtrip,
@@ -1572,6 +1576,13 @@ def q_xml_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed write + schema-driven re-read must equal the parquet
     table."""
     return events_xml_roundtrip(spark, sf_dir)
+
+
+def q_orc_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip ingest: events written to and re-read from ORC
+    with the pinned schema must equal the parquet table at full type
+    fidelity (timestamps/doubles/strings untransformed)."""
+    return events_orc_roundtrip(spark, sf_dir)
 
 
 def q_sql_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4367,6 +4378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train": q_text_bpe_train,
         "events_skew_report": q_events_skew_report,
         "xml_ingest_events": q_xml_ingest_events,
+        "orc_ingest_events": q_orc_ingest_events,
         "events_ewma": q_events_ewma,
         "events_value_bins": q_events_value_bins,
         "events_anomalies": q_events_anomalies,
@@ -5603,6 +5615,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "xml_ingest_events": _ext_oracle(
             [ORACLE_EVENTS_XML_ROUNDTRIP], "events_xml_roundtrip"
+        ),
+        "orc_ingest_events": _ext_oracle(
+            [ORACLE_EVENTS_ORC_ROUNDTRIP], "events_orc_roundtrip"
         ),
         "events_value_bins": _ext_oracle(
             [_tmp.ORACLE_VALUE_QUARTILE_BINS], "value_quartile_bins"
