@@ -1767,6 +1767,13 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bpe_train_merges(_docs(spark, sf_dir))
 
 
+def q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE encode with the trained merges: per-language
+    fertility (tokens/word) + chars-per-token — the tokenizer-eval
+    rollup; shares the session-staged training run with text_bpe_train."""
+    return _text.bpe_fertility(_docs(spark, sf_dir))
+
+
 def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic: top-k heaviest user_ids with exact
     integer per-mille share of all rows."""
@@ -4376,6 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lexical_diversity": q_text_lexical_diversity,
         "events_pchart": q_events_pchart,
         "text_bpe_train": q_text_bpe_train,
+        "text_bpe_fertility": q_text_bpe_fertility,
         "events_skew_report": q_events_skew_report,
         "xml_ingest_events": q_xml_ingest_events,
         "orc_ingest_events": q_orc_ingest_events,
@@ -5575,6 +5583,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_bpe_train": _ext_oracle(
             [_text.oracle_bpe_train()], "bpe_train_merges"
+        ),
+        "text_bpe_fertility": _ext_oracle(
+            [
+                _text.oracle_bpe_train(),
+                _text.oracle_bpe_fertility(),
+            ],
+            "text_bpe_fertility",
         ),
         "text_bpe_pairs": _ext_oracle(
             [_text.oracle_bpe_first_merges()], "bpe_first_merges"

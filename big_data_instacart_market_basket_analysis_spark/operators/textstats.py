@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._staging import stage as _stage
 from .ranking import bucket_prefix_offsets
 
 # Marker (stopword) lists per language — n-gram-free heuristic language
@@ -2833,32 +2834,26 @@ rake_keywords AS (
 BPE_MERGES = 6
 
 
-def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
-    """Full BPE tokenizer training loop (Sennrich et al. 2016): learn
-    the first ``n_merges`` merge rules over the corpus — each round
-    counts adjacent symbol pairs on the frequency-weighted vocabulary,
-    merges the most frequent pair (ties -> lexicographic), and
-    re-segments. This is the iterative closure of
-    ``bpe_first_merges`` (which surfaces only round one's statistics);
-    the output merge table IS the tokenizer artifact.
+#: learned merge lists per (docs identity, n_merges) — the trained
+#: tokenizer artifact is session state shared by the train query and
+#: the encode/fertility query (r8; the stage convention, list-valued).
+_BPE_MERGES_CACHE: dict[tuple, tuple] = {}
 
-    Engine-portable segmentation state: every symbol is wrapped in its
-    own ``|`` sentinels (``hello`` -> ``|h||e||l||l||o|``), so a merge
-    is ONE plain left-to-right string replace of ``|a||b|`` with
-    ``|ab|`` — boundaries are never shared between adjacent matches,
-    which makes Spark's and DuckDB's replace semantics (and classic
-    BPE's leftmost-non-overlapping merge order) coincide exactly.
-    Tokens are guarded to ``[a-z0-9]+`` so the sentinel never
-    collides.
 
-    Scale: identical to ``bpe_first_merges`` — all per-round work runs
-    on the DISTINCT-WORD vocabulary weighted by frequency (the corpus
-    is touched once, by the word-count agg); each round is a
-    vocabulary-sized pair explode + one hash-agg + a 1-row TakeOrdered,
-    and the chosen rule broadcasts into the next round's map-only
-    re-segmentation. Driver traffic: one (pair, count) row per round.
-    """
-    spark = docs.sparkSession
+def _bpe_learn_staged(docs: DataFrame, n_merges: int) -> list:
+    return _stage(
+        _BPE_MERGES_CACHE,
+        (id(docs), n_merges),
+        docs,
+        lambda: _bpe_learn(docs, n_merges),
+        checkpoint=False,
+    )
+
+
+def _bpe_learn(docs: DataFrame, n_merges: int) -> list:
+    """The training loop body of ``bpe_train_merges`` (see its
+    docstring for the protocol): returns the merge list
+    [(step, lhs, rhs, merged, pair_count), ...]."""
     vocab = (
         docs.select(F.explode(_tokens_col()).alias("w"))
         .filter(F.col("w").rlike("^[a-z0-9]+$"))
@@ -2899,6 +2894,36 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
                 F.col("s"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
             ),
         ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Full BPE tokenizer training loop (Sennrich et al. 2016): learn
+    the first ``n_merges`` merge rules over the corpus — each round
+    counts adjacent symbol pairs on the frequency-weighted vocabulary,
+    merges the most frequent pair (ties -> lexicographic), and
+    re-segments. This is the iterative closure of
+    ``bpe_first_merges`` (which surfaces only round one's statistics);
+    the output merge table IS the tokenizer artifact.
+
+    Engine-portable segmentation state: every symbol is wrapped in its
+    own ``|`` sentinels (``hello`` -> ``|h||e||l||l||o|``), so a merge
+    is ONE plain left-to-right string replace of ``|a||b|`` with
+    ``|ab|`` — boundaries are never shared between adjacent matches,
+    which makes Spark's and DuckDB's replace semantics (and classic
+    BPE's leftmost-non-overlapping merge order) coincide exactly.
+    Tokens are guarded to ``[a-z0-9]+`` so the sentinel never
+    collides.
+
+    Scale: identical to ``bpe_first_merges`` — all per-round work runs
+    on the DISTINCT-WORD vocabulary weighted by frequency (the corpus
+    is touched once, by the word-count agg); each round is a
+    vocabulary-sized pair explode + one hash-agg + a 1-row TakeOrdered,
+    and the chosen rule broadcasts into the next round's map-only
+    re-segmentation. Driver traffic: one (pair, count) row per round.
+    """
+    spark = docs.sparkSession
+    merges = _bpe_learn_staged(docs, n_merges)
     return spark.createDataFrame(
         merges,
         "step int, lhs string, rhs string, merged string,"
@@ -6003,5 +6028,133 @@ docs_pack_sweep AS (
          CAST(sum(CASE WHEN batch_tokens > budget THEN 1 ELSE 0 END)
               AS BIGINT) AS overflow_batches
   FROM psw_b GROUP BY 1
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE encode + per-language fertility (round 8)
+# ---------------------------------------------------------------------------
+
+
+def bpe_fertility(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Distributed BPE ENCODE of the corpus with the trained merge
+    table, rolled up to the tokenizer-eval metrics a model team reads
+    per language: fertility (BPE tokens per word — the standard
+    "how well does the tokenizer fit this language" number; high
+    fertility languages pay more sequence length per content) and
+    chars-per-token (compression). Training (``bpe_train_merges``)
+    learns the artifact; this query USES it — the apply half of the
+    tokenizer lifecycle, which is the half that actually runs at
+    100 TB.
+
+    Encoding replays the training protocol exactly: each word's
+    sentinel form ``|h||e||l||l||o|`` passes through the n merge
+    replaces IN RANK ORDER (one plain left-to-right replace per rule —
+    the sentinel trick that makes Spark/DuckDB replace semantics and
+    classic BPE leftmost merging coincide), so a word's segment count
+    is engine-exact. The merge list is the session-staged trained
+    artifact (one training run serves the train query and this one);
+    each merge value is embedded as a broadcast 1-row join in the
+    ORACLE and as a literal in the Spark plan — both derived from the
+    same oracle-green training loop.
+
+    Scale: encode runs on the DISTINCT (lang, word) vocabulary
+    weighted by frequency — the corpus is touched once by the
+    word-count agg; the merge chain is n map-only replaces; the rollup
+    is one lang-grain hash-agg. Output per lang: lang, n_word_types,
+    total_words, total_tokens, total_chars, fertility,
+    chars_per_token.
+    """
+    merges = _bpe_learn_staged(docs, n_merges)
+    vocab = (
+        docs.select("lang", F.explode(_tokens_col()).alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("freq"))
+    )
+    s = F.regexp_replace("w", "(.)", r"|$1|")
+    for _, a, b, _, _ in merges:
+        s = F.replace(s, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    enc = vocab.select(
+        "lang",
+        "w",
+        "freq",
+        (
+            (F.length(s) - F.length(F.replace(s, F.lit("|"), F.lit(""))))
+            / 2
+        )
+        .cast("bigint")
+        .alias("segs"),
+    )
+    agg = enc.groupBy("lang").agg(
+        F.count("*").alias("n_word_types"),
+        F.sum("freq").alias("total_words"),
+        F.sum(F.col("freq") * F.col("segs")).alias("total_tokens"),
+        F.sum(F.col("freq") * F.length("w")).alias("total_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_word_types",
+        "total_words",
+        "total_tokens",
+        "total_chars",
+        F.round(
+            F.col("total_tokens").cast("double")
+            / F.col("total_words").cast("double"),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.col("total_chars").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+def oracle_bpe_fertility(n_merges: int = BPE_MERGES) -> str:
+    """Composes AFTER ``oracle_bpe_train`` (reuses its bt_b{i} merge
+    rows): the same sentinel encode as nested replaces in rank order,
+    then the lang-grain rollup."""
+    repl = r"regexp_replace(v.w, '(.)', '|\1|', 'g')"
+    for i in range(1, n_merges + 1):
+        repl = (
+            f"replace({repl}, '|' || m{i}.a || '||' || m{i}.b || '|',"
+            f" '|' || m{i}.a || m{i}.b || '|')"
+        )
+    crosses = " ".join(
+        f"CROSS JOIN bt_b{i} m{i}" for i in range(1, n_merges + 1)
+    )
+    return f"""
+bf_v AS (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT d.lang,
+           unnest(regexp_split_to_array(lower(d.text), '\\s+')) AS w
+    FROM documents d
+  )
+  WHERE regexp_matches(w, '^[a-z0-9]+$')
+  GROUP BY 1, 2
+),
+bf_s AS (
+  SELECT v.lang, v.w, v.freq, {repl} AS s
+  FROM bf_v v {crosses}
+),
+bf_e AS (
+  SELECT lang, w, freq,
+         CAST((length(s) - length(replace(s, '|', ''))) / 2 AS BIGINT)
+           AS segs
+  FROM bf_s
+),
+text_bpe_fertility AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_word_types,
+         CAST(sum(freq) AS BIGINT) AS total_words,
+         CAST(sum(freq * segs) AS BIGINT) AS total_tokens,
+         CAST(sum(freq * length(w)) AS BIGINT) AS total_chars,
+         round(CAST(sum(freq * segs) AS DOUBLE) / sum(freq), 6)
+           AS fertility,
+         round(CAST(sum(freq * length(w)) AS DOUBLE)
+               / sum(freq * segs), 6) AS chars_per_token
+  FROM bf_e GROUP BY 1
 )
 """

@@ -277,3 +277,23 @@ def test_nb_fit_planted_mixture(spark):
     assert r["vmr"] > 1 and r["nb_r"] is not None
     m_back = r["nb_r"] * (1 - r["nb_p"]) / r["nb_p"]
     assert abs(m_back - r["mean_purchases"]) < 1e-3
+
+
+def test_bpe_fertility_converges_on_tiny_vocab(spark):
+    """Two-word corpus: 6 merges fully fuse both words, so fertility
+    is exactly 1.0 and chars_per_token equals the mean word length."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        textstats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the cat the cat the", "en", "s") for i in range(5)],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = {x["lang"]: x for x in textstats.bpe_fertility(docs).collect()}
+    en = r["en"]
+    assert en["n_word_types"] == 2
+    assert en["total_words"] == 25  # 5 docs x (3 the + 2 cat)
+    assert en["fertility"] == 1.0
+    assert en["total_tokens"] == 25
+    assert en["chars_per_token"] == 3.0
