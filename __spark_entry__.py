@@ -969,6 +969,23 @@ def q_events_permutation_test(
     return _tmp.permutation_test(load_table(spark, sf_dir, "events"))
 
 
+def q_events_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart of daily purchase revenue: fold-replayed
+    z/limits recursions (no pow()), time-varying 3-sigma bands."""
+    return _tmp.ewma_chart(_events_stable(spark, sf_dir))
+
+
+def q_events_mk_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hirsch-Slack seasonal Mann-Kendall: within-weekday pair signs,
+    tie-corrected variance, continuity-corrected z."""
+    return _tmp.seasonal_mann_kendall(_events_stable(spark, sf_dir))
+
+
+def q_events_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval per event type's user-reach share."""
+    return _tmp.wilson_ci(_events_stable(spark, sf_dir))
+
+
 def q_events_nb_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Negative-binomial MoM fit of per-user purchase counts (zeros
     included): r = m^2/(v-m), p = m/v; NULL when not overdispersed."""
@@ -4145,6 +4162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_yuen": q_events_yuen,
         "orders_bass_model": q_orders_bass_model,
         "events_nb_fit": q_events_nb_fit,
+        "events_ewma_chart": q_events_ewma_chart,
+        "events_mk_seasonal": q_events_mk_seasonal,
+        "events_wilson_ci": q_events_wilson_ci,
         "events_lru_hitrate": q_events_lru_hitrate,
         "events_cvm": q_events_cvm,
         "events_anderson_darling": q_events_anderson_darling,
@@ -5311,6 +5331,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_nb_fit": _ext_oracle(
             [_tmp.ORACLE_NB_FIT], "events_nb_fit"
+        ),
+        "events_ewma_chart": _ext_oracle(
+            [_tmp.ORACLE_EWMA_CHART], "events_ewma_chart",
+            recursive=True,
+        ),
+        "events_mk_seasonal": _ext_oracle(
+            [_tmp.ORACLE_SEASONAL_MK], "events_mk_seasonal"
+        ),
+        "events_wilson_ci": _ext_oracle(
+            [_tmp.ORACLE_WILSON], "events_wilson_ci"
         ),
         "events_lru_hitrate": _ext_oracle(
             [_tmp.ORACLE_LRU_HITRATE], "events_lru_hitrate",

@@ -18557,3 +18557,419 @@ events_nb_fit AS (
   FROM nbf_m
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart (round 8)
+# ---------------------------------------------------------------------------
+
+EWMA_CHART_LAMBDA = 0.2
+EWMA_CHART_L = 3.0
+
+
+def ewma_chart(events: DataFrame) -> DataFrame:
+    """EWMA control chart over the gap-filled daily purchase-revenue
+    series (Roberts 1959 / the SPC standard for SMALL mean shifts —
+    the p-chart catches proportion jumps, Shewhart-style MAD/z flags
+    single spikes; the EWMA chart is the one that fires on a slow
+    drift no single day trips): z_t = 0.2 x_t + 0.8 z_{t-1} seeded at
+    the series mean, with time-varying limits mu ± 3 sigma
+    sqrt(lam/(2-lam) (1-(1-lam)^{2t})).
+
+    Cross-engine protocol: x_t are exact integers (floor-scaled cents
+    sums; zero-revenue days are real observations via the calendar
+    spine), mu/sigma come from exact moment sums, and BOTH recursions
+    — the EWMA itself and the (1-lam)^{2t} power (carried as w_t =
+    0.64 w_{t-1}, never pow(), whose last-ulp behavior differs across
+    libm implementations) — replay as the same literal multiply-add
+    chain: a packed day-sorted array fold here, a depth-T recursive
+    CTE in the oracle.
+
+    Scale: one day-grain hash-agg + a calendar-bounded fold (the
+    periodogram/Bass argument). Output per day: d, x, z, ucl, lcl,
+    out_of_control.
+    """
+    pd_ = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CAST(floor(value * {AR2_VAL_SCALE}) AS BIGINT)"
+                )
+            ).alias("x")
+        )
+    )
+    bounds = pd_.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = bounds.select(
+        F.explode(F.expr("sequence(d0, d1)")).alias("day"), "d0"
+    )
+    daily = cal.join(pd_, "day", "left").select(
+        F.datediff("day", "d0").cast("bigint").alias("d"),
+        F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+    )
+    packed = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s"),
+        F.count("*").alias("t"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    tn = F.col("t").cast("double")
+    mu = F.col("sx").cast("double") / tn
+    sig = F.sqrt(
+        (
+            F.col("sx2").cast("double")
+            - F.col("sx").cast("double")
+            * F.col("sx").cast("double")
+            / tn
+        )
+        / (tn - 1)
+    )
+    lam, om = EWMA_CHART_LAMBDA, 1 - EWMA_CHART_LAMBDA
+    om2 = om * om
+    base = packed.select(
+        "s", mu.alias("mu"), sig.alias("sig")
+    )
+    rows = base.select(
+        "mu",
+        "sig",
+        F.explode(
+            F.expr(
+                "aggregate(s,"
+                " named_struct('z', mu, 'w', cast(1.0 as double),"
+                "  'arr', cast(array() as"
+                "   array<struct<d:bigint,x:bigint,z:double,w:double>>)),"
+                f" (acc, e) -> named_struct("
+                f"  'z', {lam}D * e.x + {om}D * acc.z,"
+                f"  'w', acc.w * {om2}D,"
+                "   'arr', concat(acc.arr, array(named_struct("
+                "    'd', e.d, 'x', e.x,"
+                f"   'z', {lam}D * e.x + {om}D * acc.z,"
+                f"   'w', acc.w * {om2}D)))),"
+                " acc -> acc.arr)"
+            )
+        ).alias("r"),
+    )
+    half = (
+        F.lit(EWMA_CHART_L)
+        * F.col("sig")
+        * F.sqrt(
+            F.lit(lam / (2 - lam)) * (F.lit(1.0) - F.col("r.w"))
+        )
+    )
+    z6 = F.round("r.z", 6)
+    ucl = F.round(F.col("mu") + half, 6)
+    lcl = F.round(F.col("mu") - half, 6)
+    return rows.select(
+        F.col("r.d").alias("d"),
+        F.col("r.x").alias("x"),
+        z6.alias("z"),
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        ((z6 > ucl) | (z6 < lcl)).alias("out_of_control"),
+    )
+
+
+ORACLE_EWMA_CHART = f"""
+ewc_d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * {AR2_VAL_SCALE}) AS BIGINT))
+              AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+ewc_b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ewc_d),
+ewc_cal AS (
+  SELECT CAST(u.day AS DATE) AS day, b.d0
+  FROM ewc_b b, unnest(generate_series(CAST(b.d0 AS TIMESTAMP),
+                                       CAST(b.d1 AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS u(day)
+),
+ewc_daily AS (
+  SELECT CAST(date_diff('day', c.d0, c.day) AS BIGINT) AS d,
+         CAST(coalesce(p.x, 0) AS BIGINT) AS x
+  FROM ewc_cal c LEFT JOIN ewc_d p USING (day)
+),
+ewc_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS t, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sx2
+  FROM ewc_daily
+),
+ewc_mu AS (
+  SELECT CAST(sx AS DOUBLE) / t AS mu,
+         sqrt((CAST(sx2 AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                 / CAST(t AS DOUBLE))
+              / (CAST(t AS DOUBLE) - 1)) AS sig
+  FROM ewc_m
+),
+ewc_rec AS (
+  SELECT CAST(-1 AS BIGINT) AS d, CAST(0 AS BIGINT) AS x,
+         mu AS z, CAST(1.0 AS DOUBLE) AS w
+  FROM ewc_mu
+  UNION ALL
+  SELECT e.d, e.x,
+         CAST({EWMA_CHART_LAMBDA} AS DOUBLE) * e.x
+           + CAST({1 - EWMA_CHART_LAMBDA} AS DOUBLE) * r.z,
+         r.w * CAST({(1 - EWMA_CHART_LAMBDA) ** 2} AS DOUBLE)
+  FROM ewc_rec r JOIN ewc_daily e ON e.d = r.d + 1
+),
+events_ewma_chart AS (
+  SELECT r.d, r.x, round(r.z, 6) AS z,
+         round(m.mu + {EWMA_CHART_L} * m.sig
+               * sqrt({EWMA_CHART_LAMBDA / (2 - EWMA_CHART_LAMBDA)}
+                      * (CAST(1.0 AS DOUBLE) - r.w)), 6) AS ucl,
+         round(m.mu - {EWMA_CHART_L} * m.sig
+               * sqrt({EWMA_CHART_LAMBDA / (2 - EWMA_CHART_LAMBDA)}
+                      * (CAST(1.0 AS DOUBLE) - r.w)), 6) AS lcl,
+         round(r.z, 6) > round(m.mu + {EWMA_CHART_L} * m.sig
+               * sqrt({EWMA_CHART_LAMBDA / (2 - EWMA_CHART_LAMBDA)}
+                      * (CAST(1.0 AS DOUBLE) - r.w)), 6)
+         OR round(r.z, 6) < round(m.mu - {EWMA_CHART_L} * m.sig
+               * sqrt({EWMA_CHART_LAMBDA / (2 - EWMA_CHART_LAMBDA)}
+                      * (CAST(1.0 AS DOUBLE) - r.w)), 6)
+           AS out_of_control
+  FROM ewc_rec r CROSS JOIN ewc_mu m
+  WHERE r.d >= 0
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# seasonal Mann-Kendall (Hirsch-Slack) trend test (round 8)
+# ---------------------------------------------------------------------------
+
+
+def seasonal_mann_kendall(events: DataFrame) -> DataFrame:
+    """Hirsch-Slack seasonal Mann-Kendall over the daily revenue
+    series with day-of-week seasons: the trend statistic S and its
+    tie-corrected variance are computed WITHIN each weekday's
+    sub-series and summed — so a strong weekly cycle (which inflates
+    plain MK's variance and can mask or fake a trend) never enters the
+    comparison; only same-weekday pairs are ordered. This is the
+    seasonal leg of the trend ladder (plain MK pairs + Sen slope in
+    ``events_robust_trend``, record counts, turning points).
+
+    S_s = sum sign(v_j - v_i) over same-season day pairs (i earlier) —
+    exact integers from one within-season pair join (day-grain
+    quadratic per season: calendar-bounded, ~((T/7) choose 2) x 7
+    pairs, never corpus-sized); var_s = [n(n-1)(2n+5) -
+    sum t(t-1)(2t+5)]/18 with per-(season, value) tie counts t. The
+    only doubles are the final z = (S -/+ 1)/sqrt(V) continuity
+    chain, rounded 6 dp. Output (1 row): n_days, n_seasons, s_total,
+    var_x18 (the exact 18*variance integer), z, trend.
+    """
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CAST(floor(value * {AR2_VAL_SCALE}) AS BIGINT)"
+                )
+            ).alias("v")
+        )
+        .select("day", F.dayofweek("day").alias("season"), "v")
+    )
+    a = daily.select(
+        "season", F.col("day").alias("di"), F.col("v").alias("vi")
+    )
+    b = daily.select(
+        "season", F.col("day").alias("dj"), F.col("v").alias("vj")
+    )
+    pairs = a.join(b, "season").filter(F.col("di") < F.col("dj"))
+    s_tot = pairs.agg(
+        (
+            F.sum(F.when(F.col("vj") > F.col("vi"), 1).otherwise(0))
+            - F.sum(F.when(F.col("vj") < F.col("vi"), 1).otherwise(0))
+        ).alias("s"),
+    )
+    n_per = daily.groupBy("season").agg(F.count("*").alias("n"))
+    ties = daily.groupBy("season", "v").agg(F.count("*").alias("tt"))
+    var18 = (
+        n_per.agg(
+            F.sum(
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            ).alias("a")
+        )
+        .crossJoin(
+            F.broadcast(
+                ties.agg(
+                    F.sum(
+                        F.col("tt")
+                        * (F.col("tt") - 1)
+                        * (2 * F.col("tt") + 5)
+                    ).alias("b"),
+                )
+            )
+        )
+        .select((F.col("a") - F.col("b")).alias("v18"))
+    )
+    meta = daily.agg(
+        F.count("*").alias("n_days"),
+        F.countDistinct("season").alias("n_seasons"),
+    )
+    m = s_tot.crossJoin(F.broadcast(var18)).crossJoin(
+        F.broadcast(meta)
+    )
+    s = F.col("s")
+    vd = F.col("v18").cast("double") / 18
+    z = (
+        F.when(s > 0, (s - 1).cast("double") / F.sqrt(vd))
+        .when(s < 0, (s + 1).cast("double") / F.sqrt(vd))
+        .otherwise(F.lit(0.0))
+    )
+    z6 = F.round(z, 6)
+    return m.select(
+        "n_days",
+        "n_seasons",
+        s.alias("s_total"),
+        F.col("v18").alias("var_x18"),
+        z6.alias("z"),
+        F.when(z6 > 1.96, F.lit("increasing"))
+        .when(z6 < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )
+
+
+ORACLE_SEASONAL_MK = f"""
+smk_d AS (
+  SELECT day, dayofweek(day) + 1 AS season, v FROM (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(floor(value * {AR2_VAL_SCALE}) AS BIGINT))
+                AS BIGINT) AS v
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+  )
+),
+smk_s AS (
+  SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1 ELSE 0 END)
+              - sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM smk_d a JOIN smk_d b
+    ON a.season = b.season AND a.day < b.day
+),
+smk_v AS (
+  SELECT CAST((SELECT sum(n * (n - 1) * (2 * n + 5)) FROM (
+                 SELECT CAST(count(*) AS BIGINT) AS n
+                 FROM smk_d GROUP BY season))
+              - (SELECT sum(tt * (tt - 1) * (2 * tt + 5)) FROM (
+                   SELECT CAST(count(*) AS BIGINT) AS tt
+                   FROM smk_d GROUP BY season, v))
+              AS BIGINT) AS v18
+),
+smk_meta AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(count(DISTINCT season) AS BIGINT) AS n_seasons
+  FROM smk_d
+),
+events_mk_seasonal AS (
+  SELECT m.n_days, m.n_seasons, s.s AS s_total, v.v18 AS var_x18,
+         round(CASE WHEN s.s > 0
+                    THEN (s.s - 1) / sqrt(CAST(v.v18 AS DOUBLE) / 18)
+                    WHEN s.s < 0
+                    THEN (s.s + 1) / sqrt(CAST(v.v18 AS DOUBLE) / 18)
+                    ELSE CAST(0.0 AS DOUBLE) END, 6) AS z,
+         CASE WHEN round(CASE WHEN s.s > 0
+                    THEN (s.s - 1) / sqrt(CAST(v.v18 AS DOUBLE) / 18)
+                    WHEN s.s < 0
+                    THEN (s.s + 1) / sqrt(CAST(v.v18 AS DOUBLE) / 18)
+                    ELSE CAST(0.0 AS DOUBLE) END, 6) > 1.96
+              THEN 'increasing'
+              WHEN round(CASE WHEN s.s > 0
+                    THEN (s.s - 1) / sqrt(CAST(v.v18 AS DOUBLE) / 18)
+                    WHEN s.s < 0
+                    THEN (s.s + 1) / sqrt(CAST(v.v18 AS DOUBLE) / 18)
+                    ELSE CAST(0.0 AS DOUBLE) END, 6) < -1.96
+              THEN 'decreasing' ELSE 'none' END AS trend
+  FROM smk_s s CROSS JOIN smk_v v CROSS JOIN smk_meta m
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wilson score confidence intervals (round 8)
+# ---------------------------------------------------------------------------
+
+WILSON_Z = 1.96
+
+
+def wilson_ci(events: DataFrame) -> DataFrame:
+    """Wilson 95% score interval for each event type's user-reach
+    proportion (share of users with >= 1 event of the type) — the
+    binomial CI that behaves at the extremes where the Wald interval
+    collapses (p near 0/1, small k), which is exactly where reach
+    metrics live; the companion of the normal-approx conversion z-test
+    and the median CI in the inference family.
+
+    n (users) and k (reached users) are exact BIGINTs from one
+    user-grain distinct + one type-grain agg; the Wilson chain
+    (center (p + z^2/2n)/(1 + z^2/n), halfwidth z sqrt(p(1-p)/n +
+    z^2/4n^2)/(1 + z^2/n)) is one mirrored double expression per
+    type row, rounded 6 dp. Output per type: event_type, n_users,
+    k_users, p_hat, wilson_lo, wilson_hi.
+    """
+    nu = events.agg(F.countDistinct("user_id").alias("n"))
+    k = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("k")
+    )
+    z = WILSON_Z
+    j = k.crossJoin(F.broadcast(nu))
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    denom = 1 + F.lit(z * z) / nd
+    center = (p + F.lit(z * z) / (2 * nd)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(
+            p * (1 - p) / nd
+            + F.lit(z * z) / (4 * nd * nd)
+        )
+        / denom
+    )
+    return j.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.col("k").alias("k_users"),
+        F.round(p, 6).alias("p_hat"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    )
+
+
+ORACLE_WILSON = f"""
+wci_n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
+          FROM events),
+wci_k AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS k
+  FROM events GROUP BY 1
+),
+events_wilson_ci AS (
+  SELECT k.event_type, n.n AS n_users, k.k AS k_users,
+         round(CAST(k.k AS DOUBLE) / n.n, 6) AS p_hat,
+         round((CAST(k.k AS DOUBLE) / n.n
+                + {WILSON_Z * WILSON_Z} / (2 * CAST(n.n AS DOUBLE)))
+               / (1 + {WILSON_Z * WILSON_Z} / CAST(n.n AS DOUBLE))
+               - {WILSON_Z}
+                 * sqrt(CAST(k.k AS DOUBLE) / n.n
+                        * (1 - CAST(k.k AS DOUBLE) / n.n)
+                        / CAST(n.n AS DOUBLE)
+                        + {WILSON_Z * WILSON_Z}
+                          / (4 * CAST(n.n AS DOUBLE)
+                             * CAST(n.n AS DOUBLE)))
+                 / (1 + {WILSON_Z * WILSON_Z} / CAST(n.n AS DOUBLE)),
+               6) AS wilson_lo,
+         round((CAST(k.k AS DOUBLE) / n.n
+                + {WILSON_Z * WILSON_Z} / (2 * CAST(n.n AS DOUBLE)))
+               / (1 + {WILSON_Z * WILSON_Z} / CAST(n.n AS DOUBLE))
+               + {WILSON_Z}
+                 * sqrt(CAST(k.k AS DOUBLE) / n.n
+                        * (1 - CAST(k.k AS DOUBLE) / n.n)
+                        / CAST(n.n AS DOUBLE)
+                        + {WILSON_Z * WILSON_Z}
+                          / (4 * CAST(n.n AS DOUBLE)
+                             * CAST(n.n AS DOUBLE)))
+                 / (1 + {WILSON_Z * WILSON_Z} / CAST(n.n AS DOUBLE)),
+               6) AS wilson_hi
+  FROM wci_k k CROSS JOIN wci_n n
+)
+"""

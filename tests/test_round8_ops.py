@@ -297,3 +297,86 @@ def test_bpe_fertility_converges_on_tiny_vocab(spark):
     assert en["fertility"] == 1.0
     assert en["total_tokens"] == 25
     assert en["chars_per_token"] == 3.0
+
+
+def _purchase_days(spark, day_values):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d, cents_total in enumerate(day_values):
+        # one purchase carrying the whole day's value
+        rows.append((eid, base + dt.timedelta(days=d), 1, "purchase",
+                     cents_total / 100.0, "{}")); eid += 1
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_ewma_chart_fires_on_planted_shift(spark):
+    """Flat level for 20 days then a sustained +30% shift: the EWMA
+    crosses the UCL inside the shifted region (and never before); the
+    first z equals 0.2 x_0 + 0.8 mu by hand."""
+    vals = [10000] * 20 + [13000] * 10
+    df = temporal.ewma_chart(_purchase_days(spark, vals))
+    rows = {r["d"]: r for r in df.collect()}
+    assert len(rows) == 30
+    mu = sum(vals) / 30
+    assert abs(rows[0]["z"] - round(0.2 * vals[0] + 0.8 * mu, 6)) < 1e-6
+    pre = [rows[d]["out_of_control"] for d in range(20)]
+    post = [rows[d]["out_of_control"] for d in range(20, 30)]
+    assert not any(pre[1:])  # stable region stays in control
+    assert any(post)  # the drift trips the chart
+
+
+def test_mk_seasonal_sees_through_weekly_cycle(spark):
+    """A huge weekly cycle plus a small steady upward drift: plain
+    visual variance is cycle-dominated, but same-weekday pairs are
+    monotone -> 'increasing'. The pure cycle alone -> 'none'."""
+    cycle = [100000, 200, 300, 400, 500, 600, 70000]
+    trended = [cycle[d % 7] + d * 10 for d in range(56)]
+    r1 = temporal.seasonal_mann_kendall(
+        _purchase_days(spark, trended)
+    ).collect()[0]
+    assert r1["trend"] == "increasing" and r1["z"] > 1.96
+    # every same-season pair increases: S = 7 * C(8,2) = 196
+    assert r1["s_total"] == 196
+    flat = [cycle[d % 7] for d in range(56)]
+    r2 = temporal.seasonal_mann_kendall(
+        _purchase_days(spark, flat)
+    ).collect()[0]
+    assert r2["trend"] == "none" and r2["s_total"] == 0
+
+
+def test_wilson_ci_hand_worked(spark):
+    """k=10 of n=100 users: the Wilson interval matches the textbook
+    formula and brackets p_hat."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(100):
+        rows.append((eid, base, u, "view", 1.0, "{}")); eid += 1
+        if u < 10:
+            rows.append((eid, base, u, "purchase", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["event_type"]: r for r in temporal.wilson_ci(df).collect()}
+    r = got["purchase"]
+    assert (r["n_users"], r["k_users"], r["p_hat"]) == (100, 10, 0.1)
+    z, n, p = 1.96, 100.0, 0.1
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * ((p * (1 - p) / n + z * z / (4 * n * n)) ** 0.5) / denom
+    assert abs(r["wilson_lo"] - round(center - half, 6)) < 1e-9
+    assert abs(r["wilson_hi"] - round(center + half, 6)) < 1e-9
+    assert r["wilson_lo"] < 0.1 < r["wilson_hi"]
+    # at p_hat = 1 the Wilson UPPER bound is exactly 1 (algebraic
+    # identity); the LOWER bound pulls properly below 1 — the behavior
+    # the Wald interval (width 0 at p=1) gets wrong
+    assert got["view"]["p_hat"] == 1.0
+    assert got["view"]["wilson_hi"] == 1.0
+    assert got["view"]["wilson_lo"] < 1.0
