@@ -992,6 +992,12 @@ def q_events_nb_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.nb_fit(_events_stable(spark, sf_dir))
 
 
+def q_orders_gamma_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gamma MoM fit of order totals per priority: k = m^2/v,
+    theta = v/m from exact cent-grain moments."""
+    return _tmp.gamma_fit(load_table(spark, sf_dir, "orders"))
+
+
 def q_orders_bass_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bass diffusion fit of the customer adoption curve: OLS on the
     discrete Bass equation over the gap-filled daily first-order
@@ -4161,6 +4167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hbos_outliers": q_events_hbos_outliers,
         "events_yuen": q_events_yuen,
         "orders_bass_model": q_orders_bass_model,
+        "orders_gamma_fit": q_orders_gamma_fit,
         "events_nb_fit": q_events_nb_fit,
         "events_ewma_chart": q_events_ewma_chart,
         "events_mk_seasonal": q_events_mk_seasonal,
@@ -5328,6 +5335,9 @@ def oracle_sql() -> dict[str, str]:
         "events_yuen": _ext_oracle([_tmp.ORACLE_YUEN], "events_yuen"),
         "orders_bass_model": _ext_oracle(
             [_tmp.ORACLE_BASS], "orders_bass_model"
+        ),
+        "orders_gamma_fit": _ext_oracle(
+            [_tmp.ORACLE_GAMMA_FIT], "orders_gamma_fit"
         ),
         "events_nb_fit": _ext_oracle(
             [_tmp.ORACLE_NB_FIT], "events_nb_fit"

@@ -18973,3 +18973,97 @@ events_wilson_ci AS (
   FROM wci_k k CROSS JOIN wci_n n
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# gamma method-of-moments fit per order priority (round 8)
+# ---------------------------------------------------------------------------
+
+
+def gamma_fit(orders: DataFrame) -> DataFrame:
+    """Gamma method-of-moments fit of order totals per priority class
+    — the positive-continuous member of the distribution-fitting shelf
+    (Weibull for lifetimes, Gumbel for extremes, NB for counts): shape
+    k = m^2/v, scale theta = v/m, closed-form from two exact moments.
+    Basket/order totals are the canonical gamma-shaped metric, and
+    (k, theta) feed straight into Erlang/newsvendor-style downstream
+    models; k < 1 vs k > 1 distinguishes hyper-exponential from
+    bell-shaped spend in one number.
+
+    Totals quantize to exact cents (floor, BIGINT) so both raw moments
+    are exact integer sums at any partitioning; mean/variance convert
+    back to the price scale at the edge (/100, /100^2) in one mirrored
+    double chain, rounded 6 dp. NULL fit when a class has < 2 orders
+    or zero variance. One priority-grain hash-agg; 5-row output:
+    priority, n_orders, mean_total, var_total, gamma_shape,
+    gamma_scale.
+    """
+    c = F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c * c).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean_c = F.col("s").cast("double") / nd
+    var_c = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / nd
+    ) / (nd - 1)
+    mean_p = mean_c / 100
+    var_p = var_c / 10000
+    ok = (F.col("n") > 1) & (var_c > 0)
+    return m.select(
+        "priority",
+        F.col("n").alias("n_orders"),
+        F.round(mean_p, 6).alias("mean_total"),
+        F.round(var_p, 6).alias("var_total"),
+        F.round(
+            F.when(ok, mean_p * mean_p / var_p), 6
+        ).alias("gamma_shape"),
+        F.round(F.when(ok, var_p / mean_p), 6).alias("gamma_scale"),
+    )
+
+
+ORACLE_GAMMA_FIT = """
+gmf AS (
+  SELECT o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)
+                  * CAST(floor(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS s2
+  FROM orders GROUP BY 1
+),
+orders_gamma_fit AS (
+  SELECT priority, n AS n_orders,
+         round(CAST(s AS DOUBLE) / n / 100, 6) AS mean_total,
+         round((CAST(s2 AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1) / 10000, 6) AS var_total,
+         round(CASE WHEN n > 1 AND (CAST(s2 AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) > 0
+               THEN (CAST(s AS DOUBLE) / n / 100)
+                    * (CAST(s AS DOUBLE) / n / 100)
+                    / ((CAST(s2 AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1) / 10000)
+               END, 6) AS gamma_shape,
+         round(CASE WHEN n > 1 AND (CAST(s2 AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) > 0
+               THEN ((CAST(s2 AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1) / 10000)
+                    / (CAST(s AS DOUBLE) / n / 100)
+               END, 6) AS gamma_scale
+  FROM gmf
+)
+"""

@@ -380,3 +380,38 @@ def test_wilson_ci_hand_worked(spark):
     assert got["view"]["p_hat"] == 1.0
     assert got["view"]["wilson_hi"] == 1.0
     assert got["view"]["wilson_lo"] < 1.0
+
+
+def test_gamma_fit_recovers_planted_shape(spark):
+    """Deterministic gamma-ish sample via inverse-CDF-free planting:
+    an exponential grid (gamma k=1) must fit k near 1; a sum-of-two
+    grid (k=2 shape) must fit a clearly larger k."""
+    import math
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # exponential (k=1, theta=100): quantile grid x_i = -100 ln(1-u)
+    for i in range(1, 200):
+        u = i / 200
+        rows.append((i, i, "1-EXP", -100.0 * math.log(1 - u),
+                     base, "x"))
+    # Erlang-2 (k=2): sum of two staggered exponential quantiles
+    for i in range(1, 200):
+        u1, u2 = i / 200, ((i * 101) % 199 + 0.5) / 200
+        x = -100.0 * (math.log(1 - u1) + math.log(1 - u2))
+        rows.append((1000 + i, i, "2-ERL", x, base, "x"))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderpriority string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderstatus string",
+    )
+    got = {r["priority"]: r for r in temporal.gamma_fit(df).collect()}
+    k1 = got["1-EXP"]["gamma_shape"]
+    k2 = got["2-ERL"]["gamma_shape"]
+    assert 0.7 < k1 < 1.3
+    assert k2 > 1.5
+    # MoM identity: mean = k * theta within rounding
+    for r in got.values():
+        assert abs(r["gamma_shape"] * r["gamma_scale"]
+                   - r["mean_total"]) < 1e-2
