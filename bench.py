@@ -432,15 +432,36 @@ WATCHLIST = [
 ]
 
 
-def _latest_round_file(pattern: str) -> str | None:
+def _latest_round_file(
+    pattern: str, max_round: int | None = None
+) -> str | None:
     import glob
 
     cands = []
     for p in glob.glob(pattern):
         m = re.search(r"_r(\d+)\.json$", p)
-        if m:
+        if m and (max_round is None or int(m.group(1)) <= max_round):
             cands.append((int(m.group(1)), p))
     return max(cands)[1] if cands else None
+
+
+def _baseline_round_cap() -> int | None:
+    """Highest round whose snapshots may serve as a diff baseline.
+
+    The grading driver writes ``CORRECTNESS_r{N}.json`` when round N
+    closes, so the newest such file marks the last COMPLETED round.
+    Without the cap, an in-round gate re-run after the builder commits
+    its own ``*_r{N}.json`` snapshots would diff the fresh board
+    against an essentially identical copy of itself and trivially PASS
+    (r8 ADVICE item 2); capping at the completed round pins the
+    baseline to the previous round's evidence instead.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    p = _latest_round_file(os.path.join(here, "CORRECTNESS_r*.json"))
+    if not p:
+        return None
+    m = re.search(r"_r(\d+)\.json$", p)
+    return int(m.group(1)) if m else None
 
 
 def _plan_entry(board: dict, name: str):
@@ -465,9 +486,12 @@ def bench_diff(
     The three optional args override file discovery (tests plant
     regressions through them)."""
     here = os.path.dirname(os.path.abspath(__file__))
+    cap = _baseline_round_cap()
     prev_path = prev_path or os.environ.get(
         "SPARK_GRAFT_BENCH_PREV",
-        _latest_round_file(os.path.join(here, "BENCH_DETAIL_r*.json")),
+        _latest_round_file(
+            os.path.join(here, "BENCH_DETAIL_r*.json"), max_round=cap
+        ),
     )
     if not prev_path or not os.path.exists(prev_path):
         return {"baseline": None, "gate": "SKIP (no baseline)"}
@@ -482,7 +506,7 @@ def bench_diff(
         )
     if prev_board is None:
         prev_board_path = _latest_round_file(
-            os.path.join(here, "PLANBOARD_r*.json")
+            os.path.join(here, "PLANBOARD_r*.json"), max_round=cap
         )
         prev_board = (
             json.load(open(prev_board_path))
@@ -560,7 +584,7 @@ def bench_diff(
 # bench_diff. The bench tier times 288 of ~515 queries min-of-runs;
 # everything else — notably the streaming queries, which cannot re-run
 # in the warm bench loop — has its only timing signal in the
-# DRIVERSIM board. This gate diffs every SLOW board line (> 5 s in
+# DRIVERSIM board. This gate diffs every SLOW board line (> BOARDTAIL_SECS in
 # either round) against the last committed DRIVERSIM_r{N-1}.json with
 # the same flag rule and planboard adjudication as bench_diff, so the
 # blind spot that let events_dbscan drift for three rounds is closed
@@ -568,7 +592,7 @@ def bench_diff(
 # rides in DRIVERSIM.json as "tail_diff".
 # --------------------------------------------------------------------------
 
-BOARDTAIL_SECS = 5.0
+BOARDTAIL_SECS = 2.5
 
 #: the r7 board's named slow tail — rides in every tail diff so the
 #: lines the r7 verdict called out are adjudicated mechanically.
@@ -599,8 +623,9 @@ def boardtail_diff(
     bench_diff. ``cur_secs`` maps query -> seconds (the driver_sim
     board's "sec" fields)."""
     here = os.path.dirname(os.path.abspath(__file__))
+    cap = _baseline_round_cap()
     prev_path = prev_path or _latest_round_file(
-        os.path.join(here, "DRIVERSIM_r*.json")
+        os.path.join(here, "DRIVERSIM_r*.json"), max_round=cap
     )
     if not prev_path or not os.path.exists(prev_path):
         return {"baseline": None, "gate": "SKIP (no baseline)"}
@@ -615,7 +640,9 @@ def boardtail_diff(
         p = os.path.join(here, "PLANBOARD.json")
         cur_board = json.load(open(p)) if os.path.exists(p) else None
     if prev_board is None:
-        p = _latest_round_file(os.path.join(here, "PLANBOARD_r*.json"))
+        p = _latest_round_file(
+            os.path.join(here, "PLANBOARD_r*.json"), max_round=cap
+        )
         prev_board = (
             json.load(open(p)) if p and os.path.exists(p) else None
         )

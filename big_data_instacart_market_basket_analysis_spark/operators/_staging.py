@@ -32,18 +32,37 @@ def stage(
     owner,
     build: Callable[[], DataFrame],
     checkpoint: bool = True,
+    keep_owners: int = 2,
 ) -> DataFrame:
     """Return the staged result for ``key``, building (and eagerly
     localCheckpointing, unless ``checkpoint=False``) on first touch.
 
     ``owner`` is the object whose identity scopes the entry (the input
-    DataFrame, or the SparkSession for per-session handles). On a miss,
-    entries owned by any OTHER object are evicted before inserting, so
-    the cache holds at most one input-identity generation at a time.
+    DataFrame, or the SparkSession for per-session handles). On a miss
+    the cache is trimmed so at most ``keep_owners`` input-identity
+    generations survive (the incoming one plus the most recent
+    ``keep_owners - 1`` others, by first-touch order). Keeping one
+    spare generation means two live inputs used in alternation within
+    a session (e.g. the entry module's stable events interleaved with
+    a test-local events frame) stay warm instead of thrashing each
+    other's eager localCheckpoints on every switch (r8 ADVICE item 4),
+    while superseded generations beyond that are still released to GC
+    so their checkpoint blocks are reclaimed.
     """
     hit = cache.get(key)
     if hit is None:
-        stale = [k for k, v in cache.items() if v[0] is not owner]
+        # distinct owner generations, oldest-first (dict order = first
+        # touch); evict everything older than the keep_owners-1 most
+        # recent generations besides the incoming owner.
+        owners: list = []
+        for v in cache.values():
+            if all(v[0] is not o for o in owners):
+                owners.append(v[0])
+        others = [o for o in owners if o is not owner]
+        evict = others[: max(0, len(others) - (keep_owners - 1))]
+        stale = [
+            k for k, v in cache.items() if any(v[0] is o for o in evict)
+        ]
         for k in stale:
             del cache[k]
         df = build()

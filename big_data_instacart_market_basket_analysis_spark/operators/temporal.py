@@ -18128,6 +18128,13 @@ def yuen_trimmed_test(events: DataFrame) -> DataFrame:
         F.first("mt").alias("mt"),
         F.first("d").alias("d"),
     )
+    # degenerate-input guard (r8 ADVICE item 3): with one group absent
+    # the pivot emits a single row with NULL columns for that side,
+    # while the oracle's cross join of an empty branch emits zero rows
+    # — drop the half-populated row so both engines agree on "no test".
+    wide = wide.filter(
+        F.col("x_n").isNotNull() & F.col("y_n").isNotNull()
+    )
     dx, dy = F.col("x_d"), F.col("y_d")
     hx, hy = F.col("x_h").cast("double"), F.col("y_h").cast("double")
     t = (F.col("x_mt") - F.col("y_mt")) / F.sqrt(dx + dy)

@@ -65,7 +65,7 @@ EVAL_NAMES = {EVAL_PRIOR: "prior", EVAL_TRAIN: "train", EVAL_TEST: "test"}
 def orders_csv_roundtrip(
     spark: SparkSession,
     sf_dir: str,
-    tmp_base: str = "/tmp/spark_graft_csv",
+    tmp_base: str | None = None,
 ) -> DataFrame:
     """S1-S6 on the reference's REAL input format: render the orders
     view as an Instacart-style orders.csv (eval_set as the prior/train/
@@ -102,7 +102,9 @@ def orders_csv_roundtrip(
         .otherwise(F.col("days_since").cast("string"))
         .alias("days_since"),
     )
-    path = f"{tmp_base}/{sf_dir.strip('/').replace('/', '_')}/orders"
+    from ._scratch import roundtrip_path
+
+    path = roundtrip_path(spark, "csv", sf_dir, "orders", tmp_base)
     out.write.mode("overwrite").option("header", True).csv(path)
     df = read_orders(spark, path)
     _ROUNDTRIP_CACHE[key] = df

@@ -38,7 +38,7 @@ _ROUNDTRIP_CACHE: dict[tuple[int, str], DataFrame] = {}
 def events_json_roundtrip(
     spark: SparkSession,
     sf_dir: str,
-    tmp_base: str = "/tmp/spark_graft_json",
+    tmp_base: str | None = None,
 ) -> DataFrame:
     """Write events as JSON lines (distributed, one file per
     partition), re-read with the pinned schema, and normalize
@@ -57,7 +57,9 @@ def events_json_roundtrip(
         "value",
         "props",
     )
-    path = f"{tmp_base}/{sf_dir.strip('/').replace('/', '_')}/events"
+    from ._scratch import roundtrip_path
+
+    path = roundtrip_path(spark, "json", sf_dir, "events", tmp_base)
     events.write.mode("overwrite").json(path)
     df = spark.read.schema(EVENTS_JSON_SCHEMA).json(path)
     _ROUNDTRIP_CACHE[key] = df

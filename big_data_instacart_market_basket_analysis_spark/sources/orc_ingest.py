@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ._scratch import roundtrip_path
 from .loaders import load_table
 
 _ROUNDTRIP_CACHE: dict[tuple[int, str], DataFrame] = {}
@@ -29,13 +30,18 @@ _COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 def events_orc_roundtrip(
     spark: SparkSession,
     sf_dir: str,
-    tmp_base: str = "/tmp/spark_graft_orc",
+    tmp_base: str | None = None,
 ) -> DataFrame:
+    """Write-once-per-session contract: the staging write happens on
+    first touch per (session, sf_dir) — ``_ROUNDTRIP_CACHE`` returns
+    the same lazy reader afterwards — and the staging dir is
+    per-application (see ``_scratch.scratch_dir``), so concurrent
+    drivers can never overwrite files under each other's readers."""
     key = (id(spark), sf_dir)
     if key in _ROUNDTRIP_CACHE:
         return _ROUNDTRIP_CACHE[key]
     events = load_table(spark, sf_dir, "events").select(*_COLS)
-    path = f"{tmp_base}/{sf_dir.strip('/').replace('/', '_')}/events"
+    path = roundtrip_path(spark, "orc", sf_dir, "events", tmp_base)
     events.write.mode("overwrite").orc(path)
     df = spark.read.schema(events.schema).orc(path).select(*_COLS)
     _ROUNDTRIP_CACHE[key] = df

@@ -254,7 +254,7 @@ _SINK_ROUNDTRIP_CACHE: dict[tuple[int, str], object] = {}
 def docs_pysink_roundtrip(
     spark,
     sf_dir: str,
-    tmp_base: str = "/tmp/spark_graft_pysink",
+    tmp_base: str | None = None,
 ):
     """Write the documents table through the Python jsonl_sink writer
     (two-phase task commit), then re-read the published files with a
@@ -268,7 +268,9 @@ def docs_pysink_roundtrip(
         return _SINK_ROUNDTRIP_CACHE[key]
     register_sink(spark)
     docs = load_table(spark, sf_dir, "documents")
-    path = f"{tmp_base}/{sf_dir.strip('/').replace('/', '_')}/documents"
+    from ._scratch import roundtrip_path
+
+    path = roundtrip_path(spark, "pysink", sf_dir, "documents", tmp_base)
     import os
 
     os.makedirs(path, exist_ok=True)

@@ -29,7 +29,7 @@ _ROUNDTRIP_CACHE: dict[tuple[int, str], DataFrame] = {}
 def docs_text_roundtrip(
     spark: SparkSession,
     sf_dir: str,
-    tmp_base: str = "/tmp/spark_graft_text",
+    tmp_base: str | None = None,
 ) -> DataFrame:
     """Write documents as tab-delimited text lines, re-read with
     ``spark.read.text``, and parse the four fields back with a
@@ -53,7 +53,9 @@ def docs_text_roundtrip(
             "\t", enc("doc_id"), enc("lang"), enc("source"), enc("text")
         ).alias("value")
     )
-    path = f"{tmp_base}/{sf_dir.strip('/').replace('/', '_')}/documents"
+    from ._scratch import roundtrip_path
+
+    path = roundtrip_path(spark, "text", sf_dir, "documents", tmp_base)
     docs.write.mode("overwrite").text(path)
     raw = spark.read.text(path)
     parts = F.split(F.col("value"), "\t", 4)

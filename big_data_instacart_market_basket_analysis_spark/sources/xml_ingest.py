@@ -38,7 +38,7 @@ _ROUNDTRIP_CACHE: dict[tuple[int, str], DataFrame] = {}
 def events_xml_roundtrip(
     spark: SparkSession,
     sf_dir: str,
-    tmp_base: str = "/tmp/spark_graft_xml",
+    tmp_base: str | None = None,
 ) -> DataFrame:
     key = (id(spark), sf_dir)
     if key in _ROUNDTRIP_CACHE:
@@ -52,7 +52,9 @@ def events_xml_roundtrip(
             "value_millis"
         ),
     )
-    path = f"{tmp_base}/{sf_dir.strip('/').replace('/', '_')}/events"
+    from ._scratch import roundtrip_path
+
+    path = roundtrip_path(spark, "xml", sf_dir, "events", tmp_base)
     (
         events.write.mode("overwrite")
         .format("xml")

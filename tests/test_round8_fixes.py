@@ -202,8 +202,9 @@ def test_bleu_pair_driven_n_frame(spark):
 
 
 def test_staging_evicts_superseded_inputs():
-    """A new input identity evicts entries owned by other inputs; all
-    variants of the CURRENT input stay."""
+    """Superseded input generations are evicted (r7 ADVICE 3); since
+    r9 the last TWO generations stay warm (r8 ADVICE 4), so strict
+    single-generation eviction is pinned via ``keep_owners=1``."""
     cache: dict = {}
     a, b = object(), object()
     r1 = _staging.stage(cache, (id(a), 1), a, lambda: "a1", checkpoint=False)
@@ -213,8 +214,10 @@ def test_staging_evicts_superseded_inputs():
     assert _staging.stage(
         cache, (id(a), 1), a, lambda: "NEW", checkpoint=False
     ) == "a1"
-    # new owner evicts both of a's entries
-    r3 = _staging.stage(cache, (id(b), 1), b, lambda: "b1", checkpoint=False)
+    # keep_owners=1: a new owner evicts both of a's entries
+    r3 = _staging.stage(
+        cache, (id(b), 1), b, lambda: "b1", checkpoint=False, keep_owners=1
+    )
     assert r3 == "b1"
     assert list(cache) == [(id(b), 1)]
 
