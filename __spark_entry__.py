@@ -1797,6 +1797,23 @@ def q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bpe_fertility(_docs(spark, sf_dir))
 
 
+def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training: hard-EM
+    Viterbi rounds over the distinct-word vocabulary — the other
+    tokenizer family beside BPE (r8 verdict task 7)."""
+    return _text.unigram_train(_docs(spark, sf_dir))
+
+
+def q_text_unigram_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM encode with the trained inventory: per-language
+    fertility + chars-per-token, shape-compatible with
+    text_bpe_fertility for family-vs-family comparison; shares the
+    session-staged training run with text_unigram_lm."""
+    return _text.unigram_fertility(_docs(spark, sf_dir))
+
+
 def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic: top-k heaviest user_ids with exact
     integer per-mille share of all rows."""
@@ -2414,6 +2431,29 @@ def q_events_yuen(spark: SparkSession, sf_dir: str) -> DataFrame:
     values): exact cent-grain order statistics via the octave prefix
     kernel; only the final t/df chain divides."""
     return _tmp.yuen_trimmed_test(_events_stable(spark, sf_dir))
+
+
+def q_events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the event_type × day-of-week
+    association: full zero-filled contingency grid, integral chi2
+    numerators, V = sqrt(chi2 / (n·k))."""
+    return _tmp.cramers_v(_events_stable(spark, sf_dir))
+
+
+def q_events_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST mean-equivalence of purchase vs click values (two
+    one-sided Welch z-tests against a ±10%·mean margin) — the
+    statistically sound 'no change' claim."""
+    return _tmp.tost_equivalence(_events_stable(spark, sf_dir))
+
+
+def q_events_mh_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio + chi-square of weekend
+    exposure on purchase-vs-click odds across six-hour strata —
+    the Simpson's-paradox-safe stratified 2x2 summary."""
+    return _tmp.mantel_haenszel(_events_stable(spark, sf_dir))
+
+
 
 
 def q_events_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4166,6 +4206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_periodogram": q_events_periodogram,
         "events_hbos_outliers": q_events_hbos_outliers,
         "events_yuen": q_events_yuen,
+        "events_cramers_v": q_events_cramers_v,
+        "events_tost": q_events_tost,
+        "events_mh_odds": q_events_mh_odds,
         "orders_bass_model": q_orders_bass_model,
         "orders_gamma_fit": q_orders_gamma_fit,
         "events_nb_fit": q_events_nb_fit,
@@ -4411,6 +4454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pchart": q_events_pchart,
         "text_bpe_train": q_text_bpe_train,
         "text_bpe_fertility": q_text_bpe_fertility,
+        "text_unigram_lm": q_text_unigram_lm,
+        "text_unigram_fertility": q_text_unigram_fertility,
         "events_skew_report": q_events_skew_report,
         "xml_ingest_events": q_xml_ingest_events,
         "orc_ingest_events": q_orc_ingest_events,
@@ -5333,6 +5378,13 @@ def oracle_sql() -> dict[str, str]:
             [_tmp.ORACLE_HBOS], "events_hbos_outliers"
         ),
         "events_yuen": _ext_oracle([_tmp.ORACLE_YUEN], "events_yuen"),
+        "events_cramers_v": _ext_oracle(
+            [_tmp.ORACLE_CRAMERS_V], "events_cramers_v"
+        ),
+        "events_tost": _ext_oracle([_tmp.ORACLE_TOST], "events_tost"),
+        "events_mh_odds": _ext_oracle(
+            [_tmp.ORACLE_MANTEL_HAENSZEL], "events_mh_odds"
+        ),
         "orders_bass_model": _ext_oracle(
             [_tmp.ORACLE_BASS], "orders_bass_model"
         ),
@@ -5633,6 +5685,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_bpe_pairs": _ext_oracle(
             [_text.oracle_bpe_first_merges()], "bpe_first_merges"
+        ),
+        "text_unigram_lm": _ext_oracle(
+            _text.oracle_unigram_train(), "text_unigram_lm"
+        ),
+        "text_unigram_fertility": _ext_oracle(
+            _text.oracle_unigram_fertility(), "text_unigram_fertility"
         ),
         "text_bleu": _ext_oracle(
             [_text.ORACLE_BLEU_PAIRS], "bleu_pairs"

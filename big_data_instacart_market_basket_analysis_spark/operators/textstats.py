@@ -6158,3 +6158,494 @@ text_bpe_fertility AS (
   FROM bf_e GROUP BY 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM (SentencePiece-style) tokenizer training — the other
+# tokenizer family an LLM data team compares against BPE (r8 verdict
+# task 7). Kudo 2018 with hard-EM (Viterbi) E-steps: seed a candidate
+# piece inventory from substring counts, alternate Viterbi
+# segmentation of the vocabulary under current piece probabilities
+# with recount-and-prune M-steps, and emit the surviving inventory.
+# ---------------------------------------------------------------------------
+
+#: max candidate piece length (chars).
+UNIGRAM_PIECE_MAX = 4
+#: max word length considered (words longer than this are out of
+#: scope for both engines — bounds the unrolled oracle DP).
+UNIGRAM_WORD_MAX = 12
+#: multi-char seed inventory size (single chars always included —
+#: the character-coverage guarantee, as in sentencepiece).
+UNIGRAM_SEED_MULTI = 64
+#: multi-char pieces kept by each EM prune.
+UNIGRAM_KEEP_MULTI = 32
+#: hard-EM rounds (each = Viterbi segment + recount + prune).
+UNIGRAM_ROUNDS = 2
+
+_UNIGRAM_WORD_RE = f"^[a-z0-9]{{1,{UNIGRAM_WORD_MAX}}}$"
+
+#: trained inventories per (docs identity, params): list of
+#: (piece, cnt) for the FINAL round plus the final total — the
+#: artifact shared by the train query and the fertility query.
+_UNIGRAM_CACHE: dict[tuple, tuple] = {}
+
+
+def _unigram_words(docs: DataFrame) -> DataFrame:
+    """Distinct-word vocabulary with frequency (the only corpus-sized
+    stage of the whole trainer — everything after runs on word types)."""
+    return (
+        docs.select(F.explode(_tokens_col()).alias("w"))
+        .filter(F.col("w").rlike(_UNIGRAM_WORD_RE))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _unigram_viterbi_segs(
+    words: DataFrame, vocab: list[tuple[str, float]]
+) -> DataFrame:
+    """Viterbi-segment each word under the given (piece, prob)
+    inventory; returns words + ``segs array<string>``.
+
+    The DP runs entirely in catalyst higher-order functions (no
+    Python on the data path): candidate pieces per word come from a
+    substring explode joined (broadcast — the inventory is <~100
+    rows) against the vocabulary, and ``aggregate`` folds positions
+    1..len(w), where dp[i] maximizes segmentation probability with a
+    TOTAL deterministic order — probability DESC (IEEE multiplication
+    is correctly rounded, so identically-derived doubles compare
+    identically across engines), then piece count ASC, then the
+    space-joined segmentation ASC. Single-char coverage guarantees
+    every position is reachable, so the fold never dead-ends.
+    """
+    spark = words.sparkSession
+    vdf = spark.createDataFrame(
+        [(p, float(pr)) for p, pr in vocab], "piece string, prob double"
+    )
+    occ = words.select(
+        "w",
+        "freq",
+        F.explode(
+            F.expr(
+                f"""
+                flatten(transform(sequence(1, length(w)), s ->
+                  transform(
+                    sequence(1, least({UNIGRAM_PIECE_MAX},
+                                      length(w) - s + 1)),
+                    l -> struct(s AS s, s + l - 1 AS e,
+                                substring(w, s, l) AS piece))))
+                """
+            )
+        ).alias("c"),
+    )
+    cands = (
+        occ.join(F.broadcast(vdf), occ["c.piece"] == vdf["piece"])
+        .groupBy("w", "freq")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("c.s").alias("s"),
+                        F.col("c.e").alias("e"),
+                        F.col("c.piece").alias("piece"),
+                        F.col("prob").alias("prob"),
+                    )
+                )
+            ).alias("cands")
+        )
+    )
+    dp = F.expr(
+        """
+        aggregate(
+          sequence(1, length(w)),
+          array(named_struct(
+            'p', cast(1.0 as double), 'k', 0,
+            'segs', cast(array() as array<string>))),
+          (acc, i) -> concat(acc, array(
+            reduce(
+              transform(
+                filter(cands, c -> c.e = i),
+                c -> named_struct(
+                  'p', element_at(acc, c.s).p * c.prob,
+                  'k', element_at(acc, c.s).k + 1,
+                  'segs', concat(element_at(acc, c.s).segs,
+                                 array(c.piece)))),
+              cast(null as
+                   struct<p: double, k: int, segs: array<string>>),
+              (b, o) -> CASE
+                WHEN b IS NULL THEN o
+                WHEN o.p > b.p THEN o
+                WHEN o.p = b.p AND o.k < b.k THEN o
+                WHEN o.p = b.p AND o.k = b.k
+                     AND array_join(o.segs, ' ')
+                         < array_join(b.segs, ' ') THEN o
+                ELSE b END))),
+          acc -> element_at(acc, length(w) + 1).segs)
+        """
+    )
+    return cands.select("w", "freq", dp.alias("segs"))
+
+
+def _unigram_learn(docs: DataFrame) -> tuple:
+    """The training loop body (see ``unigram_train`` for the
+    protocol). Returns (final [(piece, cnt)], total). Driver traffic
+    per round: the pruned inventory (<= UNIGRAM_KEEP_MULTI + charset
+    rows of (piece, cnt)) — bounded by constants, never by data."""
+    words = _unigram_words(docs).localCheckpoint(eager=True)
+    seed = (
+        words.select(
+            F.explode(
+                F.expr(
+                    f"""
+                    flatten(transform(sequence(1, length(w)), s ->
+                      transform(
+                        sequence(1, least({UNIGRAM_PIECE_MAX},
+                                          length(w) - s + 1)),
+                        l -> substring(w, s, l))))
+                    """
+                )
+            ).alias("piece"),
+            "freq",
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    ).localCheckpoint(eager=True)
+    chars = {
+        r["piece"]: r["cnt"]
+        for r in seed.filter(F.length("piece") == 1).collect()
+    }
+    multi = (
+        seed.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(UNIGRAM_SEED_MULTI)
+        .collect()
+    )
+    inv = [(r["piece"], r["cnt"]) for r in multi] + sorted(chars.items())
+    for _ in range(UNIGRAM_ROUNDS):
+        total = sum(c for _, c in inv)
+        probs = [(p, c / float(total)) for p, c in inv]
+        segs = _unigram_viterbi_segs(words, probs)
+        counts = {
+            r["piece"]: r["cnt"]
+            for r in segs.select(
+                F.explode("segs").alias("piece"), "freq"
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+            .collect()
+        }
+        kept = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[:UNIGRAM_KEEP_MULTI]
+        inv = kept + sorted((p, counts.get(p, 0)) for p in chars)
+    return (tuple(inv), sum(c for _, c in inv))
+
+
+def _unigram_learn_staged(docs: DataFrame) -> tuple:
+    return _stage(
+        _UNIGRAM_CACHE,
+        (id(docs), UNIGRAM_SEED_MULTI, UNIGRAM_KEEP_MULTI,
+         UNIGRAM_ROUNDS),
+        docs,
+        lambda: _unigram_learn(docs),
+        checkpoint=False,
+    )
+
+
+def unigram_train(docs: DataFrame) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018, hard-EM variant):
+    seed candidate pieces from substring occurrence counts (top
+    ``UNIGRAM_SEED_MULTI`` multi-char pieces by weighted count, plus
+    EVERY single character — the coverage guarantee), then run
+    ``UNIGRAM_ROUNDS`` rounds of: Viterbi-segment the distinct-word
+    vocabulary under current piece probabilities, recount pieces from
+    the chosen segmentations, and prune to the top
+    ``UNIGRAM_KEEP_MULTI`` multi-char pieces (chars always survive).
+    Output: the final inventory with rank, counts, and probabilities
+    — the tokenizer artifact, directly comparable to
+    ``bpe_train_merges``'s merge table.
+
+    Engine portability: probabilities are plain count/total divisions
+    and the DP folds them with IEEE multiplications only (division
+    and multiplication are correctly rounded, so Spark and DuckDB
+    produce bit-identical doubles; ln/exp/pow stay banned per the
+    repo float rule), and every argmax carries the total
+    (prob DESC, piece-count ASC, segmentation-string ASC) tie order.
+    The oracle replays the identical automaton with the DP unrolled
+    over word positions 1..UNIGRAM_WORD_MAX per round.
+
+    Scale: the corpus is touched ONCE (the word-count agg); seeding,
+    segmentation, and recounting all run at distinct-word grain with
+    a broadcast inventory; rank assignment happens on the
+    driver-side artifact (bounded by constants), so no global window
+    ever touches data. At 100 TB the vocabulary is the only wide
+    state and it is millions of rows, not corpus-sized.
+    """
+    spark = docs.sparkSession
+    inv, total = _unigram_learn_staged(docs)
+    ranked = sorted(inv, key=lambda t: (-t[1], t[0]))
+    rows = [
+        (i + 1, p, len(p), int(c))
+        for i, (p, c) in enumerate(ranked)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, piece string, piece_len int, cnt bigint"
+    ).select(
+        "rank",
+        "piece",
+        "piece_len",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double") / F.lit(float(total)), 6
+        ).alias("prob"),
+    )
+
+
+def unigram_fertility(docs: DataFrame) -> DataFrame:
+    """Distributed unigram-LM ENCODE with the trained inventory,
+    rolled up to per-language fertility / compression — the
+    SentencePiece twin of ``bpe_fertility``, sharing its output shape
+    so the two tokenizer families are directly comparable row for
+    row. One staged training run serves the train query and this one.
+
+    Scale: same story as ``bpe_fertility`` — encode runs on the
+    DISTINCT word vocabulary (segmentations computed once per word
+    type, joined back to the (lang, word) frequency table), the
+    inventory broadcasts, and the rollup is one lang-grain hash-agg.
+    """
+    inv, total = _unigram_learn_staged(docs)
+    probs = [(p, c / float(total)) for p, c in inv]
+    lang_words = (
+        docs.select("lang", F.explode(_tokens_col()).alias("w"))
+        .filter(F.col("w").rlike(_UNIGRAM_WORD_RE))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("freq"))
+    )
+    words = lang_words.groupBy("w").agg(
+        F.sum("freq").alias("freq")
+    )
+    segs = _unigram_viterbi_segs(words, probs).select(
+        "w", F.size("segs").alias("n_segs")
+    )
+    enc = lang_words.join(segs, "w")
+    agg = enc.groupBy("lang").agg(
+        F.count("*").alias("n_word_types"),
+        F.sum("freq").alias("total_words"),
+        F.sum(F.col("freq") * F.col("n_segs")).alias("total_tokens"),
+        F.sum(F.col("freq") * F.length("w")).alias("total_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_word_types",
+        "total_words",
+        "total_tokens",
+        "total_chars",
+        F.round(
+            F.col("total_tokens").cast("double")
+            / F.col("total_words").cast("double"),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.col("total_chars").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+def _unigram_dp_sql(tag: str, vocab: str, words: str) -> list[str]:
+    """Unrolled Viterbi DP CTE fragments for one segmentation pass:
+    ``u{tag}dp0..UNIGRAM_WORD_MAX`` plus ``u{tag}best`` (word, freq,
+    segs) — the oracle replay of ``_unigram_viterbi_segs`` with the
+    identical (prob DESC, k ASC, segmentation ASC) argmax order."""
+    frags = [
+        f"""
+u{tag}dp0 AS (
+  SELECT word, freq, len, CAST(1.0 AS DOUBLE) AS p, 0 AS k,
+         []::VARCHAR[] AS segs
+  FROM {words}
+)"""
+    ]
+    for i in range(1, UNIGRAM_WORD_MAX + 1):
+        branches = []
+        for j in range(max(0, i - UNIGRAM_PIECE_MAX), i):
+            branches.append(
+                f"SELECT word, freq, len, p, k, segs, {j} AS pos "
+                f"FROM u{tag}dp{j}"
+            )
+        un = "\n        UNION ALL\n        ".join(branches)
+        frags.append(
+            f"""
+u{tag}dp{i} AS MATERIALIZED (
+  SELECT word, freq, len, p, k, segs FROM (
+    SELECT word, freq, len, p, k, segs,
+           row_number() OVER (
+             PARTITION BY word
+             ORDER BY p DESC, k ASC, segs_s ASC) AS rn
+    FROM (
+      SELECT d.word, d.freq, d.len,
+             d.p * v.prob AS p, d.k + 1 AS k,
+             list_append(d.segs, v.piece) AS segs,
+             array_to_string(list_append(d.segs, v.piece), ' ')
+               AS segs_s
+      FROM (
+        {un}
+      ) d
+      JOIN {vocab} v
+        ON d.len >= {i}
+       AND v.piece = substr(d.word, d.pos + 1, {i} - d.pos)
+    )
+  ) WHERE rn = 1
+)"""
+        )
+    best = "\n  UNION ALL\n  ".join(
+        f"SELECT word, freq, segs FROM u{tag}dp{i} WHERE len = {i}"
+        for i in range(1, UNIGRAM_WORD_MAX + 1)
+    )
+    frags.append(f"""
+u{tag}best AS MATERIALIZED (
+  {best}
+)""")
+    return frags
+
+
+def _unigram_cte_chain() -> list[str]:
+    """Shared oracle prefix: seed inventory + the EM rounds, ending at
+    the final inventory CTE ``uv{UNIGRAM_ROUNDS}`` (piece, cnt, prob)."""
+    frags = [
+        r"""
+uw AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+         CAST(length(w) AS INT) AS len
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents)
+  WHERE regexp_matches(w, '^[a-z0-9]{1,%d}$')
+  GROUP BY 1
+)""" % UNIGRAM_WORD_MAX,
+        f"""
+useed AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT substr(word, s, l) AS piece, freq
+    FROM uw,
+         LATERAL unnest(range(1, len + 1)) AS g1(s),
+         LATERAL unnest(range(1, {UNIGRAM_PIECE_MAX + 1})) AS g2(l)
+    WHERE s + l - 1 <= len
+  ) GROUP BY 1
+)""",
+        """
+uchars AS MATERIALIZED (
+  SELECT piece, cnt FROM useed WHERE length(piece) = 1
+)""",
+        f"""
+uv0_sel AS MATERIALIZED (
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM useed WHERE length(piece) > 1
+    ORDER BY cnt DESC, piece LIMIT {UNIGRAM_SEED_MULTI}
+  )
+  UNION ALL
+  SELECT piece, cnt FROM uchars
+)""",
+        """
+uv0 AS MATERIALIZED (
+  SELECT piece, cnt,
+         CAST(cnt AS DOUBLE)
+           / CAST((SELECT CAST(sum(cnt) AS BIGINT) FROM uv0_sel)
+                  AS DOUBLE) AS prob
+  FROM uv0_sel
+)""",
+    ]
+    for r in range(1, UNIGRAM_ROUNDS + 1):
+        frags.extend(_unigram_dp_sql(f"r{r}", f"uv{r - 1}", "uw"))
+        frags.append(
+            f"""
+ur{r}cnt AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT unnest(segs) AS piece, freq FROM ur{r}best)
+  GROUP BY 1
+)"""
+        )
+        frags.append(
+            f"""
+uv{r}_sel AS MATERIALIZED (
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM ur{r}cnt WHERE length(piece) > 1
+    ORDER BY cnt DESC, piece LIMIT {UNIGRAM_KEEP_MULTI}
+  )
+  UNION ALL
+  SELECT c.piece, COALESCE(n.cnt, 0) AS cnt
+  FROM uchars c LEFT JOIN ur{r}cnt n USING (piece)
+)"""
+        )
+        frags.append(
+            f"""
+uv{r} AS MATERIALIZED (
+  SELECT piece, cnt,
+         CAST(cnt AS DOUBLE)
+           / CAST((SELECT CAST(sum(cnt) AS BIGINT) FROM uv{r}_sel)
+                  AS DOUBLE) AS prob
+  FROM uv{r}_sel
+)"""
+        )
+    return frags
+
+
+def oracle_unigram_train() -> list[str]:
+    """Fragments for ``text_unigram_lm`` (pass to the entry module's
+    ``_ext_oracle``)."""
+    r = UNIGRAM_ROUNDS
+    return _unigram_cte_chain() + [
+        f"""
+text_unigram_lm AS (
+  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT)
+           AS rank,
+         piece, CAST(length(piece) AS INT) AS piece_len, cnt,
+         round(prob, 6) AS prob
+  FROM uv{r}
+)"""
+    ]
+
+
+def oracle_unigram_fertility() -> list[str]:
+    """Fragments for ``text_unigram_fertility``: re-derive the final
+    inventory, encode the word vocabulary under it (one more DP
+    pass), and roll up per language."""
+    r = UNIGRAM_ROUNDS
+    frags = _unigram_cte_chain()
+    frags.extend(_unigram_dp_sql("f", f"uv{r}", "uw"))
+    frags.append(
+        r"""
+uwl AS MATERIALIZED (
+  SELECT lang, w AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT lang,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents)
+  WHERE regexp_matches(w, '^[a-z0-9]{1,%d}$')
+  GROUP BY 1, 2
+)""" % UNIGRAM_WORD_MAX
+    )
+    frags.append(
+        """
+ufenc AS (
+  SELECT l.lang, l.word, l.freq, b.n_segs
+  FROM uwl l
+  JOIN (SELECT word, CAST(len(segs) AS BIGINT) AS n_segs
+        FROM ufbest) b USING (word)
+)"""
+    )
+    frags.append(
+        """
+text_unigram_fertility AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_word_types,
+         CAST(sum(freq) AS BIGINT) AS total_words,
+         CAST(sum(freq * n_segs) AS BIGINT) AS total_tokens,
+         CAST(sum(freq * length(word)) AS BIGINT) AS total_chars,
+         round(CAST(sum(freq * n_segs) AS DOUBLE) / sum(freq), 6)
+           AS fertility,
+         round(CAST(sum(freq * length(word)) AS DOUBLE)
+               / sum(freq * n_segs), 6) AS chars_per_token
+  FROM ufenc GROUP BY 1
+)"""
+    )
+    return frags
