@@ -6291,7 +6291,10 @@ def _unigram_learn(docs: DataFrame) -> tuple:
     protocol). Returns (final [(piece, cnt)], total). Driver traffic
     per round: the pruned inventory (<= UNIGRAM_KEEP_MULTI + charset
     rows of (piece, cnt)) — bounded by constants, never by data."""
-    words = _unigram_words(docs).localCheckpoint(eager=True)
+    # the word-type table is tiny relative to the corpus; one
+    # partition keeps every downstream vocabulary-grain job at one
+    # task instead of paying shuffle-width task overhead per round.
+    words = _unigram_words(docs).localCheckpoint(eager=True).coalesce(1)
     seed = (
         words.select(
             F.explode(
@@ -6309,18 +6312,18 @@ def _unigram_learn(docs: DataFrame) -> tuple:
         )
         .groupBy("piece")
         .agg(F.sum("freq").alias("cnt"))
-    ).localCheckpoint(eager=True)
-    chars = {
-        r["piece"]: r["cnt"]
-        for r in seed.filter(F.length("piece") == 1).collect()
-    }
-    multi = (
+    )
+    # one job: every single char (coverage set) plus the top multi-char
+    # seeds — both bounded (charset / UNIGRAM_SEED_MULTI rows).
+    sel = seed.filter(F.length("piece") == 1).unionByName(
         seed.filter(F.length("piece") > 1)
         .orderBy(F.desc("cnt"), "piece")
         .limit(UNIGRAM_SEED_MULTI)
-        .collect()
-    )
-    inv = [(r["piece"], r["cnt"]) for r in multi] + sorted(chars.items())
+    ).collect()
+    chars = {r["piece"]: r["cnt"] for r in sel if len(r["piece"]) == 1}
+    inv = [
+        (r["piece"], r["cnt"]) for r in sel if len(r["piece"]) > 1
+    ] + sorted(chars.items())
     for _ in range(UNIGRAM_ROUNDS):
         total = sum(c for _, c in inv)
         probs = [(p, c / float(total)) for p, c in inv]
