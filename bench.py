@@ -360,6 +360,13 @@ HEADLINE = [
     "ml_cart_importance",
     "ml_train_metrics",
     "pysource_docs",
+    # round-9 additions: the unigram tokenizer family + the new
+    # stratified-stats trio.
+    "text_unigram_lm",
+    "text_unigram_fertility",
+    "events_cramers_v",
+    "events_tost",
+    "events_mh_odds",
 ]
 
 
