@@ -2405,6 +2405,34 @@ def q_events_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.rayleigh_hour(load_table(spark, sf_dir, "events"))
 
 
+def q_events_vonmises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Von Mises concentration of purchase hours: mean resultant
+    length + Fisher's closed-form kappa from shared trig literals —
+    the fit half of the circular shelf beside the Rayleigh test."""
+    return _tmp.vonmises_fit(_events_stable(spark, sf_dir))
+
+
+def q_events_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 permutation entropy of daily event counts: stable-rank
+    ordinal patterns over the gap-filled calendar, ln-of-exact-integer
+    entropy — the model-free predictability number."""
+    return _tmp.permutation_entropy(_events_stable(spark, sf_dir))
+
+
+def q_embedding_intrinsic_dim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TwoNN intrinsic dimensionality from the staged brute-force
+    2-NN distances — the manifold-thinness diagnostic."""
+    return _sim.intrinsic_dim_twonn(_emb(spark, sf_dir))
+
+
+def q_embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence hubness skewness over the staged truth lists —
+    the curse-of-dimensionality symptom check for kNN pipelines."""
+    return _sim.hubness_skew(_emb(spark, sf_dir))
+
+
 def q_events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Direct-sum daily periodogram at integer periods 2..14 days
     (mean-centered, gap-filled day series; packed same-IEEE trig
@@ -4203,6 +4231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weibull": q_events_weibull,
         "events_bartlett": q_events_bartlett,
         "events_rayleigh": q_events_rayleigh,
+        "events_vonmises": q_events_vonmises,
+        "events_perm_entropy": q_events_perm_entropy,
+        "embedding_intrinsic_dim": q_embedding_intrinsic_dim,
+        "embedding_hubness": q_embedding_hubness,
         "events_periodogram": q_events_periodogram,
         "events_hbos_outliers": q_events_hbos_outliers,
         "events_yuen": q_events_yuen,
@@ -5370,6 +5402,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_rayleigh": _ext_oracle(
             [_tmp.ORACLE_RAYLEIGH], "rayleigh_hour"
+        ),
+        "events_vonmises": _ext_oracle(
+            [_tmp.ORACLE_VONMISES], "events_vonmises"
+        ),
+        "events_perm_entropy": _ext_oracle(
+            [_tmp.ORACLE_PERM_ENTROPY], "events_perm_entropy"
+        ),
+        "embedding_intrinsic_dim": _ext_oracle(
+            [_sim.oracle_intrinsic_dim()], "embedding_intrinsic_dim"
+        ),
+        "embedding_hubness": _ext_oracle(
+            [_sim.oracle_hubness()], "embedding_hubness"
         ),
         "events_periodogram": _ext_oracle(
             [_tmp.ORACLE_PERIODOGRAM], "events_periodogram"

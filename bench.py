@@ -367,6 +367,10 @@ HEADLINE = [
     "events_cramers_v",
     "events_tost",
     "events_mh_odds",
+    "events_vonmises",
+    "events_perm_entropy",
+    "embedding_intrinsic_dim",
+    "embedding_hubness",
 ]
 
 

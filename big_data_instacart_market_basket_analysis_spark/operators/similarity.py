@@ -4184,3 +4184,228 @@ ann_ivf_probe_sweep AS (
   CROSS JOIN swcells s
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding-space diagnostics (r9): intrinsic dimensionality and
+# hubness — the two geometry health checks an embedding team runs
+# before trusting an ANN index or a dedup threshold. Both derive
+# entirely from the session-staged brute-force truth table.
+# ---------------------------------------------------------------------------
+
+#: query-sample size for the geometry diagnostics (larger than the
+#: recall harness's N_QUERIES — these estimate population statistics,
+#: not per-query hit lists).
+ID_QUERIES = 64
+#: duplicate guard: nearest-neighbor distances at/below this are
+#: treated as coincident points and excluded from the TwoNN ratio.
+ID_EPS = 1e-9
+
+
+def intrinsic_dim_twonn(emb: DataFrame) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017): for
+    each query the ratio mu = d2/d1 of its two nearest-neighbor
+    cosine DISTANCES follows a Pareto with shape = the manifold's
+    intrinsic dimension, so id = n / Σ ln mu — no density modeling,
+    just the first two neighbors. Low id vs ambient dims says the
+    embedding lives on a thin manifold (ANN indexes and dedup
+    thresholds transfer well); id near ambient says the space is
+    unstructured.
+
+    Determinism: d1/d2 come from the staged truth table (sequential-
+    fold cosine, engine-identical); the ln fold rides the fold-order
+    round(6) rule (ln precedent: HBOS/collocations). Coincident
+    points (d1 <= ID_EPS) are excluded in both engines.
+
+    Scale: the staged truth is the only corpus-sized work (one
+    broadcast-queries pass, shared by every recall/eval consumer);
+    this query touches ID_QUERIES × 2 rows after that.
+    """
+    spark = emb.sparkSession
+    truth = _brute_topk_staged(emb, ID_QUERIES, 2)
+    d1 = truth.filter(F.col("rank") == 1).select(
+        "query_id", (1.0 - F.col("cosine")).alias("d1")
+    )
+    d2 = truth.filter(F.col("rank") == 2).select(
+        "query_id", (1.0 - F.col("cosine")).alias("d2")
+    )
+    mu = (
+        d1.join(d2, "query_id")
+        .filter(F.col("d1") > ID_EPS)
+        .select(F.log(F.col("d2") / F.col("d1")).alias("lmu"))
+    )
+    agg = mu.agg(
+        F.count("*").alias("n_used"),
+        F.round(F.sum("lmu"), 6).alias("sum_log_mu"),
+    )
+    return agg.select(
+        "n_used",
+        "sum_log_mu",
+        F.round(
+            F.col("n_used").cast("double") / F.col("sum_log_mu"), 6
+        ).alias("intrinsic_dim"),
+    )
+
+
+def oracle_intrinsic_dim() -> str:
+    """CTE chain replaying the staged (ID_QUERIES, k=2) truth + the
+    TwoNN fold."""
+    return f"""
+idq AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {ID_QUERIES}
+),
+idc AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+  FROM embeddings
+),
+idsc AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM idq, idc WHERE query_id <> neighbor_id
+),
+idr AS (
+  SELECT query_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM idsc
+),
+idmu AS (
+  SELECT ln((1.0 - b.cosine) / (1.0 - a.cosine)) AS lmu
+  FROM (SELECT query_id, cosine FROM idr WHERE rank = 1) a
+  JOIN (SELECT query_id, cosine FROM idr WHERE rank = 2) b
+    USING (query_id)
+  WHERE 1.0 - a.cosine > {ID_EPS}
+),
+idagg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_used,
+         round(sum(lmu), 6) AS sum_log_mu
+  FROM idmu
+),
+embedding_intrinsic_dim AS (
+  SELECT n_used, sum_log_mu,
+         round(CAST(n_used AS DOUBLE) / sum_log_mu, 6)
+           AS intrinsic_dim
+  FROM idagg
+)
+"""
+
+
+def hubness_skew(emb: DataFrame) -> DataFrame:
+    """Hubness diagnostic (Radovanović et al. 2010): the k-occurrence
+    distribution — how many query top-k lists each corpus point
+    appears in. High positive skewness means a few "hub" points
+    dominate every neighbor list (a curse-of-dimensionality symptom
+    that silently degrades kNN dedup/rerank quality); antihubs
+    (zero occurrences) measure dead regions.
+
+    Determinism: k-occurrences are exact integers from the staged
+    truth; skewness derives from the exact BIGINT moment sums
+    (Σc, Σc², Σc³) in one mirrored double chain. Output (1 row):
+    n_points, n_queries, k, mean_occ, skewness, max_occ, n_antihubs.
+
+    Scale: staged truth + one corpus-grain count join; the moment agg
+    is a single combinable pass.
+    """
+    truth = _brute_topk_staged(emb, ID_QUERIES, TOP_K)
+    occ = truth.groupBy("neighbor_id").agg(F.count("*").alias("c"))
+    pts = (
+        emb.select(F.col("vec_id").alias("neighbor_id"))
+        .join(occ, "neighbor_id", "left")
+        .select(F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).alias("s3"),
+        F.max("c").alias("max_occ"),
+        F.sum((F.col("c") == 0).cast("bigint")).alias("n_antihubs"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    var = F.col("s2").cast("double") / nd - mean * mean
+    skew = (
+        F.col("s3").cast("double") / nd
+        - 3.0 * mean * (F.col("s2").cast("double") / nd)
+        + 2.0 * mean * mean * mean
+    ) / (var * F.sqrt(var))
+    return m.select(
+        F.col("n").alias("n_points"),
+        F.lit(ID_QUERIES).cast("int").alias("n_queries"),
+        F.lit(TOP_K).cast("int").alias("k"),
+        F.round(mean, 6).alias("mean_occ"),
+        F.round(skew, 6).alias("skewness"),
+        "max_occ",
+        "n_antihubs",
+    )
+
+
+def oracle_hubness() -> str:
+    return f"""
+hbq AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {ID_QUERIES}
+),
+hbc AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+  FROM embeddings
+),
+hbs AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM hbq, hbc WHERE query_id <> neighbor_id
+),
+hbt AS (
+  SELECT neighbor_id FROM (
+    SELECT neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id)
+             AS rank
+    FROM hbs
+  ) WHERE rank <= {TOP_K}
+),
+hbo AS (
+  SELECT e.vec_id,
+         COALESCE(o.c, 0) AS c
+  FROM embeddings e
+  LEFT JOIN (SELECT neighbor_id, CAST(count(*) AS BIGINT) AS c
+             FROM hbt GROUP BY 1) o
+    ON e.vec_id = o.neighbor_id
+),
+hbm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2,
+         CAST(sum(c * c * c) AS BIGINT) AS s3,
+         CAST(max(c) AS BIGINT) AS max_occ,
+         CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_antihubs
+  FROM hbo
+),
+embedding_hubness AS (
+  SELECT n AS n_points,
+         CAST({ID_QUERIES} AS INT) AS n_queries,
+         CAST({TOP_K} AS INT) AS k,
+         round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_occ,
+         round((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+               / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                  * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))),
+               6) AS skewness,
+         max_occ, n_antihubs
+  FROM hbm
+)
+"""

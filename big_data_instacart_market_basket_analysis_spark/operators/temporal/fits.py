@@ -1757,3 +1757,154 @@ orders_gamma_fit AS (
 )
 """
 
+
+
+# ---------------------------------------------------------------------------
+# von Mises concentration (r9): circular statistics of purchase
+# hour-of-day. The Rayleigh query tests IF the clock distribution is
+# non-uniform; this fits HOW concentrated it is — mean resultant
+# length and Fisher's closed-form kappa approximation, the circular
+# sibling of a normal sigma. Completes the circular shelf
+# (uniformity test -> concentration fit).
+# ---------------------------------------------------------------------------
+
+#: cos/sin of 2*pi*h/24, evaluated ONCE in Python and embedded as
+#: full-precision literals in BOTH engines (the packed-trig protocol:
+#: libm cos/sin are not correctly rounded, so neither engine computes
+#: them — they only multiply/add the shared literals).
+VONMISES_TRIG = [
+        (0, 1.0, 0.0),
+        (1, 0.9659258262890683, 0.25881904510252074),
+        (2, 0.8660254037844387, 0.49999999999999994),
+        (3, 0.7071067811865476, 0.7071067811865475),
+        (4, 0.5000000000000001, 0.8660254037844386),
+        (5, 0.25881904510252074, 0.9659258262890683),
+        (6, 6.123233995736766e-17, 1.0),
+        (7, -0.25881904510252063, 0.9659258262890683),
+        (8, -0.4999999999999998, 0.8660254037844387),
+        (9, -0.7071067811865475, 0.7071067811865476),
+        (10, -0.8660254037844387, 0.49999999999999994),
+        (11, -0.9659258262890682, 0.258819045102521),
+        (12, -1.0, 1.2246467991473532e-16),
+        (13, -0.9659258262890683, -0.2588190451025208),
+        (14, -0.8660254037844388, -0.4999999999999997),
+        (15, -0.7071067811865479, -0.7071067811865471),
+        (16, -0.5000000000000004, -0.8660254037844384),
+        (17, -0.25881904510252063, -0.9659258262890683),
+        (18, -1.8369701987210297e-16, -1.0),
+        (19, 0.2588190451025203, -0.9659258262890684),
+        (20, 0.5000000000000001, -0.8660254037844386),
+        (21, 0.7071067811865474, -0.7071067811865477),
+        (22, 0.8660254037844384, -0.5000000000000004),
+        (23, 0.9659258262890681, -0.25881904510252157),
+]
+
+#: resultant length above this counts as "concentrated".
+VONMISES_R_MIN = 0.1
+
+
+def vonmises_fit(events: DataFrame) -> DataFrame:
+    """Mean resultant vector + Fisher (1993) kappa for purchase hours.
+
+    C = sum n_h*cos_h, S = sum n_h*sin_h over the 24-row hour grain
+    (integer counts x shared literals; the two sums round at 6 before
+    anything derives from them), r_bar = sqrt(C^2 + S^2)/n, and kappa
+    by the standard three-branch rational approximation (only
+    +-*/ and sqrt — no pow/ln/trig at query time). Output (1 row):
+    n, c_bar, s_bar, r_bar, kappa, concentrated.
+
+    Scale: one 24-row hash-agg over the filtered corpus; constant
+    arithmetic after.
+    """
+    spark = events.sparkSession
+    trig = spark.createDataFrame(
+        VONMISES_TRIG, "h int, cosv double, sinv double"
+    )
+    hours = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.hour("ts").cast("int").alias("h"))
+        .agg(F.count("*").alias("n_h"))
+    )
+    j = hours.join(F.broadcast(trig), "h")
+    agg = j.agg(
+        F.sum("n_h").alias("n"),
+        F.round(F.sum(F.col("n_h") * F.col("cosv")), 6).alias("cs"),
+        F.round(F.sum(F.col("n_h") * F.col("sinv")), 6).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    r = F.sqrt(F.col("cs") * F.col("cs") + F.col("ss") * F.col("ss")) / nd
+    rr = F.round(r, 6)
+    kappa = (
+        F.when(rr < 0.53, 2 * rr + rr * rr * rr
+               + 5 * (rr * rr * rr * rr * rr) / 6)
+        .when(rr < 0.85, -0.4 + 1.39 * rr + 0.43 / (1 - rr))
+        .otherwise(1 / (rr * rr * rr - 4 * rr * rr + 3 * rr))
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("cs") / nd, 6).alias("c_bar"),
+        F.round(F.col("ss") / nd, 6).alias("s_bar"),
+        rr.alias("r_bar"),
+        F.round(kappa, 6).alias("kappa"),
+        (rr > VONMISES_R_MIN).alias("concentrated"),
+    )
+
+
+ORACLE_VONMISES = f"""
+vm_trig(h, cosv, sinv) AS (
+  VALUES
+    (0, 1.0, 0.0),
+    (1, 0.9659258262890683, 0.25881904510252074),
+    (2, 0.8660254037844387, 0.49999999999999994),
+    (3, 0.7071067811865476, 0.7071067811865475),
+    (4, 0.5000000000000001, 0.8660254037844386),
+    (5, 0.25881904510252074, 0.9659258262890683),
+    (6, 6.123233995736766e-17, 1.0),
+    (7, -0.25881904510252063, 0.9659258262890683),
+    (8, -0.4999999999999998, 0.8660254037844387),
+    (9, -0.7071067811865475, 0.7071067811865476),
+    (10, -0.8660254037844387, 0.49999999999999994),
+    (11, -0.9659258262890682, 0.258819045102521),
+    (12, -1.0, 1.2246467991473532e-16),
+    (13, -0.9659258262890683, -0.2588190451025208),
+    (14, -0.8660254037844388, -0.4999999999999997),
+    (15, -0.7071067811865479, -0.7071067811865471),
+    (16, -0.5000000000000004, -0.8660254037844384),
+    (17, -0.25881904510252063, -0.9659258262890683),
+    (18, -1.8369701987210297e-16, -1.0),
+    (19, 0.2588190451025203, -0.9659258262890684),
+    (20, 0.5000000000000001, -0.8660254037844386),
+    (21, 0.7071067811865474, -0.7071067811865477),
+    (22, 0.8660254037844384, -0.5000000000000004),
+    (23, 0.9659258262890681, -0.25881904510252157)
+),
+vm_hours AS (
+  SELECT CAST(hour(ts) AS INT) AS h, CAST(count(*) AS BIGINT) AS n_h
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+vm_agg AS (
+  SELECT CAST(sum(n_h) AS BIGINT) AS n,
+         round(sum(n_h * t.cosv), 6) AS cs,
+         round(sum(n_h * t.sinv), 6) AS ss
+  FROM vm_hours JOIN vm_trig t USING (h)
+),
+vm_r AS (
+  SELECT n, cs, ss,
+         round(sqrt(cs * cs + ss * ss) / CAST(n AS DOUBLE), 6) AS rr
+  FROM vm_agg
+),
+events_vonmises AS (
+  SELECT n,
+         round(cs / CAST(n AS DOUBLE), 6) AS c_bar,
+         round(ss / CAST(n AS DOUBLE), 6) AS s_bar,
+         rr AS r_bar,
+         round(CASE
+           WHEN rr < 0.53 THEN 2 * rr + rr * rr * rr
+                + 5 * (rr * rr * rr * rr * rr) / 6
+           WHEN rr < 0.85 THEN -0.4 + 1.39 * rr + 0.43 / (1 - rr)
+           ELSE 1 / (rr * rr * rr - 4 * rr * rr + 3 * rr)
+         END, 6) AS kappa,
+         rr > {VONMISES_R_MIN} AS concentrated
+  FROM vm_r
+)
+"""

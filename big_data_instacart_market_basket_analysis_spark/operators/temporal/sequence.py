@@ -3284,3 +3284,142 @@ events_mk_seasonal AS (
 )
 """
 
+
+
+# ---------------------------------------------------------------------------
+# permutation entropy (r9): ordinal-pattern complexity of the daily
+# series (Bandt & Pompe 2002) — the model-free "how predictable is
+# this signal" number beside ACF (linear memory) and the Markov
+# entropy rate (symbolic memory). Monotone trends collapse to one
+# pattern (entropy -> 0); i.i.d. noise spreads uniformly (-> ln 6).
+# ---------------------------------------------------------------------------
+
+#: embedding order m = 3 -> 3! = 6 ordinal patterns.
+PE_ORDER = 3
+_PE_LN_PATTERNS = 1.791759469228055  # ln(3!) as a shared literal
+
+
+def permutation_entropy(events: DataFrame) -> DataFrame:
+    """Permutation entropy of daily event counts, order 3.
+
+    Each consecutive-day triple maps to its ordinal pattern with the
+    STABLE rank rule (ties broken by position: r_i = #{v_j < v_i} +
+    #{j < i : v_j = v_i}) — pure integer comparisons, so the pattern
+    code is engine-exact. H = ln n − (Σ c·ln c)/n over the ≤6 pattern
+    counts (ln of exact integers, the HBOS convention), normalized by
+    the ln 3! literal. The top pattern is tie-broken by a packed
+    integer (count, then lowest code). Output (1 row): n_windows,
+    n_patterns, h, h_norm, top_code, top_n.
+
+    Scale: one day-grain collapse (the corpus-sized stage), one
+    lag window over the bounded gap-filled calendar (whitelisted day
+    grain), one ≤6-row agg.
+    """
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    span = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        F.explode(F.expr("sequence(d0, d1)")).alias("day")
+    )
+    filled = cal.join(daily, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).alias("v")
+    )
+    w = Window.orderBy("day")
+    tri = filled.select(
+        F.col("v").alias("v0"),
+        F.lead("v", 1).over(w).alias("v1"),
+        F.lead("v", 2).over(w).alias("v2"),
+    ).filter(F.col("v2").isNotNull() & F.col("v1").isNotNull())
+    v0, v1, v2 = F.col("v0"), F.col("v1"), F.col("v2")
+    r0 = (v1 < v0).cast("int") + (v2 < v0).cast("int")
+    r1 = (
+        (v0 < v1).cast("int")
+        + (v2 < v1).cast("int")
+        + (v0 == v1).cast("int")
+    )
+    r2 = (
+        (v0 < v2).cast("int")
+        + (v1 < v2).cast("int")
+        + (v0 == v2).cast("int")
+        + (v1 == v2).cast("int")
+    )
+    coded = tri.select((r0 * 9 + r1 * 3 + r2).alias("code"))
+    pat = coded.groupBy("code").agg(F.count("*").alias("c"))
+    agg = pat.agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_patterns"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c"))).alias(
+            "clogc"
+        ),
+        F.max(F.col("c") * 32 + (31 - F.col("code"))).alias("pk"),
+    )
+    nd = F.col("n").cast("double")
+    h = F.round(F.log(nd) - F.col("clogc") / nd, 6)
+    return agg.select(
+        F.col("n").alias("n_windows"),
+        F.col("n_patterns").cast("int").alias("n_patterns"),
+        h.alias("h"),
+        F.round(h / F.lit(_PE_LN_PATTERNS), 6).alias("h_norm"),
+        (31 - F.col("pk") % 32).cast("int").alias("top_code"),
+        (F.col("pk") / 32).cast("bigint").alias("top_n"),
+    )
+
+
+ORACLE_PERM_ENTROPY = f"""
+pe_daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+pe_cal AS (
+  SELECT unnest(generate_series(
+    (SELECT min(day) FROM pe_daily),
+    (SELECT max(day) FROM pe_daily),
+    INTERVAL 1 DAY))::DATE AS day
+),
+pe_f AS (
+  SELECT c2.day, COALESCE(d.c, 0) AS v
+  FROM pe_cal c2 LEFT JOIN pe_daily d USING (day)
+),
+pe_tri AS (
+  SELECT v AS v0,
+         lead(v, 1) OVER (ORDER BY day) AS v1,
+         lead(v, 2) OVER (ORDER BY day) AS v2
+  FROM pe_f
+),
+pe_code AS (
+  SELECT ((CASE WHEN v1 < v0 THEN 1 ELSE 0 END)
+          + (CASE WHEN v2 < v0 THEN 1 ELSE 0 END)) * 9
+         + ((CASE WHEN v0 < v1 THEN 1 ELSE 0 END)
+            + (CASE WHEN v2 < v1 THEN 1 ELSE 0 END)
+            + (CASE WHEN v0 = v1 THEN 1 ELSE 0 END)) * 3
+         + (CASE WHEN v0 < v2 THEN 1 ELSE 0 END)
+         + (CASE WHEN v1 < v2 THEN 1 ELSE 0 END)
+         + (CASE WHEN v0 = v2 THEN 1 ELSE 0 END)
+         + (CASE WHEN v1 = v2 THEN 1 ELSE 0 END) AS code
+  FROM pe_tri WHERE v1 IS NOT NULL AND v2 IS NOT NULL
+),
+pe_pat AS (
+  SELECT code, CAST(count(*) AS BIGINT) AS c
+  FROM pe_code GROUP BY 1
+),
+pe_agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS INT) AS n_patterns,
+         sum(CAST(c AS DOUBLE) * ln(c)) AS clogc,
+         CAST(max(c * 32 + (31 - code)) AS BIGINT) AS pk
+  FROM pe_pat
+),
+events_perm_entropy AS (
+  SELECT n AS n_windows, n_patterns,
+         round(ln(CAST(n AS DOUBLE)) - clogc / CAST(n AS DOUBLE), 6)
+           AS h,
+         round(round(ln(CAST(n AS DOUBLE)) - clogc / CAST(n AS DOUBLE),
+                     6) / {_PE_LN_PATTERNS}, 6) AS h_norm,
+         CAST(31 - pk % 32 AS INT) AS top_code,
+         CAST(pk // 32 AS BIGINT) AS top_n
+  FROM pe_agg
+)
+"""

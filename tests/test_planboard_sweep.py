@@ -52,6 +52,8 @@ GLOBAL_WINDOW_WHITELIST: dict[str, tuple[int, str]] = {
                         "generator explodes from)"),
     "events_gini": (1, "bucket"),
     "events_granger": (1, "day"),
+    "events_perm_entropy": (1, "day (lead-2 ordinal patterns over the "
+                               "gap-filled calendar)"),
     "events_km_survival": (2, "t_days (event-age days)"),
     "events_ks_drift": (1, "bucket"),
     "events_wasserstein": (1, "bucket"),

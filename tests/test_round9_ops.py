@@ -217,3 +217,99 @@ def test_mantel_haenszel_simpson_safe(spark):
     assert r["n_strata"] == 2
     assert r["or_mh"] == 1.0
     assert r["significant"] is False
+
+
+# -------------------------------------------------------------- r9 wave 2
+
+
+def test_perm_entropy_monotone_series_is_zero(spark):
+    """Strictly increasing daily counts -> one ordinal pattern,
+    entropy 0."""
+    rows = [(d * 100 + i, datetime(2024, 1, d, 12), "click", 1.0)
+            for d in range(1, 11) for i in range(d)]
+    r = T.permutation_entropy(_ev(spark, rows)).collect()[0]
+    assert r["n_patterns"] == 1 and r["h"] == 0.0 and r["h_norm"] == 0.0
+    # strictly-increasing triple: ranks (0,1,2) -> code 0*9+1*3+2 = 5
+    assert r["top_code"] == 5 and r["top_n"] == r["n_windows"]
+
+
+def test_perm_entropy_alternating_series(spark):
+    """Alternating high/low counts -> exactly two patterns, h = ln 2."""
+    rows = []
+    for d in range(1, 13):
+        k = 5 if d % 2 == 0 else 1
+        rows += [(d * 100 + i, datetime(2024, 1, d, 12), "click", 1.0)
+                 for i in range(k)]
+    r = T.permutation_entropy(_ev(spark, rows)).collect()[0]
+    assert r["n_patterns"] == 2
+    assert abs(r["h"] - 0.693147) < 1e-6
+
+
+def test_vonmises_concentrated_hours(spark):
+    """All purchases at hour 9 -> r_bar = 1, kappa from the high-r
+    branch = 1/(1-4+3)... degenerate; use two adjacent hours for a
+    finite kappa and r_bar close to 1."""
+    rows = [(i, datetime(2024, 1, 1 + i % 5, 9), "purchase", 1.0)
+            for i in range(30)]
+    rows += [(100 + i, datetime(2024, 1, 1 + i % 5, 10), "purchase", 1.0)
+             for i in range(30)]
+    r = T.vonmises_fit(_ev(spark, rows)).collect()[0]
+    assert r["n"] == 60
+    assert r["r_bar"] > 0.99
+    assert r["concentrated"] is True
+    assert r["kappa"] > 10
+
+
+def test_vonmises_uniform_hours_flat(spark):
+    rows = [(i * 24 + h, datetime(2024, 1, 1 + i % 3, h), "purchase", 1.0)
+            for i in range(5) for h in range(24)]
+    r = T.vonmises_fit(_ev(spark, rows)).collect()[0]
+    assert r["r_bar"] < 1e-6
+    assert r["concentrated"] is False
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_hubness_hub_detected(spark):
+    """A near-centroid hub vector appears in every query's top list ->
+    max_occ is high and skewness positive."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        similarity as S,
+    )
+    import math
+
+    vecs = []
+    for i in range(80):
+        a = 2 * math.pi * i / 80
+        vecs.append([math.cos(a) * 0.1 + 1.0, math.sin(a) * 0.1]
+                    + [0.0] * 6)
+    r = S.hubness_skew(_emb_df(spark, vecs)).collect()[0]
+    assert r["n_points"] == 80
+    assert r["max_occ"] >= r["mean_occ"]
+    assert r["n_queries"] == S.ID_QUERIES and r["k"] == S.TOP_K
+
+
+def test_intrinsic_dim_line_is_low(spark):
+    """Points IRREGULARLY sampled from a 1-D curve through 8-D space
+    -> intrinsic dim well below the ambient 8. (A uniform grid is the
+    TwoNN pathological case: both neighbors sit at the same distance,
+    mu -> 1, and the estimate diverges — sampling must be uneven, as
+    real data is.)"""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        similarity as S,
+    )
+    import math
+
+    vecs = []
+    for i in range(200):
+        t = (i * i * 37 % 997) / 997 * math.pi
+        vecs.append([math.cos(t), math.sin(t), math.cos(2 * t),
+                     math.sin(2 * t), 0.1, 0.1, 0.1, 0.1])
+    r = S.intrinsic_dim_twonn(_emb_df(spark, vecs)).collect()[0]
+    assert r["n_used"] > 0
+    assert 0 < r["intrinsic_dim"] < 4.0
