@@ -2419,6 +2419,14 @@ def q_events_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.permutation_entropy(_events_stable(spark, sf_dir))
 
 
+def q_events_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg two-state burst segmentation of daily counts: fully
+    integer Viterbi (quantized Poisson cost difference, shared ln B
+    literal) folded over the packed calendar array; recursive-CTE
+    oracle replays the identical automaton."""
+    return _tmp.burst_detection(_events_stable(spark, sf_dir))
+
+
 def q_embedding_intrinsic_dim(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4233,6 +4241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rayleigh": q_events_rayleigh,
         "events_vonmises": q_events_vonmises,
         "events_perm_entropy": q_events_perm_entropy,
+        "events_bursts": q_events_bursts,
         "embedding_intrinsic_dim": q_embedding_intrinsic_dim,
         "embedding_hubness": q_embedding_hubness,
         "events_periodogram": q_events_periodogram,
@@ -5408,6 +5417,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_perm_entropy": _ext_oracle(
             [_tmp.ORACLE_PERM_ENTROPY], "events_perm_entropy"
+        ),
+        "events_bursts": _ext_oracle(
+            [_tmp.ORACLE_BURSTS], "events_bursts", recursive=True
         ),
         "embedding_intrinsic_dim": _ext_oracle(
             [_sim.oracle_intrinsic_dim()], "embedding_intrinsic_dim"

@@ -371,6 +371,7 @@ HEADLINE = [
     "events_perm_entropy",
     "embedding_intrinsic_dim",
     "embedding_hubness",
+    "events_bursts",
 ]
 
 

@@ -1648,3 +1648,151 @@ events_ewma_chart AS (
 )
 """
 
+
+
+# ---------------------------------------------------------------------------
+# Kleinberg burst detection (r9): the two-state optimal state sequence
+# over the daily arrival series (Kleinberg 2002, batched variant) —
+# "which days belong to a burst" with hysteresis, unlike a per-day
+# threshold which flickers. The canonical event-stream / topic-burst
+# mining primitive.
+# ---------------------------------------------------------------------------
+
+#: burst-state rate multiplier B (state 1 fires at B x the base rate).
+BURST_B = 2
+#: ln(B) evaluated once in Python and shared verbatim by both engines
+#: (the packed-trig/literal protocol — no query-time ln).
+_BURST_LN_B = 0.6931471805599453
+#: integer cost scale (micro-units).
+BURST_SCALE = 1_000_000
+#: cost of ENTERING the burst state, in micro-units (the hysteresis).
+BURST_TRANS_MICRO = 2_000_000
+
+
+def burst_detection(events: DataFrame) -> DataFrame:
+    """Two-state Viterbi burst segmentation of daily event counts.
+
+    Poisson cost difference between the burst state (rate B·mu) and
+    the base state (rate mu) for a day with n events is
+    (B−1)·mu − n·ln B (the ln n! and mu-only terms cancel), so with
+    ln B a shared literal and mu one exact double division, every
+    per-day cost quantizes to an IDENTICAL integer in both engines —
+    the whole DP is BIGINT arithmetic with a deterministic tie rule
+    (prefer the base state, then staying). The decision string rides
+    through the fold exactly like the unigram Viterbi; no backtrack
+    pass. Output per day: day, n_events, in_burst.
+
+    Scale: one day collapse (the corpus-sized stage), one 1-row
+    global fold over the bounded calendar array (the LRU/DTW packed-
+    array kernel), one posexplode back to day grain.
+    """
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    span = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        F.explode(F.expr("sequence(d0, d1)")).alias("day")
+    )
+    filled = cal.join(daily, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    packed = filled.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct("day", "c"))
+        ).alias("xs"),
+        F.sum("c").alias("total"),
+        F.count("*").alias("n_days"),
+    )
+    # per-day burst-vs-base cost in micro-units, as BIGINT
+    mu = F.col("total").cast("double") / F.col("n_days").cast("double")
+    dp = F.expr(
+        f"""
+        aggregate(
+          xs,
+          named_struct(
+            'c0', cast(0 as bigint), 's0', '',
+            'c1', cast({BURST_TRANS_MICRO} as bigint), 's1', ''),
+          (acc, x) -> named_struct(
+            'c0', least(acc.c0, acc.c1),
+            's0', concat(
+              CASE WHEN acc.c0 <= acc.c1 THEN acc.s0 ELSE acc.s1 END,
+              '0'),
+            'c1', least(acc.c0 + {BURST_TRANS_MICRO}, acc.c1)
+                  + cast(round({BURST_SCALE}d * (
+                      ({BURST_B} - 1) * (cast(total as double)
+                                         / cast(n_days as double))
+                      - x.c * {_BURST_LN_B}d), 0) as bigint),
+            's1', concat(
+              CASE WHEN acc.c0 + {BURST_TRANS_MICRO} <= acc.c1
+                   THEN acc.s0 ELSE acc.s1 END,
+              '1')),
+          acc -> CASE WHEN acc.c0 <= acc.c1 THEN acc.s0 ELSE acc.s1 END)
+        """
+    )
+    seq = packed.select("xs", dp.alias("states"))
+    per_day = seq.select(
+        F.posexplode("xs").alias("i", "x"), "states"
+    ).select(
+        F.col("x.day").alias("day"),
+        F.col("x.c").alias("n_events"),
+        (F.expr("substring(states, i + 1, 1)") == "1").alias(
+            "in_burst"
+        ),
+    )
+    return per_day
+
+
+ORACLE_BURSTS = f"""
+bu_daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+bu_cal AS (
+  SELECT unnest(generate_series(
+    (SELECT min(day) FROM bu_daily),
+    (SELECT max(day) FROM bu_daily),
+    INTERVAL 1 DAY))::DATE AS day
+),
+bu_f AS (
+  SELECT row_number() OVER (ORDER BY k.day) AS i, k.day,
+         COALESCE(d.c, 0) AS c
+  FROM bu_cal k LEFT JOIN bu_daily d USING (day)
+),
+bu_tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM bu_f
+),
+bu_cost AS (
+  SELECT i, day, c,
+         CAST(round({BURST_SCALE} * (
+           ({BURST_B} - 1) * (CAST(total AS DOUBLE)
+                              / CAST(n_days AS DOUBLE))
+           - c * CAST({_BURST_LN_B} AS DOUBLE)), 0) AS BIGINT) AS bc
+  FROM bu_f CROSS JOIN bu_tot
+),
+bu_dp(i, c0, s0, c1, s1) AS (
+  SELECT 0, CAST(0 AS BIGINT), '',
+         CAST({BURST_TRANS_MICRO} AS BIGINT), ''
+  UNION ALL
+  SELECT f.i,
+         CAST(least(d.c0, d.c1) AS BIGINT),
+         (CASE WHEN d.c0 <= d.c1 THEN d.s0 ELSE d.s1 END) || '0',
+         CAST(least(d.c0 + {BURST_TRANS_MICRO}, d.c1) + f.bc
+              AS BIGINT),
+         (CASE WHEN d.c0 + {BURST_TRANS_MICRO} <= d.c1
+               THEN d.s0 ELSE d.s1 END) || '1'
+  FROM bu_dp d JOIN bu_cost f ON f.i = d.i + 1
+),
+bu_best AS (
+  SELECT CASE WHEN c0 <= c1 THEN s0 ELSE s1 END AS states
+  FROM bu_dp WHERE i = (SELECT n_days FROM bu_tot)
+),
+events_bursts AS (
+  SELECT f.day, f.c AS n_events,
+         substr(b.states, CAST(f.i AS INT), 1) = '1' AS in_burst
+  FROM bu_f f CROSS JOIN bu_best b
+)
+"""

@@ -313,3 +313,26 @@ def test_intrinsic_dim_line_is_low(spark):
     r = S.intrinsic_dim_twonn(_emb_df(spark, vecs)).collect()[0]
     assert r["n_used"] > 0
     assert 0 < r["intrinsic_dim"] < 4.0
+
+
+def test_burst_detection_finds_middle_burst(spark):
+    """10 quiet days, 5 days at 10x rate, 10 quiet days -> exactly the
+    middle run is flagged."""
+    rows = []
+    for d in range(1, 26):
+        k = 50 if 11 <= d <= 15 else 5
+        rows += [(d * 1000 + i, datetime(2024, 1, d, 12), "click", 1.0)
+                 for i in range(k)]
+    out = T.burst_detection(_ev(spark, rows)).collect()
+    flags = {r["day"].day: r["in_burst"] for r in out}
+    assert len(out) == 25
+    for d in range(1, 26):
+        assert flags[d] == (11 <= d <= 15), d
+
+
+def test_burst_detection_flat_series_no_bursts(spark):
+    rows = [(d * 100 + i, datetime(2024, 1, d, 12), "click", 1.0)
+            for d in range(1, 21) for i in range(7)]
+    out = T.burst_detection(_ev(spark, rows)).collect()
+    assert all(not r["in_burst"] for r in out)
+    assert all(r["n_events"] == 7 for r in out)
