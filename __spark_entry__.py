@@ -2419,6 +2419,20 @@ def q_events_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tmp.permutation_entropy(_events_stable(spark, sf_dir))
 
 
+def q_events_sample_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SampEn(m=2, r=mean/5) of daily counts — integer template
+    matching over the bounded calendar, one ln at the end."""
+    return _tmp.sample_entropy(_events_stable(spark, sf_dir))
+
+
+def q_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased MMD² drift statistic between the even/odd embedding
+    panels under a quadratic kernel (dot-product arithmetic only)."""
+    return _sim.embedding_mmd(_emb(spark, sf_dir))
+
+
 def q_events_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg two-state burst segmentation of daily counts: fully
     integer Viterbi (quantized Poisson cost difference, shared ln B
@@ -4242,6 +4256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_vonmises": q_events_vonmises,
         "events_perm_entropy": q_events_perm_entropy,
         "events_bursts": q_events_bursts,
+        "events_sample_entropy": q_events_sample_entropy,
+        "embedding_mmd": q_embedding_mmd,
         "embedding_intrinsic_dim": q_embedding_intrinsic_dim,
         "embedding_hubness": q_embedding_hubness,
         "events_periodogram": q_events_periodogram,
@@ -5420,6 +5436,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_bursts": _ext_oracle(
             [_tmp.ORACLE_BURSTS], "events_bursts", recursive=True
+        ),
+        "events_sample_entropy": _ext_oracle(
+            [_tmp.ORACLE_SAMPEN], "events_sample_entropy"
+        ),
+        "embedding_mmd": _ext_oracle(
+            [_sim.oracle_embedding_mmd()], "embedding_mmd"
         ),
         "embedding_intrinsic_dim": _ext_oracle(
             [_sim.oracle_intrinsic_dim()], "embedding_intrinsic_dim"

@@ -372,6 +372,8 @@ HEADLINE = [
     "embedding_intrinsic_dim",
     "embedding_hubness",
     "events_bursts",
+    "events_sample_entropy",
+    "embedding_mmd",
 ]
 
 

@@ -4409,3 +4409,122 @@ embedding_hubness AS (
   FROM hbm
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# MMD two-sample test for embedding drift (r9): "did the embedding
+# distribution move" — the kernel two-sample statistic (Gretton et al.
+# 2012) between two deterministic panels, with a POLYNOMIAL kernel so
+# every term is dot-product arithmetic (exp/rbf stays banned by the
+# float rule). The drift monitor an embedding pipeline runs between
+# snapshots / sources.
+# ---------------------------------------------------------------------------
+
+#: per-side panel size (first 2*MMD_PANEL vec_ids, split by parity).
+MMD_PANEL = 128
+#: embedding width used to scale the dot product inside the kernel.
+MMD_DIMS = 64
+
+
+def embedding_mmd(emb: DataFrame) -> DataFrame:
+    """Unbiased MMD² between the even-id and odd-id embedding panels
+    under the quadratic kernel k(x,y) = (1 + <x,y>/dims)².
+
+    MMD² = Σk(x,x')/(m(m−1)) + Σk(y,y')/(n(n−1)) − 2Σk(x,y)/(mn)
+    (diagonals excluded on the within terms). Dot products use the
+    shared sequential fold; kernel sums ride the fold-order round(6)
+    rule. Output (1 row): m, n, mmd2, drifted (mmd2 > 0.01 after
+    rounding).
+
+    Scale: the panels are FIXED-SIZE samples (2·MMD_PANEL rows), so
+    the pair grids are constant ~3·MMD_PANEL² kernel evaluations no
+    matter the corpus — the corpus-sized stage is the panel filter,
+    which fuses into the scan.
+    """
+    panel = emb.filter(F.col("vec_id") < 2 * MMD_PANEL).select(
+        "vec_id",
+        (F.col("vec_id") % 2 == 0).alias("is_x"),
+        _as_double("embedding").alias("v"),
+    )
+    a = panel.alias("a")
+    b = panel.alias("b")
+    dot = F.expr(_DOT.format(a="a.v", b="b.v"))
+    kern = (1 + dot / F.lit(float(MMD_DIMS))) * (
+        1 + dot / F.lit(float(MMD_DIMS))
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id")
+    ).select(
+        F.col("a.is_x").alias("ax"),
+        F.col("b.is_x").alias("bx"),
+        kern.alias("k"),
+    )
+    agg = pairs.agg(
+        F.round(
+            F.sum(F.when(F.col("ax") & F.col("bx"), F.col("k"))), 6
+        ).alias("sxx"),
+        F.round(
+            F.sum(F.when(~F.col("ax") & ~F.col("bx"), F.col("k"))), 6
+        ).alias("syy"),
+        F.round(
+            F.sum(F.when(F.col("ax") & ~F.col("bx"), F.col("k"))), 6
+        ).alias("sxy"),
+    ).crossJoin(
+        panel.agg(
+            F.sum(F.col("is_x").cast("bigint")).alias("m"),
+            F.sum((~F.col("is_x")).cast("bigint")).alias("n"),
+        )
+    )
+    md, nd = F.col("m").cast("double"), F.col("n").cast("double")
+    mmd2 = F.round(
+        F.col("sxx") / (md * (md - 1))
+        + F.col("syy") / (nd * (nd - 1))
+        - 2 * F.col("sxy") / (md * nd),
+        6,
+    )
+    return agg.select(
+        "m",
+        "n",
+        mmd2.alias("mmd2"),
+        (mmd2 > 0.01).alias("drifted"),
+    )
+
+
+def oracle_embedding_mmd() -> str:
+    return f"""
+mmdp AS (
+  SELECT vec_id, vec_id % 2 = 0 AS is_x, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < {2 * MMD_PANEL}
+),
+mmdk AS (
+  SELECT a.is_x AS ax, b.is_x AS bx,
+         (1 + list_dot_product(a.v, b.v) / CAST({MMD_DIMS} AS DOUBLE))
+         * (1 + list_dot_product(a.v, b.v)
+                / CAST({MMD_DIMS} AS DOUBLE)) AS k
+  FROM mmdp a JOIN mmdp b ON a.vec_id <> b.vec_id
+),
+mmda AS (
+  SELECT round(sum(CASE WHEN ax AND bx THEN k END), 6) AS sxx,
+         round(sum(CASE WHEN NOT ax AND NOT bx THEN k END), 6) AS syy,
+         round(sum(CASE WHEN ax AND NOT bx THEN k END), 6) AS sxy
+  FROM mmdk
+),
+mmdn AS (
+  SELECT CAST(sum(CASE WHEN is_x THEN 1 ELSE 0 END) AS BIGINT) AS m,
+         CAST(sum(CASE WHEN NOT is_x THEN 1 ELSE 0 END) AS BIGINT)
+           AS n
+  FROM mmdp
+),
+embedding_mmd AS (
+  SELECT m, n,
+         round(sxx / (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1))
+               + syy / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+               - 2 * sxy / (CAST(m AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+           AS mmd2,
+         round(sxx / (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1))
+               + syy / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+               - 2 * sxy / (CAST(m AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+           > 0.01 AS drifted
+  FROM mmda CROSS JOIN mmdn
+)
+"""

@@ -3423,3 +3423,167 @@ events_perm_entropy AS (
   FROM pe_agg
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# sample entropy (r9): template self-similarity of the daily series
+# (Richman & Moorman 2000) — the regularity number beside permutation
+# entropy (ordinal mix) and ACF (linear memory). Low SampEn = the
+# series repeats its own templates; high = unpredictable.
+# ---------------------------------------------------------------------------
+
+#: template length m (matches compare m-windows vs (m+1)-windows).
+SAMPEN_M = 2
+#: tolerance = mean/SAMPEN_TOL_DIV (integer floor), at least 1 count.
+SAMPEN_TOL_DIV = 5
+
+
+def sample_entropy(events: DataFrame) -> DataFrame:
+    """SampEn(m=2, r=mean/5) of daily event counts.
+
+    Integer end to end: daily counts are exact BIGINTs, the tolerance
+    is an integer floor division of the mean, and template matches
+    compare Chebyshev distances of integer tuples — so the match
+    counts A (length-3 windows) and B (length-2 windows) are
+    engine-exact, and SampEn = −ln(A/B) is one ln at the very end
+    (fold rule round 6; NULL when no length-3 match exists).
+    Output (1 row): n_days, r_tol, b_pairs, a_pairs, sampen.
+
+    Scale: one day collapse; the pair join is over the bounded
+    calendar span (days², trivially small at any corpus size — the
+    grain is the calendar, not the data).
+    """
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    span = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        F.explode(F.expr("sequence(d0, d1)")).alias("day")
+    )
+    filled = cal.join(daily, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).alias("v")
+    )
+    w = Window.orderBy("day")
+    win = (
+        filled.select(
+            F.row_number().over(w).alias("i"),
+            F.col("v").alias("v0"),
+            F.lead("v", 1).over(w).alias("v1"),
+            F.lead("v", 2).over(w).alias("v2"),
+        )
+        .filter(F.col("v2").isNotNull())
+    )
+    tot = filled.agg(
+        F.sum("v").alias("s"), F.count("*").alias("n_days")
+    )
+    rt = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr("s DIV (n_days * " + str(SAMPEN_TOL_DIV) + ")"),
+    )
+    win_t = win.crossJoin(F.broadcast(tot.select(rt.alias("r_tol"), "n_days")))
+    a_ = win_t.alias("a")
+    b_ = win_t.alias("b")
+    pairs = a_.join(
+        b_, F.col("a.i") < F.col("b.i")
+    ).select(
+        F.col("a.n_days").alias("n_days"),
+        F.col("a.r_tol").alias("r_tol"),
+        (
+            F.greatest(
+                F.abs(F.col("a.v0") - F.col("b.v0")),
+                F.abs(F.col("a.v1") - F.col("b.v1")),
+            )
+            <= F.col("a.r_tol")
+        ).cast("bigint").alias("bm"),
+        (
+            F.greatest(
+                F.abs(F.col("a.v0") - F.col("b.v0")),
+                F.abs(F.col("a.v1") - F.col("b.v1")),
+                F.abs(F.col("a.v2") - F.col("b.v2")),
+            )
+            <= F.col("a.r_tol")
+        ).cast("bigint").alias("am"),
+    )
+    agg = pairs.groupBy("n_days", "r_tol").agg(
+        F.sum("bm").alias("b_pairs"), F.sum("am").alias("a_pairs")
+    )
+    return agg.select(
+        "n_days",
+        "r_tol",
+        "b_pairs",
+        "a_pairs",
+        F.when(
+            (F.col("a_pairs") > 0) & (F.col("b_pairs") > 0),
+            # + 0.0 normalizes -ln(1) = -0.0 (the negative-zero trap)
+            F.round(
+                -F.log(
+                    F.col("a_pairs").cast("double")
+                    / F.col("b_pairs").cast("double")
+                ),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("sampen"),
+    )
+
+
+ORACLE_SAMPEN = f"""
+se_daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+se_cal AS (
+  SELECT unnest(generate_series(
+    (SELECT min(day) FROM se_daily),
+    (SELECT max(day) FROM se_daily),
+    INTERVAL 1 DAY))::DATE AS day
+),
+se_f AS (
+  SELECT k.day, COALESCE(d.c, 0) AS v
+  FROM se_cal k LEFT JOIN se_daily d USING (day)
+),
+se_tot AS (
+  SELECT CAST(sum(v) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM se_f
+),
+se_rt AS (
+  SELECT n_days,
+         greatest(CAST(1 AS BIGINT),
+                  s // (n_days * {SAMPEN_TOL_DIV})) AS r_tol
+  FROM se_tot
+),
+se_w AS (
+  SELECT row_number() OVER (ORDER BY day) AS i,
+         v AS v0,
+         lead(v, 1) OVER (ORDER BY day) AS v1,
+         lead(v, 2) OVER (ORDER BY day) AS v2
+  FROM se_f
+),
+se_win AS (
+  SELECT i, v0, v1, v2 FROM se_w WHERE v2 IS NOT NULL
+),
+se_pairs AS (
+  SELECT t.n_days, t.r_tol,
+         CAST(sum(CASE WHEN greatest(abs(a.v0 - b.v0),
+                                     abs(a.v1 - b.v1)) <= t.r_tol
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b_pairs,
+         CAST(sum(CASE WHEN greatest(abs(a.v0 - b.v0),
+                                     abs(a.v1 - b.v1),
+                                     abs(a.v2 - b.v2)) <= t.r_tol
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a_pairs
+  FROM se_win a JOIN se_win b ON a.i < b.i
+  CROSS JOIN se_rt t
+  GROUP BY 1, 2
+),
+events_sample_entropy AS (
+  SELECT n_days, r_tol, b_pairs, a_pairs,
+         CASE WHEN a_pairs > 0 AND b_pairs > 0
+              THEN round(-ln(CAST(a_pairs AS DOUBLE)
+                             / CAST(b_pairs AS DOUBLE)), 6) + 0.0
+         END AS sampen
+  FROM se_pairs
+)
+"""

@@ -336,3 +336,49 @@ def test_burst_detection_flat_series_no_bursts(spark):
     out = T.burst_detection(_ev(spark, rows)).collect()
     assert all(not r["in_burst"] for r in out)
     assert all(r["n_events"] == 7 for r in out)
+
+
+def test_sample_entropy_periodic_vs_noisy(spark):
+    """A period-2 series has every template matching its same-phase
+    templates exactly -> A/B high, SampEn low; hand-check fields."""
+    rows = []
+    for d in range(1, 21):
+        k = 10 if d % 2 == 0 else 2
+        rows += [(d * 100 + i, datetime(2024, 1, d, 12), "click", 1.0)
+                 for i in range(k)]
+    r = T.sample_entropy(_ev(spark, rows)).collect()[0]
+    assert r["n_days"] == 20
+    # mean = 6, tol = 6 // 5 = 1
+    assert r["r_tol"] == 1
+    # same-phase windows are identical, cross-phase differ by 8 > 1:
+    # perfect regularity -> A == B -> sampen == 0
+    assert r["a_pairs"] == r["b_pairs"] > 0
+    assert r["sampen"] == 0.0
+
+
+def test_embedding_mmd_identical_panels_near_zero(spark):
+    """Even and odd panels drawn from the SAME vector -> unbiased
+    MMD2 is exactly 0 (all kernel values equal)."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        similarity as S,
+    )
+    vecs = [[1.0, 2.0] + [0.0] * 6 for _ in range(40)]
+    r = S.embedding_mmd(_emb_df(spark, vecs)).collect()[0]
+    assert r["m"] == 20 and r["n"] == 20
+    assert abs(r["mmd2"]) < 1e-9
+    assert r["drifted"] is False
+
+
+def test_embedding_mmd_detects_shift(spark):
+    """Even panel along e1, odd panel along e2 -> large MMD2."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        similarity as S,
+    )
+    vecs = []
+    for i in range(40):
+        if i % 2 == 0:
+            vecs.append([5.0, 0.0] + [0.0] * 6)
+        else:
+            vecs.append([0.0, 5.0] + [0.0] * 6)
+    r = S.embedding_mmd(_emb_df(spark, vecs)).collect()[0]
+    assert r["mmd2"] > 0.01 and r["drifted"] is True
