@@ -218,16 +218,38 @@ STREAM_STATE_PARTITIONS = int(
 )
 
 
+#: per-session original shuffle-partition setting, recorded by the
+#: FIRST _tune_stream_session call so _restore_stream_session can put
+#: the batch session back (r9): stateful streams capture the lowered
+#: value at .start() (Spark clones the session there), but leaving 8
+#: partitions behind would throttle every later BATCH query in a
+#: bench/board session that interleaves stream and batch work.
+_ORIG_SHUFFLE_PARTS: dict[int, str] = {}
+
+
 def _tune_stream_session(spark: SparkSession) -> None:
     try:
         cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
         if cur > STREAM_STATE_PARTITIONS:
+            _ORIG_SHUFFLE_PARTS.setdefault(id(spark), str(cur))
             spark.conf.set(
                 "spark.sql.shuffle.partitions",
                 str(STREAM_STATE_PARTITIONS),
             )
     except Exception:
         pass
+
+
+def _restore_stream_session(spark: SparkSession) -> None:
+    """Restore the batch session's shuffle-partition setting after a
+    streaming query has STARTED (its cloned session keeps the lowered
+    value for every micro-batch)."""
+    orig = _ORIG_SHUFFLE_PARTS.pop(id(spark), None)
+    if orig is not None:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+        except Exception:
+            pass
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,6 +283,7 @@ def run_stream_tumbling(
         .queryName(name)
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -295,6 +318,7 @@ def run_stream_windowed_watermark(
         .queryName(name)
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -368,6 +392,7 @@ def run_stream_interval_join(
         .queryName(name)
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -516,6 +541,7 @@ def run_stream_interval_join_outer(
         .queryName(name)
         .start()
     )
+    _restore_stream_session(spark)
     try:
         # one drain: the data batch (with the staged sentinel already
         # in the dir) emits matches and advances the watermark; the
@@ -575,6 +601,7 @@ def run_stream_session_window(
         .queryName(name)
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -676,6 +703,7 @@ def run_stream_dedup(
         .queryName(name)
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -800,6 +828,7 @@ def run_stream_partitioned_sink(
         .option("checkpointLocation", f"{root}/ckpt")
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -883,6 +912,7 @@ def run_stream_checkpoint_restart(
             .option("checkpointLocation", ckpt)
             .start()
         )
+        _restore_stream_session(spark)
         try:
             q.processAllAvailable()
         finally:
@@ -1047,6 +1077,7 @@ def run_stream_static_enrich(
         .queryName(name)
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -1110,6 +1141,7 @@ def run_stream_state_inspect(
         .option("checkpointLocation", ckpt)
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -1241,6 +1273,7 @@ def run_stream_merge_state(
         .option("checkpointLocation", f"{root}/ckpt")
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -1300,6 +1333,7 @@ def run_stream_dedup_within_watermark(
         .queryName(name)
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -1399,6 +1433,7 @@ def run_stream_embedding_dedup(
         .queryName(name)
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -1497,6 +1532,7 @@ def run_stream_kmv(
         .option("checkpointLocation", f"{root}/ckpt")
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -1622,6 +1658,7 @@ def run_stream_cms(
         .option("checkpointLocation", f"{root}/ckpt")
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -1720,6 +1757,7 @@ def run_stream_hll(
         .option("checkpointLocation", f"{root}/ckpt")
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -1848,6 +1886,7 @@ def run_stream_histq(
         .option("checkpointLocation", f"{root}/ckpt")
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -1998,6 +2037,7 @@ def run_stream_ab_monitor(
         .option("checkpointLocation", f"{root}/ckpt")
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -2141,6 +2181,7 @@ def run_stream_sprt(
         .option("checkpointLocation", f"{root}/ckpt")
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -2259,6 +2300,7 @@ def run_stream_extremes(
         .option("checkpointLocation", f"{root}/ckpt")
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -2324,6 +2366,7 @@ def run_stream_pchart(
         .option("checkpointLocation", f"{root}/ckpt")
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -2409,6 +2452,7 @@ def run_stream_hbos_alerts(
         .queryName(name)
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:

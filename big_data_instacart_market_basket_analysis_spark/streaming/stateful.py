@@ -19,7 +19,7 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from .events import _event_stream
+from .events import _event_stream, _restore_stream_session
 
 
 def _count_fn(
@@ -49,6 +49,7 @@ def run_stream_stateful_counts(
         .queryName(name)
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:
@@ -177,6 +178,7 @@ def run_stream_tws_spend(
         .queryName(name)
         .start()
     )
+    _restore_stream_session(spark)
     try:
         q.processAllAvailable()
     finally:

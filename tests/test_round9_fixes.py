@@ -179,3 +179,27 @@ def test_stage_same_owner_variants_all_kept(spark):
     for k in range(5):
         _staging.stage(cache, ("a", k), a, lambda: a, checkpoint=False)
     assert len(cache) == 5
+
+
+# ------------------------------------------------- stream conf restore
+
+
+def test_stream_queries_restore_batch_shuffle_partitions(spark):
+    """Stateful streams capture the lowered shuffle-partition setting
+    at .start() (Spark clones the session there); the batch session
+    must get its original value back so later batch queries keep full
+    reduce-side parallelism (r9)."""
+    from big_data_instacart_market_basket_analysis_spark.streaming import (
+        events as SE,
+    )
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        df = SE.run_stream_tumbling(
+            spark, "/root/testdata/sf0.001", name="restore_pin"
+        )
+        assert df.count() > 0
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
