@@ -3482,7 +3482,13 @@ def sample_entropy(events: DataFrame) -> DataFrame:
         F.lit(1).cast("bigint"),
         F.expr("s DIV (n_days * " + str(SAMPEN_TOL_DIV) + ")"),
     )
-    win_t = win.crossJoin(F.broadcast(tot.select(rt.alias("r_tol"), "n_days")))
+    # materialize the calendar-grain template table once: the a/b
+    # self-join references it twice, and an unstaged subtree would
+    # duplicate the global window (and its single-partition sort) in
+    # the physical plan — the sweep whitelist pins this at ONE.
+    win_t = win.crossJoin(
+        F.broadcast(tot.select(rt.alias("r_tol"), "n_days"))
+    ).localCheckpoint(eager=True)
     a_ = win_t.alias("a")
     b_ = win_t.alias("b")
     pairs = a_.join(

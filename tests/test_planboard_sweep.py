@@ -54,9 +54,9 @@ GLOBAL_WINDOW_WHITELIST: dict[str, tuple[int, str]] = {
     "events_granger": (1, "day"),
     "events_perm_entropy": (1, "day (lead-2 ordinal patterns over the "
                                "gap-filled calendar)"),
-    "events_sample_entropy": (1, "day (row_number+lead template "
-                                 "windows over the gap-filled "
-                                 "calendar)"),
+    # events_sample_entropy: the day-grain row_number+lead template
+    # window runs inside the staged (localCheckpointed) template table,
+    # so the FINAL plan the sweep sees carries zero global windows.
     "events_km_survival": (2, "t_days (event-age days)"),
     "events_ks_drift": (1, "bucket"),
     "events_wasserstein": (1, "bucket"),
