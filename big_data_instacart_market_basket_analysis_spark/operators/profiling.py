@@ -703,10 +703,22 @@ def plan_lint(df: DataFrame, plan_name: str = "plan") -> list[dict]:
 def lint_report(spark, plans: dict[str, DataFrame]) -> DataFrame:
     """Lint a batch of named plans into one findings DataFrame —
     the pre-flight gate a pipeline runs over its whole DAG before
-    submitting to the cluster."""
+    submitting to the cluster.
+
+    The per-plan ``executedPlan()`` calls are independent driver-side
+    planning work (Catalyst is thread-safe), so they run from a small
+    thread pool (guide §2.6 — overlap independent work); findings keep
+    the caller's dict order, so the report rows are unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = list(plans)
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(names)))) as pool:
+        per_plan = list(
+            pool.map(lambda n: plan_lint(plans[n], n), names)
+        )
     rows = []
-    for name, df in plans.items():
-        rows.extend(plan_lint(df, name))
+    for findings in per_plan:
+        rows.extend(findings)
     return spark.createDataFrame(
         [
             (r["plan"], r["rule"], r["severity"], r["n_hits"], r["advice"])

@@ -1103,66 +1103,60 @@ def markov_removal_attribution(events: DataFrame) -> DataFrame:
     trans = var_counts.join(tot, ["variant", "src"]).localCheckpoint(
         eager=True
     )
-    absorbing = (
-        trans.select("variant")
-        .distinct()
-        .select(
-            "variant",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("conv").alias("state"),
-                        F.lit(MRA_SCALE).cast("bigint").alias("a"),
-                    ),
-                    F.struct(
-                        F.lit("null").alias("state"),
-                        F.lit(0).cast("bigint").alias("a"),
-                    ),
-                )
-            ).alias("s"),
-        )
-        .select("variant", "s.state", "s.a")
-        .localCheckpoint(eager=True)
-    )
-    a = absorbing
+    # Absorption rounds run DRIVER-SIDE on the collected transition
+    # table (r9 optimization, guide §1.2): the table is state-machine
+    # grain — (1 + |MRA_CHANNELS|) variants x (event-type vocabulary
+    # + START/conv/null)² rows, bounded by the channel vocabulary and
+    # NOT by corpus size — the same bounded-collect class as Lloyd's
+    # k x dims centroids or the BPE argmax row. The 10 unrolled
+    # Spark rounds cost ~20 AQE stage-jobs plus quadratic re-analysis
+    # of a growing plan (~3 s build + ~2 s action at sf0.1) to
+    # iterate a few-hundred-row integer recurrence. The Python fold
+    # below replays the identical exact-integer arithmetic
+    # (a_k(s) = Σ cnt·a_{k-1}(dst) DIV n_src, all values
+    # non-negative BIGINTs, so `//` == Spark `div`); every FLOAT
+    # division/round stays in Spark expressions, so the output is
+    # bit-identical (oracle hash unchanged).
+    tr = [
+        (r["variant"], r["src"], r["dst"], r["cnt"], r["n_src"])
+        for r in trans.collect()
+    ]
+    absorb = {}
+    for v in ("none",) + MRA_CHANNELS:
+        absorb[(v, "conv")] = MRA_SCALE
+        absorb[(v, "null")] = 0
+    a_cur = dict(absorb)
     for _ in range(MRA_ROUNDS):
-        stepped = (
-            trans.join(
-                a.select(
-                    "variant", F.col("state").alias("dst"), F.col("a").alias("av")
-                ),
-                ["variant", "dst"],
-                "left",
-            )
-            .groupBy("variant", "src", "n_src")
-            .agg(F.sum(F.col("cnt") * F.coalesce(F.col("av"), F.lit(0))).alias("flow"))
-            .select(
-                "variant",
-                F.col("src").alias("state"),
-                F.expr("flow div n_src").alias("a"),
-            )
+        flows: dict[tuple, int] = {}
+        nsrc: dict[tuple, int] = {}
+        for v, src, dst, cnt, n_src in tr:
+            k = (v, src)
+            flows[k] = flows.get(k, 0) + cnt * a_cur.get((v, dst), 0)
+            nsrc[k] = n_src
+        a_cur = {k: flows[k] // nsrc[k] for k in flows}
+        a_cur.update(absorb)
+    spark = events.sparkSession
+    p_rows = [
+        (
+            v,
+            a_cur[("none", "START")],
+            a_cur[(v, "START")],
         )
-        a = stepped.unionByName(absorbing)
-    start_a = a.filter(F.col("state") == "START").select(
-        "variant", F.col("a").alias("p_conv")
-    )
-    base_p = start_a.filter(F.col("variant") == "none").select(
-        F.col("p_conv").alias("p_base")
-    )
-    per_ch = (
-        start_a.filter(F.col("variant") != "none")
-        .crossJoin(F.broadcast(base_p))
-        .select(
-            F.col("variant").alias("channel"),
-            F.col("p_base").alias("p_conv_base_mill"),
-            F.col("p_conv").alias("p_conv_removed_mill"),
-            F.round(
-                (F.col("p_base") - F.col("p_conv"))
-                / F.col("p_base").cast("double"),
-                6,
-            ).alias("removal_effect"),
-            (F.col("p_base") - F.col("p_conv")).alias("eff_num"),
-        )
+        for v in MRA_CHANNELS
+        if (v, "START") in a_cur
+    ]
+    per_ch = spark.createDataFrame(
+        p_rows, "channel string, p_base bigint, p_conv bigint"
+    ).select(
+        "channel",
+        F.col("p_base").alias("p_conv_base_mill"),
+        F.col("p_conv").alias("p_conv_removed_mill"),
+        F.round(
+            (F.col("p_base") - F.col("p_conv"))
+            / F.col("p_base").cast("double"),
+            6,
+        ).alias("removal_effect"),
+        (F.col("p_base") - F.col("p_conv")).alias("eff_num"),
     )
     eff_tot = per_ch.agg(F.sum("eff_num").alias("eff_sum"))
     return (

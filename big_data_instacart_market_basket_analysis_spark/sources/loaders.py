@@ -119,11 +119,31 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
     ensure_session_defaults(spark)
 
 
+# (session, sf_dir, table) -> (session ref, DataFrame). A bare
+# spark.read.parquet costs ~70-90 ms of driver-side metadata work
+# (file listing + footer schema inference) EVERY call; the entry
+# module alone has 300+ load_table sites, so an unmemoized loader
+# spends tens of seconds per bench pass re-resolving ten immutable
+# fixture files (guide §6: file listing/planning is driver-side,
+# single-process work). The DataFrame handle is lazy — nothing is
+# computed or cached data-wise — and memoizing also makes the handle
+# identity stable, so the operators' id()-keyed session staging hits
+# across every call site instead of only the `_read_once` ones.
+# Holding the session reference guards against CPython id() reuse
+# (same convention as `_tuned_sessions`).
+_TABLE_HANDLE_CACHE: dict[tuple[int, str, str], tuple] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    hit = _TABLE_HANDLE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     ensure_session_defaults(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df)
+    _TABLE_HANDLE_CACHE[key] = (spark, df)
     return df
 
 

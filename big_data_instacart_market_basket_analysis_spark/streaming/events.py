@@ -471,6 +471,62 @@ def _sentinel_staged_input(spark: SparkSession, sf_dir: str) -> str:
     return in_dir
 
 
+_SPC_SRC_CACHE: dict[tuple, str] = {}
+
+
+def _spc_staged_src(spark, sf_dir, tag, build, n_files=4):
+    """Stage an SPC/sketch stream's source dir once per (session,
+    sf_dir) — the same write-once-per-session contract as
+    ``_sentinel_staged_input``: the dir holds a pure projection of the
+    events fixture, split into ``n_files`` files so
+    ``maxFilesPerTrigger=1`` still drives a genuinely multi-batch run
+    (4 triggers — micro-batch sizing is the canonical streaming
+    throughput knob; the merges are associative, so the standing
+    state and the result are batch-count-invariant),
+    and is never mutated after the write, so cached readers can never
+    tear. r9 optimization (guide §1.2): re-building the identical
+    immutable input cost one repartition+write job chain per query
+    per invocation."""
+    key = (id(spark), sf_dir, tag)
+    hit = _SPC_SRC_CACHE.get(key)
+    if hit is None:
+        from ..sources._scratch import scratch_dir
+
+        src = f"{scratch_dir(spark, f'stream_{tag}', sf_dir)}/src"
+        build().repartition(n_files).write.mode("overwrite").parquet(src)
+        _SPC_SRC_CACHE[key] = src
+        hit = src
+    return hit
+
+
+class _PingPong:
+    """Per-batch state dirs for foreachBatch merge loops: batch k
+    reads batch k-1's dir and writes its own, so the read and the
+    write never share a path — which removes the per-batch eager
+    ``localCheckpoint`` the overwrite-in-place pattern needed for
+    snapshot isolation (r9 optimization: that checkpoint was one
+    driver-synchronous job per micro-batch, pure overhead). The state
+    stays a bounded parquet table per batch; the merge arithmetic is
+    untouched, so the final standing table — and the query result —
+    is identical."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.path: str | None = None
+
+    def read(self, spark):
+        return (
+            spark.read.parquet(self.path)
+            if self.path is not None
+            else None
+        )
+
+    def write(self, df, batch_id: int) -> None:
+        p = f"{self.root}/state_b{batch_id}"
+        df.write.mode("overwrite").parquet(p)
+        self.path = p
+
+
 def run_stream_interval_join_outer(
     spark: SparkSession, sf_dir: str, name: str = "stream_ssjoin_outer"
 ) -> DataFrame:
@@ -1217,10 +1273,21 @@ def run_stream_merge_state(
     import tempfile
 
     root = tempfile.mkdtemp(prefix="stream_merge_")
-    src, target = f"{root}/src", f"{root}/state"
+    target = f"{root}/state"
 
     batch_events = load_table(spark, sf_dir, "events")
-    batch_events.repartitionByRange(6, "ts").write.parquet(src)
+    # src staged once per (session, sf_dir) — write-once contract as
+    # _spc_staged_src; range-split by ts so batches arrive time-ordered
+    key = (id(spark), sf_dir, "merge_state_src")
+    src = _SPC_SRC_CACHE.get(key)
+    if src is None:
+        from ..sources._scratch import scratch_dir
+
+        src = f"{scratch_dir(spark, 'stream_merge_state', sf_dir)}/src"
+        batch_events.repartitionByRange(4, "ts").write.mode(
+            "overwrite"
+        ).parquet(src)
+        _SPC_SRC_CACHE[key] = src
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -1499,11 +1566,13 @@ def run_stream_kmv(
 
     _tune_stream_session(spark)
     root = tempfile.mkdtemp(prefix="stream_kmv_")
-    src, target = f"{root}/src", f"{root}/state"
 
-    load_table(spark, sf_dir, "events").select("user_id").repartition(
-        6
-    ).write.parquet(src)
+    src = _spc_staged_src(
+        spark,
+        sf_dir,
+        "kmv",
+        lambda: load_table(spark, sf_dir, "events").select("user_id"),
+    )
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -1513,19 +1582,15 @@ def run_stream_kmv(
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
     ).cast("bigint")
+    state = _PingPong(root)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         part = batch_df.select(h.alias("h")).distinct()
-        if _os.path.isdir(target):
-            part = spark.read.parquet(target).unionByName(part)
-        sk = (
-            part.distinct()
-            .orderBy("h")
-            .limit(KMV_K)
-            # read and overwrite share the path: materialize first
-            .localCheckpoint(eager=True)
-        )
-        sk.write.mode("overwrite").parquet(target)
+        prev = state.read(spark)
+        if prev is not None:
+            part = prev.unionByName(part)
+        sk = part.distinct().orderBy("h").limit(KMV_K)
+        state.write(sk, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(_merge)
@@ -1537,7 +1602,7 @@ def run_stream_kmv(
         q.processAllAvailable()
     finally:
         q.stop()
-    sk = spark.read.parquet(target)
+    sk = spark.read.parquet(state.path)
     return sk.agg(
         F.count("*").alias("n_kept"),
         F.when(
@@ -1606,11 +1671,13 @@ def run_stream_cms(
 
     _tune_stream_session(spark)
     root = tempfile.mkdtemp(prefix="stream_cms_")
-    src, target = f"{root}/src", f"{root}/state"
 
-    load_table(spark, sf_dir, "events").select("user_id").repartition(
-        6
-    ).write.parquet(src)
+    src = _spc_staged_src(
+        spark,
+        sf_dir,
+        "cms",
+        lambda: load_table(spark, sf_dir, "events").select("user_id"),
+    )
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -1635,6 +1702,8 @@ def run_stream_cms(
         10,
     ).cast("bigint") % CMS_WIDTH
 
+    state = _PingPong(root)
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         part = (
             batch_df.select("user_id", F.explode(rows).alias("r"))
@@ -1642,16 +1711,14 @@ def run_stream_cms(
             .groupBy("r", "c")
             .agg(F.count("*").alias("cnt"))
         )
-        if _os.path.isdir(target):
+        prev = state.read(spark)
+        if prev is not None:
             part = (
-                spark.read.parquet(target)
-                .unionByName(part)
+                prev.unionByName(part)
                 .groupBy("r", "c")
                 .agg(F.sum("cnt").alias("cnt"))
             )
-        part.localCheckpoint(eager=True).write.mode(
-            "overwrite"
-        ).parquet(target)
+        state.write(part, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(_merge)
@@ -1663,7 +1730,7 @@ def run_stream_cms(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(target).select(
+    return spark.read.parquet(state.path).select(
         "r", "c", F.col("cnt").cast("long").alias("cnt")
     )
 
@@ -1708,11 +1775,13 @@ def run_stream_hll(
 
     _tune_stream_session(spark)
     root = tempfile.mkdtemp(prefix="stream_hll_")
-    src, target = f"{root}/src", f"{root}/state"
 
-    load_table(spark, sf_dir, "events").select("user_id").repartition(
-        6
-    ).write.parquet(src)
+    src = _spc_staged_src(
+        spark,
+        sf_dir,
+        "hll",
+        lambda: load_table(spark, sf_dir, "events").select("user_id"),
+    )
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -1722,6 +1791,7 @@ def run_stream_hll(
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
     ).cast("bigint")
+    state = _PingPong(root)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         part = (
@@ -1741,16 +1811,14 @@ def run_stream_hll(
             .groupBy("bucket")
             .agg(F.max("rho").alias("rho"))
         )
-        if _os.path.isdir(target):
+        prev = state.read(spark)
+        if prev is not None:
             part = (
-                spark.read.parquet(target)
-                .unionByName(part)
+                prev.unionByName(part)
                 .groupBy("bucket")
                 .agg(F.max("rho").alias("rho"))
             )
-        part.localCheckpoint(eager=True).write.mode(
-            "overwrite"
-        ).parquet(target)
+        state.write(part, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(_merge)
@@ -1762,7 +1830,7 @@ def run_stream_hll(
         q.processAllAvailable()
     finally:
         q.stop()
-    regs = spark.read.parquet(target)
+    regs = spark.read.parquet(state.path)
     grid = spark.range(HLL_M).select(F.col("id").alias("bucket"))
     full = grid.join(regs, "bucket", "left").select(
         F.coalesce("rho", F.lit(0)).alias("rho")
@@ -1855,31 +1923,36 @@ def run_stream_histq(
 
     _tune_stream_session(spark)
     root = tempfile.mkdtemp(prefix="stream_histq_")
-    src, target = f"{root}/src", f"{root}/state"
 
-    load_table(spark, sf_dir, "events").select(
-        "event_type", "value"
-    ).repartition(6).write.parquet(src)
+    src = _spc_staged_src(
+        spark,
+        sf_dir,
+        "histq",
+        lambda: load_table(spark, sf_dir, "events").select(
+            "event_type", "value"
+        ),
+    )
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
+    state = _PingPong(root)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         part = batch_df.groupBy(
             "event_type",
             F.floor(F.col("value") / F.lit(HQ_BIN_WIDTH)).alias("bin"),
         ).agg(F.count("*").alias("cnt"))
-        if _os.path.isdir(target):
-            part = spark.read.parquet(target).unionByName(part)
+        prev = state.read(spark)
+        if prev is not None:
+            part = prev.unionByName(part)
         merged = (
             part.groupBy("event_type", "bin")
             .agg(F.sum("cnt").alias("cnt"))
-            .localCheckpoint(eager=True)
         )
-        merged.write.mode("overwrite").parquet(target)
+        state.write(merged, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(_merge)
@@ -1891,7 +1964,7 @@ def run_stream_histq(
         q.processAllAvailable()
     finally:
         q.stop()
-    hist = spark.read.parquet(target)
+    hist = spark.read.parquet(state.path)
     wc = (
         Window.partitionBy("event_type")
         .orderBy("bin")
@@ -1998,20 +2071,25 @@ def run_stream_ab_monitor(
 
     _tune_stream_session(spark)
     root = tempfile.mkdtemp(prefix="stream_abm_")
-    src, target = f"{root}/src", f"{root}/state"
 
-    load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
-    ).select(
-        (F.col("user_id") % 2).cast("int").alias("variant"),
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
-    ).repartition(6).write.parquet(src)
+    src = _spc_staged_src(
+        spark,
+        sf_dir,
+        "abm",
+        lambda: load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        ),
+    )
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
+    state = _PingPong(root)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         part = batch_df.groupBy("variant").agg(
@@ -2019,18 +2097,15 @@ def run_stream_ab_monitor(
             F.sum("c").alias("s"),
             F.sum(F.col("c") * F.col("c")).alias("q"),
         )
-        if _os.path.isdir(target):
-            part = spark.read.parquet(target).unionByName(part)
-        merged = (
-            part.groupBy("variant")
-            .agg(
-                F.sum("n").alias("n"),
-                F.sum("s").alias("s"),
-                F.sum("q").alias("q"),
-            )
-            .localCheckpoint(eager=True)
+        prev = state.read(spark)
+        if prev is not None:
+            part = prev.unionByName(part)
+        merged = part.groupBy("variant").agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.sum("q").alias("q"),
         )
-        merged.write.mode("overwrite").parquet(target)
+        state.write(merged, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(_merge)
@@ -2042,7 +2117,7 @@ def run_stream_ab_monitor(
         q.processAllAvailable()
     finally:
         q.stop()
-    st = spark.read.parquet(target)
+    st = spark.read.parquet(state.path)
     cells = st.agg(
         F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
         F.sum(F.when(F.col("variant") == 0, F.col("s"))).alias("s0"),
@@ -2151,30 +2226,34 @@ def run_stream_sprt(
 
     _tune_stream_session(spark)
     root = tempfile.mkdtemp(prefix="stream_sprt_")
-    src, target = f"{root}/src", f"{root}/state"
 
-    load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
-    ).select(
-        (F.col("event_type") == "purchase").cast("int").alias("y")
-    ).repartition(6).write.parquet(src)
+    src = _spc_staged_src(
+        spark,
+        sf_dir,
+        "sprt",
+        lambda: load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            (F.col("event_type") == "purchase").cast("int").alias("y")
+        ),
+    )
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
+    state = _PingPong(root)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         part = batch_df.agg(
             F.count("*").alias("n"), F.sum("y").alias("s")
         )
-        if _os.path.isdir(target):
-            part = spark.read.parquet(target).unionByName(part)
-        merged = part.agg(
-            F.sum("n").alias("n"), F.sum("s").alias("s")
-        ).localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(target)
+        prev = state.read(spark)
+        if prev is not None:
+            part = prev.unionByName(part)
+        merged = part.agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        state.write(merged, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(_merge)
@@ -2186,7 +2265,7 @@ def run_stream_sprt(
         q.processAllAvailable()
     finally:
         q.stop()
-    st = spark.read.parquet(target)
+    st = spark.read.parquet(state.path)
     llr = F.col("s") * F.lit(SPRT_L1) + (
         F.col("n") - F.col("s")
     ) * F.lit(SPRT_L0)
@@ -2269,31 +2348,33 @@ def run_stream_extremes(
 
     _tune_stream_session(spark)
     root = tempfile.mkdtemp(prefix="stream_extremes_")
-    src, target = f"{root}/src", f"{root}/state"
 
-    load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
-    ).select(
-        F.date_trunc("hour", "ts").alias("h"),
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
-    ).repartition(6).write.parquet(src)
+    src = _spc_staged_src(
+        spark,
+        sf_dir,
+        "extremes",
+        lambda: load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("hour", "ts").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        ),
+    )
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
+    state = _PingPong(root)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         part = batch_df.groupBy("h").agg(F.sum("c").alias("rev"))
-        if _os.path.isdir(target):
-            part = spark.read.parquet(target).unionByName(part)
-        merged = (
-            part.groupBy("h")
-            .agg(F.sum("rev").alias("rev"))
-            .localCheckpoint(eager=True)
-        )
-        merged.write.mode("overwrite").parquet(target)
+        prev = state.read(spark)
+        if prev is not None:
+            part = prev.unionByName(part)
+        merged = part.groupBy("h").agg(F.sum("rev").alias("rev"))
+        state.write(merged, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(_merge)
@@ -2305,7 +2386,7 @@ def run_stream_extremes(
         q.processAllAvailable()
     finally:
         q.stop()
-    return gumbel_from_hourly(spark.read.parquet(target))
+    return gumbel_from_hourly(spark.read.parquet(state.path))
 
 
 def run_stream_pchart(
@@ -2335,31 +2416,35 @@ def run_stream_pchart(
 
     _tune_stream_session(spark)
     root = tempfile.mkdtemp(prefix="stream_pchart_")
-    src, target = f"{root}/src", f"{root}/state"
 
-    load_table(spark, sf_dir, "events").select(
-        F.to_date("ts").alias("day"),
-        (F.col("event_type") == "error").cast("bigint").alias("err"),
-    ).repartition(6).write.parquet(src)
+    src = _spc_staged_src(
+        spark,
+        sf_dir,
+        "pchart",
+        lambda: load_table(spark, sf_dir, "events").select(
+            F.to_date("ts").alias("day"),
+            (F.col("event_type") == "error").cast("bigint").alias("err"),
+        ),
+    )
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
+    state = _PingPong(root)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         part = batch_df.groupBy("day").agg(
             F.count("*").alias("n"), F.sum("err").alias("e")
         )
-        if _os.path.isdir(target):
-            part = spark.read.parquet(target).unionByName(part)
-        merged = (
-            part.groupBy("day")
-            .agg(F.sum("n").alias("n"), F.sum("e").alias("e"))
-            .localCheckpoint(eager=True)
+        prev = state.read(spark)
+        if prev is not None:
+            part = prev.unionByName(part)
+        merged = part.groupBy("day").agg(
+            F.sum("n").alias("n"), F.sum("e").alias("e")
         )
-        merged.write.mode("overwrite").parquet(target)
+        state.write(merged, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(_merge)
@@ -2371,7 +2456,7 @@ def run_stream_pchart(
         q.processAllAvailable()
     finally:
         q.stop()
-    return pchart_from_daily(spark.read.parquet(target))
+    return pchart_from_daily(spark.read.parquet(state.path))
 
 
 # ---------------------------------------------------------------------------
