@@ -1713,8 +1713,12 @@ def q_plan_lint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         # round-3 heavies: the navigable-graph beam (staged-index
         # joins + per-round windows) and the bootstrap forest (per-
-        # tree weighted hist aggs) — the two most join-dense new plans
-        "ann_graph_beam": lambda: _sim.graph_ann_topk(
+        # tree weighted hist aggs) — the two most join-dense new
+        # plans. The lint deliberately builds the RAW search plan
+        # (graph_ann_topk_plan), not the session-staged result, so the
+        # linted text is the same in every session regardless of what
+        # ran before.
+        "ann_graph_beam": lambda: _sim.graph_ann_topk_plan(
             _emb(spark, sf_dir)
         ),
         # round-4: the distributed-rank conversions — these plans must

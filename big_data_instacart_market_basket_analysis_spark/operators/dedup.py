@@ -1987,17 +1987,26 @@ def winnowing_pairs(docs: DataFrame) -> DataFrame:
         .rowsBetween(0, WIN_W - 1)
     )
     stats = grams.groupBy("doc_id").agg(F.max("pos").alias("max_pos"))
+    # the winnowed fingerprint table feeds the df-cap agg AND the
+    # kept table, and kept self-joins — unstaged, Catalyst duplicates
+    # the whole token->gram->window chain up to 4x in the physical
+    # plan (129 operators, zero ReusedExchange at r9 measurement).
+    # Both tables are the ~1/W winnowed sample (doc-grain bounded), so
+    # two eager checkpoints buy back three recomputations (guide §2.4).
     fps = (
         grams.withColumn("fp", F.min("h").over(ww))
         .join(F.broadcast(stats), "doc_id")
         .filter(F.col("pos") <= F.col("max_pos") - (WIN_W - 1))
         .select("doc_id", F.col("fp").alias("h"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     hot = fps.groupBy("h").agg(F.count("*").alias("df")).filter(
         F.col("df") <= WIN_DF_CAP
     )
-    kept = fps.join(hot.select("h"), "h", "leftsemi")
+    kept = fps.join(hot.select("h"), "h", "leftsemi").localCheckpoint(
+        eager=True
+    )
     pairs = (
         kept.select(F.col("doc_id").alias("doc_a"), "h")
         .join(kept.select(F.col("doc_id").alias("doc_b"), "h"), "h")
@@ -2390,6 +2399,11 @@ def ppjoin_pairs(docs: DataFrame) -> DataFrame:
         f"n - ((n * {PPJOIN_T_NUM} + {PPJOIN_T_DEN - 1})"
         f" div {PPJOIN_T_DEN}) + 1"
     )
+    # prefix self-joins and arrs feeds both verification sides —
+    # unstaged, the df agg + window chain and the per-doc sorted-array
+    # agg each run twice (zero ReusedExchange at r9 measurement); both
+    # are doc-grain bounded, so one eager checkpoint each halves the
+    # heavy work (guide §2.4).
     prefix = (
         sh.join(dfreq, "sh")
         .join(n, "doc_id")
@@ -2406,7 +2420,7 @@ def ppjoin_pairs(docs: DataFrame) -> DataFrame:
     )
     arrs = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("sh")).alias("arr")
-    )
+    ).localCheckpoint(eager=True)
     verified = (
         cand.join(
             arrs.select(F.col("doc_id").alias("d1"), F.col("arr").alias("a1")),

@@ -2329,11 +2329,13 @@ def ktruss_edges(
     )
     cur_sup = sup0
     dead_tris = None
-    for _ in range(rounds - 1):
-        peeled = (
-            cur_sup.filter(F.col("support") < min_sup)
-            .select("a", "b")
-            .localCheckpoint(eager=True)
+    for r in range(rounds - 1):
+        last_round = r == rounds - 2
+        # peeled is consumed by exactly ONE semi-join and derives from
+        # the checkpointed cur_sup — no checkpoint needed (r9: each
+        # eager checkpoint is a driver-synchronous job; guide §1.2).
+        peeled = cur_sup.filter(F.col("support") < min_sup).select(
+            "a", "b"
         )
         nd = (
             credit.join(peeled, ["a", "b"], "leftsemi")
@@ -2346,16 +2348,23 @@ def ktruss_edges(
         # triangle's credit is retracted exactly once across rounds.
         if dead_tris is not None:
             nd = nd.join(dead_tris, ["u", "v", "w"], "leftanti")
-        nd = nd.localCheckpoint(eager=True)
+        # last round: nd feeds only `lost` (the union below is
+        # skipped), so it can stay lazy too.
+        if not last_round:
+            nd = nd.localCheckpoint(eager=True)
         # cumulative dead set: checkpointed per round so the
         # unionByName chain's lineage stays O(1) per round instead of
         # O(rounds) (r6 verdict task 4). First round skips the
-        # re-checkpoint — nd is already materialized.
-        dead_tris = (
-            nd
-            if dead_tris is None
-            else dead_tris.unionByName(nd).localCheckpoint(eager=True)
-        )
+        # re-checkpoint — nd is already materialized — and the LAST
+        # round skips the union entirely (nothing consumes it).
+        if not last_round:
+            dead_tris = (
+                nd
+                if dead_tris is None
+                else dead_tris.unionByName(nd).localCheckpoint(
+                    eager=True
+                )
+            )
         lost = (
             credit.join(nd, ["u", "v", "w"], "leftsemi")
             .groupBy("a", "b")
@@ -2372,8 +2381,12 @@ def ktruss_edges(
                     - F.coalesce(F.col("lost"), F.lit(0))
                 ).alias("support"),
             )
-            .localCheckpoint(eager=True)
         )
+        # the final round's support table feeds ONE consumer (the
+        # output join) — leave it lazy; earlier rounds feed two
+        # filters next round, so materialize.
+        if not last_round:
+            cur_sup = cur_sup.localCheckpoint(eager=True)
     final = cur_sup.filter(F.col("support") >= min_sup).select(
         "a", "b", F.col("support").alias("support_final")
     )

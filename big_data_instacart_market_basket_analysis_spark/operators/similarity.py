@@ -30,6 +30,8 @@ scale the expression path wins on startup cost. Revisit if dims >> 64.)
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -57,6 +59,22 @@ def _cosine(a: str, b: str) -> F.Column:
     na = F.sqrt(F.expr(_DOT.format(a=a, b=a)))
     nb = F.sqrt(F.expr(_DOT.format(a=b, b=b)))
     return dot / (na * nb)
+
+
+def _norm(vcol: str) -> F.Column:
+    """sqrt(sequential-fold dot(v, v)) — the exact norm subexpression
+    `_cosine` evaluates, exposed so pairwise scorers can compute it
+    once per VECTOR before a join instead of once per PAIR (r9, guide
+    §1.2: the norm folds are interpreted higher-order functions and
+    were 2/3 of every pairwise scoring stage; precomputing the same
+    expression per side leaves every cosine double bit-equal)."""
+    return F.sqrt(F.expr(_DOT.format(a=vcol, b=vcol)))
+
+
+def _cosine_pre(a: str, b: str, na: str, nb: str) -> F.Column:
+    """Cosine from a per-pair dot and two PRECOMPUTED `_norm` columns
+    — dot/(na*nb), the identical float expression `_cosine` builds."""
+    return F.expr(_DOT.format(a=a, b=b)) / (F.col(na) * F.col(nb))
 
 
 #: exact top-k ground truth per (embedding identity, n_queries, k),
@@ -87,15 +105,15 @@ def brute_force_topk(
     """
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
-    )
+    ).withColumn("qn", _norm("qv"))
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double("embedding").alias("cv"),
-    )
+    ).withColumn("cn", _norm("cv"))
     scored = (
         F.broadcast(queries)
         .join(corpus, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _cosine("qv", "cv"))
+        .withColumn("cosine", _cosine_pre("qv", "cv", "qn", "cn"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -385,15 +403,17 @@ def ivf_ann_topk(emb: DataFrame, n_queries: int = N_QUERIES,
         vecs.filter(F.col("vec_id") < n_queries), cents, nprobe
     ).select(F.col("vec_id").alias("query_id"),
              F.col("v").alias("qv"), "centroid_id")
+    probes = probes.withColumn("qn", _norm("qv"))
     scored = (
         F.broadcast(probes)
         .join(
             lists.select(F.col("vec_id").alias("neighbor_id"),
-                         F.col("v").alias("cv"), "centroid_id"),
+                         F.col("v").alias("cv"), "centroid_id")
+            .withColumn("cn", _norm("cv")),
             "centroid_id",
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _cosine("qv", "cv"))
+        .withColumn("cosine", _cosine_pre("qv", "cv", "qn", "cn"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -766,12 +786,12 @@ def hard_negatives(
         F.col("vec_id").alias("neg_id"),
         F.col("label").alias("n_label"),
         _as_double("embedding").alias("cv"),
-    )
+    ).withColumn("cn", _norm("cv"))
     scored = (
-        F.broadcast(queries)
+        F.broadcast(queries.withColumn("qn", _norm("qv")))
         .join(corpus, F.col("query_id") != F.col("neg_id"))
         .filter(F.col("q_label") != F.col("n_label"))
-        .withColumn("cosine", _cosine("qv", "cv"))
+        .withColumn("cosine", _cosine_pre("qv", "cv", "qn", "cn"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neg_id")
@@ -846,15 +866,20 @@ def semdedup_survivors(
     Output: (vec_id, centroid_id) of surviving vectors.
     """
     assigned = _assignment_staged(emb)
-    a = assigned.alias("a")
-    b = assigned.alias("b")
+    normed = assigned.withColumn("vn", _norm("v"))
+    a = normed.alias("a")
+    b = normed.alias("b")
     pruned = (
         a.join(
             b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .withColumn("cosine", _cosine("a.v", "b.v"))
+        .withColumn(
+            "cosine",
+            F.expr(_DOT.format(a="a.v", b="b.v"))
+            / (F.col("a.vn") * F.col("b.vn")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
@@ -945,14 +970,16 @@ def semantic_decontaminate(
         F.col("centroid_id").alias("b_cell"),
         F.col("vec_id").alias("b_id"),
         F.col("v").alias("bv"),
+    ).withColumn("bn", _norm("bv"))
+    train = assigned.filter(F.col("vec_id") >= n_bench).withColumn(
+        "vn", _norm("v")
     )
-    train = assigned.filter(F.col("vec_id") >= n_bench)
     return (
         train.join(
             F.broadcast(bench),
             F.col("centroid_id") == F.col("b_cell"),
         )
-        .withColumn("cosine", _cosine("v", "bv"))
+        .withColumn("cosine", _cosine_pre("v", "bv", "vn", "bn"))
         .filter(F.col("cosine") >= threshold)
         .groupBy("vec_id")
         .agg(
@@ -1294,14 +1321,14 @@ def rp_topk(
     proj = random_projection(emb)
     queries = proj.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("proj").alias("qv")
-    )
+    ).withColumn("qn", _norm("qv"))
     corpus = proj.select(
         F.col("vec_id").alias("neighbor_id"), F.col("proj").alias("cv")
-    )
+    ).withColumn("cn", _norm("cv"))
     scored = (
         F.broadcast(queries)
         .join(corpus, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _cosine("qv", "cv"))
+        .withColumn("cosine", _cosine_pre("qv", "cv", "qn", "cn"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -1415,16 +1442,16 @@ def knn_outlier_scores(
         F.col("vec_id").alias("va"),
         F.col("v").alias("xa"),
         "centroid_id",
-    )
+    ).withColumn("na", _norm("xa"))
     b = lists.select(
         F.col("vec_id").alias("vb"),
         F.col("v").alias("xb"),
         "centroid_id",
-    )
+    ).withColumn("nb", _norm("xb"))
     pairs = (
         a.join(b, "centroid_id")
         .filter(F.col("va") != F.col("vb"))
-        .withColumn("cosine", _cosine("xa", "xb"))
+        .withColumn("cosine", _cosine_pre("xa", "xb", "na", "nb"))
     )
     w = Window.partitionBy("va").orderBy(
         F.col("cosine").desc(), F.col("vb")
@@ -2553,17 +2580,17 @@ def matryoshka_recall(emb: DataFrame) -> DataFrame:
         )
         queries = sliced.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-        )
+        ).withColumn("qn", _norm("qv"))
         corpus = sliced.select(
             F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
-        )
+        ).withColumn("cn", _norm("cv"))
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), "neighbor_id"
         )
         approx = (
             F.broadcast(queries)
             .join(corpus, F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("cosine", _cosine("qv", "cv"))
+            .withColumn("cosine", _cosine_pre("qv", "cv", "qn", "cn"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id")
@@ -2707,47 +2734,47 @@ def pca_power_iteration(
         )
         .localCheckpoint(eager=True)
     )
-    trace = a.filter(F.col("i") == F.col("j")).agg(
-        F.sum("aij").alias("tr")
-    )
-    v = m.select("i", F.lit(0.125).alias("v"))
-    out = None
+    # r9 optimization (guide §1.2): the 8 power rounds iterate a
+    # dims-grain state (64 doubles) against the EXACT-integer 4096-row
+    # A — bounded by the embedding dimensionality, never by corpus
+    # size (the same bounded-driver-collect class as Lloyd's k x dims
+    # centroids). Run as unrolled Spark rounds they cost ~90 AQE
+    # stage-jobs + a per-round eager checkpoint (~3.5 s at sf0.1) to
+    # fold a 64x64 matvec. The Python fold below replays the identical
+    # recurrence: aij are exact BIGINTs, the iterate re-rounds to
+    # 12 dp after each normalization exactly as before — the rounding
+    # that, by design, absorbs fold-order ulps (values O(0.1), noise
+    # O(1e-16)), which is also why the Spark agg matched the
+    # DuckDB-ordered oracle in the first place. Every OUTPUT rounding
+    # (6 dp) stays in Spark expressions on the emitted literals.
+    a_rows = a.collect()
+    dims = sorted({r["i"] for r in a_rows})
+    amat = {(r["i"], r["j"]): r["aij"] for r in a_rows}
+    tr_int = sum(amat.get((i, i), 0) for i in dims)
+    vvec = {i: 0.125 for i in dims}
+    spark = emb.sparkSession
+    out_rows = []
     for rnd in range(1, rounds + 1):
-        av = (
-            a.join(
-                F.broadcast(v.select(F.col("i").alias("j"), "v")), "j"
+        av = {
+            i: sum(
+                amat.get((i, j), 0) * vvec[j] for j in dims
             )
-            .groupBy("i")
-            .agg(F.sum(F.col("aij") * F.col("v")).alias("av"))
-        )
-        ray = (
-            av.join(v, "i")
-            .crossJoin(F.broadcast(trace))
-            .agg(
-                F.round(
-                    F.sum(F.col("av") * F.col("v")) / F.first("tr"), 6
-                ).alias("evr")
-            )
-        )
-        nrm = av.agg(F.sqrt(F.sum(F.col("av") * F.col("av"))).alias("nrm"))
-        v = (
-            av.crossJoin(F.broadcast(nrm))
-            .select("i", F.round(F.col("av") / F.col("nrm"), 12).alias("v"))
-            .localCheckpoint(eager=True)
-        )
-        top = (
-            v.orderBy(F.abs(F.col("v")).desc(), "i")
-            .limit(1)
-            .select(
-                F.col("i").alias("top_dim"),
-                F.round(F.col("v"), 6).alias("top_loading"),
-            )
-        )
-        row = ray.crossJoin(F.broadcast(top)).select(
-            F.lit(rnd).alias("round"), "evr", "top_dim", "top_loading"
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+            for i in dims
+        }
+        evr = sum(av[i] * vvec[i] for i in dims) / float(tr_int)
+        nrm = math.sqrt(sum(av[i] * av[i] for i in dims))
+        vvec = {i: round(av[i] / nrm, 12) for i in dims}
+        top_dim = max(dims, key=lambda i: (abs(vvec[i]), -i))
+        out_rows.append((rnd, evr, top_dim, vvec[top_dim]))
+    return spark.createDataFrame(
+        out_rows,
+        "round int, evr double, top_dim int, top_loading double",
+    ).select(
+        "round",
+        F.round("evr", 6).alias("evr"),
+        "top_dim",
+        F.round("top_loading", 6).alias("top_loading"),
+    )
 
 
 def oracle_pca_power(rounds: int = PCA_ROUNDS) -> str:
@@ -2856,14 +2883,14 @@ def _gann_index(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     asn = _assignment_staged(emb)  # vec_id, v, centroid_id
     a = asn.select(
         "centroid_id", F.col("vec_id").alias("src"), F.col("v").alias("av")
-    )
+    ).withColumn("an", _norm("av"))
     b = asn.select(
         "centroid_id", F.col("vec_id").alias("dst"), F.col("v").alias("bv")
-    )
+    ).withColumn("bn", _norm("bv"))
     cell_pairs = (
         a.join(b, "centroid_id")
         .filter(F.col("src") != F.col("dst"))
-        .withColumn("s", _cosine("av", "bv"))
+        .withColumn("s", _cosine_pre("av", "bv", "an", "bn"))
     )
     wn = Window.partitionBy("src").orderBy(F.col("s").desc(), F.col("dst"))
     cell_edges = (
@@ -2905,7 +2932,34 @@ def _gann_index(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     return edges, cents
 
 
+#: staged beam-search RESULT per (embedding identity, n_queries, k):
+#: FOUR consumers re-run the identical 3+3-round search per call —
+#: `ann_graph_beam`, `graph_ann_recall`, `retrieval_eval_report`, and
+#: the lint's plan build — the same shared-truth situation
+#: `_brute_topk_staged` solves for the brute-force baseline (r9,
+#: guide §1.2). The result is n_queries x k rows.
+_GANN_TOPK_CACHE: dict[tuple, tuple] = {}
+
+
 def graph_ann_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Session-staged `graph_ann_topk_plan` result (see that docstring
+    for the search itself); the per-round checkpointed supersteps run
+    once per (embedding identity, n_queries, k) and every consumer
+    reads the materialized n_queries x k table."""
+    key = (id(emb), n_queries, k)
+    hit = _GANN_TOPK_CACHE.get(key)
+    if hit is not None and hit[0] is emb:
+        return hit[1]
+    res = graph_ann_topk_plan(emb, n_queries, k).localCheckpoint(
+        eager=True
+    )
+    _GANN_TOPK_CACHE[key] = (emb, res)
+    return res
+
+
+def graph_ann_topk_plan(
     emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
 ) -> DataFrame:
     """Graph-ANN query: greedy coarse descent on the centroid layer
@@ -2929,6 +2983,9 @@ def graph_ann_topk(
         F.col("vec_id").alias("query_id"),
         _as_double("embedding").alias("qv"),
     )
+    # norms once per side for the node-layer scoring (see _norm)
+    vecs_n = vecs.withColumn("vn", _norm("v"))
+    queries_n = queries.withColumn("qn", _norm("qv"))
     entry = cents.agg(F.min("centroid_id").alias("cid"))
     nav = F.broadcast(queries.select("query_id")).crossJoin(
         F.broadcast(entry)
@@ -2977,9 +3034,9 @@ def graph_ann_topk(
             .distinct()
         )
         scored = (
-            cand.join(vecs, cand.node == vecs.vec_id)
-            .join(F.broadcast(queries), "query_id")
-            .withColumn("s", _cosine("qv", "v"))
+            cand.join(vecs_n, cand.node == vecs_n.vec_id)
+            .join(F.broadcast(queries_n), "query_id")
+            .withColumn("s", _cosine_pre("qv", "v", "qn", "vn"))
         )
         frontier = (
             scored.withColumn("r", F.row_number().over(wq_n))
@@ -3566,24 +3623,34 @@ def knn_classifier_eval(emb: DataFrame) -> DataFrame:
 
     Output per class: label, n_queries, n_correct, accuracy.
     """
+    # norms precomputed per SIDE (r9, guide §1.2 per-task work): the
+    # cosine's norm folds are per-vector constants, but evaluated
+    # inside the crossJoin they re-run per PAIR as interpreted
+    # higher-order functions — 2/3 of the scoring work. sqrt(fold(v,v))
+    # is the identical expression either way, so the cosine doubles —
+    # and the neighbor ranking — are bit-equal.
     queries = emb.filter(
         F.col("vec_id") % KNN_CLS_STRIDE == 0
     ).select(
         F.col("vec_id").alias("query_id"),
         _as_double("embedding").alias("qv"),
         F.col("label").alias("true_label"),
-    )
+    ).withColumn("qn", F.sqrt(F.expr(_DOT.format(a="qv", b="qv"))))
     corpus = emb.filter(
         F.col("vec_id") % KNN_CLS_STRIDE != 0
     ).select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double("embedding").alias("cv"),
         F.col("label").alias("nl"),
-    )
+    ).withColumn("cn", F.sqrt(F.expr(_DOT.format(a="cv", b="cv"))))
     scored = (
         F.broadcast(queries)
         .crossJoin(corpus)
-        .withColumn("cosine", _cosine("qv", "cv"))
+        .withColumn(
+            "cosine",
+            F.expr(_DOT.format(a="qv", b="cv"))
+            / (F.col("qn") * F.col("cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -992,113 +992,188 @@ def rf_train(events: DataFrame, n_trees: int = RF_TREES) -> DataFrame:
     F.py:194-236 parity)."""
     feats, data = _staged_feats_binned(events)
     labels = feats.select("user_id", "label")
-    out = None
-    oob = None
-    for t in range(n_trees):
-        w = labels.select(
-            "user_id", "label", _rf_weight(t).alias("w")
-        )
-        boot = (
-            data.filter(F.col("fid") != t % 3)
-            .join(w.select("user_id", "w"), "user_id")
-            .filter(F.col("w") > 0)
-        )
-        hist = boot.groupBy("fid", "bin").agg(
-            F.sum("w").alias("n"),
-            F.sum(F.col("w") * F.col("label")).alias("pos"),
-        )
-        # NOT checkpointed: the 1-row split feeds 3 consumers, but
-        # with binned staged the recomputed hist agg is cheaper than
-        # an extra eager-checkpoint job per tree (measured: 4.9s vs
-        # 5.3s at sf0.1).
-        split = _argmin_split_from_hist(hist)
-        tot = w.filter(F.col("w") > 0).agg(
-            F.sum("w").alias("n"),
-            F.sum(F.col("w") * F.col("label")).alias("pos"),
-        )
-        split_row = split.crossJoin(F.broadcast(tot)).select(
-            F.lit(f"t{t}").alias("node"),
-            F.lit("split").alias("kind"),
-            F.lit(t).cast("int").alias("tree"),
-            F.col("fid").cast("int"),
-            F.col("bin").cast("int"),
-            "n",
-            "pos",
-            F.col("score").alias("metric"),
-        )
-        sides = (
-            boot.join(
-                F.broadcast(
-                    split.select(
-                        F.col("fid").alias("sfid"),
-                        F.col("bin").alias("sbin"),
-                    )
-                )
-            )
-            .filter(F.col("fid") == F.col("sfid"))
-            .select(
-                "user_id",
-                "label",
-                "w",
-                F.when(F.col("bin") <= F.col("sbin"), "L")
-                .otherwise("R")
-                .alias("side"),
-            )
-        )
-        leaves = sides.groupBy("side").agg(
-            F.sum("w").alias("n"),
-            F.sum(F.col("w") * F.col("label")).alias("pos"),
-        )
-        leaf_rows = leaves.select(
-            F.concat(F.lit(f"t{t}"), F.col("side")).alias("node"),
-            F.lit("leaf").alias("kind"),
-            F.lit(t).cast("int").alias("tree"),
-            F.lit(None).cast("int").alias("fid"),
-            F.lit(None).cast("int").alias("bin"),
-            "n",
-            "pos",
-            F.round(F.col("pos") / F.col("n"), 6).alias("metric"),
-        )
-        out_t = split_row.unionByName(leaf_rows)
-        out = out_t if out is None else out.unionByName(out_t)
-        # OOB votes: users this tree never saw (w = 0)
-        pred_t = (
-            data.join(
-                w.filter(F.col("w") == 0).select("user_id"), "user_id"
-            )
-            .join(
-                F.broadcast(
-                    split.select(
-                        F.col("fid").alias("sfid"),
-                        F.col("bin").alias("sbin"),
-                    )
-                )
-            )
-            .filter(F.col("fid") == F.col("sfid"))
-            .select(
-                "user_id",
-                F.when(F.col("bin") <= F.col("sbin"), "L")
-                .otherwise("R")
-                .alias("side"),
-            )
-            .join(
-                F.broadcast(
-                    leaves.select(
-                        "side",
-                        F.col("n").alias("ln"),
-                        F.col("pos").alias("lpos"),
+    # r9 optimization (guide §1.2): the per-tree Python loop built
+    # ~25 DataFrame transformations per tree (each re-analyzing a
+    # growing plan — ~8,000 py4j round-trips, ~2.4 s of construction)
+    # and evaluated every tree's histogram subtree three times. The
+    # trees now ride an exploded `tree` column through ONE plan: one
+    # bootstrap join, ONE (tree, fid, bin) histogram agg, tree-keyed
+    # windows for the argmin, tree-keyed joins for leaves/OOB. Weight
+    # strings, tie-breaks, and every integer/rounding expression are
+    # identical per tree, so the output rows are bit-equal (the
+    # unrolled per-tree oracle is unchanged).
+    hcol = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("rf:"),
+                        F.col("tree").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
                     )
                 ),
-                "side",
-            )
-            .select(
-                "user_id",
-                (F.lit(2) * F.col("lpos") >= F.col("ln"))
-                .cast("bigint")
-                .alias("pred"),
-            )
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    wt = (
+        labels.select(
+            "user_id",
+            "label",
+            F.explode(
+                F.array(*[F.lit(t) for t in range(n_trees)])
+            ).alias("tree"),
         )
-        oob = pred_t if oob is None else oob.unionByName(pred_t)
+        .withColumn(
+            "w",
+            (
+                F.when(hcol < RF_W0, 0)
+                .when(hcol < RF_W1, 1)
+                .otherwise(2)
+            ).cast("bigint"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    boot = data.join(
+        wt.filter(F.col("w") > 0).select("user_id", "tree", "w"),
+        "user_id",
+    ).filter(F.col("fid") != F.col("tree") % 3)
+    hist = boot.groupBy("tree", "fid", "bin").agg(
+        F.sum("w").alias("n"),
+        F.sum(F.col("w") * F.col("label")).alias("pos"),
+    )
+    # argmin-Gini per tree: _argmin_split_from_hist's algebra with
+    # `tree` prepended to every window key (row_number rank-1 ==
+    # orderBy(score, fid, bin).limit(1) within each tree).
+    wcum = (
+        Window.partitionBy("tree", "fid")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("tree", "fid")
+    cum = hist.select(
+        "tree",
+        "fid",
+        "bin",
+        F.sum("n").over(wcum).alias("nl"),
+        F.sum("pos").over(wcum).alias("pl"),
+        F.sum("n").over(wtot).alias("nt"),
+        F.sum("pos").over(wtot).alias("pt"),
+    )
+    nl, pl = F.col("nl"), F.col("pl")
+    nr = F.col("nt") - nl
+    pr = F.col("pt") - pl
+    negl = nl - pl
+    negr = nr - pr
+    score = F.round(
+        (nl * nl - pl * pl - negl * negl) / nl
+        + (nr * nr - pr * pr - negr * negr) / nr,
+        9,
+    )
+    wsel = Window.partitionBy("tree").orderBy("score", "fid", "bin")
+    split = (
+        cum.filter((nl > 0) & (nr > 0))
+        .select("tree", "fid", "bin", score.alias("score"))
+        .withColumn("rk", F.row_number().over(wsel))
+        .filter(F.col("rk") == 1)
+        .select("tree", "fid", "bin", "score")
+        .localCheckpoint(eager=True)
+    )
+    tot = wt.filter(F.col("w") > 0).groupBy("tree").agg(
+        F.sum("w").alias("n"),
+        F.sum(F.col("w") * F.col("label")).alias("pos"),
+    )
+    split_row = split.join(tot, "tree").select(
+        F.concat(F.lit("t"), F.col("tree").cast("string")).alias(
+            "node"
+        ),
+        F.lit("split").alias("kind"),
+        F.col("tree").cast("int").alias("tree"),
+        F.col("fid").cast("int"),
+        F.col("bin").cast("int"),
+        "n",
+        "pos",
+        F.col("score").alias("metric"),
+    )
+    skey = F.broadcast(
+        split.select(
+            "tree",
+            F.col("fid").alias("sfid"),
+            F.col("bin").alias("sbin"),
+        )
+    )
+    sides = (
+        boot.join(skey, "tree")
+        .filter(F.col("fid") == F.col("sfid"))
+        .select(
+            "tree",
+            "user_id",
+            "label",
+            "w",
+            F.when(F.col("bin") <= F.col("sbin"), "L")
+            .otherwise("R")
+            .alias("side"),
+        )
+    )
+    leaves = (
+        sides.groupBy("tree", "side")
+        .agg(
+            F.sum("w").alias("n"),
+            F.sum(F.col("w") * F.col("label")).alias("pos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    leaf_rows = leaves.select(
+        F.concat(
+            F.lit("t"), F.col("tree").cast("string"), F.col("side")
+        ).alias("node"),
+        F.lit("leaf").alias("kind"),
+        F.col("tree").cast("int").alias("tree"),
+        F.lit(None).cast("int").alias("fid"),
+        F.lit(None).cast("int").alias("bin"),
+        "n",
+        "pos",
+        F.round(F.col("pos") / F.col("n"), 6).alias("metric"),
+    )
+    out = split_row.unionByName(leaf_rows)
+    # OOB votes: users a tree never saw (w = 0)
+    oob = (
+        data.join(
+            wt.filter(F.col("w") == 0).select("user_id", "tree"),
+            "user_id",
+        )
+        .join(skey, "tree")
+        .filter(F.col("fid") == F.col("sfid"))
+        .select(
+            "tree",
+            "user_id",
+            F.when(F.col("bin") <= F.col("sbin"), "L")
+            .otherwise("R")
+            .alias("side"),
+        )
+        .join(
+            F.broadcast(
+                leaves.select(
+                    "tree",
+                    "side",
+                    F.col("n").alias("ln"),
+                    F.col("pos").alias("lpos"),
+                )
+            ),
+            ["tree", "side"],
+        )
+        .select(
+            "user_id",
+            (F.lit(2) * F.col("lpos") >= F.col("ln"))
+            .cast("bigint")
+            .alias("pred"),
+        )
+    )
     votes = oob.groupBy("user_id").agg(
         F.sum("pred").alias("yes"), F.count("*").alias("n_votes")
     )
