@@ -21,9 +21,19 @@ input (e.g. brute-force truth at several (n_queries, k)) stay warm.
 
 from __future__ import annotations
 
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame
+
+#: One process-wide re-entrant lock for every id()-keyed staging
+#: cache (this module's `stage`, plus the direct-dict helpers in
+#: similarity/trees). Staging helpers are reachable from thread pools
+#: (the plan-lint builders, guide §2.6); without the lock two threads
+#: missing the same key both run the eager-checkpoint build and store
+#: divergent staged identities. RLock because a build() may itself
+#: stage a nested table (e.g. GANN topk -> assignment).
+STAGING_LOCK = threading.RLock()
 
 
 def stage(
@@ -49,6 +59,18 @@ def stage(
     while superseded generations beyond that are still released to GC
     so their checkpoint blocks are reclaimed.
     """
+    with STAGING_LOCK:
+        return _stage_locked(cache, key, owner, build, checkpoint, keep_owners)
+
+
+def _stage_locked(
+    cache: dict,
+    key,
+    owner,
+    build: Callable[[], DataFrame],
+    checkpoint: bool,
+    keep_owners: int,
+) -> DataFrame:
     hit = cache.get(key)
     if hit is None:
         # distinct owner generations, oldest-first (dict order = first

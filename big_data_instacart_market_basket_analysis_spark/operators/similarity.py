@@ -35,6 +35,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._staging import STAGING_LOCK as _STAGING_LOCK
 from ._staging import stage as _stage
 
 N_QUERIES = 5
@@ -373,16 +374,19 @@ _ASSIGN_CACHE: dict[int, tuple] = {}
 
 def _assignment_staged(emb: DataFrame) -> DataFrame:
     key = id(emb)
-    hit = _ASSIGN_CACHE.get(key)
-    if hit is None:
-        vecs = emb.select("vec_id", _as_double("embedding").alias("v"))
-        cents = _ivf_centroids(emb)
-        hit = (
-            emb,
-            _nearest_centroids(vecs, cents, 1).localCheckpoint(eager=True),
-        )
-        _ASSIGN_CACHE[key] = hit
-    return hit[1]
+    with _STAGING_LOCK:
+        hit = _ASSIGN_CACHE.get(key)
+        if hit is None or hit[0] is not emb:
+            vecs = emb.select("vec_id", _as_double("embedding").alias("v"))
+            cents = _ivf_centroids(emb)
+            hit = (
+                emb,
+                _nearest_centroids(vecs, cents, 1).localCheckpoint(
+                    eager=True
+                ),
+            )
+            _ASSIGN_CACHE[key] = hit
+        return hit[1]
 
 
 def ivf_ann_topk(emb: DataFrame, n_queries: int = N_QUERIES,
@@ -2672,6 +2676,44 @@ PCA_ROUNDS = 8
 _PCA_DIMS = 64
 
 
+def pca_gram(emb: DataFrame) -> DataFrame:
+    """The EXACT-integer iteration matrix A = n*S - m m^T as a lazy
+    dims^2-row frame — the one corpus-size-dependent stage of the
+    verified PCA. Exposed separately so plan tests can pin the Gram
+    hash-aggregation (map-side partials -> dims^2 shuffle) on the frame
+    that actually scans the corpus; `pca_power_iteration` collects this
+    (dims^2-bounded) and folds the power rounds on the driver."""
+    qv = _km_quantized(emb)
+    melted = qv.select(
+        "vec_id", F.posexplode("q").alias("i", "x")
+    )
+    m = melted.groupBy("i").agg(F.sum("x").alias("m"))
+    cnt = qv.agg(F.count("*").alias("n"))
+    gram = (
+        melted.alias("a")
+        .join(melted.alias("b"), "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("s"))
+    )
+    return (
+        gram.crossJoin(F.broadcast(cnt))
+        .join(F.broadcast(m.select(F.col("i"), F.col("m").alias("mi"))), "i")
+        .join(
+            F.broadcast(
+                m.select(F.col("i").alias("j"), F.col("m").alias("mj"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("s") - F.col("mi") * F.col("mj")).alias(
+                "aij"
+            ),
+        )
+    )
+
+
 def pca_power_iteration(
     emb: DataFrame, rounds: int = PCA_ROUNDS
 ) -> DataFrame:
@@ -2704,36 +2746,14 @@ def pca_power_iteration(
     explained-variance ratio of the current iterate), top_dim,
     top_loading.
     """
-    qv = _km_quantized(emb)
-    melted = qv.select(
-        "vec_id", F.posexplode("q").alias("i", "x")
-    )
-    m = melted.groupBy("i").agg(F.sum("x").alias("m"))
-    cnt = qv.agg(F.count("*").alias("n"))
-    gram = (
-        melted.alias("a")
-        .join(melted.alias("b"), "vec_id")
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("s"))
-    )
-    a = (
-        gram.crossJoin(F.broadcast(cnt))
-        .join(F.broadcast(m.select(F.col("i"), F.col("m").alias("mi"))), "i")
-        .join(
-            F.broadcast(
-                m.select(F.col("i").alias("j"), F.col("m").alias("mj"))
-            ),
-            "j",
-        )
-        .select(
-            "i",
-            "j",
-            (F.col("n") * F.col("s") - F.col("mi") * F.col("mj")).alias(
-                "aij"
-            ),
-        )
-        .localCheckpoint(eager=True)
-    )
+    # Known rounding-boundary risk (r9 ADVICE, documented): evr/nrm are
+    # unrounded double folds, now in fixed sorted-dim order where Spark's
+    # partial aggregation order was nondeterministic. A value landing
+    # within ~1e-16 of a 6-dp rounding boundary could flip the last
+    # digit vs the oracle at some other scale factor; the 12-dp iterate
+    # re-round per round is what bounds the drift (same argument that
+    # made the nondeterministic Spark fold match DuckDB at every SF).
+    a = pca_gram(emb).localCheckpoint(eager=True)
     # r9 optimization (guide §1.2): the 8 power rounds iterate a
     # dims-grain state (64 doubles) against the EXACT-integer 4096-row
     # A — bounded by the embedding dimensionality, never by corpus
@@ -2949,14 +2969,15 @@ def graph_ann_topk(
     once per (embedding identity, n_queries, k) and every consumer
     reads the materialized n_queries x k table."""
     key = (id(emb), n_queries, k)
-    hit = _GANN_TOPK_CACHE.get(key)
-    if hit is not None and hit[0] is emb:
-        return hit[1]
-    res = graph_ann_topk_plan(emb, n_queries, k).localCheckpoint(
-        eager=True
-    )
-    _GANN_TOPK_CACHE[key] = (emb, res)
-    return res
+    with _STAGING_LOCK:
+        hit = _GANN_TOPK_CACHE.get(key)
+        if hit is not None and hit[0] is emb:
+            return hit[1]
+        res = graph_ann_topk_plan(emb, n_queries, k).localCheckpoint(
+            eager=True
+        )
+        _GANN_TOPK_CACHE[key] = (emb, res)
+        return res
 
 
 def graph_ann_topk_plan(

@@ -1136,14 +1136,18 @@ def markov_removal_attribution(events: DataFrame) -> DataFrame:
         a_cur = {k: flows[k] // nsrc[k] for k in flows}
         a_cur.update(absorb)
     spark = events.sparkSession
+    # guard the base lookup like the per-channel ones: on a degenerate
+    # /empty events input no START row exists and the pre-fold Spark
+    # path produced an empty result, not a KeyError.
+    p_base = a_cur.get(("none", "START"))
     p_rows = [
         (
             v,
-            a_cur[("none", "START")],
+            p_base,
             a_cur[(v, "START")],
         )
         for v in MRA_CHANNELS
-        if (v, "START") in a_cur
+        if p_base is not None and (v, "START") in a_cur
     ]
     per_ch = spark.createDataFrame(
         p_rows, "channel string, p_base bigint, p_conv bigint"

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._staging import STAGING_LOCK as _STAGING_LOCK
 from ._staging import stage as _stage
 
 TREE_BINS = 16
@@ -120,13 +121,14 @@ _FEATS_CACHE: dict[int, tuple] = {}
 
 def _staged_feats_binned(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     key = id(events)
-    hit = _FEATS_CACHE.get(key)
-    if hit is None or hit[0] is not events:
-        feats = _user_features(events).localCheckpoint(eager=True)
-        binned = _binned_from_feats(feats).localCheckpoint(eager=True)
-        hit = (events, feats, binned)
-        _FEATS_CACHE[key] = hit
-    return hit[1], hit[2]
+    with _STAGING_LOCK:
+        hit = _FEATS_CACHE.get(key)
+        if hit is None or hit[0] is not events:
+            feats = _user_features(events).localCheckpoint(eager=True)
+            binned = _binned_from_feats(feats).localCheckpoint(eager=True)
+            hit = (events, feats, binned)
+            _FEATS_CACHE[key] = hit
+        return hit[1], hit[2]
 
 
 def _best_split(subset: DataFrame) -> DataFrame:

@@ -489,14 +489,17 @@ def _spc_staged_src(spark, sf_dir, tag, build, n_files=4):
     per invocation."""
     key = (id(spark), sf_dir, tag)
     hit = _SPC_SRC_CACHE.get(key)
-    if hit is None:
+    # hold the session ref and validate identity on lookup (loaders.py
+    # convention): a GC'd session whose CPython id() is recycled must
+    # not return the dead session's applicationId-scoped scratch path.
+    if hit is None or hit[0] is not spark:
         from ..sources._scratch import scratch_dir
 
         src = f"{scratch_dir(spark, f'stream_{tag}', sf_dir)}/src"
         build().repartition(n_files).write.mode("overwrite").parquet(src)
-        _SPC_SRC_CACHE[key] = src
-        hit = src
-    return hit
+        _SPC_SRC_CACHE[key] = (spark, src)
+        return src
+    return hit[1]
 
 
 class _PingPong:

@@ -1,6 +1,7 @@
-"""Dump .explain('formatted') for named queries to plans/r09/<q>_<tag>.txt.
+"""Dump .explain('formatted') for named queries to plans/$PLANS_ROUND/<q>_<tag>.txt.
 
 Usage: python scripts/capture_plans.py before q1,q2,... [sf_dir]
+PLANS_ROUND defaults to r10.
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r09",
+        os.environ.get("PLANS_ROUND", "r10"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")

@@ -619,8 +619,22 @@ def test_bloom_probe_is_broadcast(spark):
 
 def test_pca_gram_is_single_aggregation(spark):
     """The Gram matrix must form via hash-aggregation (map-side
-    partials -> dims^2 shuffle), not a window or sort."""
-    plan = _plan(spark, "embedding_pca")
+    partials -> dims^2 shuffle), not a window or sort. Asserted on the
+    pre-collect Gram builder (`pca_gram`): since round 9 the declared
+    embedding_pca query folds the power rounds on the driver over the
+    collected dims^2 matrix, so its FINAL plan is a createDataFrame
+    scan — the corpus-size-dependent stage whose shape matters at
+    scale is the Gram aggregation this builder constructs."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    df = similarity.pca_gram(emb)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     assert "HashAggregate" in plan, plan
     assert "WindowExec" not in plan, plan
 
