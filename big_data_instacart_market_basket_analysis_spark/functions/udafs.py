@@ -91,6 +91,13 @@ def grouped_map_slope(events: DataFrame) -> DataFrame:
     Output per user (n >= 3 purchases): user_id, n, slope.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # r10 (guide §2.5/§4): the window/grouped-map shuffle AQE-coalesced
+    # to ONE partition, so all ~1.5k per-group Python calls ran on one
+    # core. An explicit-width hash exchange on the group key BEFORE the
+    # window satisfies the required distribution of both the window and
+    # applyInPandas (no further exchange, and AQE never coalesces a
+    # user-specified width), spreading the Python workers across the
+    # executor pool.
     base = (
         events.filter(F.col("event_type") == "purchase")
         .select(
@@ -98,6 +105,10 @@ def grouped_map_slope(events: DataFrame) -> DataFrame:
             "ts",
             "event_id",
             F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .repartition(
+            events.sparkSession.sparkContext.defaultParallelism,
+            "user_id",
         )
         .withColumn("idx", F.row_number().over(w))
         .select("user_id", "idx", "c")

@@ -142,6 +142,11 @@ def train_metrics(t: InstacartTables) -> DataFrame:
     data = _assembled(t).filter(F.col("eval_set") == EVAL_TRAIN)
     train70, hold30 = data.randomSplit([0.7, 0.3], seed=SEED)
     train70 = train70.cache()
+    # r10: each of the three models transforms + aggregates hold30 —
+    # cache it too so the split sampling runs once, not three times
+    # (the split itself must NOT be repartitioned: randomSplit and the
+    # tree bootstraps are partition-seeded, results would change).
+    hold30 = hold30.cache()
 
     is1 = F.col("label") == 1.0
     picked1 = F.col("picked") == 1.0
@@ -169,6 +174,7 @@ def train_metrics(t: InstacartTables) -> DataFrame:
     with ThreadPoolExecutor(max_workers=len(MODEL_BUILDERS)) as pool:
         rows = list(pool.map(_one, MODEL_BUILDERS.items()))
     train70.unpersist()
+    hold30.unpersist()
 
     spark = t.orders.sparkSession
     return spark.createDataFrame(

@@ -36,6 +36,26 @@ from pyspark.sql import DataFrame
 STAGING_LOCK = threading.RLock()
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition ``df`` to the configured default parallelism
+    (r10, guide §2.5): the test fixtures are single-row-group parquet
+    files, so scans — and every projection fused into them — run as
+    ONE task no matter the core count; the driver's 8-vs-32-core
+    scaling block measured ratios <= 1 for that reason. An EXPLICIT
+    width is load-bearing: AQE coalesces repartition(col) right back
+    to one tiny partition, hiding the CPU-bound work again (measured:
+    dedup_cdc 4.0 s -> 4.0 s with implicit width, -> 0.98 s with the
+    explicit width). Only use above per-row-HEAVY projections whose
+    downstream result is partition-invariant (aggregations, keyed
+    joins, windows with total orderings). At cluster scale the scan
+    already arrives split and the one narrow exchange this adds is
+    noise next to the per-row compute it parallelizes; the width
+    follows spark.default.parallelism, i.e. the documented env knob.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def stage(
     cache: dict,
     key,

@@ -82,7 +82,20 @@ def _shingles_staged(docs: DataFrame) -> DataFrame:
     key = id(docs)
     hit = _SHINGLE_CACHE.get(key)
     if hit is None:
-        hit = (docs, _shingles(docs).localCheckpoint(eager=True))
+        from ._staging import spread as _spread
+
+        # r10 (guide §2.5): spread the one-row-group corpus scan so
+        # the tokenize+explode runs on every core, and spread the
+        # staged postings themselves so every downstream consumer's
+        # per-row work (minhash md5 folds, prefix windows, jaccard
+        # verifies) inherits full-width parallelism instead of the
+        # AQE-coalesced 4 partitions the distinct left behind.
+        hit = (
+            docs,
+            _spread(_shingles(_spread(docs)), "doc_id").localCheckpoint(
+                eager=True
+            ),
+        )
         _SHINGLE_CACHE[key] = hit
     return hit[1]
 
@@ -1503,6 +1516,18 @@ def er_matches(docs: DataFrame) -> DataFrame:
     work, and the downstream clustering (``connected_clusters``)
     consumes these pairs unchanged.
     """
+    # r10 restructure (guide §8: decide with small rows): the blocked
+    # self-join evaluated array_intersect FOUR times + levenshtein once
+    # per candidate pair INSIDE the join condition (Catalyst inlines the
+    # match predicate; the r9 prefilter attempt regressed for the same
+    # reason). Instead the intersection size i comes from the classic
+    # token-inverted self-join + hash-agg (map-side partials, no
+    # per-pair array scans), and levenshtein runs only for pairs passing
+    # 5*i >= u — a provably NECESSARY condition: score >= 0.6 <=>
+    # 5*(i*m + (m-d)*u) >= 6*u*m  ==>  5*i*m >= u*(m + 5*d) >= u*m for
+    # m > 0, d >= 0. Pairs with i = 0 can only match when u = 0 (both
+    # token sets empty: LHS = RHS = 0), which the token join cannot
+    # emit — the degenerate branch below reproduces them exactly.
     keyed = _block_capped(
         docs.select(
             "doc_id",
@@ -1517,26 +1542,73 @@ def er_matches(docs: DataFrame) -> DataFrame:
             ).alias("toks"),
         ),
         FUZZY_MAX_BLOCK,
+    ).select(
+        "doc_id", "lang", "blk", "prefix", "toks",
+        F.size("toks").alias("sz"),
     )
-    a = keyed.select(
-        F.col("doc_id").alias("id_a"), "lang", "blk",
-        F.col("prefix").alias("pa"), F.col("toks").alias("ta"),
+    from ._staging import spread as _spread
+
+    # doc-grain; 4 consumers below. Spread before the checkpoint so
+    # the token-explode join and the levenshtein verify downstream run
+    # at full width (r10, guide §2.5).
+    keyed = _spread(keyed, "doc_id").localCheckpoint(eager=True)
+    tok = keyed.select(
+        "doc_id", "lang", "blk", F.explode("toks").alias("tk")
     )
-    b = keyed.select(
-        F.col("doc_id").alias("id_b"), "lang", "blk",
-        F.col("prefix").alias("pb"), F.col("toks").alias("tb"),
-    )
-    i = F.size(F.array_intersect("ta", "tb"))
-    u = F.size("ta") + F.size("tb") - i
-    d = F.levenshtein("pa", "pb")
-    m = F.greatest(F.length("pa"), F.length("pb"))
-    scored = (
-        a.join(b, ["lang", "blk"])
+    pair_i = (
+        tok.select("lang", "blk", "tk", F.col("doc_id").alias("id_a"))
+        .join(
+            tok.select(
+                "lang", "blk", "tk", F.col("doc_id").alias("id_b")
+            ),
+            ["lang", "blk", "tk"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("i", i)
-        .withColumn("u", u)
-        .withColumn("d", d)
-        .withColumn("m", m)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("int").alias("i"))
+    )
+    meta_a = keyed.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("prefix").alias("pa"),
+        F.col("sz").alias("sa"),
+    )
+    meta_b = keyed.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("prefix").alias("pb"),
+        F.col("sz").alias("sb"),
+    )
+    cand = (
+        pair_i.join(meta_a, "id_a")
+        .join(meta_b, "id_b")
+        .withColumn("u", F.col("sa") + F.col("sb") - F.col("i"))
+        .filter(F.lit(5) * F.col("i") >= F.col("u"))
+    )
+    degen = (
+        keyed.filter(F.col("sz") == 0)
+        .select(
+            F.col("doc_id").alias("id_a"), "lang", "blk",
+            F.col("prefix").alias("pa"),
+        )
+        .join(
+            keyed.filter(F.col("sz") == 0).select(
+                F.col("doc_id").alias("id_b"), "lang", "blk",
+                F.col("prefix").alias("pb"),
+            ),
+            ["lang", "blk"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "pa", "pb",
+            F.lit(0).alias("i"), F.lit(0).alias("u"),
+        )
+    )
+    scored = (
+        cand.select("id_a", "id_b", "pa", "pb", "i", "u")
+        .unionByName(degen)
+        .withColumn("d", F.levenshtein("pa", "pb"))
+        .withColumn(
+            "m", F.greatest(F.length("pa"), F.length("pb"))
+        )
         .filter(
             F.lit(5) * (F.col("i") * F.col("m")
                         + (F.col("m") - F.col("d")) * F.col("u"))
@@ -2894,10 +2966,24 @@ def cdc_chunk_report(docs: DataFrame) -> DataFrame:
     total_chars, unique_chars, savings_ratio, avg_chunk_chars.
     """
     k, mod = CDC_K, CDC_MOD
-    prepped = docs.filter(F.length("text") >= 1).select(
-        "doc_id",
-        "text",
-        F.length("text").alias("ln"),
+    # r10 (guide §2.5 stragglers): the fixture corpus is ONE parquet
+    # row group, so this O(total_chars) window-md5 projection ran on a
+    # single core regardless of local[N]. Spreading doc rows across
+    # the configured shuffle width first costs one narrow exchange and
+    # parallelizes the per-char hashing; every output here is a
+    # chunk-hash aggregation, so the result is partition-invariant.
+    # At cluster scale the scan arrives already split and this
+    # repartition is a no-op-sized shuffle relative to the CPU work.
+    prepped = (
+        docs.filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            "text",
+            F.length("text").alias("ln"),
+        )
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
     )
     cuts = F.expr(
         f"if(ln >= {k} + 1,"

@@ -526,13 +526,24 @@ def sssp_weighted(
                 + F.abs(F.col("ca") - F.col("cb"))
             ).cast("bigint").alias("w"),
         )
-        .localCheckpoint(eager=True)
+        # lazy (r10): referenced every round, but an EAGER checkpoint
+        # here is a driver-sync job per call; materializing inside the
+        # action's first pass costs the same write once and nothing
+        # when the query result itself is consumed once.
+        .localCheckpoint(eager=False)
     )
     nodes = edges.select(F.col("a").alias("node")).distinct()
     dist = nodes.orderBy("node").limit(BFS_SEEDS).select(
         "node", F.lit(0).cast("bigint").alias("dist_cents")
     )
-    for _ in range(rounds):
+    # r10 (guide §2.4/§5): dist is consumed TWICE per round (the relax
+    # join and the re-tighten union), so the lazy chain doubled the
+    # inlined prefix every round — 92 Exchanges in the captured
+    # before-plan for 4 rounds. dist is NODE-grain (bounded by the
+    # part vocabulary), so an eager per-round checkpoint costs one
+    # small job and caps the plan at one join+min-agg per round; the
+    # final round stays lazy (single consumer — the returned frame).
+    for rnd in range(rounds):
         relax = edges.join(
             dist.select(F.col("node").alias("a"), "dist_cents"), "a"
         ).select(
@@ -544,6 +555,12 @@ def sssp_weighted(
             .groupBy("node")
             .agg(F.min("dist_cents").alias("dist_cents"))
         )
+        if rnd < rounds - 1:
+            # lazy: materializes once inside the final action's first
+            # pass (no per-round driver-synchronous job — the eager
+            # variant measured SLOWER, 3.7 -> 4.7 s, because 3 extra
+            # small jobs outweighed the recompute they saved)
+            dist = dist.localCheckpoint(eager=False)
     return dist.select("node", "dist_cents")
 
 
@@ -729,7 +746,7 @@ def _pivot_bfs_from(
         F.col("s").alias("node"),
         F.lit(0).alias("dist"),
         F.lit(1).cast("bigint").alias("sigma"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for r in range(1, hops + 1):
         front = dist.filter(F.col("dist") == r - 1).select(
             "s", F.col("node").alias("a"), "sigma"
@@ -748,7 +765,10 @@ def _pivot_bfs_from(
                 F.coalesce(F.col("dist"), F.lit(r)).alias("dist"),
                 F.coalesce(F.col("sigma"), F.col("add")).alias("sigma"),
             )
-            .localCheckpoint(eager=True)
+            # lazy (r10): materializes once inside the consuming
+            # action; the eager per-round variant cost a driver-sync
+            # job per superstep (guide SS1.2)
+            .localCheckpoint(eager=False)
         )
     return dist
 
@@ -840,7 +860,7 @@ def _betweenness_from_bfs(
                 ).alias("delta")
             )
         )
-        delta_prev = contrib.localCheckpoint(eager=True)
+        delta_prev = contrib.localCheckpoint(eager=False)  # lazy, r10
         level_frames.append(delta_prev)
     allv = level_frames[0]
     for fr in level_frames[1:]:
@@ -1017,7 +1037,7 @@ def betweenness_stability_eval(
     bb = _betweenness_from_bfs(
         edges, _pivot_bfs_from(edges, pb, hops), hops
     ).select("node", F.col("betweenness").alias("y"))
-    bb = bb.localCheckpoint(eager=True)
+    bb = bb.localCheckpoint(eager=False)  # lazy, r10
     both = ba.join(bb, "node")
     topa = ba.orderBy(F.desc("x"), "node").limit(k).select("node")
     topb = bb.orderBy(F.desc("y"), "node").limit(k).select("node")
@@ -1396,6 +1416,66 @@ lpa_communities AS (
 SIM_TOP_K = 5
 
 
+#: basket-bounded co-occurrence pipeline per lineitem identity, session
+#: staged (r10, guide §2.4): `item_similarity` and
+#: `rec_coverage_diversity` each rebuilt the identical distinct
+#: (order, part) self-join + pair agg + degree joins — the captured
+#: rec_coverage before-plan inlines that prefix FOUR times (2213 plan
+#: lines). One eager checkpoint of the scored pair table (co-occurring
+#: pair grain, the same table the DuckDB oracle MATERIALIZEs) plus the
+#: part-grain degree table serves every consumer.
+_COOC_CACHE: dict = {}
+
+
+def _cooc_staged(lineitem: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(ords, scored): part order-frequencies and the scored
+    co-occurring pair table (p < q, n_common, na, nb, jaccard)."""
+    from ._staging import stage as _stage_h
+
+    op = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ords = _stage_h(
+        _COOC_CACHE,
+        ("ords", id(lineitem)),
+        lineitem,
+        lambda: op.groupBy("p").agg(F.count("*").alias("n_ord")),
+    )
+    def _build_scored() -> DataFrame:
+        pairs = (
+            op.join(
+                op.select(F.col("ok"), F.col("p").alias("q")), "ok"
+            )
+            .filter(F.col("p") < F.col("q"))
+            .groupBy("p", "q")
+            .agg(F.count("*").alias("n_common"))
+        )
+        return (
+            pairs.join(
+                ords.select(F.col("p"), F.col("n_ord").alias("na")), "p"
+            )
+            .join(
+                ords.select(
+                    F.col("p").alias("q"), F.col("n_ord").alias("nb")
+                ),
+                "q",
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common")
+                    / (F.col("na") + F.col("nb") - F.col("n_common")),
+                    6,
+                ),
+            )
+        )
+
+    scored = _stage_h(
+        _COOC_CACHE, ("scored", id(lineitem)), lineitem, _build_scored
+    )
+    return ords, scored
+
+
 def item_similarity(
     lineitem: DataFrame, k: int = SIM_TOP_K
 ) -> DataFrame:
@@ -1416,37 +1496,7 @@ def item_similarity(
     co-occurrence partners only. Output: item, neighbor, n_common,
     jaccard, rank.
     """
-    op = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
-    ).distinct()
-    ords = op.groupBy("p").agg(F.count("*").alias("n_ord"))
-    pairs = (
-        op.join(
-            op.select(F.col("ok"), F.col("p").alias("q")), "ok"
-        )
-        .filter(F.col("p") < F.col("q"))
-        .groupBy("p", "q")
-        .agg(F.count("*").alias("n_common"))
-    )
-    scored = (
-        pairs.join(
-            ords.select(F.col("p"), F.col("n_ord").alias("na")), "p"
-        )
-        .join(
-            ords.select(
-                F.col("p").alias("q"), F.col("n_ord").alias("nb")
-            ),
-            "q",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("na") + F.col("nb") - F.col("n_common")),
-                6,
-            ),
-        )
-    )
+    _, scored = _cooc_staged(lineitem)
     both = scored.select(
         F.col("p").alias("item"), F.col("q").alias("neighbor"),
         "n_common", "jaccard",
@@ -2059,12 +2109,16 @@ def rec_coverage_diversity(
     Output (1 row): n_anchors, catalog_size, n_recommended,
     coverage, n_list_pairs, avg_ils.
     """
-    recs = item_similarity(lineitem, k)
-    catalog = (
-        lineitem.select(F.col("l_partkey").alias("p"))
-        .distinct()
-        .agg(F.count("*").alias("catalog_size"))
-    )
+    # r10 (guide §2.4): recs (consumed three times below) and the
+    # co-occurrence pair/degree tables (previously rebuilt from
+    # lineitem although item_similarity had just computed the identical
+    # frames) now come from the session-staged pipeline; recs is
+    # checkpointed once at top-k grain (n_items x k, bounded by the rec
+    # width). catalog_size = |ords| — the same distinct-part set the
+    # old separate distinct-scan counted.
+    ords, pairs = _cooc_staged(lineitem)
+    recs = item_similarity(lineitem, k).localCheckpoint(eager=True)
+    catalog = ords.agg(F.count("*").alias("catalog_size"))
     cover = recs.agg(
         F.count_distinct("item").alias("n_anchors"),
         F.count_distinct("neighbor").alias("n_recommended"),
@@ -2080,18 +2134,8 @@ def rec_coverage_diversity(
             F.greatest("n1", "n2").alias("q"),
         )
     )
-    op = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
-    ).distinct()
-    ords = op.groupBy("p").agg(F.count("*").alias("n_ord"))
-    pairs = (
-        op.join(op.select("ok", F.col("p").alias("q")), "ok")
-        .filter(F.col("p") < F.col("q"))
-        .groupBy("p", "q")
-        .agg(F.count("*").alias("n_common"))
-    )
     sims = (
-        lp.join(pairs, ["p", "q"], "left")
+        lp.join(pairs.select("p", "q", "n_common"), ["p", "q"], "left")
         .join(ords.select(F.col("p"), F.col("n_ord").alias("na")), "p")
         .join(
             ords.select(F.col("p").alias("q"), F.col("n_ord").alias("nb")),
@@ -2524,7 +2568,9 @@ def hits_scores(
         )
         .select("cust", "part")
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy (r10): consumed by every half-step, but materialization
+        # inside the first pass replaces the per-call driver-sync job
+        .localCheckpoint(eager=False)
     )
     idiv = lambda a, b: F.call_function(  # noqa: E731
         "div", a.cast("long"), b.cast("long")
@@ -2533,21 +2579,34 @@ def hits_scores(
         "cust", F.lit(HITS_SCALE).cast("long").alias("h")
     )
     auth = None
-    for _ in range(iters):
+    # r10 (guide §2.4/§5): araw feeds BOTH its own max-normalizer and
+    # the next half-step, and hraw likewise — left lazy, every
+    # consumer re-inlined the whole alternating prefix (the captured
+    # before-plan is 102 Exchanges of the edge list for 2 iterations,
+    # with zero ReusedExchange). Each half-step result is KEY-grain
+    # (parts / customers, never edges), so an eager checkpoint per
+    # half-step bounds the plan at one join+agg per job. The final
+    # round's hub is dead (the return consumes only auth) and stays
+    # lazy — the ktruss last-round trim.
+    for it in range(iters):
         araw = (
             edges.join(hub, "cust")
             .groupBy("part")
             .agg(F.sum("h").alias("ar"))
+            .localCheckpoint(eager=False)
         )
         amax = araw.agg(F.max("ar").alias("am"))
         auth = araw.crossJoin(F.broadcast(amax)).select(
             "part",
             idiv(F.col("ar"), idiv(F.col("am"), F.lit(HITS_SCALE))).alias("a"),
         )
+        if it == iters - 1:
+            break
         hraw = (
             edges.join(auth, "part")
             .groupBy("cust")
             .agg(F.sum("a").alias("hr"))
+            .localCheckpoint(eager=False)
         )
         hmax = hraw.agg(F.max("hr").alias("hm"))
         hub = hraw.crossJoin(F.broadcast(hmax)).select(

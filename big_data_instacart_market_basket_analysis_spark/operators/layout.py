@@ -438,48 +438,37 @@ def hilbert_d_frame(df: DataFrame, keep: list[str]) -> DataFrame:
            — no XOR/shift dialect differences between engines
       rotate: if ry == 0 swap x/y, flipping both when rx == 1
 
-    Each level is ONE chained .select that re-aliases (x, y, d) — the
-    per-level materialization is what keeps the expression tree
-    linear in H_BITS (a single nested Column would triple per level:
-    3^16 nodes); Catalyst collapses the 16 projections into one
-    codegen stage, so the key stays map-only like the Z-order twin.
+    r10: the walk is ONE ``aggregate()`` fold over the level sequence
+    (was 2 chained projections per level — 32 projections whose
+    Catalyst analysis cost ~2 s of DRIVER time per query call; the
+    fold is a constant-size expression tree with the identical integer
+    recurrence per level, so hkey is bit-equal). rx/ry inline 3x each
+    inside the lambda (SQL lambdas have no let-binding) — trivial
+    per-row integer re-evaluation next to the analysis time it saves.
     Input needs columns x, y; output keeps ``keep`` + hkey."""
-    out = df.withColumn("d", F.lit(0).cast("bigint"))
-    n1 = F.lit(H_SIDE - 1).cast("bigint")
-    for lvl in range(H_BITS - 1, -1, -1):
-        s = 1 << lvl
-        rx = (F.col("x") % F.lit(2 * s) >= F.lit(s)).cast("bigint")
-        ry = (F.col("y") % F.lit(2 * s) >= F.lit(s)).cast("bigint")
-        out = out.select(
-            *keep,
-            F.col("x"),
-            F.col("y"),
-            F.col("d"),
-            rx.alias("rx"),
-            ry.alias("ry"),
-        ).select(
-            *keep,
-            (
-                F.when(F.col("ry") == 1, F.col("x"))
-                .when(F.col("rx") == 1, n1 - F.col("y"))
-                .otherwise(F.col("y"))
-            ).alias("x"),
-            (
-                F.when(F.col("ry") == 1, F.col("y"))
-                .when(F.col("rx") == 1, n1 - F.col("x"))
-                .otherwise(F.col("x"))
-            ).alias("y"),
-            (
-                F.col("d")
-                + F.lit(s)
-                * F.lit(s)
-                * (
-                    F.lit(3) * F.col("rx")
-                    - (F.lit(2) * F.col("rx") - F.lit(1)) * F.col("ry")
-                )
-            ).alias("d"),
-        )
-    return out.select(*keep, F.col("d").alias("hkey"))
+    n1 = H_SIDE - 1
+    s = "CAST(shiftleft(1L, lvl) AS BIGINT)"
+    rx = f"CAST(a.x % (2 * {s}) >= {s} AS BIGINT)"
+    ry = f"CAST(a.y % (2 * {s}) >= {s} AS BIGINT)"
+    step = f"""named_struct(
+          'x', CASE WHEN {ry} = 1 THEN a.x
+                    WHEN {rx} = 1 THEN {n1}L - a.y
+                    ELSE a.y END,
+          'y', CASE WHEN {ry} = 1 THEN a.y
+                    WHEN {rx} = 1 THEN {n1}L - a.x
+                    ELSE a.x END,
+          'd', a.d + {s} * {s} * (3 * {rx} - (2 * {rx} - 1) * {ry})
+        )"""
+    hkey = F.expr(
+        f"""aggregate(
+          sequence({H_BITS - 1}, 0, -1),
+          named_struct('x', CAST(x AS BIGINT), 'y', CAST(y AS BIGINT),
+                       'd', CAST(0 AS BIGINT)),
+          (a, lvl) -> {step},
+          a -> a.d
+        )"""
+    )
+    return df.select(*keep, hkey.alias("hkey"))
 
 
 def hilbert_keys(events: DataFrame) -> DataFrame:
@@ -491,7 +480,12 @@ def hilbert_keys(events: DataFrame) -> DataFrame:
     for range predicates on either dimension. Map-only; the win comes
     from sorting the write by hkey (same ``write_zordered`` shape).
     """
-    prepared = events.select(
+    from ._staging import spread as _spread
+
+    # r10 (guide §2.5): the 16-level fold below ran on the ONE-task
+    # fixture scan; one narrow exchange first parallelizes it (the
+    # value set is per-event and order-free — hash-compared).
+    prepared = _spread(events).select(
         "event_id",
         (F.col("user_id") % (Z_MASK + 1)).alias("x"),
         (
@@ -570,6 +564,13 @@ def curve_locality_report(events: DataFrame) -> DataFrame:
     Output per curve: n_zones, n_points, avg per-zone x/y span and
     avg box area (spans weighted uniformly per occupied zone).
     """
+    from ._staging import spread as _spread
+
+    # r10 (guide §2.5): the 16-level Hilbert/Z key chains were fused
+    # into the ONE-task fixture scan; spread the points first so both
+    # key projections run at full width (outputs are keyed aggs —
+    # partition-invariant).
+    events = _spread(events)
     z = zorder_keys(events).select(
         F.lit("zorder").alias("curve"),
         F.col("zx").alias("x"),

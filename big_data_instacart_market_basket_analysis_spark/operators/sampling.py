@@ -482,47 +482,54 @@ def setcover_selection(
     """
     from .dedup import _shingles_staged
 
+    spark = docs.sparkSession
     dt = _shingles_staged(docs)
     universe = dt.agg(F.countDistinct("sh").alias("u"))
-    covered = None  # DataFrame of covered shingles
-    out = None
-    n_cov = F.lit(0)
+    picks: list = []  # doc_ids chosen so far
+    rows = []  # (round, doc_id, gain, covered) — 1 tiny row per round
+    n_cov = 0
+    # r10 (guide §1.2/§5): the pick was eagerly checkpointed then
+    # re-broadcast, and the covered set was a per-round checkpointed
+    # union — 66 jobs for 8 rounds. The pick is ONE row (greedy argmax
+    # is driver-sized by definition) — collect it; the covered set IS
+    # the staged postings filtered to the picked docs (a lazy
+    # broadcast-anti right side, no checkpoint, no union chain), and
+    # the covered count folds on the driver from the per-round gains
+    # (each round's new rows = exactly the picked doc's candidate
+    # postings). One job per round, same greedy trajectory as the
+    # unrolled oracle.
     for rnd in range(1, rounds + 1):
-        cand = dt if covered is None else dt.join(
-            F.broadcast(covered), "sh", "leftanti"
+        cand = dt if not picks else dt.join(
+            F.broadcast(
+                dt.filter(F.col("doc_id").isin(picks)).select("sh")
+            ),
+            "sh",
+            "leftanti",
         )
         pick = (
             cand.groupBy("doc_id")
             .agg(F.count("*").alias("gain"))
             .orderBy(F.col("gain").desc(), "doc_id")
             .limit(1)
-            .localCheckpoint(eager=True)
+            .first()
         )
-        new_cov = (
-            cand.join(F.broadcast(pick.select("doc_id")), "doc_id")
-            .select("sh")
-        )
-        covered = (
-            new_cov
-            if covered is None
-            else covered.unionByName(new_cov)
-        ).localCheckpoint(eager=True)
-        n = covered.agg(F.count("*").alias("covered"))
-        row = (
-            pick.crossJoin(F.broadcast(n))
-            .crossJoin(F.broadcast(universe))
-            .select(
-                F.lit(rnd).alias("round"),
-                "doc_id",
-                "gain",
-                "covered",
-                F.round(F.col("covered") / F.col("u"), 4).alias(
-                    "coverage_ratio"
-                ),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        if pick is None:  # no candidates left / empty corpus
+            break
+        picks.append(pick["doc_id"])
+        n_cov += int(pick["gain"])
+        rows.append((rnd, pick["doc_id"], int(pick["gain"]), n_cov))
+    out = spark.createDataFrame(
+        rows, "round int, doc_id bigint, gain bigint, covered bigint"
+    )
+    return out.crossJoin(F.broadcast(universe)).select(
+        "round",
+        "doc_id",
+        "gain",
+        "covered",
+        F.round(F.col("covered") / F.col("u"), 4).alias(
+            "coverage_ratio"
+        ),
+    )
 
 
 def oracle_setcover(rounds: int = SETCOVER_ROUNDS) -> str:

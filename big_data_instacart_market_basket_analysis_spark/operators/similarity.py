@@ -1643,21 +1643,29 @@ def _km_quantized(emb: DataFrame) -> DataFrame:
     )
 
 
-def _km_assign(qv: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment as a single MIN hash-agg: the
-    (dist2, cid) pair is packed into one BIGINT key (dist2*256 + cid,
-    cid < 256) so the argmin needs no window sort — map-side combine
-    does most of the work and ties break on the lower cid
-    deterministically. Centroids are k rows -> broadcast."""
-    return (
-        qv.join(F.broadcast(cents))
-        .withColumn(
-            "key",
-            F.expr(_IDIST2.format(q="q", c="c")) * 256 + F.col("cid"),
-        )
-        .groupBy("vec_id")
-        .agg(F.min("key").alias("key"), F.first("q").alias("q"))
-    )
+def _arr_lit(vals) -> str:
+    """SQL literal for a BIGINT array — inlines a collected centroid
+    into an expression (r10: literal-centroid assignment)."""
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def _km_key_lit(cent_rows, q: str = "q"):
+    """The packed argmin key (min over centroids of dist2*256 + cid)
+    as ONE narrow expression over literal centroids — r10 optimization
+    (guide §2.4): `_km_assign`'s broadcast join + min hash-agg shuffles
+    the ENTIRE corpus (group key vec_id is unique, so map-side combine
+    reduces nothing and `first(q)` ships every quantized vector through
+    the exchange). After any Lloyd round the centroids are driver-local
+    rows anyway (k x dims, bounded), so the same min folds per row in a
+    projection: identical exact-integer dist2 per (vec, cid), identical
+    min/tie-break (least() and MIN agree; dist2 is never null for the
+    non-null quantized vectors the fixture guarantees), zero joins,
+    zero shuffles."""
+    keys = [
+        F.expr(_IDIST2.format(q=q, c=_arr_lit(c))) * 256 + F.lit(cid)
+        for cid, c in cent_rows
+    ]
+    return F.least(*keys) if len(keys) > 1 else keys[0]
 
 
 def kmeans_lloyd(
@@ -1683,21 +1691,35 @@ def kmeans_lloyd(
     iteration, independent of corpus size. Output: vec_id, cluster,
     dist2 (all integers).
     """
-    spark = emb.sparkSession
     qv = _km_quantized(emb)
     w = Window.orderBy("h", "vec_id")
-    cents = (
-        qv.withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(k)  # distributed TakeOrdered — no full sort
-        .select(
-            (F.row_number().over(w) - F.lit(1)).cast("long").alias("cid"),
-            F.col("q").alias("c"),
+    # r10 (guide §2.4): the k x dims centroid matrix was ALREADY
+    # driver-local every round (newc.collect() re-broadcast); collect
+    # the init draw too and inline every round's centroids as literal
+    # arrays (`_km_key_lit`). Each of the iters+1 assignment passes was
+    # a broadcast join + full-corpus min-agg SHUFFLE (unique group key
+    # — no combine reduction, `first(q)` shipping the vectors); now
+    # each is a narrow projection, so the only remaining exchanges are
+    # the k*dims-row centroid-update aggs. Same exact-integer dist2,
+    # same min/tie-break, same floor-mean update => identical output.
+    cent_rows = [
+        (r["cid"], r["c"])
+        for r in (
+            qv.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("h", "vec_id")
+            .limit(k)  # distributed TakeOrdered — no full sort
+            .select(
+                (F.row_number().over(w) - F.lit(1))
+                .cast("long")
+                .alias("cid"),
+                F.col("q").alias("c"),
+            )
+            .collect()
         )
-    )
+    ]
     for _ in range(iters):
-        assigned = _km_assign(qv, cents).select(
-            "q", (F.col("key") % 256).alias("cid")
+        assigned = qv.select(
+            (_km_key_lit(cent_rows) % 256).alias("cid"), "q"
         )
         newc = (
             assigned.select("cid", F.posexplode("q").alias("i", "x"))
@@ -1716,13 +1738,10 @@ def kmeans_lloyd(
                 ).alias("c")
             )
         )
-        # k*dims ints to the driver, re-broadcast next round: bounds
+        # k*dims ints to the driver, re-inlined next round: bounds
         # lineage depth at one job per iteration (no nested recompute)
-        cents = spark.createDataFrame(
-            [(r["cid"], r["c"]) for r in newc.collect()],
-            "cid long, c array<bigint>",
-        )
-    return _km_assign(qv, cents).select(
+        cent_rows = [(r["cid"], r["c"]) for r in newc.collect()]
+    return qv.withColumn("key", _km_key_lit(cent_rows)).select(
         "vec_id",
         (F.col("key") % 256).cast("int").alias("cluster"),
         F.expr("CAST(key DIV 256 AS BIGINT)").alias("dist2"),
@@ -1804,31 +1823,38 @@ def _pq_subvectors(emb: DataFrame) -> DataFrame:
     return qv.select("vec_id", F.posexplode(subs).alias("sub", "sq"))
 
 
-def _pq_assign(sv: DataFrame, cents: DataFrame) -> DataFrame:
-    """Per-(vector, subspace) nearest-centroid as a MIN hash-agg over
-    the packed (dist2*256 + cid) key — same argmin trick as
-    ``_km_assign``, keyed by subspace."""
-    return (
-        sv.join(F.broadcast(cents), "sub")
-        .withColumn(
-            "key",
-            F.expr(_IDIST2.format(q="sq", c="c")) * 256 + F.col("cid"),
+def _pq_key_lit(cents_by_sub: dict, q: str = "sq"):
+    """Per-(vector, subspace) packed argmin key over LITERAL
+    per-subspace codebooks — the PQ twin of ``_km_key_lit`` (r10,
+    guide §2.4). The old `_pq_assign` broadcast-join + (vec_id, sub)
+    min-agg shuffled the whole exploded corpus per pass (unique group
+    key, `first(sq)` shipping every subvector); the codebook is
+    driver-local rows after every training round, so the argmin is a
+    CASE over sub with a least() of exact-integer dist2 keys per
+    branch — only the matched branch evaluates, zero joins, zero
+    shuffles. Identical packing/tie-break as the min-agg."""
+    expr = None
+    for sub, rows in sorted(cents_by_sub.items()):
+        branch = _km_key_lit(rows, q=q)
+        expr = (
+            F.when(F.col("sub") == sub, branch)
+            if expr is None
+            else expr.when(F.col("sub") == sub, branch)
         )
-        .groupBy("vec_id", "sub")
-        .agg(F.min("key").alias("key"), F.first("sq").alias("sq"))
-    )
+    return expr
 
 
-def _pq_codebook(emb: DataFrame) -> DataFrame:
+def _pq_codebook_rows(emb: DataFrame) -> dict:
     """PQ_M independent integer-Lloyd's codebooks trained in ONE set of
     jobs per iteration (subspace is just another grouping key — the
     M trainings share every shuffle). Deterministic md5 init per
     subspace; same exactness contract as ``kmeans_lloyd``. Driver
-    traffic per round is the M*K*sub_dims codebook (tiny)."""
-    spark = emb.sparkSession
+    traffic per round is the M*K*sub_dims codebook (tiny, bounded by
+    the PQ constants — never by corpus size); returned as
+    {sub: [(cid, c), ...]} for literal-expression assignment."""
     sv = _pq_subvectors(emb)
     w = Window.partitionBy("sub").orderBy("h", "vec_id")
-    cents = (
+    init = (
         sv.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= PQ_K)
@@ -1838,9 +1864,17 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
             F.col("sq").alias("c"),
         )
     )
+
+    def _by_sub(rows):
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r["sub"], []).append((r["cid"], r["c"]))
+        return out
+
+    cents_by_sub = _by_sub(init.collect())
     for _ in range(PQ_ITERS):
-        assigned = _pq_assign(sv, cents).select(
-            "sub", (F.col("key") % 256).alias("cid"), "sq"
+        assigned = sv.select(
+            "sub", (_pq_key_lit(cents_by_sub) % 256).alias("cid"), "sq"
         )
         newc = (
             assigned.select(
@@ -1862,11 +1896,38 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
                 ).alias("c")
             )
         )
-        cents = spark.createDataFrame(
-            [(r["sub"], r["cid"], r["c"]) for r in newc.collect()],
-            "sub int, cid long, c array<bigint>",
-        )
-    return cents
+        cents_by_sub = _by_sub(newc.collect())
+    return cents_by_sub
+
+
+#: trained codebook + encoded corpus per embedding identity, session-
+#: staged: `ann_pq` and `ann_pq_recall` each trained the identical
+#: deterministic codebook and re-encoded the corpus per call (r10 —
+#: the `_assignment_staged` convention; at 100 TB the codes table IS
+#: the persisted index, built once beside the raw vectors).
+_PQ_INDEX_CACHE: dict[int, tuple] = {}
+
+
+def _pq_index_staged(emb: DataFrame) -> tuple:
+    """(cents_by_sub, codes): codes = (neighbor_id, sub, cid), eagerly
+    checkpointed (vec x M grain, three small ints per row)."""
+    key = id(emb)
+    with _STAGING_LOCK:
+        hit = _PQ_INDEX_CACHE.get(key)
+        if hit is None or hit[0] is not emb:
+            cents_by_sub = _pq_codebook_rows(emb)
+            codes = (
+                _pq_subvectors(emb)
+                .select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    "sub",
+                    (_pq_key_lit(cents_by_sub) % 256).alias("cid"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            hit = (emb, cents_by_sub, codes)
+            _PQ_INDEX_CACHE[key] = hit
+        return hit[1], hit[2]
 
 
 def pq_ann_topk(
@@ -1882,30 +1943,53 @@ def pq_ann_topk(
     so the whole index — training, encoding, LUT, ranking — is exact
     BIGINT arithmetic and hash-matches the DuckDB replay.
 
-    Scale: encoding is one broadcast join + min-agg over the corpus
-    (the codes table, M small ints per vector, is what persists); a
-    query ships only its M*K-entry LUT. The scored join partitions on
-    (sub, cid) — bounded fan-out Q rows per code — and the final
-    top-k is the standard per-query rank window. At 100 TB the codes
-    table replaces the raw vectors for the candidate pass and the
-    exact re-rank touches only the survivors. Output: query_id,
-    neighbor_id, rank, adist.
+    Scale: encoding is a NARROW projection over the corpus (literal
+    codebook argmin, zero joins/shuffles — r10); the session-staged
+    codes table (M small ints per vector) is what persists, shared
+    with `pq_ann_recall`. A query ships only its M*K-entry LUT. The
+    scored join partitions on (sub, cid) — bounded fan-out Q rows per
+    code — and the final top-k is the standard per-query rank window.
+    At 100 TB the codes table replaces the raw vectors for the
+    candidate pass and the exact re-rank touches only the survivors.
+    Output: query_id, neighbor_id, rank, adist.
     """
-    sv = _pq_subvectors(emb)
-    cents = _pq_codebook(emb)
-    codes = _pq_assign(sv, cents).select(
-        F.col("vec_id").alias("neighbor_id"),
-        "sub",
-        (F.col("key") % 256).alias("cid"),
-    )
+    cents_by_sub, codes = _pq_index_staged(emb)
+    # LUT: per (query, sub) row, the distance to EVERY centroid of
+    # that sub — an exploded literal array of (cid, d) structs (the
+    # same exact-integer dist2 the broadcast-join build computed),
+    # n_queries * M rows in, * K out. The asymmetric-distance table
+    # each query ships at scale.
+    lut_arr = None
+    for sub, rows in sorted(cents_by_sub.items()):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).cast("long").alias("cid"),
+                    F.expr(_IDIST2.format(q="sq", c=_arr_lit(c))).alias(
+                        "d"
+                    ),
+                )
+                for cid, c in rows
+            ]
+        )
+        lut_arr = (
+            F.when(F.col("sub") == sub, arr)
+            if lut_arr is None
+            else lut_arr.when(F.col("sub") == sub, arr)
+        )
     lut = (
-        sv.filter(F.col("vec_id") < n_queries)
-        .join(F.broadcast(cents), "sub")
+        _pq_subvectors(emb)
+        .filter(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
             "sub",
-            "cid",
-            F.expr(_IDIST2.format(q="sq", c="c")).alias("d"),
+            F.explode(lut_arr).alias("e"),
+        )
+        .select(
+            "query_id",
+            "sub",
+            F.col("e.cid").alias("cid"),
+            F.col("e.d").alias("d"),
         )
     )
     scored = (
@@ -3271,17 +3355,22 @@ def cell_silhouette(emb: DataFrame) -> DataFrame:
     cell-grain agg — the same N*C shape as IVF assignment itself.
     Output: cell, n_vectors, avg_sil (round 6).
     """
-    vecs = emb.select("vec_id", _as_double("embedding").alias("v"))
+    # r10 (guide §4, the r9 cosine-family hoist): sqrt(dot(v,v)) was
+    # re-folded per (vector, centroid) PAIR inside the broadcast cross
+    # — C interpreted higher-order folds per vector instead of one.
+    # Hoisted to once per vector before the join; cos keeps the exact
+    # expression tree dot / (vnorm * centnorm), so every float is
+    # bit-identical.
+    vecs = emb.select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).withColumn("vnorm", F.sqrt(F.expr(_DOT.format(a="v", b="v"))))
     cents = _ivf_centroids(emb)
     scored = (
         vecs.join(F.broadcast(cents))
         .withColumn(
             "cos",
             F.expr(_DOT.format(a="v", b="centv"))
-            / (
-                F.sqrt(F.expr(_DOT.format(a="v", b="v")))
-                * F.col("centnorm")
-            ),
+            / (F.col("vnorm") * F.col("centnorm")),
         )
         .select("vec_id", "centroid_id", "cos")
     )

@@ -1865,7 +1865,13 @@ def duplicate_spans(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     cost is linear in corpus tokens — unlike pair-forming dedup, a
     span shared by k docs costs k rows, never k^2 pairs.
     """
-    toks = docs.select(
+    from ._staging import spread as _spread
+
+    # r10 (guide §2.5): the per-position span-md5 transform below is
+    # the heavy stage and was fused into the ONE-task fixture scan;
+    # spread the corpus first so it runs at full width (results are a
+    # hash agg + doc-keyed window — partition-invariant).
+    toks = _spread(docs, "doc_id").select(
         "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("t")
     )
     spans = (

@@ -512,6 +512,16 @@ def test_q6_predicates_all_reach_the_scan(spark):
         assert frag in pushed, (frag, pushed)
 
 
+def test_er_matches_intersection_is_aggregated(spark):
+    """Since round 10 the fuzzy-match token-overlap count comes from
+    the inverted-token self-join + hash aggregation, not a per-pair
+    array_intersect scan inside the join condition (which Catalyst
+    inlined 4x per candidate pair)."""
+    plan = _plan(spark, "docs_er_matches")
+    assert "array_intersect" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
 def test_pq_candidate_join_broadcasts_lut(spark):
     """PQ ADC scoring joins the corpus codes against the per-query LUT
     — the LUT (|Q|*M*K rows) must broadcast; the codes table must
@@ -523,12 +533,15 @@ def test_pq_candidate_join_broadcasts_lut(spark):
 
 def test_kmeans_lloyd_no_python_and_broadcast_centroids(spark):
     """Deterministic Lloyd's: centroid assignment is the deliberate
-    broadcast cross against the k-row centroid table (nested-loop with
-    a tiny build side — the intended plan; a shuffle join here would
-    be the regression), all-integer expressions in codegen."""
+    broadcast cross against the k-row centroid table. Since round 10
+    the final assignment is a NARROW projection over literal centroid
+    arrays (the k x dims matrix is driver-local after every update
+    round) — the plan must contain no join, no exchange and no Python
+    eval at all; a join or shuffle reappearing here would be the
+    regression."""
     plan = _plan(spark, "embedding_kmeans_lloyd")
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan
 
 
