@@ -75,6 +75,15 @@ def _shingles(docs: DataFrame) -> DataFrame:
 #: ngram pairs, minhash signatures, and the minhash verify all reuse
 #: one checkpoint instead of re-running the explode+distinct shuffle
 #: per consumer — the "pay the shuffle once" staging rule.
+def _spread_blk(df: DataFrame) -> DataFrame:
+    """Explicit-width hash repartition on the (lang, blk) block key —
+    the blocked self-join kernels' shared required distribution (r10,
+    guide §2.5)."""
+    from ._staging import spread as _spread
+
+    return _spread(df, "lang", "blk")
+
+
 _SHINGLE_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
 
 
@@ -974,6 +983,12 @@ def fuzzy_prefix_pairs(
         ),
         max_block,
     )
+    # r10 (guide §2.5): materialize the capped blocks hash-partitioned
+    # on the JOIN key at explicit width — both self-join sides read it
+    # exchange-free, AQE cannot coalesce it, and the per-pair
+    # levenshtein runs at full width instead of on the 1-2 AQE
+    # partitions the block window left behind.
+    keyed = _spread_blk(keyed).localCheckpoint(eager=False)
     a = keyed.select(
         F.col("doc_id").alias("id_a"),
         "lang",
@@ -1070,6 +1085,9 @@ def phonetic_er_pairs(
         ),
         max_block,
     )
+    # r10 (guide §2.5): same join-key spread + checkpoint as the
+    # fuzzy-prefix kernel above.
+    keyed = _spread_blk(keyed).localCheckpoint(eager=False)
     a = keyed.select(
         F.col("doc_id").alias("id_a"), "lang", "blk",
         F.col("prefix").alias("pa"),

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._staging import STAGING_LOCK as _STAGING_LOCK
+from ._staging import spread as _spread
 from ._staging import stage as _stage
 
 N_QUERIES = 5
@@ -3746,8 +3747,13 @@ def knn_classifier_eval(emb: DataFrame) -> DataFrame:
         _as_double("embedding").alias("qv"),
         F.col("label").alias("true_label"),
     ).withColumn("qn", F.sqrt(F.expr(_DOT.format(a="qv", b="qv"))))
-    corpus = emb.filter(
-        F.col("vec_id") % KNN_CLS_STRIDE != 0
+    # r10 (guide §2.5): the corpus is the streamed side of the
+    # broadcast crossJoin, so every per-pair dot product runs in ITS
+    # tasks — and the single-row-group scan is one task. Spread it to
+    # full width before the norms/scoring; the vote and per-class aggs
+    # downstream are partition-invariant.
+    corpus = _spread(
+        emb.filter(F.col("vec_id") % KNN_CLS_STRIDE != 0), "vec_id"
     ).select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double("embedding").alias("cv"),

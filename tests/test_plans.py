@@ -652,6 +652,40 @@ def test_pca_gram_is_single_aggregation(spark):
     assert "WindowExec" not in plan, plan
 
 
+def test_nb_consumers_read_staged_scores(spark):
+    """Since round 10 the NB quality score table is session-staged per
+    docs identity: the seven downstream consumers (gains, AUC,
+    calibration, PR, scorecard, ...) must read the materialized table
+    (Scan ExistingRDD) and never re-run the train-plus-score pipeline
+    — the before-plan inlined the tokenize (25 `lower(text)` sites, 80
+    Exchanges) three times per consumer."""
+    plan = _plan(spark, "text_nb_gains")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "lower" not in plan.lower() or "lower(text" not in plan, plan
+
+
+def test_rouge_bleu_share_staged_ngram_base(spark):
+    """ROUGE and BLEU consume the session-staged pair n-gram base —
+    each plan must read the checkpoint, not rebuild the
+    tokenize/count/overlap pipeline (30 Exchanges -> 4)."""
+    for q in ("text_rouge", "text_bleu"):
+        plan = _plan(spark, q)
+        assert "Scan ExistingRDD" in plan, (q, plan)
+        assert plan.count("Exchange") <= 8, (q, plan)
+
+
+def test_blocked_pair_kernels_join_from_checkpoint(spark):
+    """The fuzzy-prefix / phonetic blocked self-joins read the capped
+    block table from an explicit-width checkpoint hash-partitioned on
+    the join key — the join itself must add no Exchange (10 -> 2), so
+    the per-pair levenshtein runs at the spread width instead of the
+    AQE-coalesced partitions the block window left behind."""
+    for q in ("dedup_fuzzy_prefix", "docs_phonetic_er"):
+        plan = _plan(spark, q)
+        assert "Scan ExistingRDD" in plan, (q, plan)
+        assert plan.count("Exchange") <= 4, (q, plan)
+
+
 def test_negative_samples_bounded_candidates(spark):
     """Negative sampling must join hash candidates to the product-rank
     dim via broadcast and anti-join positives — never a users x
