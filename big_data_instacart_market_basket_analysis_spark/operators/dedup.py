@@ -376,6 +376,19 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+#: session-staged verified pair sets per (docs identity, parameter) —
+#: the r10 extension of the shingle staging one level up the pipeline:
+#: five queries consume `minhash_lsh_pairs(docs)` (the LSH query
+#: itself, the precision/recall evals, the detector matrix, the
+#: capture-recapture estimate) and four consume `simhash_pairs(docs)`,
+#: and each previously re-ran the full band join + verify. The pair
+#: tables are doc-pair grain (bounded by the detectors' blocking), so
+#: one eager checkpoint each is cheap; the key object is HELD in the
+#: value (id-reuse guard, the _SHINGLE_CACHE convention).
+_MINHASH_PAIRS_CACHE: dict[tuple, tuple] = {}
+_SIMHASH_PAIRS_CACHE: dict[tuple, tuple] = {}
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -389,11 +402,27 @@ def minhash_lsh_pairs(
     bytes/doc; band buckets are the only shuffle wider than a doc).
     ``shingles`` lets a caller substitute an already-staged (possibly
     filtered) shingle table so composed pipelines never re-tokenize
-    the corpus.
+    the corpus. The default-shingles pair set is session-staged per
+    (docs identity, threshold) — see `_MINHASH_PAIRS_CACHE`.
     """
-    sh_staged = (
-        shingles if shingles is not None else _shingles_staged(docs)
-    )
+    if shingles is None:
+        key = (id(docs), threshold)
+        hit = _MINHASH_PAIRS_CACHE.get(key)
+        if hit is None or hit[0] is not docs:
+            hit = (
+                docs,
+                _minhash_lsh_pairs_build(
+                    docs, threshold, _shingles_staged(docs)
+                ).localCheckpoint(eager=True),
+            )
+            _MINHASH_PAIRS_CACHE[key] = hit
+        return hit[1]
+    return _minhash_lsh_pairs_build(docs, threshold, shingles)
+
+
+def _minhash_lsh_pairs_build(
+    docs: DataFrame, threshold: float, sh_staged: DataFrame
+) -> DataFrame:
     sigs = minhash_signatures(docs, shingles=sh_staged)
     band_cols = [
         F.struct(
@@ -800,7 +829,23 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: 15-bit band buckets (a pair within
     Hamming<=3 of 60 bits must agree on at least one of 4 bands), then
-    exact Hamming verify via bit_count(xor)."""
+    exact Hamming verify via bit_count(xor). The pair set is
+    session-staged per (docs identity, max_hamming) — see
+    `_SIMHASH_PAIRS_CACHE`."""
+    key = (id(docs), max_hamming)
+    hit = _SIMHASH_PAIRS_CACHE.get(key)
+    if hit is None or hit[0] is not docs:
+        hit = (
+            docs,
+            _simhash_pairs_build(docs, max_hamming).localCheckpoint(
+                eager=True
+            ),
+        )
+        _SIMHASH_PAIRS_CACHE[key] = hit
+    return hit[1]
+
+
+def _simhash_pairs_build(docs: DataFrame, max_hamming: int) -> DataFrame:
     sigs = simhash_signatures(docs)
     bands = sigs.select(
         "doc_id",
@@ -2260,6 +2305,11 @@ def fellegi_sunter_weights(docs: DataFrame) -> DataFrame:
         ),
         FUZZY_MAX_BLOCK,
     )
+    # r10 (guide §2.5): same fix as fuzzy_prefix_pairs/phonetic —
+    # materialize the capped blocks hash-partitioned on the JOIN key
+    # at explicit width so both self-join sides read it exchange-free
+    # and the per-pair agreement vector runs at full width.
+    keyed = _spread_blk(keyed).localCheckpoint(eager=False)
     a = keyed.select(
         F.col("doc_id").alias("id_a"), "lang", "blk",
         F.col("toks").alias("ta"), F.col("source").alias("sa"),
@@ -2607,9 +2657,10 @@ def lsh_precision_eval(docs: DataFrame) -> DataFrame:
         .distinct()
     )
     nc = cand.agg(F.count("*").alias("n_candidates"))
-    nv = minhash_lsh_pairs(docs, shingles=sh_staged).agg(
-        F.count("*").alias("n_verified")
-    )
+    # default-arg call = the session-staged pair set (r10): the
+    # explicit `shingles=sh_staged` it replaced was the SAME staged
+    # table the default resolves to, so the verified set is identical.
+    nv = minhash_lsh_pairs(docs).agg(F.count("*").alias("n_verified"))
     return nc.crossJoin(F.broadcast(nv)).select(
         "n_candidates",
         "n_verified",

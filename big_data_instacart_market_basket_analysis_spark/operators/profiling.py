@@ -886,29 +886,44 @@ def join_cardinality_estimate(
     """
 
     def sketch(df: DataFrame, key: str) -> DataFrame:
-        out = None
-        for d in range(JCE_DEPTH):
-            h = F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.col(key).cast("string"), F.lit(f"#{d}")
-                            )
-                        ),
-                        1,
-                        13,
+        # ONE scan with an exploded depth column instead of one
+        # scan+agg per depth (r10, guide §2.3): the per-depth hash
+        # string concat(key, '#', d) is byte-identical to the old
+        # literal f"#{d}", map-side partial aggregation collapses the
+        # exploded rows to the (d, w) sketch grain before the single
+        # shuffle, and the union of JCE_DEPTH scan branches is gone.
+        h = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(key).cast("string"),
+                            F.lit("#"),
+                            F.col("d").cast("string"),
+                        )
                     ),
-                    16,
-                    10,
-                ).cast("bigint"),
-                F.lit(JCE_WIDTH),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(JCE_WIDTH),
+        )
+        from ._staging import spread as _spread
+
+        return (
+            _spread(df.select(F.col(key)))
+            .select(
+                F.col(key),
+                F.explode(
+                    F.expr(f"sequence(0, {JCE_DEPTH - 1})")
+                ).alias("d"),
             )
-            row = df.select(
-                F.lit(d).alias("d"), h.alias("w")
-            ).groupBy("d", "w").agg(F.count("*").alias("c"))
-            out = row if out is None else out.unionByName(row)
-        return out
+            .select("d", h.alias("w"))
+            .groupBy("d", "w")
+            .agg(F.count("*").alias("c"))
+        )
 
     sa = sketch(orders, "o_orderkey")
     sb = sketch(lineitem, "l_orderkey")

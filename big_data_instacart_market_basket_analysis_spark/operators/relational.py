@@ -773,24 +773,40 @@ def suppliers_waiting(
     both sides shuffle once on l_orderkey and AQE handles order-size
     skew; the supplier dim is broadcast.
     """
-    per_order = lineitem.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supp"),
+    # ONE per-order profile carries the waiting supplier too (r10,
+    # guide §2.3 — aggregate before you shuffle): a qualifying order
+    # has EXACTLY ONE distinct R-supplier (n_r_supp = 1), so
+    # max(when(R, suppkey)) is that supplier — the second lineitem
+    # scan, the pair distinct, and the probe join of the previous
+    # shape all collapse into the same hash-agg. Equivalence: the old
+    # distinct (l_orderkey, l_suppkey) stream restricted to qualifying
+    # orders held exactly one row per order, the order's single
+    # R-supplier — which is what max() returns here.
+    # two-level agg instead of countDistinct: the (order, supplier)
+    # pre-agg gets map-side partial aggregation and avoids the 2x
+    # Expand the two distinct columns would plan; n_r_supp =
+    # #suppliers with ANY R line = sum(has_r) over the distinct pair
+    # grain — the same numbers by construction.
+    per_pair = lineitem.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias(
+            "has_r"
+        )
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("has_r").alias("n_r_supp"),
+        F.max(
+            F.when(F.col("has_r") == 1, F.col("l_suppkey"))
+        ).alias("r_supp"),
     )
     eligible = per_order.filter(
         (F.col("n_supp") > 1) & (F.col("n_r_supp") == 1)
-    ).select("l_orderkey")
+    ).select("l_orderkey", F.col("r_supp").alias("l_suppkey"))
     final_orders = orders.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_orderkey").alias("l_orderkey")
     )
     waiting = (
-        lineitem.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .join(eligible, "l_orderkey")
-        .join(final_orders, "l_orderkey")
-        .distinct()
+        eligible.join(final_orders, "l_orderkey")
         .groupBy("l_suppkey")
         .agg(F.count("*").alias("numwait"))
     )

@@ -51,11 +51,22 @@ def rfm_segments(events: DataFrame) -> DataFrame:
     cur = enriched.select(
         "user_id", "recency_ms", "frequency", "monetary"
     )
-    for score, order in (
+    passes = (
         ("r_score", [F.col("recency_ms"), F.col("user_id")]),
         ("f_score", [F.desc("frequency"), F.col("user_id")]),
         ("m_score", [F.desc("monetary"), F.col("user_id")]),
-    ):
+    )
+    for i, (score, order) in enumerate(passes):
+        # lazy checkpoint between passes (r10, guide §2.4/§1.2):
+        # each pass's repartitionByRange runs a SAMPLING job over its
+        # child, so chained passes re-execute every preceding pass's
+        # full lineage once per later pass — O(k²) passes over the
+        # user-grain table for k chained ranks. Materializing the
+        # user-grain state between passes makes it O(k) at any scale;
+        # ranks are pure integer functions of the total order, so the
+        # result is bit-identical.
+        if i > 0:
+            cur = cur.localCheckpoint(eager=False)
         ranked = _rank.global_ranked(cur, order)
         cur = ranked.withColumn(
             score,
@@ -756,11 +767,21 @@ def newsvendor_stock(lineitem: DataFrame) -> DataFrame:
     wv = Window.partitionBy("product").orderBy("q").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    tot = dd.groupBy("product").agg(F.count("*").alias("n_days"))
+    # n_days = sum(c) over the SAME product partitioning (full frame)
+    # instead of a second dd aggregation + join: sum of per-value day
+    # counts IS the product's demand-day count, so the value is
+    # identical and the plan drops one lineitem scan chain and the
+    # tot join (r10, guide §2.4 — two operations keyed the same way
+    # share one exchange). cum then feeds two consumers (pick,
+    # achieved); the lazy checkpoint stops the remaining subtree from
+    # inlining twice (4 scans -> 1, measured).
+    wp = Window.partitionBy("product")
     cum = (
         per_v.withColumn("cum", F.sum("c").over(wv))
-        .join(tot, "product")
+        .withColumn("n_days", F.sum("c").over(wp))
         .filter(F.col("n_days") >= NV_MIN_DAYS)
+        .drop("c")
+        .localCheckpoint(eager=False)
     )
     qualifying = cum.filter(
         F.col("cum") * NV_CR_DEN >= NV_CR_NUM * F.col("n_days")

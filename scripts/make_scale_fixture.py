@@ -67,8 +67,10 @@ def main() -> None:
             copies = parts[0]
             for p in parts[1:]:
                 copies = copies.unionByName(p)
-        # several row groups so scans split properly at this scale
-        copies.repartition(8).write.mode("overwrite").parquet(
+        # enough row groups that scans split at the HIGH core count —
+        # 32 files per table so the 8-vs-32 ratio measures compute
+        # scale-out, not input-split starvation
+        copies.repartition(32).write.mode("overwrite").parquet(
             f"{out}/{name}.parquet"
         )
         print(name, "rows:", spark.read.parquet(f"{out}/{name}.parquet").count())
