@@ -774,3 +774,75 @@ def test_operator_modules_have_no_shadowed_top_level_names():
             n for n, c in collections.Counter(names).items() if c > 1
         ]
         assert not dups, f"{os.path.basename(path)}: shadowed {dups}"
+
+
+def test_detector_pair_sets_staged_once(spark):
+    """r10 batch 3: the verified MinHash-LSH and SimHash pair sets are
+    session-staged per (docs identity, params) — repeated calls on the
+    same docs handle must return the SAME staged DataFrame (no
+    re-build), and the consumers' plans must read the materialized
+    table instead of inlining the band join + verify."""
+    from big_data_instacart_market_basket_analysis_spark.operators import (
+        dedup as D,
+    )
+    from big_data_instacart_market_basket_analysis_spark.sources.loaders import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    assert D.minhash_lsh_pairs(docs) is D.minhash_lsh_pairs(docs)
+    assert D.simhash_pairs(docs) is D.simhash_pairs(docs)
+    for q in ("dedup_capture_recapture", "dedup_detector_matrix"):
+        plan = _plan(spark, q)
+        assert "Scan ExistingRDD" in plan, (q, plan)
+
+
+def test_rfm_chained_ranks_do_not_nest(spark):
+    """r10 batch 3: each global_ranked pass's range-partitioner
+    sampling re-executed every preceding pass, leaving 8 copies of the
+    pass-1 lineage in the final plan (8 BroadcastNestedLoopJoins of
+    the 1-row corpus-max attach, 124 Exchange mentions). With the
+    between-pass checkpoints the final plan holds pass 3 only."""
+    plan = _plan(spark, "events_rfm_segments")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange") <= 15, plan
+
+
+def test_suppliers_waiting_single_fact_scan(spark):
+    """r10 batch 3: the waiting supplier comes out of the same
+    per-order profile agg (max of the R-guarded suppkey), so the plan
+    scans lineitem ONCE — before, a second scan fed the probe join."""
+    plan = _plan(spark, "suppliers_waiting")
+    # lineitem + orders + supplier, one scan each; formatted explain
+    # renders every node twice (tree + numbered detail)
+    assert plan.count("Scan parquet") <= 6, plan
+
+
+def test_jce_sketch_is_one_scan_per_side(spark):
+    """r10 batch 3: the CMS sketch builds from ONE scan with an
+    exploded depth column — before, each of the 3 depths scanned its
+    side separately (8 scans total incl. the exact join; now 4)."""
+    plan = _plan(spark, "join_cardinality_estimate")
+    # 2 sketch scans + 2 exact-join scans, each rendered twice
+    assert plan.count("Scan parquet") <= 8, plan
+
+
+def test_pingpong_state_is_materialized_table(spark):
+    """r10 batch 4: _PingPong keeps the per-batch standing state as an
+    eagerly localCheckpointed table — read() hands back the same
+    materialized frame write() stored, values intact, and final()
+    is the standing table the call sites collect from."""
+    from big_data_instacart_market_basket_analysis_spark.streaming.events import (
+        _PingPong,
+    )
+
+    st = _PingPong("/tmp/unused_root")
+    assert st.read(spark) is None
+    df1 = spark.range(3).toDF("v")
+    st.write(df1, 0)
+    got = st.read(spark)
+    assert got is st.final(spark)
+    assert sorted(r["v"] for r in got.collect()) == [0, 1, 2]
+    # batch k+1 writes a NEW table; the old one is never aliased
+    st.write(got.withColumn("v", got.v + 10), 1)
+    assert sorted(r["v"] for r in st.final(spark).collect()) == [10, 11, 12]
