@@ -2362,10 +2362,16 @@ def nb_quality_cv(docs: DataFrame, n_folds: int = NB_CV_FOLDS) -> DataFrame:
     Output: one row per fold — n_docs, n_correct, accuracy(4dp).
     """
     k = n_folds
+    # labels (doc grain, 3 consumers) and tok_fold (vocab x k grain,
+    # 4 consumers: totals, fold scalars, exclusive-vocab, contrib)
+    # are both bounded and multiply-consumed — lazy checkpoints stop
+    # the gopher pass and the (t, fold) agg from re-running per
+    # consumer (r10, guide §2.4). Values are exact integers.
     labels = (
         gopher_rules(docs)
         .select("doc_id", "keep")
         .withColumn("fold", F.pmod("doc_id", F.lit(k)))
+        .localCheckpoint(eager=False)
     )
     toks = (
         docs.select("doc_id", F.explode(_tokens_col()).alias("t"))
@@ -2375,7 +2381,7 @@ def nb_quality_cv(docs: DataFrame, n_folds: int = NB_CV_FOLDS) -> DataFrame:
     tok_fold = toks.groupBy("t", "fold").agg(
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("ckf"),
         F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("crf"),
-    )
+    ).localCheckpoint(eager=False)
     tok_tot = tok_fold.groupBy("t").agg(
         F.sum("ckf").alias("ck"), F.sum("crf").alias("cr")
     )
